@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate (dev tool only —
+NOT part of the library). Compares graft.Verify parquet output against
+the DuckDB oracle SQL, the same way the driver does: sort columns by
+name, sort rows, compare values.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows):
+    out = []
+    for row in rows:
+        canon_row = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    canon_row.append("NaN")
+                else:
+                    canon_row.append(repr(v))
+            else:
+                canon_row.append(repr(v))
+        out.append(tuple(canon_row))
+    return out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            got_rel = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = list(got_rel.columns)
+            exp_rel = con.sql(sql)
+            exp_cols = list(exp_rel.columns)
+            if sorted(c.lower() for c in got_cols) != sorted(
+                    c.lower() for c in exp_cols):
+                print(f"FAIL {name}: columns differ: spark={sorted(got_cols)}"
+                      f" oracle={sorted(exp_cols)}")
+                n_fail += 1
+                continue
+            got = canon(con.sql(
+                "SELECT " + ",".join(f'"{c}"' for c in sorted(got_cols, key=str.lower))
+                + f" FROM got_rel").fetchall())
+            exp = canon(con.sql(
+                "SELECT " + ",".join(f'"{c}"' for c in sorted(exp_cols, key=str.lower))
+                + f" FROM exp_rel").fetchall())
+            if got == exp:
+                print(f"PASS {name} ({len(got)} rows)")
+                n_pass += 1
+            else:
+                n_fail += 1
+                print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+                # show first few diffs
+                shown = 0
+                for i, (g, e) in enumerate(zip(got, exp)):
+                    if g != e:
+                        print(f"  row {i}: spark={g}")
+                        print(f"          oracle={e}")
+                        shown += 1
+                        if shown >= 3:
+                            break
+                if len(got) != len(exp) and shown == 0:
+                    print(f"  spark extra: {got[len(exp):len(exp)+2]}"
+                          if len(got) > len(exp) else
+                          f"  oracle extra: {exp[len(got):len(got)+2]}")
+        except Exception as ex:
+            n_fail += 1
+            print(f"FAIL {name}: {type(ex).__name__}: {ex}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+main()

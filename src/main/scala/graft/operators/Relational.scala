@@ -1,0 +1,354 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator bank (SURVEY.md §2.6 M3): joins, aggregates,
+  * windows, sorts, set ops, scalar/json functions over the TPC-H-ish
+  * tables. Everything here is a declarative Catalyst plan — predicate
+  * pushdown, column pruning, join selection (broadcast vs shuffle) and
+  * AQE come for free.
+  *
+  * Scale notes (100 TB posture), per query:
+  *  - joins put the big fact table (lineitem/orders) on the streaming
+  *    side; dimension tables (nation/region) are broadcast explicitly;
+  *    customer-sized sides are left to AQE which will broadcast under
+  *    the threshold and otherwise shuffle-hash/SMJ on the equi-key.
+  *  - every aggregate is a partial (map-side) + final hash aggregate —
+  *    no driver-side collection anywhere.
+  *  - window queries shuffle once on the partition key; the ORDER BY
+  *    inside the window reuses that shuffle's sort where possible.
+  *  - determinism: every query ends in a total ORDER BY (unique key or
+  *    the full projected column set) and floating aggregates are
+  *    rounded, so the driver's hash compare is stable.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 1998-09-01 cutoff used by the TPC-H Q1 shape. */
+  private val q1Cutoff = "1998-09-01 00:00:00"
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 shape: scan-heavy partial+final hash aggregate.
+    "q1_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit(q1Cutoff)))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Fact-to-dimension chain; nation is tiny -> explicit broadcast,
+    // orders/customer joins ride AQE (broadcast at small SF, SMJ at scale).
+    "q_join_inner" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val n  = Tables.nation(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Left outer join preserving customers with zero orders.
+    "q_join_left" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Left-semi join (EXISTS): no payload columns from the right side,
+    // so Spark never materializes orders rows past the join.
+    "q_join_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      c.join(f, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Left-anti join (NOT EXISTS) — the reference's dedup-vs-sink shape
+    // (main.py:175) applied relationally: customers with no orders.
+    "q_antijoin" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      c.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Multi-key group with distinct aggregate (expands to a two-phase
+    // aggregate; distinct key is shuffled once).
+    "q_agg_group" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+    }),
+
+    // Rollup over the region -> nation hierarchy (Expand + aggregate).
+    "q_agg_rollup" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("bal"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    // Statistical aggregate bundle.
+    "q_agg_stats" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("value")), 4).as("avg_v"),
+          round(stddev_samp(col("value")), 4).as("sd_v"),
+          round(min(col("value")), 2).as("min_v"),
+          round(max(col("value")), 2).as("max_v"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Top-N per group: one shuffle on the partition key, rank, filter.
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Running sum with an explicit ROWS frame over the events stream.
+    "q_window_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 2).as("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // lag/lead: previous event type and inter-event gap in microseconds
+    // (exact integer arithmetic on both engines — no float drift).
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Global top-k: plans as TakeOrderedAndProject (per-partition heap +
+    // driver merge of k rows) — no full sort at scale.
+    "q_sort_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // Set algebra over key sets: INTERSECT / EXCEPT / UNION ALL.
+    "q_setops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val fk = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k")).distinct()
+      val ok = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k")).distinct()
+      val both  = fk.intersect(ok).select(lit("both").as("tag"), col("k"))
+      val fOnly = fk.except(ok).select(lit("f_only").as("tag"), col("k"))
+      both.unionAll(fOnly).orderBy(col("tag"), col("k"))
+    }),
+
+    // Scalar function pack: string / date / math built-ins (all
+    // codegen'd, no UDFs) — covers the reference's own scalar set
+    // (lower/translate/concat, main.py:199-204, app.py:45-48).
+    "q_scalar_pack" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        lower(col("o_orderpriority")).as("prio"),
+        translate(col("o_orderstatus"), "OF", "of").as("status_t"),
+        concat(lit("ord_"), col("o_orderkey").cast("string")).as("tag"),
+        date_trunc("month", col("o_orderdate")).as("ord_month"),
+        datediff(col("o_orderdate").cast("date"), to_date(lit("1995-01-01"))).cast("long").as("days_since"),
+        // NB: /3 not *1.1 — a decimal-exact multiplier lands on .xx5
+        // rounding boundaries where Spark (BigDecimal HALF_UP) and
+        // DuckDB (float nearbyint) legitimately disagree by 1 cent.
+        round(col("o_totalprice") / 3, 2).as("price_third"),
+        floor(col("o_totalprice") / 1000).cast("long").as("price_bucket"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // JSON extraction from events.props (Q-json).
+    "q_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Single-column projected scan + distinct (Q-scan-ids/Q-distinct):
+    // column pruning reaches the parquet reader (ReadSchema is 1 col).
+    "q_scan_project" -> ((s, d) => {
+      Tables.orders(s, d).select(col("o_custkey").as("id")).distinct().orderBy(col("id"))
+    }),
+
+    // Count bundle (Q-count / Q-sum analog as global aggregates).
+    "q_count" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | round(sum(l_quantity), 2) AS sum_qty,
+         | round(sum(l_extendedprice), 2) AS sum_base_price,
+         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         | round(avg(l_quantity), 4) AS avg_qty,
+         | round(avg(l_discount), 4) AS avg_disc,
+         | count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '$q1Cutoff'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_agg_group" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        | count(DISTINCT o_custkey) AS n_cust,
+        | round(sum(o_totalprice), 2) AS total,
+        | round(min(o_totalprice), 2) AS min_price,
+        | round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY o_orderpriority, o_orderstatus
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT event_type, count(*) AS n,
+        | round(avg(value), 4) AS avg_v,
+        | round(stddev_samp(value), 4) AS sd_v,
+        | round(min(value), 2) AS min_v,
+        | round(max(value), 2) AS max_v,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+        | lag(event_type) OVER w AS prev_type,
+        | epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_sort_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_setops" ->
+      """WITH f AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+        |     o AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+        |SELECT * FROM (
+        | SELECT 'both' AS tag, k FROM (SELECT k FROM f INTERSECT SELECT k FROM o)
+        | UNION ALL
+        | SELECT 'f_only' AS tag, k FROM (SELECT k FROM f EXCEPT SELECT k FROM o)
+        |) ORDER BY tag, k""".stripMargin,
+
+    "q_scalar_pack" ->
+      """SELECT o_orderkey,
+        | lower(o_orderpriority) AS prio,
+        | translate(o_orderstatus, 'OF', 'of') AS status_t,
+        | concat('ord_', CAST(o_orderkey AS VARCHAR)) AS tag,
+        | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS ord_month,
+        | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        | round(o_totalprice / 3, 2) AS price_third,
+        | CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_bucket,
+        | substr(o_orderpriority, 1, 1) AS prio_code
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_json" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_scan_project" ->
+      "SELECT DISTINCT o_custkey AS id FROM orders ORDER BY id",
+
+    "q_count" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem""".stripMargin
+  )
+}
