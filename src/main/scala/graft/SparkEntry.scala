@@ -12,12 +12,16 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (operators.Relational.queries, operators.Relational.oracles)
+      (operators.Relational.queries, operators.Relational.oracles),
+      (operators.Ingest.queries, operators.Ingest.oracles)
     )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's core dataflow end-to-end: paged scan → label filter
+    * → anti-join vs sink ids → header extraction → last-wins dedup.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("q_ingest_e2e")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

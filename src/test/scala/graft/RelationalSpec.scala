@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Sanity invariants for the relational bank (the exact-value gate is
+  * the driver's DuckDB compare; these pin structural properties).
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("every declared query has an oracle or is explicitly exempt") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("every oracle has a query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("all queries run non-empty on sf0.001") {
+    val counts = SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).count()
+    }
+    val empty = counts.collect { case (n, 0L) => n }
+    assert(empty.isEmpty, s"empty results: $empty")
+  }
+
+  test("entry smoke returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort at scale)") {
+    val plan = Relational.queries("q_sort_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("dimension join broadcasts the small side") {
+    val plan = Relational.queries("q_join_inner")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
+  test("single-column scan prunes to one parquet column") {
+    val plan = Relational.queries("q_scan_project")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<o_custkey:bigint>"), plan.take(800))
+  }
+
+  test("window rank emits at most 3 rows per customer") {
+    val over = Relational.queries("q_window_rank")(spark, sf)
+      .groupBy("o_custkey").count().filter($"count" > 3).count()
+    assert(over === 0)
+  }
+
+  test("setops partition: both + f_only = f") {
+    val f = Tables.orders(spark, sf).filter($"o_orderstatus" === "F")
+      .select($"o_custkey").distinct().count()
+    val tagged = Relational.queries("q_setops")(spark, sf)
+      .groupBy("tag").count().as[(String, Long)].collect().toMap
+    assert(tagged.getOrElse("both", 0L) + tagged.getOrElse("f_only", 0L) === f)
+  }
+}
