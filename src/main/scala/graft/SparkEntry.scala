@@ -13,7 +13,9 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (operators.Relational.queries, operators.Relational.oracles),
-      (operators.Ingest.queries, operators.Ingest.oracles)
+      (operators.Ingest.queries, operators.Ingest.oracles),
+      (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
+      (operators.SimSearch.queries, operators.SimSearch.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

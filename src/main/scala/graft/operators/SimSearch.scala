@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (SURVEY §2.6
+  * Q-simsearch): brute-force cosine top-k as the exact baseline, and a
+  * sign-random-projection (SimHash-for-vectors) bucketed variant as the
+  * 100 TB scale path.
+  *
+  * Scale posture:
+  *  - the query vector is a one-row broadcast — the "join" is a
+  *    broadcast nested loop over a map-only scan; no shuffle at all.
+  *  - top-k plans as TakeOrderedAndProject: per-partition heaps of k,
+  *    driver merges k×partitions rows — never a global sort.
+  *  - the LSH variant buckets vectors by the signs of 16 deterministic
+  *    hyperplane projections; at scale the bucket id becomes a
+  *    partition/cluster key so a query touches 1/65536 of the data.
+  *    Probabilistic → no SQL oracle; recall is pinned by SimSearchSpec.
+  */
+object SimSearch {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Left-fold dot product in double precision. Floats are widened
+    * BEFORE the multiply so DuckDB's DOUBLE[] dot product sees
+    * bit-identical terms; both engines then fold left-to-right.
+    */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
+
+  /** Query-vector cross join: vec_id 0's embedding against all rows. */
+  private def withQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    emb.crossJoin(broadcast(q))
+  }
+
+  /** Deterministic ±1 hyperplanes: sign(j,i) from md5 — reproducible
+    * across sessions and engines, no RNG state to ship.
+    */
+  def hyperplanes(s: SparkSession, nPlanes: Int, dim: Int): DataFrame =
+    s.range(nPlanes).selectExpr("id AS j")
+      .crossJoin(s.range(dim).selectExpr("id AS i"))
+      .selectExpr("j", "i",
+        "CASE WHEN substring(md5(concat(cast(j as string), ':', cast(i as string))), 1, 1) < '8' THEN 1.0 ELSE -1.0 END AS sign")
+
+  /** Bucket id = 16 sign bits of hyperplane projections. */
+  def signatures(s: SparkSession, d: String, nPlanes: Int = 16): DataFrame = {
+    val planes = hyperplanes(s, nPlanes, 64)
+      .groupBy(col("j")).agg(array_sort(collect_list(struct(col("i"), col("sign")))).as("ps"))
+      .selectExpr("j", "transform(ps, p -> p.sign) AS plane")
+    Tables.embeddings(s, d).crossJoin(broadcast(planes))
+      .withColumn("proj", expr(dot("embedding", "plane")))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("proj") > 0, expr("shiftleft(1L, cast(j as int))")).otherwise(0L)).as("bucket"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact brute-force cosine top-20 vs the vec_id=0 query vector.
+    "q_simsearch" -> ((s, d) => {
+      withQuery(s, d)
+        .withColumn("cos_sim", expr(
+          s"round(${dot("embedding", "q_emb")} / (sqrt(${dot("embedding", "embedding")}) * sqrt(${dot("q_emb", "q_emb")})), 4)"))
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    // Scale path: search only the query's LSH bucket (no oracle —
+    // probabilistic recall; SimSearchSpec pins behavior instead).
+    "q_simsearch_lsh" -> ((s, d) => {
+      val sigs = signatures(s, d)
+      val emb = Tables.embeddings(s, d).join(sigs, "vec_id")
+      val qBucket = sigs.filter(col("vec_id") === 0).select(col("bucket").as("q_bucket"))
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      emb.join(broadcast(qBucket), col("bucket") === col("q_bucket"), "left_semi")
+        .crossJoin(broadcast(q))
+        .withColumn("cos_sim", expr(
+          s"round(${dot("embedding", "q_emb")} / (sqrt(${dot("embedding", "embedding")}) * sqrt(${dot("q_emb", "q_emb")})), 4)"))
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    // Exact k-NN self-join (k=3) restricted to same-label candidates —
+    // the blocked form of the O(n²) join: at 100 TB the label (or a
+    // coarse cluster id) is the co-partition key for both sides.
+    "q_knn_label" -> ((s, d) => {
+      val a = Tables.embeddings(s, d)
+        .select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"))
+      val b = Tables.embeddings(s, d)
+        .select(col("vec_id").as("b_id"), col("label"), col("embedding").as("b_emb"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("a_id")).orderBy(col("cos_sim").desc, col("b_id"))
+      a.join(b, "label")
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("cos_sim", expr(
+          s"round(${dot("a_emb", "b_emb")} / (sqrt(${dot("a_emb", "a_emb")}) * sqrt(${dot("b_emb", "b_emb")})), 4)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("a_id"), col("b_id"), col("label"), col("cos_sim"), col("rn"))
+        .orderBy(col("a_id"), col("rn"))
+    })
+  )
+
+  private val cosSql =
+    """list_dot_product(a, q) / (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(q, q)))"""
+
+  val oracles: Map[String, String] = Map(
+    "q_simsearch" ->
+      s"""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, round($cosSql, 4) AS cos_sim
+         |FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS a FROM embeddings), qv
+         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    // q_simsearch_lsh: no oracle (probabilistic bucketing).
+
+    "q_knn_label" ->
+      s"""SELECT a_id, b_id, label, cos_sim, rn FROM (
+         | SELECT a_id, b_id, label, cos_sim,
+         |  row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, b_id) AS rn
+         | FROM (
+         |  SELECT ea.vec_id AS a_id, eb.vec_id AS b_id, ea.label AS label,
+         |   round(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+         |    / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+         |     * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))), 4) AS cos_sim
+         |  FROM embeddings ea JOIN embeddings eb ON ea.label = eb.label AND ea.vec_id <> eb.vec_id
+         | )) WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin
+  )
+}

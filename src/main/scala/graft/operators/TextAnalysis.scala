@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis + exact-dedup operators for a training-data pipeline
+  * (SURVEY §2.6 M4): tokenization, quality scoring, language-ID
+  * heuristic, document fingerprinting, exact dedup — all over the
+  * `documents` table, all as codegen'd built-ins (no UDFs).
+  *
+  * Scale posture: everything here is embarrassingly parallel per-row
+  * except the dedup group-by, which shuffles on the 32-char md5
+  * fingerprint rather than the document text — at 100 TB that keeps
+  * shuffle payloads tiny and skew bounded (hash keys are uniform).
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tokens of the single-space-separated corpus. Spark `split` takes a
+    * regex; a lone space is literal in both engines, and both keep
+    * trailing empties, so counts agree with DuckDB's string_split.
+    */
+  private val toks = "split(text, ' ')"
+
+  private val stop = "('the','a','of','and','to','in','is')"
+
+  val queries: Map[String, Q] = Map(
+    // Per-document token statistics.
+    "q_text_stats" -> ((s, d) =>
+      Tables.documents(s, d).selectExpr(
+        "doc_id",
+        s"size($toks) AS n_tokens",
+        "length(text) AS n_chars_real",
+        s"cast(size(array_distinct($toks)) as bigint) AS n_distinct",
+        s"round(aggregate(transform($toks, t -> length(t)), 0, (a, x) -> a + x) / size($toks), 4) AS avg_token_len")
+        .selectExpr("doc_id", "cast(n_tokens as bigint) AS n_tokens",
+          "cast(n_chars_real as bigint) AS n_chars_real", "n_distinct", "avg_token_len")
+        .orderBy(col("doc_id"))),
+
+    // Corpus rollup by language.
+    "q_text_lang_agg" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(avg(size(split(col("text"), " "))), 4).as("avg_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))),
+
+    // Quality scoring: distinct-token ratio + stopword ratio blend.
+    "q_text_quality" -> ((s, d) =>
+      Tables.documents(s, d).selectExpr(
+        "doc_id",
+        s"round(size(array_distinct($toks)) / size($toks), 4) AS distinct_ratio",
+        s"round(size(filter($toks, t -> t IN $stop)) / size($toks), 4) AS stopword_ratio",
+        s"""round(0.5 * (size(array_distinct($toks)) / size($toks))
+               + 0.5 * (1.0 - size(filter($toks, t -> t IN $stop)) / size($toks)), 4) AS quality_score""")
+        .orderBy(col("doc_id"))),
+
+    // Language-ID n-gram/marker heuristic: argmax of marker-token
+    // counts with a fixed tie order (en > de > fr > es), 'und' when no
+    // marker fires.
+    "q_lang_id" -> ((s, d) =>
+      Tables.documents(s, d).selectExpr(
+        "doc_id", "lang",
+        s"size(filter($toks, t -> t IN ('the','and','of'))) AS m_en",
+        s"size(filter($toks, t -> t IN ('der','und','das'))) AS m_de",
+        s"size(filter($toks, t -> t IN ('le','la','et'))) AS m_fr",
+        s"size(filter($toks, t -> t IN ('el','los','y'))) AS m_es")
+        .selectExpr("doc_id", "lang",
+          """CASE WHEN m_en = 0 AND m_de = 0 AND m_fr = 0 AND m_es = 0 THEN 'und'
+                  WHEN m_en >= m_de AND m_en >= m_fr AND m_en >= m_es THEN 'en'
+                  WHEN m_de >= m_fr AND m_de >= m_es THEN 'de'
+                  WHEN m_fr >= m_es THEN 'fr'
+                  ELSE 'es' END AS pred_lang""")
+        .orderBy(col("doc_id"))),
+
+    // Document fingerprinting: content hash + prefix shingle hash —
+    // the join key for exact dedup at scale.
+    "q_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).selectExpr(
+        "doc_id",
+        "md5(text) AS fp",
+        "md5(substring(text, 1, 64)) AS prefix_fp",
+        "cast(length(text) as bigint) AS n_bytes")
+        .orderBy(col("doc_id"))),
+
+    // Regex token counting (BPE-ish surface form).
+    "q_token_regex" -> ((s, d) =>
+      Tables.documents(s, d).selectExpr(
+        "doc_id",
+        "cast(regexp_count(text, '[a-z]+') as bigint) AS n_word_tokens",
+        "cast(regexp_count(text, '[0-9]+') as bigint) AS n_num_tokens",
+        "cast(ceil(length(text) / 4.0) as bigint) AS n_subword_est")
+        .orderBy(col("doc_id"))),
+
+    // Exact dedup at scale (Q-dedup-exact): corpus ∪ mirrored copies,
+    // grouped on md5(text) — the big-data-safe form of the reference's
+    // id-keyed dict (main.py:158/:205): shuffle carries a 32-char key,
+    // the winner is the deterministic min id, copies are counted.
+    "q_dedup_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val mirror = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      docs.unionByName(mirror)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars_real,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        | round(CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum') AS BIGINT)
+        |       / len(string_split(text, ' ')), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_lang_agg" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+        | count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        | round(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 4) AS distinct_ratio,
+        | round(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is')))
+        |       / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        | round(0.5 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+        |     + 0.5 * (1.0 - len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is')))
+        |       / len(string_split(text, ' '))), 4) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id, lang,
+        | CASE WHEN m_en = 0 AND m_de = 0 AND m_fr = 0 AND m_es = 0 THEN 'und'
+        |      WHEN m_en >= m_de AND m_en >= m_fr AND m_en >= m_es THEN 'en'
+        |      WHEN m_de >= m_fr AND m_de >= m_es THEN 'de'
+        |      WHEN m_fr >= m_es THEN 'fr'
+        |      ELSE 'es' END AS pred_lang
+        |FROM (
+        | SELECT doc_id, lang,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('the','and','of'))) AS m_en,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('der','und','das'))) AS m_de,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('le','la','et'))) AS m_fr,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('el','los','y'))) AS m_es
+        | FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp, md5(substr(text, 1, 64)) AS prefix_fp,
+        | CAST(length(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_regex" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+        | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens,
+        | CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0)
+        |SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+  )
+}

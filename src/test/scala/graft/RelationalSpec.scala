@@ -9,8 +9,14 @@ import graft.operators.Relational
 class RelationalSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Queries with no SQL-expressible oracle (probabilistic or
+    * streaming-stateful); the driver records a rows-only check and a
+    * dedicated spec pins their behavior.
+    */
+  private val oracleExempt = Set("q_simsearch_lsh")
+
   test("every declared query has an oracle or is explicitly exempt") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- oracleExempt
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SimSearch
+
+class SimSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force cosine: query vector matches itself at 1.0") {
+    val top = SimSearch.queries("q_simsearch")(spark, sf)
+      .orderBy($"cos_sim".desc, $"vec_id").head()
+    assert(top.getLong(0) === 0L)        // vec_id 0 is its own best match
+    assert(top.getDouble(2) === 1.0)
+  }
+
+  test("cosine values bounded in [-1, 1]") {
+    val bad = SimSearch.queries("q_simsearch")(spark, sf)
+      .filter(abs($"cos_sim") > 1.0001).count()
+    assert(bad === 0)
+  }
+
+  test("LSH bucket search returns the query itself and a subset of candidates") {
+    val lsh = SimSearch.queries("q_simsearch_lsh")(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(lsh.contains(0L))
+    assert(lsh.size <= 20)
+  }
+
+  test("LSH signatures are deterministic across invocations") {
+    val s1 = SimSearch.signatures(spark, sf).orderBy("vec_id").collect().toSeq
+    val s2 = SimSearch.signatures(spark, sf).orderBy("vec_id").collect().toSeq
+    assert(s1 === s2)
+  }
+
+  test("hyperplanes are balanced-ish (md5 bit extraction sane)") {
+    val pos = SimSearch.hyperplanes(spark, 16, 64)
+      .agg(sum(when($"sign" > 0, 1).otherwise(0))).as[Long].head()
+    assert(pos > 300 && pos < 700, s"positive signs: $pos / 1024")
+  }
+
+  test("knn per-label: no self-pairs, at most 3 neighbors, labels agree") {
+    val knn = SimSearch.queries("q_knn_label")(spark, sf)
+    assert(knn.filter($"a_id" === $"b_id").count() === 0)
+    assert(knn.groupBy("a_id").count().filter($"count" > 3).count() === 0)
+  }
+}
