@@ -15,7 +15,9 @@ object SparkEntry {
       (operators.Relational.queries, operators.Relational.oracles),
       (operators.Ingest.queries, operators.Ingest.oracles),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
-      (operators.SimSearch.queries, operators.SimSearch.oracles)
+      (operators.SimSearch.queries, operators.SimSearch.oracles),
+      (operators.NearDup.queries, operators.NearDup.oracles),
+      (operators.Streaming.queries, operators.Streaming.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Near-duplicate detection (SURVEY §2.6 Q-dedup-near + north-star):
+  * exact n-gram Jaccard, MinHash + banded LSH, SimHash, and
+  * embedding-cosine near-dup — each fully deterministic (hashes derive
+  * from md5, not a seeded RNG) so DuckDB replays them bit-for-bit.
+  *
+  * The fixture corpus has no real near-dups, so every query builds
+  * `corpus = documents ∪ perturbed copies` (id + 1_000_000): dropping
+  * the last token (text) or adding 0.01 per dimension (embeddings).
+  * The planted pairs are what the detectors must find.
+  *
+  * Scale posture (100 TB):
+  *  - signatures (minhash/simhash) are computed per-row with
+  *    higher-order expressions — a map-only pass, no explode of the
+  *    (doc × shingle × hash) space through a shuffle.
+  *  - candidate generation shuffles only (band_idx, band_signature,
+  *    doc_id) — bytes per doc, not the document text.
+  *  - the exact-Jaccard join is blocked on (lang, source) — the
+  *    classic blocking-key trick; at 100 TB the block key must bound
+  *    the quadratic term, and the LSH band join is the unblocked
+  *    alternative.
+  *  - the O(n²) embedding join is blocked on label; the LSH bucket
+  *    path in SimSearch is the unblocked form.
+  */
+object NearDup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NumHashes = 12
+  private val Bands = 4
+  private val Rows = 3 // NumHashes / Bands
+
+  /** documents ∪ near-duplicate copies (last token dropped). */
+  def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val dup = docs.filter(col("doc_id") % 5 === 0).selectExpr(
+      "doc_id + 1000000 AS doc_id",
+      "array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ') AS text",
+      "lang", "source")
+    docs.unionByName(dup)
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text, lang, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    array_to_string((string_split(text, ' '))[1:len(string_split(text, ' ')) - 1], ' ') AS text,
+      |    lang, source
+      |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  /** Distinct word-3-gram shingles, as a map-only expression. */
+  def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        """array_distinct(transform(sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))""".stripMargin))
+
+  private val shinglesSql =
+    """sh AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
+      |  FROM (SELECT *, string_split(text, ' ') AS toks FROM corpus))""".stripMargin
+
+  /** MinHash signature: sig[j] = min over shingles of md5(j ':' s).
+    * Hex strings are fixed-width, so lexicographic min == numeric min.
+    */
+  private val sigExpr =
+    s"""transform(sequence(0, ${NumHashes - 1}),
+       |  j -> array_min(transform(shingles, s -> md5(concat(cast(j as string), ':', s)))))""".stripMargin
+
+  private val sigSql =
+    s"""list_transform(range(0, $NumHashes),
+       |  j -> list_aggregate(list_transform(shingles, s -> md5(CAST(j AS VARCHAR) || ':' || s)), 'min'))""".stripMargin
+
+  /** 32-bit SimHash from md5-derived token hashes, bit-majority voted —
+    * all integer math, so both engines agree exactly. Spark's fold has
+    * an explicit 0 init; DuckDB's list_reduce starts from the first
+    * element — `0*16 + d1 == d1`, so the digit fold matches, and the
+    * vote/assemble folds get an explicit prepended 0.
+    */
+  private val simhashExpr =
+    """aggregate(sequence(0, 31), cast(0 as bigint), (acc, k) -> acc +
+      |  CASE WHEN aggregate(hs, cast(0 as bigint), (a, h) ->
+      |         a + CASE WHEN (shiftright(h, k) & 1) = 1 THEN 1 ELSE -1 END) > 0
+      |       THEN shiftleft(cast(1 as bigint), k) ELSE cast(0 as bigint) END)""".stripMargin
+
+  private val tokHashExpr =
+    """transform(array_distinct(split(text, ' ')), t ->
+      |  aggregate(sequence(1, 8),
+      |    cast(0 as bigint),
+      |    (a, i) -> a * 16 + cast(instr('0123456789abcdef', substr(md5(t), i, 1)) - 1 as bigint)))""".stripMargin
+
+  private val tokHashSql =
+    """list_transform(list_distinct(string_split(text, ' ')), t ->
+      |  list_reduce(list_transform(range(1, 9),
+      |    i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)),
+      |    (a, b) -> a * 16 + b))""".stripMargin
+
+  private val simhashSql =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 32), k ->
+      |  CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(hs, h -> CASE WHEN (h >> k) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+      |         (a, b) -> a + b) > 0
+      |       THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)),
+      |  (a, b) -> a + b)""".stripMargin
+
+  private def dotD(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
+
+  val queries: Map[String, Q] = Map(
+    // Exact n-gram Jaccard over (lang, source)-blocked pairs.
+    "q_dedup_jaccard" -> ((s, d) => {
+      val sh = withShingles(corpus(s, d))
+        .select(col("doc_id"), col("lang"), col("source"), col("shingles"))
+      val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("shingles").as("sa"))
+      val b = sh.select(col("doc_id").as("b_id"), col("lang"), col("source"), col("shingles").as("sb"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("jaccard", expr(
+          "size(array_intersect(sa, sb)) / size(array_union(sa, sb))"))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // MinHash + banded LSH: candidates from band-signature equality,
+    // then exact-Jaccard verification of candidates only.
+    "q_dedup_minhash" -> ((s, d) => {
+      val sh = withShingles(corpus(s, d)).select(col("doc_id"), col("shingles"))
+      val sig = sh.withColumn("sigs", expr(sigExpr))
+      val bands = sig
+        .select(col("doc_id"), explode(expr(s"sequence(0, ${Bands - 1})")).as("b"), col("sigs"))
+        .withColumn("bs", expr(s"concat_ws('|', slice(sigs, b * $Rows + 1, $Rows))"))
+        .select(col("doc_id"), col("b"), col("bs"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bs") === col("y.bs")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+        .withColumn("jaccard", expr(
+          "size(array_intersect(sa, sb)) / size(array_union(sa, sb))"))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // SimHash near-dup: 32-bit signatures, lang-blocked pairs within
+    // Hamming distance 6.
+    "q_dedup_simhash" -> ((s, d) => {
+      val sims = corpus(s, d)
+        .withColumn("hs", expr(tokHashExpr))
+        .withColumn("simhash", expr(simhashExpr))
+        .select(col("doc_id"), col("lang"), col("simhash"))
+      val a = sims.select(col("doc_id").as("a_id"), col("lang"), col("simhash").as("ha"))
+      val b = sims.select(col("doc_id").as("b_id"), col("lang"), col("simhash").as("hb"))
+      a.join(b, "lang")
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Embedding-cosine near-dup: label-blocked pairs with cos >= 0.95
+    // over embeddings ∪ (+0.01/dim) planted copies.
+    "q_dedup_embed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .selectExpr("vec_id", "label", "transform(embedding, x -> cast(x as double)) AS e")
+      val dup = Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0)
+        .selectExpr("vec_id + 1000000 AS vec_id", "label",
+          "transform(embedding, x -> cast(x as double) + 0.01) AS e")
+      val all = emb.unionByName(dup)
+      val a = all.select(col("vec_id").as("a_id"), col("label"), col("e").as("ea"))
+      val b = all.select(col("vec_id").as("b_id"), col("label"), col("e").as("eb"))
+      a.join(b, "label")
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("cos_sim", expr(
+          s"${dotD("ea", "eb")} / (sqrt(${dotD("ea", "ea")}) * sqrt(${dotD("eb", "eb")}))"))
+        .filter(col("cos_sim") >= 0.95)
+        .select(col("a_id"), col("b_id"), col("label"), round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_jaccard" ->
+      s"""WITH $corpusSql,
+         |$shinglesSql
+         |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+         |  round(len(list_intersect(x.shingles, y.shingles))
+         |        / len(list_distinct(list_concat(x.shingles, y.shingles))), 4) AS jaccard
+         |FROM sh x JOIN sh y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+         |WHERE len(list_intersect(x.shingles, y.shingles))
+         |      / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.6
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $corpusSql,
+         |$shinglesSql,
+         |sig AS (SELECT doc_id, shingles, $sigSql AS sigs FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b, array_to_string(sigs[b * $Rows + 1 : b * $Rows + $Rows], '|') AS bs
+         |  FROM (SELECT doc_id, sigs, unnest(range(0, $Bands)) AS b FROM sig)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bs = y.bs AND x.doc_id < y.doc_id)
+         |SELECT a_id, b_id,
+         |  round(len(list_intersect(sa.shingles, sb.shingles))
+         |        / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+         |FROM cand
+         |JOIN sh sa ON sa.doc_id = a_id
+         |JOIN sh sb ON sb.doc_id = b_id
+         |WHERE len(list_intersect(sa.shingles, sb.shingles))
+         |      / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.6
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH $corpusSql,
+         |sims AS (
+         |  SELECT doc_id, lang, $simhashSql AS simhash
+         |  FROM (SELECT doc_id, lang, $tokHashSql AS hs FROM corpus))
+         |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |FROM sims x JOIN sims y ON x.lang = y.lang AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_embed" ->
+      """WITH all_v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS e
+        |  FROM embeddings WHERE vec_id % 5 = 0)
+        |SELECT a_id, b_id, label, round(cos_sim, 4) AS cos_sim FROM (
+        |  SELECT x.vec_id AS a_id, y.vec_id AS b_id, x.label AS label,
+        |    list_dot_product(x.e, y.e) / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS cos_sim
+        |  FROM all_v x JOIN all_v y ON x.label = y.label AND x.vec_id < y.vec_id)
+        |WHERE cos_sim >= 0.95 ORDER BY a_id, b_id""".stripMargin
+  )
+}

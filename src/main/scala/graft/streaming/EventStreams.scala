@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming form of the engine (SURVEY §2.6 M5).
+  *
+  * The reference's ingest loop (main.py:163-210) is a hand-rolled
+  * micro-batch protocol: page-token offsets, per-page dedup against the
+  * sink, buffered flush. These builders re-express that contract on
+  * Structured Streaming state primitives: watermarks bound state like
+  * the TTL cache bounded the id-set (main.py:53-66), and
+  * dropDuplicatesWithinWatermark is the streaming twin of the
+  * anti-join dedup (main.py:175).
+  *
+  * Builders take the source DataFrame as input so tests can inject a
+  * MemoryStream and production can pass spark.readStream — the plan is
+  * identical either way.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window aggregate with late-data drop. */
+  def hourlyAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("ws"), col("n"), col("total"))
+
+  /** Sliding windows: 1 hour span every 30 minutes (2 windows/event). */
+  def slidingAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+
+  /** Streaming dedup bounded by the watermark — the reference's
+    * anti-join vs already-seen ids with TTL'd state.
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  /** Session windows per user with a 30-minute gap. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("total"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  /** Custom stateful operator via flatMapGroupsWithState: running
+    * per-user totals emitted on every update — the shape a bespoke
+    * state machine (beyond built-in windows) takes in this engine.
+    */
+  def runningTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserTotal(uid, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Streaming semantics with no SQL oracle (SURVEY §5.4): watermark
+  * late-data drop, within-watermark dedup, stateful running totals —
+  * driven through MemoryStream micro-batches like the reference's
+  * page-loop replay.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long = 1L, value: Double = 1.0): Event =
+    Event(id, ts(minute), user, "click", value)
+
+  test("within-watermark dedup collapses re-delivered ids across micro-batches") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.dedupWithinWatermark(input.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(ev(1, 0), ev(2, 1))
+      q.processAllAvailable()
+      input.addData(ev(1, 2), ev(3, 3)) // id 1 re-delivered, inside watermark
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select($"event_id").as[Long].collect().sorted
+      assert(got.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("watermark drops late rows from windowed aggregation (append mode)") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.hourlyAgg(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("hourly_out").outputMode("append").start()
+    try {
+      input.addData(ev(1, 5), ev(2, 50))   // hour 10:00 window
+      q.processAllAvailable()
+      input.addData(ev(3, 125))            // 12:05 → watermark to 11:55, closes 10:00 & 11:00
+      q.processAllAvailable()
+      input.addData(ev(4, 30))             // 10:30 — LATE, behind watermark: dropped
+      input.addData(ev(5, 130))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_out")
+        .select($"ws".cast("string"), $"n").as[(String, Long)].collect().toMap
+      assert(rows("2024-01-01 10:00:00") === 2L) // late row 4 NOT counted
+    } finally q.stop()
+  }
+
+  test("stateful running totals accumulate across micro-batches") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.runningTotals(input.toDS())
+      .writeStream.format("memory").queryName("totals_out").outputMode("update").start()
+    try {
+      input.addData(ev(1, 0, user = 7, value = 2.0), ev(2, 1, user = 7, value = 3.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 2, user = 7, value = 5.0))
+      q.processAllAvailable()
+      val latest = spark.table("totals_out").filter($"user_id" === 7)
+        .orderBy($"n".desc).head()
+      assert(latest.getLong(1) === 3L)
+      assert(latest.getDouble(2) === 10.0)
+    } finally q.stop()
+  }
+
+  test("streaming sessionize merges events within the gap") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.sessionize(input.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("session_out").outputMode("append").start()
+    try {
+      // session A: 10:00, 10:10; session B: 11:30 (gap > 30m)
+      input.addData(ev(1, 0, user = 9), ev(2, 10, user = 9), ev(3, 90, user = 9))
+      q.processAllAvailable()
+      input.addData(ev(4, 300, user = 9)) // push watermark forward to close sessions
+      q.processAllAvailable()
+      val sessions = spark.table("session_out").filter($"user_id" === 9)
+        .select($"n_events").as[Long].collect().sorted.toSeq
+      assert(sessions.take(2) === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("batch and streaming window algebra agree on the fixture data") {
+    val batch = operators.Streaming.queries("q_stream_window_hour")(spark, sf)
+    val viaBuilder = EventStreams.hourlyAgg(Tables.events(spark, sf)).orderBy("ws")
+    assert(batch.collect().toSeq === viaBuilder.collect().toSeq)
+  }
+}
