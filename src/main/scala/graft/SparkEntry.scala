@@ -17,7 +17,8 @@ object SparkEntry {
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
       (operators.SimSearch.queries, operators.SimSearch.oracles),
       (operators.NearDup.queries, operators.NearDup.oracles),
-      (operators.Streaming.queries, operators.Streaming.oracles)
+      (operators.Streaming.queries, operators.Streaming.oracles),
+      (operators.Multimodal.queries, operators.Multimodal.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

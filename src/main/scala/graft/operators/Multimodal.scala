@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column operators (SURVEY §2.6, north-star): media
+  * payloads ride relational rows as opaque `binary` columns with typed
+  * metadata beside them. The decode itself is STUBBED — this container
+  * has no image/audio codecs — with a deterministic fake
+  * ([[FakeDecode.decode]]); everything Spark-owned around it (binary
+  * schema, typed Dataset boundary, per-partition batching, metadata
+  * struct shape) is real and oracle-checked where SQL-expressible.
+  *
+  * Scale posture: blobs stay columnar in parquet and are never
+  * shuffled — decode is a map-only `mapPartitions` stage; the metadata
+  * aggregate afterwards shuffles only the small typed struct. At
+  * 100 TB the decode stage's unit of parallelism is the parquet
+  * row-group, so `spark.sql.files.maxPartitionBytes` bounds executor
+  * memory per task regardless of blob sizes.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A row carrying an opaque media payload + its relational context. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte], lang: String)
+
+  /** Decoded metadata — the typed result of the (stubbed) codec. */
+  case class MediaMeta(doc_id: Long, lang: String, n_bytes: Long,
+                       width: Int, height: Int, format: String)
+
+  /** Deterministic stand-in for a real codec: metadata derives from the
+    * byte payload alone, so the same bytes always "decode" identically.
+    * A real deployment swaps only this function; the Spark plumbing
+    * (schema, batching, partitioning) is unchanged.
+    */
+  object FakeDecode {
+    def decode(doc_id: Long, lang: String, payload: Array[Byte]): MediaMeta = {
+      val n = payload.length.toLong
+      MediaMeta(
+        doc_id, lang, n,
+        width = (n % 512 + 1).toInt,
+        height = (n % 384 + 1).toInt,
+        format = if (n % 2 == 0) "png" else "jpeg")
+    }
+  }
+
+  /** documents.text reinterpreted as an opaque binary payload — the
+    * fixture stand-in for an image/audio blob column.
+    */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "cast(text as binary) AS payload", "lang")
+      .as[MediaRow]
+  }
+
+  /** The decode stage: typed mapPartitions over binary payloads —
+    * exactly where a real codec (or batched model inference) plugs in.
+    * Partition-at-a-time so a vectorized/native decoder can amortize
+    * init cost across its batch.
+    */
+  def decoded(s: SparkSession, d: String): Dataset[MediaMeta] = {
+    import s.implicits._
+    mediaTable(s, d).mapPartitions { rows =>
+      rows.map(r => FakeDecode.decode(r.doc_id, r.lang, r.payload))
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Binary column plumbing: payload sizes + headers, SQL-checkable.
+    "q_media_bytes" -> ((s, d) =>
+      Tables.documents(s, d).selectExpr(
+        "doc_id",
+        "cast(octet_length(text) as bigint) AS n_bytes",
+        "hex(substring(cast(text as binary), 1, 4)) AS magic_hex",
+        "md5(text) AS payload_md5")
+        .orderBy(col("doc_id"))),
+
+    // Decode stub end-to-end: binary → typed metadata via mapPartitions;
+    // the oracle replays FakeDecode's arithmetic in SQL.
+    "q_media_decode" -> ((s, d) =>
+      decoded(s, d).toDF()
+        .select(col("doc_id"), col("lang"), col("n_bytes"),
+          col("width"), col("height"), col("format"))
+        .orderBy(col("doc_id"))),
+
+    // Metadata rollup after decode: the relational side of multimodal.
+    "q_media_agg" -> ((s, d) =>
+      decoded(s, d).toDF()
+        .groupBy(col("lang"), col("format"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          round(avg(col("width")), 4).as("avg_width"))
+        .orderBy(col("lang"), col("format")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // DuckDB: VARCHAR → BLOB is encode(); BLOBs don't slice, so the
+    // 4-byte magic is substring of the full hex (2 hex chars/byte).
+    "q_media_bytes" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | substring(hex(encode(text)), 1, 8) AS magic_hex,
+        | md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_media_decode" ->
+      """SELECT doc_id, lang,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(octet_length(encode(text)) % 512 + 1 AS INT) AS width,
+        | CAST(octet_length(encode(text)) % 384 + 1 AS INT) AS height,
+        | CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_media_agg" ->
+      """SELECT lang,
+        | CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        | count(*) AS n,
+        | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        | round(avg(octet_length(encode(text)) % 512 + 1), 4) AS avg_width
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, format""".stripMargin
+  )
+}

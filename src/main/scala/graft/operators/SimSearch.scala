@@ -67,6 +67,19 @@ object SimSearch {
         .limit(20)
     }),
 
+    // Same top-20 via the native codegen'd Catalyst expression
+    // (graft.functions.CosineSimilarity): one fused loop, no
+    // intermediate arrays — the hot-path form for scoring billions of
+    // rows. Oracle identical to q_simsearch (semantics must match).
+    "q_simsearch_native" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      withQuery(s, d)
+        .withColumn("cos_sim", round(expr("cosine_sim(embedding, q_emb)"), 4))
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(20)
+    }),
+
     // Scale path: search only the query's LSH bucket (no oracle —
     // probabilistic recall; SimSearchSpec pins behavior instead).
     "q_simsearch_lsh" -> ((s, d) => {
@@ -110,6 +123,12 @@ object SimSearch {
 
   val oracles: Map[String, String] = Map(
     "q_simsearch" ->
+      s"""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, round($cosSql, 4) AS cos_sim
+         |FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS a FROM embeddings), qv
+         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_simsearch_native" ->
       s"""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, round($cosSql, 4) AS cos_sim
          |FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS a FROM embeddings), qv

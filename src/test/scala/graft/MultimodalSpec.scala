@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decode stub is deterministic: same bytes, same metadata") {
+    val a = Multimodal.decoded(spark, sf).orderBy("doc_id").collect().toSeq
+    val b = Multimodal.decoded(spark, sf).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("decoded metadata matches payload arithmetic") {
+    val rows = Multimodal.decoded(spark, sf).collect()
+    rows.foreach { m =>
+      assert(m.width === (m.n_bytes % 512 + 1).toInt)
+      assert(m.height === (m.n_bytes % 384 + 1).toInt)
+      assert(m.format === (if (m.n_bytes % 2 == 0) "png" else "jpeg"))
+    }
+  }
+
+  test("binary payload round-trips document bytes") {
+    val n = Multimodal.mediaTable(spark, sf)
+      .filter($"payload".isNotNull).count()
+    val docs = Tables.documents(spark, sf).count()
+    assert(n === docs)
+  }
+
+  test("q_media_agg groups cover every document exactly once") {
+    val agg = Multimodal.queries("q_media_agg")(spark, sf)
+    val total = agg.agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+    assert(total === Tables.documents(spark, sf).count())
+  }
+}
