@@ -18,7 +18,8 @@ object SparkEntry {
       (operators.SimSearch.queries, operators.SimSearch.oracles),
       (operators.NearDup.queries, operators.NearDup.oracles),
       (operators.Streaming.queries, operators.Streaming.oracles),
-      (operators.Multimodal.queries, operators.Multimodal.oracles)
+      (operators.Multimodal.queries, operators.Multimodal.oracles),
+      (functions.Udx.queries, functions.Udx.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
