@@ -19,7 +19,8 @@ object SparkEntry {
       (operators.NearDup.queries, operators.NearDup.oracles),
       (operators.Streaming.queries, operators.Streaming.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
-      (functions.Udx.queries, functions.Udx.oracles)
+      (functions.Udx.queries, functions.Udx.oracles),
+      (sources.MailQueries.queries, sources.MailQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Oracle-checked queries over the DSv2 connector ([[MailSourceProvider]]).
+  *
+  * The fake transport generates messages for doc_id ∈ [0, n) where n =
+  * |documents| at the active scale factor, so a DuckDB `range()` CTE
+  * replays the dataset exactly and the correctness gate covers the
+  * whole connector read path: pushdown, pruning, pagination.
+  */
+object MailQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Messages via the connector, sized to the fixture's documents
+    * table. A parquet-footer count — no data scan.
+    */
+  def mail(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.MailSourceProvider")
+      .option("nmsgs", Tables.documents(s, d).count())
+      .option("pageSize", 500)
+      .load()
+
+  val queries: Map[String, Q] = Map(
+    // The main.py:160 label algebra, pushed INTO the source: folder
+    // IN (...) and != SPAM reach the transport as Gmail `q` syntax
+    // ("(in:inbox OR in:sent OR in:trash) -in:spam"); .explain shows
+    // them under PushedFilters with no residual Filter node.
+    "q_connector_scan" -> ((s, d) =>
+      mail(s, d)
+        .filter(col("folder").isin("INBOX", "SENT", "TRASH") && col("folder") =!= "SPAM")
+        .select(col("doc_id"), col("id"), col("folder"), col("subject"), col("sender"))
+        .orderBy(col("doc_id"))),
+
+    // Connector → relational composition: pushed-down scan joined to
+    // an aggregate — a source that behaves like any other table.
+    "q_connector_agg" -> ((s, d) =>
+      mail(s, d)
+        .filter(col("folder") === "INBOX")
+        .groupBy(col("sender"))
+        .agg(count(lit(1)).as("n"), max(col("ts_raw")).as("latest_raw"))
+        .orderBy(col("sender")))
+  )
+
+  private val msgsCte =
+    """WITH msgs AS (
+      |  SELECT doc_id,
+      |    'msg' || CAST(doc_id AS VARCHAR) AS id,
+      |    ['INBOX','SENT','TRASH','SPAM','ARCHIVE'][CAST(doc_id % 5 AS INT) + 1] AS folder,
+      |    'subject ' || CAST(doc_id % 997 AS VARCHAR) AS subject,
+      |    'user' || CAST(doc_id % 20 AS VARCHAR) || '@example.com' AS sender,
+      |    'Mon, ' || CAST(doc_id % 28 + 1 AS VARCHAR) || ' Jan 2024 0' || CAST(doc_id % 10 AS VARCHAR) || ':00:00 +0000' AS ts_raw
+      |  FROM (SELECT unnest(range(0, (SELECT count(*) FROM documents))) AS doc_id))
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_connector_scan" -> (msgsCte +
+      """SELECT doc_id, id, folder, subject, sender FROM msgs
+        |WHERE folder IN ('INBOX','SENT','TRASH') AND folder <> 'SPAM'
+        |ORDER BY doc_id""".stripMargin),
+
+    "q_connector_agg" -> (msgsCte +
+      """SELECT sender, count(*) AS n, max(ts_raw) AS latest_raw FROM msgs
+        |WHERE folder = 'INBOX' GROUP BY sender ORDER BY sender""".stripMargin)
+  )
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{MailQueries, MailSink}
+
+class MailConnectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mail(n: Long, page: Int = 500) =
+    spark.read.format("graft.sources.MailSourceProvider")
+      .option("nmsgs", n).option("pageSize", page).load()
+
+  test("reads exactly nmsgs rows across page partitions") {
+    assert(mail(1234, page = 100).count() === 1234)
+    assert(mail(1234, page = 100).rdd.getNumPartitions === 13) // ceil(1234/100)
+  }
+
+  test("folder predicate is pushed: no Spark-side Filter, q= in scan description") {
+    val df = mail(1000).filter($"folder".isin("INBOX", "SENT") && $"folder" =!= "SPAM")
+      .select("id", "folder")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("in:inbox OR in:sent"), s"gmail q missing in:\n$plan")
+    assert(plan.contains("-in:spam"), s"negation missing in:\n$plan")
+    assert(!plan.contains("Filter ("), s"residual Filter should be gone:\n$plan")
+    // and the pushed filters actually filter: 1000 ids, folders cycle %5
+    assert(df.count() === 400)
+  }
+
+  test("unsupported predicates stay residual and still apply") {
+    val df = mail(1000).filter($"subject".contains("subject 1") && $"folder" === "INBOX")
+    // subject filter can't push; result must still be correct
+    val expected = (0L until 1000L).count(i =>
+      i % 5 == 0 && s"subject ${i % 997}".contains("subject 1"))
+    assert(df.count() === expected)
+  }
+
+  test("column pruning reaches the reader schema") {
+    val df = mail(100).select("id")
+    val scanLine = df.queryExecution.executedPlan.toString
+    assert(scanLine.contains("fields=id"), s"pruned fields not in scan:\n$scanLine")
+  }
+
+  test("batched writer lands rows; poison batch is isolated, not fatal") {
+    // Sink schema is fixed and validated at analysis — the reference's
+    // server-side BigQuery schema check (main.py:243-245).
+    intercept[org.apache.spark.sql.AnalysisException] {
+      mail(10).select("id", "folder").write
+        .format("graft.sources.MailSourceProvider")
+        .option("sink", "t0").mode("append").save()
+    }
+
+    MailSink.clear("t1")
+    mail(250).write.format("graft.sources.MailSourceProvider")
+      .option("sink", "t1").option("batchSize", 100).mode("append").save()
+    assert(MailSink.inserted("t1").size === 250)
+
+    MailSink.clear("t2")
+    val idOrd = mail(1).schema.fieldNames.indexOf("id")
+    val poisoned = mail(250).withColumn("id",
+      when($"doc_id" === 42, lit("poison42")).otherwise($"id"))
+    poisoned.write.format("graft.sources.MailSourceProvider")
+      .option("sink", "t2").option("batchSize", 100).mode("append").save()
+    val landed = MailSink.inserted("t2").size
+    // exactly the poisoned batches are lost; the rest landed
+    assert(landed < 250 && landed % 50 === 0, s"landed=$landed")
+    assert(MailSink.inserted("t2").forall(r => !r(idOrd).contains("poison")))
+  }
+
+  test("connector queries match their row counts at fixture scale") {
+    val scan = MailQueries.queries("q_connector_scan")(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    assert(scan.count() === n / 5 * 3)
+  }
+}
