@@ -13,6 +13,7 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (operators.Relational.queries, operators.Relational.oracles),
+      (operators.RelationalExt.queries, operators.RelationalExt.oracles),
       (operators.Ingest.queries, operators.Ingest.oracles),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
       (operators.SimSearch.queries, operators.SimSearch.oracles),

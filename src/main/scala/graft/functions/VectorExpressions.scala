@@ -8,14 +8,16 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-/** Native cosine similarity over two float-array columns.
+/** Native cosine similarity over two numeric-array columns
+  * (array<float> or array<double>, matching on each side).
   *
   * The composable form (`aggregate(zip_with(...))`) materializes an
-  * intermediate product array per row and walks the data three times
-  * (dot, |a|², |b|²). This expression is one fused loop, participates
-  * in whole-stage codegen via [[doGenCode]], and allocates nothing —
-  * the difference between "works" and "fast" when scoring billions of
-  * embeddings.
+  * intermediate product array per row, walks the data three times
+  * (dot, |a|², |b|²), and — like every higher-order-function lambda —
+  * runs interpreted, outside whole-stage codegen. This expression is
+  * one fused loop, participates in codegen via [[doGenCode]], and
+  * allocates nothing — the difference between "works" and "fast" when
+  * scoring billions of embeddings.
   *
   * Semantics match the HOF form and the DuckDB oracle exactly: floats
   * widen to double BEFORE multiply, sums fold left-to-right.
@@ -23,18 +25,21 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def isFloatArray(t: DataType): Boolean = t match {
-    case ArrayType(FloatType, _) => true
-    case _                       => false
+  private def elem(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
-      TypeCheckResult.TypeCheckSuccess
-    else
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two array<float> arguments, got " +
+    (elem(left.dataType), elem(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> or two array<double> arguments, got " +
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  private def isFloat: Boolean = elem(left.dataType).contains(FloatType)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
@@ -43,11 +48,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
     val n = math.min(xs.numElements(), ys.numElements())
+    val f = isFloat
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = xs.getFloat(i).toDouble
-      val y = ys.getFloat(i).toDouble
+      val x = if (f) xs.getFloat(i).toDouble else xs.getDouble(i)
+      val y = if (f) ys.getFloat(i).toDouble else ys.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -63,12 +69,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val getter = if (isFloat) "getFloat" else "getDouble"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
+         |  double $x = (double) $a.$getter($i);
+         |  double $y = (double) $b.$getter($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
@@ -82,24 +89,40 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object VectorFunctions {
   private val cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, "cosine_sim")
+  private val shinglesInfo = new ExpressionInfo(
+    classOf[WordShingles].getName, "word_shingles")
+  private val shingleHashesInfo = new ExpressionInfo(
+    classOf[WordShingleHashes].getName, "word_shingle_hashes")
 
   private val cosineBuilder: Seq[Expression] => Expression =
     exprs => CosineSimilarity(exprs(0), exprs(1))
+  private val shinglesBuilder: Seq[Expression] => Expression =
+    exprs => WordShingles(exprs(0), exprs(1))
+  private val shingleHashesBuilder: Seq[Expression] => Expression =
+    exprs => WordShingleHashes(exprs(0), exprs(1))
 
   /** Idempotent registration on an existing session — usable from any
     * query lambda without rebuilding the session.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", cosineBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", shinglesBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingle_hashes", shingleHashesBuilder, "built-in")
+  }
 
   /** Session-extension wiring: sessions built with
     * `.withExtensions(new GraftExtensions)` (or
-    * spark.sql.extensions=graft.functions.GraftExtensions) get
-    * `cosine_sim` as a first-class function.
+    * spark.sql.extensions=graft.functions.GraftExtensions) get the
+    * graft functions as first-class SQL functions.
     */
   final class GraftExtensions extends (SparkSessionExtensions => Unit) {
-    override def apply(e: SparkSessionExtensions): Unit =
+    override def apply(e: SparkSessionExtensions): Unit = {
       e.injectFunction((FunctionIdentifier("cosine_sim"), cosineInfo, cosineBuilder))
+      e.injectFunction((FunctionIdentifier("word_shingles"), shinglesInfo, shinglesBuilder))
+      e.injectFunction((FunctionIdentifier("word_shingle_hashes"), shingleHashesInfo, shingleHashesBuilder))
+    }
   }
 }

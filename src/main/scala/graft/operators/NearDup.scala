@@ -53,12 +53,22 @@ object NearDup {
       |    lang, source
       |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
 
-  /** Distinct word-3-gram shingles, as a map-only expression. */
-  def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("toks", split(col("text"), " "))
-      .withColumn("shingles", expr(
-        """array_distinct(transform(sequence(1, size(toks) - 2),
-          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))""".stripMargin))
+  /** Distinct word-3-gram shingles — map-only, via the native
+    * [[graft.functions.WordShingles]] expression (the HOF composition
+    * ran interpreted and dominated the whole near-dup pipeline).
+    */
+  def withShingles(df: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    df.withColumn("shingles", expr("word_shingles(text, 3)"))
+  }
+
+  /** Same shingle set, hashed to 60-bit ints for cheap pairwise set
+    * ops ([[graft.functions.WordShingleHashes]]).
+    */
+  def withHashedShingles(df: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    df.withColumn("hs", expr("word_shingle_hashes(text, 3)"))
+  }
 
   private val shinglesSql =
     """sh AS (
@@ -67,16 +77,37 @@ object NearDup {
       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
       |  FROM (SELECT *, string_split(text, ' ') AS toks FROM corpus))""".stripMargin
 
-  /** MinHash signature: sig[j] = min over shingles of md5(j ':' s).
-    * Hex strings are fixed-width, so lexicographic min == numeric min.
+  /** MinHash signatures: sig[j] = min over shingles of a 60-bit hash
+    * (the first 15 hex digits of md5(j ':' s) read as an integer).
+    *
+    * Spark plan: explode shingles → NumHashes codegen'd conv(md5)
+    * columns → one partial+final hash aggregate of NumHashes
+    * min(bigint)s. Two deliberate physical choices: integer buffers
+    * keep the aggregate on HashAggregate's mutable fast path (a
+    * min(string) buffer forces sort-based aggregation), and the
+    * shuffle carries NumHashes longs per doc — signature bytes, never
+    * document text. The HOF-fold formulation ran interpreted; this is
+    * all codegen.
+    *
+    * DuckDB replays the identical value with an explicit base-16 digit
+    * fold, so signatures match bit-for-bit.
     */
-  private val sigExpr =
-    s"""transform(sequence(0, ${NumHashes - 1}),
-       |  j -> array_min(transform(shingles, s -> md5(concat(cast(j as string), ':', s)))))""".stripMargin
+  def signaturesOf(sh: DataFrame): DataFrame = {
+    val mins = (0 until NumHashes).map(j =>
+      min(expr(s"cast(conv(substring(md5(concat('$j', ':', s)), 1, 15), 16, 10) as bigint)")).as(s"m$j"))
+    sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(j => col(s"m$j")): _*).as("sigs"))
+  }
 
   private val sigSql =
     s"""list_transform(range(0, $NumHashes),
-       |  j -> list_aggregate(list_transform(shingles, s -> md5(CAST(j AS VARCHAR) || ':' || s)), 'min'))""".stripMargin
+       |  j -> list_aggregate(list_transform(shingles,
+       |    s -> list_reduce(list_transform(range(1, 16),
+       |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || ':' || s), i, 1)) - 1 AS BIGINT)),
+       |      (a, b) -> a * 16 + b)), 'min'))""".stripMargin
 
   /** 32-bit SimHash, bit-majority voted — all integer math, so both
     * engines agree exactly.
@@ -121,20 +152,41 @@ object NearDup {
       |       THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)),
       |  (a, b) -> a + b)""".stripMargin
 
+  /** DuckDB twin of WordShingleHashes: 15-hex-digit md5 prefix folded
+    * base-16 — bit-identical to the Spark expression's top-60-bits.
+    */
+  private val hshSql =
+    """hsh AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(shingles,
+      |      s -> list_reduce(list_transform(range(1, 16),
+      |        i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+      |        (a, b) -> a * 16 + b))) AS hs
+      |  FROM sh)""".stripMargin
+
   private def dotD(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
 
   val queries: Map[String, Q] = Map(
-    // Exact n-gram Jaccard over (lang, source)-blocked pairs.
+    // Exact n-gram Jaccard over (lang, source)-blocked pairs, with two
+    // result-preserving physical tricks: the size-ratio prune is a
+    // necessary condition of J >= 0.6 (J <= min/max of the set sizes),
+    // and the per-pair set ops run over 60-bit shingle hashes instead
+    // of strings (the oracle replays the same hash, so results are
+    // identical — see WordShingleHashes).
     "q_dedup_jaccard" -> ((s, d) => {
-      val sh = withShingles(corpus(s, d))
-        .select(col("doc_id"), col("lang"), col("source"), col("shingles"))
-      val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("shingles").as("sa"))
-      val b = sh.select(col("doc_id").as("b_id"), col("lang"), col("source"), col("shingles").as("sb"))
+      val sh = withHashedShingles(corpus(s, d))
+        .select(col("doc_id"), col("lang"), col("source"), col("hs"),
+          size(col("hs")).as("ns"))
+      val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("source"),
+        col("hs").as("ha"), col("ns").as("na"))
+      val b = sh.select(col("doc_id").as("b_id"), col("lang"), col("source"),
+        col("hs").as("hb"), col("ns").as("nb"))
       a.join(b, Seq("lang", "source"))
         .filter(col("a_id") < col("b_id"))
+        .filter(least(col("na"), col("nb")) >= greatest(col("na"), col("nb")) * 0.6)
         .withColumn("jaccard", expr(
-          "size(array_intersect(sa, sb)) / size(array_union(sa, sb))"))
+          "size(array_intersect(ha, hb)) / size(array_union(ha, hb))"))
         .filter(col("jaccard") >= 0.6)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a_id"), col("b_id"))
@@ -144,7 +196,7 @@ object NearDup {
     // then exact-Jaccard verification of candidates only.
     "q_dedup_minhash" -> ((s, d) => {
       val sh = withShingles(corpus(s, d)).select(col("doc_id"), col("shingles"))
-      val sig = sh.withColumn("sigs", expr(sigExpr))
+      val sig = signaturesOf(sh)
       val bands = sig
         .select(col("doc_id"), explode(expr(s"sequence(0, ${Bands - 1})")).as("b"), col("sigs"))
         .withColumn("bs", expr(s"concat_ws('|', slice(sigs, b * $Rows + 1, $Rows))"))
@@ -154,11 +206,12 @@ object NearDup {
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
+      val hsh = withHashedShingles(corpus(s, d)).select(col("doc_id"), col("hs"))
       cand
-        .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
-        .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+        .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+        .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
         .withColumn("jaccard", expr(
-          "size(array_intersect(sa, sb)) / size(array_union(sa, sb))"))
+          "size(array_intersect(ha, hb)) / size(array_union(ha, hb))"))
         .filter(col("jaccard") >= 0.6)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a_id"), col("b_id"))
@@ -179,8 +232,12 @@ object NearDup {
     }),
 
     // Embedding-cosine near-dup: label-blocked pairs with cos >= 0.95
-    // over embeddings ∪ (+0.01/dim) planted copies.
+    // over embeddings ∪ (+0.01/dim) planted copies. Pair scoring via
+    // the native codegen'd cosine (double overload) — the arithmetic
+    // order matches the HOF fold bit-for-bit, so the >= 0.95 boundary
+    // agrees with the DuckDB oracle.
     "q_dedup_embed" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
         .selectExpr("vec_id", "label", "transform(embedding, x -> cast(x as double)) AS e")
       val dup = Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0)
@@ -191,8 +248,7 @@ object NearDup {
       val b = all.select(col("vec_id").as("b_id"), col("label"), col("e").as("eb"))
       a.join(b, "label")
         .filter(col("a_id") < col("b_id"))
-        .withColumn("cos_sim", expr(
-          s"${dotD("ea", "eb")} / (sqrt(${dotD("ea", "ea")}) * sqrt(${dotD("eb", "eb")}))"))
+        .withColumn("cos_sim", expr("cosine_sim(ea, eb)"))
         .filter(col("cos_sim") >= 0.95)
         .select(col("a_id"), col("b_id"), col("label"), round(col("cos_sim"), 4).as("cos_sim"))
         .orderBy(col("a_id"), col("b_id"))
@@ -202,18 +258,20 @@ object NearDup {
   val oracles: Map[String, String] = Map(
     "q_dedup_jaccard" ->
       s"""WITH $corpusSql,
-         |$shinglesSql
+         |$shinglesSql,
+         |$hshSql
          |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
-         |  round(len(list_intersect(x.shingles, y.shingles))
-         |        / len(list_distinct(list_concat(x.shingles, y.shingles))), 4) AS jaccard
-         |FROM sh x JOIN sh y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
-         |WHERE len(list_intersect(x.shingles, y.shingles))
-         |      / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.6
+         |  round(len(list_intersect(x.hs, y.hs))
+         |        / len(list_distinct(list_concat(x.hs, y.hs))), 4) AS jaccard
+         |FROM hsh x JOIN hsh y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+         |WHERE len(list_intersect(x.hs, y.hs))
+         |      / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.6
          |ORDER BY a_id, b_id""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH $corpusSql,
          |$shinglesSql,
+         |$hshSql,
          |sig AS (SELECT doc_id, shingles, $sigSql AS sigs FROM sh),
          |bands AS (
          |  SELECT doc_id, b, array_to_string(sigs[b * $Rows + 1 : b * $Rows + $Rows], '|') AS bs
@@ -222,13 +280,13 @@ object NearDup {
          |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
          |  FROM bands x JOIN bands y ON x.b = y.b AND x.bs = y.bs AND x.doc_id < y.doc_id)
          |SELECT a_id, b_id,
-         |  round(len(list_intersect(sa.shingles, sb.shingles))
-         |        / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+         |  round(len(list_intersect(sa.hs, sb.hs))
+         |        / len(list_distinct(list_concat(sa.hs, sb.hs))), 4) AS jaccard
          |FROM cand
-         |JOIN sh sa ON sa.doc_id = a_id
-         |JOIN sh sb ON sb.doc_id = b_id
-         |WHERE len(list_intersect(sa.shingles, sb.shingles))
-         |      / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.6
+         |JOIN hsh sa ON sa.doc_id = a_id
+         |JOIN hsh sb ON sb.doc_id = b_id
+         |WHERE len(list_intersect(sa.hs, sb.hs))
+         |      / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.6
          |ORDER BY a_id, b_id""".stripMargin,
 
     "q_dedup_simhash" ->

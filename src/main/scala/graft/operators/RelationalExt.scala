@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Extended relational surface: grouping variants (cube / grouping
+  * sets / pivot), full outer join, approximate aggregates, and the two
+  * "operators Spark lacks" — as-of join and range join — composed from
+  * built-ins in their scalable form.
+  *
+  * Scale posture:
+  *  - as-of join: the naive formulation is an inequality join
+  *    (quadratic per key); this plan is the union+window technique —
+  *    tag both sides, one shuffle on the key, one ordered pass with
+  *    last_value(ignoreNulls). O(n log n) per key, no pair blowup,
+  *    same technique Flink/kdb use for temporal joins.
+  *  - range join: the band table is tiny → broadcast nested loop IS
+  *    the right physical plan (each row tests 5 bands); were bands
+  *    numerous, the bucket trick (equi-join on floor(value/width))
+  *    bounds the fan-out.
+  *  - approx aggregates: HyperLogLog++ / KLL-style sketches are the
+  *    100 TB answer to countDistinct/percentile — mergeable partial
+  *    state, no giant shuffle. Sketch internals differ per engine, so
+  *    these register without SQL oracles (rows-only gate) and the
+  *    error bound is pinned by RelationalExtSpec instead.
+  */
+object RelationalExt {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val queries: Map[String, Q] = Map(
+    // CUBE: all 2^2 grouping combinations in one Expand + aggregate.
+    "q_agg_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // GROUPING SETS through the SQL front door (temp view + spark.sql).
+    "q_agg_groupingsets" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_v")
+      s.sql(
+        """SELECT event_type, user_id % 10 AS cohort, count(*) AS n
+          |FROM events_v
+          |GROUP BY GROUPING SETS ((event_type), (user_id % 10), (event_type, user_id % 10))
+          |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin)
+    }),
+
+    // PIVOT: event_type → one count column per type, dense zeros.
+    "q_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)))
+        .na.fill(0, eventTypes)
+        .orderBy(col("user_id"))),
+
+    // FULL OUTER join: both unmatched sides preserved.
+    "q_join_full" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+          col("c_name"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy(asc_nulls_first("k"), asc_nulls_first("o_orderkey"))
+    }),
+
+    // As-of join (click → purchase attribution): for each purchase,
+    // the user's most recent click at-or-before it. One shuffle on
+    // user_id; clicks sort before purchases at equal ts ('c' < 'p').
+    "q_join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit("c").as("tag"),
+          col("event_id").as("click_id"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit("p").as("tag"),
+          lit(null).cast("long").as("click_id"), col("event_id").as("purchase_id"))
+      val tagged = clicks.withColumn("purchase_id", lit(null).cast("long"))
+        .unionByName(purch)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), coalesce(col("click_id"), col("purchase_id")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("last_click_ts",
+          last(when(col("tag") === "c", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("tag") === "p")
+        .select(
+          col("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          col("last_click").as("click_id"),
+          unix_micros(col("last_click_ts")).as("click_us"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // Range join: events banded by value against a tiny broadcast dim.
+    "q_join_range" -> ((s, d) => {
+      val bands = s.range(5).select(
+        col("id").as("band_id"),
+        (col("id") * 100).cast("double").as("lo"),
+        ((col("id") + 1) * 100).cast("double").as("hi"))
+      Tables.events(s, d)
+        .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("band_id"))
+    }),
+
+    // Approximate aggregates (no SQL oracle — sketch values are
+    // engine-specific; RelationalExtSpec bounds the error vs exact).
+    "q_approx_stats" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90"))
+        .orderBy(col("event_type")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_agg_groupingsets" ->
+      """SELECT event_type, user_id % 10 AS cohort, count(*) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 10), (event_type, user_id % 10))
+        |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS k, c_name, o_orderkey,
+        | round(o_totalprice, 2) AS price
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0) c
+        |FULL JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 450000) o
+        | ON c_custkey = o_custkey
+        |ORDER BY k NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        | epoch_us(p.ts) AS purchase_us,
+        | c.event_id AS click_id, epoch_us(c.ts) AS click_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        | ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT band_id, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |JOIN (SELECT band_id, band_id * 100.0 AS lo, (band_id + 1) * 100.0 AS hi
+        |      FROM (SELECT unnest(range(0, 5)) AS band_id))
+        | ON value >= lo AND value < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin
+
+    // q_approx_stats: no oracle (sketches are engine-specific).
+  )
+}

@@ -99,8 +99,11 @@ object SimSearch {
 
     // Exact k-NN self-join (k=3) restricted to same-label candidates —
     // the blocked form of the O(n²) join: at 100 TB the label (or a
-    // coarse cluster id) is the co-partition key for both sides.
+    // coarse cluster id) is the co-partition key for both sides. The
+    // pair scoring uses the native codegen'd expression — the join
+    // output never leaves whole-stage codegen.
     "q_knn_label" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
       val a = Tables.embeddings(s, d)
         .select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"))
       val b = Tables.embeddings(s, d)
@@ -109,8 +112,7 @@ object SimSearch {
       val w = Window.partitionBy(col("a_id")).orderBy(col("cos_sim").desc, col("b_id"))
       a.join(b, "label")
         .filter(col("a_id") =!= col("b_id"))
-        .withColumn("cos_sim", expr(
-          s"round(${dot("a_emb", "b_emb")} / (sqrt(${dot("a_emb", "a_emb")}) * sqrt(${dot("b_emb", "b_emb")})), 4)"))
+        .withColumn("cos_sim", round(expr("cosine_sim(a_emb, b_emb)"), 4))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("a_id"), col("b_id"), col("label"), col("cos_sim"), col("rn"))

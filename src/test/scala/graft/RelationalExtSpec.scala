@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RelationalExt
+
+class RelationalExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx_count_distinct within 5% of exact; percentiles bracket the exact median") {
+    val approx = RelationalExt.queries("q_approx_stats")(spark, sf)
+      .select($"event_type", $"approx_users", $"p50", $"p90")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Tables.events(spark, sf).groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("nu"),
+        expr("percentile(value, 0.5)").as("e50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (et, (nu, e50)) =>
+      val (au, p50, p90) = approx(et)
+      assert(math.abs(au - nu).toDouble / nu <= 0.05, s"$et: approx $au vs exact $nu")
+      assert(math.abs(p50 - e50) / e50 <= 0.05, s"$et: p50 $p50 vs $e50")
+      assert(p90 >= p50, s"$et: p90 $p90 < p50 $p50")
+    }
+  }
+
+  test("as-of join: every matched click precedes its purchase, and is the latest such") {
+    val asof = RelationalExt.queries("q_join_asof")(spark, sf)
+    val bad = asof.filter($"click_us".isNotNull && $"click_us" > $"purchase_us").count()
+    assert(bad === 0)
+    // cross-check one user against a brute-force inequality join
+    val ev = Tables.events(spark, sf)
+    val uid = asof.filter($"click_id".isNotNull).select($"user_id").head().getLong(0)
+    val brute = ev.filter($"event_type" === "purchase" && $"user_id" === uid).as("p")
+      .join(ev.filter($"event_type" === "click" && $"user_id" === uid).as("c"),
+        expr("c.ts <= p.ts"), "left")
+      .groupBy(expr("p.event_id").as("purchase_id"))
+      .agg(max(expr("unix_micros(c.ts)")).as("click_us"))
+    val window = asof.filter($"user_id" === uid).select($"purchase_id", $"click_us")
+    assert(window.collect().toSet === brute.collect().toSet)
+  }
+
+  test("range join covers every event exactly once") {
+    val total = RelationalExt.queries("q_join_range")(spark, sf)
+      .agg(sum($"n")).head().getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+  }
+}

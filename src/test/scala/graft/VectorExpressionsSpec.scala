@@ -35,11 +35,23 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(native === hof)
   }
 
-  test("type check rejects non-float arrays") {
+  test("double-array overload matches the float path") {
+    VectorFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT round(cosine_sim(array(1.0d, 2.0d, 3.0d), array(-1.0d, -2.0d, -3.0d)), 9)")
+      .as[Double].head()
+    assert(got === -1.0)
+  }
+
+  test("type check rejects non-numeric arrays and mixed element types") {
     VectorFunctions.register(spark)
     val err = intercept[Exception] {
-      spark.sql("SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d))").collect()
+      spark.sql("SELECT cosine_sim(array(1, 2), array(1, 2))").collect()
     }
     assert(err.getMessage.contains("cosine_sim"))
+    val mixed = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0d, 2.0d), array(cast(1 as float), cast(2 as float)))").collect()
+    }
+    assert(mixed.getMessage.contains("cosine_sim"))
   }
 }
