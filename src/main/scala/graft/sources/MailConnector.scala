@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, Not}
 import org.apache.spark.sql.types._
@@ -123,12 +124,14 @@ class MailTable(props: Map[String, String]) extends Table with SupportsRead with
   override def name(): String = "graft_mail"
   override def schema(): StructType = MailTransport.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MailScanBuilder(
       options.getLong("nmsgs", 1000L),
-      options.getInt("pageSize", 500))
+      options.getInt("pageSize", 500),
+      options.getInt("maxPagesPerTrigger", Int.MaxValue))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val sink = info.options.getOrDefault("sink", "default")
@@ -142,7 +145,7 @@ class MailTable(props: Map[String, String]) extends Table with SupportsRead with
   }
 }
 
-class MailScanBuilder(nmsgs: Long, pageSize: Int)
+class MailScanBuilder(nmsgs: Long, pageSize: Int, maxPagesPerTrigger: Int)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var accepted: Array[Filter] = Array.empty
@@ -160,14 +163,25 @@ class MailScanBuilder(nmsgs: Long, pageSize: Int)
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new MailScan(nmsgs, pageSize, accepted, required)
+  override def build(): Scan =
+    new MailScan(nmsgs, pageSize, maxPagesPerTrigger, accepted, required)
 }
 
 /** One page of the paginated scan: [start, end) of the id space. */
 case class MailPage(start: Long, end: Long) extends InputPartition
 
-class MailScan(nmsgs: Long, pageSize: Int, filters: Array[Filter], required: StructType)
+/** Streaming offset = number of pages fully consumed — exactly the
+  * reference's `nextPageToken` cursor (main.py:208-210) made explicit.
+  */
+case class MailOffset(page: Long) extends Offset {
+  override def json(): String = page.toString
+}
+
+class MailScan(nmsgs: Long, pageSize: Int, maxPagesPerTrigger: Int,
+               filters: Array[Filter], required: StructType)
     extends Scan with Batch {
+  private val totalPages = (nmsgs + pageSize - 1) / pageSize
+
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-mail nmsgs=$nmsgs pageSize=$pageSize q='${MailTransport.gmailQ(filters.toSeq)}' " +
@@ -180,6 +194,58 @@ class MailScan(nmsgs: Long, pageSize: Int, filters: Array[Filter], required: Str
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MailReaderFactory(required.fieldNames, filters)
+
+  /** The reference's page loop as a Structured Streaming micro-batch
+    * protocol (main.py:163-210): offset = page cursor;
+    * `maxPagesPerTrigger` is the declarative form of its fixed 0.5 s
+    * inter-page throttle (rate limiting by admission control instead
+    * of sleeps). Within a trigger, that batch's pages still read
+    * concurrently — one InputPartition per page.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MailMicroBatchStream(this)
+
+  private[sources] def pagesBetween(fromPage: Long, toPage: Long): Array[InputPartition] =
+    (fromPage until toPage).map { p =>
+      val s = p * pageSize
+      MailPage(s, math.min(s + pageSize, nmsgs)): InputPartition
+    }.toArray
+
+  private[sources] def cappedEnd(fromPage: Long): Long =
+    math.min(fromPage + maxPagesPerTrigger, totalPages)
+
+  private[sources] def lastPage: Long = totalPages
+  private[sources] def readerFactory: PartitionReaderFactory =
+    new MailReaderFactory(required.fieldNames, filters)
+}
+
+class MailMicroBatchStream(scan: MailScan)
+    extends MicroBatchStream with SupportsAdmissionControl {
+  override def initialOffset(): Offset = MailOffset(0L)
+  override def deserializeOffset(json: String): Offset = MailOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[MailOffset].page
+    limit match {
+      case _: ReadMaxRows => MailOffset(scan.cappedEnd(from))
+      case _              => MailOffset(scan.cappedEnd(from))
+    }
+  }
+
+  override def reportLatestOffset(): Offset = MailOffset(scan.lastPage)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    scan.pagesBetween(start.asInstanceOf[MailOffset].page, end.asInstanceOf[MailOffset].page)
+
+  override def createReaderFactory(): PartitionReaderFactory = scan.readerFactory
 }
 
 /** Explicit factory class (not a SAM lambda): it ships to executors,

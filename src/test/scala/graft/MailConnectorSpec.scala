@@ -66,6 +66,23 @@ class MailConnectorSpec extends SparkSpec {
     assert(MailSink.inserted("t2").forall(r => !r(idOrd).contains("poison")))
   }
 
+  test("micro-batch stream pages through the source with admission control") {
+    val stream = spark.readStream.format("graft.sources.MailSourceProvider")
+      .option("nmsgs", 1000).option("pageSize", 100)
+      .option("maxPagesPerTrigger", 3).load()
+    val q = stream.writeStream.format("memory")
+      .queryName("mail_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("mail_stream")
+      assert(got.count() === 1000)
+      assert(got.select("id").distinct().count() === 1000)
+      // 10 pages / 3 per trigger → at least 4 non-empty micro-batches
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 4, s"expected >=4 paged batches, saw $batches")
+    } finally q.stop()
+  }
+
   test("connector queries match their row counts at fixture scale") {
     val scan = MailQueries.queries("q_connector_scan")(spark, sf)
     val n = Tables.documents(spark, sf).count()
