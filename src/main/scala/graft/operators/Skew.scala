@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Skew-mitigation operators (100 TB posture). On a uniform fixture
+  * these produce byte-identical results to their plain forms — the
+  * point is the PLAN: a hot key never lands on a single reducer.
+  *
+  *  - Salted two-phase aggregation: groupBy(key, salt) partials, then
+  *    groupBy(key) merge — the manual form of what AQE's skew handling
+  *    cannot do for aggregations (AQE only splits skewed JOIN
+  *    partitions). The heaviest key's work spreads over `salts`
+  *    reducers in phase 1; phase 2 merges `salts` tiny rows per key.
+  *  - Replicated broadcast join for skewed keys: when the probe side
+  *    has hot keys, broadcasting the dimension (instead of shuffling
+  *    the fact) removes the skewed shuffle entirely — that is the
+  *    `broadcast()` pattern used throughout this engine; see
+  *    Relational.q_join_inner.
+  *
+  * Results are deterministic: the salt only changes the partial-sum
+  * grouping, and every aggregate used is merge-associative (count,
+  * sum) with rounding applied after the final merge.
+  */
+object Skew {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Two-phase salted aggregation of `aggs` over `key`.
+    * `saltCol` must be a deterministic expression (so re-computation
+    * under task retry yields the same grouping).
+    */
+  def saltedAgg(df: DataFrame, key: Column, saltCol: Column, salts: Int)(
+      partials: (Column, Column => Column)*): DataFrame = {
+    val phase1 = df
+      .withColumn("__salt", pmod(saltCol, lit(salts)))
+      .groupBy(key.as("__key"), col("__salt"))
+      .agg(partials.head._1.as("p0"),
+        partials.tail.zipWithIndex.map { case ((c, _), i) => c.as(s"p${i + 1}") }: _*)
+    phase1
+      .groupBy(col("__key"))
+      .agg(partials.head._2(col("p0")).as("a0"),
+        partials.tail.zipWithIndex.map { case ((_, m), i) => m(col(s"p${i + 1}")).as(s"a${i + 1}") }: _*)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Per-user event totals via salted two-phase aggregation — same
+    // result as a plain groupBy (the oracle IS the plain form), but
+    // the hot user's rows fan out over 8 reducers in phase 1.
+    "q_agg_salted" -> ((s, d) => {
+      val merged = saltedAgg(
+        Tables.events(s, d), col("user_id"), crc32(col("event_id").cast("string")), 8)(
+        (count(lit(1)), (c: Column) => sum(c)),
+        (sum(col("value")), (c: Column) => sum(c)))
+      merged.select(col("__key").as("user_id"),
+          col("a0").as("n"), round(col("a1"), 2).as("total"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_salted" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
