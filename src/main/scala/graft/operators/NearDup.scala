@@ -196,7 +196,11 @@ object NearDup {
     // then exact-Jaccard verification of candidates only.
     "q_dedup_minhash" -> ((s, d) => {
       val sh = withShingles(corpus(s, d)).select(col("doc_id"), col("shingles"))
-      val sig = signaturesOf(sh)
+      // The signature table is consumed 2× by the band self-join;
+      // without persist each side recomputes shingling + hashing from
+      // the raw text. Signatures are ~100 bytes/doc — at 100 TB of
+      // text this is gigabytes, safely MEMORY_AND_DISK.
+      val sig = signaturesOf(sh).persist()
       val bands = sig
         .select(col("doc_id"), explode(expr(s"sequence(0, ${Bands - 1})")).as("b"), col("sigs"))
         .withColumn("bs", expr(s"concat_ws('|', slice(sigs, b * $Rows + 1, $Rows))"))
@@ -207,6 +211,7 @@ object NearDup {
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
       val hsh = withHashedShingles(corpus(s, d)).select(col("doc_id"), col("hs"))
+        .persist()
       cand
         .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
         .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")

@@ -83,6 +83,25 @@ class MailConnectorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full pipeline: connector scan -> label filter -> anti-join -> shape -> connector sink") {
+    // The reference's /fetch dataflow end-to-end over our own source
+    // AND sink: pushed folder predicate, anti-join dedup vs already-
+    // ingested ids, shaping, batched write with error isolation.
+    MailSink.clear("e2e")
+    val src = mail(1000)
+      .filter($"folder".isin("INBOX", "SENT", "TRASH")) // pushed to source
+    val existing = spark.range(0, 500).select(concat(lit("msg"), $"id").as("id"))
+    val shaped = src
+      .join(existing, Seq("id"), "left_anti")
+      .select($"doc_id", $"id", coalesce($"thread_id", lit("")).as("thread_id"),
+        $"folder", $"subject", $"sender", $"recipient", $"ts_raw")
+    shaped.write.format("graft.sources.MailSourceProvider")
+      .option("sink", "e2e").option("batchSize", 100).mode("append").save()
+    // folders cycle %5: INBOX/SENT/TRASH = ids ≡ 0,1,2 (mod 5);
+    // anti-join removes doc_id < 500 → 300 of the 600 eligible remain
+    assert(MailSink.inserted("e2e").size === 300)
+  }
+
   test("connector queries match their row counts at fixture scale") {
     val scan = MailQueries.queries("q_connector_scan")(spark, sf)
     val n = Tables.documents(spark, sf).count()
