@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY §5.3): the reference's core dedup
+  * contract and the near-dup recall guarantee, over generated inputs
+  * rather than the fixed fixtures.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic stand-in for scalatestplus' forAll (the bridge
+    * artifact isn't vendored): fixed seeds, 15 samples per property.
+    */
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (1 to 15).foreach(i => f(g.pureApply(Gen.Parameters.default, Seed(i.toLong))))
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    (1 to 15).foreach { i =>
+      f(g1.pureApply(Gen.Parameters.default, Seed(i.toLong)),
+        g2.pureApply(Gen.Parameters.default, Seed(1000L + i)))
+    }
+
+  private val idLists: Gen[List[String]] =
+    Gen.listOfN(40, Gen.chooseNum(0, 25).map(i => s"id$i"))
+
+  test("property: ingest idempotence — inserting the same batch twice equals once") {
+    // insert(insert(S)) == insert(S): the invariant behind main.py:175+:101
+    forAll(idLists) { batch =>
+      val sink0 = Seq.empty[String].toDF("id")
+      def insert(sink: org.apache.spark.sql.DataFrame, b: Seq[String]) = {
+        val newRows = b.toDF("id").distinct().join(sink, Seq("id"), "left_anti")
+        sink.union(newRows)
+      }
+      val once = insert(sink0, batch)
+      val twice = insert(once, batch)
+      assert(twice.count() === once.count())
+      assert(once.count() === batch.distinct.size)
+    }
+  }
+
+  test("property: anti-join ⊕ semi-join partition the probe side") {
+    forAll(idLists, idLists) { (probe, build) =>
+      val p = probe.toDF("id")
+      val b = build.toDF("id").distinct()
+      val anti = p.join(b, Seq("id"), "left_anti").count()
+      val semi = p.join(b, Seq("id"), "left_semi").count()
+      assert(anti + semi === probe.size)
+    }
+  }
+
+  test("property: banded MinHash candidates ⊇ identical documents") {
+    // any two docs with identical shingle sets share every band
+    // signature, so exact duplicates can never be missed by LSH
+    val texts = Gen.listOfN(8,
+      Gen.chooseNum(4, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")))
+        .map(_.mkString(" ")))
+    forAll(texts) { ts =>
+      val docs = ts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "gen") }
+        .toDF("doc_id", "text", "lang", "source")
+      val sh = graft.operators.NearDup.withShingles(docs)
+        .select($"doc_id", $"shingles")
+      val sig = graft.operators.NearDup.signaturesOf(sh)
+        .as[(Long, Seq[Long])].collect().toMap
+      val byText = ts.zipWithIndex.groupBy(_._1).values.filter(_.size > 1)
+      byText.foreach { dup =>
+        val sigs = dup.map { case (_, i) => sig(i.toLong) }
+        assert(sigs.distinct.size === 1, s"identical docs got different signatures: $dup")
+      }
+    }
+  }
+
+  test("property: array_join ∘ split round-trip on label CSVs") {
+    val labels = Gen.listOfN(5, Gen.oneOf("INBOX", "SENT", "TRASH", "SPAM", "STARRED"))
+    forAll(labels) { ls =>
+      val csv = Seq(Tuple1(ls)).toDF("labels")
+        .select(array_join($"labels", ",").as("csv"))
+        .as[String].head()
+      assert(csv.split(",", -1).toList === (if (ls.isEmpty) List("") else ls))
+    }
+  }
+}
