@@ -86,6 +86,80 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native dot product over two numeric-array columns — the target of
+  * [[RewriteDotProducts]], which rewrites the composable
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,v) -> acc+v)`
+  * idiom into this fused, codegen'd loop.
+  *
+  * Null semantics replicate the HOF form exactly: `zip_with` pads a
+  * shorter array with nulls and a null product nulls the running sum,
+  * so mismatched lengths or any null element yield NULL here too.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elem(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elem(left.dataType), elem(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> or two array<double> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  private def isFloat: Boolean = elem(left.dataType).contains(FloatType)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    if (xs.numElements() != ys.numElements()) return null
+    val f = isFloat
+    var dot = 0.0
+    var i = 0
+    val n = xs.numElements()
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      val x = if (f) xs.getFloat(i).toDouble else xs.getDouble(i)
+      val y = if (f) ys.getFloat(i).toDouble else ys.getDouble(i)
+      dot += x * y
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val getter = if (isFloat) "getFloat" else "getDouble"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $dot += (double) $a.$getter($i) * (double) $b.$getter($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   private val cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, "cosine_sim")
@@ -101,10 +175,21 @@ object VectorFunctions {
   private val shingleHashesBuilder: Seq[Expression] => Expression =
     exprs => WordShingleHashes(exprs(0), exprs(1))
 
-  /** Idempotent registration on an existing session — usable from any
-    * query lambda without rebuilding the session.
+  private val dotInfo = new ExpressionInfo(
+    classOf[DotProduct].getName, "dot_product")
+  private val dotBuilder: Seq[Expression] => Expression =
+    exprs => DotProduct(exprs(0), exprs(1))
+
+  /** Idempotent registration on an existing session — functions plus
+    * the [[RewriteDotProducts]] optimizer rule — usable from any query
+    * lambda without rebuilding the session.
     */
   def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(RewriteDotProducts))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteDotProducts
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -121,8 +206,10 @@ object VectorFunctions {
   final class GraftExtensions extends (SparkSessionExtensions => Unit) {
     override def apply(e: SparkSessionExtensions): Unit = {
       e.injectFunction((FunctionIdentifier("cosine_sim"), cosineInfo, cosineBuilder))
+      e.injectFunction((FunctionIdentifier("dot_product"), dotInfo, dotBuilder))
       e.injectFunction((FunctionIdentifier("word_shingles"), shinglesInfo, shinglesBuilder))
       e.injectFunction((FunctionIdentifier("word_shingle_hashes"), shingleHashesInfo, shingleHashesBuilder))
+      e.injectOptimizerRule(_ => RewriteDotProducts)
     }
   }
 }

@@ -29,8 +29,13 @@ object SimSearch {
   private def dot(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
 
-  /** Query-vector cross join: vec_id 0's embedding against all rows. */
+  /** Query-vector cross join: vec_id 0's embedding against all rows.
+    * Registers the graft functions + RewriteDotProducts so the HOF dot
+    * idiom below compiles to the native DotProduct loop — the query
+    * text stays declarative, the optimizer owns the physical form.
+    */
   private def withQuery(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
     emb.crossJoin(broadcast(q))
@@ -47,11 +52,16 @@ object SimSearch {
 
   /** Bucket id = 16 sign bits of hyperplane projections. */
   def signatures(s: SparkSession, d: String, nPlanes: Int = 16): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val planes = hyperplanes(s, nPlanes, 64)
       .groupBy(col("j")).agg(array_sort(collect_list(struct(col("i"), col("sign")))).as("ps"))
       .selectExpr("j", "transform(ps, p -> p.sign) AS plane")
-    Tables.embeddings(s, d).crossJoin(broadcast(planes))
-      .withColumn("proj", expr(dot("embedding", "plane")))
+    Tables.embeddings(s, d)
+      // array-level float→double cast so both dot sides are double and
+      // RewriteDotProducts can fuse the projection loop
+      .withColumn("edbl", col("embedding").cast("array<double>"))
+      .crossJoin(broadcast(planes))
+      .withColumn("proj", expr(dot("edbl", "plane")))
       .groupBy(col("vec_id"))
       .agg(sum(when(col("proj") > 0, expr("shiftleft(1L, cast(j as int))")).otherwise(0L)).as("bucket"))
   }
