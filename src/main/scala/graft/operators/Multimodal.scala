@@ -85,6 +85,21 @@ object Multimodal {
           col("width"), col("height"), col("format"))
         .orderBy(col("doc_id"))),
 
+    // Frame sampling: K fixed-stride samples per payload (the video
+    // frame-sample plumbing — posexplode gives (payload, frame_idx) →
+    // a per-frame decode stage would map over exactly this shape).
+    // Frames are 16-byte windows at stride n/4; short payloads yield
+    // fewer frames, like a short clip.
+    "q_media_frames" -> ((s, d) =>
+      Tables.documents(s, d)
+        .selectExpr("doc_id", "cast(text as binary) AS payload",
+          "cast(octet_length(text) as int) AS n")
+        .selectExpr("doc_id",
+          "posexplode(transform(sequence(0, 3), k -> substring(payload, k * (n DIV 4) + 1, 16)))")
+        .selectExpr("doc_id", "pos AS frame_idx", "hex(col) AS frame_hex")
+        .filter(length(col("frame_hex")) > 0)
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
     // Metadata rollup after decode: the relational side of multimodal.
     "q_media_agg" -> ((s, d) =>
       decoded(s, d).toDF()
@@ -112,6 +127,16 @@ object Multimodal {
         | CAST(octet_length(encode(text)) % 384 + 1 AS INT) AS height,
         | CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // fixture text is pure ASCII (verified), so VARCHAR substr offsets
+    // equal the byte offsets Spark uses on the binary payload
+    "q_media_frames" ->
+      """SELECT doc_id, frame_idx, frame_hex FROM (
+        |  SELECT doc_id, k AS frame_idx,
+        |    hex(encode(substr(text, CAST(k * (octet_length(encode(text)) // 4) + 1 AS INT), 16))) AS frame_hex
+        |  FROM documents, (SELECT unnest(range(0, 4)) AS k))
+        |WHERE length(frame_hex) > 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_media_agg" ->
       """SELECT lang,

@@ -87,6 +87,25 @@ object TextAnalysis {
         "cast(length(text) as bigint) AS n_bytes")
         .orderBy(col("doc_id"))),
 
+    // Rolling-window fingerprint sketch: hash every 8-token sliding
+    // window (graft.functions.WordShingleHashes — one native pass),
+    // keep the bottom-4 hashes as the document's sketch plus the
+    // window count. Bottom-k of window hashes is the winnowing-style
+    // fingerprint used for containment detection: shared text between
+    // two documents shares window hashes regardless of position.
+    "q_fingerprint_rolling" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      Tables.documents(s, d)
+        .selectExpr("doc_id", "word_shingle_hashes(text, 8) AS ws")
+        .selectExpr("doc_id",
+          "cast(size(ws) as bigint) AS n_windows",
+          "array_min(ws) AS min_fp",
+          "slice(array_sort(ws), 1, 4) AS bottom4")
+        .selectExpr("doc_id", "n_windows", "min_fp",
+          "concat_ws(',', transform(bottom4, h -> cast(h as string))) AS bottom4_csv")
+        .orderBy(col("doc_id"))
+    }),
+
     // Regex token counting (BPE-ish surface form).
     "q_token_regex" -> ((s, d) =>
       Tables.documents(s, d).selectExpr(
@@ -157,6 +176,21 @@ object TextAnalysis {
       """SELECT doc_id, md5(text) AS fp, md5(substr(text, 1, 64)) AS prefix_fp,
         | CAST(length(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint_rolling" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 6),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+        |        j -> CAST(strpos('0123456789abcdef',
+        |               substr(md5(array_to_string(toks[i:i+7], ' ')), j, 1)) - 1 AS BIGINT))),
+        |        (a, b) -> a * 16 + b))) AS hs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |SELECT doc_id,
+        | CAST(len(hs) AS BIGINT) AS n_windows,
+        | list_aggregate(hs, 'min') AS min_fp,
+        | array_to_string(list_transform(list_sort(hs)[1:4], h -> CAST(h AS VARCHAR)), ',') AS bottom4_csv
+        |FROM ws ORDER BY doc_id""".stripMargin,
 
     "q_token_regex" ->
       """SELECT doc_id,
