@@ -45,6 +45,34 @@ object Multimodal {
     }
   }
 
+  /** Feature vector extracted from a payload — the stand-in for an
+    * image/audio embedding stage. Features are exact integer/ratio
+    * statistics so the SQL oracle can replay them; a real extractor
+    * swaps the function body, not the Spark plumbing.
+    */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, byte_sum: Long,
+                           n_distinct_bytes: Int)
+
+  /** Feature-extract stage: typed mapPartitions over raw bytes (the
+    * batched-inference shape — an ONNX/JNI extractor would amortize
+    * model init across each partition's iterator).
+    */
+  def features(s: SparkSession, d: String): Dataset[MediaFeatures] = {
+    import s.implicits._
+    mediaTable(s, d).mapPartitions { rows =>
+      rows.map { r =>
+        var sum = 0L
+        val seen = new java.util.BitSet(256)
+        var i = 0
+        while (i < r.payload.length) {
+          val b = r.payload(i) & 0xff
+          sum += b; seen.set(b); i += 1
+        }
+        MediaFeatures(r.doc_id, r.payload.length.toLong, sum, seen.cardinality())
+      }
+    }
+  }
+
   /** documents.text reinterpreted as an opaque binary payload — the
     * fixture stand-in for an image/audio blob column.
     */
@@ -100,6 +128,16 @@ object Multimodal {
         .filter(length(col("frame_hex")) > 0)
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    // Feature extraction: exact byte statistics per payload (the
+    // rounding happens in the plan, not the extractor, so both
+    // engines round the same exact integer ratio).
+    "q_media_features" -> ((s, d) =>
+      features(s, d).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("byte_sum"),
+          round(col("byte_sum") / col("n_bytes"), 4).as("mean_byte"),
+          col("n_distinct_bytes"))
+        .orderBy(col("doc_id"))),
+
     // Metadata rollup after decode: the relational side of multimodal.
     "q_media_agg" -> ((s, d) =>
       decoded(s, d).toDF()
@@ -137,6 +175,17 @@ object Multimodal {
         |  FROM documents, (SELECT unnest(range(0, 4)) AS k))
         |WHERE length(frame_hex) > 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // ASCII fixture: chars == bytes, so ascii() per char replays the
+    // byte loop exactly
+    "q_media_features" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(list_aggregate(list_transform(string_split(text, ''), c -> ascii(c)), 'sum') AS BIGINT) AS byte_sum,
+        | round(CAST(list_aggregate(list_transform(string_split(text, ''), c -> ascii(c)), 'sum') AS BIGINT)
+        |       / octet_length(encode(text)), 4) AS mean_byte,
+        | CAST(len(list_distinct(string_split(text, ''))) AS INT) AS n_distinct_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_media_agg" ->
       """SELECT lang,
