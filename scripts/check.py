@@ -56,12 +56,14 @@ def main():
                       f" oracle={sorted(exp_cols)}")
                 n_fail += 1
                 continue
-            got = canon(con.sql(
+            # sorted() on the canonicalized tuples: comparison must not
+            # depend on DuckDB preserving scan/subquery row order
+            got = sorted(canon(con.sql(
                 "SELECT " + ",".join(f'"{c}"' for c in sorted(got_cols, key=str.lower))
-                + f" FROM got_rel").fetchall())
-            exp = canon(con.sql(
+                + f" FROM got_rel").fetchall()))
+            exp = sorted(canon(con.sql(
                 "SELECT " + ",".join(f'"{c}"' for c in sorted(exp_cols, key=str.lower))
-                + f" FROM exp_rel").fetchall())
+                + f" FROM exp_rel").fetchall()))
             if got == exp:
                 print(f"PASS {name} ({len(got)} rows)")
                 n_pass += 1

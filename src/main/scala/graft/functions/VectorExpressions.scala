@@ -8,24 +8,14 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-/** Native cosine similarity over two numeric-array columns
-  * (array<float> or array<double>, matching on each side).
-  *
-  * The composable form (`aggregate(zip_with(...))`) materializes an
-  * intermediate product array per row, walks the data three times
-  * (dot, |a|², |b|²), and — like every higher-order-function lambda —
-  * runs interpreted, outside whole-stage codegen. This expression is
-  * one fused loop, participates in codegen via [[doGenCode]], and
-  * allocates nothing — the difference between "works" and "fast" when
-  * scoring billions of embeddings.
-  *
-  * Semantics match the HOF form and the DuckDB oracle exactly: floats
-  * widen to double BEFORE multiply, sums fold left-to-right.
+/** Shared contract for binary expressions over two same-typed numeric
+  * arrays (array<float> or array<double>): type checking, element-type
+  * dispatch, and the HOF-parity null rule — `zip_with` pads a shorter
+  * array with nulls and a null poisons the fold, so mismatched lengths
+  * or any null element must yield NULL.
   */
-case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
-
-  private def elem(t: DataType): Option[DataType] = t match {
+trait NumericArrayBinaryExpression extends BinaryExpression {
+  protected def elem(t: DataType): Option[DataType] = t match {
     case ArrayType(FloatType, _)  => Some(FloatType)
     case ArrayType(DoubleType, _) => Some(DoubleType)
     case _                        => None
@@ -39,19 +29,42 @@ case class CosineSimilarity(left: Expression, right: Expression)
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
     }
 
-  private def isFloat: Boolean = elem(left.dataType).contains(FloatType)
-
+  protected def isFloat: Boolean = elem(left.dataType).contains(FloatType)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+}
+
+/** Native cosine similarity over two numeric-array columns
+  * (array<float> or array<double>, matching on each side).
+  *
+  * The composable form (`aggregate(zip_with(...))`) materializes an
+  * intermediate product array per row, walks the data three times
+  * (dot, |a|², |b|²), and — like every higher-order-function lambda —
+  * runs interpreted, outside whole-stage codegen. This expression is
+  * one fused loop, participates in codegen via [[doGenCode]], and
+  * allocates nothing — the difference between "works" and "fast" when
+  * scoring billions of embeddings.
+  *
+  * Semantics match the HOF form and the DuckDB oracle exactly: floats
+  * widen to double BEFORE multiply, sums fold left-to-right, and a
+  * length mismatch or null element yields NULL (the zip_with padding
+  * rule) instead of a silently truncated score.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends NumericArrayBinaryExpression {
+
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    if (xs.numElements() != ys.numElements()) return null
+    val n = xs.numElements()
     val f = isFloat
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       val x = if (f) xs.getFloat(i).toDouble else xs.getDouble(i)
       val y = if (f) ys.getFloat(i).toDouble else ys.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
@@ -71,14 +84,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val y = ctx.freshName("y")
       val getter = if (isFloat) "getFloat" else "getDouble"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.$getter($i);
-         |  double $y = (double) $b.$getter($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $x = (double) $a.$getter($i);
+         |    double $y = (double) $b.$getter($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -96,26 +115,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * so mismatched lengths or any null element yield NULL here too.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends NumericArrayBinaryExpression {
 
-  private def elem(t: DataType): Option[DataType] = t match {
-    case ArrayType(FloatType, _)  => Some(FloatType)
-    case ArrayType(DoubleType, _) => Some(DoubleType)
-    case _                        => None
-  }
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    (elem(left.dataType), elem(right.dataType)) match {
-      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two array<float> or two array<double> arguments, got " +
-          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-    }
-
-  private def isFloat: Boolean = elem(left.dataType).contains(FloatType)
-
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -196,11 +196,13 @@ object NearDup {
     // then exact-Jaccard verification of candidates only.
     "q_dedup_minhash" -> ((s, d) => {
       val sh = withShingles(corpus(s, d)).select(col("doc_id"), col("shingles"))
-      // The signature table is consumed 2× by the band self-join;
-      // without persist each side recomputes shingling + hashing from
-      // the raw text. Signatures are ~100 bytes/doc — at 100 TB of
-      // text this is gigabytes, safely MEMORY_AND_DISK.
-      val sig = signaturesOf(sh).persist()
+      // The signature table is consumed 2× (band self-join) and the
+      // hashed shingles 2× (verify join). At 100 TB a production run
+      // persists both (signatures are ~100 bytes/doc vs re-reading the
+      // raw text); here they stay unpersisted — a query lambda has no
+      // lifecycle hook to unpersist, and leaking cache entries into
+      // the caller's long-lived session is worse than the recompute.
+      val sig = signaturesOf(sh)
       val bands = sig
         .select(col("doc_id"), explode(expr(s"sequence(0, ${Bands - 1})")).as("b"), col("sigs"))
         .withColumn("bs", expr(s"concat_ws('|', slice(sigs, b * $Rows + 1, $Rows))"))
@@ -211,7 +213,6 @@ object NearDup {
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
       val hsh = withHashedShingles(corpus(s, d)).select(col("doc_id"), col("hs"))
-        .persist()
       cand
         .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
         .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
@@ -223,7 +224,7 @@ object NearDup {
     }),
 
     // SimHash near-dup: 32-bit signatures, lang-blocked pairs within
-    // Hamming distance 6.
+    // Hamming distance 3.
     "q_dedup_simhash" -> ((s, d) => {
       val sims = simhashed(corpus(s, d))
       val a = sims.select(col("doc_id").as("a_id"), col("lang"), col("simhash").as("ha"))

@@ -75,6 +75,11 @@ object RelationalExt {
     // As-of join (click → purchase attribution): for each purchase,
     // the user's most recent click at-or-before it. One shuffle on
     // user_id; clicks sort before purchases at equal ts ('c' < 'p').
+    // Oracle caveat: among equal-ts clicks this plan picks the max
+    // click_id while DuckDB ASOF picks an unspecified row — benign
+    // here because no two same-user events share a microsecond
+    // (verified on the fixtures), but a regenerated dataset with ties
+    // would need a dedup-before-join on (user_id, ts).
     "q_join_asof" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")

@@ -50,10 +50,16 @@ object SimSearch {
       .selectExpr("j", "i",
         "CASE WHEN substring(md5(concat(cast(j as string), ':', cast(i as string))), 1, 1) < '8' THEN 1.0 ELSE -1.0 END AS sign")
 
-  /** Bucket id = 16 sign bits of hyperplane projections. */
+  /** Bucket id = 16 sign bits of hyperplane projections. The plane
+    * dimension is read from the data (one-row lookup) — a silent
+    * dimension mismatch would NULL every projection and collapse all
+    * vectors into bucket 0.
+    */
   def signatures(s: SparkSession, d: String, nPlanes: Int = 16): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val planes = hyperplanes(s, nPlanes, 64)
+    val dim = Tables.embeddings(s, d)
+      .selectExpr("size(embedding)").limit(1).collect()(0).getInt(0)
+    val planes = hyperplanes(s, nPlanes, dim)
       .groupBy(col("j")).agg(array_sort(collect_list(struct(col("i"), col("sign")))).as("ps"))
       .selectExpr("j", "transform(ps, p -> p.sign) AS plane")
     Tables.embeddings(s, d)

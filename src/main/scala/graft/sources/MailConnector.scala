@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, Not}
 import org.apache.spark.sql.types._
@@ -232,13 +232,11 @@ class MailMicroBatchStream(scan: MailScan)
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[MailOffset].page
-    limit match {
-      case _: ReadMaxRows => MailOffset(scan.cappedEnd(from))
-      case _              => MailOffset(scan.cappedEnd(from))
-    }
-  }
+  // Admission control here is page-based (maxPagesPerTrigger); the
+  // ReadLimit hint is not consulted — row-based limits would need
+  // page-count arithmetic against pageSize.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    MailOffset(scan.cappedEnd(start.asInstanceOf[MailOffset].page))
 
   override def reportLatestOffset(): Offset = MailOffset(scan.lastPage)
 

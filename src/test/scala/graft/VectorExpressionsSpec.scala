@@ -20,13 +20,22 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got === Seq(1.0, 0.0, -1.0))
   }
 
-  test("cosine_sim is null-safe") {
+  test("cosine_sim is null-safe: null inputs, length mismatch, null elements") {
     VectorFunctions.register(spark)
     val df = Seq(
       (Some(floats(1, 2)), None: Option[Array[Float]]),
       (None: Option[Array[Float]], Some(floats(1, 2)))
     ).toDF("a", "b").withColumn("c", expr("cosine_sim(a, b)"))
     assert(df.filter($"c".isNotNull).count() === 0)
+    // HOF zip_with parity: ragged lengths and null elements → NULL,
+    // never a silently truncated score
+    val edge = spark.sql(
+      """SELECT cosine_sim(array(cast(1 as float), cast(2 as float)), array(cast(1 as float))) AS ragged,
+        |       cosine_sim(array(cast(1 as float), cast(null as float)),
+        |                  array(cast(1 as float), cast(2 as float))) AS holed""".stripMargin)
+      .head()
+    assert(edge.isNullAt(0), "length mismatch must yield NULL")
+    assert(edge.isNullAt(1), "null element must yield NULL")
   }
 
   test("native expression agrees with the HOF form on real embeddings") {
@@ -58,17 +67,20 @@ class VectorExpressionsSpec extends SparkSpec {
 
   test("RewriteDotProducts: rewritten result is bit-identical to the interpreted fold") {
     VectorFunctions.register(spark)
-    val base = Tables.embeddings(spark, sf)
-      .select($"vec_id", $"embedding".as("a"), $"embedding".as("b"))
-    val native = base.selectExpr("vec_id", s"$hofDot AS d").orderBy($"vec_id")
-      .as[(Long, Double)].collect().toSeq
-    // fresh session without the rule → interpreted HOF path
+    def run(s: org.apache.spark.sql.SparkSession): (Seq[(Long, Double)], String) = {
+      val df = Tables.embeddings(s, sf)
+        .select(col("vec_id"), col("embedding").as("a"), col("embedding").as("b"))
+        .selectExpr("vec_id", s"$hofDot AS d").orderBy(col("vec_id"))
+      import s.implicits._
+      (df.as[(Long, Double)].collect().toSeq, df.queryExecution.optimizedPlan.toString)
+    }
+    val (native, nativePlan) = run(spark)
+    // fresh session state → no RewriteDotProducts → interpreted HOF path
     val plain = spark.newSession()
-    val interp = base.selectExpr("vec_id", s"$hofDot AS d").orderBy($"vec_id")
-      .as[(Long, Double)].collect().toSeq
+    val (interp, interpPlan) = run(plain)
+    assert(nativePlan.contains("dot_product"), "rule missing on main session")
+    assert(!interpPlan.contains("dot_product"), "fresh session unexpectedly has the rule")
     assert(native === interp)
-    assert(plain.experimental.extraOptimizations.isEmpty ||
-      plain.experimental.extraOptimizations.nonEmpty) // session isolation sanity only
   }
 
   test("RewriteDotProducts: null semantics match the HOF form") {
