@@ -13,6 +13,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warm-up
+    // Parquet/Hadoop-FS init warm-up (region is 5 rows; nothing is
+    // cached) — otherwise the alphabetically-first query absorbs
+    // several seconds of one-time reader initialization.
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => () }
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
       else SparkEntry.queries

@@ -8,11 +8,28 @@ object Scratch {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val q = operators.SimSearch.queries("q_simsearch")(spark, d)
-    println("=== OPTIMIZED ===")
-    println(q.queryExecution.optimizedPlan.toString.take(2500))
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    // q_simsearch_lsh breakdown
+    time("lsh: signatures") { operators.SimSearch.signatures(spark, d).count() }
+    time("lsh: full query") { operators.SimSearch.queries("q_simsearch_lsh")(spark, d).count() }
+
+    // q_dedup_jaccard breakdown
+    time("jac: corpus") { operators.NearDup.corpus(spark, d).count() }
+    time("jac: hashed shingles") {
+      operators.NearDup.withHashedShingles(operators.NearDup.corpus(spark, d))
+        .selectExpr("sum(size(hs))").collect()(0).getLong(0)
+    }
+    time("jac: full query") { operators.NearDup.queries("q_dedup_jaccard")(spark, d).count() }
+    spark.stop()
   }
 }

@@ -65,7 +65,7 @@ case class WordShingles(left: Expression, right: Expression)
 
 /** Distinct word n-gram shingles, each hashed to a 60-bit integer (the
   * first 15 hex digits of its md5, read base-16 — always positive, so
-  * engine-portable).
+  * engine-portable), returned **sorted ascending**.
   *
   * Exact near-dup verification intersects shingle sets per candidate
   * pair; over ~25-char strings that's byte-wise hashing and equality
@@ -73,6 +73,14 @@ case class WordShingles(left: Expression, right: Expression)
   * pairwise set ops integer work — and because the DuckDB oracle
   * replays the identical md5-prefix hash, results (including the
   * astronomically unlikely collision) match exactly.
+  *
+  * The sort makes the array's order a *global total order over shingle
+  * hashes*, which buys two scale properties downstream: prefix
+  * filtering (a slice of the array IS the similarity-join prefix) and
+  * O(|a|+|b|) merge-based set ops ([[SortedJaccard]]) instead of
+  * hash-set intersect/union per pair. Every consumer is either
+  * order-insensitive (array_intersect/list_intersect) or requires
+  * exactly this order.
   */
 case class WordShingleHashes(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -107,10 +115,14 @@ case class WordShingleHashes(left: Expression, right: Expression)
       out.add(v >>> 4)
       i += 1
     }
-    val arr = new Array[Any](out.size)
+    val longs = new Array[Long](out.size)
     val it = out.iterator()
     var k = 0
-    while (it.hasNext) { arr(k) = it.next().longValue(); k += 1 }
+    while (it.hasNext) { longs(k) = it.next().longValue(); k += 1 }
+    java.util.Arrays.sort(longs)
+    val arr = new Array[Any](longs.length)
+    k = 0
+    while (k < longs.length) { arr(k) = longs(k); k += 1 }
     new GenericArrayData(arr)
   }
 
@@ -121,4 +133,82 @@ case class WordShingleHashes(left: Expression, right: Expression)
 object WordShingleHashes {
   private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
+}
+
+/** Jaccard similarity |a∩b| / |a∪b| of two **sorted, distinct**
+  * `array<bigint>` columns (the [[WordShingleHashes]] output contract)
+  * via a single O(|a|+|b|) sorted-merge — no intermediate intersection
+  * or union arrays.
+  *
+  * The composable form `size(array_intersect(a,b)) / size(array_union
+  * (a,b))` builds two hash sets and materializes two arrays per pair;
+  * inside an all-pairs similarity join the pair loop runs millions of
+  * times per block, and those allocations dominated the entire near-dup
+  * bench. This expression allocates nothing and participates in
+  * whole-stage codegen.
+  *
+  * Null semantics match the division form: any null input or null
+  * element yields NULL, and an empty union (two empty sets) yields NULL
+  * exactly like Spark's 0/0 division.
+  */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jaccard_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val ys = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n1 = xs.numElements(); val n2 = ys.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < n1 && j < n2) {
+      if (xs.isNullAt(i) || ys.isNullAt(j)) return null
+      val x = xs.getLong(i); val y = ys.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = n1 + n2 - inter
+    if (union == 0) null else inter.toDouble / union
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n1 = ctx.freshName("n1"); val n2 = ctx.freshName("n2")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n1 = $a.numElements(); int $n2 = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $n1 && $j < $n2) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { $inter++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |if (!${ev.isNull}) {
+         |  int $union = $n1 + $n2 - $inter;
+         |  if ($union == 0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = (double) $inter / (double) $union; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -181,6 +181,11 @@ object VectorFunctions {
   private val dotBuilder: Seq[Expression] => Expression =
     exprs => DotProduct(exprs(0), exprs(1))
 
+  private val jaccardInfo = new ExpressionInfo(
+    classOf[SortedJaccard].getName, "jaccard_sorted")
+  private val jaccardBuilder: Seq[Expression] => Expression =
+    exprs => SortedJaccard(exprs(0), exprs(1))
+
   /** Idempotent registration on an existing session — functions plus
     * the [[RewriteDotProducts]] optimizer rule — usable from any query
     * lambda without rebuilding the session.
@@ -197,6 +202,8 @@ object VectorFunctions {
       "word_shingles", shinglesBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingle_hashes", shingleHashesBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sorted", jaccardBuilder, "built-in")
   }
 
   /** Session-extension wiring: sessions built with
@@ -210,6 +217,7 @@ object VectorFunctions {
       e.injectFunction((FunctionIdentifier("dot_product"), dotInfo, dotBuilder))
       e.injectFunction((FunctionIdentifier("word_shingles"), shinglesInfo, shinglesBuilder))
       e.injectFunction((FunctionIdentifier("word_shingle_hashes"), shingleHashesInfo, shingleHashesBuilder))
+      e.injectFunction((FunctionIdentifier("jaccard_sorted"), jaccardInfo, jaccardBuilder))
       e.injectOptimizerRule(_ => RewriteDotProducts)
     }
   }

@@ -168,25 +168,44 @@ object NearDup {
     s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
 
   val queries: Map[String, Q] = Map(
-    // Exact n-gram Jaccard over (lang, source)-blocked pairs, with two
-    // result-preserving physical tricks: the size-ratio prune is a
-    // necessary condition of J >= 0.6 (J <= min/max of the set sizes),
-    // and the per-pair set ops run over 60-bit shingle hashes instead
-    // of strings (the oracle replays the same hash, so results are
-    // identical — see WordShingleHashes).
+    // Exact n-gram Jaccard over (lang, source)-blocked pairs. The
+    // naive form is the quadratic all-pairs join within each block —
+    // the thing that does NOT survive a 100× scale-up. This plan is
+    // result-identical but subquadratic, via prefix filtering from the
+    // set-similarity-join literature (SSJoin/PPJoin):
+    //
+    //   J(a,b) >= t  ⟹  |a∩b| >= ceil(t·|a|) and >= ceil(t·|b|)
+    //   (because |∪| >= max(|a|,|b|)), and two sorted sets with
+    //   overlap >= α must share an element within their first
+    //   (n − α + 1) elements under any global total order.
+    //
+    // WordShingleHashes emits hashes sorted ascending — that order IS
+    // the global order, so the prefix is a plain array slice. The
+    // candidate join keys on (block, prefix-token): docs pair up only
+    // if they share a rare leading hash, collapsing the block²
+    // pair space to near the true-duplicate count. ceil(0.6·n) is
+    // computed in exact integer arithmetic ((3n+4) div 5) — a float
+    // ceil could round up past the true bound and drop a real pair.
+    // Verification of the surviving candidates uses the fused
+    // O(|a|+|b|) merge (SortedJaccard); the size-ratio prune
+    // (min/max >= t, another necessary condition) runs first on the
+    // already-available lengths.
     "q_dedup_jaccard" -> ((s, d) => {
       val sh = withHashedShingles(corpus(s, d))
         .select(col("doc_id"), col("lang"), col("source"), col("hs"),
           size(col("hs")).as("ns"))
-      val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("source"),
-        col("hs").as("ha"), col("ns").as("na"))
-      val b = sh.select(col("doc_id").as("b_id"), col("lang"), col("source"),
-        col("hs").as("hb"), col("ns").as("nb"))
-      a.join(b, Seq("lang", "source"))
-        .filter(col("a_id") < col("b_id"))
+      val pre = sh.select(col("doc_id"), col("lang"), col("source"),
+        explode(expr("slice(hs, 1, ns - ((3*ns + 4) div 5) + 1)")).as("tok"))
+      val cand = pre.as("x").join(pre.as("y"),
+          col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+            col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val ha = sh.select(col("doc_id").as("a_id"), col("hs").as("ha"), col("ns").as("na"))
+      val hb = sh.select(col("doc_id").as("b_id"), col("hs").as("hb"), col("ns").as("nb"))
+      cand.join(ha, "a_id").join(hb, "b_id")
         .filter(least(col("na"), col("nb")) >= greatest(col("na"), col("nb")) * 0.6)
-        .withColumn("jaccard", expr(
-          "size(array_intersect(ha, hb)) / size(array_union(ha, hb))"))
+        .withColumn("jaccard", expr("jaccard_sorted(ha, hb)"))
         .filter(col("jaccard") >= 0.6)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a_id"), col("b_id"))
@@ -216,8 +235,7 @@ object NearDup {
       cand
         .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
         .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
-        .withColumn("jaccard", expr(
-          "size(array_intersect(ha, hb)) / size(array_union(ha, hb))"))
+        .withColumn("jaccard", expr("jaccard_sorted(ha, hb)"))
         .filter(col("jaccard") >= 0.6)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a_id"), col("b_id"))

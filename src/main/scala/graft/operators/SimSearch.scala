@@ -50,26 +50,44 @@ object SimSearch {
       .selectExpr("j", "i",
         "CASE WHEN substring(md5(concat(cast(j as string), ':', cast(i as string))), 1, 1) < '8' THEN 1.0 ELSE -1.0 END AS sign")
 
-  /** Bucket id = 16 sign bits of hyperplane projections. The plane
+  /** Driver-side twin of [[hyperplanes]]' sign cell: first hex digit of
+    * md5("j:i") < '8' — i.e. high nibble of the first digest byte ≤ 7.
+    */
+  private def planeSignPositive(j: Int, i: Int): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((h(0) >> 4) & 0xf) < 8
+  }
+
+  /** Bucket id = nPlanes sign bits of hyperplane projections. The plane
     * dimension is read from the data (one-row lookup) — a silent
     * dimension mismatch would NULL every projection and collapse all
     * vectors into bucket 0.
+    *
+    * The planes are model *constants* (nPlanes × dim ±1 doubles, a few
+    * KB), so they are folded into the plan as literal arrays and the
+    * whole signature computation is one map-only, fully codegen'd pass
+    * over the vectors — no crossJoin row blow-up, no groupBy shuffle.
+    * The previous formulation (explode vectors × planes, aggregate sign
+    * bits back) shuffled nPlanes rows per vector and ran the projection
+    * as an interpreted HOF fold; at 100 TB a shuffle of 16× the corpus
+    * to compute a per-row value is exactly the plan-shape bug AQE can't
+    * fix for you. Bit values are unchanged (same md5 signs, same
+    * ascending-i fold order), so bucket ids are stable across versions.
     */
   def signatures(s: SparkSession, d: String, nPlanes: Int = 16): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val dim = Tables.embeddings(s, d)
       .selectExpr("size(embedding)").limit(1).collect()(0).getInt(0)
-    val planes = hyperplanes(s, nPlanes, dim)
-      .groupBy(col("j")).agg(array_sort(collect_list(struct(col("i"), col("sign")))).as("ps"))
-      .selectExpr("j", "transform(ps, p -> p.sign) AS plane")
+    val bucket = (0 until nPlanes).map { j =>
+      val plane = (0 until dim)
+        .map(i => if (planeSignPositive(j, i)) "1.0D" else "-1.0D").mkString(",")
+      when(expr(s"dot_product(edbl, array($plane))") > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
     Tables.embeddings(s, d)
-      // array-level float→double cast so both dot sides are double and
-      // RewriteDotProducts can fuse the projection loop
       .withColumn("edbl", col("embedding").cast("array<double>"))
-      .crossJoin(broadcast(planes))
-      .withColumn("proj", expr(dot("edbl", "plane")))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("proj") > 0, expr("shiftleft(1L, cast(j as int))")).otherwise(0L)).as("bucket"))
+      .select(col("vec_id"), bucket.as("bucket"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -95,6 +95,54 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got === Seq(None, Some(5.0)))
   }
 
+  test("jaccard_sorted matches the set-op form and the null contract") {
+    VectorFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT jaccard_sorted(array(1L, 2L, 3L, 4L), array(2L, 3L, 4L, 5L)) AS j1,
+        |       jaccard_sorted(array(1L, 2L), array(3L, 4L)) AS j2,
+        |       jaccard_sorted(array(1L, 2L), array(1L, 2L)) AS j3,
+        |       jaccard_sorted(cast(array() as array<bigint>),
+        |                      cast(array() as array<bigint>)) AS j_empty,
+        |       jaccard_sorted(cast(null as array<bigint>), array(1L)) AS j_null
+        |""".stripMargin).head()
+    assert(got.getDouble(0) === 0.6) // |∩|=3, |∪|=5
+    assert(got.getDouble(1) === 0.0)
+    assert(got.getDouble(2) === 1.0)
+    assert(got.isNullAt(3), "empty union must be NULL like 0/0 division")
+    assert(got.isNullAt(4), "null input must be NULL")
+  }
+
+  test("jaccard_sorted agrees with array_intersect/array_union on shingle hashes") {
+    VectorFunctions.register(spark)
+    val docs = graft.operators.NearDup.withHashedShingles(
+      graft.operators.NearDup.corpus(spark, sf)).limit(50)
+    val pairs = docs.select($"doc_id".as("a_id"), $"hs".as("ha"))
+      .crossJoin(docs.select($"doc_id".as("b_id"), $"hs".as("hb")))
+      .filter($"a_id" < $"b_id")
+      .selectExpr("jaccard_sorted(ha, hb) AS fused",
+        "size(array_intersect(ha, hb)) / size(array_union(ha, hb)) AS setop")
+    assert(pairs.filter(
+      "coalesce(fused, -1) <> coalesce(setop, -1)").count() === 0)
+  }
+
+  test("prefix-filtered jaccard finds exactly the all-pairs result") {
+    // The PPJoin-style plan must be result-identical to the naive
+    // quadratic join — no false negatives from the prefix bound.
+    VectorFunctions.register(spark)
+    val sh = graft.operators.NearDup.withHashedShingles(
+        graft.operators.NearDup.corpus(spark, sf))
+      .select($"doc_id", $"lang", $"source", $"hs")
+    val naive = sh.select($"doc_id".as("a_id"), $"lang", $"source", $"hs".as("ha"))
+      .join(sh.select($"doc_id".as("b_id"), $"lang", $"source", $"hs".as("hb")),
+        Seq("lang", "source"))
+      .filter($"a_id" < $"b_id")
+      .selectExpr("a_id", "b_id", "round(jaccard_sorted(ha, hb), 4) AS jaccard")
+      .filter($"jaccard" >= 0.6)
+    val fast = graft.operators.NearDup.queries("q_dedup_jaccard")(spark, sf)
+    assert(fast.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(fast).count() === 0)
+  }
+
   test("type check rejects non-numeric arrays and mixed element types") {
     VectorFunctions.register(spark)
     val err = intercept[Exception] {
