@@ -77,37 +77,55 @@ object NearDup {
       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
       |  FROM (SELECT *, string_split(text, ' ') AS toks FROM corpus))""".stripMargin
 
-  /** MinHash signatures: sig[j] = min over shingles of a 60-bit hash
-    * (the first 15 hex digits of md5(j ':' s) read as an integer).
+  /** MinHash signatures over the hashed shingle sets:
+    * sig[j] = min over h ∈ hs of ((a_j · (h mod p) + b_j) mod p),
+    * the classic universal hash family with p = 2³¹−1 and
+    * deterministic md5-derived coefficients a_j, b_j ∈ [1, p−1].
     *
-    * Spark plan: explode shingles → NumHashes codegen'd conv(md5)
-    * columns → one partial+final hash aggregate of NumHashes
-    * min(bigint)s. Two deliberate physical choices: integer buffers
-    * keep the aggregate on HashAggregate's mutable fast path (a
-    * min(string) buffer forces sort-based aggregation), and the
-    * shuffle carries NumHashes longs per doc — signature bytes, never
-    * document text. The HOF-fold formulation ran interpreted; this is
-    * all codegen.
+    * Earlier this hashed every *string* shingle NumHashes times with
+    * md5 — 12 digests per shingle dominated the whole minhash stage.
+    * The universal family reuses the one 60-bit content hash the
+    * pipeline already computes (WordShingleHashes) and replaces each
+    * digest with three integer ops; products stay < 2⁶² so neither
+    * engine can overflow (DuckDB errors on BIGINT overflow rather than
+    * wrapping, so this bound is load-bearing for the oracle).
     *
-    * DuckDB replays the identical value with an explicit base-16 digit
-    * fold, so signatures match bit-for-bit.
+    * Spark plan: explode hs → NumHashes codegen'd integer columns →
+    * one partial+final hash aggregate of NumHashes min(bigint)s.
+    * Integer buffers keep the aggregate on HashAggregate's mutable
+    * fast path, and the shuffle carries NumHashes longs per doc —
+    * signature bytes, never document text. The coefficients are plan
+    * literals, replayed verbatim in the oracle SQL, so signatures
+    * match bit-for-bit.
     */
-  def signaturesOf(sh: DataFrame): DataFrame = {
-    val mins = (0 until NumHashes).map(j =>
-      min(expr(s"cast(conv(substring(md5(concat('$j', ':', s)), 1, 15), 16, 10) as bigint)")).as(s"m$j"))
-    sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+  private val P = 2147483647L // 2^31 − 1, prime
+
+  /** Deterministic coefficient in [1, P−1] from md5("which:j") —
+    * engine-neutral constants baked into both plans as literals. */
+  private def hashParam(j: Int, which: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$which:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L; var b = 0
+    while (b < 8) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+    (v >>> 4) % (P - 1) + 1
+  }
+
+  def signaturesOf(hsh: DataFrame): DataFrame = {
+    val mins = (0 until NumHashes).map { j =>
+      val a = hashParam(j, "a"); val b = hashParam(j, "b")
+      min(expr(s"($a * (h % $P) + $b) % $P")).as(s"m$j")
+    }
+    hsh.select(col("doc_id"), explode(col("hs")).as("h"))
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until NumHashes).map(j => col(s"m$j")): _*).as("sigs"))
   }
 
-  private val sigSql =
-    s"""list_transform(range(0, $NumHashes),
-       |  j -> list_aggregate(list_transform(shingles,
-       |    s -> list_reduce(list_transform(range(1, 16),
-       |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || ':' || s), i, 1)) - 1 AS BIGINT)),
-       |      (a, b) -> a * 16 + b)), 'min'))""".stripMargin
+  private def sigSql: String = (0 until NumHashes).map { j =>
+    val a = hashParam(j, "a"); val b = hashParam(j, "b")
+    s"list_aggregate(list_transform(hs, h -> ($a * (h % $P) + $b) % $P), 'min')"
+  }.mkString("[", ", ", "]")
 
   /** 32-bit SimHash, bit-majority voted — all integer math, so both
     * engines agree exactly.
@@ -214,14 +232,14 @@ object NearDup {
     // MinHash + banded LSH: candidates from band-signature equality,
     // then exact-Jaccard verification of candidates only.
     "q_dedup_minhash" -> ((s, d) => {
-      val sh = withShingles(corpus(s, d)).select(col("doc_id"), col("shingles"))
+      val hsh = withHashedShingles(corpus(s, d)).select(col("doc_id"), col("hs"))
       // The signature table is consumed 2× (band self-join) and the
       // hashed shingles 2× (verify join). At 100 TB a production run
       // persists both (signatures are ~100 bytes/doc vs re-reading the
       // raw text); here they stay unpersisted — a query lambda has no
       // lifecycle hook to unpersist, and leaking cache entries into
       // the caller's long-lived session is worse than the recompute.
-      val sig = signaturesOf(sh)
+      val sig = signaturesOf(hsh)
       val bands = sig
         .select(col("doc_id"), explode(expr(s"sequence(0, ${Bands - 1})")).as("b"), col("sigs"))
         .withColumn("bs", expr(s"concat_ws('|', slice(sigs, b * $Rows + 1, $Rows))"))
@@ -231,7 +249,6 @@ object NearDup {
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      val hsh = withHashedShingles(corpus(s, d)).select(col("doc_id"), col("hs"))
       cand
         .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
         .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
@@ -296,7 +313,7 @@ object NearDup {
       s"""WITH $corpusSql,
          |$shinglesSql,
          |$hshSql,
-         |sig AS (SELECT doc_id, shingles, $sigSql AS sigs FROM sh),
+         |sig AS (SELECT doc_id, $sigSql AS sigs FROM hsh),
          |bands AS (
          |  SELECT doc_id, b, array_to_string(sigs[b * $Rows + 1 : b * $Rows + $Rows], '|') AS bs
          |  FROM (SELECT doc_id, sigs, unnest(range(0, $Bands)) AS b FROM sig)),

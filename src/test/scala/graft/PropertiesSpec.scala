@@ -60,8 +60,8 @@ class PropertiesSpec extends SparkSpec {
     forAll(texts) { ts =>
       val docs = ts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "gen") }
         .toDF("doc_id", "text", "lang", "source")
-      val sh = graft.operators.NearDup.withShingles(docs)
-        .select($"doc_id", $"shingles")
+      val sh = graft.operators.NearDup.withHashedShingles(docs)
+        .select($"doc_id", $"hs")
       val sig = graft.operators.NearDup.signaturesOf(sh)
         .as[(Long, Seq[Long])].collect().toMap
       val byText = ts.zipWithIndex.groupBy(_._1).values.filter(_.size > 1)
