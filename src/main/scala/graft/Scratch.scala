@@ -23,13 +23,10 @@ object Scratch {
     time("lsh: signatures") { operators.SimSearch.signatures(spark, d).count() }
     time("lsh: full query") { operators.SimSearch.queries("q_simsearch_lsh")(spark, d).count() }
 
-    // q_dedup_jaccard breakdown
-    time("jac: corpus") { operators.NearDup.corpus(spark, d).count() }
-    time("jac: hashed shingles") {
-      operators.NearDup.withHashedShingles(operators.NearDup.corpus(spark, d))
-        .selectExpr("sum(size(hs))").collect()(0).getLong(0)
-    }
-    time("jac: full query") { operators.NearDup.queries("q_dedup_jaccard")(spark, d).count() }
+    // q_dedup_simhash breakdown
+    time("sim: signatures") { operators.NearDup.simhashed(operators.NearDup.corpus(spark, d)).count() }
+    time("sim: signatures again") { operators.NearDup.simhashed(operators.NearDup.corpus(spark, d)).count() }
+    time("sim: full query") { operators.NearDup.queries("q_dedup_simhash")(spark, d).count() }
     spark.stop()
   }
 }

@@ -259,13 +259,37 @@ object NearDup {
     }),
 
     // SimHash near-dup: 32-bit signatures, lang-blocked pairs within
-    // Hamming distance 3.
+    // Hamming distance 3. The pair space is pruned with the classic
+    // Manku/Jain/Sarma chunk trick: split the 32-bit signature into 4
+    // disjoint 8-bit chunks — hamming(a,b) <= 3 means the 3 differing
+    // bits touch at most 3 chunks, so at least one chunk is identical
+    // (pigeonhole). Candidates come from an equi-join on
+    // (lang, chunk_idx, chunk_value) — joinable, shuffle-partitionable,
+    // and subquadratic — then the exact Hamming check runs on
+    // candidates only. Result-identical to the all-pairs join.
     "q_dedup_simhash" -> ((s, d) => {
       val sims = simhashed(corpus(s, d))
-      val a = sims.select(col("doc_id").as("a_id"), col("lang"), col("simhash").as("ha"))
-      val b = sims.select(col("doc_id").as("b_id"), col("lang"), col("simhash").as("hb"))
-      a.join(b, "lang")
-        .filter(col("a_id") < col("b_id"))
+      val chunks = sims.select(col("doc_id"), col("lang"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("c"))
+        .withColumn("cv", expr("shiftright(simhash, cast(c * 8 as int)) & 255"))
+      val cand = chunks.as("x").join(chunks.as("y"),
+          col("x.lang") === col("y.lang") && col("x.c") === col("y.c") &&
+            col("x.cv") === col("y.cv") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          col("x.simhash").as("ha"), col("y.simhash").as("hb"), col("x.c").as("c"))
+        // Emit each pair exactly once — from its FIRST equal chunk —
+        // instead of deduplicating with a distinct (which re-shuffles
+        // the whole candidate set): a candidate from chunk c is kept
+        // only if every earlier chunk differs.
+        .filter(expr(
+          """c = 0
+            |OR (c = 1 AND (ha & 255) != (hb & 255))
+            |OR (c = 2 AND (ha & 255) != (hb & 255)
+            |    AND (shiftright(ha, 8) & 255) != (shiftright(hb, 8) & 255))
+            |OR (c = 3 AND (ha & 255) != (hb & 255)
+            |    AND (shiftright(ha, 8) & 255) != (shiftright(hb, 8) & 255)
+            |    AND (shiftright(ha, 16) & 255) != (shiftright(hb, 16) & 255))""".stripMargin))
+      cand
         .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
         .filter(col("hamming") <= 3)
         .select(col("a_id"), col("b_id"), col("hamming"))

@@ -131,6 +131,47 @@ object SimSearch {
         .limit(20)
     }),
 
+    // IVF-style ANN: a 16-cell inverted-file index with a deterministic
+    // codebook (the first 16 vectors — a fixed sample; a production
+    // build would k-means them, but the *plan shape* is the point).
+    // Cell assignment is one map-only codegen'd pass per vector — the
+    // codebook is collected once (16 × dim doubles, i.e. codebook-scale
+    // metadata, NOT data-scale) and folded into the plan as literals,
+    // exactly like the LSH hyperplanes. The query probes nprobe=2
+    // nearest cells and brute-forces only those — at 100 TB the cell id
+    // becomes the partition key, so a query touches 2/16 of the data
+    // (and the oracle replays every float step, so unlike the
+    // sign-random-projection variant this one IS hash-checkable:
+    // Double.toString round-trips exactly through the plan literal, and
+    // both engines fold the cosine sums in the same element order).
+    "q_simsearch_ivf" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val cents: Array[Array[Double]] = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      def centLit(c: Array[Double]): String =
+        c.map(v => s"${v}D").mkString("array(", ",", ")")
+      val cells = array(cents.map(c =>
+        expr(s"cosine_sim(edbl, ${centLit(c)})")): _*)
+      val emb = Tables.embeddings(s, d)
+        .withColumn("edbl", col("embedding").cast("array<double>"))
+        .withColumn("cells", cells)
+        .withColumn("cell", expr("cast(array_position(cells, array_max(cells)) as int) - 1"))
+      // probe cells: top-2 centroids by cosine to the query vector,
+      // computed through the same plan arithmetic (not driver floats)
+      val probe: Array[Int] = emb.filter(col("vec_id") === 0)
+        .select(posexplode(col("cells")).as(Seq("k", "cos")))
+        .orderBy(col("cos").desc, col("k"))
+        .limit(2).select(col("k")).collect().map(_.getInt(0))
+      val qLit = centLit(cents(0)) // vec_id 0 is centroid 0's source row
+      emb.filter(col("cell").isin(probe.map(Integer.valueOf): _*))
+        .withColumn("cos_sim", round(expr(s"cosine_sim(edbl, $qLit)"), 4))
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(20)
+    }),
+
     // Exact k-NN self-join (k=3) restricted to same-label candidates —
     // the blocked form of the O(n²) join: at 100 TB the label (or a
     // coarse cluster id) is the co-partition key for both sides. The
@@ -171,6 +212,32 @@ object SimSearch {
          |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
 
     // q_simsearch_lsh: no oracle (probabilistic bucketing).
+
+    "q_simsearch_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS c
+         |  FROM embeddings WHERE vec_id < 16),
+         |cl AS (SELECT list(c ORDER BY k) AS cs FROM cents),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+         |assign AS (
+         |  SELECT vec_id, label, a,
+         |    list_position(cosl, list_max(cosl)) - 1 AS cell
+         |  FROM (
+         |    SELECT vec_id, label, a,
+         |      list_transform(cs, c -> list_dot_product(a, c)
+         |        / (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(c, c)))) AS cosl
+         |    FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS a FROM embeddings), cl)),
+         |qprobe AS (
+         |  SELECT k FROM cents, qv
+         |  ORDER BY list_dot_product(q, c)
+         |    / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(c, c))) DESC, k
+         |  LIMIT 2)
+         |SELECT vec_id, label,
+         |  round(list_dot_product(a, q)
+         |    / (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(q, q))), 4) AS cos_sim
+         |FROM assign, qv
+         |WHERE cell IN (SELECT k FROM qprobe)
+         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
 
     "q_knn_label" ->
       s"""SELECT a_id, b_id, label, cos_sim, rn FROM (

@@ -26,6 +26,19 @@ class SimSearchSpec extends SparkSpec {
     assert(lsh.size <= 20)
   }
 
+  test("IVF probe: contains the query, bounded size, high recall vs exact") {
+    val exact = SimSearch.queries("q_simsearch")(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    val ivf = SimSearch.queries("q_simsearch_ivf")(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(ivf.contains(0L), "query vector must be in its own probed cell")
+    assert(ivf.size <= 20)
+    // nprobe=2 of 16 cells: recall against the exact top-20 should be
+    // well above the 2/16 random baseline on this corpus
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall vs exact top-20")
+  }
+
   test("LSH signatures are deterministic across invocations") {
     val s1 = SimSearch.signatures(spark, sf).orderBy("vec_id").collect().toSeq
     val s2 = SimSearch.signatures(spark, sf).orderBy("vec_id").collect().toSeq
