@@ -31,11 +31,14 @@ import graft.Tables
   *
   * Scale posture: the sink-id build side stays a DataFrame end to end —
   * never collected to a driver set like the reference's Python set
-  * (main.py:101). At 100 TB the left_anti is a shuffled join (or Bloom
-  * pre-filter via spark.sql.optimizer.runtime.bloomFilter.enabled); at
-  * small SF AQE broadcasts it. Header extraction is a codegen'd
-  * higher-order expression — no UDF, no per-row JVM boxing beyond the
-  * array itself.
+  * (main.py:101). At 100 TB the left_anti is a shuffled join; at small
+  * SF AQE broadcasts it. (Note runtime Bloom pre-filtering —
+  * spark.sql.optimizer.runtime.bloomFilter.enabled — does NOT apply to
+  * the anti-join probe side: rows absent from the filter are exactly
+  * the ones an anti-join must KEEP. It applies to the inner/semi joins
+  * of the enrichment path; PlanAuditSpec pins that shape.) Header
+  * extraction is a codegen'd higher-order expression — no UDF, no
+  * per-row JVM boxing beyond the array itself.
   */
 object Ingest {
   type Q = (SparkSession, String) => DataFrame

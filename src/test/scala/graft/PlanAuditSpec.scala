@@ -56,6 +56,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges >= 2, s"expected 2 shuffles, plan:\n$p")
   }
 
+  test("runtime bloom filter: selective dim predicate reaches the fact scan") {
+    // The 100 TB anti-join/dedup story (SURVEY §1.3, §7.4): a selective
+    // predicate on one join side should cut the other side's shuffle
+    // volume via Spark's runtime bloom filter. Thresholds are sized for
+    // production data, so shrink the application-side floor to let the
+    // optimizer fire on fixture-scale input. (It applies to inner/semi
+    // joins — NOT to an anti-join's probe side, where absent-from-bloom
+    // rows are exactly the rows to keep.)
+    val conf = spark.conf
+    val old = conf.getOption("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val oldBc = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // injection is skipped for probably-broadcast joins; fixture tables
+    // all fit under the default 10MB threshold, so force the shuffle
+    // shape the rule targets (which is also the true shape at 100 TB)
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
+      val o = Tables.orders(spark, sf)
+        .filter($"o_totalprice" > 500000.0) // selective creation side
+        .select($"o_orderkey")
+      val joined = li.join(o, $"l_orderkey" === $"o_orderkey", "left_semi")
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        "runtime bloom filter not injected:\n" + p.take(1500))
+      // and it must not change results vs the un-filtered plan
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val expected = li.join(o, $"l_orderkey" === $"o_orderkey", "left_semi").count()
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      assert(joined.count() === expected)
+    } finally {
+      old match {
+        case Some(v) => conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", v)
+        case None => conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      }
+      oldBc match {
+        case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("partitioned sink: partition pruning skips non-matching directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
     Tables.events(spark, sf)
