@@ -15,6 +15,7 @@ object SparkEntry {
       (operators.Relational.queries, operators.Relational.oracles),
       (operators.RelationalExt.queries, operators.RelationalExt.oracles),
       (operators.Skew.queries, operators.Skew.oracles),
+      (operators.Pipeline.queries, operators.Pipeline.oracles),
       (operators.Ingest.queries, operators.Ingest.oracles),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
       (operators.SimSearch.queries, operators.SimSearch.oracles),

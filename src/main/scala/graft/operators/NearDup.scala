@@ -185,6 +185,31 @@ object NearDup {
   private def dotD(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
 
+  /** Verified jaccard >= 0.6 near-dup pairs (a_id < b_id, jaccard
+    * unrounded) — the subquadratic PPJoin pipeline shared by
+    * q_dedup_jaccard (which reports the pairs) and q_dedup_cluster
+    * (which treats them as edges).
+    */
+  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = withHashedShingles(corpus(s, d))
+      .select(col("doc_id"), col("lang"), col("source"), col("hs"),
+        size(col("hs")).as("ns"))
+    val pre = sh.select(col("doc_id"), col("lang"), col("source"),
+      explode(expr("slice(hs, 1, ns - ((3*ns + 4) div 5) + 1)")).as("tok"))
+    val cand = pre.as("x").join(pre.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+          col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val ha = sh.select(col("doc_id").as("a_id"), col("hs").as("ha"), col("ns").as("na"))
+    val hb = sh.select(col("doc_id").as("b_id"), col("hs").as("hb"), col("ns").as("nb"))
+    cand.join(ha, "a_id").join(hb, "b_id")
+      .filter(least(col("na"), col("nb")) >= greatest(col("na"), col("nb")) * 0.6)
+      .withColumn("jaccard", expr("jaccard_sorted(ha, hb)"))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact n-gram Jaccard over (lang, source)-blocked pairs. The
     // naive form is the quadratic all-pairs join within each block —
@@ -208,25 +233,54 @@ object NearDup {
     // O(|a|+|b|) merge (SortedJaccard); the size-ratio prune
     // (min/max >= t, another necessary condition) runs first on the
     // already-available lengths.
-    "q_dedup_jaccard" -> ((s, d) => {
-      val sh = withHashedShingles(corpus(s, d))
-        .select(col("doc_id"), col("lang"), col("source"), col("hs"),
-          size(col("hs")).as("ns"))
-      val pre = sh.select(col("doc_id"), col("lang"), col("source"),
-        explode(expr("slice(hs, 1, ns - ((3*ns + 4) div 5) + 1)")).as("tok"))
-      val cand = pre.as("x").join(pre.as("y"),
-          col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
-            col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      val ha = sh.select(col("doc_id").as("a_id"), col("hs").as("ha"), col("ns").as("na"))
-      val hb = sh.select(col("doc_id").as("b_id"), col("hs").as("hb"), col("ns").as("nb"))
-      cand.join(ha, "a_id").join(hb, "b_id")
-        .filter(least(col("na"), col("nb")) >= greatest(col("na"), col("nb")) * 0.6)
-        .withColumn("jaccard", expr("jaccard_sorted(ha, hb)"))
-        .filter(col("jaccard") >= 0.6)
+    "q_dedup_jaccard" -> ((s, d) =>
+      jaccardPairs(s, d)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy(col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // Dedup clustering: near-dup PAIRS are not a dedup decision — a
+    // training pipeline must group transitively-connected docs into
+    // components and keep one canonical per component. Connected
+    // components via iterative min-label propagation over the verified
+    // jaccard edges:
+    //   labels ← id; repeat: label(v) ← min(label(v), min over
+    //   neighbors u of label(u)); fixpoint = component minimum.
+    // Each step is one join + one partial/final min-aggregate —
+    // the standard distributed-CC shape (GraphX/Pregel do the same);
+    // iterations needed = component diameter (near-dup clusters are
+    // tiny stars/chains). The edge set and per-round labels are
+    // localCheckpoint()ed: edges are consumed every round and labels
+    // would otherwise accrete a lineage of k joins, recomputing the
+    // whole candidate pipeline per action. sum(cluster_id) is the
+    // convergence probe — min-propagation is monotone decreasing, so
+    // an unchanged sum IS the fixpoint (one scalar action per round,
+    // no row-level diff).
+    "q_dedup_cluster" -> ((s, d) => {
+      val e = jaccardPairs(s, d).select(col("a_id"), col("b_id"))
+      val edges = e.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint()
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id"))
+        .localCheckpoint()
+      var sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id")).head.getLong(0)
+      var converged = false
+      var round = 0
+      while (!converged && round < 25) {
+        val prop = edges.join(labels, edges("src") === labels("doc_id"))
+          .select(col("dst").as("doc_id"), col("cluster_id"))
+        labels = labels.union(prop)
+          .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+          .localCheckpoint()
+        val newSum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id")).head.getLong(0)
+        converged = newSum == sum
+        sum = newSum
+        round += 1
+      }
+      require(converged, s"connected components did not converge in $round rounds")
+      labels
+        .withColumn("canonical", col("doc_id") === col("cluster_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // MinHash + banded LSH: candidates from band-signature equality,
@@ -332,6 +386,30 @@ object NearDup {
          |WHERE len(list_intersect(x.hs, y.hs))
          |      / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.6
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // Connected components over the verified jaccard edges: the oracle
+    // computes full transitive closure (reach) with a recursive CTE and
+    // takes min(reachable id) per node — the same fixpoint the Spark
+    // min-label propagation converges to.
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $corpusSql,
+         |$shinglesSql,
+         |$hshSql,
+         |pairs AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM hsh x JOIN hsh y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+         |  WHERE len(list_intersect(x.hs, y.hs))
+         |        / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.6),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, min(dst) AS cluster_id,
+         |  min(dst) = src AS canonical
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH $corpusSql,

@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Training-data pipeline operators (SURVEY §2.6 north-star): the
+  * corpus-construction steps a 100 TB LLM-data run needs between "raw
+  * documents" and "training shards" — reproducible sampling, stratified
+  * rebalancing, mixture construction, deterministic sharding,
+  * benchmark decontamination, TF-IDF corpus statistics, and length
+  * histograms.
+  *
+  * Every sampling decision derives from a universal hash of the row's
+  * stable key — h(id) = (a·(id mod p) + b) mod p, p = 2³¹−1 — NOT from
+  * an RNG: at 100 TB a re-run (failed stage, added source, audit) must
+  * make bit-identical keep/drop decisions per document, and a seeded
+  * RNG is partition-order-dependent while the hash is a pure function
+  * of the row. Products stay < 2⁶² so the DuckDB oracle (which errors
+  * on BIGINT overflow) replays the same arithmetic exactly.
+  *
+  * Scale posture, per query:
+  *  - sample/shard are MAP-ONLY (no shuffle): filter/project on the
+  *    hash. At 100 TB they run at scan speed and pushdown-prune
+  *    columns.
+  *  - mixture needs per-stratum top-k by hash — a single shuffle on
+  *    the stratum key. At extreme scale the window sort is replaced by
+  *    an approximate hash-threshold (quantile of h per stratum, then a
+  *    map-only filter); the window form here is the exact baseline.
+  *  - decontamination broadcasts the benchmark n-gram set (eval suites
+  *    are KBs–MBs; the corpus is the 100 TB side) — a broadcast
+  *    semi-join at n-gram grain, then an anti-join back at doc grain.
+  *    No shuffle touches the big side's text.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val P = 2147483647L // 2^31 − 1, prime
+  // Arbitrary fixed coefficients in [1, p−1]; plan literals in both engines.
+  private val A1 = 1103617541L; private val B1 = 94370269L
+  private val A2 = 1803301271L; private val B2 = 592394837L
+
+  /** h(id) as an inline SQL fragment — identical text works in Spark
+    * and DuckDB (both have %, both are BIGINT-safe below 2⁶²). */
+  private def h(col: String, a: Long, b: Long): String =
+    s"($a * ($col % $P) + $b) % $P"
+
+  val queries: Map[String, Q] = Map(
+    // Reproducible 10% Bernoulli sample: keep iff h(doc_id) mod 100 < 10.
+    // Map-only — the filter sits directly on the scan, columns prune.
+    "q_sample_hash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(expr(s"${h("doc_id", A1, B1)} % 100 < 10"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stratified rebalancing: skewed corpora keep majority strata at a
+    // low rate and minority strata at a high one. Rates are per-lang
+    // CASE literals; still map-only.
+    "q_sample_stratified" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("rate", expr("CASE WHEN lang = 'en' THEN 10 ELSE 40 END"))
+        .filter(expr(s"${h("doc_id", A1, B1)} % 100 < rate"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Mixture construction: exact per-stratum quotas (en:40 de:15 es:15
+    // fr:15 zh:15) taken as the quota-many smallest hashes per stratum
+    // — a deterministic uniform sample at exact size. One shuffle on
+    // the stratum key; ties broken by doc_id so the result is total.
+    "q_mixture" -> ((s, d) => {
+      val quota = expr("CASE WHEN lang = 'en' THEN 40 ELSE 15 END")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("h", expr(h("doc_id", A1, B1)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= quota)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // Deterministic shuffle + shard: shard = h1 mod 8, order within a
+    // shard by an INDEPENDENT hash h2 (reusing h1 would sort each
+    // shard by the same key that assigned it — a correlated, biased
+    // order). This is the "global shuffle" of training-data prep as a
+    // pure function of doc_id: map-only shard assignment, one shuffle
+    // to sort within shards — exactly the write pattern of
+    // partitionBy("shard").sortWithinPartitions(h2) at 100 TB.
+    "q_train_shard" -> ((s, d) => {
+      val w = Window.partitionBy(col("shard")).orderBy(col("h2"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("shard", expr(s"${h("doc_id", A1, B1)} % 8"))
+        .withColumn("h2", expr(h("doc_id", A2, B2)))
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
+    // Benchmark decontamination: drop any training doc sharing a word
+    // 3-gram with the eval set (docs with doc_id ≡ 0 mod 23 stand in
+    // for the benchmark). The eval n-gram set is broadcast — the 100 TB
+    // side is never shuffled; contaminated ids come from a broadcast
+    // semi-join at n-gram grain, then one anti-join at doc grain.
+    "q_decontaminate" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val ng = docs.select(col("doc_id"), col("lang"),
+        explode(expr("word_shingles(text, 3)")).as("ng"))
+      val evalNg = ng.filter(col("doc_id") % 23 === 0).select(col("ng")).distinct()
+      val contaminated = ng.filter(col("doc_id") % 23 =!= 0)
+        .join(broadcast(evalNg), Seq("ng"), "left_semi")
+        .select(col("doc_id")).distinct()
+      docs.filter(col("doc_id") % 23 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus TF-IDF statistics per (lang, token): document frequency
+    // within the language, total term frequency, idf = ln(N_lang/df).
+    // One explode + two hash aggregates (token grain, then join with
+    // the broadcast per-lang doc counts). Emitted for df >= 10 to keep
+    // the result a "vocabulary report", not a full posting list.
+    "q_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val tok = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      tok.groupBy(col("lang"), col("token"))
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+        .filter(col("df") >= 10)
+        .join(broadcast(nLang), "lang")
+        .select(col("lang"), col("token"), col("df"), col("tf"),
+          round(log(col("n_docs") / col("df")), 4).as("idf"),
+          round(col("tf") * log(col("n_docs") / col("df")), 4).as("tfidf_mass"))
+        .orderBy(col("lang"), col("token"))
+    }),
+
+    // Length histogram: fixed-width integer buckets (64 chars), all
+    // integer arithmetic so both engines bucket identically. A single
+    // partial+final hash aggregate.
+    "q_histogram" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("bucket", expr("least(n_chars div 64, 9)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("bucket"))
+    })
+  )
+
+  private val ngSql =
+    """ng AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS ng
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_sample_hash" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE ${h("doc_id", A1, B1)} % 100 < 10
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${h("doc_id", A1, B1)} % 100 <
+         |  CASE WHEN lang = 'en' THEN 10 ELSE 40 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_mixture" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${h("doc_id", A1, B1)}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= CASE WHEN lang = 'en' THEN 40 ELSE 15 END
+         |ORDER BY lang, doc_id""".stripMargin,
+
+    "q_train_shard" ->
+      s"""SELECT doc_id, shard,
+         |  row_number() OVER (PARTITION BY shard
+         |    ORDER BY ${h("doc_id", A2, B2)}, doc_id) AS pos
+         |FROM (SELECT doc_id, ${h("doc_id", A1, B1)} % 8 AS shard FROM documents)
+         |ORDER BY shard, pos""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH $ngSql,
+         |contaminated AS (
+         |  SELECT DISTINCT t.doc_id FROM ng t
+         |  JOIN (SELECT DISTINCT ng FROM ng WHERE doc_id % 23 = 0) e ON t.ng = e.ng
+         |  WHERE t.doc_id % 23 != 0)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id % 23 != 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |nl AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+        |SELECT t.lang, token, count(DISTINCT doc_id) AS df, count(*) AS tf,
+        |  round(ln(n_docs / count(DISTINCT doc_id)), 4) AS idf,
+        |  round(count(*) * ln(n_docs / count(DISTINCT doc_id)), 4) AS tfidf_mass
+        |FROM tok t JOIN nl ON t.lang = nl.lang
+        |GROUP BY t.lang, token, n_docs
+        |HAVING count(DISTINCT doc_id) >= 10
+        |ORDER BY t.lang, token""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT least(n_chars // 64, 9) AS bucket, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
+  )
+}

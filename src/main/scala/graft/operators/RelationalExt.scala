@@ -128,7 +128,56 @@ object RelationalExt {
           approx_count_distinct(col("user_id")).as("approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
           percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // Subqueries through the SQL front door: scalar (global avg),
+    // EXISTS (correlated → Catalyst rewrites to a left-semi join), and
+    // IN (uncorrelated → semi join on a broadcast 5-row set). The
+    // scalar threshold is floor()ed to an integer so the cross-engine
+    // float-fold-order difference in avg() (~1e-12) cannot flip a
+    // boundary row.
+    "q_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(
+        """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+          |FROM customer c
+          |WHERE c_acctbal > (SELECT floor(avg(c_acctbal)) FROM customer)
+          |  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+          |  AND EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Exact quantiles per group: sort-based percentile with linear
+    // interpolation (rank = p·(n−1)), the same definition DuckDB's
+    // quantile_cont uses. Interpolated midpoints of 2-decimal inputs
+    // have ≤ 4 decimal digits, so round(4) is exact cross-engine. At
+    // 100 TB the exact form needs a per-group sort; percentile_approx
+    // (q_approx_stats) is the mergeable-sketch alternative.
+    "q_quantile_exact" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.25)"), 4).as("p25"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.75)"), 4).as("p75"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy(col("event_type"))),
+
+    // Bivariate statistics per group: Pearson correlation, sample
+    // covariance, sample stddev — single partial+final aggregate with
+    // mergeable moment state (sum, sum², sum of products), the same
+    // shape that scales to any data size.
+    "q_stats_corr" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+          round(stddev_samp(col("l_discount")), 4).as("sd_disc"))
+        .orderBy(col("l_returnflag")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -176,7 +225,31 @@ object RelationalExt {
         |JOIN (SELECT band_id, band_id * 100.0 AS lo, (band_id + 1) * 100.0 AS hi
         |      FROM (SELECT unnest(range(0, 5)) AS band_id))
         | ON value >= lo AND value < hi
-        |GROUP BY band_id ORDER BY band_id""".stripMargin
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "q_subquery" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT floor(avg(c_acctbal)) FROM customer)
+        |  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_quantile_exact" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.25), 4) AS p25,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.75), 4) AS p75,
+        | round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stats_corr" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+        | round(stddev_samp(l_discount), 4) AS sd_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
     // q_approx_stats: no oracle (sketches are engine-specific).
   )
