@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{NearDup, Pipeline}
+
+/** Semantic invariants of the training-data pipeline bank (the oracle
+  * gate pins exact values; these pin the properties that make the
+  * operators *correct as pipeline stages* at any scale).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("hash sample is deterministic and a subset at roughly the nominal rate") {
+    val a = Pipeline.queries("q_sample_hash")(spark, sf).select($"doc_id").collect().map(_.getLong(0))
+    val b = Pipeline.queries("q_sample_hash")(spark, sf).select($"doc_id").collect().map(_.getLong(0))
+    assert(a.sameElements(b), "re-run must make identical keep decisions")
+    val n = docs.count()
+    val all = docs.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.forall(all), "sample must be a subset of the corpus")
+    // 10% Bernoulli: allow generous slack at tiny SF (binomial spread)
+    assert(a.length > n * 0.03 && a.length < n * 0.25, s"rate ${a.length}/$n far from 10%")
+  }
+
+  test("stratified sample keeps minority strata at the higher rate") {
+    val byLang = Pipeline.queries("q_sample_stratified")(spark, sf)
+      .groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    val restKept = (byLang - "en").values.sum.toDouble
+    val restTotal = (totals - "en").values.sum.toDouble
+    assert(restKept / restTotal > enRate, "minority strata must be kept at a higher rate")
+  }
+
+  test("mixture hits each stratum quota exactly (capped by stratum size)") {
+    val got = Pipeline.queries("q_mixture")(spark, sf)
+      .groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, n) =>
+      val quota = if (lang == "en") 40L else 15L
+      assert(got.getOrElse(lang, 0L) === math.min(quota, n), s"stratum $lang")
+    }
+  }
+
+  test("train shards partition the corpus; positions are contiguous from 1") {
+    val sh = Pipeline.queries("q_train_shard")(spark, sf).cache()
+    try {
+      assert(sh.count() === docs.count(), "every doc lands in exactly one shard")
+      assert(sh.filter($"shard" < 0 || $"shard" > 7).count() === 0)
+      val bad = sh.groupBy($"shard")
+        .agg(count(lit(1)).as("n"), max($"pos").as("mx"), min($"pos").as("mn"))
+        .filter($"mx" =!= $"n" || $"mn" =!= 1).count()
+      assert(bad === 0, "pos must be a dense 1..n ranking per shard")
+    } finally sh.unpersist()
+  }
+
+  test("decontamination: no survivor shares a 3-gram with the eval set") {
+    graft.functions.VectorFunctions.register(spark)
+    val survivors = Pipeline.queries("q_decontaminate")(spark, sf).select($"doc_id")
+    val ng = docs.select($"doc_id", explode(expr("word_shingles(text, 3)")).as("ng"))
+    val evalNg = ng.filter($"doc_id" % 23 === 0).select($"ng").distinct()
+    val leaked = ng.join(survivors, "doc_id").join(evalNg, "ng").count()
+    assert(leaked === 0)
+    assert(survivors.filter($"doc_id" % 23 === 0).count() === 0, "eval docs must not survive")
+  }
+
+  test("tfidf internal consistency: idf = ln(n_lang/df), mass = tf*idf, df >= 10") {
+    val nLang = docs.groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Pipeline.queries("q_tfidf")(spark, sf).collect().foreach { r =>
+      val (lang, df, tf) = (r.getString(0), r.getLong(2), r.getLong(3))
+      val (idf, mass) = (r.getDouble(4), r.getDouble(5))
+      assert(df >= 10)
+      assert(math.abs(idf - math.log(nLang(lang).toDouble / df)) < 1e-4)
+      assert(math.abs(mass - tf * math.log(nLang(lang).toDouble / df)) < 1e-3)
+    }
+  }
+
+  test("histogram buckets cover the corpus exactly once") {
+    val h = Pipeline.queries("q_histogram")(spark, sf).collect()
+    assert(h.map(_.getLong(1)).sum === docs.count())
+    assert(h.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 9))
+    h.filter(_.getLong(0) < 9).foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getLong(2) >= b * 64 && r.getLong(3) < (b + 1) * 64, s"bucket $b bounds")
+    }
+  }
+
+  test("dedup clustering: edges never cross clusters; one canonical = min id per cluster") {
+    val labels = NearDup.queries("q_dedup_cluster")(spark, sf).cache()
+    try {
+      val lab = labels.select($"doc_id", $"cluster_id")
+      val crossing = NearDup.jaccardPairs(spark, sf)
+        .join(lab.withColumnRenamed("doc_id", "a_id").withColumnRenamed("cluster_id", "ca"), "a_id")
+        .join(lab.withColumnRenamed("doc_id", "b_id").withColumnRenamed("cluster_id", "cb"), "b_id")
+        .filter($"ca" =!= $"cb").count()
+      assert(crossing === 0, "near-dup edge endpoints must share a cluster")
+      val badClusters = labels.groupBy($"cluster_id")
+        .agg(min($"doc_id").as("mn"),
+          sum(when($"canonical", 1L).otherwise(0L)).as("nCanon"))
+        .filter($"mn" =!= $"cluster_id" || $"nCanon" =!= 1).count()
+      assert(badClusters === 0, "cluster_id must be the component minimum, with exactly one canonical")
+    } finally labels.unpersist()
+  }
+}
