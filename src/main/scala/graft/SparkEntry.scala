@@ -16,6 +16,7 @@ object SparkEntry {
       (operators.RelationalExt.queries, operators.RelationalExt.oracles),
       (operators.Skew.queries, operators.Skew.oracles),
       (operators.Pipeline.queries, operators.Pipeline.oracles),
+      (operators.Reshape.queries, operators.Reshape.oracles),
       (operators.Ingest.queries, operators.Ingest.oracles),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
       (operators.SimSearch.queries, operators.SimSearch.oracles),

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Reshape / temporal / maintenance operators: unpivot (wide→long),
+  * time-series resampling with gap-fill + forward-fill, last-wins
+  * upsert merge (the batch form of MERGE INTO), and PII scrubbing —
+  * the snapshot-maintenance and redaction stages of a training-data
+  * pipeline.
+  *
+  * Scale posture:
+  *  - unpivot is a map-side `stack` over an already-aggregated frame —
+  *    no extra shuffle beyond the aggregate.
+  *  - resample joins a generated hour spine (tiny: buckets × strata)
+  *    against the bucketed aggregate; the raw 100 TB table is touched
+  *    once, by the bucket aggregate. Forward-fill is one window per
+  *    stratum — state is a single value, so it streams.
+  *  - upsert shuffles BOTH sides on the key once (the updates batch is
+  *    typically ≪ base; Catalyst broadcast-joins... but last-wins needs
+  *    co-partitioned dedup, so it's one shuffle on the merge key —
+  *    exactly what MERGE INTO costs anywhere).
+  *  - PII scrub is map-only regex; at 100 TB it runs at scan speed and
+  *    is the shape you'd fuse with other per-doc text transforms.
+  */
+object Reshape {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "555-[0-9]+"
+
+  val queries: Map[String, Q] = Map(
+    // Wide→long unpivot of per-nation account-balance stats via
+    // stack(); the long form is what plotting/metric stores ingest.
+    "q_unpivot" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(min(col("c_acctbal")), 2).as("mn"),
+          round(avg(col("c_acctbal")), 4).as("av"),
+          round(max(col("c_acctbal")), 2).as("mx"))
+        .selectExpr("n_name", "stack(3, 'min', mn, 'avg', av, 'max', mx) AS (metric, value)")
+        .orderBy(col("n_name"), col("metric"))
+    }),
+
+    // Hourly resample per event_type: bucket-aggregate the raw events
+    // once, generate the dense hour spine per stratum (sequence +
+    // explode), left-join, then forward-fill the last observed value
+    // across gaps with last(ignoreNulls) over an unbounded-preceding
+    // frame. `gap` marks synthesized rows.
+    "q_resample" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value")).as("v"), count(lit(1)).as("n"))
+      val spine = base.groupBy(col("event_type"))
+        .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(col("event_type"), explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(base, Seq("event_type", "h"), "left")
+        .withColumn("v_ffill", round(last(col("v"), ignoreNulls = true).over(w), 4))
+        .select(col("event_type"), col("h"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          col("v_ffill"),
+          col("n").isNull.as("gap"))
+        .orderBy(col("event_type"), col("h"))
+    }),
+
+    // Last-wins upsert: merge an updates batch (modified balances for
+    // custkey % 7 = 0, brand-new rows for % 13 = 0) onto the customer
+    // snapshot. union → row_number by key, updates win — the
+    // deterministic batch equivalent of MERGE INTO ... WHEN MATCHED
+    // UPDATE WHEN NOT MATCHED INSERT.
+    "q_upsert" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val base = c.select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").as("acctbal"), lit(0).as("prio"), lit("base").as("src"))
+      val upd = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 1000.0).as("acctbal"), lit(1).as("prio"), lit("upd").as("src"))
+      val ins = c.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_name"),
+          lit(0.0).as("acctbal"), lit(1).as("prio"), lit("new").as("src"))
+      val w = Window.partitionBy(col("c_custkey")).orderBy(col("prio").desc)
+      base.union(upd).union(ins)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_custkey"), col("c_name"),
+          round(col("acctbal"), 2).as("acctbal"), col("src"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // PII scrub: redact emails/phones with regexp_replace (patterns
+    // kept to the Java∩RE2 regex subset so the oracle replays them).
+    // The fixtures' text is synthetic, so deterministic PII is woven
+    // in per doc first; output is the fully scrubbed text plus a
+    // redaction count — map-only, scan-speed at any scale.
+    "q_pii_scrub" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("pii_text",
+          concat(col("text"), lit(" Contact user"), col("doc_id"),
+            lit("@mail.example.com or call 555-0"), (col("doc_id") % 1000).cast("string"),
+            lit(" now.")))
+        .select(col("doc_id"),
+          (regexp_count(col("pii_text"), lit(EmailPat)) +
+            regexp_count(col("pii_text"), lit(PhonePat))).cast("long").as("n_pii"),
+          regexp_replace(regexp_replace(col("pii_text"), EmailPat, "<EMAIL>"),
+            PhonePat, "<PHONE>").as("scrubbed"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_unpivot" ->
+      """WITH st AS (
+        |  SELECT n_name, round(min(c_acctbal), 2) AS mn,
+        |    round(avg(c_acctbal), 4) AS av, round(max(c_acctbal), 2) AS mx
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, metric, value FROM (
+        |  SELECT n_name, 'min' AS metric, mn AS value FROM st
+        |  UNION ALL SELECT n_name, 'avg', av FROM st
+        |  UNION ALL SELECT n_name, 'max', mx FROM st)
+        |ORDER BY n_name, metric""".stripMargin,
+
+    "q_resample" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |    sum(value) AS v, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        |  FROM base GROUP BY event_type)
+        |SELECT s.event_type, s.h, coalesce(b.n, 0) AS n_events,
+        |  round(last_value(b.v IGNORE NULLS) OVER (PARTITION BY s.event_type ORDER BY s.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_ffill,
+        |  b.n IS NULL AS gap
+        |FROM spine s LEFT JOIN base b ON s.event_type = b.event_type AND s.h = b.h
+        |ORDER BY s.event_type, s.h""".stripMargin,
+
+    "q_upsert" ->
+      """WITH merged AS (
+        |  SELECT c_custkey, c_name, c_acctbal AS acctbal, 0 AS prio, 'base' AS src FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 1000.0, 1, 'upd' FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, 0.0, 1, 'new' FROM customer WHERE c_custkey % 13 = 0)
+        |SELECT c_custkey, c_name, round(acctbal, 2) AS acctbal, src FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY prio DESC) AS rn
+        |  FROM merged)
+        |WHERE rn = 1 ORDER BY c_custkey""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' Contact user' || doc_id || '@mail.example.com or call 555-0'
+        |      || CAST(doc_id % 1000 AS VARCHAR) || ' now.' AS pii_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(pii_text, '555-[0-9]+')) AS n_pii,
+        |  regexp_replace(regexp_replace(pii_text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '555-[0-9]+', '<PHONE>', 'g') AS scrubbed
+        |FROM p ORDER BY doc_id""".stripMargin
+  )
+}

@@ -111,4 +111,24 @@ class PlanAuditSpec extends SparkSpec {
     val expected = Tables.events(spark, sf).filter($"event_type" === "click").count()
     assert(back.count() === expected)
   }
+
+  test("q_decontaminate: eval n-gram set is broadcast, corpus side never shuffled on text") {
+    val df = graft.operators.Pipeline.queries("q_decontaminate")(spark, sf)
+    df.collect() // let AQE finalize join strategies
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "eval-set semi join is not broadcast:\n" + p.take(1500))
+  }
+
+  test("q_sample_hash: untouched columns (text) are pruned at the scan") {
+    val p = plan(graft.operators.Pipeline.queries("q_sample_hash")(spark, sf))
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!read.contains("text"), s"scan reads the unprojected text column:\n$read")
+  }
+
+  test("q_upsert: merge costs exactly one hash shuffle (on the merge key)") {
+    val p = plan(graft.operators.Reshape.queries("q_upsert")(spark, sf))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected a single key shuffle, got $exchanges:\n${p.take(1500)}")
+  }
 }
