@@ -19,14 +19,10 @@ object Scratch {
     }
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    // q_simsearch_lsh breakdown
-    time("lsh: signatures") { operators.SimSearch.signatures(spark, d).count() }
-    time("lsh: full query") { operators.SimSearch.queries("q_simsearch_lsh")(spark, d).count() }
-
-    // q_dedup_simhash breakdown
-    time("sim: signatures") { operators.NearDup.simhashed(operators.NearDup.corpus(spark, d)).count() }
-    time("sim: signatures again") { operators.NearDup.simhashed(operators.NearDup.corpus(spark, d)).count() }
-    time("sim: full query") { operators.NearDup.queries("q_dedup_simhash")(spark, d).count() }
+    // q_dedup_cluster breakdown
+    time("cc: jaccard pairs") { operators.NearDup.jaccardPairs(spark, d).count() }
+    time("cc: full query") { operators.NearDup.queries("q_dedup_cluster")(spark, d).count() }
+    time("cc: full query again") { operators.NearDup.queries("q_dedup_cluster")(spark, d).count() }
     spark.stop()
   }
 }

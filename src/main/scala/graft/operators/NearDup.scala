@@ -243,8 +243,9 @@ object NearDup {
     // components and keep one canonical per component. Connected
     // components via iterative min-label propagation over the verified
     // jaccard edges:
-    //   labels ← id; repeat: label(v) ← min(label(v), min over
-    //   neighbors u of label(u)); fixpoint = component minimum.
+    //   labels ← min(v, min neighbor) (first round fused into the
+    //   seed); repeat: label(v) ← min(label(v), min over neighbors u
+    //   of label(u)); fixpoint = component minimum.
     // Each step is one join + one partial/final min-aggregate —
     // the standard distributed-CC shape (GraphX/Pregel do the same);
     // iterations needed = component diameter (near-dup clusters are
@@ -260,8 +261,12 @@ object NearDup {
       val edges = e.select(col("a_id").as("src"), col("b_id").as("dst"))
         .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
         .localCheckpoint()
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id"))
+      // Seed with the first propagation fused into initialization:
+      // label(v) = min(v, min neighbor) — saves a whole round's
+      // checkpoint + probe vs starting from the identity labeling.
+      var labels = edges.select(col("dst").as("doc_id"), col("src").as("cluster_id"))
+        .union(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
       var sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id")).head.getLong(0)
       var converged = false
