@@ -59,6 +59,58 @@ object Udx {
     override def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
+  /** Per-order input to the top-k aggregator. */
+  case class Ord(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+
+  /** Bounded top-k state: parallel arrays sorted by (price desc,
+    * orderkey asc), never longer than K — flat primitive arrays so the
+    * buffer stays columnar-encodable (no kryo).
+    */
+  case class TopBuf(prices: Array[Double], keys: Array[Long])
+
+  /** Typed UDAF: top-K orders per customer with O(K) state.
+    *
+    * The window form (`row_number() OVER (PARTITION BY ... ORDER BY
+    * ...)` then `rank <= K`) sorts EVERY group's full row set after a
+    * shuffle of the whole table. This aggregator carries only K
+    * (price, key) pairs per group, combines map-side like any
+    * associative agg, and shuffles K rows per group instead of all of
+    * them — at 100 TB that is the difference between a top-k and a
+    * global sort. Merge is a k-way sorted merge, associative and
+    * commutative, with ties broken by orderkey for determinism.
+    */
+  class TopKOrders(k: Int) extends Aggregator[Ord, TopBuf, TopBuf] {
+    override def zero: TopBuf = TopBuf(Array.empty, Array.empty)
+    private def better(p1: Double, k1: Long, p2: Double, k2: Long): Boolean =
+      p1 > p2 || (p1 == p2 && k1 < k2)
+    override def reduce(b: TopBuf, o: Ord): TopBuf =
+      merge(b, TopBuf(Array(o.o_totalprice), Array(o.o_orderkey)))
+    override def merge(a: TopBuf, b: TopBuf): TopBuf = {
+      val n = math.min(k, a.prices.length + b.prices.length)
+      val ps = new Array[Double](n); val ks = new Array[Long](n)
+      var i = 0; var j = 0; var out = 0
+      while (out < n) {
+        val takeA = j >= b.prices.length ||
+          (i < a.prices.length && better(a.prices(i), a.keys(i), b.prices(j), b.keys(j)))
+        if (takeA) { ps(out) = a.prices(i); ks(out) = a.keys(i); i += 1 }
+        else { ps(out) = b.prices(j); ks(out) = b.keys(j); j += 1 }
+        out += 1
+      }
+      TopBuf(ps, ks)
+    }
+    override def finish(b: TopBuf): TopBuf = b
+    override def bufferEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+    override def outputEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+  }
+
+  /** Per-user gap statistics computed imperatively inside a group —
+    * the `mapGroups` escape hatch for genuinely iterative per-key
+    * logic. The double divisions happen once, on exact integer sums,
+    * so the oracle replays them bit-identically.
+    */
+  case class GapStats(user_id: Long, n_events: Long,
+    avg_gap_s: Option[Double], max_gap_s: Option[Double])
+
   val queries: Map[String, Q] = Map(
     // Scala UDF demo: the app.py:45 sanitization as a user function.
     "q_udf_sanitize" -> ((s, d) => {
@@ -80,6 +132,49 @@ object Udx {
         .agg(FirstEventType.toColumn.name("first_type"))
         .toDF("user_id", "first_type")
         .orderBy(col("user_id"))
+    }),
+
+    // Typed Aggregator top-k: O(K) state per group vs the window
+    // form's full per-group sort (see TopKOrders doc).
+    "q_topk_agg" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[Ord]
+        .groupByKey(_.o_custkey)
+        .agg(new TopKOrders(3).toColumn.name("top"))
+        .toDF("o_custkey", "top")
+        .selectExpr("o_custkey", "posexplode(arrays_zip(top.prices, top.keys)) AS (pos, pk)")
+        .selectExpr("o_custkey", "CAST(pos + 1 AS BIGINT) AS rank",
+          "pk.keys AS o_orderkey", "round(pk.prices, 2) AS o_totalprice")
+        .orderBy(col("o_custkey"), col("rank"))
+    }),
+
+    // mapGroups: per-user inter-event gap stats via imperative
+    // in-group iteration (sorted by ts, event_id).
+    "q_grouped_map" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .mapGroups { (uid, it) =>
+          val micros = it.toArray
+            .map(e => (e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L, e.event_id))
+            .sorted.map(_._1)
+          if (micros.length < 2) GapStats(uid, micros.length.toLong, None, None)
+          else {
+            val gaps = micros.sliding(2).map(w => w(1) - w(0)).toArray
+            GapStats(uid, micros.length.toLong,
+              Some(gaps.sum.toDouble / (gaps.length * 1000000.0)),
+              Some(gaps.max.toDouble / 1000000.0))
+          }
+        }
+        .toDF()
+        .select(col("user_id"), col("n_events"),
+          round(col("avg_gap_s"), 4).as("avg_gap_s"),
+          round(col("max_gap_s"), 4).as("max_gap_s"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -93,6 +188,24 @@ object Udx {
       """SELECT user_id, event_type AS first_type FROM (
         | SELECT user_id, event_type,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_topk_agg" ->
+      """SELECT o_custkey, rank, o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        | FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+
+    "q_grouped_map" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  round(CAST(sum(gap_us) AS BIGINT) / (count(gap_us) * 1000000.0), 4) AS avg_gap_s,
+        |  round(CAST(max(gap_us) AS BIGINT) / 1000000.0, 4) AS max_gap_s
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -32,4 +32,25 @@ class UdxSpec extends SparkSpec {
       assert(got === expected, s"with $parts partitions")
     }
   }
+
+  test("TopKOrders: bounded state, sorted output, partition-count independent") {
+    val agg = new Udx.TopKOrders(3)
+    val orders = (1L to 20L).map(i => Udx.Ord(i, 1L, (i * 37 % 11).toDouble))
+    // exhaustive reduce must equal any split-merge (associativity spot check)
+    val whole = orders.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = orders.splitAt(7)
+    val split = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(whole.prices.toSeq === split.prices.toSeq)
+    assert(whole.keys.toSeq === split.keys.toSeq)
+    assert(whole.prices.length === 3, "state must stay bounded at K")
+    assert(whole.prices.toSeq === whole.prices.sorted.reverse.toSeq, "descending by price")
+    // ties broken by ascending key: price 10.0 occurs for keys 9 and 20
+    val expectTop = orders.sortBy(o => (-o.o_totalprice, o.o_orderkey)).take(3)
+    assert(whole.keys.toSeq === expectTop.map(_.o_orderkey))
+    // end-to-end: 1 vs 4 partitions agree
+    val ds = spark.createDataset(orders)
+    val run = (parts: Int) => ds.repartition(parts).groupByKey(_.o_custkey)
+      .agg(agg.toColumn.name("top")).collect().map { case (k, b) => k -> b.keys.toSeq }.toMap
+    assert(run(1) === run(4))
+  }
 }
