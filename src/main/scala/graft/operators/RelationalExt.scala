@@ -166,6 +166,23 @@ object RelationalExt {
           round(expr("percentile(value, 0.99)"), 4).as("p99"))
         .orderBy(col("event_type"))),
 
+    // Mergeable HLL sketches (Apache DataSketches, built into Spark
+    // 3.5+): per-(event_type, day) sketches built in one pass, then
+    // UNIONED — not recomputed — into per-type monthly distincts. This
+    // is THE 100 TB distinct-counting shape: daily sketch builds
+    // parallelize and persist (KB each), and any rollup (weekly,
+    // monthly, all-time) is a cheap union of sketches instead of a
+    // rescan of raw data. No DuckDB oracle (sketch internals are
+    // engine-specific); the spec pins the estimates to exact counts.
+    "q_hll_union" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("daily_sketch"))
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("daily_sketch"))).cast("long")
+          .as("monthly_users"), count(lit(1)).as("n_days"))
+        .orderBy(col("event_type"))),
+
     // Bivariate statistics per group: Pearson correlation, sample
     // covariance, sample stddev — single partial+final aggregate with
     // mergeable moment state (sum, sum², sum of products), the same

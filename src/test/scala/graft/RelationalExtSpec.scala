@@ -22,6 +22,17 @@ class RelationalExtSpec extends SparkSpec {
     }
   }
 
+  test("hll sketch union: monthly estimate within 2% of exact distinct users") {
+    val got = RelationalExt.queries("q_hll_union")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf).groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("nu"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (et, nu) =>
+      assert(math.abs(got(et) - nu).toDouble / nu <= 0.02, s"$et: sketch ${got(et)} vs exact $nu")
+    }
+  }
+
   test("as-of join: every matched click precedes its purchase, and is the latest such") {
     val asof = RelationalExt.queries("q_join_asof")(spark, sf)
     val bad = asof.filter($"click_us".isNotNull && $"click_us" > $"purchase_us").count()
