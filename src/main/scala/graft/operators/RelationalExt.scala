@@ -183,6 +183,33 @@ object RelationalExt {
           .as("monthly_users"), count(lit(1)).as("n_days"))
         .orderBy(col("event_type"))),
 
+    // Distribution window functions: percent_rank / cume_dist / ntile
+    // over a per-status price ordering made total by the unique
+    // orderkey tiebreak (no peer groups → both engines agree exactly).
+    "q_window_dist" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Ordered string aggregation (LISTAGG): deterministic via
+    // sort_array before join — same multiset, same order, same string
+    // in both engines.
+    "q_string_agg" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_acctbal") > 9900)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          array_join(sort_array(collect_list(col("c_name"))), ",").as("names"))
+        .orderBy(col("n_name"))),
+
     // Bivariate statistics per group: Pearson correlation, sample
     // covariance, sample stddev — single partial+final aggregate with
     // mergeable moment state (sum, sum², sum of products), the same
@@ -252,6 +279,22 @@ object RelationalExt {
         |  AND EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | round(percent_rank() OVER w, 4) AS pr,
+        | round(cume_dist() OVER w, 4) AS cd,
+        | ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT n_name, count(*) AS n,
+        | string_agg(c_name, ',' ORDER BY c_name) AS names
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 9900
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_quantile_exact" ->
       """SELECT event_type,

@@ -55,12 +55,36 @@ object Skew {
       merged.select(col("__key").as("user_id"),
           col("a0").as("n"), round(col("a1"), 2).as("total"))
         .orderBy(col("user_id"))
+    }),
+
+    // Salted shuffle JOIN: when a join key is hot AND the dim is too
+    // big to broadcast, salt the fact side deterministically and
+    // replicate the dim ×salts — the hot key's probe rows spread over
+    // `salts` reducers instead of one. (AQE's skew-join split handles
+    // many cases at runtime; the salted form is the explicit,
+    // planner-independent fallback and composes with bucketing.)
+    // Same result as the plain join — the oracle IS the plain form.
+    "q_join_salted" -> ((s, d) => {
+      val salts = 8
+      val fact = Tables.lineitem(s, d)
+        .withColumn("__salt", pmod(crc32(concat_ws("-", col("l_orderkey"), col("l_linenumber"))), lit(salts)))
+      val dim = Tables.orders(s, d)
+        .withColumn("__salt", explode(expr(s"sequence(0L, ${salts - 1}L)")))
+      fact.join(dim, fact("l_orderkey") === dim("o_orderkey") && fact("__salt") === dim("__salt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
   val oracles: Map[String, String] = Map(
     "q_agg_salted" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -126,6 +126,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!read.contains("text"), s"scan reads the unprojected text column:\n$read")
   }
 
+  test("q_join_salted: both sides shuffle on (key, salt), matching the plain join") {
+    val conf = spark.conf
+    val oldBc = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // the 100 TB shape: dim too big to broadcast
+    try {
+      val df = Skew.queries("q_join_salted")(spark, sf)
+      val p = plan(df)
+      assert(p.linesIterator.exists(l => l.contains("Exchange hashpartitioning") && l.contains("__salt")),
+        "join does not shuffle on the salt:\n" + p.take(1500))
+      val plain = Tables.lineitem(spark, sf).join(Tables.orders(spark, sf),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+        .orderBy($"o_orderstatus")
+      assert(df.collect().toSeq === plain.collect().toSeq)
+    } finally {
+      oldBc match {
+        case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("q_upsert: merge costs exactly one hash shuffle (on the merge key)") {
     val p = plan(graft.operators.Reshape.queries("q_upsert")(spark, sf))
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
