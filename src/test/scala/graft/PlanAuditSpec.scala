@@ -149,6 +149,49 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    // The complement of manual salting (q_join_salted): when skew is
+    // only known at runtime, AQE detects an oversized shuffle
+    // partition and splits it. Thresholds are production-sized, so
+    // shrink them to let the fixture-scale hot key trigger the path.
+    val conf = spark.conf
+    val olds = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // Hot key: half of lineitem re-keyed to one orderkey. The probe
+      // side is spread over 8 map tasks first — a skewed reduce
+      // partition can only be split at map-output granularity, so a
+      // single-mapper (one parquet file) input could never split.
+      val sf01 = "/root/testdata/sf0.01"
+      val hot = Tables.lineitem(spark, sf01)
+        .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+        .repartition(8)
+        .withColumn("k", when($"l_orderkey" % 2 === 0, lit(2L)).otherwise($"l_orderkey"))
+      val dim = Tables.orders(spark, sf01).select($"o_orderkey".as("k"), $"o_orderstatus")
+      val joined = hot.join(dim, "k")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 2).as("rev"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), "AQE did not mark the join skewed:\n" + p.take(2000))
+    } finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("q_upsert: merge costs exactly one hash shuffle (on the merge key)") {
     val p = plan(graft.operators.Reshape.queries("q_upsert")(spark, sf))
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
