@@ -44,7 +44,7 @@ object NearDup {
     docs.unionByName(dup)
   }
 
-  private val corpusSql =
+  private[operators] val corpusSql =
     """corpus AS (
       |  SELECT doc_id, text, lang, source FROM documents
       |  UNION ALL
@@ -70,7 +70,7 @@ object NearDup {
     df.withColumn("hs", expr("word_shingle_hashes(text, 3)"))
   }
 
-  private val shinglesSql =
+  private[operators] val shinglesSql =
     """sh AS (
       |  SELECT doc_id, lang, source,
       |    list_distinct(list_transform(range(1, len(toks) - 1),
@@ -173,7 +173,7 @@ object NearDup {
   /** DuckDB twin of WordShingleHashes: 15-hex-digit md5 prefix folded
     * base-16 — bit-identical to the Spark expression's top-60-bits.
     */
-  private val hshSql =
+  private[operators] val hshSql =
     """hsh AS (
       |  SELECT doc_id, lang, source,
       |    list_distinct(list_transform(shingles,

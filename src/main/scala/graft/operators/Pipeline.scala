@@ -140,6 +140,45 @@ object Pipeline {
         .orderBy(col("lang"), col("token"))
     }),
 
+    // END-TO-END corpus construction — the capstone composition: the
+    // dup-laden raw corpus (NearDup.corpus: documents ∪ truncated
+    // variants, modelling real crawl duplication) flows through
+    //   quality filter → exact dedup → near-dup drop →
+    //   decontamination → stratified sample → shard assignment
+    // as ONE declarative plan per stage, each stage the same operator
+    // already verified standalone. Scale posture: quality/sample/shard
+    // are map-only; exact dedup is one shuffle on md5(text); near-dup
+    // reuses the subquadratic PPJoin pipeline; decontamination
+    // broadcasts the eval n-gram set. Nothing collects to the driver.
+    "q_corpus_e2e" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val raw = NearDup.corpus(s, d)
+      val quality = raw.filter(length(col("text")) >= 64)
+      // exact dedup: canonical = smallest doc_id per identical text
+      val wm = Window.partitionBy(col("m")).orderBy(col("doc_id"))
+      val exact = quality.withColumn("m", md5(col("text")))
+        .withColumn("rn", row_number().over(wm))
+        .filter(col("rn") === 1).drop("m", "rn")
+      // near-dup drop: the larger id of every verified jaccard pair
+      val dupIds = NearDup.jaccardPairs(s, d).select(col("b_id").as("doc_id")).distinct()
+      val near = exact.join(dupIds, Seq("doc_id"), "left_anti")
+      // decontamination vs the eval stand-in (doc_id ≡ 0 mod 23 in the raw corpus)
+      val ngAll = raw.select(col("doc_id"), explode(expr("word_shingles(text, 3)")).as("ng"))
+      val evalNg = ngAll.filter(col("doc_id") % 23 === 0).select(col("ng")).distinct()
+      val candidates = near.filter(col("doc_id") % 23 =!= 0)
+      val contaminated = candidates
+        .select(col("doc_id"), explode(expr("word_shingles(text, 3)")).as("ng"))
+        .join(broadcast(evalNg), Seq("ng"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val clean = candidates.join(contaminated, Seq("doc_id"), "left_anti")
+      // stratified sample + deterministic shard
+      clean
+        .filter(expr(s"${h("doc_id", A1, B1)} % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 80 END"))
+        .select(col("doc_id"), col("lang"),
+          expr(s"${h("doc_id", A2, B2)} % 8").as("shard"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Length histogram: fixed-width integer buckets (64 chars), all
     // integer arithmetic so both engines bucket identically. A single
     // partial+final hash aggregate.
@@ -215,6 +254,45 @@ object Pipeline {
     "q_histogram" ->
       """SELECT least(n_chars // 64, 9) AS bucket, count(*) AS n_docs,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
-        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // The capstone: every stage of q_corpus_e2e replayed in one CTE
+    // chain — same corpus, same hashes, same order of operations.
+    "q_corpus_e2e" ->
+      s"""WITH ${NearDup.corpusSql},
+         |${NearDup.shinglesSql},
+         |${NearDup.hshSql},
+         |pairs AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM hsh x JOIN hsh y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+         |  WHERE len(list_intersect(x.hs, y.hs))
+         |        / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.6),
+         |quality AS (SELECT doc_id, text, lang FROM corpus WHERE length(text) >= 64),
+         |exact AS (
+         |  SELECT doc_id, text, lang FROM (
+         |    SELECT doc_id, text, lang,
+         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM quality) WHERE rn = 1),
+         |near AS (
+         |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT b_id FROM pairs)),
+         |ngall AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS ng
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
+         |evalng AS (SELECT DISTINCT ng FROM ngall WHERE doc_id % 23 = 0),
+         |cand AS (SELECT * FROM near WHERE doc_id % 23 != 0),
+         |contaminated AS (
+         |  SELECT DISTINCT n.doc_id
+         |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS ng
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM cand)) n
+         |  JOIN evalng e ON n.ng = e.ng),
+         |clean AS (
+         |  SELECT * FROM cand
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+         |SELECT doc_id, lang, ${h("doc_id", A2, B2)} % 8 AS shard
+         |FROM clean
+         |WHERE ${h("doc_id", A1, B1)} % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 80 END
+         |ORDER BY doc_id""".stripMargin
   )
 }
