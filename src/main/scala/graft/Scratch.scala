@@ -19,10 +19,22 @@ object Scratch {
     }
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    // q_dedup_cluster breakdown
-    time("cc: jaccard pairs") { operators.NearDup.jaccardPairs(spark, d).count() }
-    time("cc: full query") { operators.NearDup.queries("q_dedup_cluster")(spark, d).count() }
-    time("cc: full query again") { operators.NearDup.queries("q_dedup_cluster")(spark, d).count() }
+    // q_corpus_e2e stage breakdown
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    val raw = operators.NearDup.corpus(spark, d)
+    time("e2e: raw corpus") { raw.count() }
+    val quality = raw.filter(length(col("text")) >= 64)
+    val wm = org.apache.spark.sql.expressions.Window.partitionBy(col("m")).orderBy(col("doc_id"))
+    val exact = quality.withColumn("m", md5(col("text")))
+      .withColumn("rn", row_number().over(wm)).filter(col("rn") === 1).drop("m", "rn")
+    time("e2e: exact dedup") { exact.count() }
+    time("e2e: jaccard pairs") { operators.NearDup.jaccardPairs(spark, d).count() }
+    val ngAll = raw.select(col("doc_id"), explode(expr("word_shingles(text, 3)")).as("ng"))
+    val evalNg = ngAll.filter(col("doc_id") % 23 === 0).select(col("ng")).distinct()
+    time("e2e: eval ngrams") { evalNg.count() }
+    time("e2e: full query") { operators.Pipeline.queries("q_corpus_e2e")(spark, d).count() }
+    time("e2e: full again") { operators.Pipeline.queries("q_corpus_e2e")(spark, d).count() }
     spark.stop()
   }
 }

