@@ -86,6 +86,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("observe(): quality metrics ride the main action, no second scan") {
+    // At 100 TB you cannot afford a separate counting pass per metric;
+    // observe() attaches named aggregates to the existing action.
+    val obs = org.apache.spark.sql.Observation("corpus_quality")
+    val kept = docs
+      .observe(obs,
+        count(lit(1)).as("rows_in"),
+        sum(when($"n_chars" < 64, 1L).otherwise(0L)).as("short_docs"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("en_docs"))
+      .filter($"n_chars" >= 64)
+      .count()
+    val m = obs.get
+    assert(m("rows_in") === docs.count())
+    assert(m("rows_in").asInstanceOf[Long] - m("short_docs").asInstanceOf[Long] === kept)
+    assert(m("en_docs") === docs.filter($"lang" === "en").count())
+  }
+
   test("dedup clustering: edges never cross clusters; one canonical = min id per cluster") {
     val labels = NearDup.queries("q_dedup_cluster")(spark, sf).cache()
     try {
