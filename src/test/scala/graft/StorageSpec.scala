@@ -35,6 +35,23 @@ class StorageSpec extends SparkSpec {
     assert(back.orderBy($"o_orderkey").collect().toSeq === expected, "csv values")
   }
 
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    // A 100 TB corpus accretes columns over years of writes; readers
+    // must union schemas and null-fill missing columns per generation.
+    val dir = tmp("graft_evolve_")
+    Tables.orders(spark, sf).select($"o_orderkey", $"o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    Tables.orders(spark, sf).select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("o_orderkey", "o_totalprice", "o_orderstatus", "gen"))
+    val n = Tables.orders(spark, sf).count()
+    assert(merged.count() === 2 * n)
+    assert(merged.filter($"gen" === 1 && $"o_orderstatus".isNull).count() === n,
+      "old-generation rows must null-fill the new column")
+    assert(merged.filter($"gen" === 2 && $"o_orderstatus".isNull).count() === 0)
+  }
+
   test("co-bucketed join is shuffle-free (zero exchanges)") {
     val conf = spark.conf
     val oldBc = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
