@@ -138,6 +138,22 @@ object Multimodal {
           col("n_distinct_bytes"))
         .orderBy(col("doc_id"))),
 
+    // Resize stage: integer aspect-preserving fit into 224×224 (the
+    // standard vision-model preprocessing). Only the dimension math is
+    // computed here — a real resample kernel runs inside the same
+    // mapPartitions slot as FakeDecode; dims are what the planner and
+    // the downstream batch-shape care about. All-integer arithmetic so
+    // the oracle replays it exactly.
+    "q_media_resize" -> ((s, d) =>
+      decoded(s, d).toDF()
+        .withColumn("out_w", expr("greatest(1, (width * 224) div greatest(width, height))"))
+        .withColumn("out_h", expr("greatest(1, (height * 224) div greatest(width, height))"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("out_w"), col("out_h"),
+          (col("out_w") <= 224 && col("out_h") <= 224 &&
+            (col("out_w") === 224 || col("out_h") === 224)).as("fits"))
+        .orderBy(col("doc_id"))),
+
     // Metadata rollup after decode: the relational side of multimodal.
     "q_media_agg" -> ((s, d) =>
       decoded(s, d).toDF()
@@ -186,6 +202,21 @@ object Multimodal {
         |       / octet_length(encode(text)), 4) AS mean_byte,
         | CAST(len(list_distinct(string_split(text, ''))) AS INT) AS n_distinct_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_media_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) % 512 + 1 AS INT) AS width,
+        |    CAST(octet_length(encode(text)) % 384 + 1 AS INT) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CAST(greatest(1, (width * 224) // greatest(width, height)) AS INT) AS out_w,
+        |  CAST(greatest(1, (height * 224) // greatest(width, height)) AS INT) AS out_h,
+        |  (greatest(1, (width * 224) // greatest(width, height)) <= 224
+        |   AND greatest(1, (height * 224) // greatest(width, height)) <= 224
+        |   AND (greatest(1, (width * 224) // greatest(width, height)) = 224
+        |        OR greatest(1, (height * 224) // greatest(width, height)) = 224)) AS fits
+        |FROM dims ORDER BY doc_id""".stripMargin,
 
     "q_media_agg" ->
       """SELECT lang,
