@@ -184,6 +184,20 @@ object Relational {
       both.unionAll(fOnly).orderBy(col("tag"), col("k"))
     }),
 
+    // Bag-semantics set ops: INTERSECT ALL keeps min(multiplicities),
+    // EXCEPT ALL subtracts them — canonicalized to (k, n) counts so the
+    // multiset result is hash-comparable.
+    "q_setops_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val fk = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      val ok = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+      val ia = fk.intersectAll(ok).groupBy(col("k"))
+        .agg(count(lit(1)).as("n")).select(lit("both_all").as("tag"), col("k"), col("n"))
+      val ea = fk.exceptAll(ok).groupBy(col("k"))
+        .agg(count(lit(1)).as("n")).select(lit("f_minus_o").as("tag"), col("k"), col("n"))
+      ia.unionAll(ea).orderBy(col("tag"), col("k"))
+    }),
+
     // Scalar function pack: string / date / math built-ins (all
     // codegen'd, no UDFs) — covers the reference's own scalar set
     // (lower/translate/concat, main.py:199-204, app.py:45-48).
@@ -323,6 +337,17 @@ object Relational {
         | SELECT 'both' AS tag, k FROM (SELECT k FROM f INTERSECT SELECT k FROM o)
         | UNION ALL
         | SELECT 'f_only' AS tag, k FROM (SELECT k FROM f EXCEPT SELECT k FROM o)
+        |) ORDER BY tag, k""".stripMargin,
+
+    "q_setops_all" ->
+      """WITH f AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+        |     o AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+        |ia AS (SELECT k FROM f INTERSECT ALL SELECT k FROM o),
+        |ea AS (SELECT k FROM f EXCEPT ALL SELECT k FROM o)
+        |SELECT * FROM (
+        | SELECT 'both_all' AS tag, k, count(*) AS n FROM ia GROUP BY k
+        | UNION ALL
+        | SELECT 'f_minus_o' AS tag, k, count(*) AS n FROM ea GROUP BY k
         |) ORDER BY tag, k""".stripMargin,
 
     "q_scalar_pack" ->
