@@ -183,6 +183,39 @@ object RelationalExt {
           .as("monthly_users"), count(lit(1)).as("n_days"))
         .orderBy(col("event_type"))),
 
+    // Correlated LATERAL subquery join — Catalyst decorrelates the
+    // per-row subquery into a join (DecorrelateInnerQuery), so the
+    // "loop over customers, query orders each time" shape executes as
+    // one set-based plan. The aggregate form (max/count per customer)
+    // is the decorrelation-friendly variant.
+    "q_lateral" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey, t.max_price, t.n_orders
+          |FROM customer c,
+          |LATERAL (SELECT max(o_totalprice) AS max_price,
+          |                CAST(count(*) AS BIGINT) AS n_orders
+          |         FROM orders o WHERE o.o_custkey = c.c_custkey) t
+          |WHERE t.n_orders > 0
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // RANGE-mode window frame: the frame is a VALUE interval (all peers
+    // within 50.0 below the current row's value), not a row count —
+    // tie-safe by construction because RANGE includes all peers.
+    "q_window_range" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(
+        """SELECT event_id, event_type, round(value, 2) AS value,
+          |  count(*) OVER w AS n_near,
+          |  round(sum(value) OVER w, 2) AS sum_near
+          |FROM events
+          |WINDOW w AS (PARTITION BY event_type ORDER BY value
+          |             RANGE BETWEEN 50.0 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin)
+    }),
+
     // Distribution window functions: percent_rank / cume_dist / ntile
     // over a per-status price ordering made total by the unique
     // orderkey tiebreak (no peer groups → both engines agree exactly).
@@ -279,6 +312,24 @@ object RelationalExt {
         |  AND EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_lateral" ->
+      """SELECT c_custkey, t.max_price, t.n_orders
+        |FROM customer c,
+        |LATERAL (SELECT max(o_totalprice) AS max_price,
+        |                CAST(count(*) AS BIGINT) AS n_orders
+        |         FROM orders o WHERE o.o_custkey = c.c_custkey) t
+        |WHERE t.n_orders > 0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT event_id, event_type, round(value, 2) AS value,
+        |  count(*) OVER w AS n_near,
+        |  round(sum(value) OVER w, 2) AS sum_near
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value
+        |             RANGE BETWEEN 50.0 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_window_dist" ->
       """SELECT o_orderkey, o_orderstatus,
