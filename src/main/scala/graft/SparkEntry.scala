@@ -24,7 +24,8 @@ object SparkEntry {
       (operators.Streaming.queries, operators.Streaming.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (functions.Udx.queries, functions.Udx.oracles),
-      (sources.MailQueries.queries, sources.MailQueries.oracles)
+      (sources.MailQueries.queries, sources.MailQueries.oracles),
+      (sources.CatalogListing.queries, sources.CatalogListing.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

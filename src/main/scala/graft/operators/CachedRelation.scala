@@ -1,0 +1,62 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.DataFrame
+
+/** TTL-memoized build side (reference: etl_service/main.py:53-66 —
+  * `cache_with_timeout(3600)` over the sink-id scan at main.py:94).
+  *
+  * The reference memoizes the BigQuery id-set in a dict for an hour so
+  * repeated /fetch calls don't re-scan the sink. The Spark form:
+  * `persist()` the build-side DataFrame and re-resolve it after the
+  * TTL — within the window every query reuses the materialized
+  * InMemoryRelation (one sink scan, N anti-joins); after it, the next
+  * resolve unpersists and rebuilds, picking up sink writes.
+  *
+  * Semantics worth pinning (and pinned by CachedRelationSpec):
+  *  - within TTL, resolve() returns the SAME DataFrame object — the
+  *    plan cache hit is observable, not incidental;
+  *  - after TTL, the stale entry is unpersisted (non-blocking, like
+  *    dropping the dict entry) and the builder runs again;
+  *  - keys partition the cache like the reference's `str(args)` memo
+  *    key — different sink tables / scale dirs never share an entry.
+  *
+  * In streaming, the same wrapper gives per-trigger refresh control: a
+  * foreachBatch sink resolves the build side each batch and the TTL
+  * decides whether that resolution re-reads (EventStreams uses the
+  * anti-join build side this way at TTL 0 = always fresh).
+  *
+  * Scale note: persist() here caches the *small* side (ids), never the
+  * 100 TB probe side; at cluster scale the same object swaps
+  * StorageLevel to MEMORY_AND_DISK_SER without touching callers.
+  */
+class CachedRelation(ttlMillis: Long, clock: () => Long = () => System.currentTimeMillis()) {
+  private case class Entry(df: DataFrame, builtAt: Long)
+  private val cache = new ConcurrentHashMap[String, Entry]()
+  private val builds = new AtomicLong()
+
+  /** The memoized relation for `key`, rebuilding if absent or expired. */
+  def resolve(key: String)(build: => DataFrame): DataFrame = synchronized {
+    val now = clock()
+    val e = cache.get(key)
+    if (e != null && now - e.builtAt < ttlMillis) e.df
+    else {
+      if (e != null) e.df.unpersist(blocking = false)
+      val df = build.persist()
+      builds.incrementAndGet()
+      cache.put(key, Entry(df, now))
+      df
+    }
+  }
+
+  /** Times the builder actually ran (cache misses), for specs. */
+  def buildCount: Long = builds.get()
+
+  /** Drop every entry (unpersisting) — the manual invalidation hook. */
+  def invalidateAll(): Unit = synchronized {
+    cache.values().forEach(e => e.df.unpersist(blocking = false))
+    cache.clear()
+  }
+}

@@ -41,7 +41,26 @@ object MailQueries {
         .filter(col("folder") === "INBOX")
         .groupBy(col("sender"))
         .agg(count(lit(1)).as("n"), max(col("ts_raw")).as("latest_raw"))
-        .orderBy(col("sender")))
+        .orderBy(col("sender"))),
+
+    // Two-phase read (main.py:177-191): page LIST yields ids, then the
+    // chunk-of-50 batched GET materializes metadata with per-message
+    // error-as-value skip — doc_id % 97 == 13 poison messages fail
+    // their get and are absent from the output, everything else in the
+    // same chunk still lands. The pushed folder predicate composes: it
+    // runs in the LIST phase, so skipped-folder ids are never fetched.
+    "q_connector_enrich" -> ((s, d) =>
+      s.read.format("graft.sources.MailSourceProvider")
+        .option("nmsgs", Tables.documents(s, d).count())
+        .option("pageSize", 500)
+        .option("enrich", true)
+        .option("errorEvery", 97)
+        .option("errorOffset", 13)
+        .load()
+        .filter(col("folder") =!= "SPAM")
+        .select(col("doc_id"), col("id"), col("folder"), col("subject"),
+          col("sender"), col("ts_raw"))
+        .orderBy(col("doc_id")))
   )
 
   private val msgsCte =
@@ -63,6 +82,11 @@ object MailQueries {
 
     "q_connector_agg" -> (msgsCte +
       """SELECT sender, count(*) AS n, max(ts_raw) AS latest_raw FROM msgs
-        |WHERE folder = 'INBOX' GROUP BY sender ORDER BY sender""".stripMargin)
+        |WHERE folder = 'INBOX' GROUP BY sender ORDER BY sender""".stripMargin),
+
+    "q_connector_enrich" -> (msgsCte +
+      """SELECT doc_id, id, folder, subject, sender, ts_raw FROM msgs
+        |WHERE folder <> 'SPAM' AND doc_id % 97 <> 13
+        |ORDER BY doc_id""".stripMargin)
   )
 }

@@ -1,7 +1,9 @@
 package graft
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.functions._
-import graft.sources.{MailQueries, MailSink}
+import graft.sources.{MailClock, MailMetrics, MailQueries, MailSink, Pacer}
 
 class MailConnectorSpec extends SparkSpec {
   import spark.implicits._
@@ -64,6 +66,76 @@ class MailConnectorSpec extends SparkSpec {
     // exactly the poisoned batches are lost; the rest landed
     assert(landed < 250 && landed % 50 === 0, s"landed=$landed")
     assert(MailSink.inserted("t2").forall(r => !r(idOrd).contains("poison")))
+  }
+
+  test("enrich: batched get skips poison messages as values, rest of chunk lands") {
+    MailMetrics.clear("t_enrich")
+    val df = spark.read.format("graft.sources.MailSourceProvider")
+      .option("nmsgs", 500).option("pageSize", 100)
+      .option("enrich", true).option("errorEvery", 50).option("errorOffset", 7)
+      .option("runId", "t_enrich").load()
+    val ids = df.select("id").collect().map(_.getString(0)).toSet
+    // poison ids 7, 57, …, 457 fail their get and are skipped — their
+    // 49 chunk-mates still land (error-as-value, main.py:187-191)
+    assert(ids.size === 490)
+    assert((0L until 500L by 50L).forall(k => !ids.contains(s"msg${k + 7}")))
+    assert(ids.contains("msg8") && ids.contains("msg56"))
+    assert(MailMetrics.skipped("t_enrich") === 10)
+  }
+
+  test("enrich: pushed folder predicate runs in the LIST phase — filtered ids never fetched") {
+    MailMetrics.clear("t_enrich2")
+    // poison set = exactly the INBOX ids (id % 5 == 0); listing SENT
+    // means no poison id is ever passed to batchGet, so zero skips
+    val df = spark.read.format("graft.sources.MailSourceProvider")
+      .option("nmsgs", 500).option("pageSize", 100)
+      .option("enrich", true).option("errorEvery", 5).option("errorOffset", 0)
+      .option("runId", "t_enrich2").load()
+      .filter($"folder" === "SENT")
+    assert(df.count() === 100)
+    assert(MailMetrics.skipped("t_enrich2") === 0)
+  }
+
+  test("token roster: valid reads, expired-refreshable refreshes, dead dropped and counted") {
+    MailMetrics.clear("t_tok")
+    val df = spark.read.format("graft.sources.MailSourceProvider")
+      .option("nmsgs", 100).option("pageSize", 50)
+      .option("tokens", "alice:valid,bob:expired_refresh,carol:expired_dead")
+      .option("runId", "t_tok").load()
+    assert(df.count() === 200) // 2 live accounts × 100 messages
+    assert(df.select("account").distinct().collect().map(_.getString(0)).toSet
+      === Set("alice", "bob"))
+    assert(MailMetrics.refreshed("t_tok") === Set("bob"), "refresh-on-open not recorded")
+    assert(MailMetrics.dead("t_tok") === Set("carol"), "dead token not counted")
+  }
+
+  test("Pacer enforces the inter-flush interval against an injectable clock") {
+    val sleeps = ArrayBuffer[Long]()
+    var t = 0L
+    MailClock.nanoTime = () => t
+    MailClock.sleep = ms => { sleeps += ms; t += ms * 1000000L }
+    try {
+      val p = new Pacer(2.0) // 500 ms between acquisitions
+      p.acquire(); p.acquire(); p.acquire()
+      assert(sleeps.toSeq === Seq(500L, 500L), s"sleeps=$sleeps")
+    } finally MailClock.reset()
+  }
+
+  test("writer pacing: maxBatchesPerSec spaces batch flushes (fake clock)") {
+    val sleeps = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val t = new java.util.concurrent.atomic.AtomicLong(0L)
+    MailClock.nanoTime = () => t.get()
+    MailClock.sleep = ms => { sleeps.add(ms); t.addAndGet(ms * 1000000L) }
+    try {
+      MailSink.clear("t_paced")
+      mail(300).coalesce(1).write.format("graft.sources.MailSourceProvider")
+        .option("sink", "t_paced").option("batchSize", 100)
+        .option("maxBatchesPerSec", 4.0).mode("append").save()
+      assert(MailSink.inserted("t_paced").size === 300)
+      // 3 flushes in one task: first free, then 250 ms apart
+      assert(sleeps.size === 2, s"sleeps=$sleeps")
+      assert(sleeps.peek() === 250L)
+    } finally MailClock.reset()
   }
 
   test("micro-batch stream pages through the source with admission control") {
