@@ -29,20 +29,34 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
       else SparkEntry.queries
+    // Noise defense: a contended host can inflate any single pass by
+    // 10×, so each query runs twice and reports the min — transient
+    // load can only make the min pessimistic by appearing in BOTH
+    // passes. (The second pass also measures the steady state the
+    // per-round comparison cares about: plan + codegen are warm.)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // A failed query must not masquerade as a fast one: report -1.
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+        }
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val first = once()
+      val best =
+        if (first < 0) first
+        else (2 to passes).foldLeft(first) { (b, _) =>
+          val t = once(); if (t < 0) -1.0 else math.min(b, t)
+        }
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
     spark.stop()
   }
 }

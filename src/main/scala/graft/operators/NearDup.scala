@@ -355,11 +355,27 @@ object NearDup {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // Embedding-cosine near-dup: label-blocked pairs with cos >= 0.95
-    // over embeddings ∪ (+0.01/dim) planted copies. Pair scoring via
-    // the native codegen'd cosine (double overload) — the arithmetic
-    // order matches the HOF fold bit-for-bit, so the >= 0.95 boundary
-    // agrees with the DuckDB oracle.
+    // Embedding-cosine near-dup: pairs with cos >= 0.95 over embeddings
+    // ∪ (+0.01/dim) planted copies — found via IVF-cell candidate
+    // generation, NOT a label-block all-pairs join. Exactness argument
+    // (triangle inequality on angles, θmax = acos(0.95)):
+    //   every vector is INDEXED once, in its nearest-centroid cell;
+    //   every vector u PROBES each cell c with
+    //     angle(u,c) ≤ angle(u, home(u)) + 2·θmax,
+    //   which covers home(v) for every v with angle(u,v) ≤ θmax:
+    //     angle(u, home(v)) ≤ angle(u,v) + angle(v, home(v))
+    //                       ≤ θmax + (angle(v,u) + angle(u, home(u)))
+    //                       ≤ 2·θmax + angle(u, home(u)).
+    // So the (cell, label) equi-join sees every qualifying pair exactly
+    // once (index side is unique per vector; probe_id < index_id keeps
+    // one direction), and exact cosine verify reproduces the all-pairs
+    // oracle hash-for-hash. The acos slack (1e-5) only adds candidates.
+    // At 100 TB the cell id is the co-partition key: candidates are
+    // cone-local, never block-wide, and the probe fan-out is bounded by
+    // how many cells a 2·θmax cone intersects. Pair scoring via the
+    // native codegen'd cosine (double overload) — the arithmetic order
+    // matches the HOF fold bit-for-bit, so the >= 0.95 boundary agrees
+    // with DuckDB.
     "q_dedup_embed" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
@@ -368,9 +384,22 @@ object NearDup {
         .selectExpr("vec_id + 1000000 AS vec_id", "label",
           "transform(embedding, x -> cast(x as double) + 0.01) AS e")
       val all = emb.unionByName(dup)
-      val a = all.select(col("vec_id").as("a_id"), col("label"), col("e").as("ea"))
-      val b = all.select(col("vec_id").as("b_id"), col("label"), col("e").as("eb"))
-      a.join(b, "label")
+      val cents = SimSearch.centroidLits(s, d)
+      val cosc = array(cents.map(c => expr(s"cosine_sim(e, $c)")): _*)
+      val twoTheta = 2 * math.acos(0.95)
+      val clamp = (x: String) => s"acos(greatest(-1.0D, least(1.0D, $x)))"
+      val assigned = all
+        .withColumn("cosc", cosc)
+        .withColumn("home", expr("cast(array_position(cosc, array_max(cosc)) as int) - 1"))
+        .withColumn("probe_limit", expr(s"${clamp("array_max(cosc)")} + $twoTheta + 1e-5"))
+      val index = assigned.select(col("home").as("cell"), col("vec_id").as("b_id"),
+        col("label"), col("e").as("eb"))
+      val probe = assigned
+        .select(col("vec_id").as("a_id"), col("label"), col("e").as("ea"),
+          col("probe_limit"), posexplode(col("cosc")).as(Seq("cell", "cosk")))
+        .filter(expr(s"${clamp("cosk")} <= probe_limit"))
+        .drop("cosk", "probe_limit")
+      probe.join(index, Seq("cell", "label"))
         .filter(col("a_id") < col("b_id"))
         .withColumn("cos_sim", expr("cosine_sim(ea, eb)"))
         .filter(col("cos_sim") >= 0.95)

@@ -59,6 +59,20 @@ object SimSearch {
     ((h(0) >> 4) & 0xf) < 8
   }
 
+  /** The 16-cell deterministic codebook (first 16 vectors) as plan
+    * literals — codebook-scale metadata collected once, shared by the
+    * IVF search and the exact cone-probe candidate generators below.
+    */
+  private[operators] def centroidLits(s: SparkSession, d: String): Array[String] =
+    Tables.embeddings(s, d).filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).map(v => s"${v}D").mkString("array(", ",", ")"))
+
+  /** Clamped arccos — numeric safety at the ±1 boundary. */
+  private[operators] def angleOf(cosExpr: String): String =
+    s"acos(greatest(-1.0D, least(1.0D, $cosExpr)))"
+
   /** Bucket id = nPlanes sign bits of hyperplane projections. The plane
     * dimension is read from the data (one-row lookup) — a silent
     * dimension mismatch would NULL every projection and collapse all
@@ -172,22 +186,63 @@ object SimSearch {
         .limit(20)
     }),
 
-    // Exact k-NN self-join (k=3) restricted to same-label candidates —
-    // the blocked form of the O(n²) join: at 100 TB the label (or a
-    // coarse cluster id) is the co-partition key for both sides. The
-    // pair scoring uses the native codegen'd expression — the join
-    // output never leaves whole-stage codegen.
+    // EXACT k-NN self-join (k=3, same-label), with IVF-cell candidate
+    // generation instead of a label-block all-pairs join. Two passes,
+    // both provably lossless (triangle inequality on angles):
+    //  1. BOUND: candidates from each query's home cell give an upper
+    //     bound θ3 on its true 3rd-neighbor angle (the true 3rd best is
+    //     at least as good as the home-cell 3rd best). Queries with <3
+    //     home-cell neighbors fall back to θ3 = π.
+    //  2. PROBE: any vector v with angle(u,v) ≤ θ3 is indexed in a cell
+    //     whose centroid satisfies angle(u,c) ≤ angle(u,v) +
+    //     angle(v,c) ≤ θ3 + radius(c) — so probing exactly those
+    //     (cell, label) pairs reaches every true top-3 neighbor. The
+    //     final window ranks candidates only.
+    // The candidate joins are equi-joins on (cell, label): at 100 TB
+    // the cell id is the co-partition key and a query touches the
+    // cells its cone intersects, never the whole label block. The
+    // slack terms (5e-5 for the rounded-cos ordering, 1e-5 for acos
+    // conditioning near ±1) only ever ADD candidates, so the result
+    // stays hash-identical to the all-pairs oracle.
     "q_knn_label" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
-      val a = Tables.embeddings(s, d)
-        .select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"))
-      val b = Tables.embeddings(s, d)
-        .select(col("vec_id").as("b_id"), col("label"), col("embedding").as("b_emb"))
       import org.apache.spark.sql.expressions.Window
+      val cents = centroidLits(s, d)
+      val cosc = array(cents.map(c => expr(s"cosine_sim(e, $c)")): _*)
+      val assigned = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+        .withColumn("cosc", cosc)
+        .withColumn("home", expr("cast(array_position(cosc, array_max(cosc)) as int) - 1"))
+        .withColumn("home_cos", expr("array_max(cosc)"))
+      val index = assigned.select(col("home").as("cell"), col("vec_id").as("b_id"),
+        col("label"), col("e").as("eb"), col("home_cos").as("b_home_cos"))
+      // angular radius of each (cell, label) block: how far its
+      // farthest member sits from the centroid
+      val rad = index.groupBy(col("cell"), col("label"))
+        .agg(expr(s"${angleOf("min(b_home_cos)")} AS rad"))
+      val aSide = assigned.select(col("vec_id").as("a_id"), col("label"),
+        col("e").as("ea"), col("home").as("cell"), col("cosc"))
       val w = Window.partitionBy(col("a_id")).orderBy(col("cos_sim").desc, col("b_id"))
-      a.join(b, "label")
+      // pass 1: home-cell candidates → per-query 3rd-best bound
+      val bound = aSide.drop("cosc")
+        .join(index.drop("b_home_cos"), Seq("cell", "label"))
         .filter(col("a_id") =!= col("b_id"))
-        .withColumn("cos_sim", round(expr("cosine_sim(a_emb, b_emb)"), 4))
+        .withColumn("cos_sim", round(expr("cosine_sim(ea, eb)"), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 3)
+        .select(col("a_id"), col("cos_sim").as("bound3"))
+      // pass 2: cone probe — (query × cell) pairs the bound admits
+      val probe = aSide
+        .join(bound, Seq("a_id"), "left")
+        .withColumn("theta3", expr(
+          s"CASE WHEN bound3 IS NULL THEN pi() ELSE ${angleOf("bound3 - 5e-5")} END"))
+        .select(col("a_id"), col("label"), col("ea"), col("theta3"),
+          posexplode(col("cosc")).as(Seq("cell", "cosk")))
+      probe.join(rad, Seq("cell", "label"))
+        .filter(expr(s"${angleOf("cosk")} <= theta3 + rad + 1e-5"))
+        .join(index.drop("b_home_cos"), Seq("cell", "label"))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("cos_sim", round(expr("cosine_sim(ea, eb)"), 4))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("a_id"), col("b_id"), col("label"), col("cos_sim"), col("rn"))

@@ -57,20 +57,46 @@ object Skew {
         .orderBy(col("user_id"))
     }),
 
-    // Salted shuffle JOIN: when a join key is hot AND the dim is too
-    // big to broadcast, salt the fact side deterministically and
-    // replicate the dim ×salts — the hot key's probe rows spread over
-    // `salts` reducers instead of one. (AQE's skew-join split handles
-    // many cases at runtime; the salted form is the explicit,
-    // planner-independent fallback and composes with bucketing.)
-    // Same result as the plain join — the oracle IS the plain form.
+    // Salted shuffle JOIN, hot keys only: when a join key is hot AND
+    // the dim is too big to broadcast, salt the fact side
+    // deterministically and replicate the dim — but ONLY for the keys
+    // that are actually hot. A frequency pre-pass (partial+final count,
+    // so the skewed key itself costs one partial per mapper) finds keys
+    // above the threshold; the hot slice joins salted (dim replicated
+    // ×salts for those keys alone), the cold remainder joins plain, and
+    // the two unions feed one aggregate. Replicating the whole dim
+    // would octuple its shuffle for keys that never needed it; here the
+    // replication factor is salts × |hot keys| rows — by construction a
+    // tiny set (at 100 TB the threshold is set at a high quantile of
+    // the key-frequency distribution, so `hot` is broadcast-scale).
+    // (AQE's skew-join split handles many cases at runtime; the salted
+    // form is the explicit, planner-independent fallback and composes
+    // with bucketing.) Same result as the plain join — the oracle IS
+    // the plain form; the fixture threshold of 4 makes both branches
+    // non-empty at every SF.
     "q_join_salted" -> ((s, d) => {
       val salts = 8
+      val hotThreshold = 4L
       val fact = Tables.lineitem(s, d)
-        .withColumn("__salt", pmod(crc32(concat_ws("-", col("l_orderkey"), col("l_linenumber"))), lit(salts)))
       val dim = Tables.orders(s, d)
+      val hot = fact.groupBy(col("l_orderkey").as("hk"))
+        .agg(count(lit(1)).as("kn"))
+        .filter(col("kn") > hotThreshold)
+        .select(col("hk"))
+      val factHot = fact
+        .join(broadcast(hot), col("l_orderkey") === col("hk"), "left_semi")
+        .withColumn("__salt", pmod(crc32(concat_ws("-", col("l_orderkey"), col("l_linenumber"))), lit(salts)))
+      val factCold = fact.join(broadcast(hot), col("l_orderkey") === col("hk"), "left_anti")
+      val dimHot = dim
+        .join(broadcast(hot), col("o_orderkey") === col("hk"), "left_semi")
         .withColumn("__salt", explode(expr(s"sequence(0L, ${salts - 1}L)")))
-      fact.join(dim, fact("l_orderkey") === dim("o_orderkey") && fact("__salt") === dim("__salt"))
+      val dimCold = dim.join(broadcast(hot), col("o_orderkey") === col("hk"), "left_anti")
+      val hotJoined = factHot.join(dimHot,
+          factHot("l_orderkey") === dimHot("o_orderkey") && factHot("__salt") === dimHot("__salt"))
+        .select(col("o_orderstatus"), col("l_quantity"))
+      val coldJoined = factCold.join(dimCold, factCold("l_orderkey") === dimCold("o_orderkey"))
+        .select(col("o_orderstatus"), col("l_quantity"))
+      hotJoined.unionByName(coldJoined)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
         .orderBy(col("o_orderstatus"))

@@ -149,6 +149,46 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_lateral / q_subquery decorrelate: no nested-loop or cartesian join") {
+    // A Catalyst regression that stops decorrelating the per-row
+    // subquery would silently re-quadratic these plans as
+    // BroadcastNestedLoopJoin — fail loudly instead.
+    Seq("q_lateral", "q_subquery").foreach { q =>
+      val p = plan(graft.operators.RelationalExt.queries(q)(spark, sf))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q did not decorrelate to a hash/merge join:\n${p.take(1500)}")
+    }
+  }
+
+  test("q_join_salted: dim replication (explode) applies only to the hot-key branch") {
+    val df = Skew.queries("q_join_salted")(spark, sf)
+    val p = plan(df)
+    // exactly one explode — the hot dim slice; the cold branch joins plain
+    val generates = p.linesIterator.count(l => l.contains("Generate explode"))
+    assert(generates === 1, s"expected 1 explode (hot dim only), found $generates:\n${p.take(2000)}")
+    // hot slice selected by semi join, cold remainder by anti join
+    assert(p.contains("LeftSemi"), "hot-key semi join missing:\n" + p.take(2000))
+    assert(p.contains("LeftAnti"), "cold-key anti join missing:\n" + p.take(2000))
+  }
+
+  test("bucketed embedding candidates: every label-keyed join is also cell-keyed") {
+    // The scale guarantee of q_dedup_embed / q_knn_label: candidate
+    // generation must join on the IVF cell, never on the label block
+    // alone (a label-only join is quadratic within the block).
+    graft.functions.VectorFunctions.register(spark)
+    Seq(
+      graft.operators.NearDup.queries("q_dedup_embed")(spark, sf),
+      graft.operators.SimSearch.queries("q_knn_label")(spark, sf)
+    ).foreach { df =>
+      val p = plan(df)
+      val badJoin = p.linesIterator.find(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+         l.contains("BroadcastHashJoin")) &&
+        l.contains("label") && !l.contains("cell"))
+      assert(badJoin.isEmpty, s"block-wide label join remains: ${badJoin.getOrElse("")}")
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     // The complement of manual salting (q_join_salted): when skew is
     // only known at runtime, AQE detects an oversized shuffle

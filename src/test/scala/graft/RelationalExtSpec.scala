@@ -22,6 +22,30 @@ class RelationalExtSpec extends SparkSpec {
     }
   }
 
+  test("q_lateral: correlated aggregate equals the groupBy+join form") {
+    val got = RelationalExt.queries("q_lateral")(spark, sf).collect().toSeq
+    val agg = Tables.orders(spark, sf).groupBy($"o_custkey")
+      .agg(max($"o_totalprice").as("max_price"), count(lit(1)).as("n_orders"))
+    val exp = Tables.customer(spark, sf)
+      .join(agg, $"c_custkey" === $"o_custkey")
+      .select($"c_custkey", $"max_price", $"n_orders")
+      .orderBy($"c_custkey").collect().toSeq
+    assert(got === exp)
+  }
+
+  test("q_window_range: RANGE frame counts exactly the peers within 50.0 below") {
+    val got = RelationalExt.queries("q_window_range")(spark, sf)
+      .select($"event_id", $"n_near").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sf).select($"event_id", $"event_type", $"value")
+    val brute = ev.as("a").join(ev.as("b"),
+        expr("a.event_type = b.event_type AND b.value BETWEEN a.value - 50.0 AND a.value"))
+      .groupBy(expr("a.event_id").as("event_id"))
+      .agg(count(lit(1)).as("n_near"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === brute)
+  }
+
   test("hll sketch union: monthly estimate within 2% of exact distinct users") {
     val got = RelationalExt.queries("q_hll_union")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
