@@ -210,6 +210,53 @@ object NearDup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Connected-component labels (doc_id → min doc_id of its component)
+    * over the verified jaccard edges — iterative min-label propagation:
+    *   labels ← min(v, min neighbor) (first round fused into the
+    *   seed); repeat: label(v) ← min(label(v), min over neighbors u
+    *   of label(u)); fixpoint = component minimum.
+    * Each step is one join + one partial/final min-aggregate — the
+    * standard distributed-CC shape (GraphX/Pregel do the same);
+    * iterations needed = component diameter (near-dup clusters are
+    * tiny stars/chains). The edge set and per-round labels are
+    * localCheckpoint()ed: edges are consumed every round and labels
+    * would otherwise accrete a lineage of k joins, recomputing the
+    * whole candidate pipeline per action. sum(cluster_id) is the
+    * convergence probe — min-propagation is monotone decreasing, so an
+    * unchanged sum IS the fixpoint (one scalar action per round, no
+    * row-level diff). Only docs touching an edge appear; singletons
+    * are the caller's left-join + coalesce.
+    */
+  def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val e = jaccardPairs(s, d).select(col("a_id"), col("b_id"))
+    val edges = e.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    // Seed with the first propagation fused into initialization:
+    // label(v) = min(v, min neighbor) — saves a whole round's
+    // checkpoint + probe vs starting from the identity labeling.
+    var labels = edges.select(col("dst").as("doc_id"), col("src").as("cluster_id"))
+      .union(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
+      .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+      .localCheckpoint()
+    var sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id")).head.getLong(0)
+    var converged = false
+    var round = 0
+    while (!converged && round < 25) {
+      val prop = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      labels = labels.union(prop)
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      val newSum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id")).head.getLong(0)
+      converged = newSum == sum
+      sum = newSum
+      round += 1
+    }
+    require(converged, s"connected components did not converge in $round rounds")
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact n-gram Jaccard over (lang, source)-blocked pairs. The
     // naive form is the quadratic all-pairs join within each block —
@@ -256,35 +303,29 @@ object NearDup {
     // convergence probe — min-propagation is monotone decreasing, so
     // an unchanged sum IS the fixpoint (one scalar action per round,
     // no row-level diff).
-    "q_dedup_cluster" -> ((s, d) => {
-      val e = jaccardPairs(s, d).select(col("a_id"), col("b_id"))
-      val edges = e.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .localCheckpoint()
-      // Seed with the first propagation fused into initialization:
-      // label(v) = min(v, min neighbor) — saves a whole round's
-      // checkpoint + probe vs starting from the identity labeling.
-      var labels = edges.select(col("dst").as("doc_id"), col("src").as("cluster_id"))
-        .union(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
-        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
-      var sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id")).head.getLong(0)
-      var converged = false
-      var round = 0
-      while (!converged && round < 25) {
-        val prop = edges.join(labels, edges("src") === labels("doc_id"))
-          .select(col("dst").as("doc_id"), col("cluster_id"))
-        labels = labels.union(prop)
-          .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
-          .localCheckpoint()
-        val newSum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id")).head.getLong(0)
-        converged = newSum == sum
-        sum = newSum
-        round += 1
-      }
-      require(converged, s"connected components did not converge in $round rounds")
-      labels
+    "q_dedup_cluster" -> ((s, d) =>
+      clusterLabels(s, d)
         .withColumn("canonical", col("doc_id") === col("cluster_id"))
+        .orderBy(col("doc_id"))),
+
+    // Canonical selection — the dedup ENDGAME: pairs → components →
+    // exactly one survivor per component. Every corpus doc gets its
+    // component label (docs with no near-dup edge are their own
+    // singleton component via the left join + coalesce), then one
+    // window per component keeps the best doc — longest text, doc_id
+    // as the deterministic tiebreak. At 100 TB this is one join
+    // against the (tiny) label table plus one shuffle on cluster_id;
+    // the window state is one row per component.
+    "q_dedup_canonical" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = corpus(s, d).selectExpr("doc_id", "length(text) AS n_chars")
+      val full = docs.join(clusterLabels(s, d), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      full.withColumn("rn", row_number().over(w))
+        .withColumn("keep", col("rn") === 1)
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
         .orderBy(col("doc_id"))
     }),
 
@@ -444,6 +485,32 @@ object NearDup {
          |SELECT src AS doc_id, min(dst) AS cluster_id,
          |  min(dst) = src AS canonical
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE $corpusSql,
+         |$shinglesSql,
+         |$hshSql,
+         |pairs AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM hsh x JOIN hsh y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+         |  WHERE len(list_intersect(x.hs, y.hs))
+         |        / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.6),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |fulll AS (
+         |  SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars,
+         |    COALESCE(l.cluster_id, c.doc_id) AS cluster_id
+         |  FROM corpus c LEFT JOIN labels l ON c.doc_id = l.doc_id)
+         |SELECT doc_id, cluster_id, n_chars, rn = 1 AS keep FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM fulll)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH $corpusSql,

@@ -100,6 +100,29 @@ object Pipeline {
         .orderBy(col("shard"), col("pos"))
     }),
 
+    // Sequence packing (concat-and-chunk): the standard LLM-pretraining
+    // packing scheme — documents are concatenated in a deterministic
+    // order and chopped into fixed-capacity context windows, so a doc
+    // may straddle a window boundary. The running offset is a window
+    // cumsum WITHIN each hash shard (never a global cumsum — that
+    // would serialize 100 TB through one reducer); the shard is part
+    // of the output key, so chunk ids are (shard, chunk) pairs and
+    // shards pack in parallel. Offsets are exact integer arithmetic on
+    // n_chars — re-runs and both engines agree bit-for-bit.
+    "q_pack_sequences" -> ((s, d) => {
+      val cap = 4096L
+      val w = Window.partitionBy(col("shard")).orderBy(col("h2"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .withColumn("shard", expr(s"${h("doc_id", A1, B1)} % 8"))
+        .withColumn("h2", expr(h("doc_id", A2, B2)))
+        .withColumn("pack_offset", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+        .selectExpr("doc_id", "shard", "pack_offset",
+          s"pack_offset div $cap AS start_chunk",
+          s"(pack_offset + n_chars - 1) div $cap AS end_chunk")
+        .orderBy(col("shard"), col("pack_offset"))
+    }),
+
     // Benchmark decontamination: drop any training doc sharing a word
     // 3-gram with the eval set (docs with doc_id ≡ 0 mod 23 stand in
     // for the benchmark). The eval n-gram set is broadcast — the 100 TB
@@ -236,6 +259,22 @@ object Pipeline {
          |    ORDER BY ${h("doc_id", A2, B2)}, doc_id) AS pos
          |FROM (SELECT doc_id, ${h("doc_id", A1, B1)} % 8 AS shard FROM documents)
          |ORDER BY shard, pos""".stripMargin,
+
+    "q_pack_sequences" ->
+      s"""WITH packed AS (
+         |  SELECT doc_id, n_chars,
+         |    ${h("doc_id", A1, B1)} % 8 AS shard,
+         |    ${h("doc_id", A2, B2)} AS h2
+         |  FROM documents),
+         |off AS (
+         |  SELECT doc_id, shard, n_chars,
+         |    CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY shard ORDER BY h2, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pack_offset
+         |  FROM packed)
+         |SELECT doc_id, shard, pack_offset,
+         |  pack_offset // 4096 AS start_chunk,
+         |  (pack_offset + n_chars - 1) // 4096 AS end_chunk
+         |FROM off ORDER BY shard, pack_offset""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH $ngSql,

@@ -186,6 +186,27 @@ object SimSearch {
         .limit(20)
     }),
 
+    // Int8 symmetric quantization of the embedding column — the
+    // storage/serving form of a 100 TB vector corpus (4 bytes → 1 byte
+    // per dimension, 4× less scan volume before any index). Map-only,
+    // fully codegen-eligible: per-vector scale = max|x|/127, element
+    // code = floor(x/scale + 0.5) (round-half-up via exact floor —
+    // both engines floor identically, so the codes are exact integers
+    // and the oracle hash-matches). Emits the codes plus cheap
+    // integrity stats (L1 mass, min/max code).
+    "q_vec_quantize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+        .withColumn("scale", expr("array_max(transform(e, x -> abs(x))) / 127.0D"))
+        .withColumn("qvec", expr("transform(e, x -> cast(floor(x / scale + 0.5D) as int))"))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale_r"),
+          col("qvec"),
+          expr("aggregate(qvec, 0, (a, q) -> a + abs(q))").as("l1_q"),
+          expr("array_max(qvec)").as("q_max"),
+          expr("array_min(qvec)").as("q_min"))
+        .orderBy(col("vec_id"))),
+
     // EXACT k-NN self-join (k=3, same-label), with IVF-cell candidate
     // generation instead of a label-block all-pairs join. Two passes,
     // both provably lossless (triangle inequality on angles):
@@ -293,6 +314,20 @@ object SimSearch {
          |FROM assign, qv
          |WHERE cell IN (SELECT k FROM qprobe)
          |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_vec_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS qvec
+        |  FROM sc)
+        |SELECT vec_id, round(scale, 6) AS scale_r, qvec,
+        |  CAST(list_aggregate(list_transform(qvec, x -> abs(x)), 'sum') AS INTEGER) AS l1_q,
+        |  list_max(qvec) AS q_max, list_min(qvec) AS q_min
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q_knn_label" ->
       s"""SELECT a_id, b_id, label, cos_sim, rn FROM (

@@ -119,6 +119,55 @@ object TextAnalysis {
     // grouped on md5(text) — the big-data-safe form of the reference's
     // id-keyed dict (main.py:158/:205): shuffle carries a 32-char key,
     // the winner is the deterministic min id, copies are counted.
+    // Within-document repetition metrics (the Gopher-style repetition
+    // filters): duplicate-token and duplicate-bigram fractions. Pure
+    // map-only — the native word_shingles expression gives the
+    // distinct-bigram count in one JVM pass; total bigrams is just
+    // n_tokens − 1. A highly repetitive (low-quality / boilerplate)
+    // doc scores near 1.0 on both.
+    "q_repetition" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      Tables.documents(s, d).selectExpr(
+        "doc_id",
+        s"cast(size($toks) as bigint) AS n_tokens",
+        s"round(1.0 - size(array_distinct($toks)) / size($toks), 4) AS dup_token_frac",
+        s"""CASE WHEN size($toks) <= 1 THEN 0.0
+             ELSE round(1.0 - size(word_shingles(text, 2)) / (size($toks) - 1), 4)
+           END AS dup_bigram_frac""")
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25 relevance scoring for a fixed query term set — the
+    // retrieval-standard ranking function (Robertson/Spärck Jones
+    // probabilistic model; k1=1.2, b=0.75). Corpus stats (N, Σdl) and
+    // per-term document frequencies are tiny aggregates broadcast
+    // against the posting rows; per-term partial scores are summed in
+    // a FIXED order (one pivoted column per term) so the double
+    // addition is engine-reproducible — a sum() over term rows would
+    // leave the fold order to the aggregate and break the oracle hash.
+    // Scale: one explode→count shuffle at (doc, term) grain for the
+    // query terms only (the term filter is pushed below the explode).
+    "q_bm25" -> ((s, d) => {
+      val stats = Tables.documents(s, d)
+        .selectExpr("doc_id", s"cast(size($toks) as bigint) AS dl", s"$toks AS tk")
+      val corpus = stats.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = stats.select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+        .filter(col("term").isin("the", "and", "of"))
+        .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfT), "term").crossJoin(broadcast(corpus))
+        .withColumn("score_t", expr(
+          "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl))"))
+      scored.groupBy(col("doc_id"))
+        .agg(
+          coalesce(sum(when(col("term") === "the", col("score_t"))), lit(0.0)).as("s_the"),
+          coalesce(sum(when(col("term") === "and", col("score_t"))), lit(0.0)).as("s_and"),
+          coalesce(sum(when(col("term") === "of", col("score_t"))), lit(0.0)).as("s_of"))
+        .withColumn("bm25", round(col("s_the") + col("s_and") + col("s_of"), 4))
+        .select(col("doc_id"), col("bm25"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_exact" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val mirror = docs.filter(col("doc_id") % 3 === 0)
@@ -198,6 +247,40 @@ object TextAnalysis {
         | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens,
         | CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | round(1.0 - len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 4) AS dup_token_frac,
+        | CASE WHEN len(string_split(text, ' ')) <= 1 THEN 0.0
+        |      ELSE round(1.0 - len(list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+        |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])))
+        |           / (len(string_split(text, ' ')) - 1), 4)
+        | END AS dup_bigram_frac
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_bm25" ->
+      """WITH stats AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    string_split(text, ' ') AS tk
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM stats),
+        |tf AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(tk) AS term FROM stats)
+        |  WHERE term IN ('the', 'and', 'of')
+        |  GROUP BY doc_id, dl, term),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl)) AS score_t
+        |  FROM tf JOIN dft USING (term), corpus)
+        |SELECT doc_id,
+        |  round(COALESCE(sum(CASE WHEN term = 'the' THEN score_t END), 0)
+        |      + COALESCE(sum(CASE WHEN term = 'and' THEN score_t END), 0)
+        |      + COALESCE(sum(CASE WHEN term = 'of' THEN score_t END), 0), 4) AS bm25
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH corpus AS (
