@@ -83,6 +83,36 @@ object Pipeline {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // The extreme-scale form of q_mixture, as documented there: when a
+    // stratum has billions of rows, the per-stratum window sort is the
+    // bottleneck — instead, ESTIMATE the hash threshold that admits
+    // ~quota rows (percentile_approx over h per stratum, one partial+
+    // final sketch aggregate), broadcast the per-stratum thresholds,
+    // and keep rows with h below threshold in a MAP-ONLY filter. Quota
+    // is approximate (sketch accuracy), which is why this variant is
+    // spec-pinned (size within tolerance, subset-of-stratum, and
+    // determinism) rather than oracle-hashed; q_mixture stays the
+    // exact baseline.
+    "q_mixture_approx" -> ((s, d) => {
+      // percentile_approx needs a FOLDABLE percentage, so the sketch
+      // returns a fixed 200-point quantile grid per stratum and the
+      // stratum's own quota/count picks the grid entry afterwards —
+      // one partial+final sketch aggregate either way.
+      val grid = (1 to 200).map(i => (i / 200.0).toString).mkString("array(", ", ", ")")
+      val docs = Tables.documents(s, d).withColumn("h", expr(h("doc_id", A1, B1)))
+      val thresholds = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_lang"),
+          expr(s"percentile_approx(h, $grid, 10000)").as("qs"))
+        .withColumn("quota", expr("CASE WHEN lang = 'en' THEN 40 ELSE 15 END"))
+        .withColumn("idx", expr(
+          "greatest(1, least(200, cast(ceil(quota / n_lang * 200) as int)))"))
+        .select(col("lang"), expr("element_at(qs, idx)").as("h_max"))
+      docs.join(broadcast(thresholds), "lang")
+        .filter(col("h") <= col("h_max"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // Deterministic shuffle + shard: shard = h1 mod 8, order within a
     // shard by an INDEPENDENT hash h2 (reusing h1 would sort each
     // shard by the same key that assigned it — a correlated, biased

@@ -146,13 +146,17 @@ object TextAnalysis {
     // addition is engine-reproducible — a sum() over term rows would
     // leave the fold order to the aggregate and break the oracle hash.
     // Scale: one explode→count shuffle at (doc, term) grain for the
-    // query terms only (the term filter is pushed below the explode).
+    // query terms only (the term predicate filters the token array
+    // BEFORE the generator, so non-matching tokens are never exploded).
     "q_bm25" -> ((s, d) => {
       val stats = Tables.documents(s, d)
         .selectExpr("doc_id", s"cast(size($toks) as bigint) AS dl", s"$toks AS tk")
       val corpus = stats.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val tf = stats.select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
-        .filter(col("term").isin("the", "and", "of"))
+      // the term predicate applies INSIDE the array, before the
+      // generator — only query-term occurrences are ever exploded, so
+      // the shuffle is O(matches), not O(corpus tokens)
+      val tf = stats.select(col("doc_id"), col("dl"),
+          explode(expr("filter(tk, t -> t IN ('the', 'and', 'of'))")).as("term"))
         .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
       val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val scored = tf.join(broadcast(dfT), "term").crossJoin(broadcast(corpus))

@@ -52,6 +52,30 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("total"))
 
+  /** Stream-stream interval join: each purchase joins the same user's
+    * clicks from the preceding `lag`. BOTH sides carry watermarks and
+    * the join condition bounds event time in both directions — that is
+    * what lets Spark expire join state: a buffered click can be
+    * dropped once the purchase watermark passes click_ts + lag, so
+    * state stays O(lag × rate) instead of growing with the stream.
+    * (The batch as-of/range joins are the offline twins; this is the
+    * online form.)
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       lag: String = "10 minutes",
+                       watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c, expr(
+        s"c_user = p_user AND click_ts BETWEEN purchase_ts - INTERVAL $lag AND purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class UserTotal(user_id: Long, n: Long, total: Double)

@@ -11,8 +11,9 @@ package graft
 class DeterminismSpec extends SparkSpec {
 
   private val exempt = Set(
-    "q_approx_stats", // percentile_approx merge is grouping-sensitive
-    "q_hll_union"     // sketch estimate may vary with merge tree
+    "q_approx_stats",  // percentile_approx merge is grouping-sensitive
+    "q_hll_union",     // sketch estimate may vary with merge tree
+    "q_mixture_approx" // threshold from a percentile_approx sketch
   )
 
   test("every query is invariant to shuffle partition count (3 vs 17)") {

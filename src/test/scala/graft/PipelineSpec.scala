@@ -23,6 +23,30 @@ class PipelineSpec extends SparkSpec {
     assert(a.length > n * 0.03 && a.length < n * 0.25, s"rate ${a.length}/$n far from 10%")
   }
 
+  test("q_mixture_approx: sizes near quota, subset of stratum, repeatable") {
+    // sf0.01 (500 docs) so the quota is a PARTIAL slice of each
+    // stratum — at sf0.001 every stratum fits under quota and the
+    // threshold path degenerates to keep-all.
+    val d01 = "/root/testdata/sf0.01"
+    val got = Pipeline.queries("q_mixture_approx")(spark, d01).collect()
+    val nLang = Tables.documents(spark, d01).groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = got.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    byLang.foreach { case (lang, n) =>
+      val quota = if (lang == "en") 40L else 15L
+      val target = math.min(quota, nLang(lang))
+      val tol = math.max(3L, (target * 0.3).toLong)
+      assert(math.abs(n - target) <= tol, s"$lang: got $n, target $target (±$tol)")
+    }
+    // every picked doc belongs to its stratum
+    val all = Tables.documents(spark, d01).select($"doc_id", $"lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.forall(r => all(r.getLong(0)) == r.getString(1)))
+    // same session, same thresholds → identical pick set
+    val again = Pipeline.queries("q_mixture_approx")(spark, d01).collect()
+    assert(got.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("stratified sample keeps minority strata at the higher rate") {
     val byLang = Pipeline.queries("q_sample_stratified")(spark, sf)
       .groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap

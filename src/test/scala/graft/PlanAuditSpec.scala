@@ -189,6 +189,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_pack_sequences: cumsum window is shard-partitioned, never global") {
+    val p = plan(graft.operators.Pipeline.queries("q_pack_sequences")(spark, sf))
+    assert(p.contains("windowspecdefinition(shard"),
+      "packing window is not partitioned by shard (global cumsum = one reducer at scale):\n" +
+        p.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n"))
+  }
+
+  test("q_bm25: term predicate filters the array before the generator") {
+    val p = plan(graft.operators.TextAnalysis.queries("q_bm25")(spark, sf))
+    assert(p.contains("Generate explode(filter("),
+      "explode runs on the unfiltered token array (O(corpus tokens) shuffle at scale):\n" +
+        p.linesIterator.filter(_.contains("Generate")).mkString("\n"))
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     // The complement of manual salting (q_join_salted): when skew is
     // only known at runtime, AQE detects an oversized shuffle

@@ -13,7 +13,8 @@ class RelationalSpec extends SparkSpec {
     * streaming-stateful); the driver records a rows-only check and a
     * dedicated spec pins their behavior.
     */
-  private val oracleExempt = Set("q_simsearch_lsh", "q_approx_stats", "q_hll_union")
+  private val oracleExempt = Set("q_simsearch_lsh", "q_approx_stats", "q_hll_union",
+    "q_mixture_approx")
 
   test("every declared query has an oracle or is explicitly exempt") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- oracleExempt

@@ -52,6 +52,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks only") {
+    val clicks = MemoryStream[Event](spark)
+    val purchases = MemoryStream[Event](spark)
+    val q = EventStreams.clickAttribution(clicks.toDF(), purchases.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      // user 1: click at :05 and :40; purchases at :12 (matches :05
+      // click) and :55 (matches :40? 55-40=15 > 10 → no). user 2:
+      // click at :20, purchase at :25 (match). cross-user never joins.
+      clicks.addData(ev(101, 5, user = 1), ev(102, 40, user = 1), ev(201, 20, user = 2))
+      purchases.addData(ev(901, 12, user = 1), ev(902, 55, user = 1), ev(903, 25, user = 2))
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+      assert(got === Set((901L, 101L), (903L, 201L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch incremental upsert: newest row per user wins across batches") {
     val input = MemoryStream[Event](spark)
     val base = java.nio.file.Files.createTempDirectory("graft_upsert_").toString
