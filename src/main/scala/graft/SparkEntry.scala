@@ -25,7 +25,8 @@ object SparkEntry {
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (functions.Udx.queries, functions.Udx.oracles),
       (sources.MailQueries.queries, sources.MailQueries.oracles),
-      (sources.CatalogListing.queries, sources.CatalogListing.oracles)
+      (sources.CatalogListing.queries, sources.CatalogListing.oracles),
+      (plans.TopKPushdown.queries, plans.TopKPushdown.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
