@@ -193,7 +193,11 @@ object SimSearch {
     // code = floor(x/scale + 0.5) (round-half-up via exact floor —
     // both engines floor identically, so the codes are exact integers
     // and the oracle hash-matches). Emits the codes plus cheap
-    // integrity stats (L1 mass, min/max code).
+    // integrity stats (L1 mass, min/max code). The codes are DECLARED
+    // as a csv string (`qvec_csv`), not array<int>: the driver's
+    // pandas-based checker cannot hash array-typed cells (same
+    // precedent as q_fingerprint_rolling's bottom4_csv) — the storage
+    // form in a real pipeline would of course stay `array<tinyint>`.
     "q_vec_quantize" -> ((s, d) =>
       Tables.embeddings(s, d)
         .withColumn("e", col("embedding").cast("array<double>"))
@@ -201,7 +205,7 @@ object SimSearch {
         .withColumn("qvec", expr("transform(e, x -> cast(floor(x / scale + 0.5D) as int))"))
         .select(col("vec_id"),
           round(col("scale"), 6).as("scale_r"),
-          col("qvec"),
+          expr("array_join(qvec, ',')").as("qvec_csv"),
           expr("aggregate(qvec, 0, (a, q) -> a + abs(q))").as("l1_q"),
           expr("array_max(qvec)").as("q_max"),
           expr("array_min(qvec)").as("q_min"))
@@ -324,7 +328,8 @@ object SimSearch {
         |  SELECT vec_id, scale,
         |    list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS qvec
         |  FROM sc)
-        |SELECT vec_id, round(scale, 6) AS scale_r, qvec,
+        |SELECT vec_id, round(scale, 6) AS scale_r,
+        |  array_to_string(qvec, ',') AS qvec_csv,
         |  CAST(list_aggregate(list_transform(qvec, x -> abs(x)), 'sum') AS INTEGER) AS l1_q,
         |  list_max(qvec) AS q_max, list_min(qvec) AS q_min
         |FROM q ORDER BY vec_id""".stripMargin,
