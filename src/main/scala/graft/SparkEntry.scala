@@ -26,7 +26,7 @@ object SparkEntry {
       (functions.Udx.queries, functions.Udx.oracles),
       (sources.MailQueries.queries, sources.MailQueries.oracles),
       (sources.CatalogListing.queries, sources.CatalogListing.oracles),
-      (plans.TopKPushdown.queries, plans.TopKPushdown.oracles)
+      (plans.WindowTopK.queries, plans.WindowTopK.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

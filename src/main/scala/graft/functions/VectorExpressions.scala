@@ -219,8 +219,6 @@ object VectorFunctions {
       e.injectFunction((FunctionIdentifier("word_shingle_hashes"), shingleHashesInfo, shingleHashesBuilder))
       e.injectFunction((FunctionIdentifier("jaccard_sorted"), jaccardInfo, jaccardBuilder))
       e.injectOptimizerRule(_ => RewriteDotProducts)
-      e.injectOptimizerRule(_ => graft.plans.PushLocalTopK)
-      e.injectPlannerStrategy(_ => graft.plans.LocalTopKStrategy)
     }
   }
 }
