@@ -1,6 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute system load average, or -1 where unavailable. Recorded
+    * before and after the sweep so a contaminated run (another process
+    * fighting for the 32 CPUs) is self-identifying in the JSON instead
+    * of needing a judge re-run to detect.
+    */
+  private def loadAvg(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,6 +44,7 @@ object Bench {
     // passes. (The second pass also measures the steady state the
     // per-round comparison cares about: plan + codegen are warm.)
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val loadBefore = loadAvg()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // A failed query must not masquerade as a fast one: report -1.
       def once(): Double = {
@@ -56,7 +66,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
+    val loadAfter = loadAvg()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter}""")
     spark.stop()
   }
 }

@@ -46,6 +46,19 @@ object Pipeline {
   private def h(col: String, a: Long, b: Long): String =
     s"($a * ($col % $P) + $b) % $P"
 
+  /** Training-shard count for q_train_shard / q_pack_sequences, read
+    * from session conf `graft.pipeline.shards` (default 8 — the
+    * fixture/oracle scale). The 100 TB rule: shards must comfortably
+    * EXCEED reducer parallelism, or each of the N shards funnels
+    * 100 TB / N through a single window reducer (8 shards × 12.5 TB
+    * is a stall; thousands of shards at a few GB each keeps every
+    * reducer busy and each sort in memory). Shard count is part of the
+    * output contract (ids are (shard, pos) / (shard, chunk) pairs),
+    * so it is a per-run parameter, not a literal.
+    */
+  private def shardCount(s: SparkSession): Int =
+    s.conf.get("graft.pipeline.shards", "8").toInt
+
   val queries: Map[String, Q] = Map(
     // Reproducible 10% Bernoulli sample: keep iff h(doc_id) mod 100 < 10.
     // Map-only — the filter sits directly on the scan, columns prune.
@@ -113,7 +126,9 @@ object Pipeline {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
-    // Deterministic shuffle + shard: shard = h1 mod 8, order within a
+    // Deterministic shuffle + shard: shard = h1 mod `graft.pipeline
+    // .shards` (default 8 at fixture scale; see shardCount for the
+    // 100 TB sizing rule), order within a
     // shard by an INDEPENDENT hash h2 (reusing h1 would sort each
     // shard by the same key that assigned it — a correlated, biased
     // order). This is the "global shuffle" of training-data prep as a
@@ -123,7 +138,7 @@ object Pipeline {
     "q_train_shard" -> ((s, d) => {
       val w = Window.partitionBy(col("shard")).orderBy(col("h2"), col("doc_id"))
       Tables.documents(s, d)
-        .withColumn("shard", expr(s"${h("doc_id", A1, B1)} % 8"))
+        .withColumn("shard", expr(s"${h("doc_id", A1, B1)} % ${shardCount(s)}"))
         .withColumn("h2", expr(h("doc_id", A2, B2)))
         .withColumn("pos", row_number().over(w))
         .select(col("doc_id"), col("shard"), col("pos"))
@@ -144,7 +159,7 @@ object Pipeline {
       val w = Window.partitionBy(col("shard")).orderBy(col("h2"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.documents(s, d)
-        .withColumn("shard", expr(s"${h("doc_id", A1, B1)} % 8"))
+        .withColumn("shard", expr(s"${h("doc_id", A1, B1)} % ${shardCount(s)}"))
         .withColumn("h2", expr(h("doc_id", A2, B2)))
         .withColumn("pack_offset", coalesce(sum(col("n_chars")).over(w), lit(0L)))
         .selectExpr("doc_id", "shard", "pack_offset",
@@ -238,7 +253,7 @@ object Pipeline {
       clean
         .filter(expr(s"${h("doc_id", A1, B1)} % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 80 END"))
         .select(col("doc_id"), col("lang"),
-          expr(s"${h("doc_id", A2, B2)} % 8").as("shard"))
+          expr(s"${h("doc_id", A2, B2)} % ${shardCount(s)}").as("shard"))
         .orderBy(col("doc_id"))
     }),
 

@@ -40,7 +40,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `enrich=true` models the reference's TWO-phase read
   *    (main.py:177-191): the page scan lists message ids only; a
   *    second, chunk-of-50 batched "get" stage inside the
-  *    `PartitionReader` materializes the metadata. A failing get is an
+  *    `PartitionReader` materializes the metadata, with up to
+  *    `fetchPool` chunks in flight at once (default 5, the reference's
+  *    intra-batch ThreadPoolExecutor at main.py:219-229). A failing
+  *    get is an
   *    error-as-value (main.py:187-191 returns HttpError objects from
   *    the thread pool instead of raising): the message is skipped and
   *    counted — surfaced both as a DSv2 custom metric
@@ -110,18 +113,27 @@ object MailTransport {
       s"Mon, ${docId % 28 + 1} Jan 2024 0${docId % 10}:00:00 +0000")
   }
 
+  /** Test hook: invoked once per batchGet call — the wire round-trip.
+    * Specs install a latency/concurrency probe here to prove the
+    * enrich reader's chunk pool overlaps fetches; production leaves it
+    * a no-op.
+    */
+  @volatile var onBatchGet: Seq[Long] => Unit = _ => ()
+
   /** The batched point-lookup (main.py:177-191): one messages.get per
     * id, errors returned as values (the reference's `_batch_execute`
     * maps HttpError into the result list instead of raising). A
     * deterministic poison set — docId % errorEvery == errorOffset —
     * stands in for the transient API failures.
     */
-  def batchGet(ids: Seq[Long], errorEvery: Long, errorOffset: Long): Seq[Either[String, Long]] =
+  def batchGet(ids: Seq[Long], errorEvery: Long, errorOffset: Long): Seq[Either[String, Long]] = {
+    onBatchGet(ids)
     ids.map { id =>
       if (errorEvery > 0 && id % errorEvery == errorOffset)
         Left(s"get msg$id: 503 backend error")
       else Right(id)
     }
+  }
 
   /** Credential states of the reference's token files (main.py:132-155). */
   sealed trait TokenState
@@ -192,8 +204,23 @@ object MailMetrics {
   def dead(runId: String): Set[String] =
     Option(deadMap.get(runId)).map(_.asScala.toSet).getOrElse(Set.empty)
 
+  /** Temp-credential lifecycle ledger: path → was the file still
+    * present when its task-completion cleanup ran (None = cleanup
+    * never fired). Lets specs prove the reference's temp-file contract
+    * (main.py:120, :305-314): exists for the whole read, gone after.
+    */
+  private val tempMap = new ConcurrentHashMap[String, ConcurrentHashMap[String, Option[Boolean]]]()
+
+  def recordTempCreate(runId: String, path: String): Unit =
+    tempMap.computeIfAbsent(runId, _ => new ConcurrentHashMap).put(path, None)
+  def recordTempCleanup(runId: String, path: String, existed: Boolean): Unit =
+    tempMap.computeIfAbsent(runId, _ => new ConcurrentHashMap).put(path, Some(existed))
+  def tempFiles(runId: String): Map[String, Option[Boolean]] =
+    Option(tempMap.get(runId)).map(_.asScala.toMap).getOrElse(Map.empty)
+
   def clear(runId: String): Unit = {
     skippedMap.remove(runId); refreshedMap.remove(runId); deadMap.remove(runId)
+    tempMap.remove(runId)
   }
 }
 
@@ -253,7 +280,8 @@ class MailSourceProvider extends TableProvider {
 case class MailReadConf(
     nmsgs: Long, pageSize: Int, maxPagesPerTrigger: Int,
     enrich: Boolean, errorEvery: Long, errorOffset: Long,
-    tokens: Seq[MailTransport.Credential], runId: String) {
+    tokens: Seq[MailTransport.Credential], runId: String,
+    fetchPool: Int = 5) {
   def schema: StructType =
     if (tokens.nonEmpty) MailTransport.accountSchema else MailTransport.schema
 }
@@ -275,7 +303,8 @@ class MailTable(props: Map[String, String]) extends Table with SupportsRead with
       options.getLong("errorEvery", 0L),
       options.getLong("errorOffset", 13L),
       Option(options.get("tokens")).map(MailTransport.parseTokens).getOrElse(Nil),
-      options.getOrDefault("runId", "default")))
+      options.getOrDefault("runId", "default"),
+      options.getInt("fetchPool", 5)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val sink = info.options.getOrDefault("sink", "default")
@@ -347,7 +376,7 @@ class MailScan(conf: MailReadConf, filters: Array[Filter], required: StructType)
     s"graft-mail nmsgs=${conf.nmsgs} pageSize=${conf.pageSize} " +
       s"q='${MailTransport.gmailQ(filters.toSeq)}' " +
       s"fields=${required.fieldNames.mkString(",")}" +
-      (if (conf.enrich) s" enrich=batchGet(${MailTransport.GetBatch})" else "")
+      (if (conf.enrich) s" enrich=batchGet(${MailTransport.GetBatch})x${conf.fetchPool}" else "")
   override def toBatch: Batch = this
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
@@ -437,10 +466,29 @@ class MailReaderFactory(fields: Array[String], filters: Array[Filter], conf: Mai
     // Reader open = credential use (main.py:149-155): an expired-but-
     // refreshable token is refreshed before the first request. Dead
     // tokens never reach here — they were dropped at planning.
-    conf.tokens.find(_.account == page.account).foreach {
-      case MailTransport.Credential(a, MailTransport.ExpiredRefreshable) =>
-        MailMetrics.recordRefresh(conf.runId, a)
-      case _ => ()
+    conf.tokens.find(_.account == page.account).foreach { cred =>
+      cred match {
+        case MailTransport.Credential(a, MailTransport.ExpiredRefreshable) =>
+          MailMetrics.recordRefresh(conf.runId, a)
+        case _ => ()
+      }
+      // Executor-local credential materialization (main.py:120
+      // downloads each token to /tmp/<name>): the file exists only for
+      // this task's lifetime. Cleanup registers on TaskContext — the
+      // executor-side form of the reference's cleanup-after-run loop
+      // (main.py:305-314) — and is best-effort like it (a failed
+      // delete never fails the task). On a real cluster this is the
+      // standard pattern for per-task scratch: node-local tmpdir,
+      // lifetime bounded by the task, never the JVM.
+      val tok = java.nio.file.Files.createTempFile(s"graft_token_${cred.account}_", ".tok")
+      java.nio.file.Files.write(tok, s"${cred.account}:${cred.state}".getBytes("UTF-8"))
+      MailMetrics.recordTempCreate(conf.runId, tok.toString)
+      Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+        val existed = java.nio.file.Files.exists(tok)
+        MailMetrics.recordTempCleanup(conf.runId, tok.toString, existed)
+        try java.nio.file.Files.deleteIfExists(tok)
+        catch { case _: Throwable => () }
+      })
     }
 
     def row(docId: Long): InternalRow =
@@ -467,17 +515,47 @@ class MailReaderFactory(fields: Array[String], filters: Array[Filter], conf: Mai
       // materializes metadata, per-message errors returned as values
       // and skipped — a bad message never fails its chunk, its page,
       // or the job.
+      //
+      // Chunks are fetched through a bounded pool of `fetchPool`
+      // in-flight requests (default 5 — the reference's
+      // ThreadPoolExecutor(max_workers=5) inside each batch,
+      // main.py:219-229), hiding per-request wire latency behind the
+      // row consumer. Results are consumed in submission order, so the
+      // reader's output order (and therefore everything downstream) is
+      // identical to the serial form. At cluster scale this is
+      // per-task I/O concurrency: 1000 tasks × 5 in-flight requests,
+      // each task's memory bounded by pool × chunk rows.
       new PartitionReader[InternalRow] {
         private val ids = (page.start until page.end).filter(id => tests.forall(_(id)))
-        private var nextChunk = 0
+        private val chunkIter = ids.grouped(MailTransport.GetBatch)
+        private val pool: Option[java.util.concurrent.ExecutorService] =
+          if (conf.fetchPool > 1 && ids.length > MailTransport.GetBatch)
+            Some(java.util.concurrent.Executors.newFixedThreadPool(conf.fetchPool))
+          else None
+        private val inFlight =
+          MQueue.empty[java.util.concurrent.Future[Seq[Either[String, Long]]]]
         private val pending = MQueue.empty[InternalRow]
         private var skipped = 0L
 
+        /** Keep the request window full: ≤ fetchPool chunks on the wire. */
+        private def refill(): Unit = pool.foreach { es =>
+          while (inFlight.size < conf.fetchPool && chunkIter.hasNext) {
+            val chunk = chunkIter.next()
+            inFlight.enqueue(es.submit(new java.util.concurrent.Callable[Seq[Either[String, Long]]] {
+              override def call(): Seq[Either[String, Long]] =
+                MailTransport.batchGet(chunk, conf.errorEvery, conf.errorOffset)
+            }))
+          }
+        }
+
         override def next(): Boolean = {
-          while (pending.isEmpty && nextChunk < ids.length) {
-            val chunk = ids.slice(nextChunk, nextChunk + MailTransport.GetBatch)
-            nextChunk += MailTransport.GetBatch
-            MailTransport.batchGet(chunk, conf.errorEvery, conf.errorOffset).foreach {
+          while (pending.isEmpty && (inFlight.nonEmpty || chunkIter.hasNext)) {
+            refill()
+            val results =
+              if (pool.isDefined) inFlight.dequeue().get()
+              else MailTransport.batchGet(chunkIter.next(), conf.errorEvery, conf.errorOffset)
+            refill() // re-arm the window before draining rows
+            results.foreach {
               case Left(_)      => skipped += 1
               case Right(docId) => pending.enqueue(row(docId))
             }
@@ -487,7 +565,10 @@ class MailReaderFactory(fields: Array[String], filters: Array[Filter], conf: Mai
         override def get(): InternalRow = pending.dequeue()
         override def currentMetricsValues(): Array[CustomTaskMetric] =
           Array(SkippedMessagesTaskMetric(skipped))
-        override def close(): Unit = MailMetrics.addSkipped(conf.runId, skipped)
+        override def close(): Unit = {
+          pool.foreach(_.shutdownNow())
+          MailMetrics.addSkipped(conf.runId, skipped)
+        }
       }
     }
   }

@@ -76,6 +76,32 @@ object EventStreams {
         col("purchase_ts"), col("click_ts"))
   }
 
+  /** Left-outer variant of [[clickAttribution]]: every purchase is
+    * emitted exactly once — matched purchases with their click(s), and
+    * unattributed purchases with a NULL click once the CLICK-side
+    * watermark passes `purchase_ts` (only then can Spark prove no
+    * matching click is still in flight; until that point the purchase
+    * waits in state). Same state bound as the inner form — both sides
+    * watermarked, the join condition bounds event time in both
+    * directions — plus the outer row's emission is watermark-delayed,
+    * which is the price of a complete answer on an unbounded stream.
+    */
+  def clickAttributionLeftOuter(clicks: DataFrame, purchases: DataFrame,
+                                lag: String = "10 minutes",
+                                watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c, expr(
+        s"c_user = p_user AND click_ts BETWEEN purchase_ts - INTERVAL $lag AND purchase_ts"),
+        "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class UserTotal(user_id: Long, n: Long, total: Double)

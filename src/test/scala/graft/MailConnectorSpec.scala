@@ -96,6 +96,42 @@ class MailConnectorSpec extends SparkSpec {
     assert(MailMetrics.skipped("t_enrich2") === 0)
   }
 
+  test("enrich: chunk fetches overlap — up to fetchPool batchGets in flight at once") {
+    // One page of 1000 ids = 20 chunks of 50. A latency probe inside
+    // the transport records how many batchGet calls overlap; the
+    // bounded window must overlap (>1) without exceeding the pool (5),
+    // and the result must be identical to the serial (fetchPool=1)
+    // read — same rows, same skip count (error-as-value preserved).
+    val concurrent = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    graft.sources.MailTransport.onBatchGet = { _ =>
+      val now = concurrent.incrementAndGet()
+      maxSeen.updateAndGet(m => math.max(m, now))
+      Thread.sleep(25)
+      concurrent.decrementAndGet()
+    }
+    try {
+      def read(poolSize: Int, runId: String) = {
+        MailMetrics.clear(runId)
+        spark.read.format("graft.sources.MailSourceProvider")
+          .option("nmsgs", 1000).option("pageSize", 1000)
+          .option("enrich", true).option("errorEvery", 50).option("errorOffset", 7)
+          .option("fetchPool", poolSize).option("runId", runId).load()
+          .select("id").collect().map(_.getString(0)).toSeq
+      }
+      val pooled = read(poolSize = 5, runId = "t_pool")
+      val pooledMax = maxSeen.get()
+      maxSeen.set(0)
+      val serial = read(poolSize = 1, runId = "t_serial")
+      assert(pooledMax > 1, s"chunks never overlapped (max in flight = $pooledMax)")
+      assert(pooledMax <= 5, s"pool bound exceeded: $pooledMax")
+      assert(maxSeen.get() === 1, s"fetchPool=1 must stay serial, saw ${maxSeen.get()}")
+      assert(pooled === serial, "pooled read changed row content or order")
+      assert(MailMetrics.skipped("t_pool") === 20)
+      assert(MailMetrics.skipped("t_serial") === 20)
+    } finally graft.sources.MailTransport.onBatchGet = _ => ()
+  }
+
   test("token roster: valid reads, expired-refreshable refreshes, dead dropped and counted") {
     MailMetrics.clear("t_tok")
     val df = spark.read.format("graft.sources.MailSourceProvider")
@@ -107,6 +143,28 @@ class MailConnectorSpec extends SparkSpec {
       === Set("alice", "bob"))
     assert(MailMetrics.refreshed("t_tok") === Set("bob"), "refresh-on-open not recorded")
     assert(MailMetrics.dead("t_tok") === Set("carol"), "dead token not counted")
+  }
+
+  test("credential temp files live for the task and are gone after completion") {
+    // main.py:120 downloads each account token to /tmp; main.py:305-314
+    // removes them after the run. Spark form: one executor-local temp
+    // file per reader open, deleted by a TaskContext completion
+    // listener — alive for the whole read, gone when the task ends.
+    MailMetrics.clear("t_tmpfile")
+    val df = spark.read.format("graft.sources.MailSourceProvider")
+      .option("nmsgs", 100).option("pageSize", 50)
+      .option("tokens", "alice:valid,bob:expired_refresh")
+      .option("runId", "t_tmpfile").load()
+    assert(df.count() === 200)
+    val files = MailMetrics.tempFiles("t_tmpfile")
+    // 2 live accounts × 2 pages = 4 reader opens, each with its own file
+    assert(files.size === 4, s"expected 4 temp credentials, saw ${files.keySet}")
+    files.foreach { case (path, cleanedWhileLive) =>
+      assert(cleanedWhileLive === Some(true),
+        s"$path: cleanup did not run at task completion, or the file was already gone")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+        s"$path leaked past task completion")
+    }
   }
 
   test("Pacer enforces the inter-flush interval against an injectable clock") {

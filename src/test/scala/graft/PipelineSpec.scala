@@ -79,6 +79,30 @@ class PipelineSpec extends SparkSpec {
     } finally sh.unpersist()
   }
 
+  test("shard count is a run parameter: graft.pipeline.shards rescales both shard queries") {
+    // 100 TB posture: shard count must be tunable far above reducer
+    // parallelism; the fixture default (8) is only the oracle scale.
+    val prev = spark.conf.getOption("graft.pipeline.shards")
+    spark.conf.set("graft.pipeline.shards", "32")
+    try {
+      val sh = Pipeline.queries("q_train_shard")(spark, sf).cache()
+      try {
+        assert(sh.count() === docs.count(), "repartitioned corpus lost docs")
+        assert(sh.agg(max($"shard")).head.getLong(0) > 7, "shard space did not widen")
+        val bad = sh.groupBy($"shard")
+          .agg(count(lit(1)).as("n"), max($"pos").as("mx"), min($"pos").as("mn"))
+          .filter($"mx" =!= $"n" || $"mn" =!= 1).count()
+        assert(bad === 0, "pos must stay a dense 1..n ranking per shard at any count")
+      } finally sh.unpersist()
+      val packed = Pipeline.queries("q_pack_sequences")(spark, sf)
+      assert(packed.count() === docs.count())
+      assert(packed.agg(max($"shard")).head.getLong(0) > 7)
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.pipeline.shards", v)
+      case None    => spark.conf.unset("graft.pipeline.shards")
+    }
+  }
+
   test("decontamination: no survivor shares a 3-gram with the eval set") {
     graft.functions.VectorFunctions.register(spark)
     val survivors = Pipeline.queries("q_decontaminate")(spark, sf).select($"doc_id")

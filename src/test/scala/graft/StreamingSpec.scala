@@ -70,6 +70,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits NULL-click purchases once the watermark closes them") {
+    val clicks = MemoryStream[Event](spark)
+    val purchases = MemoryStream[Event](spark)
+    val q = EventStreams.clickAttributionLeftOuter(clicks.toDF(), purchases.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("attr_outer_out").outputMode("append").start()
+    try {
+      // user 1's purchase at :12 matches the :05 click; user 2's
+      // purchase at :25 has no click in [:15, :25].
+      clicks.addData(ev(101, 5, user = 1))
+      purchases.addData(ev(901, 12, user = 1), ev(902, 25, user = 2))
+      q.processAllAvailable()
+      // matched row may emit immediately; the unmatched one must NOT
+      // yet — a :25-or-earlier click could still arrive
+      val early = spark.table("attr_outer_out")
+        .select($"purchase_id", $"click_id").as[(Long, Option[Long])].collect().toMap
+      assert(early.get(902L).flatten.isEmpty, s"unmatched purchase emitted early: $early")
+      // advance BOTH watermarks far past :25 + lag so state closes
+      clicks.addData(ev(109, 120, user = 9))
+      purchases.addData(ev(909, 120, user = 9))
+      q.processAllAvailable()
+      clicks.addData(ev(110, 130, user = 9)) // second nudge: outer rows emit on the NEXT batch
+      purchases.addData(ev(910, 130, user = 9))
+      q.processAllAvailable()
+      val got = spark.table("attr_outer_out")
+        .select($"purchase_id", $"click_id").as[(Long, Option[Long])].collect()
+        .groupBy(_._1).map { case (p, rows) => p -> rows.map(_._2).toSet }
+      assert(got(901L) === Set(Some(101L)), s"matched purchase wrong: $got")
+      assert(got(902L) === Set(None), s"closed unmatched purchase must emit exactly one NULL-click row: $got")
+    } finally q.stop()
+  }
+
   test("foreachBatch incremental upsert: newest row per user wins across batches") {
     val input = MemoryStream[Event](spark)
     val base = java.nio.file.Files.createTempDirectory("graft_upsert_").toString
