@@ -168,6 +168,65 @@ object Pipeline {
         .orderBy(col("shard"), col("pack_offset"))
     }),
 
+    // Per-domain document cap — the crawl-curation staple: a handful
+    // of hot domains dominate any web crawl, and capping them bounds
+    // both topical skew and downstream per-key work. Kept docs are the
+    // K smallest by an INDEPENDENT hash (unbiased and deterministic —
+    // not "first K crawled", which over-samples whatever the crawler
+    // saw first). The row_number ≤ K idiom is map-side pruned by
+    // Spark's built-in WindowGroupLimit (see plans/WindowTopK): each
+    // mapper forwards ≤ K rows per domain it sees, so at 100 TB a hot
+    // domain's millions of pages never cross the wire. Plan pinned in
+    // PlanAuditSpec.
+    "q_domain_cap" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("h2"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("h2", expr(h("doc_id", A2, B2)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("doc_id"), col("source"), col("rn"))
+        .orderBy(col("source"), col("rn"))
+    }),
+
+    // Lexical diversity (type-token ratio): low-TTR documents are
+    // boilerplate / keyword-stuffed spam — the classic cheap quality
+    // signal next to q_repetition's shingle fractions. Map-only
+    // (tokenize → distinct → two counts per row), so it runs at scan
+    // speed and the text column never shuffles. Counts cast to long
+    // for oracle type parity (DuckDB len() is BIGINT).
+    "q_ttr" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_types"))
+        .withColumn("ttr", round(col("n_types").cast("double") / col("n_tokens"), 4))
+        .withColumn("keep", (col("ttr") >= 0.3).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet-style quality terciles: rank each language's documents by
+    // a cheap quality score (lexical diversity here; a broadcast-LM
+    // perplexity in a production run) and cut head / middle / tail.
+    // ntile needs a per-lang total order — one shuffle on lang, with
+    // the usual skew caveat; at extreme scale the two cut-points come
+    // from a quantile sketch instead (the q_mixture_approx pattern)
+    // and the bucketing is map-only. This window form is the exact
+    // baseline; (score desc, doc_id) makes the order total so both
+    // engines tile identically.
+    "q_quality_tercile" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("score",
+          size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+        .withColumn("bucket", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"),
+          expr("CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END")
+            .as("tier"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: drop any training doc sharing a word
     // 3-gram with the eval set (docs with doc_id ≡ 0 mod 23 stand in
     // for the benchmark). The eval n-gram set is broadcast — the 100 TB
@@ -320,6 +379,41 @@ object Pipeline {
          |  pack_offset // 4096 AS start_chunk,
          |  (pack_offset + n_chars - 1) // 4096 AS end_chunk
          |FROM off ORDER BY shard, pack_offset""".stripMargin,
+
+    "q_domain_cap" ->
+      s"""SELECT doc_id, source, rn FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${h("doc_id", A2, B2)}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 10
+         |ORDER BY source, rn""".stripMargin,
+
+    "q_ttr" ->
+      """SELECT doc_id, n_tokens, n_types, ttr,
+        |  CAST(ttr >= 0.3 AS INT) AS keep
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |          / len(string_split(text, ' ')), 4) AS ttr
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_quality_tercile" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS bucket
+        |  FROM scored)
+        |SELECT doc_id, lang,
+        |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH $ngSql,

@@ -103,6 +103,57 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("domain cap keeps min(10, n) docs per source, chosen by hash not arrival") {
+    val capped = Pipeline.queries("q_domain_cap")(spark, sf).cache()
+    try {
+      val perSource = capped.groupBy($"source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val totals = docs.groupBy($"source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      totals.foreach { case (src, n) =>
+        assert(perSource.getOrElse(src, 0L) === math.min(10L, n), s"source $src")
+      }
+      // unbiased selection: NOT simply the lowest doc_ids of each source
+      val lowestIds = docs.withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"source").orderBy($"doc_id")))
+        .filter($"rn" <= 10).select($"doc_id").as[Long].collect().toSet
+      val kept = capped.select($"doc_id").as[Long].collect().toSet
+      assert(kept !== lowestIds, "cap degenerated to first-K-by-id (arrival-order bias)")
+    } finally capped.unpersist()
+  }
+
+  test("ttr is in (0,1], types never exceed tokens, keep matches the threshold") {
+    Pipeline.queries("q_ttr")(spark, sf).collect().foreach { r =>
+      val (tok, typ, ttr, keep) = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))
+      assert(typ >= 1 && typ <= tok)
+      assert(ttr > 0.0 && ttr <= 1.0)
+      assert(keep === (if (ttr >= 0.3) 1 else 0))
+    }
+  }
+
+  test("quality terciles are balanced within each lang; head outscores tail") {
+    val tiers = Pipeline.queries("q_quality_tercile")(spark, sf)
+      .join(Pipeline.queries("q_ttr")(spark, sf).select($"doc_id", $"ttr"), "doc_id")
+      .cache()
+    try {
+      tiers.groupBy($"lang").pivot("tier", Seq("head", "middle", "tail")).count()
+        .collect().foreach { r =>
+          val ns = Seq(1, 2, 3).map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
+          assert(ns.max - ns.min <= 1, s"lang ${r.getString(0)}: unbalanced terciles $ns")
+        }
+      // every head doc scores >= every tail doc within its language
+      val worstHead = tiers.filter($"tier" === "head")
+        .groupBy($"lang").agg(min($"ttr").as("mn"))
+      val bestTail = tiers.filter($"tier" === "tail")
+        .groupBy($"lang").agg(max($"ttr").as("mx"))
+      worstHead.join(bestTail, "lang").collect().foreach { r =>
+        assert(r.getDouble(1) >= r.getDouble(2) - 1e-4,
+          s"lang ${r.getString(0)}: head ${r.getDouble(1)} < tail ${r.getDouble(2)}")
+      }
+    } finally tiers.unpersist()
+  }
+
   test("decontamination: no survivor shares a 3-gram with the eval set") {
     graft.functions.VectorFunctions.register(spark)
     val survivors = Pipeline.queries("q_decontaminate")(spark, sf).select($"doc_id")

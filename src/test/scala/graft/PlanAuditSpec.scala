@@ -189,6 +189,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_domain_cap: built-in WindowGroupLimit prunes the cap below the shuffle") {
+    // The cap's whole scale story is that each mapper forwards <= K
+    // rows per domain; a regression to a full-partition window would
+    // ship every page of every hot domain across the wire.
+    val df = graft.operators.Pipeline.queries("q_domain_cap")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan.toString
+      case other => other.toString
+    }
+    assert(p.contains("WindowGroupLimit"),
+      "per-domain cap lost the map-side prune:\n" + p.take(1500))
+  }
+
   test("q_pack_sequences: cumsum window is shard-partitioned, never global") {
     val p = plan(graft.operators.Pipeline.queries("q_pack_sequences")(spark, sf))
     assert(p.contains("windowspecdefinition(shard"),
