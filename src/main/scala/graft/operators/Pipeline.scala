@@ -247,6 +247,54 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // Contamination REPORT — q_decontaminate's diagnostic twin: for
+    // each eval doc, what fraction of its 3-grams appears anywhere in
+    // the training side? (Decontamination drops on ANY overlap; audits
+    // want the overlap distribution before choosing that policy.)
+    // Scale shape: the eval n-gram set is broadcast; the 100 TB train
+    // side is filtered DOWN to matched n-grams via a broadcast semi
+    // join (surviving set ≤ |eval n-grams|, tiny) and only then
+    // distinct'd and joined back — the train side's text never
+    // shuffles and nothing larger than the eval set ever aggregates.
+    // hit/total is a single int/int division → bit-exact both engines.
+    "q_contamination_report" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val ng = Tables.documents(s, d).select(col("doc_id"),
+        explode(expr("word_shingles(text, 3)")).as("ng")) // distinct within doc
+      val evalNg = ng.filter(col("doc_id") % 23 === 0)
+      val evalSet = evalNg.select(col("ng")).distinct()
+      val hitNg = ng.filter(col("doc_id") % 23 =!= 0).select(col("ng"))
+        .join(broadcast(evalSet), Seq("ng"), "left_semi").distinct()
+        .withColumn("hit", lit(1))
+      evalNg.join(hitNg, Seq("ng"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_hit"))
+        .withColumn("overlap", round(col("n_hit").cast("double") / col("n_ngrams"), 4))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-budget planning report: tokens per (lang, source) slice
+    // plus each source's cumulative share of its language — the table
+    // a mixture designer reads before setting q_mixture quotas. All
+    // integer sums (exact), one aggregate + one per-lang window over
+    // the SLICE table (20 sources × 5 langs — window input is
+    // aggregate-sized, never corpus-sized), single division rounded.
+    "q_token_budget" -> ((s, d) => {
+      val slices = Tables.documents(s, d)
+        .withColumn("ntok", expr("cast(size(split(text, ' ')) as bigint)"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"))
+      val wCum = Window.partitionBy(col("lang"))
+        .orderBy(col("tokens").desc, col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("lang"))
+      slices
+        .withColumn("cum_tokens", sum(col("tokens")).over(wCum))
+        .withColumn("lang_share", round(
+          col("cum_tokens").cast("double") / sum(col("tokens")).over(wAll), 4))
+        .orderBy(col("lang"), col("cum_tokens"))
+    }),
+
     // Corpus TF-IDF statistics per (lang, token): document frequency
     // within the language, total term frequency, idf = ln(N_lang/df).
     // One explode + two hash aggregates (token grain, then join with
@@ -414,6 +462,32 @@ object Pipeline {
         |SELECT doc_id, lang,
         |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_contamination_report" ->
+      s"""WITH $ngSql,
+         |hit AS (
+         |  SELECT DISTINCT ng FROM ng WHERE doc_id % 23 != 0
+         |  AND ng IN (SELECT ng FROM ng WHERE doc_id % 23 = 0))
+         |SELECT e.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_ngrams,
+         |  CAST(count(h.ng) AS BIGINT) AS n_hit,
+         |  round(CAST(count(h.ng) AS DOUBLE) / count(*), 4) AS overlap
+         |FROM (SELECT doc_id, ng FROM ng WHERE doc_id % 23 = 0) e
+         |LEFT JOIN hit h ON e.ng = h.ng
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH slices AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang, source)
+        |SELECT lang, source, n_docs, tokens,
+        |  CAST(sum(tokens) OVER (PARTITION BY lang ORDER BY tokens DESC, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |  round(CAST(sum(tokens) OVER (PARTITION BY lang ORDER BY tokens DESC, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / sum(tokens) OVER (PARTITION BY lang), 4) AS lang_share
+        |FROM slices ORDER BY lang, cum_tokens""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH $ngSql,

@@ -172,6 +172,41 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Unigram-LM quality score — the CCNet/KenLM perplexity proxy at
+    // its simplest: score(doc) = avg over tokens of ln p(token), with
+    // p from the corpus's own unigram counts. The vocabulary is
+    // CUTOFF-bounded (count ≥ 5), so at 100 TB the broadcast stays
+    // top-V sized while out-of-vocabulary tokens take the smoothing
+    // floor ln(1/T). Float parity across engines via FIXED-POINT
+    // accumulation (the q_vec_quantize precedent): each per-(doc,
+    // term) logprob quantizes to integer micro-nats with
+    // floor(x·10⁴ + 0.5) — bit-identical in both engines, unlike
+    // round(), whose tie-breaking differs when a sum of doubles lands
+    // within an ulp of a .xxxx5 boundary — and the per-doc total is
+    // then an EXACT integer sum: order-free, partial-aggregation-
+    // friendly, no sorted-fold needed. Magnitudes stay far below 2⁶³
+    // (|lp_micro| ≲ ln(T)·tf·10⁴ ≈ 3e10/term at 100 TB). Shuffle
+    // grain is (doc, distinct token), never raw occurrences.
+    "q_lm_score" -> ((s, d) => {
+      val stats = Tables.documents(s, d)
+        .selectExpr("doc_id", s"$toks AS tk", s"cast(size($toks) as bigint) AS dl")
+      val tf = stats.select(col("doc_id"), col("dl"), explode(col("tk")).as("token"))
+        .groupBy(col("doc_id"), col("dl"), col("token")).agg(count(lit(1)).as("tf"))
+      val vocab = tf.groupBy(col("token")).agg(sum(col("tf")).as("c"))
+      val total = vocab.agg(sum(col("c")).as("t"))
+      val parts = tf.join(broadcast(vocab.filter(col("c") >= 5)), Seq("token"), "left")
+        .crossJoin(broadcast(total))
+        .withColumn("lp_micro", floor(
+          when(col("c").isNotNull, log(col("c") / col("t")))
+            .otherwise(log(lit(1.0) / col("t"))) * col("tf") * 10000d + 0.5d))
+      parts.groupBy(col("doc_id"), col("dl"))
+        .agg(sum(col("lp_micro")).as("sum_micro"))
+        .withColumn("score",
+          round(col("sum_micro").cast("double") / (col("dl") * 10000d), 4))
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_exact" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val mirror = docs.filter(col("doc_id") % 3 === 0)
@@ -285,6 +320,26 @@ object TextAnalysis {
         |      + COALESCE(sum(CASE WHEN term = 'and' THEN score_t END), 0)
         |      + COALESCE(sum(CASE WHEN term = 'of' THEN score_t END), 0), 4) AS bm25
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH stats AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(tk) AS token FROM stats)
+        |  GROUP BY doc_id, dl, token),
+        |vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY token),
+        |total AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab),
+        |parts AS (
+        |  SELECT doc_id, dl,
+        |    CAST(floor(CASE WHEN v.c IS NOT NULL THEN ln(v.c / t) ELSE ln(1.0 / t) END
+        |               * tf * 10000 + 0.5) AS BIGINT) AS lp_micro
+        |  FROM tf LEFT JOIN (SELECT * FROM vocab WHERE c >= 5) v USING (token), total)
+        |SELECT doc_id,
+        |  round(CAST(sum(lp_micro) AS DOUBLE) / (dl * 10000), 4) AS score
+        |FROM parts GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH corpus AS (

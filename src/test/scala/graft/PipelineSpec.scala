@@ -164,6 +164,38 @@ class PipelineSpec extends SparkSpec {
     assert(survivors.filter($"doc_id" % 23 === 0).count() === 0, "eval docs must not survive")
   }
 
+  test("contamination report covers exactly the shingle-bearing eval docs, overlap in [0,1]") {
+    graft.functions.VectorFunctions.register(spark)
+    val report = Pipeline.queries("q_contamination_report")(spark, sf).cache()
+    try {
+      val evalWithNg = docs.filter($"doc_id" % 23 === 0)
+        .filter(size(expr("word_shingles(text, 3)")) > 0).count()
+      assert(report.count() === evalWithNg)
+      assert(report.filter($"doc_id" % 23 =!= 0).count() === 0, "non-eval doc in report")
+      val bad = report.filter($"n_hit" > $"n_ngrams" ||
+        $"overlap" < 0.0 || $"overlap" > 1.0).count()
+      assert(bad === 0)
+    } finally report.unpersist()
+  }
+
+  test("token budget: slices partition the corpus; shares reach 1.0 per lang") {
+    val budget = Pipeline.queries("q_token_budget")(spark, sf).cache()
+    try {
+      assert(budget.agg(sum($"n_docs")).head.getLong(0) === docs.count())
+      // last (largest-cum) row of each lang must carry the full share
+      budget.groupBy($"lang").agg(max($"lang_share").as("mx"))
+        .collect().foreach(r => assert(r.getDouble(1) === 1.0, s"lang ${r.getString(0)}"))
+      // cum_tokens is the running sum of the slice's own tokens
+      val inconsistent = budget
+        .withColumn("chk", sum($"tokens").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+            .orderBy($"tokens".desc, $"source")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .filter($"chk" =!= $"cum_tokens").count()
+      assert(inconsistent === 0)
+    } finally budget.unpersist()
+  }
+
   test("tfidf internal consistency: idf = ln(n_lang/df), mass = tf*idf, df >= 10") {
     val nLang = docs.groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     Pipeline.queries("q_tfidf")(spark, sf).collect().foreach { r =>

@@ -38,4 +38,20 @@ class TextAnalysisSpec extends SparkSpec {
       .select("pred_lang").distinct().as[String].collect().toSet
     assert(labels.subsetOf(Set("en", "de", "fr", "es", "und")))
   }
+
+  test("lm score: one score per doc, negative, bounded by the OOV floor") {
+    val docs = Tables.documents(spark, sf)
+    val scored = TextAnalysis.queries("q_lm_score")(spark, sf).cache()
+    try {
+      assert(scored.count() === docs.count())
+      // avg ln p(token) is strictly negative and can never be worse
+      // than the smoothing floor ln(1/T)
+      val totalTokens = docs
+        .selectExpr("cast(size(split(text, ' ')) as bigint) AS n")
+        .agg(sum($"n")).head.getLong(0)
+      val floor = math.log(1.0 / totalTokens)
+      val bad = scored.filter($"score" >= 0.0 || $"score" < floor - 1e-4).count()
+      assert(bad === 0, s"scores outside (ln(1/T)=$floor, 0)")
+    } finally scored.unpersist()
+  }
 }
