@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming form of the engine (SURVEY §2.6 M5).
   *
@@ -148,6 +148,45 @@ object EventStreams {
         mergeIntoSnapshot(batch.toDF(), snapshotDir, "user_id", "ts", "event_id")
       }
       .start()
+
+  /** [[runningTotals]] re-expressed on Spark 4's `transformWithState`
+    * (SPARK-46815) — the successor of flatMapGroupsWithState: named,
+    * typed per-key state variables with INDEPENDENT TTLs, timers, and
+    * schema evolution, served by the RocksDB state store (the API
+    * needs its multi-column-family layout; callers must set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `RocksDBStateStoreProvider`). A non-null `ttl` bounds per-user
+    * state exactly like the reference's TTL'd id-cache
+    * (main.py:53-66) — and state TTL is processing-time-based, so it
+    * switches the query's TimeMode to ProcessingTime.
+    */
+  class RunningTotalProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, Event, UserTotal] {
+    @transient private var totals: ValueState[UserTotal] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotal]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotal],
+        if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[UserTotal] = {
+      val prev = if (totals.exists()) totals.get() else UserTotal(uid, 0L, 0.0)
+      var n = prev.n
+      var total = prev.total
+      rows.foreach { e => n += 1; total += e.value }
+      val next = UserTotal(uid, n, total)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningTotalsTws(events: Dataset[Event],
+                       ttl: java.time.Duration = null): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor(ttl),
+        if (ttl == null) TimeMode.None() else TimeMode.ProcessingTime(),
+        OutputMode.Update())
+  }
 
   def runningTotals(events: Dataset[Event]): Dataset[UserTotal] = {
     import events.sparkSession.implicits._

@@ -137,6 +137,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running totals accumulate (RocksDB store), TTL wiring runs") {
+    // Spark 4's arbitrary-state v2 API requires the RocksDB provider
+    // (multi-column-family state layout).
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event](spark)
+      val q = EventStreams.runningTotalsTws(input.toDS())
+        .writeStream.format("memory").queryName("tws_out").outputMode("update").start()
+      try {
+        input.addData(ev(1, 0, user = 7, value = 2.0), ev(2, 1, user = 7, value = 3.0))
+        q.processAllAvailable()
+        input.addData(ev(3, 2, user = 7, value = 5.0), ev(4, 3, user = 8, value = 1.0))
+        q.processAllAvailable()
+        val latest = spark.table("tws_out").filter($"user_id" === 7)
+          .orderBy($"n".desc).head()
+        assert(latest.getLong(1) === 3L)
+        assert(latest.getDouble(2) === 10.0)
+        assert(spark.table("tws_out").filter($"user_id" === 8).head().getLong(1) === 1L)
+      } finally q.stop()
+      // TTL path: a 1-hour processing-time TTL must wire up and run
+      // (state cannot expire within the test — this pins the
+      // ProcessingTime mode + TTLConfig plumbing, not the expiry).
+      // NOTE: in ProcessingTime mode the operator keeps scheduling
+      // micro-batches for timer/TTL evaluation, so processAllAvailable
+      // never observes an idle stream and would HANG — poll the sink
+      // with a deadline instead.
+      val input2 = MemoryStream[Event](spark)
+      val q2 = EventStreams.runningTotalsTws(input2.toDS(), java.time.Duration.ofHours(1))
+        .writeStream.format("memory").queryName("tws_ttl_out").outputMode("update").start()
+      try {
+        input2.addData(ev(1, 0, user = 9, value = 4.0), ev(2, 1, user = 9, value = 6.0))
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        def emitted(): Boolean = !spark.table("tws_ttl_out")
+          .filter($"user_id" === 9 && $"n" === 2).isEmpty
+        while (!emitted() && System.nanoTime() < deadline) Thread.sleep(200)
+        assert(emitted(), "TTL'd TWS query did not emit the accumulated row in 60s")
+        val latest = spark.table("tws_ttl_out").filter($"user_id" === 9)
+          .orderBy($"n".desc).head()
+        assert(latest.getLong(1) === 2L && latest.getDouble(2) === 10.0)
+      } finally q2.stop()
+    } finally prev match {
+      case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming sessionize merges events within the gap") {
     val input = MemoryStream[Event](spark)
     val q = EventStreams.sessionize(input.toDF(), "30 minutes", "10 minutes")
