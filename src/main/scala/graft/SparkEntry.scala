@@ -19,6 +19,7 @@ object SparkEntry {
       (operators.Reshape.queries, operators.Reshape.oracles),
       (operators.Ingest.queries, operators.Ingest.oracles),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
+      (operators.Curation.queries, operators.Curation.oracles),
       (operators.SimSearch.queries, operators.SimSearch.oracles),
       (operators.NearDup.queries, operators.NearDup.oracles),
       (operators.Streaming.queries, operators.Streaming.oracles),
