@@ -119,6 +119,84 @@ object Curation {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169 —
+    // "Data Selection for Language Models via Importance Resampling"):
+    // per-document importance log-weight ln p_target(doc) − ln p_raw(doc)
+    // under bag-of-hashed-token models. Features are md5-hashed tokens
+    // folded into 256 buckets (the paper's hashed n-gram trick — the
+    // model is a fixed-size vector no matter the vocab). Target = the
+    // 'en' slice (stand-in for a curated quality corpus), raw = the
+    // whole corpus; add-1 smoothing keeps empty buckets finite.
+    //
+    // Float parity via the q_lm_score fixed-point recipe: each
+    // (doc, bucket) contribution quantizes to integer micro-nats
+    // (floor(x·10⁴+0.5)), so the per-doc total is an EXACT integer
+    // sum — order-free and partial-agg-friendly.
+    //
+    // 100 TB posture: bucket stats are one partial+final count
+    // aggregate (256 rows out); the per-doc pass joins the BROADCAST
+    // 256-row bucket table at (doc, bucket) grain — the corpus text
+    // never shuffles, only (doc_id, bucket, tf) triples do.
+    "q_dsir_weight" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(expr("split(text, ' ')")).as("t"))
+        .withColumn("b", expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 256"))
+      val tf = toks.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+      val buckets = toks.groupBy(col("b")).agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      val totals = toks.agg(
+        count(lit(1)).as("nr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+      tf.join(broadcast(buckets), Seq("b"))
+        .crossJoin(broadcast(totals))
+        .withColumn("micro", floor(
+          (log((col("ct") + 1) / (col("nt") + 256)) -
+            log((col("cr") + 1) / (col("nr") + 256))) * col("tf") * 10000d + 0.5d))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("micro")).as("m"))
+        .withColumn("dsir_weight", round(col("m").cast("double") / 10000d, 4))
+        .select(col("doc_id"), col("dsir_weight"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC dedup
+    // over the embedding column: cluster the space (here the same
+    // deterministic 16-centroid codebook the IVF index uses; a real
+    // run k-means-fits it), then within each cluster drop every vector
+    // whose cosine to a LOWER-id cluster-mate exceeds τ = 0.95 —
+    // the deterministic keep-first variant of SemDeDup's "keep one
+    // per ε-ball". Near-dup pressure comes from the q_dedup_embed
+    // mirror recipe (+0.01-perturbed copies of every 5th vector).
+    //
+    // 100 TB posture: the within-cluster pairwise compare is the
+    // published algorithm's cost model — k grows with the corpus so
+    // cluster population stays bounded, and the equi-join on `cell`
+    // ships each embedding once; there is no all-pairs join anywhere.
+    // The argmax cell assignment is map-only (centroids are plan
+    // literals), identical to q_simsearch_ivf's.
+    "q_semantic_dedup" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val cents = SimSearch.centroidLits(s, d)
+      val base = Tables.embeddings(s, d)
+      val all = base
+        .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS e")
+        .unionByName(base.filter(col("vec_id") % 5 === 0)
+          .selectExpr("vec_id + 1000000 AS vec_id",
+            "transform(embedding, x -> cast(x as double) + 0.01) AS e"))
+      val cosc = array(cents.map(c => expr(s"cosine_sim(e, $c)")): _*)
+      val assigned = all.withColumn("cosc", cosc)
+        .withColumn("cell", expr("cast(array_position(cosc, array_max(cosc)) as int) - 1"))
+        .drop("cosc")
+      val index = assigned.select(col("cell"), col("vec_id").as("b_id"), col("e").as("eb"))
+      val dropped = assigned.join(index, Seq("cell"))
+        .filter(col("b_id") < col("vec_id") && expr("cosine_sim(e, eb) >= 0.95D"))
+        .select(col("vec_id")).distinct()
+      assigned.join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cell"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Duplicate-span REMOVAL with reconstruction (Lee et al.'s ExactSubstr
     // at passage grain): drop every passage whose fingerprint occurred
     // earlier anywhere in the corpus, then rebuild each document from
@@ -161,6 +239,56 @@ object Curation {
          |        row_number() OVER (PARTITION BY md5(ptext) ORDER BY doc_id, pos) AS rn
          |      FROM pass)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_weight" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 256 AS b
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents)),
+        |tf AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, b),
+        |buckets AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS cr,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM toks GROUP BY b),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nr,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt
+        |  FROM toks),
+        |parts AS (
+        |  SELECT doc_id,
+        |    CAST(floor((ln((ct + 1) / (nt + 256)) - ln((cr + 1) / (nr + 256)))
+        |               * tf * 10000 + 0.5) AS BIGINT) AS micro
+        |  FROM tf JOIN buckets USING (b), tot)
+        |SELECT doc_id, round(CAST(sum(micro) AS DOUBLE) / 10000, 4) AS dsir_weight
+        |FROM parts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_semantic_dedup" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE vec_id < 16),
+        |cl AS (SELECT list(c ORDER BY k) AS cs FROM cents),
+        |allv AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS a FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS a
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |assign AS (
+        |  SELECT vec_id, a, list_position(cosl, list_max(cosl)) - 1 AS cell
+        |  FROM (
+        |    SELECT vec_id, a,
+        |      list_transform(cs, c -> list_dot_product(a, c)
+        |        / (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(c, c)))) AS cosl
+        |    FROM allv, cl))
+        |SELECT x.vec_id, x.cell FROM assign x
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM assign y
+        |  WHERE y.cell = x.cell AND y.vec_id < x.vec_id
+        |    AND list_dot_product(x.a, y.a)
+        |      / (sqrt(list_dot_product(x.a, x.a)) * sqrt(list_dot_product(y.a, y.a))) >= 0.95)
+        |ORDER BY vec_id""".stripMargin,
 
     "q_doc_reconstruct" ->
       s"""$passCtes

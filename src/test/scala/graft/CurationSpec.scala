@@ -60,6 +60,50 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q_semantic_dedup: same-cell mirrors always dropped, kept set is maximal-prefix-free") {
+    graft.functions.VectorFunctions.register(spark)
+    val kept = operators.Curation.queries("q_semantic_dedup")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val mirrors = kept.keySet.filter(_ >= 1000000L)
+    // recompute every vector's cell through the same plan arithmetic
+    val cents = Tables.embeddings(spark, sf).filter($"vec_id" < 16).orderBy("vec_id")
+      .select($"embedding".cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).map(v => s"${v}D").mkString("array(", ",", ")"))
+    val base = Tables.embeddings(spark, sf)
+    val all = base.selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS e")
+      .unionByName(base.filter($"vec_id" % 5 === 0)
+        .selectExpr("vec_id + 1000000 AS vec_id",
+          "transform(embedding, x -> cast(x as double) + 0.01) AS e"))
+    val cells = all
+      .withColumn("cosc", array(cents.map(c => expr(s"cosine_sim(e, $c)")): _*))
+      .selectExpr("vec_id", "cast(array_position(cosc, array_max(cosc)) as int) - 1 AS cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sameCellMirrors = cells.keySet.filter(id =>
+      id >= 1000000L && cells(id) == cells(id - 1000000L))
+    assert(sameCellMirrors.nonEmpty, "fixture must produce same-cell near-dup mirrors")
+    // a mirror in its source's cell has cos≈1 to a lower id → must be dropped
+    assert(sameCellMirrors.forall(id => !kept.contains(id)),
+      "every same-cell mirror must be semantically deduplicated")
+    assert(mirrors.forall(id => cells(id) != cells(id - 1000000L)),
+      "a surviving mirror can only survive by landing in a different cell")
+  }
+
+  test("q_dsir_weight: target-language docs score higher, repeatable") {
+    val w = operators.Curation.queries("q_dsir_weight")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w2 = operators.Curation.queries("q_dsir_weight")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w == w2, "importance weights must be bit-identical across runs")
+    val langs = docs.select($"doc_id", $"lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def mean(ids: Iterable[Long]) = ids.map(w).sum / ids.size
+    val en = langs.collect { case (id, "en") => id }
+    val other = langs.collect { case (id, l) if l != "en" => id }
+    assert(en.nonEmpty && other.nonEmpty)
+    assert(mean(en) > mean(other),
+      s"en docs must have higher importance weight (en=${mean(en)}, other=${mean(other)})")
+  }
+
   test("q_doc_reconstruct: twins vanish, clean docs reconstruct verbatim") {
     val rec = Curation.queries("q_doc_reconstruct")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
