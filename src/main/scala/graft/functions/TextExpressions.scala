@@ -212,3 +212,55 @@ case class SortedJaccard(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** DEFLATE-compressed byte length of a string — the compressibility
+  * quality signal: highly repetitive machine-generated or boilerplate
+  * text compresses far below natural prose, so
+  * `deflate_len(text) / octet_length(text)` is a cheap one-pass junk
+  * detector (the information-density cousin of the Gopher repetition
+  * fractions, which count duplicate shingles explicitly).
+  *
+  * Level 6 (zlib default) on the JDK's bundled zlib; a ThreadLocal
+  * Deflater is reset per value, so the hot loop allocates nothing but
+  * the UTF-8 byte view. Deterministic for a given input, which is all
+  * the pipeline contract needs (the ratio feeds a threshold filter).
+  * Stays a CodegenFallback: the work IS the native deflate call, so
+  * codegen could only inline the dispatch around it.
+  *
+  * No DuckDB oracle — SQL engines don't expose raw DEFLATE — so the
+  * consuming query is spec-pinned (bounds, monotonicity vs repetition,
+  * determinism) instead of hash-compared.
+  */
+case class DeflateLen(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "deflate_len"
+
+  override def nullSafeEval(text: Any): Any = {
+    val bytes = text.asInstanceOf[UTF8String].getBytes
+    val d = DeflateLen.deflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = DeflateLen.buf.get()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DeflateLen {
+  private val deflater = ThreadLocal.withInitial[java.util.zip.Deflater](
+    () => new java.util.zip.Deflater(6))
+  private val buf = ThreadLocal.withInitial[Array[Byte]](
+    () => new Array[Byte](8192))
+}

@@ -186,6 +186,11 @@ object VectorFunctions {
   private val jaccardBuilder: Seq[Expression] => Expression =
     exprs => SortedJaccard(exprs(0), exprs(1))
 
+  private val deflateInfo = new ExpressionInfo(
+    classOf[DeflateLen].getName, "deflate_len")
+  private val deflateBuilder: Seq[Expression] => Expression =
+    exprs => DeflateLen(exprs(0))
+
   /** Idempotent registration on an existing session — functions plus
     * the [[RewriteDotProducts]] optimizer rule — usable from any query
     * lambda without rebuilding the session.
@@ -204,6 +209,8 @@ object VectorFunctions {
       "word_shingle_hashes", shingleHashesBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_sorted", jaccardBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "deflate_len", deflateBuilder, "built-in")
   }
 
   /** Session-extension wiring: sessions built with
@@ -218,6 +225,7 @@ object VectorFunctions {
       e.injectFunction((FunctionIdentifier("word_shingles"), shinglesInfo, shinglesBuilder))
       e.injectFunction((FunctionIdentifier("word_shingle_hashes"), shingleHashesInfo, shingleHashesBuilder))
       e.injectFunction((FunctionIdentifier("jaccard_sorted"), jaccardInfo, jaccardBuilder))
+      e.injectFunction((FunctionIdentifier("deflate_len"), deflateInfo, deflateBuilder))
       e.injectOptimizerRule(_ => RewriteDotProducts)
     }
   }

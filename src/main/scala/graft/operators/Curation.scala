@@ -119,6 +119,27 @@ object Curation {
         .orderBy(col("doc_id"))
     }),
 
+    // Compressibility quality signal: DEFLATE-compressed size over raw
+    // size (fixture text is ASCII, so chars == bytes). Template junk
+    // and highly repetitive text compress far below natural prose —
+    // the information-density complement to q_repetition's explicit
+    // duplicate-shingle fractions. MAP-ONLY via the native deflate_len
+    // expression; at 100 TB it runs at scan speed (deflate throughput
+    // ~100 MB/s/core dominates, and nothing shuffles but the report).
+    // No DuckDB oracle (SQL engines don't expose raw DEFLATE):
+    // spec-pinned in CurationSpec — bounds, repetition monotonicity,
+    // determinism — and rows-only-checked by the driver.
+    "q_compress_ratio" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      Tables.documents(s, d)
+        .selectExpr("doc_id",
+          "cast(length(text) as bigint) AS n_bytes",
+          "cast(deflate_len(text) as bigint) AS deflate_bytes")
+        .withColumn("compress_ratio", round(col("deflate_bytes") / col("n_bytes"), 4))
+        .withColumn("keep", col("compress_ratio") >= 0.3)
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169 —
     // "Data Selection for Language Models via Importance Resampling"):
     // per-document importance log-weight ln p_target(doc) − ln p_raw(doc)

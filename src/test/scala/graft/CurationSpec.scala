@@ -104,6 +104,28 @@ class CurationSpec extends SparkSpec {
       s"en docs must have higher importance weight (en=${mean(en)}, other=${mean(other)})")
   }
 
+  test("q_compress_ratio: bounds, repetition monotonicity, determinism") {
+    graft.functions.VectorFunctions.register(spark)
+    val rows = operators.Curation.queries("q_compress_ratio")(spark, sf).collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val ratio = r.getDouble(3)
+      assert(ratio > 0 && ratio < 1.5, s"doc ${r.getLong(0)}: ratio $ratio out of bounds")
+      assert(r.getLong(2) > 0, "deflate of non-empty text is non-empty")
+    }
+    // repetitive text compresses harder than distinct text of equal length
+    val probe = spark.sql(
+      "SELECT deflate_len(repeat('spark ', 200)) AS rep, " +
+        "deflate_len(concat_ws(' ', transform(sequence(1, 200), i -> concat('w', cast(i * 7919 as string))))) AS dis")
+      .collect().head
+    assert(probe.getInt(0) < probe.getInt(1),
+      s"repetitive text must compress smaller (rep=${probe.getInt(0)}, dis=${probe.getInt(1)})")
+    // deterministic across evaluations, NULL-safe
+    val again = operators.Curation.queries("q_compress_ratio")(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sameElements(again.map(_.getLong(2))))
+    assert(spark.sql("SELECT deflate_len(CAST(NULL AS STRING)) IS NULL AS ok").collect().head.getBoolean(0))
+  }
+
   test("q_doc_reconstruct: twins vanish, clean docs reconstruct verbatim") {
     val rec = Curation.queries("q_doc_reconstruct")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
