@@ -243,6 +243,28 @@ object RelationalExt {
           array_join(sort_array(collect_list(col("c_name"))), ",").as("names"))
         .orderBy(col("n_name"))),
 
+    // SCD Type-2 dimension build: each customer's order stream becomes
+    // a versioned history — valid_from = this version's date, valid_to
+    // = the next version's date (NULL ⇒ current row). The standard
+    // warehouse pattern for change tracking, expressed as one window
+    // over the natural key: a single shuffle on o_custkey, and both
+    // lead() calls share that one sort. Attributes pass through
+    // untouched (no arithmetic ⇒ no float-parity risk).
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+        .select(col("o_custkey"), col("version"), col("o_orderkey"),
+          col("o_orderdate").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("version"))
+    }),
+
     // Bivariate statistics per group: Pearson correlation, sample
     // covariance, sample stddev — single partial+final aggregate with
     // mergeable moment state (sum, sum², sum of products), the same
@@ -258,6 +280,19 @@ object RelationalExt {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scd2" ->
+      """SELECT o_custkey, version, o_orderkey, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current, o_orderstatus, o_totalprice
+        |FROM (
+        |  SELECT o_custkey,
+        |    row_number() OVER w AS version,
+        |    o_orderkey, o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER w AS valid_to,
+        |    o_orderstatus, o_totalprice
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |ORDER BY o_custkey, version""".stripMargin,
+
     "q_agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         | round(sum(o_totalprice), 2) AS total

@@ -78,4 +78,21 @@ class RelationalExtSpec extends SparkSpec {
       .agg(sum($"n")).head().getLong(0)
     assert(total === Tables.events(spark, sf).count())
   }
+
+  test("q_scd2: one current row per key, contiguous non-overlapping intervals") {
+    val dim = RelationalExt.queries("q_scd2")(spark, sf).collect()
+    assert(dim.length == Tables.orders(spark, sf).count())
+    val byKey = dim.groupBy(_.getLong(0))
+    byKey.foreach { case (ck, rows) =>
+      assert(rows.count(_.getBoolean(5)) == 1, s"custkey $ck: exactly one current version")
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.last.getBoolean(5), s"custkey $ck: the LAST version is the current one")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.get(4) == b.get(3),
+            s"custkey $ck: version ${a.getLong(1)} must close exactly where the next opens")
+        case _ => ()
+      }
+    }
+  }
 }
