@@ -218,6 +218,34 @@ object Curation {
         .orderBy(col("vec_id"))
     }),
 
+    // C4-style boilerplate removal (Raffel et al. 2020, §2.2 of the T5
+    // paper removed any three-sentence span that occurred more than
+    // once in the corpus): passages whose fingerprint occurs ≥ 3 times
+    // are dropped EVERYWHERE — including the first occurrence — unlike
+    // q_doc_reconstruct's keep-first dedup; frequency marks the span
+    // as template/boilerplate, not content. Output is per-doc: kept
+    // passage count and the boilerplate fraction. Same two-shuffle
+    // posture as the dedup pair (md5 fingerprints, then doc_id) with
+    // one improvement: the fp aggregate is a plain count — map-side
+    // partial aggregation applies, no per-group sort at all.
+    // A third occurrence tier (doc_id % 8 → a 16-token twin at
+    // +2,000,000) pushes every 8th doc's opening passage to frequency
+    // 3 — the boilerplate threshold — while % 4 quotes stay at 2.
+    "q_boilerplate" -> ((s, d) => {
+      val extra = Tables.documents(s, d).filter(col("doc_id") % 8 === 0)
+        .selectExpr("doc_id + 2000000 AS doc_id",
+          s"array_join(slice(split(text, ' '), 1, $B), ' ') AS text")
+      val pass = passages(spanCorpus(s, d).unionByName(extra))
+        .withColumn("fp", md5(col("ptext")))
+      val freq = pass.groupBy(col("fp")).agg(count(lit(1)).as("n_occ"))
+      pass.join(freq, Seq("fp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pass"),
+          sum(when(col("n_occ") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_frac", round(col("n_boiler") / col("n_pass"), 4))
+        .orderBy(col("doc_id"))
+    }),
+
     // Duplicate-span REMOVAL with reconstruction (Lee et al.'s ExactSubstr
     // at passage grain): drop every passage whose fingerprint occurred
     // earlier anywhere in the corpus, then rebuild each document from
@@ -259,6 +287,30 @@ object Curation {
          |FROM (SELECT doc_id, pos,
          |        row_number() OVER (PARTITION BY md5(ptext) ORDER BY doc_id, pos) AS rn
          |      FROM pass)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_boilerplate" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    array_to_string(list_slice(string_split(text, ' '), 1, 32), ' ') AS text
+         |  FROM documents WHERE doc_id % 4 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |    array_to_string(list_slice(string_split(text, ' '), 1, $B), ' ') AS text
+         |  FROM documents WHERE doc_id % 8 = 0),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+         |pass AS (
+         |  SELECT doc_id, b AS pos,
+         |    array_to_string(list_slice(tk, b * $B + 1, b * $B + $B), ' ') AS ptext
+         |  FROM tok, (SELECT unnest(range(0, 4096)) AS b)
+         |  WHERE b * $B < len(tk)),
+         |freq AS (SELECT md5(ptext) AS fp, count(*) AS n_occ FROM pass GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_pass,
+         |  CAST(sum(CASE WHEN n_occ >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  round(sum(CASE WHEN n_occ >= 3 THEN 1 ELSE 0 END) / count(*), 4) AS boiler_frac
+         |FROM pass JOIN freq ON md5(ptext) = fp
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dsir_weight" ->

@@ -243,6 +243,35 @@ object RelationalExt {
           array_join(sort_array(collect_list(col("c_name"))), ",").as("names"))
         .orderBy(col("n_name"))),
 
+    // CDC change-log materialization: apply an (op, seq) change stream
+    // to a base snapshot — the batch core of every lakehouse MERGE /
+    // Debezium-style apply. The log here is derived deterministically
+    // from orders (key = o_custkey, seq = o_orderkey, every 11th a
+    // DELETE, value = o_totalprice); real pipelines swap the source.
+    // Semantics: latest-by-seq wins per key (arg_max over the unique
+    // seq — ONE partial+final aggregate, no window sort), DELETE
+    // removes the key, UPDATE replaces the value, untouched base rows
+    // pass through. 100 TB posture: the aggregate shuffles the LOG
+    // (the small, recent side), and the base join is a plain equi-join
+    // AQE will broadcast whenever the compacted delta is small — the
+    // snapshot itself never re-sorts.
+    "q_cdc_apply" -> ((s, d) => {
+      val log = Tables.orders(s, d).select(
+        col("o_custkey").as("key"), col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 11 === 0, "D").otherwise("U").as("op"),
+        col("o_totalprice").as("val"))
+      val last = log.groupBy(col("key")).agg(
+        max_by(col("op"), col("seq")).as("op"),
+        max_by(col("val"), col("seq")).as("val"))
+      Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+        .join(last, col("c_custkey") === col("key"), "left")
+        .filter(coalesce(col("op"), lit("U")) =!= "D")
+        .select(col("c_custkey"),
+          round(coalesce(col("val"), col("c_acctbal")), 2).as("balance"),
+          col("op").isNotNull.as("changed"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // SCD Type-2 dimension build: each customer's order stream becomes
     // a versioned history — valid_from = this version's date, valid_to
     // = the next version's date (NULL ⇒ current row). The standard
@@ -280,6 +309,22 @@ object RelationalExt {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS val
+        |  FROM orders),
+        |last AS (
+        |  SELECT key, arg_max(op, seq) AS op, arg_max(val, seq) AS val
+        |  FROM log GROUP BY key)
+        |SELECT c_custkey,
+        |  round(COALESCE(val, c_acctbal), 2) AS balance,
+        |  op IS NOT NULL AS changed
+        |FROM customer LEFT JOIN last ON key = c_custkey
+        |WHERE COALESCE(op, 'U') <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
+
     "q_scd2" ->
       """SELECT o_custkey, version, o_orderkey, valid_from, valid_to,
         |  valid_to IS NULL AS is_current, o_orderstatus, o_totalprice

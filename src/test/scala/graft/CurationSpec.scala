@@ -104,6 +104,21 @@ class CurationSpec extends SparkSpec {
       s"en docs must have higher importance weight (en=${mean(en)}, other=${mean(other)})")
   }
 
+  test("q_boilerplate: threshold-3 spans flagged everywhere, pairs spared") {
+    val b = operators.Curation.queries("q_boilerplate")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ids = docs.select($"doc_id").collect().map(_.getLong(0))
+    // every 8th doc's opening passage reaches frequency 3 → flagged in
+    // the SOURCE doc too (boilerplate kills first occurrences)
+    ids.filter(_ % 8 == 0).foreach { id =>
+      assert(b(id) >= 1, s"doc $id: opening passage at freq 3 must be flagged")
+    }
+    // a doc quoted only once (freq 2) contributes no boilerplate by itself
+    val pairOnly = ids.filter(id => id % 4 == 0 && id % 8 != 0)
+    assert(pairOnly.exists(id => b(id) == 0),
+      "freq-2 spans alone must not trip the ≥3 boilerplate threshold")
+  }
+
   test("q_compress_ratio: bounds, repetition monotonicity, determinism") {
     graft.functions.VectorFunctions.register(spark)
     val rows = operators.Curation.queries("q_compress_ratio")(spark, sf).collect()
