@@ -154,23 +154,37 @@ object Curation {
     // (floor(x·10⁴+0.5)), so the per-doc total is an EXACT integer
     // sum — order-free and partial-agg-friendly.
     //
-    // 100 TB posture: bucket stats are one partial+final count
-    // aggregate (256 rows out); the per-doc pass joins the BROADCAST
-    // 256-row bucket table at (doc, bucket) grain — the corpus text
-    // never shuffles, only (doc_id, bucket, tf) triples do.
+    // 100 TB posture: the corpus is scanned and exploded ONCE — the
+    // (doc, bucket, tf) aggregate is the only pass over text; bucket
+    // totals roll up from tf (grain: docs × ≤256) and corpus totals
+    // from the 256-row bucket table, so the model fit adds no extra
+    // scans. The per-doc pass then joins the BROADCAST 256-row bucket
+    // table — corpus text never shuffles, only (doc_id, bucket, tf)
+    // triples do.
     "q_dsir_weight" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), explode(expr("split(text, ' ')")).as("t"))
         .withColumn("b", expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 256"))
-      val tf = toks.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
-      val buckets = toks.groupBy(col("b")).agg(
-        count(lit(1)).as("cr"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
-      val totals = toks.agg(
-        count(lit(1)).as("nr"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+      // lang rides along (functionally dependent on doc_id) so every
+      // downstream statistic derives from this one aggregate. The
+      // explicit isNotNull on the join key matters: the optimizer adds
+      // it to the probe branch only, and the asymmetry would break
+      // exchange-reuse canonicalization — leaving TWO corpus scans.
+      val tf = toks.filter(col("b").isNotNull)
+        .groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("tf"))
+      // corpus totals ride ON the bucket table via a window over its
+      // 256 rows (one trivial single-partition pass) instead of a
+      // separate aggregate branch — a sibling branch re-scans the
+      // corpus when exchange reuse doesn't fire, and at 100 TB a
+      // second scan is the difference that matters.
+      val wAll = Window.partitionBy(lit(1))
+      val buckets = tf.groupBy(col("b")).agg(
+        sum(col("tf")).as("cr"),
+        sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("ct"))
+        .withColumn("nr", sum(col("cr")).over(wAll))
+        .withColumn("nt", sum(col("ct")).over(wAll))
       tf.join(broadcast(buckets), Seq("b"))
-        .crossJoin(broadcast(totals))
         .withColumn("micro", floor(
           (log((col("ct") + 1) / (col("nt") + 256)) -
             log((col("cr") + 1) / (col("nr") + 256))) * col("tf") * 10000d + 0.5d))

@@ -265,4 +265,61 @@ class PlanAuditSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges === 1, s"expected a single key shuffle, got $exchanges:\n${p.take(1500)}")
   }
+
+  /** Executed plan, FINAL section only — AdaptiveSparkPlanExec's
+    * toString prints "== Final Plan ==" followed by "== Initial Plan
+    * ==", and counting nodes across both double-counts everything the
+    * AQE re-plan changed (e.g. a reused exchange still shows its
+    * pre-reuse scan in the initial section).
+    */
+  private def executed(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val cut = p.indexOf("== Initial Plan ==")
+    if (cut >= 0) p.substring(0, cut) else p
+  }
+
+  test("q_chunk: chunking is map-only (no hash shuffle, only the presentation sort)") {
+    val p = executed("q_chunk")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunking must not shuffle:\n" + p.take(1500))
+  }
+
+  test("q_cdc_apply: log compaction partial-aggregates; compacted delta broadcasts") {
+    val p = executed("q_cdc_apply")
+    assert(p.contains("partial_max_by"),
+      "arg-max compaction lost map-side combine:\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "small compacted delta should broadcast against the snapshot:\n" + p.take(1500))
+  }
+
+  test("q_doc_reconstruct: built-in WindowGroupLimit prunes the rn=1 dedup map-side") {
+    val p = executed("q_doc_reconstruct")
+    val partialIdx = p.linesIterator.indexWhere(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    val shuffleIdx = p.linesIterator.indexWhere(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("fp#"))
+    assert(partialIdx >= 0, "no partial WindowGroupLimit in:\n" + p.take(2000))
+    assert(shuffleIdx >= 0 && partialIdx > shuffleIdx,
+      s"Partial prune (line $partialIdx) must sit BELOW the fingerprint shuffle (line $shuffleIdx) " +
+        "— plans print top-down, so map-side nodes have larger line indexes")
+  }
+
+  test("q_dsir_weight: exactly one corpus scan (bucket model reuses the tf exchange)") {
+    val p = executed("q_dsir_weight")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet"))
+    assert(scans === 1,
+      s"model fit + scoring must share one corpus scan, got $scans:\n" + p.take(2000))
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      "bucket branch should reuse the tf exchange:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), "bucket table must broadcast")
+  }
+
+  test("q_semantic_dedup: cell-equi join only — no nested-loop/cartesian pairing") {
+    val p = executed("q_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "within-cell pairing must stay an equi-join on the cell key:\n" + p.take(2000))
+  }
 }
