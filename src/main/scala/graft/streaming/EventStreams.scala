@@ -61,6 +61,23 @@ object EventStreams {
     * (The batch as-of/range joins are the offline twins; this is the
     * online form.)
     */
+  /** Stream-static enrichment join: the streaming fact side joins a
+    * STATIC dimension (a lookup table, the streaming analogue of the
+    * reference's per-run account roster). Spark re-resolves the static
+    * side's files every micro-batch, so a slowly-refreshed dim
+    * directory picks up new snapshots without restarting the query —
+    * and a static side under the broadcast threshold plans as a
+    * BroadcastHashJoin per batch: no shuffle ever touches the stream,
+    * which is the only join shape that holds up when the stream is the
+    * 100 TB side. Stateless (no watermark needed — static rows are
+    * never late).
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("segment"), lit("unknown")).as("segment"),
+        col("value"))
+
   def clickAttribution(clicks: DataFrame, purchases: DataFrame,
                        lag: String = "10 minutes",
                        watermark: String = "10 minutes"): DataFrame = {

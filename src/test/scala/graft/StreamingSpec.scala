@@ -207,4 +207,20 @@ class StreamingSpec extends SparkSpec {
     val viaBuilder = EventStreams.hourlyAgg(Tables.events(spark, sf)).orderBy("ws")
     assert(batch.collect().toSeq === viaBuilder.collect().toSeq)
   }
+
+  test("stream-static enrichment joins the dim per micro-batch, unmatched → 'unknown'") {
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.enrichWithDim(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      input.addData(ev(1, 0, user = 1), ev(2, 1, user = 2), ev(3, 2, user = 7))
+      q.processAllAvailable()
+      input.addData(ev(4, 3, user = 1)) // second micro-batch re-joins the dim
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select($"event_id", $"segment").as[(Long, String)].collect().toMap
+      assert(got === Map(1L -> "gold", 2L -> "silver", 3L -> "unknown", 4L -> "gold"))
+    } finally q.stop()
+  }
 }
