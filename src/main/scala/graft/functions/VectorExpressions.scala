@@ -105,6 +105,114 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Cosine similarity of one vector against a whole CODEBOOK —
+  * `cosine_all(vec, array(array(...), ...))` returns the array of
+  * per-centroid cosines, bit-identical to
+  * `array(cosine_sim(vec, c0), cosine_sim(vec, c1), ...)`.
+  *
+  * Why it exists: the composable form inlines K fused cosine loops
+  * into the generated projection — and cell assignment
+  * (`array_position(cosc, array_max(cosc))`) repeats the whole
+  * K-element array expression per reference, so a 16-centroid
+  * codebook over 64-dim literals expands to ~50 unrolled loops of 64
+  * constants in ONE janino method. Compilation of that method (seconds
+  * per stage, several stages per query) dominated the entire IVF
+  * family's runtime at bench scale. This expression is one registry
+  * call site; the codebook literal is decoded ONCE (foldable right
+  * child → thread-local lazy), and the generated code shrinks to a
+  * function call. Deliberately a CodegenFallback — the K×dim loop is
+  * plain JVM code either way, and keeping it out of the generated
+  * source is the entire point.
+  *
+  * Per-element semantics replicate [[CosineSimilarity]] exactly: same
+  * widen-then-multiply, same left-to-right folds, and per-centroid
+  * NULL on length mismatch or null element (the CreateArray form's
+  * per-slot null rule). A null vector yields NULL overall.
+  */
+case class CosineMulti(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _),
+            ArrayType(ArrayType(DoubleType, _), _)) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float|double>, foldable array<array<double>>), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "cosine_all"
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Codebook decoded once from the foldable literal: per centroid,
+    * the element array (null slot → poisoned centroid → NULL cosine)
+    * and its precomputed squared norm.
+    */
+  @transient private lazy val codebook: Array[(Array[Double], Double)] = {
+    val arr = right.eval().asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map { k =>
+      if (arr.isNullAt(k)) null
+      else {
+        val c = arr.getArray(k)
+        val n = c.numElements()
+        val out = new Array[Double](n)
+        var nb = 0.0
+        var i = 0
+        var poisoned = false
+        while (i < n) {
+          if (c.isNullAt(i)) { poisoned = true; i = n }
+          else { out(i) = c.getDouble(i); nb += out(i) * out(i); i += 1 }
+        }
+        if (poisoned) null else (out, nb)
+      }
+    }.toArray
+  }
+
+  override def nullSafeEval(v: Any, cb: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val f = isFloat
+    // vector decoded once (null element → every cosine NULL, matching
+    // cosine_sim's per-pair rule)
+    val vec = new Array[Double](n)
+    var na = 0.0
+    var vecNull = false
+    var i = 0
+    while (i < n && !vecNull) {
+      if (xs.isNullAt(i)) vecNull = true
+      else {
+        vec(i) = if (f) xs.getFloat(i).toDouble else xs.getDouble(i)
+        na += vec(i) * vec(i)
+        i += 1
+      }
+    }
+    val out = new Array[Any](codebook.length)
+    var k = 0
+    while (k < codebook.length) {
+      val cent = codebook(k)
+      if (vecNull || cent == null || cent._1.length != n) out(k) = null
+      else {
+        val ys = cent._1
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += vec(j) * ys(j); j += 1 }
+        out(k) = dot / (math.sqrt(na) * math.sqrt(cent._2))
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native dot product over two numeric-array columns — the target of
   * [[RewriteDotProducts]], which rewrites the composable
   * `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,v) -> acc+v)`
@@ -186,6 +294,11 @@ object VectorFunctions {
   private val jaccardBuilder: Seq[Expression] => Expression =
     exprs => SortedJaccard(exprs(0), exprs(1))
 
+  private val cosMultiInfo = new ExpressionInfo(
+    classOf[CosineMulti].getName, "cosine_all")
+  private val cosMultiBuilder: Seq[Expression] => Expression =
+    exprs => CosineMulti(exprs(0), exprs(1))
+
   private val deflateInfo = new ExpressionInfo(
     classOf[DeflateLen].getName, "deflate_len")
   private val deflateBuilder: Seq[Expression] => Expression =
@@ -211,6 +324,8 @@ object VectorFunctions {
       "jaccard_sorted", jaccardBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "deflate_len", deflateBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_all", cosMultiBuilder, "built-in")
   }
 
   /** Session-extension wiring: sessions built with
@@ -226,6 +341,7 @@ object VectorFunctions {
       e.injectFunction((FunctionIdentifier("word_shingle_hashes"), shingleHashesInfo, shingleHashesBuilder))
       e.injectFunction((FunctionIdentifier("jaccard_sorted"), jaccardInfo, jaccardBuilder))
       e.injectFunction((FunctionIdentifier("deflate_len"), deflateInfo, deflateBuilder))
+      e.injectFunction((FunctionIdentifier("cosine_all"), cosMultiInfo, cosMultiBuilder))
       e.injectOptimizerRule(_ => RewriteDotProducts)
     }
   }

@@ -219,7 +219,7 @@ object Curation {
         .unionByName(base.filter(col("vec_id") % 5 === 0)
           .selectExpr("vec_id + 1000000 AS vec_id",
             "transform(embedding, x -> cast(x as double) + 0.01) AS e"))
-      val cosc = array(cents.map(c => expr(s"cosine_sim(e, $c)")): _*)
+      val cosc = expr(s"cosine_all(e, array(${cents.mkString(",")}))")  // one call site; see CosineMulti scaladoc
       val assigned = all.withColumn("cosc", cosc)
         .withColumn("cell", expr("cast(array_position(cosc, array_max(cosc)) as int) - 1"))
         .drop("cosc")

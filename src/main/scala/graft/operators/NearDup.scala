@@ -426,7 +426,7 @@ object NearDup {
           "transform(embedding, x -> cast(x as double) + 0.01) AS e")
       val all = emb.unionByName(dup)
       val cents = SimSearch.centroidLits(s, d)
-      val cosc = array(cents.map(c => expr(s"cosine_sim(e, $c)")): _*)
+      val cosc = expr(s"cosine_all(e, array(${cents.mkString(",")}))")  // one call site; see CosineMulti scaladoc
       val twoTheta = 2 * math.acos(0.95)
       val clamp = (x: String) => s"acos(greatest(-1.0D, least(1.0D, $x)))"
       val assigned = all

@@ -166,8 +166,11 @@ object SimSearch {
         .collect().map(_.getSeq[Double](0).toArray)
       def centLit(c: Array[Double]): String =
         c.map(v => s"${v}D").mkString("array(", ",", ")")
-      val cells = array(cents.map(c =>
-        expr(s"cosine_sim(edbl, ${centLit(c)})")): _*)
+      // one cosine_all call vs 16 inlined cosine loops: identical math
+      // (same fold order per centroid), but the generated projection
+      // stays small — 16 unrolled 64-constant loops per reference made
+      // janino compilation, not execution, the dominant cost here
+      val cells = expr(s"cosine_all(edbl, array(${cents.map(centLit).mkString(",")}))")
       val emb = Tables.embeddings(s, d)
         .withColumn("edbl", col("embedding").cast("array<double>"))
         .withColumn("cells", cells)
@@ -233,7 +236,7 @@ object SimSearch {
       graft.functions.VectorFunctions.register(s)
       import org.apache.spark.sql.expressions.Window
       val cents = centroidLits(s, d)
-      val cosc = array(cents.map(c => expr(s"cosine_sim(e, $c)")): _*)
+      val cosc = expr(s"cosine_all(e, array(${cents.mkString(",")}))")  // one call site; see CosineMulti scaladoc
       val assigned = Tables.embeddings(s, d)
         .withColumn("e", col("embedding").cast("array<double>"))
         .withColumn("cosc", cosc)

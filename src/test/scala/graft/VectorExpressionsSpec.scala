@@ -143,6 +143,43 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(naive.exceptAll(fast).count() === 0)
   }
 
+  test("cosine_all is bit-identical to the per-centroid cosine_sim array") {
+    VectorFunctions.register(spark)
+    val cents = Tables.embeddings(spark, sf).filter($"vec_id" < 16).orderBy("vec_id")
+      .select($"embedding".cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).map(v => s"${v}D").mkString("array(", ",", ")"))
+    val composed = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS e")
+      .withColumn("cosc", array(cents.map(c => expr(s"cosine_sim(e, $c)")): _*))
+    val fused = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS e")
+      .withColumn("cosc", expr(s"cosine_all(e, array(${cents.mkString(",")}))"))
+    val a = composed.select($"vec_id", $"cosc").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = fused.select($"vec_id", $"cosc").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, xs) =>
+      assert(xs.zip(b(id)).forall { case (x, y) =>
+        java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+      }, s"vec $id: fused cosines differ from composed form")
+    }
+    // float input widens exactly like cosine_sim's float path
+    val f = Tables.embeddings(spark, sf).limit(5)
+      .select(
+        expr(s"cosine_all(embedding, array(${cents.head}))")(0).as("viaFloat"),
+        expr(s"cosine_all(cast(embedding as array<double>), array(${cents.head}))")(0).as("viaDouble"))
+      .collect()
+    assert(f.forall(r => r.getDouble(0) == r.getDouble(1)))
+    // null rules: null vector → NULL; per-centroid length mismatch → null slot
+    val nulls = spark.sql(
+      s"SELECT cosine_all(CAST(NULL AS ARRAY<DOUBLE>), array(array(1.0d))) AS a, " +
+        "cosine_all(array(1.0d, 2.0d), array(array(1.0d), array(3.0d, 4.0d))) AS b").collect().head
+    assert(nulls.isNullAt(0))
+    val slots = nulls.getSeq[Any](1)
+    assert(slots.head == null && slots(1) != null)
+  }
+
   test("type check rejects non-numeric arrays and mixed element types") {
     VectorFunctions.register(spark)
     val err = intercept[Exception] {
