@@ -73,6 +73,42 @@ object Multimodal {
     }
   }
 
+  /** 32-bit block-luminance perceptual signature of a payload — the
+    * pHash idea at byte granularity: bit k is set iff block k's byte
+    * mass exceeds the payload average (32 · blocksum_k > truncated
+    * total — all-integer, so the SQL oracle replays it exactly).
+    * A one-byte edit moves one block's sum slightly → hamming distance
+    * 0–1 from the original; unrelated payloads differ in ~16 bits.
+    * Computed in the same typed mapPartitions slot as the codec stub —
+    * a real pipeline's pHash/aHash runs exactly there, on decoded
+    * pixels instead of raw bytes.
+    */
+  case class MediaSig(doc_id: Long, sig: Long)
+
+  def phashed(rows: Dataset[MediaRow]): Dataset[MediaSig] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val n = r.payload.length
+        val w = n / 32 // block width; payloads shorter than 32 bytes → sig 0
+        var sig = 0L
+        if (w > 0) {
+          val bs = new Array[Long](32)
+          var total = 0L
+          var k = 0
+          while (k < 32) {
+            var i = k * w; val end = i + w; var acc = 0L
+            while (i < end) { acc += (r.payload(i) & 0xff); i += 1 }
+            bs(k) = acc; total += acc; k += 1
+          }
+          k = 0
+          while (k < 32) { if (32L * bs(k) > total) sig |= (1L << k); k += 1 }
+        }
+        MediaSig(r.doc_id, sig)
+      }
+    }
+  }
+
   /** documents.text reinterpreted as an opaque binary payload — the
     * fixture stand-in for an image/audio blob column.
     */
@@ -154,6 +190,48 @@ object Multimodal {
             (col("out_w") === 224 || col("out_h") === 224)).as("fits"))
         .orderBy(col("doc_id"))),
 
+    // Perceptual-hash near-dup across media payloads — the multimodal
+    // twin of q_dedup_simhash: 32-bit block-luminance signatures
+    // (computed at the codec boundary, see [[phashed]]), candidates
+    // via Manku 4×8-bit chunk blocking (pigeonhole: hamming ≤ 3 ⇒ at
+    // least one equal chunk), each pair emitted once from its first
+    // equal chunk, exact hamming verify. Near-dup pressure: every 6th
+    // doc gets a one-byte-edited twin (+1,000,000) — a re-encoded /
+    // slightly-corrupted copy of the same asset. 100 TB posture:
+    // signatures are 8 bytes/payload, the join ships (chunk, value)
+    // keys — payload bytes never shuffle.
+    "q_media_phash" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).selectExpr("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 6 === 0)
+          .selectExpr("doc_id + 1000000 AS doc_id",
+            "concat('x', substr(text, 2)) AS text"))
+        .selectExpr("doc_id", "cast(text as binary) AS payload", "'bin' AS lang")
+        .as[MediaRow]
+      val sigs = phashed(corpus).toDF()
+      val chunks = sigs.select(col("doc_id"), col("sig"),
+        explode(expr("sequence(0, 3)")).as("c"))
+        .withColumn("cv", expr("shiftright(sig, cast(c * 8 as int)) & 255"))
+      chunks.as("x").join(chunks.as("y"),
+          col("x.c") === col("y.c") && col("x.cv") === col("y.cv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          col("x.sig").as("ha"), col("y.sig").as("hb"), col("x.c").as("c"))
+        .filter(expr(
+          """c = 0
+            |OR (c = 1 AND (ha & 255) != (hb & 255))
+            |OR (c = 2 AND (ha & 255) != (hb & 255)
+            |    AND (shiftright(ha, 8) & 255) != (shiftright(hb, 8) & 255))
+            |OR (c = 3 AND (ha & 255) != (hb & 255)
+            |    AND (shiftright(ha, 8) & 255) != (shiftright(hb, 8) & 255)
+            |    AND (shiftright(ha, 16) & 255) != (shiftright(hb, 16) & 255))""".stripMargin))
+        .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Metadata rollup after decode: the relational side of multimodal.
     "q_media_agg" -> ((s, d) =>
       decoded(s, d).toDF()
@@ -165,6 +243,39 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // ASCII fixture (chars == bytes): the signature replays in SQL as
+    // integer list folds, and the tiny corpus brute-forces all pairs.
+    "q_media_phash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'x' || substr(text, 2) AS text
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |bytes AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ''), c -> ascii(c)) AS bs,
+        |    octet_length(encode(text)) // 32 AS w
+        |  FROM corpus),
+        |blocks AS (
+        |  SELECT doc_id, w,
+        |    list_transform(range(0, 32), k ->
+        |      CAST(list_aggregate(list_slice(bs, k * w + 1, k * w + w), 'sum') AS BIGINT)) AS sums
+        |  FROM bytes),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN w = 0 THEN 0 ELSE
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 32), k ->
+        |        CASE WHEN 32 * sums[k + 1] > list_aggregate(sums, 'sum')
+        |             THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END)),
+        |        (a, b) -> a + b)
+        |    END AS sig
+        |  FROM blocks)
+        |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+        |  CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+        |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.sig, y.sig)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+
     // DuckDB: VARCHAR → BLOB is encode(); BLOBs don't slice, so the
     // 4-byte magic is substring of the full hex (2 hex chars/byte).
     "q_media_bytes" ->

@@ -33,4 +33,21 @@ class MultimodalSpec extends SparkSpec {
     val total = agg.agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
     assert(total === Tables.documents(spark, sf).count())
   }
+
+  test("q_media_phash: every one-byte-edited twin is found near its source") {
+    val pairs = Multimodal.queries("q_media_phash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val mirrorIds = Tables.documents(spark, sf).select($"doc_id")
+      .filter($"doc_id" % 6 === 0).as[Long].collect()
+    assert(mirrorIds.nonEmpty)
+    mirrorIds.foreach { id =>
+      // the edit shifts the global byte total too, so several
+      // threshold-marginal bits can flip — the guarantee is detection
+      // within the hamming-3 pigeonhole, not hamming ≤ 1
+      val hit = pairs.find(p => p._1 == id && p._2 == id + 1000000L)
+      assert(hit.isDefined, s"edited twin of doc $id not recovered by blocked pHash join")
+    }
+    // symmetric sanity: every reported pair is a < b and within threshold
+    assert(pairs.forall(p => p._1 < p._2 && p._3 <= 3))
+  }
 }
