@@ -213,6 +213,86 @@ case class CosineMulti(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-random-projection LSH signature in one pass —
+  * `rp_signature(vec, array(array(...), ...))` returns the bucket id
+  * whose bit j is set iff dot(vec, plane_j) > 0; bit-identical to the
+  * composable `Σ CASE WHEN dot_product(vec, plane_j) > 0 THEN 2^j END`
+  * form (same left-to-right dot fold per plane, strict > 0).
+  *
+  * Exists for the same reason as [[CosineMulti]]: 16 inlined
+  * dot-product loops over 64-double literal planes blow the generated
+  * projection up to janino-compile-bound size. One fallback call site,
+  * planes decoded once. NULL if the vector is NULL, has a null
+  * element, or mismatches any plane's length (the dot_product
+  * null-poisons the sum, so the composable CASE would yield an
+  * indeterminate bucket — refuse instead).
+  */
+case class RpSignature(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _),
+            ArrayType(ArrayType(DoubleType, _), _)) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float|double>, foldable array<array<double>>), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  // This expression INVENTS nulls (length mismatch, null element) even
+  // when both inputs are non-nullable literals — without this override
+  // the default child-OR nullability lets consumers skip the null check
+  // and read the slot's default 0 as a valid bucket id.
+  override def nullable: Boolean = true
+  override def prettyName: String = "rp_signature"
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val arr = right.eval().asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map { k =>
+      val c = arr.getArray(k)
+      val out = new Array[Double](c.numElements())
+      var i = 0
+      while (i < out.length) { out(i) = c.getDouble(i); i += 1 }
+      out
+    }.toArray
+  }
+
+  override def nullSafeEval(v: Any, cb: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val f = isFloat
+    val vec = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) return null
+      vec(i) = if (f) xs.getFloat(i).toDouble else xs.getDouble(i)
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      if (p.length != n) return null
+      var dot = 0.0
+      var k = 0
+      while (k < n) { dot += vec(k) * p(k); k += 1 }
+      if (dot > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native dot product over two numeric-array columns — the target of
   * [[RewriteDotProducts]], which rewrites the composable
   * `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,v) -> acc+v)`
@@ -299,6 +379,11 @@ object VectorFunctions {
   private val cosMultiBuilder: Seq[Expression] => Expression =
     exprs => CosineMulti(exprs(0), exprs(1))
 
+  private val rpSigInfo = new ExpressionInfo(
+    classOf[RpSignature].getName, "rp_signature")
+  private val rpSigBuilder: Seq[Expression] => Expression =
+    exprs => RpSignature(exprs(0), exprs(1))
+
   private val deflateInfo = new ExpressionInfo(
     classOf[DeflateLen].getName, "deflate_len")
   private val deflateBuilder: Seq[Expression] => Expression =
@@ -326,6 +411,8 @@ object VectorFunctions {
       "deflate_len", deflateBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_all", cosMultiBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rp_signature", rpSigBuilder, "built-in")
   }
 
   /** Session-extension wiring: sessions built with
@@ -342,6 +429,7 @@ object VectorFunctions {
       e.injectFunction((FunctionIdentifier("jaccard_sorted"), jaccardInfo, jaccardBuilder))
       e.injectFunction((FunctionIdentifier("deflate_len"), deflateInfo, deflateBuilder))
       e.injectFunction((FunctionIdentifier("cosine_all"), cosMultiInfo, cosMultiBuilder))
+      e.injectFunction((FunctionIdentifier("rp_signature"), rpSigInfo, rpSigBuilder))
       e.injectOptimizerRule(_ => RewriteDotProducts)
     }
   }

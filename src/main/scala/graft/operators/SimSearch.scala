@@ -93,15 +93,18 @@ object SimSearch {
     graft.functions.VectorFunctions.register(s)
     val dim = Tables.embeddings(s, d)
       .selectExpr("size(embedding)").limit(1).collect()(0).getInt(0)
-    val bucket = (0 until nPlanes).map { j =>
-      val plane = (0 until dim)
-        .map(i => if (planeSignPositive(j, i)) "1.0D" else "-1.0D").mkString(",")
-      when(expr(s"dot_product(edbl, array($plane))") > 0, lit(1L << j))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
+    // one rp_signature call vs nPlanes inlined dot loops: identical
+    // bits (same per-plane fold, strict > 0), but the generated
+    // projection stays small — see CosineMulti/RpSignature scaladoc
+    // for why janino compile time, not arithmetic, was the cost here
+    val planes = (0 until nPlanes).map { j =>
+      (0 until dim)
+        .map(i => if (planeSignPositive(j, i)) "1.0D" else "-1.0D")
+        .mkString("array(", ",", ")")
+    }.mkString(",")
     Tables.embeddings(s, d)
       .withColumn("edbl", col("embedding").cast("array<double>"))
-      .select(col("vec_id"), bucket.as("bucket"))
+      .select(col("vec_id"), expr(s"rp_signature(edbl, array($planes))").as("bucket"))
   }
 
   val queries: Map[String, Q] = Map(

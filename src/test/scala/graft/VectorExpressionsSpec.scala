@@ -180,6 +180,29 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(slots.head == null && slots(1) != null)
   }
 
+  test("rp_signature is bit-identical to the composable sign-bit fold") {
+    VectorFunctions.register(spark)
+    val dim = Tables.embeddings(spark, sf)
+      .selectExpr("size(embedding)").limit(1).collect()(0).getInt(0)
+    val rnd = new scala.util.Random(7)
+    val planeArrays = (0 until 16).map(_ => Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    val planeLits = planeArrays.map(_.map(v => s"${v}D").mkString("array(", ",", ")"))
+    val composed = planeLits.zipWithIndex.map { case (p, j) =>
+      when(expr(s"dot_product(edbl, $p)") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val df = Tables.embeddings(spark, sf)
+      .withColumn("edbl", $"embedding".cast("array<double>"))
+      .select($"vec_id", composed.as("a"),
+        expr(s"rp_signature(edbl, array(${planeLits.mkString(",")}))").as("b"))
+      .collect()
+    assert(df.nonEmpty && df.forall(r => r.getLong(1) == r.getLong(2)))
+    // null vector → NULL; plane length mismatch → NULL
+    val nulls = spark.sql(
+      "SELECT rp_signature(CAST(NULL AS ARRAY<DOUBLE>), array(array(1.0d))) AS a, " +
+        "rp_signature(array(1.0d, 2.0d), array(array(1.0d))) AS b").collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1), s"row: $nulls")
+  }
+
   test("type check rejects non-numeric arrays and mixed element types") {
     VectorFunctions.register(spark)
     val err = intercept[Exception] {
