@@ -166,6 +166,55 @@ object RelationalExt {
           round(expr("percentile(value, 0.99)"), 4).as("p99"))
         .orderBy(col("event_type"))),
 
+    // Winsorized robust statistics per group: exact P5/P95 cut points
+    // (same interpolated percentile as q_quantile_exact), values
+    // CLAMPED — not dropped — to the cuts, then a mean over the
+    // clamped values. The standard outlier-robust aggregate for
+    // heavy-tailed metric columns. Plan: one percentile aggregate
+    // (per-group sort in the exact form; percentile_approx is the
+    // 100 TB swap, as q_quantile_exact documents), broadcast the
+    // per-group cuts back, one clamp + mean pass. Double sums are
+    // fold-order-sensitive across engines, so the mean is taken over
+    // centi-quantized values (floor(w·100) — exact integers, order-
+    // free sum; Spark's cast-to-bigint truncates while DuckDB's
+    // rounds, so the floor is explicit).
+    "q_winsorize" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val cuts = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+      ev.join(broadcast(cuts), Seq("event_type"))
+        .withColumn("w", expr("least(greatest(value, lo), hi)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("sum(cast(floor(w * 100) as bigint))") / expr("count(1)") / 100d, 4)
+            .as("winsor_mean"),
+          round(expr("min(w)"), 2).as("w_min"),
+          round(expr("max(w)"), 2).as("w_max"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Heavy hitters (tokens above 2% RELATIVE support — scale-free, so
+    // the query is meaningful at every SF): the exact form — ONE
+    // partial+final count aggregate over (token), a single-row total
+    // derived from the same aggregate (no second corpus scan), then
+    // the support filter. At 100 TB this shape works because the
+    // aggregate is mergeable and the output is support-bounded
+    // (≤ 1/θ rows by definition); the sketch alternative
+    // (Misra–Gries / df.stat.freqItems) trades exactness for fixed
+    // memory and is pinned by spec as a SUPERSET of this result
+    // (sketches over-report support, never under-report).
+    "q_heavy_hitters" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(expr("split(text, ' ')")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .filter(col("n") * 50 >= col("total"))
+        .select(col("token"), col("n"))
+        .orderBy(col("n").desc, col("token"))
+    }),
+
     // Mergeable HLL sketches (Apache DataSketches, built into Spark
     // 3.5+): per-(event_type, day) sketches built in one pass, then
     // UNIONED — not recomputed — into per-type monthly distincts. This
@@ -309,6 +358,29 @@ object RelationalExt {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_winsorize" ->
+      """WITH cuts AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(floor(least(greatest(value, lo), hi) * 100) AS BIGINT)) AS BIGINT)
+        |        / count(*) / 100, 4) AS winsor_mean,
+        |  round(min(least(greatest(value, lo), hi)), 2) AS w_min,
+        |  round(max(least(greatest(value, lo), hi)), 2) AS w_max
+        |FROM events JOIN cuts USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH counts AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token)
+        |SELECT token, n FROM counts
+        |WHERE n * 50 >= (SELECT CAST(sum(n) AS BIGINT) FROM counts)
+        |ORDER BY n DESC, token""".stripMargin,
+
     "q_cdc_apply" ->
       """WITH log AS (
         |  SELECT o_custkey AS key, o_orderkey AS seq,

@@ -79,6 +79,38 @@ class RelationalExtSpec extends SparkSpec {
     assert(total === Tables.events(spark, sf).count())
   }
 
+  test("q_winsorize: clamped mean sits inside the cut interval, cuts inside data range") {
+    val w = RelationalExt.queries("q_winsorize")(spark, sf).collect()
+    assert(w.length > 0)
+    w.foreach { r =>
+      val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= mean + 0.01 && mean <= hi + 0.01,
+        s"${r.getString(0)}: winsorized mean $mean escapes [$lo, $hi]")
+    }
+    // winsorizing shrinks or keeps the spread, never widens it
+    val raw = Tables.events(spark, sf).groupBy($"event_type")
+      .agg(min($"value").as("rmin"), max($"value").as("rmax"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    w.foreach { r =>
+      val (rmin, rmax) = raw(r.getString(0))
+      assert(r.getDouble(3) >= rmin - 0.01 && r.getDouble(4) <= rmax + 0.01)
+    }
+  }
+
+  test("q_heavy_hitters: approximate freqItems is a superset of the exact result") {
+    val exact = RelationalExt.queries("q_heavy_hitters")(spark, sf)
+      .select($"token").as[String].collect().toSet
+    assert(exact.nonEmpty)
+    // Spark's stat.freqItems (Karp et al. one-pass): may over-report,
+    // must never miss an item above the support threshold
+    val approx = Tables.documents(spark, sf)
+      .select(explode(expr("split(text, ' ')")).as("token"))
+      .stat.freqItems(Array("token"), 0.02)
+      .collect().head.getSeq[String](0).toSet
+    assert(exact.subsetOf(approx),
+      s"freqItems missed heavy hitters: ${exact -- approx}")
+  }
+
   test("q_scd2: one current row per key, contiguous non-overlapping intervals") {
     val dim = RelationalExt.queries("q_scd2")(spark, sf).collect()
     assert(dim.length == Tables.orders(spark, sf).count())
