@@ -207,6 +207,40 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Pointwise mutual information over adjacent token pairs — the
+    // collocation statistic behind phrase mining and word2vec-era
+    // vocabulary construction: PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) )
+    // with p(a,b) over adjacent-pair positions and p(·) over token
+    // positions. Pairs below 0.1% relative support are cut (scale-free
+    // threshold, so the query is meaningful at every SF). Shuffle
+    // grain: (a, b) bigram keys and the vocab-sized unigram table
+    // (broadcast) — corpus text shuffles nowhere. PMI quantizes to
+    // micro-nats (floor(x·10⁴+0.5), the q_lm_score recipe) so both
+    // engines emit identical integers; all count products stay below
+    // 2⁵³ as doubles at any SF where counts fit a BIGINT oracle.
+    "q_pmi" -> ((s, d) => {
+      val docs = Tables.documents(s, d).selectExpr(s"$toks AS tk")
+      val pairs = docs
+        .selectExpr("posexplode(slice(tk, 1, size(tk) - 1)) AS (i, a)",
+          "tk")
+        .selectExpr("a", "tk[i + 1] AS b")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      val uni = docs.select(explode(col("tk")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+      val totals = uni.agg(sum(col("n_t")).as("tt"))
+        .crossJoin(pairs.agg(sum(col("n_ab")).as("pp")))
+      pairs
+        .join(broadcast(uni.select(col("t").as("a"), col("n_t").as("n_a"))), Seq("a"))
+        .join(broadcast(uni.select(col("t").as("b"), col("n_t").as("n_b"))), Seq("b"))
+        .crossJoin(broadcast(totals))
+        .filter(col("n_ab") * 1000 >= col("pp"))
+        .withColumn("pmi_micro", floor(
+          log((col("n_ab").cast("double") * col("tt") * col("tt")) /
+            (col("pp").cast("double") * col("n_a") * col("n_b"))) * 10000d + 0.5d))
+        .select(col("a"), col("b"), col("n_ab"), col("pmi_micro").cast("long").as("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("a"), col("b"))
+    }),
+
     "q_dedup_exact" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val mirror = docs.filter(col("doc_id") % 3 === 0)
@@ -340,6 +374,28 @@ object TextAnalysis {
         |SELECT doc_id,
         |  round(CAST(sum(lp_micro) AS DOUBLE) / (dl * 10000), 4) AS score
         |FROM parts GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin,
+
+    "q_pmi" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |pairs AS (
+        |  SELECT tk[i] AS a, tk[i + 1] AS b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM tk, (SELECT unnest(range(1, 4096)) AS i)
+        |  WHERE i < len(tk)
+        |  GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS n_t
+        |  FROM (SELECT unnest(tk) AS t FROM tk) GROUP BY t),
+        |tot AS (
+        |  SELECT (SELECT CAST(sum(n_t) AS BIGINT) FROM uni) AS tt,
+        |         (SELECT CAST(sum(n_ab) AS BIGINT) FROM pairs) AS pp)
+        |SELECT a, b, n_ab,
+        |  CAST(floor(ln((CAST(n_ab AS DOUBLE) * tt * tt) /
+        |                (CAST(pp AS DOUBLE) * ua.n_t * ub.n_t)) * 10000 + 0.5) AS BIGINT) AS pmi_micro
+        |FROM pairs
+        |JOIN uni ua ON ua.t = a
+        |JOIN uni ub ON ub.t = b, tot
+        |WHERE n_ab * 1000 >= pp
+        |ORDER BY pmi_micro DESC, a, b""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH corpus AS (
