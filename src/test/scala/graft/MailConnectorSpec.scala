@@ -237,4 +237,34 @@ class MailConnectorSpec extends SparkSpec {
     val n = Tables.documents(spark, sf).count()
     assert(scan.count() === n / 5 * 3)
   }
+
+  test("enrollment: files gate, idempotent re-enroll, roster feeds the connector") {
+    import graft.sources.Enrollment
+    val tmp = java.nio.file.Files.createTempDirectory("graft_enroll_")
+    val roster = tmp.resolve("roster").toString
+    // app.py:17-34 — missing client secret blocks the flow
+    val secret = tmp.resolve("client_secret.json")
+    assert(Enrollment.missingRequiredFiles(Seq(secret)) === Seq(secret))
+    java.nio.file.Files.writeString(secret, "{}")
+    assert(Enrollment.missingRequiredFiles(Seq(secret)).isEmpty)
+    // app.py:45-48 — normalization matches the q_normalize fragment
+    assert(Enrollment.tokenFileName(" Alice@Example.com ")
+      === "user_token_alice_example_com.json")
+    // enroll two accounts, then RE-enroll one with a refreshed state:
+    // last-wins, never a duplicate row
+    Enrollment.register(spark, roster, "alice@example.com", "expired_refresh", nowMs = 1000L)
+    Enrollment.register(spark, roster, "bob@example.com", "valid", nowMs = 1001L)
+    Enrollment.register(spark, roster, "alice@example.com", "valid", nowMs = 2000L)
+    val rows = spark.read.parquet(roster).collect()
+    assert(rows.length === 2)
+    assert(Enrollment.rosterOption(spark, roster) === "alice:valid,bob:valid")
+    // the rendered roster drives a real connector scan
+    val df = spark.read.format("graft.sources.MailSourceProvider")
+      .option("nmsgs", 40).option("pageSize", 20)
+      .option("tokens", Enrollment.rosterOption(spark, roster))
+      .option("runId", "t_enroll").load()
+    assert(df.count() === 80) // 2 enrolled accounts × 40 messages
+    assert(df.select("account").distinct().collect().map(_.getString(0)).toSet
+      === Set("alice", "bob"))
+  }
 }
