@@ -15,6 +15,8 @@ object SparkEntry {
       (operators.Relational.queries, operators.Relational.oracles),
       (operators.RelationalExt.queries, operators.RelationalExt.oracles),
       (operators.Skew.queries, operators.Skew.oracles),
+      (operators.Graph.queries, operators.Graph.oracles),
+      (operators.Learn.queries, operators.Learn.oracles),
       (operators.Pipeline.queries, operators.Pipeline.oracles),
       (operators.Reshape.queries, operators.Reshape.oracles),
       (operators.Ingest.queries, operators.Ingest.oracles),

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over relationship data (SURVEY §2.6 north-star).
+  *
+  * Web-crawl curation pipelines rank pages by link-graph centrality
+  * before sampling (Common Crawl's harmonic-centrality ranking;
+  * RefinedWeb / CCNet keep pages from high-rank hosts). The fixture
+  * corpus has no hyperlinks, so the graph comes from the relational
+  * side: the customer–supplier bipartite graph induced by orders ⋈
+  * lineitem (customer c traded with supplier s), made undirected so
+  * every node has both in- and out-edges.
+  *
+  * PageRank is computed in FIXED-POINT integer arithmetic so the
+  * result hash-matches the DuckDB oracle: ranks are micro-units
+  * (1.0 = 1,000,000), each iteration is
+  *
+  *   rank'(v) = 150000 + Σ_{u→v} (rank(u) * 85) div (outdeg(u) * 100)
+  *
+  * i.e. damping 0.85 with truncating integer division — Spark's `div`
+  * and DuckDB's `//` both truncate toward zero, and integer sums are
+  * associative, so partial aggregation cannot perturb the result the
+  * way floating-point PageRank does.
+  *
+  * Scale posture (the standard distributed PageRank shape):
+  *  - the edge list with out-degrees attached (`adj`) is built ONCE
+  *    and persisted; each of the 3 iterations is one equi-join of the
+  *    current rank vector against `adj` on src plus one groupBy(dst)
+  *    sum — shuffles carry (node_id, bigint) pairs only, never any
+  *    payload. At 100 TB of edges this is the same plan GraphX/Pregel
+  *    would schedule, minus their vertex-program overhead.
+  *  - iteration count is FIXED (3), so the whole computation is one
+  *    declarative plan per iteration with a driver-side loop that
+  *    never collects data (contrast NearDup's fixpoint probe, which
+  *    must collect a 1-row convergence flag per round).
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Iters = 3
+
+  val queries: Map[String, Q] = Map(
+    // Fixed-point PageRank over the undirected customer–supplier
+    // trade graph; node ids are namespaced into one integer space
+    // (customer → 2k, supplier → 2k+1).
+    "q_pagerank" -> ((s, d) => {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val lineitem = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val directed = orders
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = directed.unionByName(
+        directed.select(col("dst").as("src"), col("src").as("dst")))
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // Adjacency with out-degree attached, reused by every iteration.
+      val adj = edges.join(outdeg, "src").persist()
+
+      var ranks = outdeg.select(col("src").as("node_id"), lit(1000000L).as("pr"))
+      for (_ <- 1 to Iters) {
+        ranks = adj
+          .join(ranks, adj("src") === ranks("node_id"))
+          .select(col("dst"), expr("(pr * 85) DIV (deg * 100)").as("contrib"))
+          .groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("cs"))
+          .select(col("dst").as("node_id"), (lit(150000L) + col("cs")).as("pr"))
+      }
+      ranks
+        .select(col("node_id"),
+          when(col("node_id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+          col("pr"))
+        .orderBy(col("pr").desc, col("node_id"))
+    })
+  )
+
+  private def prIter(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT e.dst AS node_id, 150000 + SUM(($prev.pr * 85) // (deg.deg * 100)) AS pr
+       |  FROM e JOIN $prev ON e.src = $prev.node_id JOIN deg ON e.src = deg.src
+       |  GROUP BY e.dst)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_pagerank" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT src AS node_id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |${prIter("r0", "r1")},
+         |${prIter("r1", "r2")},
+         |${prIter("r2", "r3")}
+         |SELECT node_id,
+         |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         |  pr
+         |FROM r3 ORDER BY pr DESC, node_id""".stripMargin
+  )
+}

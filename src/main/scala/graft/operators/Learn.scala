@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Model-adjacent curation operators (SURVEY §2.6 north-star): the two
+  * places an LLM-data pipeline runs "a model" INSIDE the engine —
+  * scoring every document with a linear quality classifier, and
+  * fitting a clustering codebook over the embedding corpus.
+  *
+  * Both are exact-integer computations so the DuckDB oracle
+  * hash-matches (the q_lm_score fixed-point recipe): floats are
+  * quantized once at the boundary, then every distance / dot-product /
+  * centroid update is BIGINT arithmetic — associative, order-free,
+  * partial-aggregation-safe.
+  */
+object Learn {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------
+  // q_classifier_score — fastText-style hashed linear classifier.
+  //
+  // The real thing (Joulin et al., "Bag of Tricks for Efficient Text
+  // Classification") is: token → hash bucket → embedding/weight lookup
+  // → sum over the document → linear decision. That exact dataflow,
+  // with the model shrunk to fixture scale: 256 hash buckets (first
+  // byte of md5(token) — a real hash, identical in both engines), and
+  // a deterministic weight table standing in for trained weights
+  // (this container ships no model artifacts; swapping in real
+  // weights changes the literal array, not the plan).
+  //
+  // Scale posture: the weight table rides the plan as a codebook-scale
+  // literal (256 entries here; a production 2M-bucket table would be a
+  // broadcast array — same plan shape), and scoring is MAP-ONLY via an
+  // aggregate() lambda over the token array: the text column never
+  // shuffles, the filter runs at scan speed. Weights are milli-units,
+  // scores exact BIGINT sums.
+  // ---------------------------------------------------------------
+
+  /** Deterministic stand-in weights, milli-units in [-1000, 1000]. */
+  private val weights: IndexedSeq[Long] =
+    (0 until 256).map(b => ((b.toLong * 2654435761L) % 1000003L) % 2001L - 1000L)
+
+  /** First byte of md5(t) as a bucket id 0..255, via hex-digit
+    * arithmetic that parses identically in Spark and DuckDB (no conv()
+    * in DuckDB, no ascii() multibyte ambiguity). */
+  private def bucketSql(hexpos: String => String): String =
+    s"(${hexpos("1")} * 16 + ${hexpos("2")})"
+
+  private val sparkBucket =
+    bucketSql(p => s"(instr('0123456789abcdef', substring(md5(t), $p, 1)) - 1)")
+
+  private[operators] val duckBucket =
+    bucketSql(p => s"(strpos('0123456789abcdef', substr(md5(t), $p, 1)) - 1)")
+
+  // ---------------------------------------------------------------
+  // q_kmeans_fit — Lloyd's k-means TRAINING over the embedding corpus
+  // (k = 4, 2 full assign+update iterations, then the final
+  // assignment). SemDeDup / IVF consume a codebook; this op FITS one.
+  //
+  // Exactness recipe: embeddings quantize once to 1e-4 grid BIGINTs
+  // (float→double→*10000→floor is bit-identical in both engines), so
+  // squared distances are exact integer sums; centroid updates are
+  // floor(sum/count) (Math.floorDiv here, floor(double division) in
+  // the oracle — equal because |sum| < 2^53 and the true quotient is
+  // ≥ 1/count away from any other integer); argmin ties break to the
+  // lowest centroid id. A cluster that receives no points drops out
+  // (the lazy-deletion rule, stated so both engines agree).
+  //
+  // Scale posture — the MLlib pattern, spelled out: each iteration is
+  // (a) a MAP-ONLY assignment against k·dim centroid literals (what a
+  // broadcast variable compiles to at this size), and (b) one
+  // partial+final aggregation of per-dimension sums — k·dim rows to
+  // the driver (256 here; codebook-scale like SimSearch's collects,
+  // NOT data-scale). The iteration loop lives on the driver because
+  // each round's plan depends on the previous round's collected
+  // centroids — 100 TB of vectors stream through 2 scans + 2
+  // aggregations and nothing else.
+  // ---------------------------------------------------------------
+
+  private val K = 4
+  private val Dim = 64
+  private val Iters = 2
+
+  /** Squared-distance expression between the quantized vector column
+    * and one centroid literal — exact BIGINT via zip_with+aggregate. */
+  private def distExpr(cv: Array[Long]): String = {
+    val arr = cv.mkString("array(", "L,", "L)")
+    s"aggregate(zip_with(qv, $arr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+  }
+
+  /** cluster/qdist columns for the given (cid, centroid) list: argmin
+    * over the per-centroid distance array, first-min = lowest cid. */
+  private def assign(df: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
+    val darr = cents.map { case (_, cv) => distExpr(cv) }.mkString("array(", ", ", ")")
+    val cids = cents.map(_._1).mkString("array(", ", ", ")")
+    df.withColumn("qdist", expr(s"array_min($darr)"))
+      .withColumn("cluster", expr(
+        s"element_at($cids, CAST(array_position($darr, qdist) AS INT))"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_classifier_score" -> ((s, d) => {
+      val warr = weights.mkString("array(", "L,", "L)")
+      Tables.documents(s, d)
+        .withColumn("score_milli", expr(
+          s"aggregate(split(text, ' '), 0L, (acc, t) -> " +
+            s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
+        .select(col("doc_id"), col("lang"), col("score_milli"),
+          (col("score_milli") > 0).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_kmeans_fit" -> ((s, d) =>
+      fitKMeans(s, d, Iters)._2
+        .select(col("vec_id"), col("cluster"), col("qdist"))
+        .orderBy(col("vec_id")))
+  )
+
+  /** Lloyd's loop, exposed for spec-level invariants (monotone inertia,
+    * argmin consistency). Returns the trained centroids and the final
+    * assignment under them. */
+  def fitKMeans(s: SparkSession, d: String, iters: Int): (Seq[(Int, Array[Long])], DataFrame) = {
+    val qdf = Tables.embeddings(s, d).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("qv"))
+    // init: the K lowest-vec_id vectors, cid in vec_id order
+    var cents: Seq[(Int, Array[Long])] =
+      qdf.orderBy(col("vec_id")).limit(K).collect().zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Long](1).toArray)
+      }.toSeq
+    for (_ <- 1 to iters) {
+      val sums = assign(qdf, cents)
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect() // k·dim rows — codebook-scale, never data-scale
+      cents = sums.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
+        val cv = new Array[Long](Dim)
+        rows.foreach(r => cv(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)))
+        (cid, cv)
+      }
+    }
+    (cents, assign(qdf, cents))
+  }
+
+  // ----------------------------- oracles --------------------------
+
+  /** One Lloyd assignment CTE over centroid CTE `c`, named `a`. */
+  private def assignCte(a: String, c: String): String =
+    s"""$a AS (
+       |  SELECT vec_id, cid, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM (
+       |    SELECT q.vec_id, $c.cid,
+       |      CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |        j -> (q.qv[j] - $c.cv[j]) * (q.qv[j] - $c.cv[j]))) AS BIGINT) AS dist
+       |    FROM q, $c))""".stripMargin
+
+  /** One centroid-update CTE from assignment CTE `a`, named `c`. */
+  private def updateCte(c: String, a: String): String =
+    s"""$c AS (
+       |  SELECT cid, list(ctr ORDER BY pos) AS cv FROM (
+       |    SELECT a.cid, t.pos,
+       |      CAST(floor(CAST(CAST(SUM(q.qv[t.pos]) AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ctr
+       |    FROM $a a JOIN q USING (vec_id), range(1, ${Dim + 1}) t(pos)
+       |    WHERE a.rn = 1
+       |    GROUP BY a.cid, t.pos)
+       |  GROUP BY cid)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_classifier_score" ->
+      s"""SELECT doc_id, lang, score_milli, score_milli > 0 AS keep FROM (
+         |  SELECT doc_id, lang,
+         |    CAST(list_sum(list_transform(string_split(text, ' '),
+         |      t -> (($duckBucket * 2654435761) % 1000003) % 2001 - 1000)) AS BIGINT) AS score_milli
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_kmeans_fit" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $K)),
+         |${assignCte("a1", "c0")},
+         |${updateCte("c1", "a1")},
+         |${assignCte("a2", "c1")},
+         |${updateCte("c2", "a2")},
+         |${assignCte("a3", "c2")}
+         |SELECT vec_id, cid AS cluster, dist AS qdist
+         |FROM a3 WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  )
+}

@@ -168,6 +168,58 @@ object Pipeline {
         .orderBy(col("shard"), col("pack_offset"))
     }),
 
+    // Scalable global row numbering: training pipelines need a dense
+    // 0..N-1 example id (shard manifests, resumable data loaders,
+    // sample-without-replacement bookkeeping). The naive form —
+    // row_number() OVER (ORDER BY key) with no PARTITION BY — funnels
+    // the entire corpus through ONE reducer; monotonically_increasing_id
+    // is parallel but neither dense nor stable across re-runs. The
+    // scalable shape is two-phase: (1) order-aligned buckets (here
+    // doc_id DIV 64; at 100 TB, range-sampled split points — the same
+    // mechanism repartitionByRange uses) are counted in one tiny
+    // aggregate; (2) bucket offsets are a running sum over the
+    // BUCKET-COUNT-sized table (driver-scale, broadcast back), and
+    // each bucket numbers its own rows independently in parallel.
+    // row_id = bucket_offset + intra-bucket row_number — identical to
+    // the single-reducer answer, bit-for-bit, with per-bucket
+    // parallelism.
+    "q_rowid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("bucket", expr("doc_id DIV 64"))
+      val offsets = docs.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .withColumn("off", coalesce(
+          sum(col("n")).over(Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bucket"), col("off"))
+      val wb = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      docs.join(broadcast(offsets), "bucket")
+        .withColumn("row_id", col("off") + row_number().over(wb) - 1)
+        .select(col("doc_id"), col("lang"), col("row_id"))
+        .orderBy(col("row_id"))
+    }),
+
+    // Z-order (Morton) layout key — the multi-dimensional data-skipping
+    // primitive (Delta OPTIMIZE ZORDER BY, Iceberg sort orders): bit-
+    // interleaving two keys gives ONE sort key whose contiguous ranges
+    // are small rectangles in BOTH dimensions, so parquet row-group
+    // min/max footers prune scans filtered on either key (a plain sort
+    // by (a, b) prunes only on a). The write path at 100 TB is
+    // repartitionByRange(zval) + sortWithinPartitions(zval) before the
+    // sink; this query materializes the key itself over the distinct
+    // (part, supplier) cells. Pure integer bit arithmetic — 16 bits
+    // per dimension at fixture key ranges (the bit width is the only
+    // scale-dependent constant), identical in both engines.
+    "q_zorder" -> ((s, d) => {
+      val z = (0 until 16).map(i =>
+        s"shiftleft(shiftright(l_partkey, $i) & 1, ${2 * i}) + " +
+          s"shiftleft(shiftright(l_suppkey, $i) & 1, ${2 * i + 1})").mkString(" + ")
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .withColumn("zval", expr(z))
+        .orderBy(col("zval"))
+    }),
+
     // Per-domain document cap — the crawl-curation staple: a handful
     // of hot domains dominate any web crawl, and capping them bounds
     // both topical skew and downstream per-key work. Kept docs are the
@@ -427,6 +479,19 @@ object Pipeline {
          |  pack_offset // 4096 AS start_chunk,
          |  (pack_offset + n_chars - 1) // 4096 AS end_chunk
          |FROM off ORDER BY shard, pack_offset""".stripMargin,
+
+    "q_rowid" ->
+      """SELECT doc_id, lang, row_number() OVER (ORDER BY doc_id) - 1 AS row_id
+        |FROM documents ORDER BY row_id""".stripMargin,
+
+    "q_zorder" -> {
+      val z = (0 until 16).map(i =>
+        s"(((l_partkey >> $i) & 1) << ${2 * i}) + " +
+          s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+      s"""SELECT l_partkey, l_suppkey, CAST($z AS BIGINT) AS zval
+         |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         |ORDER BY zval""".stripMargin
+    },
 
     "q_domain_cap" ->
       s"""SELECT doc_id, source, rn FROM (

@@ -31,6 +31,11 @@ object RelationalExt {
 
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** q_ewma lag weights: floor(1e6 · α(1−α)^j), α = 0.5, 8 lags —
+    * micro-unit integers shared by the Spark plan and the oracle. */
+  private val ewmaWeights: Seq[Long] =
+    (0 until 8).map(j => Math.floor(1e6 * 0.5 * math.pow(0.5, j)).toLong)
+
   val queries: Map[String, Q] = Map(
     // CUBE: all 2^2 grouping combinations in one Expand + aggregate.
     "q_agg_cube" -> ((s, d) =>
@@ -192,6 +197,32 @@ object RelationalExt {
           round(expr("min(w)"), 2).as("w_min"),
           round(expr("max(w)"), 2).as("w_max"))
         .orderBy(col("event_type"))
+    }),
+
+    // Bounded-horizon EWMA (exponentially-weighted moving average) per
+    // user — the time-series smoothing primitive (monitoring, feature
+    // engineering for event models). The textbook recursive form
+    // s_t = α·x_t + (1−α)·s_{t−1} is inherently sequential; the
+    // scalable form truncates the tail (weights α(1−α)^j decay
+    // geometrically — 8 lags at α=0.5 captures 99.6% of the mass) so
+    // it becomes a FIXED window expression: one shuffle on user_id,
+    // then map-side lag arithmetic. Fixed-point throughout: values
+    // quantize to milli-units, weights are micro-unit integer
+    // literals, the EWMA is an exact BIGINT in nano-units — both
+    // engines agree bit-for-bit, and the sum order is fixed by the
+    // expression tree.
+    "q_ewma" -> ((s, d) => {
+      val terms = ewmaWeights.zipWithIndex.map { case (w, j) =>
+        s"$w * coalesce(lag(value_milli, $j) OVER w, 0L)"
+      }.mkString(" + ")
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(
+        s"""SELECT event_id, user_id, value_milli, $terms AS ewma_nano
+           |FROM (SELECT event_id, user_id,
+           |        CAST(floor(value * 1000) AS BIGINT) AS value_milli
+           |      FROM events)
+           |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+           |ORDER BY event_id""".stripMargin)
     }),
 
     // Heavy hitters (tokens above 2% RELATIVE support — scale-free, so
@@ -358,6 +389,19 @@ object RelationalExt {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ewma" -> {
+      val terms = ewmaWeights.zipWithIndex.map { case (w, j) =>
+        s"$w * coalesce(lag(value_milli, $j) OVER w, 0)"
+      }.mkString(" + ")
+      s"""SELECT event_id, user_id, value_milli,
+         |  CAST($terms AS BIGINT) AS ewma_nano
+         |FROM (SELECT event_id, user_id,
+         |        CAST(floor(value * 1000) AS BIGINT) AS value_milli
+         |      FROM events)
+         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+         |ORDER BY event_id""".stripMargin
+    },
+
     "q_winsorize" ->
       """WITH cuts AS (
         |  SELECT event_type,

@@ -56,6 +56,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges >= 2, s"expected 2 shuffles, plan:\n$p")
   }
 
+  test("q_rowid: the data-scale window is bucket-partitioned (no global sort reducer)") {
+    // The whole point of the two-phase row-id: only the BUCKET-COUNT-
+    // sized offset table may pass through the single-partition window;
+    // the per-row numbering must run under hashpartitioning(bucket).
+    val p = plan(graft.operators.Pipeline.queries("q_rowid")(spark, sf))
+    assert(p.contains("Exchange hashpartitioning(bucket"),
+      "per-row numbering is not bucket-partitioned:\n" + p.take(1500))
+  }
+
   test("runtime bloom filter: selective dim predicate reaches the fact scan") {
     // The 100 TB anti-join/dedup story (SURVEY §1.3, §7.4): a selective
     // predicate on one join side should cut the other side's shuffle
