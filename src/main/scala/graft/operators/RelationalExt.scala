@@ -199,6 +199,58 @@ object RelationalExt {
         .orderBy(col("event_type"))
     }),
 
+    // Ordered funnel analysis (view → click → purchase): the product-
+    // analytics staple. Stage k's entry event is the user's FIRST
+    // qualifying event strictly after their stage-(k−1) entry —
+    // sequence encoded on event_id (unique, time-ordered), so the
+    // whole funnel is exact integer MIN/COUNT arithmetic. Each stage
+    // is one groupBy(user) aggregate plus one equi-join back on
+    // user_id: the chain stays co-partitioned on the user key (one
+    // shuffle establishes the partitioning; stages 2..k reuse it), and
+    // per-stage state is one bigint per surviving user — at 100 TB the
+    // events table streams through k filters, never a window sort.
+    "q_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("event_type"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("event_id")).as("e1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("event_id") > col("e1"))
+        .groupBy(col("user_id")).agg(min(col("event_id")).as("e2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("event_id") > col("e2"))
+        .groupBy(col("user_id")).agg(min(col("event_id")).as("e3"))
+      def stage(no: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("users")).select(
+          lit(no).as("stage_no"), lit(name).as("stage"), col("users"))
+      stage(1, "view", s1).unionByName(stage(2, "click", s2))
+        .unionByName(stage(3, "purchase", s3))
+        .orderBy(col("stage_no"))
+    }),
+
+    // Robust outlier detection (median/MAD): flag values more than
+    // 3 MADs from their group median — the robust z-score that, unlike
+    // mean/stddev, is not dragged by the outliers it is hunting. Two
+    // exact interpolated percentiles (one over values, one over
+    // absolute deviations — each a partial+final aggregate at scale),
+    // medians broadcast back, MAP-ONLY flagging. Outputs are counts
+    // and floor-scaled centi-units (the q_winsorize recipe) so the
+    // hash compare never meets a round-half boundary.
+    "q_anomaly_mad" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(expr("abs(value - med) > 3 * mad"), 1L).otherwise(0L)).as("n_outliers"),
+          expr("CAST(floor(any_value(med) * 100) AS BIGINT)").as("med_centi"),
+          expr("CAST(floor(any_value(mad) * 100) AS BIGINT)").as("mad_centi"))
+        .orderBy(col("event_type"))
+    }),
+
     // Bounded-horizon EWMA (exponentially-weighted moving average) per
     // user — the time-series smoothing primitive (monitoring, feature
     // engineering for event models). The textbook recursive form
@@ -389,6 +441,38 @@ object RelationalExt {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(event_id) AS e1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(event_id) AS e2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND event_id > e1 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(event_id) AS e3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND event_id > e2 GROUP BY e.user_id)
+        |SELECT 1 AS stage_no, 'view' AS stage, count(*) AS users FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*) FROM s3
+        |ORDER BY stage_no""".stripMargin,
+
+    "q_anomaly_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM events e JOIN med USING (event_type) GROUP BY e.event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN abs(value - med) > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(floor(any_value(med) * 100) AS BIGINT) AS med_centi,
+        |  CAST(floor(any_value(mad) * 100) AS BIGINT) AS mad_centi
+        |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY event_type""".stripMargin,
+
     "q_ewma" -> {
       val terms = ewmaWeights.zipWithIndex.map { case (w, j) =>
         s"$w * coalesce(lag(value_milli, $j) OVER w, 0)"

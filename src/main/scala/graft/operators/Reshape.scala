@@ -109,10 +109,90 @@ object Reshape {
           regexp_replace(regexp_replace(col("pii_text"), EmailPat, "<EMAIL>"),
             PhonePat, "<PHONE>").as("scrubbed"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Incremental aggregate maintenance: the warehouse pattern where a
+    // materialized daily rollup absorbs a new delta batch WITHOUT
+    // rescanning history — possible exactly when the aggregate is
+    // mergeable (count/sum here; sketches in q_hll_union). The fixture
+    // splits events into a "materialized" base (90%) and an arriving
+    // delta (10%, by id hash), aggregates each independently, and
+    // full-outer-merges partials with coalesce. At 100 TB the base agg
+    // is a stored table and only the delta is scanned per refresh —
+    // the oracle (one flat aggregate over everything) PROVES
+    // merge-of-partials ≡ full recompute, bit-for-bit, because sums
+    // are exact fixed-point BIGINTs.
+    "q_incr_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("event_type"), date_trunc("day", col("ts")).as("day"),
+        col("event_id"), expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+      def agg(df: DataFrame) = df.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("vm")).as("sm"))
+      val base = agg(ev.filter(col("event_id") % 10 =!= 0))
+      val delta = agg(ev.filter(col("event_id") % 10 === 0))
+      base.withColumnRenamed("n", "n_b").withColumnRenamed("sm", "sm_b")
+        .join(delta.withColumnRenamed("n", "n_d").withColumnRenamed("sm", "sm_d"),
+          Seq("event_type", "day"), "full_outer")
+        .select(col("event_type"), col("day"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+          (coalesce(col("sm_b"), lit(0L)) + coalesce(col("sm_d"), lit(0L))).as("sum_milli"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Gaps-and-islands sessionization in pure windows (the batch
+    // analogue of session_window, and the form that works for ANY gap
+    // predicate): an island breaks where the gap to the previous event
+    // exceeds 15 minutes; island id = running sum of break flags. Gap
+    // arithmetic on integer epoch-micros (exact in both engines). One
+    // shuffle on user_id serves both windows — lag and the running
+    // sum share the same (user, time) ordering.
+    "q_islands" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(
+        """WITH g AS (
+          |  SELECT user_id, event_id, unix_micros(ts) AS us,
+          |    CASE WHEN unix_micros(ts) - lag(unix_micros(ts)) OVER w > 900000000
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts), event_id)),
+          |i AS (
+          |  SELECT user_id, event_id,
+          |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          |  FROM g)
+          |SELECT user_id, island, CAST(count(*) AS BIGINT) AS n_events,
+          |  min(event_id) AS e_min, max(event_id) AS e_max
+          |FROM i GROUP BY user_id, island
+          |ORDER BY user_id, island""".stripMargin)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q_incr_agg" ->
+      // the flat recompute — merge-of-partials must equal this exactly
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli
+        |FROM events GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q_islands" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 900000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |i AS (
+        |  SELECT user_id, event_id,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM g)
+        |SELECT user_id, CAST(island AS BIGINT) AS island, count(*) AS n_events,
+        |  min(event_id) AS e_min, max(event_id) AS e_max
+        |FROM i GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin,
+
     "q_unpivot" ->
       """WITH st AS (
         |  SELECT n_name, round(min(c_acctbal), 2) AS mn,

@@ -278,13 +278,97 @@ object SimSearch {
         .filter(col("rn") <= 3)
         .select(col("a_id"), col("b_id"), col("label"), col("cos_sim"), col("rn"))
         .orderBy(col("a_id"), col("rn"))
+    }),
+
+    // MMR diversity re-rank (Carbonell & Goldstein '98) — the serving-
+    // layer step after ANN: from the top-20 relevance candidates, pick
+    // 5 greedily by score = λ·rel − (1−λ)·max-sim-to-already-picked
+    // (λ = 0.7, scaled to integers 7/3), so near-duplicate hits don't
+    // crowd the result page. Exactness recipe: embeddings quantize to
+    // the 1e-4 grid (q_kmeans_fit), relevance and pairwise similarity
+    // are exact BIGINT dot products, ties break to the lower vec_id —
+    // the greedy trajectory replays bit-identically in DuckDB's
+    // unrolled CTE chain.
+    //
+    // Scale posture: the DISTRIBUTED part is candidate generation
+    // (TakeOrderedAndProject: per-partition top-k, driver merge of
+    // k-row heaps). The greedy loop runs on the collected candidate
+    // page — 20 rows, O(k²·dim) — the same result-page-scale collect
+    // class as the codebook literals (never data-scale). At 100 TB
+    // only the top-k scan grows; the re-rank stays 20 rows.
+    "q_mmr" -> ((s, d) => {
+      import s.implicits._
+      val quant =
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+      val qdf = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("qv"))
+      val q0 = qdf.filter(col("vec_id") === 0).collect()(0).getSeq[Long](1).toArray
+      val qlit = q0.mkString("array(", "L,", "L)")
+      val cands = qdf.filter(col("vec_id") =!= 0)
+        .withColumn("rel", expr(
+          s"aggregate(zip_with(qv, $qlit, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(20)
+        .collect() // result-page scale (20 rows)
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+        .sortBy { case (id, _, rel) => (-rel, id) }
+      def dotL(a: Array[Long], b: Array[Long]): Long =
+        a.indices.foldLeft(0L)((acc, i) => acc + a(i) * b(i))
+      val sel = scala.collection.mutable.ArrayBuffer(cands.head)
+      while (sel.size < 5) {
+        val rest = cands.filterNot(c => sel.exists(_._1 == c._1))
+        sel += rest.map { c =>
+          (c, 7L * c._3 - 3L * sel.map(p => dotL(c._2, p._2)).max)
+        }.minBy { case (c, score) => (-score, c._1) }._1
+      }
+      sel.toSeq.zipWithIndex
+        .map { case ((id, _, rel), i) => (i + 1, id, rel) }
+        .toDF("mmr_rank", "vec_id", "rel")
     })
   )
 
   private val cosSql =
     """list_dot_product(a, q) / (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(q, q)))"""
 
+  /** One greedy MMR step: pick #n from the candidates not yet in
+    * sel(n−1), maximizing 7·rel − 3·(max dot vs selected). */
+  private def mmrStep(n: Int): String = {
+    // join + GROUP BY rather than a correlated scalar subquery: DuckDB
+    // can't reference the outer row inside a subquery's lambda, but a
+    // cross join puts both vectors in lambda scope.
+    val prev = s"sel${n - 1}"
+    s"""pick$n AS (
+       |  SELECT vec_id, qv, rel, $n AS mmr_rank FROM (
+       |    SELECT c.vec_id, c.qv, c.rel,
+       |      MAX(CAST(list_sum(list_transform(range(1, 65),
+       |        j -> c.qv[j] * s.qv[j])) AS BIGINT)) AS maxdot
+       |    FROM cand c, $prev s
+       |    WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+       |    GROUP BY c.vec_id, c.qv, c.rel)
+       |  ORDER BY 7 * rel - 3 * maxdot DESC, vec_id LIMIT 1),
+       |sel$n AS (SELECT * FROM $prev UNION ALL SELECT * FROM pick$n)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_mmr" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |q0 AS (SELECT qv FROM q WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT q.vec_id, q.qv,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      j -> q.qv[j] * q0.qv[j])) AS BIGINT) AS rel
+         |  FROM q, q0 WHERE q.vec_id <> 0
+         |  ORDER BY rel DESC, vec_id LIMIT 20),
+         |sel1 AS (
+         |  SELECT vec_id, qv, rel, 1 AS mmr_rank
+         |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+         |${mmrStep(2)},
+         |${mmrStep(3)},
+         |${mmrStep(4)},
+         |${mmrStep(5)}
+         |SELECT mmr_rank, vec_id, rel FROM sel5 ORDER BY mmr_rank""".stripMargin,
     "q_simsearch" ->
       s"""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, round($cosSql, 4) AS cos_sim
