@@ -227,6 +227,45 @@ object RelationalExt {
         .orderBy(col("stage_no"))
     }),
 
+    // First-order Markov transition matrix over per-user event
+    // sequences (next-event prediction, anomalous-flow detection): one
+    // lead() window sequenced on event_id, one count aggregate, then
+    // transition probabilities in exact fixed-point (micro-units,
+    // truncating div) computed over the TRANSITION-MATRIX-sized
+    // aggregate — |event_types|² rows, driver-scale, so the per-src
+    // totals window costs nothing. At 100 TB: one user_id shuffle for
+    // the window, one (src,dst) shuffle for counts.
+    "q_markov" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(
+        """WITH t AS (
+          |  SELECT event_type AS src,
+          |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+          |  FROM events),
+          |m AS (
+          |  SELECT src, dst, count(*) AS n FROM t
+          |  WHERE dst IS NOT NULL GROUP BY src, dst)
+          |SELECT src, dst, n,
+          |  (n * 1000000L) DIV (SUM(n) OVER (PARTITION BY src)) AS p_micro
+          |FROM m ORDER BY src, dst""".stripMargin)
+    }),
+
+    // Cohort retention: users bucketed by first-active day, activity
+    // counted per (cohort, day-offset) — the growth-analytics staple.
+    // Days are integer epoch-day quotients (exact in both engines);
+    // the plan is two aggregates plus one user_id equi-join, all
+    // co-partitioned on the user key.
+    "q_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ev.distinct().join(cohort, "user_id")
+        .withColumn("offset_days", col("day") - col("cohort_day"))
+        .groupBy(col("cohort_day"), col("offset_days"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("offset_days"))
+    }),
+
     // Robust outlier detection (median/MAD): flag values more than
     // 3 MADs from their group median — the robust z-score that, unlike
     // mean/stddev, is not dragged by the outliers it is hunting. Two
@@ -457,6 +496,29 @@ object RelationalExt {
         |UNION ALL
         |SELECT 3, 'purchase', count(*) FROM s3
         |ORDER BY stage_no""".stripMargin,
+
+    "q_markov" ->
+      """WITH t AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+        |  FROM events),
+        |m AS (
+        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM t
+        |  WHERE dst IS NOT NULL GROUP BY src, dst)
+        |SELECT src, dst, n,
+        |  (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS p_micro
+        |FROM m ORDER BY src, dst""".stripMargin,
+
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, day FROM ev)
+        |SELECT cohort_day, day - cohort_day AS offset_days,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY cohort_day, offset_days
+        |ORDER BY cohort_day, offset_days""".stripMargin,
 
     "q_anomaly_mad" ->
       """WITH med AS (

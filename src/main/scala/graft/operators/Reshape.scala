@@ -139,6 +139,34 @@ object Reshape {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Data-quality validation report (the dbt-test / Deequ pattern):
+    // pipeline gates run as ONE declarative plan over the tables they
+    // audit — uniqueness, null fraction, referential integrity, range
+    // and enum membership — each check a count of violations, unioned
+    // into a single report. At 100 TB each check is a partial+final
+    // aggregate (the anti-join for referential integrity broadcasts
+    // the 100×-smaller dimension's keys); nothing collects, so the
+    // gate costs one pass over each audited table.
+    "q_dq_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      def check(no: Int, name: String, viol: DataFrame) =
+        viol.agg(count(lit(1)).as("n_violations"))
+          .select(lit(no).as("check_no"), lit(name).as("check"), col("n_violations"))
+      check(1, "documents.doc_id unique",
+        docs.groupBy(col("doc_id")).count().filter(col("count") > 1))
+        .unionByName(check(2, "documents.text not null",
+          docs.filter(col("text").isNull)))
+        .unionByName(check(3, "documents.lang in enum",
+          docs.filter(!col("lang").isin("en", "de", "es", "fr", "zh"))))
+        .unionByName(check(4, "documents.n_chars = length(text)",
+          docs.filter(col("n_chars") =!= length(col("text")))))
+        .unionByName(check(5, "orders.o_custkey references customer",
+          orders.join(customer, col("o_custkey") === col("c_custkey"), "left_anti")))
+        .orderBy(col("check_no"))
+    }),
+
     // Gaps-and-islands sessionization in pure windows (the batch
     // analogue of session_window, and the form that works for ANY gap
     // predicate): an island breaks where the gap to the previous event
@@ -175,6 +203,24 @@ object Reshape {
         |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli
         |FROM events GROUP BY event_type, day
         |ORDER BY event_type, day""".stripMargin,
+
+    "q_dq_report" ->
+      """SELECT 1 AS check_no, 'documents.doc_id unique' AS "check",
+        |  count(*) AS n_violations
+        |FROM (SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 2, 'documents.text not null', count(*)
+        |FROM documents WHERE text IS NULL
+        |UNION ALL
+        |SELECT 3, 'documents.lang in enum', count(*)
+        |FROM documents WHERE lang NOT IN ('en', 'de', 'es', 'fr', 'zh')
+        |UNION ALL
+        |SELECT 4, 'documents.n_chars = length(text)', count(*)
+        |FROM documents WHERE n_chars <> length(text)
+        |UNION ALL
+        |SELECT 5, 'orders.o_custkey references customer', count(*)
+        |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |ORDER BY check_no""".stripMargin,
 
     "q_islands" ->
       """WITH g AS (
