@@ -18,23 +18,26 @@ object Scratch {
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
     spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$d/region.parquet").count()
 
-    // q_corpus_e2e stage breakdown
     import org.apache.spark.sql.functions._
-    graft.functions.VectorFunctions.register(spark)
-    val raw = operators.NearDup.corpus(spark, d)
-    time("e2e: raw corpus") { raw.count() }
-    val quality = raw.filter(length(col("text")) >= 64)
-    val wm = org.apache.spark.sql.expressions.Window.partitionBy(col("m")).orderBy(col("doc_id"))
-    val exact = quality.withColumn("m", md5(col("text")))
-      .withColumn("rn", row_number().over(wm)).filter(col("rn") === 1).drop("m", "rn")
-    time("e2e: exact dedup") { exact.count() }
-    time("e2e: jaccard pairs") { operators.NearDup.jaccardPairs(spark, d).count() }
-    val ngAll = raw.select(col("doc_id"), explode(expr("word_shingles(text, 3)")).as("ng"))
-    val evalNg = ngAll.filter(col("doc_id") % 23 === 0).select(col("ng")).distinct()
-    time("e2e: eval ngrams") { evalNg.count() }
-    time("e2e: full query") { operators.Pipeline.queries("q_corpus_e2e")(spark, d).count() }
-    time("e2e: full again") { operators.Pipeline.queries("q_corpus_e2e")(spark, d).count() }
+    // q_pagerank stage breakdown
+    val orders = Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey"))
+    val lineitem = Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey"))
+    val directed = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    time("pr: directed edges") { directed.count() }
+    val edges = directed.unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    time("pr: outdeg") { outdeg.count() }
+    time("pr: full query") { operators.Graph.queries("q_pagerank")(spark, d).count() }
+    time("pr: full again") { operators.Graph.queries("q_pagerank")(spark, d).count() }
+    val df = operators.Graph.queries("q_pagerank")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val cut = p.indexOf("== Initial Plan ==")
+    println((if (cut >= 0) p.substring(0, cut) else p).linesIterator.map(_.take(100)).mkString("\n"))
     spark.stop()
   }
 }

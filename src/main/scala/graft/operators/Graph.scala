@@ -53,13 +53,24 @@ object Graph {
         .join(lineitem, col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      val edges = directed.unionByName(
-        directed.select(col("dst").as("src"), col("src").as("dst")))
-      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      // Adjacency with out-degree attached, reused by every iteration.
-      val adj = edges.join(outdeg, "src").persist()
+      // Both directions emitted MAP-SIDE from one pass (a union of the
+      // subtree with its mirror would recompute the join+distinct once
+      // per branch), and the out-degree comes from a whole-partition
+      // count window over the same src shuffle — no self-join, and the
+      // persisted adjacency stays hash-partitioned on src, so each
+      // iteration's rank join needs no adj-side exchange.
+      val edges = directed
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val adj = edges
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+        .persist()
 
-      var ranks = outdeg.select(col("src").as("node_id"), lit(1000000L).as("pr"))
+      var ranks = adj.select(col("src").as("node_id")).distinct()
+        .select(col("node_id"), lit(1000000L).as("pr"))
       for (_ <- 1 to Iters) {
         ranks = adj
           .join(ranks, adj("src") === ranks("node_id"))
