@@ -223,6 +223,30 @@ object Ingest {
         .join(sinkIds(s, d), Seq("id"), "left_anti")
         .orderBy(col("id"))),
 
+    // The SURVEY §7.4 100 TB form of the sink anti-join: a Bloom
+    // filter built over the sink ids (df.stat.bloomFilter — a FIXED
+    //-size sketch regardless of row count, the one thing about the
+    // sink that may ride to the driver and broadcast) pre-filters the
+    // incoming side MAP-SIDE, so only might-contain rows reach the
+    // anti-join shuffle. Spark's runtime bloom filter does this
+    // automatically for inner/semi joins but NOT for anti joins —
+    // there, absent-from-bloom is a definitive KEEP (no false
+    // negatives), and only the might-contain slice (true members +
+    // the ~1% false positives) needs the exact join to decide. The
+    // union of the definite-keeps and the exact-join survivors is
+    // hash-identical to the plain anti-join oracle.
+    "q_dedup_sink_bloom" -> ((s, d) => {
+      val incoming = emailsRaw(s, d).select(col("id"))
+      val sink = sinkIds(s, d)
+      val bloom = sink.stat.bloomFilter("id", 10000L, 0.01)
+      val bloomBc = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((id: String) => bloomBc.value.mightContainString(id))
+      val definiteKeep = incoming.filter(!mightContain(col("id")))
+      val candidates = incoming.filter(mightContain(col("id")))
+        .join(sink, Seq("id"), "left_anti")
+      definiteKeep.unionByName(candidates).orderBy(col("id"))
+    }),
+
     // Q-dedup-run: last-wins across pages, made deterministic via
     // row_number (SURVEY §7.4 risk 2).
     "q_dedup_lastwins" -> ((s, d) =>
@@ -283,6 +307,12 @@ object Ingest {
       "SELECT id, coalesce(array_to_string(labelIds, ','), '') AS combined_labels FROM emails_raw ORDER BY id"),
 
     "q_dedup_sink" -> (cte +
+      """SELECT id FROM emails_raw e
+        |WHERE NOT EXISTS (SELECT 1 FROM sink WHERE sink.id = e.id) ORDER BY id""".stripMargin),
+
+    "q_dedup_sink_bloom" -> (cte +
+      // the bloom pre-pass is an optimization, not a semantic: the
+      // oracle is the plain anti-join
       """SELECT id FROM emails_raw e
         |WHERE NOT EXISTS (SELECT 1 FROM sink WHERE sink.id = e.id) ORDER BY id""".stripMargin),
 

@@ -465,6 +465,46 @@ object RelationalExt {
         .orderBy(col("o_custkey"), col("version"))
     }),
 
+    // Point-in-time join (the feature-store staple): each fact row
+    // joined to the SCD2 dimension version that was valid AT the
+    // fact's event date — the join that prevents feature leakage in
+    // training-data assembly. NOT an inequality join (which explodes
+    // into a range-join blowup at scale): the q_join_asof technique —
+    // union dim-change rows and fact rows on the entity key, one sort
+    // per key by (date, dim-before-fact, version), and a running
+    // last-non-null carries each version to exactly the facts it was
+    // current for. One shuffle on the entity key; facts predating the
+    // first version keep NULL dim attributes (left semantics).
+    "q_pit_join" -> ((s, d) => {
+      val wv = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val dim = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("version", row_number().over(wv).cast("long"))
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("dt"),
+          lit(0).as("tag"), col("version"), col("o_totalprice").as("dim_totalprice"),
+          lit(null).cast("long").as("l_orderkey"), lit(null).cast("long").as("l_linenumber"))
+      val facts = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("k"), col("l_shipdate").as("dt"),
+          lit(1).as("tag"), lit(null).cast("long").as("version"),
+          lit(null).cast("double").as("dim_totalprice"),
+          col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("dt"), col("tag"), col("version"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dim.unionByName(facts)
+        .withColumn("v_pit", last(col("version"), ignoreNulls = true).over(w))
+        .withColumn("tp_pit", last(col("dim_totalprice"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("k").as("o_custkey"),
+          col("dt").as("l_shipdate"), col("v_pit").as("version"),
+          col("tp_pit").as("dim_totalprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // Bivariate statistics per group: Pearson correlation, sample
     // covariance, sample stddev — single partial+final aggregate with
     // mergeable moment state (sum, sum², sum of products), the same
@@ -586,6 +626,27 @@ object RelationalExt {
         |FROM customer LEFT JOIN last ON key = c_custkey
         |WHERE COALESCE(op, 'U') <> 'D'
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_pit_join" ->
+      // the declarative interval form — the union+window plan must
+      // match it exactly (empty same-date intervals resolve to the
+      // later version in both formulations)
+      """WITH dim AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    row_number() OVER w AS version,
+        |    o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER w AS valid_to
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |f AS (
+        |  SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_shipdate
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT f.l_orderkey, f.l_linenumber, f.o_custkey, f.l_shipdate,
+        |  d.version, d.o_totalprice AS dim_totalprice
+        |FROM f LEFT JOIN dim d
+        |  ON d.o_custkey = f.o_custkey AND d.valid_from <= f.l_shipdate
+        |    AND (d.valid_to > f.l_shipdate OR d.valid_to IS NULL)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_scd2" ->
       """SELECT o_custkey, version, o_orderkey, valid_from, valid_to,

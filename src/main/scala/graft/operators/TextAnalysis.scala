@@ -249,6 +249,37 @@ object TextAnalysis {
         .groupBy(md5(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy(col("keep_id"))
+    }),
+
+    // Canonical-URL dedup — the crawl-curation step BEFORE content
+    // dedup: the same page arrives as http/https, with/without www,
+    // with tracking params, fragments and trailing slashes, and all
+    // of those collapse to one canonical key. The fixture synthesizes
+    // the variants deterministically (every 4th doc re-crawled with
+    // scheme/www/utm/fragment noise), normalization is a map-only
+    // regexp chain (lowercase → https → strip www/utm+fragment →
+    // trailing slash), and dedup shuffles the canonical-url string
+    // only — at 100 TB this is the q_dedup_exact posture keyed on
+    // the URL instead of the content hash.
+    "q_dedup_url" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .withColumn("url", expr(
+          "concat('https://', source, '.example.com/p/', CAST(doc_id AS STRING))"))
+      val recrawl = docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"), expr(
+          """concat('HTTP://www.', source, '.EXAMPLE.com/p/',
+            |  CAST(doc_id AS STRING), '/?utm_source=feed#frag')""".stripMargin).as("url"))
+      docs.unionByName(recrawl)
+        .withColumn("canon", expr(
+          """regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            |  lower(url),
+            |  '^http://', 'https://'),
+            |  '^https://www\\.', 'https://'),
+            |  '[?#].*$', ''),
+            |  '/$', '')""".stripMargin))
+        .groupBy(col("canon"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_variants"))
+        .orderBy(col("keep_id"))
     })
   )
 
@@ -403,6 +434,28 @@ object TextAnalysis {
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0)
         |SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+        |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_url" ->
+      """WITH crawl AS (
+        |  SELECT doc_id,
+        |    concat('https://', source, '.example.com/p/', CAST(doc_id AS VARCHAR)) AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    concat('HTTP://www.', source, '.EXAMPLE.com/p/',
+        |      CAST(doc_id AS VARCHAR), '/?utm_source=feed#frag') AS url
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |canonized AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(url),
+        |      '^http://', 'https://'),
+        |      '^https://www\.', 'https://'),
+        |      '[?#].*$', ''),
+        |      '/$', '') AS canon
+        |  FROM crawl)
+        |SELECT canon, min(doc_id) AS keep_id, count(*) AS n_variants
+        |FROM canonized GROUP BY canon ORDER BY keep_id""".stripMargin
   )
 }
