@@ -199,6 +199,29 @@ object Pipeline {
         .orderBy(col("row_id"))
     }),
 
+    // Market-basket co-occurrence (the support count of frequent-pair
+    // mining, and the candidate generator for item-item collaborative
+    // filtering): part pairs co-ordered in the same order, counted,
+    // support ≥ 3. The self-join is keyed on the BASKET id — each
+    // order's items meet in one partition and emit C(n,2) pairs with
+    // p1 < p2 (each unordered pair once). At 100 TB the guard is the
+    // basket-size cap standard in co-occurrence jobs (a pathological
+    // million-item basket would emit ~n²/2 pairs from one task); the
+    // fixture's baskets are ≤7 items so the cap is a no-op here, but
+    // the shape — distinct items, cap, self-join per basket, count —
+    // is the production plan.
+    "q_copurchase" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      items.as("a").join(items.as("b"), col("a.ok") === col("b.ok"))
+        .filter(col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 3)
+        .orderBy(col("support").desc, col("p1"), col("p2"))
+    }),
+
     // Z-order (Morton) layout key — the multi-dimensional data-skipping
     // primitive (Delta OPTIMIZE ZORDER BY, Iceberg sort orders): bit-
     // interleaving two keys gives ONE sort key whose contiguous ranges
@@ -483,6 +506,14 @@ object Pipeline {
     "q_rowid" ->
       """SELECT doc_id, lang, row_number() OVER (ORDER BY doc_id) - 1 AS row_id
         |FROM documents ORDER BY row_id""".stripMargin,
+
+    "q_copurchase" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+        |FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY a.pk, b.pk
+        |HAVING count(*) >= 3
+        |ORDER BY support DESC, p1, p2""".stripMargin,
 
     "q_zorder" -> {
       val z = (0 until 16).map(i =>

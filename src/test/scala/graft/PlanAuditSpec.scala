@@ -65,6 +65,28 @@ class PlanAuditSpec extends SparkSpec {
       "per-row numbering is not bucket-partitioned:\n" + p.take(1500))
   }
 
+  test("q_pit_join: the as-of union+window needs exactly one entity-key shuffle") {
+    // The point of the technique: no inequality join, no range-join
+    // blowup — dim and fact rows meet in ONE hashpartitioning(k)
+    // exchange feeding the running last-non-null window. (The fact
+    // build's lineitem⋈orders join may broadcast; the presentation
+    // sort is a range exchange, not a hash one.)
+    val p = plan(graft.operators.RelationalExt.queries("q_pit_join")(spark, sf))
+    assert(p.contains("Exchange hashpartitioning(k#"),
+      "union+window not keyed on the entity key:\n" + p.take(1500))
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 2,
+      s"expected at most 2 hash shuffles (entity key + fact build), got $hashExchanges:\n${p.take(2000)}")
+  }
+
+  test("q_pagerank: the adjacency is persisted and reused across iterations") {
+    val df = graft.operators.Graph.queries("q_pagerank")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "adjacency not persisted — each iteration would recompute the edge build:\n" + p.take(1500))
+  }
+
   test("runtime bloom filter: selective dim predicate reaches the fact scan") {
     // The 100 TB anti-join/dedup story (SURVEY §1.3, §7.4): a selective
     // predicate on one join side should cut the other side's shuffle
