@@ -264,3 +264,71 @@ object DeflateLen {
   private val buf = ThreadLocal.withInitial[Array[Byte]](
     () => new Array[Byte](8192))
 }
+
+/** Greedy longest-match wordpiece segmentation (the WordPiece /
+  * BERT-tokenizer algorithm, Wu et al. 2016): each whitespace word is
+  * consumed left-to-right by the LONGEST vocab piece at the cursor
+  * (max piece length 4 here), continuation pieces carry the `##`
+  * prefix. This is the real subword-segmentation control flow — an
+  * unbounded per-word loop no SQL engine expresses, hence the
+  * consuming query is spec-pinned (reassembly, vocab membership,
+  * greedy-longest invariants) rather than DuckDB-hashed.
+  *
+  * The vocabulary is a deterministic stand-in, same framing as
+  * q_classifier_score's weights: every single character is a piece
+  * (so segmentation never dead-ends — BERT's [UNK] path collapses to
+  * char fallback), and a multi-char substring is a piece iff
+  * `(hashCode & 0x7fffffff) % 5 == 0` (~20% of substrings; JVM
+  * String.hashCode is specified, so the vocab is stable across runs
+  * and machines). Swapping in a trained vocab replaces the predicate
+  * with a set lookup — the greedy loop, the expression, and every
+  * consumer are unchanged.
+  *
+  * One JVM pass per document, no per-piece lambda dispatch — the same
+  * reason word_shingles exists. Stays a CodegenFallback: the work is
+  * the inner matching loop, not expression dispatch.
+  */
+case class WordpieceTokens(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "wordpiece_tokens"
+
+  override def nullSafeEval(text: Any): Any = {
+    val words = text.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      var pos = 0
+      while (pos < w.length) {
+        var len = math.min(WordpieceTokens.MaxPiece, w.length - pos)
+        var matched = false
+        while (!matched) {
+          val piece = w.substring(pos, pos + len)
+          if (len == 1 || WordpieceTokens.inVocab(piece)) {
+            out += UTF8String.fromString(if (pos == 0) piece else "##" + piece)
+            pos += len
+            matched = true
+          } else len -= 1
+        }
+      }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordpieceTokens {
+  val MaxPiece = 4
+  /** Deterministic vocabulary predicate for multi-char pieces. */
+  def inVocab(piece: String): Boolean = (piece.hashCode & 0x7fffffff) % 5 == 0
+}

@@ -389,6 +389,11 @@ object VectorFunctions {
   private val deflateBuilder: Seq[Expression] => Expression =
     exprs => DeflateLen(exprs(0))
 
+  private val wordpieceInfo = new ExpressionInfo(
+    classOf[WordpieceTokens].getName, "wordpiece_tokens")
+  private val wordpieceBuilder: Seq[Expression] => Expression =
+    exprs => WordpieceTokens(exprs(0))
+
   /** Idempotent registration on an existing session — functions plus
     * the [[RewriteDotProducts]] optimizer rule — usable from any query
     * lambda without rebuilding the session.
@@ -413,6 +418,8 @@ object VectorFunctions {
       "cosine_all", cosMultiBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rp_signature", rpSigBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "wordpiece_tokens", wordpieceBuilder, "built-in")
   }
 
   /** Session-extension wiring: sessions built with
@@ -430,6 +437,7 @@ object VectorFunctions {
       e.injectFunction((FunctionIdentifier("deflate_len"), deflateInfo, deflateBuilder))
       e.injectFunction((FunctionIdentifier("cosine_all"), cosMultiInfo, cosMultiBuilder))
       e.injectFunction((FunctionIdentifier("rp_signature"), rpSigInfo, rpSigBuilder))
+      e.injectFunction((FunctionIdentifier("wordpiece_tokens"), wordpieceInfo, wordpieceBuilder))
       e.injectOptimizerRule(_ => RewriteDotProducts)
     }
   }

@@ -251,6 +251,25 @@ object TextAnalysis {
         .orderBy(col("keep_id"))
     }),
 
+    // Real subword segmentation (greedy longest-match WordPiece via
+    // the native wordpiece_tokens expression) — the token accounting
+    // that q_token_regex approximates with a regex. n_pieces is the
+    // number an LLM pretraining budget would count; head_csv pins the
+    // actual segmentation. Map-only at scan speed; no oracle (the
+    // greedy per-word loop is not SQL-expressible — TextAnalysisSpec
+    // pins the segmentation against an independent reimplementation
+    // plus reassembly/vocab invariants).
+    "q_tokenize" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      Tables.documents(s, d)
+        .withColumn("pieces", expr("wordpiece_tokens(text)"))
+        .select(col("doc_id"),
+          size(col("pieces")).cast("long").as("n_pieces"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_words"),
+          expr("array_join(slice(pieces, 1, 8), ',')").as("head_csv"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Canonical-URL dedup — the crawl-curation step BEFORE content
     // dedup: the same page arrives as http/https, with/without www,
     // with tracking params, fragments and trailing slashes, and all

@@ -54,4 +54,60 @@ class TextAnalysisSpec extends SparkSpec {
       assert(bad === 0, s"scores outside (ln(1/T)=$floor, 0)")
     } finally scored.unpersist()
   }
+
+  /** Independent greedy-WordPiece reimplementation (the expression's
+    * contract, not its code). */
+  private def segment(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    for (w <- text.split(" ", -1) if true) {
+      var pos = 0
+      while (pos < w.length) {
+        var len = math.min(4, w.length - pos)
+        var done = false
+        while (!done) {
+          val piece = w.substring(pos, pos + len)
+          if (len == 1 || (piece.hashCode & 0x7fffffff) % 5 == 0) {
+            out += (if (pos == 0) piece else "##" + piece)
+            pos += len
+            done = true
+          } else len -= 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("wordpiece: expression output matches an independent greedy reimplementation") {
+    graft.functions.VectorFunctions.register(spark)
+    val rows = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text", "wordpiece_tokens(text) AS pieces")
+      .orderBy($"doc_id").limit(50).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](2) == segment(r.getString(1)), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("wordpiece: pieces reassemble to the input and respect the vocab") {
+    graft.functions.VectorFunctions.register(spark)
+    val rows = Tables.documents(spark, sf)
+      .selectExpr("text", "wordpiece_tokens(text) AS pieces").limit(100).collect()
+    rows.foreach { r =>
+      val pieces = r.getSeq[String](1)
+      // reassembly: strip ## and concat == input without spaces
+      assert(pieces.map(_.stripPrefix("##")).mkString == r.getString(0).replace(" ", ""))
+      pieces.foreach { p =>
+        val raw = p.stripPrefix("##")
+        assert(raw.length >= 1 && raw.length <= 4)
+        assert(raw.length == 1 || (raw.hashCode & 0x7fffffff) % 5 == 0,
+          s"piece '$p' not in vocab")
+      }
+    }
+  }
+
+  test("q_tokenize: piece counts are at least word counts and head pins segmentation") {
+    val df = TextAnalysis.queries("q_tokenize")(spark, sf)
+    assert(df.filter($"n_pieces" < $"n_words").count() === 0)
+    val head = df.orderBy($"doc_id").limit(1).collect()(0).getString(3)
+    assert(head.nonEmpty && head.split(",").length <= 8)
+  }
 }

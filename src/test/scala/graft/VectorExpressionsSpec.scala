@@ -214,4 +214,49 @@ class VectorExpressionsSpec extends SparkSpec {
     }
     assert(mixed.getMessage.contains("cosine_sim"))
   }
+
+  test("GraftExtensions: a FRESH session built withExtensions resolves every function") {
+    // The production wiring (spark.sql.extensions=graft.functions
+    // .GraftExtensions) — not the imperative register() the query
+    // lambdas use — must deliver the same surface. getOrCreate returns
+    // the suite session (ignoring withExtensions) unless the default/
+    // active pointers are cleared first; clearing them makes the
+    // builder construct a new SparkSession over the SAME SparkContext
+    // with the extensions applied.
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val fresh = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new VectorFunctions.GraftExtensions)
+      .getOrCreate()
+    try {
+      val row = fresh.sql(
+        """SELECT
+          |  cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+          |  dot_product(array(2.0d, 3.0d), array(4.0d, 5.0d)) AS dp,
+          |  size(word_shingles('a b c d', 3)) AS ns,
+          |  size(word_shingle_hashes('a b c d', 3)) AS nh,
+          |  jaccard_sorted(array(1L, 2L), array(1L, 2L)) AS j,
+          |  deflate_len('aaaaaaaaaa') AS dl,
+          |  size(wordpiece_tokens('hello')) AS wp
+          |""".stripMargin).collect()(0)
+      assert(row.getDouble(0) === 1.0)
+      assert(row.getDouble(1) === 23.0)
+      assert(row.getInt(2) === 2 && row.getInt(3) === 2)
+      assert(row.getDouble(4) === 1.0)
+      assert(row.getInt(5) > 0 && row.getInt(6) >= 2)
+    } finally {
+      // restore the suite's session pointers; never stop the shared
+      // SparkContext
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+      prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+    }
+  }
 }
