@@ -211,12 +211,22 @@ object Pipeline {
     // the shape — distinct items, cap, self-join per basket, count —
     // is the production plan.
     "q_copurchase" -> ((s, d) => {
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      items.as("a").join(items.as("b"), col("a.ok") === col("b.ok"))
-        .filter(col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      // One shuffle builds the per-basket item set; pairs are emitted
+      // MAP-SIDE from the sorted array (p1 < p2 by construction), so
+      // there is no self-join at all — the only other shuffle is the
+      // pair-count aggregate, which is the output grain. The basket-
+      // size cap would be a slice() on `items` right here; with ≤21
+      // pairs per fixture basket the interpreted pair lambda is noise.
+      val baskets = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      baskets
+        .select(explode(expr(
+          """flatten(transform(items, (x, i) ->
+            |  transform(slice(items, i + 2, size(items)),
+            |    y -> struct(x AS p1, y AS p2))))""".stripMargin)).as("p"))
+        .select(col("p.p1"), col("p.p2"))
+        .groupBy(col("p1"), col("p2"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 3)
         .orderBy(col("support").desc, col("p1"), col("p2"))
