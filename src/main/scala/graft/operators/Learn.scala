@@ -83,11 +83,12 @@ object Learn {
   private val Dim = 64
   private val Iters = 2
 
-  /** Squared-distance expression between the quantized vector column
-    * and one centroid literal — exact BIGINT via zip_with+aggregate. */
+  /** Squared-distance expression between the (sliced) quantized vector
+    * column `qs` and one centroid literal — exact BIGINT via
+    * zip_with+aggregate. */
   private def distExpr(cv: Array[Long]): String = {
     val arr = cv.mkString("array(", "L,", "L)")
-    s"aggregate(zip_with(qv, $arr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+    s"aggregate(zip_with(qs, $arr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
   }
 
   /** cluster/qdist columns for the given (cid, centroid) list: argmin
@@ -115,28 +116,66 @@ object Learn {
     "q_kmeans_fit" -> ((s, d) =>
       fitKMeans(s, d, Iters)._2
         .select(col("vec_id"), col("cluster"), col("qdist"))
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // Product quantization (Jégou et al. 2011 — the FAISS IVFPQ
+    // compression): the 64-dim space splits into 4 independent 16-dim
+    // subspaces, each gets its own k=4 codebook (one Lloyd iteration
+    // from the lowest-vec_id init), and a vector's code is the tuple
+    // of its per-subspace nearest centroids — 64 floats compressed to
+    // 4 small ints, with distances reconstructable from 4 lookup
+    // tables. Same integer-exactness recipe as q_kmeans_fit, so the
+    // full PQ training + encoding trajectory hash-matches DuckDB.
+    //
+    // Scale posture: each subspace trains like q_kmeans_fit (map-only
+    // assignment vs centroid literals, one k·dim-row aggregate to the
+    // driver), and the 4 encoders are INDEPENDENT map-only projections
+    // fused into one scan pass — the joins below are driver-assembled
+    // column packs on vec_id, which AQE resolves to one shuffle-free
+    // plan over the shared scan at this size and co-partitioned joins
+    // at 100 TB.
+    "q_pq_codes" -> ((s, d) => {
+      val m = 4; val sub = Dim / m
+      val parts = (0 until m).map { i =>
+        fitKMeansSlice(s, d, 1, i * sub + 1, sub)._2
+          .select(col("vec_id"),
+            col("cluster").as(s"c$i"), col("qdist").as(s"d$i"))
+      }
+      parts.reduce(_.join(_, "vec_id"))
+        .withColumn("distortion",
+          (0 until m).map(i => col(s"d$i")).reduce(_ + _))
+        .select(col("vec_id") +: (0 until m).map(i => col(s"c$i")) :+ col("distortion"): _*)
+        .orderBy(col("vec_id"))
+    })
   )
 
   /** Lloyd's loop, exposed for spec-level invariants (monotone inertia,
     * argmin consistency). Returns the trained centroids and the final
     * assignment under them. */
-  def fitKMeans(s: SparkSession, d: String, iters: Int): (Seq[(Int, Array[Long])], DataFrame) = {
+  def fitKMeans(s: SparkSession, d: String, iters: Int): (Seq[(Int, Array[Long])], DataFrame) =
+    fitKMeansSlice(s, d, iters, 1, Dim)
+
+  /** Lloyd's loop over dims [start, start+len) of the quantized
+    * vector — the full fit is the len = Dim special case; product
+    * quantization trains one per subspace. */
+  def fitKMeansSlice(s: SparkSession, d: String, iters: Int,
+                     start: Int, len: Int): (Seq[(Int, Array[Long])], DataFrame) = {
     val qdf = Tables.embeddings(s, d).select(col("vec_id"), expr(
       "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("qv"))
+      .withColumn("qs", expr(s"slice(qv, $start, $len)"))
     // init: the K lowest-vec_id vectors, cid in vec_id order
     var cents: Seq[(Int, Array[Long])] =
       qdf.orderBy(col("vec_id")).limit(K).collect().zipWithIndex.map { case (r, i) =>
-        (i, r.getSeq[Long](1).toArray)
+        (i, r.getSeq[Long](r.fieldIndex("qs")).toArray)
       }.toSeq
     for (_ <- 1 to iters) {
       val sums = assign(qdf, cents)
-        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .select(col("cluster"), posexplode(col("qs")).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .collect() // k·dim rows — codebook-scale, never data-scale
+        .collect() // k·len rows — codebook-scale, never data-scale
       cents = sums.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
-        val cv = new Array[Long](Dim)
+        val cv = new Array[Long](len)
         rows.foreach(r => cv(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)))
         (cid, cv)
       }
@@ -146,27 +185,42 @@ object Learn {
 
   // ----------------------------- oracles --------------------------
 
+  /** Init CTE: the K lowest-vec_id vectors' [start, start+len) slice. */
+  private def initCte(c: String, start: Int, len: Int): String =
+    s"""$c AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+       |    qv[$start:${start + len - 1}] AS cv
+       |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $K))""".stripMargin
+
   /** One Lloyd assignment CTE over centroid CTE `c`, named `a`. */
-  private def assignCte(a: String, c: String): String =
+  private def assignCte(a: String, c: String, start: Int, len: Int): String =
     s"""$a AS (
        |  SELECT vec_id, cid, dist,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |  FROM (
        |    SELECT q.vec_id, $c.cid,
-       |      CAST(list_sum(list_transform(range(1, ${Dim + 1}),
-       |        j -> (q.qv[j] - $c.cv[j]) * (q.qv[j] - $c.cv[j]))) AS BIGINT) AS dist
+       |      CAST(list_sum(list_transform(range(1, ${len + 1}),
+       |        j -> (q.qv[$start + j - 1] - $c.cv[j]) * (q.qv[$start + j - 1] - $c.cv[j]))) AS BIGINT) AS dist
        |    FROM q, $c))""".stripMargin
 
   /** One centroid-update CTE from assignment CTE `a`, named `c`. */
-  private def updateCte(c: String, a: String): String =
+  private def updateCte(c: String, a: String, start: Int, len: Int): String =
     s"""$c AS (
        |  SELECT cid, list(ctr ORDER BY pos) AS cv FROM (
        |    SELECT a.cid, t.pos,
-       |      CAST(floor(CAST(CAST(SUM(q.qv[t.pos]) AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ctr
-       |    FROM $a a JOIN q USING (vec_id), range(1, ${Dim + 1}) t(pos)
+       |      CAST(floor(CAST(CAST(SUM(q.qv[$start + t.pos - 1]) AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ctr
+       |    FROM $a a JOIN q USING (vec_id), range(1, ${len + 1}) t(pos)
        |    WHERE a.rn = 1
        |    GROUP BY a.cid, t.pos)
        |  GROUP BY cid)""".stripMargin
+
+  /** One subspace's full train+encode CTE chain (init → assign →
+    * update → final assign), suffixed `_$i`. */
+  private def pqChain(i: Int, start: Int, len: Int): String =
+    s"""${initCte(s"c0_$i", start, len)},
+       |${assignCte(s"a1_$i", s"c0_$i", start, len)},
+       |${updateCte(s"c1_$i", s"a1_$i", start, len)},
+       |${assignCte(s"a2_$i", s"c1_$i", start, len)}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_classifier_score" ->
@@ -182,15 +236,31 @@ object Learn {
          |  SELECT vec_id, list_transform(embedding,
          |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
          |  FROM embeddings),
-         |c0 AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
-         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $K)),
-         |${assignCte("a1", "c0")},
-         |${updateCte("c1", "a1")},
-         |${assignCte("a2", "c1")},
-         |${updateCte("c2", "a2")},
-         |${assignCte("a3", "c2")}
+         |${initCte("c0", 1, Dim)},
+         |${assignCte("a1", "c0", 1, Dim)},
+         |${updateCte("c1", "a1", 1, Dim)},
+         |${assignCte("a2", "c1", 1, Dim)},
+         |${updateCte("c2", "a2", 1, Dim)},
+         |${assignCte("a3", "c2", 1, Dim)}
          |SELECT vec_id, cid AS cluster, dist AS qdist
-         |FROM a3 WHERE rn = 1 ORDER BY vec_id""".stripMargin
+         |FROM a3 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_pq_codes" -> {
+      val m = 4; val sub = Dim / m
+      val chains = (0 until m).map(i => pqChain(i, i * sub + 1, sub)).mkString(",\n")
+      val picks = (0 until m).map(i =>
+        s"p$i AS (SELECT vec_id, cid AS c$i, dist AS d$i FROM a2_$i WHERE rn = 1)")
+        .mkString(",\n")
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |$chains,
+         |$picks
+         |SELECT vec_id, c0, c1, c2, c3,
+         |  CAST(d0 + d1 + d2 + d3 AS BIGINT) AS distortion
+         |FROM p0 JOIN p1 USING (vec_id) JOIN p2 USING (vec_id) JOIN p3 USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
+    }
   )
 }
