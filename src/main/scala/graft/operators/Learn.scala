@@ -146,6 +146,45 @@ object Learn {
           (0 until m).map(i => col(s"d$i")).reduce(_ + _))
         .select(col("vec_id") +: (0 until m).map(i => col(s"c$i")) :+ col("distortion"): _*)
         .orderBy(col("vec_id"))
+    }),
+
+    // ADC search over the PQ codes (the query half of IVFPQ):
+    // the query vector is scored against each subspace CODEBOOK once
+    // (m·k = 16 exact integer distances → four 4-entry lookup tables,
+    // plan literals), and every database vector's approximate distance
+    // is the SUM OF 4 TABLE LOOKUPS on its code tuple — never a
+    // 64-dim computation per row. That asymmetry is why PQ search
+    // scans billions of compressed codes at memory bandwidth. Top-20
+    // by (adc_dist, vec_id); the query (vec_id 0) is excluded like
+    // q_simsearch. Integer-exact end to end, so DuckDB replays the
+    // same tables and the same top-20.
+    "q_pq_search" -> ((s, d) => {
+      val m = 4; val sub = Dim / m
+      val parts = (0 until m).map { i =>
+        val (cents, assigned) = fitKMeansSlice(s, d, 1, i * sub + 1, sub)
+        (cents, assigned.select(col("vec_id"), col("cluster").as(s"c$i")))
+      }
+      // the query's 16-dim slices, for the per-subspace LUTs
+      val q0 = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("qv"))
+        .collect()(0).getSeq[Long](0).toArray
+      def lutExpr(i: Int, cents: Seq[(Int, Array[Long])]): String = {
+        val qSlice = q0.slice(i * sub, (i + 1) * sub)
+        val entries = cents.sortBy(_._1).map { case (_, cv) =>
+          qSlice.indices.map(j => { val x = qSlice(j) - cv(j); x * x }).sum
+        }
+        // L-suffix: an all-small LUT would otherwise type as array<int>
+        // and the 4-way sum could overflow int
+        s"element_at(array(${entries.map(_ + "L").mkString(", ")}), c$i + 1)"
+      }
+      val codes = parts.map(_._2).reduce(_.join(_, "vec_id"))
+      codes.filter(col("vec_id") =!= 0)
+        .withColumn("adc_dist",
+          expr((0 until m).map(i => lutExpr(i, parts(i)._1)).mkString(" + ")))
+        .select(col("vec_id"), col("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(20)
     })
   )
 
@@ -261,6 +300,38 @@ object Learn {
          |  CAST(d0 + d1 + d2 + d3 AS BIGINT) AS distortion
          |FROM p0 JOIN p1 USING (vec_id) JOIN p2 USING (vec_id) JOIN p3 USING (vec_id)
          |ORDER BY vec_id""".stripMargin
+    },
+
+    "q_pq_search" -> {
+      val m = 4; val sub = Dim / m
+      val chains = (0 until m).map(i => pqChain(i, i * sub + 1, sub)).mkString(",\n")
+      val luts = (0 until m).map { i =>
+        val start = i * sub + 1
+        s"""lut$i AS (
+           |  SELECT c.cid, CAST(list_sum(list_transform(range(1, ${sub + 1}),
+           |    j -> (q0.qv[$start + j - 1] - c.cv[j]) * (q0.qv[$start + j - 1] - c.cv[j]))) AS BIGINT) AS ld
+           |  FROM c1_$i c, q0)""".stripMargin
+      }.mkString(",\n")
+      val picks = (0 until m).map(i =>
+        s"p$i AS (SELECT vec_id, cid AS c$i FROM a2_$i WHERE rn = 1)")
+        .mkString(",\n")
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |q0 AS (SELECT qv FROM q WHERE vec_id = 0),
+         |$chains,
+         |$luts,
+         |$picks
+         |SELECT p0.vec_id,
+         |  CAST(l0.ld + l1.ld + l2.ld + l3.ld AS BIGINT) AS adc_dist
+         |FROM p0 JOIN p1 USING (vec_id) JOIN p2 USING (vec_id) JOIN p3 USING (vec_id)
+         |JOIN lut0 l0 ON l0.cid = c0
+         |JOIN lut1 l1 ON l1.cid = c1
+         |JOIN lut2 l2 ON l2.cid = c2
+         |JOIN lut3 l3 ON l3.cid = c3
+         |WHERE p0.vec_id <> 0
+         |ORDER BY adc_dist, p0.vec_id LIMIT 20""".stripMargin
     }
   )
 }
