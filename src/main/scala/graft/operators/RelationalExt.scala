@@ -250,6 +250,24 @@ object RelationalExt {
           |FROM m ORDER BY src, dst""".stripMargin)
     }),
 
+    // Day-of-week seasonality profile (the decomposition baseline for
+    // traffic forecasting and anomaly context): per (event_type, dow)
+    // volume and mean value. Day-of-week from pure integer epoch-day
+    // arithmetic ((days + 3) % 7, Monday = 0 — engine-independent,
+    // unlike dayofweek()'s Sunday-origin disagreements); one
+    // partial+final aggregate; means as exact fixed-point micro-units
+    // via truncating division.
+    "q_seasonal" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(unix_micros(ts) DIV 86400000000 + 3) % 7").as("dow"),
+          expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"), sum(col("vm")).as("sum_milli"))
+        .withColumn("mean_micro", expr("(sum_milli * 1000) DIV n"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
+
     // Cohort retention: users bucketed by first-active day, activity
     // counted per (cohort, day-offset) — the growth-analytics staple.
     // Days are integer epoch-day quotients (exact in both engines);
@@ -548,6 +566,17 @@ object RelationalExt {
         |SELECT src, dst, n,
         |  (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS p_micro
         |FROM m ORDER BY src, dst""".stripMargin,
+
+    "q_seasonal" ->
+      """SELECT event_type,
+        |  (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli,
+        |  (CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) * 1000)
+        |    // count(*) AS mean_micro
+        |FROM events
+        |GROUP BY event_type, dow
+        |ORDER BY event_type, dow""".stripMargin,
 
     "q_retention" ->
       """WITH ev AS (
