@@ -135,16 +135,11 @@ object Learn {
     // plan over the shared scan at this size and co-partitioned joins
     // at 100 TB.
     "q_pq_codes" -> ((s, d) => {
-      val m = 4; val sub = Dim / m
-      val parts = (0 until m).map { i =>
-        fitKMeansSlice(s, d, 1, i * sub + 1, sub)._2
-          .select(col("vec_id"),
-            col("cluster").as(s"c$i"), col("qdist").as(s"d$i"))
-      }
-      parts.reduce(_.join(_, "vec_id"))
+      val (_, codes) = fitPq(s, d, 1)
+      codes
         .withColumn("distortion",
-          (0 until m).map(i => col(s"d$i")).reduce(_ + _))
-        .select(col("vec_id") +: (0 until m).map(i => col(s"c$i")) :+ col("distortion"): _*)
+          (0 until M).map(i => col(s"d$i")).reduce(_ + _))
+        .select(col("vec_id") +: (0 until M).map(i => col(s"c$i")) :+ col("distortion"): _*)
         .orderBy(col("vec_id"))
     }),
 
@@ -159,34 +154,89 @@ object Learn {
     // q_simsearch. Integer-exact end to end, so DuckDB replays the
     // same tables and the same top-20.
     "q_pq_search" -> ((s, d) => {
-      val m = 4; val sub = Dim / m
-      val parts = (0 until m).map { i =>
-        val (cents, assigned) = fitKMeansSlice(s, d, 1, i * sub + 1, sub)
-        (cents, assigned.select(col("vec_id"), col("cluster").as(s"c$i")))
-      }
+      val (books, codes) = fitPq(s, d, 1)
       // the query's 16-dim slices, for the per-subspace LUTs
       val q0 = Tables.embeddings(s, d).filter(col("vec_id") === 0)
         .select(expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("qv"))
         .collect()(0).getSeq[Long](0).toArray
-      def lutExpr(i: Int, cents: Seq[(Int, Array[Long])]): String = {
-        val qSlice = q0.slice(i * sub, (i + 1) * sub)
-        val entries = cents.sortBy(_._1).map { case (_, cv) =>
+      def lutExpr(i: Int): String = {
+        val qSlice = q0.slice(i * Sub, (i + 1) * Sub)
+        val entries = books(i).sortBy(_._1).map { case (_, cv) =>
           qSlice.indices.map(j => { val x = qSlice(j) - cv(j); x * x }).sum
         }
         // L-suffix: an all-small LUT would otherwise type as array<int>
         // and the 4-way sum could overflow int
         s"element_at(array(${entries.map(_ + "L").mkString(", ")}), c$i + 1)"
       }
-      val codes = parts.map(_._2).reduce(_.join(_, "vec_id"))
       codes.filter(col("vec_id") =!= 0)
         .withColumn("adc_dist",
-          expr((0 until m).map(i => lutExpr(i, parts(i)._1)).mkString(" + ")))
+          expr((0 until M).map(lutExpr).mkString(" + ")))
         .select(col("vec_id"), col("adc_dist"))
         .orderBy(col("adc_dist"), col("vec_id"))
         .limit(20)
     })
   )
+
+  private val M = 4
+  private val Sub = Dim / M
+
+  /** Product-quantization trainer: ALL subspaces per iteration in ONE
+    * pass — assignment is a single map-only select computing every
+    * subspace's code against its centroid literals, and the update is
+    * ONE posexplode aggregate keyed by (subspace, cluster, subpos)
+    * (256 rows to the driver). A per-subspace loop would scan the
+    * corpus m times per iteration; at 100 TB the scans ARE the cost,
+    * so the fused form is the only defensible plan (and it also makes
+    * encoding join-free: codes and distances come out of one select).
+    */
+  def fitPq(s: SparkSession, d: String, iters: Int): (Array[Seq[(Int, Array[Long])]], DataFrame) = {
+    val qdf = Tables.embeddings(s, d).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("qv"))
+    val init = qdf.orderBy(col("vec_id")).limit(K).collect()
+    var books: Array[Seq[(Int, Array[Long])]] = (0 until M).map { i =>
+      init.zipWithIndex.map { case (r, cid) =>
+        (cid, r.getSeq[Long](1).slice(i * Sub, (i + 1) * Sub).toArray)
+      }.toSeq
+    }.toArray
+
+    /** (vec_id, qv, c0..c3, d0..d3) — one map-only select. */
+    def encode(): DataFrame = {
+      val cols = (0 until M).flatMap { i =>
+        val darr = books(i).map { case (_, cv) =>
+          val arr = cv.mkString("array(", "L,", "L)")
+          s"aggregate(zip_with(slice(qv, ${i * Sub + 1}, $Sub), $arr, " +
+            "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+        }.mkString("array(", ", ", ")")
+        val cids = books(i).map(_._1).mkString("array(", ", ", ")")
+        Seq(expr(s"array_min($darr)").as(s"d$i"),
+          expr(s"element_at($cids, CAST(array_position($darr, array_min($darr)) AS INT))").as(s"c$i"))
+      }
+      qdf.select(col("vec_id") +: col("qv") +: cols: _*)
+    }
+
+    for (_ <- 1 to iters) {
+      val sums = encode()
+        .select(col("qv"),
+          array((0 until M).map(i => col(s"c$i")): _*).as("cs"))
+        .select(posexplode(col("qv")).as(Seq("pos0", "v")), col("cs"))
+        .select(expr(s"CAST(pos0 DIV $Sub AS INT)").as("s"),
+          expr(s"element_at(cs, CAST(pos0 DIV $Sub AS INT) + 1)").as("cluster"),
+          expr(s"CAST(pos0 % $Sub AS INT)").as("subpos"), col("v"))
+        .groupBy(col("s"), col("cluster"), col("subpos"))
+        .agg(sum(col("v")).as("sm"), count(lit(1)).as("n"))
+        .collect() // m·k·sub rows — codebook-scale
+      books = (0 until M).map { i =>
+        sums.filter(_.getInt(0) == i).groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+          .map { case (cid, rows) =>
+            val cv = new Array[Long](Sub)
+            rows.foreach(r => cv(r.getInt(2)) = Math.floorDiv(r.getLong(3), r.getLong(4)))
+            (cid, cv)
+          }
+      }.toArray
+    }
+    (books, encode().drop("qv"))
+  }
 
   /** Lloyd's loop, exposed for spec-level invariants (monotone inertia,
     * argmin consistency). Returns the trained centroids and the final
