@@ -65,6 +65,22 @@ class PlanAuditSpec extends SparkSpec {
       "per-row numbering is not bucket-partitioned:\n" + p.take(1500))
   }
 
+  test("join strategy hints override Catalyst's default pick") {
+    // The 100 TB tuning surface: when statistics mislead the planner
+    // (fresh tables, skewed filters), hints pin the physical join.
+    // Same query, three hints, three different physical operators.
+    val o = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
+    def planWith(hint: String): String = {
+      val df = li.join(o.hint(hint), $"l_orderkey" === $"o_orderkey")
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(planWith("broadcast").contains("BroadcastHashJoin"))
+    assert(planWith("shuffle_hash").contains("ShuffledHashJoin"))
+    assert(planWith("merge").contains("SortMergeJoin"))
+  }
+
   test("q_pit_join: the as-of union+window needs exactly one entity-key shuffle") {
     // The point of the technique: no inequality join, no range-join
     // blowup — dim and fact rows meet in ONE hashpartitioning(k)
