@@ -235,7 +235,7 @@ object Learn {
           }
       }.toArray
     }
-    (books, encode().drop("qv"))
+    (books, encode()) // qv kept for spec-side argmin replay; queries select it away
   }
 
   /** Lloyd's loop, exposed for spec-level invariants (monotone inertia,

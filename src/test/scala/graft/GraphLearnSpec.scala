@@ -47,6 +47,24 @@ class GraphLearnSpec extends SparkSpec {
     }
   }
 
+  test("q_pq_codes: every subspace code is the argmin over its trained codebook") {
+    val (books, codes) = Learn.fitPq(spark, sf, 1)
+    val rows = codes.collect()
+    val sub = 16
+    rows.foreach { r =>
+      val qv = r.getSeq[Long](r.fieldIndex("qv")).toArray
+      books.indices.foreach { i =>
+        val slice = qv.slice(i * sub, (i + 1) * sub)
+        val dists = books(i).map { case (cid, cv) =>
+          (cid, slice.indices.map(j => { val x = slice(j) - cv(j); x * x }).sum)
+        }
+        val best = dists.minBy { case (cid, dd) => (dd, cid) }
+        assert(best._1 == r.getInt(r.fieldIndex(s"c$i")), s"vec ${r.getLong(0)} sub $i")
+        assert(best._2 == r.getLong(r.fieldIndex(s"d$i")), s"vec ${r.getLong(0)} sub $i dist")
+      }
+    }
+  }
+
   test("q_classifier_score: scores match an independent driver-side computation") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(20).collect()
