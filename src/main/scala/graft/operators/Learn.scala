@@ -167,7 +167,7 @@ object Learn {
         }
         // L-suffix: an all-small LUT would otherwise type as array<int>
         // and the 4-way sum could overflow int
-        s"element_at(array(${entries.map(_ + "L").mkString(", ")}), c$i + 1)"
+        s"element_at(array(${entries.map(e => s"${e}L").mkString(", ")}), c$i + 1)"
       }
       codes.filter(col("vec_id") =!= 0)
         .withColumn("adc_dist",

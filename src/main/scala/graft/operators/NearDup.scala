@@ -239,7 +239,7 @@ object NearDup {
       .union(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
       .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
       .localCheckpoint()
-    var sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id")).head.getLong(0)
+    var sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id")).head().getLong(0)
     var converged = false
     var round = 0
     while (!converged && round < 25) {
@@ -248,7 +248,7 @@ object NearDup {
       labels = labels.union(prop)
         .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
-      val newSum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id")).head.getLong(0)
+      val newSum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id")).head().getLong(0)
       converged = newSum == sum
       sum = newSum
       round += 1

@@ -185,7 +185,7 @@ object SimSearch {
         .orderBy(col("cos").desc, col("k"))
         .limit(2).select(col("k")).collect().map(_.getInt(0))
       val qLit = centLit(cents(0)) // vec_id 0 is centroid 0's source row
-      emb.filter(col("cell").isin(probe.map(Integer.valueOf): _*))
+      emb.filter(col("cell").isin(probe.toIndexedSeq.map(Integer.valueOf): _*))
         .withColumn("cos_sim", round(expr(s"cosine_sim(edbl, $qLit)"), 4))
         .select(col("vec_id"), col("label"), col("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
