@@ -32,6 +32,27 @@ def canon(rows):
     return out
 
 
+def types_equiv(got, exp):
+    """Spark-parquet type vs DuckDB oracle result type, as DuckDB reports
+    them. Exact match required except for representation differences the
+    driver's hash is known to tolerate (timestamp precision: parquet
+    written by Spark reads back TIMESTAMP_NS, DuckDB computes TIMESTAMP)."""
+    if got == exp:
+        return True
+    ts = {"TIMESTAMP", "TIMESTAMP_NS", "TIMESTAMP WITH TIME ZONE"}
+    if got in ts and exp in ts:
+        return True
+    # The driver's hash canonicalizes machine-int widths (11 queries with
+    # INTEGER vs BIGINT drift were all hash-green in CORRECTNESS_r04), but
+    # NOT types outside int64 range: HUGEINT — DuckDB's SUM(BIGINT) result
+    # — and DECIMAL are hashed differently (q_pagerank was the one red r4
+    # row for exactly this). So int widths are equivalent; HUGEINT is not.
+    ints = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+    if got in ints and exp in ints:
+        return True
+    return False
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -55,6 +76,24 @@ def main():
                 print(f"FAIL {name}: columns differ: spark={sorted(got_cols)}"
                       f" oracle={sorted(exp_cols)}")
                 n_fail += 1
+                continue
+            # Type-strict gate: the driver's hash is dtype-sensitive, so
+            # an oracle column that widens (DuckDB SUM(BIGINT)->HUGEINT,
+            # integer AVG->DECIMAL, ...) fails the driver even when every
+            # value matches. Compare DuckDB's view of both sides so that
+            # drift fails HERE, not in the driver.
+            got_types = {c.lower(): str(t) for c, t in
+                         zip(got_cols, got_rel.types)}
+            exp_types = {c.lower(): str(t) for c, t in
+                         zip(exp_cols, exp_rel.types)}
+            bad_types = [(c, got_types[c], exp_types[c])
+                         for c in sorted(got_types)
+                         if not types_equiv(got_types[c], exp_types[c])]
+            if bad_types:
+                n_fail += 1
+                print(f"FAIL {name}: dtype drift (spark vs oracle):")
+                for c, g, e in bad_types:
+                    print(f"  {c}: spark={g} oracle={e}")
                 continue
             # sorted() on the canonicalized tuples: comparison must not
             # depend on DuckDB preserving scan/subquery row order

@@ -89,7 +89,7 @@ object Graph {
 
   private def prIter(prev: String, next: String): String =
     s"""$next AS (
-       |  SELECT e.dst AS node_id, 150000 + SUM(($prev.pr * 85) // (deg.deg * 100)) AS pr
+       |  SELECT e.dst AS node_id, 150000 + CAST(SUM(($prev.pr * 85) // (deg.deg * 100)) AS BIGINT) AS pr
        |  FROM e JOIN $prev ON e.src = $prev.node_id JOIN deg ON e.src = deg.src
        |  GROUP BY e.dst)""".stripMargin
 
