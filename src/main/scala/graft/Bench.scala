@@ -39,35 +39,58 @@ object Bench {
       if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
       else SparkEntry.queries
     // Noise defense: a contended host can inflate any single pass by
-    // 10×, so each query runs twice and reports the min — transient
-    // load can only make the min pessimistic by appearing in BOTH
-    // passes. (The second pass also measures the steady state the
-    // per-round comparison cares about: plan + codegen are warm.)
+    // 10×, so each query runs `passes` times and reports the min —
+    // transient load can only make the min pessimistic by appearing in
+    // EVERY pass. Passes are INTERLEAVED (full sweep 1, then full sweep
+    // 2, …) rather than back-to-back per query, so one-time costs that
+    // land on whichever query happens to run first — janino compiles of
+    // shared expression shapes, shuffle-service init, page-cache misses
+    // — sit in pass 1 for every query and the min is a clean
+    // steady-state number; back-to-back repeats would let a load spike
+    // poison both timings of the queries under it.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val loadBefore = loadAvg()
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // A failed query must not masquerade as a fast one: report -1.
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1.0
-        }
+    val names = selected.toSeq.sortBy(_._1)
+    // A failed query must not masquerade as a fast one: report -1.
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
       }
-      val first = once()
-      val best =
-        if (first < 0) first
-        else (2 to passes).foldLeft(first) { (b, _) =>
-          val t = once(); if (t < 0) -1.0 else math.min(b, t)
-        }
-      name -> best
+    }
+    val passTimes = Array.fill(names.size)(Array.fill(passes)(-1.0))
+    val passLoads = Array.fill(passes + 1)(-1.0)
+    passLoads(0) = loadAvg()
+    for (p <- 0 until passes) {
+      for (((name, fn), i) <- names.zipWithIndex) passTimes(i)(p) = once(name, fn)
+      passLoads(p + 1) = loadAvg()
+    }
+    val results = names.zipWithIndex.map { case ((name, _), i) =>
+      val ts = passTimes(i)
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val loadAfter = loadAvg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter}""")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_before":${passLoads(0)},"loadavg_after":${passLoads(passes)}}"""
+    println(summary)
+    // The driver keeps only the tail of bench stdout, so the full
+    // artifact (every per-pass time, not just the min) is also written
+    // in-tree for the per-round comparison.
+    val full = {
+      val perQuery = names.zipWithIndex.map { case ((name, _), i) =>
+        val ts = passTimes(i).mkString("[", ",", "]")
+        val best = results(i)._2
+        s"\"" + name + s"\":{\"passes\":$ts,\"min\":$best}"
+      }.mkString("{", ",", "}")
+      s"""{"sf":"$sfDir","cpus":$cpus,"passes":$passes,"total_min":$total,"loadavg_per_pass":${passLoads.mkString("[", ",", "]")},"queries":$perQuery}"""
+    }
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
     spark.stop()
   }
 }
