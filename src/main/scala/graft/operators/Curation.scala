@@ -39,6 +39,43 @@ object Curation {
   /** Passage block size (tokens). */
   private val B = 16
 
+  /** SemDeDup within-cell comparison window: each vector is compared
+    * only against cluster-mates at rank distance ≤ SemW (rank =
+    * row_number by vec_id within the cell). An order of magnitude above
+    * the largest fixture cell, so fixture results equal the uncapped
+    * algorithm; at 100 TB it is the guard that keeps a hot cell linear.
+    */
+  private[graft] val SemW = 1024
+
+  /** Bounded within-cell candidate pairs for SemDeDup-style dedup.
+    *
+    * Input must carry (vec_id, cell, e); output pairs each row with the
+    * cluster-mates at 1 ≤ rank distance ≤ w below it, as
+    * (vec_id, e, rnk, b_id, eb, b_rnk).
+    *
+    * The naive cell-equi self-join enumerates O(|cell|²) rows per cell
+    * before any filter — fine when k grows with the corpus (the
+    * SemDeDup paper's cost model), quadratic-blowup-silently when a
+    * fixed codebook meets a hot cell. Here the pigeonhole trick from
+    * the SimHash chunk index bounds enumeration: rows join on
+    * (cell, block) where block = (rnk-1) div w and each index row
+    * advertises to its own block and the next, so every (probe, mate)
+    * pair at distance ≤ w shares a join key, and the join emits at most
+    * 2w candidates per probe — O(|cell|·w) per cell, never quadratic.
+    */
+  private[graft] def boundedCellPairs(assigned: DataFrame, w: Int): DataFrame = {
+    val wCell = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    val ranked = assigned.withColumn("rnk", row_number().over(wCell))
+    val probe = ranked.withColumn("blk", expr(s"(rnk - 1) div $w"))
+    val index = ranked.select(col("cell"), col("vec_id").as("b_id"),
+        col("e").as("eb"), col("rnk").as("b_rnk"))
+      .withColumn("blk",
+        explode(expr(s"array((b_rnk - 1) div $w, (b_rnk - 1) div $w + 1)")))
+    probe.join(index, Seq("cell", "blk"))
+      .filter(col("b_rnk") < col("rnk") && col("rnk") - col("b_rnk") <= w)
+      .drop("blk")
+  }
+
   /** Corpus with injected cross-document duplicate spans: every 4th
     * doc gets a "quoting" twin (doc_id + 1,000,000) carrying its first
     * 32 tokens verbatim — two full passages of exact overlap, the
@@ -204,12 +241,18 @@ object Curation {
     // per ε-ball". Near-dup pressure comes from the q_dedup_embed
     // mirror recipe (+0.01-perturbed copies of every 5th vector).
     //
-    // 100 TB posture: the within-cluster pairwise compare is the
-    // published algorithm's cost model — k grows with the corpus so
-    // cluster population stays bounded, and the equi-join on `cell`
-    // ships each embedding once; there is no all-pairs join anywhere.
-    // The argmax cell assignment is map-only (centroids are plan
-    // literals), identical to q_simsearch_ivf's.
+    // 100 TB posture: the published algorithm keeps cluster population
+    // bounded by growing k with the corpus, but a FIXED codebook has no
+    // such guarantee — a hot cell would silently degrade the naive
+    // cell-equi self-join to O(|cell|²). The within-cell pairing is
+    // therefore rank-blocked (`boundedCellPairs`): each vector is
+    // compared only against cluster-mates at rank distance ≤ SemW, and
+    // the pigeonhole join on (cell, block) enumerates ≤ 2·SemW
+    // candidates per vector, so a hot cell costs O(|cell|·SemW),
+    // never quadratic. For every cell with ≤ SemW members (all fixture
+    // cells, by an order of magnitude) the result is exactly
+    // SemDeDup's keep-first. The argmax cell assignment is map-only
+    // (centroids are plan literals), identical to q_simsearch_ivf's.
     "q_semantic_dedup" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
       val cents = SimSearch.centroidLits(s, d)
@@ -223,9 +266,8 @@ object Curation {
       val assigned = all.withColumn("cosc", cosc)
         .withColumn("cell", expr("cast(array_position(cosc, array_max(cosc)) as int) - 1"))
         .drop("cosc")
-      val index = assigned.select(col("cell"), col("vec_id").as("b_id"), col("e").as("eb"))
-      val dropped = assigned.join(index, Seq("cell"))
-        .filter(col("b_id") < col("vec_id") && expr("cosine_sim(e, eb) >= 0.95D"))
+      val dropped = boundedCellPairs(assigned, SemW)
+        .filter(expr("cosine_sim(e, eb) >= 0.95D"))
         .select(col("vec_id")).distinct()
       assigned.join(dropped, Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("cell"))
@@ -352,30 +394,34 @@ object Curation {
         |FROM parts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_semantic_dedup" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS c
-        |  FROM embeddings WHERE vec_id < 16),
-        |cl AS (SELECT list(c ORDER BY k) AS cs FROM cents),
-        |allv AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS a FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 1000000 AS vec_id,
-        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS a
-        |  FROM embeddings WHERE vec_id % 5 = 0),
-        |assign AS (
-        |  SELECT vec_id, a, list_position(cosl, list_max(cosl)) - 1 AS cell
-        |  FROM (
-        |    SELECT vec_id, a,
-        |      list_transform(cs, c -> list_dot_product(a, c)
-        |        / (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(c, c)))) AS cosl
-        |    FROM allv, cl))
-        |SELECT x.vec_id, x.cell FROM assign x
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM assign y
-        |  WHERE y.cell = x.cell AND y.vec_id < x.vec_id
-        |    AND list_dot_product(x.a, y.a)
-        |      / (sqrt(list_dot_product(x.a, x.a)) * sqrt(list_dot_product(y.a, y.a))) >= 0.95)
-        |ORDER BY vec_id""".stripMargin,
+      s"""WITH cents AS (
+         |  SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS c
+         |  FROM embeddings WHERE vec_id < 16),
+         |cl AS (SELECT list(c ORDER BY k) AS cs FROM cents),
+         |allv AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS a FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS a
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |assign AS (
+         |  SELECT vec_id, a, list_position(cosl, list_max(cosl)) - 1 AS cell
+         |  FROM (
+         |    SELECT vec_id, a,
+         |      list_transform(cs, c -> list_dot_product(a, c)
+         |        / (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(c, c)))) AS cosl
+         |    FROM allv, cl)),
+         |ranked AS (
+         |  SELECT vec_id, a, cell,
+         |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rnk
+         |  FROM assign)
+         |SELECT x.vec_id, x.cell FROM ranked x
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM ranked y
+         |  WHERE y.cell = x.cell AND y.rnk < x.rnk AND x.rnk - y.rnk <= $SemW
+         |    AND list_dot_product(x.a, y.a)
+         |      / (sqrt(list_dot_product(x.a, x.a)) * sqrt(list_dot_product(y.a, y.a))) >= 0.95)
+         |ORDER BY vec_id""".stripMargin,
 
     "q_doc_reconstruct" ->
       s"""$passCtes

@@ -88,6 +88,46 @@ class CurationSpec extends SparkSpec {
       "a surviving mirror can only survive by landing in a different cell")
   }
 
+  test("boundedCellPairs: a hot cell enumerates O(|cell|·W) candidates, never O(|cell|²)") {
+    // Worst case for a fixed codebook: EVERY vector lands in one cell.
+    val n = 400
+    val w = 8
+    val hot = spark.range(n)
+      .selectExpr("id AS vec_id", "array(cast(id as double)) AS e", "0 AS cell")
+    val pairs = operators.Curation.boundedCellPairs(hot, w)
+    // exact candidate census: row at rank r sees min(r-1, w) mates, so
+    // Σ = w·n − w(w+1)/2 — linear in n; the naive self-join emits
+    // n(n−1)/2 (79800 here vs 3164).
+    val expected = w.toLong * n - w.toLong * (w + 1) / 2
+    assert(pairs.count() === expected,
+      s"hot cell must emit exactly $expected bounded candidates")
+    // every pair respects keep-first order and the distance cap
+    assert(pairs.filter($"b_rnk" >= $"rnk" || $"rnk" - $"b_rnk" > w).isEmpty)
+    // and the pairing stays an equi-join — the pigeonhole must not
+    // degrade to a cartesian/nested-loop plan
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "bounded pairing must join on (cell, block) keys:\n" + plan.take(2000))
+    // fixture cells sit below the production cap, so q_semantic_dedup at
+    // this SF equals the uncapped algorithm (recompute cell populations
+    // through the same plan arithmetic as the query)
+    graft.functions.VectorFunctions.register(spark)
+    val cents = Tables.embeddings(spark, sf).filter($"vec_id" < 16).orderBy("vec_id")
+      .select($"embedding".cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).map(v => s"${v}D").mkString("array(", ",", ")"))
+    val base = Tables.embeddings(spark, sf)
+    val all = base.selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS e")
+      .unionByName(base.filter($"vec_id" % 5 === 0)
+        .selectExpr("vec_id + 1000000 AS vec_id",
+          "transform(embedding, x -> cast(x as double) + 0.01) AS e"))
+    val maxCell = all
+      .withColumn("cosc", array(cents.map(c => expr(s"cosine_sim(e, $c)")): _*))
+      .selectExpr("cast(array_position(cosc, array_max(cosc)) as int) - 1 AS cell")
+      .groupBy($"cell").count().agg(max($"count")).collect().head.getLong(0)
+    assert(maxCell < operators.Curation.SemW,
+      s"largest fixture cell ($maxCell) must sit under SemW=${operators.Curation.SemW}")
+  }
+
   test("q_dsir_weight: target-language docs score higher, repeatable") {
     val w = operators.Curation.queries("q_dsir_weight")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
