@@ -162,9 +162,18 @@ object Learn {
         .collect()(0).getSeq[Long](0).toArray
       def lutExpr(i: Int): String = {
         val qSlice = q0.slice(i * Sub, (i + 1) * Sub)
-        val entries = books(i).sortBy(_._1).map { case (_, cv) =>
-          qSlice.indices.map(j => { val x = qSlice(j) - cv(j); x * x }).sum
-        }
+        // LUT indexed BY CID, not by position in the surviving-codebook
+        // list: under the lazy-deletion rule a cluster that loses all
+        // its points drops out of `books`, and positional indexing
+        // would then read the wrong entry (or past the array) while
+        // the oracle's `JOIN lut_i ON cid = c_i` stays correct. A full
+        // K-sized array with a placeholder at dropped cids keeps
+        // element_at(cid + 1) ≡ join-on-cid — a dropped cid can never
+        // appear in a code, so its placeholder is unreferencable.
+        val byCid = books(i).map { case (cid, cv) =>
+          cid -> qSlice.indices.map(j => { val x = qSlice(j) - cv(j); x * x }).sum
+        }.toMap
+        val entries = (0 until K).map(cid => byCid.getOrElse(cid, 0L))
         // L-suffix: an all-small LUT would otherwise type as array<int>
         // and the 4-way sum could overflow int
         s"element_at(array(${entries.map(e => s"${e}L").mkString(", ")}), c$i + 1)"

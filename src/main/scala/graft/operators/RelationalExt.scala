@@ -289,22 +289,35 @@ object RelationalExt {
     // mean/stddev, is not dragged by the outliers it is hunting. Two
     // exact interpolated percentiles (one over values, one over
     // absolute deviations — each a partial+final aggregate at scale),
-    // medians broadcast back, MAP-ONLY flagging. Outputs are counts
-    // and floor-scaled centi-units (the q_winsorize recipe) so the
-    // hash compare never meets a round-half boundary.
+    // medians broadcast back, MAP-ONLY flagging.
+    //
+    // Fixed-point throughout (quantize-once recipe): values quantize
+    // to milli-unit BIGINTs BEFORE the percentiles, so the median is
+    // either an integer or a half-integer — a+0.5*(b−a) over integer
+    // pairs is exact in IEEE double in both engines — and ×2 makes it
+    // an exact BIGINT (m2 = 2·median-milli, mad4 = 2·median of
+    // |2v−m2|). The 3-MAD outlier predicate is then the pure-integer
+    // comparison 2·|2v−m2| > 3·mad4; nothing downstream of the
+    // boundary quantization touches a raw double, so a 1-ulp
+    // interpolation difference between engines cannot flip a count.
     "q_anomaly_mad" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
       val med = ev.groupBy(col("event_type"))
-        .agg(expr("percentile(value, 0.5)").as("med"))
+        .agg(expr("CAST(2 * percentile(vm, 0.5D) AS BIGINT)").as("m2"))
       val mad = ev.join(broadcast(med), "event_type")
         .groupBy(col("event_type"))
-        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+        .agg(expr("CAST(2 * percentile(abs(2 * vm - m2), 0.5D) AS BIGINT)").as("mad4"))
       ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(when(expr("abs(value - med) > 3 * mad"), 1L).otherwise(0L)).as("n_outliers"),
-          expr("CAST(floor(any_value(med) * 100) AS BIGINT)").as("med_centi"),
-          expr("CAST(floor(any_value(mad) * 100) AS BIGINT)").as("mad_centi"))
+          sum(when(expr("2 * abs(2 * vm - m2) > 3 * mad4"), 1L).otherwise(0L)).as("n_outliers"),
+          // centi-units from the exact integers: m2 is value×2000, so
+          // /20 (mad4 is ×4000, /40); floor(double division) is exact
+          // here — the quotient is a multiple of 1/20 (1/40), never
+          // within an ulp of a wrong integer.
+          expr("CAST(floor(CAST(any_value(m2) AS DOUBLE) / 20) AS BIGINT)").as("med_centi"),
+          expr("CAST(floor(CAST(any_value(mad4) AS DOUBLE) / 40) AS BIGINT)").as("mad_centi"))
         .orderBy(col("event_type"))
     }),
 
@@ -590,17 +603,19 @@ object RelationalExt {
         |ORDER BY cohort_day, offset_days""".stripMargin,
 
     "q_anomaly_mad" ->
-      """WITH med AS (
-        |  SELECT event_type, quantile_cont(value, 0.5) AS med
-        |  FROM events GROUP BY event_type),
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |med AS (
+        |  SELECT event_type, CAST(2 * quantile_cont(vm, 0.5) AS BIGINT) AS m2
+        |  FROM ev GROUP BY event_type),
         |mad AS (
-        |  SELECT e.event_type, quantile_cont(abs(value - med), 0.5) AS mad
-        |  FROM events e JOIN med USING (event_type) GROUP BY e.event_type)
+        |  SELECT e.event_type, CAST(2 * quantile_cont(abs(2 * vm - m2), 0.5) AS BIGINT) AS mad4
+        |  FROM ev e JOIN med USING (event_type) GROUP BY e.event_type)
         |SELECT e.event_type, count(*) AS n,
-        |  CAST(sum(CASE WHEN abs(value - med) > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-        |  CAST(floor(any_value(med) * 100) AS BIGINT) AS med_centi,
-        |  CAST(floor(any_value(mad) * 100) AS BIGINT) AS mad_centi
-        |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+        |  CAST(sum(CASE WHEN 2 * abs(2 * vm - m2) > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(floor(CAST(any_value(m2) AS DOUBLE) / 20) AS BIGINT) AS med_centi,
+        |  CAST(floor(CAST(any_value(mad4) AS DOUBLE) / 40) AS BIGINT) AS mad_centi
+        |FROM ev e JOIN med USING (event_type) JOIN mad USING (event_type)
         |GROUP BY e.event_type
         |ORDER BY event_type""".stripMargin,
 

@@ -219,7 +219,8 @@ object Reshape {
         |FROM documents WHERE n_chars <> length(text)
         |UNION ALL
         |SELECT 5, 'orders.o_custkey references customer', count(*)
-        |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
         |ORDER BY check_no""".stripMargin,
 
     "q_islands" ->

@@ -159,6 +159,10 @@ object TextAnalysis {
           explode(expr("filter(tk, t -> t IN ('the', 'and', 'of'))")).as("term"))
         .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
       val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // broadcast(dfT) is STRUCTURALLY bounded — one row per query
+      // term, never corpus-sized — so the hint is safe at any scale
+      // (unlike the vocab tables in q_lm_score/q_pmi, which go
+      // hint-free and rely on the broadcast threshold).
       val scored = tf.join(broadcast(dfT), "term").crossJoin(broadcast(corpus))
         .withColumn("score_t", expr(
           "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl))"))
@@ -175,9 +179,10 @@ object TextAnalysis {
     // Unigram-LM quality score — the CCNet/KenLM perplexity proxy at
     // its simplest: score(doc) = avg over tokens of ln p(token), with
     // p from the corpus's own unigram counts. The vocabulary is
-    // CUTOFF-bounded (count ≥ 5), so at 100 TB the broadcast stays
-    // top-V sized while out-of-vocabulary tokens take the smoothing
-    // floor ln(1/T). Float parity across engines via FIXED-POINT
+    // CUTOFF-bounded (count ≥ 5), keeping the model table top-V sized
+    // while out-of-vocabulary tokens take the smoothing floor ln(1/T);
+    // the vocab join is hint-free so it can shuffle when V outgrows
+    // the broadcast budget. Float parity across engines via FIXED-POINT
     // accumulation (the q_vec_quantize precedent): each per-(doc,
     // term) logprob quantizes to integer micro-nats with
     // floor(x·10⁴ + 0.5) — bit-identical in both engines, unlike
@@ -194,7 +199,13 @@ object TextAnalysis {
         .groupBy(col("doc_id"), col("dl"), col("token")).agg(count(lit(1)).as("tf"))
       val vocab = tf.groupBy(col("token")).agg(sum(col("tf")).as("c"))
       val total = vocab.agg(sum(col("c")).as("t"))
-      val parts = tf.join(broadcast(vocab.filter(col("c") >= 5)), Seq("token"), "left")
+      // the vocab join is HINT-FREE: the ≥5-count table is cutoff-
+      // bounded but still vocab-sized, and at web scale it outgrows
+      // any broadcast budget. At fixture scale AQE broadcasts it
+      // anyway (plan-pinned in PlanAuditSpec); past the threshold
+      // Spark falls back to a shuffle join on the token key — the
+      // correct 100 TB plan, which a pinned hint would forbid.
+      val parts = tf.join(vocab.filter(col("c") >= 5), Seq("token"), "left")
         .crossJoin(broadcast(total))
         .withColumn("lp_micro", floor(
           when(col("c").isNotNull, log(col("c") / col("t")))
@@ -229,9 +240,14 @@ object TextAnalysis {
         .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
       val totals = uni.agg(sum(col("n_t")).as("tt"))
         .crossJoin(pairs.agg(sum(col("n_ab")).as("pp")))
+      // unigram joins are HINT-FREE (same reasoning as q_lm_score):
+      // the vocab table is unbounded at web scale, so the plan must be
+      // allowed to degrade to a shuffle join on the token key; AQE
+      // still broadcasts at fixture scale. Only the 1-row totals keep
+      // their hint.
       pairs
-        .join(broadcast(uni.select(col("t").as("a"), col("n_t").as("n_a"))), Seq("a"))
-        .join(broadcast(uni.select(col("t").as("b"), col("n_t").as("n_b"))), Seq("b"))
+        .join(uni.select(col("t").as("a"), col("n_t").as("n_a")), Seq("a"))
+        .join(uni.select(col("t").as("b"), col("n_t").as("n_b")), Seq("b"))
         .crossJoin(broadcast(totals))
         .filter(col("n_ab") * 1000 >= col("pp"))
         .withColumn("pmi_micro", floor(

@@ -264,6 +264,25 @@ class PlanAuditSpec extends SparkSpec {
         p.linesIterator.filter(_.contains("Generate")).mkString("\n"))
   }
 
+  test("q_lm_score / q_pmi: hint-free vocab joins still broadcast at fixture scale") {
+    // The vocab/unigram tables are unbounded at web scale, so their
+    // joins carry NO broadcast() hint — Spark must be free to shuffle
+    // them past the threshold. This pins the other half of the
+    // contract: at fixture scale the threshold-respecting planner
+    // still picks a broadcast join, so demoting the hint cost nothing.
+    for (q <- Seq("q_lm_score", "q_pmi")) {
+      val df = graft.operators.TextAnalysis.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other => other.toString
+      }
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: vocab join should broadcast at fixture scale:\n" + p.take(1500))
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n" + p.take(1500))
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     // The complement of manual salting (q_join_salted): when skew is
     // only known at runtime, AQE detects an oversized shuffle
