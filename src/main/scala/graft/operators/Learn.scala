@@ -184,11 +184,88 @@ object Learn {
         .select(col("vec_id"), col("adc_dist"))
         .orderBy(col("adc_dist"), col("vec_id"))
         .limit(20)
+    }),
+
+    // End-to-end IVFPQ (Jégou et al. 2011 §IV — FAISS's IndexIVFPQ):
+    // the composition the two ops above only rehearse separately.
+    //  1. COARSE: every vector assigns to its nearest of 16 coarse
+    //     cells (integer L2 argmin vs plan-literal centroids — the
+    //     q_kmeans_fit assignment, map-only).
+    //  2. RESIDUAL PQ: product quantization trains on the RESIDUAL
+    //     r = qv − c_cell (pooled across cells, the paper's choice) —
+    //     residuals carry far less energy than raw vectors, so the
+    //     same 4×4 codebook budget quantizes much finer. Init skips
+    //     vec_id < 16 (the centroid source rows, whose residuals are
+    //     identically zero and would collapse the codebook).
+    //  3. ADC SEARCH: the query probes its nprobe=2 nearest coarse
+    //     cells; PER PROBED CELL the query residual q − c_p yields 4
+    //     subspace LUTs (m·k = 16 integer distances, plan literals,
+    //     keyed by cid like q_pq_search), and each candidate's
+    //     distance is 4 lookups on its code tuple selected by a CASE
+    //     on its cell. Top-20 by (adc_dist, vec_id), query excluded.
+    //
+    // Scale posture: assignment, residual, encoding, and scoring are
+    // ONE map-only lineage over a single corpus scan — no joins
+    // anywhere in the search plan (plan-audited); the cell filter
+    // applies before any ADC arithmetic, so only the probed 2/16 of
+    // the corpus is ever scored — at 100 TB the cell id is the
+    // partition key and the unprobed 14/16 is never read. Training
+    // traffic to the driver is codebook-scale (m·k·sub rows per
+    // iteration + the 16 coarse centroids). Integer-exact end to end,
+    // so DuckDB replays coarse assignment, residual training
+    // trajectory, LUTs, and the same top-20.
+    "q_ivfpq_search" -> ((s, d) => {
+      val qdf = Tables.embeddings(s, d).select(col("vec_id"), expr(QuantTok).as("qv"))
+      val coarse: Seq[(Int, Array[Long])] =
+        qdf.orderBy(col("vec_id")).limit(CoarseK).collect().zipWithIndex.map {
+          case (r, i) => (i, r.getSeq[Long](1).toArray)
+        }.toSeq
+      val assigned = assign(qdf.withColumn("qs", col("qv")), coarse)
+        .withColumnRenamed("cluster", "cell").drop("qdist", "qs")
+      val centsArr = coarse.map(_._2.mkString("array(", "L,", "L)"))
+        .mkString("array(", ", ", ")")
+      val resid = assigned
+        .withColumn("rv", expr(s"zip_with(qv, element_at($centsArr, cell + 1), (a, b) -> a - b)"))
+        .select(col("vec_id"), col("cell"), col("rv").as("qv"))
+      val (books, codes) = fitPqOn(resid, 1, resid.filter(col("vec_id") >= CoarseK))
+      // probe: the query's nprobe nearest coarse cells — exact integer
+      // arithmetic on the collected codebook (identical to the oracle's)
+      val q0 = qdf.filter(col("vec_id") === 0).collect()(0).getSeq[Long](1).toArray
+      def l2(a: Array[Long], b: Array[Long]): Long =
+        a.indices.foldLeft(0L) { (acc, i) => val x = a(i) - b(i); acc + x * x }
+      val probes = coarse.map { case (cid, cv) => (cid, l2(q0, cv)) }
+        .sortBy { case (cid, dd) => (dd, cid) }.take(NProbe).map(_._1)
+      // per-probed-cell ADC: LUT entries keyed by cid (q_pq_search rule)
+      def adcFor(p: Int): String = {
+        val rq = q0.indices.map(i => q0(i) - coarse(p)._2(i)).toArray
+        (0 until M).map { i =>
+          val qSlice = rq.slice(i * Sub, (i + 1) * Sub)
+          val byCid = books(i).map { case (cid, cv) =>
+            cid -> qSlice.indices.map(j => { val x = qSlice(j) - cv(j); x * x }).sum
+          }.toMap
+          val entries = (0 until K).map(cid => byCid.getOrElse(cid, 0L))
+          s"element_at(array(${entries.map(e => s"${e}L").mkString(", ")}), c$i + 1)"
+        }.mkString(" + ")
+      }
+      codes
+        .filter(col("cell").isin(probes.map(Integer.valueOf): _*) && col("vec_id") =!= 0)
+        .withColumn("adc_dist", expr(
+          s"CASE WHEN cell = ${probes(0)} THEN ${adcFor(probes(0))} " +
+            s"ELSE ${adcFor(probes(1))} END"))
+        .select(col("vec_id"), col("cell"), col("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(20)
     })
   )
 
   private val M = 4
   private val Sub = Dim / M
+  private[graft] val CoarseK = 16
+  private val NProbe = 2
+
+  /** The quantize-once boundary: float → 1e-4-grid BIGINT per dim. */
+  private val QuantTok =
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
 
   /** Product-quantization trainer: ALL subspaces per iteration in ONE
     * pass — assignment is a single map-only select computing every
@@ -200,16 +277,28 @@ object Learn {
     * encoding join-free: codes and distances come out of one select).
     */
   def fitPq(s: SparkSession, d: String, iters: Int): (Array[Seq[(Int, Array[Long])]], DataFrame) = {
-    val qdf = Tables.embeddings(s, d).select(col("vec_id"), expr(
-      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("qv"))
-    val init = qdf.orderBy(col("vec_id")).limit(K).collect()
+    val qdf = Tables.embeddings(s, d).select(col("vec_id"), expr(QuantTok).as("qv"))
+    fitPqOn(qdf, iters, qdf)
+  }
+
+  /** PQ trainer over an arbitrary (vec_id, qv, …) quantized-vector
+    * frame — [[fitPq]] is the raw-embedding instance; IVFPQ trains on
+    * coarse-cell residuals. `initDf` selects where the K lowest-vec_id
+    * init vectors come from (for residuals that must skip the
+    * coarse-centroid source rows, whose residuals are all zero). Extra
+    * input columns ride through encode() untouched, so callers can
+    * keep e.g. the coarse cell id alongside the codes.
+    */
+  def fitPqOn(qdf: DataFrame, iters: Int,
+              initDf: DataFrame): (Array[Seq[(Int, Array[Long])]], DataFrame) = {
+    val init = initDf.select(col("vec_id"), col("qv")).orderBy(col("vec_id")).limit(K).collect()
     var books: Array[Seq[(Int, Array[Long])]] = (0 until M).map { i =>
       init.zipWithIndex.map { case (r, cid) =>
         (cid, r.getSeq[Long](1).slice(i * Sub, (i + 1) * Sub).toArray)
       }.toSeq
     }.toArray
 
-    /** (vec_id, qv, c0..c3, d0..d3) — one map-only select. */
+    /** (input columns, c0..c3, d0..d3) — one map-only select. */
     def encode(): DataFrame = {
       val cols = (0 until M).flatMap { i =>
         val darr = books(i).map { case (_, cv) =>
@@ -221,7 +310,7 @@ object Learn {
         Seq(expr(s"array_min($darr)").as(s"d$i"),
           expr(s"element_at($cids, CAST(array_position($darr, array_min($darr)) AS INT))").as(s"c$i"))
       }
-      qdf.select(col("vec_id") +: col("qv") +: cols: _*)
+      qdf.select(col("*") +: cols: _*)
     }
 
     for (_ <- 1 to iters) {
@@ -283,12 +372,14 @@ object Learn {
 
   // ----------------------------- oracles --------------------------
 
-  /** Init CTE: the K lowest-vec_id vectors' [start, start+len) slice. */
-  private def initCte(c: String, start: Int, len: Int): String =
+  /** Init CTE: the K lowest-vec_id vectors' [start, start+len) slice,
+    * optionally restricted by `where` (residual PQ skips the zero
+    * residuals of the coarse-centroid source rows). */
+  private def initCte(c: String, start: Int, len: Int, where: String = ""): String =
     s"""$c AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
        |    qv[$start:${start + len - 1}] AS cv
-       |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $K))""".stripMargin
+       |  FROM (SELECT vec_id, qv FROM q $where ORDER BY vec_id LIMIT $K))""".stripMargin
 
   /** One Lloyd assignment CTE over centroid CTE `c`, named `a`. */
   private def assignCte(a: String, c: String, start: Int, len: Int): String =
@@ -314,8 +405,8 @@ object Learn {
 
   /** One subspace's full train+encode CTE chain (init → assign →
     * update → final assign), suffixed `_$i`. */
-  private def pqChain(i: Int, start: Int, len: Int): String =
-    s"""${initCte(s"c0_$i", start, len)},
+  private def pqChain(i: Int, start: Int, len: Int, where: String = ""): String =
+    s"""${initCte(s"c0_$i", start, len, where)},
        |${assignCte(s"a1_$i", s"c0_$i", start, len)},
        |${updateCte(s"c1_$i", s"a1_$i", start, len)},
        |${assignCte(s"a2_$i", s"c1_$i", start, len)}""".stripMargin
@@ -391,6 +482,72 @@ object Learn {
          |JOIN lut3 l3 ON l3.cid = c3
          |WHERE p0.vec_id <> 0
          |ORDER BY adc_dist, p0.vec_id LIMIT 20""".stripMargin
+    },
+
+    "q_ivfpq_search" -> {
+      val m = 4; val sub = Dim / m
+      // subspace chains train over `q` = the RESIDUAL table; init skips
+      // the coarse-centroid source rows (zero residuals)
+      val chains = (0 until m)
+        .map(i => pqChain(i, i * sub + 1, sub, s"WHERE vec_id >= $CoarseK"))
+        .mkString(",\n")
+      val picks = (0 until m).map(i =>
+        s"p$i AS (SELECT vec_id, cid AS c$i FROM a2_$i WHERE rn = 1)")
+        .mkString(",\n")
+      val luts = (0 until m).map { i =>
+        val start = i * sub + 1
+        s"""lut$i AS (
+           |  SELECT qr.cell, c.cid AS code,
+           |    CAST(list_sum(list_transform(range(1, ${sub + 1}),
+           |      j -> (qr.rq[$start + j - 1] - c.cv[j]) * (qr.rq[$start + j - 1] - c.cv[j]))) AS BIGINT) AS ld
+           |  FROM qres qr, c1_$i c)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |cc AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM raw ORDER BY vec_id LIMIT $CoarseK)),
+         |ca AS (
+         |  SELECT vec_id, cid, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM (
+         |    SELECT r.vec_id, cc.cid,
+         |      CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |        j -> (r.qv[j] - cc.cv[j]) * (r.qv[j] - cc.cv[j]))) AS BIGINT) AS dist
+         |    FROM raw r, cc)),
+         |vcell AS (SELECT vec_id, cid AS cell FROM ca WHERE rn = 1),
+         |q AS (
+         |  SELECT r.vec_id,
+         |    list_transform(range(1, ${Dim + 1}), j -> r.qv[j] - cc.cv[j]) AS qv
+         |  FROM raw r JOIN vcell v USING (vec_id) JOIN cc ON cc.cid = v.cell),
+         |$chains,
+         |$picks,
+         |q0 AS (SELECT qv FROM raw WHERE vec_id = 0),
+         |qprobe AS (
+         |  SELECT cid FROM (
+         |    SELECT cc.cid,
+         |      CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |        j -> (q0.qv[j] - cc.cv[j]) * (q0.qv[j] - cc.cv[j]))) AS BIGINT) AS dist
+         |    FROM cc, q0)
+         |  ORDER BY dist, cid LIMIT $NProbe),
+         |qres AS (
+         |  SELECT p.cid AS cell,
+         |    list_transform(range(1, ${Dim + 1}), j -> q0.qv[j] - cc.cv[j]) AS rq
+         |  FROM qprobe p JOIN cc ON cc.cid = p.cid, q0),
+         |$luts
+         |SELECT v.vec_id, v.cell,
+         |  CAST(l0.ld + l1.ld + l2.ld + l3.ld AS BIGINT) AS adc_dist
+         |FROM vcell v
+         |JOIN p0 USING (vec_id) JOIN p1 USING (vec_id)
+         |JOIN p2 USING (vec_id) JOIN p3 USING (vec_id)
+         |JOIN lut0 l0 ON l0.cell = v.cell AND l0.code = c0
+         |JOIN lut1 l1 ON l1.cell = v.cell AND l1.code = c1
+         |JOIN lut2 l2 ON l2.cell = v.cell AND l2.code = c2
+         |JOIN lut3 l3 ON l3.cell = v.cell AND l3.code = c3
+         |WHERE v.vec_id <> 0
+         |ORDER BY adc_dist, v.vec_id LIMIT 20""".stripMargin
     }
   )
 }

@@ -264,6 +264,29 @@ class PlanAuditSpec extends SparkSpec {
         p.linesIterator.filter(_.contains("Generate")).mkString("\n"))
   }
 
+  test("q_ivfpq_search: join-free single-scan search, only probed cells scored") {
+    // IVFPQ's scale contract: coarse assignment, residual encode, and
+    // ADC scoring are ONE map-only lineage (codebooks/LUTs are plan
+    // literals), and the cell filter restricts scoring to the nprobe=2
+    // probed cells — at 100 TB the other 14/16 of the corpus is never
+    // touched.
+    val df = graft.operators.Learn.queries("q_ivfpq_search")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val cells = rows.map(_.getInt(1)).toSet
+    assert(cells.size <= 2, s"results must come from the 2 probed cells only, got $cells")
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan.toString
+      case other => other.toString
+    }
+    assert(!p.contains("Join"), "search lineage must be join-free:\n" + p.take(1500))
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("embeddings.parquet"))
+    assert(scans === 1, s"search must read the corpus exactly once, got $scans scans")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must plan as per-partition heaps, not a global sort:\n" + p.take(1500))
+  }
+
   test("q_lm_score / q_pmi: hint-free vocab joins still broadcast at fixture scale") {
     // The vocab/unigram tables are unbounded at web scale, so their
     // joins carry NO broadcast() hint — Spark must be free to shuffle
