@@ -84,6 +84,116 @@ object Graph {
           when(col("node_id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
           col("pr"))
         .orderBy(col("pr").desc, col("node_id"))
+    }),
+
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    // over the token CO-OCCURRENCE graph — nodes are distinct tokens,
+    // an undirected edge links tokens adjacent anywhere in the corpus
+    // (window = 2, the paper's default for keyword extraction). Same
+    // fixed-point integer PageRank as q_pagerank (micro-unit ranks,
+    // damping 85/100, truncating division), so the whole trajectory
+    // hash-matches DuckDB. Top-50 tokens by rank are the keywords.
+    //
+    // Scale posture: edge extraction is map-only (adjacent pairs from
+    // the token array, canonicalized a<b before the distinct — one
+    // dedup shuffle on short token-pair keys, text never shuffles);
+    // the iteration loop is the q_pagerank plan — persisted adjacency
+    // with window-derived degrees, per-iteration shuffles carry
+    // (token, BIGINT) pairs only.
+    "q_textrank" -> ((s, d) => {
+      val pairs = Tables.documents(s, d)
+        .selectExpr("split(text, ' ') AS tk")
+        .selectExpr("posexplode(slice(tk, 1, size(tk) - 1)) AS (i, a)", "tk")
+        .selectExpr("least(a, tk[i + 1]) AS a_lo", "greatest(a, tk[i + 1]) AS b_hi")
+        .filter(col("a_lo") =!= col("b_hi"))
+        .distinct()
+      val edges = pairs
+        .select(explode(array(
+          struct(col("a_lo").as("src"), col("b_hi").as("dst")),
+          struct(col("b_hi").as("src"), col("a_lo").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val adj = edges
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+        .persist()
+      var ranks = adj.select(col("src").as("token")).distinct()
+        .select(col("token"), lit(1000000L).as("pr"))
+      for (_ <- 1 to Iters) {
+        ranks = adj
+          .join(ranks, adj("src") === ranks("token"))
+          .select(col("dst"), expr("(pr * 85) DIV (deg * 100)").as("contrib"))
+          .groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("cs"))
+          .select(col("dst").as("token"), (lit(150000L) + col("cs")).as("pr"))
+      }
+      ranks.orderBy(col("pr").desc, col("token")).limit(50)
+    }),
+
+    // Triangle counting over the co-purchase graph (parts bought in the
+    // same order) — the clustering-coefficient primitive behind
+    // community detection and graph-quality audits. Compact-forward
+    // (Latapy 2008), both halves of it:
+    //  - edges orient from their lower- to their higher-DEGREE endpoint
+    //    (ties by id), so every out-degree is bounded by O(√2m) no
+    //    matter how skewed the graph — a celebrity node has huge degree
+    //    but tiny out-degree and never fans out;
+    //  - triangles come from intersecting the two endpoints' sorted
+    //    OUT-neighbor lists per edge — z ∈ N⁺(x) ∩ N⁺(y) closes
+    //    {x,y,z} exactly once, at its lowest-ordered corner pair.
+    // The intersection form is the part that matters at scale: it
+    // never materializes wedges (the wedge-join formulation shipped
+    // 41–49M candidate rows through a shuffle on this fixture; the
+    // intersection ships each adjacency array once and closes
+    // triangles MAP-SIDE in array_intersect). Per-node participation
+    // counts (each triangle credits all 3 corners), top-20.
+    //
+    // Scale posture: basket pairs are emitted MAP-SIDE from each
+    // order's sorted part array (the q_copurchase posture — no
+    // self-join on lineitem; basket size is bounded, so pairs/order is
+    // bounded); degree attach, adjacency build, and the two
+    // adjacency-ship joins are all equi-joins on the part key. The
+    // triangle multiset is orientation-invariant, so the oracle keeps
+    // the simple id-ordered wedge form.
+    "q_triangle" -> ((s, d) => {
+      val baskets = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      // all a<b pairs per basket, map-side from the sorted array
+      val edges = baskets
+        .select(explode(expr(
+          """flatten(transform(parts, (x, i) ->
+            |  transform(slice(parts, i + 2, size(parts)), y -> struct(x AS a, y AS b))))""".stripMargin)).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .distinct()
+      val degs = edges.select(col("a").as("v"))
+        .unionByName(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val oriented = edges
+        .join(degs.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+        .join(degs.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+        .select(when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("s"), col("b").as("t")))
+          .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t"))
+      val adj = oriented.groupBy(col("s"))
+        .agg(array_sort(collect_set(col("t"))).as("nbrs"))
+      // ship each endpoint's out-neighbor list to the edge, close
+      // triangles map-side
+      val closed = oriented
+        .join(adj.select(col("s"), col("nbrs").as("ns")), Seq("s"))
+        .join(adj.select(col("s").as("t"), col("nbrs").as("nt")), Seq("t"))
+        .withColumn("common", array_intersect(col("ns"), col("nt")))
+        .withColumn("k", size(col("common")))
+        .filter(col("k") > 0)
+      // per-corner credits: k triangles at each endpoint, 1 at each
+      // closing vertex — all map-side from the intersection
+      closed.select(col("s").as("part"), col("k").cast("long").as("n"))
+        .unionByName(closed.select(col("t").as("part"), col("k").cast("long").as("n")))
+        .unionByName(closed.select(explode(col("common")).as("part"), lit(1L).as("n")))
+        .groupBy(col("part")).agg(sum(col("n")).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("part"))
+        .limit(20)
     })
   )
 
@@ -91,6 +201,13 @@ object Graph {
     s"""$next AS (
        |  SELECT e.dst AS node_id, 150000 + CAST(SUM(($prev.pr * 85) // (deg.deg * 100)) AS BIGINT) AS pr
        |  FROM e JOIN $prev ON e.src = $prev.node_id JOIN deg ON e.src = deg.src
+       |  GROUP BY e.dst)""".stripMargin
+
+  /** [[prIter]] with token (string) node keys, for TextRank. */
+  private def trIter(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT e.dst AS token, 150000 + CAST(SUM(($prev.pr * 85) // (deg.deg * 100)) AS BIGINT) AS pr
+       |  FROM e JOIN $prev ON e.src = $prev.token JOIN deg ON e.src = deg.src
        |  GROUP BY e.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -107,6 +224,36 @@ object Graph {
          |SELECT node_id,
          |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  pr
-         |FROM r3 ORDER BY pr DESC, node_id""".stripMargin
+         |FROM r3 ORDER BY pr DESC, node_id""".stripMargin,
+
+    "q_textrank" ->
+      s"""WITH tok AS (SELECT string_split(text, ' ') AS tk FROM documents),
+         |bg AS (
+         |  SELECT DISTINCT least(tk[i], tk[i + 1]) AS a_lo, greatest(tk[i], tk[i + 1]) AS b_hi
+         |  FROM tok, (SELECT unnest(range(1, 128)) AS i)
+         |  WHERE i < len(tk) AND tk[i] <> tk[i + 1]),
+         |e AS (SELECT a_lo AS src, b_hi AS dst FROM bg
+         |      UNION ALL SELECT b_hi AS src, a_lo AS dst FROM bg),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT src AS token, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |${trIter("r0", "r1")},
+         |${trIter("r1", "r2")},
+         |${trIter("r2", "r3")}
+         |SELECT token, pr FROM r3 ORDER BY pr DESC, token LIMIT 50""".stripMargin,
+
+    "q_triangle" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |  WHERE l1.l_partkey < l2.l_partkey),
+        |w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a),
+        |t AS (SELECT w.a, w.b, w.c FROM w
+        |      WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.c)),
+        |n AS (SELECT a AS part FROM t
+        |      UNION ALL SELECT b FROM t
+        |      UNION ALL SELECT c FROM t)
+        |SELECT part, count(*) AS n_triangles FROM n
+        |GROUP BY part
+        |ORDER BY n_triangles DESC, part LIMIT 20""".stripMargin
   )
 }

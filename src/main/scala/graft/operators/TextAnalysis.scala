@@ -257,6 +257,49 @@ object TextAnalysis {
         .orderBy(col("pmi_micro").desc, col("a"), col("b"))
     }),
 
+    // Bigram language-model quality score with Stupid Backoff (Brants
+    // et al. 2007, "Large Language Models in Machine Translation") —
+    // the next step up from q_lm_score's unigram proxy toward the
+    // CCNet/KenLM perplexity filter: score(doc) = avg over bigram
+    // positions of ln S(b|a), where S(b|a) = c(a,b)/c(a) when the
+    // bigram clears the count cutoff (≥ 3 — the vocabulary-pruning
+    // rule from q_lm_score) and backs off to 0.4·c(b)/T otherwise.
+    // Same fixed-point recipe: per-(doc, bigram) logprobs quantize to
+    // integer micro-nats, per-doc totals are exact integer sums.
+    //
+    // Scale posture: shuffle grain is (doc, distinct bigram) and the
+    // (a,b)-keyed model table — text never shuffles. The model joins
+    // are HINT-FREE (the bigram table is vocab², unbounded at web
+    // scale; AQE broadcasts at fixture scale and shuffles past the
+    // threshold — the q_pmi rule); only the 1-row total broadcasts.
+    "q_bigram_lm" -> ((s, d) => {
+      val docs = Tables.documents(s, d).selectExpr("doc_id", s"$toks AS tk")
+      val pairs = docs
+        .selectExpr("doc_id", "tk", "posexplode(slice(tk, 1, size(tk) - 1)) AS (i, a)")
+        .selectExpr("doc_id", "a", "tk[i + 1] AS b")
+      val tf = pairs.groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("tf"))
+      val bgc = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      val uni = docs.select(explode(col("tk")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c_t"))
+      val total = uni.agg(sum(col("c_t")).as("tt"))
+      val parts = tf
+        .join(bgc.filter(col("c_ab") >= 3), Seq("a", "b"), "left")
+        .join(uni.select(col("t").as("a"), col("c_t").as("c_a")), Seq("a"))
+        .join(uni.select(col("t").as("b"), col("c_t").as("c_b")), Seq("b"))
+        .crossJoin(broadcast(total))
+        .withColumn("lp_micro", floor(
+          when(col("c_ab").isNotNull, log(col("c_ab") / col("c_a")))
+            .otherwise(log(lit(0.4) * col("c_b") / col("tt"))) * col("tf") * 10000d + 0.5d))
+      val nb = docs.selectExpr("doc_id", "cast(size(tk) - 1 as bigint) AS n_bg")
+      parts.groupBy(col("doc_id"))
+        .agg(sum(col("lp_micro")).as("sum_micro"))
+        .join(nb, "doc_id")
+        .withColumn("bigram_lp",
+          round(col("sum_micro").cast("double") / (col("n_bg") * 10000d), 4))
+        .select(col("doc_id"), col("bigram_lp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_exact" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val mirror = docs.filter(col("doc_id") % 3 === 0)
@@ -462,6 +505,35 @@ object TextAnalysis {
         |JOIN uni ub ON ub.t = b, tot
         |WHERE n_ab * 1000 >= pp
         |ORDER BY pmi_micro DESC, a, b""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tk[i] AS a, tk[i + 1] AS b
+        |  FROM tok, (SELECT unnest(range(1, 128)) AS i)
+        |  WHERE i < len(tk)),
+        |tf AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS tf
+        |       FROM bg GROUP BY doc_id, a, b),
+        |bgc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b),
+        |uni AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c_t
+        |  FROM (SELECT unnest(tk) AS t FROM tok) GROUP BY t),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS tt FROM uni),
+        |parts AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(CASE WHEN k.c_ab IS NOT NULL THEN ln(k.c_ab / ua.c_t)
+        |               ELSE ln(0.4 * ub.c_t / tt) END
+        |               * tf.tf * 10000 + 0.5) AS BIGINT) AS lp_micro
+        |  FROM tf
+        |  LEFT JOIN (SELECT * FROM bgc WHERE c_ab >= 3) k USING (a, b)
+        |  JOIN uni ua ON ua.t = tf.a
+        |  JOIN uni ub ON ub.t = tf.b, tot),
+        |nb AS (SELECT doc_id, CAST(len(tk) - 1 AS BIGINT) AS n_bg FROM tok)
+        |SELECT p.doc_id,
+        |  round(CAST(sum(lp_micro) AS BIGINT) / (any_value(n_bg) * 10000.0), 4) AS bigram_lp
+        |FROM parts p JOIN nb USING (doc_id)
+        |GROUP BY p.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH corpus AS (

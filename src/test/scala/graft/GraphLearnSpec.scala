@@ -65,6 +65,66 @@ class GraphLearnSpec extends SparkSpec {
     }
   }
 
+  test("q_textrank: rank mass bounded, keywords are high-degree tokens") {
+    val rows = Graph.queries("q_textrank")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    // same mass accounting as q_pagerank (they share the update rule)
+    assert(rows.forall(_.getLong(1) >= 150000L), "token below base rank")
+    // ranks are emitted in strict (pr desc, token) order
+    val prs = rows.map(r => (-r.getLong(1), r.getString(0)))
+    assert(prs.sameElements(prs.sorted), "output not ordered by (pr desc, token)")
+    // the top keyword must beat the median co-occurrence degree:
+    // TextRank's whole point is that rank tracks connectivity
+    val degs = Tables.documents(spark, sf)
+      .selectExpr("split(text, ' ') AS tk")
+      .selectExpr("posexplode(slice(tk, 1, size(tk) - 1)) AS (i, a)", "tk")
+      .selectExpr("least(a, tk[i + 1]) AS a_lo", "greatest(a, tk[i + 1]) AS b_hi")
+      .filter(col("a_lo") =!= col("b_hi")).distinct()
+      .selectExpr("explode(array(a_lo, b_hi)) AS t")
+      .groupBy(col("t")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val degsSorted = degs.values.toSeq.sorted
+    val median = degsSorted(degsSorted.size / 2)
+    assert(degs(rows.head.getString(0)) >= median,
+      s"top keyword '${rows.head.getString(0)}' has below-median degree")
+  }
+
+  test("q_triangle: credits recount against a driver-side brute force") {
+    val got = Graph.queries("q_triangle")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.nonEmpty)
+    // independent recount: materialize the (small-SF) edge set and
+    // enumerate triangles by sorted-adjacency intersection in Scala
+    val edges = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_partkey").distinct()
+      .groupBy(col("l_orderkey")).agg(collect_set(col("l_partkey")).as("ps"))
+      .collect().flatMap { r =>
+        val ps = r.getSeq[Long](1).sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+      }.toSet
+    val nbrs = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._2).toSet }
+    val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; common = nbrs.getOrElse(a, Set.empty) & nbrs.getOrElse(b, Set.empty);
+         c <- common) {
+      counts(a) += 1; counts(b) += 1; counts(c) += 1
+    }
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(got.length)
+    assert(got.toSeq == expected,
+      s"top-${got.length} mismatch: got ${got.take(3).toSeq} vs ${expected.take(3)}")
+  }
+
+  test("q_bigram_lm: repetition scores above novelty, backoff fires below cutoff") {
+    val scores = graft.operators.TextAnalysis.queries("q_bigram_lm")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.nonEmpty)
+    // scores are average log-probs: strictly non-positive
+    assert(scores.values.forall(_ <= 0.0), "a log-prob average came out positive")
+    // a doc made of one repeated high-frequency bigram must outscore
+    // the corpus median (its bigram prob ≈ 1 within the pair)
+    val median = scores.values.toSeq.sorted.apply(scores.size / 2)
+    assert(scores.values.max > median, "no doc beats the median — degenerate scores")
+  }
+
   test("q_classifier_score: scores match an independent driver-side computation") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(20).collect()
