@@ -129,6 +129,54 @@ object Graph {
       ranks.orderBy(col("pr").desc, col("token")).limit(50)
     }),
 
+    // Community detection by synchronous label propagation (Raghavan et
+    // al. 2007) over the undirected trade graph: labels start as node
+    // ids; each round every node adopts the MODE of its neighbors'
+    // labels (most frequent; ties to the smallest label — the
+    // determinism rule that makes LPA replayable). 3 fixed rounds, the
+    // q_pagerank iteration-count convention. Distinct from
+    // q_dedup_cluster's MIN-label propagation: min-label converges to
+    // connected components; mode-label finds dense substructure inside
+    // a component.
+    //
+    // Scale posture: each round is one equi-join of the label vector
+    // against the persisted adjacency plus a (dst, label) count
+    // aggregate and a per-dst window over the handful of candidate
+    // labels — shuffles carry (node_id, label, count) triples only.
+    // The mode window partitions by node, so no global sort; the
+    // iteration loop never collects data.
+    "q_community" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val lineitem = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val directed = orders
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = directed
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .persist()
+      var labels = edges.select(col("src").as("node_id")).distinct()
+        .select(col("node_id"), col("node_id").as("label"))
+      val w = Window.partitionBy(col("dst")).orderBy(col("n").desc, col("label"))
+      for (_ <- 1 to Iters) {
+        labels = edges
+          .join(labels, edges("src") === labels("node_id"))
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("dst").as("node_id"), col("label"))
+      }
+      labels
+        .select(col("node_id"),
+          when(col("node_id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+          col("label").as("community"))
+        .orderBy(col("node_id"))
+    }),
+
     // Triangle counting over the co-purchase graph (parts bought in the
     // same order) — the clustering-coefficient primitive behind
     // community detection and graph-quality audits. Compact-forward
@@ -225,6 +273,30 @@ object Graph {
          |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  pr
          |FROM r3 ORDER BY pr DESC, node_id""".stripMargin,
+
+    "q_community" -> {
+      def lpIter(prev: String, next: String): String =
+        s"""$next AS (
+           |  SELECT dst AS node_id, label FROM (
+           |    SELECT e.dst, $prev.label,
+           |      row_number() OVER (PARTITION BY e.dst
+           |        ORDER BY count(*) DESC, $prev.label) AS rn
+           |    FROM e JOIN $prev ON e.src = $prev.node_id
+           |    GROUP BY e.dst, $prev.label)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node_id, src AS label FROM e),
+         |${lpIter("l0", "l1")},
+         |${lpIter("l1", "l2")},
+         |${lpIter("l2", "l3")}
+         |SELECT node_id,
+         |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         |  label AS community
+         |FROM l3 ORDER BY node_id""".stripMargin
+    },
 
     "q_textrank" ->
       s"""WITH tok AS (SELECT string_split(text, ' ') AS tk FROM documents),

@@ -80,6 +80,29 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // Weighted sampling without replacement (Efraimidis & Spirakis
+    // 2006, A-Res): keep the k rows with the smallest −ln(u)/w, which
+    // draws each doc with probability proportional to its weight
+    // (n_chars here — the "sample long docs more" curriculum knob).
+    // RNG-FREE: u = (h(doc_id)+1) / 2³¹ from the same universal hash
+    // family as q_sample_hash — u is EXACT in double (the divisor is a
+    // power of two), reproducible across engines and runs. Keys
+    // quantize to integer nano-units (the q_lm_score recipe), ties
+    // break by doc_id.
+    //
+    // Scale posture: key computation is MAP-ONLY on the scan; top-k
+    // plans as TakeOrderedAndProject (per-partition heaps of k, driver
+    // merges k×partitions rows) — the distributed form of the weighted
+    // reservoir, with no shuffle and no global sort.
+    "q_sample_weighted" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("u", expr(s"(${h("doc_id", A2, B2)} + 1) / ${P + 1}.0D"))
+        .withColumn("key_nano", expr("CAST(floor(-ln(u) / n_chars * 1e9) AS BIGINT)"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("key_nano"))
+        .orderBy(col("key_nano"), col("doc_id"))
+        .limit(100)
+    }),
+
     // Mixture construction: exact per-stratum quotas (en:40 de:15 es:15
     // fr:15 zh:15) taken as the quota-many smallest hashes per stratum
     // — a deterministic uniform sample at exact size. One shuffle on
@@ -489,6 +512,13 @@ object Pipeline {
          |  FROM documents)
          |WHERE rn <= CASE WHEN lang = 'en' THEN 40 ELSE 15 END
          |ORDER BY lang, doc_id""".stripMargin,
+
+    "q_sample_weighted" ->
+      s"""SELECT doc_id, lang, n_chars,
+         |  CAST(floor(-ln((${h("doc_id", A2, B2)} + 1) / ${P + 1}.0)
+         |             / n_chars * 1e9) AS BIGINT) AS key_nano
+         |FROM documents
+         |ORDER BY key_nano, doc_id LIMIT 100""".stripMargin,
 
     "q_train_shard" ->
       s"""SELECT doc_id, shard,

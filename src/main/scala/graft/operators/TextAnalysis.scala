@@ -257,6 +257,31 @@ object TextAnalysis {
         .orderBy(col("pmi_micro").desc, col("a"), col("b"))
     }),
 
+    // Inverted-index build — the retrieval-side artifact every search
+    // stack materializes from a corpus: per term, document frequency,
+    // collection term frequency, and the posting list (sorted doc ids,
+    // truncated to the first 20 and CSV-packed for the driver's
+    // pandas-based hash — a real index would store the full
+    // array<bigint> postings; the df/ctf columns carry the UNtruncated
+    // statistics, so the cap is visible, not silent). Top-100 terms by
+    // (df desc, term).
+    //
+    // Scale posture: two aggregates — (term, doc) grain with map-side
+    // partial counts, then term grain building the posting head. Text
+    // never shuffles; the shuffle payload is (term, doc_id, count)
+    // triples, and the per-term collect_list is bounded by the slice.
+    "q_inverted_index" -> ((s, d) => {
+      val posts = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(s"$toks")).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      posts.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"),
+          expr("array_join(slice(array_sort(collect_list(doc_id)), 1, 20), ',')")
+            .as("postings_head"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(100)
+    }),
+
     // Bigram language-model quality score with Stupid Backoff (Brants
     // et al. 2007, "Large Language Models in Machine Translation") —
     // the next step up from q_lm_score's unigram proxy toward the
@@ -505,6 +530,16 @@ object TextAnalysis {
         |JOIN uni ub ON ub.t = b, tot
         |WHERE n_ab * 1000 >= pp
         |ORDER BY pmi_micro DESC, a, b""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH tf AS (
+        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term, doc_id)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS ctf,
+        |  array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',') AS postings_head
+        |FROM tf GROUP BY term
+        |ORDER BY df DESC, term LIMIT 100""".stripMargin,
 
     "q_bigram_lm" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -113,6 +113,21 @@ class GraphLearnSpec extends SparkSpec {
       s"top-${got.length} mismatch: got ${got.take(3).toSeq} vs ${expected.take(3)}")
   }
 
+  test("q_community: labels are reachable node ids and propagation merges communities") {
+    val rows = Graph.queries("q_community")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nodes = rows.map(_.getLong(0)).toSet
+    val labels = rows.map(_.getLong(2)).toSet
+    // every community label is itself a node of the graph
+    assert(labels.subsetOf(nodes), "community label that is not a node id")
+    // 3 rounds of mode-propagation must merge SOME labels away from the
+    // all-singleton start (the trade graph is well connected)
+    assert(labels.size < nodes.size, "no labels merged — propagation did nothing")
+    // deterministic tie-breaking ⇒ bit-identical replay
+    val again = Graph.queries("q_community")(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sameElements(again.map(_.getLong(2))))
+  }
+
   test("q_bigram_lm: repetition scores above novelty, backoff fires below cutoff") {
     val scores = graft.operators.TextAnalysis.queries("q_bigram_lm")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

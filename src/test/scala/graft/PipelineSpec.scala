@@ -234,6 +234,24 @@ class PipelineSpec extends SparkSpec {
     assert(m("en_docs") === docs.filter($"lang" === "en").count())
   }
 
+  test("q_sample_weighted: weight-proportional draw skews toward long docs, reproducibly") {
+    val sample = Pipeline.queries("q_sample_weighted")(spark, sf).collect()
+    assert(sample.length == 100)
+    // keys are strictly ordered (ties broken by doc_id inside the sort)
+    val keys = sample.map(r => (r.getLong(3), r.getLong(0)))
+    assert(keys.sameElements(keys.sorted), "output not in (key_nano, doc_id) order")
+    // A-Res draws ∝ weight: the sample's mean n_chars must exceed the
+    // corpus mean (n_chars IS the weight)
+    val sampleMean = sample.map(_.getLong(2)).sum.toDouble / sample.length
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(avg($"n_chars")).collect()(0).getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
+    // bit-identical across runs (RNG-free)
+    val again = Pipeline.queries("q_sample_weighted")(spark, sf).collect()
+    assert(sample.map(_.getLong(0)).sameElements(again.map(_.getLong(0))))
+  }
+
   test("dedup clustering: edges never cross clusters; one canonical = min id per cluster") {
     val labels = NearDup.queries("q_dedup_cluster")(spark, sf).cache()
     try {

@@ -110,4 +110,24 @@ class TextAnalysisSpec extends SparkSpec {
     val head = df.orderBy($"doc_id").limit(1).collect()(0).getString(3)
     assert(head.nonEmpty && head.split(",").length <= 8)
   }
+
+  test("q_inverted_index: postings are sorted doc-id prefixes consistent with df") {
+    val rows = TextAnalysis.queries("q_inverted_index")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1); val ctf = r.getLong(2)
+      val ids = r.getString(3).split(",").map(_.toLong)
+      assert(ctf >= df, s"term '${r.getString(0)}': ctf $ctf < df $df")
+      assert(ids.length == math.min(df, 20L),
+        s"term '${r.getString(0)}': postings head ${ids.length} vs df $df")
+      assert(ids.sameElements(ids.sorted), s"term '${r.getString(0)}': postings not sorted")
+    }
+    // spot-check one term's df/ctf against a direct recount
+    val term = rows.head.getString(0)
+    val direct = Tables.documents(spark, sf)
+      .selectExpr("doc_id", s"size(filter(split(text, ' '), t -> t = '$term')) AS n")
+      .filter($"n" > 0)
+      .agg(count(lit(1)), sum($"n")).collect()(0)
+    assert(direct.getLong(0) == rows.head.getLong(1) && direct.getLong(1) == rows.head.getLong(2))
+  }
 }
