@@ -192,6 +192,48 @@ object SimSearch {
         .limit(20)
     }),
 
+    // Binary quantization + Hamming scan + exact rescore — the
+    // serving pattern modern vector stores ship (1 bit/dimension, 8
+    // bytes/vector here): each dimension's SIGN packs into two 32-bit
+    // words, candidate generation is bit_count(xor) Hamming distance
+    // over the packed words (top-100), and the final page reranks only
+    // those 100 by exact rounded cosine. Sign-of-dimension is the
+    // degenerate nPlanes=dim case of the rp_signature hyperplane
+    // family, so the recall story inherits the SimHash cosine bound.
+    // Everything is integer-exact except the last-mile cosine, which
+    // follows the q_simsearch_ivf literal-replay recipe — the whole
+    // trajectory hash-matches DuckDB.
+    //
+    // Scale posture: packing is MAP-ONLY on the scan (the 100 TB corpus
+    // becomes an 8-byte-per-vector sketch — 400× less scan volume);
+    // the Hamming scan is two XOR+popcount ops per row feeding a
+    // TakeOrderedAndProject heap (no shuffle); the exact rescore
+    // touches 100 rows. The query's packed words are collected once
+    // (2 BIGINTs) and ride the plan as literals.
+    "q_simsearch_bq" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      def pack(from: Int, to: Int, base: Int): String =
+        s"aggregate(transform(sequence($from, $to), " +
+          s"i -> IF(element_at(e, i) > 0D, shiftleft(1L, $base - i), 0L)), 0L, (a, x) -> a + x)"
+      val b = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+        .withColumn("lo", expr(pack(1, 32, 32)))
+        .withColumn("hi", expr(pack(33, 64, 64)))
+      val q = b.filter(col("vec_id") === 0)
+        .select(col("lo"), col("hi"), col("e")).collect()(0)
+      val (qlo, qhi) = (q.getLong(0), q.getLong(1))
+      val qe = q.getSeq[Double](2).map(v => s"${v}D").mkString("array(", ",", ")")
+      b.filter(col("vec_id") =!= 0)
+        .withColumn("hamming", expr(
+          s"CAST(bit_count(lo ^ ${qlo}L) + bit_count(hi ^ ${qhi}L) AS BIGINT)"))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(100)
+        .withColumn("cos_sim", round(expr(s"cosine_sim(e, $qe)"), 4))
+        .select(col("vec_id"), col("label"), col("hamming"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(20)
+    }),
+
     // Int8 symmetric quantization of the embedding column — the
     // storage/serving form of a 100 TB vector corpus (4 bytes → 1 byte
     // per dimension, 4× less scan volume before any index). Map-only,
@@ -408,6 +450,28 @@ object SimSearch {
          |FROM assign, qv
          |WHERE cell IN (SELECT k FROM qprobe)
          |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_simsearch_bq" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, label, e,
+        |    CAST(list_sum(list_transform(range(1, 33),
+        |      i -> CASE WHEN e[i] > 0 THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(range(33, 65),
+        |      i -> CASE WHEN e[i] > 0 THEN (CAST(1 AS BIGINT) << (64 - i)) ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM v),
+        |q AS (SELECT lo AS qlo, hi AS qhi, e AS qe FROM b WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT vec_id, label, e,
+        |    CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS BIGINT) AS hamming
+        |  FROM b, q WHERE vec_id <> 0
+        |  ORDER BY hamming, vec_id LIMIT 100)
+        |SELECT vec_id, label, hamming,
+        |  round(list_dot_product(e, qe)
+        |    / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
+        |FROM cand, q
+        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
 
     "q_vec_quantize" ->
       """WITH v AS (

@@ -39,6 +39,28 @@ class SimSearchSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall vs exact top-20")
   }
 
+  test("BQ Hamming scan: recall vs exact top-20, bits match driver-side packing") {
+    val exact = SimSearch.queries("q_simsearch")(spark, sf)
+      .filter($"vec_id" =!= 0).select($"vec_id").as[Long].collect().toSet
+    val rows = SimSearch.queries("q_simsearch_bq")(spark, sf).collect()
+    assert(rows.length <= 20 && rows.forall(_.getLong(0) != 0L))
+    // sign-bit sketch at 64 bits: the 100-candidate Hamming page must
+    // recover most of the exact top-20 (1-bit cosine sketch bound)
+    val recall = (rows.map(_.getLong(0)).toSet & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"BQ recall $recall vs exact top-20")
+    // Hamming distances are consistent with a driver-side repack of
+    // the raw embeddings for a few candidates
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def bits(e: Seq[Double]): Seq[Boolean] = e.map(_ > 0)
+    val qb = bits(emb(0L))
+    rows.take(5).foreach { r =>
+      val expected = bits(emb(r.getLong(0))).zip(qb).count { case (a, b) => a != b }
+      assert(r.getLong(2) == expected, s"vec ${r.getLong(0)}: hamming ${r.getLong(2)} != $expected")
+    }
+  }
+
   test("LSH signatures are deterministic across invocations") {
     val s1 = SimSearch.signatures(spark, sf).orderBy("vec_id").collect().toSeq
     val s2 = SimSearch.signatures(spark, sf).orderBy("vec_id").collect().toSeq
