@@ -285,6 +285,41 @@ object NearDup {
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a_id"), col("b_id"))),
 
+    // Sorted-neighborhood dedup (Hernández & Stolfo 1995 — the
+    // merge/purge blocking classic, the fourth candidate-generation
+    // family next to prefix-filter/LSH-band/SimHash-chunk): sort each
+    // (lang, source) block by TEXT — a near-dup that shares a long
+    // prefix sorts adjacent; the planted mirrors drop only the final
+    // token, the SNM-favorable case — then exact-verify only pairs
+    // within rank distance W=8 of the sorted order. Window pairing
+    // reuses the SemDeDup pigeonhole: a rank-block join on
+    // (lang, source, block) enumerates ≤ 2W candidates per doc, so the
+    // whole pass is O(n·W) — never a block². (SNM trades recall for
+    // a sort instead of a signature index: dups that differ early in
+    // the sort key are missed — the documented limitation.)
+    "q_dedup_snm" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = 8
+      val ranked = withHashedShingles(corpus(s, d))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("lang"), col("source"))
+            .orderBy(col("text"), col("doc_id"))))
+      val probe = ranked.withColumn("blk", expr(s"(rnk - 1) div $W"))
+        .select(col("lang"), col("source"), col("blk"), col("doc_id"), col("hs"), col("rnk"))
+      val index = ranked.select(col("lang"), col("source"),
+          col("doc_id").as("b_doc"), col("hs").as("hb"), col("rnk").as("b_rnk"))
+        .withColumn("blk",
+          explode(expr(s"array((b_rnk - 1) div $W, (b_rnk - 1) div $W + 1)")))
+      probe.join(index, Seq("lang", "source", "blk"))
+        .filter(col("b_rnk") < col("rnk") && col("rnk") - col("b_rnk") <= W)
+        .withColumn("jaccard", expr("jaccard_sorted(hs, hb)"))
+        .filter(col("jaccard") >= 0.6)
+        .select(least(col("doc_id"), col("b_doc")).as("a_id"),
+          greatest(col("doc_id"), col("b_doc")).as("b_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Dedup clustering: near-dup PAIRS are not a dedup decision — a
     // training pipeline must group transitively-connected docs into
     // components and keep one canonical per component. Connected
@@ -458,6 +493,26 @@ object NearDup {
          |  round(len(list_intersect(x.hs, y.hs))
          |        / len(list_distinct(list_concat(x.hs, y.hs))), 4) AS jaccard
          |FROM hsh x JOIN hsh y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+         |WHERE len(list_intersect(x.hs, y.hs))
+         |      / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.6
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_snm" ->
+      s"""WITH $corpusSql,
+         |$shinglesSql,
+         |$hshSql,
+         |ranked AS (
+         |  SELECT h.doc_id, h.lang, h.source, h.hs,
+         |    row_number() OVER (PARTITION BY h.lang, h.source
+         |      ORDER BY c.text, h.doc_id) AS rnk
+         |  FROM hsh h JOIN corpus c ON h.doc_id = c.doc_id)
+         |SELECT least(x.doc_id, y.doc_id) AS a_id,
+         |  greatest(x.doc_id, y.doc_id) AS b_id,
+         |  round(len(list_intersect(x.hs, y.hs))
+         |        / len(list_distinct(list_concat(x.hs, y.hs))), 4) AS jaccard
+         |FROM ranked x JOIN ranked y
+         |  ON x.lang = y.lang AND x.source = y.source
+         | AND y.rnk < x.rnk AND x.rnk - y.rnk <= 8
          |WHERE len(list_intersect(x.hs, y.hs))
          |      / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.6
          |ORDER BY a_id, b_id""".stripMargin,

@@ -23,6 +23,13 @@ object TextAnalysis {
     */
   private val toks = "split(text, ' ')"
 
+  /** Quantized natural-log table L[k] = floor(ln(k)·10⁶ + 0.5) for
+    * k = 1..128 — computed once here and embedded as the SAME literal
+    * array in the Spark plan and the DuckDB oracle (q_entropy), so
+    * neither engine's libm is ever consulted. */
+  private val LnMicro: IndexedSeq[Long] =
+    (1 to 128).map(k => math.floor(math.log(k.toDouble) * 1e6 + 0.5).toLong)
+
   private val stop = "('the','a','of','and','to','in','is')"
 
   val queries: Map[String, Q] = Map(
@@ -255,6 +262,38 @@ object TextAnalysis {
             (col("pp").cast("double") * col("n_a") * col("n_b"))) * 10000d + 0.5d))
         .select(col("a"), col("b"), col("n_ab"), col("pmi_micro").cast("long").as("pmi_micro"))
         .orderBy(col("pmi_micro").desc, col("a"), col("b"))
+    }),
+
+    // Shannon token entropy per document — the information-density
+    // quality signal (low entropy = repetitive/templated text; the
+    // complement of q_repetition's fraction counters and
+    // q_compress_ratio's codec view). Via the integer-argument
+    // identity H = ln(n) − (1/n)·Σ tf·ln(tf), every ln in the plan
+    // takes a SMALL-INTEGER argument (tf, n ≤ 128 — docs cap at 100
+    // tokens), so the quantized table L[k] = floor(ln(k)·10⁶ + 0.5)
+    // is computed ONCE in Scala and baked as the same literal array
+    // into both the Spark plan and the oracle SQL: neither engine
+    // evaluates ln at all, killing the libm-ulp boundary flips that a
+    // per-row -ln(tf/n) quantization showed at sf0.1 (3/5000 docs off
+    // by one micro-nat). The per-doc numerator n·L[n] − Σ tf·L[tf] is
+    // an exact BIGINT.
+    // Scale posture: one (doc, distinct-token) shuffle — text never
+    // shuffles; the 128-entry ln table is a plan literal.
+    "q_entropy" -> ((s, d) => {
+      val lnArr = LnMicro.mkString("array(", "L,", "L)")
+      Tables.documents(s, d)
+        .selectExpr("doc_id", s"$toks AS tk")
+        .select(col("doc_id"), expr("cast(size(tk) as bigint)").as("n"),
+          explode(col("tk")).as("t"))
+        .groupBy(col("doc_id"), col("n"), col("t")).agg(count(lit(1)).as("tf"))
+        .withColumn("part", expr(s"tf * element_at($lnArr, CAST(tf AS INT))"))
+        .groupBy(col("doc_id"), col("n"))
+        .agg(sum(col("part")).as("s"))
+        .withColumn("entropy", round(
+          (col("n") * expr(s"element_at($lnArr, CAST(n AS INT))") - col("s"))
+            .cast("double") / (col("n") * 1000000d), 4))
+        .select(col("doc_id"), col("entropy"))
+        .orderBy(col("doc_id"))
     }),
 
     // Inverted-index build — the retrieval-side artifact every search
@@ -530,6 +569,21 @@ object TextAnalysis {
         |JOIN uni ub ON ub.t = b, tot
         |WHERE n_ab * 1000 >= pp
         |ORDER BY pmi_micro DESC, a, b""".stripMargin,
+
+    "q_entropy" -> {
+      val lnList = LnMicro.mkString("[", ",", "]")
+      s"""WITH tf AS (
+         |  SELECT doc_id, n, t, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         |               unnest(string_split(text, ' ')) AS t
+         |        FROM documents)
+         |  GROUP BY doc_id, n, t)
+         |SELECT doc_id,
+         |  round(CAST(any_value(n) * ($lnList)[CAST(any_value(n) AS INT)]
+         |             - sum(tf * ($lnList)[CAST(tf AS INT)]) AS BIGINT)
+         |        / (any_value(n) * 1000000.0), 4) AS entropy
+         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "q_inverted_index" ->
       """WITH tf AS (
