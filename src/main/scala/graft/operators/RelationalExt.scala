@@ -321,6 +321,64 @@ object RelationalExt {
         .orderBy(col("event_type"))
     }),
 
+    // Per-group OLS linear fit (trend estimation) AS A SINGLE-PASS
+    // AGGREGATE — the method-of-moments form (n, Σx, Σy, Σxy, Σx²)
+    // that MLlib's summarizers use: all five moments are exact BIGINT
+    // sums (x = epoch-day offset from a fixed 19700 base so products
+    // stay far under 2⁶³ — DuckDB errors on overflow; y = milli-
+    // quantized value), partial-aggregation-safe and order-free. The
+    // ONLY floating-point ops are the final slope/intercept divisions
+    // of identical exact integers — IEEE division is correctly
+    // rounded, so both engines produce the same double bit-for-bit.
+    // At 100 TB this is one partial+final aggregate; no window, no
+    // second pass, no collect.
+    "q_linear_fit" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000 - 19700").as("x"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("y"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope_milli", round(expr(
+          "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"), 4))
+        .withColumn("intercept_milli", round(expr(
+          "(sy - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n"), 4))
+        .select(col("event_type"), col("n"), col("slope_milli"), col("intercept_milli"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Two-proportion z-test over a deterministic 50/50 experiment split
+    // (user_id parity — the hash-based assignment an experimentation
+    // platform would persist): per-arm user counts and conversion
+    // (≥1 purchase over 150 — raw purchase incidence saturates at 1.0
+    // on this fixture, which degenerates the pooled variance to zero)
+    // from one user-grain aggregate, then the pooled
+    // z-statistic. Integer counts end-to-end; the z expression is the
+    // same AST in both engines over identical exact inputs, and IEEE
+    // division/sqrt are correctly rounded — bit-equal doubles. One
+    // user_id shuffle + a 2-row conditional aggregate; nothing
+    // collects.
+    "q_abtest" -> ((s, d) => {
+      val users = Tables.events(s, d).select(col("user_id"), col("event_type"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1L)
+          .otherwise(0L)).as("converted"))
+        .withColumn("arm", col("user_id") % 2)
+      users.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("c1"))
+        .withColumn("p0_r", round(expr("CAST(c0 AS DOUBLE) / n0"), 4))
+        .withColumn("p1_r", round(expr("CAST(c1 AS DOUBLE) / n1"), 4))
+        .withColumn("z", round(expr(
+          "(CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1) / " +
+            "sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) " +
+            "* (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1))"), 4))
+        .select(col("n0"), col("c0"), col("n1"), col("c1"),
+          col("p0_r"), col("p1_r"), col("z"))
+    }),
+
     // Bounded-horizon EWMA (exponentially-weighted moving average) per
     // user — the time-series smoothing primitive (monitoring, feature
     // engineering for event models). The textbook recursive form
@@ -601,6 +659,42 @@ object RelationalExt {
         |FROM a JOIN f USING (user_id)
         |GROUP BY cohort_day, offset_days
         |ORDER BY cohort_day, offset_days""".stripMargin,
+
+    "q_linear_fit" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 - 19700 AS x,
+        |         CAST(floor(value * 1000) AS BIGINT) AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM ev GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope_milli,
+        |  round((sy - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n, 4) AS intercept_milli
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q_abtest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT user_id % 2 AS arm, converted FROM u),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1
+        |  FROM a)
+        |SELECT n0, c0, n1, c1,
+        |  round(CAST(c0 AS DOUBLE) / n0, 4) AS p0_r,
+        |  round(CAST(c1 AS DOUBLE) / n1, 4) AS p1_r,
+        |  round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+        |        / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |               * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)), 4) AS z
+        |FROM s""".stripMargin,
 
     "q_anomaly_mad" ->
       """WITH ev AS (
