@@ -51,13 +51,22 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val names = selected.toSeq.sortBy(_._1)
     // A failed query must not masquerade as a fast one: report -1.
+    // Cache is cleared AFTER each timing: query lambdas persist()
+    // intermediate frames (iterative graph ops) with no lifecycle hook
+    // to unpersist, and across 150 queries × N passes the leaked
+    // blocks build GC pressure that taxes whichever queries run late
+    // in the sweep (q_triangle measured 5.4 s solo vs 10 s late-sweep
+    // before this). Each query now measures from a clean cache — its
+    // own persists are part of its cost, and rebuilt per pass.
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
+      val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
       }
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      t
     }
     val passTimes = Array.fill(names.size)(Array.fill(passes)(-1.0))
     val passLoads = Array.fill(passes + 1)(-1.0)
