@@ -250,6 +250,53 @@ object Graph {
         .groupBy(col("part")).agg(sum(col("n")).as("n_triangles"))
         .orderBy(col("n_triangles").desc, col("part"))
         .limit(20)
+    }),
+
+    // Multi-source BFS (hop distance ≤ 3 from a seed set) over the
+    // undirected trade graph — the reachability primitive behind
+    // "pages within k clicks of a trusted seed" crawl curation and
+    // blast-radius queries. Seeds are every customer node whose
+    // custkey ≡ 0 (mod 100) (node_id % 200 = 0 in the namespaced id
+    // space). Each round relaxes distances by one hop:
+    // dist'(v) = min(dist(v), min over u→v of dist(u)+1) — the
+    // Bellman-Ford step specialized to unit weights, which makes the
+    // min-aggregate associative and partial-aggregation-safe.
+    //
+    // Scale posture: the q_pagerank loop shape — the persisted
+    // adjacency stays hash-partitioned on src; each of the 3 rounds is
+    // one equi-join of the (node_id, BIGINT) distance vector against
+    // it plus a min-aggregate, shuffling id/int pairs only. Unreached
+    // nodes simply never enter the vector (no ∞ sentinel rows), so the
+    // frontier table is only ever as large as the reached set.
+    "q_bfs" -> ((s, d) => {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val lineitem = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val directed = orders
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val adj = directed
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .persist()
+      var dist = adj.select(col("src").as("node_id")).distinct()
+        .filter(col("node_id") % 200 === 0)
+        .select(col("node_id"), lit(0L).as("dist"))
+      for (_ <- 1 to Iters) {
+        dist = adj
+          .join(dist, adj("src") === dist("node_id"))
+          .select(col("dst").as("node_id"), (col("dist") + 1).as("dist"))
+          .unionByName(dist)
+          .groupBy(col("node_id"))
+          .agg(min(col("dist")).as("dist"))
+      }
+      dist
+        .select(col("node_id"),
+          when(col("node_id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+          col("dist"))
+        .orderBy(col("dist"), col("node_id"))
     })
   )
 
@@ -334,6 +381,31 @@ object Graph {
         |      UNION ALL SELECT c FROM t)
         |SELECT part, count(*) AS n_triangles FROM n
         |GROUP BY part
-        |ORDER BY n_triangles DESC, part LIMIT 20""".stripMargin
+        |ORDER BY n_triangles DESC, part LIMIT 20""".stripMargin,
+
+    "q_bfs" -> {
+      def bfsIter(prev: String, next: String): String =
+        s"""$next AS (
+           |  SELECT node_id, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+           |    SELECT node_id, dist FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node_id, $prev.dist + 1 AS dist
+           |    FROM e JOIN $prev ON e.src = $prev.node_id)
+           |  GROUP BY node_id)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |d0 AS (
+         |  SELECT DISTINCT src AS node_id, CAST(0 AS BIGINT) AS dist
+         |  FROM e WHERE src % 200 = 0),
+         |${bfsIter("d0", "d1")},
+         |${bfsIter("d1", "d2")},
+         |${bfsIter("d2", "d3")}
+         |SELECT node_id,
+         |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         |  dist
+         |FROM d3 ORDER BY dist, node_id""".stripMargin
+    }
   )
 }

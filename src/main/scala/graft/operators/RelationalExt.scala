@@ -594,6 +594,78 @@ object RelationalExt {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Two-sample Kolmogorov–Smirnov test (distribution-drift gate —
+    // the standard check that this month's training batch still looks
+    // like last month's): D = sup |F̂₁(v) − F̂₂(v)| between the 'click'
+    // and 'view' value distributions. EXACT INTEGER throughout: values
+    // quantize to milli-units, the two ECDFs are running integer
+    // counts, and the sup comparison is done on the common numerator
+    // |c₁·n₂ − c₂·n₁| (D = that / n₁n₂), so no float ever enters the
+    // trajectory until the final reporting division — identical ASTs
+    // over identical exact integers give bit-equal doubles in both
+    // engines (the q_linear_fit recipe). Bounds: c·n ≤ (10⁵)² ≪ 2⁶³.
+    //
+    // Scale posture: one milli-value aggregate collapses the stream to
+    // ≤ |value domain| distinct points BEFORE the ordered cumulative
+    // window, so the single-partition prefix sum runs over the bounded
+    // distinct-value table, not the event stream (and the running sum
+    // could be two-phased per partition if the domain ever outgrew
+    // that). The n₁/n₂ totals ride a broadcast 1-row aggregate.
+    "q_ks_test" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("ia"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("ib"))
+      val pts = ev.groupBy(col("vm")).agg(sum(col("ia")).as("a"), sum(col("ib")).as("b"))
+      val w = Window.orderBy(col("vm"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = pts.select(col("vm"),
+        sum(col("a")).over(w).as("c1"), sum(col("b")).over(w).as("c2"))
+      val tot = ev.agg(sum(col("ia")).as("n1"), sum(col("ib")).as("n2"))
+      cum.crossJoin(broadcast(tot))
+        .select(abs(col("c1") * col("n2") - col("c2") * col("n1")).as("dn"),
+          col("n1"), col("n2"))
+        .groupBy(col("n1"), col("n2")).agg(max(col("dn")).as("d_num"))
+        .withColumn("d_micro", expr("(d_num * 1000000) DIV (n1 * n2)"))
+        .withColumn("ks_d", round(expr("CAST(d_num AS DOUBLE) / (n1 * n2)"), 6))
+        // Smirnov large-sample critical value at α=0.05 (c(α)=1.358)
+        .withColumn("reject_05", expr(
+          "CAST(d_num AS DOUBLE) / (n1 * n2) > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2))"))
+        .select(col("n1"), col("n2"), col("d_num"), col("d_micro"),
+          col("ks_d"), col("reject_05"))
+    }),
+
+    // 2-D skyline (Pareto frontier): the parts no other part beats on
+    // BOTH price and size (minimize each) — the multi-criteria shortlist
+    // operator (cheapest-and-smallest, best-quality-per-cost). The
+    // sort-based formulation: over distinct quantized points ordered by
+    // price, a point survives iff no strictly-cheaper point had
+    // size ≤ its own (running min via a RANGE frame that excludes the
+    // current price) and it carries the minimum size at its own price.
+    // O(n log n) — one range-partitioned sort — where the textbook
+    // dominance predicate (the oracle keeps that independent NOT EXISTS
+    // form) is an all-pairs quadratic. Integer-exact: price in
+    // centi-units, size already integral.
+    "q_skyline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = Tables.part(s, d)
+        .select(expr("CAST(floor(p_retailprice * 100) AS BIGINT)").as("price_centi"),
+          col("p_size"))
+        .distinct()
+      val wPrev = Window.orderBy(col("price_centi"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wSame = Window.partitionBy(col("price_centi"))
+      pts
+        .withColumn("min_prev", min(col("p_size")).over(wPrev))
+        .withColumn("min_same", min(col("p_size")).over(wSame))
+        .filter((col("min_prev").isNull || col("min_prev") > col("p_size")) &&
+          col("p_size") === col("min_same"))
+        .select(col("price_centi"), col("p_size"))
+        .orderBy(col("price_centi"), col("p_size"))
+    }),
+
     // Bivariate statistics per group: Pearson correlation, sample
     // covariance, sample stddev — single partial+final aggregate with
     // mergeable moment state (sum, sum², sum of products), the same
@@ -901,7 +973,44 @@ object RelationalExt {
         | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
         | round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
         | round(stddev_samp(l_discount), 4) AS sd_disc
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |pts AS (
+        |  SELECT vm, CAST(SUM(ia) AS BIGINT) AS a, CAST(SUM(ib) AS BIGINT) AS b
+        |  FROM ev GROUP BY vm),
+        |cum AS (
+        |  SELECT vm,
+        |    CAST(SUM(a) OVER (ORDER BY vm) AS BIGINT) AS c1,
+        |    CAST(SUM(b) OVER (ORDER BY vm) AS BIGINT) AS c2
+        |  FROM pts),
+        |tot AS (
+        |  SELECT CAST(SUM(ia) AS BIGINT) AS n1, CAST(SUM(ib) AS BIGINT) AS n2 FROM ev),
+        |d AS (
+        |  SELECT n1, n2, MAX(abs(c1 * n2 - c2 * n1)) AS d_num
+        |  FROM cum, tot GROUP BY n1, n2)
+        |SELECT n1, n2, d_num,
+        |  (d_num * 1000000) // (n1 * n2) AS d_micro,
+        |  round(CAST(d_num AS DOUBLE) / (n1 * n2), 6) AS ks_d,
+        |  CAST(d_num AS DOUBLE) / (n1 * n2)
+        |    > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)) AS reject_05
+        |FROM d""".stripMargin,
+
+    "q_skyline" ->
+      """WITH p AS (
+        |  SELECT DISTINCT CAST(floor(p_retailprice * 100) AS BIGINT) AS price_centi, p_size
+        |  FROM part)
+        |SELECT price_centi, p_size FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_centi <= a.price_centi AND b.p_size <= a.p_size
+        |    AND (b.price_centi < a.price_centi OR b.p_size < a.p_size))
+        |ORDER BY price_centi, p_size""".stripMargin
 
     // q_approx_stats: no oracle (sketches are engine-specific).
   )

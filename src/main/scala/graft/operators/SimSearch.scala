@@ -365,6 +365,57 @@ object SimSearch {
       sel.toSeq.zipWithIndex
         .map { case ((id, _, rel), i) => (i + 1, id, rel) }
         .toDF("mmr_rank", "vec_id", "rel")
+    }),
+
+    // Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    // hybrid-retrieval combiner every modern RAG stack ships: fuse a
+    // LEXICAL ranking (length-normalized query-term frequency over the
+    // document text) with a SEMANTIC ranking (embedding dot product vs
+    // the vec_id=0 query, joined on doc_id = vec_id) by
+    // score(d) = Σ_lists 1/(k + rank_list(d)), k=60. Rank, not score,
+    // is what's fused — which is why RRF needs no score calibration
+    // between the two signals. INTEGER-EXACT throughout: tfn is a
+    // micro-unit truncating division, rel is the q_mmr quantized dot
+    // product, and the RRF terms are 10¹² DIV (60+rank), so the whole
+    // trajectory hash-matches DuckDB with no float anywhere.
+    //
+    // Scale posture: real RRF fuses bounded top-k LISTS, not full
+    // rankings — each arm is a TakeOrdered heap (top-100, no global
+    // sort), rank assignment is a window over those 100 rows, and the
+    // fusion is a page-scale full-outer join; a doc absent from one
+    // list contributes 0 from that list, per the paper. Both arms'
+    // relevance computations are map-only over the scan (the term
+    // filter runs inside the token array; the codebook-scale query
+    // vector is a plan literal).
+    "q_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val quant =
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+      val qdf = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("qv"))
+      val q0 = qdf.filter(col("vec_id") === 0).collect()(0).getSeq[Long](1).toArray
+      val qlit = q0.mkString("array(", "L,", "L)")
+      val lex = Tables.documents(s, d)
+        .select(col("doc_id"), expr("split(text, ' ')").as("tk"))
+        .select(col("doc_id"), expr(
+          """(CAST(size(filter(tk, t -> t IN ('the', 'and', 'of'))) AS BIGINT) * 1000000)
+            |  DIV CAST(size(tk) AS BIGINT)""".stripMargin).as("tfn"))
+      val items = lex.join(qdf, lex("doc_id") === qdf("vec_id"))
+        .withColumn("rel", expr(
+          s"aggregate(zip_with(qv, $qlit, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        .select(col("doc_id"), col("tfn"), col("rel"))
+        .persist() // consumed by BOTH ranking arms — one scan+join, not two
+      val ra = items.orderBy(col("tfn").desc, col("doc_id")).limit(100)
+        .withColumn("r", row_number().over(Window.orderBy(col("tfn").desc, col("doc_id"))))
+        .select(col("doc_id").as("a_id"), col("r").as("ra"))
+      val rb = items.orderBy(col("rel").desc, col("doc_id")).limit(100)
+        .withColumn("r", row_number().over(Window.orderBy(col("rel").desc, col("doc_id"))))
+        .select(col("doc_id").as("b_id"), col("r").as("rb"))
+      ra.join(rb, col("a_id") === col("b_id"), "full_outer")
+        .select(coalesce(col("a_id"), col("b_id")).as("doc_id"),
+          (coalesce(expr("1000000000000 DIV (60 + ra)"), lit(0L)) +
+            coalesce(expr("1000000000000 DIV (60 + rb)"), lit(0L))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
     })
   )
 
@@ -498,6 +549,31 @@ object SimSearch {
          |    / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
          |     * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))), 4) AS cos_sim
          |  FROM embeddings ea JOIN embeddings eb ON ea.label = eb.label AND ea.vec_id <> eb.vec_id
-         | )) WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin
+         | )) WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+
+    "q_rrf" ->
+      """WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |lex AS (
+        |  SELECT doc_id,
+        |    (CAST(len(list_filter(tk, t -> t IN ('the', 'and', 'of'))) AS BIGINT) * 1000000)
+        |      // CAST(len(tk) AS BIGINT) AS tfn
+        |  FROM dt),
+        |qe AS (SELECT vec_id, list_transform(embedding,
+        |  x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings),
+        |q0 AS (SELECT qv AS q0v FROM qe WHERE vec_id = 0),
+        |items AS (
+        |  SELECT lex.doc_id, lex.tfn,
+        |    CAST(list_sum(list_transform(range(1, 65), j -> qe.qv[j] * q0.q0v[j])) AS BIGINT) AS rel
+        |  FROM lex JOIN qe ON qe.vec_id = lex.doc_id, q0),
+        |ra AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY tfn DESC, doc_id) AS r
+        |  FROM items ORDER BY tfn DESC, doc_id LIMIT 100),
+        |rb AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY rel DESC, doc_id) AS r
+        |  FROM items ORDER BY rel DESC, doc_id LIMIT 100)
+        |SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+        |  COALESCE(1000000000000 // (60 + ra.r), 0) + COALESCE(1000000000000 // (60 + rb.r), 0) AS rrf
+        |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   )
 }

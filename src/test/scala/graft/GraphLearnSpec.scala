@@ -180,4 +180,25 @@ class GraphLearnSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).toSeq == rows.indices.map(_.toLong))
     assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sortBy(identity).toSeq)
   }
+
+  test("q_bfs: hop distances equal an independent driver-side BFS") {
+    val got = Graph.queries("q_bfs")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val directed = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (directed ++ directed.map(_.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var dist = adj.keySet.filter(_ % 200 == 0).map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val relaxed = dist.toSeq.flatMap { case (u, du) =>
+        adj.getOrElse(u, Array.empty[Long]).map(v => v -> (du + 1))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).min }
+    }
+    assert(got == dist)
+  }
 }

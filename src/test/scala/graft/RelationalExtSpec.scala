@@ -127,4 +127,36 @@ class RelationalExtSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_ks_test: D numerator matches an independent driver-side ECDF sweep") {
+    val row = RelationalExt.queries("q_ks_test")(spark, sf).collect().head
+    val (n1, n2, dNum) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val vals = Tables.events(spark, sf)
+      .filter($"event_type".isin("click", "view"))
+      .select($"event_type", expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val a = vals.filter(_._1 == "click").map(_._2).sorted
+    val b = vals.filter(_._1 == "view").map(_._2).sorted
+    assert(n1 == a.length && n2 == b.length)
+    // sweep every distinct value; ECDF counts are ≤-counts
+    val expected = (a ++ b).distinct.map { v =>
+      val c1 = a.count(_ <= v).toLong; val c2 = b.count(_ <= v).toLong
+      math.abs(c1 * n2 - c2 * n1)
+    }.max
+    assert(dNum == expected, s"KS numerator: engine $dNum vs recompute $expected")
+    assert(row.getLong(3) == dNum * 1000000L / (n1 * n2))
+  }
+
+  test("q_skyline: exactly the non-dominated distinct points (brute-force check)") {
+    val sky = RelationalExt.queries("q_skyline")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val pts = Tables.part(spark, sf)
+      .select(expr("CAST(floor(p_retailprice * 100) AS BIGINT)").as("x"), $"p_size")
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    def dominated(p: (Long, Int)): Boolean = pts.exists(q =>
+      q._1 <= p._1 && q._2 <= p._2 && (q._1 < p._1 || q._2 < p._2))
+    val expected = pts.filterNot(dominated)
+    assert(sky == expected,
+      s"skyline mismatch: extra=${sky -- expected} missing=${expected -- sky}")
+  }
 }

@@ -78,4 +78,33 @@ class SimSearchSpec extends SparkSpec {
     assert(knn.filter($"a_id" === $"b_id").count() === 0)
     assert(knn.groupBy("a_id").count().filter($"count" > 3).count() === 0)
   }
+
+  test("q_rrf: fused top-20 reproduces from independently computed per-arm ranks") {
+    val out = SimSearch.queries("q_rrf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val stop = Set("the", "and", "of")
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000).toLong).toArray))
+      .toMap
+    val q0 = emb(0L)
+    val items = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .flatMap { r =>
+        emb.get(r.getLong(0)).map { v =>
+          val tk = r.getString(1).split(" ", -1) // keep trailing empties, like split()/string_split
+          val tfn = tk.count(stop).toLong * 1000000L / tk.length
+          val rel = v.indices.foldLeft(0L)((acc, j) => acc + v(j) * q0(j))
+          (r.getLong(0), tfn, rel)
+        }
+      }
+    def ranks(key: ((Long, Long, Long)) => Long): Map[Long, Int] =
+      items.sortBy(it => (-key(it), it._1)).take(100)
+        .zipWithIndex.map { case (it, i) => it._1 -> (i + 1) }.toMap
+    val ra = ranks(_._2); val rb = ranks(_._3)
+    def term(r: Option[Int]): Long = r.map(x => 1000000000000L / (60 + x)).getOrElse(0L)
+    val expected = (ra.keySet ++ rb.keySet).toSeq
+      .map(id => (id, term(ra.get(id)) + term(rb.get(id))))
+      .sortBy { case (id, sc) => (-sc, id) }.take(20)
+    assert(out == expected)
+  }
 }
