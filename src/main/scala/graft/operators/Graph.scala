@@ -141,12 +141,15 @@ object Graph {
     //
     // Scale posture: each round is one equi-join of the label vector
     // against the persisted adjacency plus a (dst, label) count
-    // aggregate and a per-dst window over the handful of candidate
-    // labels — shuffles carry (node_id, label, count) triples only.
-    // The mode window partitions by node, so no global sort; the
-    // iteration loop never collects data.
+    // aggregate and a per-dst MODE pick — shuffles carry (node_id,
+    // label, count) triples only. The mode is a hash aggregate over
+    // max(struct(n, −label)) (struct comparison is lexicographic, so
+    // max = highest count, ties to smallest label), not a per-dst
+    // sort window: a hash agg gets map-side partials and skips the
+    // sort entirely, and on a skewed celebrity node the partials
+    // bound what any one reducer sees. The iteration loop never
+    // collects data.
     "q_community" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       val lineitem = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       val directed = orders
@@ -161,14 +164,13 @@ object Graph {
         .persist()
       var labels = edges.select(col("src").as("node_id")).distinct()
         .select(col("node_id"), col("node_id").as("label"))
-      val w = Window.partitionBy(col("dst")).orderBy(col("n").desc, col("label"))
       for (_ <- 1 to Iters) {
         labels = edges
           .join(labels, edges("src") === labels("node_id"))
           .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("n"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("dst").as("node_id"), col("label"))
+          .groupBy(col("dst"))
+          .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("m"))
+          .select(col("dst").as("node_id"), (-col("m.nl")).as("label"))
       }
       labels
         .select(col("node_id"),
@@ -267,7 +269,14 @@ object Graph {
     // one equi-join of the (node_id, BIGINT) distance vector against
     // it plus a min-aggregate, shuffling id/int pairs only. Unreached
     // nodes simply never enter the vector (no ∞ sentinel rows), so the
-    // frontier table is only ever as large as the reached set.
+    // frontier table is only ever as large as the reached set. The
+    // keep-your-current-distance half of the relaxation rides the SAME
+    // join as the edge half, via weight-0 self-loops folded into the
+    // persisted adjacency — so the distance vector is consumed exactly
+    // ONCE per round (a dist ∪ relax(dist) union would reference dist
+    // twice and double the unpersisted lineage every iteration: 2³
+    // re-evaluations of round 1 by round 3, a measured 2× on this
+    // query).
     "q_bfs" -> ((s, d) => {
       val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       val lineitem = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
@@ -275,20 +284,22 @@ object Graph {
         .join(lineitem, col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      val adj = directed
+      val edges = directed
         .select(explode(array(
           struct(col("src"), col("dst")),
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val nodes = edges.select(col("src")).distinct().persist()
+      val adj = edges.select(col("src"), col("dst"), lit(1L).as("w"))
+        .unionByName(nodes.select(col("src"), col("src").as("dst"), lit(0L).as("w")))
         .persist()
-      var dist = adj.select(col("src").as("node_id")).distinct()
-        .filter(col("node_id") % 200 === 0)
-        .select(col("node_id"), lit(0L).as("dist"))
+      var dist = nodes
+        .filter(col("src") % 200 === 0)
+        .select(col("src").as("node_id"), lit(0L).as("dist"))
       for (_ <- 1 to Iters) {
         dist = adj
           .join(dist, adj("src") === dist("node_id"))
-          .select(col("dst").as("node_id"), (col("dist") + 1).as("dist"))
-          .unionByName(dist)
+          .select(col("dst").as("node_id"), (col("dist") + col("w")).as("dist"))
           .groupBy(col("node_id"))
           .agg(min(col("dist")).as("dist"))
       }
