@@ -322,10 +322,44 @@ object Curation {
             transform(array_sort(collect_list(struct(col("pos"), col("ptext")))),
               x => x.getField("ptext")), " ").as("clean_text"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Span-corruption target generation (the T5 denoising objective,
+    // Raffel et al. 2020 §3.1.4): replace a deterministic ~1/7 of each
+    // document's token positions with a sentinel. The schedule is
+    // ARITHMETIC, not RNG — position i of doc d masks iff
+    // (d·31 + i) ≡ 0 (mod 7) — so the corruption is reproducible
+    // across engines, re-runs, and shards (the property a training
+    // pipeline actually needs from "random" masking; swap in a
+    // splittable hash for production schedules). Entirely MAP-ONLY:
+    // the mask decision, sentinel substitution, and re-join all happen
+    // inside per-row array lambdas on the scan — zero shuffles, scales
+    // as pure scan throughput.
+    "q_span_mask" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("split(text, ' ')").as("tk"))
+        .select(col("doc_id"),
+          expr("CAST(size(tk) AS BIGINT)").as("n_tokens"),
+          expr("CAST(size(filter(tk, (t, i) -> (doc_id * 31 + i) % 7 = 0)) AS BIGINT)")
+            .as("n_masked"),
+          expr("""array_join(transform(tk,
+                 |  (t, i) -> IF((doc_id * 31 + i) % 7 = 0, '<extra_id>', t)), ' ')""".stripMargin)
+            .as("masked_text"))
+        .orderBy(col("doc_id")))
   )
 
   val oracles: Map[String, String] = Map(
+    "q_span_mask" ->
+      """SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(range(1, len(tk) + 1),
+        |    i -> (doc_id * 31 + (i - 1)) % 7 = 0)) AS BIGINT) AS n_masked,
+        |  array_to_string(list_transform(range(1, len(tk) + 1),
+        |    i -> CASE WHEN (doc_id * 31 + (i - 1)) % 7 = 0
+        |         THEN '<extra_id>' ELSE tk[i] END), ' ') AS masked_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_chunk" ->
       """SELECT doc_id, b AS chunk_id,
         |  CAST(len(list_slice(tk, b * 24 + 1, b * 24 + 32)) AS BIGINT) AS n_chunk_tokens,

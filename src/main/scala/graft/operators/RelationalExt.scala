@@ -666,6 +666,32 @@ object RelationalExt {
         .orderBy(col("price_centi"), col("p_size"))
     }),
 
+    // χ² goodness-of-fit of the event-type mix against uniform — the
+    // CATEGORICAL drift gate pairing q_ks_test's continuous one (a
+    // shifted class mix is the other way a training batch silently
+    // changes). Rational-arithmetic form: with k cells and n events,
+    // the statistic Σ(obs−n/k)²/(n/k) rewrites to Σ(k·obs−n)² / (k·n),
+    // whose numerator is an EXACT BIGINT ((k·obs)² ≤ (5·10⁵)² ≪ 2⁶³ at
+    // sf0.1; 100 TB would move to the same trick in 128-bit or split
+    // limbs) — only the final reporting division touches floats, on
+    // identical exact integers in both engines. One partial+final
+    // aggregate over event_type, a 5-row broadcast of the totals,
+    // nothing collects.
+    "q_chi2" -> ((s, d) => {
+      val obs = Tables.events(s, d)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("obs"))
+      val tot = obs.agg(sum(col("obs")).as("n"), count(lit(1)).as("k"))
+      obs.crossJoin(broadcast(tot))
+        .groupBy(col("n"), col("k"))
+        .agg(sum(expr("(k * obs - n) * (k * obs - n)")).as("chi2_num"))
+        .withColumn("df", col("k") - 1)
+        .withColumn("chi2", round(expr("CAST(chi2_num AS DOUBLE) / (k * n)"), 6))
+        // χ²₀.₀₅ critical value at df=4 (the fixture's 5 event types)
+        .withColumn("reject_05", expr("CAST(chi2_num AS DOUBLE) / (k * n) > 9.4877"))
+        .select(col("n"), col("k"), col("df"), col("chi2_num"), col("chi2"),
+          col("reject_05"))
+    }),
+
     // Bivariate statistics per group: Pearson correlation, sample
     // covariance, sample stddev — single partial+final aggregate with
     // mergeable moment state (sum, sum², sum of products), the same
@@ -1000,6 +1026,19 @@ object RelationalExt {
         |  CAST(d_num AS DOUBLE) / (n1 * n2)
         |    > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)) AS reject_05
         |FROM d""".stripMargin,
+
+    "q_chi2" ->
+      """WITH obs AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS obs FROM events GROUP BY event_type),
+        |tot AS (
+        |  SELECT CAST(SUM(obs) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k FROM obs),
+        |agg AS (
+        |  SELECT n, k, CAST(SUM((k * obs - n) * (k * obs - n)) AS BIGINT) AS chi2_num
+        |  FROM obs, tot GROUP BY n, k)
+        |SELECT n, k, k - 1 AS df, chi2_num,
+        |  round(CAST(chi2_num AS DOUBLE) / (k * n), 6) AS chi2,
+        |  CAST(chi2_num AS DOUBLE) / (k * n) > 9.4877 AS reject_05
+        |FROM agg""".stripMargin,
 
     "q_skyline" ->
       """WITH p AS (

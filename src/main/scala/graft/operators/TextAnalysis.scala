@@ -45,6 +45,28 @@ object TextAnalysis {
           "cast(n_chars_real as bigint) AS n_chars_real", "n_distinct", "avg_token_len")
         .orderBy(col("doc_id"))),
 
+    // BPE merge-candidate counting — the inner loop of byte-pair-
+    // encoding tokenizer TRAINING (Sennrich et al. 2016): count every
+    // adjacent symbol pair inside each word occurrence; the most
+    // frequent pair is the next merge. One round at the character
+    // level (the seed alphabet), top-20 candidates. Pair extraction is
+    // MAP-ONLY inside the token array (explode ships (pair) rows into
+    // a partial+final count — the corpus text never shuffles), which
+    // is exactly how a 100 TB BPE trainer iterates: each merge round
+    // is one such aggregate with the current merge table applied
+    // map-side. Length-1 tokens are filtered BEFORE the generator
+    // (sequence(1, 0) would generate a DESCENDING range in Spark, not
+    // an empty one — the i..j direction trap).
+    "q_bpe_pairs" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(expr(toks)).as("t"))
+        .filter(length(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)),
+
     // Corpus rollup by language.
     "q_text_lang_agg" -> ((s, d) =>
       Tables.documents(s, d)
@@ -426,6 +448,14 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_pairs" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |pr AS (
+        |  SELECT unnest(list_transform(range(1, length(t)), i -> substring(t, i, 2))) AS pair
+        |  FROM tok WHERE length(t) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pr
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
     "q_text_stats" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -197,4 +197,30 @@ class CurationSpec extends SparkSpec {
       assert(rec(id) == texts(id), s"doc $id had no dup passages; must reconstruct verbatim")
     }
   }
+
+  test("q_span_mask: sentinel lands exactly on the arithmetic schedule, text otherwise verbatim") {
+    val rows = Curation.queries("q_span_mask")(spark, sf).collect()
+    val texts = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (id, nTok, nMasked) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val orig = texts(id).split(" ", -1)
+      val masked = r.getString(3).split(" ", -1)
+      assert(orig.length.toLong == nTok && masked.length.toLong == nTok)
+      var expectMasked = 0L
+      orig.indices.foreach { i =>
+        if ((id * 31 + i) % 7 == 0) {
+          assert(masked(i) == "<extra_id>", s"doc $id pos $i: schedule says mask")
+          expectMasked += 1
+        } else assert(masked(i) == orig(i), s"doc $id pos $i: must be verbatim")
+      }
+      assert(nMasked == expectMasked)
+    }
+    // corruption rate sits near the schedule density 1/7
+    val (tot, msk) = rows.foldLeft((0L, 0L)) { case ((t, m), r) =>
+      (t + r.getLong(1), m + r.getLong(2))
+    }
+    val rate = msk.toDouble / tot
+    assert(rate > 0.12 && rate < 0.17, s"mask rate $rate drifted from ~1/7")
+  }
 }

@@ -147,6 +147,19 @@ class RelationalExtSpec extends SparkSpec {
     assert(row.getLong(3) == dNum * 1000000L / (n1 * n2))
   }
 
+  test("q_chi2: numerator matches the rational identity on independent counts") {
+    val row = RelationalExt.queries("q_chi2")(spark, sf).collect().head
+    val (n, k, num) = (row.getLong(0), row.getLong(1), row.getLong(3))
+    val obs = Tables.events(spark, sf).groupBy($"event_type").count()
+      .collect().map(_.getLong(1))
+    assert(k == obs.length && n == obs.sum)
+    val expected = obs.map(o => { val t = k * o - n; t * t }).sum
+    assert(num == expected)
+    // Σ(k·obs−n)²/(k·n) equals the textbook Σ(obs−n/k)²/(n/k) form
+    val textbook = obs.map(o => { val e = n.toDouble / k; (o - e) * (o - e) / e }).sum
+    assert(math.abs(num.toDouble / (k * n) - textbook) < 1e-9)
+  }
+
   test("q_skyline: exactly the non-dominated distinct points (brute-force check)") {
     val sky = RelationalExt.queries("q_skyline")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet

@@ -130,4 +130,20 @@ class TextAnalysisSpec extends SparkSpec {
       .agg(count(lit(1)), sum($"n")).collect()(0)
     assert(direct.getLong(0) == rows.head.getLong(1) && direct.getLong(1) == rows.head.getLong(2))
   }
+
+  test("q_bpe_pairs: top-20 matches a driver-side pair recount") {
+    val got = TextAnalysis.queries("q_bpe_pairs")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select(col("text")).collect().foreach { r =>
+      r.getString(0).split(" ", -1).foreach { t =>
+        (0 until t.length - 1).foreach { i =>
+          val p = t.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + 1L
+        }
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got == expected)
+  }
 }
