@@ -411,4 +411,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "within-cell pairing must stay an equi-join on the cell key:\n" + p.take(2000))
   }
+
+  test("q_span_mask: corruption is map-only (no hash shuffle, only the presentation sort)") {
+    val p = executed("q_span_mask")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "span corruption must not shuffle:\n" + p.take(1500))
+  }
+
+  test("q_bpe_pairs: corpus text never shuffles — only (pair, count) partials do") {
+    val p = executed("q_bpe_pairs")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "pair counting must partial-aggregate map-side:\n" + p.take(1500))
+    // the only hash exchange carries the 2-char pair key, never text
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.nonEmpty && exch.forall(l => l.contains("pair") && !l.contains("text")),
+      "unexpected exchange contents:\n" + exch.mkString("\n"))
+  }
+
+  test("q_ks_test: the event stream collapses to distinct values before the ordered window") {
+    val df = SparkEntry.queries("q_ks_test")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the vm-grain aggregate (with map-side partials) must sit below
+    // the single-partition window, so the sequential part of the ECDF
+    // sweep sees the bounded distinct-value table, not the raw events
+    val agg = p.indexOf("partial_sum")
+    assert(agg >= 0, "no map-side partials under the KS window:\n" + p.take(1500))
+    assert(p.contains("Window"), p.take(800))
+  }
 }
