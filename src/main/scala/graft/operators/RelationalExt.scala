@@ -666,6 +666,34 @@ object RelationalExt {
         .orderBy(col("price_centi"), col("p_size"))
     }),
 
+    // Per-group z-score standardization — the feature-engineering
+    // staple (normalize a metric within its segment before modeling).
+    // Two-pass moment form: one partial+final aggregate per group for
+    // (n, Σv, Σv²) over MILLI-QUANTIZED integers, broadcast back, then
+    // a map-only scoring pass. The mean/stddev/z chain is float, but
+    // every operand enters as an exact BIGINT and BOTH engines run the
+    // IDENTICAL expression tree of correctly-rounded IEEE ops (÷, ×,
+    // −, √), so the doubles agree bit-for-bit and the final
+    // micro-unit floor is safe (the q_linear_fit recipe). Σv² ≤
+    // 10⁵·(5·10⁵)² ≈ 2.4·10¹⁶ ≪ 2⁶³ at sf0.1.
+    "q_group_norm" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+      val mom = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vm")).as("sv"),
+          sum(col("vm") * col("vm")).as("svv"))
+      ev.join(broadcast(mom), "event_type")
+        .withColumn("z_micro", expr(
+          """CAST(floor(
+            |  (CAST(vm AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+            |  / sqrt((CAST(svv AS DOUBLE)
+            |          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+            |         / CAST(n - 1 AS DOUBLE))
+            |  * 1000000) AS BIGINT)""".stripMargin))
+        .select(col("event_id"), col("event_type"), col("vm"), col("z_micro"))
+        .orderBy(col("event_id"))
+    }),
+
     // χ² goodness-of-fit of the event-type mix against uniform — the
     // CATEGORICAL drift gate pairing q_ks_test's continuous one (a
     // shifted class mix is the other way a training batch silently
@@ -1026,6 +1054,24 @@ object RelationalExt {
         |  CAST(d_num AS DOUBLE) / (n1 * n2)
         |    > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)) AS reject_05
         |FROM d""".stripMargin,
+
+    "q_group_norm" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, CAST(floor(value * 1000) AS BIGINT) AS vm
+        |  FROM events),
+        |mom AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(vm) AS BIGINT) AS sv, CAST(SUM(vm * vm) AS BIGINT) AS svv
+        |  FROM ev GROUP BY event_type)
+        |SELECT ev.event_id, ev.event_type, ev.vm,
+        |  CAST(floor(
+        |    (CAST(vm AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt((CAST(svv AS DOUBLE)
+        |            - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+        |           / CAST(n - 1 AS DOUBLE))
+        |    * 1000000) AS BIGINT) AS z_micro
+        |FROM ev JOIN mom USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     "q_chi2" ->
       """WITH obs AS (

@@ -67,6 +67,32 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("pair"))
         .limit(20)),
 
+    // Vocabulary coverage curve — the tokenizer-sizing diagnostic:
+    // what fraction of corpus token OCCURRENCES do the top-k vocab
+    // entries cover? (Drives the vocab-size / OOV-rate tradeoff when
+    // fitting a tokenizer; the fixture vocab is 31 words, so the knee
+    // is sampled at k ∈ {5, 10, 20}.) One (token, count) aggregate
+    // with map-side partials, then a rank + running-sum window over
+    // the VOCAB-SIZED table (bounded — the corpus never enters the
+    // sequential part), and a broadcast 1-row total. Integer-exact:
+    // coverage reports in micro-units via truncating division.
+    "q_vocab_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(explode(expr(toks)).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      val ord = Window.orderBy(col("n").desc, col("t"))
+      val tot = tf.agg(sum(col("n")).as("total"))
+      tf.withColumn("k", row_number().over(ord))
+        .withColumn("cum", sum(col("n"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("k").isin(5, 10, 20))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("cum").as("cum_tokens"),
+          expr("(cum * 1000000) DIV total").as("coverage_micro"))
+        .orderBy(col("k"))
+    }),
+
     // Corpus rollup by language.
     "q_text_lang_agg" -> ((s, d) =>
       Tables.documents(s, d)
@@ -448,6 +474,20 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_coverage" ->
+      """WITH tf AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY t),
+        |r AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, t) AS k,
+        |    CAST(SUM(n) OVER (ORDER BY n DESC, t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM tf),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tf)
+        |SELECT k, cum AS cum_tokens, (cum * 1000000) // total AS coverage_micro
+        |FROM r, tot WHERE k IN (5, 10, 20) ORDER BY k""".stripMargin,
+
     "q_bpe_pairs" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
         |pr AS (

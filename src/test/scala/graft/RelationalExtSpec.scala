@@ -147,6 +147,19 @@ class RelationalExtSpec extends SparkSpec {
     assert(row.getLong(3) == dNum * 1000000L / (n1 * n2))
   }
 
+  test("q_group_norm: per-group z-scores have ~zero mean and ~unit variance") {
+    val rows = RelationalExt.queries("q_group_norm")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (g, zs) =>
+      val z = zs.map(_._2.toDouble / 1e6)
+      val n = z.length
+      val mean = z.sum / n
+      val variance = z.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+      assert(math.abs(mean) < 0.01, s"$g: z mean $mean")
+      assert(math.abs(variance - 1.0) < 0.01, s"$g: z variance $variance")
+    }
+  }
+
   test("q_chi2: numerator matches the rational identity on independent counts") {
     val row = RelationalExt.queries("q_chi2")(spark, sf).collect().head
     val (n, k, num) = (row.getLong(0), row.getLong(1), row.getLong(3))

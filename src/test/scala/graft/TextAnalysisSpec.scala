@@ -131,6 +131,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(direct.getLong(0) == rows.head.getLong(1) && direct.getLong(1) == rows.head.getLong(2))
   }
 
+  test("q_vocab_coverage: monotone in k, consistent with a driver recount") {
+    val got = TextAnalysis.queries("q_vocab_coverage")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(5, 10, 20))
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq, "cum_tokens must grow with k")
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select(col("text")).collect().foreach { r =>
+      r.getString(0).split(" ", -1).foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1L)
+    }
+    val byRank = counts.toSeq.sortBy { case (t, n) => (-n, t) }.map(_._2)
+    val total = byRank.sum
+    got.foreach { case (k, cum, covMicro) =>
+      assert(cum == byRank.take(k).sum, s"k=$k cum")
+      assert(covMicro == cum * 1000000L / total, s"k=$k coverage")
+    }
+  }
+
   test("q_bpe_pairs: top-20 matches a driver-side pair recount") {
     val got = TextAnalysis.queries("q_bpe_pairs")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
