@@ -113,6 +113,42 @@ object Learn {
         .orderBy(col("doc_id"))
     }),
 
+    // ROC AUC of the quality classifier as an English detector — the
+    // on-engine model-evaluation primitive. EXACT arithmetic via the
+    // Mann-Whitney rank-sum identity with PROPER midrank tie handling:
+    // AUC = (2·Σ_{pos} avgrank − n₊(n₊+1)) / (2·n₊·n₋), where a tied
+    // score group occupying ranks lo..hi contributes avgrank =
+    // (lo+hi)/2 — carried ×2 as the integer 2·below + cnt + 1, so no
+    // half ever appears. Ranks come from the KS-test posture: the
+    // corpus collapses to per-SCORE counts first, and the only ordered
+    // window runs over that bounded distinct-score table (a two-phase
+    // prefix sum at 100 TB), never over documents. Only the final
+    // reporting division is float, on identical exact integers.
+    "q_auc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val warr = weights.mkString("array(", "L,", "L)")
+      val scored = Tables.documents(s, d)
+        .withColumn("sc", expr(
+          s"aggregate(split(text, ' '), 0L, (acc, t) -> " +
+            s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
+        .select(col("sc"), when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val per = scored.groupBy(col("sc"))
+        .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
+      val below = Window.orderBy(col("sc"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val mid = per.withColumn("below",
+        coalesce(sum(col("cnt")).over(below), lit(0L)))
+      val tot = scored.agg(sum(col("pos")).as("n_pos"),
+        (count(lit(1)) - sum(col("pos"))).as("n_neg"))
+      mid.crossJoin(broadcast(tot))
+        .groupBy(col("n_pos"), col("n_neg"))
+        .agg(sum(expr("npos * (2 * below + cnt + 1)")).as("rank_sum2"))
+        .withColumn("auc_num", expr("rank_sum2 - n_pos * (n_pos + 1)"))
+        .withColumn("auc", round(expr(
+          "CAST(rank_sum2 - n_pos * (n_pos + 1) AS DOUBLE) / (2 * n_pos * n_neg)"), 6))
+        .select(col("n_pos"), col("n_neg"), col("auc_num"), col("auc"))
+    }),
+
     "q_kmeans_fit" -> ((s, d) =>
       fitKMeans(s, d, Iters)._2
         .select(col("vec_id"), col("cluster"), col("qdist"))
@@ -419,6 +455,31 @@ object Learn {
          |      t -> (($duckBucket * 2654435761) % 1000003) % 2001 - 1000)) AS BIGINT) AS score_milli
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_auc" ->
+      s"""WITH scored AS (
+         |  SELECT CAST(list_sum(list_transform(string_split(text, ' '),
+         |      t -> (($duckBucket * 2654435761) % 1000003) % 2001 - 1000)) AS BIGINT) AS sc,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents),
+         |per AS (
+         |  SELECT sc, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(pos) AS BIGINT) AS npos
+         |  FROM scored GROUP BY sc),
+         |mid AS (
+         |  SELECT sc, cnt, npos,
+         |    COALESCE(CAST(SUM(cnt) OVER (ORDER BY sc
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS below
+         |  FROM per),
+         |tot AS (
+         |  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |    CAST(count(*) - SUM(pos) AS BIGINT) AS n_neg FROM scored),
+         |agg AS (
+         |  SELECT n_pos, n_neg,
+         |    CAST(SUM(npos * (2 * below + cnt + 1)) AS BIGINT) AS rank_sum2
+         |  FROM mid, tot GROUP BY n_pos, n_neg)
+         |SELECT n_pos, n_neg, rank_sum2 - n_pos * (n_pos + 1) AS auc_num,
+         |  round(CAST(rank_sum2 - n_pos * (n_pos + 1) AS DOUBLE) / (2 * n_pos * n_neg), 6) AS auc
+         |FROM agg""".stripMargin,
 
     "q_kmeans_fit" ->
       s"""WITH q AS (

@@ -367,6 +367,48 @@ object SimSearch {
         .toDF("mmr_rank", "vec_id", "rel")
     }),
 
+    // NDCG@10 of the lexical ranking against semantic relevance grades
+    // — the ranking-quality metric (Järvelin & Kekäläinen 2002) every
+    // retrieval stack reports, computed ON-ENGINE: the lexical arm's
+    // top-10 is scored by how much quantized-dot-product relevance it
+    // captured vs the ideal ordering of the same grades. The log2
+    // discount is the one float in NDCG, and neither engine's libm can
+    // be trusted to agree (the q_entropy lesson) — so the 10 discount
+    // values floor(10⁶/log₂(i+1)) are computed ONCE in Scala and baked
+    // as the SAME literal array into both plans; everything else is
+    // exact integer products (grade ≤ 6.4·10⁹ × disc ≤ 10⁶, ×10 terms
+    // ≪ 2⁶³). Both top-10s are TakeOrdered heaps; rank assignment
+    // windows over 10 rows; nothing data-scale sorts globally.
+    "q_ndcg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val quant =
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+      val qdf = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("qv"))
+      val q0 = qdf.filter(col("vec_id") === 0).collect()(0).getSeq[Long](1).toArray
+      val qlit = q0.mkString("array(", "L,", "L)")
+      val lex = Tables.documents(s, d)
+        .select(col("doc_id"), expr("split(text, ' ')").as("tk"))
+        .select(col("doc_id"), expr(
+          """(CAST(size(filter(tk, t -> t IN ('the', 'and', 'of'))) AS BIGINT) * 1000000)
+            |  DIV CAST(size(tk) AS BIGINT)""".stripMargin).as("tfn"))
+      val items = lex.join(qdf, lex("doc_id") === qdf("vec_id"))
+        .withColumn("rel", expr(
+          s"aggregate(zip_with(qv, $qlit, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        .select(col("doc_id"), col("tfn"),
+          greatest(col("rel"), lit(0L)).as("g"))
+        .persist() // consumed by the actual AND the ideal ranking
+      val dlit = ndcgDisc.mkString("array(", "L,", "L)")
+      val dcg = items.orderBy(col("tfn").desc, col("doc_id")).limit(10)
+        .withColumn("r", row_number().over(Window.orderBy(col("tfn").desc, col("doc_id"))))
+        .agg(sum(expr(s"g * element_at($dlit, r)")).as("dcg_num"))
+      val idcg = items.orderBy(col("g").desc, col("doc_id")).limit(10)
+        .withColumn("r", row_number().over(Window.orderBy(col("g").desc, col("doc_id"))))
+        .agg(sum(expr(s"g * element_at($dlit, r)")).as("idcg_num"))
+      dcg.crossJoin(broadcast(idcg))
+        .withColumn("ndcg", round(expr(
+          "CAST(dcg_num AS DOUBLE) / CAST(idcg_num AS DOUBLE)"), 6))
+    }),
+
     // Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
     // hybrid-retrieval combiner every modern RAG stack ships: fuse a
     // LEXICAL ranking (length-normalized query-term frequency over the
@@ -421,6 +463,15 @@ object SimSearch {
 
   private val cosSql =
     """list_dot_product(a, q) / (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(q, q)))"""
+
+  /** NDCG@10 log₂ discounts in micro-units — floor(10⁶ / log₂(i+1))
+    * for rank i = 1..10, computed ONCE here and baked as the same
+    * literal array into the Spark plan and the DuckDB oracle so
+    * neither engine's libm log is consulted (the q_entropy
+    * shared-literal recipe: libm logs are not correctly rounded and
+    * differ between implementations). */
+  private val ndcgDisc: IndexedSeq[Long] =
+    (1 to 10).map(i => math.floor(1e6 * math.log(2) / math.log(i + 1)).toLong)
 
   /** One greedy MMR step: pick #n from the candidates not yet in
     * sel(n−1), maximizing 7·rel − 3·(max dot vs selected). */
@@ -550,6 +601,35 @@ object SimSearch {
          |     * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))), 4) AS cos_sim
          |  FROM embeddings ea JOIN embeddings eb ON ea.label = eb.label AND ea.vec_id <> eb.vec_id
          | )) WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+
+    "q_ndcg" -> {
+      val dl = ndcgDisc.mkString("[", ", ", "]")
+      s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |lex AS (
+         |  SELECT doc_id,
+         |    (CAST(len(list_filter(tk, t -> t IN ('the', 'and', 'of'))) AS BIGINT) * 1000000)
+         |      // CAST(len(tk) AS BIGINT) AS tfn
+         |  FROM dt),
+         |qe AS (SELECT vec_id, list_transform(embedding,
+         |  x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings),
+         |q0 AS (SELECT qv AS q0v FROM qe WHERE vec_id = 0),
+         |items AS (
+         |  SELECT lex.doc_id, lex.tfn,
+         |    greatest(CAST(list_sum(list_transform(range(1, 65),
+         |      j -> qe.qv[j] * q0.q0v[j])) AS BIGINT), 0) AS g
+         |  FROM lex JOIN qe ON qe.vec_id = lex.doc_id, q0),
+         |top AS (
+         |  SELECT g, row_number() OVER (ORDER BY tfn DESC, doc_id) AS r
+         |  FROM items ORDER BY tfn DESC, doc_id LIMIT 10),
+         |ideal AS (
+         |  SELECT g, row_number() OVER (ORDER BY g DESC, doc_id) AS r
+         |  FROM items ORDER BY g DESC, doc_id LIMIT 10),
+         |d AS (SELECT CAST(SUM(g * ($dl)[r]) AS BIGINT) AS dcg_num FROM top),
+         |i AS (SELECT CAST(SUM(g * ($dl)[r]) AS BIGINT) AS idcg_num FROM ideal)
+         |SELECT dcg_num, idcg_num,
+         |  round(CAST(dcg_num AS DOUBLE) / CAST(idcg_num AS DOUBLE), 6) AS ndcg
+         |FROM d, i""".stripMargin
+    },
 
     "q_rrf" ->
       """WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

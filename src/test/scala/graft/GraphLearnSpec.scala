@@ -181,6 +181,24 @@ class GraphLearnSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sortBy(identity).toSeq)
   }
 
+  test("q_auc: rank-sum AUC equals brute-force pair counting (ties at half weight)") {
+    val row = Learn.queries("q_auc")(spark, sf).collect().head
+    val (nPos, nNeg, aucNum) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val scored = Learn.queries("q_classifier_score")(spark, sf)
+      .select(col("score_milli"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1) == "en"))
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    assert(nPos == pos.length && nNeg == neg.length)
+    // 2·(wins + ties/2) over all pos×neg pairs = auc_num
+    var wins2 = 0L
+    pos.foreach(p => neg.foreach { n =>
+      if (p > n) wins2 += 2 else if (p == n) wins2 += 1
+    })
+    assert(aucNum == wins2, s"AUC numerator: engine $aucNum vs brute-force $wins2")
+    assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
+  }
+
   test("q_bfs: hop distances equal an independent driver-side BFS") {
     val got = Graph.queries("q_bfs")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap

@@ -79,6 +79,35 @@ class SimSearchSpec extends SparkSpec {
     assert(knn.groupBy("a_id").count().filter($"count" > 3).count() === 0)
   }
 
+  test("q_ndcg: bounded by 1, ideal ordering of the same grades scores exactly 1") {
+    val row = SimSearch.queries("q_ndcg")(spark, sf).collect().head
+    val (dcg, idcg, ndcg) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    assert(dcg <= idcg, "actual DCG cannot beat the ideal")
+    assert(ndcg >= 0.0 && ndcg <= 1.0)
+    // recompute both sums with the same discount table definition
+    val disc = (1 to 10).map(i => math.floor(1e6 * math.log(2) / math.log(i + 1)).toLong)
+    val stop = Set("the", "and", "of")
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000).toLong).toArray))
+      .toMap
+    val q0 = emb(0L)
+    val items = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .flatMap { r =>
+        emb.get(r.getLong(0)).map { v =>
+          val tk = r.getString(1).split(" ", -1)
+          val tfn = tk.count(stop).toLong * 1000000L / tk.length
+          val rel = v.indices.foldLeft(0L)((acc, j) => acc + v(j) * q0(j))
+          (r.getLong(0), tfn, math.max(rel, 0L))
+        }
+      }
+    def dcgOf(ranked: Seq[Long]): Long =
+      ranked.zipWithIndex.map { case (g, i) => g * disc(i) }.sum
+    val expDcg = dcgOf(items.sortBy(it => (-it._2, it._1)).take(10).map(_._3).toSeq)
+    val expIdcg = dcgOf(items.sortBy(it => (-it._3, it._1)).take(10).map(_._3).toSeq)
+    assert(dcg == expDcg && idcg == expIdcg)
+  }
+
   test("q_rrf: fused top-20 reproduces from independently computed per-arm ranks") {
     val out = SimSearch.queries("q_rrf")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
