@@ -149,6 +149,41 @@ object Learn {
         .select(col("n_pos"), col("n_neg"), col("auc_num"), col("auc"))
     }),
 
+    // One-pass Gram/covariance matrix over the embedding corpus — the
+    // PCA / whitening / decorrelation prep (X^T X plus per-dimension
+    // sums in a single aggregate). All 64·65/2 upper-triangle moments
+    // are EXACT BIGINT sums of quantized products (|qv| ≤ 10⁴ ⇒
+    // products ≤ 10⁸, ×2000 rows ≪ 2⁶³); the covariance itself is the
+    // one float column, from the identical expression tree in both
+    // engines. The d²/2 pair explosion feeds the PARTIAL aggregate
+    // inside the same stage, so exploded rows never cross the network
+    // — the shuffle carries ≤ partitions·d²/2 partial rows, and the
+    // n·d²/2 multiply cost is inherent to a Gram matrix on any
+    // engine. Scales exactly like MLlib's summarizer: one scan, one
+    // codebook-sized (2080-row) result.
+    "q_gram" -> ((s, d) => {
+      val quant =
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+      Tables.embeddings(s, d).select(expr(quant).as("qv"))
+        .select(explode(expr(
+          """flatten(transform(sequence(1, 64), i ->
+            |  transform(sequence(i, 64), j ->
+            |    struct(i AS di, j AS dj,
+            |           element_at(qv, i) * element_at(qv, j) AS xy,
+            |           element_at(qv, i) AS x, element_at(qv, j) AS y))))""".stripMargin)).as("p"))
+        .select(col("p.di").as("di"), col("p.dj").as("dj"),
+          col("p.xy").as("xy"), col("p.x").as("x"), col("p.y").as("y"))
+        .groupBy(col("di"), col("dj"))
+        .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+        .withColumn("cov", round(expr(
+          """(CAST(sxy AS DOUBLE)
+            | - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+            |/ CAST(n - 1 AS DOUBLE)""".stripMargin), 6))
+        .select(col("di"), col("dj"), col("n"), col("sxy"), col("sx"), col("sy"), col("cov"))
+        .orderBy(col("di"), col("dj"))
+    }),
+
     "q_kmeans_fit" -> ((s, d) =>
       fitKMeans(s, d, Iters)._2
         .select(col("vec_id"), col("cluster"), col("qdist"))
@@ -480,6 +515,28 @@ object Learn {
          |SELECT n_pos, n_neg, rank_sum2 - n_pos * (n_pos + 1) AS auc_num,
          |  round(CAST(rank_sum2 - n_pos * (n_pos + 1) AS DOUBLE) / (2 * n_pos * n_neg), 6) AS auc
          |FROM agg""".stripMargin,
+
+    "q_gram" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT ii.i AS di, jj.j AS dj,
+        |    qv[ii.i] * qv[jj.j] AS xy, qv[ii.i] AS x, qv[jj.j] AS y
+        |  FROM q,
+        |    (SELECT unnest(range(1, 65)) AS i) ii,
+        |    (SELECT unnest(range(1, 65)) AS j) jj
+        |  WHERE jj.j >= ii.i)
+        |SELECT di, dj, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(xy) AS BIGINT) AS sxy,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |  round((CAST(CAST(SUM(xy) AS BIGINT) AS DOUBLE)
+        |         - CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) * CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE)
+        |           / CAST(CAST(count(*) AS BIGINT) AS DOUBLE))
+        |        / CAST(CAST(count(*) AS BIGINT) - 1 AS DOUBLE), 6) AS cov
+        |FROM p GROUP BY di, dj
+        |ORDER BY di, dj""".stripMargin,
 
     "q_kmeans_fit" ->
       s"""WITH q AS (

@@ -181,6 +181,24 @@ class GraphLearnSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sortBy(identity).toSeq)
   }
 
+  test("q_gram: diagonal variances non-negative; covariances match Spark's covar_samp") {
+    val rows = Learn.queries("q_gram")(spark, sf).collect()
+    assert(rows.length == 64 * 65 / 2)
+    rows.filter(r => r.getInt(0) == r.getInt(1)).foreach { r =>
+      assert(r.getDouble(6) >= 0.0, s"dim ${r.getInt(0)}: negative variance")
+    }
+    // spot-check entries against the built-in covariance on the same grid
+    val q = Tables.embeddings(spark, sf).selectExpr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv")
+    val checks = Seq((1, 1), (1, 2), (7, 40), (64, 64))
+    val got = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(6)).toMap
+    checks.foreach { case (i, j) =>
+      val exp = q.selectExpr(s"covar_samp(element_at(qv, $i), element_at(qv, $j)) AS c")
+        .collect()(0).getDouble(0)
+      assert(math.abs(got((i, j)) - exp) < 1e-4, s"cov($i,$j): ${got((i, j))} vs $exp")
+    }
+  }
+
   test("q_auc: rank-sum AUC equals brute-force pair counting (ties at half weight)") {
     val row = Learn.queries("q_auc")(spark, sf).collect().head
     val (nPos, nNeg, aucNum) = (row.getLong(0), row.getLong(1), row.getLong(2))
