@@ -381,21 +381,8 @@ object SimSearch {
     // windows over 10 rows; nothing data-scale sorts globally.
     "q_ndcg" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val quant =
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
-      val qdf = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("qv"))
-      val q0 = qdf.filter(col("vec_id") === 0).collect()(0).getSeq[Long](1).toArray
-      val qlit = q0.mkString("array(", "L,", "L)")
-      val lex = Tables.documents(s, d)
-        .select(col("doc_id"), expr("split(text, ' ')").as("tk"))
-        .select(col("doc_id"), expr(
-          """(CAST(size(filter(tk, t -> t IN ('the', 'and', 'of'))) AS BIGINT) * 1000000)
-            |  DIV CAST(size(tk) AS BIGINT)""".stripMargin).as("tfn"))
-      val items = lex.join(qdf, lex("doc_id") === qdf("vec_id"))
-        .withColumn("rel", expr(
-          s"aggregate(zip_with(qv, $qlit, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
-        .select(col("doc_id"), col("tfn"),
-          greatest(col("rel"), lit(0L)).as("g"))
+      val items = hybridItems(s, d)
+        .select(col("doc_id"), col("tfn"), greatest(col("rel"), lit(0L)).as("g"))
         .persist() // consumed by the actual AND the ideal ranking
       val dlit = ndcgDisc.mkString("array(", "L,", "L)")
       val dcg = items.orderBy(col("tfn").desc, col("doc_id")).limit(10)
@@ -407,6 +394,25 @@ object SimSearch {
       dcg.crossJoin(broadcast(idcg))
         .withColumn("ndcg", round(expr(
           "CAST(dcg_num AS DOUBLE) / CAST(idcg_num AS DOUBLE)"), 6))
+    }),
+
+    // Precision@10 of the lexical arm against the semantic top-10 as
+    // ground truth — the third leg of the on-engine retrieval-eval
+    // family (q_auc: classification, q_ndcg: graded ranking, here:
+    // set overlap). Both top-10s are TakeOrdered heaps; the overlap is
+    // a 10-row semi join; precision reports in exact micro-units. At
+    // 100 TB this is two scans of the shared item frame and a
+    // page-scale intersection — nothing data-scale sorts.
+    "q_prec_at_k" -> ((s, d) => {
+      val items = hybridItems(s, d).persist() // consumed by both arms
+      val ta = items.orderBy(col("tfn").desc, col("doc_id")).limit(10)
+        .select(col("doc_id").as("a_id"))
+      val tb = items.orderBy(col("rel").desc, col("doc_id")).limit(10)
+        .select(col("doc_id").as("b_id"))
+      ta.join(tb, col("a_id") === col("b_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), col("n_overlap"),
+          expr("(n_overlap * 1000000) DIV 10").as("prec_micro"))
     }),
 
     // Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
@@ -431,20 +437,7 @@ object SimSearch {
     // vector is a plan literal).
     "q_rrf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val quant =
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
-      val qdf = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("qv"))
-      val q0 = qdf.filter(col("vec_id") === 0).collect()(0).getSeq[Long](1).toArray
-      val qlit = q0.mkString("array(", "L,", "L)")
-      val lex = Tables.documents(s, d)
-        .select(col("doc_id"), expr("split(text, ' ')").as("tk"))
-        .select(col("doc_id"), expr(
-          """(CAST(size(filter(tk, t -> t IN ('the', 'and', 'of'))) AS BIGINT) * 1000000)
-            |  DIV CAST(size(tk) AS BIGINT)""".stripMargin).as("tfn"))
-      val items = lex.join(qdf, lex("doc_id") === qdf("vec_id"))
-        .withColumn("rel", expr(
-          s"aggregate(zip_with(qv, $qlit, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
-        .select(col("doc_id"), col("tfn"), col("rel"))
+      val items = hybridItems(s, d)
         .persist() // consumed by BOTH ranking arms — one scan+join, not two
       val ra = items.orderBy(col("tfn").desc, col("doc_id")).limit(100)
         .withColumn("r", row_number().over(Window.orderBy(col("tfn").desc, col("doc_id"))))
@@ -463,6 +456,47 @@ object SimSearch {
 
   private val cosSql =
     """list_dot_product(a, q) / (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(q, q)))"""
+
+  /** The hybrid-retrieval item frame shared by q_rrf / q_ndcg /
+    * q_prec_at_k: every document that has an embedding, with its
+    * LEXICAL relevance (micro-unit length-normalized query-term
+    * frequency) and SEMANTIC relevance (exact integer dot product of
+    * 1e-4-quantized vectors against the vec_id=0 query literal).
+    * Callers persist() it when they consume both arms. */
+  private def hybridItems(s: SparkSession, d: String): DataFrame = {
+    val quant =
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+    val qdf = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("qv"))
+    val q0 = qdf.filter(col("vec_id") === 0).collect()(0).getSeq[Long](1).toArray
+    val qlit = q0.mkString("array(", "L,", "L)")
+    val lex = Tables.documents(s, d)
+      .select(col("doc_id"), expr("split(text, ' ')").as("tk"))
+      .select(col("doc_id"), expr(
+        """(CAST(size(filter(tk, t -> t IN ('the', 'and', 'of'))) AS BIGINT) * 1000000)
+          |  DIV CAST(size(tk) AS BIGINT)""".stripMargin).as("tfn"))
+    lex.join(qdf, lex("doc_id") === qdf("vec_id"))
+      .withColumn("rel", expr(
+        s"aggregate(zip_with(qv, $qlit, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .select(col("doc_id"), col("tfn"), col("rel"))
+  }
+
+  /** The q_rrf/q_ndcg/q_prec_at_k oracle CTE prefix — the DuckDB
+    * rendering of [[hybridItems]] (ends with an `items` CTE exposing
+    * doc_id / tfn / rel). */
+  private val hybridItemsSql =
+    """WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |lex AS (
+      |  SELECT doc_id,
+      |    (CAST(len(list_filter(tk, t -> t IN ('the', 'and', 'of'))) AS BIGINT) * 1000000)
+      |      // CAST(len(tk) AS BIGINT) AS tfn
+      |  FROM dt),
+      |qe AS (SELECT vec_id, list_transform(embedding,
+      |  x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings),
+      |q0 AS (SELECT qv AS q0v FROM qe WHERE vec_id = 0),
+      |items AS (
+      |  SELECT lex.doc_id, lex.tfn,
+      |    CAST(list_sum(list_transform(range(1, 65), j -> qe.qv[j] * q0.q0v[j])) AS BIGINT) AS rel
+      |  FROM lex JOIN qe ON qe.vec_id = lex.doc_id, q0)""".stripMargin
 
   /** NDCG@10 log₂ discounts in micro-units — floor(10⁶ / log₂(i+1))
     * for rank i = 1..10, computed ONCE here and baked as the same
@@ -604,26 +638,14 @@ object SimSearch {
 
     "q_ndcg" -> {
       val dl = ndcgDisc.mkString("[", ", ", "]")
-      s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-         |lex AS (
-         |  SELECT doc_id,
-         |    (CAST(len(list_filter(tk, t -> t IN ('the', 'and', 'of'))) AS BIGINT) * 1000000)
-         |      // CAST(len(tk) AS BIGINT) AS tfn
-         |  FROM dt),
-         |qe AS (SELECT vec_id, list_transform(embedding,
-         |  x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings),
-         |q0 AS (SELECT qv AS q0v FROM qe WHERE vec_id = 0),
-         |items AS (
-         |  SELECT lex.doc_id, lex.tfn,
-         |    greatest(CAST(list_sum(list_transform(range(1, 65),
-         |      j -> qe.qv[j] * q0.q0v[j])) AS BIGINT), 0) AS g
-         |  FROM lex JOIN qe ON qe.vec_id = lex.doc_id, q0),
+      s"""$hybridItemsSql,
          |top AS (
-         |  SELECT g, row_number() OVER (ORDER BY tfn DESC, doc_id) AS r
+         |  SELECT greatest(rel, 0) AS g, row_number() OVER (ORDER BY tfn DESC, doc_id) AS r
          |  FROM items ORDER BY tfn DESC, doc_id LIMIT 10),
          |ideal AS (
          |  SELECT g, row_number() OVER (ORDER BY g DESC, doc_id) AS r
-         |  FROM items ORDER BY g DESC, doc_id LIMIT 10),
+         |  FROM (SELECT doc_id, greatest(rel, 0) AS g FROM items)
+         |  ORDER BY g DESC, doc_id LIMIT 10),
          |d AS (SELECT CAST(SUM(g * ($dl)[r]) AS BIGINT) AS dcg_num FROM top),
          |i AS (SELECT CAST(SUM(g * ($dl)[r]) AS BIGINT) AS idcg_num FROM ideal)
          |SELECT dcg_num, idcg_num,
@@ -631,29 +653,28 @@ object SimSearch {
          |FROM d, i""".stripMargin
     },
 
+    "q_prec_at_k" ->
+      s"""$hybridItemsSql,
+         |ta AS (SELECT doc_id FROM items ORDER BY tfn DESC, doc_id LIMIT 10),
+         |tb AS (SELECT doc_id FROM items ORDER BY rel DESC, doc_id LIMIT 10),
+         |ov AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM ta WHERE EXISTS (SELECT 1 FROM tb WHERE tb.doc_id = ta.doc_id))
+         |SELECT CAST(10 AS BIGINT) AS k, n_overlap,
+         |  (n_overlap * 1000000) // 10 AS prec_micro
+         |FROM ov""".stripMargin,
+
     "q_rrf" ->
-      """WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |lex AS (
-        |  SELECT doc_id,
-        |    (CAST(len(list_filter(tk, t -> t IN ('the', 'and', 'of'))) AS BIGINT) * 1000000)
-        |      // CAST(len(tk) AS BIGINT) AS tfn
-        |  FROM dt),
-        |qe AS (SELECT vec_id, list_transform(embedding,
-        |  x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings),
-        |q0 AS (SELECT qv AS q0v FROM qe WHERE vec_id = 0),
-        |items AS (
-        |  SELECT lex.doc_id, lex.tfn,
-        |    CAST(list_sum(list_transform(range(1, 65), j -> qe.qv[j] * q0.q0v[j])) AS BIGINT) AS rel
-        |  FROM lex JOIN qe ON qe.vec_id = lex.doc_id, q0),
-        |ra AS (
-        |  SELECT doc_id, row_number() OVER (ORDER BY tfn DESC, doc_id) AS r
-        |  FROM items ORDER BY tfn DESC, doc_id LIMIT 100),
-        |rb AS (
-        |  SELECT doc_id, row_number() OVER (ORDER BY rel DESC, doc_id) AS r
-        |  FROM items ORDER BY rel DESC, doc_id LIMIT 100)
-        |SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
-        |  COALESCE(1000000000000 // (60 + ra.r), 0) + COALESCE(1000000000000 // (60 + rb.r), 0) AS rrf
-        |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
-        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+      s"""$hybridItemsSql,
+         |ra AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY tfn DESC, doc_id) AS r
+         |  FROM items ORDER BY tfn DESC, doc_id LIMIT 100),
+         |rb AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY rel DESC, doc_id) AS r
+         |  FROM items ORDER BY rel DESC, doc_id LIMIT 100)
+         |SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+         |  COALESCE(1000000000000 // (60 + ra.r), 0) + COALESCE(1000000000000 // (60 + rb.r), 0) AS rrf
+         |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   )
 }

@@ -23,6 +23,23 @@ object TextAnalysis {
     */
   private val toks = "split(text, ' ')"
 
+  /** Marker-word language prediction per doc (shared by q_lang_id and
+    * its confusion-matrix eval): argmax of stopword-marker hits with a
+    * fixed precedence order, 'und' when no marker fires. */
+  private def langPred(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).selectExpr(
+      "doc_id", "lang",
+      s"size(filter($toks, t -> t IN ('the','and','of'))) AS m_en",
+      s"size(filter($toks, t -> t IN ('der','und','das'))) AS m_de",
+      s"size(filter($toks, t -> t IN ('le','la','et'))) AS m_fr",
+      s"size(filter($toks, t -> t IN ('el','los','y'))) AS m_es")
+      .selectExpr("doc_id", "lang",
+        """CASE WHEN m_en = 0 AND m_de = 0 AND m_fr = 0 AND m_es = 0 THEN 'und'
+                WHEN m_en >= m_de AND m_en >= m_fr AND m_en >= m_es THEN 'en'
+                WHEN m_de >= m_fr AND m_de >= m_es THEN 'de'
+                WHEN m_fr >= m_es THEN 'fr'
+                ELSE 'es' END AS pred_lang""")
+
   /** Quantized natural-log table L[k] = floor(ln(k)·10⁶ + 0.5) for
     * k = 1..128 — computed once here and embedded as the SAME literal
     * array in the Spark plan and the DuckDB oracle (q_entropy), so
@@ -117,20 +134,24 @@ object TextAnalysis {
     // Language-ID n-gram/marker heuristic: argmax of marker-token
     // counts with a fixed tie order (en > de > fr > es), 'und' when no
     // marker fires.
-    "q_lang_id" -> ((s, d) =>
-      Tables.documents(s, d).selectExpr(
-        "doc_id", "lang",
-        s"size(filter($toks, t -> t IN ('the','and','of'))) AS m_en",
-        s"size(filter($toks, t -> t IN ('der','und','das'))) AS m_de",
-        s"size(filter($toks, t -> t IN ('le','la','et'))) AS m_fr",
-        s"size(filter($toks, t -> t IN ('el','los','y'))) AS m_es")
-        .selectExpr("doc_id", "lang",
-          """CASE WHEN m_en = 0 AND m_de = 0 AND m_fr = 0 AND m_es = 0 THEN 'und'
-                  WHEN m_en >= m_de AND m_en >= m_fr AND m_en >= m_es THEN 'en'
-                  WHEN m_de >= m_fr AND m_de >= m_es THEN 'de'
-                  WHEN m_fr >= m_es THEN 'fr'
-                  ELSE 'es' END AS pred_lang""")
-        .orderBy(col("doc_id"))),
+    "q_lang_id" -> ((s, d) => langPred(s, d).orderBy(col("doc_id"))),
+
+    // Language-ID confusion matrix — the eval harness for q_lang_id's
+    // marker-word classifier, computed ON-ENGINE against the corpus's
+    // ground-truth lang column: (actual, predicted) counts plus each
+    // cell's share of its actual-language row (the per-class recall
+    // diagonal). One aggregate at matrix grain + a window over the
+    // matrix-sized (≤ langs²) slice — the corpus shuffles (lang, pred)
+    // pairs only; shares in exact micro-units.
+    "q_langid_confusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      langPred(s, d)
+        .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+        .withColumn("row_total", sum(col("n")).over(Window.partitionBy(col("lang"))))
+        .withColumn("share_micro", expr("(n * 1000000) DIV row_total"))
+        .select(col("lang"), col("pred_lang"), col("n"), col("share_micro"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
 
     // Document fingerprinting: content hash + prefix shingle hash —
     // the join key for exact dedup at scale.
@@ -473,6 +494,23 @@ object TextAnalysis {
     })
   )
 
+  /** DuckDB rendering of [[langPred]] (shared by the q_lang_id and
+    * q_langid_confusion oracles). */
+  private val langPredSql =
+    """SELECT doc_id, lang,
+      | CASE WHEN m_en = 0 AND m_de = 0 AND m_fr = 0 AND m_es = 0 THEN 'und'
+      |      WHEN m_en >= m_de AND m_en >= m_fr AND m_en >= m_es THEN 'en'
+      |      WHEN m_de >= m_fr AND m_de >= m_es THEN 'de'
+      |      WHEN m_fr >= m_es THEN 'fr'
+      |      ELSE 'es' END AS pred_lang
+      |FROM (
+      | SELECT doc_id, lang,
+      |  len(list_filter(string_split(text, ' '), t -> t IN ('the','and','of'))) AS m_en,
+      |  len(list_filter(string_split(text, ' '), t -> t IN ('der','und','das'))) AS m_de,
+      |  len(list_filter(string_split(text, ' '), t -> t IN ('le','la','et'))) AS m_fr,
+      |  len(list_filter(string_split(text, ' '), t -> t IN ('el','los','y'))) AS m_es
+      | FROM documents)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_vocab_coverage" ->
       """WITH tf AS (
@@ -523,19 +561,16 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" ->
-      """SELECT doc_id, lang,
-        | CASE WHEN m_en = 0 AND m_de = 0 AND m_fr = 0 AND m_es = 0 THEN 'und'
-        |      WHEN m_en >= m_de AND m_en >= m_fr AND m_en >= m_es THEN 'en'
-        |      WHEN m_de >= m_fr AND m_de >= m_es THEN 'de'
-        |      WHEN m_fr >= m_es THEN 'fr'
-        |      ELSE 'es' END AS pred_lang
-        |FROM (
-        | SELECT doc_id, lang,
-        |  len(list_filter(string_split(text, ' '), t -> t IN ('the','and','of'))) AS m_en,
-        |  len(list_filter(string_split(text, ' '), t -> t IN ('der','und','das'))) AS m_de,
-        |  len(list_filter(string_split(text, ' '), t -> t IN ('le','la','et'))) AS m_fr,
-        |  len(list_filter(string_split(text, ' '), t -> t IN ('el','los','y'))) AS m_es
-        | FROM documents) ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, lang, pred_lang FROM ($langPredSql) ORDER BY doc_id""",
+
+    "q_langid_confusion" ->
+      s"""WITH pred AS ($langPredSql),
+         |m AS (
+         |  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM pred GROUP BY lang, pred_lang)
+         |SELECT lang, pred_lang, n,
+         |  (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS share_micro
+         |FROM m ORDER BY lang, pred_lang""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, md5(substr(text, 1, 64)) AS prefix_fp,

@@ -108,6 +108,29 @@ class SimSearchSpec extends SparkSpec {
     assert(dcg == expDcg && idcg == expIdcg)
   }
 
+  test("q_prec_at_k: overlap equals an independent set intersection of the two arms") {
+    val row = SimSearch.queries("q_prec_at_k")(spark, sf).collect().head
+    val stop = Set("the", "and", "of")
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000).toLong).toArray))
+      .toMap
+    val q0 = emb(0L)
+    val items = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .flatMap { r =>
+        emb.get(r.getLong(0)).map { v =>
+          val tk = r.getString(1).split(" ", -1)
+          val tfn = tk.count(stop).toLong * 1000000L / tk.length
+          val rel = v.indices.foldLeft(0L)((acc, j) => acc + v(j) * q0(j))
+          (r.getLong(0), tfn, rel)
+        }
+      }
+    val ta = items.sortBy(it => (-it._2, it._1)).take(10).map(_._1).toSet
+    val tb = items.sortBy(it => (-it._3, it._1)).take(10).map(_._1).toSet
+    assert(row.getLong(1) == (ta & tb).size.toLong)
+    assert(row.getLong(2) == row.getLong(1) * 1000000L / 10L)
+  }
+
   test("q_rrf: fused top-20 reproduces from independently computed per-arm ranks") {
     val out = SimSearch.queries("q_rrf")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq

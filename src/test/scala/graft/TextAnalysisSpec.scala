@@ -131,6 +131,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(direct.getLong(0) == rows.head.getLong(1) && direct.getLong(1) == rows.head.getLong(2))
   }
 
+  test("q_langid_confusion: rows partition the corpus; cells agree with q_lang_id") {
+    val conf = TextAnalysis.queries("q_langid_confusion")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val preds = TextAnalysis.queries("q_lang_id")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(conf.values.map(_._1).sum == preds.length.toLong, "cells must partition the corpus")
+    preds.groupBy(identity).foreach { case (cell, hits) =>
+      assert(conf(cell)._1 == hits.length.toLong, s"cell $cell count")
+    }
+    // per-actual-language shares are floors of n/row_total in micro-units
+    val rowTotals = preds.groupBy(_._1).map { case (l, v) => l -> v.length.toLong }
+    conf.foreach { case ((l, p), (n, share)) =>
+      assert(share == n * 1000000L / rowTotals(l), s"cell ($l,$p) share")
+    }
+  }
+
   test("q_vocab_coverage: monotone in k, consistent with a driver recount") {
     val got = TextAnalysis.queries("q_vocab_coverage")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
