@@ -149,6 +149,34 @@ object Learn {
         .select(col("n_pos"), col("n_neg"), col("auc_num"), col("auc"))
     }),
 
+    // Embedding outlier report — distance-to-centroid, the standard
+    // training-data cleaning signal (mislabeled / out-of-distribution
+    // vectors sit far from the corpus mean). Centroid = per-dimension
+    // floorDiv(Σqv, n) over the 1e-4-quantized grid (floor(double
+    // division) in the oracle — equal while |Σ| < 2⁵³, the q_kmeans
+    // argument), collected at CODEBOOK scale (64 rows) and folded into
+    // the plan as a literal; each vector's squared distance is then
+    // one exact-integer map-only expression feeding a top-20
+    // TakeOrdered heap. Two scans, one 64-row aggregate, no shuffle of
+    // vectors.
+    "q_doc_outlier" -> ((s, d) => {
+      val quant =
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+      val qdf = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), expr(quant).as("qv"))
+      val moments = qdf
+        .select(posexplode(col("qv")).as(Seq("j", "v")))
+        .groupBy(col("j")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> Math.floorDiv(r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).map(_._2)
+      val clit = moments.mkString("array(", "L,", "L)")
+      qdf.withColumn("dist2", expr(
+        s"aggregate(zip_with(qv, $clit, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+        .select(col("vec_id"), col("label"), col("dist2"))
+        .orderBy(col("dist2").desc, col("vec_id"))
+        .limit(20)
+    }),
+
     // One-pass Gram/covariance matrix over the embedding corpus — the
     // PCA / whitening / decorrelation prep (X^T X plus per-dimension
     // sums in a single aggregate). All 64·65/2 upper-triangle moments
@@ -515,6 +543,23 @@ object Learn {
          |SELECT n_pos, n_neg, rank_sum2 - n_pos * (n_pos + 1) AS auc_num,
          |  round(CAST(rank_sum2 - n_pos * (n_pos + 1) AS DOUBLE) / (2 * n_pos * n_neg), 6) AS auc
          |FROM agg""".stripMargin,
+
+    "q_doc_outlier" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT jj.j AS j,
+        |    CAST(floor(CAST(CAST(SUM(qv[jj.j]) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS c
+        |  FROM q, (SELECT unnest(range(1, 65)) AS j) jj
+        |  GROUP BY jj.j),
+        |cl AS (SELECT list(c ORDER BY j) AS cs FROM cent)
+        |SELECT vec_id, label,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    j -> (qv[j] - cs[j]) * (qv[j] - cs[j]))) AS BIGINT) AS dist2
+        |FROM q, cl
+        |ORDER BY dist2 DESC, vec_id LIMIT 20""".stripMargin,
 
     "q_gram" ->
       """WITH q AS (

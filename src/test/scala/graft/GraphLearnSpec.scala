@@ -181,6 +181,20 @@ class GraphLearnSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sortBy(identity).toSeq)
   }
 
+  test("q_doc_outlier: top-20 matches an independent centroid-distance recompute") {
+    val got = Learn.queries("q_doc_outlier")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000).toLong).toArray))
+    val n = vecs.length.toLong
+    val cent = (0 until 64).map(j => Math.floorDiv(vecs.map(_._2(j)).sum, n)).toArray
+    val expected = vecs.map { case (id, v) =>
+      (id, v.indices.foldLeft(0L)((acc, j) => { val dd = v(j) - cent(j); acc + dd * dd }))
+    }.sortBy { case (id, dd) => (-dd, id) }.take(20).toSeq
+    assert(got == expected)
+  }
+
   test("q_gram: diagonal variances non-negative; covariances match Spark's covar_samp") {
     val rows = Learn.queries("q_gram")(spark, sf).collect()
     assert(rows.length == 64 * 65 / 2)
