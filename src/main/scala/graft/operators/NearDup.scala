@@ -320,6 +320,41 @@ object NearDup {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Edit-distance near-dup — the character-level verifier the
+    // merge/purge literature pairs with sorted-neighborhood blocking
+    // (typo-grade duplicates that token-set Jaccard misses: one
+    // transposed word is a 2-token symmetric difference but a 2-edit
+    // string). Same SNM candidate generator as q_dedup_snm (per-(lang,
+    // source) sort, rank-block join, window W=8 ⇒ ≤2W candidates/doc);
+    // the verify is built-in levenshtein over the 64-char PREFIX —
+    // capping the operand bounds the O(len²) DP per pair, the standard
+    // guard that keeps edit-distance verification affordable at scale
+    // (a prefix mismatch implies a body mismatch for the clone-with-
+    // edits duplicates this targets; documented recall tradeoff).
+    "q_dedup_edit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = 8
+      val ranked = corpus(s, d)
+        .withColumn("pfx", expr("substring(text, 1, 64)"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("lang"), col("source"))
+            .orderBy(col("text"), col("doc_id"))))
+        .select(col("lang"), col("source"), col("doc_id"), col("pfx"), col("rnk"))
+      val probe = ranked.withColumn("blk", expr(s"(rnk - 1) div $W"))
+      val index = ranked.select(col("lang"), col("source"),
+          col("doc_id").as("b_doc"), col("pfx").as("b_pfx"), col("rnk").as("b_rnk"))
+        .withColumn("blk",
+          explode(expr(s"array((b_rnk - 1) div $W, (b_rnk - 1) div $W + 1)")))
+      probe.join(index, Seq("lang", "source", "blk"))
+        .filter(col("b_rnk") < col("rnk") && col("rnk") - col("b_rnk") <= W)
+        .withColumn("edit", levenshtein(col("pfx"), col("b_pfx")))
+        .filter(col("edit") <= 16)
+        .select(least(col("doc_id"), col("b_doc")).as("a_id"),
+          greatest(col("doc_id"), col("b_doc")).as("b_id"),
+          col("edit"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Dedup clustering: near-dup PAIRS are not a dedup decision — a
     // training pipeline must group transitively-connected docs into
     // components and keep one canonical per component. Connected
@@ -515,6 +550,22 @@ object NearDup {
          | AND y.rnk < x.rnk AND x.rnk - y.rnk <= 8
          |WHERE len(list_intersect(x.hs, y.hs))
          |      / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.6
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_edit" ->
+      s"""WITH $corpusSql,
+         |ranked AS (
+         |  SELECT doc_id, lang, source, substr(text, 1, 64) AS pfx,
+         |    row_number() OVER (PARTITION BY lang, source
+         |      ORDER BY text, doc_id) AS rnk
+         |  FROM corpus)
+         |SELECT least(x.doc_id, y.doc_id) AS a_id,
+         |  greatest(x.doc_id, y.doc_id) AS b_id,
+         |  levenshtein(x.pfx, y.pfx) AS edit
+         |FROM ranked x JOIN ranked y
+         |  ON x.lang = y.lang AND x.source = y.source
+         | AND y.rnk < x.rnk AND x.rnk - y.rnk <= 8
+         |WHERE levenshtein(x.pfx, y.pfx) <= 16
          |ORDER BY a_id, b_id""".stripMargin,
 
     // Connected components over the verified jaccard edges: the oracle

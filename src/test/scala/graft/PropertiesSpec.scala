@@ -81,4 +81,38 @@ class PropertiesSpec extends SparkSpec {
       assert(csv.split(",", -1).toList === (if (ls.isEmpty) List("") else ls))
     }
   }
+
+  test("q_dedup_edit: every pair within the SNM window, edit distance independently verified") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val got = graft.operators.NearDup.queries("q_dedup_edit")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // independent recompute: per-(lang,source) sort, all pairs within
+    // rank distance 8, 64-char-prefix levenshtein ≤ 16
+    val docs = graft.operators.NearDup.corpus(spark, sf)
+      .select($"doc_id", $"lang", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val expected = docs.groupBy(d => (d._2, d._3)).flatMap { case (_, block) =>
+      val ranked = block.sortBy(d => (d._4, d._1))
+      for {
+        i <- ranked.indices
+        j <- (i + 1) until math.min(i + 9, ranked.length)
+        e = lev(ranked(i)._4.take(64), ranked(j)._4.take(64)) if e <= 16
+      } yield (math.min(ranked(i)._1, ranked(j)._1),
+        math.max(ranked(i)._1, ranked(j)._1)) -> e
+    }.toMap
+    assert(got == expected,
+      s"extra=${got.keySet -- expected.keySet} missing=${expected.keySet -- got.keySet}")
+  }
 }
