@@ -666,6 +666,66 @@ object RelationalExt {
         .orderBy(col("price_centi"), col("p_size"))
     }),
 
+    // Session-level summary over the gaps-and-islands sessionization
+    // (q_islands' 15-min-gap rule): session count, exact medians of
+    // events-per-session and duration (the ×2-scaled integer-median
+    // trick — percentile of integers interpolates at most one
+    // half-step, so 2× is an exact BIGINT in both engines), and the
+    // bounce rate (single-event sessions) in micro-units. One user_id
+    // shuffle serves the lag + running-sum windows; the summary is a
+    // single partial+final aggregate over session-grain rows.
+    "q_session_stats" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(
+        """WITH g AS (
+          |  SELECT user_id, event_id, unix_micros(ts) AS us,
+          |    CASE WHEN unix_micros(ts) - lag(unix_micros(ts)) OVER w > 900000000
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts), event_id)),
+          |i AS (
+          |  SELECT user_id, us,
+          |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          |  FROM g),
+          |sess AS (
+          |  SELECT user_id, island, CAST(count(*) AS BIGINT) AS n_events,
+          |    max(us) - min(us) AS dur_us
+          |  FROM i GROUP BY user_id, island)
+          |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+          |  CAST(2 * percentile(n_events, 0.5D) AS BIGINT) AS med2_events,
+          |  CAST(2 * percentile(dur_us, 0.5D) AS BIGINT) AS med2_dur_us,
+          |  CAST(max(dur_us) AS BIGINT) AS max_dur_us,
+          |  (CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+          |    DIV count(*) AS bounce_micro
+          |FROM sess""".stripMargin)
+    }),
+
+    // Rolling active users — DAU / trailing-7-day WAU / stickiness per
+    // day, the product-analytics staple. The one data-scale shuffle
+    // collapses events to (day, user) grain FIRST; the trailing window
+    // then REPLICATES each such row across the ≤7 days it serves
+    // (map-side sequence+explode — the replicate-then-distinct form of
+    // a sliding distinct-count, which no engine can do as a plain
+    // window) and re-distincts at (day, user) grain. Day keys are
+    // integer epoch-day quotients; stickiness is micro-unit truncating
+    // division.
+    "q_dau_wau" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(expr("unix_micros(ts) DIV 86400000000").as("day"), col("user_id"))
+        .distinct()
+      val days = du.select(col("day")).distinct()
+      val wau = du
+        .select(explode(expr("sequence(day, day + 6)")).as("day"), col("user_id"))
+        .join(days, Seq("day"), "left_semi") // only days that exist in the data
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      dau.join(wau, Seq("day"))
+        .withColumn("stickiness_micro", expr("(dau * 1000000) DIV wau"))
+        .orderBy(col("day"))
+    }),
+
     // Per-group z-score standardization — the feature-engineering
     // staple (normalize a metric within its segment before modeling).
     // Two-pass moment form: one partial+final aggregate per group for
@@ -1054,6 +1114,46 @@ object RelationalExt {
         |  CAST(d_num AS DOUBLE) / (n1 * n2)
         |    > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)) AS reject_05
         |FROM d""".stripMargin,
+
+    "q_session_stats" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 900000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |i AS (
+        |  SELECT user_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, island, CAST(count(*) AS BIGINT) AS n_events,
+        |    max(us) - min(us) AS dur_us
+        |  FROM i GROUP BY user_id, island)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(2 * quantile_cont(n_events, 0.5) AS BIGINT) AS med2_events,
+        |  CAST(2 * quantile_cont(dur_us, 0.5) AS BIGINT) AS med2_dur_us,
+        |  CAST(max(dur_us) AS BIGINT) AS max_dur_us,
+        |  (CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // count(*) AS bounce_micro
+        |FROM sess""".stripMargin,
+
+    "q_dau_wau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |rep AS (
+        |  SELECT DISTINCT r.day, du.user_id
+        |  FROM du, (SELECT unnest(range(0, 7)) AS o) oo,
+        |    LATERAL (SELECT du.day + oo.o AS day) r
+        |  WHERE r.day IN (SELECT day FROM days)),
+        |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM rep GROUP BY day),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  (dau.dau * 1000000) // wau.wau AS stickiness_micro
+        |FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
 
     "q_group_norm" ->
       """WITH ev AS (

@@ -147,6 +147,32 @@ class RelationalExtSpec extends SparkSpec {
     assert(row.getLong(3) == dNum * 1000000L / (n1 * n2))
   }
 
+  test("q_session_stats: session count matches q_islands; bounce rate recomputes") {
+    val row = RelationalExt.queries("q_session_stats")(spark, sf).collect().head
+    val islands = graft.operators.Reshape.queries("q_islands")(spark, sf).collect()
+    assert(row.getLong(0) == islands.length.toLong)
+    val singles = islands.count(_.getLong(2) == 1L).toLong
+    assert(row.getLong(4) == singles * 1000000L / islands.length)
+    assert(row.getLong(3) >= row.getLong(2) / 2, "max duration can't undercut the median")
+  }
+
+  test("q_dau_wau: WAU bounds DAU; trailing-7 recount agrees on every day") {
+    val rows = RelationalExt.queries("q_dau_wau")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val du = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) DIV 86400000000 AS day", "user_id")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = du.groupBy(_._1)
+    rows.foreach { case (day, dau, wau) =>
+      assert(wau >= dau, s"day $day: WAU $wau < DAU $dau")
+      assert(dau == byDay(day).length.toLong)
+      val recount = du.filter { case (d2, _) => d2 >= day - 6 && d2 <= day }
+        .map(_._2).distinct.length.toLong
+      assert(wau == recount, s"day $day: WAU $wau vs recount $recount")
+    }
+  }
+
   test("q_group_norm: per-group z-scores have ~zero mean and ~unit variance") {
     val rows = RelationalExt.queries("q_group_norm")(spark, sf).collect()
       .map(r => (r.getString(1), r.getLong(3)))
