@@ -254,6 +254,34 @@ object Graph {
         .limit(20)
     }),
 
+    // Degree distribution in power-of-two buckets — the graph-quality
+    // audit run before any sampling or partitioning decision (is the
+    // graph power-law? where does the celebrity tail start?). The
+    // log₂ bucket is INTEGER-EXACT in both engines as
+    // length(bin(deg)) − 1 (binary-string length, no libm log — the
+    // shared-literal discipline without needing literals). One degree
+    // aggregate over the edge shuffle + one bucket-grain aggregate;
+    // output is log₂(max-degree)-sized.
+    "q_degree_dist" -> ((s, d) => {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val lineitem = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val directed = orders
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      directed
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"))
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .withColumn("bucket", expr("length(bin(deg)) - 1"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+        .orderBy(col("bucket"))
+    }),
+
     // Multi-source BFS (hop distance ≤ 3 from a seed set) over the
     // undirected trade graph — the reachability primitive behind
     // "pages within k clicks of a trusted seed" crawl curation and
@@ -393,6 +421,18 @@ object Graph {
         |SELECT part, count(*) AS n_triangles FROM n
         |GROUP BY part
         |ORDER BY n_triangles DESC, part LIMIT 20""".stripMargin,
+
+    "q_degree_dist" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src)
+        |SELECT length(bin(deg)) - 1 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(min(deg) AS BIGINT) AS min_deg, CAST(max(deg) AS BIGINT) AS max_deg
+        |FROM deg GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
 
     "q_bfs" -> {
       def bfsIter(prev: String, next: String): String =

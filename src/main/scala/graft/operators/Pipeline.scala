@@ -255,6 +255,48 @@ object Pipeline {
         .orderBy(col("support").desc, col("p1"), col("p2"))
     }),
 
+    // Association rules over the co-purchase pairs — the market-basket
+    // step AFTER support counting (recommenders, cross-sell): each
+    // unordered frequent pair emits BOTH directed rules a→b MAP-SIDE,
+    // then confidence = support/count(antecedent) and lift =
+    // support·N/(count(a)·count(b)) attach via two item-count joins
+    // and a broadcast 1-row basket total. EXACT micro-unit integers
+    // throughout (support·N·10⁶ ≤ 2.2·10¹⁶ ≪ 2⁶³ at sf0.1); top-50 by
+    // confidence. The item-count table is item-catalog-sized; at
+    // 100 TB the joins shuffle (item, count) pairs only.
+    "q_assoc_rules" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .persist() // consumed by the basket total, item counts, AND pair build
+      val nB = items.agg(countDistinct(col("ok")).as("n_baskets"))
+      val cnt = items.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+      val pairs = items
+        .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("basket"))
+        .select(explode(expr(
+          """flatten(transform(basket, (x, i) ->
+            |  transform(slice(basket, i + 2, size(basket)),
+            |    y -> struct(x AS p1, y AS p2))))""".stripMargin)).as("p"))
+        .select(col("p.p1"), col("p.p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 3)
+      pairs
+        .select(explode(array(
+          struct(col("p1").as("ante"), col("p2").as("cons"), col("support")),
+          struct(col("p2").as("ante"), col("p1").as("cons"), col("support")))).as("r"))
+        .select(col("r.ante"), col("r.cons"), col("r.support"))
+        .join(cnt.select(col("pk").as("ante"), col("cnt").as("n_ante")), Seq("ante"))
+        .join(cnt.select(col("pk").as("cons"), col("cnt").as("n_cons")), Seq("cons"))
+        .crossJoin(broadcast(nB))
+        .withColumn("conf_micro", expr("(support * 1000000) DIV n_ante"))
+        .withColumn("lift_micro", expr("(support * n_baskets * 1000000) DIV (n_ante * n_cons)"))
+        .select(col("ante"), col("cons"), col("support"), col("n_ante"),
+          col("conf_micro"), col("lift_micro"))
+        .orderBy(col("conf_micro").desc, col("ante"), col("cons"))
+        .limit(50)
+    }),
+
     // Z-order (Morton) layout key — the multi-dimensional data-skipping
     // primitive (Delta OPTIMIZE ZORDER BY, Iceberg sort orders): bit-
     // interleaving two keys gives ONE sort key whose contiguous ranges
@@ -546,6 +588,24 @@ object Pipeline {
     "q_rowid" ->
       """SELECT doc_id, lang, row_number() OVER (ORDER BY doc_id) - 1 AS row_id
         |FROM documents ORDER BY row_id""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM items),
+        |cnt AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY pk),
+        |pairs AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS support
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING count(*) >= 3),
+        |rules AS (
+        |  SELECT p1 AS ante, p2 AS cons, support FROM pairs
+        |  UNION ALL SELECT p2, p1, support FROM pairs)
+        |SELECT ante, cons, support, ca.cnt AS n_ante,
+        |  (support * 1000000) // ca.cnt AS conf_micro,
+        |  (support * n_baskets * 1000000) // (ca.cnt * cb.cnt) AS lift_micro
+        |FROM rules JOIN cnt ca ON ca.pk = rules.ante
+        |  JOIN cnt cb ON cb.pk = rules.cons, nb
+        |ORDER BY conf_micro DESC, ante, cons LIMIT 50""".stripMargin,
 
     "q_copurchase" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)

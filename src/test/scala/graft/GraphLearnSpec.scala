@@ -181,6 +181,44 @@ class GraphLearnSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sortBy(identity).toSeq)
   }
 
+  test("q_degree_dist: power-of-two buckets bound their degrees and partition the nodes") {
+    val rows = Graph.queries("q_degree_dist")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (b, _, lo, hi) =>
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+        s"bucket $b: degrees [$lo,$hi] outside [2^$b, 2^${b + 1})")
+    }
+    val directed = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val nNodes = directed.select(col("src")).union(directed.select(col("dst")))
+      .distinct().count()
+    assert(rows.map(_._2).sum == nNodes, "buckets must partition the node set")
+  }
+
+  test("q_assoc_rules: confidence and lift recompute from pair supports and item counts") {
+    val got = Pipeline.queries("q_assoc_rules")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nBaskets = items.map(_._1).distinct.length.toLong
+    val cnt = items.groupBy(_._2).map { case (pk, v) => pk -> v.length.toLong }
+    val support = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+    got.foreach { case (ante, cons, sup, nAnte, conf, lift) =>
+      val key = (math.min(ante, cons), math.max(ante, cons))
+      assert(support(key) == sup && cnt(ante) == nAnte)
+      assert(conf == sup * 1000000L / cnt(ante))
+      assert(lift == sup * nBaskets * 1000000L / (cnt(ante) * cnt(cons)))
+    }
+  }
+
   test("q_doc_outlier: top-20 matches an independent centroid-distance recompute") {
     val got = Learn.queries("q_doc_outlier")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSeq
