@@ -227,6 +227,41 @@ object RelationalExt {
         .orderBy(col("stage_no"))
     }),
 
+    // Funnel stage-transition timing — the duration dimension q_funnel
+    // lacks (conversion-latency SLAs, "how long from view to
+    // purchase"): per converting user, the microsecond gap between
+    // stage-entry events, summarized as exact ×2-scaled integer
+    // medians plus max. Entry events are the q_funnel min-event_id
+    // chain (event_id is ts-monotone in the fixture — stated
+    // precondition); their timestamps attach by event_id equi-join, so
+    // everything stays co-partitioned on user_id/event_id keys and the
+    // final summary is one partial+final aggregate over
+    // converting-user-grain rows.
+    "q_funnel_time" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("event_id")).as("e1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("event_id") > col("e1"))
+        .groupBy(col("user_id"), col("e1")).agg(min(col("event_id")).as("e2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("event_id") > col("e2"))
+        .groupBy(col("user_id"), col("e1"), col("e2")).agg(min(col("event_id")).as("e3"))
+      val ts = ev.select(col("event_id"), col("us"))
+      val durs = s3
+        .join(ts.select(col("event_id").as("e1"), col("us").as("us1")), Seq("e1"))
+        .join(ts.select(col("event_id").as("e2"), col("us").as("us2")), Seq("e2"))
+        .join(ts.select(col("event_id").as("e3"), col("us").as("us3")), Seq("e3"))
+        .select((col("us2") - col("us1")).as("d12"), (col("us3") - col("us2")).as("d23"))
+      durs.agg(count(lit(1)).as("n_converted"),
+        expr("CAST(2 * percentile(d12, 0.5D) AS BIGINT)").as("med2_view_click_us"),
+        expr("CAST(2 * percentile(d23, 0.5D) AS BIGINT)").as("med2_click_purchase_us"),
+        max(col("d12")).as("max_view_click_us"),
+        max(col("d23")).as("max_click_purchase_us"))
+    }),
+
     // First-order Markov transition matrix over per-user event
     // sequences (next-event prediction, anomalous-flow detection): one
     // lead() window sequenced on event_id, one count aggregate, then
@@ -1114,6 +1149,30 @@ object RelationalExt {
         |  CAST(d_num AS DOUBLE) / (n1 * n2)
         |    > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)) AS reject_05
         |FROM d""".stripMargin,
+
+    "q_funnel_time" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(event_id) AS e1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, e1, MIN(event_id) AS e2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND event_id > e1 GROUP BY e.user_id, e1),
+        |s3 AS (
+        |  SELECT e.user_id, e1, e2, MIN(event_id) AS e3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND event_id > e2 GROUP BY e.user_id, e1, e2),
+        |durs AS (
+        |  SELECT epoch_us(t2.ts) - epoch_us(t1.ts) AS d12,
+        |    epoch_us(t3.ts) - epoch_us(t2.ts) AS d23
+        |  FROM s3
+        |  JOIN events t1 ON t1.event_id = s3.e1
+        |  JOIN events t2 ON t2.event_id = s3.e2
+        |  JOIN events t3 ON t3.event_id = s3.e3)
+        |SELECT count(*) AS n_converted,
+        |  CAST(2 * quantile_cont(d12, 0.5) AS BIGINT) AS med2_view_click_us,
+        |  CAST(2 * quantile_cont(d23, 0.5) AS BIGINT) AS med2_click_purchase_us,
+        |  CAST(max(d12) AS BIGINT) AS max_view_click_us,
+        |  CAST(max(d23) AS BIGINT) AS max_click_purchase_us
+        |FROM durs""".stripMargin,
 
     "q_session_stats" ->
       """WITH g AS (

@@ -174,6 +174,32 @@ object Reshape {
     // arithmetic on integer epoch-micros (exact in both engines). One
     // shuffle on user_id serves both windows — lag and the running
     // sum share the same (user, time) ordering.
+    // Column profiling report — the dbt-docs / Deequ / Glue-crawler
+    // summary every data platform runs on landing a table: per column,
+    // row/null/distinct counts and lexicographic min/max, from ONE
+    // stack() pass (map-side wide→long, no extra shuffle) plus one
+    // partial+final aggregate at column grain. Values canonicalize to
+    // engine-stable strings first (doubles via centi-unit integers,
+    // timestamps via DATE) so min/max text compares identically in
+    // both engines. Output is schema-sized.
+    "q_profile" -> ((s, d) => {
+      Tables.orders(s, d).selectExpr(
+        """stack(6,
+          |  'o_orderkey', CAST(o_orderkey AS STRING),
+          |  'o_custkey', CAST(o_custkey AS STRING),
+          |  'o_orderstatus', o_orderstatus,
+          |  'o_totalprice', CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS STRING),
+          |  'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS STRING),
+          |  'o_orderpriority', o_orderpriority) AS (col_name, val)""".stripMargin)
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col("val")).as("n_distinct"),
+          min(col("val")).as("min_val"),
+          max(col("val")).as("max_val"))
+        .orderBy(col("col_name"))
+    }),
+
     "q_islands" -> ((s, d) => {
       Tables.events(s, d).createOrReplaceTempView("events")
       s.sql(
@@ -196,6 +222,26 @@ object Reshape {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_profile" ->
+      """WITH long AS (
+        |  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS val FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority FROM orders)
+        |SELECT col_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  count(DISTINCT val) AS n_distinct,
+        |  min(val) AS min_val, max(val) AS max_val
+        |FROM long GROUP BY col_name
+        |ORDER BY col_name""".stripMargin,
+
     "q_incr_agg" ->
       // the flat recompute — merge-of-partials must equal this exactly
       """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

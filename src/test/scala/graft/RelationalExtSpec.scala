@@ -147,6 +147,29 @@ class RelationalExtSpec extends SparkSpec {
     assert(row.getLong(3) == dNum * 1000000L / (n1 * n2))
   }
 
+  test("q_profile: row counts uniform, key column fully distinct, no nulls in fixture") {
+    val rows = graft.operators.Reshape.queries("q_profile")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val n = Tables.orders(spark, sf).count()
+    assert(rows.size == 6)
+    rows.foreach { case (c, (nRows, nNull, _)) =>
+      assert(nRows == n, s"$c: n_rows")
+      assert(nNull == 0L, s"$c: fixture has no nulls")
+    }
+    assert(rows("o_orderkey")._3 == n, "primary key must be fully distinct")
+    assert(rows("o_orderstatus")._3 <= 3L)
+  }
+
+  test("q_funnel_time: converted count matches the funnel's stage 3; gaps non-negative") {
+    val row = RelationalExt.queries("q_funnel_time")(spark, sf).collect().head
+    val funnel = RelationalExt.queries("q_funnel")(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(row.getLong(0) == funnel(3))
+    // event_id is ts-monotone in the fixture, so stage gaps are ≥ 0
+    assert(row.getLong(1) >= 0L && row.getLong(2) >= 0L)
+    assert(row.getLong(3) >= row.getLong(1) / 2 && row.getLong(4) >= row.getLong(2) / 2)
+  }
+
   test("q_session_stats: session count matches q_islands; bounce rate recomputes") {
     val row = RelationalExt.queries("q_session_stats")(spark, sf).collect().head
     val islands = graft.operators.Reshape.queries("q_islands")(spark, sf).collect()
