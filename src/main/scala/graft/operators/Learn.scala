@@ -192,18 +192,29 @@ object Learn {
     "q_gram" -> ((s, d) => {
       val quant =
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
-      Tables.embeddings(s, d).select(expr(quant).as("qv"))
+      // consumed by the pair pass AND the dim-sum pass — deliberately
+      // NOT persisted: the quantize is a map-only scan expression, so
+      // re-running it is cheaper than materializing 64-long arrays to
+      // the block store (measured)
+      val qdf = Tables.embeddings(s, d).select(expr(quant).as("qv"))
+      // the first-moment sums are per-DIMENSION (64 values) — they
+      // attach to the 2080 pair rows by two dim-key joins instead of
+      // being re-aggregated once per pair (which would carry 2 extra
+      // longs through every exploded struct and triple the agg state)
+      val dims = qdf
+        .select(posexplode(col("qv")).as(Seq("j0", "v")))
+        .select((col("j0") + 1).as("j"), col("v"))
+        .groupBy(col("j")).agg(sum(col("v")).as("s"))
+      qdf
         .select(explode(expr(
           """flatten(transform(sequence(1, 64), i ->
-            |  transform(sequence(i, 64), j ->
-            |    struct(i AS di, j AS dj,
-            |           element_at(qv, i) * element_at(qv, j) AS xy,
-            |           element_at(qv, i) AS x, element_at(qv, j) AS y))))""".stripMargin)).as("p"))
-        .select(col("p.di").as("di"), col("p.dj").as("dj"),
-          col("p.xy").as("xy"), col("p.x").as("x"), col("p.y").as("y"))
+            |  transform(slice(qv, i, 65 - i), (y, k) ->
+            |    struct(i AS di, i + k AS dj, element_at(qv, i) * y AS xy))))""".stripMargin)).as("p"))
+        .select(col("p.di").as("di"), col("p.dj").as("dj"), col("p.xy").as("xy"))
         .groupBy(col("di"), col("dj"))
-        .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+        .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"))
+        .join(dims.select(col("j").as("di"), col("s").as("sx")), Seq("di"))
+        .join(dims.select(col("j").as("dj"), col("s").as("sy")), Seq("dj"))
         .withColumn("cov", round(expr(
           """(CAST(sxy AS DOUBLE)
             | - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
