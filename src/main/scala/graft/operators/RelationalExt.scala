@@ -789,6 +789,29 @@ object RelationalExt {
         .orderBy(col("event_id"))
     }),
 
+    // Gini coefficient of customer revenue concentration — the
+    // inequality/skew audit (how top-heavy is the key distribution
+    // before choosing a partitioning or sampling strategy). Rank-sum
+    // identity: G = (2·Σr·x − (n+1)·Σx) / (n·Σx) with r from a total
+    // order (revenue, customer id) — swapping tied-revenue ranks
+    // leaves Σr·x unchanged, so the tiebreak only fixes determinism,
+    // not the value. EXACT BIGINT numerator (Σr·x ≲ 10¹⁷ at sf0.1);
+    // the rank window runs over the CUSTOMER-GRAIN aggregate (orders
+    // collapse first), and at 100 TB the dense rank would come from
+    // the q_rowid bucket-offset technique rather than one reducer.
+    "q_gini" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("x"))
+      rev.withColumn("r", row_number().over(Window.orderBy(col("x"), col("o_custkey"))))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(expr("r * x")).as("srx"))
+        .withColumn("gini_num", expr("2 * srx - (n + 1) * sx"))
+        .withColumn("gini", round(expr(
+          "CAST(2 * srx - (n + 1) * sx AS DOUBLE) / (CAST(n AS DOUBLE) * sx)"), 6))
+        .select(col("n"), col("sx"), col("gini_num"), col("gini"))
+    }),
+
     // χ² goodness-of-fit of the event-type mix against uniform — the
     // CATEGORICAL drift gate pairing q_ks_test's continuous one (a
     // shifted class mix is the other way a training batch silently
@@ -1231,6 +1254,20 @@ object RelationalExt {
         |    * 1000000) AS BIGINT) AS z_micro
         |FROM ev JOIN mom USING (event_type)
         |ORDER BY event_id""".stripMargin,
+
+    "q_gini" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS r FROM rev),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(r * x) AS BIGINT) AS srx
+        |  FROM ranked)
+        |SELECT n, sx, 2 * srx - (n + 1) * sx AS gini_num,
+        |  round(CAST(2 * srx - (n + 1) * sx AS DOUBLE) / (CAST(n AS DOUBLE) * sx), 6) AS gini
+        |FROM agg""".stripMargin,
 
     "q_chi2" ->
       """WITH obs AS (

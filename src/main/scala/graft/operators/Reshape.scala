@@ -28,6 +28,13 @@ import graft.Tables
 object Reshape {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Benford expected first-digit shares in micro-units —
+    * floor(10⁶·log₁₀(1+1/d)) for d = 1..9, computed once here and
+    * baked as the same literal into both plans so neither engine's
+    * libm log is consulted. */
+  private val benfordMicro: IndexedSeq[Long] =
+    (1 to 9).map(dd => math.floor(1e6 * math.log10(1 + 1.0 / dd)).toLong)
+
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhonePat = "555-[0-9]+"
 
@@ -174,6 +181,31 @@ object Reshape {
     // arithmetic on integer epoch-micros (exact in both engines). One
     // shuffle on user_id serves both windows — lag and the running
     // sum share the same (user, time) ordering.
+    // Benford first-digit screen over order totals — the fraud /
+    // data-fabrication audit (genuine multiplicative-process amounts
+    // follow P(d) = log₁₀(1+1/d); fabricated ones rarely do). First
+    // significant digit via pure string arithmetic on the integer
+    // part; observed shares in exact micro-units; the expected Benford
+    // shares are the one float — computed ONCE in Scala and baked as
+    // the SAME literal array into both plans (the q_ndcg recipe).
+    // One 9-key partial+final aggregate + a 1-row broadcast total.
+    "q_benford" -> ((s, d) => {
+      val elit = benfordMicro.mkString("array(", "L,", "L)")
+      val digits = Tables.orders(s, d)
+        .select(expr(
+          "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("total"))
+      digits.crossJoin(broadcast(tot))
+        .withColumn("obs_micro", expr("(n * 1000000) DIV total"))
+        .withColumn("exp_micro", expr(s"element_at($elit, digit)"))
+        .withColumn("dev_micro", expr("(n * 1000000) DIV total - " +
+          s"element_at($elit, digit)"))
+        .select(col("digit"), col("n"), col("obs_micro"), col("exp_micro"), col("dev_micro"))
+        .orderBy(col("digit"))
+    }),
+
     // Column profiling report — the dbt-docs / Deequ / Glue-crawler
     // summary every data platform runs on landing a table: per column,
     // row/null/distinct counts and lexicographic min/max, from ONE
@@ -222,6 +254,21 @@ object Reshape {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_benford" -> {
+      val el = benfordMicro.mkString("[", ", ", "]")
+      s"""WITH digits AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM orders GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM digits)
+         |SELECT digit, n,
+         |  (n * 1000000) // total AS obs_micro,
+         |  ($el)[digit] AS exp_micro,
+         |  (n * 1000000) // total - ($el)[digit] AS dev_micro
+         |FROM digits, tot
+         |ORDER BY digit""".stripMargin
+    },
+
     "q_profile" ->
       """WITH long AS (
         |  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS val FROM orders

@@ -147,6 +147,19 @@ class RelationalExtSpec extends SparkSpec {
     assert(row.getLong(3) == dNum * 1000000L / (n1 * n2))
   }
 
+  test("q_benford: digit shares partition the orders; expected table matches log10 recompute") {
+    val rows = graft.operators.Reshape.queries("q_benford")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = Tables.orders(spark, sf).count()
+    assert(rows.map(_._2).sum == n, "digit cells must partition the orders")
+    val exp = (1 to 9).map(dd => math.floor(1e6 * math.log10(1 + 1.0 / dd)).toLong)
+    rows.foreach { case (d, cnt, obs, e, dev) =>
+      assert(d >= 1 && d <= 9)
+      assert(e == exp(d - 1), s"digit $d expected share")
+      assert(obs == cnt * 1000000L / n && dev == obs - e)
+    }
+  }
+
   test("q_profile: row counts uniform, key column fully distinct, no nulls in fixture") {
     val rows = graft.operators.Reshape.queries("q_profile")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
@@ -207,6 +220,20 @@ class RelationalExtSpec extends SparkSpec {
       assert(math.abs(mean) < 0.01, s"$g: z mean $mean")
       assert(math.abs(variance - 1.0) < 0.01, s"$g: z variance $variance")
     }
+  }
+
+  test("q_gini: rank-sum form equals the mean-absolute-difference definition") {
+    val row = RelationalExt.queries("q_gini")(spark, sf).collect().head
+    val (n, sx, num, g) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    val xs = Tables.orders(spark, sf).groupBy($"o_custkey")
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .collect().map(_.getLong(1))
+    assert(n == xs.length.toLong && sx == xs.sum)
+    // Σᵢⱼ|xᵢ−xⱼ| = 2·(2Σr·x₍ᵣ₎ − (n+1)Σx) — the independent pairwise identity
+    var pairSum = 0L
+    xs.foreach(a => xs.foreach(b => pairSum += math.abs(a - b)))
+    assert(pairSum == 2L * num, s"pairwise $pairSum vs 2×rank-sum ${2L * num}")
+    assert(g >= 0.0 && g < 1.0)
   }
 
   test("q_chi2: numerator matches the rational identity on independent counts") {
