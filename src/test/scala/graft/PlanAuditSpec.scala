@@ -428,6 +428,33 @@ class PlanAuditSpec extends SparkSpec {
       "unexpected exchange contents:\n" + exch.mkString("\n"))
   }
 
+  test("q_dau_wau: events collapse to (day,user) grain BEFORE the trailing-window explode") {
+    val df = SparkEntry.queries("q_dau_wau")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the generator must sit above an aggregate, not above the scan —
+    // otherwise every raw event (not every distinct (day,user) row)
+    // would be replicated 7×
+    val gen = p.indexOf("Generate explode")
+    assert(gen >= 0, "expected the sequence+explode generator:\n" + p.take(1200))
+    val aggBelow = p.indexOf("HashAggregate", gen)
+    assert(aggBelow >= 0,
+      "no aggregate below the generator — raw events are being replicated:\n" + p.take(2000))
+  }
+
+  test("q_gini: the rank window consumes the customer-grain aggregate, not raw orders") {
+    val df = SparkEntry.queries("q_gini")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val win = p.indexOf("Window")
+    assert(win >= 0, p.take(800))
+    // below the window there must be a partial+final aggregate (the
+    // per-customer revenue rollup) so the single-partition sort sees
+    // customer-grain rows only
+    assert(p.indexOf("HashAggregate", win) >= 0 || p.indexOf("SortAggregate", win) >= 0,
+      "rank window must sit above the customer aggregate:\n" + p.take(2000))
+  }
+
   test("q_ks_test: the event stream collapses to distinct values before the ordered window") {
     val df = SparkEntry.queries("q_ks_test")(spark, sf)
     df.collect()
