@@ -789,6 +789,61 @@ object RelationalExt {
         .orderBy(col("event_id"))
     }),
 
+    // Lag-k autocorrelation (k = 1..7) of the daily event-count series
+    // — the seasonality-strength diagnostic behind q_seasonal (a
+    // strong lag-7 ACF says "weekly pattern"). Each lag is the exact
+    // Pearson correlation of (cₜ, cₜ₊ₖ) pairs: the series collapses to
+    // the DAY-GRAIN aggregate first (the KS posture — ~30 rows at the
+    // fixture, bounded by the time span at any scale), lags come from
+    // one window over that table, and the five moments are exact
+    // BIGINT sums, so r comes from the identical float AST in both
+    // engines (the q_linear_fit recipe).
+    "q_autocorr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("day"))
+      val lagged = daily.select((col("day") +: col("c") +:
+        (1 to 7).map(k => lead(col("c"), k).over(w).as(s"c$k"))): _*)
+      val perLag = (1 to 7).map { k =>
+        lagged.filter(col(s"c$k").isNotNull)
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+            sum(col(s"c$k")).as("sy"), sum(col("c") * col(s"c$k")).as("sxy"),
+            sum(col("c") * col("c")).as("sxx"),
+            sum(col(s"c$k") * col(s"c$k")).as("syy"))
+          .select(lit(k).as("lag"), col("n"),
+            round(expr(
+              """CAST(n * sxy - sx * sy AS DOUBLE)
+                |/ sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))"""
+                .stripMargin), 6).as("acf"))
+      }
+      perLag.reduce(_ unionByName _).orderBy(col("lag"))
+    }),
+
+    // CUSUM changepoint detection over the daily event-count series —
+    // the level-shift monitor (did volume step up/down, and when?).
+    // Exact integer form: the cumulative deviation Sₜ = Σᵢ≤ₜ(n·cᵢ − Σc)
+    // multiplies through by n so no mean division ever happens; the
+    // changepoint is the day with max |Sₜ| (ties to the earliest day).
+    // One day-grain aggregate, one broadcast 1-row total, one
+    // cumulative window over the bounded day table, one
+    // TakeOrdered(1).
+    "q_changepoint" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val tot = daily.agg(sum(col("c")).as("sc"), count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(tot))
+        .withColumn("s_t", sum(expr("n * c - sc")).over(w))
+        .select(col("day"), col("c"), col("s_t"), abs(col("s_t")).as("abs_s"))
+        .orderBy(col("abs_s").desc, col("day"))
+        .limit(1)
+    }),
+
     // Gini coefficient of customer revenue concentration — the
     // inequality/skew audit (how top-heavy is the key distribution
     // before choosing a partitioning or sampling strategy). Rank-sum
@@ -1254,6 +1309,40 @@ object RelationalExt {
         |    * 1000000) AS BIGINT) AS z_micro
         |FROM ev JOIN mom USING (event_type)
         |ORDER BY event_id""".stripMargin,
+
+    "q_autocorr" -> {
+      def lagSel(k: Int): String =
+        s"""SELECT $k AS lag, CAST(count(*) AS BIGINT) AS n,
+           |  round(CAST(count(*) * CAST(SUM(c * c$k) AS BIGINT)
+           |             - CAST(SUM(c) AS BIGINT) * CAST(SUM(c$k) AS BIGINT) AS DOUBLE)
+           |        / sqrt(CAST(count(*) * CAST(SUM(c * c) AS BIGINT)
+           |                    - CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT) AS DOUBLE)
+           |               * CAST(count(*) * CAST(SUM(c$k * c$k) AS BIGINT)
+           |                      - CAST(SUM(c$k) AS BIGINT) * CAST(SUM(c$k) AS BIGINT) AS DOUBLE)), 6) AS acf
+           |FROM lagged WHERE c$k IS NOT NULL""".stripMargin
+      s"""WITH daily AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1),
+         |lagged AS (
+         |  SELECT day, c,
+         |    ${(1 to 7).map(k => s"lead(c, $k) OVER (ORDER BY day) AS c$k").mkString(",\n    ")}
+         |  FROM daily)
+         |${(1 to 7).map(lagSel).mkString("\nUNION ALL\n")}
+         |ORDER BY lag""".stripMargin
+    },
+
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS sc, CAST(count(*) AS BIGINT) AS n FROM daily),
+        |cum AS (
+        |  SELECT day, c,
+        |    CAST(SUM(n * c - sc) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_t
+        |  FROM daily, tot)
+        |SELECT day, c, s_t, abs(s_t) AS abs_s
+        |FROM cum ORDER BY abs_s DESC, day LIMIT 1""".stripMargin,
 
     "q_gini" ->
       """WITH rev AS (

@@ -222,6 +222,37 @@ class RelationalExtSpec extends SparkSpec {
     }
   }
 
+  test("q_autocorr: bounded by 1; lag-1 matches a driver-side Pearson recompute") {
+    val rows = RelationalExt.queries("q_autocorr")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (1 to 7))
+    rows.foreach { case (k, _, acf) => assert(math.abs(acf) <= 1.0, s"lag $k acf $acf") }
+    val daily = Tables.events(spark, sf)
+      .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("c")).orderBy($"day").collect().map(_.getLong(1))
+    val (xs, ys) = (daily.dropRight(1), daily.drop(1))
+    val n = xs.length.toDouble
+    val num = n * (xs, ys).zipped.map(_ * _).sum - xs.sum * ys.sum
+    val den = math.sqrt((n * xs.map(x => x * x).sum - xs.sum.toDouble * xs.sum) *
+      (n * ys.map(y => y * y).sum - ys.sum.toDouble * ys.sum))
+    assert(math.abs(rows.head._3 - num / den) < 1e-5)
+  }
+
+  test("q_changepoint: CUSUM winner matches a driver-side sweep; curve closes at zero") {
+    val row = RelationalExt.queries("q_changepoint")(spark, sf).collect().head
+    val daily = Tables.events(spark, sf)
+      .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("c")).orderBy($"day").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = daily.length.toLong
+    val sc = daily.map(_._2).sum
+    var s = 0L
+    val curve = daily.map { case (day, c) => s += n * c - sc; (day, s) }
+    assert(curve.last._2 == 0L, "Σ(n·c − Σc) must telescope to zero")
+    val best = curve.minBy { case (day, st) => (-math.abs(st), day) }
+    assert(row.getLong(0) == best._1 && row.getLong(2) == best._2)
+  }
+
   test("q_gini: rank-sum form equals the mean-absolute-difference definition") {
     val row = RelationalExt.queries("q_gini")(spark, sf).collect().head
     val (n, sx, num, g) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
