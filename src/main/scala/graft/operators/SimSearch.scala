@@ -163,10 +163,15 @@ object SimSearch {
     // both engines fold the cosine sums in the same element order).
     "q_simsearch_ivf" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
+      // codebook collect: filter+project+collect ONLY — an .orderBy
+      // before a 16-row collect planned a full 32-partition sort
+      // exchange whose task-scheduling overhead was half this query's
+      // steady-state runtime (0.37 s of 0.78 measured); the driver
+      // sorts 16 rows for free
       val cents: Array[Array[Double]] = Tables.embeddings(s, d)
-        .filter(col("vec_id") < 16).orderBy("vec_id")
-        .select(col("embedding").cast("array<double>"))
-        .collect().map(_.getSeq[Double](0).toArray)
+        .filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
       def centLit(c: Array[Double]): String =
         c.map(v => s"${v}D").mkString("array(", ",", ")")
       // one cosine_all call vs 16 inlined cosine loops: identical math
@@ -178,13 +183,18 @@ object SimSearch {
         .withColumn("edbl", col("embedding").cast("array<double>"))
         .withColumn("cells", cells)
         .withColumn("cell", expr("cast(array_position(cells, array_max(cells)) as int) - 1"))
-      // probe cells: top-2 centroids by cosine to the query vector,
-      // computed through the same plan arithmetic (not driver floats)
-      val probe: Array[Int] = emb.filter(col("vec_id") === 0)
-        .select(posexplode(col("cells")).as(Seq("k", "cos")))
-        .orderBy(col("cos").desc, col("k"))
-        .limit(2).select(col("k")).collect().map(_.getInt(0))
       val qLit = centLit(cents(0)) // vec_id 0 is centroid 0's source row
+      // probe cells: top-2 centroids by cosine to the query vector,
+      // through the same PLAN arithmetic the corpus pass uses (same
+      // cosine_all literal fold — not driver floats), but over a 1-row
+      // LOCAL relation: the query vector is already a collected
+      // literal, so re-scanning the corpus parquet just to score it
+      // was a wasted job (0.19 s → one local task)
+      val probe: Array[Int] = s.sql(
+        s"""SELECT k FROM (
+           |  SELECT posexplode(cosine_all($qLit, array(${cents.map(centLit).mkString(",")}))) AS (k, cos))
+           |ORDER BY cos DESC, k LIMIT 2""".stripMargin)
+        .collect().map(_.getInt(0))
       emb.filter(col("cell").isin(probe.toIndexedSeq.map(Integer.valueOf): _*))
         .withColumn("cos_sim", round(expr(s"cosine_sim(edbl, $qLit)"), 4))
         .select(col("vec_id"), col("label"), col("cos_sim"))
