@@ -84,6 +84,69 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("pair"))
         .limit(20)),
 
+    // FULL BPE merge-training loop (Sennrich et al. 2016) — the end-to-
+    // end tokenizer trainer q_bpe_pairs is one inner iteration of:
+    // 5 unrolled merge rounds of (count adjacent symbol pairs, weighted
+    // by word frequency) → (deterministic argmax: max count, then
+    // lexicographically smallest pair) → (apply the merge map-side
+    // everywhere). Output is the learned merge table (round, x, y,
+    // merged, n) — the artifact a BPE tokenizer ships.
+    //
+    // Scale posture: the corpus text shuffles ONCE, into the word-
+    // frequency table (map-side partials collapse to vocab grain); all
+    // five rounds run over that VOCAB-SCALE frame — pair counts are
+    // symbol-alphabet² rows, the winning merge is a broadcast 1-row
+    // frame cross-joined into the map-side apply, and each round's
+    // word table is persisted (consumed twice per round: pair count +
+    // apply — the q_bfs double-consumption lesson). This is exactly
+    // the 100 TB BPE recipe: one corpus pass, then driver-free
+    // codebook-scale iteration.
+    //
+    // Merge candidates are restricted to x ≠ y pairs: a self-pair
+    // merge (s,s) makes application depend on left-greedy run
+    // splitting ("aaa" → [aa, a]) — a sequential-scan semantic whose
+    // SQL encodings differ subtly between engines — while for x ≠ y
+    // adjacent matches can never overlap, so the merge is a pure
+    // per-position function (filter consumed positions, map matched
+    // positions) that both engines evaluate identically. The variant
+    // is standard practice when determinism matters and costs little:
+    // self-pair merges are rare early in real training.
+    "q_bpe_train" -> ((s, d) => {
+      val wf = Tables.documents(s, d)
+        .select(explode(expr(toks)).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+      var words = wf.withColumn("syms", expr(
+        "transform(sequence(1, length(t)), i -> substring(t, i, 1))"))
+        .select(col("t"), col("freq"), col("syms"))
+        .persist()
+      var merges: Seq[org.apache.spark.sql.DataFrame] = Nil
+      for (r <- 1 to 5) {
+        val counts = words.filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            """transform(sequence(1, size(syms) - 1), i ->
+              |  struct(element_at(syms, i) AS x, element_at(syms, i + 1) AS y))""".stripMargin)).as("p"))
+          .filter(col("p.x") =!= col("p.y"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(sum(col("freq")).as("n"))
+        val best = counts.orderBy(col("n").desc, col("x"), col("y")).limit(1)
+        merges = merges :+ best.select(lit(r).as("round"), col("x"), col("y"),
+          concat(col("x"), col("y")).as("merged"), col("n"))
+        words = words
+          .crossJoin(broadcast(best.select(col("x").as("mx"), col("y").as("my"))))
+          .withColumn("syms", expr(
+            """transform(
+              |  filter(sequence(1, size(syms)), i ->
+              |    NOT(i > 1 AND element_at(syms, i - 1) = mx AND element_at(syms, i) = my)),
+              |  i -> IF(element_at(syms, i) = mx AND i < size(syms)
+              |            AND element_at(syms, i + 1) = my,
+              |          concat(mx, my), element_at(syms, i)))""".stripMargin))
+          .select(col("t"), col("freq"), col("syms"))
+          .persist()
+      }
+      merges.reduce(_ unionByName _).orderBy(col("round"))
+    }),
+
     // Vocabulary coverage curve — the tokenizer-sizing diagnostic:
     // what fraction of corpus token OCCURRENCES do the top-k vocab
     // entries cover? (Drives the vocab-size / OOV-rate tradeoff when
@@ -511,7 +574,43 @@ object TextAnalysis {
       |  len(list_filter(string_split(text, ' '), t -> t IN ('el','los','y'))) AS m_es
       | FROM documents)""".stripMargin
 
+  /** q_bpe_train oracle: the same 5 unrolled merge rounds as the Spark
+    * plan, each round a (pair-count, argmax, apply) CTE triple. The
+    * winning merge enters the next round's lambdas via a FROM-scope
+    * cross join (DuckDB lambdas see cross-joined 1-row tables, but not
+    * correlated-subquery outers).
+    */
+  private def bpeTrainOracle: String = {
+    val rounds = (1 to 5).map { r =>
+      s"""c$r AS (
+         |  SELECT p.x AS x, p.y AS y, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |                i -> {'x': syms[i], 'y': syms[i + 1]})) AS p
+         |        FROM w${r - 1} WHERE len(syms) >= 2) q
+         |  WHERE p.x <> p.y GROUP BY p.x, p.y),
+         |m$r AS (SELECT x, y, n FROM c$r ORDER BY n DESC, x, y LIMIT 1),
+         |w$r AS (
+         |  SELECT t, freq, list_transform(
+         |    list_filter(range(1, len(syms) + 1), i ->
+         |      NOT(i > 1 AND syms[i - 1] = m.x AND syms[i] = m.y)),
+         |    i -> IF(syms[i] = m.x AND i < len(syms) AND syms[i + 1] = m.y,
+         |            m.x || m.y, syms[i])) AS syms
+         |  FROM w${r - 1}, m$r m)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map(r =>
+      s"SELECT $r AS round, x, y, x || y AS merged, n FROM m$r").mkString("\nUNION ALL ")
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+       |wf AS (SELECT t, CAST(count(*) AS BIGINT) AS freq FROM tok WHERE t <> '' GROUP BY t),
+       |w0 AS (SELECT t, freq,
+       |  list_transform(range(1, length(t) + 1), i -> substring(t, i, 1)) AS syms FROM wf),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_train" -> bpeTrainOracle,
+
     "q_vocab_coverage" ->
       """WITH tf AS (
         |  SELECT t, CAST(count(*) AS BIGINT) AS n

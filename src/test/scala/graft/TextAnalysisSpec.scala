@@ -179,4 +179,45 @@ class TextAnalysisSpec extends SparkSpec {
     val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
     assert(got == expected)
   }
+
+  test("q_bpe_train: 5 merges match an independent driver-side BPE trainer") {
+    val got = TextAnalysis.queries("q_bpe_train")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    // independent reimplementation: word-frequency map, then 5 rounds of
+    // (weighted x≠y pair count → argmax by (-n, x, y) → apply merge)
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select(col("text")).collect().foreach { r =>
+      r.getString(0).split(" ", -1).filter(_.nonEmpty).foreach { t =>
+        freq(t) = freq.getOrElse(t, 0L) + 1L
+      }
+    }
+    var words: Map[Vector[String], Long] =
+      freq.toMap.groupBy { case (t, _) => t.map(_.toString).toVector }
+        .map { case (syms, m) => syms -> m.values.sum }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (r <- 1 to 5) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach { case (x, y) =>
+          if (x != y) counts((x, y)) = counts.getOrElse((x, y), 0L) + f
+        }
+      }
+      val ((x, y), n) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      merges += ((r, x, y, x + y, n))
+      words = words.groupBy { case (syms, _) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+            out += x + y; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toVector
+      }.map { case (syms, m) => syms -> m.map(_._2).sum }
+    }
+    assert(got === merges.toSeq)
+    // winning counts can never increase round over round (a new pair
+    // involving the merged symbol is bounded by the merge's own count)
+    assert(got.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
 }
