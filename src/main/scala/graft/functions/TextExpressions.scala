@@ -131,8 +131,64 @@ case class WordShingleHashes(left: Expression, right: Expression)
 }
 
 object WordShingleHashes {
-  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
+  private[functions] val digest = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
+}
+
+/** POSITIONAL n-token window hashes: the hash of every n-token sliding
+  * window of the text, at every token offset, IN OFFSET ORDER — no
+  * distinct, no sort. Same 60-bit md5-prefix per window as
+  * [[WordShingleHashes]] (so the DuckDB twin fold replays it
+  * bit-for-bit), but where that expression answers "which shingles
+  * does this doc contain" (set semantics, for Jaccard/minhash), this
+  * one answers "what is at offset i" — the stride-1 fingerprint stream
+  * substring-grain dedup (Lee et al. 2022 ExactSubstr) needs, where a
+  * window's POSITION locates the duplicate span for removal.
+  *
+  * One JVM pass per document; the per-window digest is O(n·L) chars
+  * total — the fixture-honest cost. At larger window lengths the md5
+  * swaps for a Rabin-Karp rolling polynomial inside this same
+  * expression without touching any consumer (the output contract is
+  * just "deterministic 60-bit window fingerprints in offset order").
+  */
+case class WordWindowHashes(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int literal), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_window_hashes"
+
+  override def nullSafeEval(text: Any, nGram: Any): Any = {
+    val toks = text.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val n = nGram.asInstanceOf[Int]
+    val md = WordShingleHashes.digest.get()
+    val m = math.max(toks.length - n + 1, 0)
+    val arr = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      md.reset()
+      val h = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+      arr(i) = v >>> 4
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Jaccard similarity |a∩b| / |a∪b| of two **sorted, distinct**

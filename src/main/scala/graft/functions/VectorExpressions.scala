@@ -409,6 +409,11 @@ object VectorFunctions {
   private val triCreditsBuilder: Seq[Expression] => Expression =
     exprs => TriangleCredits(exprs(0), exprs(1), exprs(2))
 
+  private val windowHashesInfo = new ExpressionInfo(
+    classOf[WordWindowHashes].getName, "word_window_hashes")
+  private val windowHashesBuilder: Seq[Expression] => Expression =
+    exprs => WordWindowHashes(exprs(0), exprs(1))
+
   /** Idempotent registration on an existing session — functions plus
     * the [[RewriteDotProducts]] optimizer rule — usable from any query
     * lambda without rebuilding the session.
@@ -441,6 +446,8 @@ object VectorFunctions {
       "gram_pairs", gramPairsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "triangle_credits", triCreditsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_window_hashes", windowHashesBuilder, "built-in")
   }
 
   /** Session-extension wiring: sessions built with
@@ -462,6 +469,7 @@ object VectorFunctions {
       e.injectFunction((FunctionIdentifier("sorted_pairs"), sortedPairsInfo, sortedPairsBuilder))
       e.injectFunction((FunctionIdentifier("gram_pairs"), gramPairsInfo, gramPairsBuilder))
       e.injectFunction((FunctionIdentifier("triangle_credits"), triCreditsInfo, triCreditsBuilder))
+      e.injectFunction((FunctionIdentifier("word_window_hashes"), windowHashesInfo, windowHashesBuilder))
       e.injectOptimizerRule(_ => RewriteDotProducts)
     }
   }

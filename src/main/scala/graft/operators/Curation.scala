@@ -156,6 +156,61 @@ object Curation {
         .orderBy(col("doc_id"))
     }),
 
+    // STRIDE-1 substring-grain dedup (Lee et al. 2022 ExactSubstr
+    // proper — q_passage_dup_stats' 16-token-BLOCK grain upgraded to
+    // every token offset): fingerprint the 16-token window at EVERY
+    // position (native word_window_hashes — one JVM pass per doc, md5
+    // swappable for a rolling hash without touching the plan), mark
+    // every non-first global occurrence (ordered by (doc_id, pos)) as
+    // a duplicate window, then per doc measure the UNION of the
+    // duplicate windows' [pos, pos+15] spans — a lead()-window
+    // interval-union over each doc's sorted duplicate offsets, so a
+    // contiguous 32-token quote counts its true 32 covered tokens, not
+    // 17 overlapping windows × 16. Reports windows / duplicate windows
+    // / covered duplicate tokens / dup-token fraction per document —
+    // exactly the "what fraction of this doc is copied text at ANY
+    // alignment" statistic block grain under-counts (a span straddling
+    // a block boundary is invisible to q_passage_dup_stats).
+    //
+    // Scale posture: the shuffle carries (doc_id, pos, fp) rows only —
+    // fingerprints, never text. Stride-1 means n rows per n-token doc
+    // (the inherent ExactSubstr cost; Lee et al. pay the same in
+    // suffix-array space); the dedup decision is one row_number window
+    // over the fingerprint key and the interval union is per-doc
+    // bounded. Quote twins (spanCorpus) score dup_frac 1.0 — every
+    // token of the twin lies under some duplicated window.
+    "q_substr_dedup" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val L = 16
+      val base = spanCorpus(s, d)
+        .selectExpr("doc_id", s"word_window_hashes(text, $L) AS wh",
+          "cast(size(split(text, ' ')) as bigint) AS n_tokens")
+        .persist() // consumed by the window explode AND the report join
+      val wins = base
+        .select(col("doc_id"), posexplode(col("wh")).as(Seq("p0", "fp")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("fp"))
+      val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("pos"))
+      val dups = wins.withColumn("rn", row_number().over(wFp)).filter(col("rn") > 1)
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val cov = dups
+        .withColumn("nxt", lead(col("pos"), 1).over(wDoc))
+        // window at pos covers [pos, pos+L-1]; truncated by the next
+        // duplicate window's start (interval union of equal-length
+        // intervals over sorted starts)
+        .withColumn("covered", when(col("nxt").isNull, lit(L))
+          .otherwise(least(lit(L), col("nxt") - col("pos"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_windows"),
+          sum(col("covered").cast("bigint")).as("dup_tokens"))
+      base
+        .select(col("doc_id"), col("n_tokens"),
+          expr("cast(size(wh) as bigint)").as("n_windows"))
+        .join(cov, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_dup_windows", "dup_tokens"))
+        .withColumn("dup_frac", round(col("dup_tokens") / col("n_tokens"), 4))
+        .orderBy(col("doc_id"))
+    }),
+
     // Compressibility quality signal: DEFLATE-compressed size over raw
     // size (fixture text is ASCII, so chars == bytes). Template junk
     // and highly repetitive text compress far below natural prose —
@@ -378,6 +433,51 @@ object Curation {
          |        row_number() OVER (PARTITION BY md5(ptext) ORDER BY doc_id, pos) AS rn
          |      FROM pass)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Stride-1 window fingerprints: md5 of the 16-token window text at
+    // every offset, folded to the 60-bit prefix (the hshSql idiom —
+    // bit-identical to word_window_hashes); then the same
+    // non-first-occurrence marking and per-doc interval union.
+    "q_substr_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 32), ' ') AS text
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |base AS (SELECT doc_id, string_split(text, ' ') AS tk,
+        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM corpus),
+        |wtx AS (
+        |  SELECT doc_id, i AS pos,
+        |    md5(array_to_string(list_slice(tk, i, i + 15), ' ')) AS h
+        |  FROM base, (SELECT unnest(range(1, 4096)) AS i)
+        |  WHERE i + 15 <= len(tk)),
+        |win AS (
+        |  SELECT doc_id, pos,
+        |    list_reduce(list_transform(range(1, 16),
+        |      j -> CAST(strpos('0123456789abcdef', substr(h, j, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS fp
+        |  FROM wtx),
+        |dup AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+        |    FROM win) WHERE rn > 1),
+        |cov AS (
+        |  SELECT doc_id, pos,
+        |    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |  FROM dup),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+        |    CAST(sum(CASE WHEN nxt IS NULL THEN 16 ELSE least(16, nxt - pos) END) AS BIGINT) AS dup_tokens
+        |  FROM cov GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  CAST(greatest(b.n_tokens - 15, 0) AS BIGINT) AS n_windows,
+        |  COALESCE(a.n_dup_windows, 0) AS n_dup_windows,
+        |  COALESCE(a.dup_tokens, 0) AS dup_tokens,
+        |  round(COALESCE(a.dup_tokens, 0) / b.n_tokens, 4) AS dup_frac
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_boilerplate" ->
       s"""WITH corpus AS (

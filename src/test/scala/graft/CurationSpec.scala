@@ -223,4 +223,53 @@ class CurationSpec extends SparkSpec {
     val rate = msk.toDouble / tot
     assert(rate > 0.12 && rate < 0.17, s"mask rate $rate drifted from ~1/7")
   }
+
+  test("q_substr_dedup: twins fully covered, interval union beats window-count x L") {
+    val rows = Curation.queries("q_substr_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toMap
+    val twins = rows.keys.filter(_ >= 1000000L)
+    assert(twins.nonEmpty)
+    var covered = 0
+    twins.foreach { id =>
+      val (nTok, nWin, nDup, dupTok, frac) = rows(id)
+      if (nWin === 0L) {
+        // a twin SHORTER than the 16-token minimal match length has no
+        // window at all — invisible by construction (that IS the
+        // ExactSubstr minimal-match-length semantic)
+        assert(nDup === 0L && dupTok === 0L, s"short twin $id flagged")
+      } else {
+        covered += 1
+        // every window of a quote twin repeats its source -> full coverage
+        assert(nDup === nWin, s"twin $id: $nDup of $nWin windows dup")
+        assert(dupTok === nTok && frac === 1.0, s"twin $id not fully covered")
+        // the interval union must collapse overlapping windows: 17
+        // windows x 16 tokens is 272 naively, but covered tokens = 32
+        assert(dupTok <= nTok && (nWin <= 1L || dupTok < nWin * 16),
+          s"twin $id: union $dupTok vs $nWin windows")
+      }
+    }
+    assert(covered > 0, "no twin long enough to exercise coverage")
+    // global sanity: coverage never exceeds the doc, and a doc with
+    // zero duplicate windows has zero covered tokens (sources CAN carry
+    // duplicate spans — the corpus has natural cross-doc 16-token
+    // repeats — so canonicality is per-window, not per-doc)
+    rows.values.foreach { case (nTok, nWin, nDup, dupTok, _) =>
+      assert(dupTok <= nTok && nDup <= nWin)
+      assert((nDup == 0L) == (dupTok == 0L))
+    }
+  }
+
+  test("word_window_hashes: positional parity with the per-offset HOF form") {
+    graft.functions.VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val both = Tables.documents(spark, sf).limit(100)
+      .selectExpr("doc_id", "text", "split(text, ' ') AS tk")
+      .withColumn("native", expr("word_window_hashes(text, 8)"))
+      .withColumn("hof", expr(
+        """CASE WHEN size(tk) < 8 THEN CAST(array() AS ARRAY<BIGINT>)
+          |ELSE transform(sequence(1, size(tk) - 7), i ->
+          |  word_shingle_hashes(array_join(slice(tk, i, 8), ' '), 8)[0]) END""".stripMargin))
+    assert(both.filter("native <> hof").count() === 0)
+  }
 }
