@@ -276,6 +276,19 @@ object Curation {
         sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("ct"))
         .withColumn("nr", sum(col("cr")).over(wAll))
         .withColumn("nt", sum(col("ct")).over(wAll))
+      // KNOWN LIBM BOUNDARY (the one place the shared-literal-table
+      // discipline can't apply): ln() runs on data-dependent count
+      // ratios in BOTH engines before the ×10⁴ floor, and libm logs are
+      // not correctly rounded — a 1-ulp divergence exactly on a floor
+      // boundary would flip the micro-nat. The count domain is
+      // unbounded (corpus-scale), so no literal table can cover it;
+      // instead CurationSpec's divergence guard recomputes every
+      // distinct (ct, cr, nr, nt, tf) combination at all three fixture
+      // SFs and asserts each contribution sits ≥ 10⁻⁵ from the nearest
+      // floor boundary — ~10⁵× the worst cross-libm drift
+      // (≤ |ln|·4ulp·tf·10⁴ ≈ 10⁻¹⁰·tf), measured ≥ 2.9·10⁻³ in
+      // practice — so a fixture change that lands near a boundary
+      // fails the spec loudly instead of flaking the oracle.
       tf.join(broadcast(buckets), Seq("b"))
         .withColumn("micro", floor(
           (log((col("ct") + 1) / (col("nt") + 256)) -

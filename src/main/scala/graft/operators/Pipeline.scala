@@ -108,6 +108,15 @@ object Pipeline {
     // merges k×partitions rows) — the distributed form of the weighted
     // reservoir, with no shuffle and no global sort.
     "q_sample_weighted" -> ((s, d) => {
+      // KNOWN LIBM BOUNDARY (same class as q_dsir_weight): -ln(u) runs
+      // on each engine's libm before the ×10⁹ floor, and u's domain
+      // (2³¹ hash values) is far too large for the shared-literal-table
+      // recipe. PipelineSpec's divergence guard recomputes every doc's
+      // key at all three fixture SFs and asserts a ≥ 10⁻⁵ gap to the
+      // nearest floor boundary — ~50× the worst cross-libm drift
+      // (≤ |ln u|·4ulp·10⁹/n_chars ≈ 2·10⁻⁷), measured ≥ 1.1·10⁻⁴ —
+      // so an engine ln() disagreement cannot flip key_nano here, and
+      // a fixture change that lands near a boundary fails the spec.
       Tables.documents(s, d)
         .withColumn("u", expr(s"(${h("doc_id", A2, B2)} + 1) / ${P + 1}.0D"))
         .withColumn("key_nano", expr("CAST(floor(-ln(u) / n_chars * 1e9) AS BIGINT)"))

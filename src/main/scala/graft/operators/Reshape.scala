@@ -191,7 +191,14 @@ object Reshape {
     // One 9-key partial+final aggregate + a 1-row broadcast total.
     "q_benford" -> ((s, d) => {
       val elit = benfordMicro.mkString("array(", "L,", "L)")
+      // amounts < 1 have first significant digit 0 where the engines
+      // DIVERGE on the lookup edge (Spark element_at throws on index 0,
+      // DuckDB list[0] returns NULL) — Benford is defined on the first
+      // SIGNIFICANT digit, so the audit's domain is amounts ≥ 1, stated
+      // as an explicit filter in both plans (TPC-H totalprice is always
+      // ≥ ~900, so this guards the contract, not today's data)
       val digits = Tables.orders(s, d)
+        .filter(col("o_totalprice") >= 1)
         .select(expr(
           "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)")
           .as("digit"))
@@ -259,7 +266,7 @@ object Reshape {
       s"""WITH digits AS (
          |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
          |    CAST(count(*) AS BIGINT) AS n
-         |  FROM orders GROUP BY 1),
+         |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
          |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM digits)
          |SELECT digit, n,
          |  (n * 1000000) // total AS obs_micro,

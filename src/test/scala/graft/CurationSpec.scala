@@ -260,6 +260,44 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q_dsir_weight: every micro-nat contribution sits far from a floor boundary (libm guard)") {
+    // The one libm boundary the literal-table recipe can't cover (the
+    // count domain is corpus-scale): recompute each distinct
+    // (ct, cr, nr, nt, tf) combination the query's floor() sees, at all
+    // three fixture SFs, and assert a >= 1e-5 gap to the nearest floor
+    // boundary — ~1e5x the worst cross-libm divergence, so engine ln()
+    // disagreement can never flip a quantized contribution on these
+    // fixtures, and a fixture change that gets close fails HERE, not as
+    // an oracle hash flake.
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), explode(expr("split(text, ' ')")).as("t"))
+        .withColumn("b", expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 256"))
+      val tf = toks.groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("tf"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      val buckets = tf.groupBy(col("b")).agg(
+        sum(col("tf")).as("cr"),
+        sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("ct"))
+        .withColumn("nr", sum(col("cr")).over(wAll))
+        .withColumn("nt", sum(col("ct")).over(wAll))
+      val combos = tf.join(buckets, Seq("b"))
+        .select(col("ct"), col("cr"), col("nr"), col("nt"), col("tf"))
+        .distinct().collect()
+      assert(combos.nonEmpty)
+      val minDist = combos.map { r =>
+        val (ct, cr, nr, nt, tfv) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        val x = (math.log((ct + 1).toDouble / (nt + 256)) -
+          math.log((cr + 1).toDouble / (nr + 256))) * tfv * 1e4 + 0.5
+        math.min(x - math.floor(x), math.ceil(x) - x)
+      }.min
+      assert(minDist > 1e-5,
+        s"$dir: a dsir micro-nat contribution sits $minDist from a floor boundary — " +
+          "cross-engine libm divergence could flip it; re-derive the fixture or re-quantize")
+    }
+  }
+
   test("word_window_hashes: positional parity with the per-offset HOF form") {
     graft.functions.VectorFunctions.register(spark)
     import org.apache.spark.sql.functions._

@@ -268,4 +268,29 @@ class PipelineSpec extends SparkSpec {
       assert(badClusters === 0, "cluster_id must be the component minimum, with exactly one canonical")
     } finally labels.unpersist()
   }
+
+  test("q_sample_weighted: every key_nano sits far from a floor boundary (libm guard)") {
+    // -ln(u) consults each engine's libm on 2^31 possible hash inputs —
+    // no literal table can cover it (the q_dsir_weight guard recipe):
+    // recompute each doc's key at all three fixture SFs and assert a
+    // >= 1e-5 gap to the nearest floor boundary, ~50x the worst
+    // cross-libm divergence, so engine ln() disagreement can never
+    // flip a key (neither the reported key_nano nor top-100
+    // membership) on these fixtures.
+    val (a2, b2, p) = (1803301271L, 592394837L, 2147483647L)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = Tables.documents(spark, dir)
+        .select($"doc_id", $"n_chars").collect()
+      assert(docs.nonEmpty)
+      val minDist = docs.map { r =>
+        val (id, nc) = (r.getLong(0), r.getLong(1))
+        val u = ((a2 * (id % p) + b2) % p + 1).toDouble / (p + 1)
+        val x = -math.log(u) / nc * 1e9
+        math.min(x - math.floor(x), math.ceil(x) - x)
+      }.min
+      assert(minDist > 1e-5,
+        s"$dir: a weighted-sample key sits $minDist from a floor boundary — " +
+          "cross-engine libm divergence could flip it")
+    }
+  }
 }

@@ -115,4 +115,25 @@ class PropertiesSpec extends SparkSpec {
     assert(got == expected,
       s"extra=${got.keySet -- expected.keySet} missing=${expected.keySet -- got.keySet}")
   }
+
+  test("fixture bound: no document exceeds 127 tokens (load-bearing for the 128-range oracles)") {
+    // Three oracle constructions silently assume this bound: q_textrank
+    // and q_bigram_lm enumerate adjacent token pairs from
+    // unnest(range(1, 128)) — a 128-token doc would be silently
+    // truncated on the DuckDB side only — and q_entropy's 128-entry
+    // shared ln table is indexed by per-doc token counts (element_at
+    // past the end would null out). The Spark sides are uncapped, so a
+    // fixture regeneration with longer docs would surface as opaque
+    // oracle hash mismatches; fail HERE with a name instead.
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val maxTokens = Tables.documents(spark, dir)
+        .select(size(split(col("text"), " ")).as("n"))
+        .agg(max(col("n"))).head().getInt(0)
+      assert(maxTokens <= 127,
+        s"$dir: a document has $maxTokens tokens — the range(1, 128) oracle " +
+          "enumerations (q_textrank, q_bigram_lm) and q_entropy's 128-entry " +
+          "ln table no longer cover the fixture")
+    }
+  }
 }
