@@ -108,8 +108,15 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_before":${passLoads(0)},"loadavg_after":${passLoads(passes)}}"""
+    // A failed query reports -1.0 per-query; summing that sentinel into
+    // the total would make a broken run (38 failures in round 6) look
+    // FASTER than a fully-passing one. Total covers passing queries
+    // only, and the failures are named explicitly so cross-round totals
+    // are only compared over the same passing set.
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed_count":${failed.size},"failed":$failedJson,"loadavg_before":${passLoads(0)},"loadavg_after":${passLoads(passes)}}"""
     println(summary)
     // The driver keeps only the tail of bench stdout, so the full
     // artifact (every per-pass time, not just the min) is also written
@@ -120,7 +127,7 @@ object Bench {
         val best = results(i)._2
         s"\"" + name + s"\":{\"passes\":$ts,\"min\":$best}"
       }.mkString("{", ",", "}")
-      s"""{"sf":"$sfDir","cpus":$cpus,"passes":$passes,"total_min":$total,"loadavg_per_pass":${passLoads.mkString("[", ",", "]")},"loadavg_gate":$gate,"discarded_passes":${maxRetries - retriesLeft},"loadavg_history":${loadHistory.mkString("[", ",", "]")},"queries":$perQuery}"""
+      s"""{"sf":"$sfDir","cpus":$cpus,"passes":$passes,"total_min":$total,"failed_count":${failed.size},"failed":$failedJson,"loadavg_per_pass":${passLoads.mkString("[", ",", "]")},"loadavg_gate":$gate,"discarded_passes":${maxRetries - retriesLeft},"loadavg_history":${loadHistory.mkString("[", ",", "]")},"queries":$perQuery}"""
     }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(

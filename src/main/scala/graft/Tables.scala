@@ -21,16 +21,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as raw nanos (legacy conf) and
-    * truncate to a microsecond timestamp — exactly what DuckDB does on
-    * the oracle side, so values stay comparable. Integer DIV keeps full
-    * precision (a double division would lose bits above 2^53).
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (older
+    * driver drops) and TIMESTAMP(MICROS) (current drops). Spark's
+    * vectorized reader rejects nanos outright, so we always set the
+    * legacy nanos-as-long conf and branch on what actually loaded:
+    * a LongType `ts` is raw nanos → truncate to a microsecond
+    * timestamp (integer DIV keeps full precision; a double division
+    * would lose bits above 2^53 — same truncation DuckDB applies on
+    * the oracle side); a TimestampType `ts` is already micros → pass
+    * through unchanged.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Micros files load as TIMESTAMP_NTZ; downstream operators (and
+        // the nanos branch above) expect TimestampType. The session
+        // timezone is pinned UTC, so this cast relabels without shifting
+        // any instant — identical values to what DuckDB reads.
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -18,13 +18,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that fails at plan/build time must NOT silently vanish
+    // from the correctness artifact (round 6: 38 events queries threw
+    // at analysis and the round's CORRECTNESS json simply had 140
+    // entries instead of 176 — all green). Two defenses: (1) write an
+    // explicit error-marker parquet under the query's output dir so any
+    // downstream compare sees a red row, not an omission; (2) dump
+    // verify_errors.json + a loud end-of-run summary.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
+        try {
+          import spark.implicits._
+          Seq(s"VERIFY_ERROR $msg").toDF("__verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +57,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (errors.nonEmpty) {
+      System.err.println(
+        s"[verify] ${errors.size} QUERIES FAILED: ${errors.keys.mkString(", ")}")
+      println(s"[verify] FAILED=${errors.size}")
+    }
     spark.stop()
   }
 }
