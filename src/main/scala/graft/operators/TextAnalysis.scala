@@ -112,39 +112,25 @@ object TextAnalysis {
     // is standard practice when determinism matters and costs little:
     // self-pair merges are rare early in real training.
     "q_bpe_train" -> ((s, d) => {
-      val wf = Tables.documents(s, d)
-        .select(explode(expr(toks)).as("t"))
-        .filter(col("t") =!= "")
-        .groupBy(col("t")).agg(count(lit(1)).as("freq"))
-      var words = wf.withColumn("syms", expr(
-        "transform(sequence(1, length(t)), i -> substring(t, i, 1))"))
-        .select(col("t"), col("freq"), col("syms"))
-        .persist()
-      var merges: Seq[org.apache.spark.sql.DataFrame] = Nil
-      for (r <- 1 to 5) {
-        val counts = words.filter(size(col("syms")) >= 2)
-          .select(col("freq"), explode(expr(
-            """transform(sequence(1, size(syms) - 1), i ->
-              |  struct(element_at(syms, i) AS x, element_at(syms, i + 1) AS y))""".stripMargin)).as("p"))
-          .filter(col("p.x") =!= col("p.y"))
-          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-          .agg(sum(col("freq")).as("n"))
-        val best = counts.orderBy(col("n").desc, col("x"), col("y")).limit(1)
-        merges = merges :+ best.select(lit(r).as("round"), col("x"), col("y"),
-          concat(col("x"), col("y")).as("merged"), col("n"))
-        words = words
-          .crossJoin(broadcast(best.select(col("x").as("mx"), col("y").as("my"))))
-          .withColumn("syms", expr(
-            """transform(
-              |  filter(sequence(1, size(syms)), i ->
-              |    NOT(i > 1 AND element_at(syms, i - 1) = mx AND element_at(syms, i) = my)),
-              |  i -> IF(element_at(syms, i) = mx AND i < size(syms)
-              |            AND element_at(syms, i + 1) = my,
-              |          concat(mx, my), element_at(syms, i)))""".stripMargin))
-          .select(col("t"), col("freq"), col("syms"))
-          .persist()
-      }
+      val (merges, _) = bpeLoop(s, d)
       merges.reduce(_ unionByName _).orderBy(col("round"))
+    }),
+
+    // BPE ENCODING — applying the learned merge table to segment text,
+    // the inference half of the tokenizer whose training half is
+    // q_bpe_train. Output is the word → piece-sequence map over the
+    // corpus vocabulary after all 5 merges: the exact table a runtime
+    // tokenizer would broadcast to encode a 100 TB corpus map-side
+    // (encode shuffles the corpus ONCE into word grain; every merge
+    // application is then vocab-scale, and re-attaching pieces to
+    // documents is a broadcast join of this table — text never carries
+    // through the merge rounds).
+    "q_bpe_encode" -> ((s, d) => {
+      val (_, words) = bpeLoop(s, d)
+      words.select(col("t"),
+        array_join(col("syms"), " ").as("encoded"),
+        size(col("syms")).cast("long").as("n_pieces"))
+        .orderBy(col("t"))
     }),
 
     // Vocabulary coverage curve — the tokenizer-sizing diagnostic:
@@ -574,13 +560,59 @@ object TextAnalysis {
       |  len(list_filter(string_split(text, ' '), t -> t IN ('el','los','y'))) AS m_es
       | FROM documents)""".stripMargin
 
+  /** Shared 5-round BPE merge-training loop (Sennrich et al. 2016):
+    * returns (per-round winning-merge frames, final word table with
+    * merged symbol sequences). q_bpe_train reports the merge table;
+    * q_bpe_encode reports the final word → piece-sequence map. See the
+    * q_bpe_train registration comment for the full scale posture and
+    * the x ≠ y determinism restriction.
+    */
+  private def bpeLoop(s: SparkSession, d: String)
+      : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
+    val wf = Tables.documents(s, d)
+      .select(explode(expr(toks)).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+    var words = wf.withColumn("syms", expr(
+      "transform(sequence(1, length(t)), i -> substring(t, i, 1))"))
+      .select(col("t"), col("freq"), col("syms"))
+      .persist()
+    var merges: Seq[org.apache.spark.sql.DataFrame] = Nil
+    for (r <- 1 to 5) {
+      val counts = words.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1), i ->
+            |  struct(element_at(syms, i) AS x, element_at(syms, i + 1) AS y))""".stripMargin)).as("p"))
+        .filter(col("p.x") =!= col("p.y"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("freq")).as("n"))
+      val best = counts.orderBy(col("n").desc, col("x"), col("y")).limit(1)
+      merges = merges :+ best.select(lit(r).as("round"), col("x"), col("y"),
+        concat(col("x"), col("y")).as("merged"), col("n"))
+      words = words
+        .crossJoin(broadcast(best.select(col("x").as("mx"), col("y").as("my"))))
+        .withColumn("syms", expr(
+          """transform(
+            |  filter(sequence(1, size(syms)), i ->
+            |    NOT(i > 1 AND element_at(syms, i - 1) = mx AND element_at(syms, i) = my)),
+            |  i -> IF(element_at(syms, i) = mx AND i < size(syms)
+            |            AND element_at(syms, i + 1) = my,
+            |          concat(mx, my), element_at(syms, i)))""".stripMargin))
+        .select(col("t"), col("freq"), col("syms"))
+        .persist()
+    }
+    (merges, words)
+  }
+
   /** q_bpe_train oracle: the same 5 unrolled merge rounds as the Spark
     * plan, each round a (pair-count, argmax, apply) CTE triple. The
     * winning merge enters the next round's lambdas via a FROM-scope
     * cross join (DuckDB lambdas see cross-joined 1-row tables, but not
-    * correlated-subquery outers).
+    * correlated-subquery outers). `tail` selects what the caller
+    * reports: the merge table (q_bpe_train) or the final word table
+    * (q_bpe_encode).
     */
-  private def bpeTrainOracle: String = {
+  private def bpeOracle(tail: String): String = {
     val rounds = (1 to 5).map { r =>
       s"""c$r AS (
          |  SELECT p.x AS x, p.y AS y, CAST(sum(freq) AS BIGINT) AS n
@@ -597,19 +629,27 @@ object TextAnalysis {
          |            m.x || m.y, syms[i])) AS syms
          |  FROM w${r - 1}, m$r m)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to 5).map(r =>
-      s"SELECT $r AS round, x, y, x || y AS merged, n FROM m$r").mkString("\nUNION ALL ")
     s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
        |wf AS (SELECT t, CAST(count(*) AS BIGINT) AS freq FROM tok WHERE t <> '' GROUP BY t),
        |w0 AS (SELECT t, freq,
        |  list_transform(range(1, length(t) + 1), i -> substring(t, i, 1)) AS syms FROM wf),
        |$rounds
-       |$out
-       |ORDER BY round""".stripMargin
+       |$tail""".stripMargin
   }
+
+  private def bpeTrainOracle: String = bpeOracle(
+    (1 to 5).map(r =>
+      s"SELECT $r AS round, x, y, x || y AS merged, n FROM m$r")
+      .mkString("\nUNION ALL ") + "\nORDER BY round")
+
+  private def bpeEncodeOracle: String = bpeOracle(
+    """SELECT t, array_to_string(syms, ' ') AS encoded,
+      |  CAST(len(syms) AS BIGINT) AS n_pieces
+      |FROM w5 ORDER BY t""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle,
+    "q_bpe_encode" -> bpeEncodeOracle,
 
     "q_vocab_coverage" ->
       """WITH tf AS (

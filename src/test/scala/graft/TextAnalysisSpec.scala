@@ -220,4 +220,31 @@ class TextAnalysisSpec extends SparkSpec {
     // involving the merged symbol is bounded by the merge's own count)
     assert(got.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
+
+  test("q_bpe_encode: piece map matches a driver-side application of the learned merges") {
+    val merges = TextAnalysis.queries("q_bpe_train")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    def encode(t: String): Vector[String] = {
+      var syms = t.map(_.toString).toVector
+      merges.foreach { case (x, y) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+            out += x + y; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toVector
+      }
+      syms
+    }
+    val vocab = Tables.documents(spark, sf).select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty).distinct.sorted.toSeq
+    val expected = vocab.map(t => (t, encode(t).mkString(" "), encode(t).length.toLong))
+    val got = TextAnalysis.queries("q_bpe_encode")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // every piece concatenation reconstructs its word exactly
+    assert(got.forall { case (t, enc, _) => enc.replace(" ", "") == t })
+  }
 }
