@@ -179,6 +179,77 @@ object Graph {
         .orderBy(col("node_id"))
     }),
 
+    // Connected components via the ALTERNATING large-star / small-star
+    // algorithm (Kiveris et al. 2014, "Connected Components in
+    // MapReduce and Beyond") — the canonical petabyte-scale CC, and
+    // the step that turns near-dup candidate PAIRS into dedup
+    // CLUSTERS. Min-label propagation (q_dedup_cluster's recipe)
+    // needs O(diameter) rounds — a 100 TB web graph has long chains —
+    // while the alternating algorithm converges in O(log² n) rounds
+    // regardless of diameter. Per half-round, at each node u with
+    // neighborhood Γ(u) and m = min(Γ(u) ∪ {u}):
+    //  - LARGE-STAR rewires every strictly-LARGER neighbor to m;
+    //  - SMALL-STAR rewires every ≤-neighbor and u itself to m.
+    // The fixed point is one star per component rooted at the
+    // component's min id — the component label.
+    //
+    // Scale posture: each half-round is one groupBy(u).min plus one
+    // equi-join back on u — shuffles carry (BIGINT, BIGINT) edges
+    // only, and the edge set shrinks monotonically toward one edge
+    // per non-root node, so late rounds are node-scale. The round
+    // count is FIXED (3 pairs): convergence on the fixture graph is
+    // pinned by the union-find spec (GraphLearnSpec), and the oracle
+    // replays the identical 6 half-rounds, so the compare is exact
+    // by construction even where convergence isn't re-proven.
+    "q_concomp" -> ((s, d) => {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val lineitem = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val base = orders
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+      val nodes = base
+        .select(explode(array(col("u"), col("v"))).as("node_id")).distinct()
+        .persist()
+      var edges = base.persist()
+      for (_ <- 1 to Iters) {
+        // Large-star: orient each undirected edge both ways map-side,
+        // take per-u min over the neighborhood (and u), rewire larger
+        // neighbors. The distinct collapses the rewired multiset back
+        // to a set so round cost tracks the shrinking edge set.
+        val dl = edges.select(explode(array(
+            struct(col("u"), col("v")),
+            struct(col("v").as("u"), col("u").as("v")))).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+        val ml = dl.groupBy(col("u")).agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        val el = dl.join(ml, "u").filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v")).distinct()
+        // Small-star over the large-star output: rewire the ≤ side
+        // (and u itself) to the neighborhood min; self-loops drop.
+        val ds = el.select(explode(array(
+            struct(col("u"), col("v")),
+            struct(col("v").as("u"), col("u").as("v")))).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+        val ms = ds.groupBy(col("u")).agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        edges = ds.join(ms, "u").filter(col("v") <= col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(ms.select(col("u"), col("m").as("v")))
+          .filter(col("u") =!= col("v")).distinct()
+          .persist()
+      }
+      // Converged edges are (child → root); roots label themselves.
+      nodes
+        .join(edges.select(col("u").as("node_id"), col("v").as("root")),
+          Seq("node_id"), "left")
+        .select(col("node_id"),
+          when(col("node_id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+          coalesce(col("root"), col("node_id")).as("comp"))
+        .distinct()
+        .orderBy(col("node_id"))
+    }),
+
     // Triangle counting over the co-purchase graph (parts bought in the
     // same order) — the clustering-coefficient primitive behind
     // community detection and graph-quality audits. Compact-forward
@@ -417,6 +488,44 @@ object Graph {
          |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  label AS community
          |FROM l3 ORDER BY node_id""".stripMargin
+    },
+
+    "q_concomp" -> {
+      // One large-star + small-star pair, replayed identically to the
+      // Spark loop: dl/ds both-direction orientations, ml/ms
+      // neighborhood mins, el the rewired larger side, e{next} the
+      // rewired ≤ side ∪ the self pointers, minus self-loops.
+      // Every CTE is AS MATERIALIZED: each round references its
+      // predecessor ~24 times transitively, so DuckDB's default
+      // inlining would expand e3 into ~24³ scans of the base join —
+      // it exhausted the process fd limit before it could finish.
+      def ccRound(prev: String, r: Int): String =
+        s"""dl$r AS MATERIALIZED (SELECT u, v FROM $prev UNION SELECT v AS u, u AS v FROM $prev),
+           |ml$r AS MATERIALIZED (SELECT u, LEAST(u, MIN(v)) AS m FROM dl$r GROUP BY u),
+           |el$r AS MATERIALIZED (
+           |  SELECT DISTINCT d.v AS u, m.m AS v
+           |  FROM dl$r d JOIN ml$r m ON d.u = m.u WHERE d.v > d.u),
+           |ds$r AS MATERIALIZED (SELECT u, v FROM el$r UNION SELECT v AS u, u AS v FROM el$r),
+           |ms$r AS MATERIALIZED (SELECT u, LEAST(u, MIN(v)) AS m FROM ds$r GROUP BY u),
+           |e$r AS MATERIALIZED (
+           |  SELECT DISTINCT u, v FROM (
+           |    SELECT d.v AS u, m.m AS v
+           |    FROM ds$r d JOIN ms$r m ON d.u = m.u WHERE d.v <= d.u
+           |    UNION ALL SELECT u, m AS v FROM ms$r) q
+           |  WHERE u <> v)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |nodes AS MATERIALIZED (SELECT DISTINCT u AS node_id FROM
+         |  (SELECT u FROM e0 UNION ALL SELECT v FROM e0)),
+         |${ccRound("e0", 1)},
+         |${ccRound("e1", 2)},
+         |${ccRound("e2", 3)}
+         |SELECT DISTINCT n.node_id,
+         |  CASE WHEN n.node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         |  COALESCE(e.v, n.node_id) AS comp
+         |FROM nodes n LEFT JOIN e3 e ON n.node_id = e.u
+         |ORDER BY node_id""".stripMargin
     },
 
     "q_textrank" ->

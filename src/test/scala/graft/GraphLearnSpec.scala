@@ -113,6 +113,34 @@ class GraphLearnSpec extends SparkSpec {
       s"top-${got.length} mismatch: got ${got.take(3).toSeq} vs ${expected.take(3)}")
   }
 
+  test("q_concomp: labels equal an independent union-find (convergence at fixture scale)") {
+    // Driver-side ground truth: union-find over the same bipartite
+    // trade edges; expected label = min node id of each component —
+    // exactly the alternating algorithm's fixed point, so equality
+    // also proves the 3 unrolled rounds CONVERGED on this graph.
+    val edges = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .selectExpr("o_custkey * 2 AS u", "l_suppkey * 2 + 1 AS v")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val nodes = edges.flatMap { case (u, v) => Seq(u, v) }.distinct
+    val expected = nodes.map(n => (n, find(n))).sortBy(_._1).toSeq
+    val got = Graph.queries("q_concomp")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got === expected)
+    // sanity: the label really is a member of its own component
+    assert(got.forall { case (_, c) => find(c) == c })
+  }
+
   test("q_community: labels are reachable node ids and propagation merges communities") {
     val rows = Graph.queries("q_community")(spark, sf).collect()
     assert(rows.nonEmpty)
