@@ -193,14 +193,24 @@ object Graph {
     // The fixed point is one star per component rooted at the
     // component's min id — the component label.
     //
-    // Scale posture: each half-round is one groupBy(u).min plus one
-    // equi-join back on u — shuffles carry (BIGINT, BIGINT) edges
-    // only, and the edge set shrinks monotonically toward one edge
-    // per non-root node, so late rounds are node-scale. The round
-    // count is FIXED (3 pairs): convergence on the fixture graph is
-    // pinned by the union-find spec (GraphLearnSpec), and the oracle
-    // replays the identical 6 half-rounds, so the compare is exact
-    // by construction even where convergence isn't re-proven.
+    // Scale posture: each half-round is ONE shuffle — the
+    // neighborhood min comes from a whole-partition window over the
+    // same u-shuffle the rewire reads (the q_pagerank degree trick;
+    // a groupBy+join-back pays a second shuffle or a persist to keep
+    // the lineage linear) — plus one distinct that collapses the
+    // rewired multiset, both carrying (BIGINT, BIGINT) edges only.
+    // The small-star's two emission branches (rewired ≤-neighbors and
+    // the self pointer) come out of one map-side generator, so every
+    // intermediate frame is consumed exactly once: the whole 6-half-
+    // round computation is a single linear lineage with NO persists
+    // (contrast q_bfs, whose relax step must consume its state twice
+    // per round and persists for it). The edge set shrinks
+    // monotonically toward one edge per non-root node, so late rounds
+    // are node-scale. The round count is FIXED (3 pairs): convergence
+    // on the fixture graph is pinned by the union-find spec
+    // (GraphLearnSpec), and the oracle replays the identical 6
+    // half-rounds, so the compare is exact by construction even where
+    // convergence isn't re-proven.
     "q_concomp" -> ((s, d) => {
       val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       val lineitem = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
@@ -208,36 +218,35 @@ object Graph {
         .join(lineitem, col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
         .distinct()
+        .persist() // consumed twice: node catalog + round 1
       val nodes = base
         .select(explode(array(col("u"), col("v"))).as("node_id")).distinct()
-        .persist()
-      var edges = base.persist()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+      def bothDirs(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        e.select(explode(array(
+            struct(col("u"), col("v")),
+            struct(col("v").as("u"), col("u").as("v")))).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+      var edges = base
       for (_ <- 1 to Iters) {
-        // Large-star: orient each undirected edge both ways map-side,
-        // take per-u min over the neighborhood (and u), rewire larger
-        // neighbors. The distinct collapses the rewired multiset back
-        // to a set so round cost tracks the shrinking edge set.
-        val dl = edges.select(explode(array(
-            struct(col("u"), col("v")),
-            struct(col("v").as("u"), col("u").as("v")))).as("e"))
-          .select(col("e.u").as("u"), col("e.v").as("v"))
-        val ml = dl.groupBy(col("u")).agg(min(col("v")).as("mn"))
-          .select(col("u"), least(col("u"), col("mn")).as("m"))
-        val el = dl.join(ml, "u").filter(col("v") > col("u"))
+        // Large-star: per-u neighborhood min from the window, rewire
+        // strictly-larger neighbors to it.
+        val el = bothDirs(edges)
+          .withColumn("m", least(col("u"), min(col("v")).over(w)))
+          .filter(col("v") > col("u"))
           .select(col("v").as("u"), col("m").as("v")).distinct()
-        // Small-star over the large-star output: rewire the ≤ side
-        // (and u itself) to the neighborhood min; self-loops drop.
-        val ds = el.select(explode(array(
-            struct(col("u"), col("v")),
-            struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        // Small-star: both branches emitted from one generator —
+        // (v, m) for ≤-neighbors plus the (u, m) self pointer (the
+        // per-row duplicate self pointers vanish in the distinct's
+        // map-side partial aggregation); self-loops drop.
+        edges = bothDirs(el)
+          .withColumn("m", least(col("u"), min(col("v")).over(w)))
+          .select(explode(when(col("v") <= col("u"),
+              array(struct(col("v").as("u"), col("m").as("v")),
+                struct(col("u"), col("m").as("v"))))
+            .otherwise(array(struct(col("u"), col("m").as("v"))))).as("e"))
           .select(col("e.u").as("u"), col("e.v").as("v"))
-        val ms = ds.groupBy(col("u")).agg(min(col("v")).as("mn"))
-          .select(col("u"), least(col("u"), col("mn")).as("m"))
-        edges = ds.join(ms, "u").filter(col("v") <= col("u"))
-          .select(col("v").as("u"), col("m").as("v"))
-          .unionByName(ms.select(col("u"), col("m").as("v")))
           .filter(col("u") =!= col("v")).distinct()
-          .persist()
       }
       // Converged edges are (child → root); roots label themselves.
       nodes
