@@ -56,6 +56,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges >= 2, s"expected 2 shuffles, plan:\n$p")
   }
 
+  test("q_concomp: no joins inside the rounds, bounded exchange count, no cartesian") {
+    val df = graft.operators.Graph.queries("q_concomp")(spark, sf)
+    df.collect()
+    // AQE's toString prints the Final Plan AND the Initial Plan — count
+    // operators in the final section only, or every number doubles.
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // The optimization this pins: each of the 6 half-rounds is ONE
+    // hashpartitioning exchange (the u-window) plus one distinct
+    // exchange — no join-back per half-round. Budget: 12 round
+    // exchanges + base/nodes distincts + the single final label join
+    // (+ AQE variance) ≤ 18. The first formulation (groupBy + join
+    // back + persist per half-round) blew well past this.
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 18, s"round structure regressed: $exchanges hash exchanges:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), "cartesian product in CC plan")
+    // exactly TWO equi-joins in the whole plan: the base orders⋈lineitem
+    // edge build and the final node→root label attach — NONE inside the
+    // 6 half-rounds (the window-min formulation needs no join-back)
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin"))
+    assert(joins === 2, s"expected base-edge join + final label join only, got $joins:\n${p.take(1500)}")
+  }
+
   test("q_rowid: the data-scale window is bucket-partitioned (no global sort reducer)") {
     // The whole point of the two-phase row-id: only the BUCKET-COUNT-
     // sized offset table may pass through the single-partition window;
