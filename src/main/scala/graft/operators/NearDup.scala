@@ -30,9 +30,9 @@ import graft.Tables
 object NearDup {
   type Q = (SparkSession, String) => DataFrame
 
-  private val NumHashes = 12
-  private val Bands = 4
-  private val Rows = 3 // NumHashes / Bands
+  private[graft] val NumHashes = 12
+  private[graft] val Bands = 4
+  private[graft] val Rows = 3 // NumHashes / Bands
 
   /** documents ∪ near-duplicate copies (last token dropped). */
   def corpus(s: SparkSession, d: String): DataFrame = {
@@ -126,6 +126,27 @@ object NearDup {
     val a = hashParam(j, "a"); val b = hashParam(j, "b")
     s"list_aggregate(list_transform(hs, h -> ($a * (h % $P) + $b) % $P), 'min')"
   }.mkString("[", ", ", "]")
+
+  /** The [[signaturesOf]] MinHash signature computed MAP-ONLY per row
+    * (`array_min(transform(hs, …))` instead of explode + aggregate) —
+    * same universal-hash family, same md5-derived constants, so
+    * signatures are identical to the batch form. The batch pipeline
+    * keeps the aggregate form (codegen'd, map-side partials beat the
+    * interpreted HOF at corpus scale); this row form exists for the
+    * STREAMING ingest guard (graft.streaming.DocStreams), where the
+    * signature must come out of a stateless projection — no shuffle,
+    * no aggregation state — before the watermarked dedup/state op,
+    * and per-row rates are source-bounded. Docs too short to shingle
+    * (< 3 tokens) get an empty `hs` and NULL signature entries —
+    * callers filter or pass them through unpaired.
+    */
+  def withRowSignatures(df: DataFrame): DataFrame = {
+    val sig = (0 until NumHashes).map { j =>
+      val a = hashParam(j, "a"); val b = hashParam(j, "b")
+      s"array_min(transform(hs, h -> ($a * (h % $P) + $b) % $P))"
+    }.mkString("array(", ", ", ")")
+    withHashedShingles(df).withColumn("sigs", expr(sig))
+  }
 
   /** 32-bit SimHash, bit-majority voted — all integer math, so both
     * engines agree exactly.

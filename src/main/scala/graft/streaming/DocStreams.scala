@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.NearDup
+
+/** Streaming near-duplicate suppression — the INGEST-TIME guard that
+  * keeps a document stream (a live crawl, a re-posting feed) from
+  * landing near-identical text in the corpus, within a bounded
+  * reordering window. The batch near-dup bank (q_dedup_minhash et al.)
+  * is the offline sweep; these builders are its online twin, built on
+  * the same MinHash machinery (NearDup.withRowSignatures — identical
+  * universal-hash constants, so online and offline signatures agree
+  * bit-for-bit and a doc admitted by the stream guard lands in the
+  * same LSH buckets offline).
+  *
+  * 100 TB-ingest posture: signatures are computed in a STATELESS
+  * projection (map-only, no shuffle before the stateful op), so the
+  * only streaming state is (band_key → first doc id), bounded by the
+  * watermark horizon exactly like the reference's TTL'd id-cache
+  * (main.py:53-66); document text never enters state.
+  *
+  * Builders take the source DataFrame so tests inject a MemoryStream
+  * and production passes spark.readStream — the plan is identical.
+  */
+object DocStreams {
+
+  /** One emitted candidate: the bucket's canonical (first-seen) doc
+    * and the newcomer that collided with it, with the band that
+    * matched. */
+  case class CandPair(band_key: String, a_id: Long, b_id: Long)
+
+  // public: Catalyst's generated (de)serializers cannot touch
+  // private members — janino fails at codegen, not compile, time
+  case class BandHit(band_key: String, doc_id: Long, ts: java.sql.Timestamp)
+  case class BandState(firstDoc: Long, n: Long)
+
+  /** Signature-grain streaming dedup: drops any doc whose FULL
+    * 12-hash MinHash signature was already seen within the watermark —
+    * the streaming `dropDuplicatesWithinWatermark` keyed on content
+    * (catches exact dups and token-multiset-preserving edits, the
+    * highest-similarity tier). Lower-similarity near-dups need band
+    * grain → [[lshCandidates]].
+    */
+  def signatureDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    NearDup.withRowSignatures(docs)
+      .withColumn("sig_key", concat_ws("|", col("sigs")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sig_key")
+      .select(col("doc_id"), col("ts"), col("text"))
+
+  /** Streaming LSH candidate generation: each doc's 4 band signatures
+    * key a stateful bucket; the bucket's FIRST doc becomes its
+    * canonical representative, and every later arrival emits a
+    * (canonical, newcomer) candidate pair — the online form of
+    * q_dedup_minhash's band self-join, with the self-join replaced by
+    * per-bucket state. Downstream (foreachBatch or the offline sweep)
+    * runs the exact-Jaccard verify on candidates only, exactly like
+    * the batch pipeline.
+    *
+    * Verification is against the canonical doc only (SemDeDup-style
+    * canonical pick, documented recall tradeoff vs all-pairs); state
+    * per bucket is ONE doc id + a count, expired by event-time timeout
+    * one watermark past the bucket's last activity.
+    */
+  def lshCandidates(docs: DataFrame, watermark: String = "1 hour"): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    val bands = NearDup.withRowSignatures(docs)
+      .filter(size(col("hs")) >= 1) // un-shingle-able docs can't collide
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        explode(expr(s"sequence(0, ${NearDup.Bands - 1})")).as("b"), col("sigs"))
+      .select(
+        concat(col("b"), lit(":"),
+          expr(s"concat_ws('|', slice(sigs, b * ${NearDup.Rows} + 1, ${NearDup.Rows}))")).as("band_key"),
+        col("doc_id"), col("ts"))
+    // the watermarked event-time column must survive INTO the stateful
+    // operator's input — EventTimeTimeout's analyzer check looks for it
+    // there, not just for an upstream watermark node
+    bands.as[BandHit]
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState[BandState, CandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[BandHit], state: GroupState[BandState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // deterministic within-batch order: event time, then doc id
+            val hits = rows.toSeq.sortBy(h => (h.ts.getTime, h.doc_id))
+            val out = Seq.newBuilder[CandPair]
+            var st = state.getOption
+            hits.foreach { h =>
+              st match {
+                case None => st = Some(BandState(h.doc_id, 1L))
+                case Some(s0) =>
+                  if (h.doc_id != s0.firstDoc) out += CandPair(key, s0.firstDoc, h.doc_id)
+                  st = Some(s0.copy(n = s0.n + 1))
+              }
+            }
+            state.update(st.get)
+            state.setTimeoutTimestamp(hits.map(_.ts.getTime).max, watermark)
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -223,4 +223,50 @@ class StreamingSpec extends SparkSpec {
       assert(got === Map(1L -> "gold", 2L -> "silver", 3L -> "unknown", 4L -> "gold"))
     } finally q.stop()
   }
+
+  private case class SDoc(doc_id: Long, text: String, ts: Timestamp)
+  private val textA = "the quick brown fox jumps over the lazy dog near the river bank"
+  private val textB = "completely unrelated words about spacecraft navigation telemetry systems module"
+
+  test("streaming signature dedup drops a same-signature re-post within the watermark") {
+    val input = MemoryStream[SDoc](spark)
+    val q = graft.streaming.DocStreams.signatureDedup(input.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("sigdedup_out").outputMode("append").start()
+    try {
+      input.addData(SDoc(1, textA, ts(0)))
+      q.processAllAvailable()
+      // doc 2 is a verbatim re-post (identical signature) inside the
+      // watermark → dropped; doc 3 is unrelated → admitted
+      input.addData(SDoc(2, textA, ts(5)), SDoc(3, textB, ts(6)))
+      q.processAllAvailable()
+      val got = spark.table("sigdedup_out").select($"doc_id").as[Long].collect().sorted
+      assert(got.toSeq === Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("streaming LSH candidates pair newcomers with their bucket's canonical doc only") {
+    val input = MemoryStream[SDoc](spark)
+    val q = graft.streaming.DocStreams.lshCandidates(input.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("lshcand_out").outputMode("append").start()
+    try {
+      input.addData(SDoc(1, textA, ts(0)), SDoc(3, textB, ts(1)))
+      q.processAllAvailable()
+      // doc 2 duplicates doc 1 → collides in all 4 band buckets, each
+      // bucket pairing it with its canonical (first-seen) doc 1; no
+      // bucket pairs it with the unrelated doc 3
+      input.addData(SDoc(2, textA, ts(10)))
+      q.processAllAvailable()
+      val after2 = spark.table("lshcand_out")
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSeq
+      assert(after2.toSet === Set((1L, 2L)), s"got $after2")
+      assert(after2.size === 4, s"expected one pair per band, got $after2")
+      // doc 4 re-posts the same text later (still in watermark): pairs
+      // with the CANONICAL doc 1, not with doc 2
+      input.addData(SDoc(4, textA, ts(20)))
+      q.processAllAvailable()
+      val after4 = spark.table("lshcand_out")
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSeq
+      assert(after4.toSet === Set((1L, 2L), (1L, 4L)), s"got $after4")
+    } finally q.stop()
+  }
 }
