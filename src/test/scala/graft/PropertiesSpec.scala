@@ -72,6 +72,25 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: row-form MinHash signatures equal the batch aggregate form") {
+    // DocStreams' streaming guard uses the map-only per-row signature
+    // (array_min ∘ transform); the batch pipeline uses explode +
+    // aggregate. Same constants ⇒ must be bit-identical on every doc —
+    // this is what makes an online-admitted doc land in the same LSH
+    // buckets offline.
+    val docs = graft.operators.NearDup.corpus(spark, sf)
+    val hsh = graft.operators.NearDup.withHashedShingles(docs)
+    val agg = graft.operators.NearDup.signaturesOf(hsh)
+      .select(col("doc_id"), col("sigs"))
+    val row = graft.operators.NearDup.withRowSignatures(docs)
+      .filter(size(col("hs")) >= 1)
+      .select(col("doc_id"), col("sigs"))
+    val a = agg.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = row.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("property: array_join ∘ split round-trip on label CSVs") {
     val labels = Gen.listOfN(5, Gen.oneOf("INBOX", "SENT", "TRASH", "SPAM", "STARRED"))
     forAll(labels) { ls =>
