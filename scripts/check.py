@@ -69,6 +69,14 @@ def main():
             got_rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = list(got_rel.columns)
+            if got_cols == ["__verify_error"]:
+                # graft.Verify writes this marker when the query threw at
+                # plan/build time — surface the original error, don't
+                # report a confusing column mismatch
+                msg = got_rel.fetchall()[0][0]
+                print(f"FAIL {name}: query failed in Verify: {msg}")
+                n_fail += 1
+                continue
             exp_rel = con.sql(sql)
             exp_cols = list(exp_rel.columns)
             if sorted(c.lower() for c in got_cols) != sorted(

@@ -56,6 +56,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges >= 2, s"expected 2 shuffles, plan:\n$p")
   }
 
+  test("no query plans a CartesianProduct (every cross join must be broadcast-sized)") {
+    // Blanket scale-safety net over the whole surface: the deliberate
+    // crossJoins in the bank are 1-row broadcast totals and must plan
+    // as BroadcastNestedLoopJoin; a CartesianProduct anywhere means a
+    // data×data cross slipped in (at 100 TB that is a non-starter).
+    // Physical planning only — nothing executes, so the sweep stays
+    // cheap at 180 queries.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val p = fn(spark, sf).queryExecution.sparkPlan.toString
+        if (p.contains("CartesianProduct")) Some(name) else None
+      } catch { case e: Throwable => Some(s"$name (plan failed: ${e.getMessage.take(80)})") }
+    }
+    assert(offenders.isEmpty, s"cartesian or unplannable queries: $offenders")
+  }
+
   test("q_concomp: no joins inside the rounds, bounded exchange count, no cartesian") {
     val df = graft.operators.Graph.queries("q_concomp")(spark, sf)
     df.collect()
