@@ -149,6 +149,34 @@ object Learn {
         .select(col("n_pos"), col("n_neg"), col("auc_num"), col("auc"))
     }),
 
+    // Calibration (reliability) table of the quality classifier as an
+    // English detector — the companion diagnostic to q_auc: AUC says
+    // the RANKING is good, calibration says whether the SCORES mean
+    // what a downstream threshold assumes (fastText-style quality
+    // filters are used exactly that way: "keep if score > t"). Docs
+    // bucket into fixed 2k-milli score bins; per bin, count, positive
+    // count, exact integer score sum and positive rate in micro-units.
+    // INTEGER-EXACT throughout: scores are shifted by +128000 before
+    // the truncating bin division — the PropertiesSpec fixture bound
+    // (≤127 tokens ⇒ |score| ≤ 127000) makes the shifted score
+    // non-negative, where Spark's DIV and DuckDB's // agree (they
+    // truncate differently on negatives). One partial+final aggregate
+    // over (bin, pos); nothing collects, text never shuffles.
+    "q_calibration" -> ((s, d) => {
+      val warr = weights.mkString("array(", "L,", "L)")
+      Tables.documents(s, d)
+        .withColumn("sc", expr(
+          s"aggregate(split(text, ' '), 0L, (acc, t) -> " +
+            s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
+        .select(expr("(sc + 128000) DIV 2000").as("bin"), col("sc"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+          sum(col("sc")).as("sum_score_milli"))
+        .withColumn("pos_rate_micro", expr("(n_pos * 1000000) DIV n"))
+        .orderBy(col("bin"))
+    }),
+
     // Embedding outlier report — distance-to-centroid, the standard
     // training-data cleaning signal (mislabeled / out-of-distribution
     // vectors sit far from the corpus mean). Centroid = per-dimension
@@ -530,6 +558,22 @@ object Learn {
          |      t -> (($duckBucket * 2654435761) % 1000003) % 2001 - 1000)) AS BIGINT) AS score_milli
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_calibration" ->
+      s"""WITH scored AS (
+         |  SELECT CAST(list_sum(list_transform(string_split(text, ' '),
+         |      t -> (($duckBucket * 2654435761) % 1000003) % 2001 - 1000)) AS BIGINT) AS sc,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents)
+         |SELECT bin, n, n_pos, sum_score_milli,
+         |  (n_pos * 1000000) // n AS pos_rate_micro
+         |FROM (
+         |  SELECT (sc + 128000) // 2000 AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |    CAST(SUM(sc) AS BIGINT) AS sum_score_milli
+         |  FROM scored GROUP BY bin)
+         |ORDER BY bin""".stripMargin,
 
     "q_auc" ->
       s"""WITH scored AS (

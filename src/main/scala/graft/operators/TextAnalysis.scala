@@ -133,6 +133,25 @@ object TextAnalysis {
         .orderBy(col("t"))
     }),
 
+    // Per-document token counts UNDER the trained BPE — the number a
+    // token-budget planner actually needs (q_token_budget counts
+    // whitespace words; real budgets are subword counts). The doc →
+    // count step is the 100 TB shape: the vocab-grain piece map from
+    // the training loop broadcasts into a map-side join against the
+    // exploded corpus — the corpus shuffles once into the per-doc
+    // aggregate and the merge rounds never see it.
+    "q_bpe_tokens" -> ((s, d) => {
+      val (_, words) = bpeLoop(s, d)
+      val pieces = words.select(col("t"), size(col("syms")).cast("long").as("np"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(toks)).as("t"))
+        .filter(col("t") =!= "")
+        .join(broadcast(pieces), "t")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("np")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Vocabulary coverage curve — the tokenizer-sizing diagnostic:
     // what fraction of corpus token OCCURRENCES do the top-k vocab
     // entries cover? (Drives the vocab-size / OOV-rate tradeoff when
@@ -647,9 +666,18 @@ object TextAnalysis {
       |  CAST(len(syms) AS BIGINT) AS n_pieces
       |FROM w5 ORDER BY t""".stripMargin)
 
+  private def bpeTokensOracle: String = bpeOracle(
+    """SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(len(w.syms)) AS BIGINT) AS bpe_tokens
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) d
+      |JOIN w5 w ON d.t = w.t
+      |WHERE d.t <> ''
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
+    "q_bpe_tokens" -> bpeTokensOracle,
 
     "q_vocab_coverage" ->
       """WITH tf AS (
