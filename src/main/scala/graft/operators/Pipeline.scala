@@ -213,6 +213,46 @@ object Pipeline {
         .orderBy(col("shard"), col("pack_offset"))
     }),
 
+    // FIRST-FIT-DECREASING sequence packing (Krell et al. 2021,
+    // "Efficient Sequence Packing without Cross-contamination") — the
+    // padding-minimizing alternative to q_pack_sequences'
+    // concat-and-chunk: documents are NEVER split across context
+    // windows; each window holds whole docs and the FFD heuristic
+    // bounds waste (≤ 11/9·OPT + 1 bins). Greedy FFD is inherently
+    // sequential, so it runs per SHARD via flatMapGroups — the
+    // imperative per-key tier (q_grouped_map precedent), used exactly
+    // where no window/aggregate can express the semantics. At 100 TB
+    // the shards ≫ reducers rule (shardCount) bounds each group:
+    // a shard's (doc_id, n_tokens) pairs are 16 bytes/doc — the text
+    // itself never enters the group iterator. No SQL oracle (the
+    // greedy loop isn't SQL-expressible): pinned by PipelineSpec
+    // against an independent FFD reimplementation + validity
+    // invariants; rows-only checked by the driver.
+    "q_pack_ffd" -> ((s, d) => {
+      import s.implicits._
+      val cap = 128L
+      val shards = shardCount(s)
+      Tables.documents(s, d)
+        .selectExpr("doc_id", s"${h("doc_id", A1, B1)} % $shards AS shard",
+          "cast(size(split(text, ' ')) as bigint) AS n_tokens")
+        .as[(Long, Long, Long)]
+        .groupByKey(_._2)
+        .flatMapGroups { (shard: Long, rows: Iterator[(Long, Long, Long)]) =>
+          // FFD: place each doc (longest first, doc_id tiebreak) into
+          // the first bin with room; open a new bin when none fits.
+          val docs = rows.toSeq.sortBy { case (id, _, n) => (-n, id) }
+          val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+          docs.iterator.map { case (id, _, n) =>
+            var b = fills.indexWhere(_ + n <= cap)
+            if (b < 0) { fills += 0L; b = fills.length - 1 }
+            fills(b) += n
+            (id, shard, b.toLong, n)
+          }
+        }
+        .toDF("doc_id", "shard", "bin_id", "n_tokens")
+        .orderBy(col("doc_id"))
+    }),
+
     // Scalable global row numbering: training pipelines need a dense
     // 0..N-1 example id (shard manifests, resumable data loaders,
     // sample-without-replacement bookkeeping). The naive form —

@@ -103,6 +103,39 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q_pack_ffd: matches an independent FFD; bins respect capacity and actually pack") {
+    val cap = 128L
+    val got = Pipeline.queries("q_pack_ffd")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every doc packed exactly once, token counts true
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(got.length.toLong === nDocs)
+    val trueTokens = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "cast(size(split(text, ' ')) as bigint) AS n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, _, _, n) => assert(n === trueTokens(id)) }
+    // no bin over capacity
+    val fills = got.groupBy(r => (r._2, r._3)).view.mapValues(_.map(_._4).sum).toMap
+    assert(fills.values.forall(_ <= cap), s"overfull bin: ${fills.filter(_._2 > cap)}")
+    // independent FFD replay per shard (trusting only the shard split
+    // and token counts from the output, both pinned above)
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val order = rows.map(r => (r._1, r._4)).sortBy { case (id, n) => (-n, id) }
+      val fills2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val expected = order.map { case (id, n) =>
+        var b = fills2.indexWhere(_ + n <= cap)
+        if (b < 0) { fills2 += 0L; b = fills2.length - 1 }
+        fills2(b) += n
+        id -> b.toLong
+      }.toMap
+      rows.foreach { case (id, _, bin, _) =>
+        assert(bin === expected(id), s"doc $id bin mismatch")
+      }
+    }
+    // packing packs: strictly fewer bins than docs
+    assert(fills.size < got.length)
+  }
+
   test("domain cap keeps min(10, n) docs per source, chosen by hash not arrival") {
     val capped = Pipeline.queries("q_domain_cap")(spark, sf).cache()
     try {
