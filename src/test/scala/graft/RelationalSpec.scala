@@ -14,7 +14,7 @@ class RelationalSpec extends SparkSpec {
     * dedicated spec pins their behavior.
     */
   private val oracleExempt = Set("q_simsearch_lsh", "q_approx_stats", "q_hll_union",
-    "q_mixture_approx", "q_compress_ratio", "q_tokenize")
+    "q_mixture_approx", "q_compress_ratio", "q_tokenize", "q_pack_ffd")
 
   test("every declared query has an oracle or is explicitly exempt") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- oracleExempt
