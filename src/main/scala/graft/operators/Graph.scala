@@ -361,6 +361,41 @@ object Graph {
         .limit(20)
     }),
 
+    // k-CORE PEELING (Seidman 1983; Batagelj–Zaveršnik is the serial
+    // form, iterative peeling is the distributed one) — the graph-
+    // cleaning op crawl pipelines run before centrality/sampling:
+    // nodes that can't sustain k neighbors within the surviving
+    // subgraph are spam tendrils / dead ends; the k-core is the
+    // mutually-supported part. 3 unrolled peel rounds toward the
+    // 8-core of the trade graph (bounded-round approximation, the
+    // q_pagerank stance; the exact core is the fixpoint — a synthetic
+    // cascade spec pins that the peel rule itself is exact).
+    //
+    // Scale posture: each round is TWO whole-partition window counts
+    // over the SAME both-direction edge frame (partition by u, then by
+    // v — the frame is symmetric so each gives a true degree) and a
+    // map-side filter — no join, no aggregate, shuffles carry (BIGINT,
+    // BIGINT) edges. The surviving-edge frame shrinks monotonically.
+    "q_kcore" -> ((s, d) => {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val lineitem = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val base = orders
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("dst0"))
+        .distinct()
+      val edges = base
+        .select(explode(array(
+          struct(col("u"), col("dst0").as("v")),
+          struct(col("dst0").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      kcorePeel(edges, KCoreK, Iters)
+        .groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+        .select(col("u").as("node_id"),
+          when(col("u") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+          col("core_deg"))
+        .orderBy(col("node_id"))
+    }),
+
     // Degree distribution in power-of-two buckets — the graph-quality
     // audit run before any sampling or partitioning decision (is the
     // graph power-law? where does the celebrity tail start?). The
@@ -446,6 +481,26 @@ object Graph {
     })
   )
 
+  private val KCoreK = 8
+
+  /** `rounds` peel iterations over a BOTH-DIRECTION edge frame (u, v):
+    * keep an edge only while both endpoints still have ≥ k incident
+    * surviving edges. Symmetry makes both window counts true degrees.
+    * Shared by q_kcore and the synthetic-cascade spec. */
+  private[graft] def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val wu = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    val wv = org.apache.spark.sql.expressions.Window.partitionBy(col("v"))
+    var ed = edges
+    for (_ <- 1 to rounds) {
+      ed = ed
+        .withColumn("du", count(lit(1)).over(wu))
+        .withColumn("dv", count(lit(1)).over(wv))
+        .filter(col("du") >= k && col("dv") >= k)
+        .select(col("u"), col("v"))
+    }
+    ed
+  }
+
   private def prIter(prev: String, next: String): String =
     s"""$next AS (
        |  SELECT e.dst AS node_id, 150000 + CAST(SUM(($prev.pr * 85) // (deg.deg * 100)) AS BIGINT) AS pr
@@ -497,6 +552,28 @@ object Graph {
          |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  label AS community
          |FROM l3 ORDER BY node_id""".stripMargin
+    },
+
+    "q_kcore" -> {
+      def peel(prev: String, r: Int): String =
+        s"""e$r AS MATERIALIZED (
+           |  SELECT u, v FROM (
+           |    SELECT u, v,
+           |      count(*) OVER (PARTITION BY u) AS du,
+           |      count(*) OVER (PARTITION BY v) AS dv
+           |    FROM $prev) q
+           |  WHERE du >= $KCoreK AND dv >= $KCoreK)""".stripMargin
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e0 AS MATERIALIZED (SELECT u, v FROM b UNION ALL SELECT v AS u, u AS v FROM b),
+         |${peel("e0", 1)},
+         |${peel("e1", 2)},
+         |${peel("e2", 3)}
+         |SELECT u AS node_id,
+         |  CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         |  CAST(count(*) AS BIGINT) AS core_deg
+         |FROM e3 GROUP BY u ORDER BY node_id""".stripMargin
     },
 
     "q_concomp" -> {

@@ -141,6 +141,30 @@ class GraphLearnSpec extends SparkSpec {
     assert(got.forall { case (_, c) => find(c) == c })
   }
 
+  test("q_kcore: peel rule is exact on a synthetic cascade; fixture output matches recount") {
+    import spark.implicits._
+    // Triangle {1,2,3} + tail chain 3-4-5-6: the 2-core is exactly the
+    // triangle, and reaching it REQUIRES the cascade (peeling leaf 6
+    // reduces 5 to degree 1, then 5 peels, then 4 — one round is not
+    // enough, which is what distinguishes k-core from a one-shot
+    // degree filter).
+    val und = Seq((1L,2L),(2L,3L),(1L,3L),(3L,4L),(4L,5L),(5L,6L))
+    val edges = und.flatMap { case (a,b) => Seq((a,b),(b,a)) }.toDF("u","v")
+    val core = graft.operators.Graph.kcorePeel(edges, 2, 3)
+      .select($"u", $"v").as[(Long,Long)].collect().toSet
+    assert(core === Set((1L,2L),(2L,1L),(2L,3L),(3L,2L),(1L,3L),(3L,1L)),
+      s"2-core should be the triangle, got $core")
+    // one round would NOT have sufficed (chain partially survives)
+    val oneRound = graft.operators.Graph.kcorePeel(edges, 2, 1)
+      .select($"u").distinct().count()
+    assert(oneRound > 3, "cascade untested: one round already reached the core")
+    // fixture query: survivors' degrees recount from the peeled subgraph
+    val got = graft.operators.Graph.queries("q_kcore")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    assert(got.values.forall(_ >= 8L), "a survivor fell below k within the core")
+  }
+
   test("q_community: labels are reachable node ids and propagation merges communities") {
     val rows = Graph.queries("q_community")(spark, sf).collect()
     assert(rows.nonEmpty)
