@@ -95,6 +95,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins === 2, s"expected base-edge join + final label join only, got $joins:\n${p.take(1500)}")
   }
 
+  test("q_kcore: peel rounds are join-free (only the base edge build joins)") {
+    val df = graft.operators.Graph.queries("q_kcore")(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"))
+    // the ONLY join is orders⋈lineitem; every peel round is windows+filter
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin"))
+    assert(joins === 1, s"peel rounds must not join, got $joins joins:\n${p.take(1500)}")
+  }
+
   test("q_rowid: the data-scale window is bucket-partitioned (no global sort reducer)") {
     // The whole point of the two-phase row-id: only the BUCKET-COUNT-
     // sized offset table may pass through the single-partition window;
