@@ -396,6 +396,49 @@ object Graph {
         .orderBy(col("node_id"))
     }),
 
+    // DETERMINISTIC RANDOM WALKS (DeepWalk/node2vec corpus prep —
+    // Perozzi 2014): one 3-hop walk per node, where the "random" next
+    // hop is the neighbor minimizing a universal hash of
+    // (current, step, neighbor) — the repo's standard hash-for-RNG
+    // substitution (q_sample_hash, q_span_mask), which is exactly what
+    // a distributed walk generator wants anyway: reproducible across
+    // re-runs, engines, and stage retries, no RNG state to coordinate.
+    //
+    // Scale posture: each hop is ONE equi-join of the frontier against
+    // the persisted adjacency (frontier carries (walk, hops-so-far) id
+    // tuples only) + one argmin aggregate via min(struct(h, dst)) —
+    // map-side partials bound what any reducer sees even at celebrity
+    // nodes. 3 hops = 3 join+agg pairs, the Pregel-free walk shape.
+    "q_randwalk" -> ((s, d) => {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val lineitem = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val directed = orders
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val adj = directed
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .persist()
+      var frontier = adj.select(col("src").as("walk_id")).distinct()
+        .withColumn("cur", col("walk_id"))
+      val carried = scala.collection.mutable.ArrayBuffer[String]("walk_id")
+      for (s1 <- 1 to Iters) {
+        val keys = carried.map(col).toSeq
+        frontier = frontier.join(adj, frontier("cur") === adj("src"))
+          .withColumn("h", expr(walkHash(s1)))
+          .groupBy(keys: _*)
+          .agg(min(struct(col("h"), col("dst"))).as("m"))
+          .withColumn(s"hop$s1", col("m.dst"))
+          .withColumn("cur", col("m.dst"))
+          .drop("m")
+        carried += s"hop$s1"
+      }
+      frontier.select(carried.map(col).toSeq: _*).orderBy(col("walk_id"))
+    }),
+
     // Degree distribution in power-of-two buckets — the graph-quality
     // audit run before any sampling or partitioning decision (is the
     // graph power-law? where does the celebrity tail start?). The
@@ -483,6 +526,15 @@ object Graph {
 
   private val KCoreK = 8
 
+  /** Universal hash of (cur, step, dst) for the deterministic walk —
+    * plain BIGINT arithmetic valid verbatim in both engines: every
+    * intermediate stays < 2⁶² (cur%P < 2³¹, ×1000003 < 2⁵¹, A×(…%P)
+    * < 2⁶², load-bearing because DuckDB errors on BIGINT overflow). */
+  private def walkHash(step: Int): String = {
+    val P = 2147483647L; val A = 1203958717L; val B = 776531401L
+    s"($A * (((cur % $P) * 1000003 + $step * 31 + dst) % $P) + $B) % $P"
+  }
+
   /** `rounds` peel iterations over a BOTH-DIRECTION edge frame (u, v):
     * keep an edge only while both endpoints still have ≥ k incident
     * surviving edges. Symmetry makes both window counts true degrees.
@@ -552,6 +604,34 @@ object Graph {
          |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  label AS community
          |FROM l3 ORDER BY node_id""".stripMargin
+    },
+
+    "q_randwalk" -> {
+      // Each hop: join frontier to adjacency, pick the (h, dst)-min
+      // neighbor via row_number — identical to Spark's
+      // min(struct(h, dst)) argmin. MATERIALIZED: each w{s} is
+      // referenced by the next hop's join.
+      def hop(prev: String, s: Int, carried: Seq[String]): String = {
+        val inner = carried.map("w." + _).mkString(", ")
+        val outer = carried.mkString(", ")
+        val h = walkHash(s).replace("cur", "w.cur").replace("+ dst", "+ e.dst")
+        s"""w$s AS MATERIALIZED (
+           |  SELECT $outer, dst AS hop$s, dst AS cur FROM (
+           |    SELECT $inner, e.dst,
+           |      row_number() OVER (PARTITION BY w.walk_id
+           |        ORDER BY $h, e.dst) AS rn
+           |    FROM $prev w JOIN e ON w.cur = e.src) q
+           |  WHERE rn = 1)""".stripMargin
+      }
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS MATERIALIZED (SELECT src, dst FROM b UNION ALL SELECT dst AS src, src AS dst FROM b),
+         |w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS cur FROM e),
+         |${hop("w0", 1, Seq("walk_id"))},
+         |${hop("w1", 2, Seq("walk_id", "hop1"))},
+         |${hop("w2", 3, Seq("walk_id", "hop1", "hop2"))}
+         |SELECT walk_id, hop1, hop2, hop3 FROM w3 ORDER BY walk_id""".stripMargin
     },
 
     "q_kcore" -> {

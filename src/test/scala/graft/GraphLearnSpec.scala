@@ -141,6 +141,29 @@ class GraphLearnSpec extends SparkSpec {
     assert(got.forall { case (_, c) => find(c) == c })
   }
 
+  test("q_randwalk: every hop is a true edge and the hash-argmin choice replays exactly") {
+    val edges = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .selectExpr("o_custkey * 2 AS u", "l_suppkey * 2 + 1 AS v")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val P = 2147483647L; val A = 1203958717L; val B = 776531401L
+    def h(cur: Long, step: Int, dst: Long): Long =
+      (A * (((cur % P) * 1000003L + step * 31L + dst) % P) + B) % P
+    def next(cur: Long, step: Int): Long =
+      adj(cur).minBy(d => (h(cur, step, d), d))
+    val got = Graph.queries("q_randwalk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === adj.size)
+    got.foreach { case (w, h1, h2, h3) =>
+      assert(adj(w).contains(h1) && adj(h1).contains(h2) && adj(h2).contains(h3),
+        s"walk $w traverses a non-edge")
+      assert(h1 === next(w, 1) && h2 === next(h1, 2) && h3 === next(h2, 3),
+        s"walk $w diverges from the hash-argmin replay")
+    }
+  }
+
   test("q_kcore: peel rule is exact on a synthetic cascade; fixture output matches recount") {
     import spark.implicits._
     // Triangle {1,2,3} + tail chain 3-4-5-6: the 2-core is exactly the
