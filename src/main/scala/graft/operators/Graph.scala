@@ -396,6 +396,43 @@ object Graph {
         .orderBy(col("node_id"))
     }),
 
+    // BUTTERFLY COUNTING (Sanei-Mehri et al. 2018) — the bipartite
+    // clustering primitive: a butterfly is a 2×2 biclique (two
+    // customers sharing two suppliers), the smallest cohesion unit a
+    // bipartite graph can have (triangles cannot exist in it — which
+    // is why q_triangle works on the co-purchase projection instead).
+    // Count = Σ over customer pairs C(shared_suppliers, 2).
+    //
+    // Scale posture: wedges (customer pairs per supplier) come
+    // MAP-SIDE from each supplier's sorted customer array via the
+    // native sorted_pairs generator — the q_copurchase posture, no
+    // supplier self-join. The per-supplier slice(…, 1, cap) is
+    // LOAD-BEARING here, not a formality: supplier degrees run to
+    // ~600 on the fixture (≫ cap), so the count is the capped
+    // estimate over each supplier's `cap` lowest customer ids — the
+    // documented q_semantic_dedup tradeoff, mirrored EXACTLY in the
+    // oracle (row_number ≤ cap); the uncapped count would emit
+    // Σ C(deg_s, 2) ≈ 171M wedge rows at sf0.1 — the wedge explosion
+    // q_triangle's compact-forward exists to avoid.
+    "q_butterfly" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val cap = Pipeline.BasketCap
+      val bip = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val wedges = bip
+        .groupBy(col("sp")).agg(array_sort(collect_set(col("c"))).as("cs"))
+        .select(explode(expr(s"sorted_pairs(slice(cs, 1, $cap))")).as("p"))
+      wedges
+        .groupBy(col("p.a").as("c1"), col("p.b").as("c2"))
+        .agg(count(lit(1)).as("shared"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("shared")).as("n_wedges"),
+          expr("sum(shared * (shared - 1)) DIV 2").as("n_butterflies"))
+    }),
+
     // DETERMINISTIC RANDOM WALKS (DeepWalk/node2vec corpus prep —
     // Perozzi 2014): one 3-hop walk per node, where the "random" next
     // hop is the neighbor minimizing a universal hash of
@@ -604,6 +641,30 @@ object Graph {
          |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  label AS community
          |FROM l3 ORDER BY node_id""".stripMargin
+    },
+
+    "q_butterfly" -> {
+      // Cap mirrored exactly: per supplier keep the 64 lowest customer
+      // ids (row_number ORDER BY c ≡ Spark's slice of the sorted-set
+      // array), then the id-ordered wedge join replays sorted_pairs.
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |bc AS MATERIALIZED (
+         |  SELECT c, sp FROM (
+         |    SELECT c, sp, row_number() OVER (PARTITION BY sp ORDER BY c) AS rn
+         |    FROM b) q
+         |  WHERE rn <= ${Pipeline.BasketCap}),
+         |w AS (
+         |  SELECT b1.c AS c1, b2.c AS c2
+         |  FROM bc b1 JOIN bc b2 ON b1.sp = b2.sp AND b1.c < b2.c),
+         |pc AS (
+         |  SELECT c1, c2, CAST(count(*) AS BIGINT) AS shared
+         |  FROM w GROUP BY c1, c2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(shared) AS BIGINT) AS n_wedges,
+         |  CAST(SUM(shared * (shared - 1)) AS BIGINT) // 2 AS n_butterflies
+         |FROM pc""".stripMargin
     },
 
     "q_randwalk" -> {

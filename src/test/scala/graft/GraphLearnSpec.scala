@@ -141,6 +141,28 @@ class GraphLearnSpec extends SparkSpec {
     assert(got.forall { case (_, c) => find(c) == c })
   }
 
+  test("q_butterfly: counts equal an independent capped recount") {
+    val bip = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .selectExpr("o_custkey AS c", "l_suppkey AS sp")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cap = 64
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    bip.groupBy(_._2).foreach { case (_, rows) =>
+      val cs = rows.map(_._1).distinct.sorted.take(cap)
+      for (i <- cs.indices; j <- i + 1 until cs.length)
+        pairCounts((cs(i), cs(j))) = pairCounts.getOrElse((cs(i), cs(j)), 0L) + 1L
+    }
+    val nPairs = pairCounts.size.toLong
+    val nWedges = pairCounts.values.sum
+    val nButterflies = pairCounts.values.map(x => x * (x - 1) / 2).sum
+    val got = Graph.queries("q_butterfly")(spark, sf).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ===
+      ((nPairs, nWedges, nButterflies)))
+    assert(nButterflies > 0, "fixture graph should contain butterflies")
+  }
+
   test("q_randwalk: every hop is a true edge and the hash-argmin choice replays exactly") {
     val edges = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey")),
