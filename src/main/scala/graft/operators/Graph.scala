@@ -433,6 +433,44 @@ object Graph {
           expr("sum(shared * (shared - 1)) DIV 2").as("n_butterflies"))
     }),
 
+    // LINK PREDICTION by neighborhood overlap (Liben-Nowell & Kleinberg
+    // 2003's common-neighbors / Jaccard baselines) — the recommender
+    // primitive over the same bipartite wedges as q_butterfly: two
+    // customers who share many suppliers relative to their combined
+    // reach are likely future co-traders. score = |N(a)∩N(b)| /
+    // |N(a)∪N(b)| in exact micro-units (shared·10⁶ DIV (d1+d2−shared);
+    // non-negative integers, so Spark DIV ≡ DuckDB //). Top-50 by
+    // (score, shared, ids) — a TakeOrdered heap, no global sort.
+    //
+    // Scale posture: shared counts ride the SAME capped map-side wedge
+    // generator as q_butterfly (cap mirrored in the oracle); the
+    // degree table is node-catalog grain and joins HINT-FREE (the
+    // q_lm_score stance — AQE broadcasts at fixture scale, degrades to
+    // one equi-join shuffle at 100 TB).
+    "q_linkpred" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val cap = Pipeline.BasketCap
+      val bip = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+        .persist() // consumed by the wedge build AND the degree table
+      val deg = bip.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+      val shared = bip
+        .groupBy(col("sp")).agg(array_sort(collect_set(col("c"))).as("cs"))
+        .select(explode(expr(s"sorted_pairs(slice(cs, 1, $cap))")).as("p"))
+        .groupBy(col("p.a").as("c1"), col("p.b").as("c2"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(deg.select(col("c").as("c1"), col("deg").as("d1")), "c1")
+        .join(deg.select(col("c").as("c2"), col("deg").as("d2")), "c2")
+        .withColumn("score_micro", expr("(shared * 1000000) DIV (d1 + d2 - shared)"))
+        .select(col("c1"), col("c2"), col("shared"), col("d1"), col("d2"), col("score_micro"))
+        .orderBy(col("score_micro").desc, col("shared").desc, col("c1"), col("c2"))
+        .limit(50)
+    }),
+
     // DETERMINISTIC RANDOM WALKS (DeepWalk/node2vec corpus prep —
     // Perozzi 2014): one 3-hop walk per node, where the "random" next
     // hop is the neighbor minimizing a universal hash of
@@ -665,6 +703,26 @@ object Graph {
          |  CAST(SUM(shared) AS BIGINT) AS n_wedges,
          |  CAST(SUM(shared * (shared - 1)) AS BIGINT) // 2 AS n_butterflies
          |FROM pc""".stripMargin
+    },
+
+    "q_linkpred" -> {
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |deg AS MATERIALIZED (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM b GROUP BY c),
+         |bc AS MATERIALIZED (
+         |  SELECT c, sp FROM (
+         |    SELECT c, sp, row_number() OVER (PARTITION BY sp ORDER BY c) AS rn
+         |    FROM b) q
+         |  WHERE rn <= ${Pipeline.BasketCap}),
+         |pc AS MATERIALIZED (
+         |  SELECT b1.c AS c1, b2.c AS c2, CAST(count(*) AS BIGINT) AS shared
+         |  FROM bc b1 JOIN bc b2 ON b1.sp = b2.sp AND b1.c < b2.c
+         |  GROUP BY b1.c, b2.c)
+         |SELECT c1, c2, shared, d1.deg AS d1, d2.deg AS d2,
+         |  (shared * 1000000) // (d1.deg + d2.deg - shared) AS score_micro
+         |FROM pc JOIN deg d1 ON pc.c1 = d1.c JOIN deg d2 ON pc.c2 = d2.c
+         |ORDER BY score_micro DESC, shared DESC, c1, c2 LIMIT 50""".stripMargin
     },
 
     "q_randwalk" -> {

@@ -141,6 +141,21 @@ class GraphLearnSpec extends SparkSpec {
     assert(got.forall { case (_, c) => find(c) == c })
   }
 
+  test("q_linkpred: scores are valid Jaccard micro-units and recompute from components") {
+    val rows = Graph.queries("q_linkpred")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length === 50)
+    rows.foreach { case (c1, c2, shared, d1, d2, score) =>
+      assert(c1 < c2)
+      assert(shared >= 1 && shared <= math.min(d1, d2), s"($c1,$c2) shared out of range")
+      assert(score === shared * 1000000L / (d1 + d2 - shared), s"($c1,$c2) score mismatch")
+      assert(score <= 1000000L)
+    }
+    // the page is sorted by the declared total order
+    val keys = rows.map { case (c1, c2, sh, _, _, sc) => (-sc, -sh, c1, c2) }
+    assert(keys.toSeq === keys.sortBy(identity).toSeq)
+  }
+
   test("q_butterfly: counts equal an independent capped recount") {
     val bip = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey")),
