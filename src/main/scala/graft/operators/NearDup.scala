@@ -449,6 +449,40 @@ object NearDup {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Empirical RECALL of the banded-MinHash candidate stage against
+    // the exact PPJoin ground truth — the dedup pipeline's
+    // SELF-EVALUATION: banded LSH trades candidate volume for recall
+    // by construction, and a production pipeline re-measures this
+    // number whenever shingle size / hash count / banding / threshold
+    // changes. Both sides are DETERMINISTIC here (the universal-hash
+    // family is literal-seeded), so unlike q_simsearch_lsh the
+    // evaluation itself is oracle-checkable even though the mechanism
+    // it measures is probabilistic. truth = (lang, source)-blocked
+    // PPJoin-verified pairs at j ≥ 0.6; cand = band-collision pairs
+    // BEFORE verification (unblocked); tp = their intersection;
+    // recall in exact micro-units. All three counts are 1-row frames
+    // combined by broadcast cross join (the q_auc totals pattern).
+    "q_dedup_recall" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val truth = jaccardPairs(s, d).select(col("a_id"), col("b_id"))
+      val hsh = withHashedShingles(corpus(s, d)).select(col("doc_id"), col("hs"))
+      val bands = signaturesOf(hsh)
+        .select(col("doc_id"), explode(expr(s"sequence(0, ${Bands - 1})")).as("b"), col("sigs"))
+        .withColumn("bs", expr(s"concat_ws('|', slice(sigs, b * $Rows + 1, $Rows))"))
+        .select(col("doc_id"), col("b"), col("bs"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bs") === col("y.bs")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val tn = truth.agg(count(lit(1)).as("truth_n"))
+      val cn = cand.agg(count(lit(1)).as("cand_n"))
+      val tpn = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+        .agg(count(lit(1)).as("tp"))
+      tn.crossJoin(broadcast(cn)).crossJoin(broadcast(tpn))
+        .withColumn("recall_micro", expr("(tp * 1000000) DIV truth_n"))
+    }),
+
     // SimHash near-dup: 32-bit signatures, lang-blocked pairs within
     // Hamming distance 3. The pair space is pruned with the classic
     // Manku/Jain/Sarma chunk trick: split the 32-bit signature into 4
@@ -659,6 +693,29 @@ object NearDup {
          |WHERE len(list_intersect(sa.hs, sb.hs))
          |      / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.6
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_recall" ->
+      s"""WITH $corpusSql,
+         |$shinglesSql,
+         |$hshSql,
+         |truth AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM hsh x JOIN hsh y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+         |  WHERE len(list_intersect(x.hs, y.hs))
+         |        / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.6),
+         |sig AS (SELECT doc_id, $sigSql AS sigs FROM hsh),
+         |bands AS (
+         |  SELECT doc_id, b, array_to_string(sigs[b * $Rows + 1 : b * $Rows + $Rows], '|') AS bs
+         |  FROM (SELECT doc_id, sigs, unnest(range(0, $Bands)) AS b FROM sig)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bs = y.bs AND x.doc_id < y.doc_id),
+         |tp AS (SELECT count(*) AS n FROM (SELECT * FROM truth INTERSECT SELECT * FROM cand))
+         |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS truth_n,
+         |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS cand_n,
+         |  CAST(tp.n AS BIGINT) AS tp,
+         |  (CAST(tp.n AS BIGINT) * 1000000) // (SELECT count(*) FROM truth) AS recall_micro
+         |FROM tp""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH $corpusSql,
