@@ -95,6 +95,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins === 2, s"expected base-edge join + final label join only, got $joins:\n${p.take(1500)}")
   }
 
+  test("q_butterfly: wedges come from the map-side generator, no supplier self-join") {
+    val df = graft.operators.Graph.queries("q_butterfly")(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("sorted_pairs"), "native pair generator missing:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+    // exactly one equi-join (orders⋈lineitem); the wedge stage is a
+    // groupBy + explode, never bc⋈bc
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin"))
+    assert(joins === 1, s"expected only the base edge join, got $joins:\n${p.take(1500)}")
+  }
+
   test("q_kcore: peel rounds are join-free (only the base edge build joins)") {
     val df = graft.operators.Graph.queries("q_kcore")(spark, sf)
     df.collect()
