@@ -156,19 +156,25 @@ object Learn {
     // filters are used exactly that way: "keep if score > t"). Docs
     // bucket into fixed 2k-milli score bins; per bin, count, positive
     // count, exact integer score sum and positive rate in micro-units.
-    // INTEGER-EXACT throughout: scores are shifted by +128000 before
-    // the truncating bin division — the PropertiesSpec fixture bound
-    // (≤127 tokens ⇒ |score| ≤ 127000) makes the shifted score
-    // non-negative, where Spark's DIV and DuckDB's // agree (they
-    // truncate differently on negatives). One partial+final aggregate
-    // over (bin, pos); nothing collects, text never shuffles.
+    // INTEGER-EXACT throughout: the score is CLAMPED to
+    // [-128000, 127999] before the +128000 shift and truncating bin
+    // division, so the shifted value is non-negative BY CONSTRUCTION —
+    // Spark's DIV and DuckDB's // only agree on non-negatives (they
+    // truncate vs floor on negatives), and without the clamp that
+    // agreement rested on a fixture bound (≤127 tokens ⇒ |score| ≤
+    // 127000) that nothing in the query enforced. On the current
+    // fixture the clamp is a no-op; under drift, out-of-range docs land
+    // deterministically in the edge bins (0 and 127) in BOTH engines
+    // instead of silently diverging. One partial+final aggregate over
+    // (bin, pos); nothing collects, text never shuffles.
     "q_calibration" -> ((s, d) => {
       val warr = weights.mkString("array(", "L,", "L)")
       Tables.documents(s, d)
         .withColumn("sc", expr(
           s"aggregate(split(text, ' '), 0L, (acc, t) -> " +
             s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
-        .select(expr("(sc + 128000) DIV 2000").as("bin"), col("sc"),
+        .select(expr("(greatest(least(sc, 127999L), -128000L) + 128000) DIV 2000").as("bin"),
+          col("sc"),
           when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
@@ -568,7 +574,7 @@ object Learn {
          |SELECT bin, n, n_pos, sum_score_milli,
          |  (n_pos * 1000000) // n AS pos_rate_micro
          |FROM (
-         |  SELECT (sc + 128000) // 2000 AS bin,
+         |  SELECT (greatest(least(sc, 127999), -128000) + 128000) // 2000 AS bin,
          |    CAST(count(*) AS BIGINT) AS n,
          |    CAST(SUM(pos) AS BIGINT) AS n_pos,
          |    CAST(SUM(sc) AS BIGINT) AS sum_score_milli

@@ -430,7 +430,12 @@ object NearDup {
       // raw text); here they stay unpersisted — a query lambda has no
       // lifecycle hook to unpersist, and leaking cache entries into
       // the caller's long-lived session is worse than the recompute.
-      val sig = signaturesOf(hsh)
+      // size(hs) >= 1 guard: signaturesOf's explode drops empty-shingle
+      // docs implicitly, but the oracle's sig CTE keeps them with NULL
+      // sigs (banding to '' and colliding with each other) — so the
+      // filter is stated EXPLICITLY on both sides; symmetry is visible,
+      // not incidental.
+      val sig = signaturesOf(hsh.filter(size(col("hs")) >= 1))
       val bands = sig
         .select(col("doc_id"), explode(expr(s"sequence(0, ${Bands - 1})")).as("b"), col("sigs"))
         .withColumn("bs", expr(s"concat_ws('|', slice(sigs, b * $Rows + 1, $Rows))"))
@@ -466,7 +471,10 @@ object NearDup {
       graft.functions.VectorFunctions.register(s)
       val truth = jaccardPairs(s, d).select(col("a_id"), col("b_id"))
       val hsh = withHashedShingles(corpus(s, d)).select(col("doc_id"), col("hs"))
-      val bands = signaturesOf(hsh)
+      // size(hs) >= 1: keeps cand_n honest if the corpus ever gains a
+      // doc with < 3 tokens — see the q_dedup_minhash sig note; the
+      // oracle's sig CTE carries the same filter.
+      val bands = signaturesOf(hsh.filter(size(col("hs")) >= 1))
         .select(col("doc_id"), explode(expr(s"sequence(0, ${Bands - 1})")).as("b"), col("sigs"))
         .withColumn("bs", expr(s"concat_ws('|', slice(sigs, b * $Rows + 1, $Rows))"))
         .select(col("doc_id"), col("b"), col("bs"))
@@ -677,7 +685,7 @@ object NearDup {
       s"""WITH $corpusSql,
          |$shinglesSql,
          |$hshSql,
-         |sig AS (SELECT doc_id, $sigSql AS sigs FROM hsh),
+         |sig AS (SELECT doc_id, $sigSql AS sigs FROM hsh WHERE len(hs) >= 1),
          |bands AS (
          |  SELECT doc_id, b, array_to_string(sigs[b * $Rows + 1 : b * $Rows + $Rows], '|') AS bs
          |  FROM (SELECT doc_id, sigs, unnest(range(0, $Bands)) AS b FROM sig)),
@@ -703,7 +711,7 @@ object NearDup {
          |  FROM hsh x JOIN hsh y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
          |  WHERE len(list_intersect(x.hs, y.hs))
          |        / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.6),
-         |sig AS (SELECT doc_id, $sigSql AS sigs FROM hsh),
+         |sig AS (SELECT doc_id, $sigSql AS sigs FROM hsh WHERE len(hs) >= 1),
          |bands AS (
          |  SELECT doc_id, b, array_to_string(sigs[b * $Rows + 1 : b * $Rows + $Rows], '|') AS bs
          |  FROM (SELECT doc_id, sigs, unnest(range(0, $Bands)) AS b FROM sig)),

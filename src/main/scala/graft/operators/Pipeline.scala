@@ -72,6 +72,27 @@ object Pipeline {
     */
   val BasketCap = 64
 
+  /** One shard's FFD placement: each (doc_id, n_tokens), longest first
+    * with doc_id tiebreak, goes into the first bin with room; a new bin
+    * opens when none fits. A doc LONGER than the capacity can never fit
+    * and is routed to the marked overflow bin −1 (never-split invariant
+    * kept; downstream truncates or re-chunks those explicitly) instead
+    * of silently opening an over-capacity bin — the fixture has none,
+    * but a drifted corpus must not produce an invalid packing.
+    * Returns (doc_id, bin_id, n_tokens). */
+  private[graft] def ffdPlace(docs: Seq[(Long, Long)], cap: Long): Seq[(Long, Long, Long)] = {
+    val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+    docs.sortBy { case (id, n) => (-n, id) }.map { case (id, n) =>
+      if (n > cap) (id, -1L, n)
+      else {
+        var b = fills.indexWhere(_ + n <= cap)
+        if (b < 0) { fills += 0L; b = fills.length - 1 }
+        fills(b) += n
+        (id, b.toLong, n)
+      }
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // Reproducible 10% Bernoulli sample: keep iff h(doc_id) mod 100 < 10.
     // Map-only — the filter sits directly on the scan, columns prune.
@@ -238,16 +259,8 @@ object Pipeline {
         .as[(Long, Long, Long)]
         .groupByKey(_._2)
         .flatMapGroups { (shard: Long, rows: Iterator[(Long, Long, Long)]) =>
-          // FFD: place each doc (longest first, doc_id tiebreak) into
-          // the first bin with room; open a new bin when none fits.
-          val docs = rows.toSeq.sortBy { case (id, _, n) => (-n, id) }
-          val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
-          docs.iterator.map { case (id, _, n) =>
-            var b = fills.indexWhere(_ + n <= cap)
-            if (b < 0) { fills += 0L; b = fills.length - 1 }
-            fills(b) += n
-            (id, shard, b.toLong, n)
-          }
+          ffdPlace(rows.map { case (id, _, n) => (id, n) }.toSeq, cap)
+            .iterator.map { case (id, bin, n) => (id, shard, bin, n) }
         }
         .toDF("doc_id", "shard", "bin_id", "n_tokens")
         .orderBy(col("doc_id"))

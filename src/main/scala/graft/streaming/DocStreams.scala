@@ -45,7 +45,16 @@ object DocStreams {
     */
   def signatureDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     NearDup.withRowSignatures(docs)
-      .withColumn("sig_key", concat_ws("|", col("sigs")))
+      // Un-shingle-able docs (< 3 tokens) have an empty `hs`, so every
+      // sigs entry is NULL and concat_ws would collapse them ALL to the
+      // same "" key — distinct short docs would silently dedup against
+      // each other. They get a doc-unique key instead: they pass
+      // through unpaired (the withRowSignatures contract), and an
+      // EXACT re-post of a short doc is still caught upstream by
+      // whatever keys on doc identity, not here.
+      .withColumn("sig_key",
+        when(size(col("hs")) === 0, concat(lit("doc:"), col("doc_id")))
+          .otherwise(concat_ws("|", col("sigs"))))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("sig_key")
       .select(col("doc_id"), col("ts"), col("text"))

@@ -114,19 +114,27 @@ class PipelineSpec extends SparkSpec {
       .selectExpr("doc_id", "cast(size(split(text, ' ')) as bigint) AS n").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     got.foreach { case (id, _, _, n) => assert(n === trueTokens(id)) }
-    // no bin over capacity
-    val fills = got.groupBy(r => (r._2, r._3)).view.mapValues(_.map(_._4).sum).toMap
+    // no regular bin over capacity; oversized docs (n > cap) — none on
+    // this fixture — may only ever appear in the marked overflow bin −1
+    val fills = got.filter(_._3 >= 0)
+      .groupBy(r => (r._2, r._3)).view.mapValues(_.map(_._4).sum).toMap
     assert(fills.values.forall(_ <= cap), s"overfull bin: ${fills.filter(_._2 > cap)}")
+    got.foreach { case (id, _, bin, n) =>
+      assert((bin === -1L) === (n > cap), s"doc $id: n=$n bin=$bin")
+    }
     // independent FFD replay per shard (trusting only the shard split
     // and token counts from the output, both pinned above)
     got.groupBy(_._2).foreach { case (_, rows) =>
       val order = rows.map(r => (r._1, r._4)).sortBy { case (id, n) => (-n, id) }
       val fills2 = scala.collection.mutable.ArrayBuffer.empty[Long]
       val expected = order.map { case (id, n) =>
-        var b = fills2.indexWhere(_ + n <= cap)
-        if (b < 0) { fills2 += 0L; b = fills2.length - 1 }
-        fills2(b) += n
-        id -> b.toLong
+        if (n > cap) id -> -1L
+        else {
+          var b = fills2.indexWhere(_ + n <= cap)
+          if (b < 0) { fills2 += 0L; b = fills2.length - 1 }
+          fills2(b) += n
+          id -> b.toLong
+        }
       }.toMap
       rows.foreach { case (id, _, bin, _) =>
         assert(bin === expected(id), s"doc $id bin mismatch")
@@ -134,6 +142,14 @@ class PipelineSpec extends SparkSpec {
     }
     // packing packs: strictly fewer bins than docs
     assert(fills.size < got.length)
+  }
+
+  test("ffdPlace routes oversized docs to the overflow bin, never an over-capacity bin") {
+    // doc 10 (200 tokens) exceeds cap=128: overflow bin −1; the rest
+    // pack normally — 100+28 share bin 0, 90 opens bin 1
+    val placed = Pipeline.ffdPlace(Seq((10L, 200L), (11L, 100L), (12L, 90L), (13L, 28L)), 128L)
+      .map { case (id, bin, _) => id -> bin }.toMap
+    assert(placed === Map(10L -> -1L, 11L -> 0L, 12L -> 1L, 13L -> 0L))
   }
 
   test("domain cap keeps min(10, n) docs per source, chosen by hash not arrival") {

@@ -244,6 +244,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming signature dedup passes DISTINCT un-shingle-able short docs through unpaired") {
+    val input = MemoryStream[SDoc](spark)
+    val q = graft.streaming.DocStreams.signatureDedup(input.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("sigdedup_short_out").outputMode("append").start()
+    try {
+      // both docs have < 3 tokens → empty shingle set → all-NULL sigs;
+      // without the doc-unique fallback key they'd share sig_key "" and
+      // doc 2 would be silently dropped as a duplicate of doc 1
+      input.addData(SDoc(1, "hello world", ts(0)), SDoc(2, "goodbye moon", ts(1)))
+      q.processAllAvailable()
+      val got = spark.table("sigdedup_short_out").select($"doc_id").as[Long].collect().sorted
+      assert(got.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming LSH candidates pair newcomers with their bucket's canonical doc only") {
     val input = MemoryStream[SDoc](spark)
     val q = graft.streaming.DocStreams.lshCandidates(input.toDF(), "1 hour")
