@@ -221,33 +221,7 @@ object Graph {
         .persist() // consumed twice: node catalog + round 1
       val nodes = base
         .select(explode(array(col("u"), col("v"))).as("node_id")).distinct()
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
-      def bothDirs(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-        e.select(explode(array(
-            struct(col("u"), col("v")),
-            struct(col("v").as("u"), col("u").as("v")))).as("e"))
-          .select(col("e.u").as("u"), col("e.v").as("v"))
-      var edges = base
-      for (_ <- 1 to Iters) {
-        // Large-star: per-u neighborhood min from the window, rewire
-        // strictly-larger neighbors to it.
-        val el = bothDirs(edges)
-          .withColumn("m", least(col("u"), min(col("v")).over(w)))
-          .filter(col("v") > col("u"))
-          .select(col("v").as("u"), col("m").as("v")).distinct()
-        // Small-star: both branches emitted from one generator —
-        // (v, m) for ≤-neighbors plus the (u, m) self pointer (the
-        // per-row duplicate self pointers vanish in the distinct's
-        // map-side partial aggregation); self-loops drop.
-        edges = bothDirs(el)
-          .withColumn("m", least(col("u"), min(col("v")).over(w)))
-          .select(explode(when(col("v") <= col("u"),
-              array(struct(col("v").as("u"), col("m").as("v")),
-                struct(col("u"), col("m").as("v"))))
-            .otherwise(array(struct(col("u"), col("m").as("v"))))).as("e"))
-          .select(col("e.u").as("u"), col("e.v").as("v"))
-          .filter(col("u") =!= col("v")).distinct()
-      }
+      val edges = alternatingStar(base, Iters)
       // Converged edges are (child → root); roots label themselves.
       nodes
         .join(edges.select(col("u").as("node_id"), col("v").as("root")),
@@ -600,6 +574,74 @@ object Graph {
   )
 
   private val KCoreK = 8
+
+  /** `pairs` large-star/small-star round pairs (Kiveris et al. 2014)
+    * over an undirected edge set given one direction per edge as
+    * (u, v) BIGINT columns — the O(log² n)-round connected-components
+    * engine shared by q_concomp (fixed 3 pairs, oracle-replayed) and
+    * NearDup.clusterLabels (count-derived budget + convergence
+    * assertion). Per half-round, at each node x with neighborhood Γ(x)
+    * and m = min(Γ(x) ∪ {x}): LARGE-STAR rewires every strictly-larger
+    * neighbor to m; SMALL-STAR rewires every ≤-neighbor and x itself
+    * to m. Fixpoint = one star per component rooted at the component
+    * min (see [[starConverged]]).
+    *
+    * Scale posture (the q_concomp contract, unchanged): each half-round
+    * is ONE shuffle — the neighborhood min comes from a whole-partition
+    * window over the same x-shuffle the rewire reads — plus one
+    * distinct collapsing the rewired multiset, both carrying
+    * (BIGINT, BIGINT) edges only; the whole unrolled run is a single
+    * linear lineage with NO persists and NO driver actions (callers
+    * add their own checkpoint/assertion cadence).
+    */
+  private[graft] def alternatingStar(base: DataFrame, pairs: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    def bothDirs(e: DataFrame): DataFrame =
+      e.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+    var edges = base
+    for (_ <- 1 to pairs) {
+      // Large-star: per-u neighborhood min from the window, rewire
+      // strictly-larger neighbors to it.
+      val el = bothDirs(edges)
+        .withColumn("m", least(col("u"), min(col("v")).over(w)))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // Small-star: both branches emitted from one generator —
+      // (v, m) for ≤-neighbors plus the (u, m) self pointer (the
+      // per-row duplicate self pointers vanish in the distinct's
+      // map-side partial aggregation); self-loops drop.
+      edges = bothDirs(el)
+        .withColumn("m", least(col("u"), min(col("v")).over(w)))
+        .select(explode(when(col("v") <= col("u"),
+            array(struct(col("v").as("u"), col("m").as("v")),
+              struct(col("u"), col("m").as("v"))))
+          .otherwise(array(struct(col("u"), col("m").as("v"))))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    edges
+  }
+
+  /** True iff `star` is an [[alternatingStar]] fixpoint: a forest of
+    * depth-1 stars, root strictly below its children — (a) every edge
+    * points DOWN (v < u), (b) no node is both child and parent (no
+    * chains), (c) every child has exactly ONE parent (a node pointing
+    * at two smaller roots is NOT converged — the next small-star would
+    * merge them). ONE driver action (the three violation probes union
+    * into a single isEmpty); callers checkpoint `star` first so the
+    * probe doesn't recompute the round lineage.
+    */
+  private[graft] def starConverged(star: DataFrame): Boolean = {
+    val down = star.filter(col("v") >= col("u")).select(lit(1L).as("one"))
+    val chained = star.as("a").join(star.as("b"), col("a.v") === col("b.u"))
+      .select(lit(1L).as("one"))
+    val multi = star.groupBy(col("u")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(lit(1L).as("one"))
+    down.unionByName(chained).unionByName(multi).isEmpty
+  }
 
   /** Universal hash of (cur, step, dst) for the deterministic walk —
     * plain BIGINT arithmetic valid verbatim in both engines: every

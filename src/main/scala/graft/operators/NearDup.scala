@@ -232,50 +232,44 @@ object NearDup {
   }
 
   /** Connected-component labels (doc_id → min doc_id of its component)
-    * over the verified jaccard edges — iterative min-label propagation:
-    *   labels ← min(v, min neighbor) (first round fused into the
-    *   seed); repeat: label(v) ← min(label(v), min over neighbors u
-    *   of label(u)); fixpoint = component minimum.
-    * Each step is one join + one partial/final min-aggregate — the
-    * standard distributed-CC shape (GraphX/Pregel do the same);
-    * iterations needed = component diameter (near-dup clusters are
-    * tiny stars/chains). The edge set and per-round labels are
-    * localCheckpoint()ed: edges are consumed every round and labels
-    * would otherwise accrete a lineage of k joins, recomputing the
-    * whole candidate pipeline per action. sum(cluster_id) is the
-    * convergence probe — min-propagation is monotone decreasing, so an
-    * unchanged sum IS the fixpoint (one scalar action per round, no
-    * row-level diff). Only docs touching an edge appear; singletons
-    * are the caller's left-join + coalesce.
+    * over the verified jaccard edges, via the alternating large-star /
+    * small-star engine ([[Graph.alternatingStar]], Kiveris et al.
+    * 2014) — O(log² n) rounds REGARDLESS of component diameter, where
+    * the previous min-label propagation needed O(diameter) rounds each
+    * with a driver-side convergence probe (a long re-post chain on a
+    * web-scale dup graph made that the slow path).
+    *
+    * Driver-action budget — the 100 TB contract this rebase exists
+    * for: ONE upfront count sizes the round chunk (⌈log₂ n⌉ + 2
+    * pairs), each chunk of rounds runs as a single unrolled linear
+    * lineage with NO per-round actions (one localCheckpoint per chunk
+    * cuts the candidate-pipeline lineage), and convergence is asserted
+    * by ONE star-shape probe per chunk ([[Graph.starConverged]]) —
+    * near-dup graphs converge in the first chunk; the retry loop is
+    * the adversarial-diameter safety net, not the steady state.
+    * Only docs touching an edge appear; singletons are the caller's
+    * left-join + coalesce.
     */
   def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    val e = jaccardPairs(s, d).select(col("a_id"), col("b_id"))
-    val edges = e.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
-    // Seed with the first propagation fused into initialization:
-    // label(v) = min(v, min neighbor) — saves a whole round's
-    // checkpoint + probe vs starting from the identity labeling.
-    var labels = edges.select(col("dst").as("doc_id"), col("src").as("cluster_id"))
-      .union(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
-      .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
-      .localCheckpoint()
-    var sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id")).head().getLong(0)
-    var converged = false
-    var round = 0
-    while (!converged && round < 25) {
-      val prop = edges.join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("cluster_id"))
-      labels = labels.union(prop)
-        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
-      val newSum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id")).head().getLong(0)
-      converged = newSum == sum
-      sum = newSum
-      round += 1
+    val e = jaccardPairs(s, d)
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+      .localCheckpoint() // consumed by the count, round 1, and the node catalog
+    val n = e.count()
+    val chunk = math.max(3, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n)) + 2)
+    var star = Graph.alternatingStar(e, chunk).localCheckpoint()
+    var chunks = 1
+    var converged = Graph.starConverged(star)
+    while (!converged && chunks < 4) {
+      star = Graph.alternatingStar(star, chunk).localCheckpoint()
+      chunks += 1
+      converged = Graph.starConverged(star)
     }
-    require(converged, s"connected components did not converge in $round rounds")
-    labels
+    require(converged,
+      s"connected components did not converge in ${chunks * chunk} round pairs")
+    val nodes = e.select(explode(array(col("u"), col("v"))).as("doc_id")).distinct()
+    nodes
+      .join(star.select(col("u").as("doc_id"), col("v").as("root")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -379,21 +373,14 @@ object NearDup {
     // Dedup clustering: near-dup PAIRS are not a dedup decision — a
     // training pipeline must group transitively-connected docs into
     // components and keep one canonical per component. Connected
-    // components via iterative min-label propagation over the verified
-    // jaccard edges:
-    //   labels ← min(v, min neighbor) (first round fused into the
-    //   seed); repeat: label(v) ← min(label(v), min over neighbors u
-    //   of label(u)); fixpoint = component minimum.
-    // Each step is one join + one partial/final min-aggregate —
-    // the standard distributed-CC shape (GraphX/Pregel do the same);
-    // iterations needed = component diameter (near-dup clusters are
-    // tiny stars/chains). The edge set and per-round labels are
-    // localCheckpoint()ed: edges are consumed every round and labels
-    // would otherwise accrete a lineage of k joins, recomputing the
-    // whole candidate pipeline per action. sum(cluster_id) is the
-    // convergence probe — min-propagation is monotone decreasing, so
-    // an unchanged sum IS the fixpoint (one scalar action per round,
-    // no row-level diff).
+    // components over the verified jaccard edges ride the alternating
+    // large-star/small-star engine (Graph.alternatingStar — the same
+    // O(log² n)-round machinery as q_concomp), with the round budget
+    // derived from ONE upfront edge count and convergence asserted by
+    // one star-shape probe per chunk — see clusterLabels for the
+    // driver-action contract. The fixpoint label (component min) is
+    // identical to what min-label propagation converges to, so the
+    // transitive-closure oracle is unchanged.
     "q_dedup_cluster" -> ((s, d) =>
       clusterLabels(s, d)
         .withColumn("canonical", col("doc_id") === col("cluster_id"))

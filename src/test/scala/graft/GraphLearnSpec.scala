@@ -113,6 +113,36 @@ class GraphLearnSpec extends SparkSpec {
       s"top-${got.length} mismatch: got ${got.take(3).toSeq} vs ${expected.take(3)}")
   }
 
+  test("alternatingStar: a 1000-node path converges within the log-derived chunk budget") {
+    // The adversarial case for min-label propagation (O(diameter) = 999
+    // rounds); the alternating engine must collapse it in the ONE chunk
+    // clusterLabels budgets: ⌈log₂ n⌉ + 2 = 12 round pairs for n = 999
+    // edges. Converged = depth-1 stars, all rooted at the path min (0).
+    import spark.implicits._
+    val edges = (0L until 999L).map(i => (i, i + 1)).toDF("u", "v")
+    val n = 999L
+    val chunk = 64 - java.lang.Long.numberOfLeadingZeros(n) + 2
+    assert(chunk === 12)
+    val star = Graph.alternatingStar(edges, chunk).localCheckpoint()
+    assert(Graph.starConverged(star), s"path graph not converged in $chunk round pairs")
+    val rows = star.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length === 1000 - 1, "one star edge per non-root node")
+    assert(rows.forall(_._2 === 0L), "every node must root at the component min 0")
+    assert(rows.map(_._1).toSet === (1L to 999L).toSet)
+  }
+
+  test("starConverged rejects multi-parent, chained, and up-pointing edge sets") {
+    import spark.implicits._
+    // depth-1 star rooted at the min: converged
+    assert(Graph.starConverged(Seq((5L, 1L), (7L, 1L)).toDF("u", "v")))
+    // node 9 points at two smaller roots — next small-star would merge
+    assert(!Graph.starConverged(Seq((9L, 1L), (9L, 2L)).toDF("u", "v")))
+    // chain 5→3→1 — node 3 is both child and parent
+    assert(!Graph.starConverged(Seq((5L, 3L), (3L, 1L)).toDF("u", "v")))
+    // up-pointing edge (parent larger than child)
+    assert(!Graph.starConverged(Seq((1L, 5L)).toDF("u", "v")))
+  }
+
   test("q_concomp: labels equal an independent union-find (convergence at fixture scale)") {
     // Driver-side ground truth: union-find over the same bipartite
     // trade edges; expected label = min node id of each component —
