@@ -80,7 +80,7 @@ object Learn {
   // ---------------------------------------------------------------
 
   private val K = 4
-  private val Dim = 64
+  private[operators] val Dim = 64
   private val Iters = 2
 
   /** Squared-distance expression between the (sliced) quantized vector
@@ -93,7 +93,7 @@ object Learn {
 
   /** cluster/qdist columns for the given (cid, centroid) list: argmin
     * over the per-centroid distance array, first-min = lowest cid. */
-  private def assign(df: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
+  private[operators] def assign(df: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
     val darr = cents.map { case (_, cv) => distExpr(cv) }.mkString("array(", ", ", ")")
     val cids = cents.map(_._1).mkString("array(", ", ", ")")
     df.withColumn("qdist", expr(s"array_min($darr)"))
@@ -333,9 +333,12 @@ object Learn {
 
     // End-to-end IVFPQ (Jégou et al. 2011 §IV — FAISS's IndexIVFPQ):
     // the composition the two ops above only rehearse separately.
-    //  1. COARSE: every vector assigns to its nearest of 16 coarse
-    //     cells (integer L2 argmin vs plan-literal centroids — the
-    //     q_kmeans_fit assignment, map-only).
+    //  1. COARSE: every vector assigns to its nearest of 16 TRAINED
+    //     coarse cells (coarseCentroids — one Lloyd round from the
+    //     16-lowest-vec_id init; integer L2 argmin vs plan-literal
+    //     centroids, the q_kmeans_fit assignment, map-only). The
+    //     oracle replays the coarse training round (cc0 → cca → cc)
+    //     before everything downstream.
     //  2. RESIDUAL PQ: product quantization trains on the RESIDUAL
     //     r = qv − c_cell (pooled across cells, the paper's choice) —
     //     residuals carry far less energy than raw vectors, so the
@@ -361,17 +364,26 @@ object Learn {
     // trajectory, LUTs, and the same top-20.
     "q_ivfpq_search" -> ((s, d) => {
       val qdf = Tables.embeddings(s, d).select(col("vec_id"), expr(QuantTok).as("qv"))
-      val coarse: Seq[(Int, Array[Long])] =
-        qdf.orderBy(col("vec_id")).limit(CoarseK).collect().zipWithIndex.map {
-          case (r, i) => (i, r.getSeq[Long](1).toArray)
-        }.toSeq
+      val coarse: Seq[(Int, Array[Long])] = coarseCentroids(s, d)
+      val coarseByCid = coarse.toMap
       val assigned = assign(qdf.withColumn("qs", col("qv")), coarse)
         .withColumnRenamed("cluster", "cell").drop("qdist", "qs")
-      val centsArr = coarse.map(_._2.mkString("array(", "L,", "L)"))
+      // full-K positional array with a zero-vector placeholder at any
+      // lazily-deleted cid (q_pq_search LUT rule: a dropped cid can
+      // never be assigned, so its placeholder is unreferencable) —
+      // element_at(cell + 1) stays correct under holes
+      val centsArr = (0 until CoarseK)
+        .map(cid => coarseByCid.getOrElse(cid, Array.fill(Dim)(0L))
+          .mkString("array(", "L,", "L)"))
         .mkString("array(", ", ", ")")
       val resid = assigned
         .withColumn("rv", expr(s"zip_with(qv, element_at($centsArr, cell + 1), (a, b) -> a - b)"))
         .select(col("vec_id"), col("cell"), col("rv").as("qv"))
+      // PQ init still skips vec_id < CoarseK: under the trained coarse
+      // codebook their residuals are merely small rather than exactly
+      // zero, but excluding the init-source rows keeps the residual
+      // codebook init well-spread — and the oracle chains carry the
+      // same WHERE, so both engines train identically.
       val (books, codes) = fitPqOn(resid, 1, resid.filter(col("vec_id") >= CoarseK))
       // probe: the query's nprobe nearest coarse cells — exact integer
       // arithmetic on the collected codebook (identical to the oracle's)
@@ -382,7 +394,7 @@ object Learn {
         .sortBy { case (cid, dd) => (dd, cid) }.take(NProbe).map(_._1)
       // per-probed-cell ADC: LUT entries keyed by cid (q_pq_search rule)
       def adcFor(p: Int): String = {
-        val rq = q0.indices.map(i => q0(i) - coarse(p)._2(i)).toArray
+        val rq = q0.indices.map(i => q0(i) - coarseByCid(p)(i)).toArray
         (0 until M).map { i =>
           val qSlice = rq.slice(i * Sub, (i + 1) * Sub)
           val byCid = books(i).map { case (cid, cv) =>
@@ -409,8 +421,29 @@ object Learn {
   private val NProbe = 2
 
   /** The quantize-once boundary: float → 1e-4-grid BIGINT per dim. */
-  private val QuantTok =
+  private[operators] val QuantTok =
     "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+
+  /** TRAINED IVF coarse codebook — Lloyd's k-means over the quantized
+    * embedding grid with k = [[CoarseK]] = 16 and ONE update round from
+    * the 16-lowest-vec_id init, replacing the old "first 16 vectors"
+    * codebook whose cell balance depended on data ORDER (16 clumped
+    * early vectors → 16 near-identical centroids → one hot cell doing
+    * all the work; GraphLearnSpec pins the improvement on a skewed
+    * synthetic corpus). Same exact-integer recipe as q_kmeans_fit, so
+    * every consumer's oracle can replay the training trajectory
+    * CTE-for-CTE. Memoized per data dir: the codebook is a
+    * deterministic pure function of the corpus (k·dim driver-side
+    * longs — codebook-scale, never data-scale), and the IVF family
+    * (q_simsearch_ivf, q_knn_label, q_dedup_embed, q_ivfpq_search)
+    * shares one training pass per session the way a production index
+    * trains once and serves many queries. */
+  private val coarseMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Long])]]()
+
+  def coarseCentroids(s: SparkSession, d: String): Seq[(Int, Array[Long])] =
+    coarseMemo.computeIfAbsent(d,
+      _ => fitKMeansSlice(s, d, iters = 1, start = 1, len = Dim, k = CoarseK)._1)
 
   /** Product-quantization trainer: ALL subspaces per iteration in ONE
     * pass — assignment is a single map-only select computing every
@@ -489,15 +522,16 @@ object Learn {
 
   /** Lloyd's loop over dims [start, start+len) of the quantized
     * vector — the full fit is the len = Dim special case; product
-    * quantization trains one per subspace. */
+    * quantization trains one per subspace, the IVF coarse codebook
+    * ([[coarseCentroids]]) passes k = CoarseK. */
   def fitKMeansSlice(s: SparkSession, d: String, iters: Int,
-                     start: Int, len: Int): (Seq[(Int, Array[Long])], DataFrame) = {
+                     start: Int, len: Int, k: Int = K): (Seq[(Int, Array[Long])], DataFrame) = {
     val qdf = Tables.embeddings(s, d).select(col("vec_id"), expr(
       "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("qv"))
       .withColumn("qs", expr(s"slice(qv, $start, $len)"))
-    // init: the K lowest-vec_id vectors, cid in vec_id order
+    // init: the k lowest-vec_id vectors, cid in vec_id order
     var cents: Seq[(Int, Array[Long])] =
-      qdf.orderBy(col("vec_id")).limit(K).collect().zipWithIndex.map { case (r, i) =>
+      qdf.orderBy(col("vec_id")).limit(k).collect().zipWithIndex.map { case (r, i) =>
         (i, r.getSeq[Long](r.fieldIndex("qs")).toArray)
       }.toSeq
     for (_ <- 1 to iters) {
@@ -517,17 +551,18 @@ object Learn {
 
   // ----------------------------- oracles --------------------------
 
-  /** Init CTE: the K lowest-vec_id vectors' [start, start+len) slice,
+  /** Init CTE: the k lowest-vec_id vectors' [start, start+len) slice,
     * optionally restricted by `where` (residual PQ skips the zero
     * residuals of the coarse-centroid source rows). */
-  private def initCte(c: String, start: Int, len: Int, where: String = ""): String =
+  private[operators] def initCte(c: String, start: Int, len: Int,
+                                 where: String = "", k: Int = K): String =
     s"""$c AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
        |    qv[$start:${start + len - 1}] AS cv
-       |  FROM (SELECT vec_id, qv FROM q $where ORDER BY vec_id LIMIT $K))""".stripMargin
+       |  FROM (SELECT vec_id, qv FROM q $where ORDER BY vec_id LIMIT $k))""".stripMargin
 
   /** One Lloyd assignment CTE over centroid CTE `c`, named `a`. */
-  private def assignCte(a: String, c: String, start: Int, len: Int): String =
+  private[operators] def assignCte(a: String, c: String, start: Int, len: Int): String =
     s"""$a AS (
        |  SELECT vec_id, cid, dist,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
@@ -538,7 +573,7 @@ object Learn {
        |    FROM q, $c))""".stripMargin
 
   /** One centroid-update CTE from assignment CTE `a`, named `c`. */
-  private def updateCte(c: String, a: String, start: Int, len: Int): String =
+  private[operators] def updateCte(c: String, a: String, start: Int, len: Int): String =
     s"""$c AS (
        |  SELECT cid, list(ctr ORDER BY pos) AS cv FROM (
        |    SELECT a.cid, t.pos,
@@ -731,9 +766,25 @@ object Learn {
          |  SELECT vec_id, list_transform(embedding,
          |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
          |  FROM embeddings),
-         |cc AS (
+         |cc0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
          |  FROM (SELECT vec_id, qv FROM raw ORDER BY vec_id LIMIT $CoarseK)),
+         |cca AS (
+         |  SELECT vec_id, cid, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM (
+         |    SELECT r.vec_id, c.cid,
+         |      CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |        j -> (r.qv[j] - c.cv[j]) * (r.qv[j] - c.cv[j]))) AS BIGINT) AS dist
+         |    FROM raw r, cc0 c)),
+         |cc AS (
+         |  SELECT cid, list(ctr ORDER BY pos) AS cv FROM (
+         |    SELECT a.cid, t.pos,
+         |      CAST(floor(CAST(CAST(SUM(r.qv[t.pos]) AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ctr
+         |    FROM cca a JOIN raw r USING (vec_id), range(1, ${Dim + 1}) t(pos)
+         |    WHERE a.rn = 1
+         |    GROUP BY a.cid, t.pos)
+         |  GROUP BY cid),
          |ca AS (
          |  SELECT vec_id, cid, dist,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn

@@ -545,7 +545,7 @@ object NearDup {
         .selectExpr("vec_id + 1000000 AS vec_id", "label",
           "transform(embedding, x -> cast(x as double) + 0.01) AS e")
       val all = emb.unionByName(dup)
-      val cents = SimSearch.centroidLits(s, d)
+      val cents = SimSearch.trainedCentroidLits(s, d)
       val cosc = expr(s"cosine_all(e, array(${cents.mkString(",")}))")  // one call site; see CosineMulti scaladoc
       val twoTheta = 2 * math.acos(0.95)
       val clamp = (x: String) => s"acos(greatest(-1.0D, least(1.0D, $x)))"

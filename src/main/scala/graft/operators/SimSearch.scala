@@ -59,15 +59,31 @@ object SimSearch {
     ((h(0) >> 4) & 0xf) < 8
   }
 
-  /** The 16-cell deterministic codebook (first 16 vectors) as plan
-    * literals — codebook-scale metadata collected once, shared by the
-    * IVF search and the exact cone-probe candidate generators below.
+  /** The 16-cell FIRST-16-VECTORS codebook as plan literals — kept for
+    * q_semantic_dedup, whose oracle replays this exact cosine
+    * assignment (its rank-blocked pairing is hot-cell-safe by
+    * construction, so balance is not load-bearing there). The
+    * cone-probe candidate generators use [[trainedCentroidLits]].
     */
   private[operators] def centroidLits(s: SparkSession, d: String): Array[String] =
     Tables.embeddings(s, d).filter(col("vec_id") < 16).orderBy("vec_id")
       .select(col("embedding").cast("array<double>"))
       .collect()
       .map(_.getSeq[Double](0).map(v => s"${v}D").mkString("array(", ",", ")"))
+
+  /** The TRAINED 16-cell codebook (Learn.coarseCentroids) as
+    * double-array plan literals for the cosine-space cone-probe
+    * generators (q_knn_label, q_dedup_embed). The 1e-4-grid integer
+    * centroids are used UNSCALED — cosine is scale-invariant, so
+    * dividing by 10⁴ would only add a float op per element. Safe swap
+    * by construction: the triangle-inequality exactness proofs hold
+    * for ANY centroid set (centroids only pick which cells are
+    * probed), so the all-pairs oracles are untouched — training
+    * changes cell BALANCE, not results.
+    */
+  private[operators] def trainedCentroidLits(s: SparkSession, d: String): Array[String] =
+    Learn.coarseCentroids(s, d)
+      .map(_._2.map(v => s"${v.toDouble}D").mkString("array(", ",", ")")).toArray
 
   /** Clamped arccos — numeric safety at the ±1 boundary. */
   private[operators] def angleOf(cosExpr: String): String =
@@ -148,54 +164,44 @@ object SimSearch {
         .limit(20)
     }),
 
-    // IVF-style ANN: a 16-cell inverted-file index with a deterministic
-    // codebook (the first 16 vectors — a fixed sample; a production
-    // build would k-means them, but the *plan shape* is the point).
-    // Cell assignment is one map-only codegen'd pass per vector — the
-    // codebook is collected once (16 × dim doubles, i.e. codebook-scale
-    // metadata, NOT data-scale) and folded into the plan as literals,
-    // exactly like the LSH hyperplanes. The query probes nprobe=2
-    // nearest cells and brute-forces only those — at 100 TB the cell id
-    // becomes the partition key, so a query touches 2/16 of the data
-    // (and the oracle replays every float step, so unlike the
-    // sign-random-projection variant this one IS hash-checkable:
-    // Double.toString round-trips exactly through the plan literal, and
-    // both engines fold the cosine sums in the same element order).
+    // IVF-style ANN: a 16-cell inverted-file index with a TRAINED
+    // codebook (Learn.coarseCentroids — one Lloyd round over the
+    // 1e-4-quantized grid from the 16-lowest-vec_id init; the old
+    // "first 16 vectors" codebook made cell BALANCE depend on data
+    // order — 16 clumped early vectors meant one hot cell did all the
+    // serving work). Cell assignment is one map-only pass per vector:
+    // integer-L2 argmin against the k·dim centroid literals (the
+    // q_kmeans_fit assignment — codebook-scale metadata folded into
+    // the plan, exactly like the LSH hyperplanes). The query probes
+    // its nprobe=2 nearest cells by the same integer L2 (computed
+    // driver-side on the identical collected codebook) and
+    // brute-forces only those with the exact double cosine — at
+    // 100 TB the cell id becomes the partition key, so a query
+    // touches ~2/16 of the data. Hash-checkable end to end: the
+    // oracle replays the TRAINING round (init → assign → update) plus
+    // assignment, probe, and cosine CTE-for-CTE; Double.toString
+    // round-trips exactly through the plan literal, and both engines
+    // fold the cosine sums in the same element order.
     "q_simsearch_ivf" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
-      // codebook collect: filter+project+collect ONLY — an .orderBy
-      // before a 16-row collect planned a full 32-partition sort
-      // exchange whose task-scheduling overhead was half this query's
-      // steady-state runtime (0.37 s of 0.78 measured); the driver
-      // sorts 16 rows for free
-      val cents: Array[Array[Double]] = Tables.embeddings(s, d)
-        .filter(col("vec_id") < 16)
-        .select(col("vec_id"), col("embedding").cast("array<double>"))
-        .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
-      def centLit(c: Array[Double]): String =
-        c.map(v => s"${v}D").mkString("array(", ",", ")")
-      // one cosine_all call vs 16 inlined cosine loops: identical math
-      // (same fold order per centroid), but the generated projection
-      // stays small — 16 unrolled 64-constant loops per reference made
-      // janino compilation, not execution, the dominant cost here
-      val cells = expr(s"cosine_all(edbl, array(${cents.map(centLit).mkString(",")}))")
-      val emb = Tables.embeddings(s, d)
-        .withColumn("edbl", col("embedding").cast("array<double>"))
-        .withColumn("cells", cells)
-        .withColumn("cell", expr("cast(array_position(cells, array_max(cells)) as int) - 1"))
-      val qLit = centLit(cents(0)) // vec_id 0 is centroid 0's source row
-      // probe cells: top-2 centroids by cosine to the query vector,
-      // through the same PLAN arithmetic the corpus pass uses (same
-      // cosine_all literal fold — not driver floats), but over a 1-row
-      // LOCAL relation: the query vector is already a collected
-      // literal, so re-scanning the corpus parquet just to score it
-      // was a wasted job (0.19 s → one local task)
-      val probe: Array[Int] = s.sql(
-        s"""SELECT k FROM (
-           |  SELECT posexplode(cosine_all($qLit, array(${cents.map(centLit).mkString(",")}))) AS (k, cos))
-           |ORDER BY cos DESC, k LIMIT 2""".stripMargin)
-        .collect().map(_.getInt(0))
-      emb.filter(col("cell").isin(probe.toIndexedSeq.map(Integer.valueOf): _*))
+      val cents = Learn.coarseCentroids(s, d)
+      val emb = Learn.assign(
+        Tables.embeddings(s, d)
+          .withColumn("edbl", col("embedding").cast("array<double>"))
+          .withColumn("qs", expr(Learn.QuantTok)),
+        cents).withColumnRenamed("cluster", "cell")
+      // query literals: vec_id 0's raw doubles (for the exact cosine)
+      // and quantized grid (for the probe) — one 1-row collect
+      val q0 = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"), expr(Learn.QuantTok))
+        .collect()(0)
+      val qLit = q0.getSeq[Double](0).map(v => s"${v}D").mkString("array(", ",", ")")
+      val q0q = q0.getSeq[Long](1).toArray
+      def l2(a: Array[Long], b: Array[Long]): Long =
+        a.indices.foldLeft(0L) { (acc, i) => val x = a(i) - b(i); acc + x * x }
+      val probe = cents.map { case (cid, cv) => (cid, l2(q0q, cv)) }
+        .sortBy { case (cid, dd) => (dd, cid) }.take(2).map(_._1)
+      emb.filter(col("cell").isin(probe.map(Integer.valueOf): _*))
         .withColumn("cos_sim", round(expr(s"cosine_sim(edbl, $qLit)"), 4))
         .select(col("vec_id"), col("label"), col("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -290,7 +296,7 @@ object SimSearch {
     "q_knn_label" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
       import org.apache.spark.sql.expressions.Window
-      val cents = centroidLits(s, d)
+      val cents = trainedCentroidLits(s, d)
       val cosc = expr(s"cosine_all(e, array(${cents.mkString(",")}))")  // one call site; see CosineMulti scaladoc
       val assigned = Tables.embeddings(s, d)
         .withColumn("e", col("embedding").cast("array<double>"))
@@ -571,30 +577,33 @@ object SimSearch {
 
     // q_simsearch_lsh: no oracle (probabilistic bucketing).
 
+    // Replays the coarse TRAINING round (init → assign → update via
+    // Learn's kmeans CTEs at k = 16), then the trained assignment, the
+    // integer-L2 probe, and the exact double cosine over probed cells.
     "q_simsearch_ivf" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS c
-         |  FROM embeddings WHERE vec_id < 16),
-         |cl AS (SELECT list(c ORDER BY k) AS cs FROM cents),
-         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
-         |assign AS (
-         |  SELECT vec_id, label, a,
-         |    list_position(cosl, list_max(cosl)) - 1 AS cell
-         |  FROM (
-         |    SELECT vec_id, label, a,
-         |      list_transform(cs, c -> list_dot_product(a, c)
-         |        / (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(c, c)))) AS cosl
-         |    FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS a FROM embeddings), cl)),
+      s"""WITH q AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS a,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |${Learn.initCte("c0", 1, Learn.Dim, "", Learn.CoarseK)},
+         |${Learn.assignCte("a1", "c0", 1, Learn.Dim)},
+         |${Learn.updateCte("c1", "a1", 1, Learn.Dim)},
+         |${Learn.assignCte("a2", "c1", 1, Learn.Dim)},
+         |vcell AS (SELECT vec_id, cid AS cell FROM a2 WHERE rn = 1),
+         |q0 AS (SELECT a AS qa, qv AS q0v FROM q WHERE vec_id = 0),
          |qprobe AS (
-         |  SELECT k FROM cents, qv
-         |  ORDER BY list_dot_product(q, c)
-         |    / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(c, c))) DESC, k
-         |  LIMIT 2)
-         |SELECT vec_id, label,
-         |  round(list_dot_product(a, q)
-         |    / (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(q, q))), 4) AS cos_sim
-         |FROM assign, qv
-         |WHERE cell IN (SELECT k FROM qprobe)
+         |  SELECT cid FROM (
+         |    SELECT c1.cid,
+         |      CAST(list_sum(list_transform(range(1, ${Learn.Dim + 1}),
+         |        j -> (q0.q0v[j] - c1.cv[j]) * (q0.q0v[j] - c1.cv[j]))) AS BIGINT) AS dist
+         |    FROM c1, q0)
+         |  ORDER BY dist, cid LIMIT 2)
+         |SELECT q.vec_id, q.label,
+         |  round(list_dot_product(a, qa)
+         |    / (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(qa, qa))), 4) AS cos_sim
+         |FROM q JOIN vcell v USING (vec_id), q0
+         |WHERE v.cell IN (SELECT cid FROM qprobe)
          |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
 
     "q_simsearch_bq" ->

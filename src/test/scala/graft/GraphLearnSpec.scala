@@ -47,6 +47,38 @@ class GraphLearnSpec extends SparkSpec {
     }
   }
 
+  test("coarse codebook: one Lloyd round beats first-16 cell balance on an order-skewed corpus") {
+    import spark.implicits._
+    val dim = 64
+    // 8 well-separated blobs (blob b: dims 8b..8b+7 at 1.0) with small
+    // deterministic per-point jitter; the ORDER-SKEW is that the first
+    // 16 vec_ids — the raw codebook — all sit in blob 0, the exact
+    // failure mode coarseCentroids exists to fix.
+    def vec(blob: Int, seed: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      (0 until 8).foreach(k => a(blob * 8 + k) = 1.0f)
+      (0 until dim).foreach { j =>
+        val h = scala.util.hashing.MurmurHash3.productHash((seed, j))
+        a(j) += (h & 0x3ff).toFloat / 1024f * 0.05f
+      }
+      a
+    }
+    val rows = (0 until 16).map(i => (i.toLong, vec(0, i).toSeq, 0)) ++
+      (16 until 200).map(i => (i.toLong, vec(i % 8, i).toSeq, i % 8))
+    val dir = java.nio.file.Files.createTempDirectory("skewemb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def occupancy(iters: Int): (Long, Long) = {
+      val occ = Learn.fitKMeansSlice(spark, dir, iters, 1, dim, k = 16)._2
+        .groupBy($"cluster").count().agg(max($"count"), min($"count")).head()
+      (occ.getLong(0), occ.getLong(1))
+    }
+    val (rawMax, _) = occupancy(0)  // iters = 0: the raw first-16 codebook
+    val (trainedMax, _) = occupancy(1) // the coarseCentroids config
+    assert(trainedMax < rawMax,
+      s"trained max occupancy $trainedMax !< first-16 $rawMax")
+  }
+
   test("q_pq_codes: every subspace code is the argmin over its trained codebook") {
     val (books, codes) = Learn.fitPq(spark, sf, 1)
     val rows = codes.collect()
