@@ -35,6 +35,7 @@ object DocStreams {
   // private members — janino fails at codegen, not compile, time
   case class BandHit(band_key: String, doc_id: Long, ts: java.sql.Timestamp)
   case class BandState(firstDoc: Long, n: Long)
+  case class BandMembers(docs: Seq[Long])
 
   /** Signature-grain streaming dedup: drops any doc whose FULL
     * 12-hash MinHash signature was already seen within the watermark —
@@ -112,4 +113,86 @@ object DocStreams {
           }
       }
   }
+
+  /** [[lshCandidates]] at FULL band-bucket grain: every newcomer pairs
+    * with EVERY doc currently in its bucket (id-ordered a_id < b_id) —
+    * the exact online twin of q_dedup_minhash's band self-join, where
+    * the canonical-only variant trades recall for one-id state. State
+    * per bucket is the member id LIST, bounded by the watermark horizon
+    * × the bucket collision rate — banded LSH keeps buckets small by
+    * construction (that is its candidate-bounding job), the same
+    * argument that bounds the batch join's per-bucket fan-out; ids
+    * only, never text. Expiry: event-time timeout one watermark past
+    * the bucket's last activity, like the canonical variant.
+    */
+  def lshCandidatesAll(docs: DataFrame, watermark: String = "1 hour"): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    val bands = NearDup.withRowSignatures(docs)
+      .filter(size(col("hs")) >= 1)
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        explode(expr(s"sequence(0, ${NearDup.Bands - 1})")).as("b"), col("sigs"))
+      .select(
+        concat(col("b"), lit(":"),
+          expr(s"concat_ws('|', slice(sigs, b * ${NearDup.Rows} + 1, ${NearDup.Rows}))")).as("band_key"),
+        col("doc_id"), col("ts"))
+    bands.as[BandHit]
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState[BandMembers, CandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[BandHit], state: GroupState[BandMembers]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val hits = rows.toSeq.sortBy(h => (h.ts.getTime, h.doc_id))
+            val out = Seq.newBuilder[CandPair]
+            var members = state.getOption.map(_.docs).getOrElse(Seq.empty)
+            hits.foreach { h =>
+              if (!members.contains(h.doc_id)) {
+                members.foreach { m =>
+                  out += CandPair(key, math.min(m, h.doc_id), math.max(m, h.doc_id))
+                }
+                members = members :+ h.doc_id
+              }
+            }
+            state.update(BandMembers(members))
+            state.setTimeoutTimestamp(hits.map(_.ts.getTime).max, watermark)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** EXACT-Jaccard verification of a candidate micro-batch against the
+    * hashed-shingle bank (`bank` = (doc_id, hs) — in production the doc
+    * store's signature side-table; NearDup.withHashedShingles builds
+    * it) — the same verify the batch pipeline runs on its band join
+    * (NearDup q_dedup_minhash), so online and offline verdicts agree
+    * bit-for-bit on the same pair. Batch-local distinct first: a pair
+    * colliding in k bands emits k times within its arrival batch, and
+    * verifying it once is the point of candidate generation.
+    */
+  def verifyCandidates(cands: DataFrame, bank: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(cands.sparkSession)
+    cands.select(col("a_id"), col("b_id")).distinct()
+      .join(bank.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+      .join(bank.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+      .withColumn("jaccard", expr("jaccard_sorted(ha, hb)"))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** The CLOSED streaming near-dup loop: candidates at full bucket
+    * grain → per-micro-batch exact verify → verified-duplicate rows to
+    * `sink`. foreachBatch is the right tier: the verify is a bounded
+    * batch join (candidate-page × signature bank), not stateful stream
+    * processing, and the sink callback is where production appends to
+    * the dedup ledger. Returns the writer un-started so callers own
+    * trigger/checkpoint config.
+    */
+  def verifiedDuplicates(docs: DataFrame, bank: DataFrame, watermark: String = "1 hour")(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[CandPair] =
+    lshCandidatesAll(docs, watermark).writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[CandPair], _: Long) =>
+        sink(verifyCandidates(batch.toDF(), bank))
+      }
 }

@@ -284,4 +284,40 @@ class StreamingSpec extends SparkSpec {
       assert(after4.toSet === Set((1L, 2L), (1L, 4L)), s"got $after4")
     } finally q.stop()
   }
+
+  test("streaming verified duplicates equal the batch q_dedup_minhash pairs on the same feed") {
+    import graft.operators.NearDup
+    // the SAME corpus the batch detector runs on (documents + planted
+    // near-dup copies), fed as a 2-micro-batch stream so cross-batch
+    // bucket state is exercised; all events inside one watermark window
+    val corpus = NearDup.corpus(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val (feed1, feed2) = corpus.partition(_._1 % 2 == 0)
+    val bank = NearDup.withHashedShingles(NearDup.corpus(spark, sf))
+      .select($"doc_id", $"hs")
+    val verified = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val input = MemoryStream[SDoc](spark)
+    val q = graft.streaming.DocStreams
+      .verifiedDuplicates(input.toDF(), bank, "1 hour") { batch =>
+        verified ++= batch.select($"a_id", $"b_id", $"jaccard")
+          .as[(Long, Long, Double)](
+            org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.scalaLong,
+              org.apache.spark.sql.Encoders.scalaLong,
+              org.apache.spark.sql.Encoders.scalaDouble))
+          .collect()
+      }
+      .start()
+    try {
+      input.addData(feed1.zipWithIndex.map { case ((id, text), i) => SDoc(id, text, ts(i % 30)) }.toSeq)
+      q.processAllAvailable()
+      input.addData(feed2.zipWithIndex.map { case ((id, text), i) => SDoc(id, text, ts(30 + i % 30)) }.toSeq)
+      q.processAllAvailable()
+      val batchPairs = NearDup.queries("q_dedup_minhash")(spark, sf)
+        .select($"a_id", $"b_id", $"jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(batchPairs.nonEmpty, "fixture must contain planted near-dups")
+      assert(verified.toSet === batchPairs,
+        s"online/offline divergence: missing=${batchPairs -- verified.toSet} extra=${verified.toSet -- batchPairs}")
+    } finally q.stop()
+  }
 }
