@@ -370,6 +370,46 @@ object NearDup {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Empirical RECALL/PRECISION of q_dedup_edit's 64-char-prefix
+    // verifier against the FULL-text levenshtein ground truth — the
+    // q_dedup_recall self-evaluation applied to the edit-distance
+    // family: the prefix cap bounds the O(len²) DP per pair (the
+    // scale guard), and this query measures what that cap costs. Over
+    // the SAME SNM candidate set (rank-block W=8), count pairs the
+    // full-text verdict admits (edit ≤ 16), pairs the prefix verdict
+    // admits, and their overlap; recall in exact micro-units
+    // (greatest(full_n, 1) guards the all-clean corpus). The full-text
+    // arm deliberately ships text pairs through the join — it is the
+    // EVALUATION ground truth, the one place that cost is the point;
+    // at 100 TB this runs on a calibration sample, exactly like
+    // q_dedup_recall's exact-truth arm.
+    "q_edit_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = 8
+      val ranked = corpus(s, d)
+        .withColumn("pfx", expr("substring(text, 1, 64)"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("lang"), col("source"))
+            .orderBy(col("text"), col("doc_id"))))
+        .select(col("lang"), col("source"), col("doc_id"),
+          col("text"), col("pfx"), col("rnk"))
+      val probe = ranked.withColumn("blk", expr(s"(rnk - 1) div $W"))
+      val index = ranked.select(col("lang"), col("source"),
+          col("doc_id").as("b_doc"), col("text").as("b_text"),
+          col("pfx").as("b_pfx"), col("rnk").as("b_rnk"))
+        .withColumn("blk",
+          explode(expr(s"array((b_rnk - 1) div $W, (b_rnk - 1) div $W + 1)")))
+      probe.join(index, Seq("lang", "source", "blk"))
+        .filter(col("b_rnk") < col("rnk") && col("rnk") - col("b_rnk") <= W)
+        .withColumn("pfx_hit", levenshtein(col("pfx"), col("b_pfx")) <= 16)
+        .withColumn("full_hit", levenshtein(col("text"), col("b_text")) <= 16)
+        .agg(count(lit(1)).as("cand_n"),
+          sum(when(col("full_hit"), 1L).otherwise(0L)).as("full_n"),
+          sum(when(col("pfx_hit"), 1L).otherwise(0L)).as("pfx_n"),
+          sum(when(col("pfx_hit") && col("full_hit"), 1L).otherwise(0L)).as("tp"))
+        .withColumn("recall_micro", expr("(tp * 1000000) DIV greatest(full_n, 1)"))
+    }),
+
     // Dedup clustering: near-dup PAIRS are not a dedup decision — a
     // training pipeline must group transitively-connected docs into
     // components and keep one canonical per component. Connected
@@ -617,6 +657,29 @@ object NearDup {
          | AND y.rnk < x.rnk AND x.rnk - y.rnk <= 8
          |WHERE levenshtein(x.pfx, y.pfx) <= 16
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_edit_recall" ->
+      s"""WITH $corpusSql,
+         |ranked AS (
+         |  SELECT doc_id, lang, source, text, substr(text, 1, 64) AS pfx,
+         |    row_number() OVER (PARTITION BY lang, source
+         |      ORDER BY text, doc_id) AS rnk
+         |  FROM corpus),
+         |cand AS (
+         |  SELECT x.text AS xt, y.text AS yt, x.pfx AS xp, y.pfx AS yp
+         |  FROM ranked x JOIN ranked y
+         |    ON x.lang = y.lang AND x.source = y.source
+         |   AND y.rnk < x.rnk AND x.rnk - y.rnk <= 8),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS cand_n,
+         |    CAST(SUM(CASE WHEN levenshtein(xt, yt) <= 16 THEN 1 ELSE 0 END) AS BIGINT) AS full_n,
+         |    CAST(SUM(CASE WHEN levenshtein(xp, yp) <= 16 THEN 1 ELSE 0 END) AS BIGINT) AS pfx_n,
+         |    CAST(SUM(CASE WHEN levenshtein(xp, yp) <= 16
+         |              AND levenshtein(xt, yt) <= 16 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |  FROM cand)
+         |SELECT cand_n, full_n, pfx_n, tp,
+         |  (tp * 1000000) // greatest(full_n, 1) AS recall_micro
+         |FROM agg""".stripMargin,
 
     // Connected components over the verified jaccard edges: the oracle
     // computes full transitive closure (reach) with a recursive CTE and
