@@ -559,6 +559,58 @@ object Graph {
           when(col("node_id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
           col("dist"))
         .orderBy(col("dist"), col("node_id"))
+    }),
+
+    // HITS hubs & authorities (Kleinberg 1999) over the BIPARTITE
+    // trade graph — the natural centrality for two-role graphs where
+    // PageRank's single score conflates the roles: customers are hubs
+    // (they point at suppliers), suppliers are authorities. Two full
+    // mutual-reinforcement rounds, L∞-normalized in FIXED-POINT
+    // integers: auth'(sp) = Σ_{c∼sp} hub(c) rescaled so max = 10⁶
+    // (truncating division — all scores non-negative, where Spark DIV
+    // ≡ DuckDB //), then hub'(c) = Σ_{sp∼c} auth'(sp) rescaled the
+    // same way. Max-normalization replaces the float L2 norm (sqrt
+    // would break exactness) and is the standard integer-HITS variant.
+    //
+    // Scale posture: rides the SAME persisted bipartite frame as
+    // q_butterfly/q_linkpred ([[tradeBipartite]]); each half-round is
+    // one equi-join of the (node, BIGINT) score vector against it plus
+    // one partial+final sum — shuffles carry id/score pairs only. The
+    // per-round max is a 1-row aggregate attached by broadcast cross
+    // join, never a collect. Overflow bound: score ≤ 10⁶, degree ≤
+    // |other side|, so raw ≤ 10⁶·deg and raw·10⁶ ≤ 10¹²·deg ≪ 2⁶³ for
+    // any realistic catalog; at larger scales the rescale constant is
+    // the knob.
+    "q_hits" -> ((s, d) => {
+      val b = tradeBipartite(s, d)
+      // Each half-round references its raw-sum frame twice (the max
+      // aggregate and the rescale base); materializing it first
+      // (localCheckpoint — the clusterLabels contract) keeps lineage
+      // LINEAR across rounds — without it the double reference
+      // compounds to 2^(half-rounds) re-evaluations of the whole
+      // chain. The frames are node-scale (score vectors), never data-
+      // scale.
+      def renorm(raw0: DataFrame, key: String, v: String): DataFrame = {
+        val raw = raw0.localCheckpoint()
+        val m = raw.agg(max(col(v)).as("mx"))
+        raw.crossJoin(broadcast(m))
+          .select(col(key), expr(s"($v * 1000000) DIV mx").as(v))
+      }
+      var auth: DataFrame = null
+      var hub: DataFrame = b.select(col("c")).distinct()
+        .select(col("c"), lit(1000000L).as("h"))
+      for (_ <- 1 to 2) {
+        auth = renorm(
+          b.join(hub, "c").groupBy(col("sp")).agg(sum(col("h")).as("a")),
+          "sp", "a")
+        hub = renorm(
+          b.join(auth, "sp").groupBy(col("c")).agg(sum(col("a")).as("h")),
+          "c", "h")
+      }
+      hub.select(lit("hub").as("role"), col("c").as("id"), col("h").as("score_micro"))
+        .unionByName(auth.select(
+          lit("authority").as("role"), col("sp").as("id"), col("a").as("score_micro")))
+        .orderBy(col("role"), col("score_micro").desc, col("id"))
     })
   )
 
@@ -909,6 +961,35 @@ object Graph {
          |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  dist
          |FROM d3 ORDER BY dist, node_id""".stripMargin
+    },
+
+    "q_hits" -> {
+      // Each half-round: sum the opposite side's scores, then rescale
+      // to max = 1e6 with truncating division (non-negative, so //
+      // matches Spark DIV).
+      def half(prev: String, next: String, joinKey: String, outKey: String,
+               prevV: String, outV: String): String =
+        s"""${next}raw AS (
+           |  SELECT b.$outKey AS $outKey, CAST(SUM($prev.$prevV) AS BIGINT) AS $outV
+           |  FROM b JOIN $prev ON b.$joinKey = $prev.$joinKey
+           |  GROUP BY b.$outKey),
+           |$next AS (
+           |  SELECT $outKey,
+           |    ($outV * 1000000) // (SELECT MAX($outV) FROM ${next}raw) AS $outV
+           |  FROM ${next}raw)""".stripMargin
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM b),
+         |${half("h0", "a1", "c", "sp", "h", "a")},
+         |${half("a1", "h1", "sp", "c", "a", "h")},
+         |${half("h1", "a2", "c", "sp", "h", "a")},
+         |${half("a2", "h2", "sp", "c", "a", "h")}
+         |SELECT role, id, score_micro FROM (
+         |  SELECT 'hub' AS role, c AS id, h AS score_micro FROM h2
+         |  UNION ALL
+         |  SELECT 'authority' AS role, sp AS id, a AS score_micro FROM a2)
+         |ORDER BY role, score_micro DESC, id""".stripMargin
     }
   )
 }

@@ -263,6 +263,59 @@ object Learn {
         .select(col("vec_id"), col("cluster"), col("qdist"))
         .orderBy(col("vec_id"))),
 
+    // Top principal direction by POWER ITERATION over the embedding
+    // corpus — the distributed PCA primitive (MLlib's RowMatrix route
+    // for tall-skinny data): v ← normalize(Xᵀ(X v)), which never
+    // materializes the d×d covariance and touches the data as two
+    // matvec passes per round. Two rounds from the all-ones start.
+    //
+    // Exactness recipe: everything is BIGINT. Per-row scores s = ⟨qv,v⟩
+    // are exact; before the second matvec they rescale by ENGINE-
+    // PORTABLE FLOOR DIVISION — (a − ((a % n + n) % n)) DIV n, which
+    // floors in BOTH engines even for negative a (bare DIV truncates in
+    // Spark but // floors in DuckDB; the mod-subtraction makes the
+    // dividend exactly divisible, where they agree) — keeping the
+    // z-sums < 2⁶³. Normalization divides by qd = max(⌊max|z|/10⁶⌋, 1)
+    // with the same fdiv, bounding v at ~10⁶ without the float sqrt an
+    // L2 norm would need. Round-1 normalization happens driver-side on
+    // the collected 64-row z vector (codebook scale — the q_kmeans_fit
+    // contract: the next round's map-only scoring needs v as plan
+    // literals); the FINAL round stays declarative (1-row max via
+    // broadcast cross join).
+    //
+    // Scale posture: per round one map-only projection (the ⟨qv,v⟩
+    // literal dot) + one partial+final 64-row aggregate (posexplode
+    // feeds the partial agg inside its stage — the q_gram shape, so
+    // exploded rows never cross the network). 100 TB streams through
+    // 2·2 scans; the only driver data is 64 longs per round. The
+    // rescale constant (10⁶) is the knob that keeps z-sums in range as
+    // row count grows.
+    "q_pca_power" -> ((s, d) => {
+      val quant =
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+      val qdf = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("qv"))
+      def fdiv(a: String, n: String) = s"(($a) - ((($a) % ($n) + ($n)) % ($n))) DIV ($n)"
+      def zOf(v: IndexedSeq[Long]): DataFrame = {
+        val varr = v.mkString("array(", "L,", "L)")
+        qdf
+          .withColumn("sraw", expr(
+            s"aggregate(zip_with(qv, $varr, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .withColumn("sc", expr(fdiv("sraw", "1000000")))
+          .select(col("sc"), posexplode(col("qv")).as(Seq("j0", "x")))
+          .select((col("j0") + 1).as("j"), (col("x") * col("sc")).as("zx"))
+          .groupBy(col("j")).agg(sum(col("zx")).as("z"))
+      }
+      val v0 = IndexedSeq.fill(Dim)(1000000L)
+      val z1 = zOf(v0).collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).map(_._2)
+      val qd1 = math.max(z1.map(z => math.abs(z)).max / 1000000L, 1L)
+      val v1 = z1.map(z => Math.floorDiv(z, qd1))
+      val z2 = zOf(v1)
+      val m = z2.agg(greatest(expr("max(abs(z)) DIV 1000000"), lit(1L)).as("qd"))
+      z2.crossJoin(broadcast(m))
+        .select(col("j"), col("z"), expr(fdiv("z", "qd")).as("loading"))
+        .orderBy(col("j"))
+    }),
+
     // Product quantization (Jégou et al. 2011 — the FAISS IVFPQ
     // compression): the 64-dim space splits into 4 independent 16-dim
     // subspaces, each gets its own k=4 codebook (one Lloyd iteration
@@ -679,6 +732,32 @@ object Learn {
         |        / CAST(CAST(count(*) AS BIGINT) - 1 AS DOUBLE), 6) AS cov
         |FROM p GROUP BY di, dj
         |ORDER BY di, dj""".stripMargin,
+
+    "q_pca_power" -> {
+      // fdiv = engine-portable floor division (see the query comment);
+      // each round is s = fdiv(⟨qv, v⟩, 1e6) per row, z_j = Σ s·qv_j,
+      // v' = fdiv(z, max(⌊max|z|/1e6⌋, 1)).
+      def fdiv(a: String, n: String) = s"(($a) - ((($a) % ($n) + ($n)) % ($n))) // ($n)"
+      def round(vPrev: String, s: String, z: String, m: String): String =
+        s"""$s AS MATERIALIZED (
+           |  SELECT vec_id, ${fdiv(s"SUM(qv[$vPrev.j] * $vPrev.v)", "1000000")} AS sc
+           |  FROM q, $vPrev GROUP BY vec_id),
+           |$z AS MATERIALIZED (
+           |  SELECT dims.j AS j, CAST(SUM($s.sc * q.qv[dims.j]) AS BIGINT) AS z
+           |  FROM q JOIN $s USING (vec_id), dims GROUP BY dims.j),
+           |$m AS (SELECT greatest(max(abs(z)) // 1000000, 1) AS qd FROM $z)""".stripMargin
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |dims AS (SELECT unnest(range(1, ${Dim + 1})) AS j),
+         |v0 AS (SELECT j, CAST(1000000 AS BIGINT) AS v FROM dims),
+         |${round("v0", "s1", "z1", "m1")},
+         |v1 AS (SELECT j, ${fdiv("z", "qd")} AS v FROM z1, m1),
+         |${round("v1", "s2", "z2", "m2")}
+         |SELECT j, z, ${fdiv("z", "qd")} AS loading
+         |FROM z2, m2 ORDER BY j""".stripMargin
+    },
 
     "q_kmeans_fit" ->
       s"""WITH q AS (

@@ -481,6 +481,56 @@ object NearDup {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // INCREMENTAL near-dup admission — the reference's core contract
+    // (ingest only rows not already in the sink, etl_service/main.py:
+    // 95-104 + :175) lifted from exact-id grain to NEAR-DUP grain: the
+    // incoming batch (here the corpus's synthetic re-crawl copies,
+    // doc_id ≥ 10⁶ — modified near-copies of docs the corpus already
+    // holds) is checked against the EXISTING corpus, and only docs
+    // with no verified near-duplicate are admitted. Candidates come
+    // from the banded-MinHash band join NEW × OLD (no self-join: the
+    // sides are disjoint), verification is exact Jaccard ≥ 0.6 on the
+    // hashed shingle sets, and each new doc reports its canonical
+    // match (min old_id), match count, best Jaccard, and the admit
+    // verdict.
+    //
+    // Scale posture: in production the OLD side's band signatures are
+    // precomputed and persisted (the sink-id-cache posture — you never
+    // re-shingle the corpus per batch); the incoming batch is tiny
+    // relative to the corpus, so its band table BROADCASTS into the
+    // candidate join and the 100 TB side never shuffles for it. The
+    // verify join touches only candidate pairs; shuffles carry
+    // signatures and ids, never text.
+    "q_dedup_incremental" -> ((s, d) => {
+      val all = withHashedShingles(corpus(s, d)).select(col("doc_id"), col("hs"))
+      val newDocs = all.filter(col("doc_id") >= 1000000L)
+      val oldDocs = all.filter(col("doc_id") < 1000000L)
+      def bandsOf(docs: DataFrame): DataFrame =
+        signaturesOf(docs.filter(size(col("hs")) >= 1))
+          .select(col("doc_id"), explode(expr(s"sequence(0, ${Bands - 1})")).as("b"), col("sigs"))
+          .withColumn("bs", expr(s"concat_ws('|', slice(sigs, b * $Rows + 1, $Rows))"))
+          .select(col("doc_id"), col("b"), col("bs"))
+      val cand = broadcast(bandsOf(newDocs)).as("x")
+        .join(bandsOf(oldDocs).as("y"),
+          col("x.b") === col("y.b") && col("x.bs") === col("y.bs"))
+        .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
+        .distinct()
+      val verified = cand
+        .join(newDocs.select(col("doc_id").as("new_id"), col("hs").as("hn")), "new_id")
+        .join(oldDocs.select(col("doc_id").as("old_id"), col("hs").as("ho")), "old_id")
+        .withColumn("jaccard", expr("jaccard_sorted(hn, ho)"))
+        .filter(col("jaccard") >= 0.6)
+      val dec = verified.groupBy(col("new_id"))
+        .agg(min(col("old_id")).as("dup_of"), count(lit(1)).as("n_matches"),
+          round(max(col("jaccard")), 4).as("best_jaccard"))
+      newDocs.select(col("doc_id").as("new_id"))
+        .join(dec, Seq("new_id"), "left")
+        .select(col("new_id"), col("dup_of"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("best_jaccard"), col("dup_of").isNull.as("admit"))
+        .orderBy(col("new_id"))
+    }),
+
     // Empirical RECALL of the banded-MinHash candidate stage against
     // the exact PPJoin ground truth — the dedup pipeline's
     // SELF-EVALUATION: banded LSH trades candidate volume for recall
@@ -751,6 +801,44 @@ object NearDup {
          |WHERE len(list_intersect(sa.hs, sb.hs))
          |      / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.6
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      s"""WITH $corpusSql,
+         |$shinglesSql,
+         |$hshSql,
+         |newd AS MATERIALIZED (SELECT doc_id, hs FROM hsh WHERE doc_id >= 1000000),
+         |oldd AS MATERIALIZED (SELECT doc_id, hs FROM hsh WHERE doc_id < 1000000),
+         |sgn AS (SELECT doc_id, $sigSql AS sigs FROM newd WHERE len(hs) >= 1),
+         |sgo AS (SELECT doc_id, $sigSql AS sigs FROM oldd WHERE len(hs) >= 1),
+         |bn AS (
+         |  SELECT doc_id, b, array_to_string(sigs[b * $Rows + 1 : b * $Rows + $Rows], '|') AS bs
+         |  FROM (SELECT doc_id, sigs, unnest(range(0, $Bands)) AS b FROM sgn)),
+         |bo AS (
+         |  SELECT doc_id, b, array_to_string(sigs[b * $Rows + 1 : b * $Rows + $Rows], '|') AS bs
+         |  FROM (SELECT doc_id, sigs, unnest(range(0, $Bands)) AS b FROM sgo)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+         |  FROM bn x JOIN bo y ON x.b = y.b AND x.bs = y.bs),
+         |ver AS (
+         |  SELECT new_id, old_id,
+         |    len(list_intersect(sn.hs, so.hs))
+         |      / len(list_distinct(list_concat(sn.hs, so.hs))) AS jacc
+         |  FROM cand
+         |  JOIN newd sn ON sn.doc_id = new_id
+         |  JOIN oldd so ON so.doc_id = old_id
+         |  WHERE len(list_intersect(sn.hs, so.hs))
+         |        / len(list_distinct(list_concat(sn.hs, so.hs))) >= 0.6),
+         |dec AS (
+         |  SELECT new_id, min(old_id) AS dup_of,
+         |    CAST(count(*) AS BIGINT) AS n_matches,
+         |    round(max(jacc), 4) AS best_jaccard
+         |  FROM ver GROUP BY new_id)
+         |SELECT n.doc_id AS new_id, dec.dup_of,
+         |  COALESCE(dec.n_matches, 0) AS n_matches,
+         |  dec.best_jaccard,
+         |  dec.dup_of IS NULL AS admit
+         |FROM newd n LEFT JOIN dec ON dec.new_id = n.doc_id
+         |ORDER BY new_id""".stripMargin,
 
     "q_dedup_recall" ->
       s"""WITH $corpusSql,

@@ -369,6 +369,61 @@ object Pipeline {
         .limit(50)
     }),
 
+    // Item-item collaborative-filtering recommendations (Sarwar et al.
+    // 2001 / Amazon's item-to-item CF) — the SERVING step after
+    // co-occurrence counting: the co-purchase pair supports are the
+    // similarity model, TRUNCATED to the top-10 co-items per item
+    // (deterministic tiebreak) — the bounded model every production
+    // item-item CF ships, and the reason the expansion join below has
+    // bounded fan-out (≤ 10 candidates per owned item) no matter how
+    // hot an item is. Each customer's owned set expands through the
+    // model, candidate scores sum per (customer, item), already-owned
+    // items are anti-joined out, and a top-3 window (map-side pruned
+    // by WindowGroupLimit, the q_domain_cap idiom) picks the recs.
+    //
+    // Scale posture: the model is item-catalog-sized → broadcast into
+    // the expansion join, so the owned table (the 100 TB side) never
+    // shuffles for it; the score aggregate and the owned anti-join
+    // both key on (customer, item) — co-partitioned, id/int pairs
+    // only. Exact integer scores end-to-end.
+    "q_item_rec" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li
+        .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("basket"))
+        .select(explode(expr(s"sorted_pairs(slice(basket, 1, $BasketCap))")).as("p"))
+        .select(col("p.a").as("p1"), col("p.b").as("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 3)
+      val simsW = Window.partitionBy(col("item"))
+        .orderBy(col("support").desc, col("co_item"))
+      val sims = pairs
+        .select(explode(array(
+          struct(col("p1").as("item"), col("p2").as("co_item"), col("support")),
+          struct(col("p2").as("item"), col("p1").as("co_item"), col("support")))).as("r"))
+        .select(col("r.item"), col("r.co_item"), col("r.support"))
+        .withColumn("rn", row_number().over(simsW))
+        .filter(col("rn") <= 10)
+        .drop("rn")
+      val owned = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+        .distinct()
+      val recW = Window.partitionBy(col("cust"))
+        .orderBy(col("score").desc, col("rec_item"))
+      owned.join(broadcast(sims), "item")
+        .groupBy(col("cust"), col("co_item").as("rec_item"))
+        .agg(sum(col("support")).as("score"), count(lit(1)).as("n_common"))
+        .join(owned.select(col("cust"), col("item").as("rec_item")),
+          Seq("cust", "rec_item"), "left_anti")
+        .withColumn("rk", row_number().over(recW))
+        .filter(col("rk") <= 3)
+        .orderBy(col("cust"), col("rk"))
+    }),
+
     // Z-order (Morton) layout key — the multi-dimensional data-skipping
     // primitive (Delta OPTIMIZE ZORDER BY, Iceberg sort orders): bit-
     // interleaving two keys gives ONE sort key whose contiguous ranges
@@ -678,6 +733,40 @@ object Pipeline {
         |FROM rules JOIN cnt ca ON ca.pk = rules.ante
         |  JOIN cnt cb ON cb.pk = rules.cons, nb
         |ORDER BY conf_micro DESC, ante, cons LIMIT 50""".stripMargin,
+
+    "q_item_rec" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS support
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING count(*) >= 3),
+        |sims AS MATERIALIZED (
+        |  SELECT item, co_item, support FROM (
+        |    SELECT item, co_item, support,
+        |      row_number() OVER (PARTITION BY item
+        |        ORDER BY support DESC, co_item) AS rn
+        |    FROM (SELECT p1 AS item, p2 AS co_item, support FROM pairs
+        |          UNION ALL SELECT p2, p1, support FROM pairs))
+        |  WHERE rn <= 10),
+        |owned AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |cand AS (
+        |  SELECT o.cust, s.co_item AS rec_item,
+        |    CAST(SUM(s.support) AS BIGINT) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM owned o JOIN sims s ON o.item = s.item
+        |  GROUP BY o.cust, s.co_item),
+        |fresh AS (
+        |  SELECT c.* FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM owned o
+        |                    WHERE o.cust = c.cust AND o.item = c.rec_item))
+        |SELECT cust, rec_item, score, n_common, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY cust
+        |    ORDER BY score DESC, rec_item) AS rk
+        |  FROM fresh)
+        |WHERE rk <= 3
+        |ORDER BY cust, rk""".stripMargin,
 
     "q_copurchase" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)

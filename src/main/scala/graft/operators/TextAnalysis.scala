@@ -199,6 +199,49 @@ object TextAnalysis {
                + 0.5 * (1.0 - size(filter($toks, t -> t IN $stop)) / size($toks)), 4) AS quality_score""")
         .orderBy(col("doc_id"))),
 
+    // The FINAL quality GATE — the FineWeb / Gopher-rules ensemble
+    // that turns the individual quality signals into one keep/drop
+    // verdict with an auditable REASON BITMASK (production filters
+    // always ship the mask: "why was this dropped" drives every
+    // threshold-tuning loop). Six independent rules, each a pure
+    // integer predicate over the doc: token count out of range (bits
+    // 0/1), no stopword at all (bit 2 — the Gopher "stop word" rule),
+    // distinct-token ratio < 30% (bit 3, micro-units via truncating
+    // division on non-negatives), mean token length outside [3, 11]
+    // chars (bit 4 — token-length sums derived from length(text) and
+    // the single-space tokenization, no per-token aggregate), and no
+    // language marker firing (bit 5 — the q_lang_id 'und' outcome).
+    // keep = mask 0. ENTIRELY map-only at scan speed: no join, no
+    // shuffle, no aggregate — at 100 TB this runs at parquet read
+    // bandwidth with every predicate codegen'd, which is exactly what
+    // a final gate must do. The bitmask is exact-integer arithmetic so
+    // both engines agree bit-for-bit.
+    "q_quality_ensemble" -> ((s, d) =>
+      Tables.documents(s, d).selectExpr(
+        "doc_id",
+        s"CAST(size($toks) AS BIGINT) AS n_tokens",
+        s"size(filter($toks, t -> t IN $stop)) AS n_stop",
+        // BIGINT cast BEFORE the ×10⁶: size()/length() are INT32 in
+        // Spark, and INT overflow WRAPS silently there (DuckDB's len()
+        // is already BIGINT and errors on overflow) — without the cast
+        // a >2147-token doc would diverge the engines instead of
+        // failing loudly.
+        s"(CAST(size(array_distinct($toks)) AS BIGINT) * 1000000) DIV size($toks) AS distinct_micro",
+        s"(CAST(length(text) - (size($toks) - 1) AS BIGINT) * 1000000) DIV size($toks) AS mean_len_micro",
+        s"size(filter($toks, t -> t IN ('the','and','of','der','und','das','le','la','et','el','los','y'))) AS n_marker")
+        .selectExpr("doc_id", "n_tokens", "distinct_micro", "mean_len_micro",
+          """CAST(
+            |  (CASE WHEN n_tokens < 5 THEN 1 ELSE 0 END)
+            |  + (CASE WHEN n_tokens > 120 THEN 2 ELSE 0 END)
+            |  + (CASE WHEN n_stop < 1 THEN 4 ELSE 0 END)
+            |  + (CASE WHEN distinct_micro < 300000 THEN 8 ELSE 0 END)
+            |  + (CASE WHEN mean_len_micro < 3000000 OR mean_len_micro > 11000000 THEN 16 ELSE 0 END)
+            |  + (CASE WHEN n_marker = 0 THEN 32 ELSE 0 END)
+            |AS BIGINT) AS reasons""".stripMargin)
+        .selectExpr("doc_id", "n_tokens", "distinct_micro", "mean_len_micro",
+          "reasons", "reasons = 0 AS keep")
+        .orderBy(col("doc_id"))),
+
     // Language-ID n-gram/marker heuristic: argmax of marker-token
     // counts with a fixed tie order (en > de > fr > es), 'und' when no
     // marker fires.
@@ -726,6 +769,34 @@ object TextAnalysis {
         |     + 0.5 * (1.0 - len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is')))
         |       / len(string_split(text, ' '))), 4) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_ensemble" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    len(list_filter(string_split(text, ' '),
+         |      t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop,
+         |    (len(list_distinct(string_split(text, ' '))) * 1000000)
+         |      // len(string_split(text, ' ')) AS distinct_micro,
+         |    ((length(text) - (len(string_split(text, ' ')) - 1)) * 1000000)
+         |      // len(string_split(text, ' ')) AS mean_len_micro,
+         |    len(list_filter(string_split(text, ' '),
+         |      t -> t IN ('the','and','of','der','und','das','le','la','et','el','los','y'))) AS n_marker
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, distinct_micro, mean_len_micro, reasons,
+         |  reasons = 0 AS keep
+         |FROM (
+         |  SELECT doc_id, n_tokens, distinct_micro, mean_len_micro,
+         |    CAST(
+         |      (CASE WHEN n_tokens < 5 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN n_tokens > 120 THEN 2 ELSE 0 END)
+         |      + (CASE WHEN n_stop < 1 THEN 4 ELSE 0 END)
+         |      + (CASE WHEN distinct_micro < 300000 THEN 8 ELSE 0 END)
+         |      + (CASE WHEN mean_len_micro < 3000000 OR mean_len_micro > 11000000 THEN 16 ELSE 0 END)
+         |      + (CASE WHEN n_marker = 0 THEN 32 ELSE 0 END)
+         |    AS BIGINT) AS reasons
+         |  FROM sig)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" ->
       s"""SELECT doc_id, lang, pred_lang FROM ($langPredSql) ORDER BY doc_id""",

@@ -463,4 +463,65 @@ class GraphLearnSpec extends SparkSpec {
     }
     assert(got == dist)
   }
+
+  test("q_hits: both roles max-normalized to 1e6; trajectory matches a driver replay") {
+    val rows = Graph.queries("q_hits")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hubs = rows.filter(_._1 == "hub").map(t => t._2 -> t._3).toMap
+    val auths = rows.filter(_._1 == "authority").map(t => t._2 -> t._3).toMap
+    assert(hubs.nonEmpty && auths.nonEmpty)
+    // L∞ normalization invariant: every score in [0, 1e6], max exactly 1e6
+    assert(hubs.values.max == 1000000L && auths.values.max == 1000000L)
+    assert(hubs.values.forall(v => v >= 0L && v <= 1000000L))
+    assert(auths.values.forall(v => v >= 0L && v <= 1000000L))
+    // independent driver replay of the 2-round integer HITS
+    val edges = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var hub = edges.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var auth = Map.empty[Long, Long]
+    def renorm(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = m.values.max
+      m.map { case (k, v) => k -> v * 1000000L / mx }
+    }
+    for (_ <- 1 to 2) {
+      auth = renorm(edges.groupBy(_._2).map { case (sp, es) =>
+        sp -> es.map(e => hub(e._1)).sum })
+      hub = renorm(edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => auth(e._2)).sum })
+    }
+    assert(hubs == hub && auths == auth)
+  }
+
+  test("q_pca_power: output matches an independent driver-side power-iteration replay") {
+    val quant = Tables.embeddings(spark, sf)
+      .selectExpr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv")
+      .collect().map(_.getSeq[Long](0).toArray)
+    val dim = quant.head.length
+    def round(v: Array[Long]): Array[Long] = {
+      val z = Array.fill(dim)(0L)
+      quant.foreach { qv =>
+        val s = qv.indices.map(j => qv(j) * v(j)).sum
+        val sc = Math.floorDiv(s, 1000000L)
+        qv.indices.foreach(j => z(j) += sc * qv(j))
+      }
+      z
+    }
+    def norm(z: Array[Long]): Array[Long] = {
+      val qd = math.max(z.map(math.abs).max / 1000000L, 1L)
+      z.map(Math.floorDiv(_, qd))
+    }
+    val z1 = round(Array.fill(dim)(1000000L))
+    val z2 = round(norm(z1))
+    val loading = norm(z2)
+    val got = Learn.queries("q_pca_power")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.map(_._2).toSeq == z2.toSeq)
+    assert(got.map(_._3).toSeq == loading.toSeq)
+    // the direction is non-degenerate (an all-zero loading would mean
+    // the rescale constant swallowed the whole spectrum)
+    assert(got.map(_._3).exists(_ != 0L))
+  }
 }

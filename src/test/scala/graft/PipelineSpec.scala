@@ -342,4 +342,23 @@ class PipelineSpec extends SparkSpec {
           "cross-engine libm divergence could flip it")
     }
   }
+
+  test("q_item_rec: never recommends an owned item; per-customer ranks are dense and ordered") {
+    val recs = Pipeline.queries("q_item_rec")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4)))
+    assert(recs.nonEmpty)
+    val owned = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(recs.forall { case (c, item, _, _) => !owned((c, item)) },
+      "a recommendation is already owned")
+    recs.groupBy(_._1).foreach { case (c, rs) =>
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to rs.length), s"cust $c ranks not dense")
+      // ranks follow (score DESC, rec_item ASC)
+      val keys = byRank.map(t => (-t._3, t._2)).toSeq
+      assert(keys == keys.sorted, s"cust $c rank order violates the tiebreak")
+    }
+  }
 }

@@ -155,4 +155,28 @@ class PropertiesSpec extends SparkSpec {
           "ln table no longer cover the fixture")
     }
   }
+
+  test("q_dedup_incremental: verdicts are internally consistent and catch the re-crawl batch") {
+    val rows = graft.operators.NearDup.queries("q_dedup_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // every new id is a synthetic re-crawl copy; every match points into
+    // the EXISTING corpus (old-id space), never at another new doc
+    assert(rows.forall(_._1 >= 1000000L))
+    assert(rows.forall { case (_, dupOf, _, _) => dupOf.forall(_ < 1000000L) })
+    // admit ⇔ no verified match
+    assert(rows.forall { case (_, dupOf, n, admit) =>
+      admit == dupOf.isEmpty && (n == 0L) == dupOf.isEmpty })
+    // the batch is re-crawled near-copies, so the vast majority must be
+    // caught — and each copy's own original (new_id − 1e6) must be among
+    // the blocked verdict's plausible sources: check the canonical match
+    // IS the original for at least 90% of blocked docs
+    val blocked = rows.filter(!_._4)
+    assert(blocked.length * 10 >= rows.length * 9,
+      s"only ${blocked.length}/${rows.length} re-crawls blocked")
+    val exact = blocked.count { case (id, dupOf, _, _) => dupOf.contains(id - 1000000L) }
+    assert(exact * 10 >= blocked.length * 9,
+      s"only $exact/${blocked.length} blocked docs matched their own original")
+  }
 }

@@ -247,4 +247,34 @@ class TextAnalysisSpec extends SparkSpec {
     // every piece concatenation reconstructs its word exactly
     assert(got.forall { case (t, enc, _) => enc.replace(" ", "") == t })
   }
+
+  test("q_quality_ensemble: bitmask matches an independent driver-side recompute") {
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    val markers = Set("the", "and", "of", "der", "und", "das",
+      "le", "la", "et", "el", "los", "y")
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val id = r.getLong(0); val text = r.getString(1)
+        val toks = text.split(" ", -1) // split keeps empties like Spark's split
+        val n = toks.length.toLong
+        val nStop = toks.count(stop)
+        val distinctMicro = toks.distinct.length.toLong * 1000000L / n
+        val meanLenMicro = (text.length.toLong - (n - 1)) * 1000000L / n
+        val nMarker = toks.count(markers)
+        val reasons =
+          (if (n < 5) 1L else 0L) + (if (n > 120) 2L else 0L) +
+            (if (nStop < 1) 4L else 0L) +
+            (if (distinctMicro < 300000L) 8L else 0L) +
+            (if (meanLenMicro < 3000000L || meanLenMicro > 11000000L) 16L else 0L) +
+            (if (nMarker == 0) 32L else 0L)
+        (id, n, distinctMicro, meanLenMicro, reasons, reasons == 0L)
+      }.sortBy(_._1).toSeq
+    val got = TextAnalysis.queries("q_quality_ensemble")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got === expected)
+    // the gate keeps a non-degenerate slice: some docs pass, some fail
+    assert(got.exists(_._6) && got.exists(!_._6))
+  }
 }
