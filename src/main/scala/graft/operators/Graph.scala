@@ -72,6 +72,47 @@ object Graph {
   private[graft] def tradeBipartite(s: SparkSession, d: String): DataFrame =
     tradeBase(s, d).select(expr("src DIV 2").as("c"), expr("(dst - 1) DIV 2").as("sp"))
 
+  /** The both-direction edge view of [[tradeBase]] — map-only over the
+    * persisted frame. */
+  private def undirected(s: SparkSession, d: String): DataFrame =
+    tradeBase(s, d)
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
+  /** Mode-frequency label propagation (3 rounds) over the undirected
+    * trade graph — shared by q_community (the labels themselves) and
+    * q_modularity (their quality score), so the vector is MEMOIZED per
+    * (session, dir) like [[tradeBase]] / NearDup.clusterLabels: at
+    * 100 TB the 3 join+argmax rounds are far too expensive to run once
+    * per consuming query, and the frame is a pure function of the
+    * inputs (deterministic argmax, lowest-label tiebreak), so
+    * memoization cannot change results. The vector is localCheckpoint-
+    * materialized inside the build — its consumers fan out (modularity
+    * reads it four ways), and a lazy persist would let concurrently-
+    * scheduled consumer stages each replay the loop before the cache
+    * fills. Per round, each node takes the most frequent incoming
+    * label (the max(struct(n, -label)) argmax — one aggregate, no
+    * window). */
+  private[graft] val lpLabelCache = new CachedRelation(ttlMillis = 3600L * 1000)
+
+  private def lpLabels(s: SparkSession, d: String): DataFrame =
+    lpLabelCache.resolve(s"${System.identityHashCode(s)}:$d") {
+      val edges = undirected(s, d).persist()
+      var labels = edges.select(col("src").as("node_id")).distinct()
+        .select(col("node_id"), col("node_id").as("label"))
+      for (_ <- 1 to Iters) {
+        labels = edges
+          .join(labels, edges("src") === labels("node_id"))
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("n"))
+          .groupBy(col("dst"))
+          .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("m"))
+          .select(col("dst").as("node_id"), (-col("m.nl")).as("label"))
+      }
+      labels.localCheckpoint()
+    }
+
   val queries: Map[String, Q] = Map(
     // Fixed-point PageRank over the undirected customer–supplier
     // trade graph; node ids are namespaced into one integer space
@@ -175,24 +216,7 @@ object Graph {
     // bound what any one reducer sees. The iteration loop never
     // collects data.
     "q_community" -> ((s, d) => {
-      val directed = tradeBase(s, d)
-      val edges = directed
-        .select(explode(array(
-          struct(col("src"), col("dst")),
-          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .persist()
-      var labels = edges.select(col("src").as("node_id")).distinct()
-        .select(col("node_id"), col("node_id").as("label"))
-      for (_ <- 1 to Iters) {
-        labels = edges
-          .join(labels, edges("src") === labels("node_id"))
-          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("n"))
-          .groupBy(col("dst"))
-          .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("m"))
-          .select(col("dst").as("node_id"), (-col("m.nl")).as("label"))
-      }
-      labels
+      lpLabels(s, d)
         .select(col("node_id"),
           when(col("node_id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
           col("label").as("community"))
@@ -582,7 +606,10 @@ object Graph {
     // any realistic catalog; at larger scales the rescale constant is
     // the knob.
     "q_hits" -> ((s, d) => {
-      val b = tradeBipartite(s, d)
+      // persisted like q_pagerank's adj: the bipartite frame feeds all
+      // four half-round joins plus the hub seed — without it each join
+      // re-evaluates the edge build when the session cache is cold
+      val b = tradeBipartite(s, d).persist()
       // Each half-round references its raw-sum frame twice (the max
       // aggregate and the rescale base); materializing it first
       // (localCheckpoint — the clusterLabels contract) keeps lineage
@@ -611,6 +638,52 @@ object Graph {
         .unionByName(auth.select(
           lit("authority").as("role"), col("sp").as("id"), col("a").as("score_micro")))
         .orderBy(col("role"), col("score_micro").desc, col("id"))
+    }),
+
+    // Newman MODULARITY of the label-propagation communities — the
+    // eval harness for q_community (the q_auc/q_ndcg posture: every
+    // unsupervised step ships with its quality score): per community c,
+    // contrib_c = in_c/m − (deg_c/2m)², reported per community in
+    // micro-units plus the EXACT integer numerator num_c =
+    // 2·m·in2_c − deg_c² (in2_c counts both-direction internal edge
+    // entries = 2·in_c, m = undirected edge count) so Q = Σnum_c/4m²
+    // is reconstructable without float loss. num_c can be NEGATIVE
+    // (hub-heavy communities), so the micro conversion uses the
+    // engine-portable floor division recipe (q_pca_power).
+    //
+    // Scale posture: label attach = two co-partitioned id joins on the
+    // persisted edge frame; everything downstream aggregates at
+    // community grain; m is a 1-row broadcast. Overflow bound:
+    // |num_c|·10⁶ ≤ 2·m·2m·10⁶ — fine to ~10⁹ directed entries; past
+    // that the micro conversion needs a coarser unit (documented knob).
+    "q_modularity" -> ((s, d) => {
+      val edges = undirected(s, d)
+      val lab = lpLabels(s, d)
+      // ONE aggregate over the label-attached edge entries yields BOTH
+      // community moments: each directed entry contributes 1 to its
+      // source community's degree sum, and 1 to in2 iff both endpoints
+      // share the label — so deg_sum = count(*), in2 = conditional sum,
+      // no separate per-node degree rollup and no second label attach.
+      // Every node has ≥ 1 edge, so every community appears (no
+      // left-join/coalesce needed for internal-edge-free communities).
+      val el = edges
+        .join(lab.select(col("node_id").as("src"), col("label").as("lsrc")), "src")
+        .join(lab.select(col("node_id").as("dst"), col("label").as("ldst")), "dst")
+      val moments = el.groupBy(col("lsrc").as("community"))
+        .agg(count(lit(1)).as("deg_sum"),
+          sum(when(col("lsrc") === col("ldst"), 1L).otherwise(0L)).as("in2"))
+      val nNodes = lab.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val m = edges.agg(expr("count(*) DIV 2").as("m"))
+      def fdiv(a: String, n: String) = s"(($a) - ((($a) % ($n) + ($n)) % ($n))) DIV ($n)"
+      nNodes
+        .join(moments, Seq("community"))
+        .crossJoin(broadcast(m))
+        .withColumn("num", expr("2 * m * in2 - deg_sum * deg_sum"))
+        .withColumn("contrib_micro", expr(fdiv("num * 1000000", "4 * m * m")))
+        .select(col("community"), col("n_nodes"), col("in2"), col("deg_sum"),
+          col("num"), col("contrib_micro"))
+        .orderBy(col("community"))
     })
   )
 
@@ -724,6 +797,19 @@ object Graph {
        |  FROM e JOIN $prev ON e.src = $prev.token JOIN deg ON e.src = deg.src
        |  GROUP BY e.dst)""".stripMargin
 
+  /** One label-propagation round in DuckDB — the q_community loop's
+    * mode-label argmax as a count + row_number. Shared by the
+    * q_community and q_modularity oracles. */
+  private def lpIter(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT dst AS node_id, label FROM (
+       |    SELECT e.dst, $prev.label,
+       |      row_number() OVER (PARTITION BY e.dst
+       |        ORDER BY count(*) DESC, $prev.label) AS rn
+       |    FROM e JOIN $prev ON e.src = $prev.node_id
+       |    GROUP BY e.dst, $prev.label)
+       |  WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_pagerank" ->
       s"""WITH e0 AS (
@@ -741,15 +827,6 @@ object Graph {
          |FROM r3 ORDER BY pr DESC, node_id""".stripMargin,
 
     "q_community" -> {
-      def lpIter(prev: String, next: String): String =
-        s"""$next AS (
-           |  SELECT dst AS node_id, label FROM (
-           |    SELECT e.dst, $prev.label,
-           |      row_number() OVER (PARTITION BY e.dst
-           |        ORDER BY count(*) DESC, $prev.label) AS rn
-           |    FROM e JOIN $prev ON e.src = $prev.node_id
-           |    GROUP BY e.dst, $prev.label)
-           |  WHERE rn = 1)""".stripMargin
       s"""WITH e0 AS (
          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -990,6 +1067,37 @@ object Graph {
          |  UNION ALL
          |  SELECT 'authority' AS role, sp AS id, a AS score_micro FROM a2)
          |ORDER BY role, score_micro DESC, id""".stripMargin
+    },
+
+    "q_modularity" -> {
+      def fdiv(a: String, n: String) = s"(($a) - ((($a) % ($n) + ($n)) % ($n))) // ($n)"
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS MATERIALIZED (
+         |  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node_id, src AS label FROM e),
+         |${lpIter("l0", "l1")},
+         |${lpIter("l1", "l2")},
+         |${lpIter("l2", "l3")},
+         |lab AS MATERIALIZED (SELECT node_id, label FROM l3),
+         |mm AS (SELECT CAST(count(*) // 2 AS BIGINT) AS m FROM e),
+         |el AS (
+         |  SELECT ls.label AS lsrc, ld.label AS ldst
+         |  FROM e JOIN lab ls ON e.src = ls.node_id
+         |         JOIN lab ld ON e.dst = ld.node_id),
+         |cs AS (SELECT lsrc AS community, CAST(count(*) AS BIGINT) AS deg_sum,
+         |         CAST(SUM(CASE WHEN lsrc = ldst THEN 1 ELSE 0 END) AS BIGINT) AS in2
+         |       FROM el GROUP BY lsrc),
+         |nn AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+         |       FROM lab GROUP BY label),
+         |base AS (
+         |  SELECT nn.community, nn.n_nodes, cs.in2, cs.deg_sum, mm.m,
+         |    2 * mm.m * cs.in2 - cs.deg_sum * cs.deg_sum AS num
+         |  FROM nn JOIN cs ON nn.community = cs.community, mm)
+         |SELECT community, n_nodes, in2, deg_sum, num,
+         |  ${fdiv("num * 1000000", "4 * m * m")} AS contrib_micro
+         |FROM base ORDER BY community""".stripMargin
     }
   )
 }

@@ -240,37 +240,57 @@ object NearDup {
     * web-scale dup graph made that the slow path).
     *
     * Driver-action budget — the 100 TB contract this rebase exists
-    * for: ONE upfront count sizes the round chunk (⌈log₂ n⌉ + 2
-    * pairs), each chunk of rounds runs as a single unrolled linear
-    * lineage with NO per-round actions (one localCheckpoint per chunk
-    * cuts the candidate-pipeline lineage), and convergence is asserted
-    * by ONE star-shape probe per chunk ([[Graph.starConverged]]) —
-    * near-dup graphs converge in the first chunk; the retry loop is
-    * the adversarial-diameter safety net, not the steady state.
+    * for: chunks of round pairs run as single unrolled linear lineages
+    * with NO per-round actions (one localCheckpoint per chunk cuts the
+    * candidate-pipeline lineage), and convergence is asserted by ONE
+    * star-shape probe per chunk ([[Graph.starConverged]]). The chunk
+    * schedule is GEOMETRIC — 3, 6, 12, … round pairs — because the
+    * round count a graph NEEDS is its effective depth, not ⌈log₂ n⌉:
+    * near-dup components are almost always shallow (a dup cluster's
+    * diameter is small even when n is huge), so the steady state pays
+    * 3 pairs + one probe, while an adversarial long-chain graph grows
+    * into its O(log² n) worst case within a constant factor (the
+    * geometric sum is ≤ 2× the final chunk) using O(log log) probes.
+    * A fixed ⌈log₂ n⌉-sized first chunk — the previous policy — made
+    * every corpus pay the worst case up front: ~14 unrolled round
+    * pairs (28 shuffle stages) at sf0.1 where 3 suffice, a measured
+    * 5× on q_dedup_cluster.
+    *
+    * The labels are memoized per (session, dir) via [[CachedRelation]]
+    * (the tradeBase pattern, 1 h TTL): q_dedup_cluster and
+    * q_dedup_canonical both consume them, and at 100 TB the pair
+    * generation + CC is far too expensive to run twice for two views
+    * of the same clustering. Determinism: the frame is a pure function
+    * of the inputs (literal-seeded hashes, deterministic star rounds),
+    * so memoization cannot change any result.
     * Only docs touching an edge appear; singletons are the caller's
     * left-join + coalesce.
     */
-  def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    val e = jaccardPairs(s, d)
-      .select(col("a_id").as("u"), col("b_id").as("v"))
-      .localCheckpoint() // consumed by the count, round 1, and the node catalog
-    val n = e.count()
-    val chunk = math.max(3, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n)) + 2)
-    var star = Graph.alternatingStar(e, chunk).localCheckpoint()
-    var chunks = 1
-    var converged = Graph.starConverged(star)
-    while (!converged && chunks < 4) {
-      star = Graph.alternatingStar(star, chunk).localCheckpoint()
-      chunks += 1
-      converged = Graph.starConverged(star)
+  private[graft] val clusterLabelCache = new CachedRelation(ttlMillis = 3600L * 1000)
+
+  def clusterLabels(s: SparkSession, d: String): DataFrame =
+    clusterLabelCache.resolve(s"${System.identityHashCode(s)}:$d") {
+      val e = jaccardPairs(s, d)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+        .localCheckpoint() // consumed by round 1 and the node catalog
+      var chunk = 3
+      var total = 0
+      var star = Graph.alternatingStar(e, chunk).localCheckpoint()
+      total += chunk
+      var converged = Graph.starConverged(star)
+      while (!converged && total < 96) {
+        chunk *= 2
+        star = Graph.alternatingStar(star, chunk).localCheckpoint()
+        total += chunk
+        converged = Graph.starConverged(star)
+      }
+      require(converged,
+        s"connected components did not converge in $total round pairs")
+      val nodes = e.select(explode(array(col("u"), col("v"))).as("doc_id")).distinct()
+      nodes
+        .join(star.select(col("u").as("doc_id"), col("v").as("root")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
     }
-    require(converged,
-      s"connected components did not converge in ${chunks * chunk} round pairs")
-    val nodes = e.select(explode(array(col("u"), col("v"))).as("doc_id")).distinct()
-    nodes
-      .join(star.select(col("u").as("doc_id"), col("v").as("root")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
-  }
 
   val queries: Map[String, Q] = Map(
     // Exact n-gram Jaccard over (lang, source)-blocked pairs. The
@@ -299,6 +319,50 @@ object NearDup {
       jaccardPairs(s, d)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a_id"), col("b_id"))),
+
+    // CONTAINMENT near-dup (set-containment join) — the asymmetric
+    // case Jaccard structurally misses: a short doc quoted inside a
+    // long one has |∩|/|∪| ≈ |S|/|L| (arbitrarily low) but
+    // |∩|/min(|S|,|L|) ≈ 1. ExactSubstr-style span dedup catches
+    // verbatim quotes; this catches shuffled/partial containment at
+    // the shingle-set level. Candidate generation is the containment
+    // variant of the PPJoin prefix filter: containment ≥ t forces the
+    // SMALLER set to overlap the pair by ⌈t·|S|⌉, so S must share an
+    // element within its first |S| − ⌈t·|S|⌉ + 1 sorted elements —
+    // but the larger side admits no prefix bound, so the probe's
+    // prefix joins an inverted index of ALL tokens (the asymmetric
+    // index/probe shape of the containment-join literature). Keyed on
+    // (lang, source, token); candidate volume is bounded by the
+    // posting lists of the probe's rare leading hashes. ⌈0.9n⌉ is
+    // exact-integer ((9n+9) div 10); verify = array_intersect on the
+    // candidate pairs only; ns ≥ 1 guards stated on both sides (the
+    // min(|S|,|L|) division must never see 0).
+    "q_dedup_contain" -> ((s, d) => {
+      val sh = withHashedShingles(corpus(s, d))
+        .select(col("doc_id"), col("lang"), col("source"), col("hs"),
+          size(col("hs")).as("ns"))
+        .filter(col("ns") >= 1)
+      val probe = sh.select(col("doc_id"), col("lang"), col("source"), col("ns"),
+        explode(expr("slice(hs, 1, ns - ((9*ns + 9) div 10) + 1)")).as("tok"))
+      val index = sh.select(col("doc_id").as("b_doc"), col("lang"), col("source"),
+        col("ns").as("b_ns"), explode(col("hs")).as("tok"))
+      val cand = probe.join(index, Seq("lang", "source", "tok"))
+        .filter(col("doc_id") =!= col("b_doc") && col("ns") <= col("b_ns"))
+        .select(least(col("doc_id"), col("b_doc")).as("a_id"),
+          greatest(col("doc_id"), col("b_doc")).as("b_id"))
+        .distinct()
+      val ha = sh.select(col("doc_id").as("a_id"), col("hs").as("ha"), col("ns").as("na"))
+      val hb = sh.select(col("doc_id").as("b_id"), col("hs").as("hb"), col("ns").as("nb"))
+      cand.join(ha, "a_id").join(hb, "b_id")
+        .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        .withColumn("small_n", least(col("na"), col("nb")).cast("long"))
+        .withColumn("contain_micro", expr("(inter * 1000000) DIV small_n"))
+        .filter(col("contain_micro") >= 900000L)
+        .withColumn("jaccard", round(expr("jaccard_sorted(ha, hb)"), 4))
+        .select(col("a_id"), col("b_id"), col("inter"), col("small_n"),
+          col("contain_micro"), col("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
 
     // Sorted-neighborhood dedup (Hernández & Stolfo 1995 — the
     // merge/purge blocking classic, the fourth candidate-generation
@@ -800,6 +864,30 @@ object NearDup {
          |JOIN hsh sb ON sb.doc_id = b_id
          |WHERE len(list_intersect(sa.hs, sb.hs))
          |      / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.6
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Independent algorithm: the oracle runs the quadratic blocked
+    // all-pairs containment directly — no prefix filter — so the
+    // compare also proves the filter is lossless on the fixture.
+    "q_dedup_contain" ->
+      s"""WITH $corpusSql,
+         |$shinglesSql,
+         |$hshSql,
+         |h AS MATERIALIZED (
+         |  SELECT doc_id, lang, source, hs, len(hs) AS ns FROM hsh WHERE len(hs) >= 1)
+         |SELECT a_id, b_id, inter, small_n, contain_micro,
+         |  round(jacc, 4) AS jaccard
+         |FROM (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+         |    CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS inter,
+         |    CAST(least(x.ns, y.ns) AS BIGINT) AS small_n,
+         |    (CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) * 1000000)
+         |      // least(x.ns, y.ns) AS contain_micro,
+         |    len(list_intersect(x.hs, y.hs))
+         |      / len(list_distinct(list_concat(x.hs, y.hs))) AS jacc
+         |  FROM h x JOIN h y ON x.lang = y.lang AND x.source = y.source
+         |    AND x.doc_id < y.doc_id)
+         |WHERE contain_micro >= 900000
          |ORDER BY a_id, b_id""".stripMargin,
 
     "q_dedup_incremental" ->

@@ -414,6 +414,32 @@ object RelationalExt {
           col("p0_r"), col("p1_r"), col("z"))
     }),
 
+    // Empirical-Bayes smoothed per-user purchase rate — the
+    // smoothed-CTR primitive behind ranking features and cold-start
+    // reporting: a raw rate over a handful of events is noise, so
+    // shrink toward the corpus prior with pseudo-count K = 20
+    // (beta-binomial posterior mean: (conv + K·p̂)/(n + K)); heavy
+    // users keep their own rate, sparse users inherit the prior. EXACT
+    // integers end-to-end: the global rate p̂ and both outputs are
+    // micro-units via truncating division on non-negatives (where
+    // Spark DIV ≡ DuckDB //). One user-grain partial+final aggregate +
+    // a 1-row broadcast global; nothing collects, at 100 TB this is
+    // the q_auc totals pattern.
+    "q_bayes_rate" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("cv"))
+      val per = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cv")).as("conv"))
+      val glob = ev.agg(expr("(sum(cv) * 1000000) DIV count(*)").as("p_micro"))
+      per.crossJoin(broadcast(glob))
+        .withColumn("raw_micro", expr("(conv * 1000000) DIV n"))
+        .withColumn("smoothed_micro",
+          expr("(conv * 1000000 + 20 * p_micro) DIV (n + 20)"))
+        .select(col("user_id"), col("n"), col("conv"),
+          col("raw_micro"), col("smoothed_micro"))
+        .orderBy(col("user_id"))
+    }),
+
     // Bounded-horizon EWMA (exponentially-weighted moving average) per
     // user — the time-series smoothing primitive (monitoring, feature
     // engineering for event models). The textbook recursive form
@@ -994,6 +1020,23 @@ object RelationalExt {
         |        / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
         |               * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)), 4) AS z
         |FROM s""".stripMargin,
+
+    "q_bayes_rate" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS cv
+        |  FROM events),
+        |per AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(cv) AS BIGINT) AS conv
+        |  FROM ev GROUP BY user_id),
+        |gl AS (
+        |  SELECT (CAST(SUM(cv) AS BIGINT) * 1000000) // count(*) AS p_micro
+        |  FROM ev)
+        |SELECT user_id, n, conv,
+        |  (conv * 1000000) // n AS raw_micro,
+        |  (conv * 1000000 + 20 * p_micro) // (n + 20) AS smoothed_micro
+        |FROM per, gl ORDER BY user_id""".stripMargin,
 
     "q_anomaly_mad" ->
       """WITH ev AS (

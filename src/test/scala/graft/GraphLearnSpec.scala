@@ -147,9 +147,10 @@ class GraphLearnSpec extends SparkSpec {
 
   test("alternatingStar: a 1000-node path converges within the log-derived chunk budget") {
     // The adversarial case for min-label propagation (O(diameter) = 999
-    // rounds); the alternating engine must collapse it in the ONE chunk
-    // clusterLabels budgets: ⌈log₂ n⌉ + 2 = 12 round pairs for n = 999
-    // edges. Converged = depth-1 stars, all rooted at the path min (0).
+    // rounds); the alternating engine must collapse it in ⌈log₂ n⌉ + 2
+    // = 12 round pairs for n = 999 edges — well inside clusterLabels'
+    // geometric 3+6+12 schedule (its third chunk alone is 12 pairs).
+    // Converged = depth-1 stars, all rooted at the path min (0).
     import spark.implicits._
     val edges = (0L until 999L).map(i => (i, i + 1)).toDF("u", "v")
     val n = 999L
@@ -523,5 +524,28 @@ class GraphLearnSpec extends SparkSpec {
     // the direction is non-degenerate (an all-zero loading would mean
     // the rescale constant swallowed the whole spectrum)
     assert(got.map(_._3).exists(_ != 0L))
+  }
+
+  test("q_modularity: moments are internally consistent and bounded") {
+    val rows = Graph.queries("q_modularity")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // Σ deg_sum over communities = 2m (every directed entry lands in
+    // exactly one source community); Σ in2 ≤ 2m
+    val twoM = rows.map(_._4).sum
+    assert(twoM % 2 == 0)
+    val m = twoM / 2
+    assert(rows.map(_._3).sum <= twoM)
+    // each row's exact numerator matches its published moments
+    rows.foreach { case (c, _, in2, degSum, num, contribMicro) =>
+      assert(num == 2 * m * in2 - degSum * degSum, s"community $c numerator")
+      assert(contribMicro == Math.floorDiv(num * 1000000L, 4 * m * m),
+        s"community $c contribution")
+      assert(in2 <= degSum, s"community $c: internal entries exceed degree mass")
+    }
+    // modularity itself is a proper fraction: |Q| ≤ 1 in micro-units
+    val qMicro = rows.map(r => Math.floorDiv(r._5 * 1000000L, 4 * m * m)).sum
+    assert(qMicro.abs <= 1000000L + rows.length) // + per-community floor slack
   }
 }

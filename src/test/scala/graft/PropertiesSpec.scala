@@ -179,4 +179,28 @@ class PropertiesSpec extends SparkSpec {
     assert(exact * 10 >= blocked.length * 9,
       s"only $exact/${blocked.length} blocked docs matched their own original")
   }
+
+  test("q_dedup_contain: containment dominates Jaccard; the planted truncations are caught") {
+    val rows = graft.operators.NearDup.queries("q_dedup_contain")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, inter, smallN, containMicro, jaccard) =>
+      assert(a < b, "pair order")
+      assert(containMicro >= 900000L && containMicro <= 1000000L)
+      assert(inter <= smallN)
+      // |∩|/min ≥ |∩|/|∪| always — a containment row's Jaccard can be
+      // far lower (that asymmetry is the operator's reason to exist)
+      assert(jaccard * 1000000 <= containMicro + 1000, s"($a,$b) jaccard above containment")
+    }
+    // every planted truncation (doc % 5 == 0 → copy at +1e6 drops one
+    // trailing token ⇒ shingle subset ⇒ containment 1.0) must be found
+    // when the original is long enough to shingle
+    val planted = rows.count { case (a, b, _, _, _, _) => b - a == 1000000L }
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0)
+      .filter(size(split(col("text"), " ")) >= 5).count()
+    assert(planted >= expected * 9 / 10,
+      s"only $planted of ~$expected planted truncations caught")
+  }
 }

@@ -292,4 +292,24 @@ class RelationalExtSpec extends SparkSpec {
     assert(sky == expected,
       s"skyline mismatch: extra=${sky -- expected} missing=${expected -- sky}")
   }
+
+  test("q_bayes_rate: smoothing shrinks every user toward the global prior") {
+    val rows = RelationalExt.queries("q_bayes_rate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // recover the prior exactly as the query computes it
+    val totalN = rows.map(_._2).sum
+    val totalC = rows.map(_._3).sum
+    val pMicro = totalC * 1000000L / totalN
+    rows.foreach { case (u, n, conv, raw, smoothed) =>
+      assert(raw == conv * 1000000L / n, s"user $u raw rate")
+      assert(smoothed == (conv * 1000000L + 20L * pMicro) / (n + 20L), s"user $u smoothed")
+      // the posterior mean lies between the evidence and the prior
+      // (integer-floor slack of 1 micro-unit on each bound)
+      val lo = math.min(raw, pMicro) - 1
+      val hi = math.max(raw, pMicro) + 1
+      assert(smoothed >= lo && smoothed <= hi,
+        s"user $u: smoothed $smoothed outside [$lo, $hi] (raw $raw, prior $pMicro)")
+    }
+  }
 }
