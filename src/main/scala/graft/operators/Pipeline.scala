@@ -369,6 +369,50 @@ object Pipeline {
         .limit(50)
     }),
 
+    // Frequent 3-itemsets via A-PRIORI candidate generation (Agrawal &
+    // Srikant 1994 round L2→L3) — the step after q_copurchase's pair
+    // supports: candidate triples come from FREQUENT-PAIR occurrences
+    // extended by a third same-basket item (p3 > p2 on the sorted
+    // basket), then A-priori-pruned — (p1,p3) and (p2,p3) must also be
+    // frequent — BEFORE the counting aggregate. The prunes cannot
+    // change the result (any triple with support ≥ 3 has all three
+    // sub-pairs at support ≥ 3 by containment — which is exactly why
+    // the oracle can be the direct triple join); they exist to bound
+    // the aggregate's input at scale, A-priori's entire point: without
+    // them every frequent pair × basket item feeds the count. The
+    // frequent-pair table is catalog-scale → broadcast into both the
+    // extension semi-join and the prunes; occurrences key on the
+    // basket id, so the extension join is co-partitioned with the
+    // basket build.
+    "q_freq_triples" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        .persist() // consumed by the pair build AND the triple extension
+      val pairOcc = items
+        .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("basket"))
+        .select(col("ok"), explode(expr(s"sorted_pairs(slice(basket, 1, $BasketCap))")).as("p"))
+        .select(col("ok"), col("p.a").as("p1"), col("p.b").as("p2"))
+      // minsup 2 for the L3 round (triples sparsify faster than pairs —
+      // at sf0.1 even support-2 triples vanish); the pair prune uses the
+      // SAME threshold so containment still guarantees result-identity
+      val freqPairs = pairOcc.groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("s2")).filter(col("s2") >= 2)
+        .select(col("p1"), col("p2"))
+      pairOcc
+        .join(broadcast(freqPairs), Seq("p1", "p2"), "left_semi")
+        .join(items.select(col("ok"), col("pk").as("p3")), Seq("ok"))
+        .filter(col("p3") > col("p2"))
+        .join(broadcast(freqPairs.select(col("p1"), col("p2").as("p3"))),
+          Seq("p1", "p3"), "left_semi")
+        .join(broadcast(freqPairs.select(col("p1").as("p2"), col("p2").as("p3"))),
+          Seq("p2", "p3"), "left_semi")
+        .groupBy(col("p1"), col("p2"), col("p3"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
+    }),
+
     // Item-item collaborative-filtering recommendations (Sarwar et al.
     // 2001 / Amazon's item-to-item CF) — the SERVING step after
     // co-occurrence counting: the co-purchase pair supports are the
@@ -733,6 +777,19 @@ object Pipeline {
         |FROM rules JOIN cnt ca ON ca.pk = rules.ante
         |  JOIN cnt cb ON cb.pk = rules.cons, nb
         |ORDER BY conf_micro DESC, ante, cons LIMIT 50""".stripMargin,
+
+    // Direct triple join — support ≥ 3 on the triple implies all
+    // sub-pairs frequent, so the A-priori prunes drop nothing.
+    "q_freq_triples" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS p1, b.pk AS p2, c.pk AS p3,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM items a
+        |JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |JOIN items c ON b.ok = c.ok AND b.pk < c.pk
+        |GROUP BY a.pk, b.pk, c.pk
+        |HAVING count(*) >= 2
+        |ORDER BY support DESC, p1, p2, p3""".stripMargin,
 
     "q_item_rec" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -501,6 +501,51 @@ object TextAnalysis {
         .limit(100)
     }),
 
+    // SPARSE document-to-document top-k similarity via the inverted
+    // index — the sparse-retrieval counterpart to the dense ANN family
+    // (q_simsearch_*): score(a,b) = Σ_g w(g)² over shared features g,
+    // with integer df-damped weights w = 10⁶ DIV df, computed
+    // FEATURE-AT-A-TIME by self-joining the postings list — the
+    // classic inverted-index join, never a doc×doc product. Features
+    // are word 3-GRAMS, not unigrams: this corpus's unigram vocabulary
+    // is 31 words with min df ≈ 5% of the corpus (every term is a stop
+    // term — nothing discriminates), while trigram df is small and
+    // selective — the same reason the near-dup family shingles at
+    // n = 3. The load-bearing scale guard is the STOP-FEATURE PRUNE
+    // df ≤ 100: a feature's join fan-out is df², so one corpus-wide
+    // feature would emit n²/2 pairs — dropping high-df features (which
+    // carry ~zero weight anyway, 10⁶ DIV df → 0) bounds every posting
+    // list, the same reason BM25 engines keep stop lists and block-max
+    // indexes skip low-impact postings. Per-doc top-5 via the
+    // WindowGroupLimit-pruned row_number idiom. EXACT integers:
+    // weights ≤ 5·10⁵, scores ≪ 2⁶³ — both engines agree bit-for-bit.
+    "q_sparse_knn" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorFunctions.register(s)
+      val posts = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr("word_shingles(text, 3)")).as("term"))
+      val df = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = posts.join(df.filter(col("df").between(2, 100)), "term")
+        .select(col("term"), col("doc_id"), expr("1000000 DIV df").as("w"))
+      val scores = w.as("x").join(w.as("y"),
+          col("x.term") === col("y.term") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          (col("x.w") * col("y.w")).as("ww"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(sum(col("ww")).as("score"), count(lit(1)).as("n_shared"))
+      val both = scores.select(explode(array(
+          struct(col("a_id").as("doc_id"), col("b_id").as("nbr_id"),
+            col("score"), col("n_shared")),
+          struct(col("b_id").as("doc_id"), col("a_id").as("nbr_id"),
+            col("score"), col("n_shared")))).as("r"))
+        .select(col("r.doc_id"), col("r.nbr_id"), col("r.score"), col("r.n_shared"))
+      val rw = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("nbr_id"))
+      both.withColumn("rk", row_number().over(rw))
+        .filter(col("rk") <= 5)
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     // Bigram language-model quality score with Stupid Backoff (Brants
     // et al. 2007, "Large Language Models in Machine Translation") —
     // the next step up from q_lm_score's unigram proxy toward the
@@ -927,6 +972,34 @@ object TextAnalysis {
          |        / (any_value(n) * 1000000.0), 4) AS entropy
          |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    "q_sparse_knn" ->
+      """WITH posts AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS term
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |dfreq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM posts GROUP BY term),
+        |w AS MATERIALIZED (
+        |  SELECT posts.term, posts.doc_id, 1000000 // df AS w
+        |  FROM posts JOIN dfreq ON posts.term = dfreq.term
+        |  WHERE df BETWEEN 2 AND 100),
+        |sc AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+        |    CAST(SUM(x.w * y.w) AS BIGINT) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM w x JOIN w y ON x.term = y.term AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |bo AS (
+        |  SELECT a_id AS doc_id, b_id AS nbr_id, score, n_shared FROM sc
+        |  UNION ALL
+        |  SELECT b_id, a_id, score, n_shared FROM sc)
+        |SELECT doc_id, nbr_id, score, n_shared, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, nbr_id) AS rk
+        |  FROM bo)
+        |WHERE rk <= 5
+        |ORDER BY doc_id, rk""".stripMargin,
 
     "q_inverted_index" ->
       """WITH tf AS (

@@ -343,6 +343,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q_freq_triples: matches a driver-side recount; sub-pair containment holds") {
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).sorted.toIndexedSeq)
+    val triples = scala.collection.mutable.Map.empty[(Long, Long, Long), Long]
+    val pairs = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.foreach { items =>
+      for (i <- items.indices; j <- (i + 1) until items.length) {
+        pairs((items(i), items(j))) = pairs.getOrElse((items(i), items(j)), 0L) + 1
+        for (k <- (j + 1) until items.length) {
+          val key = (items(i), items(j), items(k))
+          triples(key) = triples.getOrElse(key, 0L) + 1
+        }
+      }
+    }
+    val expected = triples.filter(_._2 >= 2).toMap
+    val got = Pipeline.queries("q_freq_triples")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got == expected, s"${got.size} triples vs ${expected.size} expected")
+    // A-priori containment: a triple's support never exceeds any sub-pair's
+    got.foreach { case ((a, b, c), s) =>
+      assert(s <= pairs((a, b)) && s <= pairs((b, c)) && s <= pairs((a, c)),
+        s"($a,$b,$c) support $s exceeds a sub-pair")
+    }
+  }
+
   test("q_item_rec: never recommends an owned item; per-customer ranks are dense and ordered") {
     val recs = Pipeline.queries("q_item_rec")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4)))

@@ -277,4 +277,36 @@ class TextAnalysisSpec extends SparkSpec {
     // the gate keeps a non-degenerate slice: some docs pass, some fail
     assert(got.exists(_._6) && got.exists(!_._6))
   }
+
+  test("q_sparse_knn: matches an independent driver-side inverted-index recompute") {
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingles(t: String): Set[String] = {
+      val tk = t.split(" ", -1)
+      (0 until math.max(0, tk.length - 2)).map(i => s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}").toSet
+    }
+    val docSh = texts.map { case (id, t) => id -> shingles(t) }.toMap
+    val df = docSh.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    val weighted = df.collect { case (g, n) if n >= 2 && n <= 100 => g -> (1000000L / n) }
+    val postings = weighted.keys.map(g =>
+      g -> docSh.collect { case (id, sh) if sh(g) => id }.toSeq).toMap
+    val scores = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    postings.foreach { case (g, docs) =>
+      val w2 = weighted(g) * weighted(g)
+      for (a <- docs; b <- docs if a < b) {
+        val (s0, n0) = scores.getOrElse((a, b), (0L, 0L))
+        scores((a, b)) = (s0 + w2, n0 + 1)
+      }
+    }
+    val perDoc = scores.toSeq
+      .flatMap { case ((a, b), (sc, n)) => Seq((a, b, sc, n), (b, a, sc, n)) }
+      .groupBy(_._1).flatMap { case (doc, nbrs) =>
+        nbrs.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+          .map { case ((_, nbr, sc, n), i) => (doc, nbr, sc, n, i + 1) }
+      }.toSet
+    val got = TextAnalysis.queries("q_sparse_knn")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+    assert(got == perDoc, s"got ${got.size} rows vs expected ${perDoc.size}")
+  }
 }
