@@ -263,6 +263,46 @@ object Learn {
         .select(col("vec_id"), col("cluster"), col("qdist"))
         .orderBy(col("vec_id"))),
 
+    // Clustering EVAL — purity, Rand index and Adjusted Rand of the
+    // q_kmeans_fit clusters against the embeddings' ground-truth
+    // labels (the q_auc posture again: the unsupervised step ships
+    // with its quality scores). Everything flows from the CONTINGENCY
+    // TABLE n_ij = |cluster i ∩ label j| — a (k × labels)-grain
+    // aggregate, so every downstream moment (pair agreements a =
+    // ΣC(n_ij,2), margins ΣC(a_i,2)/ΣC(b_j,2), per-cluster max for
+    // purity) is arithmetic over a tiny frame combined via broadcast
+    // cross joins (the q_dedup_recall totals pattern). EXACT integers:
+    // binomials are x(x−1) DIV 2; ARI's numerator/denominator are the
+    // ×2-scaled integer forms 2(C₂·a − s_a·s_b) and C₂(s_a+s_b) −
+    // 2·s_a·s_b (products ≤ C₂² ≈ 4·10¹² at fixture n — the BIGINT
+    // bound is the documented knob past ~3·10⁹ pairs), with only the
+    // final reporting division float (identical exact inputs → bit-
+    // equal doubles in both engines).
+    "q_cluster_eval" -> ((s, d) => {
+      val assigned = fitKMeans(s, d, Iters)._2.select(col("vec_id"), col("cluster"))
+      val cells = assigned
+        .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("nij"))
+        .persist() // contingency-table scale; consumed by 3 rollups
+      val tot = cells.agg(sum(col("nij")).as("n"),
+        sum(expr("nij * (nij - 1) DIV 2")).as("a2"),
+        countDistinct(col("label")).as("n_labels"))
+      val ci = cells.groupBy(col("cluster"))
+        .agg(sum(col("nij")).as("ai"), max(col("nij")).as("mx"))
+        .agg(count(lit(1)).as("k"), sum(expr("ai * (ai - 1) DIV 2")).as("sa"),
+          sum(col("mx")).as("pure_n"))
+      val lj = cells.groupBy(col("label")).agg(sum(col("nij")).as("bj"))
+        .agg(sum(expr("bj * (bj - 1) DIV 2")).as("sb"))
+      tot.crossJoin(broadcast(ci)).crossJoin(broadcast(lj))
+        .withColumn("c2", expr("n * (n - 1) DIV 2"))
+        .select(col("n"), col("k"), col("n_labels"),
+          expr("(pure_n * 1000000) DIV n").as("purity_micro"),
+          expr("((c2 + 2 * a2 - sa - sb) * 1000000) DIV c2").as("rand_micro"),
+          round(expr(
+            """CAST(2 * (c2 * a2 - sa * sb) AS DOUBLE)
+              | / CAST(c2 * (sa + sb) - 2 * sa * sb AS DOUBLE)""".stripMargin), 6).as("ari"))
+    }),
+
     // Top principal direction by POWER ITERATION over the embedding
     // corpus — the distributed PCA primitive (MLlib's RowMatrix route
     // for tall-skinny data): v ← normalize(Xᵀ(X v)), which never
@@ -772,6 +812,40 @@ object Learn {
          |${assignCte("a3", "c2", 1, Dim)}
          |SELECT vec_id, cid AS cluster, dist AS qdist
          |FROM a3 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_cluster_eval" ->
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |${initCte("c0", 1, Dim)},
+         |${assignCte("a1", "c0", 1, Dim)},
+         |${updateCte("c1", "a1", 1, Dim)},
+         |${assignCte("a2", "c1", 1, Dim)},
+         |${updateCte("c2", "a2", 1, Dim)},
+         |${assignCte("a3", "c2", 1, Dim)},
+         |cells AS MATERIALIZED (
+         |  SELECT a3.cid AS cluster, e.label, CAST(count(*) AS BIGINT) AS nij
+         |  FROM a3 JOIN embeddings e USING (vec_id)
+         |  WHERE a3.rn = 1 GROUP BY a3.cid, e.label),
+         |tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n,
+         |          CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS a2,
+         |          CAST(count(DISTINCT label) AS BIGINT) AS n_labels FROM cells),
+         |ci AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k,
+         |    CAST(SUM(ai * (ai - 1) // 2) AS BIGINT) AS sa,
+         |    CAST(SUM(mx) AS BIGINT) AS pure_n
+         |  FROM (SELECT cluster, CAST(SUM(nij) AS BIGINT) AS ai,
+         |          CAST(MAX(nij) AS BIGINT) AS mx FROM cells GROUP BY cluster)),
+         |lj AS (
+         |  SELECT CAST(SUM(bj * (bj - 1) // 2) AS BIGINT) AS sb
+         |  FROM (SELECT label, CAST(SUM(nij) AS BIGINT) AS bj FROM cells GROUP BY label))
+         |SELECT n, k, n_labels,
+         |  (pure_n * 1000000) // n AS purity_micro,
+         |  ((n * (n - 1) // 2 + 2 * a2 - sa - sb) * 1000000) // (n * (n - 1) // 2) AS rand_micro,
+         |  round(CAST(2 * ((n * (n - 1) // 2) * a2 - sa * sb) AS DOUBLE)
+         |        / CAST((n * (n - 1) // 2) * (sa + sb) - 2 * sa * sb AS DOUBLE), 6) AS ari
+         |FROM tot, ci, lj""".stripMargin,
 
     "q_pq_codes" -> {
       val m = 4; val sub = Dim / m

@@ -393,6 +393,7 @@ object Pipeline {
         .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("basket"))
         .select(col("ok"), explode(expr(s"sorted_pairs(slice(basket, 1, $BasketCap))")).as("p"))
         .select(col("ok"), col("p.a").as("p1"), col("p.b").as("p2"))
+        .persist() // feeds the frequent-pair count AND the candidate extension
       // minsup 2 for the L3 round (triples sparsify faster than pairs —
       // at sf0.1 even support-2 triples vanish); the pair prune uses the
       // SAME threshold so containment still guarantees result-identity

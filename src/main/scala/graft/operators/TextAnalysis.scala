@@ -525,8 +525,12 @@ object TextAnalysis {
       val posts = Tables.documents(s, d)
         .select(col("doc_id"), explode(expr("word_shingles(text, 3)")).as("term"))
       val df = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // persisted (the q_pagerank adj pattern): both sides of the
+      // posting self-join read this frame — unpersisted, the whole
+      // shingle+df+join subtree runs twice
       val w = posts.join(df.filter(col("df").between(2, 100)), "term")
         .select(col("term"), col("doc_id"), expr("1000000 DIV df").as("w"))
+        .persist()
       val scores = w.as("x").join(w.as("y"),
           col("x.term") === col("y.term") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),

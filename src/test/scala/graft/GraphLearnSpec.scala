@@ -526,6 +526,33 @@ class GraphLearnSpec extends SparkSpec {
     assert(got.map(_._3).exists(_ != 0L))
   }
 
+  test("q_cluster_eval: metrics match a driver-side recompute from the fitted assignment") {
+    val assigned = Learn.fitKMeans(spark, sf, 2)._2
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val labels = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.get(1).toString).toMap
+    val cells = assigned.toSeq.map { case (id, c) => (c, labels(id)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def c2(x: Long) = x * (x - 1) / 2
+    val n = cells.values.sum
+    val a2 = cells.values.map(c2).sum
+    val byC = cells.groupBy(_._1._1).values.map(_.values)
+    val sa = byC.map(v => c2(v.sum)).sum
+    val pureN = byC.map(_.max).sum
+    val sb = cells.groupBy(_._1._2).values.map(v => c2(v.values.sum)).sum
+    val cn2 = c2(n)
+    val row = Learn.queries("q_cluster_eval")(spark, sf).collect()(0)
+    assert(row.getLong(0) == n)
+    assert(row.getLong(3) == pureN * 1000000L / n, "purity")
+    assert(row.getLong(4) == (cn2 + 2 * a2 - sa - sb) * 1000000L / cn2, "rand")
+    val ari = 2.0 * (cn2 * a2 - sa * sb) / (cn2 * (sa + sb) - 2.0 * sa * sb)
+    assert(math.abs(row.getDouble(5) - ari) < 1e-4, s"ari ${row.getDouble(5)} vs $ari")
+    // sanity: purity and RI are proper fractions, ARI ≤ 1
+    assert(row.getLong(3) <= 1000000L && row.getLong(4) <= 1000000L)
+    assert(row.getDouble(5) <= 1.0)
+  }
+
   test("q_modularity: moments are internally consistent and bounded") {
     val rows = Graph.queries("q_modularity")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
