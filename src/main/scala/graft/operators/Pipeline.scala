@@ -397,9 +397,13 @@ object Pipeline {
       // minsup 2 for the L3 round (triples sparsify faster than pairs —
       // at sf0.1 even support-2 triples vanish); the pair prune uses the
       // SAME threshold so containment still guarantees result-identity
+      // persisted: THREE broadcast exchanges read this table (the
+      // extension semi-join and both A-priori prunes) and each
+      // exchange otherwise re-runs the pair-count aggregate
       val freqPairs = pairOcc.groupBy(col("p1"), col("p2"))
         .agg(count(lit(1)).as("s2")).filter(col("s2") >= 2)
         .select(col("p1"), col("p2"))
+        .persist()
       pairOcc
         .join(broadcast(freqPairs), Seq("p1", "p2"), "left_semi")
         .join(items.select(col("ok"), col("pk").as("p3")), Seq("ok"))
