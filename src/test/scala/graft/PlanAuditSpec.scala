@@ -529,4 +529,61 @@ class PlanAuditSpec extends SparkSpec {
     assert(agg >= 0, "no map-side partials under the KS window:\n" + p.take(1500))
     assert(p.contains("Window"), p.take(800))
   }
+
+  test("q_quality_ensemble: map-only gate — no aggregate/join shuffle anywhere") {
+    val df = SparkEntry.queries("q_quality_ensemble")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    // the only exchange allowed is the presentation orderBy's range
+    // partitioning; a hashpartitioning exchange would mean a join or
+    // aggregate crept into what must run at scan bandwidth
+    assert(!p.contains("Exchange hashpartitioning"),
+      "quality gate shuffles:\n" + p.take(1500))
+    assert(!p.contains("HashAggregate"), "quality gate aggregates:\n" + p.take(1500))
+  }
+
+  test("q_item_rec: the similarity model broadcasts; the rec cap is map-side pruned") {
+    val df = SparkEntry.queries("q_item_rec")(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the catalog-sized top-10 model must reach the owned-items
+    // expansion as a broadcast build side
+    assert(p.contains("BroadcastHashJoin"),
+      "expansion join is not broadcast:\n" + p.take(1500))
+    // both row_number caps (top-10 co-items, top-3 recs) run through
+    // Spark's WindowGroupLimit map-side prune
+    assert(p.contains("WindowGroupLimit"),
+      "rank caps not map-side pruned:\n" + p.take(1500))
+  }
+
+  test("q_dedup_incremental: the incoming batch's bands broadcast into the candidate join") {
+    val df = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    // the new side is the small side by construction; the candidate
+    // join against the corpus bands must be a broadcast hash join so
+    // the existing-corpus side never shuffles for it
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate join is not broadcast:\n" + p.take(1500))
+  }
+
+  test("q_sparse_knn: per-doc top-5 is map-side pruned; posting join is equi") {
+    val df = SparkEntry.queries("q_sparse_knn")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      "top-5 cap not map-side pruned:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "posting self-join lost its equi key:\n" + p.take(1500))
+  }
+
+  test("q_hits: per-round max attaches as a 1-row broadcast, never a shuffle") {
+    val df = SparkEntry.queries("q_hits")(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the L∞ rescale's crossJoin(broadcast(max)) must plan as
+    // BroadcastNestedLoopJoin on a 1-row side — a CartesianProduct or
+    // a sort-merge join here would mean the score vector shuffles for
+    // a scalar
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "max attach is not a broadcast:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), "cartesian in HITS plan")
+  }
 }
