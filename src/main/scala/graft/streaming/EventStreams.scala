@@ -205,6 +205,73 @@ object EventStreams {
         OutputMode.Update())
   }
 
+  case class MgEntry(item: Long, count: Long)
+  case class MgSketch(shard: Long, processed: Long, entries: Seq[MgEntry])
+
+  /** STREAMING heavy hitters — a Misra-Gries summary (Misra & Gries
+    * 1982, the deterministic frequent-items sketch SpaceSaving and
+    * Frequent generalize) maintained as `transformWithState` state:
+    * at most k counters; a seen item increments its counter, an unseen
+    * item claims a free slot, and when all k slots are taken every
+    * counter decrements by one (dropping zeros). The guarantee: any
+    * item with true frequency > n/(k+1) HAS a counter, and a counter
+    * undercounts its item by at most n/(k+1) — the bound the spec
+    * asserts. Unlike the windowed-count route, state is O(k) per shard
+    * REGARDLESS of key cardinality: the operator this engine wants
+    * when "top talkers" must come out of a stream whose key space
+    * (users, IPs, doc fingerprints) cannot be enumerated.
+    *
+    * Distribution: the stream shards by item hash (shard = item mod
+    * `shards`), one independent sketch per shard — each item's WHOLE
+    * count lands in exactly one shard, so per-item guarantees hold
+    * with n = that shard's row count (tighter than n_total); reading
+    * the union of shard sketches is the standard mergeable-summary
+    * serving pattern (the q_hll_union posture, deterministic instead
+    * of probabilistic).
+    */
+  class MisraGriesProcessor(k: Int)
+      extends StatefulProcessor[Long, Event, MgSketch] {
+    @transient private var sketch: ValueState[MgSketch] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sketch = getHandle.getValueState[MgSketch]("sketch",
+        org.apache.spark.sql.Encoders.product[MgSketch], TTLConfig.NONE)
+    override def handleInputRows(shard: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[MgSketch] = {
+      val prev = if (sketch.exists()) sketch.get() else MgSketch(shard, 0L, Nil)
+      val counters = scala.collection.mutable.LinkedHashMap.from(
+        prev.entries.map(e => e.item -> e.count))
+      var processed = prev.processed
+      rows.foreach { e =>
+        processed += 1
+        val item = e.user_id
+        counters.get(item) match {
+          case Some(c) => counters(item) = c + 1
+          case None if counters.size < k => counters(item) = 1L
+          case None =>
+            // decrement-all: the one O(k) step, amortized O(1) per row
+            counters.mapValuesInPlace((_, c) => c - 1)
+            counters.filterInPlace((_, c) => c > 0)
+        }
+      }
+      val next = MgSketch(shard, processed,
+        counters.toSeq.map { case (i, c) => MgEntry(i, c) })
+      sketch.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Per-shard Misra-Gries heavy-hitter sketches over the event
+    * stream (item = user_id). Emits each shard's updated sketch every
+    * micro-batch; the caller unions the final sketches for serving.
+    */
+  def heavyHittersTws(events: Dataset[Event], k: Int = 10,
+                      shards: Int = 4): Dataset[MgSketch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => math.floorMod(e.user_id, shards.toLong))
+      .transformWithState(new MisraGriesProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def runningTotals(events: Dataset[Event]): Dataset[UserTotal] = {
     import events.sparkSession.implicits._
     events

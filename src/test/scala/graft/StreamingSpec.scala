@@ -320,4 +320,49 @@ class StreamingSpec extends SparkSpec {
         s"online/offline divergence: missing=${batchPairs -- verified.toSet} extra=${verified.toSet -- batchPairs}")
     } finally q.stop()
   }
+
+  test("streaming Misra-Gries: heavy users survive, counts undercount by ≤ n/(k+1), state ≤ k") {
+    val conf = spark.conf
+    val prev = try Some(conf.get("spark.sql.streaming.stateStore.providerClass"))
+    catch { case _: Throwable => None }
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event](spark)
+      val k = 5; val shards = 2
+      val q = EventStreams.heavyHittersTws(input.toDS(), k = k, shards = shards)
+        .writeStream.format("memory").queryName("mg_out").outputMode("update").start()
+      try {
+        // skewed feed: user 6 dominates (40 events), 20 light users
+        // with 3 each — delivered across TWO batches so the sketch
+        // must survive state round-trips
+        def batch(ids: Range, users: Seq[Long]): Seq[Event] =
+          ids.zip(users).map { case (id, u) => ev(id, id % 60, user = u) }
+        val heavy = Seq.fill(20)(6L)
+        val light1 = (1 to 10).flatMap(u => Seq.fill(2)(u * 2L)) // even → shard 0
+        input.addData(batch(1 to (heavy.size + light1.size), heavy ++ light1): _*)
+        q.processAllAvailable()
+        val light2 = (1 to 10).flatMap(u => Seq.fill(1)(u * 2L))
+        input.addData(batch(1000 to (999 + heavy.size + light2.size), heavy ++ light2): _*)
+        q.processAllAvailable()
+        import spark.implicits._
+        // latest sketch per shard
+        val sketches = spark.table("mg_out").as[EventStreams.MgSketch].collect()
+          .groupBy(_.shard).map(_._2.maxBy(_.processed)).toSeq
+        assert(sketches.nonEmpty)
+        sketches.foreach(s => assert(s.entries.size <= k, s"shard ${s.shard} overflows k"))
+        // user 6 (shard 0): true count 40 within its shard of n₀ rows;
+        // MG guarantees a surviving counter with count ≥ 40 − n₀/(k+1)
+        val s0 = sketches.find(_.shard == 0L).get
+        val n0 = s0.processed
+        val c6 = s0.entries.find(_.item == 6L)
+        assert(c6.isDefined, s"heavy user evicted from $s0")
+        assert(c6.get.count >= 40L - n0 / (k + 1), s"undercount bound violated: $s0")
+        assert(c6.get.count <= 40L, s"overcount: $s0")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
