@@ -211,6 +211,41 @@ object Curation {
         .orderBy(col("doc_id"))
     }),
 
+    // WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    // the MOSS algorithm) — the GUARANTEED-coverage sparsification of
+    // q_substr_dedup's stride-1 fingerprint stream: hash the K-token
+    // gram at every offset (same word_window_hashes stream), then keep
+    // only the MINIMUM hash of each window of W consecutive grams.
+    // Any shared run of ≥ K+W−1 tokens between two documents is
+    // guaranteed to surface at least one selected fingerprint in both
+    // (the winnowing coverage theorem) while storing ~2/(W+1) of the
+    // stream — the principled index-size knob that bottom-k sketching
+    // (q_fingerprint_rolling) lacks (bottom-k has no locality
+    // guarantee; a shared passage can miss the sketch entirely).
+    // Leftmost-min tie-break (plain min over the hash window) — both
+    // engines evaluate it identically; the 60-bit hash space makes
+    // in-window ties vanishingly rare so self-coverage is unaffected.
+    //
+    // Scale posture: MAP-ONLY — one JVM pass for the gram hashes, one
+    // interpreted-but-hash-only HOF for the window minima (no md5
+    // inside the lambda), nothing shuffles but the per-doc report row.
+    // Docs shorter than K+W−1 tokens have no complete window and are
+    // excluded on BOTH sides (the q_dedup_recall symmetry lesson).
+    "q_winnowing" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val K = 8; val W = 4
+      Tables.documents(s, d)
+        .selectExpr("doc_id", s"word_window_hashes(text, $K) AS wh")
+        .filter(size(col("wh")) >= W)
+        .selectExpr("doc_id", "cast(size(wh) as bigint) AS n_grams",
+          s"array_distinct(transform(sequence(1, size(wh) - ${W - 1}), i -> array_min(slice(wh, i, $W)))) AS sel")
+        .selectExpr("doc_id", "n_grams",
+          "cast(size(sel) as bigint) AS n_select",
+          s"(cast(size(sel) as bigint) * 1000000) DIV (n_grams - ${W - 1}) AS density_micro",
+          "array_min(sel) AS fp_min")
+        .orderBy(col("doc_id"))
+    }),
+
     // Compressibility quality signal: DEFLATE-compressed size over raw
     // size (fixture text is ASCII, so chars == bytes). Template junk
     // and highly repetitive text compress far below natural prose —
@@ -491,6 +526,29 @@ object Curation {
         |  round(COALESCE(a.dup_tokens, 0) / b.n_tokens, 4) AS dup_frac
         |FROM base b LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Positional 8-gram hashes via the q_fingerprint_rolling md5-fold
+    // idiom (no list_distinct — offset order is load-bearing), then
+    // the window-of-4 minimum pick; fps[i:i+3] is DuckDB's inclusive
+    // 4-element slice.
+    "q_winnowing" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |fp AS (
+        |  SELECT doc_id, list_transform(range(1, len(tk) - 6),
+        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+        |      j -> CAST(strpos('0123456789abcdef',
+        |             substr(md5(array_to_string(tk[i:i+7], ' ')), j, 1)) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b)) AS fps
+        |  FROM base),
+        |sel AS (
+        |  SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_grams,
+        |    list_distinct(list_transform(range(1, len(fps) - 2),
+        |      i -> list_aggregate(fps[i:i+3], 'min'))) AS sel
+        |  FROM fp WHERE len(fps) >= 4)
+        |SELECT doc_id, n_grams, CAST(len(sel) AS BIGINT) AS n_select,
+        |  (CAST(len(sel) AS BIGINT) * 1000000) // (n_grams - 3) AS density_micro,
+        |  list_aggregate(sel, 'min') AS fp_min
+        |FROM sel ORDER BY doc_id""".stripMargin,
 
     "q_boilerplate" ->
       s"""WITH corpus AS (

@@ -684,6 +684,67 @@ object Graph {
         .select(col("community"), col("n_nodes"), col("in2"), col("deg_sum"),
           col("num"), col("contrib_micro"))
         .orderBy(col("community"))
+    }),
+
+    // One synchronous LOUVAIN local-move round (Blondel et al. 2008)
+    // REFINING the label-propagation communities — the
+    // modularity-ascent move step q_modularity only scores: every node
+    // evaluates, against the CURRENT partition, the exact modularity
+    // gain of relocating into each neighboring community
+    //
+    //   Δnum(i: a→b) = 2m·(k_{i,b} − k_{i,a∖i}) − k_i·(Σtot_b − Σtot_a + k_i)
+    //
+    // (the standard ΔQ scaled by 2m² — all-integer, so both engines
+    // agree exactly), adopts the argmax (deterministic tie-break:
+    // smallest community id) iff the gain is strictly positive, else
+    // stays. Synchronous evaluation — all nodes score the same frozen
+    // partition, then all move — is the deterministic distributed
+    // variant (classic sequential Louvain is visit-order-dependent,
+    // which no parallel engine can replay).
+    //
+    // Scale posture: ONE edge-grain aggregate (per-(node, neighbor-
+    // community) counts with map-side partials — celebrity reducers
+    // bounded like q_community's mode pick) feeding node- and
+    // community-grain frames; Σtot and m are community-scale /
+    // 1-row broadcasts. Overflow: |Δnum| ≤ 2m·k_i + k_i·2m ≤ 4m² —
+    // safe to ~10⁹ directed entries, same budget as q_modularity.
+    "q_louvain" -> ((s, d) => {
+      val edges = undirected(s, d)
+      val lab = lpLabels(s, d)
+      val m = edges.agg(expr("count(*) DIV 2").as("m"))
+      val el = edges
+        .join(lab.select(col("node_id").as("src"), col("label").as("a")), "src")
+        .join(lab.select(col("node_id").as("dst"), col("label").as("c")), "dst")
+      // k_i and k_{i,a} in one pass over the label-attached entries;
+      // persisted — consumed by Σtot, the candidate join, and the
+      // final node catalog (the q_bfs double-consumption lesson).
+      val nodeAgg = el.groupBy(col("src").as("node_id"), col("a"))
+        .agg(count(lit(1)).as("k"),
+          sum(when(col("a") === col("c"), 1L).otherwise(0L)).as("kia"))
+        .persist()
+      val sig = nodeAgg.groupBy(col("a").as("community")).agg(sum(col("k")).as("stot"))
+      val kib = el.filter(col("c") =!= col("a"))
+        .groupBy(col("src").as("node_id"), col("a"), col("c"))
+        .agg(count(lit(1)).as("kb"))
+      val cand = kib
+        .join(nodeAgg.select(col("node_id"), col("k"), col("kia")), "node_id")
+        .join(sig.select(col("community").as("a"), col("stot").as("stot_a")), "a")
+        .join(sig.select(col("community").as("c"), col("stot").as("stot_b")), "c")
+        .crossJoin(broadcast(m))
+        .withColumn("gain_num", expr("2 * m * (kb - kia) - k * (stot_b - stot_a + k)"))
+      val best = cand
+        .groupBy(col("node_id"))
+        .agg(max(struct(col("gain_num"), (-col("c")).as("nb"))).as("mx"))
+        .select(col("node_id"), col("mx.gain_num").as("gain_num"), (-col("mx.nb")).as("b"))
+      nodeAgg.select(col("node_id"), col("a"))
+        .join(best, Seq("node_id"), "left")
+        .select(col("node_id"),
+          when(col("node_id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+          col("a").as("old_community"),
+          when(col("gain_num") > 0, col("b")).otherwise(col("a")).as("new_community"),
+          coalesce(col("gain_num"), lit(0L)).as("best_gain_num"),
+          when(col("gain_num") > 0, 1L).otherwise(0L).as("moved"))
+        .orderBy(col("node_id"))
     })
   )
 
@@ -1098,6 +1159,55 @@ object Graph {
          |SELECT community, n_nodes, in2, deg_sum, num,
          |  ${fdiv("num * 1000000", "4 * m * m")} AS contrib_micro
          |FROM base ORDER BY community""".stripMargin
+    },
+
+    // Same LP-label replay as q_modularity, then the synchronous
+    // local-move gain argmax as a row_number pick (ORDER BY gain DESC,
+    // community ASC ≡ Spark's max(struct(gain, −c))).
+    "q_louvain" -> {
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS MATERIALIZED (
+         |  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node_id, src AS label FROM e),
+         |${lpIter("l0", "l1")},
+         |${lpIter("l1", "l2")},
+         |${lpIter("l2", "l3")},
+         |lab AS MATERIALIZED (SELECT node_id, label FROM l3),
+         |mm AS (SELECT CAST(count(*) // 2 AS BIGINT) AS m FROM e),
+         |el AS MATERIALIZED (
+         |  SELECT e.src, ls.label AS a, ld.label AS c
+         |  FROM e JOIN lab ls ON e.src = ls.node_id
+         |         JOIN lab ld ON e.dst = ld.node_id),
+         |na AS MATERIALIZED (
+         |  SELECT src AS node_id, a, CAST(count(*) AS BIGINT) AS k,
+         |    CAST(SUM(CASE WHEN a = c THEN 1 ELSE 0 END) AS BIGINT) AS kia
+         |  FROM el GROUP BY src, a),
+         |sig AS (SELECT a AS community, CAST(SUM(k) AS BIGINT) AS stot FROM na GROUP BY a),
+         |kib AS (
+         |  SELECT src AS node_id, a, c, CAST(count(*) AS BIGINT) AS kb
+         |  FROM el WHERE c <> a GROUP BY src, a, c),
+         |cand AS (
+         |  SELECT kib.node_id,
+         |    2 * mm.m * (kib.kb - na.kia) - na.k * (sb.stot - sa.stot + na.k) AS gain_num,
+         |    kib.c AS b
+         |  FROM kib JOIN na ON kib.node_id = na.node_id
+         |    JOIN sig sa ON sa.community = kib.a
+         |    JOIN sig sb ON sb.community = kib.c, mm),
+         |best AS (
+         |  SELECT node_id, gain_num, b FROM (
+         |    SELECT node_id, gain_num, b,
+         |      row_number() OVER (PARTITION BY node_id ORDER BY gain_num DESC, b) AS rn
+         |    FROM cand) WHERE rn = 1)
+         |SELECT na.node_id,
+         |  CASE WHEN na.node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         |  na.a AS old_community,
+         |  CASE WHEN best.gain_num > 0 THEN best.b ELSE na.a END AS new_community,
+         |  COALESCE(best.gain_num, 0) AS best_gain_num,
+         |  CAST(CASE WHEN best.gain_num > 0 THEN 1 ELSE 0 END AS BIGINT) AS moved
+         |FROM na LEFT JOIN best ON na.node_id = best.node_id
+         |ORDER BY na.node_id""".stripMargin
     }
   )
 }

@@ -293,6 +293,37 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // N-GRAM NOVELTY profiling — per document, the fraction of its
+    // distinct 3-gram shingles appearing for the FIRST time in the
+    // doc_id-ordered corpus stream (first occurrence = global min
+    // doc_id per shingle hash). The corpus-growth diagnostic a
+    // training-data pipeline reads before ingesting a new source:
+    // novelty ≈ 1 means genuinely new text, novelty ≈ 0 means the
+    // source mostly restates what the corpus already holds (the
+    // marginal-value-of-data curve from the data-scaling literature,
+    // measured at shingle grain).
+    //
+    // Scale posture: one map-only native shingle-hash pass, then the
+    // shuffle carries (doc_id, 60-bit hash) pairs only — never text;
+    // the first-occurrence table is a hash-keyed min aggregate with
+    // map-side partials (uniform keys, no skew), and the join back is
+    // AQE-planned on the same key. Docs too short to shingle
+    // (< 3 tokens) have no rows on either side (symmetric exclusion,
+    // the q_dedup_recall lesson).
+    "q_ngram_novelty" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val ex = Tables.documents(s, d)
+        .selectExpr("doc_id", "word_shingle_hashes(text, 3) AS hs")
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+      val first = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      ex.join(first, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_micro", expr("(n_novel * 1000000) DIV n_shingles"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Regex token counting (BPE-ish surface form).
     "q_token_regex" -> ((s, d) =>
       Tables.documents(s, d).selectExpr(
@@ -878,6 +909,27 @@ object TextAnalysis {
         | list_aggregate(hs, 'min') AS min_fp,
         | array_to_string(list_transform(list_sort(hs)[1:4], h -> CAST(h AS VARCHAR)), ',') AS bottom4_csv
         |FROM ws ORDER BY doc_id""".stripMargin,
+
+    // Distinct 3-gram shingle hashes per doc (the NearDup hshSql
+    // md5-fold idiom), exploded; first occurrence = min doc_id per
+    // hash; novelty in exact micro-units.
+    "q_ngram_novelty" ->
+      """WITH hsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+        |        j -> CAST(strpos('0123456789abcdef',
+        |               substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), j, 1)) - 1 AS BIGINT))),
+        |        (a, b) -> a * 16 + b))) AS hs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+        |first AS (SELECT h, min(doc_id) AS first_doc FROM ex GROUP BY h)
+        |SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN ex.doc_id = first.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  (CAST(SUM(CASE WHEN ex.doc_id = first.first_doc THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(count(*) AS BIGINT) AS novelty_micro
+        |FROM ex JOIN first USING (h)
+        |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin,
 
     "q_token_regex" ->
       """SELECT doc_id,

