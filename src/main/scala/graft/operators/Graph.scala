@@ -474,19 +474,31 @@ object Graph {
     }),
 
     // DETERMINISTIC RANDOM WALKS (DeepWalk/node2vec corpus prep —
-    // Perozzi 2014): one 3-hop walk per node, where the "random" next
-    // hop is the neighbor minimizing a universal hash of
-    // (current, step, neighbor) — the repo's standard hash-for-RNG
-    // substitution (q_sample_hash, q_span_mask), which is exactly what
-    // a distributed walk generator wants anyway: reproducible across
-    // re-runs, engines, and stage retries, no RNG state to coordinate.
+    // Perozzi 2014): γ 3-hop walks per node (the DeepWalk
+    // walks-per-node parameter, session conf `graft.pipeline.walks`,
+    // default 2 — the q_train_shard run-parameter pattern), where the
+    // "random" next hop is the neighbor minimizing a universal hash of
+    // (current, step, walk-index, neighbor) — the repo's standard
+    // hash-for-RNG substitution (q_sample_hash, q_span_mask), which is
+    // exactly what a distributed walk generator wants anyway:
+    // reproducible across re-runs, engines, and stage retries, no RNG
+    // state to coordinate. The walk index enters the hash (g·7919) so
+    // a node's γ walks diverge; g = 0 replays the single-walk
+    // trajectory bit-exactly.
     //
-    // Scale posture: each hop is ONE equi-join of the frontier against
-    // the persisted adjacency (frontier carries (walk, hops-so-far) id
-    // tuples only) + one argmin aggregate via min(struct(h, dst)) —
-    // map-side partials bound what any reducer sees even at celebrity
-    // nodes. 3 hops = 3 join+agg pairs, the Pregel-free walk shape.
+    // Scale posture — the FUNCTIONAL-GRAPH collapse: the next hop is a
+    // pure function of (cur, step, g), NOT of the walk, so each hop
+    // builds one TRANSITION TABLE (per-(node, g) hash-argmin over the
+    // persisted adjacency — min(struct) with map-side partials
+    // bounding celebrity reducers) and the frontier joins it at NODE
+    // grain. Dragging every walk through the edge join instead — the
+    // naive shape — multiplies the edge-grain work by γ per hop and
+    // re-aggregates per walk; the transition form pays edge-grain
+    // argmin ONCE per hop regardless of γ, which is the difference
+    // between γ·E and E + γ·N per hop at 100 TB (DeepWalk runs γ ≈
+    // 10–80).
     "q_randwalk" -> ((s, d) => {
+      val gamma = s.conf.get("graft.pipeline.walks", "2").toInt
       val directed = tradeBase(s, d)
       val adj = directed
         .select(explode(array(
@@ -494,21 +506,26 @@ object Graph {
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .persist()
-      var frontier = adj.select(col("src").as("walk_id")).distinct()
-        .withColumn("cur", col("walk_id"))
-      val carried = scala.collection.mutable.ArrayBuffer[String]("walk_id")
-      for (s1 <- 1 to Iters) {
-        val keys = carried.map(col).toSeq
-        frontier = frontier.join(adj, frontier("cur") === adj("src"))
+      val gs = s"explode(sequence(cast(0 as bigint), cast(${gamma - 1} as bigint)))"
+      def transitions(s1: Int): DataFrame =
+        adj.select(col("src").as("cur"), col("dst"))
+          .withColumn("g", expr(gs))
           .withColumn("h", expr(walkHash(s1)))
-          .groupBy(keys: _*)
+          .groupBy(col("cur"), col("g"))
           .agg(min(struct(col("h"), col("dst"))).as("m"))
-          .withColumn(s"hop$s1", col("m.dst"))
-          .withColumn("cur", col("m.dst"))
-          .drop("m")
+          .select(col("cur"), col("g"), col("m.dst").as("nxt"))
+      var frontier = adj.select(col("src").as("walk_id")).distinct()
+        .withColumn("g", expr(gs))
+        .withColumn("cur", col("walk_id"))
+      val carried = scala.collection.mutable.ArrayBuffer[String]("walk_id", "g")
+      for (s1 <- 1 to Iters) {
+        frontier = frontier.join(transitions(s1), Seq("cur", "g"))
+          .withColumn(s"hop$s1", col("nxt"))
+          .withColumn("cur", col("nxt"))
+          .drop("nxt")
         carried += s"hop$s1"
       }
-      frontier.select(carried.map(col).toSeq: _*).orderBy(col("walk_id"))
+      frontier.select(carried.map(col).toSeq: _*).orderBy(col("walk_id"), col("g"))
     }),
 
     // Degree distribution in power-of-two buckets — the graph-quality
@@ -824,7 +841,7 @@ object Graph {
     * < 2⁶², load-bearing because DuckDB errors on BIGINT overflow). */
   private def walkHash(step: Int): String = {
     val P = 2147483647L; val A = 1203958717L; val B = 776531401L
-    s"($A * (((cur % $P) * 1000003 + $step * 31 + dst) % $P) + $B) % $P"
+    s"($A * (((cur % $P) * 1000003 + $step * 31 + g * 7919 + dst) % $P) + $B) % $P"
   }
 
   /** `rounds` peel iterations over a BOTH-DIRECTION edge frame (u, v):
@@ -948,17 +965,22 @@ object Graph {
 
     "q_randwalk" -> {
       // Each hop: join frontier to adjacency, pick the (h, dst)-min
-      // neighbor via row_number — identical to Spark's
-      // min(struct(h, dst)) argmin. MATERIALIZED: each w{s} is
-      // referenced by the next hop's join.
+      // neighbor via row_number PER (walk, g) — the naive per-walk
+      // shape, deliberately INDEPENDENT of the Spark plan's
+      // functional-graph transition-table collapse (same result by
+      // the purity of the hash in (cur, step, g); computing it both
+      // ways makes the compare also prove the collapse lossless).
+      // γ = 2 unrolled, matching the `graft.pipeline.walks` default.
+      // MATERIALIZED: each w{s} is referenced by the next hop's join.
       def hop(prev: String, s: Int, carried: Seq[String]): String = {
         val inner = carried.map("w." + _).mkString(", ")
         val outer = carried.mkString(", ")
-        val h = walkHash(s).replace("cur", "w.cur").replace("+ dst", "+ e.dst")
+        val h = walkHash(s).replace("cur", "w.cur")
+          .replace("g * 7919", "w.g * 7919").replace("+ dst", "+ e.dst")
         s"""w$s AS MATERIALIZED (
            |  SELECT $outer, dst AS hop$s, dst AS cur FROM (
            |    SELECT $inner, e.dst,
-           |      row_number() OVER (PARTITION BY w.walk_id
+           |      row_number() OVER (PARTITION BY w.walk_id, w.g
            |        ORDER BY $h, e.dst) AS rn
            |    FROM $prev w JOIN e ON w.cur = e.src) q
            |  WHERE rn = 1)""".stripMargin
@@ -967,11 +989,14 @@ object Graph {
          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
          |e AS MATERIALIZED (SELECT src, dst FROM b UNION ALL SELECT dst AS src, src AS dst FROM b),
-         |w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS cur FROM e),
-         |${hop("w0", 1, Seq("walk_id"))},
-         |${hop("w1", 2, Seq("walk_id", "hop1"))},
-         |${hop("w2", 3, Seq("walk_id", "hop1", "hop2"))}
-         |SELECT walk_id, hop1, hop2, hop3 FROM w3 ORDER BY walk_id""".stripMargin
+         |w0 AS MATERIALIZED (
+         |  SELECT walk_id, g, walk_id AS cur
+         |  FROM (SELECT DISTINCT src AS walk_id FROM e),
+         |       (SELECT unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS g)),
+         |${hop("w0", 1, Seq("walk_id", "g"))},
+         |${hop("w1", 2, Seq("walk_id", "g", "hop1"))},
+         |${hop("w2", 3, Seq("walk_id", "g", "hop1", "hop2"))}
+         |SELECT walk_id, g, hop1, hop2, hop3 FROM w3 ORDER BY walk_id, g""".stripMargin
     },
 
     "q_kcore" -> {

@@ -241,7 +241,7 @@ class GraphLearnSpec extends SparkSpec {
     assert(nButterflies > 0, "fixture graph should contain butterflies")
   }
 
-  test("q_randwalk: every hop is a true edge and the hash-argmin choice replays exactly") {
+  test("q_randwalk: every hop is a true edge and both per-node walks replay the hash-argmin exactly") {
     val edges = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -249,19 +249,23 @@ class GraphLearnSpec extends SparkSpec {
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
     val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
     val P = 2147483647L; val A = 1203958717L; val B = 776531401L
-    def h(cur: Long, step: Int, dst: Long): Long =
-      (A * (((cur % P) * 1000003L + step * 31L + dst) % P) + B) % P
-    def next(cur: Long, step: Int): Long =
-      adj(cur).minBy(d => (h(cur, step, d), d))
+    def h(cur: Long, step: Int, g: Long, dst: Long): Long =
+      (A * (((cur % P) * 1000003L + step * 31L + g * 7919L + dst) % P) + B) % P
+    def next(cur: Long, step: Int, g: Long): Long =
+      adj(cur).minBy(d => (h(cur, step, g, d), d))
     val got = Graph.queries("q_randwalk")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(got.length === adj.size)
-    got.foreach { case (w, h1, h2, h3) =>
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length === adj.size * 2, "expected gamma=2 walks per node")
+    got.foreach { case (w, g, h1, h2, h3) =>
       assert(adj(w).contains(h1) && adj(h1).contains(h2) && adj(h2).contains(h3),
-        s"walk $w traverses a non-edge")
-      assert(h1 === next(w, 1) && h2 === next(h1, 2) && h3 === next(h2, 3),
-        s"walk $w diverges from the hash-argmin replay")
+        s"walk ($w, $g) traverses a non-edge")
+      assert(h1 === next(w, 1, g) && h2 === next(h1, 2, g) && h3 === next(h2, 3, g),
+        s"walk ($w, $g) diverges from the hash-argmin replay")
     }
+    // the walk index must actually decorrelate trajectories somewhere
+    val byNode = got.groupBy(_._1)
+    assert(byNode.exists { case (_, ws) => ws.map(t => (t._3, t._4, t._5)).distinct.size > 1 },
+      "gamma walks never diverge — the g term is inert on the fixture")
   }
 
   test("q_kcore: peel rule is exact on a synthetic cascade; fixture output matches recount") {
