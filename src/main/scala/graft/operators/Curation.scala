@@ -237,8 +237,12 @@ object Curation {
       Tables.documents(s, d)
         .selectExpr("doc_id", s"word_window_hashes(text, $K) AS wh")
         .filter(size(col("wh")) >= W)
+        // greatest() guard: the optimizer may evaluate this projection
+        // before the size filter, and sequence(1, 0) DESCENDS in
+        // Spark — i = 0 would crash slice (measured in q_dedup_winnow
+        // under its self-join plan). The filter still governs output.
         .selectExpr("doc_id", "cast(size(wh) as bigint) AS n_grams",
-          s"array_distinct(transform(sequence(1, size(wh) - ${W - 1}), i -> array_min(slice(wh, i, $W)))) AS sel")
+          s"array_distinct(transform(sequence(1, greatest(size(wh) - ${W - 1}, 1)), i -> array_min(slice(wh, i, $W)))) AS sel")
         .selectExpr("doc_id", "n_grams",
           "cast(size(sel) as bigint) AS n_select",
           s"(cast(size(sel) as bigint) * 1000000) DIV (n_grams - ${W - 1}) AS density_micro",

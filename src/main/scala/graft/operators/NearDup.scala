@@ -434,6 +434,56 @@ object NearDup {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // WINNOWING-based near-dup candidates (Schleimer et al. 2003 —
+    // the plagiarism-detection/MOSS candidate family, the FIFTH
+    // independent generator next to prefix-filter / LSH-band /
+    // SimHash-chunk / sorted-neighborhood): per doc, the winnowed
+    // fingerprint selection (min hash of each window of W=4
+    // consecutive 8-token-gram hashes — q_winnowing's selection over
+    // the dup-planted corpus), then candidate pairs = docs sharing a
+    // selected fingerprint, exact-Jaccard verified ≥ 0.6. The coverage
+    // theorem makes this generator's recall STRUCTURAL: any two docs
+    // sharing ≥ K+W−1 = 11 consecutive tokens are guaranteed a common
+    // selected fingerprint — a positional guarantee the set-sampling
+    // families can only provide probabilistically.
+    //
+    // Scale posture: selections are map-only; the candidate join is
+    // keyed on the 60-bit fingerprint and pruned by a stop-fingerprint
+    // df-cap (df ≤ 100 — a boilerplate fingerprint shared by k docs
+    // would emit k² pairs; the q_sparse_knn stop-feature / block-max
+    // rationale, a no-op on the fixture); verify touches candidate
+    // pairs only, via the fused O(|a|+|b|) sorted merge.
+    "q_dedup_winnow" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val K = 8; val W = 4; val DfCap = 100
+      val sel = corpus(s, d)
+        .selectExpr("doc_id", s"word_window_hashes(text, $K) AS wh")
+        .filter(size(col("wh")) >= W)
+        // greatest() guard: the optimizer may evaluate this projection
+        // before the size filter (plan reorder under the self-join),
+        // and sequence(1, 0) DESCENDS in Spark — i = 0 would crash
+        // slice. The filter still governs which rows survive.
+        .selectExpr("doc_id",
+          s"array_distinct(transform(sequence(1, greatest(size(wh) - ${W - 1}, 1)), i -> array_min(slice(wh, i, $W)))) AS sel")
+        .select(col("doc_id"), explode(col("sel")).as("fp"))
+      val rare = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DfCap).select(col("fp"))
+      val posting = sel.join(rare, "fp")
+      val pairs = posting.as("x").join(posting.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      val hsh = withHashedShingles(corpus(s, d)).select(col("doc_id"), col("hs"))
+      pairs
+        .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+        .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+        .withColumn("jaccard", expr("jaccard_sorted(ha, hb)"))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("a_id"), col("b_id"), col("n_shared"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Empirical RECALL/PRECISION of q_dedup_edit's 64-char-prefix
     // verifier against the FULL-text levenshtein ground truth — the
     // q_dedup_recall self-evaluation applied to the edit-distance
@@ -734,6 +784,41 @@ object NearDup {
          |FROM hsh x JOIN hsh y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
          |WHERE len(list_intersect(x.hs, y.hs))
          |      / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.6
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Winnowed selections replayed positionally (md5-fold gram stream,
+    // inclusive-slice window minima), df-capped fingerprint self-join,
+    // then the same exact-Jaccard verify as q_dedup_jaccard.
+    "q_dedup_winnow" ->
+      s"""WITH $corpusSql,
+         |$shinglesSql,
+         |$hshSql,
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+         |fpx AS (
+         |  SELECT doc_id, list_transform(range(1, len(tk) - 6),
+         |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+         |      j -> CAST(strpos('0123456789abcdef',
+         |             substr(md5(array_to_string(tk[i:i+7], ' ')), j, 1)) - 1 AS BIGINT))),
+         |      (a, b) -> a * 16 + b)) AS fps
+         |  FROM tk),
+         |sel AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(fps) - 2),
+         |    i -> list_aggregate(fps[i:i+3], 'min')))) AS fp
+         |  FROM fpx WHERE len(fps) >= 4),
+         |sel2 AS MATERIALIZED (
+         |  SELECT sel.doc_id, sel.fp FROM sel
+         |  JOIN (SELECT fp FROM (SELECT fp, count(*) AS df FROM sel GROUP BY fp)
+         |        WHERE df <= 100) r USING (fp)),
+         |pr AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM sel2 x JOIN sel2 y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id)
+         |SELECT pr.a_id, pr.b_id, pr.n_shared,
+         |  round(len(list_intersect(a.hs, b.hs))
+         |        / len(list_distinct(list_concat(a.hs, b.hs))), 4) AS jaccard
+         |FROM pr JOIN hsh a ON pr.a_id = a.doc_id JOIN hsh b ON pr.b_id = b.doc_id
+         |WHERE len(list_intersect(a.hs, b.hs))
+         |      / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.6
          |ORDER BY a_id, b_id""".stripMargin,
 
     "q_dedup_snm" ->

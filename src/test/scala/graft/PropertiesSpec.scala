@@ -91,6 +91,28 @@ class PropertiesSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("q_dedup_winnow: the coverage theorem makes planted-pair recall structural") {
+    // A planted dup (doc_id + 1_000_000, last token dropped) shares
+    // its FULL prefix with the original — a run of n−1 ≥ K+W−1 = 11
+    // tokens whenever the original has ≥ 12 — so winnowing is
+    // GUARANTEED a common selected fingerprint and the verified pair
+    // must appear. Jaccard-verified planted pairs on long docs are
+    // therefore a lower bound the winnow generator cannot miss.
+    val jac = graft.operators.NearDup.queries("q_dedup_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val win = graft.operators.NearDup.queries("q_dedup_winnow")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(win.nonEmpty)
+    val nTok = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val planted = jac.filter { case (a, b) => b == a + 1000000L && nTok.getOrElse(a, 0) >= 12 }
+    assert(planted.nonEmpty, "fixture has no long planted pairs to test recall on")
+    val missed = planted -- win
+    assert(missed.isEmpty,
+      s"winnowing missed structurally-guaranteed pairs: ${missed.take(5)}")
+  }
+
   test("property: array_join ∘ split round-trip on label CSVs") {
     val labels = Gen.listOfN(5, Gen.oneOf("INBOX", "SENT", "TRASH", "SPAM", "STARRED"))
     forAll(labels) { ls =>
