@@ -653,6 +653,70 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // UNIGRAM-LM subword segmentation (Kudo 2018 — the SentencePiece
+    // unigram model), completing the tokenizer triad: BPE trains
+    // merges bottom-up (q_bpe_train), WordPiece applies greedy
+    // longest-match (q_tokenize), unigram-LM segments each word by
+    // exact VITERBI over a piece lattice — min total piece surprisal,
+    // ties broken by fewer pieces. Vocabulary = all single chars
+    // (reachability floor) ∪ substrings of length 2–4 holding ≥ 0.05%
+    // of the occurrence-weighted piece mass; piece cost = quantized
+    // surprisal ⌊ln(total/cnt)·10⁴ + 0.5⌋ (the q_bigram_lm micro-nat
+    // discipline; a spec guards the floor boundaries against
+    // cross-libm drift). The DP minimizes the scalar 64·Σcost +
+    // n_pieces — exact lexicographic (cost, pieces) because words cap
+    // at 24 chars, so the piece-count term can never cross a 1-unit
+    // cost difference.
+    //
+    // Scale posture: segmentation runs at WORD grain (distinct words),
+    // not corpus grain — the 100 TB recipe tokenizes the vocabulary
+    // once and joins counts back, exactly like this plan's one
+    // token-shuffle into word frequencies. The piece table is
+    // KB-scale (vocab substrings) and folds into the plan as literal
+    // arrays — the PQ-codebook pattern: the per-word DP is then a
+    // MAP-ONLY higher-order expression, no join against a vocab table
+    // per candidate piece. The same collected counts are recomputed
+    // independently by the oracle's SQL, so a drift between the
+    // driver-side fold and the data would hash-mismatch loudly.
+    "q_unigram_lm" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(expr(toks)).as("w"))
+        .filter(expr("length(w) between 1 and 24"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      val pieceCnt = words
+        .select(col("freq"), explode(expr(
+          "flatten(transform(sequence(1, length(w)), i -> " +
+            "transform(sequence(i, least(i + 3, length(w))), j -> substring(w, i, j - i + 1))))")).as("p"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val total = pieceCnt.map(_._2).sum
+      val vocab = pieceCnt
+        .filter { case (p, c) => p.length == 1 || c * 2000 >= total }
+        .sortBy(_._1)
+      val lp = vocab.map(p => "'" + p._1.replace("'", "''") + "'")
+        .mkString("array(", ",", ")")
+      val lc = vocab
+        .map { case (_, c) => math.floor(math.log(total.toDouble / c) * 10000 + 0.5).toLong }
+        .mkString("array(", ",", ")")
+      def pos(sub: String) = s"array_position($lp, $sub)"
+      val piece = "substring(w, j + 1, i - j)"
+      val dp =
+        s"""aggregate(
+           |  sequence(1, length(w)),
+           |  concat(array(cast(0 as bigint)), array_repeat(cast(-1 as bigint), length(w))),
+           |  (acc, i) -> transform(acc, (dv, k) -> CASE WHEN k = i THEN
+           |      coalesce(array_min(filter(transform(sequence(greatest(0, i - 4), i - 1), j ->
+           |        CASE WHEN acc[j] >= 0 AND ${pos(piece)} > 0
+           |             THEN acc[j] + element_at($lc, cast(${pos(piece)} as int)) * 64 + 1
+           |             ELSE NULL END), x -> x IS NOT NULL)), cast(-1 as bigint))
+           |    ELSE dv END),
+           |  acc -> element_at(acc, length(w) + 1)) AS combined""".stripMargin
+      words.selectExpr("w AS word", "freq", "cast(length(w) as bigint) AS n_chars", dp)
+        .selectExpr("word", "freq", "n_chars",
+          "combined DIV 64 AS cost_micro", "combined % 64 AS n_pieces")
+        .orderBy(col("word"))
+    }),
+
     // Canonical-URL dedup — the crawl-curation step BEFORE content
     // dedup: the same page arrives as http/https, with/without www,
     // with tracking params, fragments and trailing slashes, and all
@@ -801,6 +865,48 @@ object TextAnalysis {
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
     "q_bpe_tokens" -> bpeTokensOracle,
+
+    // Full replay: vocabulary + quantized surprisals recomputed in
+    // SQL (the Spark plan folds the SAME counts as plan literals —
+    // this compare proves the fold faithful), then the Viterbi DP as
+    // a list_reduce over a [0, -1, …] accumulator with 1-based
+    // subscripts; list_position returns 0 on miss in both engines.
+    "q_unigram_lm" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok
+        |  WHERE len(w) BETWEEN 1 AND 24 GROUP BY w),
+        |pc AS (
+        |  SELECT p, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, unnest(flatten(list_transform(range(1, len(w) + 1), i ->
+        |      list_transform(range(CAST(i AS INTEGER), CAST(least(i + 3, len(w)) AS INTEGER) + 1), j ->
+        |        substr(w, CAST(i AS INTEGER), CAST(j - i AS INTEGER) + 1))))) AS p
+        |    FROM words) GROUP BY p),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM pc),
+        |voc AS (
+        |  SELECT p, CAST(floor(ln(CAST(total AS DOUBLE) / cnt) * 10000 + 0.5) AS BIGINT) AS cost
+        |  FROM pc, tot WHERE len(p) = 1 OR cnt * 2000 >= total),
+        |vm AS (SELECT list(p ORDER BY p) AS lp, list(cost ORDER BY p) AS lc FROM voc),
+        |dp AS (
+        |  SELECT w AS word, freq, CAST(len(w) AS BIGINT) AS n_chars,
+        |    list_reduce(
+        |      list_prepend(
+        |        list_concat([CAST(0 AS BIGINT)], list_transform(range(1, len(w) + 1), x -> CAST(-1 AS BIGINT))),
+        |        list_transform(range(1, len(w) + 1), i -> [CAST(i AS BIGINT)])),
+        |      (acc, st) -> list_transform(acc, (dv, k) -> CASE WHEN k = st[1] + 1 THEN
+        |          coalesce(list_aggregate(list_filter(
+        |            list_transform(range(greatest(0, st[1] - 4), st[1]), j ->
+        |              CASE WHEN acc[CAST(j AS INTEGER) + 1] >= 0
+        |                     AND list_position(vm.lp, substr(w, CAST(j AS INTEGER) + 1, CAST(st[1] - j AS INTEGER))) > 0
+        |                   THEN acc[CAST(j AS INTEGER) + 1]
+        |                        + vm.lc[list_position(vm.lp, substr(w, CAST(j AS INTEGER) + 1, CAST(st[1] - j AS INTEGER)))] * 64 + 1
+        |                   ELSE NULL END),
+        |            x -> x IS NOT NULL), 'min'), CAST(-1 AS BIGINT))
+        |        ELSE dv END))[len(w) + 1] AS combined
+        |  FROM words, vm)
+        |SELECT word, freq, n_chars,
+        |  combined // 64 AS cost_micro, combined % 64 AS n_pieces
+        |FROM dp ORDER BY word""".stripMargin,
 
     "q_vocab_coverage" ->
       """WITH tf AS (

@@ -310,6 +310,63 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == perDoc, s"got ${got.size} rows vs expected ${perDoc.size}")
   }
 
+  test("q_unigram_lm: independent Scala Viterbi replay + libm floor-boundary margin") {
+    // Rebuild the vocabulary and costs exactly as the operator does,
+    // then run the DP with an EXPLICIT lexicographic (cost, pieces)
+    // ordering — independent of the query's 64-packed scalar — so the
+    // packing trick itself is under test.
+    val wordFreq = Tables.documents(spark, sf)
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .filter("length(w) between 1 and 24")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pieceCnt = scala.collection.mutable.Map.empty[String, Long]
+    wordFreq.foreach { case (w, f) =>
+      for (i <- 0 until w.length; j <- i until math.min(i + 4, w.length)) {
+        val p = w.substring(i, j + 1)
+        pieceCnt(p) = pieceCnt.getOrElse(p, 0L) + f
+      }
+    }
+    val total = pieceCnt.values.sum
+    val cost = pieceCnt.collect {
+      case (p, c) if p.length == 1 || c * 2000 >= total =>
+        p -> math.floor(math.log(total.toDouble / c) * 10000 + 0.5).toLong
+    }.toMap
+    // libm drift guard (the dsir/bigram discipline): no quantized
+    // surprisal may sit within 1e-6 of its floor boundary, else
+    // DuckDB's ln could flip the integer vs the JVM's.
+    pieceCnt.foreach { case (p, c) =>
+      val x = math.log(total.toDouble / c) * 10000 + 0.5
+      val dist = math.min(x - math.floor(x), math.ceil(x) - x)
+      assert(dist > 1e-6, s"piece '$p' surprisal sits $dist from a floor boundary")
+    }
+    def viterbi(w: String): (Long, Long) = {
+      val dp = Array.fill[(Long, Long)](w.length + 1)((Long.MaxValue, Long.MaxValue))
+      dp(0) = (0L, 0L)
+      for (i <- 1 to w.length; j <- math.max(0, i - 4) until i if dp(j)._1 != Long.MaxValue) {
+        cost.get(w.substring(j, i)).foreach { pc =>
+          val cand = (dp(j)._1 + pc, dp(j)._2 + 1)
+          if (cand._1 < dp(i)._1 || (cand._1 == dp(i)._1 && cand._2 < dp(i)._2)) dp(i) = cand
+        }
+      }
+      dp(w.length)
+    }
+    val got = TextAnalysis.queries("q_unigram_lm")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(got.length == wordFreq.size)
+    got.foreach { case (w, f, costMicro, nPieces) =>
+      assert(f == wordFreq(w), s"word $w freq")
+      val (c, p) = viterbi(w)
+      assert(c != Long.MaxValue, s"word $w unreachable — single-char floor broken")
+      assert(costMicro == c && nPieces == p,
+        s"word $w: got ($costMicro, $nPieces) want ($c, $p)")
+    }
+    // segmentation must be non-trivial somewhere: some word should
+    // segment into fewer pieces than its character count
+    assert(got.exists { case (w, _, _, p) => w.length > 1 && p < w.length },
+      "every word segmented char-by-char — the vocab threshold admits no multi-char pieces")
+  }
+
   test("q_ngram_novelty: novel counts partition the distinct-shingle space") {
     graft.functions.VectorFunctions.register(spark)
     val rows = TextAnalysis.queries("q_ngram_novelty")(spark, sf).collect()
