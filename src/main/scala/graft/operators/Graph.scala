@@ -528,6 +528,46 @@ object Graph {
       frontier.select(carried.map(col).toSeq: _*).orderBy(col("walk_id"), col("g"))
     }),
 
+    // GraphSAGE-style FIXED-FANOUT NEIGHBOR SAMPLING (Hamilton et al.
+    // 2017) — the mini-batch frontier a distributed GNN trainer
+    // materializes: per node, a deterministic sample of F1 = 3
+    // neighbors, and per sampled neighbor F2 = 2 of ITS neighbors
+    // (fanout [3, 2]), bounding every node's 2-hop block at F1·F2
+    // rows no matter how celebrity its neighborhood. "Random" choice
+    // is the hash-argrank substitution (q_randwalk's recipe, a
+    // per-hop tag decorrelating the two levels), so re-runs, stage
+    // retries, and both engines sample identical blocks.
+    //
+    // Scale posture: per hop ONE window top-k over the persisted
+    // adjacency — ranked by the hash, pruned MAP-SIDE by
+    // WindowGroupLimit before the shuffle (the q_window_rank plan
+    // shape), so celebrity nodes ship F rows, not deg rows. The hop-2
+    // sample is node-FUNCTIONAL (independent of the root — the
+    // q_randwalk functional-graph collapse), so it's computed once
+    // per node and joined, never once per (root, neighbor).
+    "q_graph_sample" -> ((s, d) => {
+      val F1 = 3; val F2 = 2
+      val edges = undirected(s, d)
+      def hash(tag: Int) =
+        s"(1203958717 * (((src % 2147483647) * 1000003 + $tag * 31 + dst) % 2147483647) + 776531401) % 2147483647"
+      def sample(f: Int, tag: Int): DataFrame = edges
+        .withColumn("h", expr(hash(tag)))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("src")).orderBy(col("h"), col("dst"))))
+        .filter(col("rnk") <= f)
+        .select(col("src"), col("dst"), col("rnk"))
+      val hop1 = sample(F1, 1)
+        .select(col("src").as("root"), col("rnk").as("r1"), col("dst").as("n1"))
+      val hop2 = sample(F2, 2)
+        .select(col("src").as("n1"), col("rnk").as("r2"), col("dst").as("n2"))
+      hop1.join(hop2, "n1")
+        .select(col("root"),
+          col("r1").cast("bigint").as("r1"), col("n1"),
+          col("r2").cast("bigint").as("r2"), col("n2"))
+        .orderBy(col("root"), col("r1"), col("r2"))
+    }),
+
     // Degree distribution in power-of-two buckets — the graph-quality
     // audit run before any sampling or partitioning decision (is the
     // graph power-law? where does the celebrity tail start?). The
@@ -1184,6 +1224,29 @@ object Graph {
          |SELECT community, n_nodes, in2, deg_sum, num,
          |  ${fdiv("num * 1000000", "4 * m * m")} AS contrib_micro
          |FROM base ORDER BY community""".stripMargin
+    },
+
+    // Per-hop hash-ranked row_number replay with the same per-hop tag.
+    "q_graph_sample" -> {
+      def hashSql(tag: Int) =
+        s"(1203958717 * (((src % 2147483647) * 1000003 + $tag * 31 + dst) % 2147483647) + 776531401) % 2147483647"
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS MATERIALIZED (SELECT src, dst FROM b UNION ALL SELECT dst AS src, src AS dst FROM b),
+         |s1 AS (
+         |  SELECT src AS root, CAST(rnk AS BIGINT) AS r1, dst AS n1 FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY ${hashSql(1)}, dst) AS rnk FROM e) q
+         |  WHERE rnk <= 3),
+         |s2 AS (
+         |  SELECT src AS n1, CAST(rnk AS BIGINT) AS r2, dst AS n2 FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY ${hashSql(2)}, dst) AS rnk FROM e) q
+         |  WHERE rnk <= 2)
+         |SELECT root, r1, n1, r2, n2
+         |FROM s1 JOIN s2 USING (n1)
+         |ORDER BY root, r1, r2""".stripMargin
     },
 
     // Same LP-label replay as q_modularity, then the synchronous

@@ -505,6 +505,39 @@ object Learn {
         .select(col("vec_id"), col("cell"), col("adc_dist"))
         .orderBy(col("adc_dist"), col("vec_id"))
         .limit(20)
+    }),
+
+    // HARD-NEGATIVE MINING for contrastive embedding training (the
+    // ANCE/DPR corpus-prep step): for each query vector, the top-2
+    // nearest vectors carrying a DIFFERENT label — the negatives that
+    // actually move a contrastive loss, where random negatives are
+    // trivially separated. Distance is exact integer L2 on the 1e-4
+    // quantized grid (the QuantTok boundary), so ranking can never
+    // drift between engines; queries are a deterministic hash-style
+    // sample (vec_id ≡ 0 mod 50 — mining runs on a query SAMPLE per
+    // epoch, not the full corpus, exactly as ANCE refreshes).
+    //
+    // Scale posture: the query block is broadcast (sample-scale) and
+    // the corpus is scored MAP-ONLY against it — the 100 TB side
+    // never shuffles its vectors; the shuffle carries (qid, neg_id,
+    // d2) triples into a per-query top-k window pruned map-side by
+    // WindowGroupLimit (the q_window_rank shape).
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), expr(QuantTok).as("qv"))
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("q_label"), col("qv").as("q_qv"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("label") =!= col("q_label"))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(qv, q_qv, (a, b) -> (a - b) * (a - b)), cast(0 as bigint), (acc, v) -> acc + v)"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))))
+        .filter(col("rnk") <= 2)
+        .select(col("qid"), col("q_label"), col("vec_id").as("neg_id"),
+          col("label").as("neg_label"), col("d2"), col("rnk").cast("bigint").as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
     })
   )
 
@@ -977,6 +1010,26 @@ object Learn {
          |JOIN lut3 l3 ON l3.cell = v.cell AND l3.code = c3
          |WHERE v.vec_id <> 0
          |ORDER BY adc_dist, v.vec_id LIMIT 20""".stripMargin
-    }
+    },
+
+    // Quantized-grid L2 recomputed per (query, candidate), same
+    // row_number argrank.
+    "q_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS q_label, qv AS q_qv FROM e WHERE vec_id % 50 = 0),
+        |cand AS (
+        |  SELECT q.qid, q.q_label, e.vec_id AS neg_id, e.label AS neg_label,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(e.qv) + 1),
+        |        i -> (e.qv[i] - q.q_qv[i]) * (e.qv[i] - q.q_qv[i]))),
+        |      (a, b) -> a + b) AS d2
+        |  FROM e, q WHERE e.label <> q.q_label)
+        |SELECT qid, q_label, neg_id, neg_label, d2, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, neg_id) AS rnk
+        |  FROM cand) t
+        |WHERE rnk <= 2 ORDER BY qid, rnk""".stripMargin
   )
 }

@@ -580,6 +580,58 @@ class GraphLearnSpec extends SparkSpec {
     assert(qMicro.abs <= 1000000L + rows.length) // + per-community floor slack
   }
 
+  test("q_graph_sample: edges are real, fanout bounds hold, hash argrank replays") {
+    val dirEdges = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .selectExpr("o_custkey * 2 AS u", "l_suppkey * 2 + 1 AS v")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (dirEdges ++ dirEdges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val P = 2147483647L; val A = 1203958717L; val B = 776531401L
+    def h(tag: Int, src: Long, dst: Long): Long =
+      (A * (((src % P) * 1000003L + tag * 31L + dst) % P) + B) % P
+    def topF(tag: Int, src: Long, f: Int): Seq[Long] =
+      adj(src).toSeq.sortBy(d => (h(tag, src, d), d)).take(f)
+    val got = Graph.queries("q_graph_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (root, r1, n1, r2, n2) =>
+      assert(adj(root).contains(n1) && adj(n1).contains(n2),
+        s"sampled block ($root -> $n1 -> $n2) uses a non-edge")
+      assert(r1 >= 1 && r1 <= 3 && r2 >= 1 && r2 <= 2)
+      assert(topF(1, root, 3).lift(r1.toInt - 1).contains(n1),
+        s"hop-1 sample at ($root, rank $r1) diverges from the hash argrank")
+      assert(topF(2, n1, 2).lift(r2.toInt - 1).contains(n2),
+        s"hop-2 sample at ($n1, rank $r2) diverges from the hash argrank")
+    }
+    // node-functional hop-2: blocks through a shared n1 are identical
+    val byN1 = got.groupBy(_._3).map { case (n1, rs) => n1 -> rs.map(t => (t._4, t._5)).toSet }
+    byN1.foreach { case (n1, pairs) =>
+      assert(pairs.size <= 2, s"n1 $n1 has ${pairs.size} distinct hop-2 samples — not node-functional")
+    }
+  }
+
+  test("q_hard_negatives: brute-force different-label top-2 recompute matches") {
+    val emb = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.foldLeft(0L)((acc, i) => { val x = a(i) - b(i); acc + x * x })
+    val expected = emb.filter(_._1 % 50 == 0).flatMap { case (qid, ql, qv) =>
+      emb.filter(_._2 != ql)
+        .map { case (id, l, v) => (id, l, l2(qv, v)) }
+        .sortBy { case (id, _, d) => (d, id) }.take(2).zipWithIndex
+        .map { case ((id, l, d), i) => (qid, ql, id, l, d, (i + 1).toLong) }
+    }.toSet
+    val got = Learn.queries("q_hard_negatives")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected, s"got ${got.size} rows vs expected ${expected.size}")
+    assert(got.nonEmpty && got.forall { case (_, ql, _, nl, _, _) => ql != nl })
+  }
+
   test("q_louvain: every move matches an independent Scala gain argmax") {
     // Third-path recompute: edges from the raw tables, labels from
     // q_community (the same LP vector the query refines), then the
