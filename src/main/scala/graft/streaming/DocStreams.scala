@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.operators.NearDup
 
 /** Streaming near-duplicate suppression — the INGEST-TIME guard that
@@ -195,4 +195,92 @@ object DocStreams {
       .foreachBatch { (batch: Dataset[CandPair], _: Long) =>
         sink(verifyCandidates(batch.toDF(), bank))
       }
+
+  // ---------------------------------------------------------------
+  // Streaming n-gram novelty (q_ngram_novelty's online twin)
+  // ---------------------------------------------------------------
+
+  case class DocShingle(doc_id: Long, h: Long)
+
+  /** One doc's novelty contribution from one shard; serving sums the
+    * shards per doc (the MgSketch union pattern). */
+  case class NoveltyPartial(doc_id: Long, shard: Long, n_total: Long, n_novel: Long)
+
+  /** Fixed-size Bloom bit array + insert count (for the documented
+    * false-positive bound). Public: Catalyst's generated serializers
+    * cannot touch private members. */
+  case class BloomNoveltyState(bits: Array[Byte], n_inserted: Long)
+
+  /** Per-shard Bloom "seen shingles" state: membership test + insert
+    * for each incoming (doc, shingle hash). State is a FIXED mBits
+    * bit array per shard — the whole point: an exact seen-set grows
+    * with the corpus and cannot live in streaming state at 100 TB,
+    * while the Bloom undercounts novelty only by its false-positive
+    * rate (1 − e^{−2n/m})², deterministic given the hash constants.
+    * Rows within a micro-batch are buffered (bounded by batch size)
+    * and processed in doc_id order, so a batch replay of an id-ordered
+    * feed reproduces the batch query's min-doc_id first-occurrence
+    * semantics exactly (up to Bloom collisions).
+    */
+  class BloomNoveltyProcessor(mBits: Int)
+      extends StatefulProcessor[Long, DocShingle, NoveltyPartial] {
+    private val P = 2147483647L
+    private val A1 = 1103617541L; private val B1 = 94370269L
+    private val A2 = 1803301271L; private val B2 = 592394837L
+    @transient private var bloom: ValueState[BloomNoveltyState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bloom = getHandle.getValueState[BloomNoveltyState]("bloom",
+        org.apache.spark.sql.Encoders.product[BloomNoveltyState], TTLConfig.NONE)
+
+    private def pos(h: Long, a: Long, b: Long): Int =
+      ((((h % P) * a + b) % P) % mBits).toInt
+    private def get(bits: Array[Byte], p: Int): Boolean =
+      (bits(p >> 3) & (1 << (p & 7))) != 0
+    private def set(bits: Array[Byte], p: Int): Unit =
+      bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
+
+    override def handleInputRows(shard: Long, rows: Iterator[DocShingle],
+                                 timerValues: TimerValues): Iterator[NoveltyPartial] = {
+      val st = if (bloom.exists()) bloom.get()
+               else BloomNoveltyState(new Array[Byte](mBits / 8), 0L)
+      val bits = st.bits.clone()
+      var inserted = st.n_inserted
+      val byDoc = rows.toSeq.groupBy(_.doc_id).toSeq.sortBy(_._1)
+      val out = byDoc.map { case (docId, ss) =>
+        var novel = 0L
+        ss.foreach { r =>
+          val p1 = pos(r.h, A1, B1); val p2 = pos(r.h, A2, B2)
+          if (!(get(bits, p1) && get(bits, p2))) {
+            novel += 1; set(bits, p1); set(bits, p2); inserted += 1
+          }
+        }
+        NoveltyPartial(docId, shard, ss.size.toLong, novel)
+      }
+      bloom.update(BloomNoveltyState(bits, inserted))
+      out.iterator
+    }
+  }
+
+  /** STREAMING novelty scoring: per arriving doc, how many of its
+    * distinct 3-gram shingles has this stream never seen — the online
+    * form of q_ngram_novelty's first-occurrence profile, the gate a
+    * live crawl applies BEFORE paying to store/tokenize a page.
+    * Shingle hashes (same constants as the batch query) are computed
+    * in a stateless projection and SHARDED BY HASH, so each shingle's
+    * membership lives in exactly one shard's Bloom filter and per-doc
+    * novelty is the sum of its shard partials (mergeable-summary
+    * serving, the heavyHittersTws pattern). Text never enters state;
+    * state per shard is a fixed 128 KiB bit array regardless of
+    * corpus size.
+    */
+  def noveltyTws(docs: DataFrame, shards: Int = 4, mBits: Int = 1 << 20): Dataset[NoveltyPartial] = {
+    import docs.sparkSession.implicits._
+    NearDup.withHashedShingles(docs)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .as[DocShingle]
+      .groupByKey(r => math.floorMod(r.h, shards.toLong))
+      .transformWithState(new BloomNoveltyProcessor(mBits),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

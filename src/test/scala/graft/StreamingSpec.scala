@@ -321,6 +321,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Bloom novelty: shard partials reproduce the batch first-occurrence profile") {
+    val conf = spark.conf
+    val prev = try Some(conf.get("spark.sql.streaming.stateStore.providerClass"))
+    catch { case _: Throwable => None }
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(docs.length >= 10)
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      val input = MemoryStream[SDoc](spark)
+      val q = graft.streaming.DocStreams.noveltyTws(input.toDF())
+        .writeStream.format("memory").queryName("novelty_out").outputMode("update").start()
+      try {
+        input.addData(b1.map { case (id, t) => SDoc(id, t, ts(0)) }.toSeq: _*)
+        q.processAllAvailable()
+        input.addData(b2.map { case (id, t) => SDoc(id, t, ts(1)) }.toSeq: _*)
+        q.processAllAvailable()
+        val got = spark.table("novelty_out")
+          .groupBy($"doc_id")
+          .agg(sum($"n_total").as("n_shingles"), sum($"n_novel").as("n_novel"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val exact = graft.operators.TextAnalysis.queries("q_ngram_novelty")(spark, sf)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        assert(exact.keySet == got.keySet,
+          s"doc coverage diverges: ${exact.keySet.diff(got.keySet).take(3)}")
+        var undercount = 0L
+        exact.foreach { case (id, (nSh, nNov)) =>
+          val (gSh, gNov) = got(id)
+          assert(gSh == nSh, s"doc $id shingle count: stream $gSh vs batch $nSh")
+          assert(gNov <= nNov, s"doc $id stream novelty OVERcounts: $gNov > $nNov")
+          undercount += nNov - gNov
+        }
+        // Bloom false positives only ever UNDERcount novelty; at this
+        // corpus scale (≈10⁴ inserts into 2²⁰ bits) the deterministic
+        // collision budget is tiny
+        assert(undercount <= 5L, s"Bloom undercount $undercount exceeds the fp budget")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming Misra-Gries: heavy users survive, counts undercount by ≤ n/(k+1), state ≤ k") {
     val conf = spark.conf
     val prev = try Some(conf.get("spark.sql.streaming.stateStore.providerClass"))
