@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc profiling harness (not part of the driver contract). */
+/** Ad-hoc dev timing harness (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,23 +21,37 @@ object Scratch {
     spark.read.parquet(s"$d/region.parquet").count()
 
     import org.apache.spark.sql.functions._
-    // q_pagerank stage breakdown
-    val orders = Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey"))
-    val lineitem = Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey"))
-    val directed = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    time("pr: directed edges") { directed.count() }
-    val edges = directed.unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    time("pr: outdeg") { outdeg.count() }
-    time("pr: full query") { operators.Graph.queries("q_pagerank")(spark, d).count() }
-    time("pr: full again") { operators.Graph.queries("q_pagerank")(spark, d).count() }
-    val df = operators.Graph.queries("q_pagerank")(spark, d)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    val cut = p.indexOf("== Initial Plan ==")
-    println((if (cut >= 0) p.substring(0, cut) else p).linesIterator.map(_.take(100)).mkString("\n"))
+    graft.functions.VectorFunctions.register(spark)
+    val W = 4
+    val corpus = operators.NearDup.corpus(spark, d)
+    time("corpus count") { corpus.count() }
+    val wh = corpus.selectExpr("doc_id", "word_window_hashes(text, 8) AS wh")
+    time("gram hashes") { wh.selectExpr("sum(size(wh))").collect()(0).getLong(0) }
+    val sel0 = wh.filter(size(col("wh")) >= W)
+      .selectExpr("doc_id",
+        s"array_distinct(transform(sequence(1, greatest(size(wh) - ${W - 1}, 1)), i -> array_min(slice(wh, i, $W)))) AS sel")
+      .select(col("doc_id"), explode(col("sel")).as("fp"))
+    time("sel explode") { sel0.count() }
+    val sel = sel0.persist()
+    time("sel persist build") { sel.count() }
+    val rare = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select(col("fp"))
+    val posting = sel.join(rare, "fp")
+    val pairs = posting.as("x").join(posting.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    time("pairs") { pairs.count() }
+    val hsh = operators.NearDup.withHashedShingles(operators.NearDup.corpus(spark, d))
+      .select(col("doc_id"), col("hs"))
+    time("hsh") { hsh.count() }
+    val fin = pairs
+      .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+      .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+      .withColumn("jaccard", expr("jaccard_sorted(ha, hb)"))
+      .filter(col("jaccard") >= 0.6)
+    time("verify") { fin.count() }
+    time("full query") { operators.NearDup.queries("q_dedup_winnow")(spark, d).count() }
     spark.stop()
   }
 }

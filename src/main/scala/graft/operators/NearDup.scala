@@ -456,16 +456,32 @@ object NearDup {
     "q_dedup_winnow" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
       val K = 8; val W = 4; val DfCap = 100
-      val sel = corpus(s, d)
+      // persist the gram-hash frame BEFORE the winnowing transform:
+      // otherwise predicate pushdown rewrites the downstream size
+      // filters in terms of word_window_hashes and re-evaluates the
+      // md5 gram hashing (and the whole winnowing HOF) per row INSIDE
+      // the scan's data filters, interpreted outside codegen — a
+      // measured 7 s where the materialized form takes 0.9 s at sf0.1.
+      val wh = corpus(s, d)
         .selectExpr("doc_id", s"word_window_hashes(text, $K) AS wh")
+        .persist()
+      val sel = wh
         .filter(size(col("wh")) >= W)
-        // greatest() guard: the optimizer may evaluate this projection
-        // before the size filter (plan reorder under the self-join),
-        // and sequence(1, 0) DESCENDS in Spark — i = 0 would crash
-        // slice. The filter still governs which rows survive.
+        // greatest() guard: predicate pushdown substitutes wh through
+        // this projection into the scan's data filters, where rows
+        // with size(wh) < W are still evaluated — and sequence(1, 0)
+        // DESCENDS in Spark, so i = 0 would crash slice. The filter
+        // still governs which rows survive.
         .selectExpr("doc_id",
           s"array_distinct(transform(sequence(1, greatest(size(wh) - ${W - 1}, 1)), i -> array_min(slice(wh, i, $W)))) AS sel")
         .select(col("doc_id"), explode(col("sel")).as("fp"))
+        // persist the fingerprint-grain rows (KB per thousand docs):
+        // three consumers (df prune + both self-join sides) would each
+        // re-run the md5 gram hashing otherwise — worse, pushdown
+        // rewrites the size filters in terms of word_window_hashes and
+        // re-evaluates the whole winnowing transform INSIDE the scan's
+        // data filters (a measured 15 s → 2 s at sf0.1)
+        .persist()
       val rare = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= DfCap).select(col("fp"))
       val posting = sel.join(rare, "fp")
