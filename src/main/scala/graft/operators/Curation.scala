@@ -452,10 +452,125 @@ object Curation {
           expr("""array_join(transform(tk,
                  |  (t, i) -> IF((doc_id * 31 + i) % 7 = 0, '<extra_id>', t)), ' ')""".stripMargin)
             .as("masked_text"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // BERT-style MLM TOKEN CORRUPTION (Devlin et al. 2019 — the
+    // 15% / 80-10-10 recipe, the second masking objective next to
+    // q_span_mask's T5 span corruption): each position draws a
+    // deterministic universal hash of (doc_id, pos) — the repo's
+    // hash-for-RNG substitution, so re-runs, retries, and both
+    // engines corrupt identically. Selected (h₁ mod 1000 < 150)
+    // positions split on h₂ mod 10: ≤ 7 → [MASK], = 8 → a RANDOM
+    // VOCABULARY token (h₂-indexed into the sorted corpus vocabulary,
+    // folded as a plan literal — the q_unigram_lm codebook pattern),
+    // = 9 → kept unchanged (the trick that stops the encoder from
+    // only attending to [MASK]). ENTIRELY map-only — runs at scan
+    // bandwidth, nothing shuffles but the report rows.
+    "q_mlm_mask" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(expr("split(text, ' ')")).as("w")).distinct()
+        .orderBy(col("w")).collect().map(_.getString(0))
+      val vLit = vocab.map(w => "'" + w.replace("'", "''") + "'")
+        .mkString("array(", ",", ")")
+      val v = vocab.length
+      val P = 2147483647L
+      val h1 = s"((1103617541 * ((doc_id * 1000003 + i) % $P) + 94370269) % $P)"
+      val h2 = s"((1803301271 * ((doc_id * 1000003 + i) % $P) + 592394837) % $P)"
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("split(text, ' ')").as("tk"))
+        .selectExpr("doc_id", "tk",
+          s"""transform(sequence(1, size(tk)), i ->
+             |  CASE WHEN $h1 % 1000 >= 150 THEN element_at(tk, i)
+             |       WHEN $h2 % 10 <= 7 THEN '[MASK]'
+             |       WHEN $h2 % 10 = 8 THEN element_at($vLit, cast(($h2 DIV 10) % $v as int) + 1)
+             |       ELSE element_at(tk, i) END) AS ct""".stripMargin,
+          s"""transform(sequence(1, size(tk)), i ->
+             |  CASE WHEN $h1 % 1000 >= 150 THEN 'clean'
+             |       WHEN $h2 % 10 <= 7 THEN 'mask'
+             |       WHEN $h2 % 10 = 8 THEN 'random'
+             |       ELSE 'keep' END) AS lab""".stripMargin)
+        .selectExpr("doc_id",
+          "CAST(size(tk) AS BIGINT) AS n_tokens",
+          "CAST(size(filter(lab, x -> x = 'mask')) AS BIGINT) AS n_masked",
+          "CAST(size(filter(lab, x -> x = 'random')) AS BIGINT) AS n_random",
+          "CAST(size(filter(lab, x -> x = 'keep')) AS BIGINT) AS n_kept",
+          "array_join(slice(ct, 1, 12), ' ') AS head_corrupted")
+        .orderBy(col("doc_id"))
+    }),
+
+    // TEMPERATURE-WEIGHTED source sampling (the multilingual α = 0.5
+    // rebalance of mT5/XLM-R: p_g ∝ n_g^α lifts low-resource groups
+    // without letting the head dominate): per (lang, source) group,
+    // weight w = ⌊√n · 10⁶⌋ — IEEE sqrt is CORRECTLY ROUNDED, so both
+    // engines produce the identical double and the floor is
+    // boundary-safe BY CONSTRUCTION for non-square n (√n irrational ⇒
+    // never lands on a grid point; for square n, √n·10⁶ is an exact
+    // integer double, also safe) — then exact integer shares
+    // w·10⁶ DIV Σw and the implied per-doc sampling rate. The sum is
+    // over INTEGER weights, so group iteration order cannot perturb
+    // it (a float Σ√n would be order-sensitive — the reason for the
+    // per-group quantize-then-integer-sum discipline).
+    "q_temp_sample" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"))
+      val tot = g.agg(sum(col("w")).as("tw"), sum(col("n_docs")).as("tn"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("share_micro", expr("(w * 1000000) DIV tw"))
+        // per-doc sampling rate hitting one corpus-size epoch of the
+        // rebalanced mixture: rate = share · tn / n_g (micro-units;
+        // > 10⁶ ⇒ the low-resource group is upsampled/repeated)
+        .withColumn("rate_micro", expr("(((w * 1000000) DIV tw) * tn) DIV n_docs"))
+        .select(col("lang"), col("source"), col("n_docs"), col("w"),
+          col("share_micro"), col("rate_micro"))
+        .orderBy(col("lang"), col("source"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    // Same (doc_id, pos) universal hashes; vocabulary as an ordered
+    // list cross-joined in (the Spark side folds the identical sorted
+    // vocab as a plan literal — the compare proves the fold).
+    "q_mlm_mask" -> {
+      val P = 2147483647L
+      val h1 = s"((1103617541 * ((doc_id * 1000003 + i) % $P) + 94370269) % $P)"
+      val h2 = s"((1803301271 * ((doc_id * 1000003 + i) % $P) + 592394837) % $P)"
+      s"""WITH vm AS (
+         |  SELECT list(w ORDER BY w) AS vl, CAST(count(*) AS BIGINT) AS v FROM (
+         |    SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents)),
+         |base AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |lab AS (
+         |  SELECT doc_id, tk,
+         |    list_transform(range(1, len(tk) + 1), i ->
+         |      CASE WHEN $h1 % 1000 >= 150 THEN 'clean'
+         |           WHEN $h2 % 10 <= 7 THEN 'mask'
+         |           WHEN $h2 % 10 = 8 THEN 'random'
+         |           ELSE 'keep' END) AS lab,
+         |    list_transform(range(1, len(tk) + 1), i ->
+         |      CASE WHEN $h1 % 1000 >= 150 THEN tk[CAST(i AS INTEGER)]
+         |           WHEN $h2 % 10 <= 7 THEN '[MASK]'
+         |           WHEN $h2 % 10 = 8 THEN vm.vl[CAST(($h2 // 10) % vm.v AS INTEGER) + 1]
+         |           ELSE tk[CAST(i AS INTEGER)] END) AS ct
+         |  FROM base, vm)
+         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(lab, x -> x = 'mask')) AS BIGINT) AS n_masked,
+         |  CAST(len(list_filter(lab, x -> x = 'random')) AS BIGINT) AS n_random,
+         |  CAST(len(list_filter(lab, x -> x = 'keep')) AS BIGINT) AS n_kept,
+         |  array_to_string(ct[1:12], ' ') AS head_corrupted
+         |FROM lab ORDER BY doc_id""".stripMargin
+    },
+
+    "q_temp_sample" ->
+      """WITH g AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang, source),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, CAST(SUM(n_docs) AS BIGINT) AS tn FROM g)
+        |SELECT lang, source, n_docs, w,
+        |  (w * 1000000) // tw AS share_micro,
+        |  (((w * 1000000) // tw) * tn) // n_docs AS rate_micro
+        |FROM g, tot ORDER BY lang, source""".stripMargin,
+
     "q_span_mask" ->
       """SELECT doc_id,
         |  CAST(len(tk) AS BIGINT) AS n_tokens,

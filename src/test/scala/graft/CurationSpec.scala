@@ -298,6 +298,76 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q_mlm_mask: independent hash replay + 15%/80-10-10 corruption accounting") {
+    val vocab = Tables.documents(spark, sf)
+      .selectExpr("explode(split(text, ' ')) AS w").distinct()
+      .orderBy("w").collect().map(_.getString(0))
+    val P = 2147483647L
+    def h(a: Long, b: Long, docId: Long, i: Long): Long =
+      (a * ((docId * 1000003L + i) % P) + b) % P
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val got = Curation.queries("q_mlm_mask")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .toMap
+    var selected = 0L; var masked = 0L; var total = 0L
+    docs.foreach { case (id, tk) =>
+      val labs = (1 to tk.length).map { i =>
+        val h1 = h(1103617541L, 94370269L, id, i)
+        val h2 = h(1803301271L, 592394837L, id, i)
+        if (h1 % 1000 >= 150) "clean"
+        else if (h2 % 10 <= 7) "mask"
+        else if (h2 % 10 == 8) "random"
+        else "keep"
+      }
+      val ct = (1 to tk.length).map { i =>
+        val h2 = h(1803301271L, 592394837L, id, i)
+        labs(i - 1) match {
+          case "mask"   => "[MASK]"
+          case "random" => vocab(((h2 / 10) % vocab.length).toInt)
+          case _        => tk(i - 1)
+        }
+      }
+      val (nTok, nMask, nRand, nKeep, head) = got(id)
+      assert(nTok == tk.length)
+      assert(nMask == labs.count(_ == "mask"), s"doc $id n_masked")
+      assert(nRand == labs.count(_ == "random"), s"doc $id n_random")
+      assert(nKeep == labs.count(_ == "keep"), s"doc $id n_kept")
+      assert(head == ct.take(12).mkString(" "), s"doc $id corrupted head")
+      selected += nMask + nRand + nKeep; masked += nMask; total += nTok
+    }
+    // corpus-wide: ~15% selected, ~80% of selected masked (loose
+    // deterministic bounds — the hash is uniform)
+    assert(selected * 100 >= total * 12 && selected * 100 <= total * 18,
+      s"selection rate ${selected.toDouble / total} outside [0.12, 0.18]")
+    assert(masked * 100 >= selected * 70 && masked * 100 <= selected * 90,
+      s"mask share ${masked.toDouble / selected} outside [0.7, 0.9]")
+  }
+
+  test("q_temp_sample: exact integer recompute, low-resource groups upsampled") {
+    val groups = Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val w = groups.map { case (l, s2, n) => (l, s2) -> math.floor(math.sqrt(n.toDouble) * 1e6).toLong }.toMap
+    val tw = w.values.sum; val tn = groups.map(_._3).sum
+    val got = Curation.queries("q_temp_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length == groups.length)
+    got.foreach { case (l, s2, n, wg, share, rate) =>
+      assert(wg == w((l, s2)), s"($l, $s2) weight")
+      assert(share == wg * 1000000L / tw, s"($l, $s2) share")
+      assert(rate == (wg * 1000000L / tw) * tn / n, s"($l, $s2) rate")
+    }
+    // α = 0.5's whole point: the smallest group gets a HIGHER per-doc
+    // rate than the largest (monotone rebalance toward the tail)
+    val smallest = got.minBy(_._3); val largest = got.maxBy(_._3)
+    if (smallest._3 < largest._3)
+      assert(smallest._6 > largest._6,
+        s"tail group rate ${smallest._6} not above head group rate ${largest._6}")
+    // shares sum to ≤ 1 (floor slack only)
+    assert(got.map(_._5).sum <= 1000000L)
+  }
+
   test("q_winnowing: independent Scala reproduction + coverage density bounds") {
     val K = 8; val W = 4
     val got = Curation.queries("q_winnowing")(spark, sf).collect()
