@@ -315,6 +315,7 @@ object TextAnalysis {
       val ex = Tables.documents(s, d)
         .selectExpr("doc_id", "word_shingle_hashes(text, 3) AS hs")
         .select(col("doc_id"), explode(col("hs")).as("h"))
+        .persist() // consumed by the first-occurrence aggregate AND the join back
       val first = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
       ex.join(first, "h")
         .groupBy(col("doc_id"))

@@ -574,6 +574,44 @@ class PlanAuditSpec extends SparkSpec {
       "posting self-join lost its equi key:\n" + p.take(1500))
   }
 
+  test("q_graph_sample: both fanout caps prune map-side via WindowGroupLimit") {
+    val df = SparkEntry.queries("q_graph_sample")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    // two sampled hops → two window top-k caps, each must carry the
+    // map-side WindowGroupLimit so a celebrity node ships F rows, not
+    // its degree
+    val limits = p.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(limits >= 2, s"expected 2+ WindowGroupLimits, found $limits in:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), "cartesian in sampling plan")
+  }
+
+  test("q_hard_negatives: query block broadcasts; corpus vectors never hash-shuffle") {
+    val df = SparkEntry.queries("q_hard_negatives")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query block not broadcast:\n" + p.take(1500))
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-2 not map-side pruned:\n" + p.take(1500))
+    // the only hash exchange may carry (qid, scored row) triples for
+    // the window — the embeddings scan itself must feed the scoring
+    // projection directly, without a prior exchange
+    val beforeScore = p.split("WindowGroupLimit")(0)
+    assert(!beforeScore.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("embedding")),
+      "corpus vectors shuffle before scoring:\n" + p.take(2000))
+  }
+
+  test("q_dedup_winnow: scan data-filters stay free of the md5 gram hashing") {
+    // the pushdown-recompute trap this query measured: without the
+    // persist boundary, word_window_hashes lands in the parquet scan's
+    // per-row DataFilters (interpreted, once per consumer) — 9× slower
+    val df = SparkEntry.queries("q_dedup_winnow")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    val scanLines = p.linesIterator.filter(l => l.contains("FileScan") || l.contains("DataFilters"))
+    assert(!scanLines.exists(_.contains("word_window_hashes")),
+      "gram hashing pushed into scan filters:\n" + p.take(2000))
+  }
+
   test("q_hits: per-round max attaches as a 1-row broadcast, never a shuffle") {
     val df = SparkEntry.queries("q_hits")(spark, sf)
     df.collect()
