@@ -538,6 +538,115 @@ object Learn {
         .select(col("qid"), col("q_label"), col("vec_id").as("neg_id"),
           col("label").as("neg_label"), col("d2"), col("rnk").cast("bigint").as("rnk"))
         .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // DBSCAN density clustering (Ester et al. 1996) — the DENSITY
+    // member of the clustering family (q_kmeans_fit partitions into k
+    // cells, q_community/q_louvain cluster graphs, q_semantic_dedup
+    // prunes within cells; DBSCAN finds arbitrary-shape dense regions
+    // and, uniquely, labels the sparse remainder NOISE — the
+    // outlier-cleaning verdict a curation pipeline wants per vector).
+    // The fixture corpus is near-uniform on the sphere (no natural
+    // density modes), so density structure is PLANTED the q_dedup_embed
+    // way: every vec_id ≡ 0 (mod 5) gains 4 jittered copies at
+    // +40k·𝟙 on the 1e-4 grid (k = 1..4, applied POST-quantization so
+    // both engines see exactly the same integers — floor(x·10⁴)+40k,
+    // never floor((x+0.004k)·10⁴) whose ulp at the floor boundary can
+    // differ). Chain geometry under ε = 800 grid units (0.08), d² =
+    // 64·(40Δk)² = 102400·Δk²: neighbors iff Δk ≤ 2, so with
+    // minPts = 4 (self included) the chain interior {k=1,2,3} is core,
+    // the endpoints {k=0 (the original), k=4} are border, and every
+    // un-copied original is noise (nearest foreign point ≥ 0.63 ≫ ε) —
+    // all three DBSCAN roles and the density-chaining rule exercised.
+    //
+    // Scale posture — the three DBSCAN phases map to machinery already
+    // proven here:
+    //  1. ε-NEIGHBOR pairs via the EXACT coarse-cell ball probe (the
+    //     L2 twin of q_dedup_embed's cosine cone probe): each point
+    //     indexes once in its home cell and probes cells c with
+    //     d(x,c) ≤ d(x,home) + 2ε — the triangle inequality makes the
+    //     probe LOSSLESS for any codebook (if d(x,y) ≤ ε and y homes
+    //     in c then d(x,c) ≤ d(x,y)+d(y,c) ≤ ε + d(y,x)+d(x,home(x))
+    //     ≤ d(x,home) + 2ε), so the independent all-pairs oracle still
+    //     matches; the candidate join is keyed on cell, never all-pairs.
+    //     The √ compare is float with a +0.5 margin (d² < 2⁵³ ⇒ √ is
+    //     exact to ~1e-6 absolute; slack only widens the candidate
+    //     superset) — the verify is exact integer d² ≤ ε².
+    //  2. CORE = neighbor count ≥ minPts: one aggregate over exploded
+    //     pair endpoints, (id, count) grain.
+    //  3. CLUSTERS = connected components of the core-core graph via
+    //     the alternating large-star/small-star machinery (q_concomp),
+    //     converged-checked; borders attach to their min neighboring
+    //     core's cluster (the deterministic version of DBSCAN's
+    //     documented border ambiguity), noise labels -1.
+    //  Shuffles carry (BIGINT id, BIGINT) pairs throughout — vectors
+    //  ship once into the cell-keyed candidate join and never again.
+    "q_dbscan" -> ((s, d) => {
+      val epsQ = 800L            // ε on the 1e-4 quantized grid (= 0.08)
+      val eps2 = epsQ * epsQ     // exact-integer verify threshold
+      val minPts = 4             // neighbor count including the point itself
+      val qb = Tables.embeddings(s, d).select(col("vec_id"), expr(QuantTok).as("qv"))
+      val copies = qb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("qv"), explode(expr("sequence(1, 4)")).as("k"))
+        .select((col("vec_id") + col("k") * 1000000L).as("vec_id"),
+          expr("transform(qv, v -> v + 40L * k)").as("qv"))
+      // consumed by the probe side, index side, and the role/report
+      // joins — materialized once (the q_dedup_winnow rule)
+      val pts = qb.unionByName(copies).localCheckpoint()
+      val cents = coarseCentroids(s, d)
+      val darr = cents.map { case (_, cv) => distExpr(cv) }.mkString("array(", ", ", ")")
+      val assigned = pts.withColumn("qs", col("qv"))
+        .withColumn("darr", expr(darr))
+        .withColumn("qdist", expr("array_min(darr)"))
+        .withColumn("home", expr("CAST(array_position(darr, qdist) AS INT) - 1"))
+      val index = assigned
+        .select(col("home").as("cell"), col("vec_id").as("b_id"), col("qv").as("qb"))
+      val probe = assigned
+        .select(col("vec_id").as("a_id"), col("qv").as("qa"), col("qdist"),
+          posexplode(col("darr")).as(Seq("cell", "dc")))
+        .filter(expr(
+          s"sqrt(CAST(dc AS DOUBLE)) <= sqrt(CAST(qdist AS DOUBLE)) + ${2 * epsQ} + 0.5"))
+        .select(col("a_id"), col("qa"), col("cell"))
+      // each (a,b) arises at most once: b appears under exactly one cell
+      val pairs = probe.join(index, Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(expr("aggregate(zip_with(qa, qb, (a, b) -> (a - b) * (a - b)), " +
+          s"cast(0 as bigint), (acc, v) -> acc + v) <= $eps2"))
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint() // consumed by degree count, core edges, border attach
+      val touch = pairs.select(explode(array(
+          struct(col("a_id").as("id"), col("b_id").as("nb")),
+          struct(col("b_id").as("id"), col("a_id").as("nb")))).as("e"))
+        .select(col("e.id").as("id"), col("e.nb").as("nb"))
+      val deg = touch.groupBy(col("id")).agg(count(lit(1)).as("c"))
+      val roles = pts.select(col("vec_id"))
+        .join(deg.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), (coalesce(col("c"), lit(0L)) + 1).as("n"))
+        .withColumn("is_core", col("n") >= minPts)
+      val coreIds = roles.filter(col("is_core")).select(col("vec_id"))
+      val coreEdges = pairs
+        .join(coreIds.withColumnRenamed("vec_id", "a_id"), Seq("a_id"))
+        .join(coreIds.withColumnRenamed("vec_id", "b_id"), Seq("b_id"))
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+      val star = Graph.alternatingStar(coreEdges, 2).localCheckpoint()
+      require(Graph.starConverged(star),
+        "DBSCAN core components did not converge in 2 star round pairs")
+      val coreLab = coreIds
+        .join(star.select(col("u").as("vec_id"), col("v").as("root")), Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("root"), col("vec_id")).as("core_cluster"))
+      val borderLab = touch
+        .join(coreLab.select(col("vec_id").as("nb"), col("core_cluster").as("nb_cluster")),
+          Seq("nb"))
+        .groupBy(col("id")).agg(min(col("nb_cluster")).as("near_core_cluster"))
+      roles
+        .join(coreLab, Seq("vec_id"), "left")
+        .join(borderLab.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("n"),
+          when(col("is_core"), "core")
+            .when(col("near_core_cluster").isNotNull, "border")
+            .otherwise("noise").as("role"),
+          coalesce(col("core_cluster"), col("near_core_cluster"), lit(-1L)).as("cluster_id"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -1030,6 +1139,61 @@ object Learn {
         |SELECT qid, q_label, neg_id, neg_label, d2, CAST(rnk AS BIGINT) AS rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, neg_id) AS rnk
         |  FROM cand) t
-        |WHERE rnk <= 2 ORDER BY qid, rnk""".stripMargin
+        |WHERE rnk <= 2 ORDER BY qid, rnk""".stripMargin,
+
+    // INDEPENDENT algorithm: quadratic all-pairs ε-neighbor scan (no
+    // cells, no probe — so the compare also proves the ball probe
+    // lossless on the fixture) + recursive-CTE transitive closure for
+    // the core components (the q_dedup_cluster pattern).
+    "q_dbscan" ->
+      """WITH RECURSIVE qb AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, qv FROM qb
+        |  UNION ALL
+        |  SELECT vec_id + k * 1000000, list_transform(qv, v -> v + 40 * k)
+        |  FROM qb, (SELECT unnest([1, 2, 3, 4]) AS k) ks
+        |  WHERE vec_id % 5 = 0),
+        |pr AS (
+        |  SELECT a.vec_id AS ai, b.vec_id AS bi
+        |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(a.qv) + 1),
+        |        i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))),
+        |      (x, y) -> x + y) <= 640000),
+        |tch AS (SELECT ai AS id, bi AS nb FROM pr UNION ALL SELECT bi, ai FROM pr),
+        |deg AS (
+        |  SELECT p.vec_id, 1 + COALESCE(t.c, 0) AS n
+        |  FROM aug p LEFT JOIN (
+        |    SELECT id, CAST(count(*) AS BIGINT) AS c FROM tch GROUP BY id) t
+        |  ON p.vec_id = t.id),
+        |core AS (SELECT vec_id FROM deg WHERE n >= 4),
+        |ce AS (
+        |  SELECT t.id AS src, t.nb AS dst FROM tch t
+        |  JOIN core c1 ON t.id = c1.vec_id
+        |  JOIN core c2 ON t.nb = c2.vec_id),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM ce
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN ce e ON r.dst = e.src),
+        |corelab AS (
+        |  SELECT c.vec_id, COALESCE(l.cl, c.vec_id) AS cl
+        |  FROM core c LEFT JOIN (
+        |    SELECT src AS vec_id, min(dst) AS cl FROM reach GROUP BY src) l
+        |  ON c.vec_id = l.vec_id),
+        |blab AS (
+        |  SELECT t.id AS vec_id, min(k.cl) AS bl
+        |  FROM tch t JOIN corelab k ON t.nb = k.vec_id GROUP BY t.id)
+        |SELECT g.vec_id, g.n,
+        |  CASE WHEN cr.vec_id IS NOT NULL THEN 'core'
+        |       WHEN bl.bl IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  COALESCE(cr.cl, bl.bl, -1) AS cluster_id
+        |FROM deg g
+        |LEFT JOIN corelab cr ON g.vec_id = cr.vec_id
+        |LEFT JOIN blab bl ON g.vec_id = bl.vec_id
+        |ORDER BY g.vec_id""".stripMargin
   )
 }

@@ -676,4 +676,56 @@ class GraphLearnSpec extends SparkSpec {
     // the operator is vacuous on the fixture
     assert(got.exists(_._5 == 1L), "no node moved — fixture makes the refinement vacuous")
   }
+
+  test("q_dbscan: roles and clusters equal an independent driver-side DBSCAN") {
+    val out = Learn.queries("q_dbscan")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // Independent ground truth: quadratic ε-scan over the same augmented
+    // quantized set (no cells, no probe), union-find over core-core
+    // pairs (min-id root), min-core-cluster border rule.
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val aug = base ++ base.filter(_._1 % 5 == 0).flatMap { case (id, qv) =>
+      (1 to 4).map(k => (id + k * 1000000L, qv.map(_ + 40L * k)))
+    }
+    val eps2 = 640000L
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val dd = a(i) - b(i); s += dd * dd; i += 1 }
+      s
+    }
+    val n = aug.length
+    val nbrs = Array.fill(n)(List.empty[Int])
+    for (i <- 0 until n; j <- i + 1 until n if d2(aug(i)._2, aug(j)._2) <= eps2) {
+      nbrs(i) ::= j; nbrs(j) ::= i
+    }
+    val isCore = (0 until n).map(i => nbrs(i).size + 1 >= 4)
+    val ids = aug.map(_._1)
+    val parent = scala.collection.mutable.Map[Long, Long](ids.map(x => x -> x).toSeq: _*)
+    def find(x: Long): Long = {
+      val p = parent(x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for (i <- 0 until n; j <- nbrs(i) if isCore(i) && isCore(j)) {
+      val (ru, rv) = (find(ids(i)), find(ids(j)))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val expected = (0 until n).map { i =>
+      val nn = nbrs(i).size + 1L
+      if (isCore(i)) (ids(i), nn, "core", find(ids(i)))
+      else {
+        val coreNb = nbrs(i).filter(isCore(_))
+        if (coreNb.nonEmpty) (ids(i), nn, "border", coreNb.map(j => find(ids(j))).min)
+        else (ids(i), nn, "noise", -1L)
+      }
+    }.sortBy(_._1)
+    assert(out.toSeq == expected, "DBSCAN output diverges from the independent recompute")
+    // the planted fixture must exercise all three roles
+    val byRole = out.groupBy(_._3).map { case (k, v) => k -> v.length }
+    assert(byRole.getOrElse("core", 0) > 0 && byRole.getOrElse("border", 0) > 0 &&
+      byRole.getOrElse("noise", 0) > 0, s"degenerate fixture roles: $byRole")
+  }
 }
