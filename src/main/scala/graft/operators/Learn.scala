@@ -647,6 +647,43 @@ object Learn {
             .otherwise("noise").as("role"),
           coalesce(col("core_cluster"), col("near_core_cluster"), lit(-1L)).as("cluster_id"))
         .orderBy(col("vec_id"))
+    }),
+
+    // COUNT-MIN SKETCH heavy hitters (Cormode & Muthukrishnan 2005) —
+    // the BATCH face of the sketch family (q_hll_union = mergeable
+    // cardinality, heavyHittersTws = streaming Misra-Gries; CMS is the
+    // mergeable FREQUENCY summary): d = 4 hash rows × w = 16 counters,
+    // est(t) = min_i c[i][h_i(t)] — never an undercount, overcount
+    // bounded by row collisions. w = 16 is chosen BELOW the fixture's
+    // vocabulary size so collisions actually occur and the one-sided
+    // error is exercised, not just asserted. DETERMINISTIC end to end:
+    // h_i(t) = hex digit i of md5(t) (the q_classifier_score bucket
+    // recipe), counters are exact integer sums — so the full sketch
+    // build + estimate trajectory replays in DuckDB, oracle-checkable
+    // where real CMS deployments must settle for probabilistic bounds.
+    //
+    // Scale posture: the sketch build is ONE partial+final aggregate
+    // over (row, bucket) — the map-side partial IS the per-partition
+    // sketch and the final merge IS the CMS merge (counter-wise sum),
+    // i.e. the mergeable-summary serving pattern with d·w = 64 cells
+    // of state regardless of corpus size. The estimate phase runs at
+    // VOCAB grain: candidates explode into their d (row, bucket) keys
+    // and join the broadcast 64-cell table; token text never shuffles
+    // (the aggregate keys are single hex-digit buckets).
+    "q_cms" -> ((s, d) => {
+      def hx(p: Int, c: String) =
+        s"(instr('0123456789abcdef', substring(md5($c), $p, 1)) - 1)"
+      val harr = (1 to 4).map(p => hx(p, "tok")).mkString("array(", ", ", ")")
+      val tok = Tables.documents(s, d).select(explode(split(col("text"), " ")).as("tok"))
+      val cells = tok.select(posexplode(expr(harr)).as(Seq("i", "b")))
+        .groupBy(col("i"), col("b")).agg(count(lit(1)).as("cnt"))
+      val cand = tok.groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
+      cand.select(col("tok"), col("true_n"), posexplode(expr(harr)).as(Seq("i", "b")))
+        .join(broadcast(cells), Seq("i", "b"))
+        .groupBy(col("tok"), col("true_n")).agg(min(col("cnt")).as("est_n"))
+        .withColumn("over_n", expr("est_n - true_n"))
+        .orderBy(col("est_n").desc, col("tok"))
+        .limit(20)
     })
   )
 
@@ -1194,6 +1231,36 @@ object Learn {
         |FROM deg g
         |LEFT JOIN corelab cr ON g.vec_id = cr.vec_id
         |LEFT JOIN blab bl ON g.vec_id = bl.vec_id
-        |ORDER BY g.vec_id""".stripMargin
+        |ORDER BY g.vec_id""".stripMargin,
+
+    "q_cms" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |hs AS (SELECT tok,
+        |  (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) AS b1,
+        |  (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS b2,
+        |  (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) AS b3,
+        |  (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS b4
+        |  FROM tok),
+        |cells AS (
+        |  SELECT 0 AS i, b1 AS b, CAST(count(*) AS BIGINT) AS cnt FROM hs GROUP BY b1
+        |  UNION ALL
+        |  SELECT 1, b2, CAST(count(*) AS BIGINT) FROM hs GROUP BY b2
+        |  UNION ALL
+        |  SELECT 2, b3, CAST(count(*) AS BIGINT) FROM hs GROUP BY b3
+        |  UNION ALL
+        |  SELECT 3, b4, CAST(count(*) AS BIGINT) FROM hs GROUP BY b4),
+        |cand AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS true_n,
+        |    min(b1) AS b1, min(b2) AS b2, min(b3) AS b3, min(b4) AS b4
+        |  FROM hs GROUP BY tok)
+        |SELECT c.tok, c.true_n,
+        |  least(s1.cnt, s2.cnt, s3.cnt, s4.cnt) AS est_n,
+        |  least(s1.cnt, s2.cnt, s3.cnt, s4.cnt) - c.true_n AS over_n
+        |FROM cand c
+        |JOIN cells s1 ON s1.i = 0 AND s1.b = c.b1
+        |JOIN cells s2 ON s2.i = 1 AND s2.b = c.b2
+        |JOIN cells s3 ON s3.i = 2 AND s3.b = c.b3
+        |JOIN cells s4 ON s4.i = 3 AND s4.b = c.b4
+        |ORDER BY est_n DESC, tok LIMIT 20""".stripMargin
   )
 }

@@ -786,6 +786,33 @@ object NearDup {
         .filter(col("cos_sim") >= 0.95)
         .select(col("a_id"), col("b_id"), col("label"), round(col("cos_sim"), 4).as("cos_sim"))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // LEAKAGE-SAFE k-fold assignment — GROUP k-fold at NEAR-DUP-CLUSTER
+    // grain (the evaluation-hygiene step the dedup literature motivates:
+    // Lee et al. 2022 measure test-set contamination from duplicates
+    // crossing the train/eval split; sklearn's GroupKFold is the
+    // single-node shape). A doc-grain hash split CANNOT be leakage-safe:
+    // two near-identical docs hash independently and land in different
+    // folds, so the eval fold "tests" on training data. Here the fold is
+    // a function of the near-dup CLUSTER id — every member of a cluster
+    // shares its fold BY CONSTRUCTION (fold(doc) = h(cluster(doc)), a
+    // pure function of cluster), so no dup pair can ever span folds.
+    //
+    // Scale posture: rides the memoized [[clusterLabels]] vector (pairs
+    // → alternating-star CC, all signature-grain); the fold hash is
+    // map-only arithmetic on the label table + one co-partitioned
+    // doc_id join for singletons (left join + coalesce). Every
+    // intermediate term of the universal hash stays < 2⁶² (the
+    // walkHash overflow discipline — DuckDB errors on BIGINT overflow).
+    "q_kfold" -> ((s, d) => {
+      val docs = corpus(s, d).select(col("doc_id"))
+      docs.join(clusterLabels(s, d), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("fold", expr(
+          "(1203958717 * (cluster_id % 2147483647) + 776531401) % 2147483647 % 5"))
+        .select(col("doc_id"), col("cluster_id"), col("fold"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -919,6 +946,33 @@ object NearDup {
          |SELECT src AS doc_id, min(dst) AS cluster_id,
          |  min(dst) = src AS canonical
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // Same recursive closure as q_dedup_cluster, then the fold hash on
+    // the component label (identical non-negative BIGINT arithmetic in
+    // both engines).
+    "q_kfold" ->
+      s"""WITH RECURSIVE $corpusSql,
+         |$shinglesSql,
+         |$hshSql,
+         |pairs AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM hsh x JOIN hsh y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+         |  WHERE len(list_intersect(x.hs, y.hs))
+         |        / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.6),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |fulll AS (
+         |  SELECT c.doc_id, COALESCE(l.cluster_id, c.doc_id) AS cluster_id
+         |  FROM corpus c LEFT JOIN labels l ON c.doc_id = l.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  (1203958717 * (cluster_id % 2147483647) + 776531401) % 2147483647 % 5 AS fold
+         |FROM fulll ORDER BY doc_id""".stripMargin,
 
     "q_dedup_canonical" ->
       s"""WITH RECURSIVE $corpusSql,

@@ -701,6 +701,38 @@ object Pipeline {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .orderBy(col("bucket"))
+    }),
+
+    // LENGTH-BUCKETED batching report — the dynamic-batching /
+    // padding-efficiency planner (every serving stack batches by
+    // length: pad-to-multiple-of-16 buckets vs pad-everything-to-
+    // global-max): per bucket, docs, real tokens, padding paid under
+    // bucketing, padding the naive global-max batcher would pay, and
+    // the bucket's waste fraction in micro-units. Complements the
+    // PACKING family from the other side: q_pack_sequences/q_pack_ffd
+    // eliminate padding by concatenation (training), bucketing bounds
+    // it when sequences must stay whole (inference).
+    //
+    // Scale posture: one map-only bucket projection on the scan, one
+    // partial+final aggregate at BUCKET grain, and a 1-row broadcast
+    // (the global max) attached to the bucket table — nothing
+    // collects, text never shuffles, all-integer arithmetic (waste is
+    // truncating micro-units on non-negatives, where Spark DIV and
+    // DuckDB // agree).
+    "q_length_bucket" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      val g = docs.agg(max(col("n_tokens")).as("max_len"))
+      docs.withColumn("bucket_len", expr("((n_tokens + 15) DIV 16) * 16"))
+        .groupBy(col("bucket_len"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .crossJoin(broadcast(g))
+        .withColumn("pad_tokens", expr("n_docs * bucket_len - sum_tokens"))
+        .withColumn("naive_pad_tokens", expr("n_docs * max_len - sum_tokens"))
+        .withColumn("waste_micro", expr("(pad_tokens * 1000000) DIV (n_docs * bucket_len)"))
+        .select(col("bucket_len"), col("n_docs"), col("sum_tokens"),
+          col("pad_tokens"), col("naive_pad_tokens"), col("waste_micro"))
+        .orderBy(col("bucket_len"))
     })
   )
 
@@ -936,6 +968,21 @@ object Pipeline {
       """SELECT least(n_chars // 64, 9) AS bucket, count(*) AS n_docs,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_length_bucket" ->
+      """WITH docs AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |g AS (SELECT max(n_tokens) AS max_len FROM docs),
+        |b AS (
+        |  SELECT ((n_tokens + 15) // 16) * 16 AS bucket_len,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |  FROM docs GROUP BY 1)
+        |SELECT bucket_len, n_docs, sum_tokens,
+        |  n_docs * bucket_len - sum_tokens AS pad_tokens,
+        |  n_docs * max_len - sum_tokens AS naive_pad_tokens,
+        |  ((n_docs * bucket_len - sum_tokens) * 1000000) // (n_docs * bucket_len) AS waste_micro
+        |FROM b, g ORDER BY bucket_len""".stripMargin,
 
     // The capstone: every stage of q_corpus_e2e replayed in one CTE
     // chain — same corpus, same hashes, same order of operations.

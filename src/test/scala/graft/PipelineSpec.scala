@@ -388,4 +388,30 @@ class PipelineSpec extends SparkSpec {
       assert(keys == keys.sorted, s"cust $c rank order violates the tiebreak")
     }
   }
+
+  test("q_length_bucket: buckets recompute exactly from per-doc token counts") {
+    val out = Pipeline.queries("q_length_bucket")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    val lens = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n")).collect().map(_.getLong(0))
+    val maxLen = lens.max
+    val expected = lens.groupBy(n => ((n + 15) / 16) * 16).toSeq.map { case (bl, xs) =>
+      val nd = xs.length.toLong; val st = xs.sum
+      (bl, nd, st, nd * bl - st, nd * maxLen - st, (nd * bl - st) * 1000000L / (nd * bl))
+    }.sortBy(_._1)
+    assert(out.toSeq == expected, "bucket table diverges from the driver recompute")
+    // padding the bucketing pays is bounded: < 16 tokens per doc by
+    // construction (pad-to-multiple-of-16), while the naive global-max
+    // batcher pays up to max_len − n per doc
+    out.foreach { case (bl, nd, _, pad, _, _) =>
+      assert(bl % 16 == 0 && pad >= 0 && pad < nd * 16, s"bucket $bl pad out of bounds")
+    }
+    // in aggregate the bucketed plan must beat padding-to-global-max on
+    // this corpus (the operator's reason to exist); alignment slack can
+    // invert only the top bucket, never the total
+    val totPad = out.map(_._4).sum; val totNaive = out.map(_._5).sum
+    assert(totPad <= totNaive, s"bucketing paid $totPad vs naive $totNaive")
+  }
 }

@@ -225,4 +225,59 @@ class PropertiesSpec extends SparkSpec {
     assert(planted >= expected * 9 / 10,
       s"only $planted of ~$expected planted truncations caught")
   }
+
+  test("q_cms: estimates match an independent sketch replay and never undercount") {
+    val out = graft.operators.Learn.queries("q_cms")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // Independent driver-side CMS: same d=4 × w=16 md5-hex-digit rows.
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t")).collect().map(_.getString(0))
+    def hx(t: String, p: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(md.charAt(p))
+    }
+    val cells = Array.fill(4, 16)(0L)
+    toks.foreach(t => (0 until 4).foreach(i => cells(i)(hx(t, i)) += 1))
+    val truth = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val est = truth.map { case (t, n) =>
+      (t, n, (0 until 4).map(i => cells(i)(hx(t, i))).min)
+    }.toSeq
+    val top = est.sortBy { case (t, _, e) => (-e, t) }.take(20)
+      .map { case (t, n, e) => (t, n, e, e - n) }
+    assert(out.toSeq == top, "CMS top-20 diverges from the driver-side sketch replay")
+    // one-sided error: never an undercount; w=16 < vocab must collide
+    assert(out.forall { case (_, n, e, _) => e >= n }, "CMS undercounted")
+    assert(out.exists(_._4 > 0), "no collision overcount — w too wide to exercise CMS")
+  }
+
+  test("q_kfold: folds are a function of the dup cluster; no near-dup pair spans folds") {
+    val rows = graft.operators.NearDup.queries("q_kfold")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, f) => f >= 0 && f < 5 }, "fold out of range")
+    // fold must be constant within each cluster (the leakage-safety
+    // invariant: a near-dup pair in two folds = eval on training data)
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.length == 1, s"cluster $c spans folds")
+    }
+    // the planted re-crawl copies (doc, doc+1e6) are near-dups — same
+    // cluster, hence same fold
+    val byId = rows.map(r => r._1 -> r).toMap
+    val copyPairs = rows.filter(r => byId.contains(r._1 + 1000000L))
+    assert(copyPairs.nonEmpty)
+    copyPairs.foreach { r =>
+      val c = byId(r._1 + 1000000L)
+      if (c._2 == r._2) assert(c._3 == r._3, s"dup pair (${r._1}) split across folds")
+    }
+    // and the doc-grain hash split this operator replaces WOULD leak:
+    // at least one multi-doc cluster's members hash to different folds
+    def docFold(id: Long): Long =
+      (1203958717L * (id % 2147483647L) + 776531401L) % 2147483647L % 5
+    val leaky = rows.groupBy(_._2).values
+      .filter(_.length > 1)
+      .count(ms => ms.map(m => docFold(m._1)).distinct.length > 1)
+    assert(leaky > 0, "fixture has no cluster a doc-grain split would leak")
+  }
 }
