@@ -684,6 +684,70 @@ object Learn {
         .withColumn("over_n", expr("est_n - true_n"))
         .orderBy(col("est_n").desc, col("tok"))
         .limit(20)
+    }),
+
+    // CORESET selection by farthest-point traversal (Gonzalez 1985
+    // greedy k-center, 2-approximation) — the geometric DATA-SELECTION
+    // primitive (active-learning seed pools, k-center coresets for
+    // training-set distillation): greedily pick the point farthest
+    // from everything selected so far, so k points COVER the corpus
+    // with the smallest max-radius any greedy can certify. Complements
+    // the family: k-means fits dense centers, DBSCAN finds dense
+    // regions, the coreset picks SPREAD — maximal diversity, the
+    // opposite selection pressure from q_semantic_dedup's redundancy
+    // pruning. Exact integer d² on the 1e-4 grid; seed = vec_id 0,
+    // argmax ties break to the lowest vec_id; assignment ties to the
+    // EARLIEST-selected center (first position of the array min).
+    //
+    // Scale posture — the q_kmeans_fit contract: each of the k−1
+    // rounds is ONE map-only min-distance projection against ≤ k
+    // centroid literals feeding a TakeOrdered(1) heap (no shuffle, no
+    // sort — per-partition max, driver merges partition count rows);
+    // the driver loop collects ONE row per round (codebook scale,
+    // never data scale). The final assignment + per-center coverage is
+    // one more map-only pass + a k-row aggregate. 100 TB of vectors
+    // stream through k scans; selection state is k·dim integers.
+    "q_coreset" -> ((s, d) => {
+      val K = 5
+      val q = Tables.embeddings(s, d).select(col("vec_id"), expr(QuantTok).as("qv"))
+      def dExpr(cv: Array[Long]): String = {
+        val arr = cv.mkString("array(", "L,", "L)")
+        s"aggregate(zip_with(qv, $arr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+      }
+      val seed = q.filter(col("vec_id") === 0).head()
+      var sel = Vector((0L, seed.getSeq[Long](1).toArray, 0L)) // (id, qv, far_d2)
+      for (_ <- 1 until K) {
+        val ds = sel.map(c => dExpr(c._2))
+        val dmin = if (ds.size == 1) ds.head else ds.mkString("least(", ", ", ")")
+        val far = q.filter(!col("vec_id").isin(sel.map(c => java.lang.Long.valueOf(c._1)): _*))
+          .withColumn("dmin", expr(dmin))
+          .orderBy(col("dmin").desc, col("vec_id"))
+          .head()
+        sel :+= ((far.getLong(0), far.getSeq[Long](1).toArray, far.getLong(2)))
+      }
+      val darr = sel.map(c => dExpr(c._2)).mkString("array(", ", ", ")")
+      val cidArr = sel.map(_._1).mkString("array(", "L,", "L)")
+      val asn = q
+        .withColumn("dx", expr(s"array_min($darr)"))
+        .withColumn("center_id", expr(
+          s"element_at($cidArr, CAST(array_position($darr, dx) AS INT))"))
+        .groupBy(col("center_id"))
+        .agg(count(lit(1)).as("n_assigned"), max(col("dx")).as("radius_d2"))
+      val traj = s.createDataFrame(
+        s.sparkContext.parallelize(sel.zipWithIndex.map { case ((id, _, fd), r) =>
+          org.apache.spark.sql.Row(r.toLong, id, fd)
+        }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("round",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("center_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("far_d2",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      traj.join(asn, Seq("center_id"))
+        .select(col("round"), col("center_id"), col("far_d2"),
+          col("n_assigned"), col("radius_d2"))
+        .orderBy(col("round"))
     })
   )
 
@@ -863,7 +927,58 @@ object Learn {
        |${updateCte(s"c1_$i", s"a1_$i", start, len)},
        |${assignCte(s"a2_$i", s"c1_$i", start, len)}""".stripMargin
 
+  /** Exact integer squared L2 between two DuckDB BIGINT lists (the
+    * list_reduce form — list_sum widens to HUGEINT). */
+  private def ddSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), " +
+      s"(x, y) -> x + y)"
+
+  /** q_coreset oracle: the greedy farthest-point trajectory unrolled
+    * round by round (dN = running min-distance after round N−1, sN =
+    * that round's argmax pick), then the earliest-selected-tiebreak
+    * assignment and per-center coverage. */
+  private lazy val coresetOracle: String = {
+    val rounds = (1 until 5).map { r =>
+      val prev = if (r == 1) "q" else s"d${r - 1}"
+      val prevSel = if (r == 1) "s0" else s"s${r - 1}"
+      val dcol =
+        if (r == 1) ddSql("q.qv", "s0.qv")
+        else s"least(d${r - 1}.dmin, ${ddSql(s"d${r - 1}.qv", s"$prevSel.qv")})"
+      s"""d$r AS (
+         |  SELECT $prev.vec_id, $prev.qv, $dcol AS dmin
+         |  FROM $prev, $prevSel WHERE $prev.vec_id <> $prevSel.vec_id),
+         |s$r AS (SELECT vec_id, qv, dmin FROM d$r ORDER BY dmin DESC, vec_id LIMIT 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val selUnion = (1 until 5)
+      .map(r => s"UNION ALL SELECT $r, vec_id, qv, dmin FROM s$r").mkString("\n")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |s0 AS (SELECT vec_id, qv FROM q WHERE vec_id = 0),
+       |$rounds,
+       |sel AS (
+       |  SELECT 0 AS r, vec_id, qv, CAST(0 AS BIGINT) AS far_d2 FROM s0
+       |$selUnion),
+       |scored AS (
+       |  SELECT q.vec_id, s.r, s.vec_id AS cid, ${ddSql("q.qv", "s.qv")} AS d2x
+       |  FROM q CROSS JOIN sel s),
+       |best AS (
+       |  SELECT vec_id, cid, d2x FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2x, r) AS rn
+       |    FROM scored) t WHERE rn = 1),
+       |asn AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned, max(d2x) AS radius_d2
+       |  FROM best GROUP BY cid)
+       |SELECT CAST(s.r AS BIGINT) AS round, s.vec_id AS center_id,
+       |  CAST(s.far_d2 AS BIGINT) AS far_d2, a.n_assigned, a.radius_d2
+       |FROM sel s JOIN asn a ON s.vec_id = a.cid ORDER BY round""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_coreset" -> coresetOracle,
     "q_classifier_score" ->
       s"""SELECT doc_id, lang, score_milli, score_milli > 0 AS keep FROM (
          |  SELECT doc_id, lang,

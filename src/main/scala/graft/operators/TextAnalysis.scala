@@ -747,6 +747,68 @@ object TextAnalysis {
         .groupBy(col("canon"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_variants"))
         .orderBy(col("keep_id"))
+    }),
+
+    // BLEU-style CLIPPED n-gram precision (Papineni et al. 2002) —
+    // the text-overlap EVAL primitive next to the ranking evals
+    // (q_auc/q_ndcg/q_prec_at_k grade rankings; this grades generated
+    // TEXT against a reference). Candidate = a LOSSY RECONSTRUCTION of
+    // each doc (every 4th token replaced by 'the' — a deterministic,
+    // engine-identical corruption; a prefix copy would score a
+    // trivially perfect precision since its grams are a sub-multiset
+    // of the reference's), reference = the original. Per pair and
+    // n ∈ {1,2}: p_n = Σ_g min(cnt_cand(g), cnt_ref(g)) / Σ_g
+    // cnt_cand(g) in truncating micro-units — CLIPPING is the part of
+    // BLEU naive precision lacks (a candidate spamming one reference
+    // word scores its reference count, not its own); the brevity
+    // penalty's exp is data-dependent float, so the report carries the
+    // exact integer token counts and leaves the exp to the reader (the
+    // q_linear_fit discipline: exact moments, float at the boundary).
+    //
+    // Scale posture: counts aggregate at (pair, gram) grain — shuffles
+    // carry bounded-length grams with pair ids (the q_tfidf/q_bm25
+    // token-shuffle tier, never whole documents); the clip join is
+    // co-partitioned on the same (pair, gram) key it aggregated on,
+    // and the per-pair rollup + final assembly joins run at PAIR
+    // grain. NULLIF guards the no-bigram degenerate pair in BOTH
+    // engines (NULL precision, not a crash).
+    "q_bleu" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("pair_id"), split(col("text"), " ").as("rtk"))
+        .withColumn("ctk", expr(
+          "transform(sequence(1, size(rtk)), i -> IF(i % 4 = 0, 'the', element_at(rtk, i)))"))
+      def gramCounts(tkCol: String, cntName: String, n: Int): DataFrame = {
+        val g = n match {
+          case 1 => tkCol
+          // CASE guard: Spark's sequence(1, 0) is a DESCENDING [1, 0]
+          // (not empty) and element_at(arr, 0) throws — a 1-token doc
+          // must yield zero bigrams, not a crash
+          case 2 => s"CASE WHEN size($tkCol) >= 2 THEN " +
+            s"transform(sequence(1, size($tkCol) - 1), " +
+            s"i -> concat(element_at($tkCol, i), ' ', element_at($tkCol, i + 1))) " +
+            "ELSE array() END"
+        }
+        base.select(col("pair_id"), explode(expr(g)).as("g"))
+          .groupBy(col("pair_id"), col("g")).agg(count(lit(1)).as(cntName))
+      }
+      def prec(n: Int): DataFrame = {
+        val c = gramCounts("ctk", "cc", n)
+        val r = gramCounts("rtk", "cr", n)
+        val clip = c.join(r, Seq("pair_id", "g"))
+          .groupBy(col("pair_id"))
+          .agg(sum(least(col("cc"), col("cr"))).as(s"clip$n"))
+        val tot = c.groupBy(col("pair_id")).agg(sum(col("cc")).as(s"tot$n"))
+        tot.join(clip, Seq("pair_id"), "left")
+          .select(col("pair_id"),
+            coalesce(col(s"clip$n"), lit(0L)).as(s"clip$n"),
+            expr(s"(coalesce(clip$n, 0L) * 1000000) DIV nullif(tot$n, 0)").as(s"p${n}_micro"))
+      }
+      base.select(col("pair_id"), size(col("rtk")).cast("bigint").as("n_tokens"))
+        .join(prec(1), Seq("pair_id"), "left")
+        .join(prec(2), Seq("pair_id"), "left")
+        .select(col("pair_id"), col("n_tokens"),
+          col("clip1"), col("p1_micro"), col("clip2"), col("p2_micro"))
+        .orderBy(col("pair_id"))
     })
   )
 
@@ -1231,6 +1293,41 @@ object TextAnalysis {
         |      '/$', '') AS canon
         |  FROM crawl)
         |SELECT canon, min(doc_id) AS keep_id, count(*) AS n_variants
-        |FROM canonized GROUP BY canon ORDER BY keep_id""".stripMargin
+        |FROM canonized GROUP BY canon ORDER BY keep_id""".stripMargin,
+
+    "q_bleu" ->
+      """WITH base AS (
+        |  SELECT doc_id AS pair_id, string_split(text, ' ') AS rtk,
+        |    list_transform(range(1, len(string_split(text, ' ')) + 1),
+        |      i -> IF(i % 4 = 0, 'the', string_split(text, ' ')[i])) AS ctk
+        |  FROM documents),
+        |cu AS (SELECT pair_id, unnest(ctk) AS g FROM base),
+        |ru AS (SELECT pair_id, unnest(rtk) AS g FROM base),
+        |cb AS (SELECT pair_id, unnest(list_transform(range(1, len(ctk)),
+        |         i -> ctk[i] || ' ' || ctk[i + 1])) AS g FROM base),
+        |rb AS (SELECT pair_id, unnest(list_transform(range(1, len(rtk)),
+        |         i -> rtk[i] || ' ' || rtk[i + 1])) AS g FROM base),
+        |c1 AS (SELECT pair_id, g, CAST(count(*) AS BIGINT) AS cc FROM cu GROUP BY 1, 2),
+        |r1 AS (SELECT pair_id, g, CAST(count(*) AS BIGINT) AS cr FROM ru GROUP BY 1, 2),
+        |c2 AS (SELECT pair_id, g, CAST(count(*) AS BIGINT) AS cc FROM cb GROUP BY 1, 2),
+        |r2 AS (SELECT pair_id, g, CAST(count(*) AS BIGINT) AS cr FROM rb GROUP BY 1, 2),
+        |t1 AS (SELECT pair_id, CAST(SUM(cc) AS BIGINT) AS tot FROM c1 GROUP BY 1),
+        |t2 AS (SELECT pair_id, CAST(SUM(cc) AS BIGINT) AS tot FROM c2 GROUP BY 1),
+        |k1 AS (SELECT c1.pair_id, CAST(SUM(least(c1.cc, r1.cr)) AS BIGINT) AS clip
+        |       FROM c1 JOIN r1 USING (pair_id, g) GROUP BY 1),
+        |k2 AS (SELECT c2.pair_id, CAST(SUM(least(c2.cc, r2.cr)) AS BIGINT) AS clip
+        |       FROM c2 JOIN r2 USING (pair_id, g) GROUP BY 1),
+        |p1 AS (SELECT t.pair_id, COALESCE(k.clip, 0) AS clip1,
+        |         (COALESCE(k.clip, 0) * 1000000) // NULLIF(t.tot, 0) AS p1_micro
+        |       FROM t1 t LEFT JOIN k1 k USING (pair_id)),
+        |p2 AS (SELECT t.pair_id, COALESCE(k.clip, 0) AS clip2,
+        |         (COALESCE(k.clip, 0) * 1000000) // NULLIF(t.tot, 0) AS p2_micro
+        |       FROM t2 t LEFT JOIN k2 k USING (pair_id)),
+        |lens AS (SELECT pair_id, CAST(len(rtk) AS BIGINT) AS n_tokens FROM base)
+        |SELECT l.pair_id, l.n_tokens, p1.clip1, p1.p1_micro, p2.clip2, p2.p2_micro
+        |FROM lens l
+        |LEFT JOIN p1 USING (pair_id)
+        |LEFT JOIN p2 USING (pair_id)
+        |ORDER BY l.pair_id""".stripMargin
   )
 }

@@ -677,6 +677,44 @@ class GraphLearnSpec extends SparkSpec {
     assert(got.exists(_._5 == 1L), "no node moved — fixture makes the refinement vacuous")
   }
 
+  test("q_coreset: selection trajectory and coverage equal a driver-side greedy replay") {
+    val out = Learn.queries("q_coreset")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 5)
+    val pts = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val dd = a(i) - b(i); s += dd * dd; i += 1 }
+      s
+    }
+    // greedy farthest-point replay: seed vec_id 0, argmax ties → low id
+    var sel = Vector((0L, pts.find(_._1 == 0L).get._2, 0L))
+    for (_ <- 1 until 5) {
+      val cand = pts.filter(p => !sel.exists(_._1 == p._1))
+        .map { case (id, qv) => (id, qv, sel.map(c => d2(qv, c._2)).min) }
+      val far = cand.minBy { case (id, _, dm) => (-dm, id) }
+      sel :+= far
+    }
+    val asn = pts.map { case (_, qv) =>
+      val ds = sel.map(c => d2(qv, c._2))
+      val m = ds.min
+      (sel(ds.indexOf(m))._1, m) // earliest-selected tiebreak
+    }
+    val expected = sel.zipWithIndex.map { case ((cid, _, fd), r) =>
+      val mine = asn.filter(_._1 == cid)
+      (r.toLong, cid, fd, mine.length.toLong, mine.map(_._2).max)
+    }
+    assert(out.toSeq == expected, "coreset diverges from the greedy replay")
+    // greedy invariants: the max-min distance is non-increasing, and
+    // after all k picks no point sits farther than the last pick stood
+    val fars = out.drop(1).map(_._3)
+    assert(fars.zip(fars.drop(1)).forall { case (a, b) => b <= a }, "far_d2 not monotone")
+    assert(out.map(_._5).max <= fars.last, "coverage radius exceeds the last pick's distance")
+  }
+
   test("q_dbscan: roles and clusters equal an independent driver-side DBSCAN") {
     val out = Learn.queries("q_dbscan")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))

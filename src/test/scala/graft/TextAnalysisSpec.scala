@@ -387,4 +387,44 @@ class TextAnalysisSpec extends SparkSpec {
     val first = rows.minBy(_._1)
     assert(first._4 == 1000000L, s"first doc ${first._1} novelty ${first._4}")
   }
+
+  test("q_bleu: clipped precisions match a driver-side recompute; kept-token floor holds") {
+    val out = TextAnalysis.queries("q_bleu")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5)))
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    def counts(g: Seq[String]): Map[String, Long] =
+      g.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val expected = docs.map { case (id, rtk) =>
+      val ctk = rtk.zipWithIndex.map { case (t, i) => if ((i + 1) % 4 == 0) "the" else t }
+      def stats(c: Seq[String], r: Seq[String]): (Long, Long) = {
+        // a gram-less candidate is absent from the totals table → the
+        // final left join reports NULL (mapped to -1 here), not 0
+        if (c.isEmpty) (-1L, -1L)
+        else {
+          val cc = counts(c); val cr = counts(r)
+          val clip = cc.map { case (g, n) => math.min(n, cr.getOrElse(g, 0L)) }.sum
+          (clip, clip * 1000000L / c.length)
+        }
+      }
+      val big = (tk: Array[String]) =>
+        if (tk.length < 2) Seq.empty[String]
+        else tk.sliding(2).map(_.mkString(" ")).toSeq
+      val (c1, p1) = stats(ctk.toSeq, rtk.toSeq)
+      val (c2, p2) = stats(big(ctk), big(rtk))
+      (id, rtk.length.toLong, c1, p1, c2, p2)
+    }.sortBy(_._1)
+    assert(out.toSeq == expected.toSeq, "q_bleu diverges from the driver recompute")
+    // every kept token occurrence clips fully (cand count of a real
+    // token never exceeds the reference count), so p1 ≥ kept fraction
+    out.foreach { case (id, n, c1, p1, _, _) =>
+      val kept = n - n / 4
+      assert(c1 >= kept, s"doc $id clip1 $c1 below kept floor $kept")
+      assert(p1 <= 1000000L, s"doc $id precision above 1")
+    }
+    // and masking must actually cost precision somewhere on this corpus
+    assert(out.exists(_._4 < 1000000L), "no doc lost precision — corruption vacuous")
+  }
 }
