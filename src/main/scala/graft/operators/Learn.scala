@@ -582,8 +582,9 @@ object Learn {
     //  Shuffles carry (BIGINT id, BIGINT) pairs throughout — vectors
     //  ship once into the cell-keyed candidate join and never again.
     "q_dbscan" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
       val epsQ = 800L            // ε on the 1e-4 quantized grid (= 0.08)
-      val eps2 = epsQ * epsQ     // exact-integer verify threshold
+      val eps2 = epsQ * epsQ     // exact verify threshold
       val minPts = 4             // neighbor count including the point itself
       val qb = Tables.embeddings(s, d).select(col("vec_id"), expr(QuantTok).as("qv"))
       val copies = qb.filter(col("vec_id") % 5 === 0)
@@ -595,23 +596,31 @@ object Learn {
       val pts = qb.unionByName(copies).localCheckpoint()
       val cents = coarseCentroids(s, d)
       val darr = cents.map { case (_, cv) => distExpr(cv) }.mkString("array(", ", ", ")")
+      // dv/nrm: the pair verify runs as ‖a‖² + ‖b‖² − 2⟨a,b⟩ with the
+      // NATIVE codegen'd dot product — every term is an integer below
+      // 2⁵³ held in a double (|qv| ≤ 10⁴ + 160 ⇒ |⟨a,b⟩| ≤ 64·1.1e8),
+      // so the float arithmetic is EXACT and the compare is the same
+      // integer predicate; the interpreted 64-step zip_with lambda per
+      // candidate pair was 40× this plan's wall-clock at sf0.1
       val assigned = pts.withColumn("qs", col("qv"))
         .withColumn("darr", expr(darr))
         .withColumn("qdist", expr("array_min(darr)"))
         .withColumn("home", expr("CAST(array_position(darr, qdist) AS INT) - 1"))
+        .withColumn("dv", expr("transform(qv, v -> CAST(v AS DOUBLE))"))
+        .withColumn("nrm", expr("dot_product(dv, dv)"))
       val index = assigned
-        .select(col("home").as("cell"), col("vec_id").as("b_id"), col("qv").as("qb"))
+        .select(col("home").as("cell"), col("vec_id").as("b_id"),
+          col("dv").as("dvb"), col("nrm").as("nrm_b"))
       val probe = assigned
-        .select(col("vec_id").as("a_id"), col("qv").as("qa"), col("qdist"),
-          posexplode(col("darr")).as(Seq("cell", "dc")))
+        .select(col("vec_id").as("a_id"), col("dv").as("dva"), col("nrm").as("nrm_a"),
+          col("qdist"), posexplode(col("darr")).as(Seq("cell", "dc")))
         .filter(expr(
           s"sqrt(CAST(dc AS DOUBLE)) <= sqrt(CAST(qdist AS DOUBLE)) + ${2 * epsQ} + 0.5"))
-        .select(col("a_id"), col("qa"), col("cell"))
+        .select(col("a_id"), col("dva"), col("nrm_a"), col("cell"))
       // each (a,b) arises at most once: b appears under exactly one cell
       val pairs = probe.join(index, Seq("cell"))
         .filter(col("a_id") < col("b_id"))
-        .filter(expr("aggregate(zip_with(qa, qb, (a, b) -> (a - b) * (a - b)), " +
-          s"cast(0 as bigint), (acc, v) -> acc + v) <= $eps2"))
+        .filter(expr(s"nrm_a + nrm_b - 2.0D * dot_product(dva, dvb) <= ${eps2}.0D"))
         .select(col("a_id"), col("b_id"))
         .localCheckpoint() // consumed by degree count, core edges, border attach
       val touch = pairs.select(explode(array(
