@@ -524,6 +524,36 @@ object Curation {
         .select(col("lang"), col("source"), col("n_docs"), col("w"),
           col("share_micro"), col("rate_micro"))
         .orderBy(col("lang"), col("source"))
+    }),
+
+    // SIMPSON DIVERSITY index of the source mix per language — the
+    // mixture-concentration audit (the ecology/concentration index the
+    // Herfindahl–Hirschman literature shares): λ = Σ n_s(n_s−1) /
+    // N(N−1), the probability two random docs of the language come
+    // from the SAME source (λ → 1 ⇒ the "mixture" is one source
+    // wearing many names; 1−λ is the Gini–Simpson diversity). EXACT
+    // rational: numerator and denominator are integer products, the
+    // micro-unit report divides identical exact integers (truncating,
+    // non-negative — Spark DIV ≡ DuckDB //). Pairs with q_gini
+    // (revenue concentration) and q_token_budget (share table): one
+    // (lang, source)-grain aggregate, one lang-grain rollup, no data
+    // ever leaves aggregate grain.
+    "q_simpson" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_sources"),
+          sum(expr("n * (n - 1)")).as("same_pairs2"))
+        .withColumn("simpson_micro", expr(
+          "CASE WHEN n_docs > 1 THEN (same_pairs2 * 1000000) DIV (n_docs * (n_docs - 1)) " +
+            "ELSE NULL END"))
+        .withColumn("diversity_micro", expr(
+          "CASE WHEN n_docs > 1 THEN 1000000 - (same_pairs2 * 1000000) DIV (n_docs * (n_docs - 1)) " +
+            "ELSE NULL END"))
+        .select(col("lang"), col("n_docs"), col("n_sources"),
+          col("simpson_micro"), col("diversity_micro"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -570,6 +600,20 @@ object Curation {
         |  (w * 1000000) // tw AS share_micro,
         |  (((w * 1000000) // tw) * tn) // n_docs AS rate_micro
         |FROM g, tot ORDER BY lang, source""".stripMargin,
+
+    "q_simpson" ->
+      """WITH g AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n FROM documents
+        |  GROUP BY lang, source),
+        |r AS (
+        |  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_sources,
+        |    CAST(SUM(n * (n - 1)) AS BIGINT) AS same_pairs2
+        |  FROM g GROUP BY lang)
+        |SELECT lang, n_docs, n_sources,
+        |  CASE WHEN n_docs > 1 THEN (same_pairs2 * 1000000) // (n_docs * (n_docs - 1)) END AS simpson_micro,
+        |  CASE WHEN n_docs > 1 THEN 1000000 - (same_pairs2 * 1000000) // (n_docs * (n_docs - 1)) END AS diversity_micro
+        |FROM r ORDER BY lang""".stripMargin,
 
     "q_span_mask" ->
       """SELECT doc_id,

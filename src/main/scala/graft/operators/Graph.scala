@@ -152,6 +152,51 @@ object Graph {
         .orderBy(col("pr").desc, col("node_id"))
     }),
 
+    // TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004) — PERSONALIZED
+    // PageRank with the teleport restricted to a trusted SEED set: the
+    // crawl-curation primitive q_pagerank can't express (global
+    // centrality ranks spam farms too; trust flows ONLY outward from
+    // vetted seeds, attenuating with distance — pages unreachable from
+    // any seed score zero). Seeds here = customers of nation 0 (a
+    // deterministic, data-derived whitelist); rank vector starts at
+    // 10⁶ on seeds / 0 elsewhere, and each iteration's restart term
+    // lands ONLY on seeds: pr'(v) = 1{seed}·150000 + Σᵤ→ᵥ
+    // (pr(u)·85) div (deg(u)·100) — the same fixed-point integer
+    // discipline as q_pagerank (truncating div ≡ // on non-negatives,
+    // exact integer sums), so the full trajectory hash-matches.
+    //
+    // Scale posture = q_pagerank exactly: persisted window-degree
+    // adjacency over the shared [[tradeBase]] frame, one equi-join +
+    // one sum shuffle of (node_id, BIGINT) per iteration; the seed
+    // table is dimension-scale and broadcast at every attach point.
+    "q_trustrank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val adj = undirected(s, d)
+        .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+        .persist()
+      val seeds = Tables.customer(s, d).filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node_id"), lit(1L).as("sflag"))
+      var ranks = adj.select(col("src").as("node_id")).distinct()
+        .join(broadcast(seeds), Seq("node_id"), "left")
+        .select(col("node_id"), (coalesce(col("sflag"), lit(0L)) * 1000000L).as("pr"))
+      for (_ <- 1 to Iters) {
+        ranks = adj
+          .join(ranks, adj("src") === ranks("node_id"))
+          .select(col("dst"), expr("(pr * 85) DIV (deg * 100)").as("contrib"))
+          .groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("cs"))
+          .join(broadcast(seeds.withColumnRenamed("node_id", "dst")), Seq("dst"), "left")
+          .select(col("dst").as("node_id"),
+            (coalesce(col("sflag"), lit(0L)) * 150000L + col("cs")).as("pr"))
+      }
+      ranks.join(broadcast(seeds), Seq("node_id"), "left")
+        .select(col("node_id"),
+          when(col("node_id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+          (coalesce(col("sflag"), lit(0L)) === 1L).as("is_seed"),
+          col("pr").as("trust"))
+        .orderBy(col("trust").desc, col("node_id"))
+    }),
+
     // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
     // over the token CO-OCCURRENCE graph — nodes are distinct tokens,
     // an undirected edge links tokens adjacent anywhere in the corpus
@@ -908,6 +953,17 @@ object Graph {
        |  FROM e JOIN $prev ON e.src = $prev.node_id JOIN deg ON e.src = deg.src
        |  GROUP BY e.dst)""".stripMargin
 
+  /** [[prIter]] with the teleport restricted to the seed table `sd` —
+    * the TrustRank iteration (restart lands only on seeds). */
+  private def tuIter(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT e.dst AS node_id,
+       |    CASE WHEN sd.node_id IS NOT NULL THEN 150000 ELSE 0 END
+       |      + CAST(SUM(($prev.pr * 85) // (deg.deg * 100)) AS BIGINT) AS pr
+       |  FROM e JOIN $prev ON e.src = $prev.node_id JOIN deg ON e.src = deg.src
+       |  LEFT JOIN sd ON e.dst = sd.node_id
+       |  GROUP BY e.dst, sd.node_id)""".stripMargin
+
   /** [[prIter]] with token (string) node keys, for TextRank. */
   private def trIter(prev: String, next: String): String =
     s"""$next AS (
@@ -943,6 +999,28 @@ object Graph {
          |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  pr
          |FROM r3 ORDER BY pr DESC, node_id""".stripMargin,
+
+    "q_trustrank" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |sd AS (SELECT c_custkey * 2 AS node_id FROM customer WHERE c_nationkey = 0),
+         |r0 AS (
+         |  SELECT g.src AS node_id,
+         |    CASE WHEN sd.node_id IS NOT NULL THEN CAST(1000000 AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS pr
+         |  FROM deg g LEFT JOIN sd ON g.src = sd.node_id),
+         |${tuIter("r0", "r1")},
+         |${tuIter("r1", "r2")},
+         |${tuIter("r2", "r3")}
+         |SELECT r3.node_id,
+         |  CASE WHEN r3.node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         |  sd.node_id IS NOT NULL AS is_seed,
+         |  r3.pr AS trust
+         |FROM r3 LEFT JOIN sd ON r3.node_id = sd.node_id
+         |ORDER BY trust DESC, r3.node_id""".stripMargin,
 
     "q_community" -> {
       s"""WITH e0 AS (

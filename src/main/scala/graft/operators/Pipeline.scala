@@ -719,6 +719,43 @@ object Pipeline {
     // collects, text never shuffles, all-integer arithmetic (waste is
     // truncating micro-units on non-negatives, where Spark DIV and
     // DuckDB // agree).
+    // DATA-CONSTRAINED repetition planner (Muennighoff et al. 2023,
+    // "Scaling Data-Constrained Language Models"): given a token
+    // budget and a per-language UNIFORM target (the rebalancing case —
+    // proportional allocation would make every epoch count identical),
+    // plan how many epochs each language's data must repeat, capped at
+    // 4 epochs — the paper's empirical knee, past which repeated
+    // tokens stop buying loss. Per language: corpus tokens, the
+    // uniform target, epochs in micro-units (capped), effective tokens
+    // actually obtainable, the shortfall the cap leaves unfilled, and
+    // the constrained flag. Budget = session conf
+    // `graft.pipeline.budget_tokens` (default 100000 — the
+    // fixture/oracle scale; a real run sets its trillion-token budget
+    // the q_train_shard way). ALL integer: truncating DIV on
+    // non-negatives, so both engines plan bit-identically.
+    //
+    // Scale posture: one lang-grain aggregate + a 1-row broadcast
+    // (language count); everything downstream is arithmetic on the
+    // aggregate-sized table. Text never shuffles — token counts ride
+    // the partial aggregation.
+    "q_epoch_plan" -> ((s, d) => {
+      val budget = s.conf.get("graft.pipeline.budget_tokens", "100000").toLong
+      val g = Tables.documents(s, d)
+        .select(col("lang"), size(split(col("text"), " ")).cast("bigint").as("nt"))
+        .groupBy(col("lang")).agg(sum(col("nt")).as("tokens"))
+      val langs = g.agg(count(lit(1)).as("n_langs"))
+      g.crossJoin(broadcast(langs))
+        .withColumn("target", expr(s"$budget DIV n_langs"))
+        .withColumn("epochs_micro", expr(
+          "least((target * 1000000) DIV tokens, CAST(4000000 AS BIGINT))"))
+        .withColumn("effective", expr("least(target, 4 * tokens)"))
+        .withColumn("shortfall", expr("target - least(target, 4 * tokens)"))
+        .withColumn("constrained", expr("target > 4 * tokens"))
+        .select(col("lang"), col("tokens"), col("target"), col("epochs_micro"),
+          col("effective"), col("shortfall"), col("constrained"))
+        .orderBy(col("lang"))
+    }),
+
     "q_length_bucket" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
@@ -968,6 +1005,19 @@ object Pipeline {
       """SELECT least(n_chars // 64, 9) AS bucket, count(*) AS n_docs,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_epoch_plan" ->
+      """WITH g AS (
+        |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang),
+        |l AS (SELECT CAST(count(*) AS BIGINT) AS n_langs FROM g)
+        |SELECT lang, tokens,
+        |  100000 // n_langs AS target,
+        |  least(((100000 // n_langs) * 1000000) // tokens, 4000000) AS epochs_micro,
+        |  least(100000 // n_langs, 4 * tokens) AS effective,
+        |  (100000 // n_langs) - least(100000 // n_langs, 4 * tokens) AS shortfall,
+        |  (100000 // n_langs) > 4 * tokens AS constrained
+        |FROM g, l ORDER BY lang""".stripMargin,
 
     "q_length_bucket" ->
       """WITH docs AS (

@@ -457,4 +457,29 @@ class CurationSpec extends SparkSpec {
           |  word_shingle_hashes(array_join(slice(tk, i, 8), ' '), 8)[0]) END""".stripMargin))
     assert(both.filter("native <> hof").count() === 0)
   }
+
+  test("q_simpson: concentration recomputes exactly and respects its bounds") {
+    val out = Curation.queries("q_simpson")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(out.nonEmpty)
+    val counts = Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source")).count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val expected = counts.groupBy(_._1._1).map { case (lang, xs) =>
+      val ns = xs.map(_._2); val n = ns.sum
+      val same2 = ns.map(x => x * (x - 1)).sum
+      if (n <= 1) (lang, n, ns.length.toLong, -1L, -1L) // NULL report
+      else (lang, n, ns.length.toLong, same2 * 1000000L / (n * (n - 1)),
+        1000000L - same2 * 1000000L / (n * (n - 1)))
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq == expected, "simpson diverges from the driver recompute")
+    out.filter(_._4 >= 0).foreach { case (lang, _, srcs, lam, div) =>
+      assert(lam >= 0 && lam <= 1000000L, s"$lang lambda out of [0,1]")
+      assert(lam + div == 1000000L, s"$lang diversity complement broken")
+      // one source ⇒ two random docs always share it ⇒ λ = 1
+      if (srcs == 1) assert(lam == 1000000L, s"$lang single-source lambda != 1")
+    }
+  }
 }

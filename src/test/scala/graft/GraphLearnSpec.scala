@@ -677,6 +677,39 @@ class GraphLearnSpec extends SparkSpec {
     assert(got.exists(_._5 == 1L), "no node moved — fixture makes the refinement vacuous")
   }
 
+  test("q_trustrank: full trajectory replays driver-side; restart lands only on seeds") {
+    val out = Graph.queries("q_trustrank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val e0 = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("s"), (col("l_suppkey") * 2 + 1).as("t"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = e0.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val seeds = Tables.customer(spark, sf).filter(col("c_nationkey") === 0)
+      .select(col("c_custkey") * 2).collect().map(_.getLong(0)).toSet
+    var pr = deg.keys.map(n => n -> (if (seeds(n)) 1000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => (pr(src) * 85) / (deg(src) * 100) }.sum
+      }
+      pr = contrib.map { case (n, c) => n -> ((if (seeds(n)) 150000L else 0L) + c) }
+    }
+    val expected = pr.toSeq.map { case (n, t) =>
+      (n, if (n % 2 == 0) "customer" else "supplier", seeds(n), t)
+    }.sortBy { case (n, _, _, t) => (-t, n) }
+    assert(out.toSeq == expected, "trustrank diverges from the driver replay")
+    // seeds exist on the fixture and always carry at least the restart;
+    // unlike q_pagerank there is NO universal rank floor — trust is
+    // whatever actually flowed from the seed set
+    assert(out.count(_._3) > 0, "no seed present in the trade graph")
+    out.filter(_._3).foreach { case (n, _, _, t) =>
+      assert(t >= 150000L, s"seed $n below restart mass")
+    }
+  }
+
   test("q_coreset: selection trajectory and coverage equal a driver-side greedy replay") {
     val out = Learn.queries("q_coreset")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -389,6 +389,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q_epoch_plan: plan recomputes exactly; cap and shortfall are consistent") {
+    val out = Pipeline.queries("q_epoch_plan")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(out.nonEmpty)
+    val toks = Tables.documents(spark, sf)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byLang = toks.groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sum }
+    val nl = byLang.size.toLong
+    val budget = 100000L
+    val expected = byLang.toSeq.sortBy(_._1).map { case (l, t) =>
+      val target = budget / nl
+      (l, t, target, math.min(target * 1000000L / t, 4000000L),
+        math.min(target, 4 * t), target - math.min(target, 4 * t), target > 4 * t)
+    }
+    assert(out.toSeq == expected, "epoch plan diverges from the driver recompute")
+    out.foreach { case (l, t, target, em, eff, short, constrained) =>
+      assert(em <= 4000000L, s"$l epochs above the 4-epoch cap")
+      assert(eff + short == target, s"$l effective+shortfall != target")
+      assert(constrained == (short > 0), s"$l constrained flag inconsistent")
+      assert(eff <= 4 * t, s"$l effective exceeds 4 epochs of data")
+    }
+  }
+
   test("q_length_bucket: buckets recompute exactly from per-doc token counts") {
     val out = Pipeline.queries("q_length_bucket")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
