@@ -624,4 +624,42 @@ class PlanAuditSpec extends SparkSpec {
       "max attach is not a broadcast:\n" + p.take(1500))
     assert(!p.contains("CartesianProduct"), "cartesian in HITS plan")
   }
+
+  test("q_dbscan: role assembly is all equi-joins over the checkpointed pair frame") {
+    // the candidate join + dot-product verify live BEHIND the pairs
+    // localCheckpoint (executed at construction; its speed is pinned by
+    // the bench and its exactness by the oracle/spec) — what the
+    // returned plan can attest is the assembly: vec_id equi-joins only,
+    // no cartesian, and no interpreted per-row lambda left anywhere
+    val df = SparkEntry.queries("q_dbscan")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"), "cartesian in DBSCAN plan")
+    assert(!p.contains("zip_with"),
+      "interpreted zip_with lambda in the assembly plan:\n" + p.take(2000))
+    val joins = p.linesIterator.filter(_.contains("MergeJoin")).toSeq
+    // vec_id joins assemble roles; the one nb-keyed join attaches each
+    // border's neighboring core cluster
+    assert(joins.forall(l => l.contains("vec_id") || l.contains("nb#")),
+      "a role-assembly join is off the id keys:\n" + joins.mkString("\n"))
+  }
+
+  test("q_cms: the sketch build is a partial+final aggregate; cells broadcast to candidates") {
+    val df = SparkEntry.queries("q_cms")(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // map-side partial IS the per-partition sketch — without it every
+    // token occurrence crosses the network instead of d·w cells
+    assert(p.contains("partial_count"), "sketch build lost map-side combine:\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "64-cell sketch not broadcast into the estimate join:\n" + p.take(1500))
+  }
+
+  test("q_trustrank: seed attach is broadcast; iteration shuffles carry (node, rank) only") {
+    val df = SparkEntry.queries("q_trustrank")(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      "seed table not broadcast at the restart attach:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), "cartesian in TrustRank plan")
+  }
 }
