@@ -813,6 +813,27 @@ object NearDup {
           "(1203958717 * (cluster_id % 2147483647) + 776531401) % 2147483647 % 5"))
         .select(col("doc_id"), col("cluster_id"), col("fold"))
         .orderBy(col("doc_id"))
+    }),
+
+    // DUP-GRAPH DIAGNOSTICS — the component-size histogram of the
+    // near-dup clustering (the audit a production dedup run ships with
+    // its delete list: a sudden giant component means boilerplate or a
+    // degenerate shingle config is gluing the corpus together — the
+    // known failure mode of web-scale dedup — while the singleton mass
+    // says how much of the corpus is untouched). Per component size:
+    // cluster count and doc mass. Rides the memoized [[clusterLabels]]
+    // vector; singletons enter via the same left-join + coalesce as
+    // q_dedup_canonical, then two aggregate-grain rollups (cluster →
+    // size, size → histogram) — nothing beyond label-table scale
+    // shuffles.
+    "q_dup_stats" -> ((s, d) => {
+      val docs = corpus(s, d).select(col("doc_id"))
+      docs.join(clusterLabels(s, d), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+        .orderBy(col("sz"))
     })
   )
 
@@ -973,6 +994,31 @@ object NearDup {
          |SELECT doc_id, cluster_id,
          |  (1203958717 * (cluster_id % 2147483647) + 776531401) % 2147483647 % 5 AS fold
          |FROM fulll ORDER BY doc_id""".stripMargin,
+
+    // Same closure as q_dedup_cluster, rolled up to the size histogram.
+    "q_dup_stats" ->
+      s"""WITH RECURSIVE $corpusSql,
+         |$shinglesSql,
+         |$hshSql,
+         |pairs AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM hsh x JOIN hsh y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+         |  WHERE len(list_intersect(x.hs, y.hs))
+         |        / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.6),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |fulll AS (
+         |  SELECT c.doc_id, COALESCE(l.cluster_id, c.doc_id) AS cluster_id
+         |  FROM corpus c LEFT JOIN labels l ON c.doc_id = l.doc_id),
+         |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM fulll GROUP BY cluster_id)
+         |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters, CAST(SUM(sz) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin,
 
     "q_dedup_canonical" ->
       s"""WITH RECURSIVE $corpusSql,

@@ -118,6 +118,31 @@ object Reshape {
         .orderBy(col("doc_id"))
     }),
 
+    // K-ANONYMITY audit (Sweeney 2002) — the privacy companion to
+    // q_pii_scrub: scrubbing removes DIRECT identifiers, but a record
+    // is still re-identifiable when its QUASI-identifier combination
+    // (here: language × coarse length band, the release-schema columns
+    // an adversary can cross-link) is shared by fewer than k records.
+    // Per equivalence class: size, the k ≥ 5 verdict, and the
+    // suppression cost (suppress-below-k is the baseline remedy; the
+    // at-risk doc count is what generalizing the band would have to
+    // absorb). The audit GRAIN is the class, so the report is
+    // release-schema-sized, never corpus-sized.
+    //
+    // Scale posture: one map-only bucket projection + one partial+final
+    // aggregate at class grain; nothing else. All integer.
+    "q_k_anon" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), expr("n_chars DIV 256").as("len_band"))
+        .groupBy(col("lang"), col("len_band"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("k_anonymous", col("n") >= 5)
+        .withColumn("suppressed_docs", when(col("n") < 5, col("n")).otherwise(lit(0L)))
+        .select(col("lang"), col("len_band"), col("n"),
+          col("k_anonymous"), col("suppressed_docs"))
+        .orderBy(col("lang"), col("len_band"))
+    }),
+
     // Incremental aggregate maintenance: the warehouse pattern where a
     // materialized daily rollup absorbs a new delta batch WITHOUT
     // rescanning history — possible exactly when the aggregate is
@@ -391,6 +416,13 @@ object Reshape {
         |  regexp_replace(regexp_replace(pii_text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '555-[0-9]+', '<PHONE>', 'g') AS scrubbed
-        |FROM p ORDER BY doc_id""".stripMargin
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_k_anon" ->
+      """SELECT lang, n_chars // 256 AS len_band, CAST(count(*) AS BIGINT) AS n,
+        |  count(*) >= 5 AS k_anonymous,
+        |  CASE WHEN count(*) < 5 THEN CAST(count(*) AS BIGINT) ELSE 0 END AS suppressed_docs
+        |FROM documents GROUP BY lang, len_band
+        |ORDER BY lang, len_band""".stripMargin
   )
 }

@@ -389,6 +389,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q_k_anon: classes partition the corpus; flags and suppression are consistent") {
+    val out = graft.operators.Reshape.queries("q_k_anon")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    val total = Tables.documents(spark, sf).count()
+    assert(out.map(_._3).sum == total, "classes do not partition the corpus")
+    out.foreach { case (lang, band, n, anon, sup) =>
+      assert(n >= 1)
+      assert(anon == (n >= 5), s"($lang,$band) flag inconsistent")
+      assert(sup == (if (n < 5) n else 0L), s"($lang,$band) suppression cost wrong")
+    }
+    // the band choice must leave BOTH outcomes represented, or the
+    // audit is vacuous on this corpus
+    assert(out.exists(_._4) && out.exists(!_._4), "k-anonymity audit vacuous")
+    // driver recompute of the class table
+    val expected = Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars").cast("long").as("nc"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 256L))
+      .groupBy(identity).map { case ((l, b), xs) =>
+        val n = xs.length.toLong
+        (l, b, n, n >= 5, if (n < 5) n else 0L)
+      }.toSeq.sortBy(t => (t._1, t._2))
+    assert(out.toSeq == expected, "class table diverges from the driver recompute")
+  }
+
   test("q_epoch_plan: plan recomputes exactly; cap and shortfall are consistent") {
     val out = Pipeline.queries("q_epoch_plan")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -226,6 +226,22 @@ class PropertiesSpec extends SparkSpec {
       s"only $planted of ~$expected planted truncations caught")
   }
 
+  test("q_dup_stats: histogram masses reconcile with the corpus and the label vector") {
+    val out = graft.operators.NearDup.queries("q_dup_stats")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val corpusN = graft.operators.NearDup.corpus(spark, sf).count()
+    assert(out.map(_._3).sum == corpusN, "doc mass does not reconcile with the corpus")
+    out.foreach { case (sz, nc, nd) =>
+      assert(sz >= 1 && nc >= 1)
+      assert(nd == sz * nc, s"size $sz: docs $nd != $sz x $nc clusters")
+    }
+    // the planted re-crawl copies guarantee non-singleton components,
+    // and untouched docs guarantee singletons — both bands must appear
+    assert(out.exists(_._1 == 1L), "no singleton band")
+    assert(out.exists(_._1 >= 2L), "no multi-doc dup component found")
+  }
+
   test("q_cms: estimates match an independent sketch replay and never undercount") {
     val out = graft.operators.Learn.queries("q_cms")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
