@@ -695,6 +695,73 @@ object Learn {
         .limit(20)
     }),
 
+    // k-NN DISTANCE outlier report (Ramaswamy, Rastogi & Shim 2000) —
+    // the DENSITY-calibrated OOD detector next to q_doc_outlier's
+    // centroid distance (a point can sit near the global centroid yet
+    // in a local void, and far from it yet inside a dense far cluster;
+    // the distance to the k-th neighbor measures LOCAL isolation).
+    // Top-20 vectors by exact distance to their 3rd nearest neighbor.
+    //
+    // EXACT two-pass kNN in L2 (the q_knn_label recipe transplanted
+    // from cosine space):
+    //  pass 1 — home-cell candidates give a per-point UPPER BOUND
+    //    r3(x) on the true 3rd-NN distance (3rd-smallest within a
+    //    candidate SUBSET can only overestimate); a cell with < 4
+    //    points yields no bound and falls back to probe-everything
+    //    (the lossless degenerate case, INF sentinel).
+    //  pass 2 — probe cells c with d(x,c) ≤ d(x,home) + 2·r3(x): any
+    //    true top-3 neighbor y has d(x,y) ≤ r3, so its home cell
+    //    passes this filter (triangle inequality, the q_dbscan bound
+    //    with ε → r3(x) pointwise) — the probed candidate set provably
+    //    contains the true top-3, and the window rank over it is EXACT.
+    // Distances run as the native dot-product norm identity (integers
+    // below 2⁵³ in doubles — the q_dbscan argument); both rank windows
+    // are WindowGroupLimit-pruned map-side.
+    "q_ood_knn" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorFunctions.register(s)
+      val Inf = 1000000000000L // > any real d² (≤ 64·(2·10⁴)² ≈ 2.6e10)
+      val q = Tables.embeddings(s, d).select(col("vec_id"), expr(QuantTok).as("qv"))
+      val cents = coarseCentroids(s, d)
+      val darr = cents.map { case (_, cv) => distExpr(cv) }.mkString("array(", ", ", ")")
+      val pts = q.withColumn("qs", col("qv"))
+        .withColumn("darr", expr(darr))
+        .withColumn("qdist", expr("array_min(darr)"))
+        .withColumn("home", expr("CAST(array_position(darr, qdist) AS INT) - 1"))
+        .withColumn("dv", expr("transform(qv, v -> CAST(v AS DOUBLE))"))
+        .withColumn("nrm", expr("dot_product(dv, dv)"))
+        .localCheckpoint() // consumed by pass-1 self-join, probe, index
+      val d2x = "nrm_a + nrm_b - 2.0D * dot_product(dva, dvb)"
+      val aSide = pts.select(col("vec_id").as("a_id"), col("dv").as("dva"),
+        col("nrm").as("nrm_a"), col("home").as("cell"))
+      val bSide = pts.select(col("vec_id").as("b_id"), col("dv").as("dvb"),
+        col("nrm").as("nrm_b"), col("home").as("cell"))
+      val w = Window.partitionBy(col("a_id")).orderBy(col("d2"), col("b_id"))
+      val bound = aSide.join(bSide, Seq("cell"))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("d2", expr(d2x))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 3)
+        .select(col("a_id").as("vec_id"), col("d2").cast("long").as("r3sq"))
+      val probeBase = pts.join(bound, Seq("vec_id"), "left")
+        .withColumn("r3sq", coalesce(col("r3sq"), lit(Inf)))
+      val probe = probeBase
+        .select(col("vec_id").as("a_id"), col("dv").as("dva"), col("nrm").as("nrm_a"),
+          col("qdist"), col("r3sq"), posexplode(col("darr")).as(Seq("cell", "dc")))
+        .filter(expr("sqrt(CAST(dc AS DOUBLE)) <= " +
+          "sqrt(CAST(qdist AS DOUBLE)) + 2.0D * sqrt(CAST(r3sq AS DOUBLE)) + 0.5"))
+        .select(col("a_id"), col("dva"), col("nrm_a"), col("cell"))
+      probe.join(bSide, Seq("cell"))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("d2", expr(d2x))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 3)
+        .select(col("a_id").as("vec_id"), col("b_id").as("nn3_id"),
+          col("d2").cast("long").as("knn3_d2"))
+        .orderBy(col("knn3_d2").desc, col("vec_id"))
+        .limit(20)
+    }),
+
     // CORESET selection by farthest-point traversal (Gonzalez 1985
     // greedy k-center, 2-approximation) — the geometric DATA-SELECTION
     // primitive (active-learning seed pools, k-center coresets for
@@ -988,6 +1055,24 @@ object Learn {
 
   val oracles: Map[String, String] = Map(
     "q_coreset" -> coresetOracle,
+
+    // INDEPENDENT algorithm: brute-force all-pairs 3rd-NN (no cells,
+    // no bound, no probe — the compare also proves the two-pass bound
+    // lossless on the fixture).
+    "q_ood_knn" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |pr AS (
+         |  SELECT a.vec_id AS ai, b.vec_id AS bi, ${ddSql("a.qv", "b.qv")} AS d2
+         |  FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+         |rk AS (
+         |  SELECT ai, bi, d2, row_number() OVER (PARTITION BY ai ORDER BY d2, bi) AS rn
+         |  FROM pr)
+         |SELECT ai AS vec_id, bi AS nn3_id, d2 AS knn3_d2
+         |FROM rk WHERE rn = 3
+         |ORDER BY knn3_d2 DESC, vec_id LIMIT 20""".stripMargin,
     "q_classifier_score" ->
       s"""SELECT doc_id, lang, score_milli, score_milli > 0 AS keep FROM (
          |  SELECT doc_id, lang,

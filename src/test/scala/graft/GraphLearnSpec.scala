@@ -710,6 +710,28 @@ class GraphLearnSpec extends SparkSpec {
     }
   }
 
+  test("q_ood_knn: top-20 equals the brute-force 3rd-NN distances (bound is lossless)") {
+    val out = Learn.queries("q_ood_knn")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 20)
+    val pts = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val dd = a(i) - b(i); s += dd * dd; i += 1 }
+      s
+    }
+    val expected = pts.map { case (id, qv) =>
+      val ds = pts.filter(_._1 != id)
+        .map { case (oid, oqv) => (d2(qv, oqv), oid) }.sorted
+      val (dd3, n3) = ds(2)
+      (id, n3, dd3)
+    }.sortBy { case (id, _, dd3) => (-dd3, id) }.take(20)
+    assert(out.toSeq == expected.toSeq, "q_ood_knn diverges from brute force")
+  }
+
   test("q_coreset: selection trajectory and coverage equal a driver-side greedy replay") {
     val out = Learn.queries("q_coreset")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
