@@ -205,6 +205,92 @@ object EventStreams {
         OutputMode.Update())
   }
 
+  case class SessState(startMs: Long, lastMs: Long, n: Long, totalMilli: Long)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long,
+                           total_milli: Long)
+
+  /** [[sessionize]] re-expressed on `transformWithState` with
+    * EVENT-TIME TIMERS — the API surface the built-in session_window
+    * hides: one timer per open session at last_event + gap; when the
+    * WATERMARK passes it, `handleExpiredTimer` emits the closed
+    * session and clears state (so an idle user's session closes
+    * without waiting for their next event — the half the
+    * close-on-next-arrival formulation structurally cannot do). An
+    * event landing past the gap also closes the old session inline
+    * (no reason to sit on a finished session until the watermark
+    * catches up). Each update re-registers the key's single timer
+    * (delete old, register new), so stale timers never fire.
+    *
+    * Semantics match session_window's merge rule: events within `gap`
+    * of the CURRENT session extent merge (including late-but-in-gap
+    * events extending the start backwards); totals are milli-unit
+    * integers so replays are bit-stable. In-batch iteration sorts by
+    * (ts, event_id) — a micro-batch's group iterator has no order
+    * contract, and the session split must not depend on shuffle
+    * arrival order. State per key is ONE fixed-size row + one timer,
+    * expired by the watermark — the boundedness contract.
+    */
+  class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, ClosedSession] {
+    @transient private var st: ValueState[SessState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("sess",
+        org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+
+    private def closed(user: Long, s: SessState): ClosedSession =
+      ClosedSession(user, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.lastMs), s.n, s.totalMilli)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[ClosedSession] = {
+      val evs = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      var out = List.empty[ClosedSession]
+      var cur = if (st.exists()) Some(st.get()) else None
+      cur.foreach(s => getHandle.deleteTimer(s.lastMs + gapMs))
+      evs.foreach { e =>
+        val t = e.ts.getTime
+        val vm = math.floor(e.value * 1000).toLong
+        cur match {
+          case Some(s) if t > s.lastMs + gapMs =>
+            out ::= closed(user, s) // past the gap: close inline, open anew
+            cur = Some(SessState(t, t, 1L, vm))
+          case Some(s) =>
+            cur = Some(SessState(math.min(s.startMs, t), math.max(s.lastMs, t),
+              s.n + 1, s.totalMilli + vm))
+          case None =>
+            cur = Some(SessState(t, t, 1L, vm))
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        getHandle.registerTimer(s.lastMs + gapMs)
+      }
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[ClosedSession] = {
+      if (st.exists() &&
+          expiredTimerInfo.getExpiryTimeInMs() >= st.get().lastMs + gapMs) {
+        val s = st.get()
+        st.clear()
+        Iterator.single(closed(user, s))
+      } else Iterator.empty
+    }
+  }
+
+  def sessionizeTws(events: Dataset[Event], gap: java.time.Duration,
+                    watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gap.toMillis),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   case class MgEntry(item: Long, count: Long)
   case class MgSketch(shard: Long, processed: Long, entries: Seq[MgEntry])
 

@@ -186,6 +186,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("timer-driven tws sessionization: inline close on gap, watermark close on idle") {
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event](spark)
+      val q = EventStreams.sessionizeTws(input.toDS(), java.time.Duration.ofMinutes(30))
+        .writeStream.format("memory").queryName("tws_sess_out").outputMode("append").start()
+      try {
+        def rows() = spark.table("tws_sess_out")
+          .select($"user_id", $"session_start", $"session_end", $"n_events", $"total_milli")
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+            r.getLong(3), r.getLong(4))).toSeq
+        // open session for user 7 at minutes 0 and 10
+        input.addData(ev(1, 0, user = 7, value = 2.5), ev(2, 10, user = 7, value = 1.0))
+        q.processAllAvailable()
+        assert(rows().isEmpty, "session closed before gap or watermark allowed")
+        // minute 120 is past the 30m gap: session 1 closes INLINE
+        input.addData(ev(3, 120, user = 7, value = 4.0))
+        q.processAllAvailable()
+        val afterInline = rows()
+        assert(afterInline == Seq((7L, ts(0), ts(10), 2L, 3500L)),
+          s"inline close wrong: $afterInline")
+        // user 8's event at minute 200 pushes the watermark to 190 ≥
+        // 120 + 30, so user 7's IDLE session closes via the TIMER path
+        // (no user-7 event in this batch)
+        input.addData(ev(4, 200, user = 8, value = 1.0))
+        q.processAllAvailable()
+        val afterTimer = rows()
+        assert(afterTimer.contains((7L, ts(120), ts(120), 1L, 4000L)),
+          s"timer close missing: $afterTimer")
+        // user 8's fresh session must still be OPEN (watermark 190 < 230)
+        assert(!afterTimer.exists(_._1 == 8L), s"user 8 closed early: $afterTimer")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming sessionize merges events within the gap") {
     val input = MemoryStream[Event](spark)
     val q = EventStreams.sessionize(input.toDF(), "30 minutes", "10 minutes")
