@@ -422,6 +422,9 @@ object VectorFunctions {
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProducts))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteDotProducts
+    if (!spark.experimental.extraOptimizations.contains(RewriteBoundedLevenshtein))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteBoundedLevenshtein
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -471,6 +474,7 @@ object VectorFunctions {
       e.injectFunction((FunctionIdentifier("triangle_credits"), triCreditsInfo, triCreditsBuilder))
       e.injectFunction((FunctionIdentifier("word_window_hashes"), windowHashesInfo, windowHashesBuilder))
       e.injectOptimizerRule(_ => RewriteDotProducts)
+      e.injectOptimizerRule(_ => RewriteBoundedLevenshtein)
     }
   }
 }

@@ -412,6 +412,10 @@ object NearDup {
     // edits duplicates this targets; documented recall tradeoff).
     "q_dedup_edit" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // installs RewriteBoundedLevenshtein: the edit <= 16 verify takes
+      // the banded threshold form (result-identical; see the rule's
+      // scaladoc + VectorExpressionsSpec equivalence pins)
+      graft.functions.VectorFunctions.register(s)
       val W = 8
       val ranked = corpus(s, d)
         .withColumn("pfx", expr("substring(text, 1, 64)"))
@@ -515,6 +519,9 @@ object NearDup {
     // q_dedup_recall's exact-truth arm.
     "q_edit_recall" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // both hit predicates take the banded threshold form (the
+      // full-text one especially: 16·len vs len² per pair)
+      graft.functions.VectorFunctions.register(s)
       val W = 8
       val ranked = corpus(s, d)
         .withColumn("pfx", expr("substring(text, 1, 64)"))

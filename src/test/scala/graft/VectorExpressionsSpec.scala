@@ -259,4 +259,50 @@ class VectorExpressionsSpec extends SparkSpec {
       prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
     }
   }
+
+  test("RewriteBoundedLevenshtein: bounded compares take the threshold form, results unchanged") {
+    VectorFunctions.register(spark)
+    // parquet-backed, NOT a local Seq: ConvertToLocalRelation evaluates
+    // filters over LocalRelations during the main optimizer batches,
+    // before user-provided rules ever see the plan
+    val dir = java.nio.file.Files.createTempDirectory("lev_rw").toString
+    Seq(
+      ("kitten", "sitting"),   // distance 3
+      ("flaw", "lawn"),        // distance 2
+      ("abc", "abc"),          // distance 0
+      ("short", "a much longer string entirely"), // length diff ≫ bound
+      (null.asInstanceOf[String], "x")            // null input → dropped
+    ).toDF("a", "b").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+
+    def thresholded(q: org.apache.spark.sql.DataFrame): Seq[Option[Int]] =
+      q.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case l: org.apache.spark.sql.catalyst.expressions.Levenshtein =>
+              l.threshold.map(_.asInstanceOf[
+                org.apache.spark.sql.catalyst.expressions.Literal].value.asInstanceOf[Int])
+          }
+      }.flatten
+
+    // <= k rewrites to threshold k; results match a driver recompute
+    val le = df.filter(expr("levenshtein(a, b) <= 2"))
+    assert(thresholded(le) == Seq(Some(2)), "<= bound did not take the threshold form")
+    assert(le.select("a").as[String].collect().toSet == Set("flaw", "abc"))
+
+    // < k rewrites to threshold k−1
+    val lt = df.filter(expr("levenshtein(a, b) < 3"))
+    assert(thresholded(lt) == Seq(Some(2)), "< bound did not take the k-1 threshold form")
+    assert(lt.select("a").as[String].collect().toSet == Set("flaw", "abc"))
+
+    // flipped literal side
+    val fl = df.filter(expr("3 >= levenshtein(a, b)"))
+    assert(thresholded(fl) == Seq(Some(3)), "flipped bound did not rewrite")
+    assert(fl.select("a").as[String].collect().toSet == Set("kitten", "flaw", "abc"))
+
+    // an UNBOUNDED use (projection of the raw distance) must not change
+    val raw = df.filter($"a".isNotNull)
+      .select(expr("levenshtein(a, b)").as("d")).as[Int].collect().sorted.toSeq
+    assert(raw == Seq(0, 2, 3, 25))
+  }
 }
