@@ -321,6 +321,67 @@ object DeflateLen {
     () => new Array[Byte](8192))
 }
 
+/** Longest-common-subsequence length over two token arrays — the
+  * ROUGE-L core (Lin 2004). One rolling-row dynamic program per pair:
+  * O(min memory) in the shorter of the rows, O(n·m) time with plain
+  * int arithmetic and UTF8String equality — the whole cost is the DP
+  * loop itself, so this stays a CodegenFallback like [[DeflateLen]]
+  * (generated code would wrap the same loop).
+  *
+  * Null handling: a null ARRAY yields null (BinaryExpression default);
+  * a null ELEMENT matches nothing (tokens from split are never null —
+  * the case is pinned so drift fails loudly as a 0, not an NPE).
+  */
+case class LcsTokens(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string> arguments, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lcs_tokens"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 || m == 0) return 0
+    val bArr = new Array[UTF8String](m)
+    var j = 0
+    while (j < m) {
+      bArr(j) = if (b.isNullAt(j)) null else b.getUTF8String(j)
+      j += 1
+    }
+    val row = new Array[Int](m + 1)
+    var i = 0
+    while (i < n) {
+      val ai = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      var prevDiag = 0 // old[j] entering column j+1
+      j = 0
+      while (j < m) {
+        val oldRight = row(j + 1) // old[j+1], about to be overwritten
+        row(j + 1) =
+          if (ai != null && bArr(j) != null && ai.equals(bArr(j))) prevDiag + 1
+          else math.max(oldRight, row(j)) // row(j) already holds new[j]
+        prevDiag = oldRight
+        j += 1
+      }
+      i += 1
+    }
+    row(m)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Greedy longest-match wordpiece segmentation (the WordPiece /
   * BERT-tokenizer algorithm, Wu et al. 2016): each whitespace word is
   * consumed left-to-right by the LONGEST vocab piece at the cursor

@@ -414,6 +414,10 @@ object VectorFunctions {
   private val windowHashesBuilder: Seq[Expression] => Expression =
     exprs => WordWindowHashes(exprs(0), exprs(1))
 
+  private val lcsInfo = new ExpressionInfo(classOf[LcsTokens].getName, "lcs_tokens")
+  private val lcsBuilder: Seq[Expression] => Expression =
+    exprs => LcsTokens(exprs(0), exprs(1))
+
   /** Idempotent registration on an existing session — functions plus
     * the [[RewriteDotProducts]] optimizer rule — usable from any query
     * lambda without rebuilding the session.
@@ -451,6 +455,8 @@ object VectorFunctions {
       "triangle_credits", triCreditsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_window_hashes", windowHashesBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lcs_tokens", lcsBuilder, "built-in")
   }
 
   /** Session-extension wiring: sessions built with
@@ -473,6 +479,7 @@ object VectorFunctions {
       e.injectFunction((FunctionIdentifier("gram_pairs"), gramPairsInfo, gramPairsBuilder))
       e.injectFunction((FunctionIdentifier("triangle_credits"), triCreditsInfo, triCreditsBuilder))
       e.injectFunction((FunctionIdentifier("word_window_hashes"), windowHashesInfo, windowHashesBuilder))
+      e.injectFunction((FunctionIdentifier("lcs_tokens"), lcsInfo, lcsBuilder))
       e.injectOptimizerRule(_ => RewriteDotProducts)
       e.injectOptimizerRule(_ => RewriteBoundedLevenshtein)
     }

@@ -809,6 +809,39 @@ object TextAnalysis {
         .select(col("pair_id"), col("n_tokens"),
           col("clip1"), col("p1_micro"), col("clip2"), col("p2_micro"))
         .orderBy(col("pair_id"))
+    }),
+
+    // ROUGE-L (Lin 2004) — the LCS-based RECALL eval pairing q_bleu's
+    // clipped-precision: BLEU's n-grams demand contiguity, the longest
+    // common SUBSEQUENCE credits in-order content however interleaved
+    // (the reason summarization eval settled on ROUGE-L). Same lossy
+    // reconstruction fixture as q_bleu (every 4th token → 'the'), on a
+    // deterministic 20% pair sample at 32-token prefix grain — eval
+    // runs on samples, and the bound keeps the oracle's replayed DP
+    // (O(n·m²) in portable SQL, vs the native expression's O(n·m))
+    // affordable at the cross-SF gate. The LCS itself is the native
+    // [[graft.functions.LcsTokens]] rolling-row DP — one JVM pass per
+    // pair, MAP-ONLY at scan speed, no shuffle anywhere; P/R/F₁ are
+    // truncating micro-unit integers (2PR/(P+R) stays exact rational
+    // arithmetic on identical inputs in both engines).
+    "q_rouge_l" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("pair_id"),
+          expr("slice(split(text, ' '), 1, 32)").as("rtk"))
+        .withColumn("ctk", expr(
+          "transform(sequence(1, size(rtk)), i -> IF(i % 4 = 0, 'the', element_at(rtk, i)))"))
+        .select(col("pair_id"),
+          size(col("rtk")).cast("bigint").as("n_tokens"),
+          expr("CAST(lcs_tokens(ctk, rtk) AS BIGINT)").as("lcs_len"))
+        .withColumn("p_micro", expr("(lcs_len * 1000000) DIV n_tokens"))
+        .withColumn("r_micro", expr("(lcs_len * 1000000) DIV n_tokens"))
+        .withColumn("f_micro", expr(
+          "CASE WHEN p_micro + r_micro > 0 THEN (2 * p_micro * r_micro) DIV (p_micro + r_micro) ELSE 0 END"))
+        .select(col("pair_id"), col("n_tokens"), col("lcs_len"),
+          col("p_micro"), col("r_micro"), col("f_micro"))
+        .orderBy(col("pair_id"))
     })
   )
 
@@ -1328,6 +1361,47 @@ object TextAnalysis {
         |FROM lens l
         |LEFT JOIN p1 USING (pair_id)
         |LEFT JOIN p2 USING (pair_id)
-        |ORDER BY l.pair_id""".stripMargin
+        |ORDER BY l.pair_id""".stripMargin,
+
+    // The LCS DP replayed in portable SQL via the unigram_lm
+    // list-accumulator trick (fold over [i] step lists, accumulator =
+    // the previous DP row), using the prefix-max single-row-update
+    // identity dp[i][j] = max(dp[i-1][j], max_{j'<=j, b[j']=a_i}
+    // dp[i-1][j'-1]+1) — valid because one candidate token adds at
+    // most one match per row; O(n·m²) here vs the native expression's
+    // O(n·m), which is why the query samples pairs and caps at 32
+    // tokens.
+    "q_rouge_l" ->
+      """WITH base AS (
+        |  SELECT doc_id AS pair_id, (string_split(text, ' '))[1:32] AS rtk
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |aug AS (
+        |  SELECT pair_id, rtk,
+        |    list_transform(range(1, len(rtk) + 1),
+        |      i -> IF(i % 4 = 0, 'the', rtk[CAST(i AS INTEGER)])) AS ctk
+        |  FROM base),
+        |dp AS (
+        |  SELECT pair_id, CAST(len(rtk) AS BIGINT) AS n_tokens,
+        |    list_reduce(
+        |      list_prepend(
+        |        list_transform(range(0, len(rtk) + 1), x -> CAST(0 AS BIGINT)),
+        |        list_transform(range(1, len(ctk) + 1), i -> [CAST(i AS BIGINT)])),
+        |      (acc, st) -> list_transform(acc, (ov, k) ->
+        |        CASE WHEN k = 1 THEN CAST(0 AS BIGINT) ELSE
+        |          greatest(ov, coalesce(list_aggregate(list_filter(
+        |            list_transform(range(1, CAST(k AS INTEGER)), jj ->
+        |              CASE WHEN rtk[CAST(jj AS INTEGER)] = ctk[CAST(st[1] AS INTEGER)]
+        |                   THEN acc[CAST(jj AS INTEGER)] + 1 END),
+        |            x -> x IS NOT NULL), 'max'), CAST(0 AS BIGINT)))
+        |        END))[len(rtk) + 1] AS lcs_len
+        |  FROM aug)
+        |SELECT pair_id, n_tokens, lcs_len,
+        |  (lcs_len * 1000000) // n_tokens AS p_micro,
+        |  (lcs_len * 1000000) // n_tokens AS r_micro,
+        |  CASE WHEN (lcs_len * 1000000) // n_tokens > 0
+        |       THEN (2 * ((lcs_len * 1000000) // n_tokens) * ((lcs_len * 1000000) // n_tokens))
+        |            // (2 * ((lcs_len * 1000000) // n_tokens))
+        |       ELSE 0 END AS f_micro
+        |FROM dp ORDER BY pair_id""".stripMargin
   )
 }

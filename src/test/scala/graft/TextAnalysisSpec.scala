@@ -427,4 +427,41 @@ class TextAnalysisSpec extends SparkSpec {
     // and masking must actually cost precision somewhere on this corpus
     assert(out.exists(_._4 < 1000000L), "no doc lost precision — corruption vacuous")
   }
+
+  test("q_rouge_l: native LCS equals a driver DP; kept-token floor and F identity hold") {
+    val out = TextAnalysis.queries("q_rouge_l")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    def lcs(a: Seq[String], b: Seq[String]): Int = {
+      val row = new Array[Int](b.length + 1)
+      a.foreach { x =>
+        var prev = 0
+        var j = 0
+        while (j < b.length) {
+          val old = row(j + 1)
+          row(j + 1) = if (x == b(j)) prev + 1 else math.max(old, row(j))
+          prev = old
+          j += 1
+        }
+      }
+      row(b.length)
+    }
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).take(32).toSeq))
+    val expected = docs.map { case (id, rtk) =>
+      val ctk = rtk.zipWithIndex.map { case (t, i) => if ((i + 1) % 4 == 0) "the" else t }
+      val l = lcs(ctk, rtk).toLong
+      val n = rtk.length.toLong
+      val p = l * 1000000L / n
+      (id, n, l, p, p, if (p > 0) (2 * p * p) / (2 * p) else 0L)
+    }.sortBy(_._1)
+    assert(out.toSeq == expected.toSeq, "ROUGE-L diverges from the driver DP")
+    out.foreach { case (id, n, l, p, r, f) =>
+      // the kept (un-masked) positions always form a common subsequence
+      assert(l >= n - n / 4, s"doc $id LCS below the kept-token floor")
+      assert(l <= n && p == r && f == p, s"doc $id P/R/F identity broken")
+    }
+  }
 }
