@@ -554,6 +554,35 @@ object Curation {
         .select(col("lang"), col("n_docs"), col("n_sources"),
           col("simpson_micro"), col("diversity_micro"))
         .orderBy(col("lang"))
+    }),
+
+    // NEGATIVE-SAMPLING noise distribution (Mikolov et al. 2013,
+    // word2vec NEG / NCE): the unigram distribution raised to 3/4 —
+    // the empirical sweet spot between uniform (drowns rare words) and
+    // raw unigram (drowns everything under stop words) that every
+    // contrastive text objective since has inherited. w = ⌊n^0.75·10³⌋
+    // computed as sqrt(n·√n): each step is a correctly-rounded IEEE
+    // op on identical inputs, so both engines produce the SAME double
+    // before the floor (the q_temp_sample √-discipline, composed);
+    // sampling probabilities are exact micro-unit integers over the
+    // integer Σw. Top-30 by count (ties → token) keeps the report
+    // vocabulary-page-sized.
+    //
+    // Scale posture: one token-grain aggregate (map-side partials
+    // carry (token, count)) + a 1-row broadcast total; the power and
+    // the division are map-only arithmetic on the aggregate.
+    "q_negative_sampling" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .withColumn("w", expr(
+          "CAST(floor(sqrt(CAST(n AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) * 1000) AS BIGINT)"))
+      val tot = tf.agg(sum(col("w")).as("tw"))
+      tf.crossJoin(broadcast(tot))
+        .withColumn("p_micro", expr("(w * 1000000) DIV tw"))
+        .select(col("tok"), col("n"), col("w"), col("p_micro"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(30)
     })
   )
 
@@ -614,6 +643,16 @@ object Curation {
         |  CASE WHEN n_docs > 1 THEN (same_pairs2 * 1000000) // (n_docs * (n_docs - 1)) END AS simpson_micro,
         |  CASE WHEN n_docs > 1 THEN 1000000 - (same_pairs2 * 1000000) // (n_docs * (n_docs - 1)) END AS diversity_micro
         |FROM r ORDER BY lang""".stripMargin,
+
+    "q_negative_sampling" ->
+      """WITH tf AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE) * sqrt(CAST(count(*) AS DOUBLE))) * 1000) AS BIGINT) AS w
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM tf)
+        |SELECT tok, n, w, (w * 1000000) // tw AS p_micro
+        |FROM tf, tot ORDER BY n DESC, tok LIMIT 30""".stripMargin,
 
     "q_span_mask" ->
       """SELECT doc_id,

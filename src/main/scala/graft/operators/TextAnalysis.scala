@@ -824,6 +824,39 @@ object TextAnalysis {
     // pair, MAP-ONLY at scan speed, no shuffle anywhere; P/R/F₁ are
     // truncating micro-unit integers (2PR/(P+R) stays exact rational
     // arithmetic on identical inputs in both engines).
+    // ZIPF TAIL diagnostic — a log-log frequency-of-frequencies line
+    // fit over the token distribution (the corpus-statistics sanity
+    // check behind vocab sizing and subword budgeting: natural text
+    // slopes near −1; a flat or collapsed line flags synthetic or
+    // boilerplate-dominated corpora). ENGINE-EXACT log₂ via the
+    // q_degree_dist trick (length(bin(v)) − 1 — no libm anywhere):
+    // points are (⌊log₂ freq⌋, ⌊log₂ #tokens-at-that-freq-bucket⌋),
+    // the OLS is the q_linear_fit exact-moment form, and the final
+    // milli-unit slope/intercept use the ENGINE-PORTABLE FLOOR
+    // DIVISION recipe (numerators go negative — bare DIV truncates in
+    // Spark where // floors in DuckDB; q_pca_power's guard).
+    //
+    // Scale posture: token aggregate → bucket aggregate → one 5-moment
+    // reduction; each step shrinks by orders of magnitude, nothing
+    // collects.
+    "q_zipf" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val pts = tf.select(expr("CAST(length(bin(n)) - 1 AS BIGINT)").as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+        .select(col("x"), expr("CAST(length(bin(cnt)) - 1 AS BIGINT)").as("y"))
+      def floorDiv(a: String, b: String) = s"(($a) - ((($a) % ($b) + ($b)) % ($b))) DIV ($b)"
+      pts.agg(count(lit(1)).as("np"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .withColumn("slope_milli", expr(floorDiv(
+          "(np * sxy - sx * sy) * 1000", "nullif(np * sxx - sx * sx, 0)")))
+        .withColumn("intercept_milli", expr(floorDiv(
+          "(sy * sxx - sx * sxy) * 1000", "nullif(np * sxx - sx * sx, 0)")))
+        .select(col("np"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+          col("slope_milli"), col("intercept_milli"))
+    }),
+
     "q_rouge_l" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
       Tables.documents(s, d)
@@ -1371,6 +1404,26 @@ object TextAnalysis {
     // most one match per row; O(n·m²) here vs the native expression's
     // O(n·m), which is why the query samples pairs and caps at 32
     // tokens.
+    "q_zipf" ->
+      """WITH tf AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |pts AS (
+        |  SELECT x, CAST(length(bin(cnt)) - 1 AS BIGINT) AS y FROM (
+        |    SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS x,
+        |      CAST(count(*) AS BIGINT) AS cnt
+        |    FROM tf GROUP BY 1) t),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS np,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM pts)
+        |SELECT np, sx, sy, sxy, sxx,
+        |  ((np * sxy - sx * sy) * 1000) // NULLIF(np * sxx - sx * sx, 0) AS slope_milli,
+        |  ((sy * sxx - sx * sxy) * 1000) // NULLIF(np * sxx - sx * sx, 0) AS intercept_milli
+        |FROM m""".stripMargin,
+
     "q_rouge_l" ->
       """WITH base AS (
         |  SELECT doc_id AS pair_id, (string_split(text, ' '))[1:32] AS rtk

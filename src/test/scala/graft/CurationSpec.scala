@@ -482,4 +482,26 @@ class CurationSpec extends SparkSpec {
       if (srcs == 1) assert(lam == 1000000L, s"$lang single-source lambda != 1")
     }
   }
+
+  test("q_negative_sampling: weights recompute exactly and flatten the unigram head") {
+    val out = Curation.queries("q_negative_sampling")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.length <= 30)
+    val counts = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t")).collect().map(_.getString(0))
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    def w(n: Long): Long =
+      math.floor(math.sqrt(n.toDouble * math.sqrt(n.toDouble)) * 1000).toLong
+    val tw = counts.values.map(w).sum
+    val expected = counts.toSeq.map { case (t, n) => (t, n, w(n), w(n) * 1000000L / tw) }
+      .sortBy { case (t, n, _, _) => (-n, t) }.take(30)
+    assert(out.toSeq == expected, "noise distribution diverges from the driver recompute")
+    // the 3/4 power must sit strictly between uniform and raw unigram:
+    // weights grow with count but SLOWER (w/n shrinks as n grows)
+    val byN = out.sortBy(_._2)
+    byN.zip(byN.drop(1)).filter { case (a, b) => a._2 < b._2 }.foreach { case (a, b) =>
+      assert(b._3 >= a._3, "weight not monotone in count")
+      assert(b._3 * a._2 <= a._3 * b._2, "weight failed to damp the head (w/n must shrink)")
+    }
+  }
 }

@@ -428,6 +428,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.exists(_._4 < 1000000L), "no doc lost precision — corruption vacuous")
   }
 
+  test("q_zipf: moments and fitted line recompute exactly from integer log2 buckets") {
+    val rows = TextAnalysis.queries("q_zipf")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    val out = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6))
+    val counts = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t")).collect().map(_.getString(0))
+      .groupBy(identity).map { case (_, xs) => xs.length.toLong }
+    def ilog2(v: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    val pts = counts.groupBy(ilog2).map { case (x, vs) => (x, ilog2(vs.size.toLong)) }.toSeq
+    val np = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+    val den = np * sxx - sx * sx
+    assert(np >= 2 && den != 0, s"degenerate bucket table: np=$np den=$den")
+    val slope = Math.floorDiv((np * sxy - sx * sy) * 1000, den)
+    val icept = Math.floorDiv((sy * sxx - sx * sxy) * 1000, den)
+    assert(out == ((np, sx, sy, sxy, sxx, slope, icept)),
+      s"zipf fit diverges: got $out want ${(np, sx, sy, sxy, sxx, slope, icept)}")
+  }
+
   test("q_rouge_l: native LCS equals a driver DP; kept-token floor and F identity hold") {
     val out = TextAnalysis.queries("q_rouge_l")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
