@@ -118,6 +118,37 @@ object Reshape {
         .orderBy(col("doc_id"))
     }),
 
+    // TIME-WEIGHTED average (TWAP — the finance/sensor staple a plain
+    // AVG gets wrong whenever sampling is irregular: a value that HELD
+    // for an hour must weigh 3600× one that held a second). Per user:
+    // each event's value weighs its holding duration (until the next
+    // event; the last holds nothing — the standard right-open
+    // convention), twap = Σ v·dur / span. EXACT integers: milli values
+    // × whole-second durations (bounded ≪ 2⁶³ at the fixture's value
+    // and span ranges — and DuckDB errors loudly on BIGINT overflow,
+    // so drift cannot silently wrap), truncating DIV on non-negatives.
+    // Single-event users report NULL (no span) in BOTH engines.
+    //
+    // Scale posture: ONE user_id shuffle serves the lead() window and
+    // the aggregate that follows — the q_islands shape; epoch math is
+    // integer µs → s (unix_micros / epoch_us parity).
+    "q_twap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"),
+          expr("unix_micros(ts) DIV 1000000").as("sec"))
+        .withColumn("nxt", lead(col("sec"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("sec")) - min(col("sec"))).as("span_s"),
+          sum(expr("vm * coalesce(nxt - sec, 0L)")).as("wsum"))
+        .withColumn("twap_milli", expr("wsum DIV nullif(span_s, 0)"))
+        .select(col("user_id"), col("n_events"), col("span_s"), col("twap_milli"))
+        .orderBy(col("user_id"))
+    }),
+
     // K-ANONYMITY audit (Sweeney 2002) — the privacy companion to
     // q_pii_scrub: scrubbing removes DIRECT identifiers, but a record
     // is still re-identifiable when its QUASI-identifier combination
@@ -417,6 +448,24 @@ object Reshape {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '555-[0-9]+', '<PHONE>', 'g') AS scrubbed
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |    epoch_us(ts) // 1000000 AS sec
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, vm, sec,
+        |    lead(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(max(sec) - min(sec) AS BIGINT) AS span_s,
+        |    CAST(SUM(vm * COALESCE(nxt - sec, 0)) AS BIGINT) AS wsum
+        |  FROM l GROUP BY user_id)
+        |SELECT user_id, n_events, span_s, wsum // NULLIF(span_s, 0) AS twap_milli
+        |FROM g ORDER BY user_id""".stripMargin,
 
     "q_k_anon" ->
       """SELECT lang, n_chars // 256 AS len_band, CAST(count(*) AS BIGINT) AS n,

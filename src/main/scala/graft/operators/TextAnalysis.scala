@@ -824,6 +824,37 @@ object TextAnalysis {
     // pair, MAP-ONLY at scan speed, no shuffle anywhere; P/R/F₁ are
     // truncating micro-unit integers (2PR/(P+R) stays exact rational
     // arithmetic on identical inputs in both engines).
+    // GAZETTEER entity extraction — dictionary-based tagging (the
+    // declarative tier of NER: a curated entity list matched at token
+    // grain, the step every KB-linking / PII-localization pipeline
+    // runs before any model): the dictionary is the NATION table's
+    // names (a cross-dataset join — the gazetteer lives in the
+    // warehouse, not in the query), mentions are deterministically
+    // woven into the fixture text first (the q_pii_scrub recipe —
+    // synthetic docs contain no real entities), then extraction finds
+    // them FROM TEXT via a broadcast semi-match at token grain. Per
+    // doc: sorted distinct entity list + mention count.
+    //
+    // Scale posture: the gazetteer broadcasts (dimension-scale); the
+    // token explode feeds a co-partitioned (doc_id) aggregate — text
+    // never shuffles, tokens do (the tfidf tier); at 100 TB a
+    // multi-token gazetteer swaps the equality for the n-gram join,
+    // same shape.
+    "q_gazetteer" -> ((s, d) => {
+      val gaz = Tables.nation(s, d)
+        .select(lower(col("n_name")).as("entity"), col("n_nationkey"))
+      val docs = Tables.documents(s, d)
+        .withColumn("txt", expr(
+          "concat(text, ' visited nation_', CAST(doc_id % 25 AS STRING), " +
+            "' and nation_', CAST((doc_id + 7) % 25 AS STRING))"))
+      docs.select(col("doc_id"), explode(split(col("txt"), " ")).as("tok"))
+        .join(broadcast(gaz), col("tok") === col("entity"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_mentions"),
+          array_join(array_sort(collect_set(col("entity"))), ",").as("entities"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ZIPF TAIL diagnostic — a log-log frequency-of-frequencies line
     // fit over the token distribution (the corpus-statistics sanity
     // check behind vocab sizing and subword budgeting: natural text
@@ -1404,6 +1435,19 @@ object TextAnalysis {
     // most one match per row; O(n·m²) here vs the native expression's
     // O(n·m), which is why the query samples pairs and caps at 32
     // tokens.
+    "q_gazetteer" ->
+      """WITH gaz AS (SELECT lower(n_name) AS entity FROM nation),
+        |docs AS (
+        |  SELECT doc_id,
+        |    text || ' visited nation_' || CAST(doc_id % 25 AS VARCHAR)
+        |         || ' and nation_' || CAST((doc_id + 7) % 25 AS VARCHAR) AS txt
+        |  FROM documents),
+        |tk AS (SELECT doc_id, unnest(string_split(txt, ' ')) AS tok FROM docs)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_mentions,
+        |  array_to_string(list_sort(list_distinct(list(entity))), ',') AS entities
+        |FROM tk JOIN gaz ON tok = entity
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_zipf" ->
       """WITH tf AS (
         |  SELECT tok, CAST(count(*) AS BIGINT) AS n

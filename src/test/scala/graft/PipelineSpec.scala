@@ -389,6 +389,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q_twap: duration weighting recomputes exactly; held values dominate blips") {
+    val out = graft.operators.Reshape.queries("q_twap")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.nonEmpty)
+    // replay orders by FULL-precision ts (the window's key), then
+    // truncates to seconds — sorting by the truncated sec would
+    // reorder same-second events
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).map { case (u, xs) =>
+      val s = xs.sortBy(x => (x._3, x._2)).map(x => (x._3 / 1000000L, x._4))
+      val span = s.map(_._1).max - s.map(_._1).min
+      val wsum = s.zip(s.drop(1)).map { case (a, b) => a._2 * (b._1 - a._1) }.sum
+      (u, s.length.toLong, span, if (span == 0) -1L else wsum / span)
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq == expected, "TWAP diverges from the driver recompute")
+    // TWAP must sit inside the value range it averages
+    val range = ev.groupBy(_._1).map { case (u, xs) => u -> (xs.map(_._4).min, xs.map(_._4).max) }
+    out.filter(_._4 >= 0).foreach { case (u, _, _, t) =>
+      val (lo, hi) = range(u)
+      assert(t >= lo - 1 && t <= hi, s"user $u TWAP $t outside [$lo,$hi]")
+    }
+  }
+
   test("q_k_anon: classes partition the corpus; flags and suppression are consistent") {
     val out = graft.operators.Reshape.queries("q_k_anon")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))

@@ -428,6 +428,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.exists(_._4 < 1000000L), "no doc lost precision — corruption vacuous")
   }
 
+  test("q_gazetteer: every doc carries its woven mentions; counts recompute exactly") {
+    val out = TextAnalysis.queries("q_gazetteer")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.length == docs.length, "a doc lost its woven mentions")
+    val gaz = (0 until 25).map(i => s"nation_$i").toSet
+    val byId = out.map(o => o._1 -> o).toMap
+    docs.foreach { case (id, text) =>
+      val toks = (text + s" visited nation_${id % 25} and nation_${(id + 7) % 25}")
+        .split(" ", -1).toSeq
+      val mentions = toks.filter(gaz)
+      val ents = mentions.distinct.sorted.mkString(",")
+      assert(byId(id) == ((id, mentions.length.toLong, ents)),
+        s"doc $id extraction diverges")
+      assert(mentions.length >= 2, s"doc $id below the woven floor")
+    }
+  }
+
   test("q_zipf: moments and fitted line recompute exactly from integer log2 buckets") {
     val rows = TextAnalysis.queries("q_zipf")(spark, sf).collect()
     assert(rows.length == 1)
