@@ -770,6 +770,84 @@ object Pipeline {
         .select(col("bucket_len"), col("n_docs"), col("sum_tokens"),
           col("pad_tokens"), col("naive_pad_tokens"), col("waste_micro"))
         .orderBy(col("bucket_len"))
+    }),
+
+    // LOCAL differential privacy via k-ary randomized response (Warner
+    // 1965; Kairouz et al. 2016) — the privacy tier a pipeline applies
+    // when per-record attributes (here: language) must be aggregated
+    // without trusting the aggregator. Each doc reports its TRUE lang
+    // with p = 3/5, else one of the other 4 uniformly (ε = ln(p·4/(1−p))
+    // = ln 6 per record); the debiasing identity E[n_rep] = n_k/2 + n/10
+    // inverts to n̂_k = 2·n_rep − n/5 — in milli-units EXACT integers
+    // (est_milli = 2000·n_rep − 200·n), so both engines replay the
+    // estimator bit-for-bit. The "coin" is the universal hash (A2/B2 —
+    // decoupled from the A1/B1 sampling streams): deterministic per
+    // doc, so a re-run or audit reproduces every report, which is how
+    // production DP pipelines make their noise replayable (fixed seed
+    // per record id). ENTIRELY map + one 5-group aggregate — scan
+    // speed at 100 TB; err_milli is reported because the fixture KNOWS
+    // ground truth — production publishes est only.
+    "q_dp_response" -> ((s, d) => {
+      val cls = "array('de','en','es','fr','zh')"
+      val idx = "CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2 " +
+        "WHEN 'fr' THEN 3 ELSE 4 END"
+      val hh = h("doc_id", A2, B2)
+      val rep = Tables.documents(s, d).selectExpr("doc_id", "lang",
+          s"CASE WHEN ($hh) % 5 < 3 THEN lang " +
+            s"ELSE element_at($cls, CAST(($idx + 1 + (($hh) DIV 5) % 4) % 5 AS INT) + 1) " +
+            "END AS rep_lang")
+      val truec = rep.groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+      val repc = rep.groupBy(col("rep_lang").as("lang")).agg(count(lit(1)).as("n_rep"))
+      val tot = rep.agg(count(lit(1)).as("n"))
+      truec.join(repc, Seq("lang"), "full_outer")
+        .crossJoin(broadcast(tot))
+        .selectExpr("lang",
+          "coalesce(n_true, 0) AS n_true", "coalesce(n_rep, 0) AS n_rep",
+          "2000 * coalesce(n_rep, 0) - 200 * n AS est_milli")
+        .selectExpr("lang", "n_true", "n_rep", "est_milli",
+          "est_milli - 1000 * n_true AS err_milli")
+        .orderBy(col("lang"))
+    }),
+
+    // COMPETENCE-BASED curriculum schedule (Platanios et al. 2019,
+    // "Competence-based Curriculum Learning for NMT"): training
+    // proceeds in phases whose competence c(t) = t/4 admits the
+    // easiest c(t)-fraction of the corpus, difficulty = token count
+    // (longer = harder, the standard text proxy). The schedule table a
+    // data loader consumes: per phase, its eligible pool (docs +
+    // tokens), the NEWLY admitted slice, and the difficulty frontier.
+    // Admission is the EXACT integer predicate 4·rank ≤ t·n (rank/n ≤
+    // t/4 cross-multiplied) — no division anywhere, so engines agree
+    // bit-for-bit. One total-order window with the unique (n_tokens,
+    // doc_id) tiebreak (the q_window_dist recipe) then a 4-phase
+    // explode + matrix-sized aggregate; at 100 TB the global sort is
+    // replaced by an approx-quantile difficulty threshold per phase
+    // (the q_mixture_approx pattern) — this exact form is the
+    // oracle-parity baseline.
+    "q_curriculum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ranked = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("nt"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("nt"), col("doc_id"))).cast("bigint"))
+      val n = ranked.agg(count(lit(1)).as("n"))
+      val phases = ranked.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("nt"), col("rk"), col("n"),
+          explode(expr("sequence(1, 4)")).as("t"))
+        .filter(expr("4 * rk <= t * n"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_eligible"), sum(col("nt")).as("tokens_eligible"),
+          max(col("nt")).as("frontier_tokens"))
+      val w = Window.orderBy(col("t"))
+      phases
+        .withColumn("competence_micro", expr("CAST(t AS BIGINT) * 250000"))
+        .withColumn("n_new",
+          col("n_eligible") - coalesce(lag(col("n_eligible"), 1).over(w), lit(0L)))
+        .withColumn("tokens_new",
+          col("tokens_eligible") - coalesce(lag(col("tokens_eligible"), 1).over(w), lit(0L)))
+        .select(col("t"), col("competence_micro"), col("n_eligible"),
+          col("tokens_eligible"), col("frontier_tokens"), col("n_new"), col("tokens_new"))
+        .orderBy(col("t"))
     })
   )
 
@@ -1033,6 +1111,51 @@ object Pipeline {
         |  n_docs * max_len - sum_tokens AS naive_pad_tokens,
         |  ((n_docs * bucket_len - sum_tokens) * 1000000) // (n_docs * bucket_len) AS waste_micro
         |FROM b, g ORDER BY bucket_len""".stripMargin,
+
+    "q_dp_response" -> {
+      val hh = h("doc_id", A2, B2)
+      val idx = "CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2 " +
+        "WHEN 'fr' THEN 3 ELSE 4 END"
+      s"""WITH rep AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN ($hh) % 5 < 3 THEN lang
+         |         ELSE (['de','en','es','fr','zh'])[
+         |           CAST(($idx + 1 + (($hh) // 5) % 4) % 5 AS INT) + 1]
+         |    END AS rep_lang
+         |  FROM documents),
+         |truec AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_true FROM rep GROUP BY lang),
+         |repc AS (SELECT rep_lang AS lang, CAST(count(*) AS BIGINT) AS n_rep
+         |         FROM rep GROUP BY rep_lang),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rep),
+         |j AS (
+         |  SELECT coalesce(truec.lang, repc.lang) AS lang,
+         |    coalesce(n_true, 0) AS n_true, coalesce(n_rep, 0) AS n_rep
+         |  FROM truec FULL OUTER JOIN repc ON truec.lang = repc.lang)
+         |SELECT lang, n_true, n_rep,
+         |  2000 * n_rep - 200 * n AS est_milli,
+         |  2000 * n_rep - 200 * n - 1000 * n_true AS err_milli
+         |FROM j, tot ORDER BY lang""".stripMargin
+    },
+
+    "q_curriculum" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(row_number() OVER (ORDER BY len(string_split(text, ' ')), doc_id)
+        |         AS BIGINT) AS rk
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked),
+        |ph AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS n_eligible,
+        |    CAST(sum(nt) AS BIGINT) AS tokens_eligible,
+        |    CAST(max(nt) AS BIGINT) AS frontier_tokens
+        |  FROM ranked, n, (SELECT unnest(range(1, 5)) AS t)
+        |  WHERE 4 * rk <= t * n
+        |  GROUP BY t)
+        |SELECT t, CAST(t AS BIGINT) * 250000 AS competence_micro,
+        |  n_eligible, tokens_eligible, frontier_tokens,
+        |  n_eligible - coalesce(lag(n_eligible, 1) OVER (ORDER BY t), 0) AS n_new,
+        |  tokens_eligible - coalesce(lag(tokens_eligible, 1) OVER (ORDER BY t), 0) AS tokens_new
+        |FROM ph ORDER BY t""".stripMargin,
 
     // The capstone: every stage of q_corpus_e2e replayed in one CTE
     // chain — same corpus, same hashes, same order of operations.

@@ -264,6 +264,41 @@ object TextAnalysis {
         .orderBy(col("lang"), col("pred_lang"))
     }),
 
+    // Cohen's kappa between the corpus ground-truth labels and the
+    // q_lang_id classifier — the chance-corrected AGREEMENT statistic
+    // an annotation/labeling pipeline reports before trusting a weak
+    // labeler (Cohen 1960; the label-quality twin of
+    // q_langid_confusion's per-cell view). κ = (p_o − p_e)/(1 − p_e)
+    // with p_e from the marginal products. ONE corpus pass: a single
+    // global aggregate computes n, the agreement count, and both
+    // marginals for the closed 5-class label set as conditional sums —
+    // no confusion-matrix materialization, no second scan; at 100 TB
+    // this is scan + one 1-row reduce. Fixed point: marginal shares
+    // quantize to micro first (so nothing ever squares n — no overflow
+    // at any corpus size), then p_e sums their products; κ uses the
+    // sign-split truncating division (Spark DIV truncates toward zero,
+    // DuckDB // floors — they agree only on non-negatives, so the
+    // negative-κ branch negates after a non-negative division).
+    "q_cohen_kappa" -> ((s, d) => {
+      val langs = Seq("en", "de", "fr", "es", "und")
+      val m = langPred(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("lang") === col("pred_lang"), 1L).otherwise(0L)).as("n_agree") +:
+          langs.flatMap(k => Seq(
+            sum(when(col("lang") === k, 1L).otherwise(0L)).as(s"r_$k"),
+            sum(when(col("pred_lang") === k, 1L).otherwise(0L)).as(s"c_$k"))): _*)
+      val peSum = langs
+        .map(k => s"((r_$k * 1000000) DIV n) * ((c_$k * 1000000) DIV n)")
+        .mkString("(", " + ", ") DIV 1000000")
+      m.selectExpr("n", "n_agree",
+          "(n_agree * 1000000) DIV n AS po_micro", s"$peSum AS pe_micro")
+        .selectExpr("n", "n_agree", "po_micro", "pe_micro",
+          """CASE WHEN po_micro >= pe_micro
+            |  THEN ((po_micro - pe_micro) * 1000000) DIV (1000000 - pe_micro)
+            |  ELSE -(((pe_micro - po_micro) * 1000000) DIV (1000000 - pe_micro))
+            |END AS kappa_micro""".stripMargin)
+    }),
+
     // Document fingerprinting: content hash + prefix shingle hash —
     // the join key for exact dedup at scale.
     "q_fingerprint" -> ((s, d) =>
@@ -622,6 +657,54 @@ object TextAnalysis {
         .withColumn("bigram_lp",
           round(col("sum_micro").cast("double") / (col("n_bg") * 10000d), 4))
         .select(col("doc_id"), col("bigram_lp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Interpolated Kneser-Ney bigram probability (Kneser & Ney 1995;
+    // Chen & Goodman 1999 eq. 20) — the smoothing KenLM actually ships
+    // for the CCNet-style perplexity filter, completing the LM-scoring
+    // ladder: unigram MLE (q_lm_score) → Stupid Backoff (q_bigram_lm)
+    // → KN, whose continuation probability P_cont(b) = N1+(·b)/N1+(··)
+    // ranks words by how many DISTINCT contexts they follow (the
+    // "Francisco" correction: frequent-but-predictable words get low
+    // continuation mass). D = 3/4, so with integer counts
+    //   P_KN(b|a) = [max(4·c_ab − 3, 0)·N1t + 3·N1a·N1b] / (4·c_a·N1t)
+    // is a ratio of exact BIGINTs — quantized by one truncating
+    // division on non-negatives, both engines bit-identical; no libm.
+    // (Fixture-scale products stay ≪ 2⁶³; at 100 TB the model table is
+    // trained per-shard and the division runs in 128-bit or scaled-down
+    // units — the fixed-point form here is the oracle-parity baseline.)
+    // Every doc bigram is in-model by construction (trained on the
+    // same corpus), so the discount+continuation interpolation carries
+    // all smoothing mass. Shuffle grain: (doc, distinct bigram) + the
+    // (a,b)/(a)/(b)-keyed model tables — text never shuffles; the
+    // 1-row type total broadcasts; model joins are hint-free (AQE
+    // broadcasts at fixture scale, shuffles past threshold).
+    "q_kneser_ney" -> ((s, d) => {
+      val docs = Tables.documents(s, d).selectExpr("doc_id", s"$toks AS tk")
+      val pairs = docs
+        .selectExpr("doc_id", "tk", "posexplode(slice(tk, 1, size(tk) - 1)) AS (i, a)")
+        .selectExpr("doc_id", "a", "tk[i + 1] AS b")
+      val tf = pairs.groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("tf"))
+      val bgc = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      val left = bgc.groupBy(col("a"))
+        .agg(count(lit(1)).as("n1a"), sum(col("c_ab")).as("c_a"))
+      val right = bgc.groupBy(col("b")).agg(count(lit(1)).as("n1b"))
+      val types = bgc.agg(count(lit(1)).as("n1t"))
+      val parts = tf
+        .join(bgc, Seq("a", "b"))
+        .join(left, Seq("a"))
+        .join(right, Seq("b"))
+        .crossJoin(broadcast(types))
+        .withColumn("p_micro", expr(
+          "((greatest(4 * c_ab - 3, 0) * n1t + 3 * n1a * n1b) * 1000000)" +
+            " DIV (4 * c_a * n1t)"))
+      val perDoc = parts.groupBy(col("doc_id"))
+        .agg(sum(col("p_micro") * col("tf")).as("sum_micro"))
+      docs.selectExpr("doc_id", "cast(greatest(size(tk) - 1, 0) as bigint) AS n_bg")
+        .join(perDoc, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "n_bg",
+          "CASE WHEN n_bg = 0 THEN 0 ELSE coalesce(sum_micro, 0) DIV n_bg END AS kn_micro")
         .orderBy(col("doc_id"))
     }),
 
@@ -1156,6 +1239,37 @@ object TextAnalysis {
          |  (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS share_micro
          |FROM m ORDER BY lang, pred_lang""".stripMargin,
 
+    "q_cohen_kappa" ->
+      s"""WITH pred AS ($langPredSql),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS r_en,
+         |    CAST(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+         |    CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS r_de,
+         |    CAST(sum(CASE WHEN pred_lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS c_de,
+         |    CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS r_fr,
+         |    CAST(sum(CASE WHEN pred_lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS c_fr,
+         |    CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS r_es,
+         |    CAST(sum(CASE WHEN pred_lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS c_es,
+         |    CAST(sum(CASE WHEN lang = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS r_und,
+         |    CAST(sum(CASE WHEN pred_lang = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS c_und
+         |  FROM pred),
+         |q AS (
+         |  SELECT n, n_agree, (n_agree * 1000000) // n AS po_micro,
+         |    (((r_en * 1000000) // n) * ((c_en * 1000000) // n)
+         |     + ((r_de * 1000000) // n) * ((c_de * 1000000) // n)
+         |     + ((r_fr * 1000000) // n) * ((c_fr * 1000000) // n)
+         |     + ((r_es * 1000000) // n) * ((c_es * 1000000) // n)
+         |     + ((r_und * 1000000) // n) * ((c_und * 1000000) // n)) // 1000000 AS pe_micro
+         |  FROM m)
+         |SELECT n, n_agree, po_micro, pe_micro,
+         |  CASE WHEN po_micro >= pe_micro
+         |    THEN ((po_micro - pe_micro) * 1000000) // (1000000 - pe_micro)
+         |    ELSE -(((pe_micro - po_micro) * 1000000) // (1000000 - pe_micro))
+         |  END AS kappa_micro
+         |FROM q""".stripMargin,
+
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, md5(substr(text, 1, 64)) AS prefix_fp,
         | CAST(length(text) AS BIGINT) AS n_bytes
@@ -1360,6 +1474,36 @@ object TextAnalysis {
         |  round(CAST(sum(lp_micro) AS BIGINT) / (any_value(n_bg) * 10000.0), 4) AS bigram_lp
         |FROM parts p JOIN nb USING (doc_id)
         |GROUP BY p.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_kneser_ney" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tk[i] AS a, tk[i + 1] AS b
+        |  FROM tok, (SELECT unnest(range(1, 128)) AS i)
+        |  WHERE i < len(tk)),
+        |tf AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS tf
+        |       FROM bg GROUP BY doc_id, a, b),
+        |bgc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b),
+        |lft AS (SELECT a, CAST(count(*) AS BIGINT) AS n1a,
+        |               CAST(sum(c_ab) AS BIGINT) AS c_a
+        |        FROM bgc GROUP BY a),
+        |rgt AS (SELECT b, CAST(count(*) AS BIGINT) AS n1b FROM bgc GROUP BY b),
+        |typ AS (SELECT CAST(count(*) AS BIGINT) AS n1t FROM bgc),
+        |parts AS (
+        |  SELECT tf.doc_id,
+        |    ((greatest(4 * c_ab - 3, 0) * n1t + 3 * n1a * n1b) * 1000000)
+        |      // (4 * c_a * n1t) AS p_micro,
+        |    tf.tf
+        |  FROM tf JOIN bgc USING (a, b) JOIN lft USING (a) JOIN rgt USING (b), typ),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(sum(p_micro * tf) AS BIGINT) AS sum_micro
+        |  FROM parts GROUP BY doc_id),
+        |nb AS (SELECT doc_id, CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS n_bg FROM tok)
+        |SELECT nb.doc_id, n_bg,
+        |  CASE WHEN n_bg = 0 THEN 0
+        |       ELSE CAST(coalesce(sum_micro, 0) AS BIGINT) // n_bg END AS kn_micro
+        |FROM nb LEFT JOIN perdoc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->

@@ -491,4 +491,51 @@ class PipelineSpec extends SparkSpec {
     val totPad = out.map(_._4).sum; val totNaive = out.map(_._5).sum
     assert(totPad <= totNaive, s"bucketing paid $totPad vs naive $totNaive")
   }
+
+  test("q_dp_response: debiasing identity, determinism, and bounded fixture error") {
+    import spark.implicits._
+    val out = Pipeline.queries("q_dp_response")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val n = out.map(_._2).sum
+    // Σ_k n̂_k = n exactly: the k-RR estimator is self-normalizing
+    // (2·Σn_rep − 5·(n/5) = n), so the published totals reconcile
+    assert(out.map(_._4).sum == 1000L * n, "estimates do not sum to n")
+    // reports re-derive bit-identically (hash noise, not RNG)
+    val again = Pipeline.queries("q_dp_response")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == again.toSeq, "DP reports are not replayable")
+    // err_milli column is est − 1000·truth by construction
+    out.foreach { case (_, nt, _, est, err) => assert(err == est - 1000L * nt) }
+    // sampling error at fixture scale: |n̂ − n| per class is bounded by
+    // a generous 6σ of the binomial flip noise (σ² ≤ n·(1−p)p·4 in
+    // debiased units → σ ≤ 2·sqrt(n)); catches a broken estimator
+    // (which is off by Θ(n)) without flaking on the fixed hash draw
+    out.foreach { case (lang, nt, _, est, _) =>
+      val bound = 12000L * math.ceil(math.sqrt(n.toDouble)).toLong
+      assert(math.abs(est - 1000L * nt) <= bound, s"$lang est off by more than 6σ")
+    }
+  }
+
+  test("q_curriculum: schedule is a monotone partition reaching full coverage") {
+    import spark.implicits._
+    val out = Pipeline.queries("q_curriculum")(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    val nDocs = Tables.documents(spark, sf).count()
+    val nToks = Tables.documents(spark, sf)
+      .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) n").agg(sum("n"))
+      .collect().head.getLong(0)
+    // eligibility grows monotonically, phase t admits ⌊t·n/4⌋ docs
+    // exactly (the 4·rank ≤ t·n predicate), and phase 4 is the corpus
+    out.foreach { case (t, c, ne, te, frontier, nNew, tNew) =>
+      assert(c == t * 250000L)
+      assert(ne == t.toLong * nDocs / 4, s"phase $t eligible count wrong")
+      assert(te > 0 && frontier > 0 && nNew >= 0 && tNew >= 0)
+    }
+    assert(out.last._3 == nDocs && out.last._4 == nToks, "phase 4 must cover the corpus")
+    // the new-slice columns telescope back to the eligible columns
+    assert(out.map(_._6).sum == nDocs && out.map(_._7).sum == nToks)
+    // difficulty frontier is non-decreasing (easy→hard admission)
+    assert(out.map(_._5).toSeq == out.map(_._5).sorted.toSeq)
+  }
 }

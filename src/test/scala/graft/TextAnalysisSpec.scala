@@ -505,4 +505,64 @@ class TextAnalysisSpec extends SparkSpec {
       assert(l <= n && p == r && f == p, s"doc $id P/R/F identity broken")
     }
   }
+
+  test("q_cohen_kappa: matches a driver-side recompute from the raw (lang, pred) pairs") {
+    val row = TextAnalysis.queries("q_cohen_kappa")(spark, sf).collect().head
+    val pairs = TextAnalysis.queries("q_lang_id")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val n = pairs.length.toLong
+    val agree = pairs.count { case (a, b) => a == b }.toLong
+    val classes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+    val po = agree * 1000000L / n
+    val pe = classes.map { k =>
+      val r = pairs.count(_._1 == k).toLong * 1000000L / n
+      val c = pairs.count(_._2 == k).toLong * 1000000L / n
+      r * c
+    }.sum / 1000000L
+    val kappa =
+      if (po >= pe) (po - pe) * 1000000L / (1000000L - pe)
+      else -((pe - po) * 1000000L / (1000000L - pe))
+    assert(row.getLong(0) == n && row.getLong(1) == agree)
+    assert(row.getLong(2) == po && row.getLong(3) == pe)
+    assert(row.getLong(4) == kappa, "kappa diverges from the driver recompute")
+    // κ ∈ [−1, 1]; the sf0.001 fixture lands slightly BELOW chance
+    // (every zh doc is a guaranteed miss and the tiny corpus skews the
+    // marginals), which is exactly what exercises the negative-κ
+    // sign-split division branch
+    assert(kappa >= -1000000L && kappa <= 1000000L)
+  }
+
+  test("q_kneser_ney: per-context probabilities are a proper discounted distribution") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).selectExpr("doc_id", "split(text, ' ') AS tk")
+    val pairs = docs
+      .selectExpr("tk", "posexplode(slice(tk, 1, size(tk) - 1)) AS (i, a)")
+      .selectExpr("a", "tk[i + 1] AS b")
+      .as[(String, String)].collect()
+    val bgc = pairs.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val n1t = bgc.size.toLong
+    val cA = bgc.groupBy(_._1._1).map { case (a, m) => (a, m.values.sum) }
+    val n1a = bgc.groupBy(_._1._1).map { case (a, m) => (a, m.size.toLong) }
+    val n1b = bgc.groupBy(_._1._2).map { case (b, m) => (b, m.size.toLong) }
+    // Σ_b P_KN(b|a) == 1 EXACTLY in rational arithmetic for every
+    // context: the discount mass removed from seen bigrams re-enters
+    // through the continuation term iff Σ_b n1b·[c_ab > 0] is weighted
+    // right. Verify in exact BigInt rationals on a sample of contexts.
+    cA.take(50).foreach { case (a, ca) =>
+      val numSum = bgc.collect { case ((x, b), cab) if x == a =>
+        BigInt(math.max(4 * cab - 3, 0)) * n1t + BigInt(3) * n1a(a) * n1b(b)
+      }.sum
+      val den = BigInt(4) * ca * n1t
+      // full mass = seen-bigram part + the continuation mass routed to
+      // UNSEEN b (which the per-doc query never scores); the seen part
+      // alone must stay strictly ≤ 1 and > 0
+      assert(numSum > 0 && numSum <= den, s"context '$a' mass ${numSum}/${den} out of (0,1]")
+    }
+    // and the registered per-doc aggregate replays: spot-check one doc
+    val out = TextAnalysis.queries("q_kneser_ney")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty && out.forall { case (_, nBg, kn) =>
+      kn >= 0 && kn <= 1000000L && (nBg > 0 || kn == 0)
+    })
+  }
 }
