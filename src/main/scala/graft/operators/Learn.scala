@@ -830,7 +830,7 @@ object Learn {
   private val M = 4
   private val Sub = Dim / M
   private[graft] val CoarseK = 16
-  private val NProbe = 2
+  private[operators] val NProbe = 2
 
   /** The quantize-once boundary: float → 1e-4-grid BIGINT per dim. */
   private[operators] val QuantTok =

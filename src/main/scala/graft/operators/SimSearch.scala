@@ -208,6 +208,72 @@ object SimSearch {
         .limit(20)
     }),
 
+    // IVF recall@10 SELF-EVALUATION — the q_dedup_recall twin for the
+    // ANN side: for 10 query vectors, rank the nprobe=2 IVF result
+    // against the exact brute-force top-10 and report recall plus the
+    // candidate volume (the work-saved axis: production quotes
+    // "recall R at fraction-scanned F", never recall alone). This is
+    // the measurement a pipeline runs BEFORE trusting an index config
+    // at 100 TB — and it's hash-checkable end to end because the
+    // trained codebook, probe, and cosine all replay CTE-for-CTE
+    // (the q_simsearch_ivf recipe, multi-query form: per-query probe
+    // ranking replaces the driver-side argmin so the oracle needs no
+    // literals).
+    //
+    // Scale posture: the 10-row query table broadcasts everywhere;
+    // IVF candidates come from a cell-keyed join (~nprobe/k of the
+    // corpus); ONLY the ground-truth pass touches every vector
+    // (inherent to measuring true recall — run it on a sampled slice
+    // in production, which is exactly what the 10-query panel is).
+    // Windows run at candidate grain, partitioned by query.
+    "q_ivf_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorFunctions.register(s)
+      val cents = Learn.coarseCentroids(s, d)
+      val emb = Learn.assign(
+        Tables.embeddings(s, d)
+          .withColumn("edbl", col("embedding").cast("array<double>"))
+          .withColumn("qs", expr(Learn.QuantTok)),
+        cents).withColumnRenamed("cluster", "cell")
+        .select(col("vec_id"), col("edbl"), col("qs"), col("cell"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("edbl").as("qe"), col("qs").as("qqs"))
+      // per-query top-2 probe cells: 16 (dist, cid) structs sorted
+      // lexicographically — same integer L2, no driver argmin
+      val dcArr = cents.map { case (cid, cv) =>
+        val arr = cv.mkString("array(", "L,", "L)")
+        s"named_struct('dist', aggregate(zip_with(qqs, $arr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x), 'cid', $cid)"
+      }.mkString("array(", ", ", ")")
+      val probes = queries
+        .withColumn("cell", explode(expr(
+          s"transform(slice(array_sort($dcArr), 1, ${Learn.NProbe}), s -> s.cid)")))
+        .select(col("q_id"), col("qe"), col("cell"))
+      val rk = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val cand = emb.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos_sim", round(expr("cosine_sim(edbl, qe)"), 4))
+        .select(col("q_id"), col("vec_id"), col("cos_sim"))
+      val nCand = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+      val ivfTop = cand.withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 10).select(col("q_id"), col("vec_id"))
+      val bruteTop = emb.crossJoin(
+          broadcast(queries.select(col("q_id"), col("qe"))))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos_sim", round(expr("cosine_sim(edbl, qe)"), 4))
+        .select(col("q_id"), col("vec_id"), col("cos_sim"))
+        .withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 10).select(col("q_id"), col("vec_id"))
+      val tp = bruteTop.join(ivfTop, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("tp"))
+      queries.select(col("q_id"))
+        .join(nCand, Seq("q_id"), "left")
+        .join(tp, Seq("q_id"), "left")
+        .selectExpr("q_id", "coalesce(n_cand, 0) AS n_cand",
+          "coalesce(tp, 0) AS tp", "coalesce(tp, 0) * 100000 AS recall_micro")
+        .orderBy(col("q_id"))
+    }),
+
     // Binary quantization + Hamming scan + exact rescore — the
     // serving pattern modern vector stores ship (1 bit/dimension, 8
     // bytes/vector here): each dimension's SIGN packs into two 32-bit
@@ -605,6 +671,61 @@ object SimSearch {
          |FROM q JOIN vcell v USING (vec_id), q0
          |WHERE v.cell IN (SELECT cid FROM qprobe)
          |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    // Multi-query replay of the trained-IVF trajectory plus the exact
+    // brute-force ground truth; recall joins the two top-10 sets.
+    "q_ivf_recall" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS a,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |${Learn.initCte("c0", 1, Learn.Dim, "", Learn.CoarseK)},
+         |${Learn.assignCte("a1", "c0", 1, Learn.Dim)},
+         |${Learn.updateCte("c1", "a1", 1, Learn.Dim)},
+         |${Learn.assignCte("a2", "c1", 1, Learn.Dim)},
+         |vcell AS (SELECT vec_id, cid AS cell FROM a2 WHERE rn = 1),
+         |qs AS (SELECT vec_id AS q_id, a AS qe, qv AS qqv FROM q WHERE vec_id < 10),
+         |probe AS (
+         |  SELECT q_id, cid FROM (
+         |    SELECT qs.q_id, c1.cid,
+         |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+         |        CAST(list_sum(list_transform(range(1, ${Learn.Dim + 1}),
+         |          j -> (qs.qqv[j] - c1.cv[j]) * (qs.qqv[j] - c1.cv[j]))) AS BIGINT),
+         |        c1.cid) AS prn
+         |    FROM qs, c1)
+         |  WHERE prn <= ${Learn.NProbe}),
+         |cand AS (
+         |  SELECT qs.q_id, q.vec_id,
+         |    round(list_dot_product(q.a, qs.qe)
+         |      / (sqrt(list_dot_product(q.a, q.a)) * sqrt(list_dot_product(qs.qe, qs.qe))), 4) AS cos_sim
+         |  FROM qs JOIN probe p ON p.q_id = qs.q_id
+         |    JOIN vcell v ON v.cell = p.cid
+         |    JOIN q ON q.vec_id = v.vec_id
+         |  WHERE q.vec_id <> qs.q_id),
+         |ncand AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY q_id),
+         |ivf AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+         |    FROM cand)
+         |  WHERE rk <= 10),
+         |brute AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT qs.q_id, q.vec_id,
+         |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+         |        round(list_dot_product(q.a, qs.qe)
+         |          / (sqrt(list_dot_product(q.a, q.a)) * sqrt(list_dot_product(qs.qe, qs.qe))), 4) DESC,
+         |        q.vec_id) AS rk
+         |    FROM qs, q WHERE q.vec_id <> qs.q_id)
+         |  WHERE rk <= 10),
+         |tp AS (SELECT q_id, CAST(count(*) AS BIGINT) AS tp
+         |       FROM brute JOIN ivf USING (q_id, vec_id) GROUP BY q_id)
+         |SELECT qs.q_id, coalesce(n_cand, 0) AS n_cand, coalesce(tp.tp, 0) AS tp,
+         |  coalesce(tp.tp, 0) * 100000 AS recall_micro
+         |FROM qs LEFT JOIN ncand ON ncand.q_id = qs.q_id
+         |  LEFT JOIN tp ON tp.q_id = qs.q_id
+         |ORDER BY qs.q_id""".stripMargin,
 
     "q_simsearch_bq" ->
       """WITH v AS (

@@ -159,4 +159,25 @@ class SimSearchSpec extends SparkSpec {
       .sortBy { case (id, sc) => (-sc, id) }.take(20)
     assert(out == expected)
   }
+
+  test("q_ivf_recall: recall is measured against true brute-force top-10 at bounded scan") {
+    import spark.implicits._
+    val out = SimSearch.queries("q_ivf_recall")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length == 10 && out.map(_._1).toSeq == (0L until 10L))
+    out.foreach { case (q, nCand, tp, micro) =>
+      // tp ∈ [0, 10], recall_micro is its exact scaled form
+      assert(tp >= 0 && tp <= 10 && micro == tp * 100000L, s"query $q recall malformed")
+      // candidate volume stays well under the corpus: nprobe=2 of 16
+      // cells — the whole point vs brute force; generous 50% ceiling
+      // tolerates cell imbalance at fixture scale
+      assert(nCand > 0 && nCand <= n / 2, s"query $q scanned $nCand of $n")
+    }
+    // the panel must be useful: mean recall ≥ 50% on the fixture, and
+    // at least one query must show imperfect recall (otherwise the
+    // probe covers everything and the metric measures nothing)
+    val mean = out.map(_._3).sum / 10.0
+    assert(mean >= 5.0, s"mean recall $mean too low — probe or codebook broken")
+  }
 }
