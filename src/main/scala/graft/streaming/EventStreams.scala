@@ -358,6 +358,109 @@ object EventStreams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class GkEntry(v: Double, g: Long, delta: Long)
+  case class GkSketch(shard: Long, n: Long, entries: Seq[GkEntry])
+
+  /** STREAMING quantiles — a Greenwald-Khanna ε-approximate summary
+    * (Greenwald & Khanna 2001) as `transformWithState` state: tuples
+    * (v, g, Δ) sorted by value with rmin(i) = Σ_{j≤i} g_j and rmax(i)
+    * = rmin(i) + Δ_i, maintaining the invariant g_i + Δ_i ≤ ⌊2εn⌋ so
+    * any rank query answers within εn — DETERMINISTICALLY and
+    * regardless of arrival order (the guarantee is an invariant of the
+    * summary, not of a lucky sample; that is what the spec pins).
+    * State is O((1/ε)·log(εn)) per shard no matter how many rows
+    * stream through — the percentile companion to heavyHittersTws'
+    * O(k) counters: latency/size percentiles out of an unbounded
+    * stream without retaining values.
+    *
+    * Compress is the simplified band-free merge (adjacent tuples fuse
+    * while g_i + g_{i+1} + Δ_{i+1} < ⌊2εn⌋): the ε-guarantee is
+    * untouched (merging only ever respects the invariant); only the
+    * worst-case constant in the space bound loosens — the documented
+    * tradeoff for a fraction of the code.
+    *
+    * Distribution: shard by event hash, one summary per shard;
+    * serving concatenates shard summaries sorted by value and walks
+    * cumulative g ([[gkQuery]]) — per-shard rank slack is ε·n_shard,
+    * so the union answers within ε·n_total (mergeable-summary
+    * serving, the MgSketch posture).
+    */
+  class GkQuantileProcessor(eps: Double)
+      extends StatefulProcessor[Long, Event, GkSketch] {
+    @transient private var st: ValueState[GkSketch] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[GkSketch]("gk",
+        org.apache.spark.sql.Encoders.product[GkSketch], TTLConfig.NONE)
+
+    private def compress(es: Vector[GkEntry], n: Long): Vector[GkEntry] = {
+      if (es.size <= 2) return es
+      val cap = math.max(1L, (2 * eps * n).toLong)
+      val out = scala.collection.mutable.ArrayBuffer[GkEntry](es.last)
+      // fold right-to-left: tuple i merges INTO its successor when the
+      // fused tuple still honors g + Δ ≤ ⌊2εn⌋; first tuple never
+      // merges away (min must survive for rank 1)
+      var i = es.size - 2
+      while (i >= 1) {
+        val cur = es(i); val nxt = out.head
+        if (cur.g + nxt.g + nxt.delta < cap)
+          out(0) = GkEntry(nxt.v, cur.g + nxt.g, nxt.delta)
+        else out.prepend(cur)
+        i -= 1
+      }
+      out.prepend(es.head)
+      out.toVector
+    }
+
+    override def handleInputRows(shard: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[GkSketch] = {
+      val prev = if (st.exists()) st.get() else GkSketch(shard, 0L, Nil)
+      var es = prev.entries.toVector
+      var n = prev.n
+      val period = math.max(1, (1.0 / (2 * eps)).toInt)
+      rows.foreach { e =>
+        val v = e.value
+        n += 1
+        val i = es.indexWhere(_.v > v)
+        es =
+          if (es.isEmpty || i == 0 || i < 0)
+            // new min/max (or empty): exact-rank tuple, Δ = 0
+            if (i == 0) GkEntry(v, 1L, 0L) +: es else es :+ GkEntry(v, 1L, 0L)
+          else {
+            val delta = math.max(0L, (2 * eps * n).toLong - 1)
+            (es.take(i) :+ GkEntry(v, 1L, delta)) ++ es.drop(i)
+          }
+        if (n % period == 0) es = compress(es, n)
+      }
+      es = compress(es, n)
+      val next = GkSketch(shard, n, es)
+      st.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Per-shard GK quantile summaries over the event `value` stream;
+    * emits each shard's updated summary every micro-batch. */
+  def quantileTws(events: Dataset[Event], eps: Double = 0.01,
+                  shards: Int = 4): Dataset[GkSketch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => math.floorMod(e.event_id, shards.toLong))
+      .transformWithState(new GkQuantileProcessor(eps),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Serve quantile φ from the union of shard summaries: concatenate
+    * sorted by value, walk cumulative g until rmin + Δ reaches the
+    * target rank ⌈φ·n⌉. Answers within ε·n_total of the true rank. */
+  def gkQuery(sketches: Seq[GkSketch], phi: Double): Double = {
+    val all = sketches.flatMap(_.entries).sortBy(_.v)
+    val n = sketches.map(_.n).sum
+    val target = math.max(1L, math.ceil(phi * n).toLong)
+    var rmin = 0L
+    var i = 0
+    while (i < all.size - 1 && { rmin += all(i).g; rmin + all(i).delta < target }) i += 1
+    all(i).v
+  }
+
   def runningTotals(events: Dataset[Event]): Dataset[UserTotal] = {
     import events.sparkSession.implicits._
     events

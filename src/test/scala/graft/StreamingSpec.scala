@@ -451,4 +451,55 @@ class StreamingSpec extends SparkSpec {
       case None    => conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming GK quantiles: rank error ≤ εn across batches, bounded state") {
+    val conf = spark.conf
+    val prev = try Some(conf.get("spark.sql.streaming.stateStore.providerClass"))
+    catch { case _: Throwable => None }
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event](spark)
+      val eps = 0.05; val shards = 2
+      val q = EventStreams.quantileTws(input.toDS(), eps = eps, shards = shards)
+        .writeStream.format("memory").queryName("gk_out").outputMode("update").start()
+      try {
+        // values 1..2000 in a deterministic scrambled order (a fixed
+        // multiplicative permutation), split over two batches so the
+        // summary survives state round-trips
+        val vals = (1 to 2000).map(i => ((i * 997) % 2000 + 1).toDouble)
+        def batch(ids: Range, vs: Seq[Double]): Seq[Event] =
+          ids.zip(vs).map { case (id, v) => ev(id, id % 60, value = v) }
+        input.addData(batch(1 to 1000, vals.take(1000)): _*)
+        q.processAllAvailable()
+        input.addData(batch(1001 to 2000, vals.drop(1000)): _*)
+        q.processAllAvailable()
+        import spark.implicits._
+        val sketches = spark.table("gk_out").as[EventStreams.GkSketch].collect()
+          .groupBy(_.shard).map(_._2.maxBy(_.n)).toSeq
+        val n = sketches.map(_.n).sum
+        assert(n == 2000L, s"summary lost rows: $n")
+        // state bound: O((1/ε)·log(εn)) per shard — generous ceiling
+        sketches.foreach(s =>
+          assert(s.entries.size <= 200, s"shard ${s.shard} summary too large: ${s.entries.size}"))
+        // per-shard invariant: g + Δ ≤ ⌊2εn⌋ (the rank-query guarantee)
+        sketches.foreach { s =>
+          val cap = math.max(1L, (2 * eps * s.n).toLong)
+          s.entries.foreach(e =>
+            assert(e.g + e.delta <= cap, s"invariant broken in shard ${s.shard}: $e cap=$cap"))
+        }
+        // quantile answers: true rank of the estimate within ε·n of
+        // the target (values are exactly 1..2000, so value == rank)
+        Seq(0.5, 0.9, 0.99).foreach { phi =>
+          val est = EventStreams.gkQuery(sketches, phi)
+          val target = math.ceil(phi * n)
+          assert(math.abs(est - target) <= eps * n + shards,
+            s"phi=$phi estimate $est vs target $target exceeds εn=${eps * n}")
+        }
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
