@@ -618,6 +618,55 @@ object NearDup {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // CROSS-SOURCE duplication matrix — WHERE duplication lives, not
+    // just how much: verified near-dup pairs grouped by their
+    // (source, source) cell. The matrix drives the dedup strategy a
+    // 100 TB pipeline actually deploys (heavy cross-source mass ⇒
+    // global dedup before mixing; purely diagonal mass ⇒ cheaper
+    // per-source dedup shards suffice) and is the standard CC-dump
+    // audit ("which crawls re-host which"). Fixture surrogate for the
+    // re-hosting feed: every 5th doc re-appears under the NEXT source
+    // (cyclic src(N)→src(N+1)) with its last token dropped — so the
+    // matrix provably has off-diagonal mass and the oracle replays it.
+    //
+    // Same banded-MinHash candidate pipeline as q_dedup_minhash
+    // (signatures shuffle, text never does); the matrix aggregate
+    // runs at verified-pair grain, and the two source lookups join on
+    // doc_id — at 100 TB that is the id→metadata side-table join, not
+    // a text join.
+    "q_crossdup" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      val rehost = Tables.documents(s, d).filter(col("doc_id") % 5 === 0).selectExpr(
+        "doc_id + 1000000 AS doc_id",
+        "array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ') AS text",
+        "concat('src', CAST((CAST(substring(source, 4) AS INT) + 1) % 20 AS STRING)) AS source")
+      val cross = base.unionByName(rehost)
+      val hsh = withHashedShingles(cross).select(col("doc_id"), col("source"), col("hs"))
+      val sig = signaturesOf(hsh.filter(size(col("hs")) >= 1)
+        .select(col("doc_id"), col("hs")))
+      val bands = sig
+        .select(col("doc_id"), explode(expr(s"sequence(0, ${Bands - 1})")).as("b"), col("sigs"))
+        .withColumn("bs", expr(s"concat_ws('|', slice(sigs, b * $Rows + 1, $Rows))"))
+        .select(col("doc_id"), col("b"), col("bs"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bs") === col("y.bs")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("ha"),
+          col("source").as("sa")), "a_id")
+        .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("hb"),
+          col("source").as("sb")), "b_id")
+        .filter(expr("jaccard_sorted(ha, hb) >= 0.6"))
+        .selectExpr("least(sa, sb) AS src_a", "greatest(sa, sb) AS src_b")
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("is_cross", col("src_a") =!= col("src_b"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // INCREMENTAL near-dup admission — the reference's core contract
     // (ingest only rows not already in the sink, etl_service/main.py:
     // 95-104 + :175) lifted from exact-id grain to NEAR-DUP grain: the
@@ -1073,6 +1122,38 @@ object NearDup {
          |WHERE len(list_intersect(sa.hs, sb.hs))
          |      / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.6
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // Same banded pipeline over the cross-source re-hosting corpus;
+    // the corpus CTE keeps the shared name so sh/hsh reuse verbatim.
+    "q_crossdup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, lang, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    array_to_string((string_split(text, ' '))[1:len(string_split(text, ' ')) - 1], ' ') AS text,
+         |    lang,
+         |    'src' || CAST((CAST(substr(source, 4) AS INT) + 1) % 20 AS VARCHAR) AS source
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |$shinglesSql,
+         |$hshSql,
+         |sig AS (SELECT doc_id, $sigSql AS sigs FROM hsh WHERE len(hs) >= 1),
+         |bands AS (
+         |  SELECT doc_id, b, array_to_string(sigs[b * $Rows + 1 : b * $Rows + $Rows], '|') AS bs
+         |  FROM (SELECT doc_id, sigs, unnest(range(0, $Bands)) AS b FROM sig)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bs = y.bs AND x.doc_id < y.doc_id),
+         |ver AS (
+         |  SELECT least(sa.source, sb.source) AS src_a,
+         |    greatest(sa.source, sb.source) AS src_b
+         |  FROM cand
+         |  JOIN hsh sa ON sa.doc_id = a_id
+         |  JOIN hsh sb ON sb.doc_id = b_id
+         |  WHERE len(list_intersect(sa.hs, sb.hs))
+         |        / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.6)
+         |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  src_a <> src_b AS is_cross
+         |FROM ver GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
 
     // Independent algorithm: the oracle runs the quadratic blocked
     // all-pairs containment directly — no prefix filter — so the

@@ -100,6 +100,48 @@ object Skew {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // JOIN-KEY SKEW AUDIT — the pre-flight measurement that decides
+    // between the plain, salted (q_join_salted), and broadcast plans:
+    // per candidate shuffle key, the key-frequency distribution's
+    // head (max, exact p99) against its mean. skew_micro = max/mean
+    // ×10⁶ is the "hot reducer multiple" — how much longer the
+    // hottest task runs than the average if this key becomes the
+    // shuffle partition key. Production runs this ONCE per table
+    // profile and caches it next to the stats the optimizer reads.
+    //
+    // Exact integers end to end: mean_micro = (rows·10⁶) DIV keys and
+    // skew_micro = (max·keys·10⁶) DIV rows (max/mean cross-multiplied
+    // — no float, no double rounding). The p99 is EXACT, not sketched:
+    // the one ordered window runs over the per-key COUNT table (the
+    // q_auc/q_quantile_exact posture — bounded by distinct keys, two-
+    // phase prefix sum at 100 TB), never over base rows. Per-key
+    // counts come from one partial-agg'd groupBy per audited key.
+    "q_skew_audit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def audit(df: DataFrame, keyCol: String, tag: String): DataFrame = {
+        val cnt = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+        val ranked = cnt.withColumn("rk",
+          row_number().over(Window.orderBy(col("c"), col("k"))))
+        val nk = cnt.agg(count(lit(1)).as("nk"))
+        // exact p99: the key at rank ⌈0.99·n_keys⌉ of the count order
+        val p99 = ranked.crossJoin(broadcast(nk))
+          .filter(expr("rk = CAST(ceil(0.99 * nk) AS BIGINT)"))
+          .select(col("c").as("p99_rows"))
+        cnt.agg(
+            count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+            max(col("c")).as("max_rows"))
+          .crossJoin(broadcast(p99))
+          .selectExpr(s"'$tag' AS join_key", "n_keys", "n_rows", "max_rows", "p99_rows",
+            "(n_rows * 1000000) DIV n_keys AS mean_micro",
+            "(max_rows * n_keys * 1000000) DIV n_rows AS skew_micro")
+      }
+      audit(Tables.lineitem(s, d), "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(audit(Tables.lineitem(s, d), "l_partkey", "lineitem.l_partkey"))
+        .unionByName(audit(Tables.orders(s, d), "o_custkey", "orders.o_custkey"))
+        .unionByName(audit(Tables.events(s, d), "user_id", "events.user_id"))
+        .orderBy(col("join_key"))
     })
   )
 
@@ -111,6 +153,31 @@ object Skew {
     "q_join_salted" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_skew_audit" -> {
+      def auditSql(table: String, key: String, tag: String, keyExpr: String = ""): String = {
+        val kx = if (keyExpr.isEmpty) key else keyExpr
+        s"""SELECT '$tag' AS join_key, n_keys, n_rows, max_rows, p99_rows,
+           |  (n_rows * 1000000) // n_keys AS mean_micro,
+           |  (max_rows * n_keys * 1000000) // n_rows AS skew_micro
+           |FROM (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+           |    CAST(max(c) AS BIGINT) AS max_rows
+           |  FROM (SELECT $kx AS k, CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY 1)),
+           |(
+           |  SELECT c AS p99_rows FROM (
+           |    SELECT c, row_number() OVER (ORDER BY c, k) AS rk,
+           |      count(*) OVER () AS nk
+           |    FROM (SELECT $kx AS k, CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY 1))
+           |  WHERE rk = CAST(ceil(0.99 * nk) AS BIGINT))""".stripMargin
+      }
+      Seq(
+        auditSql("lineitem", "l_orderkey", "lineitem.l_orderkey"),
+        auditSql("lineitem", "l_partkey", "lineitem.l_partkey"),
+        auditSql("orders", "o_custkey", "orders.o_custkey"),
+        auditSql("events", "user_id", "events.user_id")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY join_key")
+    }
   )
 }

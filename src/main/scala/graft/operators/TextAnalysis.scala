@@ -299,6 +299,33 @@ object TextAnalysis {
             |END AS kappa_micro""".stripMargin)
     }),
 
+    // TOKENIZER FERTILITY comparison — tokens-per-word and
+    // bytes-per-token across the SQL-expressible tokenizer proxies
+    // (whitespace words, the [a-z]+ regex word tokens, the len/4
+    // subword estimate), per language: the table a tokenizer choice is
+    // made from (fertility ≫ 1 on a language = that language pays more
+    // context budget per word — the multilingual-tokenizer-fairness
+    // audit from the Gopher/XLM-R line of work). Real subword counts
+    // (WordPiece/BPE) live in q_tokenize/q_bpe_tokens; this query is
+    // deliberately restricted to the closed-form tokenizers so the
+    // whole table stays oracle-checkable. Map + one lang-grain
+    // aggregate at scan speed; ratios in exact micro units.
+    "q_tokenizer_fertility" -> ((s, d) =>
+      Tables.documents(s, d).selectExpr("lang",
+          s"CAST(size($toks) AS BIGINT) AS w",
+          "CAST(regexp_count(text, '[a-z]+') AS BIGINT) AS a",
+          "CAST(ceil(length(text) / 4.0) AS BIGINT) AS sub",
+          "CAST(length(text) AS BIGINT) AS ch")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+          sum(col("a")).as("n_alpha"), sum(col("sub")).as("n_subwords"),
+          sum(col("ch")).as("n_chars"))
+        .selectExpr("lang", "n_docs", "n_words", "n_alpha", "n_subwords",
+          "(n_alpha * 1000000) DIV n_words AS alpha_per_word_micro",
+          "(n_subwords * 1000000) DIV n_words AS sub_per_word_micro",
+          "(n_chars * 1000000) DIV n_subwords AS bytes_per_sub_micro")
+        .orderBy(col("lang"))),
+
     // Document fingerprinting: content hash + prefix shingle hash —
     // the join key for exact dedup at scale.
     "q_fingerprint" -> ((s, d) =>
@@ -1269,6 +1296,24 @@ object TextAnalysis {
          |    ELSE -(((pe_micro - po_micro) * 1000000) // (1000000 - pe_micro))
          |  END AS kappa_micro
          |FROM q""".stripMargin,
+
+    "q_tokenizer_fertility" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS a,
+        |    CAST(ceil(len(text) / 4.0) AS BIGINT) AS sub,
+        |    CAST(len(text) AS BIGINT) AS ch
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(w) AS BIGINT) AS n_words,
+        |    CAST(sum(a) AS BIGINT) AS n_alpha, CAST(sum(sub) AS BIGINT) AS n_subwords,
+        |    CAST(sum(ch) AS BIGINT) AS n_chars
+        |  FROM t GROUP BY lang)
+        |SELECT lang, n_docs, n_words, n_alpha, n_subwords,
+        |  (n_alpha * 1000000) // n_words AS alpha_per_word_micro,
+        |  (n_subwords * 1000000) // n_words AS sub_per_word_micro,
+        |  (n_chars * 1000000) // n_subwords AS bytes_per_sub_micro
+        |FROM g ORDER BY lang""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, md5(substr(text, 1, 64)) AS prefix_fp,

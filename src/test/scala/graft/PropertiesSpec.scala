@@ -296,4 +296,45 @@ class PropertiesSpec extends SparkSpec {
       .count(ms => ms.map(m => docFold(m._1)).distinct.length > 1)
     assert(leaky > 0, "fixture has no cluster a doc-grain split would leak")
   }
+
+  test("q_crossdup: off-diagonal mass from the planted re-hosts, matrix well-formed") {
+    import spark.implicits._
+    val rows = operators.NearDup.queries("q_crossdup")(spark, sf)
+      .as[(String, String, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, n, cross) =>
+      assert(a <= b, s"cell ($a,$b) not normalized")
+      assert(cross == (a != b) && n > 0)
+    }
+    // the planted cyclic re-hosts guarantee off-diagonal pairs; the
+    // fixture's natural near-dups guarantee diagonal ones
+    assert(rows.exists(_._4), "no cross-source cell — re-host feed not detected")
+    assert(rows.exists(!_._4), "no within-source cell")
+    // total pair mass ≥ the planted re-host pairs that survive the
+    // ≥3-token shingle floor (docs with ≥ 4 tokens dropping one)
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0)
+      .filter(size(split(col("text"), " ")) >= 8).count()
+    assert(rows.map(_._3).sum >= planted,
+      s"matrix mass ${rows.map(_._3).sum} below planted floor $planted")
+  }
+
+  test("q_skew_audit: stats recompute exactly from per-key counts") {
+    import spark.implicits._
+    val out = operators.Skew.queries("q_skew_audit")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 4)
+    val counts = Tables.orders(spark, sf).groupBy(col("o_custkey"))
+      .count().as[(Long, Long)].collect().map(_._2).sorted
+    val (nk, nr, mx) = (counts.length.toLong, counts.sum, counts.max)
+    val p99 = counts((math.ceil(0.99 * nk) - 1).toInt)
+    val row = out("orders.o_custkey")
+    assert(row._2 == nk && row._3 == nr && row._4 == mx)
+    assert(row._5 == p99, s"p99 ${row._5} != driver $p99")
+    assert(row._6 == nr * 1000000L / nk)
+    assert(row._7 == mx * nk * 1000000L / nr)
+    // skew_micro ≥ 1e6 by construction (max ≥ mean)
+    out.values.foreach(r => assert(r._7 >= 1000000L, s"${r._1} skew below 1"))
+  }
 }
