@@ -618,6 +618,47 @@ object NearDup {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // MINHASH ESTIMATOR ERROR — how far the 12-hash signature's
+    // Jaccard estimate (matching positions / 12) sits from the exact
+    // shingle Jaccard, per candidate pair, bucketed into a signed
+    // error histogram. This is the sketch-quality audit that justifies
+    // (or resizes) NumHashes: E[est] = J with σ = √(J(1−J)/12) ≈ 0.14,
+    // so the histogram should mass near 0 with that spread — a broken
+    // hash family or band wiring shows up as bias, which no
+    // recall-style check (q_dedup_recall) can see. Integer end to end:
+    // est_micro = matches·10⁶ DIV 12, exact_micro = |∩|·10⁶ DIV |∪|,
+    // bucket = (est − exact + 10⁶) DIV 10⁵ (offset keeps the
+    // truncating division on non-negatives). Candidates from the same
+    // banded join — signatures shuffle, text never does; the histogram
+    // aggregate is bucket-grain.
+    "q_minhash_est" -> ((s, d) => {
+      val hsh = withHashedShingles(corpus(s, d)).select(col("doc_id"), col("hs"))
+      val sig = signaturesOf(hsh.filter(size(col("hs")) >= 1))
+      val bands = sig
+        .select(col("doc_id"), explode(expr(s"sequence(0, ${Bands - 1})")).as("b"), col("sigs"))
+        .withColumn("bs", expr(s"concat_ws('|', slice(sigs, b * $Rows + 1, $Rows))"))
+        .select(col("doc_id"), col("b"), col("bs"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bs") === col("y.bs")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(sig.select(col("doc_id").as("a_id"), col("sigs").as("siga")), "a_id")
+        .join(sig.select(col("doc_id").as("b_id"), col("sigs").as("sigb")), "b_id")
+        .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+        .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+        .selectExpr(
+          s"(CAST(size(filter(sequence(1, $NumHashes), i -> element_at(siga, i) = element_at(sigb, i))) AS BIGINT) * 1000000) DIV $NumHashes AS est_micro",
+          "(CAST(size(array_intersect(ha, hb)) AS BIGINT) * 1000000) DIV size(array_union(ha, hb)) AS exact_micro")
+        .selectExpr("(est_micro - exact_micro + 1000000) DIV 100000 AS err_bucket",
+          "est_micro", "exact_micro")
+        .groupBy(col("err_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("abs(est_micro - exact_micro)")).as("sum_abs_err_micro"))
+        .orderBy(col("err_bucket"))
+    }),
+
     // CROSS-SOURCE duplication matrix — WHERE duplication lives, not
     // just how much: verified near-dup pairs grouped by their
     // (source, source) cell. The matrix drives the dedup strategy a
@@ -1122,6 +1163,33 @@ object NearDup {
          |WHERE len(list_intersect(sa.hs, sb.hs))
          |      / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.6
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_minhash_est" ->
+      s"""WITH $corpusSql,
+         |$shinglesSql,
+         |$hshSql,
+         |sig AS (SELECT doc_id, $sigSql AS sigs FROM hsh WHERE len(hs) >= 1),
+         |bands AS (
+         |  SELECT doc_id, b, array_to_string(sigs[b * $Rows + 1 : b * $Rows + $Rows], '|') AS bs
+         |  FROM (SELECT doc_id, sigs, unnest(range(0, $Bands)) AS b FROM sig)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bs = y.bs AND x.doc_id < y.doc_id),
+         |err AS (
+         |  SELECT
+         |    (CAST(len(list_filter(range(1, $NumHashes + 1),
+         |        i -> pa.sigs[i] = pb.sigs[i])) AS BIGINT) * 1000000) // $NumHashes AS est_micro,
+         |    (CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) * 1000000)
+         |      // len(list_distinct(list_concat(sa.hs, sb.hs))) AS exact_micro
+         |  FROM cand
+         |  JOIN sig pa ON pa.doc_id = a_id
+         |  JOIN sig pb ON pb.doc_id = b_id
+         |  JOIN hsh sa ON sa.doc_id = a_id
+         |  JOIN hsh sb ON sb.doc_id = b_id)
+         |SELECT (est_micro - exact_micro + 1000000) // 100000 AS err_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(abs(est_micro - exact_micro)) AS BIGINT) AS sum_abs_err_micro
+         |FROM err GROUP BY 1 ORDER BY err_bucket""".stripMargin,
 
     // Same banded pipeline over the cross-source re-hosting corpus;
     // the corpus CTE keeps the shared name so sh/hsh reuse verbatim.

@@ -809,6 +809,32 @@ object Pipeline {
         .orderBy(col("lang"))
     }),
 
+    // DATASET CARD — the one-row corpus datasheet (Gebru et al. 2021,
+    // "Datasheets for Datasets"): scale (docs/tokens/bytes), diversity
+    // (language and source cardinalities), hygiene (exact-dup fraction
+    // via content-hash distinct, length-gate fraction), and density
+    // (mean tokens/doc) — the summary row a data release publishes and
+    // a training run logs before it starts. ONE aggregate over the
+    // corpus; the three COUNT(DISTINCT) columns are exact here (the
+    // oracle-parity form) — at 100 TB each swaps for its HLL sketch
+    // (the q_approx_stats/q_hll_union tier) without changing the
+    // query's shape. Ratios in exact micro units.
+    "q_dataset_card" -> ((s, d) =>
+      Tables.documents(s, d).selectExpr("lang", "source", "md5(text) AS fp",
+          "CAST(size(split(text, ' ')) AS BIGINT) AS nt",
+          "CAST(length(text) AS BIGINT) AS nc")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"), sum(col("nc")).as("n_chars"),
+          countDistinct(col("fp")).as("n_unique"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(when(col("nt") < 5 || col("nt") > 120, 1L).otherwise(0L)).as("n_gated"))
+        .selectExpr("n_docs", "n_tokens", "n_chars", "n_langs", "n_sources",
+          "((n_docs - n_unique) * 1000000) DIV n_docs AS dup_micro",
+          "(n_tokens * 1000000) DIV n_docs AS mean_tokens_micro",
+          "(n_gated * 1000000) DIV n_docs AS gated_micro")),
+
     // COMPETENCE-BASED curriculum schedule (Platanios et al. 2019,
     // "Competence-based Curriculum Learning for NMT"): training
     // proceeds in phases whose competence c(t) = t/4 admits the
@@ -1136,6 +1162,26 @@ object Pipeline {
          |  2000 * n_rep - 200 * n - 1000 * n_true AS err_milli
          |FROM j, tot ORDER BY lang""".stripMargin
     },
+
+    "q_dataset_card" ->
+      """WITH t AS (
+        |  SELECT lang, source, md5(text) AS fp,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(text) AS BIGINT) AS nc
+        |  FROM documents),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(nt) AS BIGINT) AS n_tokens, CAST(sum(nc) AS BIGINT) AS n_chars,
+        |    CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(sum(CASE WHEN nt < 5 OR nt > 120 THEN 1 ELSE 0 END) AS BIGINT) AS n_gated
+        |  FROM t)
+        |SELECT n_docs, n_tokens, n_chars, n_langs, n_sources,
+        |  ((n_docs - n_unique) * 1000000) // n_docs AS dup_micro,
+        |  (n_tokens * 1000000) // n_docs AS mean_tokens_micro,
+        |  (n_gated * 1000000) // n_docs AS gated_micro
+        |FROM g""".stripMargin,
 
     "q_curriculum" ->
       """WITH ranked AS (

@@ -319,6 +319,43 @@ class PropertiesSpec extends SparkSpec {
       s"matrix mass ${rows.map(_._3).sum} below planted floor $planted")
   }
 
+  test("q_minhash_est: error histogram is centered and within the 12-hash spread") {
+    import spark.implicits._
+    val rows = operators.NearDup.queries("q_minhash_est")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_._2).sum
+    // bucket 10 = zero signed error (offset +1e6, width 1e5); the
+    // estimator is unbiased with σ ≈ 0.14 at J ≈ 0.6+, so the central
+    // ±2 buckets must hold most of the candidate mass
+    val central = rows.filter(r => r._1 >= 8 && r._1 <= 12).map(_._2).sum
+    assert(central * 10 >= n * 6, s"only $central/$n pairs within ±0.25 of exact")
+    // mean |err| stays under 2σ — a biased hash family would blow this
+    val meanAbs = rows.map(_._3).sum / n
+    assert(meanAbs <= 280000L, s"mean abs error $meanAbs exceeds 2 sigma")
+  }
+
+  test("q_dataset_card: every field recomputes from a driver-side pass") {
+    import spark.implicits._
+    val row = operators.Pipeline.queries("q_dataset_card")(spark, sf).collect().head
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("lang", "source", "md5(text) AS fp",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS nt",
+        "CAST(length(text) AS BIGINT) AS nc")
+      .as[(String, String, String, Long, Long)].collect()
+    val nDocs = docs.length.toLong
+    val nTok = docs.map(_._4).sum
+    assert(row.getLong(0) == nDocs && row.getLong(1) == nTok)
+    assert(row.getLong(2) == docs.map(_._5).sum)
+    assert(row.getLong(3) == docs.map(_._1).distinct.length.toLong)
+    assert(row.getLong(4) == docs.map(_._2).distinct.length.toLong)
+    val uniq = docs.map(_._3).distinct.length.toLong
+    assert(row.getLong(5) == (nDocs - uniq) * 1000000L / nDocs)
+    assert(row.getLong(6) == nTok * 1000000L / nDocs)
+    val gated = docs.count(d => d._4 < 5 || d._4 > 120).toLong
+    assert(row.getLong(7) == gated * 1000000L / nDocs)
+  }
+
   test("q_skew_audit: stats recompute exactly from per-key counts") {
     import spark.implicits._
     val out = operators.Skew.queries("q_skew_audit")(spark, sf)
