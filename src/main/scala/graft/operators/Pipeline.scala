@@ -809,6 +809,36 @@ object Pipeline {
         .orderBy(col("lang"))
     }),
 
+    // SHARD BALANCE AUDIT — q_skew_audit's twin for the OUTPUT side:
+    // after hash-sharding (the q_train_shard assignment, same A1/B1
+    // hash so this audits exactly what that query ships), how even are
+    // the shards in docs and TOKENS? Token imbalance is what actually
+    // hurts: the epoch takes as long as the fattest shard, so
+    // max/mean_micro IS the straggler multiple of the training data
+    // loader. One shard-grain aggregate + a 1-row summary crossJoin;
+    // ratios cross-multiplied exact integers. The doc-count balance is
+    // guaranteed by the hash; token balance is NOT (long docs clump by
+    // chance) — reporting both is the point.
+    "q_shard_balance" -> ((s, d) => {
+      val perShard = Tables.documents(s, d)
+        .selectExpr(s"${h("doc_id", A1, B1)} % ${shardCount(s)} AS shard",
+          "CAST(size(split(text, ' ')) AS BIGINT) AS nt")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      val tot = perShard.agg(
+        count(lit(1)).as("n_shards"),
+        sum(col("n_docs")).as("tot_docs"), sum(col("n_tokens")).as("tot_tokens"),
+        max(col("n_tokens")).as("max_tokens"), min(col("n_tokens")).as("min_tokens"),
+        max(col("n_docs")).as("max_docs"), min(col("n_docs")).as("min_docs"))
+      perShard.crossJoin(broadcast(tot))
+        .selectExpr("shard", "n_docs", "n_tokens",
+          "(n_tokens * n_shards * 1000000) DIV tot_tokens AS load_micro",
+          "(max_tokens * n_shards * 1000000) DIV tot_tokens AS straggler_micro",
+          "(max_docs * 1000000) DIV min_docs AS doc_spread_micro",
+          "(max_tokens * 1000000) DIV min_tokens AS token_spread_micro")
+        .orderBy(col("shard"))
+    }),
+
     // DATASET CARD — the one-row corpus datasheet (Gebru et al. 2021,
     // "Datasheets for Datasets"): scale (docs/tokens/bytes), diversity
     // (language and source cardinalities), hygiene (exact-dup fraction
@@ -1162,6 +1192,28 @@ object Pipeline {
          |  2000 * n_rep - 200 * n - 1000 * n_true AS err_milli
          |FROM j, tot ORDER BY lang""".stripMargin
     },
+
+    "q_shard_balance" ->
+      s"""WITH s AS (
+         |  SELECT ${h("doc_id", A1, B1)} % 8 AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+         |  FROM documents),
+         |ps AS (
+         |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens
+         |  FROM s GROUP BY shard),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_shards,
+         |    CAST(sum(n_docs) AS BIGINT) AS tot_docs, CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         |    CAST(max(n_tokens) AS BIGINT) AS max_tokens, CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+         |    CAST(max(n_docs) AS BIGINT) AS max_docs, CAST(min(n_docs) AS BIGINT) AS min_docs
+         |  FROM ps)
+         |SELECT shard, n_docs, n_tokens,
+         |  (n_tokens * n_shards * 1000000) // tot_tokens AS load_micro,
+         |  (max_tokens * n_shards * 1000000) // tot_tokens AS straggler_micro,
+         |  (max_docs * 1000000) // min_docs AS doc_spread_micro,
+         |  (max_tokens * 1000000) // min_tokens AS token_spread_micro
+         |FROM ps, tot ORDER BY shard""".stripMargin,
 
     "q_dataset_card" ->
       """WITH t AS (

@@ -274,6 +274,39 @@ object SimSearch {
         .orderBy(col("q_id"))
     }),
 
+    // EMBEDDING HEALTH AUDIT — the model-output QA gate a pipeline
+    // runs before indexing a new embedding drop: zero vectors (failed
+    // inference), DEAD DIMENSIONS (zero variance across the corpus —
+    // the collapsed-representation signature), and the norm spread
+    // (norm drift between drops breaks cosine thresholds tuned on the
+    // old drop). All on the 1e-4 quantized grid so every statistic is
+    // an exact BIGINT: per-dim variance numerator n·Σq² − (Σq)² needs
+    // no division at all. Two aggregates — one at vector grain
+    // (norms), one at (dim) grain after a posexplode (64 rows out) —
+    // both partial-aggregated; nothing but per-dim sums shuffles.
+    "q_embedding_audit" -> ((s, d) => {
+      val v = Tables.embeddings(s, d)
+        .withColumn("q", expr(Learn.QuantTok))
+        .withColumn("n2", expr(
+          "aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+      val vecStats = v.agg(
+        count(lit(1)).as("n_vecs"),
+        max(size(col("q")).cast("long")).as("n_dims"),
+        sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero_vecs"),
+        min(col("n2")).as("min_norm2"), max(col("n2")).as("max_norm2"),
+        sum(col("n2")).as("sum_norm2"))
+      val dimStats = v
+        .select(posexplode(col("q")).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("var_num", expr("n * sxx - sx * sx"))
+        .agg(sum(when(col("var_num") === 0L, 1L).otherwise(0L)).as("n_dead_dims"))
+      vecStats.crossJoin(broadcast(dimStats))
+        .selectExpr("n_vecs", "n_dims", "n_zero_vecs", "n_dead_dims",
+          "min_norm2", "max_norm2", "sum_norm2 DIV n_vecs AS mean_norm2")
+    }),
+
     // Binary quantization + Hamming scan + exact rescore — the
     // serving pattern modern vector stores ship (1 bit/dimension, 8
     // bytes/vector here): each dimension's SIGN packs into two 32-bit
@@ -671,6 +704,37 @@ object SimSearch {
          |FROM q JOIN vcell v USING (vec_id), q0
          |WHERE v.cell IN (SELECT cid FROM qprobe)
          |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_embedding_audit" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |n2 AS (
+        |  SELECT vec_id, q,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(q, x -> x * x)), (a, b) -> a + b) AS n2
+        |  FROM v),
+        |vs AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |    CAST(max(len(q)) AS BIGINT) AS n_dims,
+        |    CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+        |    CAST(min(n2) AS BIGINT) AS min_norm2, CAST(max(n2) AS BIGINT) AS max_norm2,
+        |    CAST(sum(n2) AS BIGINT) AS sum_norm2
+        |  FROM n2),
+        |ds AS (
+        |  SELECT CAST(sum(CASE WHEN n * sxx - sx * sx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dead_dims
+        |  FROM (
+        |    SELECT t.i AS dim, CAST(count(*) AS BIGINT) AS n,
+        |      CAST(sum(q[t.i]) AS BIGINT) AS sx,
+        |      CAST(sum(q[t.i] * q[t.i]) AS BIGINT) AS sxx
+        |    FROM v, range(1, 65) t(i)
+        |    GROUP BY t.i))
+        |SELECT n_vecs, n_dims, n_zero_vecs, n_dead_dims,
+        |  min_norm2, max_norm2, sum_norm2 // n_vecs AS mean_norm2
+        |FROM vs, ds""".stripMargin,
 
     // Multi-query replay of the trained-IVF trajectory plus the exact
     // brute-force ground truth; recall joins the two top-10 sets.
