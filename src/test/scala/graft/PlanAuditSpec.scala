@@ -662,4 +662,47 @@ class PlanAuditSpec extends SparkSpec {
       "seed table not broadcast at the restart attach:\n" + p.take(1500))
     assert(!p.contains("CartesianProduct"), "cartesian in TrustRank plan")
   }
+
+  test("q_skew_audit: per-key counts partial-aggregate; the ordered window never sees base rows") {
+    val df = SparkEntry.queries("q_skew_audit")(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the per-key count must map-side combine (base rows stay local)
+    assert(p.contains("partial_count"), "per-key count lost map-side combine:\n" + p.take(1500))
+    // every Window sits above a HashAggregate (the per-key count
+    // table), never directly above a scan — the q_auc posture that
+    // keeps the global sort at key grain, not row grain
+    val lines = p.linesIterator.toVector
+    val windowIdxs = lines.zipWithIndex.collect { case (l, i) if l.contains("Window") => i }
+    assert(windowIdxs.nonEmpty, "expected ranking windows in the audit plan")
+    windowIdxs.foreach { wi =>
+      val below = lines.drop(wi + 1).takeWhile(l => !l.contains("Scan parquet"))
+      assert(below.exists(_.contains("HashAggregate")),
+        s"window at line $wi runs over base rows:\n${lines.slice(wi, wi + 8).mkString("\n")}")
+    }
+    // the 1-row p99/total attaches broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "summary attach not broadcast:\n" + p.take(1500))
+  }
+
+  test("q_ivf_recall: probe/query tables broadcast; candidate join is cell-keyed") {
+    val df = SparkEntry.queries("q_ivf_recall")(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the 10-query panel and its probe cells must broadcast into the
+    // corpus-side joins — a shuffle there would move the corpus twice
+    assert(p.contains("BroadcastHashJoin"),
+      "broadcast missing from candidate/brute joins:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), "cartesian in recall plan")
+  }
+
+  test("q_dataset_card: distinct-count expand still partial-aggregates before the shuffle") {
+    val df = SparkEntry.queries("q_dataset_card")(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // Spark plans multi-COUNT(DISTINCT) via Expand; the first
+    // aggregate must still be partial so only (gid, key) rows shuffle
+    assert(p.contains("Expand"), "expected Expand for multi-distinct:\n" + p.take(1200))
+    assert(p.contains("partial_"), "datasheet aggregate lost map-side combine:\n" + p.take(1500))
+  }
 }
