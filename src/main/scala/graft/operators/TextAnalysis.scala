@@ -299,6 +299,57 @@ object TextAnalysis {
             |END AS kappa_micro""".stripMargin)
     }),
 
+    // CHARACTER-TRIGRAM language ID (Cavnar & Trenkle 1994, "N-Gram-
+    // Based Text Categorization") — the REAL lang-ID tier above
+    // q_lang_id's marker words: each language's profile is its top-30
+    // char trigrams ranked by corpus frequency; a doc is scored
+    // against every profile by OUT-OF-PLACE distance (Σ |doc rank −
+    // profile rank|, missing trigram = max penalty 30) and takes the
+    // argmin. Profiles train on the corpus's own labels — the
+    // operator is the scoring machinery, which is what ships (real
+    // profiles are a side artifact exactly like the IVF codebook).
+    // All ranks/distances are exact integers (row_number with full
+    // tiebreaks), argmin via first-rank window with lang tiebreak.
+    //
+    // Scale posture: trigram extraction is map-only; shuffles carry
+    // (doc, trigram) / (lang, trigram) pairs — text never shuffles.
+    // The lang-profile table is ≤ langs×30 rows (broadcast); the doc
+    // side keeps only its top-20 trigrams before the 5-langs-per-
+    // trigram expansion, so the scoring join is 100·langs rows per doc
+    // regardless of doc length.
+    "q_langid_trigram" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 30; val M = 20
+      val tris = Tables.documents(s, d)
+        .selectExpr("doc_id", "lang",
+          "explode(transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))) AS tri")
+      val langProf = tris.groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("c"))
+        .withColumn("r_lang", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tri"))))
+        .filter(col("r_lang") <= K)
+        .select(col("lang").as("p_lang"), col("tri"), col("r_lang"))
+      val docProf = tris.groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c"))
+        .withColumn("r_doc", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("tri"))))
+        .filter(col("r_doc") <= M)
+        .select(col("doc_id"), col("tri"), col("r_doc"))
+      val langs = tris.select(col("lang").as("p_lang")).distinct()
+      val scored = docProf
+        .crossJoin(broadcast(langs))
+        .join(broadcast(langProf), Seq("p_lang", "tri"), "left")
+        .groupBy(col("doc_id"), col("p_lang"))
+        .agg(sum(coalesce(expr("CAST(abs(r_doc - r_lang) AS BIGINT)"), lit(K.toLong))).as("dist"))
+      val best = scored.withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("dist"), col("p_lang"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("p_lang").as("pred_lang"), col("dist"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(best, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("pred_lang"),
+          (col("lang") === col("pred_lang")).as("correct"), col("dist"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TOKENIZER FERTILITY comparison — tokens-per-word and
     // bytes-per-token across the SQL-expressible tokenizer proxies
     // (whitespace words, the [a-z]+ regex word tokens, the len/4
@@ -1296,6 +1347,40 @@ object TextAnalysis {
          |    ELSE -(((pe_micro - po_micro) * 1000000) // (1000000 - pe_micro))
          |  END AS kappa_micro
          |FROM q""".stripMargin,
+
+    "q_langid_trigram" ->
+      """WITH tris AS (
+        |  SELECT doc_id, lang, unnest(list_transform(
+        |    range(1, greatest(len(text) - 2, 0) + 1), i -> substr(text, i, 3))) AS tri
+        |  FROM documents),
+        |lp AS (
+        |  SELECT lang AS p_lang, tri, r_lang FROM (
+        |    SELECT lang, tri, row_number() OVER (
+        |      PARTITION BY lang ORDER BY count(*) DESC, tri) AS r_lang
+        |    FROM tris GROUP BY lang, tri)
+        |  WHERE r_lang <= 30),
+        |dp AS (
+        |  SELECT doc_id, tri, r_doc FROM (
+        |    SELECT doc_id, tri, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY count(*) DESC, tri) AS r_doc
+        |    FROM tris GROUP BY doc_id, tri)
+        |  WHERE r_doc <= 20),
+        |langs AS (SELECT DISTINCT lang AS p_lang FROM tris),
+        |scored AS (
+        |  SELECT dp.doc_id, langs.p_lang,
+        |    CAST(sum(coalesce(abs(dp.r_doc - lp.r_lang), 30)) AS BIGINT) AS dist
+        |  FROM dp CROSS JOIN langs
+        |  LEFT JOIN lp ON lp.p_lang = langs.p_lang AND lp.tri = dp.tri
+        |  GROUP BY dp.doc_id, langs.p_lang),
+        |best AS (
+        |  SELECT doc_id, p_lang AS pred_lang, dist FROM (
+        |    SELECT doc_id, p_lang, dist, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY dist, p_lang) AS rk
+        |    FROM scored)
+        |  WHERE rk = 1)
+        |SELECT d.doc_id, d.lang, b.pred_lang, d.lang = b.pred_lang AS correct, b.dist
+        |FROM documents d JOIN best b ON b.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_tokenizer_fertility" ->
       """WITH t AS (

@@ -532,6 +532,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kappa >= -1000000L && kappa <= 1000000L)
   }
 
+  test("q_langid_trigram: out-of-place scoring matches an independent driver recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def tris(t: String): Seq[String] =
+      (1 to math.max(t.length - 2, 0)).map(i => t.substring(i - 1, i + 2))
+    // lang profiles: top-30 by (count desc, tri asc)
+    val langProf: Map[String, Map[String, Int]] =
+      docs.groupBy(_._2).map { case (lang, ds) =>
+        val counts = ds.flatMap(d => tris(d._3)).groupBy(identity)
+          .map { case (k, v) => (k, v.length) }
+        val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(30)
+          .zipWithIndex.map { case ((t, _), i) => t -> (i + 1) }.toMap
+        lang -> ranked
+      }
+    val langs = docs.map(_._2).distinct.sorted
+    val expected = docs.map { case (id, lang, text) =>
+      val counts = tris(text).groupBy(identity).map { case (k, v) => (k, v.length) }
+      val docTop = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+        .zipWithIndex.map { case ((t, _), i) => t -> (i + 1) }
+      val scoredByLang = langs.map { pl =>
+        val prof = langProf(pl)
+        val dist = docTop.map { case (t, rd) =>
+          prof.get(t).map(rl => math.abs(rd - rl).toLong).getOrElse(30L)
+        }.sum
+        (pl, dist)
+      }
+      val (pred, dist) = scoredByLang.minBy { case (pl, ds) => (ds, pl) }
+      (id, lang, pred, lang == pred, dist)
+    }.sortBy(_._1)
+    val got = TextAnalysis.queries("q_langid_trigram")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == expected.toSeq, "trigram lang-ID diverges from the driver recompute")
+    // NOTE: the fixture's text is the same synthetic vocabulary for
+    // every lang label, so accuracy ~ chance is EXPECTED here — the
+    // operator contract is the exact scoring trajectory, which the
+    // oracle and this recompute both pin
+  }
+
   test("q_kneser_ney: per-context probabilities are a proper discounted distribution") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).selectExpr("doc_id", "split(text, ' ') AS tk")
