@@ -358,6 +358,60 @@ object EventStreams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class CdcEvent(key: Long, seq: Long, op: String, value: Double)
+  case class CdcRow(key: Long, seq: Long, op: String, value: Double, deleted: Boolean)
+
+  /** STREAMING CDC APPLY — the online twin of q_cdc_apply's batch
+    * max_by fold: a change log (I/U/D keyed by primary key, ordered by
+    * a source sequence number) materializes into current row state as
+    * it streams in. Per-key `transformWithState` ValueState holds ONE
+    * row: (latest seq, op, value) — the seq GUARD (apply only if seq >
+    * state.seq) makes the operator idempotent under replay and correct
+    * under arbitrary reordering: a late-arriving stale update can
+    * never overwrite a newer row, and a delete tombstone is never
+    * resurrected by an earlier-seq event that arrives after it. That
+    * last-writer-wins-by-SOURCE-seq semantics (not arrival order) is
+    * exactly the batch query's max_by(_, seq), so the streamed
+    * materialization converges to the batch answer on any
+    * batching/ordering of the same log — the spec proves it on a
+    * scrambled two-batch feed.
+    *
+    * Scale posture: state is one fixed-size row per live key (the
+    * materialized table itself, which any CDC consumer must hold
+    * somewhere); tombstones stay as state so the guard survives —
+    * production ages them out with a TTL sized to the source's
+    * maximum replay horizon.
+    */
+  class CdcApplyProcessor
+      extends StatefulProcessor[Long, CdcEvent, CdcRow] {
+    @transient private var row: ValueState[CdcRow] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      row = getHandle.getValueState[CdcRow]("row",
+        org.apache.spark.sql.Encoders.product[CdcRow], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[CdcEvent],
+                                 timerValues: TimerValues): Iterator[CdcRow] = {
+      var cur = if (row.exists()) Some(row.get()) else None
+      // in-batch order by seq: deterministic regardless of shuffle order
+      rows.toSeq.sortBy(_.seq).foreach { e =>
+        if (cur.forall(_.seq < e.seq))
+          cur = Some(CdcRow(key, e.seq, e.op, e.value, e.op == "D"))
+      }
+      cur match {
+        case Some(r) => row.update(r); Iterator.single(r)
+        case None    => Iterator.empty
+      }
+    }
+  }
+
+  /** Materialize a CDC change stream into per-key current rows; emits
+    * each key's latest state every micro-batch it changes in. */
+  def cdcApplyTws(log: Dataset[CdcEvent]): Dataset[CdcRow] = {
+    import log.sparkSession.implicits._
+    log.groupByKey(_.key)
+      .transformWithState(new CdcApplyProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class GkEntry(v: Double, g: Long, delta: Long)
   case class GkSketch(shard: Long, n: Long, entries: Seq[GkEntry])
 

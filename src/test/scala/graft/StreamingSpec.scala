@@ -452,6 +452,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CDC apply converges to the batch max_by fold on a scrambled feed") {
+    val conf = spark.conf
+    val prev = try Some(conf.get("spark.sql.streaming.stateStore.providerClass"))
+    catch { case _: Throwable => None }
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      // the q_cdc_apply log derivation, scrambled by a fixed
+      // multiplicative permutation and split across two batches —
+      // arrival order is deliberately NOT seq order
+      val log = Tables.orders(spark, sf).select(
+          col("o_custkey").as("key"), col("o_orderkey").as("seq"),
+          when(col("o_orderkey") % 11 === 0, "D").otherwise("U").as("op"),
+          col("o_totalprice").as("value"))
+        .as[EventStreams.CdcEvent].collect()
+        .sortBy(e => (e.seq * 997) % 1009)
+      val input = MemoryStream[EventStreams.CdcEvent](spark)
+      val q = EventStreams.cdcApplyTws(input.toDS())
+        .writeStream.format("memory").queryName("cdc_out").outputMode("update").start()
+      try {
+        val (b1, b2) = log.splitAt(log.length / 2)
+        input.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+        input.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+        val got = spark.table("cdc_out").as[EventStreams.CdcRow].collect()
+          .groupBy(_.key).map(_._2.maxBy(_.seq)).toSeq
+          .map(r => (r.key, r.seq, r.op, r.value, r.deleted)).sortBy(_._1)
+        val expected = log.groupBy(_.key).map { case (k, es) =>
+          val last = es.maxBy(_.seq)
+          (k, last.seq, last.op, last.value, last.op == "D")
+        }.toSeq.sortBy(_._1)
+        assert(got == expected, "streamed materialization diverges from batch max_by")
+        // the guard must have seen out-of-order input for this to mean
+        // anything: assert the scramble actually inverted some pairs
+        val inverted = b1.sliding(2).count(p => p.length == 2 && p(0).seq > p(1).seq)
+        assert(inverted > 0, "feed was accidentally seq-ordered — scramble broken")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming GK quantiles: rank error ≤ εn across batches, bounded state") {
     val conf = spark.conf
     val prev = try Some(conf.get("spark.sql.streaming.stateStore.providerClass"))
