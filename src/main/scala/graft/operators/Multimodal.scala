@@ -131,6 +131,42 @@ object Multimodal {
     }
   }
 
+  /** Verified pHash near-dup pairs (hamming ≤ 3) over the
+    * media-payload corpus (documents ∪ every-6th near-copy) — Manku
+    * 4×8-bit chunk blocking, first-equal-chunk emission, exact
+    * bit_count verify. Shared by q_media_phash (the pair bank) and
+    * q_media_cluster (its connected-component closure). */
+  private def phashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).selectExpr("doc_id", "text")
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 6 === 0)
+        .selectExpr("doc_id + 1000000 AS doc_id",
+          "concat('x', substr(text, 2)) AS text"))
+      .selectExpr("doc_id", "cast(text as binary) AS payload", "'bin' AS lang")
+      .as[MediaRow]
+    val sigs = phashed(corpus).toDF()
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      explode(expr("sequence(0, 3)")).as("c"))
+      .withColumn("cv", expr("shiftright(sig, cast(c * 8 as int)) & 255"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.sig").as("ha"), col("y.sig").as("hb"), col("x.c").as("c"))
+      .filter(expr(
+        """c = 0
+          |OR (c = 1 AND (ha & 255) != (hb & 255))
+          |OR (c = 2 AND (ha & 255) != (hb & 255)
+          |    AND (shiftright(ha, 8) & 255) != (shiftright(hb, 8) & 255))
+          |OR (c = 3 AND (ha & 255) != (hb & 255)
+          |    AND (shiftright(ha, 8) & 255) != (shiftright(hb, 8) & 255)
+          |    AND (shiftright(ha, 16) & 255) != (shiftright(hb, 16) & 255))""".stripMargin))
+      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Binary column plumbing: payload sizes + headers, SQL-checkable.
     "q_media_bytes" -> ((s, d) =>
@@ -200,36 +236,47 @@ object Multimodal {
     // slightly-corrupted copy of the same asset. 100 TB posture:
     // signatures are 8 bytes/payload, the join ships (chunk, value)
     // keys — payload bytes never shuffle.
-    "q_media_phash" -> ((s, d) => {
-      import s.implicits._
-      val docs = Tables.documents(s, d).selectExpr("doc_id", "text")
-      val corpus = docs.unionByName(
-        docs.filter(col("doc_id") % 6 === 0)
-          .selectExpr("doc_id + 1000000 AS doc_id",
-            "concat('x', substr(text, 2)) AS text"))
-        .selectExpr("doc_id", "cast(text as binary) AS payload", "'bin' AS lang")
-        .as[MediaRow]
-      val sigs = phashed(corpus).toDF()
-      val chunks = sigs.select(col("doc_id"), col("sig"),
-        explode(expr("sequence(0, 3)")).as("c"))
-        .withColumn("cv", expr("shiftright(sig, cast(c * 8 as int)) & 255"))
-      chunks.as("x").join(chunks.as("y"),
-          col("x.c") === col("y.c") && col("x.cv") === col("y.cv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-          col("x.sig").as("ha"), col("y.sig").as("hb"), col("x.c").as("c"))
-        .filter(expr(
-          """c = 0
-            |OR (c = 1 AND (ha & 255) != (hb & 255))
-            |OR (c = 2 AND (ha & 255) != (hb & 255)
-            |    AND (shiftright(ha, 8) & 255) != (shiftright(hb, 8) & 255))
-            |OR (c = 3 AND (ha & 255) != (hb & 255)
-            |    AND (shiftright(ha, 8) & 255) != (shiftright(hb, 8) & 255)
-            |    AND (shiftright(ha, 16) & 255) != (shiftright(hb, 16) & 255))""".stripMargin))
-        .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
-        .filter(col("hamming") <= 3)
-        .select(col("a_id"), col("b_id"), col("hamming"))
-        .orderBy(col("a_id"), col("b_id"))
+    "q_media_phash" -> ((s, d) =>
+      phashPairs(s, d).orderBy(col("a_id"), col("b_id"))),
+
+
+    // Perceptual-hash DEDUP CLUSTERING — the multimodal twin of
+    // q_dedup_cluster: verified hamming ≤ 3 pairs become undirected
+    // edges, connected components ride the SAME alternating
+    // large-star/small-star engine (Graph.alternatingStar, O(log² n)
+    // join-free rounds), every media row gets its component label
+    // (singletons via left join, label = min doc_id), and the
+    // canonical flag marks the keeper. This is the delete-list
+    // generator for image/video near-dups — pair detection alone
+    // (q_media_phash) can't say "keep one per group" when dups chain
+    // A~B~C. Shuffles carry 32-bit signatures and ids; payload bytes
+    // never move. Oracle: brute-force pair bank + recursive-CTE
+    // closure (the q_dedup_cluster recipe).
+    "q_media_cluster" -> ((s, d) => {
+      val e = phashPairs(s, d)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+        .localCheckpoint()
+      // the NearDup.clusterLabels convergence schedule: geometric
+      // round chunks, one driver-side fixpoint probe per chunk
+      var chunk = 3; var total = 0
+      var star = Graph.alternatingStar(e, chunk).localCheckpoint()
+      total += chunk
+      var converged = Graph.starConverged(star)
+      while (!converged && total < 96) {
+        chunk *= 2
+        star = Graph.alternatingStar(star, chunk).localCheckpoint()
+        total += chunk
+        converged = Graph.starConverged(star)
+      }
+      require(converged, s"media CC did not converge in $total round pairs")
+      val docs = Tables.documents(s, d).selectExpr("doc_id")
+      val all = docs.unionByName(
+        docs.filter(col("doc_id") % 6 === 0).selectExpr("doc_id + 1000000 AS doc_id"))
+      all.join(star.select(col("u").as("doc_id"), col("v").as("root")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
+        .withColumn("canonical", col("cluster_id") === col("doc_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // Metadata rollup after decode: the relational side of multimodal.
@@ -275,6 +322,51 @@ object Multimodal {
         |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.sig, y.sig)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Brute-force pHash pair bank + recursive transitive closure (the
+    // q_dedup_cluster oracle recipe) — min reachable id per node.
+    "q_media_cluster" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'x' || substr(text, 2) AS text
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |bytes AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ''), c -> ascii(c)) AS bs,
+        |    octet_length(encode(text)) // 32 AS w
+        |  FROM corpus),
+        |blocks AS (
+        |  SELECT doc_id, w,
+        |    list_transform(range(0, 32), k ->
+        |      CAST(list_aggregate(list_slice(bs, k * w + 1, k * w + w), 'sum') AS BIGINT)) AS sums
+        |  FROM bytes),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN w = 0 THEN 0 ELSE
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 32), k ->
+        |        CASE WHEN 32 * sums[k + 1] > list_aggregate(sums, 'sum')
+        |             THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END)),
+        |        (a, b) -> a + b)
+        |    END AS sig
+        |  FROM blocks),
+        |pairs AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.sig, y.sig)) <= 3),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+        |SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS cluster_id,
+        |  coalesce(l.cluster_id, c.doc_id) = c.doc_id AS canonical
+        |FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     // DuckDB: VARCHAR → BLOB is encode(); BLOBs don't slice, so the
     // 4-byte magic is substring of the full hex (2 hex chars/byte).

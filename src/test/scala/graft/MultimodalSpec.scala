@@ -50,4 +50,37 @@ class MultimodalSpec extends SparkSpec {
     // symmetric sanity: every reported pair is a < b and within threshold
     assert(pairs.forall(p => p._1 < p._2 && p._3 <= 3))
   }
+
+  test("q_media_cluster: labels are the transitive closure of the pHash pairs") {
+    import spark.implicits._
+    val pairs = Multimodal.queries("q_media_phash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Multimodal.queries("q_media_cluster")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = labels.map(l => l._1 -> l._2).toMap
+    // every pair's endpoints share a cluster; label = min member
+    pairs.foreach { case (a, b) =>
+      assert(byId(a) == byId(b), s"pair ($a,$b) split across clusters")
+    }
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid label is not its min member")
+      assert(members.count(_._3) == 1 && members.find(_._3).get._1 == cid,
+        s"cluster $cid canonical flag wrong")
+    }
+    // a driver-side union-find over the pairs yields the same partition
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    labels.foreach { case (id, cid, _) =>
+      val expected = if (parent.contains(id) || pairs.exists(p => p._1 == id || p._2 == id))
+        find(id) else id
+      assert(cid == expected, s"doc $id label $cid != union-find $expected")
+    }
+  }
 }
