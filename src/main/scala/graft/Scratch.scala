@@ -21,37 +21,33 @@ object Scratch {
     spark.read.parquet(s"$d/region.parquet").count()
 
     import org.apache.spark.sql.functions._
-    graft.functions.VectorFunctions.register(spark)
-    val W = 4
-    val corpus = operators.NearDup.corpus(spark, d)
-    time("corpus count") { corpus.count() }
-    val wh = corpus.selectExpr("doc_id", "word_window_hashes(text, 8) AS wh")
-    time("gram hashes") { wh.selectExpr("sum(size(wh))").collect()(0).getLong(0) }
-    val sel0 = wh.filter(size(col("wh")) >= W)
-      .selectExpr("doc_id",
-        s"array_distinct(transform(sequence(1, greatest(size(wh) - ${W - 1}, 1)), i -> array_min(slice(wh, i, $W)))) AS sel")
-      .select(col("doc_id"), explode(col("sel")).as("fp"))
-    time("sel explode") { sel0.count() }
-    val sel = sel0.persist()
-    time("sel persist build") { sel.count() }
-    val rare = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 100).select(col("fp"))
-    val posting = sel.join(rare, "fp")
-    val pairs = posting.as("x").join(posting.as("y"),
-        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_shared"))
-    time("pairs") { pairs.count() }
-    val hsh = operators.NearDup.withHashedShingles(operators.NearDup.corpus(spark, d))
-      .select(col("doc_id"), col("hs"))
-    time("hsh") { hsh.count() }
-    val fin = pairs
-      .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
-      .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
-      .withColumn("jaccard", expr("jaccard_sorted(ha, hb)"))
-      .filter(col("jaccard") >= 0.6)
-    time("verify") { fin.count() }
-    time("full query") { operators.NearDup.queries("q_dedup_winnow")(spark, d).count() }
+    import org.apache.spark.sql.expressions.Window
+    val K = 30; val M = 20
+    val tcounts = spark.read.parquet(s"$d/documents.parquet")
+      .selectExpr("doc_id", "lang",
+        "explode(transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))) AS tri")
+      .groupBy(col("doc_id"), col("lang"), col("tri")).agg(count(lit(1)).as("c"))
+    time("tcounts") { tcounts.count() }
+    val langProf = tcounts.groupBy(col("lang"), col("tri")).agg(sum(col("c")).as("c"))
+      .withColumn("r_lang", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tri"))))
+      .filter(col("r_lang") <= K)
+      .select(col("lang").as("p_lang"), col("tri"), col("r_lang"))
+    time("langProf") { langProf.count() }
+    val docProf = tcounts
+      .withColumn("r_doc", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("tri"))))
+      .filter(col("r_doc") <= M)
+      .select(col("doc_id"), col("tri"), col("r_doc"))
+    time("docProf") { docProf.count() }
+    val langs = tcounts.select(col("lang").as("p_lang")).distinct()
+    val scored = docProf
+      .crossJoin(broadcast(langs))
+      .join(broadcast(langProf), Seq("p_lang", "tri"), "left")
+      .groupBy(col("doc_id"), col("p_lang"))
+      .agg(sum(coalesce(expr("CAST(abs(r_doc - r_lang) AS BIGINT)"), lit(K.toLong))).as("dist"))
+    time("scored") { scored.count() }
+    time("full query") { SparkEntry.queries("q_langid_trigram")(spark, d).count() }
     spark.stop()
   }
 }

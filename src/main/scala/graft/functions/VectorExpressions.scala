@@ -418,6 +418,11 @@ object VectorFunctions {
   private val lcsBuilder: Seq[Expression] => Expression =
     exprs => LcsTokens(exprs(0), exprs(1))
 
+  private val charNgramsInfo = new ExpressionInfo(
+    classOf[CharNgrams].getName, "char_ngrams")
+  private val charNgramsBuilder: Seq[Expression] => Expression =
+    exprs => CharNgrams(exprs(0), exprs(1))
+
   /** Idempotent registration on an existing session — functions plus
     * the [[RewriteDotProducts]] optimizer rule — usable from any query
     * lambda without rebuilding the session.
@@ -457,6 +462,8 @@ object VectorFunctions {
       "word_window_hashes", windowHashesBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lcs_tokens", lcsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngrams", charNgramsBuilder, "built-in")
   }
 
   /** Session-extension wiring: sessions built with
@@ -480,6 +487,7 @@ object VectorFunctions {
       e.injectFunction((FunctionIdentifier("triangle_credits"), triCreditsInfo, triCreditsBuilder))
       e.injectFunction((FunctionIdentifier("word_window_hashes"), windowHashesInfo, windowHashesBuilder))
       e.injectFunction((FunctionIdentifier("lcs_tokens"), lcsInfo, lcsBuilder))
+      e.injectFunction((FunctionIdentifier("char_ngrams"), charNgramsInfo, charNgramsBuilder))
       e.injectOptimizerRule(_ => RewriteDotProducts)
       e.injectOptimizerRule(_ => RewriteBoundedLevenshtein)
     }

@@ -320,20 +320,31 @@ object TextAnalysis {
     "q_langid_trigram" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val K = 30; val M = 20
-      val tris = Tables.documents(s, d)
-        .selectExpr("doc_id", "lang",
-          "explode(transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))) AS tri")
-      val langProf = tris.groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("c"))
+      // ONE explode + one (doc, tri)-grain aggregate feeds BOTH
+      // profiles: a doc has one lang, so (doc_id, lang, tri) counts
+      // are already the doc profile's grain, and the lang profile is
+      // a second-stage aggregate over this compact table — the
+      // trigram explode (the wide part) runs once, and at 100 TB the
+      // two-stage rollup is the map-side-partial plan you'd want
+      // anyway.
+      graft.functions.VectorFunctions.register(s)
+      val tcounts = Tables.documents(s, d)
+        .selectExpr("doc_id", "lang", "explode(char_ngrams(text, 3)) AS tri")
+        .groupBy(col("doc_id"), col("lang"), col("tri")).agg(count(lit(1)).as("c"))
+      val langProf = tcounts.groupBy(col("lang"), col("tri")).agg(sum(col("c")).as("c"))
         .withColumn("r_lang", row_number().over(
           Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tri"))))
         .filter(col("r_lang") <= K)
         .select(col("lang").as("p_lang"), col("tri"), col("r_lang"))
-      val docProf = tris.groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c"))
+      val docProf = tcounts
         .withColumn("r_doc", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("tri"))))
         .filter(col("r_doc") <= M)
         .select(col("doc_id"), col("tri"), col("r_doc"))
-      val langs = tris.select(col("lang").as("p_lang")).distinct()
+      // candidate-language list from the raw table — routing it
+      // through tcounts would recompute the whole trigram explode for
+      // a 5-row distinct
+      val langs = Tables.documents(s, d).select(col("lang").as("p_lang")).distinct()
       val scored = docProf
         .crossJoin(broadcast(langs))
         .join(broadcast(langProf), Seq("p_lang", "tri"), "left")

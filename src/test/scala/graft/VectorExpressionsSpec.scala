@@ -305,4 +305,32 @@ class VectorExpressionsSpec extends SparkSpec {
       .select(expr("levenshtein(a, b)").as("d")).as[Int].collect().sorted.toSeq
     assert(raw == Seq(0, 2, 3, 25))
   }
+
+  test("char_ngrams equals the per-position substring form, incl. non-ASCII and short strings") {
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq("hello world", "ab", "abc", "", "héllo wörld", "日本語のテスト", "a b")
+      .toDF("t")
+    // reference = the substring form GUARDED to length ≥ n: Spark's
+    // bare sequence(1, stop) DESCENDS when stop < 1 (sequence(1,0) =
+    // [1,0]), so the unguarded transform form emits junk ''-grams for
+    // short strings where DuckDB's range(1, stop) is simply empty —
+    // char_ngrams deliberately has the (correct, oracle-symmetric)
+    // empty behavior
+    Seq(2, 3, 4).foreach { n =>
+      val got = rows.selectExpr(s"char_ngrams(t, $n) AS g").as[Seq[String]].collect()
+      val exp = rows.selectExpr(
+        s"CASE WHEN length(t) >= $n THEN transform(sequence(1, length(t) - ${n - 1}), i -> substring(t, i, $n)) ELSE array() END AS g")
+        .as[Seq[String]].collect()
+      assert(got.toSeq == exp.toSeq, s"n=$n diverges from the substring form")
+    }
+    // corpus-wide parity at fixture scale (the q_langid_trigram input)
+    val corpus = Tables.documents(spark, sf)
+    val a = corpus.selectExpr("explode(char_ngrams(text, 3)) AS tri")
+      .groupBy("tri").count().as[(String, Long)].collect().sortBy(_._1)
+    val b = corpus.selectExpr(
+        "explode(transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))) AS tri")
+      .groupBy("tri").count().as[(String, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "corpus trigram counts diverge")
+  }
 }
