@@ -21,6 +21,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // install functions + optimizer rules before any timing: every
+    // query benches under the same session config, not whichever rules
+    // an earlier query's register() happened to leave behind
+    graft.functions.VectorFunctions.register(spark)
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warm-up
     // Parquet/Hadoop-FS init warm-up (region is 5 rows; nothing is
     // cached) — otherwise the alphabetically-first query absorbs

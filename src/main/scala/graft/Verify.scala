@@ -17,6 +17,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // graft functions + optimizer rules (dot-product fusion, banded
+    // levenshtein, token-count) installed up front so every query runs
+    // under the same session config regardless of map iteration order
+    graft.functions.VectorFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
     // A query that fails at plan/build time must NOT silently vanish
     // from the correctness artifact (round 6: 38 events queries threw

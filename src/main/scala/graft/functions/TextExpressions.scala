@@ -498,3 +498,55 @@ case class CharNgrams(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** `size(split(text, ' '))` without the array: one byte scan counting
+  * 0x20 bytes (+1). Exact for ANY UTF-8 input — multi-byte sequences
+  * never contain 0x20 (continuation bytes are ≥ 0x80) — and matches
+  * `split`'s limit = -1 semantics bit-for-bit (trailing empty strings
+  * count; the empty string has one token). The split form allocates a
+  * UTF8String per token and an array per row just to read its length;
+  * on token-counting hot paths (quality gates, curriculum, budgets,
+  * shard balance — the most common scalar in the corpus bank) this is
+  * pure garbage-collection tax. [[RewriteTokenCount]] installs the
+  * rewrite plan-wide; the expression codegens to an inline loop so it
+  * stays inside whole-stage codegen.
+  */
+case class TokenCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_count"
+
+  override def nullSafeEval(text: Any): Any = {
+    val s = text.asInstanceOf[UTF8String]
+    var cnt = 1
+    var i = 0
+    val n = s.numBytes()
+    while (i < n) { if (s.getByte(i) == 0x20) cnt += 1; i += 1 }
+    cnt
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $s.numBytes();
+         |${ev.value} = 1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($s.getByte($i) == 0x20) ${ev.value}++;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -423,6 +423,11 @@ object VectorFunctions {
   private val charNgramsBuilder: Seq[Expression] => Expression =
     exprs => CharNgrams(exprs(0), exprs(1))
 
+  private val tokenCountInfo = new ExpressionInfo(
+    classOf[TokenCount].getName, "token_count")
+  private val tokenCountBuilder: Seq[Expression] => Expression =
+    exprs => TokenCount(exprs(0))
+
   /** Idempotent registration on an existing session — functions plus
     * the [[RewriteDotProducts]] optimizer rule — usable from any query
     * lambda without rebuilding the session.
@@ -434,6 +439,9 @@ object VectorFunctions {
     if (!spark.experimental.extraOptimizations.contains(RewriteBoundedLevenshtein))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteBoundedLevenshtein
+    if (!spark.experimental.extraOptimizations.contains(RewriteTokenCount))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteTokenCount
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -464,6 +472,8 @@ object VectorFunctions {
       "lcs_tokens", lcsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_ngrams", charNgramsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_count", tokenCountBuilder, "built-in")
   }
 
   /** Session-extension wiring: sessions built with
@@ -488,8 +498,10 @@ object VectorFunctions {
       e.injectFunction((FunctionIdentifier("word_window_hashes"), windowHashesInfo, windowHashesBuilder))
       e.injectFunction((FunctionIdentifier("lcs_tokens"), lcsInfo, lcsBuilder))
       e.injectFunction((FunctionIdentifier("char_ngrams"), charNgramsInfo, charNgramsBuilder))
+      e.injectFunction((FunctionIdentifier("token_count"), tokenCountInfo, tokenCountBuilder))
       e.injectOptimizerRule(_ => RewriteDotProducts)
       e.injectOptimizerRule(_ => RewriteBoundedLevenshtein)
+      e.injectOptimizerRule(_ => RewriteTokenCount)
     }
   }
 }

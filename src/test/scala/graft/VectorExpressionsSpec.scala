@@ -333,4 +333,44 @@ class VectorExpressionsSpec extends SparkSpec {
       .groupBy("tri").count().as[(String, Long)].collect().sortBy(_._1)
     assert(a.toSeq == b.toSeq, "corpus trigram counts diverge")
   }
+
+  test("RewriteTokenCount: size(split(text, ' ')) takes the array-free byte scan, results identical") {
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    // parity on every edge shape: empty, single token, consecutive
+    // spaces (empty tokens count), leading/trailing spaces, multi-byte
+    // UTF-8 (no 0x20 inside sequences)
+    val rows = Seq("", "a", "a b", "a  b", " a b ", "héllo wörld x", "日本 語 テスト", "   ")
+      .toDF("t")
+    val viaSplit = rows.selectExpr("CAST(size(split(t, ' ')) AS INT) AS n").as[Int].collect().toSeq
+    val viaNative = rows.selectExpr("token_count(t) AS n").as[Int].collect().toSeq
+    assert(viaSplit == viaNative, s"split=$viaSplit native=$viaNative")
+    // the rule fires: the optimized plan carries token_count, no split
+    // (a parquet source — literal rows constant-fold away entirely
+    // before any custom rule can be observed)
+    val docs = Tables.documents(spark, sf)
+    val df = docs.selectExpr("size(split(text, ' ')) AS n")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("token_count"), "rewrite did not fire:\n" + opt)
+    assert(!opt.contains("split("), "split survived the rewrite:\n" + opt)
+    // a real regex separator must NOT rewrite
+    val regex = docs.selectExpr("size(split(text, ' +')) AS n")
+    assert(!regex.queryExecution.optimizedPlan.toString.contains("token_count"),
+      "regex separator wrongly rewritten")
+    // a split whose ARRAY is consumed must survive untouched
+    val arr = docs.selectExpr("split(text, ' ') AS a")
+    assert(arr.queryExecution.optimizedPlan.toString.contains("split"),
+      "array-consuming split wrongly rewritten")
+    // null propagates identically
+    val nulls = Seq[Option[String]](None).toDF("t")
+    assert(nulls.selectExpr("size(split(t, ' '))").collect().head.isNullAt(0))
+    assert(nulls.selectExpr("token_count(t)").collect().head.isNullAt(0))
+    // and the native form stays inside whole-stage codegen
+    val df2 = Tables.documents(spark, sf).selectExpr("size(split(text, ' ')) AS n")
+      .filter($"n" > 0)
+    df2.collect()
+    val p = df2.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("token_count")),
+      "token_count fell out of codegen:\n" + p.take(900))
+  }
 }
