@@ -795,6 +795,55 @@ object NearDup {
         .withColumn("recall_micro", expr("(tp * 1000000) DIV truth_n"))
     }),
 
+    // LSH BAND-CONFIGURATION TUNING SWEEP — the third leg of the LSH
+    // self-evaluation triad: q_dedup_recall answers "did we find
+    // them", q_minhash_est answers "is the sketch sound", this
+    // answers "WHICH (bands × rows) config should production run".
+    // For every factorization of the 12-hash signature — (2,6),
+    // (3,4), (4,3), (6,2) — it reports the candidate volume (the
+    // COST axis: every candidate pays an exact verify), the verified
+    // and ground-truth pair counts, and precision/recall in exact
+    // micro. More bands ⇒ S-curve shifts left ⇒ higher recall, more
+    // candidates — this table is where that tradeoff stops being
+    // folklore and becomes a measurement on YOUR corpus. One
+    // signature table feeds all four configs (band keys are slices of
+    // the same 12 minhashes); each config is one band self-join at
+    // signature grain — text never shuffles; the blocked exact truth
+    // is computed once.
+    "q_lsh_tuning" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val truth = jaccardPairs(s, d).select(col("a_id"), col("b_id"))
+      val hsh = withHashedShingles(corpus(s, d)).select(col("doc_id"), col("hs"))
+      val sig = signaturesOf(hsh.filter(size(col("hs")) >= 1))
+      val tn = truth.agg(count(lit(1)).as("truth_n"))
+      val configs = Seq((2, 6), (3, 4), (4, 3), (6, 2))
+      configs.map { case (nb, nr) =>
+        val bands = sig
+          .select(col("doc_id"), explode(expr(s"sequence(0, ${nb - 1})")).as("b"), col("sigs"))
+          .withColumn("bs", expr(s"concat_ws('|', slice(sigs, b * $nr + 1, $nr))"))
+          .select(col("doc_id"), col("b"), col("bs"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.bs") === col("y.bs")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        val verified = cand
+          .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+          .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+          .filter(expr("jaccard_sorted(ha, hb) >= 0.6"))
+          .select(col("a_id"), col("b_id"))
+        val cn = cand.agg(count(lit(1)).as("cand_n"))
+        val vn = verified.agg(count(lit(1)).as("verified_n"))
+        val tp = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("tp"))
+        cn.crossJoin(broadcast(vn)).crossJoin(broadcast(tp)).crossJoin(broadcast(tn))
+          .selectExpr(s"$nb AS bands", s"$nr AS rows_per_band",
+            "cand_n", "verified_n", "truth_n",
+            "CASE WHEN cand_n = 0 THEN 0 ELSE (verified_n * 1000000) DIV cand_n END AS precision_micro",
+            "(tp * 1000000) DIV truth_n AS recall_micro")
+      }.reduce(_ unionByName _).orderBy(col("bands"))
+    }),
+
     // SimHash near-dup: 32-bit signatures, lang-blocked pairs within
     // Hamming distance 3. The pair space is pruned with the classic
     // Manku/Jain/Sarma chunk trick: split the 32-bit signature into 4
@@ -1163,6 +1212,50 @@ object NearDup {
          |WHERE len(list_intersect(sa.hs, sb.hs))
          |      / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.6
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_lsh_tuning" -> {
+      val configs = Seq((2, 6), (3, 4), (4, 3), (6, 2))
+      val perConfig = configs.map { case (nb, nr) =>
+        s"""bands_$nb AS (
+           |  SELECT doc_id, b, array_to_string(sigs[b * $nr + 1 : b * $nr + $nr], '|') AS bs
+           |  FROM (SELECT doc_id, sigs, unnest(range(0, $nb)) AS b FROM sig)),
+           |cand_$nb AS (
+           |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           |  FROM bands_$nb x JOIN bands_$nb y
+           |    ON x.b = y.b AND x.bs = y.bs AND x.doc_id < y.doc_id),
+           |ver_$nb AS (
+           |  SELECT a_id, b_id FROM cand_$nb
+           |  JOIN hsh sa ON sa.doc_id = a_id
+           |  JOIN hsh sb ON sb.doc_id = b_id
+           |  WHERE len(list_intersect(sa.hs, sb.hs))
+           |        / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.6),
+           |stats_$nb AS (
+           |  SELECT $nb AS bands, $nr AS rows_per_band,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM cand_$nb) AS cand_n,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM ver_$nb) AS verified_n,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS truth_n,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+           |       WHERE EXISTS (SELECT 1 FROM cand_$nb c
+           |                     WHERE c.a_id = t.a_id AND c.b_id = t.b_id)) AS tp)""".stripMargin
+      }
+      s"""WITH $corpusSql,
+         |$shinglesSql,
+         |$hshSql,
+         |sig AS (SELECT doc_id, $sigSql AS sigs FROM hsh WHERE len(hs) >= 1),
+         |truth AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM hsh x JOIN hsh y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+         |  WHERE len(list_intersect(x.hs, y.hs))
+         |        / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.6),
+         |${perConfig.mkString(",\n")}
+         |${configs.map { case (nb, _) =>
+        s"""SELECT bands, rows_per_band, cand_n, verified_n, truth_n,
+           |  CASE WHEN cand_n = 0 THEN 0 ELSE (verified_n * 1000000) // cand_n END AS precision_micro,
+           |  (tp * 1000000) // truth_n AS recall_micro
+           |FROM stats_$nb""".stripMargin
+      }.mkString("\nUNION ALL\n")}
+         |ORDER BY bands""".stripMargin
+    },
 
     "q_minhash_est" ->
       s"""WITH $corpusSql,
