@@ -865,6 +865,38 @@ object Pipeline {
           "(n_tokens * 1000000) DIV n_docs AS mean_tokens_micro",
           "(n_gated * 1000000) DIV n_docs AS gated_micro")),
 
+    // CENTRAL differential privacy via the GEOMETRIC MECHANISM (Ghosh
+    // Roughgarden Sundararajan 2009 — the discrete Laplace): the
+    // (lang × length-bucket) histogram published with two-sided
+    // geometric noise, α = 1/2 ⇒ ε = ln 2 per cell. q_dp_response is
+    // the LOCAL tier (noise per record, no trusted aggregator); this
+    // is the central tier (exact aggregate + calibrated noise at
+    // publish time) — together they bracket how production publishes
+    // counts. The noise is ALL-INTEGER and hash-replayable: per cell,
+    // h = universal hash of the cell id; sign = lowest bit; magnitude
+    // = TRAILING-ONES of h>>1, isolated with the two's-complement
+    // identity (~x) & (x+1) = 1 << trailing_ones(x), so
+    // bit_count(that − 1) samples Geometric(1/2) exactly — no log, no
+    // float, identical in both engines. One partial-agg'd histogram
+    // aggregate; noise is a map over the matrix-sized cell table.
+    "q_dp_histogram" -> ((s, d) => {
+      val idx = "CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2 " +
+        "WHEN 'fr' THEN 3 ELSE 4 END"
+      Tables.documents(s, d)
+        .selectExpr("lang",
+          "((CAST(size(split(text, ' ')) AS BIGINT) + 15) DIV 16) * 16 AS bucket_len")
+        .groupBy(col("lang"), col("bucket_len"))
+        .agg(count(lit(1)).as("n_true"))
+        .withColumn("cell_id", expr(s"bucket_len * 7 + $idx"))
+        .withColumn("h", expr(h("cell_id", A2, B2)))
+        .withColumn("sign", expr("CASE WHEN (h & 1) = 1 THEN 1 ELSE -1 END"))
+        .withColumn("mag", expr(
+          "CAST(bit_count(((~(h DIV 2)) & ((h DIV 2) + 1)) - 1) AS BIGINT)"))
+        .selectExpr("lang", "bucket_len", "n_true",
+          "sign * mag AS noise", "n_true + sign * mag AS n_noisy")
+        .orderBy(col("lang"), col("bucket_len"))
+    }),
+
     // COMPETENCE-BASED curriculum schedule (Platanios et al. 2019,
     // "Competence-based Curriculum Learning for NMT"): training
     // proceeds in phases whose competence c(t) = t/4 admits the
@@ -1234,6 +1266,28 @@ object Pipeline {
         |  (n_tokens * 1000000) // n_docs AS mean_tokens_micro,
         |  (n_gated * 1000000) // n_docs AS gated_micro
         |FROM g""".stripMargin,
+
+    "q_dp_histogram" -> {
+      val idx = "CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2 " +
+        "WHEN 'fr' THEN 3 ELSE 4 END"
+      s"""WITH hist AS (
+         |  SELECT lang,
+         |    ((CAST(len(string_split(text, ' ')) AS BIGINT) + 15) // 16) * 16 AS bucket_len,
+         |    CAST(count(*) AS BIGINT) AS n_true
+         |  FROM documents GROUP BY 1, 2),
+         |keyed AS (
+         |  SELECT lang, bucket_len, n_true,
+         |    ${h(s"(bucket_len * 7 + $idx)", A2, B2)} AS h
+         |  FROM hist),
+         |noised AS (
+         |  SELECT lang, bucket_len, n_true,
+         |    CASE WHEN (h & 1) = 1 THEN 1 ELSE -1 END AS sign,
+         |    CAST(bit_count(((~(h // 2)) & ((h // 2) + 1)) - 1) AS BIGINT) AS mag
+         |  FROM keyed)
+         |SELECT lang, bucket_len, n_true, sign * mag AS noise,
+         |  n_true + sign * mag AS n_noisy
+         |FROM noised ORDER BY lang, bucket_len""".stripMargin
+    },
 
     "q_curriculum" ->
       """WITH ranked AS (

@@ -516,6 +516,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q_dp_histogram: geometric noise recomputes from the hash bit trick; replayable") {
+    import spark.implicits._
+    val out = Pipeline.queries("q_dp_histogram")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.nonEmpty)
+    val P = 2147483647L; val A2 = 1803301271L; val B2 = 592394837L
+    val langIdx = Map("de" -> 0L, "en" -> 1L, "es" -> 2L, "fr" -> 3L).withDefaultValue(4L)
+    out.foreach { case (lang, bl, nTrue, noise, nNoisy) =>
+      val cell = bl * 7 + langIdx(lang)
+      val h = (A2 * (cell % P) + B2) % P
+      val sign = if ((h & 1L) == 1L) 1L else -1L
+      val x = h / 2
+      val mag = java.lang.Long.bitCount(((~x) & (x + 1)) - 1).toLong
+      assert(noise == sign * mag, s"cell ($lang,$bl) noise $noise != recompute ${sign * mag}")
+      assert(nNoisy == nTrue + noise)
+    }
+    // geometric(1/2) magnitudes: P(mag = 0) = 1/2 — about half the
+    // cells carry zero-magnitude noise, and large magnitudes are rare
+    val zeros = out.count(_._4 == 0)
+    assert(zeros >= out.length / 5, s"too few zero-noise cells: $zeros/${out.length}")
+    assert(out.forall(r => math.abs(r._4) <= 31), "magnitude beyond any plausible draw")
+    // replayable: a second run is bit-identical
+    val again = Pipeline.queries("q_dp_histogram")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("q_curriculum: schedule is a monotone partition reaching full coverage") {
     import spark.implicits._
     val out = Pipeline.queries("q_curriculum")(spark, sf)
