@@ -522,6 +522,33 @@ object RelationalExt {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // RECURSIVE CTE (Spark 4's UnionLoop operator — SQL-standard
+    // WITH RECURSIVE): each customer's ancestor chain in the synthetic
+    // halving hierarchy parent(k) = k DIV 2, rolled up to depth and
+    // chain mass per customer. This is the SQL-surface recursion a
+    // warehouse user expects for bounded-depth hierarchies (org
+    // charts, BOM levels, referral trees): the loop materializes one
+    // frame per level, so the cost is depth × scan — right for
+    // log-depth trees. For UNBOUNDED closure (web-scale dup graphs)
+    // the alternating-star CC remains the plan: O(log² n) rounds of
+    // shrinking edge frames, not depth-many full-frontier unions —
+    // the comparison q_concomp/q_dedup_cluster already encode.
+    // Oracle = the SAME SQL text in DuckDB (DIV spelled //, sum cast
+    // out of HUGEINT), so the recursion trajectory itself is
+    // hash-compared.
+    "q_recursive_cte" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_custkey"))
+        .createOrReplaceTempView("rc_customer")
+      s.sql(
+        """WITH RECURSIVE chain(k, anc, depth) AS (
+          |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM rc_customer
+          |  UNION ALL
+          |  SELECT k, anc DIV 2, depth + 1 FROM chain WHERE anc > 1)
+          |SELECT k AS c_custkey, max(depth) AS depth,
+          |  CAST(sum(anc) AS BIGINT) AS chain_sum
+          |FROM chain GROUP BY k ORDER BY c_custkey""".stripMargin)
+    }),
+
     // RANGE-mode window frame: the frame is a VALUE interval (all peers
     // within 50.0 below the current row's value), not a row count —
     // tie-safe by construction because RANGE includes all peers.
@@ -1204,6 +1231,15 @@ object RelationalExt {
         |         FROM orders o WHERE o.o_custkey = c.c_custkey) t
         |WHERE t.n_orders > 0
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_recursive_cte" ->
+      """WITH RECURSIVE chain(k, anc, depth) AS (
+        |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer
+        |  UNION ALL
+        |  SELECT k, anc // 2, depth + 1 FROM chain WHERE anc > 1)
+        |SELECT k AS c_custkey, CAST(max(depth) AS BIGINT) AS depth,
+        |  CAST(sum(anc) AS BIGINT) AS chain_sum
+        |FROM chain GROUP BY k ORDER BY c_custkey""".stripMargin,
 
     "q_window_range" ->
       """SELECT event_id, event_type, round(value, 2) AS value,
