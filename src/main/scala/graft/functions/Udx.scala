@@ -122,6 +122,26 @@ object Udx {
         .orderBy(col("doc_id"))
     }),
 
+    // DECLARATIVE SQL UDF (Spark 4's CREATE FUNCTION ... RETURN —
+    // SQL-standard scalar functions with a SQL body): the token count
+    // via the replace identity, declared once and reused inside a
+    // per-language rollup. Unlike a Scala UDF the body is a Catalyst
+    // expression tree — it inlines into the plan, stays inside
+    // whole-stage codegen, and the optimizer sees through it (no
+    // black-box boundary, no serialization). The oracle inlines the
+    // identical arithmetic, so the surface is hash-compared.
+    "q_sql_udf" -> ((s, d) => {
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_ntok(t STRING)
+              |RETURNS BIGINT
+              |RETURN CAST(length(t) - length(replace(t, ' ', '')) + 1 AS BIGINT)""".stripMargin)
+      Tables.documents(s, d).createOrReplaceTempView("sqludf_docs")
+      s.sql(
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(graft_ntok(text)) AS BIGINT) AS n_tokens,
+          |  (CAST(sum(graft_ntok(text)) AS BIGINT) * 1000000) DIV count(*) AS mean_micro
+          |FROM sqludf_docs GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     // Typed Aggregator UDAF: first event type per user.
     "q_udaf_first" -> ((s, d) => {
       import s.implicits._
@@ -183,6 +203,16 @@ object Udx {
       """SELECT doc_id,
         | 'user_token_' || replace(replace('user' || CAST(doc_id % 20 AS VARCHAR) || '@example.com', '@', '_'), '.', '_') || '.json' AS token_file
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sql_udf" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS ntok
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  (CAST(sum(ntok) AS BIGINT) * 1000000) // count(*) AS mean_micro
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_udaf_first" ->
       """SELECT user_id, event_type AS first_type FROM (

@@ -227,6 +227,34 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // SEMI-STRUCTURED ingestion through Spark 4's VARIANT type: the
+    // payload parses ONCE (parse_json → the binary variant encoding)
+    // and every path extraction reads the parsed tree — vs q_json's
+    // get_json_object, which re-parses the string per path. At 100 TB
+    // of event payloads that difference is the scan bill: one parse +
+    // n cheap typed gets instead of n parses. Paths cover nested
+    // object and array-index access with typed extraction; the JSON
+    // itself is built deterministically from integer columns so the
+    // whole trajectory hash-compares against DuckDB's JSON operators.
+    "q_variant" -> ((s, d) => {
+      Tables.orders(s, d)
+        .selectExpr(
+          """concat('{"cust": ', o_custkey,
+            |', "meta": {"status": "', o_orderstatus,
+            |'", "pri": ', o_orderkey % 10,
+            |'}, "tags": ["t', o_orderkey % 3, '", "x"]}') AS js""".stripMargin.replace("\n", ""))
+        .selectExpr("parse_json(js) AS v")
+        .selectExpr(
+          "CAST(variant_get(v, '$.cust', 'bigint') AS BIGINT) AS cust",
+          "CAST(variant_get(v, '$.meta.status', 'string') AS STRING) AS status",
+          "CAST(variant_get(v, '$.meta.pri', 'bigint') AS BIGINT) AS pri",
+          "CAST(variant_get(v, '$.tags[0]', 'string') AS STRING) AS tag0")
+        .groupBy(col("status"), col("tag0"))
+        .agg(count(lit(1)).as("n"), sum(col("pri")).as("sum_pri"),
+          countDistinct(col("cust")).as("n_cust"))
+        .orderBy(col("status"), col("tag0"))
+    }),
+
     // Single-column projected scan + distinct (Q-scan-ids/Q-distinct):
     // column pruning reaches the parquet reader (ReadSchema is 1 col).
     "q_scan_project" -> ((s, d) => {
@@ -367,6 +395,24 @@ object Relational {
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_variant" ->
+      """WITH j AS (
+        |  SELECT '{"cust": ' || o_custkey ||
+        |    ', "meta": {"status": "' || o_orderstatus ||
+        |    '", "pri": ' || (o_orderkey % 10) ||
+        |    '}, "tags": ["t' || (o_orderkey % 3) || '", "x"]}' AS js
+        |  FROM orders),
+        |x AS (
+        |  SELECT CAST(json_extract(js, '$.cust') AS BIGINT) AS cust,
+        |    json_extract_string(js, '$.meta.status') AS status,
+        |    CAST(json_extract(js, '$.meta.pri') AS BIGINT) AS pri,
+        |    json_extract_string(js, '$.tags[0]') AS tag0
+        |  FROM j)
+        |SELECT status, tag0, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pri) AS BIGINT) AS sum_pri,
+        |  CAST(count(DISTINCT cust) AS BIGINT) AS n_cust
+        |FROM x GROUP BY status, tag0 ORDER BY status, tag0""".stripMargin,
 
     "q_scan_project" ->
       "SELECT DISTINCT o_custkey AS id FROM orders ORDER BY id",
