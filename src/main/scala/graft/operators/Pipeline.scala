@@ -839,6 +839,40 @@ object Pipeline {
         .orderBy(col("shard"))
     }),
 
+    // BLOCK JACKKNIFE variance of a corpus statistic (Quenouille/Tukey;
+    // the delete-one-block estimator survey statisticians attach to
+    // every published mean) — the error bar q_dataset_card's
+    // mean-tokens number needs before two snapshots can be compared:
+    // is the drift real or sampling noise? Blocks = the 20 sources
+    // (the natural correlated unit — docs within a source are not
+    // independent, so a doc-grain jackknife would understate the
+    // variance). Leave-one-block-out means in exact micro, variance
+    // numerator (B−1)·Σ(m_i − m̄)²/B in exact micro² — no sqrt, no
+    // float anywhere; consumers compare var·z² against drift². One
+    // source-grain aggregate (20 rows) + arithmetic at block grain.
+    "q_jackknife" -> ((s, d) => {
+      val blocks = Tables.documents(s, d)
+        .selectExpr("source", "CAST(size(split(text, ' ')) AS BIGINT) AS nt")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_b"), sum(col("nt")).as("x_b"))
+      val tot = blocks.agg(
+        count(lit(1)).as("bb"), sum(col("n_b")).as("nn"), sum(col("x_b")).as("tt"))
+      val loo = blocks.crossJoin(broadcast(tot))
+        .selectExpr("bb", "nn", "tt",
+          "((tt - x_b) * 1000000) DIV (nn - n_b) AS m_i")
+      val mbar = loo.groupBy(col("bb"), col("nn"), col("tt"))
+        .agg(sum(col("m_i")).as("sm"), count(lit(1)).as("b2"))
+        .selectExpr("bb", "nn", "tt", "sm DIV bb AS m_bar")
+      loo.join(broadcast(mbar), Seq("bb", "nn", "tt"))
+        .selectExpr("bb", "nn", "tt",
+          "(m_i - m_bar) * (m_i - m_bar) AS sq")
+        .groupBy(col("bb"), col("nn"), col("tt"))
+        .agg(sum(col("sq")).as("ssq"))
+        .selectExpr("nn AS n_docs", "bb AS n_blocks",
+          "(tt * 1000000) DIV nn AS mean_micro",
+          "((bb - 1) * ssq) DIV bb AS jk_var_micro2")
+    }),
+
     // DATASET CARD — the one-row corpus datasheet (Gebru et al. 2021,
     // "Datasheets for Datasets"): scale (docs/tokens/bytes), diversity
     // (language and source cardinalities), hygiene (exact-dup fraction
@@ -1246,6 +1280,27 @@ object Pipeline {
          |  (max_docs * 1000000) // min_docs AS doc_spread_micro,
          |  (max_tokens * 1000000) // min_tokens AS token_spread_micro
          |FROM ps, tot ORDER BY shard""".stripMargin,
+
+    "q_jackknife" ->
+      """WITH blocks AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS x_b
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS bb, CAST(sum(n_b) AS BIGINT) AS nn,
+        |    CAST(sum(x_b) AS BIGINT) AS tt
+        |  FROM blocks),
+        |loo AS (
+        |  SELECT bb, nn, tt, ((tt - x_b) * 1000000) // (nn - n_b) AS m_i
+        |  FROM blocks, tot),
+        |mbar AS (
+        |  SELECT bb, nn, tt, CAST(sum(m_i) AS BIGINT) // bb AS m_bar
+        |  FROM loo GROUP BY bb, nn, tt)
+        |SELECT nn AS n_docs, bb AS n_blocks,
+        |  (tt * 1000000) // nn AS mean_micro,
+        |  ((bb - 1) * CAST(sum((m_i - m_bar) * (m_i - m_bar)) AS BIGINT)) // bb AS jk_var_micro2
+        |FROM loo JOIN mbar USING (bb, nn, tt)
+        |GROUP BY bb, nn, tt""".stripMargin,
 
     "q_dataset_card" ->
       """WITH t AS (
