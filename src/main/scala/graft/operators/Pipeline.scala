@@ -839,6 +839,60 @@ object Pipeline {
         .orderBy(col("shard"))
     }),
 
+    // SNAPSHOT DIFF — the release-reconciliation report between two
+    // corpus versions: per (source, status) counts of added / removed
+    // / changed / unchanged docs, where "changed" is a content-hash
+    // disagreement on a shared id. This is the diff a dataset release
+    // publishes next to its card, and the regression tripwire between
+    // crawl refreshes ("why did src7 lose 40% of its docs?"). The new
+    // snapshot is synthesized deterministically (every 7th doc
+    // dropped, every 5th rewritten, every 11th re-appearing under a
+    // new id) so the oracle replays it. One full-outer join on doc_id
+    // carrying (source, md5) only — text never shuffles — then a
+    // matrix-sized rollup.
+    "q_snapshot_diff" -> ((s, d) => {
+      val old = Tables.documents(s, d)
+        .selectExpr("doc_id", "source", "md5(text) AS fp")
+      val neu = Tables.documents(s, d).filter(col("doc_id") % 7 =!= 0)
+        .selectExpr("doc_id", "source",
+          "md5(CASE WHEN doc_id % 5 = 0 THEN concat(text, ' rev') ELSE text END) AS fp")
+        .unionByName(Tables.documents(s, d).filter(col("doc_id") % 11 === 0)
+          .selectExpr("doc_id + 1000000 AS doc_id", "source", "md5(text) AS fp"))
+      old.select(col("doc_id"), col("source").as("src_a"), col("fp").as("fp_a"))
+        .join(neu.select(col("doc_id"), col("source").as("src_b"), col("fp").as("fp_b")),
+          Seq("doc_id"), "full_outer")
+        .selectExpr("coalesce(src_a, src_b) AS source",
+          """CASE WHEN fp_a IS NULL THEN 'added'
+            |     WHEN fp_b IS NULL THEN 'removed'
+            |     WHEN fp_a = fp_b THEN 'unchanged'
+            |     ELSE 'changed' END AS status""".stripMargin)
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("status"))
+    }),
+
+    // CONTENT MANIFEST — the per-source integrity signature a release
+    // ships so a consumer can verify a copy without re-downloading:
+    // content_sig = Σ (md5-derived 60-bit int of each doc's text)
+    // mod p, a COMMUTATIVE fold (order- and partitioning-independent,
+    // unlike a hash of concatenated text), plus doc/token totals. Two
+    // manifests are equal iff the per-source content multisets agree
+    // (up to the 2⁻⁶⁰ collision budget). One partial-agg'd aggregate
+    // at source grain; the md5 prefix fold is the hshSql recipe.
+    "q_manifest" -> ((s, d) =>
+      Tables.documents(s, d)
+        .selectExpr("source",
+          "CAST(size(split(text, ' ')) AS BIGINT) AS nt",
+          // reduce each 60-bit hash mod p BEFORE the sum: Σ over a
+          // corpus of raw 2⁶⁰ values overflows int64 silently in
+          // Spark and widens to HUGEINT in DuckDB — per-element mod
+          // keeps the fold in-range at any corpus size
+          "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) % 2147483647 AS hsig")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          expr("sum(hsig) % 2147483647").as("content_sig"))
+        .orderBy(col("source"))),
+
     // BLOCK JACKKNIFE variance of a corpus statistic (Quenouille/Tukey;
     // the delete-one-block estimator survey statisticians attach to
     // every published mean) — the error bar q_dataset_card's
@@ -1280,6 +1334,34 @@ object Pipeline {
          |  (max_docs * 1000000) // min_docs AS doc_spread_micro,
          |  (max_tokens * 1000000) // min_tokens AS token_spread_micro
          |FROM ps, tot ORDER BY shard""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, source, md5(text) AS fp FROM documents),
+        |neu AS (
+        |  SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, source, md5(text) AS fp
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT coalesce(old.source, neu.source) AS source,
+        |  CASE WHEN old.fp IS NULL THEN 'added'
+        |       WHEN neu.fp IS NULL THEN 'removed'
+        |       WHEN old.fp = neu.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM old FULL OUTER JOIN neu USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
+
+    "q_manifest" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 16),
+        |        i -> CAST(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) % 2147483647) % 2147483647 AS BIGINT) AS content_sig
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_jackknife" ->
       """WITH blocks AS (
