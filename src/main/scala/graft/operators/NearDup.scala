@@ -809,7 +809,11 @@ object NearDup {
     // signature table feeds all four configs (band keys are slices of
     // the same 12 minhashes); each config is one band self-join at
     // signature grain — text never shuffles; the blocked exact truth
-    // is computed once.
+    // is computed once. At 100 TB the sweep runs on a hash-sampled
+    // slice (the q_sample_hash gate composes in front unchanged) —
+    // recall/precision are ratio estimates, so a 0.1% slice measures
+    // them to ±1% while the full-corpus truth join would dwarf the
+    // dedup run it is tuning.
     "q_lsh_tuning" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
       val truth = jaccardPairs(s, d).select(col("a_id"), col("b_id"))

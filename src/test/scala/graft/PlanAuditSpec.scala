@@ -222,6 +222,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(back.count() === expected)
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // The 100 TB star-join shape: fact partitioned on the join key's
+    // domain, dim filtered AFTER planning — static pruning can't see
+    // the surviving keys, DPP injects them as a runtime subquery
+    // filter on the scan. Both tables land on disk so the planner
+    // treats them as real sources (literal frames constant-fold).
+    val base = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"value", $"event_type")
+      .write.mode("overwrite").partitionBy("event_type").parquet(s"$base/fact")
+    Tables.events(spark, sf).select($"event_type").distinct()
+      .withColumn("dim_flag", ($"event_type" === "click").cast("int"))
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val fact = spark.read.parquet(s"$base/fact")
+    val dim = spark.read.parquet(s"$base/dim").filter($"dim_flag" === 1)
+    val joined = fact.join(dim, "event_type").agg(count(lit(1)).as("n"))
+    val n = joined.collect().head.getLong(0)
+    assert(n == Tables.events(spark, sf).filter($"event_type" === "click").count())
+    val p = plan(joined)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "no dynamic pruning expression on the fact scan:\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("q_decontaminate: eval n-gram set is broadcast, corpus side never shuffled on text") {
     val df = graft.operators.Pipeline.queries("q_decontaminate")(spark, sf)
     df.collect() // let AQE finalize join strategies
