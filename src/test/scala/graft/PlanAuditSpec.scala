@@ -246,6 +246,42 @@ class PlanAuditSpec extends SparkSpec {
         p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
   }
 
+  test("runtime bloom-filter join: a selective dim filter injects might_contain on the fact scan") {
+    // DPP's cousin for NON-partitioned fact columns: when the join is
+    // shuffle-shaped and one side is filtered selectively, the
+    // optimizer builds a bloom filter from the small side and pushes
+    // might_contain onto the big side's scan — rows that cannot join
+    // never enter the shuffle. Thresholds are tuned down because the
+    // fixture is KBs (production defaults: 10 MB creation side); the
+    // structural assertion is what matters at 100 TB.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle-join shape
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_rbf_").toString
+      Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
+        .write.mode("overwrite").parquet(s"$base/fact")
+      Tables.orders(spark, sf).select($"o_orderkey", $"o_orderstatus")
+        .write.mode("overwrite").parquet(s"$base/dim")
+      val fact = spark.read.parquet(s"$base/fact")
+      val dim = spark.read.parquet(s"$base/dim").filter($"o_orderstatus" === "F")
+      val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      joined.collect()
+      val p = plan(joined)
+      assert(p.contains("might_contain") || p.contains("bloomfilter"),
+        "no runtime bloom filter on the fact side:\n" + p.take(1800))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("q_decontaminate: eval n-gram set is broadcast, corpus side never shuffled on text") {
     val df = graft.operators.Pipeline.queries("q_decontaminate")(spark, sf)
     df.collect() // let AQE finalize join strategies
