@@ -282,6 +282,47 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew join: a hot-key partition is split at runtime (skew=true in the final plan)") {
+    // The AUTOMATIC tier of the skew story (q_agg_salted/q_join_salted
+    // are the manual tier a library ships for pre-AQE engines or
+    // aggregate skew): AQE detects an oversized shuffle partition at
+    // runtime and splits it across reducers. Fixture: one key owns
+    // ~90% of the fact side; thresholds tuned to fixture bytes — the
+    // assertion is the structural skew=true marker on the join.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_skew_").toString
+      // hot key 7: ~54k rows; 600 cold keys with 10 rows each
+      spark.range(0, 60000).selectExpr(
+          "CASE WHEN id % 10 < 9 THEN 7L ELSE id % 600 END AS k",
+          "CAST(id AS DOUBLE) AS v",
+          "repeat('x', 64) AS pad")
+        .write.mode("overwrite").parquet(s"$base/fact")
+      spark.range(0, 600).selectExpr("id AS k", "CAST(id % 7 AS STRING) AS tag")
+        .write.mode("overwrite").parquet(s"$base/dim")
+      val fact = spark.read.parquet(s"$base/fact")
+      val dim = spark.read.parquet(s"$base/dim")
+      val joined = fact.join(dim, "k").groupBy($"tag").agg(sum($"v").as("sv"))
+      joined.collect()
+      val p = plan(joined)
+      assert(p.contains("skew=true"),
+        "AQE did not split the hot partition:\n" +
+          p.linesIterator.filter(l => l.contains("Join")).mkString("\n"))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("q_decontaminate: eval n-gram set is broadcast, corpus side never shuffled on text") {
     val df = graft.operators.Pipeline.queries("q_decontaminate")(spark, sf)
     df.collect() // let AQE finalize join strategies
