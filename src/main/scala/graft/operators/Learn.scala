@@ -167,6 +167,44 @@ object Learn {
     // deterministically in the edge bins (0 and 127) in BOTH engines
     // instead of silently diverging. One partial+final aggregate over
     // (bin, pos); nothing collects, text never shuffles.
+    // GAINS / LIFT table — the decile view model reviewers actually
+    // read next to AUC (q_auc) and the calibration curve
+    // (q_calibration): rank docs by classifier score, cut into 10
+    // equal deciles, report per-decile and CUMULATIVE positive rates
+    // and lift vs the base rate. "Top decile captures 2.3× its share
+    // of positives" is the sentence that decides whether a quality
+    // classifier is worth gating on. Deciles come from one total-order
+    // ntile window with the unique (score desc, doc_id) tiebreak —
+    // the q_window_dist posture (exact baseline here; at 100 TB the
+    // cut points come from approx quantiles and the rest is map-only);
+    // the cumulative window runs over the 10-row decile table. All
+    // counts and rates in exact integer micro.
+    "q_lift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val warr = weights.mkString("array(", "L,", "L)")
+      val scored = Tables.documents(s, d)
+        .withColumn("sc", expr(
+          s"aggregate(split(text, ' '), 0L, (acc, t) -> " +
+            s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
+        .select(col("doc_id"), col("sc"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val dec = scored.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("sc").desc, col("doc_id"))).cast("long"))
+      val per = dec.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      val cum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = scored.agg(count(lit(1)).as("tot_n"), sum(col("pos")).as("tot_pos"))
+      per.withColumn("cum_n", sum(col("n")).over(cum))
+        .withColumn("cum_pos", sum(col("n_pos")).over(cum))
+        .crossJoin(broadcast(tot))
+        .selectExpr("decile", "n", "n_pos",
+          "(n_pos * 1000000) DIV n AS pos_rate_micro",
+          "cum_n", "cum_pos",
+          "(cum_pos * tot_n * 1000000) DIV (cum_n * tot_pos) AS cum_lift_micro")
+        .orderBy(col("decile"))
+    }),
+
     "q_calibration" -> ((s, d) => {
       val warr = weights.mkString("array(", "L,", "L)")
       Tables.documents(s, d)
@@ -1080,6 +1118,35 @@ object Learn {
          |      t -> (($duckBucket * 2654435761) % 1000003) % 2001 - 1000)) AS BIGINT) AS score_milli
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_lift" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(string_split(text, ' '),
+         |      t -> (($duckBucket * 2654435761) % 1000003) % 2001 - 1000)) AS BIGINT) AS sc,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents),
+         |dec AS (
+         |  SELECT CAST(ntile(10) OVER (ORDER BY sc DESC, doc_id) AS BIGINT) AS decile,
+         |    pos
+         |  FROM scored),
+         |per AS (
+         |  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(pos) AS BIGINT) AS n_pos
+         |  FROM dec GROUP BY decile),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS tot_n, CAST(sum(pos) AS BIGINT) AS tot_pos
+         |  FROM scored),
+         |cum AS (
+         |  SELECT decile, n, n_pos,
+         |    CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+         |    CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+         |  FROM per)
+         |SELECT decile, n, n_pos,
+         |  (n_pos * 1000000) // n AS pos_rate_micro,
+         |  cum_n, cum_pos,
+         |  (cum_pos * tot_n * 1000000) // (cum_n * tot_pos) AS cum_lift_micro
+         |FROM cum, tot ORDER BY decile""".stripMargin,
 
     "q_calibration" ->
       s"""WITH scored AS (
