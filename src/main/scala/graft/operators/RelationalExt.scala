@@ -414,6 +414,35 @@ object RelationalExt {
           col("p0_r"), col("p1_r"), col("z"))
     }),
 
+    // SAMPLE-RATIO MISMATCH gate (the experimentation-hygiene check
+    // that runs BEFORE q_abtest's z-test is allowed to mean anything;
+    // Fabijan et al. 2019 report ~6% of experiments fail it): χ²
+    // goodness-of-fit of the observed arm split against the declared
+    // 50/50, per assignment scheme. Two schemes audited side by side —
+    // the healthy user_id % 2 split and a deliberately broken
+    // user_id % 10 < 6 split (a bugged bucketing function, the classic
+    // SRM root cause) — so the gate provably fires on the bad one and
+    // stays quiet on the good one. For equal expected counts the χ²
+    // statistic collapses to (n0 − n1)²/(n0 + n1): EXACT integers in
+    // micro, compared against the χ²₁ 95% critical value 3.841 as a
+    // micro literal. One user-grain aggregate per scheme (distinct
+    // users shuffle once; the χ² arithmetic is 1-row).
+    "q_ab_srm" -> ((s, d) => {
+      val users = Tables.events(s, d).select(col("user_id")).distinct()
+      def srm(tag: String, armExpr: String): DataFrame =
+        users.selectExpr(s"$armExpr AS arm")
+          .agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("arm") =!= 0, 1L).otherwise(0L)).as("n1"))
+          .selectExpr(s"'$tag' AS scheme", "n0", "n1",
+            "((n0 - n1) * (n0 - n1) * 1000000) DIV (n0 + n1) AS chi2_micro")
+          .selectExpr("scheme", "n0", "n1", "chi2_micro",
+            "chi2_micro > 3841000 AS srm")
+      srm("mod2", "user_id % 2")
+        .unionByName(srm("biased", "CASE WHEN user_id % 10 < 6 THEN 0 ELSE 1 END"))
+        .orderBy(col("scheme"))
+    }),
+
     // Empirical-Bayes smoothed per-user purchase rate — the
     // smoothed-CTR primitive behind ranking features and cold-start
     // reporting: a raw rate over a handful of events is noise, so
@@ -1026,6 +1055,25 @@ object RelationalExt {
         |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope_milli,
         |  round((sy - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n, 4) AS intercept_milli
         |FROM m ORDER BY event_type""".stripMargin,
+
+    "q_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |m2 AS (
+        |  SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM u),
+        |bi AS (
+        |  SELECT CAST(sum(CASE WHEN user_id % 10 < 6 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 10 >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM u),
+        |rows_ AS (
+        |  SELECT 'mod2' AS scheme, n0, n1 FROM m2
+        |  UNION ALL
+        |  SELECT 'biased' AS scheme, n0, n1 FROM bi)
+        |SELECT scheme, n0, n1,
+        |  ((n0 - n1) * (n0 - n1) * 1000000) // (n0 + n1) AS chi2_micro,
+        |  ((n0 - n1) * (n0 - n1) * 1000000) // (n0 + n1) > 3841000 AS srm
+        |FROM rows_ ORDER BY scheme""".stripMargin,
 
     "q_abtest" ->
       """WITH u AS (
