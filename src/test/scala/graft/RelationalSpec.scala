@@ -38,6 +38,20 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no query emits duplicate or empty column names (driver hash sorts by name)") {
+    // The correctness gate sorts columns BY NAME before hashing — a
+    // duplicate name makes the comparison ambiguous and an empty name
+    // unaddressable, both silently. Schema-only: nothing executes.
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val cols = fn(spark, sf).schema.fieldNames.toSeq
+      val dups = cols.groupBy(identity).collect { case (c, xs) if xs.size > 1 => c }
+      if (dups.nonEmpty || cols.exists(_.trim.isEmpty))
+        Some(s"$name -> ${if (dups.nonEmpty) s"dup: ${dups.mkString(",")}" else "empty name"}")
+      else None
+    }
+    assert(bad.isEmpty, s"ambiguous output schemas: $bad")
+  }
+
   test("top-k plans as TakeOrderedAndProject (no global sort at scale)") {
     val plan = Relational.queries("q_sort_topk")(spark, sf)
       .queryExecution.executedPlan.toString
