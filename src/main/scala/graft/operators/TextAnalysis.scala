@@ -449,6 +449,36 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // CRAWL-SATURATION CURVE — q_ngram_novelty's per-doc profile
+    // rolled up along crawl order (doc_id) into 10 position deciles:
+    // the fraction of each decile's shingle instances seen for the
+    // first time. The curve answers the capacity-planning question
+    // "what does the NEXT 10% of crawl buy" — a corpus nearing
+    // saturation shows the rate collapsing toward its duplication
+    // floor, which is when a pipeline stops paying for more of the
+    // same source. Division-free decile assignment (10·(doc_id−1) DIV
+    // n, on the dense 1..n fixture ids — the q_curriculum
+    // cross-multiplication recipe); same shuffles as the novelty
+    // profile (shingle-grain first-occurrence aggregate + join back),
+    // decile rollup at aggregate grain.
+    "q_novelty_decay" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val ex = Tables.documents(s, d)
+        .selectExpr("doc_id", "word_shingle_hashes(text, 3) AS hs")
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .persist() // first-occurrence aggregate AND join back
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val first = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      ex.join(first, "h")
+        .crossJoin(broadcast(n))
+        .withColumn("decile", expr("(10 * (doc_id - 1)) DIV n + 1"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_micro", expr("(n_novel * 1000000) DIV n_shingles"))
+        .orderBy(col("decile"))
+    }),
+
     // Regex token counting (BPE-ish surface form).
     "q_token_regex" -> ((s, d) =>
       Tables.documents(s, d).selectExpr(
@@ -1451,6 +1481,26 @@ object TextAnalysis {
         |    // CAST(count(*) AS BIGINT) AS novelty_micro
         |FROM ex JOIN first USING (h)
         |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin,
+
+    "q_novelty_decay" ->
+      """WITH hsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+        |        j -> CAST(strpos('0123456789abcdef',
+        |               substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), j, 1)) - 1 AS BIGINT))),
+        |        (a, b) -> a * 16 + b))) AS hs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+        |first AS (SELECT h, min(doc_id) AS first_doc FROM ex GROUP BY h),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        |SELECT (10 * (ex.doc_id - 1)) // n + 1 AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN ex.doc_id = first.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  (CAST(SUM(CASE WHEN ex.doc_id = first.first_doc THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(count(*) AS BIGINT) AS novelty_micro
+        |FROM ex JOIN first USING (h), n
+        |GROUP BY 1 ORDER BY decile""".stripMargin,
 
     "q_token_regex" ->
       """SELECT doc_id,
