@@ -506,6 +506,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("q_novelty_decay: deciles partition the novelty profile; first decile is the peak") {
+    import spark.implicits._
+    val decay = TextAnalysis.queries("q_novelty_decay")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val profile = TextAnalysis.queries("q_ngram_novelty")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(decay.map(_._1).toSeq == (1L to 10L))
+    // the rollup partitions the per-doc profile exactly
+    assert(decay.map(_._2).sum == profile.map(_._2).sum, "shingle mass differs")
+    assert(decay.map(_._3).sum == profile.map(_._3).sum, "novel mass differs")
+    // per-decile recompute from the per-doc profile via the same
+    // division-free assignment
+    val n = profile.length.toLong
+    val byDecile = profile.groupBy(p => 10 * (p._1 - 1) / n + 1)
+    decay.foreach { case (dec, ns, nv, micro) =>
+      val ds = byDecile(dec)
+      assert(ns == ds.map(_._2).sum && nv == ds.map(_._3).sum, s"decile $dec mass wrong")
+      assert(micro == nv * 1000000L / ns)
+    }
+    // saturation shape: the first decile is the novelty peak and the
+    // last sits strictly below it (every shingle is novel somewhere
+    // earlier once the corpus repeats itself)
+    assert(decay.head._4 == decay.map(_._4).max, "first decile not the novelty peak")
+    assert(decay.last._4 < decay.head._4, "no decay across the corpus")
+  }
+
   test("q_cohen_kappa: matches a driver-side recompute from the raw (lang, pred) pairs") {
     val row = TextAnalysis.queries("q_cohen_kappa")(spark, sf).collect().head
     val pairs = TextAnalysis.queries("q_lang_id")(spark, sf).collect()
