@@ -466,9 +466,16 @@ case class CharNgrams(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == IntegerType && right.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else
+    if (left.dataType == StringType && right.dataType == IntegerType && right.foldable) {
+      // n is foldable, so validate the VALUE at analysis time: n < 1
+      // would otherwise surface as empty-string grams (n = 0) or a
+      // negative allocation at eval — a clean analysis error instead.
+      right.eval() match {
+        case n: Int if n < 1 =>
+          TypeCheckResult.TypeCheckFailure(s"$prettyName requires n >= 1, got $n")
+        case _ => TypeCheckResult.TypeCheckSuccess
+      }
+    } else
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (string, int literal), got " +
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")

@@ -39,6 +39,16 @@ object Curation {
   /** Passage block size (tokens). */
   private val B = 16
 
+  /** q_mlm_mask's random-token vocabulary cap: the 80-10-10 "random
+    * vocabulary token" branch indexes the top-[[MlmVocabCap]] words by
+    * (frequency DESC, word ASC) — a bounded, deterministic stand-in
+    * for a trained tokenizer vocab, so the driver-side literal fold is
+    * O(cap) at ANY corpus size (the previous corpus-distinct collect
+    * was unbounded). Shared with the DuckDB oracle via interpolation.
+    * A no-op on the fixture (31-word vocab < cap), so the masking
+    * output is unchanged there — the cap exists for the 100 TB run. */
+  private[graft] val MlmVocabCap = 512
+
   /** SemDeDup within-cell comparison window: each vector is compared
     * only against cluster-mates at rank distance ≤ SemW (rank =
     * row_number by vec_id within the cell). An order of magnitude above
@@ -465,10 +475,24 @@ object Curation {
     // folded as a plan literal — the q_unigram_lm codebook pattern),
     // = 9 → kept unchanged (the trick that stops the encoder from
     // only attending to [MASK]). ENTIRELY map-only — runs at scan
-    // bandwidth, nothing shuffles but the report rows.
+    // bandwidth, nothing shuffles but the report rows. The vocabulary
+    // literal is CAPPED (top MlmVocabCap by frequency) so the driver
+    // collect is bounded at any corpus size — a real MLM pipeline
+    // indexes its trained tokenizer vocab, which is exactly this
+    // shape: a fixed-size, frequency-ranked table.
     "q_mlm_mask" -> ((s, d) => {
+      // The random-token branch indexes a BOUNDED vocabulary: top
+      // MlmVocabCap words by (freq DESC, word ASC) — a TakeOrderedAnd-
+      // Project that collects <= MlmVocabCap rows no matter the corpus
+      // size (the full corpus-distinct vocab is unbounded at 100 TB).
+      // The tie-break total order makes the set deterministic; the
+      // survivors are then alphabetized IN THE PLAN (not driver-side,
+      // so Spark's UTF8 byte order matches the oracle's BINARY
+      // collation) before folding as the indexable literal.
       val vocab = Tables.documents(s, d)
-        .select(explode(expr("split(text, ' ')")).as("w")).distinct()
+        .select(explode(expr("split(text, ' ')")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(MlmVocabCap)
         .orderBy(col("w")).collect().map(_.getString(0))
       val vLit = vocab.map(w => "'" + w.replace("'", "''") + "'")
         .mkString("array(", ",", ")")
@@ -596,7 +620,10 @@ object Curation {
       val h2 = s"((1803301271 * ((doc_id * 1000003 + i) % $P) + 592394837) % $P)"
       s"""WITH vm AS (
          |  SELECT list(w ORDER BY w) AS vl, CAST(count(*) AS BIGINT) AS v FROM (
-         |    SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents)),
+         |    SELECT w FROM (
+         |      SELECT w, count(*) AS c FROM (
+         |        SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w)
+         |    ORDER BY c DESC, w LIMIT $MlmVocabCap)),
          |base AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          |lab AS (
          |  SELECT doc_id, tk,

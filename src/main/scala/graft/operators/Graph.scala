@@ -911,7 +911,17 @@ object Graph {
     * into a single isEmpty); callers checkpoint `star` first so the
     * probe doesn't recompute the round lineage.
     */
+  /** Probe census (spec instrumentation): every [[starConverged]] call
+    * is one driver action, and the steady-state contract of
+    * NearDup.clusterLabels is ONE probe total per clustering (the
+    * geometric chunk schedule converges on the first 3-pair chunk for
+    * shallow dup graphs — GraphLearnSpec pins the census, the measured
+    * alternative to a fixed ⌈log² n⌉ unroll, which needs a count job
+    * to know n and pays ~14 round pairs where 3 suffice: a 5× at sf0.1). */
+  private[graft] val convergenceProbes = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[graft] def starConverged(star: DataFrame): Boolean = {
+    convergenceProbes.incrementAndGet()
     val down = star.filter(col("v") >= col("u")).select(lit(1L).as("one"))
     val chained = star.as("a").join(star.as("b"), col("a.v") === col("b.u"))
       .select(lit(1L).as("one"))
@@ -1181,8 +1191,8 @@ object Graph {
       s"""WITH tok AS (SELECT string_split(text, ' ') AS tk FROM documents),
          |bg AS (
          |  SELECT DISTINCT least(tk[i], tk[i + 1]) AS a_lo, greatest(tk[i], tk[i + 1]) AS b_hi
-         |  FROM tok, (SELECT unnest(range(1, 128)) AS i)
-         |  WHERE i < len(tk) AND tk[i] <> tk[i + 1]),
+         |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tok)
+         |  WHERE tk[i] <> tk[i + 1]),
          |e AS (SELECT a_lo AS src, b_hi AS dst FROM bg
          |      UNION ALL SELECT b_hi AS src, a_lo AS dst FROM bg),
          |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),

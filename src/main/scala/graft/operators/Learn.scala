@@ -101,6 +101,33 @@ object Learn {
         s"element_at($cids, CAST(array_position($darr, qdist) AS INT))"))
   }
 
+  /** q_dbscan's candidate-pair generator, factored for the hot-cell
+    * census spec (the boundedCellPairs precedent): input is an
+    * `assigned` frame carrying (vec_id, home, darr, qdist, g, dv, nrm)
+    * where `g` is the ε-width stripe of coordinate 1; output is every
+    * (a_id < b_id) candidate with a's ball probe reaching b's home
+    * cell AND |stripe(a) − stripe(b)| ≤ 1 — a LOSSLESS superset of the
+    * true ε-pairs (single-coordinate bound), with per-cell cost
+    * O(Σ_s |s|·|s±1|) instead of O(|cell|²). dva/dvb/nrm_a/nrm_b pass
+    * through for the caller's exact integer d² verify.
+    */
+  private[graft] def dbscanCandidates(assigned: DataFrame, epsQ: Long): DataFrame = {
+    val index = assigned
+      .select(col("home").as("cell"), col("g"), col("vec_id").as("b_id"),
+        col("dv").as("dvb"), col("nrm").as("nrm_b"))
+    val probe = assigned
+      .select(col("vec_id").as("a_id"), col("dv").as("dva"), col("nrm").as("nrm_a"),
+        col("qdist"), col("g").as("g0"), posexplode(col("darr")).as(Seq("cell", "dc")))
+      .filter(expr(
+        s"sqrt(CAST(dc AS DOUBLE)) <= sqrt(CAST(qdist AS DOUBLE)) + ${2 * epsQ} + 0.5"))
+      .select(col("a_id"), col("dva"), col("nrm_a"), col("cell"),
+        explode(expr("array(g0 - 1, g0, g0 + 1)")).as("g"))
+    // each (a,b) arises at most once: b appears under exactly one
+    // (cell, stripe), and a probes each of b's possible stripes once
+    probe.join(index, Seq("cell", "g"))
+      .filter(col("a_id") < col("b_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_classifier_score" -> ((s, d) => {
       val warr = weights.mkString("array(", "L,", "L)")
@@ -646,18 +673,19 @@ object Learn {
         .withColumn("home", expr("CAST(array_position(darr, qdist) AS INT) - 1"))
         .withColumn("dv", expr("transform(qv, v -> CAST(v AS DOUBLE))"))
         .withColumn("nrm", expr("dot_product(dv, dv)"))
-      val index = assigned
-        .select(col("home").as("cell"), col("vec_id").as("b_id"),
-          col("dv").as("dvb"), col("nrm").as("nrm_b"))
-      val probe = assigned
-        .select(col("vec_id").as("a_id"), col("dv").as("dva"), col("nrm").as("nrm_a"),
-          col("qdist"), posexplode(col("darr")).as(Seq("cell", "dc")))
-        .filter(expr(
-          s"sqrt(CAST(dc AS DOUBLE)) <= sqrt(CAST(qdist AS DOUBLE)) + ${2 * epsQ} + 0.5"))
-        .select(col("a_id"), col("dva"), col("nrm_a"), col("cell"))
-      // each (a,b) arises at most once: b appears under exactly one cell
-      val pairs = probe.join(index, Seq("cell"))
-        .filter(col("a_id") < col("b_id"))
+        // HOT-CELL BOUND: sub-stripe each coarse cell on an ε-width
+        // grid over coordinate 1 — a pair with d² ≤ ε² has
+        // |a₁ − b₁| ≤ ε (single-coordinate bound), so stripe ids
+        // differ by at most 1 and the join on (cell, stripe) with the
+        // probe exploding {g−1, g, g+1} is LOSSLESS (the all-pairs
+        // oracle is unchanged). A dense ε-region concentrated in one
+        // coarse cell now costs O(Σ_s |s|·|s±1|) instead of O(|cell|²)
+        // — quadratic only in true ε-clique mass (inherent to exact
+        // DBSCAN), never in the cell census. +80000 shifts the
+        // quantized coordinate positive so truncating DIV is floor.
+        // DbscanHotCellSpec pins the census on a synthetic dense cell.
+        .withColumn("g", expr(s"(element_at(qv, 1) + 80000) DIV $epsQ"))
+      val pairs = dbscanCandidates(assigned, epsQ)
         .filter(expr(s"nrm_a + nrm_b - 2.0D * dot_product(dva, dvb) <= ${eps2}.0D"))
         .select(col("a_id"), col("b_id"))
         .localCheckpoint() // consumed by degree count, core edges, border attach

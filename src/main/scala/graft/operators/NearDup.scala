@@ -816,36 +816,59 @@ object NearDup {
     // dedup run it is tuning.
     "q_lsh_tuning" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
+      // ONE lineage for all four (bands × rows) configs — the per-
+      // config loop compiled FOUR separate band/join/verify/aggregate
+      // codegen sets, and janino compilation (not arithmetic)
+      // dominated cold runs (25.5 s pass-1 vs 3.3 s pass-2 at sf0.1).
+      // The cosine_all consolidation precedent, applied to the sweep:
+      // every config's band keys are slices of the SAME 12-hash
+      // signature, so one exploded (nb, b) table carries all 15 band
+      // slots (2+3+4+6), one self-join on (nb, b, bs) produces every
+      // config's candidates (nb identifies the config — distinct per
+      // row), one verify join scores them, and per-config counts are
+      // three groupBy(nb) aggregates stitched onto a 4-row literal
+      // spine (so a zero-candidate config still reports 0s).
       val truth = jaccardPairs(s, d).select(col("a_id"), col("b_id"))
       val hsh = withHashedShingles(corpus(s, d)).select(col("doc_id"), col("hs"))
       val sig = signaturesOf(hsh.filter(size(col("hs")) >= 1))
       val tn = truth.agg(count(lit(1)).as("truth_n"))
       val configs = Seq((2, 6), (3, 4), (4, 3), (6, 2))
-      configs.map { case (nb, nr) =>
-        val bands = sig
-          .select(col("doc_id"), explode(expr(s"sequence(0, ${nb - 1})")).as("b"), col("sigs"))
-          .withColumn("bs", expr(s"concat_ws('|', slice(sigs, b * $nr + 1, $nr))"))
-          .select(col("doc_id"), col("b"), col("bs"))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.b") === col("y.b") && col("x.bs") === col("y.bs")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .distinct()
-        val verified = cand
-          .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
-          .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
-          .filter(expr("jaccard_sorted(ha, hb) >= 0.6"))
-          .select(col("a_id"), col("b_id"))
-        val cn = cand.agg(count(lit(1)).as("cand_n"))
-        val vn = verified.agg(count(lit(1)).as("verified_n"))
-        val tp = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
-          .agg(count(lit(1)).as("tp"))
-        cn.crossJoin(broadcast(vn)).crossJoin(broadcast(tp)).crossJoin(broadcast(tn))
-          .selectExpr(s"$nb AS bands", s"$nr AS rows_per_band",
-            "cand_n", "verified_n", "truth_n",
-            "CASE WHEN cand_n = 0 THEN 0 ELSE (verified_n * 1000000) DIV cand_n END AS precision_micro",
-            "(tp * 1000000) DIV truth_n AS recall_micro")
-      }.reduce(_ unionByName _).orderBy(col("bands"))
+      val cfgArr = configs.map { case (nb, nr) =>
+        s"transform(sequence(0, ${nb - 1}), b -> named_struct('nb', $nb, 'nr', $nr, 'b', b))"
+      }.mkString("flatten(array(", ", ", "))")
+      val bands = sig
+        .select(col("doc_id"), explode(expr(cfgArr)).as("cb"), col("sigs"))
+        .withColumn("bs", expr("concat_ws('|', slice(sigs, cb.b * cb.nr + 1, cb.nr))"))
+        .select(col("cb.nb").as("nb"), col("cb.b").as("b"), col("doc_id"), col("bs"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.nb") === col("y.nb") && col("x.b") === col("y.b")
+            && col("x.bs") === col("y.bs") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.nb").as("nb"), col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+        .localCheckpoint() // consumed by the count, the verify, and the tp semi-join
+      val cn = cand.groupBy(col("nb")).agg(count(lit(1)).as("cand_n"))
+      val vn = cand
+        .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+        .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+        .filter(expr("jaccard_sorted(ha, hb) >= 0.6"))
+        .groupBy(col("nb")).agg(count(lit(1)).as("verified_n"))
+      val tp = cand.join(truth, Seq("a_id", "b_id"), "left_semi")
+        .groupBy(col("nb")).agg(count(lit(1)).as("tp"))
+      val spine = s.range(1).select(explode(expr(
+        configs.map { case (nb, nr) => s"named_struct('nb', $nb, 'nr', $nr)" }
+          .mkString("array(", ", ", ")"))).as("c"))
+        .select(col("c.nb").as("nb"), col("c.nr").as("nr"))
+      spine
+        .join(broadcast(cn), Seq("nb"), "left")
+        .join(broadcast(vn), Seq("nb"), "left")
+        .join(broadcast(tp), Seq("nb"), "left")
+        .crossJoin(broadcast(tn))
+        .selectExpr("nb AS bands", "nr AS rows_per_band",
+          "coalesce(cand_n, 0L) AS cand_n", "coalesce(verified_n, 0L) AS verified_n",
+          "truth_n",
+          "CASE WHEN coalesce(cand_n, 0L) = 0 THEN 0 ELSE (verified_n * 1000000) DIV cand_n END AS precision_micro",
+          "(coalesce(tp, 0L) * 1000000) DIV truth_n AS recall_micro")
+        .orderBy(col("bands"))
     }),
 
     // SimHash near-dup: 32-bit signatures, lang-blocked pairs within

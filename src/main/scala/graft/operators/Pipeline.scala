@@ -55,9 +55,15 @@ object Pipeline {
     * reducer busy and each sort in memory). Shard count is part of the
     * output contract (ids are (shard, pos) / (shard, chunk) pairs),
     * so it is a per-run parameter, not a literal.
+    *
+    * The DuckDB oracles for q_train_shard / q_shard_balance interpolate
+    * [[DefaultShards]] — they are valid exactly when the conf is left at
+    * its default, which Verify does. One shared constant keeps the
+    * Spark/oracle coupling explicit instead of a hardcoded `% 8`.
     */
+  private[graft] val DefaultShards = 8
   private def shardCount(s: SparkSession): Int =
-    s.conf.get("graft.pipeline.shards", "8").toInt
+    s.conf.get("graft.pipeline.shards", DefaultShards.toString).toInt
 
   /** Basket-size cap for the pair generators (q_copurchase,
     * q_assoc_rules, q_triangle's edge build): pairs per basket are
@@ -1065,13 +1071,13 @@ object Pipeline {
       s"""SELECT doc_id, shard,
          |  row_number() OVER (PARTITION BY shard
          |    ORDER BY ${h("doc_id", A2, B2)}, doc_id) AS pos
-         |FROM (SELECT doc_id, ${h("doc_id", A1, B1)} % 8 AS shard FROM documents)
+         |FROM (SELECT doc_id, ${h("doc_id", A1, B1)} % $DefaultShards AS shard FROM documents)
          |ORDER BY shard, pos""".stripMargin,
 
     "q_pack_sequences" ->
       s"""WITH packed AS (
          |  SELECT doc_id, n_chars,
-         |    ${h("doc_id", A1, B1)} % 8 AS shard,
+         |    ${h("doc_id", A1, B1)} % $DefaultShards AS shard,
          |    ${h("doc_id", A2, B2)} AS h2
          |  FROM documents),
          |off AS (
@@ -1315,7 +1321,7 @@ object Pipeline {
 
     "q_shard_balance" ->
       s"""WITH s AS (
-         |  SELECT ${h("doc_id", A1, B1)} % 8 AS shard,
+         |  SELECT ${h("doc_id", A1, B1)} % $DefaultShards AS shard,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
          |  FROM documents),
          |ps AS (
@@ -1480,7 +1486,7 @@ object Pipeline {
          |clean AS (
          |  SELECT * FROM cand
          |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
-         |SELECT doc_id, lang, ${h("doc_id", A2, B2)} % 8 AS shard
+         |SELECT doc_id, lang, ${h("doc_id", A2, B2)} % $DefaultShards AS shard
          |FROM clean
          |WHERE ${h("doc_id", A1, B1)} % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 80 END
          |ORDER BY doc_id""".stripMargin

@@ -49,6 +49,40 @@ object TextAnalysis {
 
   private val stop = "('the','a','of','and','to','in','is')"
 
+  /** q_unigram_lm's word-frequency table (word grain, one token
+    * shuffle). */
+  private def unigramWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(expr(toks)).as("w"))
+      .filter(expr("length(w) between 1 and 24"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** q_unigram_lm's vocabulary fold, factored for the bound spec. The
+    * piece-count table is corpus-VOCABULARY scale (every 1-4 char
+    * substring of every distinct word) — at 100 TB it must never reach
+    * the driver unfiltered. So: (1) ONE 1-row total aggregate, (2) the
+    * 0.05%-mass cutoff pushed INTO the plan as a literal predicate,
+    * (3) collect only the survivors — bounded by construction at
+    * (#distinct chars + 2000) entries, because at most 2000 pieces can
+    * each hold >= total/2000 of the mass. UnigramVocab bound pinned by
+    * TextAnalysisSpec. Returns (sorted (piece, count) vocab, total
+    * piece mass).
+    */
+  private[graft] def unigramVocab(s: SparkSession, d: String): (Array[(String, Long)], Long) = {
+    val pieceCntDf = unigramWords(s, d)
+      .select(col("freq"), explode(expr(
+        "flatten(transform(sequence(1, length(w)), i -> " +
+          "transform(sequence(i, least(i + 3, length(w))), j -> substring(w, i, j - i + 1))))")).as("p"))
+      .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint() // consumed by the total aggregate AND the cutoff scan
+    val total = pieceCntDf.agg(sum(col("cnt")).as("t")).collect()(0).getLong(0)
+    val vocab = pieceCntDf
+      .filter(expr(s"length(p) = 1 OR cnt * 2000 >= ${total}L"))
+      .orderBy(col("p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    (vocab, total)
+  }
+
   val queries: Map[String, Q] = Map(
     // Per-document token statistics.
     "q_text_stats" -> ((s, d) =>
@@ -439,7 +473,11 @@ object TextAnalysis {
       val ex = Tables.documents(s, d)
         .selectExpr("doc_id", "word_shingle_hashes(text, 3) AS hs")
         .select(col("doc_id"), explode(col("hs")).as("h"))
-        .persist() // consumed by the first-occurrence aggregate AND the join back
+        // localCheckpoint, not persist: materialized once for the
+        // first-occurrence aggregate AND the join back, and the blocks
+        // are GC-released with the RDD — a bare persist() leaked one
+        // cached copy per invocation across the 251-query loop.
+        .localCheckpoint()
       val first = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
       ex.join(first, "h")
         .groupBy(col("doc_id"))
@@ -466,7 +504,7 @@ object TextAnalysis {
       val ex = Tables.documents(s, d)
         .selectExpr("doc_id", "word_shingle_hashes(text, 3) AS hs")
         .select(col("doc_id"), explode(col("hs")).as("h"))
-        .persist() // first-occurrence aggregate AND join back
+        .localCheckpoint() // first-occurrence agg AND join back; GC-released (see q_ngram_novelty)
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
       val first = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
       ex.join(first, "h")
@@ -841,10 +879,16 @@ object TextAnalysis {
     // the native wordpiece_tokens expression) — the token accounting
     // that q_token_regex approximates with a regex. n_pieces is the
     // number an LLM pretraining budget would count; head_csv pins the
-    // actual segmentation. Map-only at scan speed; no oracle (the
-    // greedy per-word loop is not SQL-expressible — TextAnalysisSpec
-    // pins the segmentation against an independent reimplementation
-    // plus reassembly/vocab invariants).
+    // actual segmentation. Map-only at scan speed. ORACLE-CHECKED via
+    // the SQL-replayed-DP recipe (the q_unigram_lm/q_rouge_l
+    // precedent): the greedy cursor loop replays as a recursive CTE —
+    // one iteration per emitted piece, bounded by max word length —
+    // and the JVM String.hashCode vocab predicate is exact integer
+    // arithmetic in SQL (≤ 4 UTF-16 units can't overflow 32 bits, so
+    // no wrap to emulate; BMP text keeps DuckDB's code-point substr
+    // aligned with Java's unit-indexed substring — the fixture is
+    // ASCII). TextAnalysisSpec additionally pins reassembly/vocab
+    // invariants against an independent reimplementation.
     "q_tokenize" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
       Tables.documents(s, d)
@@ -882,20 +926,8 @@ object TextAnalysis {
     // independently by the oracle's SQL, so a drift between the
     // driver-side fold and the data would hash-mismatch loudly.
     "q_unigram_lm" -> ((s, d) => {
-      val words = Tables.documents(s, d)
-        .select(explode(expr(toks)).as("w"))
-        .filter(expr("length(w) between 1 and 24"))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      val pieceCnt = words
-        .select(col("freq"), explode(expr(
-          "flatten(transform(sequence(1, length(w)), i -> " +
-            "transform(sequence(i, least(i + 3, length(w))), j -> substring(w, i, j - i + 1))))")).as("p"))
-        .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
-        .collect().map(r => r.getString(0) -> r.getLong(1))
-      val total = pieceCnt.map(_._2).sum
-      val vocab = pieceCnt
-        .filter { case (p, c) => p.length == 1 || c * 2000 >= total }
-        .sortBy(_._1)
+      val words = unigramWords(s, d)
+      val (vocab, total) = unigramVocab(s, d)
       val lp = vocab.map(p => "'" + p._1.replace("'", "''") + "'")
         .mkString("array(", ",", ")")
       val lc = vocab
@@ -1224,6 +1256,47 @@ object TextAnalysis {
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    // Greedy longest-match WordPiece, replayed exactly: the per-word
+    // cursor loop is a recursive CTE (one round per emitted piece,
+    // depth <= max word length), and the wordpiece_tokens vocab
+    // predicate — (String.hashCode & 0x7fffffff) % 5 == 0 — is inlined
+    // as exact integer arithmetic (31-polynomial over code units;
+    // <= 4 units never overflows 32 bits, so no wrap emulation, and
+    // hash >= 0 makes the mask a no-op). Valid for BMP text where
+    // DuckDB's code-point substr == Java's unit substring; the
+    // fixture is ASCII (asserted in TextAnalysisSpec).
+    "q_tokenize" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id, i AS w_idx, tk[i] AS w
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))),
+        |seg AS (
+        |  SELECT doc_id, w_idx, w, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM words
+        |  UNION ALL
+        |  SELECT doc_id, w_idx, w, pos + l,
+        |    list_append(pieces, CASE WHEN pos = 1 THEN substr(w, pos, l)
+        |                             ELSE '##' || substr(w, pos, l) END)
+        |  FROM (
+        |    SELECT doc_id, w_idx, w, pos, pieces,
+        |      CASE WHEN len(w) - pos + 1 >= 4 AND
+        |             (29791 * unicode(substr(w, pos, 1)) + 961 * unicode(substr(w, pos + 1, 1))
+        |              + 31 * unicode(substr(w, pos + 2, 1)) + unicode(substr(w, pos + 3, 1))) % 5 = 0 THEN 4
+        |           WHEN len(w) - pos + 1 >= 3 AND
+        |             (961 * unicode(substr(w, pos, 1)) + 31 * unicode(substr(w, pos + 1, 1))
+        |              + unicode(substr(w, pos + 2, 1))) % 5 = 0 THEN 3
+        |           WHEN len(w) - pos + 1 >= 2 AND
+        |             (31 * unicode(substr(w, pos, 1)) + unicode(substr(w, pos + 1, 1))) % 5 = 0 THEN 2
+        |           ELSE 1 END AS l
+        |    FROM seg WHERE pos <= len(w))),
+        |docp AS (
+        |  SELECT doc_id, flatten(list(pieces ORDER BY w_idx)) AS pieces
+        |  FROM seg WHERE pos > len(w) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(p.pieces) AS BIGINT) AS n_pieces,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+        |  array_to_string(p.pieces[1:8], ',') AS head_csv
+        |FROM documents d JOIN docp p USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
     "q_bpe_tokens" -> bpeTokensOracle,
@@ -1642,8 +1715,7 @@ object TextAnalysis {
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |bg AS (
         |  SELECT doc_id, tk[i] AS a, tk[i + 1] AS b
-        |  FROM tok, (SELECT unnest(range(1, 128)) AS i)
-        |  WHERE i < len(tk)),
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tok)),
         |tf AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS tf
         |       FROM bg GROUP BY doc_id, a, b),
         |bgc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b),
@@ -1671,8 +1743,7 @@ object TextAnalysis {
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |bg AS (
         |  SELECT doc_id, tk[i] AS a, tk[i + 1] AS b
-        |  FROM tok, (SELECT unnest(range(1, 128)) AS i)
-        |  WHERE i < len(tk)),
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tok)),
         |tf AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS tf
         |       FROM bg GROUP BY doc_id, a, b),
         |bgc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b),

@@ -61,6 +61,38 @@ object MailQueries {
         .select(col("doc_id"), col("id"), col("folder"), col("subject"),
           col("sender"), col("ts_raw"))
         .orderBy(col("doc_id")))
+    ,
+
+    // PER-RUN INGEST REPORT — the engine analog of the reference's
+    // JSON response contract (main.py:316-319: inserted count + error
+    // summary per /fetch run, HTTP 200 'ok' vs the 500 error domain).
+    // MEASURED from the dataflow, not replayed from the poison rule:
+    // the LIST-phase scan (every non-spam id) anti-joined against the
+    // enriched read (error-as-value skips absent) yields the skip set;
+    // one row reports listed/inserted/skipped, the distinct 50-chunk
+    // batches that saw an error (the reference's per-batch error
+    // isolation grain), and the ok/partial status. All counts are
+    // 1-row aggregates combined by broadcast cross join (the q_auc
+    // totals pattern) — at 100 TB nothing but three counters moves.
+    "q_ingest_report" -> ((s, d) => {
+      val listed = mail(s, d).filter(col("folder") =!= "SPAM").select(col("doc_id"))
+      val landed = s.read.format("graft.sources.MailSourceProvider")
+        .option("nmsgs", Tables.documents(s, d).count())
+        .option("pageSize", 500)
+        .option("enrich", true)
+        .option("errorEvery", 97)
+        .option("errorOffset", 13)
+        .load()
+        .filter(col("folder") =!= "SPAM").select(col("doc_id"))
+      val sk = listed.join(landed, Seq("doc_id"), "left_anti")
+      val ln = listed.agg(count(lit(1)).as("n_listed"))
+      val ins = landed.agg(count(lit(1)).as("n_inserted"))
+      val skn = sk.agg(count(lit(1)).as("n_skipped"),
+        countDistinct(expr("doc_id DIV 50")).as("n_err_batches"))
+      ln.crossJoin(broadcast(ins)).crossJoin(broadcast(skn))
+        .selectExpr("n_listed", "n_inserted", "n_skipped", "n_err_batches",
+          "CASE WHEN n_skipped = 0 THEN 'ok' ELSE 'partial' END AS status")
+    })
   )
 
   private val msgsCte =
@@ -87,6 +119,16 @@ object MailQueries {
     "q_connector_enrich" -> (msgsCte +
       """SELECT doc_id, id, folder, subject, sender, ts_raw FROM msgs
         |WHERE folder <> 'SPAM' AND doc_id % 97 <> 13
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    "q_ingest_report" -> (msgsCte +
+      """SELECT
+        |  CAST(count(*) AS BIGINT) AS n_listed,
+        |  CAST(count(*) FILTER (WHERE doc_id % 97 <> 13) AS BIGINT) AS n_inserted,
+        |  CAST(count(*) FILTER (WHERE doc_id % 97 = 13) AS BIGINT) AS n_skipped,
+        |  CAST(count(DISTINCT doc_id // 50) FILTER (WHERE doc_id % 97 = 13) AS BIGINT) AS n_err_batches,
+        |  CASE WHEN count(*) FILTER (WHERE doc_id % 97 = 13) = 0
+        |       THEN 'ok' ELSE 'partial' END AS status
+        |FROM msgs WHERE folder <> 'SPAM'""".stripMargin)
   )
 }

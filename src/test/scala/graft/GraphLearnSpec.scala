@@ -821,4 +821,49 @@ class GraphLearnSpec extends SparkSpec {
     assert(byRole.getOrElse("core", 0) > 0 && byRole.getOrElse("border", 0) > 0 &&
       byRole.getOrElse("noise", 0) > 0, s"degenerate fixture roles: $byRole")
   }
+
+  test("dbscanCandidates: one dense cell is stripe-bounded, never O(|cell|²)") {
+    // Worst case for the coarse codebook: EVERY point homes in one
+    // cell, spread along coordinate 1 so ε-stripes (width 800) hold
+    // ~10 points each. The candidate census must be EXACTLY the
+    // stripe-adjacent pairs — linear in n — where the un-striped
+    // cell join would emit n(n−1)/2.
+    val n = 900
+    val epsQ = 800L
+    val hot = spark.range(n).selectExpr(
+      "id AS vec_id",
+      "0 AS home",
+      "array(0L) AS darr", // one centroid, distance 0 → every probe passes
+      "0L AS qdist",
+      s"(id * 80 + 80000) DIV $epsQ AS g",
+      "transform(array(id * 80), v -> CAST(v AS DOUBLE)) AS dv",
+      "CAST(id * 80 AS DOUBLE) * CAST(id * 80 AS DOUBLE) AS nrm")
+    val cand = Learn.dbscanCandidates(hot, epsQ)
+    val got = cand.count()
+    // independent census: pairs a<b with |stripe(a) − stripe(b)| <= 1
+    def stripe(i: Long) = (i * 80 + 80000) / epsQ
+    val expected = (for {
+      a <- 0L until n; b <- (a + 1) until n
+      if math.abs(stripe(a) - stripe(b)) <= 1
+    } yield 1).size.toLong
+    assert(got === expected,
+      s"stripe census mismatch: got $got, expected $expected")
+    assert(got < n.toLong * n / 20,
+      s"hot cell must stay subquadratic: $got vs all-pairs ${n.toLong * (n - 1) / 2}")
+    // and the pairing stays an equi-join on (cell, stripe)
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate pairing must join on (cell, stripe) keys:\n" + plan.take(2000))
+  }
+
+  test("clusterLabels: steady-state dedup clustering spends exactly ONE convergence probe") {
+    operators.NearDup.clusterLabelCache.invalidateAll()
+    Graph.convergenceProbes.set(0)
+    val labels = operators.NearDup.clusterLabels(spark, sf)
+    labels.count() // drive the clustering to completion
+    assert(Graph.convergenceProbes.get() === 1L,
+      "shallow dup graph must converge within the first geometric chunk " +
+        s"(probes = ${Graph.convergenceProbes.get()})")
+    operators.NearDup.clusterLabelCache.invalidateAll()
+  }
 }

@@ -631,4 +631,30 @@ class TextAnalysisSpec extends SparkSpec {
       kn >= 0 && kn <= 1000000L && (nBg > 0 || kn == 0)
     })
   }
+
+  test("unigramVocab: the driver collect is bounded by the mass cutoff") {
+    val (vocab, total) = TextAnalysis.unigramVocab(spark, sf)
+    assert(total > 0)
+    val multi = vocab.filter(_._1.length > 1)
+    // at most 2000 multi-char pieces can each hold >= total/2000 of the
+    // mass — the cutoff itself enforces the collect bound
+    assert(multi.length <= 2000,
+      s"mass cutoff must bound the multi-char vocab: ${multi.length}")
+    assert(multi.forall { case (_, c) => c * 2000 >= total },
+      "a collected multi-char piece below the mass cutoff escaped the plan-side filter")
+    val single = vocab.filter(_._1.length == 1)
+    assert(single.nonEmpty, "single-char reachability floor missing")
+    assert(vocab.length == multi.length + single.length)
+  }
+
+  test("q_tokenize oracle precondition: the fixture corpus is BMP/ASCII") {
+    // The WordPiece oracle inlines JVM String.hashCode as code-point
+    // arithmetic — exact while DuckDB's code-point substr aligns with
+    // Java's UTF-16-unit substring, i.e. for BMP text. The fixture is
+    // ASCII; this assertion is the tripwire the oracle comment cites.
+    val maxCp = Tables.documents(spark, sf)
+      .selectExpr("array_max(transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))) AS m")
+      .agg(max(col("m"))).collect()(0).getInt(0)
+    assert(maxCp < 128, s"fixture text must stay ASCII for the q_tokenize oracle (max cp $maxCp)")
+  }
 }

@@ -373,4 +373,18 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("token_count")),
       "token_count fell out of codegen:\n" + p.take(900))
   }
+
+  test("char_ngrams: n < 1 is a clean analysis error, not an eval-time surprise") {
+    graft.functions.VectorFunctions.register(spark)
+    for (n <- Seq(0, -1)) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT char_ngrams('abc', $n)").collect()
+      }
+      assert(e.getMessage.contains("requires n >= 1"),
+        s"n=$n must fail analysis with the bound message, got: ${e.getMessage.take(200)}")
+    }
+    // boundary: n = 1 stays valid
+    val ok = spark.sql("SELECT char_ngrams('abc', 1)").collect()(0).getSeq[String](0)
+    assert(ok == Seq("a", "b", "c"))
+  }
 }
