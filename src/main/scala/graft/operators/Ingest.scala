@@ -272,7 +272,39 @@ object Ingest {
       Tables.documents(s, d)
         .selectExpr("doc_id", "concat('user', cast(doc_id % 20 as string), '@example.com') AS email")
         .selectExpr("doc_id", "concat('user_token_', translate(email, '@.', '__'), '.json') AS token_file")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // SOURCE-FORMAT ROUND TRIP — the interchange contract a pipeline
+    // leans on when handing data to/from non-parquet consumers (the
+    // reference hands rows to BigQuery as JSON, main.py:243; CSV is
+    // the other lingua franca): write the documents catalog out as
+    // CSV-with-header and as JSON lines, read both back through the
+    // schema-first reader, and prove value fidelity with per-format
+    // checksums against the parquet truth (the oracle computes the
+    // same aggregates straight from parquet — a lossy writer, a
+    // quoting bug, or a schema drift hash-mismatches loudly).
+    // Scale: writes shard per partition (no coalesce — each task
+    // writes its own file, the only write shape that scales); the
+    // read-back aggregate is one scan per format.
+    "q_format_roundtrip" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val tmp = s"/tmp/graft_roundtrip_${new java.io.File(d).getName}"
+      base.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      base.write.mode("overwrite").json(s"$tmp/json")
+      val sch = "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
+      val back = s.read.schema(sch).option("header", "true").csv(s"$tmp/csv")
+        .withColumn("fmt", lit("csv"))
+        .unionByName(s.read.schema(sch).json(s"$tmp/json")
+          .withColumn("fmt", lit("json")))
+      back.groupBy(col("fmt"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("fmt"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -333,6 +365,21 @@ object Ingest {
     "q_normalize" ->
       """SELECT doc_id,
         | 'user_token_' || translate('user' || CAST(doc_id % 20 AS VARCHAR) || '@example.com', '@.', '__') || '.json' AS token_file
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Truth computed straight from parquet — the round trip through
+    // CSV/JSON must reproduce it exactly, per format.
+    "q_format_roundtrip" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |  FROM documents)
+        |SELECT 'csv' AS fmt, n_rows, sum_id, sum_chars, n_langs, n_sources FROM a
+        |UNION ALL
+        |SELECT 'json' AS fmt, n_rows, sum_id, sum_chars, n_langs, n_sources FROM a
+        |ORDER BY fmt""".stripMargin
   )
 }

@@ -754,6 +754,51 @@ object RelationalExt {
           col("ks_d"), col("reject_05"))
     }),
 
+    // WELCH two-sample test (unequal variances) between the 'en' and
+    // non-'en' document-length distributions per source — the mixture
+    // sanity check next to q_ks_test's drift gate: does a source write
+    // systematically longer English docs? EXACT INTEGER trajectory:
+    // sample mean and variance in micro fixed point ((n·Σx² − (Σx)²)·
+    // 10⁶ DIV n(n−1), numerator non-negative by Cauchy–Schwarz), the
+    // standard-error term as var DIV n, and t² (not t — no square
+    // root) as diff² DIV se², so both engines walk identical integers.
+    // Overflow envelope: n·Σx²·10⁶ < 2⁶³ holds for n ≤ ~10⁵ per group
+    // at n_chars ≤ 10³ (the fixture is ≪ that); the 100 TB form lifts
+    // the multiply into DECIMAL(38) or Welford partials — the shape
+    // (one groupBy, one self-align join) is unchanged.
+    //
+    // Scale posture: ONE aggregate at (source, group) grain collapses
+    // the corpus to 2 rows per source; the en/other align is a join of
+    // two aggregate-grain frames. Nothing else shuffles.
+    "q_t_test" -> ((s, d) => {
+      val stats = Tables.documents(s, d)
+        .withColumn("grp", when(col("lang") === "en", "en").otherwise("other"))
+        .groupBy(col("source"), col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
+          sum(expr("n_chars * n_chars")).as("sxx"))
+        .selectExpr("source", "grp", "n",
+          "(sx * 1000000) DIV n AS mean_micro",
+          "CASE WHEN n > 1 THEN ((n * sxx - sx * sx) * 1000000) DIV (n * (n - 1)) ELSE 0 END AS var_micro")
+      val a = stats.filter(col("grp") === "en")
+        .select(col("source"), col("n").as("n_en"),
+          col("mean_micro").as("mean_en_micro"), col("var_micro").as("var_en_micro"))
+      val b = stats.filter(col("grp") === "other")
+        .select(col("source"), col("n").as("n_other"),
+          col("mean_micro").as("mean_other_micro"), col("var_micro").as("var_other_micro"))
+      a.join(b, Seq("source")) // sources with both samples — stated contract
+        .withColumn("se2_micro",
+          expr("var_en_micro DIV n_en + var_other_micro DIV n_other"))
+        .withColumn("t2_micro", expr(
+          """CASE WHEN se2_micro > 0 THEN
+            |  ((mean_en_micro - mean_other_micro) * (mean_en_micro - mean_other_micro))
+            |    DIV se2_micro END""".stripMargin))
+        .select(col("source"), col("n_en"), col("n_other"),
+          col("mean_en_micro"), col("mean_other_micro"),
+          col("var_en_micro"), col("var_other_micro"),
+          col("se2_micro"), col("t2_micro"))
+        .orderBy(col("source"))
+    }),
+
     // 2-D skyline (Pareto frontier): the parts no other part beats on
     // BOTH price and size (minimize each) — the multi-criteria shortlist
     // operator (cheapest-and-smallest, best-quality-per-cost). The
@@ -1354,6 +1399,33 @@ object RelationalExt {
         |  CAST(d_num AS DOUBLE) / (n1 * n2)
         |    > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)) AS reject_05
         |FROM d""".stripMargin,
+
+    "q_t_test" ->
+      """WITH g AS (
+        |  SELECT source, CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS grp,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS sx,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY 1, 2),
+        |st AS (
+        |  SELECT source, grp, n,
+        |    (sx * 1000000) // n AS mean_micro,
+        |    CASE WHEN n > 1 THEN ((n * sxx - sx * sx) * 1000000) // (n * (n - 1))
+        |         ELSE 0 END AS var_micro
+        |  FROM g),
+        |j AS (
+        |  SELECT a.source, a.n AS n_en, b.n AS n_other,
+        |    a.mean_micro AS mean_en_micro, b.mean_micro AS mean_other_micro,
+        |    a.var_micro AS var_en_micro, b.var_micro AS var_other_micro,
+        |    a.var_micro // a.n + b.var_micro // b.n AS se2_micro
+        |  FROM st a JOIN st b ON a.source = b.source
+        |  WHERE a.grp = 'en' AND b.grp = 'other')
+        |SELECT source, n_en, n_other, mean_en_micro, mean_other_micro,
+        |  var_en_micro, var_other_micro, se2_micro,
+        |  CASE WHEN se2_micro > 0 THEN
+        |    ((mean_en_micro - mean_other_micro) * (mean_en_micro - mean_other_micro))
+        |      // se2_micro END AS t2_micro
+        |FROM j ORDER BY source""".stripMargin,
 
     "q_funnel_time" ->
       """WITH s1 AS (

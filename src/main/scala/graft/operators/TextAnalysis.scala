@@ -526,6 +526,67 @@ object TextAnalysis {
         "cast(ceil(length(text) / 4.0) as bigint) AS n_subword_est")
         .orderBy(col("doc_id"))),
 
+    // S-STEMMER token normalization (Harman 1991 — the light plural
+    // stemmer IR pipelines run before indexing/dedup so "model" and
+    // "models" collide): -ies→y, -es→drop-s (except -aes/-ees/-oes),
+    // -s→drop (except -us/-ss), first match wins. The report is the
+    // decision a pipeline owner needs: per language, how many token
+    // instances change and how much the VOCABULARY shrinks (the
+    // index/embedding-table size lever). Map-only stem + ONE
+    // token-grain shuffle into the per-lang aggregate; the two
+    // count_distincts expand the shuffle 2× (the q_dq_report posture)
+    // — at 100 TB swap approx_count_distinct if exactness is not
+    // contractual. Pure CASE/LIKE — identical semantics in DuckDB.
+    "q_stem" -> ((s, d) => {
+      val stemSql =
+        """CASE
+          |  WHEN length(w) > 3 AND w LIKE '%ies'
+          |    THEN concat(substring(w, 1, length(w) - 3), 'y')
+          |  WHEN length(w) > 2 AND w LIKE '%es'
+          |       AND NOT (w LIKE '%aes' OR w LIKE '%ees' OR w LIKE '%oes')
+          |    THEN substring(w, 1, length(w) - 1)
+          |  WHEN length(w) > 1 AND w LIKE '%s'
+          |       AND NOT (w LIKE '%us' OR w LIKE '%ss')
+          |    THEN substring(w, 1, length(w) - 1)
+          |  ELSE w END""".stripMargin
+      Tables.documents(s, d)
+        .select(col("lang"), explode(expr(toks)).as("w"))
+        .withColumn("stem", expr(stemSql))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("stem") =!= col("w"), 1L).otherwise(0L)).as("n_changed"),
+          countDistinct(col("w")).as("vocab_before"),
+          countDistinct(col("stem")).as("vocab_after"))
+        .withColumn("shrink_micro",
+          expr("((vocab_before - vocab_after) * 1000000) DIV vocab_before"))
+        .orderBy(col("lang"))
+    }),
+
+    // RUN-LENGTH repetition profile — the Rae/Gopher-style "repeated
+    // token runs" signal q_repetition's set-ratios can't see: a doc
+    // that alternates two tokens has high dup_token_frac but max_run
+    // 1, while "spam spam spam …" shows up as one long run. Per doc:
+    // number of maximal constant runs, the longest run, and runs/token
+    // in exact micro (1e6 = no adjacent repetition at all). ENTIRELY
+    // map-only array lambdas — boundary positions (i = 1 or tk[i] ≠
+    // tk[i−1]) then adjacent-boundary differences — so it runs at scan
+    // speed; the identical lambda chain replays in DuckDB.
+    "q_repeat_run" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(toks).as("tk"))
+        .withColumn("bp", expr(
+          """filter(sequence(1, size(tk)), i ->
+            |  CASE WHEN i = 1 THEN true
+            |       ELSE element_at(tk, i) != element_at(tk, i - 1) END)""".stripMargin))
+        .withColumn("ext", expr("concat(bp, array(size(tk) + 1))"))
+        .selectExpr("doc_id",
+          "CAST(size(tk) AS BIGINT) AS n_tokens",
+          "CAST(size(bp) AS BIGINT) AS n_runs",
+          """CAST(array_max(transform(sequence(1, size(bp)),
+            |  j -> element_at(ext, j + 1) - element_at(ext, j))) AS BIGINT) AS max_run""".stripMargin,
+          "(CAST(size(bp) AS BIGINT) * 1000000) DIV size(tk) AS runs_micro")
+        .orderBy(col("doc_id"))),
+
     // Exact dedup at scale (Q-dedup-exact): corpus ∪ mirrored copies,
     // grouped on md5(text) — the big-data-safe form of the reference's
     // id-keyed dict (main.py:158/:205): shuffle carries a 32-char key,
@@ -1256,6 +1317,46 @@ object TextAnalysis {
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    "q_stem" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |s AS (
+        |  SELECT lang, w,
+        |    CASE
+        |      WHEN length(w) > 3 AND w LIKE '%ies'
+        |        THEN concat(substring(w, 1, length(w) - 3), 'y')
+        |      WHEN length(w) > 2 AND w LIKE '%es'
+        |           AND NOT (w LIKE '%aes' OR w LIKE '%ees' OR w LIKE '%oes')
+        |        THEN substring(w, 1, length(w) - 1)
+        |      WHEN length(w) > 1 AND w LIKE '%s'
+        |           AND NOT (w LIKE '%us' OR w LIKE '%ss')
+        |        THEN substring(w, 1, length(w) - 1)
+        |      ELSE w END AS stem
+        |  FROM t)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN stem <> w THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(count(DISTINCT w) AS BIGINT) AS vocab_before,
+        |  CAST(count(DISTINCT stem) AS BIGINT) AS vocab_after,
+        |  ((CAST(count(DISTINCT w) AS BIGINT) - CAST(count(DISTINCT stem) AS BIGINT)) * 1000000)
+        |    // CAST(count(DISTINCT w) AS BIGINT) AS shrink_micro
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_repeat_run" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |r AS (
+        |  SELECT doc_id, tk,
+        |    list_filter(range(1, len(tk) + 1), i ->
+        |      CASE WHEN i = 1 THEN true ELSE tk[i] <> tk[i - 1] END) AS bp
+        |  FROM t),
+        |e AS (SELECT doc_id, tk, bp, list_append(bp, len(tk) + 1) AS ext FROM r)
+        |SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(bp) AS BIGINT) AS n_runs,
+        |  CAST(list_max(list_transform(range(1, len(bp) + 1),
+        |    j -> ext[j + 1] - ext[j])) AS BIGINT) AS max_run,
+        |  (CAST(len(bp) AS BIGINT) * 1000000) // len(tk) AS runs_micro
+        |FROM e ORDER BY doc_id""".stripMargin,
+
     // Greedy longest-match WordPiece, replayed exactly: the per-word
     // cursor loop is a recursive CTE (one round per emitted piece,
     // depth <= max word length), and the wordpiece_tokens vocab
