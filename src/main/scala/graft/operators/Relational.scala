@@ -63,6 +63,36 @@ object Relational {
         .orderBy(col("n_name"))
     }),
 
+    // BUCKETED co-located join — the shuffle-elimination lever the
+    // other joins can't show: both sides are WRITTEN bucketed+sorted
+    // on the join key (8 buckets, datasource tables under /tmp), so
+    // the join AND the following same-key aggregate run with ZERO
+    // hash exchanges and zero sorts — at 100 TB this is the difference
+    // between re-shuffling the fact table on every run and paying the
+    // layout cost once at ingest (the q_zorder argument, applied to
+    // the join path; buckets scale to thousands at cluster SF).
+    // The merge hint keeps the plan-shape deterministic under AQE;
+    // PlanAuditSpec asserts the bucketed scan and the absence of
+    // hashpartitioning exchanges. Integer-only aggregate (count +
+    // max orderkey) keeps the oracle float-free.
+    "q_bucketed_join" -> ((s, d) => {
+      val tmp = s"/tmp/graft_bucketed_${new java.io.File(d).getName}"
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$tmp/orders").saveAsTable("graft_orders_bkt")
+      Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$tmp/customer").saveAsTable("graft_customer_bkt")
+      val o = s.table("graft_orders_bkt")
+      val c = s.table("graft_customer_bkt")
+      o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n_orders"), max(col("o_orderkey")).as("max_orderkey"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // Left outer join preserving customers with zero orders.
     "q_join_left" -> ((s, d) => {
       Tables.customer(s, d)
@@ -297,6 +327,14 @@ object Relational {
         | round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    // The bucketed layout must not change a single answer — the truth
+    // is the plain join over the original parquet.
+    "q_bucketed_join" ->
+      """SELECT o_custkey, c_name, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(max(o_orderkey) AS BIGINT) AS max_orderkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_custkey, c_name ORDER BY o_custkey""".stripMargin,
 
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer

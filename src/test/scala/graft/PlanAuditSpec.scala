@@ -797,6 +797,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "cartesian in recall plan")
   }
 
+  test("q_bucketed_join: co-located join + same-key aggregate run with zero hash exchanges") {
+    val df = Relational.queries("q_bucketed_join")(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // both scans must be bucketed reads...
+    assert(p.contains("SelectedBucketsCount"),
+      "join inputs are not bucketed scans:\n" + p.take(1500))
+    // ...and bucketing must satisfy BOTH the join and the groupBy
+    // distribution: the only allowed exchange is the final orderBy's
+    // range partitioning.
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bucketed layout failed to eliminate the hash shuffle:\n" + p.take(2000))
+  }
+
   test("q_dataset_card: distinct-count expand still partial-aggregates before the shuffle") {
     val df = SparkEntry.queries("q_dataset_card")(spark, sf)
     df.collect()
