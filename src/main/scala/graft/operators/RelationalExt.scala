@@ -754,6 +754,52 @@ object RelationalExt {
           col("ks_d"), col("reject_05"))
     }),
 
+    // POPULATION STABILITY INDEX between the 'click' and 'view' value
+    // distributions — the fourth drift gate next to q_ks_test
+    // (continuous sup-distance), q_chi2 (categorical), q_t_test
+    // (mean shift): PSI = Σ_buckets (p−q)·ln(p/q), THE score-drift
+    // metric ML monitoring dashboards alarm on (>0.25 = retrain).
+    // Ten width-50 value buckets on a generated spine (empty buckets
+    // still contribute via add-1/Laplace smoothing — deterministic
+    // integer counts, never a NaN). EXACT except one guarded ln: p, q
+    // as truncated micro shares of exact integers; the log-ratio of
+    // the exact cross products quantized floor(ln·10⁴ + 0.5) (the
+    // q_bigram_lm micro-nat discipline; RelationalExtSpec's libm guard
+    // pins every input far from a floor boundary). Per-bucket terms
+    // are products of same-sign quantities, so the final DIV is
+    // non-negative and truncation is engine-independent.
+    //
+    // Scale posture: one (arm, bucket) aggregate collapses the stream
+    // to ≤ 20 rows; everything after runs on the broadcast 10-row
+    // spine.
+    "q_psi" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(expr("greatest(least(CAST(floor(value / 50.0) AS BIGINT), 9L), 0L)").as("bucket"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("ia"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("ib"))
+      val cnt = ev.groupBy(col("bucket")).agg(sum(col("ia")).as("a"), sum(col("ib")).as("b"))
+      val tot = ev.agg(sum(col("ia")).as("na"), sum(col("ib")).as("nb"))
+      val spine = s.range(10).select(col("id").as("bucket"))
+      val terms = spine
+        .join(cnt, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("a"), lit(0L)).as("a"),
+          coalesce(col("b"), lit(0L)).as("b"))
+        .crossJoin(broadcast(tot))
+        .withColumn("p_micro", expr("((a + 1) * 1000000) DIV (na + 10)"))
+        .withColumn("q_micro", expr("((b + 1) * 1000000) DIV (nb + 10)"))
+        .withColumn("lr_e4", expr(
+          """CAST(floor(ln(CAST((a + 1) * (nb + 10) AS DOUBLE)
+            |             / CAST((b + 1) * (na + 10) AS DOUBLE)) * 10000 + 0.5) AS BIGINT)""".stripMargin))
+        .withColumn("term_micro", expr("((p_micro - q_micro) * lr_e4) DIV 10000"))
+      val psi = terms.agg(sum(col("term_micro")).as("psi_micro"))
+      terms
+        .crossJoin(broadcast(psi))
+        .select(col("bucket"), col("a"), col("b"), col("p_micro"), col("q_micro"),
+          col("lr_e4"), col("term_micro"), col("psi_micro"))
+        .orderBy(col("bucket"))
+    }),
+
     // WELCH two-sample test (unequal variances) between the 'en' and
     // non-'en' document-length distributions per source — the mixture
     // sanity check next to q_ks_test's drift gate: does a source write
@@ -946,6 +992,42 @@ object RelationalExt {
                 .stripMargin), 6).as("acf"))
       }
       perLag.reduce(_ unionByName _).orderBy(col("lag"))
+    }),
+
+    // HOLT linear (double exponential) smoothing of the daily event
+    // series per event type — the level+TREND leg of the smoothing
+    // family (q_ewma tracks level only, q_seasonal the weekly shape):
+    // l_t = (y_t + l + b)/2, b_t = (l_t − l + b)/2 (α = β = ½), plus
+    // the 7-day-ahead forecast l + 7b that capacity planning actually
+    // consumes. The recursion is inherently sequential, so it runs at
+    // the RIGHT grain: the corpus collapses to a bounded (type, day)
+    // count table first (one shuffle), each type's series folds into
+    // one sorted array, and the recursion is a per-row aggregate()
+    // lambda — the q_ewma/q_unigram_lm sequential-DP recipe. EXACT
+    // integer trajectory: milli fixed point with halving as
+    // floor(x/2.0) — |x| < 2⁵² keeps the double exact, and floor of an
+    // exact half-integer is engine-independent (truncating DIV would
+    // disagree with DuckDB's floor-div on negative trends).
+    "q_holt" -> ((s, d) => {
+      val lt = "CAST(floor((x.c * 1000 + st.l + st.b) / 2.0) AS BIGINT)"
+      Tables.events(s, d)
+        .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("sd"))
+        .selectExpr("event_type",
+          "CAST(size(sd) AS BIGINT) AS n_days",
+          s"""aggregate(
+             |  slice(sd, 2, size(sd) - 1),
+             |  named_struct('l', element_at(sd, 1).c * 1000L, 'b', 0L),
+             |  (st, x) -> named_struct(
+             |    'l', $lt,
+             |    'b', CAST(floor(($lt - st.l + st.b) / 2.0) AS BIGINT)),
+             |  st -> st) AS h""".stripMargin)
+        .selectExpr("event_type", "n_days",
+          "h.l AS level_milli", "h.b AS trend_milli",
+          "h.l + 7 * h.b AS forecast7_milli")
+        .orderBy(col("event_type"))
     }),
 
     // CUSUM changepoint detection over the daily event-count series —
@@ -1400,6 +1482,33 @@ object RelationalExt {
         |    > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)) AS reject_05
         |FROM d""".stripMargin,
 
+    "q_psi" ->
+      """WITH ev AS (
+        |  SELECT greatest(least(CAST(floor(value / 50.0) AS BIGINT), 9), 0) AS bucket,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |cnt AS (
+        |  SELECT bucket, CAST(SUM(ia) AS BIGINT) AS a, CAST(SUM(ib) AS BIGINT) AS b
+        |  FROM ev GROUP BY bucket),
+        |tot AS (
+        |  SELECT CAST(SUM(ia) AS BIGINT) AS na, CAST(SUM(ib) AS BIGINT) AS nb FROM ev),
+        |spine AS (SELECT unnest(range(0, 10)) AS bucket),
+        |terms AS (
+        |  SELECT s.bucket, coalesce(a, 0) AS a, coalesce(b, 0) AS b, na, nb,
+        |    ((coalesce(a, 0) + 1) * 1000000) // (na + 10) AS p_micro,
+        |    ((coalesce(b, 0) + 1) * 1000000) // (nb + 10) AS q_micro,
+        |    CAST(floor(ln(CAST((coalesce(a, 0) + 1) * (nb + 10) AS DOUBLE)
+        |               / CAST((coalesce(b, 0) + 1) * (na + 10) AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS lr_e4
+        |  FROM spine s LEFT JOIN cnt USING (bucket), tot),
+        |t2 AS (
+        |  SELECT bucket, a, b, p_micro, q_micro, lr_e4,
+        |    ((p_micro - q_micro) * lr_e4) // 10000 AS term_micro
+        |  FROM terms),
+        |psi AS (SELECT CAST(SUM(term_micro) AS BIGINT) AS psi_micro FROM t2)
+        |SELECT bucket, a, b, p_micro, q_micro, lr_e4, term_micro, psi_micro
+        |FROM t2, psi ORDER BY bucket""".stripMargin,
+
     "q_t_test" ->
       """WITH g AS (
         |  SELECT source, CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS grp,
@@ -1529,6 +1638,33 @@ object RelationalExt {
          |${(1 to 7).map(lagSel).mkString("\nUNION ALL\n")}
          |ORDER BY lag""".stripMargin
     },
+
+    // The Holt recursion replayed as a recursive CTE over the row
+    // number within each type's day series — same milli integers,
+    // same floor(x/2.0) halving.
+    "q_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ord AS (
+        |  SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily),
+        |rec AS (
+        |  SELECT event_type, i, n, c * 1000 AS l, CAST(0 AS BIGINT) AS b
+        |  FROM ord WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.i, r.n,
+        |    CAST(floor((o.c * 1000 + r.l + r.b) / 2.0) AS BIGINT) AS l,
+        |    CAST(floor((CAST(floor((o.c * 1000 + r.l + r.b) / 2.0) AS BIGINT)
+        |                - r.l + r.b) / 2.0) AS BIGINT) AS b
+        |  FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.i = r.i + 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  l AS level_milli, b AS trend_milli,
+        |  l + 7 * b AS forecast7_milli
+        |FROM rec WHERE i = n ORDER BY event_type""".stripMargin,
 
     "q_changepoint" ->
       """WITH daily AS (

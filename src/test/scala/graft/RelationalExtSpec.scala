@@ -312,4 +312,37 @@ class RelationalExtSpec extends SparkSpec {
         s"user $u: smoothed $smoothed outside [$lo, $hi] (raw $raw, prior $pMicro)")
     }
   }
+
+  test("q_psi: every log-ratio sits far from a floor boundary (libm guard); terms are non-negative and sum to psi") {
+    // The q_dsir_weight guard applied to PSI's one ln(): recompute each
+    // bucket's smoothed cross products at all three fixture SFs and
+    // assert a >= 1e-5 gap to the nearest floor boundary of
+    // ln(ratio)·10⁴ + 0.5 — ~1e5x worst cross-libm divergence.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val rows = RelationalExt.queries("q_psi")(spark, dir).collect()
+      assert(rows.length == 10)
+      rows.foreach { r =>
+        assert(r.getLong(6) >= 0L, s"$dir bucket ${r.getLong(0)}: negative PSI term")
+      }
+      assert(rows.map(_.getLong(6)).sum == rows.head.getLong(7),
+        s"$dir: per-bucket terms do not sum to psi_micro")
+      val ev = Tables.events(spark, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(expr("greatest(least(CAST(floor(value / 50.0) AS BIGINT), 9L), 0L)").as("bucket"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("ia"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("ib"))
+      val cnt = ev.groupBy(col("bucket"))
+        .agg(sum(col("ia")).as("a"), sum(col("ib")).as("b")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val (na, nb) = (cnt.values.map(_._1).sum, cnt.values.map(_._2).sum)
+      val minDist = (0L until 10L).map { k =>
+        val (a, b) = cnt.getOrElse(k, (0L, 0L))
+        val x = math.log(((a + 1) * (nb + 10)).toDouble / ((b + 1) * (na + 10))) * 1e4 + 0.5
+        math.min(x - math.floor(x), math.ceil(x) - x)
+      }.min
+      assert(minDist > 1e-5,
+        s"$dir: a PSI log-ratio sits $minDist from a floor boundary — " +
+          "cross-engine libm divergence could flip it; re-bucket or re-quantize")
+    }
+  }
 }
