@@ -251,10 +251,13 @@ object Pipeline {
     // where no window/aggregate can express the semantics. At 100 TB
     // the shards ≫ reducers rule (shardCount) bounds each group:
     // a shard's (doc_id, n_tokens) pairs are 16 bytes/doc — the text
-    // itself never enters the group iterator. No SQL oracle (the
-    // greedy loop isn't SQL-expressible): pinned by PipelineSpec
-    // against an independent FFD reimplementation + validity
-    // invariants; rows-only checked by the driver.
+    // itself never enters the group iterator. ORACLE-CHECKED via the
+    // SQL-replayed-DP recipe (the q_tokenize precedent): the greedy
+    // first-fit loop replays as a recursive CTE that advances every
+    // shard one item per round, carrying the bin-fills LIST as state —
+    // the first-fitting bin is the head of a list_filter over the
+    // fills, exactly ffdPlace's indexWhere. PipelineSpec additionally
+    // pins validity invariants against an independent reimplementation.
     "q_pack_ffd" -> ((s, d) => {
       import s.implicits._
       val cap = 128L
@@ -1089,6 +1092,38 @@ object Pipeline {
          |  pack_offset // 4096 AS start_chunk,
          |  (pack_offset + n_chars - 1) // 4096 AS end_chunk
          |FROM off ORDER BY shard, pack_offset""".stripMargin,
+
+    // ffdPlace replayed exactly: every shard advances one item per
+    // recursion round, the bin-fills list is the carried state, and
+    // the first-fit choice is the head of a list_filter — b NULL means
+    // "open a new bin", n > cap means the oversize -1 sentinel.
+    "q_pack_ffd" ->
+      s"""WITH RECURSIVE items AS (
+         |  SELECT doc_id, ${h("doc_id", A1, B1)} % $DefaultShards AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         |    row_number() OVER (PARTITION BY (${h("doc_id", A1, B1)} % $DefaultShards)
+         |      ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS i
+         |  FROM documents),
+         |rec AS (
+         |  SELECT shard, CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS fills,
+         |    CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS bin, CAST(NULL AS BIGINT) AS n
+         |  FROM (SELECT DISTINCT shard FROM items)
+         |  UNION ALL
+         |  SELECT shard, i,
+         |    CASE WHEN n > 128 THEN fills
+         |         WHEN b IS NULL THEN list_append(fills, n)
+         |         ELSE list_transform(range(1, len(fills) + 1),
+         |                j -> CASE WHEN j = b THEN fills[j] + n ELSE fills[j] END) END AS fills,
+         |    doc_id,
+         |    CASE WHEN n > 128 THEN -1 WHEN b IS NULL THEN CAST(len(fills) AS BIGINT)
+         |         ELSE b - 1 END AS bin,
+         |    n
+         |  FROM (
+         |    SELECT it.shard, it.i, r.fills, it.doc_id, it.n,
+         |      list_filter(range(1, len(r.fills) + 1), j -> r.fills[j] + it.n <= 128)[1] AS b
+         |    FROM rec r JOIN items it ON it.shard = r.shard AND it.i = r.i + 1))
+         |SELECT doc_id, shard, bin AS bin_id, n AS n_tokens
+         |FROM rec WHERE doc_id IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     "q_rowid" ->
       """SELECT doc_id, lang, row_number() OVER (ORDER BY doc_id) - 1 AS row_id
