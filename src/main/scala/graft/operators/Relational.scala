@@ -93,6 +93,53 @@ object Relational {
         .orderBy(col("o_custkey"))
     }),
 
+    // PARTITIONED layout + partition pruning — the third storage-layout
+    // lever next to q_bucketed_join (co-location) and q_zorder
+    // (clustering): documents written partitionBy(lang), then a
+    // lang-filtered read shows the predicate as a PARTITION filter —
+    // non-matching directories are never listed, let alone scanned. At
+    // 100 TB this is the difference between scanning 1/5 of the corpus
+    // and all of it; PlanAuditSpec asserts PartitionFilters carries the
+    // predicate and the row-group scan has no lang residual.
+    "q_partitioned_scan" -> ((s, d) => {
+      val tmp = s"/tmp/graft_partitioned_${new java.io.File(d).getName}"
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("lang") === "en")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
+
+    // SCHEMA EVOLUTION read — years of accumulated parquet never share
+    // one schema: older drops lack newer columns. Two snapshots are
+    // written with drifted schemas (v1 without `quality`, v2 with it),
+    // then ONE mergeSchema read unions them; the per-snapshot
+    // aggregate proves old rows surface the new column as NULL and new
+    // rows keep their values — the contract a 100 TB lakehouse scan
+    // depends on every day. The oracle recomputes both snapshots'
+    // aggregates straight from the source table.
+    "q_schema_evolve" -> ((s, d) => {
+      val tmp = s"/tmp/graft_evolve_${new java.io.File(d).getName}"
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$tmp/v=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n_chars") % 100).as("quality"))
+        .write.mode("overwrite").parquet(s"$tmp/v=2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/v=1", s"$tmp/v=2")
+        .withColumn("snapshot", expr("CAST(doc_id % 2 + 1 AS BIGINT)"))
+        .groupBy(col("snapshot"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("quality").isNull, 1L).otherwise(0L)).as("n_null_quality"),
+          sum(coalesce(col("quality"), lit(0L))).as("sum_quality"))
+        .orderBy(col("snapshot"))
+    }),
+
     // Left outer join preserving customers with zero orders.
     "q_join_left" -> ((s, d) => {
       Tables.customer(s, d)
@@ -327,6 +374,21 @@ object Relational {
         | round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_partitioned_scan" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_schema_evolve" ->
+      """SELECT CAST(doc_id % 2 + 1 AS BIGINT) AS snapshot,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_quality,
+        | CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 ELSE 0 END) AS BIGINT) AS sum_quality
+        |FROM documents
+        |GROUP BY doc_id % 2 + 1 ORDER BY snapshot""".stripMargin,
 
     // The bucketed layout must not change a single answer — the truth
     // is the plain join over the original parquet.

@@ -174,6 +174,32 @@ object Reshape {
         .orderBy(col("lang"), col("len_band"))
     }),
 
+    // L-DIVERSITY audit (Machanavajjhala 2007) — the second privacy
+    // gate k-anonymity can't provide: a class of 50 identical rows is
+    // 50-anonymous, but if every row shares one SENSITIVE value
+    // (here: source, standing in for the attribute the release must
+    // not disclose), membership alone reveals it. Per quasi-identifier
+    // class (the q_k_anon schema): distinct sensitive values l, the
+    // l ≥ 2 verdict, and the majority-value share in exact micro (the
+    // probabilistic-disclosure measure — 1e6 means homogeneous). Same
+    // class-grain scale posture as q_k_anon: one aggregate, one
+    // max-over-class window on the class×value table.
+    "q_l_diversity" -> ((s, d) => {
+      val cls = Tables.documents(s, d)
+        .select(col("lang"), expr("n_chars DIV 256").as("len_band"), col("source"))
+        .groupBy(col("lang"), col("len_band"), col("source"))
+        .agg(count(lit(1)).as("nv"))
+      cls.groupBy(col("lang"), col("len_band"))
+        .agg(sum(col("nv")).as("n"),
+          count(lit(1)).as("l_distinct"),
+          max(col("nv")).as("majority"))
+        .withColumn("l_diverse", col("l_distinct") >= 2)
+        .withColumn("majority_micro", expr("(majority * 1000000) DIV n"))
+        .select(col("lang"), col("len_band"), col("n"), col("l_distinct"),
+          col("l_diverse"), col("majority_micro"))
+        .orderBy(col("lang"), col("len_band"))
+    }),
+
     // Incremental aggregate maintenance: the warehouse pattern where a
     // materialized daily rollup absorbs a new delta batch WITHOUT
     // rescanning history — possible exactly when the aggregate is
@@ -472,6 +498,18 @@ object Reshape {
         |  count(*) >= 5 AS k_anonymous,
         |  CASE WHEN count(*) < 5 THEN CAST(count(*) AS BIGINT) ELSE 0 END AS suppressed_docs
         |FROM documents GROUP BY lang, len_band
+        |ORDER BY lang, len_band""".stripMargin,
+
+    "q_l_diversity" ->
+      """WITH cls AS (
+        |  SELECT lang, n_chars // 256 AS len_band, source,
+        |    CAST(count(*) AS BIGINT) AS nv
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, len_band, CAST(sum(nv) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS l_distinct,
+        |  count(*) >= 2 AS l_diverse,
+        |  (CAST(max(nv) AS BIGINT) * 1000000) // CAST(sum(nv) AS BIGINT) AS majority_micro
+        |FROM cls GROUP BY lang, len_band
         |ORDER BY lang, len_band""".stripMargin
   )
 }

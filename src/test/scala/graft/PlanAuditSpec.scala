@@ -811,6 +811,22 @@ class PlanAuditSpec extends SparkSpec {
       "bucketed layout failed to eliminate the hash shuffle:\n" + p.take(2000))
   }
 
+  test("q_partitioned_scan: the lang predicate is a partition filter, not a data filter") {
+    val df = Relational.queries("q_partitioned_scan")(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    def bracket(tag: String): String = {
+      val i = p.indexOf(tag + ": [")
+      if (i < 0) "" else p.substring(i + tag.length + 3, p.indexOf("]", i))
+    }
+    assert(bracket("PartitionFilters").contains("lang"),
+      "lang predicate did not become a partition filter:\n" + p.take(1500))
+    // pruning happened at the directory listing — no residual lang
+    // comparison may survive into the row scan
+    assert(!bracket("PushedFilters").contains("lang") && !bracket("DataFilters").contains("lang"),
+      "lang leaked into the row-group scan as a data filter:\n" + p.take(1500))
+  }
+
   test("q_dataset_card: distinct-count expand still partial-aggregates before the shuffle") {
     val df = SparkEntry.queries("q_dataset_card")(spark, sf)
     df.collect()
