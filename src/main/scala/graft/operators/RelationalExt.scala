@@ -1113,7 +1113,99 @@ object RelationalExt {
           round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
           round(stddev_samp(col("l_discount")), 4).as("sd_disc"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    // MANN-WHITNEY U rank-sum test (Mann & Whitney 1947) between the
+    // 'click' and 'view' value distributions — the NONPARAMETRIC drift
+    // gate next to q_t_test (mean shift under normality) and q_ks_test
+    // (sup-distance): does one arm stochastically dominate, without
+    // assuming any distribution shape? Tie handling is exact: values
+    // quantize to milli units, ranking runs at DISTINCT-VALUE grain
+    // (never per row), and tie groups carry the textbook average rank
+    // in DOUBLED units so everything stays integral — a tie group
+    // occupying min-rank s with multiplicity t has average rank
+    // s+(t−1)/2, i.e. doubled rank r2 = 2·cum_before + t + 1. Then
+    //   2·ΣR_A = Σ_v na_v·r2_v,   U2_A = 2·ΣR_A − n_A(n_A+1),
+    //   U2_A + U2_B = 2·n_A·n_B  (the identity the spec pins),
+    // and the tie-corrected normal approximation (Lehmann 1975)
+    //   z² = 3·(2U − n_A n_B)²·n(n−1) / (n_A n_B (n³−n−T)),
+    // T = Σ(t³−t), evaluated as a fixed ladder of truncating DIVs on
+    // non-negative integers — both engines walk identical BIGINTs, no
+    // sqrt, no libm. The nesting order bounds every intermediate
+    // ≪ 2⁶³ for n up to ~10⁷ per arm; past that the 100 TB form lifts
+    // the products into DECIMAL(38) — same plan shape.
+    //
+    // Scale posture: one partial+final aggregate collapses the stream
+    // to distinct-value grain (bounded: the metric is milli-quantized
+    // and range-bounded, ≤ ~5·10⁵ rows regardless of corpus size); the
+    // rank scan is ONE ordered window over that bounded table; the
+    // final combine is a 1-row aggregate. Raw rows never sort.
+    "q_mann_whitney" -> ((s, d) => {
+      val byVal = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("ia"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("ib"))
+        .groupBy(col("vm"))
+        .agg(sum(col("ia")).as("na_v"), sum(col("ib")).as("nb_v"))
+        .withColumn("t", col("na_v") + col("nb_v"))
+      val w = Window.orderBy(col("vm")).rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = byVal
+        .withColumn("cum_before", coalesce(sum(col("t")).over(w), lit(0L)))
+        .withColumn("r2", lit(2L) * col("cum_before") + col("t") + 1L)
+      ranked.agg(
+        sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"),
+        sum(expr("na_v * r2")).as("sr2_a"),
+        sum(expr("t * t * t - t")).as("ties_t"))
+        .withColumn("u2_a", expr("sr2_a - n_a * (n_a + 1)"))
+        .withColumn("u2_b", expr("2 * n_a * n_b - u2_a"))
+        .withColumn("n", col("n_a") + col("n_b"))
+        .withColumn("z2_micro", expr(
+          """((3 * ((u2_a DIV 2 - (n_a * n_b) DIV 2) * (u2_a DIV 2 - (n_a * n_b) DIV 2))
+            |      DIV (n_a * n_b)) * 1000000)
+            |  DIV ((n * n * n - n - ties_t) DIV (n * (n - 1)))""".stripMargin))
+        .withColumn("reject_05", col("z2_micro") > 3841500L)
+        .select(col("n_a"), col("n_b"), col("u2_a"), col("u2_b"), col("ties_t"),
+          col("z2_micro"), col("reject_05"))
+    }),
+
+    // CUSUM control chart (Page 1954) per event-type series — the
+    // SEQUENTIAL drift alarm next to q_changepoint's offline split and
+    // q_psi's batch-vs-batch gate: S_t = max(0, S_{t−1} + x_t − μ − k)
+    // accumulates evidence of a sustained upward shift and alarms at
+    // S_t > h. The recurrence looks inherently serial, but the
+    // reflection identity S_t = P_t − min(0, min_{j≤t} P_j) with
+    // P_t = Σ_{i≤t}(x_i − μ − k) turns it into two PREFIX windows —
+    // a running sum and a running min — so it parallelizes exactly
+    // like any prefix scan (per-partition partials + carry-in at
+    // 100 TB; one ordered pass here). All-integer: values in milli
+    // units, per-type target μ from a first aggregate pass (DIV on
+    // non-negative sums), slack k = 5 000 milli, threshold h = 200 000
+    // milli. Report grain is the TYPE (alarm count, peak statistic,
+    // first alarm), so the result is dashboard-sized.
+    "q_cusum" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("xm"))
+      val mu = ev.groupBy(col("event_type"))
+        .agg(expr("sum(xm) DIV count(*)").as("mean_milli"))
+      val wRun = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val scanned = ev
+        .join(broadcast(mu), Seq("event_type"))
+        .withColumn("p", sum(expr("xm - mean_milli - 5000")).over(wRun))
+        .withColumn("s_milli", col("p") - least(min(col("p")).over(wRun), lit(0L)))
+      scanned.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("mean_milli")).as("mean_milli"),
+          max(col("s_milli")).as("peak_s_milli"),
+          sum(when(col("s_milli") > 200000L, 1L).otherwise(0L)).as("n_alarms"),
+          min(when(col("s_milli") > 200000L, col("event_id"))).as("first_alarm_id"))
+        .select(col("event_type"), col("n"), col("mean_milli"),
+          col("peak_s_milli"), col("n_alarms"), col("first_alarm_id"))
+        .orderBy(col("event_type"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1715,7 +1807,61 @@ object RelationalExt {
         |  SELECT 1 FROM p b
         |  WHERE b.price_centi <= a.price_centi AND b.p_size <= a.p_size
         |    AND (b.price_centi < a.price_centi OR b.p_size < a.p_size))
-        |ORDER BY price_centi, p_size""".stripMargin
+        |ORDER BY price_centi, p_size""".stripMargin,
+
+    "q_mann_whitney" ->
+      """WITH byval AS (
+        |  SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS nb_v
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |r AS (
+        |  SELECT vm, na_v, nb_v, na_v + nb_v AS t,
+        |    CAST(COALESCE(SUM(na_v + nb_v) OVER (ORDER BY vm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM byval),
+        |a AS (
+        |  SELECT CAST(SUM(na_v) AS BIGINT) AS n_a, CAST(SUM(nb_v) AS BIGINT) AS n_b,
+        |    CAST(SUM(na_v * (2 * cum_before + t + 1)) AS BIGINT) AS sr2_a,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS ties_t
+        |  FROM r),
+        |b AS (
+        |  SELECT n_a, n_b, n_a + n_b AS n, ties_t, sr2_a - n_a * (n_a + 1) AS u2_a FROM a)
+        |SELECT n_a, n_b, u2_a, 2 * n_a * n_b - u2_a AS u2_b, ties_t,
+        |  ((3 * ((u2_a // 2 - (n_a * n_b) // 2) * (u2_a // 2 - (n_a * n_b) // 2))
+        |       // (n_a * n_b)) * 1000000)
+        |    // ((n * n * n - n - ties_t) // (n * (n - 1))) AS z2_micro,
+        |  ((3 * ((u2_a // 2 - (n_a * n_b) // 2) * (u2_a // 2 - (n_a * n_b) // 2))
+        |       // (n_a * n_b)) * 1000000)
+        |    // ((n * n * n - n - ties_t) // (n * (n - 1))) > 3841500 AS reject_05
+        |FROM b""".stripMargin,
+
+    "q_cusum" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, ts,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS xm
+        |  FROM events),
+        |mu AS (
+        |  SELECT event_type,
+        |    CAST(SUM(xm) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_milli
+        |  FROM ev GROUP BY event_type),
+        |p AS (
+        |  SELECT e.event_type, e.event_id, e.ts, mean_milli,
+        |    CAST(SUM(xm - mean_milli - 5000) OVER (PARTITION BY e.event_type
+        |      ORDER BY e.ts, e.event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+        |  FROM ev e JOIN mu USING (event_type)),
+        |sc AS (
+        |  SELECT event_type, event_id, mean_milli,
+        |    p - LEAST(CAST(MIN(p) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS s_milli
+        |  FROM p)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(MAX(mean_milli) AS BIGINT) AS mean_milli,
+        |  CAST(MAX(s_milli) AS BIGINT) AS peak_s_milli,
+        |  CAST(SUM(CASE WHEN s_milli > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+        |  CAST(MIN(CASE WHEN s_milli > 200000 THEN event_id END) AS BIGINT) AS first_alarm_id
+        |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin
 
     // q_approx_stats: no oracle (sketches are engine-specific).
   )

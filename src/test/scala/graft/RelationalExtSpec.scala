@@ -345,4 +345,49 @@ class RelationalExtSpec extends SparkSpec {
           "cross-engine libm divergence could flip it; re-bucket or re-quantize")
     }
   }
+
+  test("q_mann_whitney: U identity, doubled-rank total, and brute-force ΣR_A agree") {
+    val r = RelationalExt.queries("q_mann_whitney")(spark, sf).collect().head
+    val (nA, nB, u2a, u2b, tiesT) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    // U_A + U_B = n_A·n_B (doubled units), both non-negative.
+    assert(u2a + u2b == 2 * nA * nB, "U identity violated")
+    assert(u2a >= 0 && u2b >= 0)
+    // Brute-force: average ranks over the pooled milli-quantized sample.
+    val pooled = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .collect().map(row => (row.getString(0), row.getLong(1)))
+    val sorted = pooled.map(_._2).sorted
+    val firstIdx = sorted.zipWithIndex.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).min }
+    val tieCnt = sorted.groupBy(identity).map { case (v, xs) => v -> xs.length.toLong }
+    // doubled average rank of value v: 2·(firstIdx+1) + (t−1)
+    val sr2A = pooled.filter(_._1 == "click")
+      .map { case (_, v) => 2L * (firstIdx(v) + 1) + (tieCnt(v) - 1) }.sum
+    assert(u2a == sr2A - nA * (nA + 1), s"doubled-rank sum mismatch: $u2a vs ${sr2A - nA * (nA + 1)}")
+    assert(tiesT == tieCnt.values.map(t => t * t * t - t).sum)
+  }
+
+  test("q_cusum: reflection identity equals the serial max(0, S+y) recurrence") {
+    val got = RelationalExt.queries("q_cusum")(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("xm"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._1).foreach { case (et, rows) =>
+      val xs = rows.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+      val mean = xs.sum / xs.length // truncating DIV on non-negative sums
+      var s = 0L; var peak = 0L; var alarms = 0L
+      xs.foreach { x =>
+        s = math.max(0L, s + x - mean - 5000L)
+        peak = math.max(peak, s)
+        if (s > 200000L) alarms += 1
+      }
+      val (n, gotMean, gotPeak, gotAlarms) = got(et)
+      assert(n == xs.length && gotMean == mean, s"$et: n/mean mismatch")
+      assert(gotPeak == peak, s"$et: serial peak $peak vs window $gotPeak")
+      assert(gotAlarms == alarms, s"$et: serial alarms $alarms vs window $gotAlarms")
+    }
+  }
 }
