@@ -1169,6 +1169,45 @@ object RelationalExt {
           col("z2_micro"), col("reject_05"))
     }),
 
+    // RFM SEGMENTATION (recency / frequency / monetary quintiles) —
+    // the classic customer-value grid every growth dashboard ships:
+    // per customer, days since last order (vs the corpus max date),
+    // order count, and lifetime spend; each scored 1..5 by ntile and
+    // packed into the familiar three-digit segment code (555 = best).
+    // Determinism discipline: spend sums CENTI-QUANTIZED per order
+    // (floor(price·100 + 0.5) — summing raw doubles would make the
+    // quintile boundary engine-dependent), and every ntile ordering
+    // carries the custkey tiebreak so equal metrics land in the same
+    // bucket on both engines. Report grain = segment code (≤ 125
+    // rows) with population and spend share.
+    //
+    // Scale posture: one aggregate at customer grain, three global
+    // ntile windows over that aggregate (customer-grain, not
+    // order-grain — at 100 TB this is the post-rollup table; the
+    // single-partition window would become a range-partitioned sort),
+    // then a tiny segment-grain aggregate. The 1-row max-date
+    // aggregate broadcasts.
+    "q_rfm" -> ((s, d) => {
+      val cust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+          count(lit(1)).as("n_orders"),
+          sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("spend_centi"))
+      val maxD = cust.agg(max(col("last_d")).as("gmax"))
+      val scored = cust.crossJoin(broadcast(maxD))
+        .withColumn("r_days", datediff(col("gmax"), col("last_d")).cast("long"))
+        .withColumn("r_q", ntile(5).over(Window.orderBy(col("r_days"), col("o_custkey"))))
+        .withColumn("f_q", ntile(5).over(Window.orderBy(col("n_orders").desc, col("o_custkey"))))
+        .withColumn("m_q", ntile(5).over(Window.orderBy(col("spend_centi").desc, col("o_custkey"))))
+      scored
+        .withColumn("rfm", expr("CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT)"))
+        .groupBy(col("rfm"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("spend_centi")).as("spend_centi"),
+          min(col("o_custkey")).as("sample_custkey"))
+        .orderBy(col("rfm"))
+    }),
+
     // CUSUM control chart (Page 1954) per event-type series — the
     // SEQUENTIAL drift alarm next to q_changepoint's offline split and
     // q_psi's batch-vs-batch gate: S_t = max(0, S_{t−1} + x_t − μ − k)
@@ -1835,6 +1874,26 @@ object RelationalExt {
         |       // (n_a * n_b)) * 1000000)
         |    // ((n * n * n - n - ties_t) // (n * (n - 1))) > 3841500 AS reject_05
         |FROM b""".stripMargin,
+
+    "q_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_centi
+        |  FROM orders GROUP BY o_custkey),
+        |gm AS (SELECT MAX(last_d) AS gmax FROM cust),
+        |scored AS (
+        |  SELECT o_custkey, spend_centi,
+        |    CAST(date_diff('day', last_d, gmax) AS BIGINT) AS r_days,
+        |    ntile(5) OVER (ORDER BY date_diff('day', last_d, gmax), o_custkey) AS r_q,
+        |    ntile(5) OVER (ORDER BY n_orders DESC, o_custkey) AS f_q,
+        |    ntile(5) OVER (ORDER BY spend_centi DESC, o_custkey) AS m_q
+        |  FROM cust, gm)
+        |SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(spend_centi) AS BIGINT) AS spend_centi,
+        |  CAST(MIN(o_custkey) AS BIGINT) AS sample_custkey
+        |FROM scored GROUP BY 1 ORDER BY rfm""".stripMargin,
 
     "q_cusum" ->
       """WITH ev AS (

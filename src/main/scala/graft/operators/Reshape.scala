@@ -200,6 +200,44 @@ object Reshape {
         .orderBy(col("lang"), col("len_band"))
     }),
 
+    // T-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the third
+    // privacy gate completing the q_k_anon → q_l_diversity ladder:
+    // a class can be diverse yet still LEAK when its sensitive-value
+    // DISTRIBUTION deviates from the corpus-wide one (a class that is
+    // 90% source-web in a 33/33/33 corpus tells an adversary plenty).
+    // Per equivalence class: total-variation distance to the global
+    // source distribution — the EMD under the uniform ground metric,
+    // the standard instantiation for categorical sensitive attributes
+    // — in exact micro units: t = ½·Σ_v |p_v − q_v| with p, q as
+    // truncated micro shares of exact integer counts, and the t ≤ 0.2
+    // verdict. Classes missing a source still contribute that
+    // source's full global share, so the sum runs over the class ×
+    // source SPINE, not just observed pairs.
+    //
+    // Scale posture: everything after the two aggregates (class ×
+    // source counts; global source counts) runs at release-schema
+    // grain — the spine is classes × |sources|, never corpus-sized;
+    // the global 3-row distribution broadcasts.
+    "q_t_closeness" -> ((s, d) => {
+      val cls = Tables.documents(s, d)
+        .select(col("lang"), expr("n_chars DIV 256").as("len_band"), col("source"))
+        .groupBy(col("lang"), col("len_band"), col("source"))
+        .agg(count(lit(1)).as("nv"))
+      val classTot = cls.groupBy(col("lang"), col("len_band")).agg(sum(col("nv")).as("n"))
+      val glob = cls.groupBy(col("source")).agg(sum(col("nv")).as("gs"))
+      val globTot = glob.agg(sum(col("gs")).as("gn"))
+      val spine = classTot.crossJoin(broadcast(glob.crossJoin(broadcast(globTot))))
+      spine
+        .join(cls, Seq("lang", "len_band", "source"), "left")
+        .withColumn("p_micro", expr("(coalesce(nv, 0L) * 1000000) DIV n"))
+        .withColumn("q_micro", expr("(gs * 1000000) DIV gn"))
+        .groupBy(col("lang"), col("len_band"), col("n"))
+        .agg(expr("sum(abs(p_micro - q_micro)) DIV 2").as("tvd_micro"))
+        .withColumn("t_close", col("tvd_micro") <= 200000L)
+        .select(col("lang"), col("len_band"), col("n"), col("tvd_micro"), col("t_close"))
+        .orderBy(col("lang"), col("len_band"))
+    }),
+
     // Incremental aggregate maintenance: the warehouse pattern where a
     // materialized daily rollup absorbs a new delta batch WITHOUT
     // rescanning history — possible exactly when the aggregate is
@@ -510,6 +548,28 @@ object Reshape {
         |  count(*) >= 2 AS l_diverse,
         |  (CAST(max(nv) AS BIGINT) * 1000000) // CAST(sum(nv) AS BIGINT) AS majority_micro
         |FROM cls GROUP BY lang, len_band
+        |ORDER BY lang, len_band""".stripMargin,
+
+    "q_t_closeness" ->
+      """WITH cls AS (
+        |  SELECT lang, n_chars // 256 AS len_band, source,
+        |    CAST(count(*) AS BIGINT) AS nv
+        |  FROM documents GROUP BY 1, 2, 3),
+        |ct AS (SELECT lang, len_band, CAST(SUM(nv) AS BIGINT) AS n
+        |       FROM cls GROUP BY 1, 2),
+        |gsrc AS (SELECT source, CAST(SUM(nv) AS BIGINT) AS gs FROM cls GROUP BY 1),
+        |gt AS (SELECT CAST(SUM(gs) AS BIGINT) AS gn FROM gsrc),
+        |spine AS (SELECT * FROM ct, gsrc, gt),
+        |terms AS (
+        |  SELECT s.lang, s.len_band, s.n,
+        |    (COALESCE(c.nv, 0) * 1000000) // s.n AS p_micro,
+        |    (s.gs * 1000000) // s.gn AS q_micro
+        |  FROM spine s LEFT JOIN cls c
+        |    ON s.lang = c.lang AND s.len_band = c.len_band AND s.source = c.source)
+        |SELECT lang, len_band, n,
+        |  CAST(SUM(abs(p_micro - q_micro)) AS BIGINT) // 2 AS tvd_micro,
+        |  CAST(SUM(abs(p_micro - q_micro)) AS BIGINT) // 2 <= 200000 AS t_close
+        |FROM terms GROUP BY lang, len_band, n
         |ORDER BY lang, len_band""".stripMargin
   )
 }

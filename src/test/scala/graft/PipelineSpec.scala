@@ -441,6 +441,53 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == expected, "class table diverges from the driver recompute")
   }
 
+  test("q_t_closeness: TVD matches the driver recompute and is bounded in [0, 1e6]") {
+    val out = graft.operators.Reshape.queries("q_t_closeness")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out.nonEmpty)
+    val rows = Tables.documents(spark, sf)
+      .select(col("lang"), expr("n_chars DIV 256").as("band"), col("source"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val gn = rows.length.toLong
+    val globalBySrc = rows.groupBy(_._3).map { case (s, xs) => s -> xs.length.toLong }
+    val sources = globalBySrc.keys.toSeq
+    rows.groupBy(r => (r._1, r._2)).foreach { case (cls, xs) =>
+      val n = xs.length.toLong
+      val bySrc = xs.groupBy(_._3).map { case (s, ys) => s -> ys.length.toLong }
+      val tvd = sources.map { src =>
+        val p = bySrc.getOrElse(src, 0L) * 1000000L / n
+        val q = globalBySrc(src) * 1000000L / gn
+        math.abs(p - q)
+      }.sum / 2
+      val (gotN, gotTvd, gotClose) = out(cls)
+      assert(gotN == n && gotTvd == tvd, s"$cls: tvd $gotTvd vs driver $tvd")
+      assert(gotClose == (tvd <= 200000L))
+      assert(tvd >= 0 && tvd <= 1000000L)
+    }
+    // the audit must separate tight classes from leaky ones on this corpus
+    assert(out.values.exists(_._3) && out.values.exists(!_._3), "t-closeness audit vacuous")
+  }
+
+  test("q_rfm: quintiles are balanced and segment populations partition the customers") {
+    val segs = graft.operators.RelationalExt.queries("q_rfm")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nCust = Tables.orders(spark, sf).select(col("o_custkey")).distinct().count()
+    assert(segs.map(_._2).sum == nCust, "segments do not partition the customers")
+    // every digit of every code is a valid quintile 1..5
+    segs.foreach { case (code, _, spend) =>
+      val (r, f, m) = (code / 100, (code / 10) % 10, code % 10)
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5, s"bad code $code")
+      assert(spend >= 0)
+    }
+    // each metric's quintile populations differ by at most 1 (ntile contract)
+    Seq[Long => Long](_ / 100, c => (c / 10) % 10, _ % 10).foreach { digit =>
+      val byQ = segs.groupBy(t => digit(t._1)).map { case (q, xs) => q -> xs.map(_._2).sum }
+      assert(byQ.keys.toSet == Set(1L, 2L, 3L, 4L, 5L))
+      assert(byQ.values.max - byQ.values.min <= 1, s"unbalanced quintiles: $byQ")
+    }
+  }
+
   test("q_epoch_plan: plan recomputes exactly; cap and shortfall are consistent") {
     val out = Pipeline.queries("q_epoch_plan")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
