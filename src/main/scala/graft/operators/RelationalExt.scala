@@ -1169,6 +1169,49 @@ object RelationalExt {
           col("z2_micro"), col("reject_05"))
     }),
 
+    // SAX — Symbolic Aggregate approXimation (Lin, Keogh et al. 2003):
+    // compress each user's event-value series into a short SYMBOLIC
+    // word (here 8 segments × a 5-letter alphabet) so downstream motif
+    // mining, anomaly grouping, and similarity lookups run on strings
+    // instead of raw series. Two classic steps, both integral here:
+    // PAA (piecewise aggregate approximation — segment k of n rows is
+    // positions (k·8) DIV n, segment mean by truncating DIV on
+    // non-negative milli sums) then letter assignment by FIXED literal
+    // breakpoints (100/200/300/400 in value units — the paper's
+    // Gaussian breakpoints assume z-normalized input; a bounded
+    // uniform metric takes equal-width cuts, and literals keep both
+    // engines bit-identical, no quantile pass). The word assembles
+    // with an order-pinned string fold — collect_list alone would be
+    // nondeterministic; the (seg, letter) array_sort makes it stable.
+    //
+    // Scale posture: one user_id shuffle serves the two windows AND
+    // both aggregates (q_twap's shape); per-user state is ≤ 8 segment
+    // partials. The report is user-grain — at 100 TB the words are
+    // what you'd feed the next groupBy(sax) motif count, which is a
+    // ≤ 5⁸-key aggregate regardless of corpus size.
+    "q_sax" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wAll = Window.partitionBy(col("user_id"))
+      val seg = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("xm"))
+        .withColumn("k", (row_number().over(w) - 1).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("seg", expr("(k * 8) DIV n"))
+        .groupBy(col("user_id"), col("seg"))
+        .agg(sum(col("xm")).as("sx"), count(lit(1)).as("c"))
+        .withColumn("paa", expr("sx DIV c"))
+        .withColumn("letter", expr(
+          """CASE WHEN paa < 100000 THEN 'a' WHEN paa < 200000 THEN 'b'
+            |     WHEN paa < 300000 THEN 'c' WHEN paa < 400000 THEN 'd'
+            |     ELSE 'e' END""".stripMargin))
+      seg.groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n_events"),
+          array_join(expr("transform(array_sort(collect_list(struct(seg, letter))), x -> x.letter)"), "")
+            .as("sax"))
+        .orderBy(col("user_id"))
+    }),
+
     // RFM SEGMENTATION (recency / frequency / monetary quintiles) —
     // the classic customer-value grid every growth dashboard ships:
     // per customer, days since last order (vs the corpus max date),
@@ -1874,6 +1917,31 @@ object RelationalExt {
         |       // (n_a * n_b)) * 1000000)
         |    // ((n * n * n - n - ties_t) // (n * (n - 1))) > 3841500 AS reject_05
         |FROM b""".stripMargin,
+
+    "q_sax" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS xm
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, xm,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS k,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM ev),
+        |p AS (
+        |  SELECT user_id, (k * 8) // n AS seg,
+        |    CAST(SUM(xm) AS BIGINT) // CAST(count(*) AS BIGINT) AS paa,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM r GROUP BY 1, 2),
+        |l AS (
+        |  SELECT user_id, seg, c,
+        |    CASE WHEN paa < 100000 THEN 'a' WHEN paa < 200000 THEN 'b'
+        |         WHEN paa < 300000 THEN 'c' WHEN paa < 400000 THEN 'd'
+        |         ELSE 'e' END AS letter
+        |  FROM p)
+        |SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+        |  string_agg(letter, '' ORDER BY seg) AS sax
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_rfm" ->
       """WITH cust AS (

@@ -223,6 +223,45 @@ object TextAnalysis {
           countDistinct(col("source")).as("n_sources"))
         .orderBy(col("lang"))),
 
+    // CHARACTER-CLASS CENSUS / script-mix audit — the multilingual
+    // corpus-hygiene gate that catches what token-level quality rules
+    // miss: OCR garbage, code dumped into prose, digit-heavy boiler-
+    // plate, and mixed-script spam all show up as anomalous CHARACTER
+    // composition long before any token statistic moves. The fixture
+    // text is pure lowercase ASCII, so (as in q_pii_scrub) a
+    // deterministic mixed-class ribbon is woven in per doc first; the
+    // census then counts upper / lower / digit / space per doc with
+    // the length-difference idiom (length(x) − length(strip-class(x))
+    // — one regex pass per class, no explode), everything else (incl.
+    // the non-ASCII 'é') landing in `other`. Ratios are truncated
+    // micro shares of exact integers; the suspect flag fires on
+    // digit share > 2% — short docs, where the ribbon dominates,
+    // trip it; long prose does not (both outcomes pinned non-vacuous
+    // by TextAnalysisSpec).
+    //
+    // Scale posture: map-only at scan speed — no shuffle, no join;
+    // every class counter is a codegen'd regexp over the doc. At
+    // 100 TB this fuses into the same scan as the other per-doc
+    // gates.
+    "q_script_mix" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("mixed",
+          concat(col("text"), lit(" Ref "), col("doc_id"), lit(": Q"),
+            (col("doc_id") % 4 + 1).cast("string"), lit(" (c) 2026 Résumé!")))
+        .selectExpr("doc_id",
+          "CAST(length(mixed) AS BIGINT) AS n",
+          "CAST(length(mixed) - length(regexp_replace(mixed, '[A-Z]', '')) AS BIGINT) AS n_upper",
+          "CAST(length(mixed) - length(regexp_replace(mixed, '[a-z]', '')) AS BIGINT) AS n_lower",
+          "CAST(length(mixed) - length(regexp_replace(mixed, '[0-9]', '')) AS BIGINT) AS n_digit",
+          "CAST(length(mixed) - length(regexp_replace(mixed, ' ', '')) AS BIGINT) AS n_space")
+        .selectExpr("doc_id", "n", "n_upper", "n_lower", "n_digit", "n_space",
+          "n - n_upper - n_lower - n_digit - n_space AS n_other",
+          "(n_digit * 1000000) DIV n AS digit_micro",
+          "((n - n_upper - n_lower - n_digit - n_space) * 1000000) DIV n AS other_micro")
+        .withColumn("suspect", col("digit_micro") > 20000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality scoring: distinct-token ratio + stopword ratio blend.
     "q_text_quality" -> ((s, d) =>
       Tables.documents(s, d).selectExpr(
@@ -1481,6 +1520,27 @@ object TextAnalysis {
         | round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
         | count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_script_mix" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    text || ' Ref ' || doc_id || ': Q' || CAST(doc_id % 4 + 1 AS VARCHAR)
+        |      || ' (c) 2026 Résumé!' AS mixed
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(length(mixed) AS BIGINT) AS n,
+        |    CAST(length(mixed) - length(regexp_replace(mixed, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+        |    CAST(length(mixed) - length(regexp_replace(mixed, '[a-z]', '', 'g')) AS BIGINT) AS n_lower,
+        |    CAST(length(mixed) - length(regexp_replace(mixed, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |    CAST(length(mixed) - length(regexp_replace(mixed, ' ', '', 'g')) AS BIGINT) AS n_space
+        |  FROM m)
+        |SELECT doc_id, n, n_upper, n_lower, n_digit, n_space,
+        |  n - n_upper - n_lower - n_digit - n_space AS n_other,
+        |  (n_digit * 1000000) // n AS digit_micro,
+        |  ((n - n_upper - n_lower - n_digit - n_space) * 1000000) // n AS other_micro,
+        |  (n_digit * 1000000) // n > 20000 AS suspect
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
       """SELECT doc_id,

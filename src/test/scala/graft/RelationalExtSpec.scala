@@ -368,6 +368,29 @@ class RelationalExtSpec extends SparkSpec {
     assert(tiesT == tieCnt.values.map(t => t * t * t - t).sum)
   }
 
+  test("q_sax: words match a serial PAA+breakpoint replay; length = min(8, n)") {
+    val got = RelationalExt.queries("q_sax")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("xm"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      val xs = rows.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+      val n = xs.length.toLong
+      val word = xs.zipWithIndex.groupBy { case (_, k) => k * 8 / n }
+        .toSeq.sortBy(_._1)
+        .map { case (_, segVals) =>
+          val paa = segVals.map(_._1).sum / segVals.length
+          if (paa < 100000L) 'a' else if (paa < 200000L) 'b'
+          else if (paa < 300000L) 'c' else if (paa < 400000L) 'd' else 'e'
+        }.mkString
+      val (gotN, gotWord) = got(u)
+      assert(gotN == n && gotWord == word, s"user $u: $gotWord vs serial $word")
+      assert(gotWord.length == math.min(8L, n) && gotWord.forall(c => c >= 'a' && c <= 'e'))
+    }
+  }
+
   test("q_cusum: reflection identity equals the serial max(0, S+y) recurrence") {
     val got = RelationalExt.queries("q_cusum")(spark, sf).collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap

@@ -657,4 +657,26 @@ class TextAnalysisSpec extends SparkSpec {
       .agg(max(col("m"))).collect()(0).getInt(0)
     assert(maxCp < 128, s"fixture text must stay ASCII for the q_tokenize oracle (max cp $maxCp)")
   }
+
+  test("q_script_mix: classes partition every doc; census matches a driver recompute; flag non-vacuous") {
+    val out = TextAnalysis.queries("q_script_mix")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(9))))
+    assert(out.nonEmpty)
+    val texts = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, (n, up, lo, dig, sp, other, digMicro, suspect)) =>
+      val mixed = s"${texts(id)} Ref $id: Q${id % 4 + 1} (c) 2026 Résumé!"
+      assert(n == mixed.length.toLong, s"doc $id: length")
+      assert(up == mixed.count(_.isUpper) - mixed.count(c => c.isUpper && c > 127), s"doc $id: upper")
+      assert(lo == mixed.count(c => c >= 'a' && c <= 'z'), s"doc $id: lower")
+      assert(dig == mixed.count(_.isDigit), s"doc $id: digit")
+      assert(sp == mixed.count(_ == ' '), s"doc $id: space")
+      assert(up + lo + dig + sp + other == n, s"doc $id: classes do not partition")
+      assert(other >= 2, s"doc $id: the é and ! must land in other") // é + ( ) : !
+      assert(digMicro == dig * 1000000L / n)
+      assert(suspect == (digMicro > 20000L))
+    }
+    assert(out.exists(_._2._8) && out.exists(!_._2._8), "script-mix flag vacuous on this corpus")
+  }
 }
