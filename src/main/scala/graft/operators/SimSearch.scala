@@ -374,6 +374,34 @@ object SimSearch {
           expr("array_min(qvec)").as("q_min"))
         .orderBy(col("vec_id"))),
 
+    // JOHNSON-LINDENSTRAUSS RANDOM PROJECTION to k = 8 dimensions —
+    // the dimensionality-reduction front-end of every large-scale
+    // embedding pipeline (sketch before cluster, hash before index:
+    // Achlioptas 2003 showed ±1 entries suffice, no Gaussians). The
+    // projection matrix is never materialized: entry sign(i, j) is a
+    // deterministic bit of a mixed hash (bit 16 of
+    // xor(i·73856093, j·19349663) — the low bit of an odd-constant
+    // product preserves input parity, so a HIGH bit is taken), making
+    // the operator a pure function both engines replay bit-identically
+    // on micro-quantized coordinates. ENTIRELY map-only: per row, an
+    // 8-way transform over an index-aggregate — no shuffle, no join,
+    // no state; at 100 TB it runs at scan speed fused with the
+    // parquet read, which is the entire point of projecting BEFORE
+    // anything that shuffles (8 longs ship instead of 64 floats).
+    "q_rand_proj" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("vm",
+          expr("transform(cast(embedding as array<double>), x -> CAST(floor(x * 1000000) AS BIGINT))"))
+        .withColumn("proj", expr(
+          """transform(sequence(0, 7), j ->
+            |  aggregate(sequence(0, size(vm) - 1), 0L, (acc, i) ->
+            |    acc + (1 - 2 * (shiftright((cast(i as bigint) * 73856093) ^ (cast(j as bigint) * 19349663), 16) & 1))
+            |          * vm[i]))""".stripMargin))
+        .selectExpr("vec_id", "label",
+          "proj[0] AS p0", "proj[1] AS p1", "proj[2] AS p2", "proj[3] AS p3",
+          "proj[4] AS p4", "proj[5] AS p5", "proj[6] AS p6", "proj[7] AS p7")
+        .orderBy(col("vec_id"))),
+
     // EXACT k-NN self-join (k=3, same-label), with IVF-cell candidate
     // generation instead of a label-block all-pairs join. Two passes,
     // both provably lossless (triangle inequality on angles):
@@ -812,6 +840,34 @@ object SimSearch {
         |    / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
         |FROM cand, q
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_rand_proj" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000000) AS BIGINT)) AS vm
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, label, unnest(vm) AS x,
+        |    unnest(range(len(vm))) AS i
+        |  FROM v),
+        |js AS (SELECT unnest(range(8)) AS j),
+        |p AS (
+        |  SELECT vec_id, label, j,
+        |    CAST(SUM((1 - 2 * ((xor(CAST(i AS BIGINT) * 73856093,
+        |                            CAST(j AS BIGINT) * 19349663) >> 16) & 1)) * x)
+        |      AS BIGINT) AS pr
+        |  FROM u, js GROUP BY 1, 2, 3)
+        |SELECT vec_id, label,
+        |  MAX(CASE WHEN j = 0 THEN pr END) AS p0,
+        |  MAX(CASE WHEN j = 1 THEN pr END) AS p1,
+        |  MAX(CASE WHEN j = 2 THEN pr END) AS p2,
+        |  MAX(CASE WHEN j = 3 THEN pr END) AS p3,
+        |  MAX(CASE WHEN j = 4 THEN pr END) AS p4,
+        |  MAX(CASE WHEN j = 5 THEN pr END) AS p5,
+        |  MAX(CASE WHEN j = 6 THEN pr END) AS p6,
+        |  MAX(CASE WHEN j = 7 THEN pr END) AS p7
+        |FROM p GROUP BY vec_id, label ORDER BY vec_id""".stripMargin,
 
     "q_vec_quantize" ->
       """WITH v AS (

@@ -180,4 +180,32 @@ class SimSearchSpec extends SparkSpec {
     val mean = out.map(_._3).sum / 10.0
     assert(mean >= 5.0, s"mean recall $mean too low — probe or codebook broken")
   }
+
+  test("q_rand_proj: exact replay of the hashed ±1 matrix; JL isometry holds on average") {
+    val got = SimSearch.queries("q_rand_proj")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (2 to 9).map(r.getLong).toVector).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(cast(embedding as array<double>), x -> CAST(floor(x * 1000000) AS BIGINT)) AS vm")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    def sign(i: Int, j: Int): Long =
+      1L - 2L * (((i.toLong * 73856093L) ^ (j.toLong * 19349663L)) >> 16 & 1L)
+    val proj = vecs.map { case (id, vm) =>
+      id -> (0 to 7).map(j => vm.indices.map(i => sign(i, j) * vm(i)).sum).toVector
+    }
+    proj.foreach { case (id, p) =>
+      assert(got(id) == p, s"vec $id: projection diverges from the driver replay")
+    }
+    // E[‖Pu−Pv‖²] = k·‖u−v‖² for the ±1 ensemble: the mean ratio over
+    // a deterministic pair sample must sit near 1 (k = 8 is noisy per
+    // pair — ±√(2/k) ≈ 50% — but the MEAN over ~100 pairs concentrates).
+    val ids = vecs.keys.toSeq.sorted
+    val ratios = ids.indices.take(ids.length - 37).map { a =>
+      val (u, v) = (ids(a), ids(a + 37))
+      val d2 = vecs(u).zip(vecs(v)).map { case (x, y) => val t = (x - y).toDouble; t * t }.sum
+      val p2 = proj(u).zip(proj(v)).map { case (x, y) => val t = (x - y).toDouble; t * t }.sum
+      p2 / (8.0 * d2)
+    }
+    val meanRatio = ratios.sum / ratios.length
+    assert(meanRatio > 0.6 && meanRatio < 1.6, s"JL mean distortion $meanRatio off unity")
+  }
 }
