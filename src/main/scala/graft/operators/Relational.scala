@@ -344,6 +344,42 @@ object Relational {
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_orderkey")).as("n_orders"),
         round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
+    // BITMAP-INDEX exact distinct (the Druid / ClickHouse groupBitmap
+    // technique): users pack into 64-bit words — word = id DIV 64,
+    // bit = id % 64 — and the per-(group, word) bit_or is a MERGEABLE
+    // partial, so exact distinct-count becomes sum(bit_count(word))
+    // with no per-key dedup shuffle of raw ids. This is the EXACT
+    // counterpart of q_hll_union's approximate sketch: same partial-
+    // merge shape, same incremental-maintenance property (yesterday's
+    // bitmaps OR today's delta), but bit-true — the right tool when
+    // the id space is dense/bounded (users, SKUs) and 100 TB of raw
+    // events must never shuffle. The query emits both the bitmap
+    // count and countDistinct, plus the equality flag: the plan IS
+    // the proof that the rewrite is exact.
+    //
+    // Scale posture: shuffle grain is (group, id DIV 64) — 64× fewer
+    // rows than the raw-distinct shuffle, each carrying one BIGINT;
+    // the final reduce is group-grain. Bit 63 makes the word negative
+    // (two's complement) — bit_or and bit_count are sign-agnostic in
+    // both engines.
+    "q_bitmap_distinct" -> ((s, d) => {
+      val words = Tables.events(s, d)
+        .select(col("event_type"), expr("user_id DIV 64").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("m"))
+        .groupBy(col("event_type"), col("w"))
+        .agg(expr("bit_or(m)").as("mask"))
+      val exact = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      words.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(expr("CAST(bit_count(mask) AS BIGINT)")).as("n_bitmap"))
+        .join(exact, Seq("event_type"))
+        .withColumn("bit_true", col("n_bitmap") === col("n_exact"))
+        .select(col("event_type"), col("n_words"), col("n_bitmap"),
+          col("n_exact"), col("bit_true"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -520,6 +556,26 @@ object Relational {
     "q_count" ->
       """SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
         | round(sum(l_quantity), 2) AS sum_qty
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    "q_bitmap_distinct" ->
+      """WITH words AS (
+        |  SELECT event_type, user_id // 64 AS w,
+        |    -- DuckDB raises on 1::BIGINT << 63 (Spark wraps to Long.Min):
+        |    -- the sign bit needs its literal spelled out
+        |    CAST(bit_or(CASE WHEN user_id % 64 = 63
+        |                     THEN CAST(-9223372036854775808 AS BIGINT)
+        |                     ELSE CAST(1 AS BIGINT) << CAST(user_id % 64 AS INTEGER) END)
+        |      AS BIGINT) AS mask
+        |  FROM events GROUP BY 1, 2),
+        |bm AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(CAST(bit_count(mask) AS BIGINT)) AS BIGINT) AS n_bitmap
+        |  FROM words GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n_words, n_bitmap, n_exact, n_bitmap = n_exact AS bit_true
+        |FROM bm JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
   )
 }

@@ -285,6 +285,41 @@ object RelationalExt {
           |FROM m ORDER BY src, dst""".stripMargin)
     }),
 
+    // EVENTUALLY-FOLLOWS sequence mining (the GSP/PrefixSpan length-2
+    // primitive and process-mining's follows-relation): for each
+    // ordered type pair (a, b), how many users ever do a THEN LATER b
+    // — q_markov counts ADJACENT transitions; this counts eventual
+    // precedence, which is what funnel discovery and process-map
+    // mining actually need. Per user the whole sequence collapses to
+    // ≤ |types| (first_ts, last_ts) spans, because "a eventually
+    // precedes b" ⟺ min_ts(a) < max_ts(b) — the span reduction that
+    // makes the operator scale-free: the pair join runs at (user ×
+    // type) grain (≤ 5 rows/user), never over raw events. Support =
+    // users(a→b)/users, confidence = users(a→b)/users(a), both exact
+    // micro shares.
+    //
+    // Scale posture: one (user, type) aggregate over the stream; the
+    // per-user self-join fans out ≤ |types|² = 25 rows per user; the
+    // report is |types|²-grain. The 1-row user total broadcasts.
+    "q_seq_pairs" -> ((s, d) => {
+      val spans = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(expr("unix_micros(ts)")).as("lo"), max(expr("unix_micros(ts)")).as("hi"))
+      val users = Tables.events(s, d).agg(countDistinct(col("user_id")).as("n_users"))
+      val hasA = spans.groupBy(col("event_type")).agg(count(lit(1)).as("n_a"))
+      val follows = spans.as("x").join(spans.as("y"),
+          expr("x.user_id = y.user_id AND x.event_type <> y.event_type AND x.lo < y.hi"))
+        .select(expr("x.event_type").as("a"), expr("y.event_type").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_follow"))
+      follows
+        .join(hasA.select(col("event_type").as("a"), col("n_a")), Seq("a"))
+        .crossJoin(broadcast(users))
+        .withColumn("support_micro", expr("(n_follow * 1000000) DIV n_users"))
+        .withColumn("conf_micro", expr("(n_follow * 1000000) DIV n_a"))
+        .select(col("a"), col("b"), col("n_follow"), col("support_micro"), col("conf_micro"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Day-of-week seasonality profile (the decomposition baseline for
     // traffic forecasting and anomaly context): per (event_type, dow)
     // volume and mean value. Day-of-week from pure integer epoch-day
@@ -1917,6 +1952,24 @@ object RelationalExt {
         |       // (n_a * n_b)) * 1000000)
         |    // ((n * n * n - n - ties_t) // (n * (n - 1))) > 3841500 AS reject_05
         |FROM b""".stripMargin,
+
+    "q_seq_pairs" ->
+      """WITH spans AS (
+        |  SELECT user_id, event_type,
+        |    MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+        |  FROM events GROUP BY 1, 2),
+        |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+        |ha AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_a FROM spans GROUP BY 1),
+        |f AS (
+        |  SELECT x.event_type AS a, y.event_type AS b, CAST(count(*) AS BIGINT) AS n_follow
+        |  FROM spans x JOIN spans y
+        |    ON x.user_id = y.user_id AND x.event_type <> y.event_type AND x.lo < y.hi
+        |  GROUP BY 1, 2)
+        |SELECT a, b, n_follow,
+        |  (n_follow * 1000000) // n_users AS support_micro,
+        |  (n_follow * 1000000) // n_a AS conf_micro
+        |FROM f JOIN ha ON f.a = ha.event_type, u
+        |ORDER BY a, b""".stripMargin,
 
     "q_sax" ->
       """WITH ev AS (

@@ -368,6 +368,46 @@ class RelationalExtSpec extends SparkSpec {
     assert(tiesT == tieCnt.values.map(t => t * t * t - t).sum)
   }
 
+  test("q_bitmap_distinct: bitmap count is bit-true against countDistinct for every group") {
+    val rows = graft.operators.Relational.queries("q_bitmap_distinct")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val exact = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (et, nWords, nBitmap, nExact, bitTrue) =>
+      assert(bitTrue, s"$et: bitmap diverged from exact")
+      assert(nBitmap == exact(et) && nExact == exact(et), s"$et: count wrong")
+      assert(nWords <= nExact, s"$et: more words than distinct ids")
+    }
+  }
+
+  test("q_seq_pairs: eventually-follows matches a brute-force precedence scan") {
+    val got = RelationalExt.queries("q_seq_pairs")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val types = ev.map(_._2).distinct.sorted
+    val byUser = ev.groupBy(_._1)
+    val nUsers = byUser.size.toLong
+    val withA = types.map(t => t -> byUser.count(_._2.exists(_._2 == t)).toLong).toMap
+    for (a <- types; b <- types if a != b) {
+      val n = byUser.count { case (_, rows) =>
+        val as = rows.filter(_._2 == a).map(_._3)
+        val bs = rows.filter(_._2 == b).map(_._3)
+        as.nonEmpty && bs.nonEmpty && as.min < bs.max
+      }.toLong
+      got.get((a, b)) match {
+        case Some((nf, sup, conf)) =>
+          assert(nf == n, s"($a,$b): $nf vs brute $n")
+          assert(sup == n * 1000000L / nUsers && conf == n * 1000000L / withA(a))
+        case None => assert(n == 0L, s"($a,$b): missing pair with $n followers")
+      }
+    }
+  }
+
   test("q_sax: words match a serial PAA+breakpoint replay; length = min(8, n)") {
     val got = RelationalExt.queries("q_sax")(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
