@@ -49,6 +49,23 @@ object TextAnalysis {
 
   private val stop = "('the','a','of','and','to','in','is')"
 
+  /** q_collocation's four G² terms — ONE builder emits the arithmetic
+    * for BOTH engines (columns n_ab/n_a/n_b/nn must be in scope), so
+    * the double-precision operation trees are token-identical and the
+    * engines can only diverge by a libm ulp inside ln (guarded by
+    * TextAnalysisSpec's floor-boundary check). Each term is
+    * O·ln(O·N/(row·col)) with the O = 0 cells contributing zero. */
+  private val llrTermsSql: String = {
+    def t(o: String, r: String, c: String) =
+      s"(CASE WHEN $o > 0 THEN ($o) * ln((CAST($o AS DOUBLE) * nn) / (CAST($r AS DOUBLE) * ($c))) ELSE 0.0 END)"
+    Seq(
+      t("n_ab", "n_a", "n_b"),
+      t("n_a - n_ab", "n_a", "nn - n_b"),
+      t("n_b - n_ab", "nn - n_a", "n_b"),
+      t("nn - n_a - n_b + n_ab", "nn - n_a", "nn - n_b")
+    ).mkString(" + ")
+  }
+
   /** q_unigram_lm's word-frequency table (word grain, one token
     * shuffle). */
   private def unigramWords(s: SparkSession, d: String): DataFrame =
@@ -766,6 +783,47 @@ object TextAnalysis {
             (col("pp").cast("double") * col("n_a") * col("n_b"))) * 10000d + 0.5d))
         .select(col("a"), col("b"), col("n_ab"), col("pmi_micro").cast("long").as("pmi_micro"))
         .orderBy(col("pmi_micro").desc, col("a"), col("b"))
+    }),
+
+    // DUNNING LOG-LIKELIHOOD COLLOCATIONS (Dunning 1993) — the
+    // significance-tested upgrade of q_pmi's association score: PMI
+    // overweights rare pairs (two hapaxes co-occurring once get a
+    // huge score); G² = 2·Σ O·ln(O/E) over the full 2×2 bigram
+    // contingency table is the likelihood-ratio test that made
+    // "surprise under independence" robust at low counts, and it is
+    // THE standard collocation ranker (NLTK, Moses phrase tables).
+    // All four margins come from the same bigram aggregate; the four
+    // O·ln terms are generated from ONE shared builder
+    // ([[llrTermsSql]]) so the Spark plan and the DuckDB oracle parse
+    // the IDENTICAL arithmetic expression — doubles stay
+    // deterministic because the operation tree is identical and the
+    // only libm call (ln of a ratio of exact integers) is quantized
+    // by a single floor(·10⁴ + 0.5) with the spec pinning every
+    // emitted value away from its floor boundary (the q_psi guard).
+    //
+    // Scale posture: one (a,b) bigram shuffle + two margin aggregates
+    // of it (vocab grain); the 1-row total broadcasts; margin joins
+    // are hint-free (AQE broadcasts at fixture scale, shuffles past
+    // the threshold — the q_pmi rule). Top-30 via TakeOrdered.
+    "q_collocation" -> ((s, d) => {
+      val docs = Tables.documents(s, d).selectExpr(s"$toks AS tk")
+      val pairs = docs
+        .selectExpr("posexplode(slice(tk, 1, size(tk) - 1)) AS (i, a)", "tk")
+        .selectExpr("a", "tk[i + 1] AS b")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      val aMarg = pairs.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+      val bMarg = pairs.groupBy(col("b")).agg(sum(col("n_ab")).as("n_b"))
+      val tot = pairs.agg(sum(col("n_ab")).as("nn"))
+      pairs
+        .filter(col("n_ab") >= 5)
+        .join(aMarg, Seq("a"))
+        .join(bMarg, Seq("b"))
+        .crossJoin(broadcast(tot))
+        .withColumn("llr_micro", expr(
+          s"CAST(floor((2.0 * (${llrTermsSql})) * 10000 + 0.5) AS BIGINT)"))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"), col("llr_micro"))
+        .orderBy(col("llr_micro").desc, col("a"), col("b"))
+        .limit(30)
     }),
 
     // Shannon token entropy per document — the information-density
@@ -1818,6 +1876,22 @@ object TextAnalysis {
         |JOIN uni ub ON ub.t = b, tot
         |WHERE n_ab * 1000 >= pp
         |ORDER BY pmi_micro DESC, a, b""".stripMargin,
+
+    "q_collocation" ->
+      s"""WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+         |pairs AS (
+         |  SELECT tk[i] AS a, tk[i + 1] AS b, CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM tk, (SELECT unnest(range(1, 4096)) AS i)
+         |  WHERE i < len(tk)
+         |  GROUP BY 1, 2),
+         |am AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM pairs GROUP BY 1),
+         |bm AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM pairs GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS nn FROM pairs)
+         |SELECT a, b, n_ab, n_a, n_b,
+         |  CAST(floor((2.0 * ($llrTermsSql)) * 10000 + 0.5) AS BIGINT) AS llr_micro
+         |FROM pairs JOIN am USING (a) JOIN bm USING (b), tot
+         |WHERE n_ab >= 5
+         |ORDER BY llr_micro DESC, a, b LIMIT 30""".stripMargin,
 
     "q_entropy" -> {
       val lnList = LnMicro.mkString("[", ",", "]")

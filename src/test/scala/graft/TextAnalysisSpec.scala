@@ -658,6 +658,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(maxCp < 128, s"fixture text must stay ASCII for the q_tokenize oracle (max cp $maxCp)")
   }
 
+  test("q_collocation: G-squared matches the driver recompute; every value sits far from its floor boundary") {
+    val out = TextAnalysis.queries("q_collocation")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length == 30)
+    // driver recompute of the full candidate table
+    val bigrams = Tables.documents(spark, sf)
+      .selectExpr("split(text, ' ') AS tk")
+      .selectExpr("posexplode(slice(tk, 1, size(tk) - 1)) AS (i, a)", "tk")
+      .selectExpr("a", "tk[i + 1] AS b")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val nAB = bigrams.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val nA = bigrams.groupBy(_._1).map { case (a, xs) => a -> xs.length.toLong }
+    val nB = bigrams.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+    val nn = bigrams.length.toLong
+    def term(o: Long, r: Long, c: Long): Double =
+      if (o > 0) o * math.log((o.toDouble * nn) / (r.toDouble * c)) else 0.0
+    def llrRaw(a: String, b: String): Double = {
+      val (ab, ra, cb) = (nAB((a, b)), nA(a), nB(b))
+      2.0 * (term(ab, ra, cb) + term(ra - ab, ra, nn - cb) +
+        term(cb - ab, nn - ra, cb) + term(nn - ra - cb + ab, nn - ra, nn - cb))
+    }
+    out.foreach { case (a, b, ab, ra, cb, llr) =>
+      assert(ab == nAB((a, b)) && ra == nA(a) && cb == nB(b), s"($a,$b): margins wrong")
+      val x = llrRaw(a, b) * 10000 + 0.5
+      assert(math.floor(x).toLong == llr, s"($a,$b): $llr vs driver ${math.floor(x).toLong}")
+      val dist = math.min(x - math.floor(x), math.ceil(x) - x)
+      assert(dist > 1e-4, s"($a,$b): llr sits $dist from a floor boundary — " +
+        "cross-engine libm divergence could flip it")
+    }
+    // the top-30 cut must not straddle a near-tie the tiebreak can't fix
+    val all = nAB.keys.filter(p => nAB(p) >= 5).toSeq
+      .map { case (a, b) => ((a, b), math.floor(llrRaw(a, b) * 10000 + 0.5).toLong) }
+      .sortBy { case ((a, b), v) => (-v, a, b) }
+    assert(all.take(30).map(_._1) == out.map(t => (t._1, t._2)).toSeq, "top-30 set diverges")
+  }
+
   test("q_script_mix: classes partition every doc; census matches a driver recompute; flag non-vacuous") {
     val out = TextAnalysis.queries("q_script_mix")(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
