@@ -890,6 +890,71 @@ object Learn {
         .select(col("round"), col("center_id"), col("far_d2"),
           col("n_assigned"), col("radius_d2"))
         .orderBy(col("round"))
+    }),
+
+    // LAG / ROLLING FEATURE ENGINEERING — the feature-store transform
+    // every tabular training pipeline runs before the model ever sees
+    // a row: per user-ordered event, the previous two values, the
+    // first difference, and a trailing-4 rolling mean and population
+    // variance. All integer: values in milli units, the rolling mean
+    // by truncating DIV on non-negative sums, the variance via the
+    // computational identity (c·Σx² − (Σx)²) DIV c² — non-negative by
+    // Cauchy–Schwarz, so truncation is engine-independent. Overflow
+    // envelope: Σx² over a 4-row frame at vm ≤ 5·10⁵ is ≤ 10¹² ≪ 2⁶³.
+    //
+    // Scale posture: ONE user_id shuffle serves all four window
+    // features (same frame family over one sort — Spark plans a
+    // single Window node chain, no re-shuffle per feature). Map-only
+    // after; at 100 TB this is the classic "point-in-time-safe"
+    // feature backfill shape (only PRECEDING rows are referenced, so
+    // no leakage by construction).
+    "q_lag_features" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val roll = w.rowsBetween(-3, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+        .withColumn("lag1", lag(col("vm"), 1).over(w))
+        .withColumn("lag2", lag(col("vm"), 2).over(w))
+        .withColumn("delta", col("vm") - col("lag1"))
+        .withColumn("rsum", sum(col("vm")).over(roll))
+        .withColumn("rsum2", sum(expr("vm * vm")).over(roll))
+        .withColumn("rcnt", count(lit(1)).over(roll))
+        .withColumn("rmean_milli", expr("rsum DIV rcnt"))
+        .withColumn("rvar_m2", expr("(rcnt * rsum2 - rsum * rsum) DIV (rcnt * rcnt)"))
+        .select(col("event_id"), col("user_id"), col("vm"), col("lag1"), col("lag2"),
+          col("delta"), col("rmean_milli"), col("rvar_m2"))
+        .orderBy(col("event_id"))
+    }),
+
+    // LEAVE-ONE-OUT TARGET ENCODING with prior smoothing (Micci-
+    // Barreca 2001) — the categorical-encoding workhorse of gradient-
+    // boosting pipelines, in its leakage-safe form: a row's own target
+    // NEVER enters its encoding (subtract-self from the category sum),
+    // and low-count categories shrink toward the global mean with
+    // pseudo-count α = 20: enc = (Σ_cat − y_i + α·ȳ) DIV (n_cat − 1 + α).
+    // All terms are non-negative integers (milli targets), so the
+    // truncating division is engine-independent; the global mean is
+    // itself an integer DIV of non-negative sums.
+    //
+    // Scale posture: two aggregates (category grain — tiny; 1-row
+    // global) broadcast back over the stream; the encoding itself is
+    // MAP-ONLY at scan speed, which is why target encoding works at
+    // 100 TB where one-hot explodes. The spec pins the leakage guard
+    // by recomputing the subtract-self form per row.
+    "q_target_encode" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      val cat = ev.groupBy(col("event_type"))
+        .agg(sum(col("vm")).as("s_cat"), count(lit(1)).as("n_cat"))
+      val glob = ev.agg(expr("sum(vm) DIV count(*)").as("gmean"))
+      ev.join(broadcast(cat), Seq("event_type"))
+        .crossJoin(broadcast(glob))
+        .withColumn("enc_milli", expr("(s_cat - vm + 20 * gmean) DIV (n_cat - 1 + 20)"))
+        .select(col("event_id"), col("event_type"), col("vm"), col("enc_milli"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1565,6 +1630,43 @@ object Learn {
         |JOIN cells s2 ON s2.i = 1 AND s2.b = c.b2
         |JOIN cells s3 ON s3.i = 2 AND s3.b = c.b3
         |JOIN cells s4 ON s4.i = 3 AND s4.b = c.b4
-        |ORDER BY est_n DESC, tok LIMIT 20""".stripMargin
+        |ORDER BY est_n DESC, tok LIMIT 20""".stripMargin,
+
+    "q_lag_features" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+        |  FROM events),
+        |f AS (
+        |  SELECT event_id, user_id, vm,
+        |    lag(vm, 1) OVER w AS lag1,
+        |    lag(vm, 2) OVER w AS lag2,
+        |    vm - lag(vm, 1) OVER w AS delta,
+        |    CAST(SUM(vm) OVER r AS BIGINT) AS rsum,
+        |    CAST(SUM(vm * vm) OVER r AS BIGINT) AS rsum2,
+        |    CAST(count(*) OVER r AS BIGINT) AS rcnt
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |         r AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, vm, lag1, lag2, delta,
+        |  rsum // rcnt AS rmean_milli,
+        |  (rcnt * rsum2 - rsum * rsum) // (rcnt * rcnt) AS rvar_m2
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "q_target_encode" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+        |  FROM events),
+        |cat AS (
+        |  SELECT event_type, CAST(SUM(vm) AS BIGINT) AS s_cat,
+        |    CAST(count(*) AS BIGINT) AS n_cat
+        |  FROM ev GROUP BY 1),
+        |g AS (SELECT CAST(SUM(vm) AS BIGINT) // CAST(count(*) AS BIGINT) AS gmean FROM ev)
+        |SELECT event_id, event_type, vm,
+        |  (s_cat - vm + 20 * gmean) // (n_cat - 1 + 20) AS enc_milli
+        |FROM ev JOIN cat USING (event_type), g
+        |ORDER BY event_id""".stripMargin
   )
 }

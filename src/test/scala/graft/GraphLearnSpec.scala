@@ -866,4 +866,45 @@ class GraphLearnSpec extends SparkSpec {
         s"(probes = ${Graph.convergenceProbes.get()})")
     operators.NearDup.clusterLabelCache.invalidateAll()
   }
+
+  test("q_lag_features: point-in-time safety — features replay from strictly preceding rows only") {
+    val got = Learn.queries("q_lag_features")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(6), r.getLong(7))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3)))
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val seq = rows.sortBy(r => (r._3.getTime, r._2))
+      seq.zipWithIndex.foreach { case ((_, eid, _, _), i) =>
+        val frame = seq.slice(math.max(0, i - 3), i + 1).map(_._4)
+        val (lag1, lag2, rmean, rvar) = got(eid)
+        assert(lag1 == (if (i >= 1) Some(seq(i - 1)._4) else None), s"event $eid lag1")
+        assert(lag2 == (if (i >= 2) Some(seq(i - 2)._4) else None), s"event $eid lag2")
+        val c = frame.length.toLong
+        assert(rmean == frame.sum / c, s"event $eid rolling mean")
+        assert(rvar == (c * frame.map(x => x * x).sum - frame.sum * frame.sum) / (c * c),
+          s"event $eid rolling variance")
+      }
+    }
+  }
+
+  test("q_target_encode: a row's own target never enters its encoding") {
+    val got = Learn.queries("q_target_encode")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val ev = got.values.toSeq
+    val byCat = ev.groupBy(_._1).map { case (c, xs) => c -> (xs.map(_._2).sum, xs.length.toLong) }
+    val gmean = ev.map(_._2).sum / ev.length
+    got.foreach { case (eid, (cat, vm, enc)) =>
+      val (sCat, nCat) = byCat(cat)
+      assert(enc == (sCat - vm + 20L * gmean) / (nCat - 1 + 20), s"event $eid: LOO form broken")
+    }
+    // leakage tripwire: using the with-self mean must CHANGE at least
+    // some encodings — otherwise the subtract-self is vacuous here
+    assert(got.exists { case (_, (cat, vm, enc)) =>
+      val (sCat, nCat) = byCat(cat)
+      enc != (sCat + 20L * gmean) / (nCat + 20)
+    }, "LOO vs plain encoding indistinguishable on this fixture")
+  }
 }
