@@ -892,6 +892,59 @@ object Learn {
         .orderBy(col("round"))
     }),
 
+    // KAPLAN-MEIER SURVIVAL CURVE (Kaplan & Meier 1958) with right
+    // censoring — the time-to-event estimator a plain conversion rate
+    // gets wrong whenever observation is cut off early (q_retention's
+    // cohort grid assumes everyone is observed forever). Event of
+    // interest: a user's first HIGH-VALUE purchase (value > 100, about the top decile —
+    // rare enough that a real fraction of users never convert inside
+    // the window); time = whole hours from the user's first event.
+    // Non-converters are right-CENSORED at their last observed hour —
+    // they leave the risk set without counting as conversions, which
+    // is exactly the bias KM corrects. The curve is the product-limit
+    // S(t) = Π_{t_i ≤ t} (1 − d_i/r_i), folded in integer micro with
+    // one truncating DIV per step — a SEQUENTIAL recurrence, replayed
+    // identically by both engines: the step table is collapsed to a
+    // result-page-scale sorted array and each prefix product is an
+    // aggregate() fold (the oracle replays the same arithmetic as a
+    // recursive CTE, the q_pack_ffd recipe).
+    //
+    // Scale posture: the corpus collapses to USER grain in one
+    // aggregate, then to DISTINCT-LIFETIME grain (bounded by the
+    // observation span in hours, never by corpus size); the prefix
+    // fold runs on that bounded array. The 1-row total broadcasts.
+    "q_survival" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("unix_micros(ts) DIV 3600000000").as("h"),
+        expr("event_type = 'purchase' AND CAST(floor(value * 1000 + 0.5) AS BIGINT) > 100000")
+          .as("tgt"))
+      val u2 = ev.groupBy(col("user_id"))
+        .agg(min(col("h")).as("fh"), max(col("h")).as("lh"),
+          min(when(col("tgt"), col("h"))).as("tp"))
+        .select(expr("CASE WHEN tp IS NOT NULL THEN tp - fh ELSE lh - fh END").as("life"),
+          col("tp").isNotNull.as("death"))
+      val n = u2.agg(count(lit(1)).as("nu"))
+      val w = Window.orderBy(col("life")).rowsBetween(Window.unboundedPreceding, -1)
+      val steps = u2.groupBy(col("life"))
+        .agg(sum(when(col("death"), 1L).otherwise(0L)).as("d"), count(lit(1)).as("m"))
+        .withColumn("removed", coalesce(sum(col("m")).over(w), lit(0L)))
+        .crossJoin(broadcast(n))
+        .withColumn("r", col("nu") - col("removed"))
+        .filter(col("d") > 0)
+      steps
+        .agg(sort_array(collect_list(struct(col("life"), col("d"), col("r")))).as("st"))
+        .select(posexplode(expr(
+          """transform(sequence(1, size(st)), i -> named_struct(
+            |  't_h', element_at(st, i).life,
+            |  'at_risk', element_at(st, i).r,
+            |  'deaths', element_at(st, i).d,
+            |  's_micro', aggregate(slice(st, 1, i), 1000000L,
+            |      (acc, x) -> (acc * (x.r - x.d)) DIV x.r)))""".stripMargin)))
+        .select(col("col.t_h"), col("col.at_risk"), col("col.deaths"), col("col.s_micro"))
+        .orderBy(col("t_h"))
+    }),
+
     // LAG / ROLLING FEATURE ENGINEERING — the feature-store transform
     // every tabular training pipeline runs before the model ever sees
     // a row: per user-ordered event, the previous two values, the
@@ -1631,6 +1684,41 @@ object Learn {
         |JOIN cells s3 ON s3.i = 2 AND s3.b = c.b3
         |JOIN cells s4 ON s4.i = 3 AND s4.b = c.b4
         |ORDER BY est_n DESC, tok LIMIT 20""".stripMargin,
+
+    "q_survival" ->
+      """WITH RECURSIVE he AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+        |    event_type = 'purchase'
+        |      AND CAST(floor(value * 1000 + 0.5) AS BIGINT) > 100000 AS tgt
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, MIN(h) AS fh, MAX(h) AS lh,
+        |    MIN(CASE WHEN tgt THEN h END) AS tp
+        |  FROM he GROUP BY 1),
+        |u2 AS (
+        |  SELECT CASE WHEN tp IS NOT NULL THEN tp - fh ELSE lh - fh END AS life,
+        |    tp IS NOT NULL AS death
+        |  FROM u),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM u2),
+        |grid AS (
+        |  SELECT life, CAST(SUM(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM u2 GROUP BY 1),
+        |g2 AS (
+        |  SELECT life, d,
+        |    CAST(COALESCE(SUM(m) OVER (ORDER BY life
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS removed
+        |  FROM grid),
+        |steps AS (
+        |  SELECT row_number() OVER (ORDER BY life) AS i, life, d, nu - removed AS r
+        |  FROM g2, n WHERE d > 0),
+        |rec AS (
+        |  SELECT i, life, d, r, (1000000 * (r - d)) // r AS s FROM steps WHERE i = 1
+        |  UNION ALL
+        |  SELECT s2.i, s2.life, s2.d, s2.r, (rec.s * (s2.r - s2.d)) // s2.r
+        |  FROM rec JOIN steps s2 ON s2.i = rec.i + 1)
+        |SELECT life AS t_h, r AS at_risk, d AS deaths, s AS s_micro
+        |FROM rec ORDER BY t_h""".stripMargin,
 
     "q_lag_features" ->
       """WITH ev AS (

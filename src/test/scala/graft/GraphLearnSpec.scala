@@ -867,6 +867,39 @@ class GraphLearnSpec extends SparkSpec {
     operators.NearDup.clusterLabelCache.invalidateAll()
   }
 
+  test("q_survival: product-limit fold replays serially; curve is monotone; censoring non-vacuous") {
+    val out = Learn.queries("q_survival")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // serial driver replay from raw events
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 3600000000").as("h"),
+        expr("event_type = 'purchase' AND CAST(floor(value * 1000 + 0.5) AS BIGINT) > 100000").as("tgt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // .toSeq BEFORE the map: mapping a Map to (life, death) PAIRS
+    // would rebuild a Map keyed by life and silently drop users that
+    // share a lifetime
+    val perUser = ev.groupBy(_._1).toSeq.map { case (_, rows) =>
+      val fh = rows.map(_._2).min
+      val tp = rows.filter(_._3).map(_._2).sorted.headOption
+      (tp.map(_ - fh).getOrElse(rows.map(_._2).max - fh), tp.isDefined)
+    }
+    assert(perUser.exists(_._2) && perUser.exists(!_._2), "no censored (or no converted) users")
+    val n = perUser.size.toLong
+    val steps = perUser.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, xs) =>
+      (t, xs.count(_._2).toLong, xs.size.toLong)
+    }
+    var removed = 0L; var sMicro = 1000000L
+    val expected = steps.flatMap { case (t, d, m) =>
+      val r = n - removed; removed += m
+      if (d > 0) { sMicro = sMicro * (r - d) / r; Some((t, r, d, sMicro)) } else None
+    }
+    assert(out.toSeq == expected, "KM curve diverges from the serial replay")
+    // S non-increasing, at-risk strictly decreasing across steps
+    assert(out.map(_._4).toSeq == out.map(_._4).sorted.reverse.toSeq)
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.reverse.toSeq)
+  }
+
   test("q_lag_features: point-in-time safety — features replay from strictly preceding rows only") {
     val got = Learn.queries("q_lag_features")(spark, sf).collect()
       .map(r => r.getLong(0) -> (Option(r.get(3)).map(_.asInstanceOf[Long]),
