@@ -1203,6 +1203,51 @@ object TextAnalysis {
         .orderBy(col("pair_id"))
     }),
 
+    // chrF (Popović 2015) — the CHARACTER n-gram F-score that replaced
+    // BLEU for morphology-rich evaluation: token-grain n-grams punish
+    // every inflection mismatch as a whole-word miss; character
+    // trigrams give partial credit for shared stems, which is why WMT
+    // adopted chrF as a primary metric. Same deterministic fixture as
+    // q_bleu (candidate = every 4th token → 'the', reference = the
+    // original), whitespace stripped per the metric's definition;
+    // trigram extraction is the native [[graft.functions.CharNgrams]]
+    // one-pass expression. Clipped overlap gives precision AND recall
+    // (chrP/chrR), fused by the exact rational harmonic mean
+    // (2PR) DIV (P+R) on micro integers — no float anywhere.
+    //
+    // Scale posture: counts aggregate at (pair, trigram) grain —
+    // shuffles carry 3-char grams with pair ids, never documents; the
+    // clip join is co-partitioned on the key it aggregated on; the
+    // rollup runs at pair grain. NULLIF guards degenerate pairs.
+    "q_chrf" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("pair_id"), split(col("text"), " ").as("rtk"))
+        .withColumn("ctk", expr(
+          "transform(sequence(1, size(rtk)), i -> IF(i % 4 = 0, 'the', element_at(rtk, i)))"))
+        .select(col("pair_id"),
+          expr("replace(array_join(rtk, ''), ' ', '')").as("rtxt"),
+          expr("replace(array_join(ctk, ''), ' ', '')").as("ctxt"))
+        .localCheckpoint() // consumed by both gram arms
+      def grams(src: String, cnt: String): DataFrame =
+        base.select(col("pair_id"), explode(expr(s"char_ngrams($src, 3)")).as("g"))
+          .groupBy(col("pair_id"), col("g")).agg(count(lit(1)).as(cnt))
+      val c = grams("ctxt", "cc")
+      val r = grams("rtxt", "cr")
+      val clip = c.join(r, Seq("pair_id", "g"))
+        .groupBy(col("pair_id")).agg(sum(least(col("cc"), col("cr"))).as("ov"))
+      val totC = c.groupBy(col("pair_id")).agg(sum(col("cc")).as("tc"))
+      val totR = r.groupBy(col("pair_id")).agg(sum(col("cr")).as("tr"))
+      totC.join(totR, Seq("pair_id"))
+        .join(clip, Seq("pair_id"), "left")
+        .select(col("pair_id"), coalesce(col("ov"), lit(0L)).as("n_overlap"),
+          expr("(coalesce(ov, 0L) * 1000000) DIV nullif(tc, 0)").as("p_micro"),
+          expr("(coalesce(ov, 0L) * 1000000) DIV nullif(tr, 0)").as("r_micro"))
+        .withColumn("chrf_micro",
+          expr("(2 * p_micro * r_micro) DIV nullif(p_micro + r_micro, 0)"))
+        .orderBy(col("pair_id"))
+    }),
+
     // ROUGE-L (Lin 2004) — the LCS-based RECALL eval pairing q_bleu's
     // clipped-precision: BLEU's n-grams demand contiguity, the longest
     // common SUBSEQUENCE credits in-order content however interleaved
@@ -1876,6 +1921,38 @@ object TextAnalysis {
         |JOIN uni ub ON ub.t = b, tot
         |WHERE n_ab * 1000 >= pp
         |ORDER BY pmi_micro DESC, a, b""".stripMargin,
+
+    "q_chrf" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS pair_id, string_split(text, ' ') AS tk FROM documents),
+        |tok AS (
+        |  SELECT pair_id, unnest(tk) AS t, unnest(range(1, len(tk) + 1)) AS i FROM tk),
+        |base AS (
+        |  SELECT pair_id,
+        |    string_agg(t, '' ORDER BY i) AS rtxt,
+        |    string_agg(CASE WHEN i % 4 = 0 THEN 'the' ELSE t END, '' ORDER BY i) AS ctxt
+        |  FROM tok GROUP BY pair_id),
+        |cg AS (
+        |  SELECT pair_id, substring(ctxt, i, 3) AS g, CAST(count(*) AS BIGINT) AS cc
+        |  FROM base, (SELECT unnest(range(1, 8192)) AS i)
+        |  WHERE i <= length(ctxt) - 2 GROUP BY 1, 2),
+        |rg AS (
+        |  SELECT pair_id, substring(rtxt, i, 3) AS g, CAST(count(*) AS BIGINT) AS cr
+        |  FROM base, (SELECT unnest(range(1, 8192)) AS i)
+        |  WHERE i <= length(rtxt) - 2 GROUP BY 1, 2),
+        |clip AS (
+        |  SELECT pair_id, CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS ov
+        |  FROM cg JOIN rg USING (pair_id, g) GROUP BY 1),
+        |tc AS (SELECT pair_id, CAST(SUM(cc) AS BIGINT) AS tc FROM cg GROUP BY 1),
+        |tr AS (SELECT pair_id, CAST(SUM(cr) AS BIGINT) AS tr FROM rg GROUP BY 1),
+        |pr AS (
+        |  SELECT pair_id, COALESCE(ov, 0) AS n_overlap,
+        |    (COALESCE(ov, 0) * 1000000) // NULLIF(tc, 0) AS p_micro,
+        |    (COALESCE(ov, 0) * 1000000) // NULLIF(tr, 0) AS r_micro
+        |  FROM tc JOIN tr USING (pair_id) LEFT JOIN clip USING (pair_id))
+        |SELECT pair_id, n_overlap, p_micro, r_micro,
+        |  (2 * p_micro * r_micro) // NULLIF(p_micro + r_micro, 0) AS chrf_micro
+        |FROM pr ORDER BY pair_id""".stripMargin,
 
     "q_collocation" ->
       s"""WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),

@@ -658,6 +658,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(maxCp < 128, s"fixture text must stay ASCII for the q_tokenize oracle (max cp $maxCp)")
   }
 
+  test("q_chrf: trigram F replays driver-side; harmonic mean brackets hold") {
+    val out = TextAnalysis.queries("q_chrf")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .toMap
+    val texts = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def tri(s: String): Map[String, Long] =
+      (0 to s.length - 3).map(i => s.substring(i, i + 3))
+        .groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+    texts.foreach { case (id, text) =>
+      val rtk = text.split(" ", -1)
+      val ctk = rtk.zipWithIndex.map { case (t, i) => if ((i + 1) % 4 == 0) "the" else t }
+      val (rg, cg) = (tri(rtk.mkString("")), tri(ctk.mkString("")))
+      val ov = cg.map { case (g, n) => math.min(n, rg.getOrElse(g, 0L)) }.sum
+      val (tc, tr) = (cg.values.sum, rg.values.sum)
+      val (gotOv, gotP, gotR, gotF) = out(id)
+      assert(gotOv == ov, s"doc $id overlap")
+      assert(gotP == (if (tc > 0) Some(ov * 1000000L / tc) else None), s"doc $id precision")
+      assert(gotR == (if (tr > 0) Some(ov * 1000000L / tr) else None), s"doc $id recall")
+      (gotP, gotR, gotF) match {
+        case (Some(p), Some(r), f) if p + r > 0 =>
+          assert(f.contains(2 * p * r / (p + r)), s"doc $id F")
+          // harmonic mean is bracketed by its arguments
+          f.foreach(x => assert(x >= math.min(p, r) - 1 && x <= math.max(p, r)))
+        case _ => ()
+      }
+      // docs shorter than 4 tokens are uncorrupted → perfect score
+      if (rtk.length < 4 && tr > 0)
+        assert(gotF.contains(1000000L), s"doc $id: uncorrupted pair must score 1.0")
+    }
+  }
+
   test("q_collocation: G-squared matches the driver recompute; every value sits far from its floor boundary") {
     val out = TextAnalysis.queries("q_collocation")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
