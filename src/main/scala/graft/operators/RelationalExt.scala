@@ -36,6 +36,19 @@ object RelationalExt {
   private val ewmaWeights: Seq[Long] =
     (0 until 8).map(j => Math.floor(1e6 * 0.5 * math.pow(0.5, j)).toLong)
 
+  /** Sign-safe truncating division shared by both engines: Spark's
+    * `DIV` truncates toward zero while DuckDB's `//` floors, so they
+    * disagree exactly when the numerator is negative. Routing every
+    * possibly-negative division through this CASE form makes both
+    * engines truncate toward zero. (Spark `DIV` spelled here; the
+    * oracle swaps in `//` via [[sdivSql]].) */
+  private def sdiv(x: String, y: String): String =
+    s"(CASE WHEN ($x) >= 0 THEN ($x) DIV ($y) ELSE -((-($x)) DIV ($y)) END)"
+
+  /** [[sdiv]] in DuckDB spelling. */
+  private def sdivSql(x: String, y: String): String =
+    s"(CASE WHEN ($x) >= 0 THEN ($x) // ($y) ELSE -((-($x)) // ($y)) END)"
+
   val queries: Map[String, Q] = Map(
     // CUBE: all 2^2 grouping combinations in one Expand + aggregate.
     "q_agg_cube" -> ((s, d) =>
@@ -447,6 +460,63 @@ object RelationalExt {
             "* (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1))"), 4))
         .select(col("n0"), col("c0"), col("n1"), col("c1"),
           col("p0_r"), col("p1_r"), col("z"))
+    }),
+
+    // CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) — the
+    // experimentation-platform technique that cut A/B test runtimes
+    // industry-wide: adjust each user's experiment-period metric by
+    // their PRE-period baseline, adj = post − θ·(pre − mean_pre) with
+    // θ the pooled OLS slope; the adjusted mean is unbiased for the
+    // treatment effect while its variance shrinks by the squared
+    // pre/post correlation. EXACT integer trajectory: deci-unit
+    // metrics, θ in micro from the moment sums via a SIGN-SAFE
+    // truncating division ([[sdiv]] — Spark's DIV truncates toward
+    // zero, DuckDB's // floors, so every division whose numerator can
+    // go negative routes through the shared CASE form; the overflow
+    // envelope is sized in deci units so n·Σadj² ≪ 2⁶³ at sf0.1).
+    // Report grain: the arm — post mean, adjusted mean, both variance
+    // numerators, and the achieved reduction in micro.
+    //
+    // Scale posture: one user-grain aggregate (the pre/post split
+    // piggybacks on it via conditional sums against the broadcast
+    // 1-row midpoint), one 1-row moment aggregate for θ, then a 2-row
+    // arm rollup. Nothing collects; raw events shuffle once.
+    "q_cuped" -> ((s, d) => {
+      val bounds = Tables.events(s, d)
+        .agg(expr("(min(unix_micros(ts) DIV 3600000000) + max(unix_micros(ts) DIV 3600000000) + 1) DIV 2")
+          .as("mid"))
+      val users = Tables.events(s, d)
+        .crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(expr("unix_micros(ts) DIV 3600000000 < mid"),
+            expr("CAST(floor(value * 10 + 0.5) AS BIGINT)")).otherwise(0L)).as("pre"),
+          sum(when(expr("unix_micros(ts) DIV 3600000000 >= mid"),
+            expr("CAST(floor(value * 10 + 0.5) AS BIGINT)")).otherwise(0L)).as("post"))
+        .withColumn("arm", col("user_id") % 2)
+      val mom = users.agg(count(lit(1)).as("n"), sum(col("pre")).as("sp"),
+        sum(col("post")).as("so"), sum(expr("pre * pre")).as("spp"),
+        sum(expr("pre * post")).as("spo"))
+        .selectExpr("n", "sp",
+          "n * spo - sp * so AS cov_num",
+          "n * spp - sp * sp AS var_num")
+        .selectExpr("n", "sp",
+          sdiv("cov_num", "nullif(var_num DIV 1000000, 0)") + " AS theta_micro")
+      val adj = users.crossJoin(broadcast(mom))
+        .withColumn("adj", expr(
+          "post - " + sdiv("theta_micro * (pre - sp DIV n)", "1000000")))
+      adj.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          max(col("theta_micro")).as("theta_micro"),
+          expr("sum(post) DIV count(*)").as("mean_post_deci"),
+          expr(sdiv("sum(adj)", "count(*)") + " AS mean_adj_deci"),
+          expr("count(*) * sum(post * post) - sum(post) * sum(post)").as("var_post_num"),
+          expr("count(*) * sum(adj * adj) - sum(adj) * sum(adj)").as("var_adj_num"))
+        .withColumn("red_micro",
+          expr(sdiv("(var_post_num - var_adj_num) * 1000000", "nullif(var_post_num, 0)")))
+        .select(col("arm"), col("n_users"), col("theta_micro"), col("mean_post_deci"),
+          col("mean_adj_deci"), col("var_post_num"), col("var_adj_num"), col("red_micro"))
+        .orderBy(col("arm"))
     }),
 
     // SAMPLE-RATIO MISMATCH gate (the experimentation-hygiene check
@@ -1952,6 +2022,45 @@ object RelationalExt {
         |       // (n_a * n_b)) * 1000000)
         |    // ((n * n * n - n - ties_t) // (n * (n - 1))) > 3841500 AS reject_05
         |FROM b""".stripMargin,
+
+    "q_cuped" -> {
+      val theta = sdivSql("cov_num", "nullif(var_num // 1000000, 0)")
+      val corr = sdivSql("theta_micro * (pre - sp // n)", "1000000")
+      s"""WITH b AS (
+         |  SELECT (min(epoch_us(ts) // 3600000000)
+         |        + max(epoch_us(ts) // 3600000000) + 1) // 2 AS mid
+         |  FROM events),
+         |u AS (
+         |  SELECT user_id, user_id % 2 AS arm,
+         |    CAST(SUM(CASE WHEN epoch_us(ts) // 3600000000 < mid
+         |         THEN CAST(floor(value * 10 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS pre,
+         |    CAST(SUM(CASE WHEN epoch_us(ts) // 3600000000 >= mid
+         |         THEN CAST(floor(value * 10 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS post
+         |  FROM events, b GROUP BY user_id),
+         |m0 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(pre) AS BIGINT) AS sp,
+         |    CAST(SUM(post) AS BIGINT) AS so,
+         |    CAST(SUM(pre * pre) AS BIGINT) AS spp,
+         |    CAST(SUM(pre * post) AS BIGINT) AS spo
+         |  FROM u),
+         |m1 AS (SELECT n, sp, n * spo - sp * so AS cov_num,
+         |              n * spp - sp * sp AS var_num FROM m0),
+         |m AS (SELECT n, sp, $theta AS theta_micro FROM m1),
+         |a AS (
+         |  SELECT arm, post, theta_micro, post - $corr AS adj FROM u, m),
+         |g AS (
+         |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(MAX(theta_micro) AS BIGINT) AS theta_micro,
+         |    CAST(SUM(post) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_post_deci,
+         |    ${sdivSql("CAST(SUM(adj) AS BIGINT)", "CAST(count(*) AS BIGINT)")} AS mean_adj_deci,
+         |    CAST(count(*) * SUM(post * post) - SUM(post) * SUM(post) AS BIGINT) AS var_post_num,
+         |    CAST(count(*) * SUM(adj * adj) - SUM(adj) * SUM(adj) AS BIGINT) AS var_adj_num
+         |  FROM a GROUP BY arm)
+         |SELECT arm, n_users, theta_micro, mean_post_deci, mean_adj_deci,
+         |  var_post_num, var_adj_num,
+         |  ${sdivSql("(var_post_num - var_adj_num) * 1000000", "nullif(var_post_num, 0)")} AS red_micro
+         |FROM g ORDER BY arm""".stripMargin
+    },
 
     "q_seq_pairs" ->
       """WITH spans AS (

@@ -266,6 +266,49 @@ object Reshape {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // INCREMENTAL JOIN MAINTENANCE — the IVM identity for joins that
+    // q_incr_agg's mergeable-aggregate identity cannot cover: with
+    // base and delta partitions of both sides,
+    //   (Ob ∪ dO) ⋈ (Cb ∪ dC) = Ob⋈Cb ∪ Ob⋈dC ∪ dO⋈Cb ∪ dO⋈dC,
+    // so a stored join view absorbs new rows by computing only the
+    // three DELTA terms — each bounded by a delta side — instead of
+    // rescanning history (the materialized-view refresh every
+    // warehouse runs). The fixture splits orders (10% by key hash)
+    // and customers (the % 13 cohort) into arriving deltas, computes
+    // the four terms independently at segment grain, and emits
+    // term counts plus their SUM; the oracle computes `n_total` from
+    // the FLAT one-shot join, so the hash match IS the proof that
+    // sum-of-terms ≡ full recompute, exactly (integer counts).
+    //
+    // Scale posture: at 100 TB only dO and dC are scanned per
+    // refresh (Ob⋈Cb is the stored view); the delta terms broadcast
+    // the small delta sides. Here all four compute for the proof.
+    "q_incr_join" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val (ob, od) = (o.filter(col("o_orderkey") % 10 =!= 0), o.filter(col("o_orderkey") % 10 === 0))
+      val (cb, cd) = (c.filter(col("c_custkey") % 13 =!= 0), c.filter(col("c_custkey") % 13 === 0))
+      // the four IVM terms as genuinely separate joins — the delta
+      // terms are the only ones a refresh would run (delta sides
+      // broadcast; Catalyst picks BHJ for them at any scale)
+      def term(l: DataFrame, r: DataFrame, tag: String): DataFrame =
+        l.join(r, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+          .withColumn("tag", lit(tag))
+      term(ob, cb, "bb")
+        .unionByName(term(ob, broadcast(cd), "bd"))
+        .unionByName(term(broadcast(od), cb, "db"))
+        .unionByName(term(broadcast(od), broadcast(cd), "dd"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(when(col("tag") === "bb", col("n")).otherwise(0L)).as("n_bb"),
+          sum(when(col("tag") === "bd", col("n")).otherwise(0L)).as("n_bd"),
+          sum(when(col("tag") === "db", col("n")).otherwise(0L)).as("n_db"),
+          sum(when(col("tag") === "dd", col("n")).otherwise(0L)).as("n_dd"))
+        .withColumn("n_total", expr("n_bb + n_bd + n_db + n_dd"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Data-quality validation report (the dbt-test / Deequ pattern):
     // pipeline gates run as ONE declarative plan over the tables they
     // audit — uniqueness, null fraction, referential integrity, range
@@ -549,6 +592,19 @@ object Reshape {
         |  (CAST(max(nv) AS BIGINT) * 1000000) // CAST(sum(nv) AS BIGINT) AS majority_micro
         |FROM cls GROUP BY lang, len_band
         |ORDER BY lang, len_band""".stripMargin,
+
+    "q_incr_join" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment,
+        |    o_orderkey % 10 = 0 AS o_delta, c_custkey % 13 = 0 AS c_delta
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment,
+        |  CAST(SUM(CASE WHEN NOT o_delta AND NOT c_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_bb,
+        |  CAST(SUM(CASE WHEN NOT o_delta AND c_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_bd,
+        |  CAST(SUM(CASE WHEN o_delta AND NOT c_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_db,
+        |  CAST(SUM(CASE WHEN o_delta AND c_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_dd,
+        |  CAST(count(*) AS BIGINT) AS n_total
+        |FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_t_closeness" ->
       """WITH cls AS (

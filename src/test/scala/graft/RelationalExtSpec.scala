@@ -368,6 +368,63 @@ class RelationalExtSpec extends SparkSpec {
     assert(tiesT == tieCnt.values.map(t => t * t * t - t).sum)
   }
 
+  test("q_cuped: serial replay matches; adjustment reduces variance in both arms") {
+    val out = RelationalExt.queries("q_cuped")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 3600000000").as("h"),
+        expr("CAST(floor(value * 10 + 0.5) AS BIGINT)").as("vd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max + 1) / 2
+    val users = ev.groupBy(_._1).toSeq.map { case (u, rows) =>
+      (u % 2, rows.filter(_._2 < mid).map(_._3).sum, rows.filter(_._2 >= mid).map(_._3).sum)
+    }
+    val n = users.size.toLong
+    val (sp, so) = (users.map(_._2).sum, users.map(_._3).sum)
+    val covNum = n * users.map(t => t._2 * t._3).sum - sp * so
+    val varNum = n * users.map(t => t._2 * t._2).sum - sp * sp
+    def sdiv(x: Long, y: Long): Long = if (x >= 0) x / y else -((-x) / y)
+    val theta = sdiv(covNum, varNum / 1000000L)
+    val adj = users.map { case (arm, pre, post) =>
+      (arm, post, post - sdiv(theta * (pre - sp / n), 1000000L))
+    }
+    adj.groupBy(_._1).foreach { case (arm, xs) =>
+      val m = xs.size.toLong
+      val vp = m * xs.map(t => t._2 * t._2).sum - xs.map(_._2).sum * xs.map(_._2).sum
+      val va = m * xs.map(t => t._3 * t._3).sum - xs.map(_._3).sum * xs.map(_._3).sum
+      val (gn, gTheta, gMeanPost, gMeanAdj, gVp, gVa, gRed) = out(arm)
+      assert(gn == m && gTheta == theta, s"arm $arm: n/theta")
+      assert(gMeanPost == xs.map(_._2).sum / m && gMeanAdj == sdiv(xs.map(_._3).sum, m))
+      assert(gVp == vp && gVa == va, s"arm $arm: variance numerators")
+      assert(gRed == sdiv((vp - va) * 1000000L, vp))
+    }
+    // the variance guarantee holds for the POOLED sample the OLS θ was
+    // fit on (a tiny per-arm subsample can go the other way)
+    val pn = adj.size.toLong
+    val pvp = pn * adj.map(t => t._2 * t._2).sum - adj.map(_._2).sum * adj.map(_._2).sum
+    val pva = pn * adj.map(t => t._3 * t._3).sum - adj.map(_._3).sum * adj.map(_._3).sum
+    assert(pva <= pvp, "CUPED increased pooled variance")
+  }
+
+  test("q_incr_join: the four IVM terms partition the flat join, segment by segment") {
+    val got = graft.operators.Reshape.queries("q_incr_join")(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val flat = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == flat.keySet)
+    got.foreach { case (seg, (bb, bd, db, dd, total)) =>
+      assert(total == flat(seg), s"$seg: IVM total diverges from the flat join")
+      assert(bb + bd + db + dd == total, s"$seg: terms do not partition")
+    }
+    // the delta terms must be non-trivial or the identity is vacuous
+    assert(got.values.map(_._2).sum > 0 && got.values.map(_._3).sum > 0 &&
+      got.values.map(_._4).sum > 0, "a delta term is empty on this fixture")
+  }
+
   test("q_bitmap_distinct: bitmap count is bit-true against countDistinct for every group") {
     val rows = graft.operators.Relational.queries("q_bitmap_distinct")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
