@@ -311,14 +311,18 @@ object RelationalExt {
     // users(a→b)/users, confidence = users(a→b)/users(a), both exact
     // micro shares.
     //
-    // Scale posture: one (user, type) aggregate over the stream; the
-    // per-user self-join fans out ≤ |types|² = 25 rows per user; the
-    // report is |types|²-grain. The 1-row user total broadcasts.
+    // Scale posture: ONE (user, type) aggregate over the stream,
+    // localCheckpoint-materialized and consumed FOUR ways (both join
+    // sides, the per-type margin, the user total) — the raw events
+    // scan once; the per-user self-join fans out ≤ |types|² = 25 rows
+    // per user; the report is |types|²-grain. The 1-row user total
+    // broadcasts.
     "q_seq_pairs" -> ((s, d) => {
       val spans = Tables.events(s, d)
         .groupBy(col("user_id"), col("event_type"))
         .agg(min(expr("unix_micros(ts)")).as("lo"), max(expr("unix_micros(ts)")).as("hi"))
-      val users = Tables.events(s, d).agg(countDistinct(col("user_id")).as("n_users"))
+        .localCheckpoint()
+      val users = spans.select(col("user_id")).distinct().agg(count(lit(1)).as("n_users"))
       val hasA = spans.groupBy(col("event_type")).agg(count(lit(1)).as("n_a"))
       val follows = spans.as("x").join(spans.as("y"),
           expr("x.user_id = y.user_id AND x.event_type <> y.event_type AND x.lo < y.hi"))
