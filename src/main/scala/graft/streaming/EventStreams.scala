@@ -205,6 +205,54 @@ object EventStreams {
         OutputMode.Update())
   }
 
+  case class CusumAlarm(event_type: String, event_id: Long, s_milli: Long)
+
+  /** STREAMING CUSUM — the online twin of the batch q_cusum control
+    * chart (RelationalExt): per event-type key the state is ONE long
+    * (the current statistic S), updated by the textbook recurrence
+    * S ← max(0, S + x − μ − k) and emitting an alarm row only on the
+    * UPWARD CROSSING of the threshold (edge-triggered, so a sustained
+    * excursion produces one alarm, not one per event — the pager
+    * contract). The target μ is a run PARAMETER (production CUSUM
+    * monitors against a reference mean; the batch query derives it
+    * from history). In-batch iteration sorts by (ts, event_id) — a
+    * micro-batch's group iterator has no order contract, and the
+    * recurrence must not depend on shuffle arrival order — which also
+    * makes the alarm set invariant to how the stream is batched
+    * (spec-pinned). State per key: one BIGINT, forever — the
+    * boundedness contract, trivially.
+    */
+  class CusumProcessor(targetMilli: Long, slackMilli: Long, thresholdMilli: Long)
+      extends StatefulProcessor[String, Event, CusumAlarm] {
+    @transient private var st: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Long]("s",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[CusumAlarm] = {
+      var s = if (st.exists()) st.get() else 0L
+      val out = scala.collection.mutable.ArrayBuffer.empty[CusumAlarm]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val xm = math.floor(e.value * 1000 + 0.5).toLong
+        val prev = s
+        s = math.max(0L, s + xm - targetMilli - slackMilli)
+        if (s > thresholdMilli && prev <= thresholdMilli)
+          out += CusumAlarm(key, e.event_id, s)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  def cusumTws(events: Dataset[Event], targetMilli: Long,
+               slackMilli: Long = 5000L,
+               thresholdMilli: Long = 200000L): Dataset[CusumAlarm] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new CusumProcessor(targetMilli, slackMilli, thresholdMilli),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   case class SessState(startMs: Long, lastMs: Long, n: Long, totalMilli: Long)
   case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Long,

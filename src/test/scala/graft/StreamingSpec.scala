@@ -137,6 +137,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusumTws: edge-triggered alarms match the serial recurrence and are batching-invariant") {
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // a drifting series: baseline 50, short excursion to 300 at
+      // minutes 10-11, deep recovery to 0 (drains S back under the
+      // threshold), second excursion at 25
+      def series(i: Int): Double =
+        if (i >= 10 && i < 12) 300.0
+        else if (i >= 12 && i < 25) 0.0
+        else if (i >= 25) 280.0 else 50.0
+      val evs = (0 until 30).map(i => ev(i.toLong, i, value = series(i)))
+      // serial ground truth (target 50k milli, slack 5k, threshold 200k)
+      var s = 0L; val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      evs.foreach { e =>
+        val p = s
+        s = math.max(0L, s + math.floor(e.value * 1000 + 0.5).toLong - 50000L - 5000L)
+        if (s > 200000L && p <= 200000L) expected += ((e.event_id, s))
+      }
+      assert(expected.size == 2, s"fixture must produce exactly 2 crossings, got $expected")
+      def run(name: String, batches: Seq[Seq[Event]]): Seq[(Long, Long)] = {
+        val input = MemoryStream[Event](spark)
+        val q = EventStreams.cusumTws(input.toDS(), targetMilli = 50000L)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+          spark.table(name).select($"event_id", $"s_milli").as[(Long, Long)]
+            .collect().sortBy(_._1).toSeq
+        } finally q.stop()
+      }
+      val oneShot = run("cusum_one", Seq(evs))
+      val split = run("cusum_split", Seq(evs.take(7), evs.slice(7, 13), evs.drop(13)))
+      assert(oneShot == expected.toSeq, s"single-batch alarms diverge: $oneShot vs $expected")
+      assert(split == expected.toSeq, "alarm set depends on micro-batch boundaries")
+    } finally {
+      prev match {
+        case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState running totals accumulate (RocksDB store), TTL wiring runs") {
     // Spark 4's arbitrary-state v2 API requires the RocksDB provider
     // (multi-column-family state layout).
