@@ -836,4 +836,55 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Expand"), "expected Expand for multi-distinct:\n" + p.take(1200))
     assert(p.contains("partial_"), "datasheet aggregate lost map-side combine:\n" + p.take(1500))
   }
+
+  test("q_rand_proj: the projection is map-only — no hash shuffle, no join") {
+    val df = SparkEntry.queries("q_rand_proj")(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("hashpartitioning"),
+      "JL projection must not shuffle (8 longs should ship, not 64 floats):\n" + p.take(1500))
+    assert(!p.contains("Join"), "JL projection must not join:\n" + p.take(1500))
+  }
+
+  test("q_script_mix: census is map-only — the only exchange is the output ordering") {
+    val df = SparkEntry.queries("q_script_mix")(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("hashpartitioning") && !p.contains("Join") && !p.contains("Aggregate"),
+      "character census must run at scan speed:\n" + p.take(1500))
+  }
+
+  test("q_incr_join: the three delta terms broadcast their delta sides") {
+    val df = SparkEntry.queries("q_incr_join")(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    val nBroadcast = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(nBroadcast >= 3,
+      s"expected the bd/db/dd delta terms as broadcast joins, saw $nBroadcast:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), "IVM terms must never go cartesian")
+  }
+
+  test("q_lag_features: one user_id sort serves the whole window chain") {
+    val df = SparkEntry.queries("q_lag_features")(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    val userShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userShuffles == 1,
+      s"lag/rolling features must share ONE user_id shuffle, saw $userShuffles:\n" + p.take(1500))
+    val sorts = p.linesIterator.count(l => l.contains("Sort [user_id"))
+    assert(sorts == 1,
+      s"the window chain must share one sort, saw $sorts:\n" + p.take(1500))
+  }
+
+  test("q_seq_pairs: the span table materializes once (no repeated events aggregation)") {
+    val df = SparkEntry.queries("q_seq_pairs")(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the localCheckpoint shows up as Scan ExistingRDD; raw events must
+    // not be re-aggregated per consumer
+    val rawScans = p.linesIterator.count(l => l.contains("FileScan parquet") && l.contains("events"))
+    assert(rawScans == 0,
+      s"spans must come from the materialized checkpoint, saw $rawScans raw event scans:\n" + p.take(1500))
+  }
 }
