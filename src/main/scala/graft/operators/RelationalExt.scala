@@ -298,6 +298,69 @@ object RelationalExt {
           |FROM m ORDER BY src, dst""".stripMargin)
     }),
 
+    // MANN-KENDALL trend test (Mann 1945; Kendall 1975) per event-type
+    // daily series — the NONPARAMETRIC monotone-trend gate completing
+    // the time-series family (q_holt smooths, q_autocorr measures
+    // seasonality, q_changepoint locates a level shift, q_cusum alarms
+    // online; MK answers "is there a trend AT ALL", with no normality
+    // or linearity assumption): S = Σ_{i<j} sgn(x_j − x_i) over the
+    // DAY-GRAIN series, tie-corrected variance
+    // var = (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18, and the continuity-
+    // corrected z² = 18·(|S|−1)²·10⁶ DIV (n(n−1)(2n+5) − T) — every
+    // term an exact non-negative integer, both engines walk the same
+    // BIGINTs. The O(n²) pair join runs at day grain (n = observation
+    // days — bounded by the calendar, NEVER by corpus size; a decade
+    // is 3 653 rows), which is the standard MK deployment shape.
+    "q_mann_kendall" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // pair join + tie census + n share one build
+      val pairs = days.as("a").join(days.as("b"),
+          expr("a.event_type = b.event_type AND a.day < b.day"))
+        .groupBy(expr("a.event_type").as("event_type"))
+        .agg(sum(expr("CAST(sign(b.c - a.c) AS BIGINT)")).as("s"))
+      val ties = days.groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("ties_t"), sum(col("t")).as("n"))
+      pairs.join(ties, Seq("event_type"))
+        .withColumn("var18", expr("n * (n - 1) * (2 * n + 5) - ties_t"))
+        .withColumn("z2_micro", expr(
+          """CASE WHEN abs(s) >= 1 AND var18 > 0
+            |  THEN (18 * (abs(s) - 1) * (abs(s) - 1) * 1000000) DIV var18
+            |  ELSE 0 END""".stripMargin))
+        .withColumn("trend", expr(
+          "CASE WHEN z2_micro <= 3841500 THEN 'none' WHEN s > 0 THEN 'up' ELSE 'down' END"))
+        .select(col("event_type"), col("n"), col("s"), col("ties_t"),
+          col("z2_micro"), col("trend"))
+        .orderBy(col("event_type"))
+    }),
+
+    // THEIL-SEN robust slope (Theil 1950; Sen 1968) per event-type
+    // daily series — the estimator that pairs with q_mann_kendall the
+    // way q_linear_fit pairs with q_t_test: OLS's slope is wrecked by
+    // a single outlier day; the MEDIAN of all pairwise slopes has a
+    // 29.3% breakdown point and is the line you draw once MK says
+    // "trend". Pairwise slopes quantize via the shared sign-safe
+    // division ([[sdiv]] — slopes go negative), and the median
+    // reports in the ×2-scaled exact-integer form (q_funnel_time's
+    // med2 idiom: percentile(0.5) of integers is either an integer or
+    // a half, so 2× is always exact). Same day-grain O(n²) posture as
+    // MK — bounded by the calendar.
+    "q_theil_sen" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      days.as("a").join(days.as("b"),
+          expr("a.event_type = b.event_type AND a.day < b.day"))
+        .select(expr("a.event_type").as("event_type"),
+          expr(sdiv("(b.c - a.c) * 1000", "b.day - a.day")).as("slope_milli"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("CAST(2 * percentile(slope_milli, 0.5D) AS BIGINT)").as("med2_slope_milli"))
+        .orderBy(col("event_type"))
+    }),
+
     // EVENTUALLY-FOLLOWS sequence mining (the GSP/PrefixSpan length-2
     // primitive and process-mining's follows-relation): for each
     // ordered type pair (a, b), how many users ever do a THEN LATER b
@@ -2026,6 +2089,54 @@ object RelationalExt {
         |       // (n_a * n_b)) * 1000000)
         |    // ((n * n * n - n - ties_t) // (n * (n - 1))) > 3841500 AS reject_05
         |FROM b""".stripMargin,
+
+    "q_mann_kendall" ->
+      """WITH days AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CAST(SUM(CAST(sign(b.c - a.c) AS BIGINT)) AS BIGINT) AS s
+        |  FROM days a JOIN days b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |tt AS (
+        |  SELECT event_type,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS ties_t,
+        |    CAST(SUM(t) AS BIGINT) AS n
+        |  FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+        |        FROM days GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT p.event_type, n, s, ties_t,
+        |    n * (n - 1) * (2 * n + 5) - ties_t AS var18
+        |  FROM p JOIN tt ON p.event_type = tt.event_type),
+        |z AS (
+        |  SELECT event_type, n, s, ties_t,
+        |    CASE WHEN abs(s) >= 1 AND var18 > 0
+        |      THEN (18 * (abs(s) - 1) * (abs(s) - 1) * 1000000) // var18
+        |      ELSE 0 END AS z2_micro
+        |  FROM j)
+        |SELECT event_type, n, s, ties_t, z2_micro,
+        |  CASE WHEN z2_micro <= 3841500 THEN 'none'
+        |       WHEN s > 0 THEN 'up' ELSE 'down' END AS trend
+        |FROM z ORDER BY event_type""".stripMargin,
+
+    "q_theil_sen" -> {
+      val slope = sdivSql("(b.c - a.c) * 1000", "b.day - a.day")
+      s"""WITH days AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |sl AS (
+         |  SELECT a.event_type, $slope AS slope_milli
+         |  FROM days a JOIN days b
+         |    ON a.event_type = b.event_type AND a.day < b.day)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(2 * quantile_cont(slope_milli, 0.5) AS BIGINT) AS med2_slope_milli
+         |FROM sl GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
 
     "q_cuped" -> {
       val theta = sdivSql("cov_num", "nullif(var_num // 1000000, 0)")

@@ -368,6 +368,43 @@ class RelationalExtSpec extends SparkSpec {
     assert(tiesT == tieCnt.values.map(t => t * t * t - t).sum)
   }
 
+  test("q_mann_kendall and q_theil_sen: S, ties, and the median slope replay brute-force") {
+    val mk = RelationalExt.queries("q_mann_kendall")(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val ts = RelationalExt.queries("q_theil_sen")(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val days = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    days.groupBy(_._1).foreach { case (et, rows) =>
+      val seq = rows.sortBy(_._2).map(r => (r._2, r._3))
+      val prs = for (i <- seq.indices; j <- i + 1 until seq.length) yield (seq(i), seq(j))
+      val s = prs.map { case ((_, c1), (_, c2)) => java.lang.Long.signum(c2 - c1).toLong }.sum
+      val tiesT = seq.groupBy(_._2).values.map { g =>
+        val t = g.size.toLong; t * (t - 1) * (2 * t + 5)
+      }.sum
+      val n = seq.length.toLong
+      val var18 = n * (n - 1) * (2 * n + 5) - tiesT
+      val z2 = if (math.abs(s) >= 1 && var18 > 0)
+        18 * (math.abs(s) - 1) * (math.abs(s) - 1) * 1000000L / var18 else 0L
+      val (gn, gs, gt, gz) = mk(et)
+      assert(gn == n && gs == s && gt == tiesT && gz == z2, s"$et: MK diverges")
+      // Theil-Sen: sign-safe quantized slopes, x2-scaled exact median
+      def sdiv(x: Long, y: Long): Long = if (x >= 0) x / y else -((-x) / y)
+      val slopes = prs.map { case ((d1, c1), (d2, c2)) => sdiv((c2 - c1) * 1000, d2 - d1) }
+        .sorted
+      val m = slopes.length
+      val med2 = if (m % 2 == 1) 2 * slopes(m / 2) else slopes(m / 2 - 1) + slopes(m / 2)
+      val (gp, gm) = ts(et)
+      assert(gp == m && gm == med2, s"$et: Theil-Sen diverges ($gm vs $med2)")
+    }
+    // z² is a quotient of non-negative integers by construction (a
+    // tiny-n fixture CAN fire the 5% gate by chance — that is what 5%
+    // means — so null behavior is not assertable here)
+    assert(mk.values.forall(_._4 >= 0L))
+  }
+
   test("q_cuped: serial replay matches; adjustment reduces variance in both arms") {
     val out = RelationalExt.queries("q_cuped")(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
