@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -174,6 +174,51 @@ object Learn {
         .withColumn("auc", round(expr(
           "CAST(rank_sum2 - n_pos * (n_pos + 1) AS DOUBLE) / (2 * n_pos * n_neg)"), 6))
         .select(col("n_pos"), col("n_neg"), col("auc_num"), col("auc"))
+    }),
+
+    // SUBGROUP AUC — the fairness/robustness slice of q_auc (Model
+    // Cards, Mitchell et al. 2019: aggregate metrics hide subgroup
+    // failures; a detector with pooled AUC 0.9 can be coin-flip on one
+    // source): the SAME midrank rank-sum machinery, partitioned by the
+    // `source` subgroup, plus the pooled ALL row and each subgroup's
+    // signed micro-unit gap to it — the number a model reviewer scans
+    // for disparity. Identical exact-integer discipline (per-score
+    // counts, ×2 midranks, sign-safe gap division); the only ordered
+    // windows run per subgroup over bounded distinct-score tables.
+    "q_auc_subgroup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val warr = weights.mkString("array(", "L,", "L)")
+      val scored = Tables.documents(s, d)
+        .withColumn("sc", expr(
+          s"aggregate(split(text, ' '), 0L, (acc, t) -> " +
+            s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
+        .select(col("source"), col("sc"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .localCheckpoint() // subgroup arm + pooled arm share one scoring pass
+      def aucOf(df: DataFrame, grp: Column): DataFrame = {
+        val g = df.withColumn("grp", grp)
+        val per = g.groupBy(col("grp"), col("sc"))
+          .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
+        val below = Window.partitionBy(col("grp")).orderBy(col("sc"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val tot = g.groupBy(col("grp"))
+          .agg(sum(col("pos")).as("n_pos"), (count(lit(1)) - sum(col("pos"))).as("n_neg"))
+        per.withColumn("below", coalesce(sum(col("cnt")).over(below), lit(0L)))
+          .groupBy(col("grp"))
+          .agg(sum(expr("npos * (2 * below + cnt + 1)")).as("rank_sum2"))
+          .join(tot, Seq("grp"))
+          .withColumn("auc_micro", expr(
+            "((rank_sum2 - n_pos * (n_pos + 1)) * 1000000) DIV (2 * n_pos * n_neg)"))
+          .select(col("grp"), col("n_pos"), col("n_neg"), col("auc_micro"))
+      }
+      val bySrc = aucOf(scored, col("source"))
+      val pooled = aucOf(scored, lit("ALL"))
+      bySrc.unionByName(pooled)
+        .crossJoin(broadcast(pooled.select(col("auc_micro").as("pooled_micro"))))
+        .withColumn("gap_micro", col("auc_micro") - col("pooled_micro"))
+        .select(col("grp").as("subgroup"), col("n_pos"), col("n_neg"),
+          col("auc_micro"), col("gap_micro"))
+        .orderBy(col("subgroup"))
     }),
 
     // Calibration (reliability) table of the quality classifier as an
@@ -1334,6 +1379,40 @@ object Learn {
          |SELECT n_pos, n_neg, rank_sum2 - n_pos * (n_pos + 1) AS auc_num,
          |  round(CAST(rank_sum2 - n_pos * (n_pos + 1) AS DOUBLE) / (2 * n_pos * n_neg), 6) AS auc
          |FROM agg""".stripMargin,
+
+    "q_auc_subgroup" ->
+      s"""WITH scored AS (
+         |  SELECT source,
+         |    CAST(list_sum(list_transform(string_split(text, ' '),
+         |      t -> (($duckBucket * 2654435761) % 1000003) % 2001 - 1000)) AS BIGINT) AS sc,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents),
+         |tagged AS (
+         |  SELECT source AS grp, sc, pos FROM scored
+         |  UNION ALL
+         |  SELECT 'ALL' AS grp, sc, pos FROM scored),
+         |per AS (
+         |  SELECT grp, sc, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(SUM(pos) AS BIGINT) AS npos
+         |  FROM tagged GROUP BY 1, 2),
+         |mid AS (
+         |  SELECT grp, sc, cnt, npos,
+         |    COALESCE(CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY sc
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS below
+         |  FROM per),
+         |tot AS (
+         |  SELECT grp, CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |    CAST(count(*) - SUM(pos) AS BIGINT) AS n_neg
+         |  FROM tagged GROUP BY 1),
+         |agg AS (
+         |  SELECT m.grp, n_pos, n_neg,
+         |    ((CAST(SUM(npos * (2 * below + cnt + 1)) AS BIGINT)
+         |      - n_pos * (n_pos + 1)) * 1000000) // (2 * n_pos * n_neg) AS auc_micro
+         |  FROM mid m JOIN tot t ON m.grp = t.grp GROUP BY m.grp, n_pos, n_neg),
+         |pooled AS (SELECT auc_micro AS pooled_micro FROM agg WHERE grp = 'ALL')
+         |SELECT grp AS subgroup, n_pos, n_neg, auc_micro,
+         |  auc_micro - pooled_micro AS gap_micro
+         |FROM agg, pooled ORDER BY subgroup""".stripMargin,
 
     "q_doc_outlier" ->
       """WITH q AS (

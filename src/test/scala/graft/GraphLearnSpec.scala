@@ -867,6 +867,38 @@ class GraphLearnSpec extends SparkSpec {
     operators.NearDup.clusterLabelCache.invalidateAll()
   }
 
+  test("q_auc_subgroup: each slice replays the pairwise AUC; gaps reconcile to the pooled row") {
+    val out = Learn.queries("q_auc_subgroup")(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val scored = Learn.queries("q_classifier_score")(spark, sf)
+      .select(col("doc_id"), col("lang"), col("score_milli")).collect()
+      .map(r => (r.getLong(0), r.getString(1) == "en", r.getLong(2)))
+    val srcOf = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // brute-force pairwise AUC (ties count half) per subgroup incl. ALL
+    def bruteAuc(rows: Seq[(Boolean, Long)]): (Long, Long, Long) = {
+      val pos = rows.filter(_._1).map(_._2); val neg = rows.filterNot(_._1).map(_._2)
+      val wins2 = (for (p <- pos; n <- neg)
+        yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      (pos.size.toLong, neg.size.toLong,
+        wins2 * 1000000L / (2L * pos.size * neg.size))
+    }
+    val slices = scored.map { case (id, en, sc) => (srcOf(id), en, sc) }
+    val groups = slices.groupBy(_._1).map { case (g, xs) => g -> xs.map(t => (t._2, t._3)).toSeq } +
+      ("ALL" -> slices.map(t => (t._2, t._3)).toSeq)
+    val pooledMicro = out("ALL")._3
+    groups.foreach { case (g, rows) =>
+      val (np, nn, auc) = bruteAuc(rows)
+      val (gp, gn, gAuc, gGap) = out(g)
+      assert(gp == np && gn == nn, s"$g: counts")
+      assert(gAuc == auc, s"$g: AUC $gAuc vs brute $auc")
+      assert(gGap == gAuc - pooledMicro, s"$g: gap identity")
+      assert(gAuc >= 0 && gAuc <= 1000000L)
+    }
+    assert(out("ALL")._4 == 0L)
+  }
+
   test("q_survival: product-limit fold replays serially; curve is monotone; censoring non-vacuous") {
     val out = Learn.queries("q_survival")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
