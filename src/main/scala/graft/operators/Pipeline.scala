@@ -99,7 +99,64 @@ object Pipeline {
     }
   }
 
+  /** q_bootstrap: cumulative Poisson(1) inverse-CDF thresholds in
+    * micro units — floor(CDF(k)·10⁶) for k = 0..9, computed ONCE here
+    * and baked as the SAME literal array into both plans (the
+    * q_entropy shared-literal recipe: neither engine's exp/factorial
+    * is consulted at eval time). A hash draw u < T[0] means weight 0,
+    * [T[0], T[1]) means 1, … — the standard inverse-CDF table. */
+  private val poissonCdfMicro: IndexedSeq[Long] = {
+    var cdf = 0.0; var fact = 1.0
+    (0 to 9).map { k =>
+      if (k > 0) fact *= k
+      cdf += math.exp(-1.0) / fact
+      math.floor(cdf * 1e6).toLong
+    }
+  }
+  private val A3 = 797003437L; private val B3 = 321017101L
+
   val queries: Map[String, Q] = Map(
+    // POISSON BOOTSTRAP confidence interval (Chamandy et al. 2012, the
+    // Google large-scale-estimation paper) — THE distributed bootstrap:
+    // a classical resample needs a global sample-with-replacement
+    // (impossible to coordinate across a 100 TB scan); the Poisson
+    // trick gives each (row, resample) an INDEPENDENT Poisson(1)
+    // weight, so all B resamples compute in ONE map-only pass with a
+    // per-resample weighted aggregate. Determinism discipline: the
+    // weight is the inverse-CDF table lookup ([[poissonCdfMicro]],
+    // shared literal) on a universal-hash draw of (doc_id, b) — RNG-
+    // free, bit-identical across engines/re-runs/stage retries (the
+    // q_sample_hash recipe). The CI is the exact 2nd/31st order
+    // statistic of the B = 32 resample means (all integer milli via
+    // truncating DIV on non-negatives); the resample-mean variance
+    // numerator B·Σm² − (Σm)² ships alongside, exact.
+    //
+    // Scale posture: docs × 32 fan-out is MAP-SIDE (broadcast range
+    // spine) feeding a 32-group partial+final aggregate — the corpus
+    // scans once; the order statistics run on the 32-row result page
+    // via one sorted array literal-sized fold. Nothing else shuffles.
+    "q_bootstrap" -> ((s, d) => {
+      val tArr = poissonCdfMicro.mkString("array(", "L,", "L)")
+      val bs = s.range(32).select(col("id").as("b"))
+      val weighted = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .crossJoin(broadcast(bs))
+        .withColumn("u", expr(s"(${h("(doc_id * 37 + b)", A3, B3)}) % 1000000"))
+        .withColumn("w", expr(s"CAST(size(filter($tArr, t -> t <= u)) AS BIGINT)"))
+      val means = weighted.groupBy(col("b"))
+        .agg(sum(expr("w * n_chars")).as("sw"), sum(col("w")).as("cw"))
+        .withColumn("m_milli", expr("(sw * 1000) DIV cw"))
+      val point = Tables.documents(s, d)
+        .agg(expr("(sum(n_chars) * 1000) DIV count(*)").as("point_milli"))
+      means.agg(count(lit(1)).as("b_resamples"),
+        sort_array(collect_list(col("m_milli"))).as("ms"),
+        sum(col("m_milli")).as("sm"), sum(expr("m_milli * m_milli")).as("sm2"))
+        .crossJoin(broadcast(point))
+        .select(col("b_resamples"), col("point_milli"),
+          expr("element_at(ms, 2)").as("boot_lo_milli"),
+          expr("element_at(ms, 31)").as("boot_hi_milli"),
+          expr("b_resamples * sm2 - sm * sm").as("var_num"))
+    }),
     // Reproducible 10% Bernoulli sample: keep iff h(doc_id) mod 100 < 10.
     // Map-only — the filter sits directly on the scan, columns prune.
     "q_sample_hash" -> ((s, d) => {
@@ -1043,6 +1100,34 @@ object Pipeline {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_bootstrap" -> {
+      val tList = poissonCdfMicro.mkString("[", ",", "]")
+      val hu = h("(doc_id * 37 + b)", A3, B3)
+      s"""WITH bs AS (SELECT unnest(range(0, 32)) AS b),
+         |wt AS (
+         |  SELECT b, n_chars,
+         |    CAST(len(list_filter($tList,
+         |      t -> t <= ($hu) % 1000000)) AS BIGINT) AS w
+         |  FROM documents, bs),
+         |means AS (
+         |  SELECT b,
+         |    (CAST(SUM(w * n_chars) AS BIGINT) * 1000)
+         |      // CAST(SUM(w) AS BIGINT) AS m_milli
+         |  FROM wt GROUP BY b),
+         |pt AS (
+         |  SELECT (CAST(SUM(n_chars) AS BIGINT) * 1000)
+         |    // CAST(count(*) AS BIGINT) AS point_milli FROM documents),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS b_resamples,
+         |    list_sort(list(m_milli)) AS ms,
+         |    CAST(SUM(m_milli) AS BIGINT) AS sm,
+         |    CAST(SUM(m_milli * m_milli) AS BIGINT) AS sm2
+         |  FROM means)
+         |SELECT b_resamples, point_milli,
+         |  ms[2] AS boot_lo_milli, ms[31] AS boot_hi_milli,
+         |  b_resamples * sm2 - sm * sm AS var_num
+         |FROM agg, pt""".stripMargin
+    },
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE ${h("doc_id", A1, B1)} % 100 < 10

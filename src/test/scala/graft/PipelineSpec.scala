@@ -612,4 +612,42 @@ class PipelineSpec extends SparkSpec {
     // difficulty frontier is non-decreasing (easy→hard admission)
     assert(out.map(_._5).toSeq == out.map(_._5).sorted.toSeq)
   }
+
+  test("q_bootstrap: weights replay the inverse-CDF table; CI brackets the point estimate") {
+    val r = Pipeline.queries("q_bootstrap")(spark, sf).collect().head
+    val (b, point, lo, hi, varNum) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(b == 32L && varNum >= 0L)
+    assert(lo <= point && point <= hi, s"CI [$lo, $hi] must bracket the point $point")
+    // driver replay of resample b = 0's weighted mean
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    val P = 2147483647L
+    val thresholds = {
+      var cdf = 0.0; var fact = 1.0
+      (0 to 9).map { k =>
+        if (k > 0) fact *= k
+        cdf += math.exp(-1.0) / fact
+        math.floor(cdf * 1e6).toLong
+      }
+    }
+    def weight(id: Long, bb: Long): Long = {
+      val u = ((797003437L * ((id * 37 + bb) % P) + 321017101L) % P) % 1000000L
+      thresholds.count(_ <= u).toLong
+    }
+    val allW = for (bb <- 0L until 32L; (id, _) <- docs) yield weight(id, bb)
+    // Poisson(1): ~36.8% zeros, mean ~1 — the draw must look Poisson
+    val zeroFrac = allW.count(_ == 0L).toDouble / allW.size
+    assert(zeroFrac > 0.30 && zeroFrac < 0.44, s"zero fraction $zeroFrac off e^-1")
+    val meanW = allW.sum.toDouble / allW.size
+    assert(meanW > 0.9 && meanW < 1.1, s"mean weight $meanW off 1.0")
+    // exact replay of every resample mean -> order statistics
+    val ms = (0L until 32L).map { bb =>
+      val (sw, cw) = docs.foldLeft((0L, 0L)) { case ((a, c), (id, nc)) =>
+        val w = weight(id, bb); (a + w * nc, c + w)
+      }
+      sw * 1000 / cw
+    }.sorted
+    assert(ms(1) == lo && ms(30) == hi, s"order statistics diverge: ${ms(1)}/${ms(30)} vs $lo/$hi")
+  }
 }
