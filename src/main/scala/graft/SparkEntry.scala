@@ -15,6 +15,7 @@ object SparkEntry {
       (operators.Relational.queries, operators.Relational.oracles),
       (operators.RelationalExt.queries, operators.RelationalExt.oracles),
       (operators.Skew.queries, operators.Skew.oracles),
+      (operators.Stats.queries, operators.Stats.oracles),
       (operators.Graph.queries, operators.Graph.oracles),
       (operators.Learn.queries, operators.Learn.oracles),
       (operators.Pipeline.queries, operators.Pipeline.oracles),

@@ -1,0 +1,503 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Statistical inference bank — the hypothesis-test / experiment-
+  * analysis layer that sits on top of the drift gates in
+  * [[RelationalExt]] (t / KS / χ² / Mann-Whitney / PSI) and the model
+  * evals in [[Learn]] (AUC / calibration / lift). The reference's
+  * BigQuery consumers run exactly this class of readout SQL over the
+  * ETL'd tables (reference: etl_service/main.py keeps the warehouse
+  * queryable for downstream analysis); here each test is an on-engine
+  * operator with the repo's exactness discipline:
+  *
+  *   - rank statistics run at DISTINCT-VALUE grain (the q_auc /
+  *     q_mann_whitney posture): the corpus collapses to per-value
+  *     counts first, tie groups carry the textbook average rank in
+  *     DOUBLED units (r2 = 2·below + cnt + 1) so no half ever appears,
+  *     and the only ordered windows run over bounded distinct-value
+  *     tables — a two-phase prefix sum at 100 TB, never a corpus sort;
+  *   - O(n²) pair statistics run at DAY grain (the q_mann_kendall
+  *     posture) — bounded by the calendar, never by corpus size;
+  *   - group-grain finals on exact BIGINT moments may go through
+  *     DOUBLE + round() (the q_stats_corr precedent): the inputs are
+  *     exact integers, the float expression is written in identical
+  *     text in both engines, and the only nondeterminism left is the
+  *     summation order of ≤ k group terms — orders of magnitude below
+  *     the rounding grain;
+  *   - every possibly-negative division routes through the sign-safe
+  *     CASE ([[Stats.sdiv]]) because Spark DIV truncates while DuckDB
+  *     // floors.
+  */
+object Stats {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Truncate-toward-zero division valid for signed numerators — see
+    * RelationalExt.sdiv (same contract, private there). */
+  private def sdiv(x: String, y: String): String =
+    s"(CASE WHEN ($x) >= 0 THEN ($x) DIV ($y) ELSE -((-($x)) DIV ($y)) END)"
+
+  /** [[sdiv]] in DuckDB spelling. */
+  private def sdivSql(x: String, y: String): String =
+    s"(CASE WHEN ($x) >= 0 THEN ($x) // ($y) ELSE -((-($x)) // ($y)) END)"
+
+  /** −ln(−ln(1 − 1/30)), the standard-Gumbel 30-period return-level
+    * quantile, pre-evaluated so both engines consume the identical
+    * binary double (see q_gumbel_tail's scaladoc). */
+  private[operators] val Gumbel30: Double = -math.log(-math.log(1.0 - 1.0 / 30.0))
+
+  val queries: Map[String, Q] = Map(
+
+    // SPEARMAN rank correlation (Spearman 1904) between quantity and
+    // price per return flag — the robust complement to q_stats_corr's
+    // Pearson: invariant to any monotone transform, insensitive to the
+    // price outliers that wreck a product-moment estimate. ρ = Pearson
+    // over average-tie ranks; ranks are computed at DISTINCT-VALUE
+    // grain (per (flag, value) counts + a prefix sum over the bounded
+    // distinct-value table) and joined back to rows — the rank tables
+    // are aggregate-grain, so the per-row step is two hash joins, and
+    // no window ever sees a corpus-sized partition. Doubled ranks
+    // (2·below + cnt + 1) keep the rank columns integral; scaling both
+    // by 2 leaves the correlation unchanged.
+    "q_spearman" -> ((s, d) => {
+      val rows = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(l_quantity AS BIGINT)").as("q"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("pc"))
+        .localCheckpoint() // rank builds + row joins share one scan
+      def rankTab(c: String): DataFrame = {
+        val per = rows.groupBy(col("flag"), col(c)).agg(count(lit(1)).as("cnt"))
+        val below = Window.partitionBy(col("flag")).orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        per.withColumn("below", coalesce(sum(col("cnt")).over(below), lit(0L)))
+          .select(col("flag"), col(c), expr("2 * below + cnt + 1").as(s"r2_$c"))
+      }
+      rows
+        .join(rankTab("q"), Seq("flag", "q"))
+        .join(rankTab("pc"), Seq("flag", "pc"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("r2_q"), col("r2_pc")), 4).as("rho"))
+        .orderBy(col("flag"))
+    }),
+
+    // KENDALL tau-b (Kendall 1938) between the daily click and view
+    // volumes — "do the two series move together", by concordance
+    // counting rather than moments: S = Σ_{i<j} sgn(Δx)·sgn(Δy) over
+    // day pairs, tie-adjusted denominator (P−Tx)(P−Ty). Exact
+    // integers throughout; the report carries sign and squared
+    // magnitude separately (tau_sign, tau2_micro) so no square root is
+    // ever taken — the q_mann_kendall z² idiom. The O(n²) pair join
+    // runs at DAY grain: bounded by the calendar, never corpus size.
+    "q_kendall_tau" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(sum(expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")).as("x"),
+          sum(expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END")).as("y"))
+        .localCheckpoint() // pair join reads both sides + the n census
+      val pairs = days.as("a").join(days.as("b"), expr("a.day < b.day"))
+        .agg(
+          sum(expr("CAST(sign(b.x - a.x) AS BIGINT) * CAST(sign(b.y - a.y) AS BIGINT)")).as("s"),
+          sum(expr("CASE WHEN b.x = a.x THEN 1 ELSE 0 END")).as("tx"),
+          sum(expr("CASE WHEN b.y = a.y THEN 1 ELSE 0 END")).as("ty"))
+      val n = days.agg(count(lit(1)).as("n"))
+      pairs.crossJoin(broadcast(n))
+        .withColumn("p", expr("n * (n - 1) DIV 2"))
+        .withColumn("tau2_micro",
+          expr("CASE WHEN (p - tx) * (p - ty) > 0 THEN (s * s * 1000000) DIV ((p - tx) * (p - ty)) ELSE 0 END"))
+        .withColumn("tau_sign", expr("CAST(sign(s) AS BIGINT)"))
+        .select(col("n"), col("p"), col("s"), col("tx"), col("ty"),
+          col("tau2_micro"), col("tau_sign"))
+    }),
+
+    // KRUSKAL-WALLIS H (Kruskal & Wallis 1952) across the event-type
+    // arms on value — the k-sample generalization of q_mann_whitney:
+    // one rank-based omnibus "do ANY of the k arms differ", no
+    // normality assumed. Global average-tie ranks in doubled units at
+    // distinct-value grain; per-arm rank sums by one join + aggregate;
+    // the H finals run on a k-row frame from exact BIGINT moments
+    // (sr2² overflows int64 at corpus scale, so the k-row final is
+    // IEEE DOUBLE in identical expression text — the only float, with
+    // summation-order noise ~1e-11 against a round(6) grain). Tie
+    // correction H/(1−ΣT/(n³−n)) included.
+    "q_kruskal_wallis" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // value census + arm rank-sums share it
+      val byv = cells.groupBy(col("vm")).agg(sum(col("c")).as("t"))
+      val below = Window.orderBy(col("vm")).rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = byv
+        .withColumn("below", coalesce(sum(col("t")).over(below), lit(0L)))
+        .withColumn("r2", expr("2 * below + t + 1"))
+      val grp = cells.join(ranked.select(col("vm"), col("r2")), Seq("vm"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("c * r2")).as("sr2"), sum(col("c")).as("n_g"))
+      val ties = ranked.agg(sum(expr("t * t * t - t")).as("ties_t"), sum(col("t")).as("n"))
+      grp.crossJoin(broadcast(ties))
+        .agg(max(col("n")).as("n"), count(lit(1)).as("k"), max(col("ties_t")).as("ties_t"),
+          sum(expr("CAST(sr2 AS DOUBLE) * CAST(sr2 AS DOUBLE) / (4.0 * n_g)")).as("a"))
+        .withColumn("h", expr("12.0 * a / (n * (n + 1.0)) - 3.0 * (n + 1)"))
+        .withColumn("h_corr", expr(
+          "h / (1.0 - CAST(ties_t AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n))"))
+        // χ²₀.₀₅ at df = k−1 = 4 (the fixture's 5 event types)
+        .select(col("n"), col("k"), col("ties_t"),
+          round(col("h"), 6).as("h"), round(col("h_corr"), 6).as("h_corr"),
+          expr("h_corr > 9.4877").as("reject_05"))
+    }),
+
+    // One-way ANOVA F (Fisher 1925) across the event-type arms — the
+    // parametric twin of q_kruskal_wallis, decomposing total variance
+    // into between/within. All moments (n_g, Σx, Σx²) are exact BIGINT
+    // on milli-quantized values in ONE partial+final aggregate; the
+    // F finals run on the k-row frame in DOUBLE (identical expression
+    // text both engines; the between-sum cancellation leaves ~1e-4
+    // absolute noise on a statistic of order 1e9 — far below round
+    // grain). Also reports η² (variance explained) at micro precision.
+    "q_anova" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"), expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_g"), sum(col("vm")).as("s_g"), sum(expr("vm * vm")).as("ss_g"))
+        .agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+          sum(col("s_g")).as("s"), sum(col("ss_g")).as("ss"),
+          sum(expr("CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g")).as("a"))
+        .withColumn("ssb", expr("a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n"))
+        .withColumn("ssw", expr("ss - a"))
+        .withColumn("f", expr("(ssb / (k - 1)) / (ssw / (n - k))"))
+        // F₀.₀₅ critical at df1 = 4, df2 → ∞
+        .select(col("n"), col("k"),
+          round(col("f"), 4).as("f"),
+          round(expr("ssb / (ssb + ssw)"), 6).as("eta2"),
+          expr("f > 2.3719").as("reject_05"))
+    }),
+
+    // PETTITT changepoint test (Pettitt 1979) per event-type daily
+    // series — the nonparametric "WHEN did the distribution shift"
+    // that pairs with q_mann_kendall ("is there a trend") and
+    // q_changepoint (CUSUM on means): K = max_t |U_t| with
+    // U_t = Σ_{i≤t, j>t} sgn(x_j − x_i). The naive form is O(n³); we
+    // use U_t = Σ_{s≤t} V_s where V_s = (#days above x_s) − (#days
+    // below x_s) — V comes from the distinct-value census (no pair
+    // join AT ALL), U is one cumulative window over the day-grain
+    // series, so the whole test is two bounded prefix sums. The
+    // p-value exponent 6K²/(n³+n²) ships in exact integer micro;
+    // p ≤ 0.05 ⟺ exponent ≥ ln(40) = 3.688879.
+    "q_pettitt" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // value census + day walk share it
+      val byv = days.groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("t"))
+      val wv = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val nTab = days.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val v = byv
+        .withColumn("below", coalesce(sum(col("t")).over(wv), lit(0L)))
+        .join(nTab, Seq("event_type"))
+        .withColumn("v", expr("(n - below - t) - below"))
+      val wu = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val u = days.join(v.select(col("event_type"), col("c"), col("v"), col("n")),
+          Seq("event_type", "c"))
+        .withColumn("u", sum(col("v")).over(wu))
+      val kTab = u.groupBy(col("event_type"), col("n")).agg(max(abs(col("u"))).as("k_stat"))
+      val cp = u.join(kTab, Seq("event_type", "n"))
+        .filter(expr("abs(u) = k_stat"))
+        .groupBy(col("event_type"), col("n"), col("k_stat"))
+        .agg(min(col("day")).as("cp_day"))
+      cp.withColumn("e_micro", expr("(6 * k_stat * k_stat * 1000000) DIV (n * n * n + n * n)"))
+        .withColumn("reject_05", expr("e_micro >= 3688879"))
+        .select(col("event_type"), col("n"), col("k_stat"), col("cp_day"),
+          col("e_micro"), col("reject_05"))
+        .orderBy(col("event_type"))
+    }),
+
+    // DIFFERENCE-IN-DIFFERENCES (the quasi-experimental workhorse —
+    // Card & Krueger 1994 popularized it; every holdout-vs-launch
+    // readout is this estimator): arms from the q_cuped assignment
+    // (user_id % 2), periods split at the series midpoint hour, and
+    // DiD = (ȳ₁ᵖᵒˢᵗ − ȳ₁ᵖʳᵉ) − (ȳ₀ᵖᵒˢᵗ − ȳ₀ᵖʳᵉ). One partial+final
+    // aggregate at (arm, period) grain — 4 cells; cell means in exact
+    // integer micro (deci-quantized values, non-negative divisions);
+    // the DiD itself is pure subtraction of micro means, exact.
+    "q_diff_in_diff" -> ((s, d) => {
+      val bounds = Tables.events(s, d)
+        .agg(expr("(min(unix_micros(ts) DIV 3600000000) + max(unix_micros(ts) DIV 3600000000) + 1) DIV 2")
+          .as("mid"))
+      Tables.events(s, d)
+        .crossJoin(broadcast(bounds))
+        .select((col("user_id") % 2).as("arm"),
+          expr("CASE WHEN unix_micros(ts) DIV 3600000000 >= mid THEN 1 ELSE 0 END").as("post"),
+          expr("CAST(floor(value * 10 + 0.5) AS BIGINT)").as("vd"))
+        .groupBy(col("arm"), col("post"))
+        .agg(count(lit(1)).as("nn"), sum(col("vd")).as("sv"))
+        .agg(
+          sum(expr("CASE WHEN arm = 0 AND post = 0 THEN nn ELSE 0 END")).as("n00"),
+          sum(expr("CASE WHEN arm = 0 AND post = 1 THEN nn ELSE 0 END")).as("n01"),
+          sum(expr("CASE WHEN arm = 1 AND post = 0 THEN nn ELSE 0 END")).as("n10"),
+          sum(expr("CASE WHEN arm = 1 AND post = 1 THEN nn ELSE 0 END")).as("n11"),
+          sum(expr("CASE WHEN arm = 0 AND post = 0 THEN (sv * 100000) DIV nn ELSE 0 END")).as("m00_micro"),
+          sum(expr("CASE WHEN arm = 0 AND post = 1 THEN (sv * 100000) DIV nn ELSE 0 END")).as("m01_micro"),
+          sum(expr("CASE WHEN arm = 1 AND post = 0 THEN (sv * 100000) DIV nn ELSE 0 END")).as("m10_micro"),
+          sum(expr("CASE WHEN arm = 1 AND post = 1 THEN (sv * 100000) DIV nn ELSE 0 END")).as("m11_micro"))
+        .withColumn("did_micro", expr("(m11_micro - m10_micro) - (m01_micro - m00_micro)"))
+    }),
+
+    // MINIMUM DETECTABLE EFFECT — the power-analysis readout that runs
+    // BEFORE an experiment (the q_ab_srm hygiene posture: what effect
+    // CAN this traffic even see at α=0.05, power=0.8?): per metric
+    // (event type), user-level variance and per-arm counts give
+    // MDE² = (z_{α/2}+z_β)²·2σ²/n = 7.84·2σ²/n. Squared form so no
+    // root is taken — exact integer micro end-to-end: variance via the
+    // one-pass (nΣx²−(Σx)²)/(n(n−1)) on deci-quantized user totals
+    // (non-negative numerator — n·Σx² ≥ (Σx)² by Cauchy-Schwarz), n =
+    // the smaller arm. The whole thing is one (type, user) aggregate
+    // plus a k-row final.
+    "q_mde" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(expr("CAST(floor(value * 10 + 0.5) AS BIGINT)")).as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(expr("CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END")).as("n0"),
+          sum(expr("CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END")).as("n1"),
+          sum(col("x")).as("s"), sum(expr("x * x")).as("ss"))
+        .withColumn("var_q", expr("(n_users * ss - s * s) DIV (n_users * (n_users - 1))"))
+        .withColumn("mde2_micro", expr("(15680000 * var_q) DIV least(n0, n1)"))
+        .select(col("event_type"), col("n_users"), col("n0"), col("n1"),
+          col("var_q"), col("mde2_micro"))
+        .orderBy(col("event_type"))
+    }),
+
+    // GUMBEL tail fit over daily block maxima (Gumbel 1958; the
+    // Fisher-Tippett type-I limit for maxima of light-tailed series) —
+    // the extreme-value readout behind "what peak should we provision
+    // for": per event type, the daily-max series fits location/scale
+    // by method of moments (β = σ√6/π, μ = m − γβ), and the 30-day
+    // return level μ + β·(−ln(−ln(1−1/30))) is the provisioning
+    // number. Moments are exact BIGINT at day grain (n·Σx²−(Σx)²
+    // stays under 2⁶³ by the calendar bound); only the k-row final is
+    // DOUBLE in identical expression text, under round(4). The Gumbel
+    // quantile constant −ln(−ln(1−1/30)) ships as a PRE-EVALUATED
+    // double literal: spelled as arithmetic, Spark would parse the
+    // `1.0` literals as DECIMAL and fold the expression in decimal
+    // precision while DuckDB folds in binary double — 1e-5 apart,
+    // which round(4) cannot absorb at this magnitude.
+    "q_gumbel_tail" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(max(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)")).as("mx"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("mx")).as("s"), sum(expr("mx * mx")).as("ss"))
+        .withColumn("vr", expr("CAST(n * ss - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))"))
+        .withColumn("beta", expr("sqrt(6.0 * vr) / pi()"))
+        .withColumn("mu", expr("CAST(s AS DOUBLE) / n - 0.5772156649 * beta"))
+        .select(col("event_type"), col("n"),
+          round(col("beta"), 4).as("beta_milli"),
+          round(col("mu"), 4).as("mu_milli"),
+          round(expr(s"mu + beta * ${Gumbel30}D"), 4).as("ret30_milli"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q_spearman" ->
+      """WITH rows_ AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |rq AS (
+        |  SELECT flag, q, 2 * COALESCE(CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    + cnt + 1 AS r2_q
+        |  FROM (SELECT flag, q, CAST(count(*) AS BIGINT) AS cnt FROM rows_ GROUP BY 1, 2)),
+        |rp AS (
+        |  SELECT flag, pc, 2 * COALESCE(CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY pc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    + cnt + 1 AS r2_pc
+        |  FROM (SELECT flag, pc, CAST(count(*) AS BIGINT) AS cnt FROM rows_ GROUP BY 1, 2))
+        |SELECT r.flag, CAST(count(*) AS BIGINT) AS n,
+        |  round(corr(r2_q, r2_pc), 4) AS rho
+        |FROM rows_ r
+        |JOIN rq ON r.flag = rq.flag AND r.q = rq.q
+        |JOIN rp ON r.flag = rp.flag AND r.pc = rp.pc
+        |GROUP BY r.flag ORDER BY r.flag""".stripMargin,
+
+    "q_kendall_tau" ->
+      """WITH days AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |p_ AS (
+        |  SELECT
+        |    CAST(SUM(CAST(sign(b.x - a.x) AS BIGINT) * CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        |    CAST(SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        |  FROM days a JOIN days b ON a.day < b.day),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM days),
+        |j AS (SELECT n, n * (n - 1) // 2 AS p, s, tx, ty FROM p_, nn)
+        |SELECT n, p, s, tx, ty,
+        |  CASE WHEN (p - tx) * (p - ty) > 0
+        |    THEN (s * s * 1000000) // ((p - tx) * (p - ty)) ELSE 0 END AS tau2_micro,
+        |  CAST(sign(s) AS BIGINT) AS tau_sign
+        |FROM j""".stripMargin,
+
+    "q_kruskal_wallis" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |byv AS (SELECT vm, CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY vm),
+        |ranked AS (
+        |  SELECT vm, t,
+        |    2 * COALESCE(CAST(SUM(t) OVER (ORDER BY vm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + t + 1 AS r2
+        |  FROM byv),
+        |grp AS (
+        |  SELECT event_type, CAST(SUM(c * r2) AS BIGINT) AS sr2,
+        |    CAST(SUM(c) AS BIGINT) AS n_g
+        |  FROM cells JOIN ranked USING (vm) GROUP BY 1),
+        |ties AS (
+        |  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS ties_t,
+        |    CAST(SUM(t) AS BIGINT) AS n FROM ranked),
+        |fin AS (
+        |  SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS k, max(ties_t) AS ties_t,
+        |    SUM(CAST(sr2 AS DOUBLE) * CAST(sr2 AS DOUBLE) / (4.0 * n_g)) AS a
+        |  FROM grp, ties),
+        |hh AS (
+        |  SELECT n, k, ties_t, 12.0 * a / (n * (n + 1.0)) - 3.0 * (n + 1) AS h FROM fin),
+        |hc AS (
+        |  SELECT n, k, ties_t, h,
+        |    h / (1.0 - CAST(ties_t AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)) AS h_corr
+        |  FROM hh)
+        |SELECT n, k, ties_t, round(h, 6) AS h, round(h_corr, 6) AS h_corr,
+        |  h_corr > 9.4877 AS reject_05
+        |FROM hc""".stripMargin,
+
+    "q_anova" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(vm) AS BIGINT) AS s_g, CAST(SUM(vm * vm) AS BIGINT) AS ss_g
+        |  FROM (SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+        |        FROM events)
+        |  GROUP BY 1),
+        |fin AS (
+        |  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(SUM(s_g) AS BIGINT) AS s, CAST(SUM(ss_g) AS BIGINT) AS ss,
+        |    SUM(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g) AS a
+        |  FROM g),
+        |dec AS (
+        |  SELECT n, k,
+        |    a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssb,
+        |    ss - a AS ssw
+        |  FROM fin),
+        |ff AS (SELECT n, k, ssb, ssw, (ssb / (k - 1)) / (ssw / (n - k)) AS f FROM dec)
+        |SELECT n, k, round(f, 4) AS f, round(ssb / (ssb + ssw), 6) AS eta2,
+        |  f > 2.3719 AS reject_05
+        |FROM ff""".stripMargin,
+
+    "q_pettitt" ->
+      """WITH days AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |byv AS (
+        |  SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+        |  FROM days GROUP BY 1, 2),
+        |nt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM days GROUP BY 1),
+        |v AS (
+        |  SELECT byv.event_type, c, n,
+        |    (n - COALESCE(CAST(SUM(t) OVER (PARTITION BY byv.event_type ORDER BY c
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) - t)
+        |    - COALESCE(CAST(SUM(t) OVER (PARTITION BY byv.event_type ORDER BY c
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS v
+        |  FROM byv JOIN nt ON byv.event_type = nt.event_type),
+        |u AS (
+        |  SELECT days.event_type, day, n,
+        |    CAST(SUM(v) OVER (PARTITION BY days.event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS u
+        |  FROM days JOIN v ON days.event_type = v.event_type AND days.c = v.c),
+        |k_ AS (
+        |  SELECT event_type, n, CAST(max(abs(u)) AS BIGINT) AS k_stat
+        |  FROM u GROUP BY 1, 2),
+        |cp AS (
+        |  SELECT u.event_type, u.n, k_stat, CAST(min(day) AS BIGINT) AS cp_day
+        |  FROM u JOIN k_ ON u.event_type = k_.event_type AND abs(u.u) = k_.k_stat
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, n, k_stat, cp_day,
+        |  (6 * k_stat * k_stat * 1000000) // (n * n * n + n * n) AS e_micro,
+        |  (6 * k_stat * k_stat * 1000000) // (n * n * n + n * n) >= 3688879 AS reject_05
+        |FROM cp ORDER BY event_type""".stripMargin,
+
+    "q_diff_in_diff" ->
+      """WITH b AS (
+        |  SELECT (min(epoch_us(ts) // 3600000000)
+        |        + max(epoch_us(ts) // 3600000000) + 1) // 2 AS mid
+        |  FROM events),
+        |cells AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CASE WHEN epoch_us(ts) // 3600000000 >= mid THEN 1 ELSE 0 END AS post,
+        |    CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(SUM(CAST(floor(value * 10 + 0.5) AS BIGINT)) AS BIGINT) AS sv
+        |  FROM events, b GROUP BY 1, 2),
+        |w AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 AND post = 0 THEN nn ELSE 0 END) AS BIGINT) AS n00,
+        |    CAST(SUM(CASE WHEN arm = 0 AND post = 1 THEN nn ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(SUM(CASE WHEN arm = 1 AND post = 0 THEN nn ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(SUM(CASE WHEN arm = 1 AND post = 1 THEN nn ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(SUM(CASE WHEN arm = 0 AND post = 0 THEN (sv * 100000) // nn ELSE 0 END) AS BIGINT) AS m00_micro,
+        |    CAST(SUM(CASE WHEN arm = 0 AND post = 1 THEN (sv * 100000) // nn ELSE 0 END) AS BIGINT) AS m01_micro,
+        |    CAST(SUM(CASE WHEN arm = 1 AND post = 0 THEN (sv * 100000) // nn ELSE 0 END) AS BIGINT) AS m10_micro,
+        |    CAST(SUM(CASE WHEN arm = 1 AND post = 1 THEN (sv * 100000) // nn ELSE 0 END) AS BIGINT) AS m11_micro
+        |  FROM cells)
+        |SELECT n00, n01, n10, n11, m00_micro, m01_micro, m10_micro, m11_micro,
+        |  (m11_micro - m10_micro) - (m01_micro - m00_micro) AS did_micro
+        |FROM w""".stripMargin,
+
+    "q_mde" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id,
+        |    CAST(SUM(CAST(floor(value * 10 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS ss
+        |  FROM pu GROUP BY 1),
+        |vq AS (
+        |  SELECT event_type, n_users, n0, n1,
+        |    (n_users * ss - s * s) // (n_users * (n_users - 1)) AS var_q
+        |  FROM g)
+        |SELECT event_type, n_users, n0, n1, var_q,
+        |  (15680000 * var_q) // least(n0, n1) AS mde2_micro
+        |FROM vq ORDER BY event_type""".stripMargin,
+
+    "q_gumbel_tail" ->
+      s"""WITH dmax AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(max(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS mx
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(mx) AS BIGINT) AS s, CAST(SUM(mx * mx) AS BIGINT) AS ss
+        |  FROM dmax GROUP BY 1),
+        |fit AS (
+        |  SELECT event_type, n,
+        |    sqrt(6.0 * (CAST(n * ss - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))) / pi() AS beta,
+        |    CAST(s AS DOUBLE) / n AS m
+        |  FROM g),
+        |fin AS (
+        |  SELECT event_type, n, beta, m - 0.5772156649 * beta AS mu FROM fit)
+        |SELECT event_type, n, round(beta, 4) AS beta_milli, round(mu, 4) AS mu_milli,
+        |  round(mu + beta * $Gumbel30, 4) AS ret30_milli
+        |FROM fin ORDER BY event_type""".stripMargin
+  )
+}
