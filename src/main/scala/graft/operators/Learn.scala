@@ -293,6 +293,104 @@ object Learn {
         .orderBy(col("bin"))
     }),
 
+    // THRESHOLDED confusion report — MCC, precision/recall/F1 — for
+    // the classifier's shipped decision rule (keep ⟺ score > 0): AUC
+    // (q_auc) grades the ranking, calibration (q_calibration) the
+    // scores; this grades the actual yes/no gate, with Matthews
+    // correlation as the headline because it is the only single number
+    // that stays honest under the 'en'-heavy class skew (Chicco &
+    // Jurman 2020). Confusion counts are one partial+final aggregate
+    // (4 exact BIGINTs from a map-only scoring scan — text never
+    // shuffles); rates are exact integer micro; MCC's square root is
+    // the only float, computed on a 1-row frame from exact counts in
+    // identical expression text.
+    "q_mcc" -> ((s, d) => {
+      val warr = weights.mkString("array(", "L,", "L)")
+      Tables.documents(s, d)
+        .withColumn("sc", expr(
+          s"aggregate(split(text, ' '), 0L, (acc, t) -> " +
+            s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
+        .select(expr("CASE WHEN sc > 0 THEN 1 ELSE 0 END").as("pred"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .agg(
+          sum(expr("CASE WHEN pred = 1 AND pos = 1 THEN 1 ELSE 0 END")).as("tp"),
+          sum(expr("CASE WHEN pred = 1 AND pos = 0 THEN 1 ELSE 0 END")).as("fp"),
+          sum(expr("CASE WHEN pred = 0 AND pos = 1 THEN 1 ELSE 0 END")).as("fn"),
+          sum(expr("CASE WHEN pred = 0 AND pos = 0 THEN 1 ELSE 0 END")).as("tn"))
+        .withColumn("precision_micro", expr("(tp * 1000000) DIV (tp + fp)"))
+        .withColumn("recall_micro", expr("(tp * 1000000) DIV (tp + fn)"))
+        .withColumn("f1_micro", expr("(2 * tp * 1000000) DIV (2 * tp + fp + fn)"))
+        .withColumn("mcc", round(expr(
+          """CAST(tp * tn - fp * fn AS DOUBLE)
+            | / sqrt(CAST((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) AS DOUBLE))""".stripMargin), 6))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          col("precision_micro"), col("recall_micro"), col("f1_micro"), col("mcc"))
+    }),
+
+    // LOG LOSS (cross-entropy) of the classifier under the logistic
+    // link p = σ(score/1000), per source — the PROPER scoring rule
+    // that calibration work optimizes (Brier's cousin; a model can
+    // have great AUC and terrible log loss, and it is log loss that
+    // LLM-filtering thresholds inherit). Numerically stable softplus
+    // form loss = max(w,0) + ln(1+e^{−|w|}) (never overflows at |z| ≫
+    // 0); the per-row loss quantizes to 1e-4 units THEN sums — the
+    // q_lm_score fixed-point recipe, so the aggregate is an exact
+    // integer sum, associative and partial-aggregation-safe, immune to
+    // float summation order at any scale.
+    "q_log_loss" -> ((s, d) => {
+      val warr = weights.mkString("array(", "L,", "L)")
+      Tables.documents(s, d)
+        .withColumn("sc", expr(
+          s"aggregate(split(text, ' '), 0L, (acc, t) -> " +
+            s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
+        .select(col("source"),
+          expr("CASE WHEN lang = 'en' THEN -sc / 1000.0D ELSE sc / 1000.0D END").as("w"))
+        .select(col("source"), expr(
+          "CAST(floor((greatest(w, 0.0D) + ln(1.0D + exp(-abs(w)))) * 10000 + 0.5) AS BIGINT)")
+          .as("loss_e4"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("loss_e4")).as("sum_loss_e4"))
+        .withColumn("mean_loss_micro", expr("(sum_loss_e4 * 100) DIV n"))
+        .orderBy(col("source"))
+    }),
+
+    // AVERAGE PRECISION (the area under the precision-recall curve by
+    // the step-function convention — what IR and detection papers
+    // report as AP) of the classifier's ranking, plus R-precision:
+    // AP = (1/n₊)·Σ_{k: rel} P@k over the (score desc, doc_id) total
+    // order — the unique tiebreak makes both engines walk the SAME
+    // permutation, so every P@k is an exact integer micro division.
+    // PR-curve metrics weight the positive class only, which is why AP
+    // is the headline under heavy imbalance where ROC-AUC saturates
+    // (Davis & Goadrich 2006). Eval-set grain: the ordered scan is the
+    // q_lift ntile posture (exact here; at 100 TB the same cumsum runs
+    // as a two-phase prefix sum over score-sorted partitions).
+    "q_avg_precision" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val warr = weights.mkString("array(", "L,", "L)")
+      val scored = Tables.documents(s, d)
+        .withColumn("sc", expr(
+          s"aggregate(split(text, ' '), 0L, (acc, t) -> " +
+            s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
+        .select(col("doc_id"), col("sc"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val w = Window.orderBy(col("sc").desc, col("doc_id"))
+      val ranked = scored
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("cumpos", sum(col("pos")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .localCheckpoint() // AP term sum + R-precision probe share it
+      val tot = scored.agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      val apn = ranked.filter(col("pos") === 1)
+        .agg(sum(expr("(cumpos * 1000000) DIV k")).as("ap_num"))
+      val rp = ranked.crossJoin(broadcast(tot)).filter(col("k") === col("n_pos"))
+        .select(col("cumpos").as("rp_cum"))
+      tot.crossJoin(broadcast(apn)).crossJoin(broadcast(rp))
+        .withColumn("ap_micro", expr("ap_num DIV n_pos"))
+        .withColumn("rprec_micro", expr("(rp_cum * 1000000) DIV n_pos"))
+        .select(col("n"), col("n_pos"), col("ap_micro"), col("rprec_micro"))
+    }),
+
     // Embedding outlier report — distance-to-centroid, the standard
     // training-data cleaning signal (mislabeled / out-of-distribution
     // vectors sit far from the corpus mean). Centroid = per-dimension
@@ -1413,6 +1511,73 @@ object Learn {
          |SELECT grp AS subgroup, n_pos, n_neg, auc_micro,
          |  auc_micro - pooled_micro AS gap_micro
          |FROM agg, pooled ORDER BY subgroup""".stripMargin,
+
+    "q_mcc" ->
+      s"""WITH scored AS (
+         |  SELECT CASE WHEN CAST(list_sum(list_transform(string_split(text, ' '),
+         |      t -> (($duckBucket * 2654435761) % 1000003) % 2001 - 1000)) AS BIGINT) > 0
+         |    THEN 1 ELSE 0 END AS pred,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents),
+         |c AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN pred = 1 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN pred = 1 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN pred = 0 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN pred = 0 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM scored)
+         |SELECT tp, fp, fn, tn,
+         |  (tp * 1000000) // (tp + fp) AS precision_micro,
+         |  (tp * 1000000) // (tp + fn) AS recall_micro,
+         |  (2 * tp * 1000000) // (2 * tp + fp + fn) AS f1_micro,
+         |  round(CAST(tp * tn - fp * fn AS DOUBLE)
+         |    / sqrt(CAST((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) AS DOUBLE)), 6) AS mcc
+         |FROM c""".stripMargin,
+
+    "q_log_loss" ->
+      s"""WITH scored AS (
+         |  SELECT source,
+         |    CAST(list_sum(list_transform(string_split(text, ' '),
+         |      t -> (($duckBucket * 2654435761) % 1000003) % 2001 - 1000)) AS BIGINT) AS sc,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents),
+         |l AS (
+         |  SELECT source,
+         |    CAST(floor((greatest(w, 0.0) + ln(1.0 + exp(-abs(w)))) * 10000 + 0.5) AS BIGINT) AS loss_e4
+         |  FROM (SELECT source,
+         |          CASE WHEN pos = 1 THEN -sc / 1000.0 ELSE sc / 1000.0 END AS w
+         |        FROM scored)),
+         |g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(loss_e4) AS BIGINT) AS sum_loss_e4
+         |  FROM l GROUP BY 1)
+         |SELECT source, n, sum_loss_e4, (sum_loss_e4 * 100) // n AS mean_loss_micro
+         |FROM g ORDER BY source""".stripMargin,
+
+    "q_avg_precision" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(string_split(text, ' '),
+         |      t -> (($duckBucket * 2654435761) % 1000003) % 2001 - 1000)) AS BIGINT) AS sc,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT pos,
+         |    CAST(row_number() OVER (ORDER BY sc DESC, doc_id) AS BIGINT) AS k,
+         |    CAST(SUM(pos) OVER (ORDER BY sc DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumpos
+         |  FROM scored),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos
+         |  FROM scored),
+         |apn AS (
+         |  SELECT CAST(SUM((cumpos * 1000000) // k) AS BIGINT) AS ap_num
+         |  FROM ranked WHERE pos = 1),
+         |rp AS (
+         |  SELECT cumpos AS rp_cum FROM ranked, tot WHERE k = n_pos)
+         |SELECT n, n_pos, ap_num // n_pos AS ap_micro,
+         |  (rp_cum * 1000000) // n_pos AS rprec_micro
+         |FROM tot, apn, rp""".stripMargin,
 
     "q_doc_outlier" ->
       """WITH q AS (

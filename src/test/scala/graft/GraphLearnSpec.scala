@@ -972,4 +972,62 @@ class GraphLearnSpec extends SparkSpec {
       enc != (sCat + 20L * gmean) / (nCat + 20)
     }, "LOO vs plain encoding indistinguishable on this fixture")
   }
+
+  /** (keep-decision, is-en) pairs from the already-oracle-verified
+    * classifier scoring pass — the shared fixture for the threshold
+    * eval specs below. */
+  private def predPos: Seq[(Boolean, Boolean)] =
+    Learn.queries("q_classifier_score")(spark, sf).collect()
+      .map(r => r.getAs[Boolean]("keep") -> (r.getAs[String]("lang") == "en")).toSeq
+
+  test("q_mcc: confusion, F1 and MCC replay from the scored rows") {
+    val r = Learn.queries("q_mcc")(spark, sf).collect().head
+    val pp = predPos
+    val tp = pp.count(t => t._1 && t._2).toLong
+    val fp = pp.count(t => t._1 && !t._2).toLong
+    val fn = pp.count(t => !t._1 && t._2).toLong
+    val tn = pp.count(t => !t._1 && !t._2).toLong
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"), r.getAs[Long]("tn"))
+      === ((tp, fp, fn, tn)))
+    assert(r.getAs[Long]("f1_micro") === 2 * tp * 1000000L / (2 * tp + fp + fn))
+    val mcc = (tp * tn - fp * fn).toDouble /
+      math.sqrt(((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)).toDouble)
+    assert(math.abs(r.getAs[Double]("mcc") - mcc) < 1e-5)
+  }
+
+  test("q_log_loss: quantized softplus sums replay from scores") {
+    val got = Learn.queries("q_log_loss")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val scored = Learn.queries("q_classifier_score")(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("score_milli"), (col("lang") === "en").as("pos"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    scored.groupBy(_._1).foreach { case (src, grp) =>
+      val sum = grp.map { case (_, sc, pos) =>
+        val w = (if (pos) -sc else sc) / 1000.0
+        math.floor((math.max(w, 0.0) + math.log1p(math.exp(-math.abs(w)))) * 10000 + 0.5).toLong
+      }.sum
+      val (n, gotSum) = got(src)
+      assert(n === grp.size.toLong)
+      assert(gotSum === sum, s"$src: $gotSum vs naive $sum")
+    }
+  }
+
+  test("q_avg_precision: AP replays from the explicitly sorted ranking") {
+    val r = Learn.queries("q_avg_precision")(spark, sf).collect().head
+    val ranked = Learn.queries("q_classifier_score")(spark, sf)
+      .select(col("doc_id"), col("score_milli"), (col("lang") === "en").as("pos"))
+      .collect().map(q => (q.getLong(0), q.getLong(1), q.getBoolean(2)))
+      .sortBy(t => (-t._2, t._1))
+    var cum = 0L; var apNum = 0L
+    ranked.zipWithIndex.foreach { case ((_, _, pos), i) =>
+      if (pos) { cum += 1; apNum += cum * 1000000L / (i + 1) }
+    }
+    val nPos = ranked.count(_._3).toLong
+    assert(r.getAs[Long]("n_pos") === nPos)
+    assert(r.getAs[Long]("ap_micro") === apNum / nPos)
+    // R-precision: positives among the top n_pos
+    val rp = ranked.take(nPos.toInt).count(_._3).toLong
+    assert(r.getAs[Long]("rprec_micro") === rp * 1000000L / nPos)
+  }
 }
