@@ -557,3 +557,89 @@ case class TokenCount(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Jaro-Winkler similarity over UTF-8 BYTES, pinned to the de-facto
+  * standard semantics (the rapidfuzz/DuckDB contract, verified against
+  * DuckDB's `jaro_winkler_similarity` on probe pairs and the fixture):
+  * match window = max(len)/2 − 1, half-transposition counting, Winkler
+  * prefix boost (cap 4, p = 0.1) applied only when jaro > 0.7, empty
+  * input ⇒ 0. Byte grain (not code points) is deliberate — it is what
+  * the oracle engine computes, and for the ASCII-dominant identifier/
+  * name columns linkage runs on, the two coincide.
+  *
+  * This is the record-linkage workhorse (Winkler 1990 built it FOR
+  * Fellegi-Sunter name comparison at the Census Bureau). Spark ships
+  * levenshtein() but nothing prefix-weighted, and the edit-distance
+  * family misranks short human names; hence a native expression: one
+  * JVM pass per pair, two small scratch bitmaps, codegen via a static
+  * call so candidate-pair loops stay inside whole-stage codegen.
+  */
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two string arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerSim.jw(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaroWinklerSim.jw($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinklerSim {
+  /** Static entry so generated code can call it without MODULE$
+    * indirection noise. */
+  def jw(ua: UTF8String, ub: UTF8String): Double = {
+    val sa = ua.getBytes; val sb = ub.getBytes
+    val l1 = sa.length; val l2 = sb.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(l1, l2) / 2 - 1
+    val ma = new Array[Boolean](l1); val mb = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      while (j <= hi) {
+        if (!mb(j) && sb(j) == sa(i)) { ma(i) = true; mb(j) = true; m += 1; j = hi }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var k = 0; var tHalf = 0
+    i = 0
+    while (i < l1) {
+      if (ma(i)) {
+        while (!mb(k)) k += 1
+        if (sa(i) != sb(k)) tHalf += 1
+        k += 1
+      }
+      i += 1
+    }
+    val t = tHalf / 2.0
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - t) / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxPref = math.min(4, math.min(l1, l2))
+    while (l < maxPref && sa(l) == sb(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+}

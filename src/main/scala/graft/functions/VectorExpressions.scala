@@ -428,6 +428,11 @@ object VectorFunctions {
   private val tokenCountBuilder: Seq[Expression] => Expression =
     exprs => TokenCount(exprs(0))
 
+  private val jaroWinklerInfo = new ExpressionInfo(
+    classOf[JaroWinklerSim].getName, "jaro_winkler")
+  private val jaroWinklerBuilder: Seq[Expression] => Expression =
+    exprs => JaroWinklerSim(exprs(0), exprs(1))
+
   /** Idempotent registration on an existing session — functions plus
     * the [[RewriteDotProducts]] optimizer rule — usable from any query
     * lambda without rebuilding the session.
@@ -474,6 +479,8 @@ object VectorFunctions {
       "char_ngrams", charNgramsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_count", tokenCountBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", jaroWinklerBuilder, "built-in")
   }
 
   /** Session-extension wiring: sessions built with
@@ -499,6 +506,7 @@ object VectorFunctions {
       e.injectFunction((FunctionIdentifier("lcs_tokens"), lcsInfo, lcsBuilder))
       e.injectFunction((FunctionIdentifier("char_ngrams"), charNgramsInfo, charNgramsBuilder))
       e.injectFunction((FunctionIdentifier("token_count"), tokenCountInfo, tokenCountBuilder))
+      e.injectFunction((FunctionIdentifier("jaro_winkler"), jaroWinklerInfo, jaroWinklerBuilder))
       e.injectOptimizerRule(_ => RewriteDotProducts)
       e.injectOptimizerRule(_ => RewriteBoundedLevenshtein)
       e.injectOptimizerRule(_ => RewriteTokenCount)

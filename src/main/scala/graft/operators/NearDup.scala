@@ -1007,6 +1007,67 @@ object NearDup {
         .groupBy(col("sz"))
         .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
         .orderBy(col("sz"))
+    }),
+
+    // FELLEGI-SUNTER probabilistic record linkage (Fellegi & Sunter
+    // 1969; Winkler's Census deployments) — the ENTITY-resolution
+    // sibling of the document dedup bank: same-entity detection across
+    // two tables that share no key, which is how real training-data
+    // joins (user↔account, doc↔source-of-truth) actually happen. The
+    // classic architecture, Spark-first:
+    //   1. BLOCKING: candidate pairs come from an equi-join on
+    //      (brand, size) — a plain shuffle join whose cost is
+    //      Σ_b |A_b|·|B_b|, never |A|·|B|; at 100 TB the block key IS
+    //      the partitioner, and block-size skew is visible/boundable
+    //      at the blocking aggregate before any comparison runs.
+    //   2. COMPARISON VECTOR: per pair, field agreements — name via
+    //      the native codegen'd [[graft.functions.JaroWinklerSim]]
+    //      (quantized to 1e-4 then thresholded at 0.85; the float
+    //      never leaves the row), category equality, banded price.
+    //   3. SCORING: Σ log₂(m/u) agreement weights as exact milli
+    //      LITERALS (declared model config here, where production
+    //      would EM-fit them; swapping weights changes literals, not
+    //      the plan), decisions at the classic two-threshold rule
+    //      (match / possible / nonmatch).
+    // The dirty side is a deterministic in-plan corruption of part
+    // (per-token reversal keyed on (p_partkey + i) % 3, category
+    // wipe-out at pk % 7, price shift at pk % 11 — both engines build
+    // the identical twin), which doubles as ground truth: n_true
+    // counts pairs whose hidden key matches, so the report grades the
+    // linker's decisions against truth per class. Text/pairs never
+    // carry more than the compare fields; one shuffle (blocking),
+    // one aggregate.
+    "q_record_linkage" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val clean = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+        col("p_brand"), col("p_size"), col("p_type"),
+        expr("CAST(floor(p_retailprice * 100) AS BIGINT)").as("pc"))
+      val dirty = Tables.part(s, d)
+        .select(col("p_partkey").as("b_pk"), col("p_brand"), col("p_size"),
+          expr("""array_join(transform(sequence(1, size(split(p_name, ' '))),
+                 |  i -> IF((p_partkey + i) % 3 = 0,
+                 |          reverse(element_at(split(p_name, ' '), i)),
+                 |          element_at(split(p_name, ' '), i))), ' ')""".stripMargin)
+            .as("dname"),
+          expr("CASE WHEN p_partkey % 7 = 0 THEN 'UNKNOWN' ELSE p_type END").as("dtype"),
+          expr("CAST(floor(p_retailprice * 100) AS BIGINT) + IF(p_partkey % 11 = 0, 5000, 0)")
+            .as("pc2"))
+      clean.join(dirty, Seq("p_brand", "p_size"))
+        .withColumn("jw_q", expr("CAST(floor(jaro_winkler(p_name, dname) * 10000 + 0.5) AS BIGINT)"))
+        .withColumn("w_milli", expr(
+          """CASE WHEN jw_q >= 8500 THEN 4248 ELSE -4248 END
+            | + CASE WHEN p_type = dtype THEN 3170 ELSE -3170 END
+            | + CASE WHEN pc DIV 1000 = pc2 DIV 1000 THEN 2503 ELSE -2503 END""".stripMargin))
+        .withColumn("decision", expr(
+          "CASE WHEN w_milli >= 6000 THEN 'match' WHEN w_milli >= 0 THEN 'possible' ELSE 'nonmatch' END"))
+        .groupBy(col("decision"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("CASE WHEN p_partkey = b_pk THEN 1 ELSE 0 END")).as("n_true"),
+          sum(col("w_milli")).as("sum_w_milli"))
+        .withColumn("mean_w_micro", expr(
+          "CASE WHEN sum_w_milli >= 0 THEN (sum_w_milli * 1000) DIV n_pairs ELSE -((-sum_w_milli * 1000) DIV n_pairs) END"))
+        .select(col("decision"), col("n_pairs"), col("n_true"), col("mean_w_micro"))
+        .orderBy(col("decision"))
     })
   )
 
@@ -1450,6 +1511,40 @@ object NearDup {
         |  SELECT x.vec_id AS a_id, y.vec_id AS b_id, x.label AS label,
         |    list_dot_product(x.e, y.e) / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS cos_sim
         |  FROM all_v x JOIN all_v y ON x.label = y.label AND x.vec_id < y.vec_id)
-        |WHERE cos_sim >= 0.95 ORDER BY a_id, b_id""".stripMargin
+        |WHERE cos_sim >= 0.95 ORDER BY a_id, b_id""".stripMargin,
+
+    "q_record_linkage" ->
+      """WITH clean AS (
+        |  SELECT p_partkey, p_name, p_brand, p_size, p_type,
+        |    CAST(floor(p_retailprice * 100) AS BIGINT) AS pc
+        |  FROM part),
+        |dirty AS (
+        |  SELECT p_partkey AS b_pk, p_brand, p_size,
+        |    array_to_string(list_transform(generate_series(1, len(string_split(p_name, ' '))),
+        |      i -> CASE WHEN (p_partkey + i) % 3 = 0
+        |             THEN reverse(string_split(p_name, ' ')[i])
+        |             ELSE string_split(p_name, ' ')[i] END), ' ') AS dname,
+        |    CASE WHEN p_partkey % 7 = 0 THEN 'UNKNOWN' ELSE p_type END AS dtype,
+        |    CAST(floor(p_retailprice * 100) AS BIGINT)
+        |      + CASE WHEN p_partkey % 11 = 0 THEN 5000 ELSE 0 END AS pc2
+        |  FROM part),
+        |scored AS (
+        |  SELECT c.p_partkey, d.b_pk,
+        |    CASE WHEN CAST(floor(jaro_winkler_similarity(c.p_name, d.dname) * 10000 + 0.5) AS BIGINT) >= 8500
+        |      THEN 4248 ELSE -4248 END
+        |    + CASE WHEN c.p_type = d.dtype THEN 3170 ELSE -3170 END
+        |    + CASE WHEN c.pc // 1000 = d.pc2 // 1000 THEN 2503 ELSE -2503 END AS w_milli
+        |  FROM clean c JOIN dirty d ON c.p_brand = d.p_brand AND c.p_size = d.p_size),
+        |dec AS (
+        |  SELECT CASE WHEN w_milli >= 6000 THEN 'match'
+        |              WHEN w_milli >= 0 THEN 'possible' ELSE 'nonmatch' END AS decision,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN p_partkey = b_pk THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |    CAST(SUM(w_milli) AS BIGINT) AS sum_w_milli
+        |  FROM scored GROUP BY 1)
+        |SELECT decision, n_pairs, n_true,
+        |  CASE WHEN sum_w_milli >= 0 THEN (sum_w_milli * 1000) // n_pairs
+        |       ELSE -((-sum_w_milli * 1000) // n_pairs) END AS mean_w_micro
+        |FROM dec ORDER BY decision""".stripMargin
   )
 }

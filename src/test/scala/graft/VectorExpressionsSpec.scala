@@ -387,4 +387,67 @@ class VectorExpressionsSpec extends SparkSpec {
     val ok = spark.sql("SELECT char_ngrams('abc', 1)").collect()(0).getSeq[String](0)
     assert(ok == Seq("a", "b", "c"))
   }
+
+  test("jaro_winkler matches the DuckDB-validated reference values") {
+    VectorFunctions.register(spark)
+    // expectations probed against DuckDB jaro_winkler_similarity —
+    // the oracle contract the expression is pinned to
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),   // classic transposition
+      ("DIXON", "DICKSONX", 0.8133333333333332),  // unequal lengths + prefix
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964), // no common prefix
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("abc", "abc", 1.0),
+      ("ab", "ba", 0.0),                 // window 0 ⇒ no matches
+      ("x", "y", 0.0),
+      ("abcd", "abzz", 0.6666666666666666),  // jaro ≤ 0.7 ⇒ NO prefix boost
+      ("üüüa", "üüüb", 0.9428571428571428),  // BYTE grain: ü = 2 bytes, prefix cap 4
+      ("hello", "hallo", 0.88))
+    val df = cases.map(c => (c._1, c._2)).toDF("a", "b")
+      .withColumn("jw", expr("jaro_winkler(a, b)"))
+    val got = df.select($"jw").as[Double].collect().toSeq
+    cases.zip(got).foreach { case ((a, b, want), g) =>
+      assert(math.abs(g - want) < 1e-12, s"jw($a, $b) = $g, want $want")
+    }
+    // empty / null semantics: empty string ⇒ 0.0 (DuckDB contract), null ⇒ null
+    val edge = Seq(("", "abc"), ("", "")).toDF("a", "b")
+      .withColumn("jw", expr("jaro_winkler(a, b)"))
+    assert(edge.select($"jw").as[Double].collect().toSeq === Seq(0.0, 0.0))
+    val nul = spark.sql("SELECT jaro_winkler(CAST(NULL AS STRING), 'x')").collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
+  test("jaro_winkler: interpreted eval equals codegen over fixture names") {
+    VectorFunctions.register(spark)
+    val names = Tables.part(spark, sf).select($"p_name").limit(200)
+      .as[String].collect()
+    val pairs = names.take(40).flatMap(a => names.take(40).map(b => (a, b))).toSeq
+    val viaExpr = pairs.toDF("a", "b")
+      .withColumn("jw", expr("jaro_winkler(a, b)"))
+      .select($"jw").as[Double].collect().toSeq
+    val direct = pairs.map { case (a, b) =>
+      graft.functions.JaroWinklerSim.jw(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    }
+    viaExpr.zip(direct).foreach { case (g, w) => assert(g === w) }
+    // similarity axioms on real data: identity = 1, symmetry, range
+    pairs.zip(direct).foreach { case ((a, b), v) =>
+      assert(v >= 0.0 && v <= 1.0)
+      if (a == b) assert(v === 1.0)
+    }
+  }
+
+  test("q_record_linkage: decisions partition all candidate pairs; match class is high-precision") {
+    val rows = graft.operators.NearDup.queries("q_record_linkage")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nParts = Tables.part(spark, sf).count()
+    // every true pair shares its block ⇒ true pairs across classes = |part|
+    assert(rows.values.map(_._2).sum === nParts)
+    val (nMatch, tMatch) = rows("match")
+    assert(tMatch.toDouble / nMatch > 0.95, s"match precision $tMatch/$nMatch")
+    // recall: few true pairs may fall to nonmatch (corrupted on 2+ fields)
+    val (_, tNon) = rows.getOrElse("nonmatch", (0L, 0L))
+    assert(tNon.toDouble / nParts < 0.10, s"true-pair loss to nonmatch $tNon/$nParts")
+  }
 }
