@@ -101,6 +101,67 @@ object TextAnalysis {
   }
 
   val queries: Map[String, Q] = Map(
+
+    // FLESCH reading-ease profile per source (Flesch 1948; Kincaid's
+    // military-manual recalibration made it THE readability gate) —
+    // the classic pre-LLM quality prior, still a useful corpus-audit
+    // axis next to q_text_quality's heuristics: too-hard and too-easy
+    // both correlate with junk. Syllables ≈ vowel-group runs
+    // ([aeiouy]+, the standard cheap approximation); the fixture
+    // corpus carries no sentence punctuation, so sentence count uses
+    // the declared 15-token pseudo-sentence convention (documented
+    // contract, the way readability tools handle unpunctuated ASR/OCR
+    // text). FRE in exact integer milli: 206.835 − 1.015·(words/sent)
+    // − 84.6·(syll/words), each ratio a non-negative truncating
+    // division; per-source means via the sign-safe form (FRE can go
+    // negative on dense text). MAP-ONLY per doc + one aggregate —
+    // text never shuffles.
+    "q_readability" -> ((s, d) =>
+      Tables.documents(s, d)
+        .selectExpr("source",
+          s"CAST(size($toks) AS BIGINT) AS w",
+          "CAST(size(regexp_extract_all(text, '[aeiouy]+', 0)) AS BIGINT) AS syl")
+        .selectExpr("source",
+          "206835 - (1015 * w) DIV ((w + 14) DIV 15) - (84600 * syl) DIV w AS fre_milli")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("fre_milli")).as("sum_fre_milli"),
+          sum(expr("CASE WHEN fre_milli >= 60000 THEN 1 ELSE 0 END")).as("n_easy"),
+          sum(expr("CASE WHEN fre_milli < 30000 THEN 1 ELSE 0 END")).as("n_hard"))
+        .withColumn("mean_fre_micro", expr(
+          """CASE WHEN sum_fre_milli >= 0 THEN (sum_fre_milli * 1000) DIV n
+            | ELSE -((-sum_fre_milli * 1000) DIV n) END""".stripMargin))
+        .select(col("source"), col("n"), col("mean_fre_micro"), col("n_easy"), col("n_hard"))
+        .orderBy(col("source"))),
+
+    // Term BURSTINESS ranking (Church & Gale 1995: content words are
+    // bursty — high variance-to-mean ratio of per-doc counts — while
+    // function words are Poisson-ish, VMR ≈ 1): the
+    // distributional-keyword detector that complements frequency
+    // ranks (q_zipf), co-occurrence (q_pmi/q_collocation) and graph
+    // centrality (q_textrank). VMR over ALL N docs (zeros included)
+    // collapses algebraically to (N·Σc² − (Σc)²)/(Σc·(N−1)) on the
+    // NONZERO (term, doc) counts only — so the computation is one
+    // explode + two aggregates at sparse posting grain, the zeros
+    // never materialize (the sparse-moments trick that makes this
+    // map-shuffle-cheap at 100 TB), and every quantity is an exact
+    // non-negative integer (Cauchy-Schwarz keeps the numerator ≥ 0).
+    // Support floor Σc ≥ 50, top-30 by VMR with term tiebreak — a
+    // TakeOrdered, never a full sort.
+    "q_burstiness" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(toks)).as("t"))
+        .groupBy(col("t"), col("doc_id")).agg(count(lit(1)).as("c"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      tf.groupBy(col("t"))
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("s"), sum(expr("c * c")).as("ss"))
+        .filter(col("s") >= 50)
+        .crossJoin(broadcast(n))
+        .withColumn("vmr_micro", expr("((n_docs * ss - s * s) * 1000000) DIV (s * (n_docs - 1))"))
+        .select(col("t"), col("df"), col("s"), col("vmr_micro"))
+        .orderBy(col("vmr_micro").desc, col("t"))
+        .limit(30)
+    }),
+
     // Per-document token statistics.
     "q_text_stats" -> ((s, d) =>
       Tables.documents(s, d).selectExpr(
@@ -1459,6 +1520,41 @@ object TextAnalysis {
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+
+    "q_readability" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    206835 - (1015 * w) // ((w + 14) // 15) - (84600 * syl) // w AS fre_milli
+        |  FROM (SELECT source,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |          CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS syl
+        |        FROM documents)),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(fre_milli) AS BIGINT) AS sum_fre_milli,
+        |    CAST(SUM(CASE WHEN fre_milli >= 60000 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
+        |    CAST(SUM(CASE WHEN fre_milli < 30000 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
+        |  FROM per GROUP BY 1)
+        |SELECT source, n,
+        |  CASE WHEN sum_fre_milli >= 0 THEN (sum_fre_milli * 1000) // n
+        |       ELSE -((-sum_fre_milli * 1000) // n) END AS mean_fre_micro,
+        |  n_easy, n_hard
+        |FROM g ORDER BY source""".stripMargin,
+
+    "q_burstiness" ->
+      """WITH tf AS (
+        |  SELECT t, doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1, 2),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |g AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS df, CAST(SUM(c) AS BIGINT) AS s,
+        |    CAST(SUM(c * c) AS BIGINT) AS ss
+        |  FROM tf GROUP BY 1)
+        |SELECT t, df, s,
+        |  ((n_docs * ss - s * s) * 1000000) // (s * (n_docs - 1)) AS vmr_micro
+        |FROM g, nn WHERE s >= 50
+        |ORDER BY vmr_micro DESC, t LIMIT 30""".stripMargin,
     "q_stem" ->
       """WITH t AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -748,4 +748,47 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(out.exists(_._2._8) && out.exists(!_._2._8), "script-mix flag vacuous on this corpus")
   }
+
+  test("q_readability: per-source means replay from a per-doc Scala FRE walk") {
+    val got = TextAnalysis.queries("q_readability")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.documents(spark, sf).select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val vowels = "[aeiouy]+".r
+    docs.groupBy(_._1).foreach { case (src, grp) =>
+      val fres = grp.map { case (_, text) =>
+        val w = text.split(' ').length.toLong
+        val syl = vowels.findAllIn(text).length.toLong
+        206835L - (1015L * w) / ((w + 14) / 15) - (84600L * syl) / w
+      }
+      val sum = fres.sum
+      val mean = if (sum >= 0) sum * 1000 / grp.size else -((-sum * 1000) / grp.size)
+      val (n, gotMean) = got(src)
+      assert(n === grp.size.toLong)
+      assert(gotMean === mean, s"$src: $gotMean vs naive $mean")
+    }
+  }
+
+  test("q_burstiness: VMR replays from sparse counts; top-30 selection exact") {
+    val rows = TextAnalysis.queries("q_burstiness")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = docs.length.toLong
+    val tf = docs.flatMap { case (id, t) => t.split(' ').map(w => (w, id)) }
+      .groupBy(identity).map { case ((w, id), xs) => (w, id, xs.length.toLong) }
+    val byTerm = tf.groupBy(_._1).map { case (w, xs) =>
+      w -> (xs.size.toLong, xs.map(_._3).sum, xs.map(x => x._3 * x._3).sum)
+    }
+    rows.foreach { case (t, df, s, vmr) =>
+      val (bdf, bs, bss) = byTerm(t)
+      assert(df === bdf && s === bs, s"term $t counts")
+      assert(vmr === (nDocs * bss - bs * bs) * 1000000L / (bs * (nDocs - 1)), s"term $t vmr")
+    }
+    // the report is the TOP-30 by VMR among supported terms
+    val expTop = byTerm.filter(_._2._2 >= 50).toSeq
+      .map { case (w, (_, s, ss)) => (w, (nDocs * ss - s * s) * 1000000L / (s * (nDocs - 1))) }
+      .sortBy(t => (-t._2, t._1)).take(30).map(_._1)
+    assert(rows.map(_._1).toSeq === expTop)
+  }
 }
