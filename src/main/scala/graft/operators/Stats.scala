@@ -273,6 +273,31 @@ object Stats {
         .orderBy(col("event_type"))
     }),
 
+    // CROSS-CORRELATION function between the daily click and view
+    // series at lags 0..7 — the lead-lag discovery readout ("do
+    // clicks TODAY predict views in k days?") that generalizes
+    // q_autocorr to two series and gives q_kendall_tau its temporal
+    // axis. The day-grain frame is built once and self-joined on
+    // day+lag per lag (8 bounded equi-joins via one lag explode —
+    // calendar-bounded, the q_mann_kendall posture); Pearson at each
+    // lag through the engines' corr() under round(4), the
+    // q_stats_corr precedent.
+    "q_crosscorr" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(sum(expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")).as("x"),
+          sum(expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END")).as("y"))
+        .localCheckpoint() // both sides of every lag join share it
+      val lagged = days
+        .withColumn("lag", explode(expr("sequence(0L, 7L)")))
+        .select(col("lag"), col("day"), col("x"))
+      val fut = days.select(col("day").as("fday"), col("y"))
+      lagged.join(fut, col("fday") === col("day") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"), round(corr(col("x"), col("y")), 4).as("ccf"))
+        .orderBy(col("lag"))
+    }),
+
     // GUMBEL tail fit over daily block maxima (Gumbel 1958; the
     // Fisher-Tippett type-I limit for maxima of light-tailed series) —
     // the extreme-value readout behind "what peak should we provision
@@ -301,6 +326,37 @@ object Stats {
           round(col("mu"), 4).as("mu_milli"),
           round(expr(s"mu + beta * ${Gumbel30}D"), 4).as("ret30_milli"))
         .orderBy(col("event_type"))
+    }),
+
+    // HILL tail-index estimator (Hill 1975) over the pooled value
+    // distribution — the power-law partner of q_gumbel_tail: Gumbel
+    // models light-tailed maxima, the Hill α says whether the tail is
+    // heavy AT ALL (α ≤ 2 ⇒ infinite variance, α ≤ 1 ⇒ infinite
+    // mean — the regime where means/provisioning math silently stop
+    // working). α̂⁻¹ = (1/k)·Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top
+    // k = 200 order statistics: a TakeOrdered heap (never a full
+    // sort), the threshold row contributing ln(1) = 0 so the sum runs
+    // over all 201 selected rows with no exclusion logic; ties at the
+    // boundary pick a deterministic value-multiset either way. Each
+    // log ratio quantizes to exact integer micro (the q_lm_score
+    // recipe) before summing.
+    "q_hill_tail" -> ((s, d) => {
+      val top = Tables.events(s, d)
+        .select(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+        .filter(col("vm") >= 1)
+        .orderBy(col("vm").desc)
+        .limit(201)
+        .localCheckpoint() // threshold + log-sum share the heap result
+      val thr = top.agg(min(col("vm")).as("thr"))
+      top.crossJoin(broadcast(thr))
+        .select(col("thr"), expr(
+          "CAST(floor(ln(CAST(vm AS DOUBLE) / thr) * 1000000 + 0.5) AS BIGINT)").as("lr_micro"))
+        .groupBy(col("thr"))
+        .agg(count(lit(1)).as("n_sel"), sum(col("lr_micro")).as("sum_lr_micro"))
+        .withColumn("k", col("n_sel") - 1)
+        .withColumn("alpha_micro", expr(
+          "CASE WHEN sum_lr_micro > 0 THEN (k * 1000000000000) DIV sum_lr_micro ELSE 0 END"))
+        .select(col("k"), col("thr"), col("sum_lr_micro"), col("alpha_micro"))
     })
   )
 
@@ -479,6 +535,40 @@ object Stats {
         |SELECT event_type, n_users, n0, n1, var_q,
         |  (15680000 * var_q) // least(n0, n1) AS mde2_micro
         |FROM vq ORDER BY event_type""".stripMargin,
+
+    "q_crosscorr" ->
+      """WITH days AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |lags AS (SELECT unnest(generate_series(0, 7)) AS lag),
+        |j AS (
+        |  SELECT l.lag, a.x, b.y
+        |  FROM days a, lags l JOIN days b ON b.day = a.day + l.lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n,
+        |  round(corr(x, y), 4) AS ccf
+        |FROM j GROUP BY lag ORDER BY lag""".stripMargin,
+
+    "q_hill_tail" ->
+      """WITH top_ AS (
+        |  SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+        |  FROM events
+        |  WHERE CAST(floor(value * 1000 + 0.5) AS BIGINT) >= 1
+        |  ORDER BY vm DESC LIMIT 201),
+        |t AS (SELECT CAST(min(vm) AS BIGINT) AS thr FROM top_),
+        |lr AS (
+        |  SELECT thr,
+        |    CAST(floor(ln(CAST(vm AS DOUBLE) / thr) * 1000000 + 0.5) AS BIGINT) AS lr_micro
+        |  FROM top_, t),
+        |g AS (
+        |  SELECT thr, CAST(count(*) AS BIGINT) AS n_sel,
+        |    CAST(SUM(lr_micro) AS BIGINT) AS sum_lr_micro
+        |  FROM lr GROUP BY thr)
+        |SELECT n_sel - 1 AS k, thr, sum_lr_micro,
+        |  CASE WHEN sum_lr_micro > 0
+        |    THEN ((n_sel - 1) * 1000000000000) // sum_lr_micro ELSE 0 END AS alpha_micro
+        |FROM g""".stripMargin,
 
     "q_gumbel_tail" ->
       s"""WITH dmax AS (

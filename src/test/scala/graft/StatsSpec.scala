@@ -169,6 +169,41 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_crosscorr: per-lag Pearson replays from the day-grain series") {
+    val got = Stats.queries("q_crosscorr")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val days = Tables.events(spark, sf)
+      .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(sum(expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")).as("x"),
+        sum(expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END")).as("y"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0L to 7L).foreach { lag =>
+      val pairs = days.toSeq.flatMap { case (d0, (x, _)) =>
+        days.get(d0 + lag).map { case (_, y) => (x.toDouble, y.toDouble) }
+      }
+      val (n, ccf) = got(lag)
+      assert(n === pairs.size.toLong, s"lag $lag n")
+      assert(math.abs(ccf - pearson(pairs.map(_._1), pairs.map(_._2))) < 1e-3, s"lag $lag ccf")
+    }
+    // lag 0 pairs every day with itself: full series length
+    assert(got(0L)._1 === days.size.toLong)
+  }
+
+  test("q_hill_tail: Hill alpha replays from the top-201 order statistics") {
+    val r = Stats.queries("q_hill_tail")(spark, sf).collect().head
+    val vals = Tables.events(spark, sf)
+      .select(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .collect().map(_.getLong(0)).filter(_ >= 1).sorted(Ordering[Long].reverse).take(201)
+    val thr = vals.min
+    val sum = vals.map(v => math.floor(math.log(v.toDouble / thr) * 1e6 + 0.5).toLong).sum
+    assert(r.getAs[Long]("k") === vals.length.toLong - 1)
+    assert(r.getAs[Long]("thr") === thr)
+    assert(r.getAs[Long]("sum_lr_micro") === sum)
+    assert(r.getAs[Long]("alpha_micro") === (vals.length - 1) * 1000000000000L / sum)
+    // sanity: a tail index in a plausible positive range
+    assert(r.getAs[Long]("alpha_micro") > 0)
+  }
+
   test("q_gumbel_tail: method-of-moments fit replays from day maxima") {
     val got = Stats.queries("q_gumbel_tail")(spark, sf)
       .collect().map(r => r.getString(0) ->
