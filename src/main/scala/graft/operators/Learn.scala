@@ -391,6 +391,48 @@ object Learn {
         .select(col("n"), col("n_pos"), col("ap_micro"), col("rprec_micro"))
     }),
 
+    // SPLIT CONFORMAL calibration (Vovk's conformal prediction, the
+    // Angelopoulos-Bates recipe) — the distribution-free uncertainty
+    // layer over the classifier: on a held-out calibration split
+    // (doc_id parity — the q_kfold assignment idiom), take the
+    // ⌈(n+1)·0.9⌉-th smallest nonconformity (label-signed score) as
+    // q̂; the guarantee is ≥ 90% coverage on exchangeable test data,
+    // and the query AUDITS it on the test split. Everything is exact
+    // integers: the order statistic comes from the distinct-value
+    // census + prefix sum (the q_auc posture — no corpus sort, a
+    // two-phase prefix sum at 100 TB), the rank r = ceil((n+1)·9/10)
+    // via the (a+b−1) DIV b ceiling identity, coverage in micro.
+    "q_conformal" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val warr = weights.mkString("array(", "L,", "L)")
+      val scored = Tables.documents(s, d)
+        .withColumn("sc", expr(
+          s"aggregate(split(text, ' '), 0L, (acc, t) -> " +
+            s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
+        .select(col("doc_id"),
+          expr("CASE WHEN lang = 'en' THEN -sc ELSE sc END").as("nc"))
+        .localCheckpoint() // calibration + test arms share one scoring
+      val cal = scored.filter(expr("doc_id % 2 = 0"))
+      val calTot = cal.agg(count(lit(1)).as("n_cal"))
+        .withColumn("r", expr("((n_cal + 1) * 9 + 9) DIV 10"))
+      val per = cal.groupBy(col("nc")).agg(count(lit(1)).as("cnt"))
+      val cum = Window.orderBy(col("nc"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val qhat = per.withColumn("cum", sum(col("cnt")).over(cum))
+        .crossJoin(broadcast(calTot))
+        .filter(col("cum") >= col("r"))
+        .groupBy(col("n_cal"), col("r"))
+        .agg(min(col("nc")).as("qhat"))
+      scored.filter(expr("doc_id % 2 = 1"))
+        .crossJoin(broadcast(qhat))
+        .groupBy(col("n_cal"), col("r"), col("qhat"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(expr("CASE WHEN nc <= qhat THEN 1 ELSE 0 END")).as("n_cov"))
+        .withColumn("cov_micro", expr("(n_cov * 1000000) DIV n_test"))
+        .select(col("n_cal"), col("r"), col("qhat"), col("n_test"),
+          col("n_cov"), col("cov_micro"))
+    }),
+
     // Embedding outlier report — distance-to-centroid, the standard
     // training-data cleaning signal (mislabeled / out-of-distribution
     // vectors sit far from the corpus mean). Centroid = per-dimension
@@ -1511,6 +1553,36 @@ object Learn {
          |SELECT grp AS subgroup, n_pos, n_neg, auc_micro,
          |  auc_micro - pooled_micro AS gap_micro
          |FROM agg, pooled ORDER BY subgroup""".stripMargin,
+
+    "q_conformal" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN -sc ELSE sc END AS nc
+         |  FROM (SELECT doc_id, lang,
+         |          CAST(list_sum(list_transform(string_split(text, ' '),
+         |            t -> (($duckBucket * 2654435761) % 1000003) % 2001 - 1000)) AS BIGINT) AS sc
+         |        FROM documents)),
+         |cal AS (SELECT nc FROM scored WHERE doc_id % 2 = 0),
+         |ct AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_cal,
+         |    ((count(*) + 1) * 9 + 9) // 10 AS r
+         |  FROM cal),
+         |per AS (
+         |  SELECT nc, CAST(count(*) AS BIGINT) AS cnt FROM cal GROUP BY nc),
+         |cum AS (
+         |  SELECT nc, CAST(SUM(cnt) OVER (ORDER BY nc
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM per),
+         |qh AS (
+         |  SELECT n_cal, r, CAST(min(nc) AS BIGINT) AS qhat
+         |  FROM cum, ct WHERE cum >= r GROUP BY n_cal, r),
+         |tst AS (
+         |  SELECT n_cal, r, qhat, CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(SUM(CASE WHEN nc <= qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+         |  FROM scored, qh WHERE doc_id % 2 = 1 GROUP BY n_cal, r, qhat)
+         |SELECT n_cal, r, qhat, n_test, n_cov,
+         |  (n_cov * 1000000) // n_test AS cov_micro
+         |FROM tst""".stripMargin,
 
     "q_mcc" ->
       s"""WITH scored AS (

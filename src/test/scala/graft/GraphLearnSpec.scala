@@ -1013,6 +1013,23 @@ class GraphLearnSpec extends SparkSpec {
     }
   }
 
+  test("q_conformal: order-statistic threshold and coverage replay") {
+    val r = Learn.queries("q_conformal")(spark, sf).collect().head
+    val nc = Learn.queries("q_classifier_score")(spark, sf)
+      .select(col("doc_id"), col("score_milli"), (col("lang") === "en").as("pos"))
+      .collect().map(q => (q.getLong(0), if (q.getBoolean(2)) -q.getLong(1) else q.getLong(1)))
+    val cal = nc.filter(_._1 % 2 == 0).map(_._2).sorted
+    val rank = ((cal.length + 1) * 9 + 9) / 10
+    val qhat = cal(rank - 1) // r-th smallest, 1-based
+    assert(r.getAs[Long]("n_cal") === cal.length.toLong)
+    assert(r.getAs[Long]("r") === rank.toLong)
+    assert(r.getAs[Long]("qhat") === qhat)
+    val test = nc.filter(_._1 % 2 == 1).map(_._2)
+    val cov = test.count(_ <= qhat).toLong
+    assert(r.getAs[Long]("n_cov") === cov)
+    assert(r.getAs[Long]("cov_micro") === cov * 1000000L / test.length)
+  }
+
   test("q_avg_precision: AP replays from the explicitly sorted ranking") {
     val r = Learn.queries("q_avg_precision")(spark, sf).collect().head
     val ranked = Learn.queries("q_classifier_score")(spark, sf)
