@@ -328,6 +328,51 @@ object Stats {
         .orderBy(col("event_type"))
     }),
 
+    // GROUP-SEQUENTIAL monitoring (Pocock 1977) — the "peeking
+    // problem" fix that completes the experimentation bank (q_ab_srm
+    // gates assignment, q_mde sizes the test, q_abtest/q_cuped read it
+    // out once, q_bootstrap CIs it; THIS is how you look 5 times
+    // without inflating α): the series splits into K = 5 equal
+    // calendar looks, each look tests the CUMULATIVE arm difference,
+    // and every look compares against the constant Pocock boundary
+    // z² = 2.413² (α = 0.05 two-sided, K = 5). Per-(look, arm) exact
+    // BIGINT moments in one aggregate; cumulative sums via a window
+    // over the 10-cell frame; the z² final is DOUBLE over exact
+    // integers in identical text (the q_abtest precedent), rounded to
+    // 4.
+    "q_group_sequential" -> ((s, d) => {
+      val bounds = Tables.events(s, d)
+        .agg(min(expr("unix_micros(ts) DIV 3600000000")).as("lo"),
+          max(expr("unix_micros(ts) DIV 3600000000")).as("hi"))
+      val cells = Tables.events(s, d)
+        .crossJoin(broadcast(bounds))
+        .select(expr("((unix_micros(ts) DIV 3600000000 - lo) * 5) DIV (hi - lo + 1)").as("look"),
+          (col("user_id") % 2).as("arm"),
+          expr("CAST(floor(value * 10 + 0.5) AS BIGINT)").as("vd"))
+        .groupBy(col("look"), col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("vd")).as("s"), sum(expr("vd * vd")).as("ss"))
+      val w = Window.partitionBy(col("arm")).orderBy(col("look"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cells
+        .withColumn("cn", sum(col("n")).over(w))
+        .withColumn("cs", sum(col("s")).over(w))
+        .withColumn("css", sum(col("ss")).over(w))
+      val a0 = cum.filter(col("arm") === 0)
+        .select(col("look"), col("cn").as("n0"), col("cs").as("s0"), col("css").as("ss0"))
+      val a1 = cum.filter(col("arm") === 1)
+        .select(col("look"), col("cn").as("n1"), col("cs").as("s1"), col("css").as("ss1"))
+      a0.join(a1, Seq("look"))
+        .withColumn("z2", expr(
+          """(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+            | * (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+            | / ((CAST(n0 AS DOUBLE) * ss0 - CAST(s0 AS DOUBLE) * s0) / (CAST(n0 AS DOUBLE) * (n0 - 1)) / n0
+            |  + (CAST(n1 AS DOUBLE) * ss1 - CAST(s1 AS DOUBLE) * s1) / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1)""".stripMargin))
+        .select(col("look"), col("n0"), col("n1"),
+          round(col("z2"), 4).as("z2"),
+          expr("z2 > 5.822569").as("crossed"))
+        .orderBy(col("look"))
+    }),
+
     // HILL tail-index estimator (Hill 1975) over the pooled value
     // distribution — the power-law partner of q_gumbel_tail: Gumbel
     // models light-tailed maxima, the Hill α says whether the tail is
@@ -549,6 +594,43 @@ object Stats {
         |SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n,
         |  round(corr(x, y), 4) AS ccf
         |FROM j GROUP BY lag ORDER BY lag""".stripMargin,
+
+    "q_group_sequential" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(ts) // 3600000000) AS lo,
+        |    max(epoch_us(ts) // 3600000000) AS hi
+        |  FROM events),
+        |cells AS (
+        |  SELECT ((epoch_us(ts) // 3600000000 - lo) * 5) // (hi - lo + 1) AS look,
+        |    user_id % 2 AS arm,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(floor(value * 10 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(SUM(CAST(floor(value * 10 + 0.5) AS BIGINT)
+        |           * CAST(floor(value * 10 + 0.5) AS BIGINT)) AS BIGINT) AS ss
+        |  FROM events, b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT look, arm,
+        |    CAST(SUM(n) OVER (PARTITION BY arm ORDER BY look
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        |    CAST(SUM(s) OVER (PARTITION BY arm ORDER BY look
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs,
+        |    CAST(SUM(ss) OVER (PARTITION BY arm ORDER BY look
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS css
+        |  FROM cells),
+        |j AS (
+        |  SELECT a0.look, a0.cn AS n0, a0.cs AS s0, a0.css AS ss0,
+        |    a1.cn AS n1, a1.cs AS s1, a1.css AS ss1
+        |  FROM (SELECT * FROM cum WHERE arm = 0) a0
+        |  JOIN (SELECT * FROM cum WHERE arm = 1) a1 ON a0.look = a1.look),
+        |z AS (
+        |  SELECT look, n0, n1,
+        |    (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+        |    * (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+        |    / ((CAST(n0 AS DOUBLE) * ss0 - CAST(s0 AS DOUBLE) * s0) / (CAST(n0 AS DOUBLE) * (n0 - 1)) / n0
+        |     + (CAST(n1 AS DOUBLE) * ss1 - CAST(s1 AS DOUBLE) * s1) / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1) AS z2
+        |  FROM j)
+        |SELECT look, n0, n1, round(z2, 4) AS z2, z2 > 5.822569 AS crossed
+        |FROM z ORDER BY look""".stripMargin,
 
     "q_hill_tail" ->
       """WITH top_ AS (
