@@ -16,6 +16,7 @@ object SparkEntry {
       (operators.RelationalExt.queries, operators.RelationalExt.oracles),
       (operators.Skew.queries, operators.Skew.oracles),
       (operators.Stats.queries, operators.Stats.oracles),
+      (operators.Audit.queries, operators.Audit.oracles),
       (operators.Graph.queries, operators.Graph.oracles),
       (operators.Learn.queries, operators.Learn.oracles),
       (operators.Pipeline.queries, operators.Pipeline.oracles),

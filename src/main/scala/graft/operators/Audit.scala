@@ -1,0 +1,402 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Dataset-audit bank — the "is this corpus / warehouse fit to train
+  * on?" layer that a 100 TB pipeline runs BEFORE the mixture and
+  * dedup stages commit compute: distributional drift between corpus
+  * slices (q_js_drift), vocabulary-growth health (q_heaps), schema
+  * constraint discovery (q_fd_discovery), calendar-gap repair
+  * (q_gap_fill), and preference-pair construction (q_pref_pairs).
+  * The reference keeps its warehouse continuously queryable for
+  * exactly this kind of readout (reference: etl_service/main.py
+  * maintains the BigQuery tables downstream analysis runs over);
+  * here each audit is an on-engine operator with the repo's
+  * exactness discipline:
+  *
+  *   - corpus-grain work is map-only or (doc, token)-grain shuffles;
+  *     finals run at vocab / checkpoint / calendar grain — always
+  *     bounded by something other than corpus size;
+  *   - ln() is only ever applied to ratios of exact BIGINTs, in
+  *     identical expression text in both engines, then snapped to a
+  *     fixed-point grid (floor(x·1e6 + 0.5)) so summation is exact
+  *     integer arithmetic from there on (the q_psi precedent);
+  *   - possibly-negative integer division routes through the
+  *     sign-safe CASE ([[Audit.sdiv]]) because Spark DIV truncates
+  *     while DuckDB // floors.
+  */
+object Audit {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Truncate-toward-zero division valid for signed numerators —
+    * same contract as RelationalExt.sdiv (private there). */
+  private def sdiv(x: String, y: String): String =
+    s"(CASE WHEN ($x) >= 0 THEN ($x) DIV ($y) ELSE -((-($x)) DIV ($y)) END)"
+
+  /** [[sdiv]] in DuckDB spelling. */
+  private def sdivSql(x: String, y: String): String =
+    s"(CASE WHEN ($x) >= 0 THEN ($x) // ($y) ELSE -((-($x)) // ($y)) END)"
+
+  val queries: Map[String, Q] = Map(
+
+    // JENSEN-SHANNON drift between two corpus slices (Lin 1991) —
+    // the token-distribution partner of q_psi (which drifts a NUMERIC
+    // column over bins): did slice B's language shift relative to
+    // slice A's? JSD is the symmetric, always-finite KL blend
+    // ½KL(p‖m) + ½KL(q‖m), m = (p+q)/2 — the standard corpus-drift
+    // gate before mixing a new crawl snapshot into the training set.
+    // Slices here are the even/odd doc_id halves (a deterministic
+    // stand-in for snapshot-t vs snapshot-t+1). Shape: one (token)
+    // -grain shuffle to per-token counts a/b (text never shuffles —
+    // only tokens), a broadcast 1-row total, and per-token ln terms
+    // on exact integer ratios: p/m = 2·a·nb / (a·nb + b·na) — every
+    // argument an exact BIGINT product, the ln snapped to e6 grid,
+    // then Σ a·term is exact integer. Final division + /ln(2) is the
+    // only float, identical text both engines, round 6.
+    "q_js_drift" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+        .select(col("t"),
+          when(col("doc_id") % 2 === 0, 1L).otherwise(0L).as("ia"),
+          when(col("doc_id") % 2 === 1, 1L).otherwise(0L).as("ib"))
+      val cnt = tok.groupBy(col("t")).agg(sum(col("ia")).as("a"), sum(col("ib")).as("b"))
+      val tot = tok.agg(sum(col("ia")).as("na"), sum(col("ib")).as("nb"))
+      cnt.crossJoin(broadcast(tot))
+        .withColumn("ta_e6", expr(
+          """CASE WHEN a > 0 THEN CAST(floor(ln(CAST(2 * a * nb AS DOUBLE)
+            |  / CAST(a * nb + b * na AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+            |ELSE 0 END""".stripMargin))
+        .withColumn("tb_e6", expr(
+          """CASE WHEN b > 0 THEN CAST(floor(ln(CAST(2 * b * na AS DOUBLE)
+            |  / CAST(a * nb + b * na AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+            |ELSE 0 END""".stripMargin))
+        .agg(count(lit(1)).as("vocab"),
+          sum(expr("a * ta_e6")).as("sa"), sum(expr("b * tb_e6")).as("sb"),
+          max(col("na")).as("na"), max(col("nb")).as("nb"))
+        .select(col("vocab"), col("na"), col("nb"),
+          round(expr(
+            "(CAST(sa AS DOUBLE) / na + CAST(sb AS DOUBLE) / nb) / 2000000.0 / ln(2)"), 6)
+            .as("jsd_bits"))
+    }),
+
+    // HEAPS' law vocabulary-growth audit (Heaps 1978) — the partner
+    // of q_zipf (rank-frequency) on the OTHER axis: V(n) ≈ K·n^β.
+    // A healthy natural corpus grows vocabulary with β ≈ 0.4–0.6; a
+    // template-stamped or duplicated corpus flattens early (β → 0) —
+    // this is the cheap pre-dedup smell test. Scale shape: the corpus
+    // collapses to 64 CALENDAR-OF-INGEST checkpoints (doc_id ranges),
+    // cumulative token counts per checkpoint from a (checkpoint)-grain
+    // aggregate, cumulative vocabulary from min-first-occurrence-doc
+    // per token (one (token)-grain shuffle) — the only ordered window
+    // runs over the 64-row checkpoint table, NEVER over documents.
+    // β is the least-squares slope of ln V vs ln n over the 64 points:
+    // ln on exact BIGINTs snapped to e6, Gram sums exact integers,
+    // one float division at the end (round 4).
+    "q_heaps" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(max(col("doc_id")).as("mid"))
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+      val tokCk = tok.crossJoin(broadcast(mx))
+        .select(expr("(doc_id * 64) DIV (mid + 1)").as("ck"))
+        .groupBy(col("ck")).agg(count(lit(1)).as("tk"))
+      val vocCk = tok.groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
+        .crossJoin(broadcast(mx))
+        .select(expr("(fd * 64) DIV (mid + 1)").as("ck"))
+        .groupBy(col("ck")).agg(count(lit(1)).as("nv"))
+      val w = Window.orderBy(col("ck"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokCk.join(vocCk, Seq("ck"), "left")
+        .na.fill(0L, Seq("nv"))
+        .withColumn("cn", sum(col("tk")).over(w))
+        .withColumn("cv", sum(col("nv")).over(w))
+        .select(
+          expr("CAST(floor(ln(CAST(cn AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)").as("x"),
+          expr("CAST(floor(ln(CAST(cv AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)").as("y"),
+          col("cn"), col("cv"))
+        .agg(count(lit(1)).as("p"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+          max(col("cn")).as("tokens"), max(col("cv")).as("vocab"))
+        .select(col("p").as("points"), col("tokens"), col("vocab"),
+          round(expr(
+            "CAST(p * sxy - sx * sy AS DOUBLE) / CAST(p * sxx - sx * sx AS DOUBLE)"), 4)
+            .as("beta"))
+    }),
+
+    // CALENDAR gap-fill with linear interpolation — the repair step
+    // feature pipelines run before lag/window features (q_lag_features
+    // assumes a dense series; this op MAKES it dense): the hourly
+    // per-event-type sum series, with missing hours filled by the
+    // line between the nearest observed neighbors and edge hours
+    // clamped to the nearest observation. Scale shape: one
+    // (type, hour)-grain aggregate off the corpus (per-row fixed-point
+    // cents BEFORE the sum, so the hourly totals are exact BIGINTs
+    // independent of summation order), then ALL remaining work — the
+    // spine, the neighbor windows, the interpolation — runs at
+    // calendar grain (types × hours), bounded by the clock, never by
+    // corpus size. Interpolation is exact integer: pv + ⌊Δv·Δh/span⌋
+    // with the sign-safe divide (Δv may be negative).
+    "q_gap_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("h"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc"))
+      val hourly = ev.groupBy(col("event_type"), col("h")).agg(sum(col("vc")).as("s"))
+      val bounds = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      val spine = hourly.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("h"))
+      val wp = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(hourly, Seq("event_type", "h"), "left")
+        .withColumn("ph", last(when(col("s").isNotNull, col("h")), ignoreNulls = true).over(wp))
+        .withColumn("pv", last(col("s"), ignoreNulls = true).over(wp))
+        .withColumn("nh", first(when(col("s").isNotNull, col("h")), ignoreNulls = true).over(wn))
+        .withColumn("nv", first(col("s"), ignoreNulls = true).over(wn))
+        .select(col("event_type"), col("h"),
+          expr(
+            s"""CASE WHEN s IS NOT NULL THEN s
+               |  WHEN ph IS NULL THEN nv
+               |  WHEN nh IS NULL THEN pv
+               |  ELSE pv + ${sdiv("(nv - pv) * (h - ph)", "nh - ph")} END""".stripMargin)
+            .as("filled"),
+          expr(
+            """CASE WHEN s IS NOT NULL THEN 'obs'
+              |  WHEN ph IS NULL OR nh IS NULL THEN 'edge'
+              |  ELSE 'interp' END""".stripMargin).as("src"))
+        .orderBy(col("event_type"), col("h"))
+    }),
+
+    // FUNCTIONAL-DEPENDENCY discovery (Huhtala et al. 1999, TANE's
+    // candidate-check primitive) — schema-constraint profiling for
+    // the warehouse the reference keeps loaded: does A → B actually
+    // hold in the data? The check is the classic NDV identity
+    // (A → B ⟺ |distinct A| = |distinct (A,B)|), run over a fixed
+    // candidate slate spanning key → attr, attr → attr, and a
+    // composite LHS — discovery REPORTS which hold; it assumes
+    // nothing (the synthetic lineitem in fact violates the composite
+    // candidate, and the report says so). Each candidate is
+    // ONE exact-distinct aggregate (partial+final; at 100 TB the
+    // relaxation is the q_approx_stats HLL posture — same plan shape,
+    // sketch merge instead of exact distinct); the report is 6 rows.
+    "q_fd_discovery" -> ((s, d) => {
+      def fd(df: DataFrame, tbl: String, lhs: Seq[String], rhs: String): DataFrame =
+        df.agg(
+            countDistinct(lhs.head, lhs.tail: _*).as("d_lhs"),
+            countDistinct(lhs.head, (lhs.tail :+ rhs): _*).as("d_pair"))
+          .select(lit(tbl).as("tbl"), lit(lhs.mkString(",")).as("lhs"),
+            lit(rhs).as("rhs"), col("d_lhs"), col("d_pair"),
+            (col("d_pair") - col("d_lhs")).as("violations"),
+            (col("d_pair") === col("d_lhs")).as("holds"))
+      fd(Tables.orders(s, d), "orders", Seq("o_orderkey"), "o_custkey")
+        .unionAll(fd(Tables.orders(s, d), "orders", Seq("o_custkey"), "o_orderstatus"))
+        .unionAll(fd(Tables.customer(s, d), "customer", Seq("c_custkey"), "c_nationkey"))
+        .unionAll(fd(Tables.customer(s, d), "customer", Seq("c_nationkey"), "c_mktsegment"))
+        .unionAll(fd(Tables.nation(s, d), "nation", Seq("n_nationkey"), "n_regionkey"))
+        .unionAll(fd(Tables.lineitem(s, d), "lineitem",
+          Seq("l_orderkey", "l_linenumber"), "l_returnflag"))
+        .orderBy(col("tbl"), col("lhs"))
+    }),
+
+    // PREFERENCE-PAIR construction — the DPO/RLHF data-prep step: per
+    // (lang, length-bucket) stratum, pair the highest-scoring document
+    // (chosen) against the lowest (rejected), score = lexical
+    // diversity (distinct tokens — deterministic, no model in the
+    // loop), ties broken by doc_id so the pairing is reproducible.
+    // Degenerate strata (one doc, or all scores equal) emit nothing —
+    // a zero-margin pair teaches nothing. Scale shape: one
+    // (doc, token)-grain distinct-count, then TWO rank windows over
+    // the same (lang, bucket) partitioning — one shuffle, and
+    // WindowGroupLimit prunes both rank-1 scans map-side.
+    "q_pref_pairs" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), expr("n_chars DIV 200").as("lb"),
+          explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+        .groupBy(col("doc_id"), col("lang"), col("lb"))
+        .agg(countDistinct(col("t")).as("score"))
+      val wb = Window.partitionBy(col("lang"), col("lb"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val ww = Window.partitionBy(col("lang"), col("lb"))
+        .orderBy(col("score"), col("doc_id"))
+      val best = scored.withColumn("rn", row_number().over(wb)).filter(col("rn") === 1)
+        .select(col("lang"), col("lb"), col("doc_id").as("chosen_id"),
+          col("score").as("chosen_score"))
+      val worst = scored.withColumn("rn", row_number().over(ww)).filter(col("rn") === 1)
+        .select(col("lang"), col("lb"), col("doc_id").as("rejected_id"),
+          col("score").as("rejected_score"))
+      best.join(worst, Seq("lang", "lb"))
+        .filter(col("chosen_id") =!= col("rejected_id"))
+        .filter(col("chosen_score") > col("rejected_score"))
+        .select(col("lang"), col("lb"), col("chosen_id"), col("rejected_id"),
+          col("chosen_score"), col("rejected_score"),
+          (col("chosen_score") - col("rejected_score")).as("margin"))
+        .orderBy(col("lang"), col("lb"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q_js_drift" ->
+      """WITH tok AS (
+        |  SELECT t,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS ib
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) > 0),
+        |cnt AS (
+        |  SELECT t, CAST(SUM(ia) AS BIGINT) AS a, CAST(SUM(ib) AS BIGINT) AS b
+        |  FROM tok GROUP BY t),
+        |tot AS (
+        |  SELECT CAST(SUM(ia) AS BIGINT) AS na, CAST(SUM(ib) AS BIGINT) AS nb FROM tok),
+        |terms AS (
+        |  SELECT a, b, na, nb,
+        |    CASE WHEN a > 0 THEN CAST(floor(ln(CAST(2 * a * nb AS DOUBLE)
+        |      / CAST(a * nb + b * na AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |    ELSE 0 END AS ta_e6,
+        |    CASE WHEN b > 0 THEN CAST(floor(ln(CAST(2 * b * na AS DOUBLE)
+        |      / CAST(a * nb + b * na AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |    ELSE 0 END AS tb_e6
+        |  FROM cnt, tot)
+        |SELECT CAST(count(*) AS BIGINT) AS vocab, max(na) AS na, max(nb) AS nb,
+        |  round((CAST(SUM(a * ta_e6) AS DOUBLE) / max(na)
+        |       + CAST(SUM(b * tb_e6) AS DOUBLE) / max(nb)) / 2000000.0 / ln(2), 6) AS jsd_bits
+        |FROM terms""".stripMargin,
+
+    "q_heaps" ->
+      """WITH mx AS (SELECT max(doc_id) AS mid FROM documents),
+        |tok AS (
+        |  SELECT doc_id, t
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) > 0),
+        |tokck AS (
+        |  SELECT (doc_id * 64) // (mid + 1) AS ck, CAST(count(*) AS BIGINT) AS tk
+        |  FROM tok, mx GROUP BY 1),
+        |vocck AS (
+        |  SELECT (fd * 64) // (mid + 1) AS ck, CAST(count(*) AS BIGINT) AS nv
+        |  FROM (SELECT t, min(doc_id) AS fd FROM tok GROUP BY t), mx GROUP BY 1),
+        |pts AS (
+        |  SELECT ck,
+        |    CAST(SUM(tk) OVER (ORDER BY ck
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        |    CAST(SUM(coalesce(nv, 0)) OVER (ORDER BY ck
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cv
+        |  FROM tokck LEFT JOIN vocck USING (ck)),
+        |pp AS (
+        |  SELECT CAST(floor(ln(CAST(cn AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(cv AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y,
+        |    cn, cv
+        |  FROM pts)
+        |SELECT CAST(count(*) AS BIGINT) AS points, max(cn) AS tokens, max(cv) AS vocab,
+        |  round(CAST(count(*) * CAST(SUM(x * y) AS BIGINT)
+        |        - CAST(SUM(x) AS BIGINT) * CAST(SUM(y) AS BIGINT) AS DOUBLE)
+        |      / CAST(count(*) * CAST(SUM(x * x) AS BIGINT)
+        |        - CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT) AS DOUBLE), 4) AS beta
+        |FROM pp""".stripMargin,
+
+    "q_gap_fill" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+         |  FROM events),
+         |hourly AS (
+         |  SELECT event_type, h, CAST(SUM(vc) AS BIGINT) AS s
+         |  FROM ev GROUP BY 1, 2),
+         |b AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+         |spine AS (
+         |  SELECT event_type, unnest(generate_series(lo, hi)) AS h
+         |  FROM (SELECT DISTINCT event_type FROM hourly), b),
+         |j AS (
+         |  SELECT sp.event_type, sp.h, hourly.s AS s
+         |  FROM spine sp LEFT JOIN hourly
+         |    ON sp.event_type = hourly.event_type AND sp.h = hourly.h),
+         |f AS (
+         |  SELECT event_type, h, s,
+         |    last_value(CASE WHEN s IS NOT NULL THEN h END IGNORE NULLS)
+         |      OVER (PARTITION BY event_type ORDER BY h
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         |    last_value(s IGNORE NULLS)
+         |      OVER (PARTITION BY event_type ORDER BY h
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |    first_value(CASE WHEN s IS NOT NULL THEN h END IGNORE NULLS)
+         |      OVER (PARTITION BY event_type ORDER BY h
+         |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh,
+         |    first_value(s IGNORE NULLS)
+         |      OVER (PARTITION BY event_type ORDER BY h
+         |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+         |  FROM j)
+         |SELECT event_type, h,
+         |  CASE WHEN s IS NOT NULL THEN s
+         |    WHEN ph IS NULL THEN nv
+         |    WHEN nh IS NULL THEN pv
+         |    ELSE pv + ${sdivSql("(nv - pv) * (h - ph)", "nh - ph")} END AS filled,
+         |  CASE WHEN s IS NOT NULL THEN 'obs'
+         |    WHEN ph IS NULL OR nh IS NULL THEN 'edge'
+         |    ELSE 'interp' END AS src
+         |FROM f ORDER BY event_type, h""".stripMargin,
+
+    "q_fd_discovery" ->
+      """WITH raw AS (
+        |  SELECT 'orders' AS tbl, 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d_lhs,
+        |    CAST(count(DISTINCT (o_orderkey, o_custkey)) AS BIGINT) AS d_pair
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey', 'o_orderstatus',
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |    CAST(count(DISTINCT (o_custkey, o_orderstatus)) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'customer', 'c_custkey', 'c_nationkey',
+        |    CAST(count(DISTINCT c_custkey) AS BIGINT),
+        |    CAST(count(DISTINCT (c_custkey, c_nationkey)) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'customer', 'c_nationkey', 'c_mktsegment',
+        |    CAST(count(DISTINCT c_nationkey) AS BIGINT),
+        |    CAST(count(DISTINCT (c_nationkey, c_mktsegment)) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'nation', 'n_nationkey', 'n_regionkey',
+        |    CAST(count(DISTINCT n_nationkey) AS BIGINT),
+        |    CAST(count(DISTINCT (n_nationkey, n_regionkey)) AS BIGINT)
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_orderkey,l_linenumber', 'l_returnflag',
+        |    CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+        |    CAST(count(DISTINCT (l_orderkey, l_linenumber, l_returnflag)) AS BIGINT)
+        |  FROM lineitem)
+        |SELECT tbl, lhs, rhs, d_lhs, d_pair,
+        |  d_pair - d_lhs AS violations, d_pair = d_lhs AS holds
+        |FROM raw ORDER BY tbl, lhs""".stripMargin,
+
+    "q_pref_pairs" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, n_chars // 200 AS lb,
+        |    CAST(count(DISTINCT t) AS BIGINT) AS score
+        |  FROM (SELECT doc_id, lang, n_chars,
+        |          unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) > 0
+        |  GROUP BY doc_id, lang, lb),
+        |best AS (
+        |  SELECT lang, lb, doc_id AS chosen_id, score AS chosen_score
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY lang, lb
+        |          ORDER BY score DESC, doc_id) AS rn FROM scored)
+        |  WHERE rn = 1),
+        |worst AS (
+        |  SELECT lang, lb, doc_id AS rejected_id, score AS rejected_score
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY lang, lb
+        |          ORDER BY score, doc_id) AS rn FROM scored)
+        |  WHERE rn = 1)
+        |SELECT lang, lb, chosen_id, rejected_id, chosen_score, rejected_score,
+        |  chosen_score - rejected_score AS margin
+        |FROM best JOIN worst USING (lang, lb)
+        |WHERE chosen_id <> rejected_id AND chosen_score > rejected_score
+        |ORDER BY lang, lb""".stripMargin
+  )
+}

@@ -293,6 +293,48 @@ object Learn {
         .orderBy(col("bin"))
     }),
 
+    // BRIER decomposition (Murphy 1973) — the scalar summary that
+    // q_calibration's reliability TABLE feeds: BS = REL − RES + UNC
+    // (+ within-bin variance, reported implicitly via the directly
+    // measured BS), where REL punishes miscalibrated bins, RES
+    // rewards discriminating bins, and UNC is the irreducible base-
+    // rate entropy. Probabilities come from the same clipped milli
+    // score mapped affinely to micro units (p = (c+128000)·125/32 —
+    // exact integer), bins are q_calibration's 2000-milli cells, and
+    // every moment (Σp, Σ(p−o)², n·(p̄−ō)²) is an exact BIGINT; the
+    // four finals are one float division each over identical exact
+    // integers in identical text, round 6. One partial+final corpus
+    // aggregate to 128 bins + a broadcast 1-row total — map-only at
+    // any scale, text never shuffles.
+    "q_brier" -> ((s, d) => {
+      val warr = weights.mkString("array(", "L,", "L)")
+      val rows = Tables.documents(s, d)
+        .withColumn("sc", expr(
+          s"aggregate(split(text, ' '), 0L, (acc, t) -> " +
+            s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
+        .select(expr("greatest(least(sc, 127999L), -128000L)").as("c"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .select(expr("(c + 128000) DIV 2000").as("bin"),
+          expr("((c + 128000) * 125) DIV 32").as("p"), col("pos"))
+      val binAgg = rows.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"),
+          sum(col("p")).as("sp"),
+          sum(expr("(p - pos * 1000000) * (p - pos * 1000000)")).as("se"))
+        .withColumn("pbar", expr("sp DIV n"))
+        .withColumn("obar", expr("(np * 1000000) DIV n"))
+      val tot = rows.agg(count(lit(1)).as("tn"), sum(col("pos")).as("tnp"))
+        .select(col("tn"), expr("(tnp * 1000000) DIV tn").as("ob"))
+      binAgg.crossJoin(broadcast(tot))
+        .agg(sum(expr("n * (pbar - obar) * (pbar - obar)")).as("rel_raw"),
+          sum(expr("n * (obar - ob) * (obar - ob)")).as("res_raw"),
+          sum(col("se")).as("se_raw"), max(col("tn")).as("tn"), max(col("ob")).as("ob"))
+        .select(col("tn").as("n"),
+          round(expr("CAST(se_raw AS DOUBLE) / tn / 1e12"), 6).as("bs"),
+          round(expr("CAST(rel_raw AS DOUBLE) / tn / 1e12"), 6).as("rel"),
+          round(expr("CAST(res_raw AS DOUBLE) / tn / 1e12"), 6).as("res"),
+          round(expr("CAST(ob AS DOUBLE) * (1000000 - ob) / 1e12"), 6).as("unc"))
+    }),
+
     // THRESHOLDED confusion report — MCC, precision/recall/F1 — for
     // the classifier's shipped decision rule (keep ⟺ score > 0): AUC
     // (q_auc) grades the ranking, calibration (q_calibration) the
@@ -1494,6 +1536,40 @@ object Learn {
          |    CAST(SUM(sc) AS BIGINT) AS sum_score_milli
          |  FROM scored GROUP BY bin)
          |ORDER BY bin""".stripMargin,
+
+    "q_brier" ->
+      s"""WITH scored AS (
+         |  SELECT CAST(list_sum(list_transform(string_split(text, ' '),
+         |      t -> (($duckBucket * 2654435761) % 1000003) % 2001 - 1000)) AS BIGINT) AS sc,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents),
+         |rows_ AS (
+         |  SELECT (greatest(least(sc, 127999), -128000) + 128000) // 2000 AS bin,
+         |    ((greatest(least(sc, 127999), -128000) + 128000) * 125) // 32 AS p,
+         |    pos
+         |  FROM scored),
+         |ba AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS np,
+         |    CAST(SUM(p) AS BIGINT) AS sp,
+         |    CAST(SUM((p - pos * 1000000) * (p - pos * 1000000)) AS BIGINT) AS se
+         |  FROM rows_ GROUP BY bin),
+         |bb AS (
+         |  SELECT bin, n, np, se, sp // n AS pbar, (np * 1000000) // n AS obar FROM ba),
+         |t2 AS (
+         |  SELECT tn, (tnp * 1000000) // tn AS ob
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS tn,
+         |          CAST(SUM(pos) AS BIGINT) AS tnp FROM rows_)),
+         |agg_ AS (
+         |  SELECT CAST(SUM(n * (pbar - obar) * (pbar - obar)) AS BIGINT) AS rel_raw,
+         |    CAST(SUM(n * (obar - ob) * (obar - ob)) AS BIGINT) AS res_raw,
+         |    CAST(SUM(se) AS BIGINT) AS se_raw, max(tn) AS tn, max(ob) AS ob
+         |  FROM bb, t2)
+         |SELECT tn AS n,
+         |  round(CAST(se_raw AS DOUBLE) / tn / 1e12, 6) AS bs,
+         |  round(CAST(rel_raw AS DOUBLE) / tn / 1e12, 6) AS rel,
+         |  round(CAST(res_raw AS DOUBLE) / tn / 1e12, 6) AS res,
+         |  round(CAST(ob AS DOUBLE) * (1000000 - ob) / 1e12, 6) AS unc
+         |FROM agg_""".stripMargin,
 
     "q_auc" ->
       s"""WITH scored AS (

@@ -134,6 +134,39 @@ object SimSearch {
         .limit(20)
     }),
 
+    // MATRYOSHKA truncation audit (Kusupati et al. 2022, MRL) — how
+    // much retrieval quality survives keeping only the first d dims?
+    // MRL-trained embeddings front-load information, so serving
+    // systems keep a d=8/16/32 prefix index and re-rank with the full
+    // vector; this op measures recall@10 of each prefix against the
+    // full-dim brute-force top-10 — the go/no-go gate before shrinking
+    // the 100 TB vector index 8×. Shape: the ×4 dim fan-out of the
+    // same map-only broadcast-query scan (no joins until the 40-row
+    // rank table), cosine rounded to 4 BEFORE ranking with vec_id
+    // tie-break (the q_simsearch determinism discipline), rank-10 cut
+    // via WindowGroupLimit, then a 40×10-row self-join on the d=64
+    // baseline ids. At corpus scale nothing but (dm, vec_id, cs)
+    // triples ever shuffles.
+    "q_mrl_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def sl(c: String) = s"slice($c, 1, dm)"
+      val rk = withQuery(s, d)
+        .filter(col("vec_id") =!= 0)
+        .withColumn("dm", explode(expr("array(8, 16, 32, 64)")))
+        .withColumn("cs", expr(
+          s"round(${dot(sl("embedding"), sl("q_emb"))} / (sqrt(${dot(sl("embedding"), sl("embedding"))}) * sqrt(${dot(sl("q_emb"), sl("q_emb"))})), 4)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("dm")).orderBy(col("cs").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+      val full = rk.filter(col("dm") === 64)
+        .select(col("vec_id"), lit(1L).as("infull"))
+      rk.join(full, Seq("vec_id"), "left")
+        .groupBy(col("dm"))
+        .agg(sum(coalesce(col("infull"), lit(0L))).as("hits"))
+        .select(col("dm"), col("hits"), (col("hits") * 10).as("recall_pct"))
+        .orderBy(col("dm"))
+    }),
+
     // Same top-20 via the native codegen'd Catalyst expression
     // (graft.functions.CosineSimilarity): one fused loop, no
     // intermediate arrays — the hot-path form for scoring billions of
@@ -670,6 +703,28 @@ object SimSearch {
   }
 
   val oracles: Map[String, String] = Map(
+
+    "q_mrl_recall" ->
+      """WITH qv AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+        |base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS a
+        |  FROM embeddings WHERE vec_id <> 0),
+        |dims AS (SELECT unnest([8, 16, 32, 64]) AS dm),
+        |rk AS (
+        |  SELECT dm, vec_id,
+        |    row_number() OVER (PARTITION BY dm ORDER BY cs DESC, vec_id) AS rn
+        |  FROM (
+        |    SELECT dm, vec_id,
+        |      round(list_dot_product(list_slice(a, 1, dm), list_slice(q, 1, dm))
+        |        / (sqrt(list_dot_product(list_slice(a, 1, dm), list_slice(a, 1, dm)))
+        |         * sqrt(list_dot_product(list_slice(q, 1, dm), list_slice(q, 1, dm)))), 4) AS cs
+        |    FROM base, dims, qv)),
+        |full_ AS (SELECT vec_id, 1 AS infull FROM rk WHERE dm = 64 AND rn <= 10)
+        |SELECT dm, CAST(SUM(coalesce(infull, 0)) AS BIGINT) AS hits,
+        |  CAST(SUM(coalesce(infull, 0)) * 10 AS BIGINT) AS recall_pct
+        |FROM (SELECT * FROM rk WHERE rn <= 10) r LEFT JOIN full_ USING (vec_id)
+        |GROUP BY dm ORDER BY dm""".stripMargin,
     "q_mmr" ->
       s"""WITH q AS (
          |  SELECT vec_id, list_transform(embedding,
