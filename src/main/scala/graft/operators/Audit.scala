@@ -203,6 +203,77 @@ object Audit {
         .orderBy(col("tbl"), col("lhs"))
     }),
 
+    // ENTROPY RATE of the user-behavior Markov chain (Shannon 1948;
+    // the empirical-transition form) — q_markov ships the transition
+    // MATRIX; this collapses it to the one-number predictability
+    // audit: H = −Σ_ij (c_ij/N)·ln(c_ij/c_i) nats per step, reported
+    // in bits with the 2^H "effective branching factor" perplexity.
+    // A bot-farm's clickstream collapses toward 0 bits; organic
+    // traffic sits well above — the behavioral twin of q_heaps'
+    // corpus-health check. Shape: one user_id-partitioned lead()
+    // window + one (src, dst) count — the same two shuffles as
+    // q_markov — then all ln/divides run over the |types|²-row
+    // matrix. ln only ever sees ratios of exact BIGINTs, snapped to
+    // e6; Σ n·term is exact; two float finals in identical text.
+    "q_entropy_rate" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(
+        """WITH t AS (
+          |  SELECT event_type AS src,
+          |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+          |  FROM events),
+          |m AS (
+          |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM t
+          |  WHERE dst IS NOT NULL GROUP BY src, dst),
+          |r AS (
+          |  SELECT src, dst, n,
+          |    CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS rn FROM m),
+          |terms AS (
+          |  SELECT n,
+          |    CAST(floor(ln(CAST(rn AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 0.5)
+          |      AS BIGINT) AS le6
+          |  FROM r)
+          |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+          |  CAST(SUM(n) AS BIGINT) AS n_transitions,
+          |  round(CAST(SUM(n * le6) AS DOUBLE) / CAST(SUM(n) AS BIGINT)
+          |    / 1000000.0 / ln(2), 6) AS h_bits,
+          |  round(pow(2.0, CAST(SUM(n * le6) AS DOUBLE) / CAST(SUM(n) AS BIGINT)
+          |    / 1000000.0 / ln(2)), 4) AS perplexity
+          |FROM terms""".stripMargin)
+    }),
+
+    // SPECULATIVE-DECODING acceptance audit (Leviathan et al. 2023) —
+    // if a 1-token greedy bigram draft proposed the next token, how
+    // often would the corpus accept it? accept(src) = max_dst
+    // c(src,dst) / Σ_dst c(src,dst); the corpus-weighted mean of this
+    // is the expected draft acceptance rate, which bounds speculative
+    // speedup — measured here per source token for the 20 heaviest
+    // contexts. Shape: one (doc, pos)-grain lead() window (the
+    // q_markov shuffle at token grain), one (src, dst) count, then
+    // ranking runs over the BIGRAM-TABLE grain — vocab², never corpus
+    // — with WindowGroupLimit pruning the rank-1 cut map-side.
+    // Everything is exact integer (counts and truncating micro divs).
+    "q_spec_accept" -> ((s, d) => {
+      val tr = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+        .filter(length(col("t")) > 0)
+        .withColumn("dst", lead(col("t"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("t").as("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+      val perSrc = tr
+        .withColumn("n_out", sum(col("n")).over(Window.partitionBy(col("src"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("n").desc, col("dst"))))
+        .filter(col("rn") === 1)
+      perSrc.select(col("src"), col("n_out"), col("dst").as("top_dst"),
+          col("n").as("top_n"),
+          expr("(n * 1000000) DIV n_out").as("accept_micro"))
+        .orderBy(col("n_out").desc, col("src"))
+        .limit(20)
+    }),
+
     // PREFERENCE-PAIR construction — the DPO/RLHF data-prep step: per
     // (lang, length-bucket) stratum, pair the highest-scoring document
     // (chosen) against the lowest (rejected), score = lexical
@@ -374,6 +445,55 @@ object Audit {
         |SELECT tbl, lhs, rhs, d_lhs, d_pair,
         |  d_pair - d_lhs AS violations, d_pair = d_lhs AS holds
         |FROM raw ORDER BY tbl, lhs""".stripMargin,
+
+    "q_entropy_rate" ->
+      """WITH t AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+        |  FROM events),
+        |m AS (
+        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM t
+        |  WHERE dst IS NOT NULL GROUP BY src, dst),
+        |r AS (
+        |  SELECT src, dst, n,
+        |    CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS rn FROM m),
+        |terms AS (
+        |  SELECT n,
+        |    CAST(floor(ln(CAST(rn AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 0.5)
+        |      AS BIGINT) AS le6
+        |  FROM r)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(SUM(n) AS BIGINT) AS n_transitions,
+        |  round(CAST(SUM(n * le6) AS DOUBLE) / CAST(SUM(n) AS BIGINT)
+        |    / 1000000.0 / ln(2), 6) AS h_bits,
+        |  round(pow(2.0, CAST(SUM(n * le6) AS DOUBLE) / CAST(SUM(n) AS BIGINT)
+        |    / 1000000.0 / ln(2)), 4) AS perplexity
+        |FROM terms""".stripMargin,
+
+    "q_spec_accept" ->
+      """WITH tok AS (
+        |  SELECT doc_id, pos, t
+        |  FROM (SELECT doc_id,
+        |          generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |          unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  WHERE len(t) > 0),
+        |tr AS (
+        |  SELECT t AS src,
+        |    lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS dst
+        |  FROM tok),
+        |m AS (
+        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+        |  FROM tr WHERE dst IS NOT NULL GROUP BY src, dst),
+        |per AS (
+        |  SELECT src, dst, n,
+        |    CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS n_out,
+        |    row_number() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rn
+        |  FROM m)
+        |SELECT src, n_out, dst AS top_dst, n AS top_n,
+        |  (n * 1000000) // n_out AS accept_micro
+        |FROM per WHERE rn = 1
+        |ORDER BY n_out DESC, src LIMIT 20""".stripMargin,
 
     "q_pref_pairs" ->
       """WITH scored AS (

@@ -328,6 +328,100 @@ object Stats {
         .orderBy(col("event_type"))
     }),
 
+    // DYNAMIC TIME WARPING distance (Sakoe & Chiba 1978) between the
+    // click and view daily series — the NONLINEAR alignment partner
+    // of q_crosscorr (which only tests rigid lags): DTW charges
+    // |x_i − y_j| along the cheapest monotone warp path, so a
+    // campaign whose response stretches or compresses in time still
+    // scores close. Implementation is the anti-diagonal WAVEFRONT
+    // form of the DP: cells on diagonal k depend only on diagonals
+    // k−1/k−2, so the whole recurrence is ONE declarative
+    // aggregate(sequence(3, n+m), …) fold whose state is the last two
+    // diagonals — no driver loop, no UDF; Catalyst sees a single
+    // codegen'd expression (and DuckDB replays the identical fold via
+    // list_reduce). Scale shape: the corpus collapses to the
+    // DAY-grain series first (per-row exact cents BEFORE the sum —
+    // the q_mann_kendall calendar-bounded posture); the O(n·m) DP
+    // then runs on one calendar-scale row, never touching corpus
+    // data. All arithmetic is exact BIGINT (costs are cents,
+    // out-of-range cells carry a 2^60 sentinel that least() discards)
+    // — zero float until the final normalized report.
+    "q_dtw" -> ((s, d) => {
+      val cents = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+      val ev = Tables.events(s, d).select(
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        expr(s"CASE WHEN event_type = 'click' THEN $cents ELSE 0L END").as("xc"),
+        expr(s"CASE WHEN event_type = 'view' THEN $cents ELSE 0L END").as("yc"))
+      val dly = ev.groupBy(col("day")).agg(sum(col("xc")).as("xv"), sum(col("yc")).as("yv"))
+      val b = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val sp = b.select(explode(expr("sequence(lo, hi)")).as("day"))
+      val f = sp.join(dly, Seq("day"), "left").na.fill(0L, Seq("xv", "yv"))
+      val INF = "1152921504606846976"
+      f.agg(
+          expr("transform(sort_array(collect_list(struct(day, xv))), p -> p.xv)").as("x"),
+          expr("transform(sort_array(collect_list(struct(day, yv))), p -> p.yv)").as("y"))
+        .select(col("x"), col("y"), expr("size(x)").as("n"), expr("size(y)").as("m"))
+        .withColumn("dtw_cents", expr(
+          s"""aggregate(
+             |  sequence(3, n + m),
+             |  named_struct(
+             |    'd1', transform(sequence(1, n), i ->
+             |      CASE WHEN i = 1 THEN abs(element_at(x, 1) - element_at(y, 1))
+             |           ELSE $INF END),
+             |    'd2', transform(sequence(1, n), i -> $INF)),
+             |  (st, k) -> named_struct(
+             |    'd1', transform(sequence(1, n), i ->
+             |      CASE WHEN k - i >= 1 AND k - i <= m THEN
+             |        abs(element_at(x, i) - element_at(y, k - i)) + least(
+             |          CASE WHEN i > 1 THEN element_at(st.d1, i - 1) ELSE $INF END,
+             |          element_at(st.d1, i),
+             |          CASE WHEN i > 1 THEN element_at(st.d2, i - 1) ELSE $INF END)
+             |      ELSE $INF END),
+             |    'd2', st.d1),
+             |  st -> element_at(st.d1, n))""".stripMargin))
+        .select(expr("CAST(n AS BIGINT)").as("n"), expr("CAST(m AS BIGINT)").as("m"),
+          col("dtw_cents"),
+          round(expr("CAST(dtw_cents AS DOUBLE) / (n + m) / 100.0"), 4).as("dtw_norm"))
+    }),
+
+    // POST-STRATIFIED treatment effect (Neyman 1923 via the modern
+    // post-stratification estimator) — the observational-causal
+    // partner of q_abtest/q_cuped: when assignment correlates with an
+    // activity covariate, the raw arm difference is confounded;
+    // stratifying on the covariate and size-weighting the per-stratum
+    // differences removes the bias the strata capture. Strata are
+    // fixed activity bands of the per-user event count (map-only CASE
+    // — at 100 TB the quantile-cutpoint form would use the
+    // q_mixture_approx sketch posture, never a global ntile sort).
+    // Per-user spend folds to exact cents BEFORE any aggregate; per-
+    // (stratum, arm) moments are exact BIGINTs; means are truncating
+    // milli divs; the stratum weight is an exact micro ratio. No
+    // floats anywhere.
+    "q_stratified_ate" -> ((s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          sum(when(col("event_type") === "purchase",
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).otherwise(0L)).as("spend_c"))
+        .select(col("spend_c"),
+          expr("least(greatest((n_ev - 40) DIV 15, 0L), 3L)").as("stratum"),
+          (col("user_id") % 2).as("t"))
+      val cell = users.groupBy(col("stratum"))
+        .agg(sum(when(col("t") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("t") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("t") === 1, col("spend_c")).otherwise(0L)).as("s1"),
+          sum(when(col("t") === 0, col("spend_c")).otherwise(0L)).as("s0"))
+      val tot = users.agg(count(lit(1)).as("nu"))
+      cell.crossJoin(broadcast(tot))
+        .select(col("stratum"), col("n1"), col("n0"),
+          expr("CASE WHEN n1 > 0 THEN (s1 * 10) DIV n1 END").as("m1_milli"),
+          expr("CASE WHEN n0 > 0 THEN (s0 * 10) DIV n0 END").as("m0_milli"),
+          expr("CASE WHEN n1 > 0 AND n0 > 0 THEN (s1 * 10) DIV n1 - (s0 * 10) DIV n0 END")
+            .as("diff_milli"),
+          expr("((n1 + n0) * 1000000) DIV nu").as("w_micro"))
+        .orderBy(col("stratum"))
+    }),
+
     // GROUP-SEQUENTIAL monitoring (Pocock 1977) — the "peeking
     // problem" fix that completes the experimentation bank (q_ab_srm
     // gates assignment, q_mde sizes the test, q_abtest/q_cuped read it
@@ -594,6 +688,80 @@ object Stats {
         |SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n,
         |  round(corr(x, y), 4) AS ccf
         |FROM j GROUP BY lag ORDER BY lag""".stripMargin,
+
+    // Oracle note: DuckDB 1.0's list_reduce reuses the accumulator
+    // buffer in place, so a struct state whose 'd2' copies the old
+    // 'd1' reads the ALREADY-OVERWRITTEN diagonal — the fold replays
+    // instead through a recursive CTE, one fresh row per anti-
+    // diagonal, which is aliasing-safe and textually mirrors the
+    // Spark aggregate()'s step lambda.
+    "q_dtw" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CASE WHEN event_type = 'click'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END AS xc,
+        |    CASE WHEN event_type = 'view'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END AS yc
+        |  FROM events),
+        |dly AS (
+        |  SELECT day, CAST(SUM(xc) AS BIGINT) AS xv, CAST(SUM(yc) AS BIGINT) AS yv
+        |  FROM ev GROUP BY day),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        |sp AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b),
+        |f AS (
+        |  SELECT sp.day AS day, coalesce(xv, 0) AS xv, coalesce(yv, 0) AS yv
+        |  FROM sp LEFT JOIN dly USING (day)),
+        |arrs AS (
+        |  SELECT list(xv ORDER BY day) AS x, list(yv ORDER BY day) AS y FROM f),
+        |pre AS (SELECT x, y, len(x) AS n, len(y) AS m FROM arrs),
+        |dp AS (
+        |  SELECT CAST(2 AS BIGINT) AS k,
+        |    list_transform(range(1, n + 1), i ->
+        |      CASE WHEN i = 1 THEN abs(x[1] - y[1])
+        |           ELSE 1152921504606846976 END) AS d1,
+        |    list_transform(range(1, n + 1), i -> 1152921504606846976) AS d2
+        |  FROM pre
+        |  UNION ALL
+        |  SELECT k + 1,
+        |    list_transform(range(1, n + 1), i ->
+        |      CASE WHEN k + 1 - i >= 1 AND k + 1 - i <= m THEN
+        |        abs(x[i] - y[k + 1 - i]) + least(
+        |          CASE WHEN i > 1 THEN d1[i - 1] ELSE 1152921504606846976 END,
+        |          d1[i],
+        |          CASE WHEN i > 1 THEN d2[i - 1] ELSE 1152921504606846976 END)
+        |      ELSE 1152921504606846976 END),
+        |    d1
+        |  FROM dp, pre WHERE k < n + m)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+        |  d1[n] AS dtw_cents,
+        |  round(CAST(d1[n] AS DOUBLE) / (n + m) / 100.0, 4) AS dtw_norm
+        |FROM dp, pre WHERE k = n + m""".stripMargin,
+
+    "q_stratified_ate" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS n_ev,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS spend_c
+        |  FROM events GROUP BY user_id),
+        |su AS (
+        |  SELECT spend_c,
+        |    least(greatest((n_ev - 40) // 15, 0), 3) AS stratum,
+        |    user_id % 2 AS t
+        |  FROM u),
+        |cell AS (
+        |  SELECT stratum,
+        |    CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN t = 1 THEN spend_c ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN t = 0 THEN spend_c ELSE 0 END) AS BIGINT) AS s0
+        |  FROM su GROUP BY stratum),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM su)
+        |SELECT stratum, n1, n0,
+        |  CASE WHEN n1 > 0 THEN (s1 * 10) // n1 END AS m1_milli,
+        |  CASE WHEN n0 > 0 THEN (s0 * 10) // n0 END AS m0_milli,
+        |  CASE WHEN n1 > 0 AND n0 > 0 THEN (s1 * 10) // n1 - (s0 * 10) // n0 END AS diff_milli,
+        |  ((n1 + n0) * 1000000) // nu AS w_micro
+        |FROM cell, tot ORDER BY stratum""".stripMargin,
 
     "q_group_sequential" ->
       """WITH b AS (

@@ -101,6 +101,45 @@ class AuditSpec extends SparkSpec {
     assert(keys.distinct.length === keys.length)
   }
 
+  test("q_entropy_rate matches a naive transition-entropy replay and bounds") {
+    val r = Audit.queries("q_entropy_rate")(spark, sf).collect().head
+    val h = r.getAs[Double]("h_bits")
+    val px = r.getAs[Double]("perplexity")
+    val nCells = r.getAs[Long]("n_cells")
+    // H bounded by log2 of the branching factor (#distinct dst <= 5 types)
+    assert(h >= 0.0 && h <= math.log(5.0) / math.log(2.0) + 1e-9)
+    assert(math.abs(px - math.pow(2.0, h)) < 0.01, "perplexity must be 2^H")
+    assert(nCells <= 25L, "at most |types|^2 transition cells")
+    // naive replay from collected transitions
+    val tr = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type").collect()
+      .groupBy(_.getLong(0)).values.flatMap { rs =>
+        val seq = rs.sortBy(_.getLong(1)).map(_.getString(2))
+        seq.zip(seq.tail)
+      }.toSeq
+    val byPair = tr.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bySrc = tr.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = tr.size.toDouble
+    val naive = byPair.map { case ((s0, _), c) =>
+      (c / n) * math.log(bySrc(s0).toDouble / c)
+    }.sum / math.log(2.0)
+    assert(math.abs(h - naive) < 1e-3, s"engine $h vs naive $naive")
+  }
+
+  test("q_spec_accept: acceptance is a valid ratio and argmax is genuine") {
+    val rows = Audit.queries("q_spec_accept")(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.foreach { r =>
+      val (nOut, topN, acc) = (r.getAs[Long]("n_out"), r.getAs[Long]("top_n"),
+        r.getAs[Long]("accept_micro"))
+      assert(topN >= 1L && topN <= nOut)
+      assert(acc === topN * 1000000L / nOut)
+    }
+    // rows are the heaviest sources in weight order
+    val weights = rows.map(_.getAs[Long]("n_out"))
+    assert(weights.zip(weights.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q_brier decomposition is self-consistent: bs >= 0, unc = obar(1-obar), rel/res >= 0") {
     val r = Learn.queries("q_brier")(spark, sf).collect().head
     val (bs, rel, res, unc) = (r.getAs[Double]("bs"), r.getAs[Double]("rel"),

@@ -229,4 +229,49 @@ class StatsSpec extends SparkSpec {
       assert(gotRet > gotMu)
     }
   }
+
+  test("q_dtw matches a naive full-matrix DP replay") {
+    val r = Stats.queries("q_dtw")(spark, sf).collect().head
+    val (n, m, dtw) = (r.getAs[Long]("n"), r.getAs[Long]("m"), r.getAs[Long]("dtw_cents"))
+    // rebuild the two day-grain series exactly as the operator does
+    val daily = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) DIV 86400000000 AS day",
+        "CASE WHEN event_type = 'click' THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0L END AS xc",
+        "CASE WHEN event_type = 'view' THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0L END AS yc")
+      .groupBy("day").agg(sum("xc").as("xv"), sum("yc").as("yv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lo = daily.map(_._1).min
+    val hi = daily.map(_._1).max
+    val byDay = daily.map(t => t._1 -> (t._2, t._3)).toMap
+    val days = (lo to hi).map(d => byDay.getOrElse(d, (0L, 0L)))
+    val x = days.map(_._1).toArray
+    val y = days.map(_._2).toArray
+    assert(n === x.length.toLong && m === y.length.toLong)
+    // textbook row-by-row DP — a structurally DIFFERENT recurrence
+    // order than the engine's anti-diagonal wavefront
+    val D = Array.fill(x.length + 1, y.length + 1)(Long.MaxValue / 4)
+    D(0)(0) = 0L
+    for (i <- 1 to x.length; j <- 1 to y.length)
+      D(i)(j) = math.abs(x(i - 1) - y(j - 1)) +
+        math.min(D(i - 1)(j), math.min(D(i)(j - 1), D(i - 1)(j - 1)))
+    assert(dtw === D(x.length)(y.length), "wavefront DP must equal textbook DP")
+    assert(r.getAs[Double]("dtw_norm") ===
+      math.round(dtw.toDouble / (n + m) / 100.0 * 10000) / 10000.0)
+  }
+
+  test("q_stratified_ate: weights form a partition and arms are balanced-ish") {
+    val rows = Stats.queries("q_stratified_ate")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    val wSum = rows.map(_.getAs[Long]("w_micro")).sum
+    // truncating DIV loses at most (#strata - 1) micro per stratum
+    assert(wSum <= 1000000L && wSum >= 1000000L - 4L)
+    rows.foreach { r =>
+      val (n1, n0) = (r.getAs[Long]("n1"), r.getAs[Long]("n0"))
+      assert(n1 + n0 > 0)
+      if (n1 > 0 && n0 > 0) {
+        assert(r.getAs[Long]("diff_milli") ===
+          r.getAs[Long]("m1_milli") - r.getAs[Long]("m0_milli"))
+      }
+    }
+  }
 }
