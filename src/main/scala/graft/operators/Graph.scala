@@ -621,6 +621,63 @@ object Graph {
     // shared-literal discipline without needing literals). One degree
     // aggregate over the edge shuffle + one bucket-grain aggregate;
     // output is log₂(max-degree)-sized.
+    // DEGREE ASSORTATIVITY (Newman 2002) of the undirected trade
+    // graph — do high-degree customers trade with high-degree
+    // suppliers, or is the market hub-and-spoke? r is the Pearson
+    // correlation of (deg u, deg v) over the both-direction edge view
+    // (each undirected edge counted once per direction — Newman's
+    // symmetric convention). Shape: one (node)-grain degree
+    // aggregate over the shared persisted tradeBase, two node-keyed
+    // joins to decorate edge endpoints, one moment aggregate — the
+    // r formula runs in DOUBLE over the exact BIGINT raw moments in
+    // identical text (n·Σxy overflows 2^63 at corpus scale, so the
+    // n-scaling happens after the widening; both engines widen the
+    // same exact integers, so the doubles are bit-identical).
+    "q_assortativity" -> ((s, d) => {
+      val und = undirected(s, d)
+      val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val e2 = und
+        .join(deg.select(col("src"), col("deg").as("du")), Seq("src"))
+        .join(deg.select(col("src").as("dst"), col("deg").as("dv")), Seq("dst"))
+      e2.agg(count(lit(1)).as("n"), sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+          sum(expr("du * dv")).as("sxy"), sum(expr("du * du")).as("sxx"),
+          sum(expr("dv * dv")).as("syy"))
+        .select(col("n"),
+          round(expr(
+            """(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              | / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              |       * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))""".stripMargin), 4)
+            .as("assortativity"))
+    }),
+
+    // RECIPROCITY of the nation-level trade network — the directed-
+    // graph health metric the bipartite customer→supplier graph can't
+    // express (its edges only point one way): collapse trade to
+    // buyer-nation → seller-nation edges and ask what fraction have a
+    // reverse edge. Shape: the heavy orders⋈lineitem join is the
+    // SHARED persisted tradeBase (via tradeBipartite); nation
+    // decoration is two dimension joins; everything after runs at
+    // nation²-grain (≤ 625 rows) — the reverse-edge probe is a self
+    // left-join there, exact micro ratio at the end.
+    "q_reciprocity" -> ((s, d) => {
+      val cn = Tables.customer(s, d)
+        .select(col("c_custkey").as("c"), col("c_nationkey").as("cnat"))
+      val sn = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("sp"), col("s_nationkey").as("snat"))
+      val e = tradeBipartite(s, d)
+        .join(cn, Seq("c")).join(sn, Seq("sp"))
+        .select(col("cnat").as("src"), col("snat").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+        .withColumn("has_rev", lit(1L))
+      e.join(rev, Seq("src", "dst"), "left")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(coalesce(col("has_rev"), lit(0L))).as("n_mutual"))
+        .select(col("n_edges"), col("n_mutual"),
+          expr("(n_mutual * 1000000) DIV n_edges").as("recip_micro"))
+    }),
+
     "q_degree_dist" -> ((s, d) => {
       val directed = tradeBase(s, d)
       directed
@@ -1216,6 +1273,44 @@ object Graph {
         |SELECT part, count(*) AS n_triangles FROM n
         |GROUP BY part
         |ORDER BY n_triangles DESC, part LIMIT 20""".stripMargin,
+
+    "q_assortativity" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        |e2 AS (
+        |  SELECT du.deg AS du, dv.deg AS dv
+        |  FROM e JOIN deg du ON e.src = du.src JOIN deg dv ON e.dst = dv.src),
+        |mo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(du) AS BIGINT) AS sx, CAST(SUM(dv) AS BIGINT) AS sy,
+        |    CAST(SUM(du * dv) AS BIGINT) AS sxy,
+        |    CAST(SUM(du * du) AS BIGINT) AS sxx,
+        |    CAST(SUM(dv * dv) AS BIGINT) AS syy
+        |  FROM e2)
+        |SELECT n,
+        |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |          * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
+        |    AS assortativity
+        |FROM mo""".stripMargin,
+
+    "q_reciprocity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+        |  FROM (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey) t
+        |  JOIN customer ON c = c_custkey
+        |  JOIN supplier ON sp = s_suppkey
+        |  WHERE c_nationkey <> s_nationkey),
+        |rev AS (SELECT dst AS src, src AS dst, 1 AS has_rev FROM e)
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(SUM(coalesce(has_rev, 0)) AS BIGINT) AS n_mutual,
+        |  (CAST(SUM(coalesce(has_rev, 0)) AS BIGINT) * 1000000)
+        |    // CAST(count(*) AS BIGINT) AS recip_micro
+        |FROM e LEFT JOIN rev USING (src, dst)""".stripMargin,
 
     "q_degree_dist" ->
       """WITH e0 AS (

@@ -335,6 +335,98 @@ object Learn {
           round(expr("CAST(ob AS DOUBLE) * (1000000 - ob) / 1e12"), 6).as("unc"))
     }),
 
+    // RIDGE regression, closed form (Hoerl & Kennard 1970) —
+    // 2-feature Tikhonov fit of line price on (quantity, discount):
+    // the multivariate + regularized extension of q_linear_fit's
+    // simple slope. Normal equations run on the N-SCALED centered
+    // Gram (C = n·Σxy − ΣxΣy — exact BIGINT-derived, no means, no
+    // cancellation), with the ridge λ added to the Gram diagonal
+    // (so λ_effective = L/n² in the usual per-sample convention —
+    // stated, deterministic, and scale-documented). One map-only
+    // moment aggregate over the corpus (per-row fixed-point BEFORE
+    // the sums); the 2×2 solve is six float ops over exact integers
+    // in identical text on a 1-row frame. At 100 TB nothing changes:
+    // same single partial+final aggregate.
+    "q_ridge_fit" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("x"),
+        expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").as("y"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("z"))
+      val cxx = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+      val cyy = "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+      val cxy = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+      val cxz = "(CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)"
+      val cyz = "(CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)"
+      val det = s"(($cxx + 1e10) * ($cyy + 1e10) - $cxy * $cxy)"
+      li.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+          sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * z")).as("sxz"),
+          sum(expr("y * z")).as("syz"))
+        .select(col("n"),
+          round(expr(s"(($cyy + 1e10) * $cxz - $cxy * $cyz) / $det"), 6).as("beta_qty"),
+          round(expr(s"(($cxx + 1e10) * $cyz - $cxy * $cxz) / $det"), 6).as("beta_disc"),
+          round(expr(
+            s"""(CAST(sz AS DOUBLE) - (($cyy + 1e10) * $cxz - $cxy * $cyz) / $det * sx
+               |  - (($cxx + 1e10) * $cyz - $cxy * $cxz) / $det * sy) / n""".stripMargin), 2)
+            .as("intercept_c"))
+    }),
+
+    // CONFIDENT-LEARNING label-noise estimate (Northcutt et al.
+    // 2021, the binary confident-joint) — how many 'en' labels look
+    // wrong to the classifier, and vice versa? Per-class mean score
+    // is the confidence threshold; a document counts in cell
+    // C[given][pred] only when its score clears the PREDICTED class's
+    // threshold (score ≥ t₁ → confidently en, score < t₀ →
+    // confidently not-en; a gap between the bands abstains — that is
+    // what makes the joint "confident" — and an overlap, which
+    // happens when the labeled means fail to separate, resolves to
+    // the larger-margin class with ties to 1). Shape: one scoring scan to
+    // per-class exact sums (map-only), a broadcast 1-row threshold
+    // frame, one counting scan — the q_brier two-pass posture. Means
+    // are truncate-toward-zero on possibly-negative sums (the
+    // sign-safe CASE), cells and noise rates exact BIGINT/micro.
+    "q_label_noise" -> ((s, d) => {
+      val warr = weights.mkString("array(", "L,", "L)")
+      val sdiv = (x: String, y: String) =>
+        s"(CASE WHEN ($x) >= 0 THEN ($x) DIV ($y) ELSE -((-($x)) DIV ($y)) END)"
+      val scored = Tables.documents(s, d)
+        .withColumn("sc", expr(
+          s"aggregate(split(text, ' '), 0L, (acc, t) -> " +
+            s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
+        .select(col("sc"), when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val th = scored.agg(
+          sum(when(col("pos") === 1, col("sc")).otherwise(0L)).as("s1"),
+          sum(col("pos")).as("k1"),
+          sum(when(col("pos") === 0, col("sc")).otherwise(0L)).as("s0"),
+          sum(expr("1 - pos")).as("k0"))
+        .select(expr(sdiv("s1", "k1")).as("t1"), expr(sdiv("s0", "k0")).as("t0"))
+      // pred is TOTAL and EXCLUSIVE: when the class bands overlap
+      // (t1 < t0 — nothing guarantees the labeled means separate),
+      // the doc goes to the class with the larger confidence margin
+      // (ties to 1); when they leave a gap, the middle abstains.
+      val pred =
+        """CASE WHEN sc >= t1 AND sc < t0 THEN
+          |       (CASE WHEN sc - t1 >= t0 - sc THEN 1 ELSE 0 END)
+          |     WHEN sc >= t1 THEN 1
+          |     WHEN sc < t0 THEN 0
+          |     ELSE CAST(NULL AS BIGINT) END""".stripMargin
+      scored.crossJoin(broadcast(th))
+        .withColumn("pred", expr(pred))
+        .agg(
+          sum(expr("CASE WHEN pos = 0 AND pred = 0 THEN 1 ELSE 0 END")).as("c00"),
+          sum(expr("CASE WHEN pos = 0 AND pred = 1 THEN 1 ELSE 0 END")).as("c01"),
+          sum(expr("CASE WHEN pos = 1 AND pred = 0 THEN 1 ELSE 0 END")).as("c10"),
+          sum(expr("CASE WHEN pos = 1 AND pred = 1 THEN 1 ELSE 0 END")).as("c11"),
+          max(col("t0")).as("t0_milli"), max(col("t1")).as("t1_milli"))
+        .select(col("t0_milli"), col("t1_milli"),
+          col("c00"), col("c01"), col("c10"), col("c11"),
+          expr("CASE WHEN c00 + c01 > 0 THEN (c01 * 1000000) DIV (c00 + c01) END")
+            .as("flip0_micro"),
+          expr("CASE WHEN c10 + c11 > 0 THEN (c10 * 1000000) DIV (c10 + c11) END")
+            .as("flip1_micro"))
+    }),
+
     // THRESHOLDED confusion report — MCC, precision/recall/F1 — for
     // the classifier's shipped decision rule (keep ⟺ score > 0): AUC
     // (q_auc) grades the ranking, calibration (q_calibration) the
@@ -1570,6 +1662,72 @@ object Learn {
          |  round(CAST(res_raw AS DOUBLE) / tn / 1e12, 6) AS res,
          |  round(CAST(ob AS DOUBLE) * (1000000 - ob) / 1e12, 6) AS unc
          |FROM agg_""".stripMargin,
+
+    "q_ridge_fit" -> {
+      val cxx = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+      val cyy = "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+      val cxy = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+      val cxz = "(CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)"
+      val cyz = "(CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)"
+      val det = s"(($cxx + 1e10) * ($cyy + 1e10) - $cxy * $cxy)"
+      s"""WITH li AS (
+         |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+         |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS z
+         |  FROM lineitem),
+         |mo AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(z) AS BIGINT) AS sz,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * z) AS BIGINT) AS sxz,
+         |    CAST(SUM(y * z) AS BIGINT) AS syz
+         |  FROM li)
+         |SELECT n,
+         |  round((($cyy + 1e10) * $cxz - $cxy * $cyz) / $det, 6) AS beta_qty,
+         |  round((($cxx + 1e10) * $cyz - $cxy * $cxz) / $det, 6) AS beta_disc,
+         |  round((CAST(sz AS DOUBLE) - (($cyy + 1e10) * $cxz - $cxy * $cyz) / $det * sx
+         |    - (($cxx + 1e10) * $cyz - $cxy * $cxz) / $det * sy) / n, 2) AS intercept_c
+         |FROM mo""".stripMargin
+    },
+
+    "q_label_noise" ->
+      s"""WITH scored AS (
+         |  SELECT CAST(list_sum(list_transform(string_split(text, ' '),
+         |      t -> (($duckBucket * 2654435761) % 1000003) % 2001 - 1000)) AS BIGINT) AS sc,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents),
+         |th AS (
+         |  SELECT
+         |    (CASE WHEN s1 >= 0 THEN s1 // k1 ELSE -((-s1) // k1) END) AS t1,
+         |    (CASE WHEN s0 >= 0 THEN s0 // k0 ELSE -((-s0) // k0) END) AS t0
+         |  FROM (
+         |    SELECT CAST(SUM(CASE WHEN pos = 1 THEN sc ELSE 0 END) AS BIGINT) AS s1,
+         |      CAST(SUM(pos) AS BIGINT) AS k1,
+         |      CAST(SUM(CASE WHEN pos = 0 THEN sc ELSE 0 END) AS BIGINT) AS s0,
+         |      CAST(SUM(1 - pos) AS BIGINT) AS k0
+         |    FROM scored)),
+         |pr AS (
+         |  SELECT pos,
+         |    CASE WHEN sc >= t1 AND sc < t0 THEN
+         |           (CASE WHEN sc - t1 >= t0 - sc THEN 1 ELSE 0 END)
+         |         WHEN sc >= t1 THEN 1
+         |         WHEN sc < t0 THEN 0
+         |         ELSE CAST(NULL AS BIGINT) END AS pred,
+         |    t0, t1
+         |  FROM scored, th),
+         |cj AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN pos = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c00,
+         |    CAST(SUM(CASE WHEN pos = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c01,
+         |    CAST(SUM(CASE WHEN pos = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c10,
+         |    CAST(SUM(CASE WHEN pos = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c11,
+         |    max(t0) AS t0_milli, max(t1) AS t1_milli
+         |  FROM pr)
+         |SELECT t0_milli, t1_milli, c00, c01, c10, c11,
+         |  CASE WHEN c00 + c01 > 0 THEN (c01 * 1000000) // (c00 + c01) END AS flip0_micro,
+         |  CASE WHEN c10 + c11 > 0 THEN (c10 * 1000000) // (c10 + c11) END AS flip1_micro
+         |FROM cj""".stripMargin,
 
     "q_auc" ->
       s"""WITH scored AS (

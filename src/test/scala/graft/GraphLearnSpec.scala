@@ -1047,4 +1047,61 @@ class GraphLearnSpec extends SparkSpec {
     val rp = ranked.take(nPos.toInt).count(_._3).toLong
     assert(r.getAs[Long]("rprec_micro") === rp * 1000000L / nPos)
   }
+
+  test("q_ridge_fit matches a naive Scala replay of the same ridge system") {
+    val r = Learn.queries("q_ridge_fit")(spark, sf).collect().head
+    val rows = Tables.lineitem(spark, sf)
+      .selectExpr("CAST(floor(l_quantity + 0.5) AS BIGINT) AS x",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS z")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length.toDouble
+    val sx = rows.map(_._1).sum.toDouble; val sy = rows.map(_._2).sum.toDouble
+    val sz = rows.map(_._3).sum.toDouble
+    val sxx = rows.map(t => t._1 * t._1).sum.toDouble
+    val syy = rows.map(t => t._2 * t._2).sum.toDouble
+    val sxy = rows.map(t => t._1 * t._2).sum.toDouble
+    val sxz = rows.map(t => t._1 * t._3).sum.toDouble
+    val syz = rows.map(t => t._2 * t._3).sum.toDouble
+    val (cxx, cyy, cxy) = (n * sxx - sx * sx, n * syy - sy * sy, n * sxy - sx * sy)
+    val (cxz, cyz) = (n * sxz - sx * sz, n * syz - sy * sz)
+    val det = (cxx + 1e10) * (cyy + 1e10) - cxy * cxy
+    val b1 = ((cyy + 1e10) * cxz - cxy * cyz) / det
+    val b2 = ((cxx + 1e10) * cyz - cxy * cxz) / det
+    assert(math.abs(r.getAs[Double]("beta_qty") - b1) < 1e-4)
+    assert(math.abs(r.getAs[Double]("beta_disc") - b2) < 1e-4)
+    // (no sign assertion: the synthetic price is NOT quantity-linked,
+    // unlike real TPC-H — the fit just has to match the replay)
+    assert(r.getAs[Long]("n") === rows.length.toLong)
+  }
+
+  test("q_label_noise: confident cells partition within class counts, rates valid") {
+    val r = Learn.queries("q_label_noise")(spark, sf).collect().head
+    val (c00, c01, c10, c11) = (r.getAs[Long]("c00"), r.getAs[Long]("c01"),
+      r.getAs[Long]("c10"), r.getAs[Long]("c11"))
+    val total = Tables.documents(spark, sf).count()
+    val nPos = Tables.documents(spark, sf).filter(col("lang") === "en").count()
+    // pred is exclusive (overlap resolves by margin), so the cells
+    // UNDERCOUNT or exactly partition each class — never exceed it
+    assert(c10 + c11 <= nPos && c00 + c01 <= total - nPos)
+    assert(Seq(c00, c01, c10, c11).forall(_ >= 0L))
+    val f0 = r.getAs[Long]("flip0_micro"); val f1 = r.getAs[Long]("flip1_micro")
+    assert(f0 >= 0L && f0 <= 1000000L && f1 >= 0L && f1 <= 1000000L)
+  }
+
+  test("q_assortativity is a valid correlation over the doubled edge view") {
+    val r = Graph.queries("q_assortativity")(spark, sf).collect().head
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0)
+    // n counts each undirected edge twice (Newman's convention)
+    val edges = graft.operators.Graph.tradeBase(spark, sf).count()
+    assert(r.getAs[Long]("n") === 2L * edges)
+  }
+
+  test("q_reciprocity: mutual edges bounded by total, ratio exact") {
+    val r = Graph.queries("q_reciprocity")(spark, sf).collect().head
+    val (ne, nm) = (r.getAs[Long]("n_edges"), r.getAs[Long]("n_mutual"))
+    assert(ne > 0L && nm >= 0L && nm <= ne)
+    assert(r.getAs[Long]("recip_micro") === nm * 1000000L / ne)
+  }
 }
