@@ -203,6 +203,41 @@ object Audit {
         .orderBy(col("tbl"), col("lhs"))
     }),
 
+    // LINEAR-KERNEL MMD drift between two embedding slices (Gretton
+    // et al. 2012; the linear kernel collapses MMD² to ‖μ_A − μ_B‖²)
+    // — the EMBEDDING-space partner of q_js_drift's token-space gate:
+    // a fine-tune or re-embed that shifted the representation shows
+    // up here even when the token mix is unchanged. Slices are the
+    // even/odd vec_id halves. Shape: one (dim)-grain aggregate over
+    // the posexploded quantized grid (vectors quantize to exact
+    // BIGINTs at the QuantTok 1e-4 boundary — the SimSearch/Learn
+    // discipline), per-dim mean gap in exact milli-quant units via
+    // the sign-safe divide, Σd² exact BIGINT over 64 dims, argmax
+    // dim by exact integer struct order. One float at the end.
+    "q_mmd_drift" -> ((s, d) => {
+      val q = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(expr(Learn.QuantTok)).as(Seq("dim", "qv")))
+        .select(col("dim"), col("qv"),
+          when(col("vec_id") % 2 === 0, 1L).otherwise(0L).as("ia"),
+          when(col("vec_id") % 2 === 1, 1L).otherwise(0L).as("ib"))
+      val dims = q.groupBy(col("dim")).agg(
+          sum(expr("ia * qv")).as("sa"), sum(col("ia")).as("na"),
+          sum(expr("ib * qv")).as("sb"), sum(col("ib")).as("nb"))
+        .withColumn("dmil",
+          expr(s"${sdiv("sa * 1000", "na")} - ${sdiv("sb * 1000", "nb")}"))
+      val top = dims
+        .withColumn("rn", row_number().over(Window.orderBy(
+          expr("dmil * dmil").desc, col("dim"))))
+        .filter(col("rn") === 1)
+        .select(col("dim").as("top_dim"), expr("dmil * dmil").as("top_dsq"))
+      dims.agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+          sum(expr("dmil * dmil")).as("ssq"))
+        .crossJoin(broadcast(top))
+        .select(col("na"), col("nb"), col("top_dim"),
+          round(expr("CAST(ssq AS DOUBLE) / 1e14"), 8).as("mmd2"),
+          round(expr("CAST(top_dsq AS DOUBLE) / 1e14"), 8).as("top_dim_share"))
+    }),
+
     // ENTROPY RATE of the user-behavior Markov chain (Shannon 1948;
     // the empirical-transition form) — q_markov ships the transition
     // MATRIX; this collapses it to the one-number predictability
@@ -445,6 +480,37 @@ object Audit {
         |SELECT tbl, lhs, rhs, d_lhs, d_pair,
         |  d_pair - d_lhs AS violations, d_pair = d_lhs AS holds
         |FROM raw ORDER BY tbl, lhs""".stripMargin,
+
+    "q_mmd_drift" ->
+      """WITH q AS (
+        |  SELECT vec_id, dim, qv,
+        |    CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END AS ib
+        |  FROM (
+        |    SELECT vec_id,
+        |      generate_subscripts(embedding, 1) - 1 AS dim,
+        |      unnest(list_transform(embedding,
+        |        x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS qv
+        |    FROM embeddings)),
+        |dims AS (
+        |  SELECT dim,
+        |    CAST(SUM(ia * qv) AS BIGINT) AS sa, CAST(SUM(ia) AS BIGINT) AS na,
+        |    CAST(SUM(ib * qv) AS BIGINT) AS sb, CAST(SUM(ib) AS BIGINT) AS nb
+        |  FROM q GROUP BY dim),
+        |dd AS (
+        |  SELECT dim, na, nb,
+        |    (CASE WHEN (sa * 1000) >= 0 THEN (sa * 1000) // (na)
+        |          ELSE -((-(sa * 1000)) // (na)) END)
+        |  - (CASE WHEN (sb * 1000) >= 0 THEN (sb * 1000) // (nb)
+        |          ELSE -((-(sb * 1000)) // (nb)) END) AS dmil
+        |  FROM dims),
+        |top AS (
+        |  SELECT dim AS top_dim, dmil * dmil AS top_dsq
+        |  FROM dd ORDER BY dmil * dmil DESC, dim LIMIT 1)
+        |SELECT max(na) AS na, max(nb) AS nb, max(top_dim) AS top_dim,
+        |  round(CAST(CAST(SUM(dmil * dmil) AS BIGINT) AS DOUBLE) / 1e14, 8) AS mmd2,
+        |  round(CAST(max(top_dsq) AS DOUBLE) / 1e14, 8) AS top_dim_share
+        |FROM dd, top""".stripMargin,
 
     "q_entropy_rate" ->
       """WITH t AS (

@@ -335,6 +335,54 @@ object Learn {
           round(expr("CAST(ob AS DOUBLE) * (1000000 - ob) / 1e12"), 6).as("unc"))
     }),
 
+    // ISOTONIC calibration curve (Ayer et al. 1955; Zadrozny & Elkan
+    // 2002 as the calibration recipe) — the nonparametric repair of
+    // whatever miscalibration q_brier's REL term measures: fit the
+    // best monotone map from score bins to empirical positive rates.
+    // Instead of the sequential PAV stack (a data-dependent while-
+    // loop no engine vectorizes), this uses the MINIMAX identity for
+    // L2 isotonic regression: v_i = max_{j≤i} min_{k≥i} avg(j..k) —
+    // which makes the whole fit three windowed passes over the
+    // BIN-PAIR grain (≤ 128² rows, bounded by the score grid, never
+    // by corpus size): prefix sums → pair averages → per-(j,i)
+    // suffix-min in k → per-i prefix-max in j. Pool averages are
+    // doubles over exact BIGINT prefix sums in identical text, and
+    // min/max are order-insensitive, so both engines land on
+    // bit-identical fits; the curve snaps to micro at the end.
+    "q_isotonic" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val warr = weights.mkString("array(", "L,", "L)")
+      val binAgg = Tables.documents(s, d)
+        .withColumn("sc", expr(
+          s"aggregate(split(text, ' '), 0L, (acc, t) -> " +
+            s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
+        .select(expr("(greatest(least(sc, 127999L), -128000L) + 128000) DIV 2000").as("bin"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+      val wpre = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = binAgg
+        .withColumn("cw", sum(col("n")).over(wpre))
+        .withColumn("cs", sum(col("np")).over(wpre))
+      val left = pre.select(col("bin").as("jb"),
+        (col("cw") - col("n")).as("pw"), (col("cs") - col("np")).as("ps"))
+      val right = pre.select(col("bin").as("kb"), col("cw"), col("cs"))
+      val pairs = left.join(right, col("jb") <= col("kb"))
+        .withColumn("avgp", expr("CAST(cs - ps AS DOUBLE) / CAST(cw - pw AS DOUBLE)"))
+      val wsuf = Window.partitionBy(col("jb")).orderBy(col("kb").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val v = pairs
+        .withColumn("m", min(col("avgp")).over(wsuf))
+        .select(col("jb"), col("kb").as("bin"), col("m"))
+        .groupBy(col("bin")).agg(max(col("m")).as("v"))
+      binAgg.join(v, Seq("bin"))
+        .select(col("bin"), col("n"), col("np"),
+          expr("(np * 1000000) DIV n").as("raw_micro"),
+          expr("CAST(floor(v * 1000000 + 0.5) AS BIGINT)").as("iso_micro"))
+        .orderBy(col("bin"))
+    }),
+
     // RIDGE regression, closed form (Hoerl & Kennard 1970) —
     // 2-feature Tikhonov fit of line price on (quantity, discount):
     // the multivariate + regularized extension of q_linear_fit's
@@ -1662,6 +1710,40 @@ object Learn {
          |  round(CAST(res_raw AS DOUBLE) / tn / 1e12, 6) AS res,
          |  round(CAST(ob AS DOUBLE) * (1000000 - ob) / 1e12, 6) AS unc
          |FROM agg_""".stripMargin,
+
+    "q_isotonic" ->
+      s"""WITH scored AS (
+         |  SELECT CAST(list_sum(list_transform(string_split(text, ' '),
+         |      t -> (($duckBucket * 2654435761) % 1000003) % 2001 - 1000)) AS BIGINT) AS sc,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents),
+         |ba AS (
+         |  SELECT (greatest(least(sc, 127999), -128000) + 128000) // 2000 AS bin,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS np
+         |  FROM scored GROUP BY bin),
+         |pre AS (
+         |  SELECT bin, n, np,
+         |    CAST(SUM(n) OVER (ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+         |    CAST(SUM(np) OVER (ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+         |  FROM ba),
+         |pairs AS (
+         |  SELECT l.jb, r.kb, r.cw, r.cs, l.pw, l.ps,
+         |    CAST(r.cs - l.ps AS DOUBLE) / CAST(r.cw - l.pw AS DOUBLE) AS avgp
+         |  FROM (SELECT bin AS jb, cw - n AS pw, cs - np AS ps FROM pre) l
+         |  JOIN (SELECT bin AS kb, cw, cs FROM pre) r ON l.jb <= r.kb),
+         |mji AS (
+         |  SELECT jb, kb AS bin,
+         |    min(avgp) OVER (PARTITION BY jb ORDER BY kb DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+         |  FROM pairs),
+         |v AS (SELECT bin, max(m) AS v FROM mji GROUP BY bin)
+         |SELECT ba.bin AS bin, n, np,
+         |  (np * 1000000) // n AS raw_micro,
+         |  CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS iso_micro
+         |FROM ba JOIN v ON ba.bin = v.bin
+         |ORDER BY bin""".stripMargin,
 
     "q_ridge_fit" -> {
       val cxx = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Graph, Learn, Pipeline}
+import graft.operators.{Audit, Graph, Learn, Pipeline}
 
 /** Invariants for the graph/learning operators that the DuckDB hash
   * compare can't express: PageRank mass accounting, k-means inertia
@@ -1046,6 +1046,45 @@ class GraphLearnSpec extends SparkSpec {
     // R-precision: positives among the top n_pos
     val rp = ranked.take(nPos.toInt).count(_._3).toLong
     assert(r.getAs[Long]("rprec_micro") === rp * 1000000L / nPos)
+  }
+
+  test("q_isotonic: minimax fit equals an independent sequential PAV stack replay") {
+    val rows = Learn.queries("q_isotonic")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"), r.getAs[Long]("np"),
+        r.getAs[Long]("iso_micro"))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // monotone nondecreasing and a valid probability
+    val iso = rows.map(_._4)
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b })
+    assert(iso.forall(v => v >= 0L && v <= 1000000L))
+    // classic PAV: push blocks, merge while the mean order is violated
+    case class Block(w: Long, s: Long) { def mean: Double = s.toDouble / w }
+    val stack = collection.mutable.ArrayBuffer.empty[Block]
+    rows.foreach { case (_, n, np, _) =>
+      var b = Block(n, np)
+      while (stack.nonEmpty && stack.last.mean >= b.mean) {
+        val t = stack.remove(stack.length - 1)
+        b = Block(t.w + b.w, t.s + b.s)
+      }
+      stack += b
+    }
+    val pav = stack.flatMap(b => Seq.fill(b.w.toInt)(b.mean)) // per-doc expansion
+    val engine = rows.flatMap { case (_, n, _, v) => Seq.fill(n.toInt)(v.toDouble / 1e6) }
+    assert(pav.length === engine.length)
+    pav.zip(engine).foreach { case (p, e) =>
+      assert(math.abs(p - e) < 1e-5, s"PAV $p vs minimax $e")
+    }
+  }
+
+  test("q_mmd_drift: nonnegative, dominated-by-total share, slice counts add up") {
+    val r = Audit.queries("q_mmd_drift")(spark, sf).collect().head
+    val mmd2 = r.getAs[Double]("mmd2")
+    val share = r.getAs[Double]("top_dim_share")
+    assert(mmd2 >= 0.0 && share >= 0.0 && share <= mmd2 + 1e-12)
+    assert(r.getAs[Long]("na") + r.getAs[Long]("nb") ===
+      Tables.embeddings(spark, sf).count())
+    val topDim = r.getAs[Int]("top_dim")
+    assert(topDim >= 0 && topDim < 64)
   }
 
   test("q_ridge_fit matches a naive Scala replay of the same ridge system") {
