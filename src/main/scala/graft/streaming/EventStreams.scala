@@ -253,6 +253,87 @@ object EventStreams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // ---- streaming entropy-rate twin (q_entropy_rate online) ----
+
+  case class Transition(src: String, dst: String)
+  case class LastEv(tsMs: Long, eventId: Long, eventType: String)
+  case class SrcEntropy(src: String, n_out: Long, h_bits_e6: Long)
+
+  /** Stage 1 of the online behavior-predictability monitor: per-user
+    * LAST-EVENT memory that turns the raw stream into (src → dst)
+    * transitions — the streaming form of q_entropy_rate's lead()
+    * window. In-batch iteration sorts by (ts, event_id) (the
+    * SessionTimerProcessor contract: a micro-batch group iterator has
+    * no order guarantee, and the transition sequence must not depend
+    * on shuffle arrival order); across batches the single fixed-size
+    * state row carries the last event forward, so batching is
+    * invariant for an in-order feed. State: one row per ACTIVE user
+    * (the same boundedness class as sessionizeTws).
+    */
+  class TransitionProcessor extends StatefulProcessor[Long, Event, Transition] {
+    @transient private var st: ValueState[LastEv] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[LastEv]("last",
+        org.apache.spark.sql.Encoders.product[LastEv], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[Transition] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+      var prev: LastEv = if (st.exists()) st.get() else null
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (prev != null) out += Transition(prev.eventType, e.event_type)
+        prev = LastEv(e.ts.getTime, e.event_id, e.event_type)
+      }
+      if (prev != null) st.update(prev)
+      out.iterator
+    }
+  }
+
+  def transitionsTws(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Stage 2: per-SOURCE transition-count state (bounded by
+    * |event types| ≤ a handful of dst cells per src — the smallest
+    * state in the file) emitting the src's CURRENT entropy
+    * contribution after every batch, in e6-bits fixed point with the
+    * batch operator's exact recipe (ln of exact integer ratios
+    * snapped to the e6 grid, Σ c·term / n). Update mode: the latest
+    * row per src is the live value; Σ_src n·h/Σn replays
+    * q_entropy_rate's corpus number. Chaining [[transitionsTws]] into
+    * this is the two-stage transformWithState pipeline the batch
+    * lead()+groupBy pair becomes online.
+    */
+  class SrcEntropyProcessor extends StatefulProcessor[String, Transition, SrcEntropy] {
+    @transient private var st: ValueState[Map[String, Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Map[String, Long]]("cnt",
+        org.apache.spark.sql.Encoders.kryo[Map[String, Long]], TTLConfig.NONE)
+    override def handleInputRows(src: String, rows: Iterator[Transition],
+                                 timerValues: TimerValues): Iterator[SrcEntropy] = {
+      var m: Map[String, Long] = if (st.exists()) st.get() else Map.empty
+      rows.foreach { t => m = m.updated(t.dst, m.getOrElse(t.dst, 0L) + 1L) }
+      st.update(m)
+      val n = m.values.sum
+      val hE6 = m.values.map { c =>
+        val termE6 = math.floor(math.log(n.toDouble / c.toDouble) * 1000000 + 0.5).toLong
+        c * termE6
+      }.sum / n
+      // nats → bits on the same fixed-point grid as the batch twin
+      Iterator.single(SrcEntropy(src, n,
+        math.floor(hE6.toDouble / math.log(2.0) + 0.5).toLong))
+    }
+  }
+
+  def entropyRateTws(transitions: Dataset[Transition]): Dataset[SrcEntropy] = {
+    import transitions.sparkSession.implicits._
+    transitions.groupByKey(_.src)
+      .transformWithState(new SrcEntropyProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class SessState(startMs: Long, lastMs: Long, n: Long, totalMilli: Long)
   case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Long,

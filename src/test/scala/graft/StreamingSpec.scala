@@ -589,4 +589,62 @@ class StreamingSpec extends SparkSpec {
       case None    => conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("transitionsTws + entropyRateTws: online entropy matches the batch fixed-point formula") {
+    import graft.streaming.EventStreams.{Transition, SrcEntropy}
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val seqU1 = Seq("view", "click", "view", "purchase", "view", "click")
+      val seqU2 = Seq("click", "click", "view", "error", "click")
+      val evs1 = seqU1.zipWithIndex.map { case (t, i) =>
+        Event(i.toLong * 2, ts(i), 1L, t, 1.0) }
+      val evs2 = seqU2.zipWithIndex.map { case (t, i) =>
+        Event(i.toLong * 2 + 1, ts(i), 2L, t, 1.0) }
+      val expected = (seqU1.zip(seqU1.tail) ++ seqU2.zip(seqU2.tail))
+        .map { case (a, b) => Transition(a, b) }
+
+      // stage 1: split mid-user so the LastEv state must bridge batches
+      val in1 = MemoryStream[Event](spark)
+      val q1 = EventStreams.transitionsTws(in1.toDS())
+        .writeStream.format("memory").queryName("trans_t").outputMode("append").start()
+      val got = try {
+        in1.addData(evs1.take(3) ++ evs2.take(2): _*); q1.processAllAvailable()
+        in1.addData(evs1.drop(3) ++ evs2.drop(2): _*); q1.processAllAvailable()
+        spark.table("trans_t").as[Transition].collect().toSeq
+      } finally q1.stop()
+      assert(got.groupBy(identity).view.mapValues(_.size).toMap ===
+        expected.groupBy(identity).view.mapValues(_.size).toMap,
+        "streamed transitions must equal the per-user zip, as a multiset")
+
+      // stage 2: feed the transitions through the entropy processor
+      val in2 = MemoryStream[Transition](spark)
+      val q2 = EventStreams.entropyRateTws(in2.toDS())
+        .writeStream.format("memory").queryName("ent_t").outputMode("update").start()
+      val ent = try {
+        val (b1, b2) = expected.splitAt(4)
+        in2.addData(b1: _*); q2.processAllAvailable()
+        in2.addData(b2: _*); q2.processAllAvailable()
+        spark.table("ent_t").as[SrcEntropy].collect().toSeq
+      } finally q2.stop()
+      // live value per src = the row with the full count
+      val finalBySrc = ent.groupBy(_.src).map { case (s, rs) => s -> rs.maxBy(_.n_out) }
+      // replay the processor's exact fixed-point recipe from the raw set
+      expected.groupBy(_.src).foreach { case (src, ts) =>
+        val m = ts.groupBy(_.dst).map { case (d, v) => d -> v.size.toLong }
+        val n = m.values.sum
+        val hE6 = m.values.map { c =>
+          c * math.floor(math.log(n.toDouble / c.toDouble) * 1000000 + 0.5).toLong
+        }.sum / n
+        val hBits = math.floor(hE6.toDouble / math.log(2.0) + 0.5).toLong
+        assert(finalBySrc(src).n_out === n, s"src $src count")
+        assert(finalBySrc(src).h_bits_e6 === hBits, s"src $src entropy")
+      }
+    } finally prev match {
+      case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
