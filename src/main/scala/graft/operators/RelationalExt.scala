@@ -222,6 +222,103 @@ object RelationalExt {
     // shuffle establishes the partitioning; stages 2..k reuse it), and
     // per-stage state is one bigint per surviving user — at 100 TB the
     // events table streams through k filters, never a window sort.
+    // MULTI-TOUCH attribution (last-touch vs linear credit) — the
+    // marketing-analytics readout the funnel family feeds: each
+    // purchase distributes credit over the user's clicks in the
+    // preceding 24 h, by channel (the synthetic k % 4 of the props
+    // payload — the q_json extraction reused as a dimension).
+    // Last-touch gives the final click everything; linear splits an
+    // exact 1e6-micro credit by truncating division (per-purchase
+    // deterministic — no floats). Shape: one user-keyed join
+    // (purchases × clicks co-partition on user_id; per-user windows
+    // are calendar-bounded), per-purchase rank + count windows at
+    // the purchase grain, a channel-grain final. Purchases with no
+    // prior click take no row (direct conversions — stated).
+    "q_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          expr("unix_micros(ts)").as("pus"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("cid"),
+          expr("unix_micros(ts)").as("cus"),
+          expr("CAST(get_json_object(props, '$.k') AS BIGINT) % 4").as("channel"))
+      val j = p.join(c, Seq("user_id"))
+        .filter(col("cus") < col("pus") && col("cus") >= col("pus") - lit(86400000000L))
+      j.withColumn("nclk", count(lit(1)).over(Window.partitionBy(col("pid"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("pid")).orderBy(col("cus").desc, col("cid").desc)))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_last"),
+          sum(expr("1000000 DIV nclk")).as("linear_micro"))
+        .orderBy(col("channel"))
+    }),
+
+    // FORECAST BACKTEST of the naive and seasonal-naive baselines —
+    // the honesty check every fancier forecaster (q_holt, q_ewma,
+    // q_seasonal) must beat before it ships: one-step MAE and sMAPE
+    // of ŷ_t = y_{t-1} and ŷ_t = y_{t-7} over the OBSERVED daily
+    // series (densify with q_gap_fill first if the calendar has
+    // holes — stated contract). Per-row exact cents before the daily
+    // sum; lags are windows over the calendar-bounded day series;
+    // MAE/sMAPE are truncating integer divisions of exact sums —
+    // no floats anywhere. Days where both forecasts exist score
+    // (the max(lag1, lag7) warm-up is excluded symmetrically so the
+    // two baselines are compared on the same days).
+    "q_forecast_eval" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc"))
+        .groupBy(col("event_type"), col("day")).agg(sum(col("vc")).as("s"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("f1", lag(col("s"), 1).over(w))
+        .withColumn("f7", lag(col("s"), 7).over(w))
+        .filter(col("f1").isNotNull && col("f7").isNotNull)
+        .select(col("event_type"),
+          expr("abs(s - f1)").as("e1"), expr("abs(s - f7)").as("e7"),
+          expr("CASE WHEN s + f1 > 0 THEN (abs(s - f1) * 2000000) DIV (s + f1) END").as("sm1"),
+          expr("CASE WHEN s + f7 > 0 THEN (abs(s - f7) * 2000000) DIV (s + f7) END").as("sm7"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("CAST(SUM(e1) AS BIGINT) DIV count(1)").as("mae_naive_c"),
+          expr("CAST(SUM(e7) AS BIGINT) DIV count(1)").as("mae_snaive_c"),
+          expr("CASE WHEN count(sm1) > 0 THEN CAST(SUM(sm1) AS BIGINT) DIV count(sm1) END")
+            .as("smape_naive_micro"),
+          expr("CASE WHEN count(sm7) > 0 THEN CAST(SUM(sm7) AS BIGINT) DIV count(sm7) END")
+            .as("smape_snaive_micro"))
+        .orderBy(col("event_type"))
+    }),
+
+    // EMPIRICAL-BAYES CTR smoothing (additive smoothing toward the
+    // empirical prior mean, K = 100 pseudo-views — the
+    // beta-binomial's fixed-strength special case): a rare item's
+    // raw click-through rate is noise; shrinking it toward the
+    // global rate by exactly K pseudo-observations is the standard
+    // ranking-feature repair. item = the props k payload. All
+    // arithmetic exact micro-unit BIGINT (global mean via truncating
+    // div, shrunk = (c·1e6 + K·gm) DIV (v + K)) — the smoothed rate
+    // is bit-stable however the item grain shuffles. One
+    // (item)-grain aggregate + a broadcast 1-row global.
+    "q_ctr_smoothing" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("item"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("ic"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("iv"))
+      val items = ev.groupBy(col("item"))
+        .agg(sum(col("ic")).as("clicks"), sum(col("iv")).as("views"))
+      val g = ev.agg(sum(col("ic")).as("tc"), sum(col("iv")).as("tv"))
+        .select(expr("(tc * 1000000) DIV tv").as("gm_micro"))
+      items.crossJoin(broadcast(g))
+        .select(col("item"), col("views"), col("clicks"),
+          expr("CASE WHEN views > 0 THEN (clicks * 1000000) DIV views END").as("raw_micro"),
+          expr("(clicks * 1000000 + 100 * gm_micro) DIV (views + 100)").as("shrunk_micro"))
+        .orderBy(col("item"))
+    }),
+
     "q_funnel" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("event_type"))
       val s1 = ev.filter(col("event_type") === "view")
@@ -1463,6 +1560,71 @@ object RelationalExt {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS pid, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS cid, epoch_us(ts) AS cus,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS channel
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT pid, channel, cus, cid
+        |  FROM p JOIN c USING (user_id)
+        |  WHERE cus < pus AND cus >= pus - 86400000000),
+        |r AS (
+        |  SELECT pid, channel,
+        |    CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS nclk,
+        |    row_number() OVER (PARTITION BY pid ORDER BY cus DESC, cid DESC) AS rn
+        |  FROM j)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_clicks,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+        |  CAST(SUM(1000000 // nclk) AS BIGINT) AS linear_micro
+        |FROM r GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q_forecast_eval" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, s,
+        |    lag(s, 1) OVER (PARTITION BY event_type ORDER BY day) AS f1,
+        |    lag(s, 7) OVER (PARTITION BY event_type ORDER BY day) AS f7
+        |  FROM daily),
+        |e AS (
+        |  SELECT event_type, abs(s - f1) AS e1, abs(s - f7) AS e7,
+        |    CASE WHEN s + f1 > 0 THEN (abs(s - f1) * 2000000) // (s + f1) END AS sm1,
+        |    CASE WHEN s + f7 > 0 THEN (abs(s - f7) * 2000000) // (s + f7) END AS sm7
+        |  FROM l WHERE f1 IS NOT NULL AND f7 IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(e1) AS BIGINT) // count(*) AS mae_naive_c,
+        |  CAST(SUM(e7) AS BIGINT) // count(*) AS mae_snaive_c,
+        |  CASE WHEN count(sm1) > 0
+        |    THEN CAST(SUM(sm1) AS BIGINT) // count(sm1) END AS smape_naive_micro,
+        |  CASE WHEN count(sm7) > 0
+        |    THEN CAST(SUM(sm7) AS BIGINT) // count(sm7) END AS smape_snaive_micro
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_ctr_smoothing" ->
+      """WITH ev AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ic,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS iv
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |items AS (
+        |  SELECT item, CAST(SUM(ic) AS BIGINT) AS clicks,
+        |    CAST(SUM(iv) AS BIGINT) AS views
+        |  FROM ev GROUP BY item),
+        |g AS (
+        |  SELECT (CAST(SUM(ic) AS BIGINT) * 1000000) // CAST(SUM(iv) AS BIGINT)
+        |    AS gm_micro
+        |  FROM ev)
+        |SELECT item, views, clicks,
+        |  CASE WHEN views > 0 THEN (clicks * 1000000) // views END AS raw_micro,
+        |  (clicks * 1000000 + 100 * gm_micro) // (views + 100) AS shrunk_micro
+        |FROM items, g ORDER BY item""".stripMargin,
+
     "q_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, MIN(event_id) AS e1 FROM events

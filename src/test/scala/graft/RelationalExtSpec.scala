@@ -547,4 +547,53 @@ class RelationalExtSpec extends SparkSpec {
       assert(gotAlarms == alarms, s"$et: serial alarms $alarms vs window $gotAlarms")
     }
   }
+
+  test("q_attribution: last-touch counts purchases once, linear credit conserves per purchase") {
+    val rows = RelationalExt.queries("q_attribution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val attributed = Tables.events(spark, sf).createOrReplaceTempView("ev_attr")
+    val nAttr = spark.sql(
+      """SELECT count(DISTINCT p.event_id) FROM ev_attr p JOIN ev_attr c
+        |ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        |AND c.event_type = 'click' AND unix_micros(c.ts) < unix_micros(p.ts)
+        |AND unix_micros(c.ts) >= unix_micros(p.ts) - 86400000000""".stripMargin)
+      .collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_last")).sum === nAttr,
+      "every attributed purchase has exactly one last-touch channel")
+    // linear credit: 1e6 per purchase minus truncation dust (< nclk micro each)
+    val lin = rows.map(_.getAs[Long]("linear_micro")).sum
+    assert(lin <= nAttr * 1000000L && lin > nAttr * 999000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("linear_micro") <= r.getAs[Long]("n_clicks") * 1000000L)
+    }
+  }
+
+  test("q_forecast_eval: errors nonnegative, sMAPE within its [0, 2e6] range") {
+    val rows = RelationalExt.queries("q_forecast_eval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_days") > 0L)
+      assert(r.getAs[Long]("mae_naive_c") >= 0L && r.getAs[Long]("mae_snaive_c") >= 0L)
+      Seq("smape_naive_micro", "smape_snaive_micro").foreach { cname =>
+        if (!r.isNullAt(r.fieldIndex(cname))) {
+          val v = r.getAs[Long](cname)
+          assert(v >= 0L && v <= 2000000L, s"$cname out of range: $v")
+        }
+      }
+    }
+  }
+
+  test("q_ctr_smoothing: shrunk rate lies between the raw rate and the prior mean") {
+    val rows = RelationalExt.queries("q_ctr_smoothing")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf).filter(col("event_type").isin("click", "view"))
+    val tc = ev.filter(col("event_type") === "click").count()
+    val tv = ev.filter(col("event_type") === "view").count()
+    val gm = tc * 1000000L / tv
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val raw = r.getAs[Long]("raw_micro"); val sh = r.getAs[Long]("shrunk_micro")
+      val lo = math.min(raw, gm) - 1L; val hi = math.max(raw, gm) + 1L
+      assert(sh >= lo && sh <= hi, s"item ${r.getAs[Long]("item")}: $sh outside [$lo, $hi]")
+    }
+  }
 }
