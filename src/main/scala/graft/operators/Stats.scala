@@ -328,6 +328,131 @@ object Stats {
         .orderBy(col("event_type"))
     }),
 
+    // SEASONALITY STRENGTH via weekday variance decomposition
+    // (Hyndman's STL-strength measure specialized to the weekly
+    // period): 1 − SSW/SST, where SSW pools the within-weekday
+    // variation — 0 means weekday explains nothing, →1 means the
+    // series is pure weekly rhythm. The gate that decides whether
+    // q_forecast_eval's seasonal-naive baseline (and q_seasonal's
+    // decomposition) is even worth running. Exactness: daily sums
+    // are exact cents; per-weekday scatter (n_w·Σs² − (Σs)²)/n_w is
+    // the only rational — it snaps to an integer immediately
+    // (floor(x + 0.5) of a double computed from exact ints in
+    // identical text), so the Σ over weekdays is exact and the one
+    // final division is reproducible. Day grain throughout.
+    "q_season_strength" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc"))
+        .groupBy(col("event_type"), col("day")).agg(sum(col("vc")).as("s"))
+        .withColumn("wd", expr("day % 7"))
+      val byWd = daily.groupBy(col("event_type"), col("wd"))
+        .agg(count(lit(1)).as("nw"), sum(col("s")).as("ssw"),
+          sum(expr("s * s")).as("ssqw"))
+        .withColumn("scatter", expr(
+          """CAST(floor((CAST(nw AS DOUBLE) * ssqw - CAST(ssw AS DOUBLE) * ssw)
+            |  / nw + 0.5) AS BIGINT)""".stripMargin))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("s")).as("ss"),
+          sum(expr("s * s")).as("ssq"))
+      byWd.groupBy(col("event_type"))
+        .agg(sum(col("scatter")).as("ssw_c2"), count(lit(1)).as("n_weekdays"))
+        .join(tot, Seq("event_type"))
+        .select(col("event_type"), col("n").as("n_days"), col("n_weekdays"),
+          round(expr(
+            """1.0 - CAST(ssw_c2 AS DOUBLE)
+              |  / ((CAST(n AS DOUBLE) * ssq - CAST(ss AS DOUBLE) * ss) / n)""".stripMargin), 4)
+            .as("strength"))
+        .orderBy(col("event_type"))
+    }),
+
+    // GENERALIZED-ESD-style outlier report (Rosner 1983's repeated
+    // Grubbs scan, reported as evidence rather than a formal test):
+    // 3 unrolled rounds per event type — flag the day furthest from
+    // the CURRENT mean, remove it, re-estimate, repeat — so a second
+    // outlier can't mask behind a first (the failure mode of the
+    // single-pass q_anomaly_mad z-scan, which this complements).
+    // Day-grain throughout; each round is one moment aggregate + one
+    // deterministic argmax (z ranked on doubles computed from exact
+    // integer moments in identical text, days tie-break); the
+    // 3-round unroll is a fixed plan, no driver loop.
+    "q_esd_outliers" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc"))
+        .groupBy(col("event_type"), col("day")).agg(sum(col("vc")).as("s"))
+        .localCheckpoint()
+      def round1(df: DataFrame, idx: Int): (DataFrame, DataFrame) = {
+        val st = df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("s")).as("ss"), sum(expr("s * s")).as("ssq"))
+        val z = df.join(st, Seq("event_type"))
+          .withColumn("zval", expr(
+            """abs(CAST(s AS DOUBLE) - CAST(ss AS DOUBLE) / n)
+              | / sqrt((CAST(n AS DOUBLE) * ssq - CAST(ss AS DOUBLE) * ss)
+              |        / (CAST(n AS DOUBLE) * (n - 1)))""".stripMargin))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("zval").desc, col("day"))))
+        val hit = z.filter(col("rn") === 1)
+          .select(col("event_type"), lit(idx.toLong).as("round"), col("day"),
+            col("s").as("value_c"), round(col("zval"), 4).as("z"))
+        val rest = z.filter(col("rn") =!= 1).select(col("event_type"), col("day"), col("s"))
+        (hit, rest)
+      }
+      val (h1, r1) = round1(daily, 1)
+      val (h2, r2) = round1(r1, 2)
+      val (h3, _) = round1(r2, 3)
+      h1.unionAll(h2).unionAll(h3).orderBy(col("event_type"), col("round"))
+    }),
+
+    // OFFLINE POLICY REPLAY (Li et al. 2011's replay estimator,
+    // uniform-logging special case) — evaluate "per user-context,
+    // always show the best arm" WITHOUT an online test: the
+    // estimator keeps exactly the logged impressions whose arm
+    // matches the policy's choice and averages their rewards.
+    // Impressions are views of an item (arm = item % 10), reward is
+    // a same-user same-item click within 30 min (a user-keyed join +
+    // impression-id distinct, so multi-click users reward once and
+    // the plan never widens past the user grain), context is the
+    // user hash tier. Per-(context, arm) rates are exact micro; the
+    // policy argmax ranks exact integers (ties to the lower arm);
+    // output is one row per context — replay estimate vs the
+    // logged-baseline rate, both exact.
+    "q_policy_replay" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val imp = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("vid"),
+          expr("unix_micros(ts)").as("vus"),
+          expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("item"))
+        .withColumn("arm", col("item") % 10)
+        .withColumn("ctx", col("user_id") % 3)
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("user_id"),
+          expr("unix_micros(ts)").as("cus"),
+          expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("item"))
+      // windowed reward: join then distinct on the impression id so a
+      // multi-click (user, item) still rewards the impression once
+      val rew = imp.join(clk, Seq("user_id", "item"))
+        .filter(col("cus") > col("vus") && col("cus") <= col("vus") + lit(1800000000L))
+        .select(col("vid")).distinct().withColumn("r", lit(1L))
+      val scored = imp.join(rew, Seq("vid"), "left")
+        .na.fill(0L, Seq("r"))
+      val cells = scored.groupBy(col("ctx"), col("arm"))
+        .agg(count(lit(1)).as("n_imp"), sum(col("r")).as("n_rew"))
+        .withColumn("rate_micro", expr("(n_rew * 1000000) DIV n_imp"))
+      val best = cells.withColumn("rn", row_number().over(
+          Window.partitionBy(col("ctx")).orderBy(col("rate_micro").desc, col("arm"))))
+        .filter(col("rn") === 1)
+        .select(col("ctx"), col("arm").as("best_arm"), col("n_imp").as("n_matched"),
+          col("rate_micro").as("replay_micro"))
+      val base = scored.groupBy(col("ctx"))
+        .agg(count(lit(1)).as("n_all"), sum(col("r")).as("r_all"))
+        .withColumn("baseline_micro", expr("(r_all * 1000000) DIV n_all"))
+        .select(col("ctx"), col("n_all"), col("baseline_micro"))
+      best.join(base, Seq("ctx")).orderBy(col("ctx"))
+    }),
+
     // DYNAMIC TIME WARPING distance (Sakoe & Chiba 1978) between the
     // click and view daily series — the NONLINEAR alignment partner
     // of q_crosscorr (which only tests rigid lags): DTW charges
@@ -688,6 +813,107 @@ object Stats {
         |SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n,
         |  round(corr(x, y), 4) AS ccf
         |FROM j GROUP BY lag ORDER BY lag""".stripMargin,
+
+    "q_season_strength" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events GROUP BY 1, 2),
+        |wd AS (
+        |  SELECT event_type, day % 7 AS wd,
+        |    CAST(count(*) AS BIGINT) AS nw, CAST(SUM(s) AS BIGINT) AS ssw,
+        |    CAST(SUM(s * s) AS BIGINT) AS ssqw
+        |  FROM daily GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT event_type,
+        |    CAST(floor((CAST(nw AS DOUBLE) * ssqw - CAST(ssw AS DOUBLE) * ssw)
+        |      / nw + 0.5) AS BIGINT) AS scatter
+        |  FROM wd),
+        |agg_ AS (
+        |  SELECT event_type, CAST(SUM(scatter) AS BIGINT) AS ssw_c2,
+        |    CAST(count(*) AS BIGINT) AS n_weekdays
+        |  FROM sc GROUP BY event_type),
+        |tot AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(s) AS BIGINT) AS ss, CAST(SUM(s * s) AS BIGINT) AS ssq
+        |  FROM daily GROUP BY event_type)
+        |SELECT agg_.event_type AS event_type, n AS n_days, n_weekdays,
+        |  round(1.0 - CAST(ssw_c2 AS DOUBLE)
+        |    / ((CAST(n AS DOUBLE) * ssq - CAST(ss AS DOUBLE) * ss) / n), 4) AS strength
+        |FROM agg_ JOIN tot ON agg_.event_type = tot.event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_esd_outliers" -> {
+      def rnd(src: String, idx: Int, hit: String, rest: String): String =
+        s"""st$idx AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(SUM(s) AS BIGINT) AS ss, CAST(SUM(s * s) AS BIGINT) AS ssq
+           |  FROM $src GROUP BY event_type),
+           |z$idx AS (
+           |  SELECT $src.event_type AS event_type, day, s,
+           |    abs(CAST(s AS DOUBLE) - CAST(ss AS DOUBLE) / n)
+           |      / sqrt((CAST(n AS DOUBLE) * ssq - CAST(ss AS DOUBLE) * ss)
+           |             / (CAST(n AS DOUBLE) * (n - 1))) AS zval
+           |  FROM $src JOIN st$idx ON $src.event_type = st$idx.event_type),
+           |r$idx AS (
+           |  SELECT event_type, day, s, zval,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY zval DESC, day) AS rn
+           |  FROM z$idx),
+           |$hit AS (
+           |  SELECT event_type, CAST($idx AS BIGINT) AS round, day,
+           |    s AS value_c, round(zval, 4) AS z
+           |  FROM r$idx WHERE rn = 1),
+           |$rest AS (SELECT event_type, day, s FROM r$idx WHERE rn <> 1)""".stripMargin
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+         |  FROM events GROUP BY 1, 2),
+         |${rnd("daily", 1, "h1", "d2")},
+         |${rnd("d2", 2, "h2", "d3")},
+         |${rnd("d3", 3, "h3", "d4")}
+         |SELECT * FROM (
+         |  SELECT * FROM h1 UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+         |ORDER BY event_type, round""".stripMargin
+    },
+
+    "q_policy_replay" ->
+      """WITH imp AS (
+        |  SELECT user_id, event_id AS vid, epoch_us(ts) AS vus,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS arm,
+        |    user_id % 3 AS ctx
+        |  FROM events WHERE event_type = 'view'),
+        |clk AS (
+        |  SELECT user_id, epoch_us(ts) AS cus,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'click'),
+        |rew AS (
+        |  SELECT DISTINCT vid
+        |  FROM imp JOIN clk USING (user_id, item)
+        |  WHERE cus > vus AND cus <= vus + 1800000000),
+        |scored AS (
+        |  SELECT imp.ctx, imp.arm,
+        |    CASE WHEN rew.vid IS NOT NULL THEN 1 ELSE 0 END AS r
+        |  FROM imp LEFT JOIN rew ON imp.vid = rew.vid),
+        |cells AS (
+        |  SELECT ctx, arm, CAST(count(*) AS BIGINT) AS n_imp,
+        |    CAST(SUM(r) AS BIGINT) AS n_rew
+        |  FROM scored GROUP BY 1, 2),
+        |best AS (
+        |  SELECT ctx, arm AS best_arm, n_imp AS n_matched,
+        |    (n_rew * 1000000) // n_imp AS replay_micro
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY ctx
+        |          ORDER BY (n_rew * 1000000) // n_imp DESC, arm) AS rn
+        |        FROM cells)
+        |  WHERE rn = 1),
+        |base AS (
+        |  SELECT ctx, CAST(count(*) AS BIGINT) AS n_all,
+        |    (CAST(SUM(r) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+        |      AS baseline_micro
+        |  FROM scored GROUP BY ctx)
+        |SELECT ctx, best_arm, n_matched, replay_micro, n_all, baseline_micro
+        |FROM best JOIN base USING (ctx) ORDER BY ctx""".stripMargin,
 
     // Oracle note: DuckDB 1.0's list_reduce reuses the accumulator
     // buffer in place, so a struct state whose 'd2' copies the old

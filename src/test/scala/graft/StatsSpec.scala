@@ -230,6 +230,40 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_season_strength: bounded above by 1, weekday partition valid") {
+    val rows = Stats.queries("q_season_strength")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("strength") <= 1.0 + 1e-9)
+      val nw = r.getAs[Long]("n_weekdays")
+      assert(nw >= 1L && nw <= 7L)
+      assert(r.getAs[Long]("n_days") >= nw)
+    }
+  }
+
+  test("q_esd_outliers: three distinct days per type, nonnegative z") {
+    val rows = Stats.queries("q_esd_outliers")(spark, sf).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (et, rs) =>
+      assert(rs.map(_.getAs[Long]("round")).sorted.toSeq === Seq(1L, 2L, 3L), et)
+      val days = rs.map(_.getAs[Long]("day"))
+      assert(days.distinct.length === 3, s"$et must flag distinct days")
+      rs.foreach(r => assert(r.getAs[Double]("z") >= 0.0))
+    }
+  }
+
+  test("q_policy_replay: the argmax policy never scores below the logged baseline") {
+    val rows = Stats.queries("q_policy_replay")(spark, sf).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("replay_micro") >= r.getAs[Long]("baseline_micro"),
+        s"ctx ${r.getAs[Long]("ctx")}: best-arm rate must dominate the average")
+      assert(r.getAs[Long]("n_matched") <= r.getAs[Long]("n_all"))
+      val arm = r.getAs[Long]("best_arm")
+      assert(arm >= 0L && arm < 10L)
+    }
+  }
+
   test("q_dtw matches a naive full-matrix DP replay") {
     val r = Stats.queries("q_dtw")(spark, sf).collect().head
     val (n, m, dtw) = (r.getAs[Long]("n"), r.getAs[Long]("m"), r.getAs[Long]("dtw_cents"))
