@@ -309,6 +309,69 @@ object Audit {
         .limit(20)
     }),
 
+    // DISTINCTIVE TERMS per source via log-odds with an informed
+    // Dirichlet prior (Monroe, Colaresi & Quinn 2008 — "Fightin'
+    // Words"): raw log-odds overweights rare tokens and raw frequency
+    // overweights stopwords; the informed prior (α_w ∝ global
+    // frequency, α₀ = 1000 pseudo-tokens) fixes both, and the
+    // variance-standardized z ranks what actually CHARACTERIZES a
+    // source — the domain-profiling audit run before mixing sources.
+    // Shape: one (source, token)-grain count + a broadcast token-
+    // grain global; z is computed in identical-text doubles from
+    // exact BIGINT counts (the ln/sqrt args are exact-integer
+    // rationals widened identically), ranked per source with token
+    // tie-break, rank ≤ 3 cut pruned map-side by WindowGroupLimit.
+    "q_log_odds" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+      val bySrc = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("y"))
+      val glob = tok.groupBy(col("t")).agg(count(lit(1)).as("yw"))
+      val totals = tok.agg(count(lit(1)).as("nn"))
+      val srcTot = tok.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      val z =
+        """(ln((y + aw) / (ns + 1000.0 - y - aw))
+          | - ln((yw - y + aw) / (nn - ns + 1000.0 - (yw - y) - aw)))
+          | / sqrt(1.0 / (y + aw) + 1.0 / (yw - y + aw))""".stripMargin
+      bySrc.join(glob, Seq("t")).join(srcTot, Seq("source"))
+        .crossJoin(broadcast(totals))
+        .withColumn("aw", expr("CAST(yw AS DOUBLE) * 1000.0 / nn"))
+        .withColumn("z", expr(z))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("z").desc, col("t"))))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("rn").cast("long").as("rank"), col("t").as("term"),
+          col("y"), col("yw"), round(col("z"), 4).as("z"))
+        .orderBy(col("source"), col("rank"))
+    }),
+
+    // PER-DIMENSION VARIANCE audit of the embedding space — the
+    // evidence q_mrl_recall's truncation gamble rests on: matryoshka
+    // prefixes only work if variance is front-loaded, and this op
+    // measures exactly that (per-dim scatter Σ(q−μ)², its share of
+    // total, and the cumulative share in dim order). All exact
+    // BIGINT on the QuantTok grid: (n·Σq² − (Σq)²) DIV n per dim —
+    // the DIV-n normalization keeps the ×10⁶ share product inside
+    // 2⁶³ at any corpus size — micro shares by truncating division,
+    // the 64-row cumulative window. One (dim)-grain aggregate over
+    // the posexploded corpus.
+    "q_dim_variance" -> ((s, d) => {
+      val dims = graft.Tables.embeddings(s, d)
+        .select(posexplode(expr(Learn.QuantTok)).as(Seq("dim", "qv")))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("qv")).as("sq"),
+          sum(expr("qv * qv")).as("sqq"))
+        .withColumn("var_s", expr("(n * sqq - sq * sq) DIV n"))
+      val tot = dims.agg(sum(col("var_s")).as("tv"))
+      dims.crossJoin(broadcast(tot))
+        .withColumn("share_micro", expr("(var_s * 1000000) DIV tv"))
+        .withColumn("cum_share_micro", sum(col("share_micro")).over(
+          Window.orderBy(col("dim"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("dim"), col("var_s"), col("share_micro"), col("cum_share_micro"))
+        .orderBy(col("dim"))
+    }),
+
     // PREFERENCE-PAIR construction — the DPO/RLHF data-prep step: per
     // (lang, length-bucket) stratum, pair the highest-scoring document
     // (chosen) against the lowest (rejected), score = lexical
@@ -560,6 +623,53 @@ object Audit {
         |  (n * 1000000) // n_out AS accept_micro
         |FROM per WHERE rn = 1
         |ORDER BY n_out DESC, src LIMIT 20""".stripMargin,
+
+    "q_log_odds" ->
+      """WITH tok AS (
+        |  SELECT source, t
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) > 0),
+        |bysrc AS (
+        |  SELECT source, t, CAST(count(*) AS BIGINT) AS y FROM tok GROUP BY 1, 2),
+        |gtok AS (SELECT t, CAST(count(*) AS BIGINT) AS yw FROM tok GROUP BY t),
+        |totals AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tok),
+        |srctot AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS ns FROM tok GROUP BY source),
+        |zt AS (
+        |  SELECT source, t, y, yw, ns, nn,
+        |    CAST(yw AS DOUBLE) * 1000.0 / nn AS aw
+        |  FROM bysrc JOIN gtok USING (t) JOIN srctot USING (source), totals),
+        |zz AS (
+        |  SELECT source, t, y, yw,
+        |    (ln((y + aw) / (ns + 1000.0 - y - aw))
+        |     - ln((yw - y + aw) / (nn - ns + 1000.0 - (yw - y) - aw)))
+        |     / sqrt(1.0 / (y + aw) + 1.0 / (yw - y + aw)) AS z
+        |  FROM zt),
+        |rk AS (
+        |  SELECT source, t, y, yw, z,
+        |    row_number() OVER (PARTITION BY source ORDER BY z DESC, t) AS rn
+        |  FROM zz)
+        |SELECT source, CAST(rn AS BIGINT) AS rank, t AS term, y, yw,
+        |  round(z, 4) AS z
+        |FROM rk WHERE rn <= 3 ORDER BY source, rank""".stripMargin,
+
+    "q_dim_variance" ->
+      """WITH q AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |    unnest(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS qv
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(qv) AS BIGINT) AS sq, CAST(SUM(qv * qv) AS BIGINT) AS sqq
+        |  FROM q GROUP BY dim),
+        |dd AS (SELECT dim, (n * sqq - sq * sq) // n AS var_s FROM dims),
+        |tot AS (SELECT CAST(SUM(var_s) AS BIGINT) AS tv FROM dd)
+        |SELECT dim, var_s, (var_s * 1000000) // tv AS share_micro,
+        |  CAST(SUM((var_s * 1000000) // tv) OVER (ORDER BY dim
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_share_micro
+        |FROM dd, tot ORDER BY dim""".stripMargin,
 
     "q_pref_pairs" ->
       """WITH scored AS (

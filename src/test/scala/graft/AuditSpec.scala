@@ -101,6 +101,35 @@ class AuditSpec extends SparkSpec {
     assert(keys.distinct.length === keys.length)
   }
 
+  test("q_log_odds: three ranked terms per source, z finite, counts consistent") {
+    val rows = Audit.queries("q_log_odds")(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq === Seq(1L, 2L, 3L), src)
+      rs.foreach { r =>
+        assert(!r.getAs[Double]("z").isNaN && !r.getAs[Double]("z").isInfinite)
+        assert(r.getAs[Long]("y") <= r.getAs[Long]("yw"),
+          "source count cannot exceed the global count")
+      }
+      // within a source the z ranking is non-increasing
+      val zs = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("z"))
+      assert(zs.zip(zs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q_dim_variance: shares partition ~1e6 and the cumulative ends at their sum") {
+    val rows = Audit.queries("q_dim_variance")(spark, sf).collect()
+      .sortBy(_.getAs[Int]("dim"))
+    assert(rows.length === 64)
+    val shares = rows.map(_.getAs[Long]("share_micro"))
+    assert(shares.forall(s => s >= 0L && s <= 1000000L))
+    // truncating DIV loses < 1 micro per dim
+    assert(shares.sum <= 1000000L && shares.sum >= 1000000L - 64L)
+    assert(rows.last.getAs[Long]("cum_share_micro") === shares.sum)
+    rows.foreach(r => assert(r.getAs[Long]("var_s") >= 0L))
+  }
+
   test("q_entropy_rate matches a naive transition-entropy replay and bounds") {
     val r = Audit.queries("q_entropy_rate")(spark, sf).collect().head
     val h = r.getAs[Double]("h_bits")
