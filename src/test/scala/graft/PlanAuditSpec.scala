@@ -887,4 +887,59 @@ class PlanAuditSpec extends SparkSpec {
     assert(rawScans == 0,
       s"spans must come from the materialized checkpoint, saw $rawScans raw event scans:\n" + p.take(1500))
   }
+
+  private def executedPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+  }
+
+  test("audit-bank rank cuts are WindowGroupLimit-pruned map-side") {
+    // q_pref_pairs (rank-1 best/worst), q_spec_accept (argmax
+    // continuation), q_log_odds (top-3 terms), q_mrl_recall (rank-10
+    // cut): each claims its rank window never ships full groups — a
+    // regression to a full-partition window ships every token/vector
+    // of every hot group at 100 TB.
+    Seq(
+      graft.operators.Audit.queries("q_pref_pairs"),
+      graft.operators.Audit.queries("q_spec_accept"),
+      graft.operators.Audit.queries("q_log_odds"),
+      graft.operators.SimSearch.queries("q_mrl_recall")
+    ).zip(Seq("q_pref_pairs", "q_spec_accept", "q_log_odds", "q_mrl_recall"))
+      .foreach { case (q, name) =>
+        val p = executedPlanOf(q(spark, sf))
+        assert(p.contains("WindowGroupLimit"),
+          s"$name lost the map-side rank prune:\n" + p.take(1500))
+      }
+  }
+
+  test("q_dtw: the DP is one aggregate over the calendar-grain row — no corpus-side join") {
+    val p = executedPlanOf(graft.operators.Stats.queries("q_dtw")(spark, sf))
+    // the wavefront fold must appear as a plain expression, and the
+    // only joins allowed are the calendar-spine left join
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("aggregate("), "wavefront fold expression missing:\n" + p.take(1500))
+    val sorts = p.linesIterator.count(_.contains("Sort ["))
+    assert(sorts <= 4, s"unexpected sort population ($sorts) — DP must not sort the corpus:\n" + p.take(1500))
+  }
+
+  test("q_js_drift / q_mmd_drift: token- and dim-grain aggregates are partial+final") {
+    Seq("q_js_drift" -> graft.operators.Audit.queries("q_js_drift"),
+      "q_mmd_drift" -> graft.operators.Audit.queries("q_mmd_drift")).foreach {
+      case (name, q) =>
+        val p = executedPlanOf(q(spark, sf))
+        assert(p.contains("partial_"),
+          s"$name lost map-side combine (full rows to the reducer at scale):\n" + p.take(1500))
+    }
+  }
+
+  test("q_attribution: purchase×click join stays user-keyed (no cartesian, no corpus sort)") {
+    val p = executedPlanOf(
+      graft.operators.RelationalExt.queries("q_attribution")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("user_id"), p.take(800))
+  }
 }
