@@ -335,6 +335,116 @@ object Learn {
           round(expr("CAST(ob AS DOUBLE) * (1000000 - ob) / 1e12"), 6).as("unc"))
     }),
 
+    // LOGISTIC-REGRESSION training by gradient descent — two
+    // unrolled full-batch GD steps fitting P(en | score) on the
+    // hashed-classifier feature (the calibration-by-refit companion
+    // to q_isotonic's nonparametric repair): w, b carried in exact
+    // e12 fixed point; each step is ONE partial+final aggregate of
+    // per-row gradient contributions that SNAP to the e6 grid before
+    // summing (u = ⌊(y − σ(z))·10⁶ + 0.5⌋ — σ's doubles are
+    // identical-text functions of exact integers, so u is
+    // deterministic and the gradient sum is exact integer — the
+    // discipline that makes distributed float training replayable);
+    // η = 1e-10 folds into the unit change (Δw_e12 = Σx·u DIV
+    // (n·10⁴)) — sized so η·E[x²] < 1 for the milli-unit feature
+    // (a 1e-6 step overshoots by ~10⁴ and the loss explodes).
+    // Step 1's σ(0) = 0.5 is exact, so the first gradient needs no
+    // special case. A third aggregate reports mean log-loss. At
+    // 100 TB: three map-only scans, state is two BIGINTs.
+    "q_logreg_gd" -> ((s, d) => {
+      val warr = weights.mkString("array(", "L,", "L)")
+      val sdiv = (x: String, y: String) =>
+        s"(CASE WHEN ($x) >= 0 THEN ($x) DIV ($y) ELSE -((-($x)) DIV ($y)) END)"
+      val scored = Tables.documents(s, d)
+        .withColumn("sc", expr(
+          s"aggregate(split(text, ' '), 0L, (acc, t) -> " +
+            s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
+        .select(expr("greatest(least(sc, 127999L), -128000L)").as("x"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val u =
+        """CAST(floor((y - 1.0 / (1.0 + exp(-(CAST(b_e12 + w_e12 * x AS DOUBLE) / 1e12))))
+          |  * 1000000 + 0.5) AS BIGINT)""".stripMargin
+      val state0 = s.range(1).select(lit(0L).as("w_e12"), lit(0L).as("b_e12"))
+      def step(st: DataFrame): DataFrame =
+        scored.crossJoin(broadcast(st))
+          .withColumn("u", expr(u))
+          .agg(sum(expr("x * u")).as("gx"), sum(col("u")).as("gu"),
+            count(lit(1)).as("n"), max(col("w_e12")).as("w0"), max(col("b_e12")).as("b0"))
+          .select(expr(s"w0 + ${sdiv("gx", "n * 10000")}").as("w_e12"),
+            expr(s"b0 + ${sdiv("gu", "n * 10000")}").as("b_e12"))
+      val state2 = step(step(state0))
+      scored.crossJoin(broadcast(state2))
+        .withColumn("p", expr(
+          "1.0 / (1.0 + exp(-(CAST(b_e12 + w_e12 * x AS DOUBLE) / 1e12)))"))
+        .withColumn("l_e6", expr(
+          "CAST(floor(-(y * ln(p) + (1 - y) * ln(1.0 - p)) * 1000000 + 0.5) AS BIGINT)"))
+        .agg(count(lit(1)).as("n"), max(col("w_e12")).as("w_e12"),
+          max(col("b_e12")).as("b_e12"), sum(col("l_e6")).as("sl"))
+        .select(col("n"), col("w_e12"), col("b_e12"),
+          expr("sl DIV n").as("loss_micro"))
+    }),
+
+    // NAIVE BAYES language classifier — TRAINED, APPLIED and SCORED
+    // entirely on-engine (multinomial NB with Laplace smoothing, the
+    // fastText-predecessor baseline): train on the even-doc_id half,
+    // confusion matrix on the odd half, 5-way over the lang labels —
+    // the TRAINED counterpart of q_langid_trigram's heuristic (and a
+    // complete supervised train→predict→eval loop as one declarative
+    // plan). Exactness: every log-prob is ln of a ratio of exact
+    // BIGINTs ((c+1)/(T_cls+V)) snapped to the e6 grid at the
+    // (token, class) grain, so per-doc scores are exact integer sums
+    // and the argmax is an integer comparison (ties → lexicographic
+    // class, stated). Scale shape: the model is a (token)-grain
+    // table joined to eval tokens on the token key (the q_lm_score
+    // hint-free posture — broadcast at fixture scale, shuffle join
+    // at web scale); class totals/priors are a broadcast 1-row;
+    // nothing ever materializes at (doc × vocab) grain.
+    "q_naive_bayes" -> ((s, d) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+      val train = tok.filter(col("doc_id") % 2 === 0)
+      val modelCols = langs.map(l =>
+        sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l"))
+      val model = train.groupBy(col("t")).agg(modelCols.head, modelCols.tail: _*)
+      val totalCols =
+        langs.map(l => sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"t_$l")) :+
+          countDistinct(col("t")).as("v")
+      val totals = train.agg(totalCols.head, totalCols.tail: _*)
+      val docsTrain = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+      val priorCols =
+        langs.map(l => sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"n_$l")) :+
+          count(lit(1)).as("nd")
+      val priors = docsTrain.agg(priorCols.head, priorCols.tail: _*)
+      val evalTok = tok.filter(col("doc_id") % 2 === 1)
+      val scoredTok = evalTok
+        .join(model, Seq("t"), "left")
+        .crossJoin(broadcast(totals))
+      val perDocCols = langs.map(l =>
+        sum(expr(
+          s"CAST(floor(ln(CAST(coalesce(c_$l, 0L) + 1 AS DOUBLE) / CAST(t_$l + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"))
+          .as(s"s_$l"))
+      val perDoc = scoredTok.groupBy(col("doc_id"), col("lang"))
+        .agg(perDocCols.head, perDocCols.tail: _*)
+        .crossJoin(broadcast(priors))
+      val withScores = langs.foldLeft(perDoc) { (df, l) =>
+        df.withColumn(s"sc_$l", expr(
+          s"s_$l + CAST(floor(ln(CAST(n_$l AS DOUBLE) / CAST(nd AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"))
+      }
+      val stacked = withScores.select(col("doc_id"), col("lang").as("true_lang"),
+        expr("stack(5, " +
+          langs.map(l => s"'$l', sc_$l").mkString(", ") + ") AS (cls, score)"))
+      stacked
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("cls"))))
+        .filter(col("rn") === 1)
+        .groupBy(col("true_lang"), col("cls").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("true_lang"), col("pred_lang"))
+    }),
+
     // ISOTONIC calibration curve (Ayer et al. 1955; Zadrozny & Elkan
     // 2002 as the calibration recipe) — the nonparametric repair of
     // whatever miscalibration q_brier's REL term measures: fit the
@@ -1710,6 +1820,89 @@ object Learn {
          |  round(CAST(res_raw AS DOUBLE) / tn / 1e12, 6) AS res,
          |  round(CAST(ob AS DOUBLE) * (1000000 - ob) / 1e12, 6) AS unc
          |FROM agg_""".stripMargin,
+
+    "q_logreg_gd" -> {
+      val u =
+        """CAST(floor((y - 1.0 / (1.0 + exp(-(CAST(b0 + w0 * x AS DOUBLE) / 1e12))))
+          |    * 1000000 + 0.5) AS BIGINT)""".stripMargin
+      def stepCte(prev: String, name: String) =
+        s"""$name AS (
+           |  SELECT w0 + (CASE WHEN gx >= 0 THEN gx // (n * 10000) ELSE -((-gx) // (n * 10000)) END) AS w0,
+           |    b0 + (CASE WHEN gu >= 0 THEN gu // (n * 10000) ELSE -((-gu) // (n * 10000)) END) AS b0
+           |  FROM (
+           |    SELECT CAST(SUM(x * u) AS BIGINT) AS gx, CAST(SUM(u) AS BIGINT) AS gu,
+           |      CAST(count(*) AS BIGINT) AS n, max(w0) AS w0, max(b0) AS b0
+           |    FROM (SELECT x, y, w0, b0, $u AS u FROM scored, $prev)))""".stripMargin
+      s"""WITH scored AS (
+         |  SELECT greatest(least(CAST(list_sum(list_transform(string_split(text, ' '),
+         |      t -> (($duckBucket * 2654435761) % 1000003) % 2001 - 1000)) AS BIGINT),
+         |      127999), -128000) AS x,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |s0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS b0),
+         |${stepCte("s0", "s1")},
+         |${stepCte("s1", "s2")},
+         |fin AS (
+         |  SELECT x, y, w0 AS w_e12, b0 AS b_e12,
+         |    1.0 / (1.0 + exp(-(CAST(b0 + w0 * x AS DOUBLE) / 1e12))) AS p
+         |  FROM scored, s2)
+         |SELECT CAST(count(*) AS BIGINT) AS n, max(w_e12) AS w_e12,
+         |  max(b_e12) AS b_e12,
+         |  CAST(SUM(CAST(floor(-(y * ln(p) + (1 - y) * ln(1.0 - p)) * 1000000 + 0.5)
+         |    AS BIGINT)) AS BIGINT) // CAST(count(*) AS BIGINT) AS loss_micro
+         |FROM fin""".stripMargin
+    },
+
+    "q_naive_bayes" -> {
+      val L = Seq("de", "en", "es", "fr", "zh")
+      def cnt(col: String, l: String) =
+        s"CAST(SUM(CASE WHEN $col = '$l' THEN 1 ELSE 0 END) AS BIGINT)"
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, t
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+         |        FROM documents)
+         |  WHERE len(t) > 0),
+         |train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+         |model AS (
+         |  SELECT t, ${L.map(l => s"${cnt("lang", l)} AS c_$l").mkString(", ")}
+         |  FROM train GROUP BY t),
+         |totals AS (
+         |  SELECT ${L.map(l => s"${cnt("lang", l)} AS t_$l").mkString(", ")},
+         |    CAST(count(DISTINCT t) AS BIGINT) AS v
+         |  FROM train),
+         |priors AS (
+         |  SELECT ${L.map(l => s"${cnt("lang", l)} AS n_$l").mkString(", ")},
+         |    CAST(count(*) AS BIGINT) AS nd
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |evaltok AS (SELECT * FROM tok WHERE doc_id % 2 = 1),
+         |perdoc AS (
+         |  SELECT doc_id, lang,
+         |    ${L.map(l =>
+               s"""CAST(SUM(CAST(floor(ln(CAST(coalesce(c_$l, 0) + 1 AS DOUBLE)
+                  |      / CAST(t_$l + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s_$l""".stripMargin)
+              .mkString(",\n    ")}
+         |  FROM evaltok LEFT JOIN model USING (t), totals
+         |  GROUP BY doc_id, lang),
+         |ws AS (
+         |  SELECT doc_id, lang AS true_lang,
+         |    ${L.map(l =>
+               s"""s_$l + CAST(floor(ln(CAST(n_$l AS DOUBLE) / CAST(nd AS DOUBLE))
+                  |      * 1000000 + 0.5) AS BIGINT) AS sc_$l""".stripMargin)
+              .mkString(",\n    ")}
+         |  FROM perdoc, priors),
+         |st AS (
+         |  SELECT doc_id, true_lang,
+         |    unnest([${L.map(l => s"'$l'").mkString(", ")}]) AS cls,
+         |    unnest([${L.map(l => s"sc_$l").mkString(", ")}]) AS score
+         |  FROM ws),
+         |pred AS (
+         |  SELECT doc_id, true_lang, cls AS pred_lang FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, cls) AS rn FROM st)
+         |  WHERE rn = 1)
+         |SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "q_isotonic" ->
       s"""WITH scored AS (

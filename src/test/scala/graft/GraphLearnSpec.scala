@@ -1048,6 +1048,44 @@ class GraphLearnSpec extends SparkSpec {
     assert(r.getAs[Long]("rprec_micro") === rp * 1000000L / nPos)
   }
 
+  test("q_naive_bayes: confusion matrix partitions the eval half, labels well-formed") {
+    val langs = Set("de", "en", "es", "fr", "zh")
+    val rows = Learn.queries("q_naive_bayes")(spark, sf).collect()
+    val nEval = Tables.documents(spark, sf).filter(col("doc_id") % 2 === 1).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === nEval,
+      "every eval doc gets exactly one prediction")
+    rows.foreach { r =>
+      assert(langs.contains(r.getAs[String]("true_lang")))
+      assert(langs.contains(r.getAs[String]("pred_lang")))
+      assert(r.getAs[Long]("n") > 0L)
+    }
+  }
+
+  test("q_logreg_gd matches an independent Scala replay of the snapped GD trajectory") {
+    val r = Learn.queries("q_logreg_gd")(spark, sf).collect().head
+    val rows = Learn.queries("q_classifier_score")(spark, sf)
+      .select(expr("greatest(least(score_milli, 127999L), -128000L)").as("x"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .collect().map(rr => (rr.getLong(0), rr.getLong(1)))
+    def sdiv(a: Long, b: Long): Long = if (a >= 0) a / b else -((-a) / b)
+    var (w, b) = (0L, 0L)
+    val n = rows.length.toLong
+    (1 to 2).foreach { _ =>
+      var gx = 0L; var gu = 0L
+      rows.foreach { case (x, y) =>
+        val sig = 1.0 / (1.0 + math.exp(-((b + w * x).toDouble / 1e12)))
+        val u = math.floor((y - sig) * 1000000 + 0.5).toLong
+        gx += x * u; gu += u
+      }
+      w += sdiv(gx, n * 10000); b += sdiv(gu, n * 10000)
+    }
+    assert(r.getAs[Long]("w_e12") === w, "w after 2 steps")
+    assert(r.getAs[Long]("b_e12") === b, "b after 2 steps")
+    // with a sane step the loss cannot exceed the w=0 model's ln 2
+    val loss = r.getAs[Long]("loss_micro")
+    assert(loss > 0L && loss <= 693148L, s"loss_micro $loss")
+  }
+
   test("q_isotonic: minimax fit equals an independent sequential PAV stack replay") {
     val rows = Learn.queries("q_isotonic")(spark, sf).collect()
       .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"), r.getAs[Long]("np"),
