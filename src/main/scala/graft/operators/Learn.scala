@@ -335,6 +335,45 @@ object Learn {
           round(expr("CAST(ob AS DOUBLE) * (1000000 - ob) / 1e12"), 6).as("unc"))
     }),
 
+    // GROUP-FAIRNESS report for the shipped keep-gate (demographic
+    // parity + equalized-odds view; Hardt et al. 2016's metrics as a
+    // per-group table) — the responsible-AI audit completing
+    // q_auc_subgroup (which grades per-group RANKING; this grades
+    // the per-group DECISION rule keep ⟺ score > 0): per source
+    // group — selection rate (parity), TPR and FPR (equalized odds)
+    // — plus each group's signed micro gap to the pooled rate, so
+    // the disparate-impact reading is one scan down a column. All
+    // exact: confusion cells are one partial+final aggregate per
+    // group + a broadcast pooled row, rates truncating micro,
+    // NULL-guarded empty classes. Group = source bucket (8 groups).
+    "q_fairness_report" -> ((s, d) => {
+      val warr = weights.mkString("array(", "L,", "L)")
+      val scored = Tables.documents(s, d)
+        .withColumn("sc", expr(
+          s"aggregate(split(text, ' '), 0L, (acc, t) -> " +
+            s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
+        .select(expr("CAST(substring(source, 4) AS BIGINT) % 8").as("grp"),
+          when(col("sc") > 0, 1L).otherwise(0L).as("kept"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      def cells(df: org.apache.spark.sql.RelationalGroupedDataset) =
+        df.agg(count(lit(1)).as("n"), sum(col("kept")).as("k"),
+          sum(expr("kept * pos")).as("tp"), sum(col("pos")).as("p"),
+          sum(expr("kept * (1 - pos)")).as("fp"))
+      val byGrp = cells(scored.groupBy(col("grp")))
+      val pooled = cells(scored.groupBy())
+        .select(expr("(k * 1000000) DIV n").as("sel_all"),
+          expr("CASE WHEN p > 0 THEN (tp * 1000000) DIV p END").as("tpr_all"),
+          expr("CASE WHEN n - p > 0 THEN (fp * 1000000) DIV (n - p) END").as("fpr_all"))
+      byGrp.crossJoin(broadcast(pooled))
+        .select(col("grp"), col("n"),
+          expr("(k * 1000000) DIV n").as("sel_micro"),
+          expr("CASE WHEN p > 0 THEN (tp * 1000000) DIV p END").as("tpr_micro"),
+          expr("CASE WHEN n - p > 0 THEN (fp * 1000000) DIV (n - p) END").as("fpr_micro"),
+          expr("(k * 1000000) DIV n - sel_all").as("parity_gap"),
+          expr("CASE WHEN p > 0 THEN (tp * 1000000) DIV p - tpr_all END").as("tpr_gap"))
+        .orderBy(col("grp"))
+    }),
+
     // LOGISTIC-REGRESSION training by gradient descent — two
     // unrolled full-batch GD steps fitting P(en | score) on the
     // hashed-classifier feature (the calibration-by-refit companion
@@ -1820,6 +1859,36 @@ object Learn {
          |  round(CAST(res_raw AS DOUBLE) / tn / 1e12, 6) AS res,
          |  round(CAST(ob AS DOUBLE) * (1000000 - ob) / 1e12, 6) AS unc
          |FROM agg_""".stripMargin,
+
+    "q_fairness_report" ->
+      s"""WITH scored AS (
+         |  SELECT CAST(substr(source, 4) AS BIGINT) % 8 AS grp,
+         |    CASE WHEN CAST(list_sum(list_transform(string_split(text, ' '),
+         |      t -> (($duckBucket * 2654435761) % 1000003) % 2001 - 1000)) AS BIGINT) > 0
+         |      THEN 1 ELSE 0 END AS kept,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents),
+         |bygrp AS (
+         |  SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(SUM(kept) AS BIGINT) AS k,
+         |    CAST(SUM(kept * pos) AS BIGINT) AS tp, CAST(SUM(pos) AS BIGINT) AS p,
+         |    CAST(SUM(kept * (1 - pos)) AS BIGINT) AS fp
+         |  FROM scored GROUP BY grp),
+         |pooled AS (
+         |  SELECT (k * 1000000) // n AS sel_all,
+         |    CASE WHEN p > 0 THEN (tp * 1000000) // p END AS tpr_all,
+         |    CASE WHEN n - p > 0 THEN (fp * 1000000) // (n - p) END AS fpr_all
+         |  FROM (
+         |    SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(kept) AS BIGINT) AS k,
+         |      CAST(SUM(kept * pos) AS BIGINT) AS tp, CAST(SUM(pos) AS BIGINT) AS p,
+         |      CAST(SUM(kept * (1 - pos)) AS BIGINT) AS fp
+         |    FROM scored))
+         |SELECT grp, n,
+         |  (k * 1000000) // n AS sel_micro,
+         |  CASE WHEN p > 0 THEN (tp * 1000000) // p END AS tpr_micro,
+         |  CASE WHEN n - p > 0 THEN (fp * 1000000) // (n - p) END AS fpr_micro,
+         |  (k * 1000000) // n - sel_all AS parity_gap,
+         |  CASE WHEN p > 0 THEN (tp * 1000000) // p - tpr_all END AS tpr_gap
+         |FROM bygrp, pooled ORDER BY grp""".stripMargin,
 
     "q_logreg_gd" -> {
       val u =

