@@ -335,6 +335,38 @@ object Learn {
           round(expr("CAST(ob AS DOUBLE) * (1000000 - ob) / 1e12"), 6).as("unc"))
     }),
 
+    // ROC CURVE table (binned) — the per-threshold readout behind
+    // q_auc's single number (and the operating-point picker for
+    // q_mcc's shipped gate): sweep the threshold down the
+    // q_calibration score bins, reporting cumulative TPR/FPR at each
+    // cut. The corpus collapses to the ≤128-bin table first (one
+    // partial+final aggregate); the sweep is two windows over that
+    // bounded table (the q_auc distinct-value posture — never a
+    // corpus sort); rates are exact micro.
+    "q_roc_points" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val warr = weights.mkString("array(", "L,", "L)")
+      val bins = Tables.documents(s, d)
+        .withColumn("sc", expr(
+          s"aggregate(split(text, ' '), 0L, (acc, t) -> " +
+            s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
+        .select(expr("(greatest(least(sc, 127999L), -128000L) + 128000) DIV 2000").as("bin"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+      val w = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bins
+        .withColumn("tp", sum(col("np")).over(w))
+        .withColumn("fp", sum(expr("n - np")).over(w))
+        .crossJoin(broadcast(bins.agg(sum(col("np")).as("pt"),
+          sum(expr("n - np")).as("nt"))))
+        .select(col("bin"), col("tp"), col("fp"),
+          expr("(tp * 1000000) DIV pt").as("tpr_micro"),
+          expr("(fp * 1000000) DIV nt").as("fpr_micro"))
+        .orderBy(col("bin").desc)
+    }),
+
     // GROUP-FAIRNESS report for the shipped keep-gate (demographic
     // parity + equalized-odds view; Hardt et al. 2016's metrics as a
     // per-group table) — the responsible-AI audit completing
@@ -1859,6 +1891,31 @@ object Learn {
          |  round(CAST(res_raw AS DOUBLE) / tn / 1e12, 6) AS res,
          |  round(CAST(ob AS DOUBLE) * (1000000 - ob) / 1e12, 6) AS unc
          |FROM agg_""".stripMargin,
+
+    "q_roc_points" ->
+      s"""WITH scored AS (
+         |  SELECT CAST(list_sum(list_transform(string_split(text, ' '),
+         |      t -> (($duckBucket * 2654435761) % 1000003) % 2001 - 1000)) AS BIGINT) AS sc,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents),
+         |bins AS (
+         |  SELECT (greatest(least(sc, 127999), -128000) + 128000) // 2000 AS bin,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS np
+         |  FROM scored GROUP BY bin),
+         |tot AS (
+         |  SELECT CAST(SUM(np) AS BIGINT) AS pt,
+         |    CAST(SUM(n - np) AS BIGINT) AS nt FROM bins),
+         |cum AS (
+         |  SELECT bin,
+         |    CAST(SUM(np) OVER (ORDER BY bin DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         |    CAST(SUM(n - np) OVER (ORDER BY bin DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+         |  FROM bins)
+         |SELECT bin, tp, fp,
+         |  (tp * 1000000) // pt AS tpr_micro,
+         |  (fp * 1000000) // nt AS fpr_micro
+         |FROM cum, tot ORDER BY bin DESC""".stripMargin,
 
     "q_fairness_report" ->
       s"""WITH scored AS (

@@ -1048,6 +1048,19 @@ class GraphLearnSpec extends SparkSpec {
     assert(r.getAs[Long]("rprec_micro") === rp * 1000000L / nPos)
   }
 
+  test("q_roc_points: monotone sweep ending at (1,1), consistent with q_auc's ordering") {
+    val rows = Learn.queries("q_roc_points")(spark, sf).collect()
+      .sortBy(-_.getAs[Long]("bin"))
+    assert(rows.nonEmpty)
+    val tpr = rows.map(_.getAs[Long]("tpr_micro"))
+    val fpr = rows.map(_.getAs[Long]("fpr_micro"))
+    // sweeping the threshold down only ADDS positives and negatives
+    assert(tpr.zip(tpr.tail).forall { case (a, b) => a <= b })
+    assert(fpr.zip(fpr.tail).forall { case (a, b) => a <= b })
+    assert(tpr.last === 1000000L && fpr.last === 1000000L,
+      "the loosest threshold keeps everything")
+  }
+
   test("q_mrr: join-count ranks equal a global-sort replay, reciprocal math exact") {
     val r = graft.operators.SimSearch.queries("q_mrr")(spark, sf).collect().head
     assert(r.getAs[Long]("n_rel") === 3L)
