@@ -904,8 +904,198 @@ object Graph {
           coalesce(col("gain_num"), lit(0L)).as("best_gain_num"),
           when(col("gain_num") > 0, 1L).otherwise(0L).as("moved"))
         .orderBy(col("node_id"))
+    }),
+
+    // Weighted single-source shortest paths — the MIN-PLUS-semiring
+    // generalization of q_bfs (Bellman-Ford, 4 unrolled relaxation
+    // rounds, so a 3-hop cheap path can beat a 1-hop expensive one).
+    // Edge weights derive MAP-SIDE from the shared persisted
+    // [[tradeBase]] frame (w = 1 + (src·dst + src + dst) mod 9 —
+    // symmetric by construction, so both directions of an undirected
+    // edge agree) instead of re-joining lineitem for a data-borne
+    // weight: the query's subject is the semiring relaxation, and the
+    // derived weight keeps the whole graph family on the ONE cached
+    // edge build. Per-node state is the PACKED lexicographic pair
+    // cost·100 + hops (hops ≤ 4 rounds, cost ≤ 4·9 = 36 — collision-
+    // free by range), so one BIGINT min() is simultaneously "least
+    // cost, then fewest hops among least-cost paths" — associative
+    // and partial-aggregation-safe where a two-column argmin would
+    // need a struct aggregate in every partial.
+    //
+    // Scale posture: identical to q_bfs — the persisted adjacency
+    // stays hash-partitioned on src; each round is one equi-join of
+    // the (node_id, BIGINT) state vector against it plus a min-
+    // aggregate, shuffling id/int pairs only; unreached nodes never
+    // enter the vector; the keep-current-state half of the relaxation
+    // rides the SAME join via weight-0 self-loops folded into the
+    // adjacency (single consumption of the state per round).
+    "q_sssp" -> ((s, d) => {
+      val directed = tradeBase(s, d)
+      val edges = directed
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          (lit(1L) + (col("e.src") * col("e.dst") + col("e.src") + col("e.dst")) % 9).as("w"))
+      val nodes = edges.select(col("src")).distinct().persist()
+      val adj = edges
+        .unionByName(nodes.select(col("src"), col("src").as("dst"), lit(0L).as("w")))
+        .persist()
+      var state = nodes
+        .filter(col("src") % 200 === 0)
+        .select(col("src").as("node_id"), lit(0L).as("pk"))
+      for (_ <- 1 to 4) {
+        state = adj
+          .join(state, adj("src") === state("node_id"))
+          .select(col("dst").as("node_id"),
+            (col("pk") + col("w") * 100 +
+              when(col("w") > 0, 1L).otherwise(0L)).as("pk"))
+          .groupBy(col("node_id"))
+          .agg(min(col("pk")).as("pk"))
+      }
+      state
+        .select(col("node_id"),
+          when(col("node_id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+          expr("pk DIV 100").as("dist_w"),
+          (col("pk") % 100).as("hops"))
+        .orderBy(col("dist_w"), col("node_id"))
+    }),
+
+    // Harmonic closeness centrality from a landmark set (Boldi &
+    // Vigna 2014's harmonic variant — sums 1/d so disconnected pairs
+    // contribute 0 instead of poisoning the mean) — the MULTI-SOURCE
+    // tagged-frontier generalization of q_bfs: one BFS state table
+    // keyed (landmark, node) relaxes all landmarks simultaneously in
+    // the same 3 unrolled rounds, instead of one BFS job per source.
+    // harm_micro(v) = Σ over landmarks l ≠ v reached of 10⁶ DIV
+    // d(l, v) — truncating division on positive integers, exact in
+    // both engines.
+    //
+    // Scale posture: the landmark count is the state knob — the
+    // frontier table is ≤ |landmarks| · |reached|, shuffled as
+    // (BIGINT, BIGINT, BIGINT) triples on the same src-partitioned
+    // persisted adjacency as q_bfs/q_sssp (weight-0 self-loops, one
+    // state consumption per round). Exact all-pairs closeness is
+    // quadratic and stays out of reach by design; the landmark
+    // estimate is the standard web-graph practice.
+    "q_closeness" -> ((s, d) => {
+      val edges = undirected(s, d)
+      val nodes = edges.select(col("src")).distinct().persist()
+      val adj = edges.select(col("src"), col("dst"), lit(1L).as("w"))
+        .unionByName(nodes.select(col("src"), col("src").as("dst"), lit(0L).as("w")))
+        .persist()
+      var dist = nodes
+        .filter(col("src") % 200 === 0)
+        .select(col("src").as("lm"), col("src").as("node_id"), lit(0L).as("dist"))
+      for (_ <- 1 to Iters) {
+        dist = adj
+          .join(dist, adj("src") === dist("node_id"))
+          .select(col("lm"), col("dst").as("node_id"), (col("dist") + col("w")).as("dist"))
+          .groupBy(col("lm"), col("node_id"))
+          .agg(min(col("dist")).as("dist"))
+      }
+      dist
+        .filter(col("dist") > 0)
+        .groupBy(col("node_id"))
+        .agg(count(lit(1)).as("n_landmarks"),
+          sum(expr("1000000 DIV dist")).as("harm_micro"))
+        .select(col("node_id"),
+          when(col("node_id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+          col("n_landmarks"), col("harm_micro"))
+        .orderBy(col("harm_micro").desc, col("node_id"))
+    }),
+
+    // Borůvka minimum-spanning-forest rounds (the canonical
+    // DISTRIBUTED MST algorithm — every component picks its minimum
+    // outgoing edge in parallel, components merge, repeat; Kruskal's
+    // global sorted sweep is inherently sequential and does not
+    // distribute). Two unrolled rounds over the weighted undirected
+    // trade graph (same symmetric derived weights as q_sssp; tradeBase
+    // emits each undirected edge once — src even / dst odd — so no
+    // canonicalization join is needed). Edges carry a PACKED total
+    // order w·2⁴²+u·2²¹+v (ids < 2²¹ at bench scale — the pack radix
+    // is the documented knob beyond that): the order is STRICT (each
+    // (u,v) appears once), which is exactly the classic acyclicity
+    // guarantee — under a strict edge order the per-component argmin
+    // choices can never close a cycle, so each round's chosen set is a
+    // forest and the union across rounds is the unique MST-forest
+    // prefix for this order. Per round: tag each edge with its
+    // endpoints' component labels (two joins against the node-scale
+    // label vector), drop intra-component edges, per-component
+    // min(struct(pk, cu, cv)) — one aggregate, no window — then merge
+    // the chosen component-graph via [[ccRoots]] (the converged
+    // alternating-star engine NearDup.clusterLabels uses), and fold
+    // the new root labels into the label vector.
+    //
+    // Scale posture: shuffles carry (BIGINT id, BIGINT pk) pairs and
+    // node-scale label vectors — never the data-scale fact tables; the
+    // component graph handed to ccRoots is ≤ one chosen edge per
+    // component, halving (at least) the component count per round; the
+    // label vector is localCheckpoint-ed per round because both
+    // endpoint joins consume it (the q_bfs double-consumption lesson).
+    "q_mst" -> ((s, d) => {
+      val p = 1L << 21
+      val ew = tradeBase(s, d).select(
+          col("src").as("u"), col("dst").as("v"),
+          (lit(1L) + (col("src") * col("dst") + col("src") + col("dst")) % 9).as("w"))
+        .persist()
+      val nodes = ew.select(explode(array(col("u"), col("v"))).as("n")).distinct()
+      var comp = nodes.select(col("n"), col("n").as("c")).localCheckpoint()
+      var out: DataFrame = null
+      for (r <- 1 to 2) {
+        val tagged = ew
+          .join(comp.select(col("n").as("u"), col("c").as("cu")), Seq("u"))
+          .join(comp.select(col("n").as("v"), col("c").as("cv")), Seq("v"))
+          .filter(col("cu") =!= col("cv"))
+          .select(col("cu"), col("cv"),
+            (col("w") * p * p + col("u") * p + col("v")).as("pk"))
+        val sel = tagged
+          .select(explode(array(col("cu"), col("cv"))).as("comp"),
+            struct(col("pk"), col("cu"), col("cv")).as("st"))
+          .groupBy(col("comp")).agg(min(col("st")).as("st"))
+          .select(col("st.pk").as("pk"), col("st.cu").as("cu"), col("st.cv").as("cv"))
+          .localCheckpoint() // consumed by the chosen output AND the merge
+        val chosen = sel.select(col("pk")).distinct()
+          .select(lit(r.toLong).as("round"),
+            expr(s"pk DIV ${p * p}").as("w"),
+            expr(s"(pk DIV $p) % $p").as("u"),
+            (col("pk") % p).as("v"))
+        out = if (out == null) chosen else out.unionByName(chosen)
+        val merged = ccRoots(sel.select(col("cu").as("u"), col("cv").as("v")).distinct())
+        comp = comp
+          .join(merged.select(col("u").as("c"), col("v").as("newc")), Seq("c"), "left")
+          .select(col("n"), coalesce(col("newc"), col("c")).as("c"))
+          .localCheckpoint()
+      }
+      out.select(col("round"), col("u"), col("v"), col("w"))
+        .orderBy(col("round"), col("u"), col("v"))
     })
   )
+
+  /** Converged connected-components labels for an arbitrary (u, v)
+    * BIGINT edge frame: [[alternatingStar]] round pairs on the
+    * geometric chunk schedule (the NearDup.clusterLabels budget
+    * policy — shallow graphs pay 3 pairs + one probe, adversarial
+    * chains grow into O(log² n) within a constant factor), asserted
+    * converged, returning the star itself: (u = node, v = component
+    * minimum); roots and singletons carry no row, so callers
+    * left-join + coalesce.
+    */
+  private[graft] def ccRoots(e0: DataFrame): DataFrame = {
+    val e = e0.filter(col("u") =!= col("v")).localCheckpoint()
+    var chunk = 3
+    var total = chunk
+    var star = alternatingStar(e, chunk).localCheckpoint()
+    var converged = starConverged(star)
+    while (!converged && total < 96) {
+      chunk *= 2
+      star = alternatingStar(star, chunk).localCheckpoint()
+      total += chunk
+      converged = starConverged(star)
+    }
+    require(converged, s"ccRoots: components did not converge in $total round pairs")
+    star
+  }
 
   private val KCoreK = 8
 
@@ -1479,6 +1669,112 @@ object Graph {
          |  CAST(CASE WHEN best.gain_num > 0 THEN 1 ELSE 0 END AS BIGINT) AS moved
          |FROM na LEFT JOIN best ON na.node_id = best.node_id
          |ORDER BY na.node_id""".stripMargin
-    }
+    },
+
+    "q_sssp" -> {
+      // Bellman-Ford relaxation replay: the weight-0 self-loops in adj
+      // make each round self-contained (no UNION with the previous
+      // state), mirroring the Spark plan exactly. pk packs
+      // cost*100 + hops; min(pk) = lexicographic (cost, hops) min.
+      def relax(prev: String, next: String): String =
+        s"""$next AS (
+           |  SELECT node_id, CAST(MIN(pk) AS BIGINT) AS pk FROM (
+           |    SELECT adj.dst AS node_id,
+           |      p.pk + adj.w * 100 + CASE WHEN adj.w > 0 THEN 1 ELSE 0 END AS pk
+           |    FROM adj JOIN $prev p ON adj.src = p.node_id)
+           |  GROUP BY node_id)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |ew AS (
+         |  SELECT src, dst, CAST(1 + (src * dst + src + dst) % 9 AS BIGINT) AS w
+         |  FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+         |n AS (SELECT DISTINCT src FROM ew),
+         |adj AS (SELECT src, dst, w FROM ew
+         |        UNION ALL SELECT src, src AS dst, CAST(0 AS BIGINT) AS w FROM n),
+         |d0 AS (SELECT src AS node_id, CAST(0 AS BIGINT) AS pk FROM n WHERE src % 200 = 0),
+         |${relax("d0", "d1")},
+         |${relax("d1", "d2")},
+         |${relax("d2", "d3")},
+         |${relax("d3", "d4")}
+         |SELECT node_id,
+         |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         |  CAST(pk // 100 AS BIGINT) AS dist_w, CAST(pk % 100 AS BIGINT) AS hops
+         |FROM d4 ORDER BY dist_w, node_id""".stripMargin
+    },
+
+    "q_closeness" -> {
+      def relax(prev: String, next: String): String =
+        s"""$next AS (
+           |  SELECT lm, node_id, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+           |    SELECT p.lm, adj.dst AS node_id, p.dist + adj.w AS dist
+           |    FROM adj JOIN $prev p ON adj.src = p.node_id)
+           |  GROUP BY lm, node_id)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |n AS (SELECT DISTINCT src FROM e),
+         |adj AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM e
+         |        UNION ALL SELECT src, src AS dst, CAST(0 AS BIGINT) AS w FROM n),
+         |d0 AS (SELECT src AS lm, src AS node_id, CAST(0 AS BIGINT) AS dist
+         |       FROM n WHERE src % 200 = 0),
+         |${relax("d0", "d1")},
+         |${relax("d1", "d2")},
+         |${relax("d2", "d3")}
+         |SELECT node_id,
+         |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         |  CAST(count(*) AS BIGINT) AS n_landmarks,
+         |  CAST(SUM(1000000 // dist) AS BIGINT) AS harm_micro
+         |FROM d3 WHERE dist > 0
+         |GROUP BY node_id
+         |ORDER BY harm_micro DESC, node_id""".stripMargin
+    },
+
+    // Borůvka replay: per-round per-component MIN over the packed
+    // strict edge order (pk is injective per edge, so MIN(pk) equals
+    // Spark's min(struct(pk, cu, cv))), then the merge's canonical
+    // labels (component minimum) via a recursive reachability closure
+    // over the chosen component graph — both engines converge to the
+    // same well-defined min-label, independent of iteration schedule.
+    "q_mst" ->
+      s"""WITH RECURSIVE
+         |e0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |ew AS MATERIALIZED (
+         |  SELECT u, v, CAST(1 + (u * v + u + v) % 9 AS BIGINT) AS w FROM e0),
+         |t1 AS (SELECT u AS cu, v AS cv,
+         |         w * 4398046511104 + u * 2097152 + v AS pk FROM ew),
+         |c1 AS (SELECT comp, MIN(pk) AS pk FROM (
+         |    SELECT cu AS comp, pk FROM t1 UNION ALL SELECT cv AS comp, pk FROM t1)
+         |  GROUP BY comp),
+         |sel1 AS MATERIALIZED (
+         |  SELECT DISTINCT t1.pk, t1.cu, t1.cv FROM t1 JOIN c1 ON t1.pk = c1.pk),
+         |ce1 AS (SELECT cu AS a, cv AS b FROM sel1 UNION SELECT cv, cu FROM sel1),
+         |reach(node, lab) AS (
+         |  SELECT a, a FROM ce1
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN ce1 e ON e.a = r.lab),
+         |lab1 AS (SELECT node AS c, CAST(MIN(lab) AS BIGINT) AS newc
+         |         FROM reach GROUP BY node),
+         |nn AS (SELECT DISTINCT u AS n FROM (SELECT u FROM ew UNION ALL SELECT v AS u FROM ew)),
+         |comp2 AS (SELECT nn.n, COALESCE(l.newc, nn.n) AS c
+         |          FROM nn LEFT JOIN lab1 l ON l.c = nn.n),
+         |t2 AS (SELECT pu.c AS cu, pv.c AS cv,
+         |         ew.w * 4398046511104 + ew.u * 2097152 + ew.v AS pk
+         |       FROM ew JOIN comp2 pu ON ew.u = pu.n JOIN comp2 pv ON ew.v = pv.n
+         |       WHERE pu.c <> pv.c),
+         |c2 AS (SELECT comp, MIN(pk) AS pk FROM (
+         |    SELECT cu AS comp, pk FROM t2 UNION ALL SELECT cv AS comp, pk FROM t2)
+         |  GROUP BY comp)
+         |SELECT round,
+         |  CAST((pk // 2097152) % 2097152 AS BIGINT) AS u,
+         |  CAST(pk % 2097152 AS BIGINT) AS v,
+         |  CAST(pk // 4398046511104 AS BIGINT) AS w
+         |FROM (SELECT CAST(1 AS BIGINT) AS round, pk FROM (SELECT DISTINCT pk FROM sel1)
+         |      UNION ALL
+         |      SELECT CAST(2 AS BIGINT) AS round, pk FROM (SELECT DISTINCT pk FROM c2))
+         |ORDER BY round, u, v""".stripMargin
   )
 }

@@ -1220,4 +1220,88 @@ class GraphLearnSpec extends SparkSpec {
     assert(ne > 0L && nm >= 0L && nm <= ne)
     assert(r.getAs[Long]("recip_micro") === nm * 1000000L / ne)
   }
+
+  /** Shared driver-side copy of the weighted undirected trade graph
+    * (the q_sssp/q_mst derived symmetric weight). */
+  private def weightedTradeEdges(): Seq[(Long, Long, Long)] =
+    Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      .distinct().collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), 1L + (r.getLong(0) * r.getLong(1) + r.getLong(0) + r.getLong(1)) % 9))
+
+  test("q_sssp: packed (cost, hops) state matches a driver-side Bellman-Ford replay") {
+    val got = Graph.queries("q_sssp")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val edges = weightedTradeEdges()
+    val both = edges ++ edges.map { case (u, v, w) => (v, u, w) }
+    val adj = both.groupBy(_._1).map { case (k, vs) => k -> vs.map(e => (e._2, e._3)) }
+    var st = adj.keySet.filter(_ % 200 == 0).map(_ -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val relaxed = st.toSeq.flatMap { case (u, pk) =>
+        adj.getOrElse(u, Seq.empty).map { case (v, w) => v -> (pk + w * 100 + 1) }
+      }
+      st = (st.toSeq ++ relaxed).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    }
+    assert(got == st.map { case (k, pk) => k -> (pk / 100, pk % 100) })
+    // each edge weighs in [1, 9], so cost ∈ [hops, 9·hops] within the 4-round horizon
+    assert(got.values.forall { case (dw, h) => h >= 0 && h <= 4 && dw >= h && dw <= 9 * h })
+  }
+
+  test("q_closeness: harmonic sums match a driver multi-source BFS replay") {
+    val got = Graph.queries("q_closeness")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val edges = weightedTradeEdges().map(e => (e._1, e._2))
+    val both = edges ++ edges.map(_.swap)
+    val adj = both.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val landmarks = adj.keySet.filter(_ % 200 == 0)
+    var dist = landmarks.map(l => (l, l) -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val relaxed = dist.toSeq.flatMap { case ((l, u), du) =>
+        adj.getOrElse(u, Seq.empty).map(v => (l, v) -> (du + 1))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    }
+    val want = dist.toSeq.filter(_._2 > 0).groupBy(_._1._2).map { case (n, xs) =>
+      n -> (xs.size.toLong, xs.map(x => 1000000L / x._2).sum)
+    }
+    assert(got == want)
+    assert(got.values.forall(_._1 <= landmarks.size))
+  }
+
+  test("q_mst: chosen edges are a forest contained in the unique strict-order MST") {
+    val rows = Graph.queries("q_mst")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // weights re-derive from the ids
+    rows.foreach { case (_, u, v, w) => assert(w == 1L + (u * v + u + v) % 9) }
+    // Kruskal under the same strict (w, u, v) total order yields THE
+    // unique MST forest for that order; every Borůvka choice must be in it.
+    def mkFind(p: scala.collection.mutable.Map[Long, Long]): Long => Long = {
+      def f(x: Long): Long = {
+        val px = p.getOrElse(x, x)
+        if (px == x) x else { val r = f(px); p(x) = r; r }
+      }
+      f
+    }
+    val kp = scala.collection.mutable.Map[Long, Long]()
+    val kFind = mkFind(kp)
+    val mst = scala.collection.mutable.Set[(Long, Long)]()
+    weightedTradeEdges().sortBy { case (u, v, w) => (w, u, v) }.foreach { case (u, v, _) =>
+      val (ru, rv) = (kFind(u), kFind(v))
+      if (ru != rv) { kp(ru) = rv; mst += ((u, v)) }
+    }
+    rows.foreach { case (r, u, v, _) =>
+      assert(mst.contains((u, v)), s"round-$r edge ($u,$v) outside the unique MST")
+    }
+    // the chosen set itself is acyclic (forest): union-find admits every edge
+    val fp = scala.collection.mutable.Map[Long, Long]()
+    val fFind = mkFind(fp)
+    rows.foreach { case (r, u, v, _) =>
+      val (ru, rv) = (fFind(u), fFind(v))
+      assert(ru != rv, s"round-$r edge ($u,$v) closes a cycle")
+      fp(ru) = rv
+    }
+  }
 }
