@@ -1556,6 +1556,123 @@ object Learn {
         .withColumn("enc_milli", expr("(s_cat - vm + 20 * gmean) DIV (n_cat - 1 + 20)"))
         .select(col("event_id"), col("event_type"), col("vm"), col("enc_milli"))
         .orderBy(col("event_id"))
+    }),
+
+    // Depth-2 CART decision tree TRAINED on-engine by HISTOGRAM-based
+    // split finding — the exact mechanism distributed GBDT frameworks
+    // (XGBoost/LightGBM "hist" mode) use to scale tree induction:
+    // features bucketize to a fixed grid (DIV 8), candidate thresholds
+    // are the observed buckets, and the best split per node comes from
+    // ONE (node, feature, bucket)-grain histogram + cumulative-sum
+    // windows over ≤ bucket-count rows — never a per-threshold rescan
+    // of the data. Target: lang = 'en'; features: f1 = n_chars bucket,
+    // f2 = whitespace-token-count bucket. Split quality is weighted
+    // Gini impurity in exact fixed-point (imp_micro = 10⁶ −
+    // (pos² + neg²)·10⁶ DIV n², all non-negative, truncating DIV
+    // identical in both engines; BIGINT-safe to ~10⁶ docs per node —
+    // beyond that the e6 grid is the documented knob), and the argmin
+    // is a PACKED min (imp·2⁴⁰ + fid·2³² + bucket): strict total
+    // order, one BIGINT min() per node, no window. Root trains on all
+    // docs; the root split's (feature, threshold) — a broadcast 1-row
+    // — routes every doc to L/R, and both children train by the same
+    // pipeline with the branch key added to every grain.
+    //
+    // Scale posture: the corpus shuffles once per level into the
+    // bucket histogram (map-side partial aggregation does the heavy
+    // lifting — the shuffle carries (branch, fid, bucket) cells, not
+    // docs); windows run over histogram cells only; the recursion
+    // state between levels is one broadcast row per split.
+    "q_cart_tree" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+          expr("n_chars DIV 8").as("f1"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT) DIV 8").as("f2"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .persist()
+      val w = org.apache.spark.sql.expressions.Window
+      def bestSplits(src: DataFrame): DataFrame = {
+        val melt = src.select(col("branch"),
+            explode(array(
+              struct(lit(1L).as("fid"), col("f1").as("b")),
+              struct(lit(2L).as("fid"), col("f2").as("b")))).as("m"),
+            col("y"))
+          .select(col("branch"), col("m.fid").as("fid"), col("m.b").as("b"), col("y"))
+        val hist = melt.groupBy(col("branch"), col("fid"), col("b"))
+          .agg(sum(col("y")).as("p"), count(lit(1)).as("t"))
+        val wOrd = w.partitionBy(col("branch"), col("fid")).orderBy(col("b"))
+        val wAll = w.partitionBy(col("branch"), col("fid"))
+        hist
+          .withColumn("lp", sum(col("p")).over(wOrd))
+          .withColumn("lt", sum(col("t")).over(wOrd))
+          .withColumn("tp", sum(col("p")).over(wAll))
+          .withColumn("tt", sum(col("t")).over(wAll))
+          .filter(col("tt") > col("lt")) // right side must be non-empty
+          .withColumn("impl", expr(
+            "1000000 - (lp*lp + (lt-lp)*(lt-lp)) * 1000000 DIV (lt*lt)"))
+          .withColumn("impr", expr(
+            "1000000 - ((tp-lp)*(tp-lp) + ((tt-lt)-(tp-lp))*((tt-lt)-(tp-lp))) * 1000000 DIV ((tt-lt)*(tt-lt))"))
+          .withColumn("pk", expr(
+            s"((lt * impl + (tt-lt) * impr) DIV tt) * ${1L << 40} + fid * ${1L << 32} + b"))
+          .groupBy(col("branch"))
+          .agg(min(col("pk")).as("pk"), max(col("tt")).as("n_node"), max(col("tp")).as("pos_node"))
+          .select(col("branch").as("node"),
+            expr(s"(pk DIV ${1L << 32}) % 256").as("fid"),
+            (col("pk") % (1L << 32)).as("thr_bucket"),
+            expr(s"pk DIV ${1L << 40}").as("imp_micro"),
+            col("n_node"), col("pos_node"))
+      }
+      val root = bestSplits(docs.withColumn("branch", lit("root")))
+      val branched = docs.crossJoin(broadcast(
+          root.select(col("fid").as("rfid"), col("thr_bucket").as("rb"))))
+        .withColumn("branch",
+          when(when(col("rfid") === 1, col("f1")).otherwise(col("f2")) <= col("rb"),
+            lit("L")).otherwise(lit("R")))
+      root.unionByName(bestSplits(branched)).orderBy(col("node"))
+    }),
+
+    // Rank-1 ALS matrix-factorization step on the implicit trade
+    // rating matrix r(customer, supplier) = lineitem count — the
+    // alternating-least-squares recommender primitive (Koren/Bell/
+    // Volinsky 2009), in its rank-1 closed form where each update is a
+    // ratio of two aggregates: u(c) = Σ_sp r·v / (λ + Σ_sp v²), then
+    // v(sp) = Σ_c r·u / (λ + Σ_c u²). Factors live on a MILLI grid
+    // (v₀ ≡ 1000 = 1.0, λ_e6 = 10⁵ = 0.1): the update is exactly
+    // num·10⁶ DIV (10⁵ + den) over BIGINT sums, so the trajectory is
+    // integer-deterministic in both engines (the q_logreg_gd
+    // discipline, without per-term snapping because the products stay
+    // inside 2⁶³ by construction — Σ r·u₃·10⁶ ≲ 10¹⁶ at fixture
+    // grain; at larger grains the milli grid is the knob). Output:
+    // top-20 suppliers by trained factor plus the global mean
+    // absolute reconstruction error (pred = u·v DIV 1000).
+    //
+    // Scale posture: textbook MODEL-PARALLEL ALS — the rating matrix
+    // shuffles on c for the u-step and on sp for the v-step, carrying
+    // (id, BIGINT) pairs; factor vectors live at entity grain and are
+    // joined, never collected; the MAE is one scan with both factor
+    // joins; the 1-row MAE aggregate attaches by broadcast cross join.
+    "q_als_rank1" -> ((s, d) => {
+      val rat = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .agg(count(lit(1)).as("r"))
+        .persist() // consumed by the u-step, the v-step, and the MAE scan
+      // v0 ≡ 1000 for every supplier, so Σ r·v0 = 1000·Σr and Σ v0² = 10⁶·deg
+      val u1 = rat.groupBy(col("c"))
+        .agg(sum(col("r")).as("sr"), count(lit(1)).as("deg"))
+        .select(col("c"), expr("sr * 1000 * 1000000 DIV (100000 + deg * 1000000)").as("u3"))
+      val v1 = rat.join(u1, "c")
+        .groupBy(col("sp"))
+        .agg(sum(expr("r * u3")).as("num"), sum(expr("u3 * u3")).as("den"))
+        .select(col("sp"), expr("num * 1000000 DIV (100000 + den)").as("v_milli"))
+        .localCheckpoint() // consumed by the MAE scan and the top-20 page
+      val mae = rat.join(u1, "c").join(v1, "sp")
+        .select(expr("abs(r * 1000 - (u3 * v_milli) DIV 1000)").as("e"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("e")).as("se"))
+        .select(col("n_pairs"), expr("se DIV n_pairs").as("mae_milli"))
+      v1.orderBy(col("v_milli").desc, col("sp")).limit(20)
+        .crossJoin(broadcast(mae))
+        .select(col("sp"), col("v_milli"), col("n_pairs"), col("mae_milli"))
+        .orderBy(col("v_milli").desc, col("sp"))
     })
   )
 
@@ -2706,6 +2823,88 @@ object Learn {
         |SELECT event_id, event_type, vm,
         |  (s_cat - vm + 20 * gmean) // (n_cat - 1 + 20) AS enc_milli
         |FROM ev JOIN cat USING (event_type), g
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // Replays the histogram split search level by level: cumulative
+    // windows over the bucket histogram (default RANGE frame — b is a
+    // group key, so per-partition values are distinct and the frame
+    // equals ROWS), packed-min argmin, root split routed by a cross
+    // join, children by the same CTEs with the branch key added.
+    "q_cart_tree" -> {
+      def level(melt: String, out: String): String =
+        s"""${out}h AS (
+           |  SELECT branch, fid, b, CAST(SUM(y) AS BIGINT) AS p,
+           |    CAST(COUNT(*) AS BIGINT) AS t
+           |  FROM $melt GROUP BY branch, fid, b),
+           |${out}c AS (
+           |  SELECT branch, fid, b,
+           |    CAST(SUM(p) OVER (PARTITION BY branch, fid ORDER BY b) AS BIGINT) AS lp,
+           |    CAST(SUM(t) OVER (PARTITION BY branch, fid ORDER BY b) AS BIGINT) AS lt,
+           |    CAST(SUM(p) OVER (PARTITION BY branch, fid) AS BIGINT) AS tp,
+           |    CAST(SUM(t) OVER (PARTITION BY branch, fid) AS BIGINT) AS tt
+           |  FROM ${out}h),
+           |${out}s AS (
+           |  SELECT branch,
+           |    MIN(((lt * (1000000 - (lp*lp + (lt-lp)*(lt-lp)) * 1000000 // (lt*lt))
+           |        + (tt-lt) * (1000000 - ((tp-lp)*(tp-lp) + ((tt-lt)-(tp-lp))*((tt-lt)-(tp-lp))) * 1000000 // ((tt-lt)*(tt-lt)))
+           |        ) // tt) * ${1L << 40} + fid * ${1L << 32} + b) AS pk,
+           |    MAX(tt) AS n_node, MAX(tp) AS pos_node
+           |  FROM ${out}c WHERE tt > lt GROUP BY branch),
+           |$out AS (
+           |  SELECT branch AS node,
+           |    CAST((pk // ${1L << 32}) % 256 AS BIGINT) AS fid,
+           |    CAST(pk % ${1L << 32} AS BIGINT) AS thr_bucket,
+           |    CAST(pk // ${1L << 40} AS BIGINT) AS imp_micro,
+           |    n_node, pos_node
+           |  FROM ${out}s)""".stripMargin
+      s"""WITH docs AS MATERIALIZED (
+         |  SELECT n_chars // 8 AS f1,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) // 8 AS f2,
+         |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE 0 END AS y
+         |  FROM documents),
+         |m0 AS (
+         |  SELECT 'root' AS branch, CAST(1 AS BIGINT) AS fid, f1 AS b, y FROM docs
+         |  UNION ALL
+         |  SELECT 'root', 2, f2, y FROM docs),
+         |${level("m0", "root")},
+         |br AS (
+         |  SELECT CASE WHEN (CASE WHEN r.fid = 1 THEN docs.f1 ELSE docs.f2 END)
+         |                   <= r.thr_bucket
+         |         THEN 'L' ELSE 'R' END AS branch, f1, f2, y
+         |  FROM docs, root r),
+         |m1 AS (
+         |  SELECT branch, CAST(1 AS BIGINT) AS fid, f1 AS b, y FROM br
+         |  UNION ALL
+         |  SELECT branch, 2, f2, y FROM br),
+         |${level("m1", "kids")}
+         |SELECT node, fid, thr_bucket, imp_micro, n_node, pos_node FROM root
+         |UNION ALL
+         |SELECT node, fid, thr_bucket, imp_micro, n_node, pos_node FROM kids
+         |ORDER BY node""".stripMargin
+    },
+
+    "q_als_rank1" ->
+      s"""WITH rat AS MATERIALIZED (
+         |  SELECT o_custkey AS c, l_suppkey AS sp, CAST(COUNT(*) AS BIGINT) AS r
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |u1 AS (
+         |  SELECT c, CAST(SUM(r) AS BIGINT) * 1000 * 1000000
+         |    // (100000 + CAST(COUNT(*) AS BIGINT) * 1000000) AS u3
+         |  FROM rat GROUP BY c),
+         |v1 AS (
+         |  SELECT sp, CAST(SUM(r * u3) AS BIGINT) * 1000000
+         |    // (100000 + CAST(SUM(u3 * u3) AS BIGINT)) AS v_milli
+         |  FROM rat JOIN u1 USING (c) GROUP BY sp),
+         |err AS (
+         |  SELECT abs(r * 1000 - (u3 * v_milli) // 1000) AS e
+         |  FROM rat JOIN u1 USING (c) JOIN v1 USING (sp)),
+         |mae AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(e) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mae_milli
+         |  FROM err),
+         |top AS (SELECT sp, v_milli FROM v1 ORDER BY v_milli DESC, sp LIMIT 20)
+         |SELECT sp, v_milli, n_pairs, mae_milli FROM top, mae
+         |ORDER BY v_milli DESC, sp""".stripMargin
   )
 }

@@ -1304,4 +1304,68 @@ class GraphLearnSpec extends SparkSpec {
       fp(ru) = rv
     }
   }
+
+  test("q_cart_tree: splits match an exhaustive driver-side search; counts partition") {
+    val rows = Learn.queries("q_cart_tree")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(rows.keySet == Set("root", "L", "R"))
+    // children partition the root's docs and positives
+    assert(rows("L")._4 + rows("R")._4 == rows("root")._4)
+    assert(rows("L")._5 + rows("R")._5 == rows("root")._5)
+    // exhaustive replay with the same integer math
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("n_chars DIV 8 AS f1",
+        "CAST(size(split(text, ' ')) AS BIGINT) DIV 8 AS f2",
+        "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def best(sub: Seq[(Long, Long, Long)]): (Long, Long, Long, Long, Long) = {
+      val n = sub.size.toLong
+      val pos = sub.map(_._3).sum
+      def imp(p: Long, t: Long): Long =
+        1000000L - (p * p + (t - p) * (t - p)) * 1000000L / (t * t)
+      val cands = for {
+        fid <- Seq(1L, 2L)
+        f = (e: (Long, Long, Long)) => if (fid == 1) e._1 else e._2
+        b <- sub.map(f).distinct
+        left = sub.filter(e => f(e) <= b)
+        if left.size < sub.size
+      } yield {
+        val (l, lp) = (left.size.toLong, left.map(_._3).sum)
+        val w = (l * imp(lp, l) + (n - l) * imp(pos - lp, n - l)) / n
+        (w * (1L << 40) + fid * (1L << 32) + b, fid, b, w)
+      }
+      val m = cands.minBy(_._1)
+      (m._2, m._3, m._4, n, pos)
+    }
+    assert(rows("root") == best(docs))
+    val (rfid, rb) = (rows("root")._1, rows("root")._2)
+    val (lDocs, rDocs) = docs.partition(e => (if (rfid == 1) e._1 else e._2) <= rb)
+    assert(rows("L") == best(lDocs))
+    assert(rows("R") == best(rDocs))
+  }
+
+  test("q_als_rank1: factor trajectory and MAE match a driver-side integer replay") {
+    val got = Learn.queries("q_als_rank1")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.length <= 20)
+    val rat = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey")).agg(count(lit(1)).as("r"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSeq
+    val u3 = rat.groupBy(_._1._1).map { case (c, xs) =>
+      c -> xs.map(_._2).sum * 1000L * 1000000L / (100000L + xs.size.toLong * 1000000L)
+    }
+    val v = rat.groupBy(_._1._2).map { case (sp, xs) =>
+      val num = xs.map(x => x._2 * u3(x._1._1)).sum
+      val den = xs.map(x => u3(x._1._1) * u3(x._1._1)).sum
+      sp -> num * 1000000L / (100000L + den)
+    }
+    val errs = rat.map { case ((c, sp), r) => (r * 1000L - u3(c) * v(sp) / 1000L).abs }
+    val nPairs = rat.size.toLong
+    val mae = errs.sum / nPairs
+    val top = v.toSeq.sortBy { case (sp, vm) => (-vm, sp) }.take(20)
+    assert(got.toSeq == top.map { case (sp, vm) => (sp, vm, nPairs, mae) })
+    assert(got.forall(_._2 >= 0L))
+  }
 }
