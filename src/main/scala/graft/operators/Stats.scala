@@ -621,6 +621,70 @@ object Stats {
         .withColumn("alpha_micro", expr(
           "CASE WHEN sum_lr_micro > 0 THEN (k * 1000000000000) DIV sum_lr_micro ELSE 0 END"))
         .select(col("k"), col("thr"), col("sum_lr_micro"), col("alpha_micro"))
+    }),
+
+    // ONLINE-BANDIT REPLAY — the SEQUENTIAL complement of
+    // q_policy_replay's static argmax: a deterministic epsilon-greedy
+    // policy (explore every 7th matched step, round-robin over the
+    // arm catalog; otherwise exploit the argmax of the exact
+    // truncated mean reward, untried arms first, ties to the lower
+    // arm name) replayed over each context's logged impressions in
+    // timestamp order, with state updated ONLY on policy/log
+    // agreement (Li et al. 2011's replay rule — agreement under
+    // uniform logging is an unbiased draw of the chosen arm).
+    // The fold is inherently order-dependent, so it runs as a typed
+    // per-group SORTED fold: groupByKey(ctx).flatMapSortedGroups(ts,
+    // event_id) — Spark sorts each group WITHIN the shuffle (secondary
+    // sort, no per-group materialization before the iterator) and the
+    // fold streams it with O(|arms|) state. All arithmetic is exact
+    // BIGINT (rewards on the milli grid, means by truncating
+    // division), so the trajectory is replayable row for row.
+    //
+    // Scale posture: contexts are the parallelism grain — the shuffle
+    // carries (ctx, arm-name, BIGINT×3) rows and each task streams one
+    // sorted context partition with constant state; nothing is ever
+    // collected. A single pathologically hot context serializes into
+    // one task by the nature of a sequential policy (time-sharding
+    // the context key is the standard mitigation and changes the
+    // estimator, so it stays out of the default).
+    "q_bandit_replay" -> ((s, d) => {
+      import s.implicits._
+      val arms = Seq("click", "error", "purchase", "signup", "view")
+      val ev = Tables.events(s, d).select(
+          (col("user_id") % 16).as("ctx"),
+          col("event_type"),
+          expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"),
+          col("ts"), col("event_id"))
+        .as[(Long, String, Long, java.sql.Timestamp, Long)]
+      ev.groupByKey(_._1)
+        .flatMapSortedGroups(col("ts"), col("event_id")) { (ctx, it) =>
+          val pulls = Array.fill(arms.length)(0L)
+          val rew = Array.fill(arms.length)(0L)
+          var matched = 0L
+          var n = 0L
+          it.foreach { case (_, et, vm, _, _) =>
+            n += 1
+            val chosen =
+              if (matched % 7 == 0) ((matched / 7) % arms.length).toInt
+              else {
+                var best = 0
+                var bestScore = -1L
+                var i = 0
+                while (i < arms.length) {
+                  val sc = if (pulls(i) == 0) 1000000000L else rew(i) / pulls(i)
+                  if (sc > bestScore) { best = i; bestScore = sc }
+                  i += 1
+                }
+                best
+              }
+            if (et == arms(chosen)) {
+              matched += 1; pulls(chosen) += 1; rew(chosen) += vm
+            }
+          }
+          arms.indices.map(i => (ctx, arms(i), pulls(i), rew(i), n, matched))
+        }
+        .toDF("ctx", "arm", "pulls", "rew_milli", "n_events", "n_matched")
+        .orderBy(col("ctx"), col("arm"))
     })
   )
 
@@ -1064,6 +1128,61 @@ object Stats {
         |  SELECT event_type, n, beta, m - 0.5772156649 * beta AS mu FROM fit)
         |SELECT event_type, n, round(beta, 4) AS beta_milli, round(mu, 4) AS mu_milli,
         |  round(mu + beta * $Gumbel30, 4) AS ret30_milli
-        |FROM fin ORDER BY event_type""".stripMargin
+        |FROM fin ORDER BY event_type""".stripMargin,
+
+    // The sequential fold replayed as a recursive CTE: one recursion
+    // step per logged event per context, state = the per-arm
+    // pull/reward counters as columns; the chosen arm is the same
+    // first-match >=-chain argmax the Spark fold uses.
+    "q_bandit_replay" -> {
+      val arms = Seq("click", "error", "purchase", "signup", "view")
+      val n = arms.length
+      val pCols = arms.indices.map(i => s"p$i")
+      val rCols = arms.indices.map(i => s"r$i")
+      val zeros = (pCols ++ rCols).map(_ => "CAST(0 AS BIGINT)").mkString(", ")
+      val sDefs = arms.indices.map(i =>
+        s"CASE WHEN st.p$i = 0 THEN 1000000000 ELSE st.r$i // st.p$i END AS s$i").mkString(",\n        ")
+      val argmax = arms.indices.map { i =>
+        val geAll = (i + 1 until n).map(j => s"s$i >= s$j").mkString(" AND ")
+        if (i == n - 1) s"ELSE '${arms(i)}'"
+        else s"WHEN $geAll THEN '${arms(i)}'"
+      }.mkString(" ")
+      val armList = arms.map(a => s"'$a'").mkString("[", ", ", "]")
+      val stepCols = (arms.indices.map(i => s"p$i + CASE WHEN arm = '${arms(i)}' THEN hit ELSE 0 END") ++
+        arms.indices.map(i => s"r$i + CASE WHEN arm = '${arms(i)}' THEN hit * vm ELSE 0 END")).mkString(",\n    ")
+      val unpiv = arms.indices.map(i =>
+        s"SELECT ctx, '${arms(i)}' AS arm, p$i AS pulls, r$i AS rew_milli, n AS n_events, matched AS n_matched FROM fin")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH RECURSIVE ev AS MATERIALIZED (
+         |  SELECT user_id % 16 AS ctx, event_type,
+         |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm,
+         |    CAST(row_number() OVER (PARTITION BY user_id % 16 ORDER BY ts, event_id) AS BIGINT) AS seq
+         |  FROM events),
+         |nev AS (SELECT ctx, CAST(max(seq) AS BIGINT) AS n FROM ev GROUP BY ctx),
+         |st(ctx, i, matched, ${(pCols ++ rCols).mkString(", ")}) AS (
+         |  SELECT ctx, CAST(0 AS BIGINT), CAST(0 AS BIGINT), $zeros FROM nev
+         |  UNION ALL
+         |  SELECT ctx, i + 1, matched + hit,
+         |    $stepCols
+         |  FROM (
+         |    SELECT q2.*, CASE WHEN q2.event_type = q2.arm THEN 1 ELSE 0 END AS hit
+         |    FROM (
+         |      SELECT q1.*,
+         |        CASE WHEN q1.matched % 7 = 0
+         |             THEN $armList[CAST((q1.matched // 7) % $n AS INT) + 1]
+         |             ELSE (CASE $argmax END)
+         |        END AS arm
+         |      FROM (
+         |        SELECT st.ctx, st.i, st.matched,
+         |          ${(pCols ++ rCols).map(c => s"st.$c").mkString(", ")},
+         |          e.event_type, e.vm,
+         |          $sDefs
+         |        FROM st JOIN ev e ON e.ctx = st.ctx AND e.seq = st.i + 1) q1) q2) q3),
+         |fin AS (
+         |  SELECT st.*, nev.n FROM st JOIN nev ON st.ctx = nev.ctx AND st.i = nev.n)
+         |SELECT * FROM (
+         |  $unpiv)
+         |ORDER BY ctx, arm""".stripMargin
+    }
   )
 }

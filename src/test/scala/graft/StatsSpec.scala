@@ -308,4 +308,39 @@ class StatsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_bandit_replay: trajectory matches an independent driver-side sequential fold") {
+    val got = Stats.queries("q_bandit_replay")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.nonEmpty)
+    val arms = Seq("click", "error", "purchase", "signup", "view")
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id % 16 AS ctx", "event_type",
+        "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm",
+        "unix_micros(ts) AS us", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val want = ev.groupBy(_._1).flatMap { case (ctx, rows) =>
+      val pulls = Array.fill(arms.length)(0L)
+      val rew = Array.fill(arms.length)(0L)
+      var matched = 0L
+      var n = 0L
+      rows.sortBy(e => (e._4, e._5)).foreach { case (_, et, vm, _, _) =>
+        n += 1
+        val chosen =
+          if (matched % 7 == 0) ((matched / 7) % arms.length).toInt
+          else arms.indices.minBy(i =>
+            (-(if (pulls(i) == 0) 1000000000L else rew(i) / pulls(i)), i))
+        if (et == arms(chosen)) { matched += 1; pulls(chosen) += 1; rew(chosen) += vm }
+      }
+      arms.indices.map(i => (ctx, arms(i)) -> (pulls(i), rew(i), n, matched))
+    }.toMap
+    assert(got == want)
+    // pulls across arms account for exactly the matched impressions
+    got.groupBy(_._1._1).foreach { case (_, rows) =>
+      val matched = rows.values.head._4
+      assert(rows.values.map(_._1).sum == matched)
+    }
+  }
 }
