@@ -942,4 +942,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
     assert(p.contains("user_id"), p.take(800))
   }
+
+  test("q_cart_tree: histogram shuffle partial-aggregates; the split row broadcasts") {
+    val p = executedPlanOf(graft.operators.Learn.queries("q_cart_tree")(spark, sf))
+    // bucket histograms must combine map-side — the shuffle carries
+    // (branch, fid, bucket) cells, not documents
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      "histogram lost map-side combine:\n" + p.take(1500))
+    // the root split routes docs via a broadcast 1-row, never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "root split row is not broadcast:\n" + p.take(1500))
+  }
+
+  test("q_als_rank1: MAE attaches by broadcast; factor joins are key joins, not cartesian") {
+    val p = executedPlanOf(graft.operators.Learn.queries("q_als_rank1")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row MAE aggregate is not broadcast:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q_bandit_replay: one ctx exchange + in-partition sort (secondary sort, no extra shuffle)") {
+    val df = graft.operators.Stats.queries("q_bandit_replay")(spark, sf)
+    val p = executedPlanOf(df)
+    // the per-group ordered fold must ride ONE hash exchange on ctx with
+    // the (ts, event_id) sort applied within partitions — a global Sort
+    // or a second exchange would mean the secondary sort degraded
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n" + p.take(1500))
+    assert(p.contains("Sort ["), "no in-partition sort for the group iterator:\n" + p.take(1500))
+    assert(!p.contains("Exchange rangepartitioning [ts"), "global sort on ts appeared")
+  }
 }
