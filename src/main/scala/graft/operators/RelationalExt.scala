@@ -1556,6 +1556,86 @@ object RelationalExt {
         .select(col("event_type"), col("n"), col("mean_milli"),
           col("peak_s_milli"), col("n_alarms"), col("first_alarm_id"))
         .orderBy(col("event_type"))
+    }),
+
+    // GRID-BLOCKED SPATIAL RADIUS JOIN — the distributed spatial-join
+    // pattern (Sedona/GeoSpark partitioned joins): bucket both point
+    // sets to an R-sized planar grid, expand the PROBE side to its
+    // 3×3 neighbor cells MAP-SIDE (a 9× fanout of the small side, not
+    // the big one), equi-join on the cell key, then the exact distance
+    // predicate inside the join — every true within-R pair is in some
+    // neighbor cell by construction, so the blocking is lossless.
+    // Points are synthetic-but-deterministic (milli-degree coordinates
+    // hashed from the keys with LCG multipliers, kept NON-NEGATIVE so
+    // truncating and flooring integer division agree across engines);
+    // distances are exact planar BIGINT d² (no floats, no haversine —
+    // the planar contract is documented; lon wraparound is out of
+    // scope). Per supplier: customers within R plus the nearest one
+    // via a PACKED d²·2²¹+custkey min (strict order, exact argmin).
+    //
+    // Scale posture: one shuffle per side on the cell key; the
+    // neighbor expansion multiplies only the probe side; a
+    // pathologically dense cell is the q_dbscan hot-cell situation —
+    // the cell size (= R) is the knob, and AQE's skew split covers
+    // the join stage.
+    "q_spatial_join" -> ((s, d) => {
+      val R = 5000L
+      def pts(df: DataFrame, key: String): DataFrame = df.select(
+        col(key).as("id"),
+        ((col(key) * 16807) % 180000).as("lat"),
+        ((col(key) * 48271) % 360000).as("lon"))
+      val cust = pts(Tables.customer(s, d).select(col("c_custkey")), "c_custkey")
+        .withColumn("cla", expr(s"lat DIV $R"))
+        .withColumn("clo", expr(s"lon DIV $R"))
+      val supp = pts(Tables.supplier(s, d).select(col("s_suppkey")), "s_suppkey")
+        .select(col("id").as("sid"), col("lat").as("slat"), col("lon").as("slon"))
+        .withColumn("cla", explode(sequence(
+          expr(s"slat DIV $R - 1"), expr(s"slat DIV $R + 1"))))
+        .withColumn("clo", explode(sequence(
+          expr(s"slon DIV $R - 1"), expr(s"slon DIV $R + 1"))))
+      supp.join(cust, Seq("cla", "clo"))
+        .withColumn("d2", expr(
+          "(slat - lat) * (slat - lat) + (slon - lon) * (slon - lon)"))
+        .filter(col("d2") <= lit(R * R))
+        .groupBy(col("sid"))
+        .agg(count(lit(1)).as("n_within"),
+          min(expr(s"d2 * ${1L << 21} + id")).as("pknn"))
+        .select(col("sid"), col("n_within"),
+          (col("pknn") % (1L << 21)).as("nearest_cust"),
+          expr(s"pknn DIV ${1L << 21}").as("nearest_d2"))
+        .orderBy(col("sid"))
+    }),
+
+    // SWEEP-LINE MAX CONCURRENCY — the classic interval-overlap
+    // counting query (how many sessions/streams were open at once),
+    // as a pure window plan: each event becomes a +1 at its start and
+    // a −1 at its end (duration = ⌊value⌋+1 seconds), and the running
+    // sum over the (t, delta) order is the live-interval count. Ties
+    // need no explicit tie-break: both engines' default cumulative
+    // frame is RANGE, so all rows at the same (t, delta) aggregate as
+    // one group and the max is order-independent — ends at the same
+    // instant as starts retire FIRST (delta −1 sorts before +1), the
+    // standard touching-intervals-don't-overlap convention.
+    //
+    // Scale posture: map-only ±1 emission (2 rows per event), one
+    // per-type sort for the window, one aggregate — the same
+    // calendar-friendly shape as q_islands; no joins, no self-join
+    // against the interval table (the naive overlap join is
+    // quadratic and appears nowhere).
+    "q_concurrency" -> ((s, d) => {
+      val marks = Tables.events(s, d)
+        .select(col("event_type"), expr("unix_micros(ts)").as("us"),
+          expr("CAST(floor(value) + 1 AS BIGINT) * 1000000").as("dur"))
+        .select(col("event_type"), explode(array(
+          struct(col("us").as("t"), lit(1L).as("delta")),
+          struct((col("us") + col("dur")).as("t"), lit(-1L).as("delta")))).as("m"))
+        .select(col("event_type"), col("m.t").as("t"), col("m.delta").as("delta"))
+      val cum = marks.withColumn("live", sum(col("delta")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("t"), col("delta"))))
+      cum.groupBy(col("event_type"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_intervals"),
+          max(col("live")).as("max_concurrent"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2427,8 +2507,58 @@ object RelationalExt {
         |  CAST(MAX(s_milli) AS BIGINT) AS peak_s_milli,
         |  CAST(SUM(CASE WHEN s_milli > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
         |  CAST(MIN(CASE WHEN s_milli > 200000 THEN event_id END) AS BIGINT) AS first_alarm_id
-        |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // q_approx_stats: no oracle (sketches are engine-specific).
+
+    "q_spatial_join" ->
+      """WITH cust AS (
+        |  SELECT c_custkey AS id,
+        |    (c_custkey * 16807) % 180000 AS lat,
+        |    (c_custkey * 48271) % 360000 AS lon
+        |  FROM customer),
+        |supp AS (
+        |  SELECT s_suppkey AS sid,
+        |    (s_suppkey * 16807) % 180000 AS slat,
+        |    (s_suppkey * 48271) % 360000 AS slon
+        |  FROM supplier),
+        |sexp AS (
+        |  SELECT sid, slat, slon,
+        |    slat // 5000 + da.o AS cla, slon // 5000 + db.o AS clo
+        |  FROM supp,
+        |    (VALUES (-1), (0), (1)) da(o),
+        |    (VALUES (-1), (0), (1)) db(o)),
+        |cand AS (
+        |  SELECT sid,
+        |    (slat - lat) * (slat - lat) + (slon - lon) * (slon - lon) AS d2,
+        |    id
+        |  FROM sexp JOIN cust
+        |    ON cust.lat // 5000 = sexp.cla AND cust.lon // 5000 = sexp.clo)
+        |SELECT sid, CAST(count(*) AS BIGINT) AS n_within,
+        |  CAST(MIN(d2 * 2097152 + id) % 2097152 AS BIGINT) AS nearest_cust,
+        |  CAST(MIN(d2 * 2097152 + id) // 2097152 AS BIGINT) AS nearest_d2
+        |FROM cand WHERE d2 <= 25000000
+        |GROUP BY sid ORDER BY sid""".stripMargin,
+
+    "q_concurrency" ->
+      """WITH marks AS (
+        |  SELECT event_type, t, delta FROM (
+        |    SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS t,
+        |      CAST(1 AS BIGINT) AS delta
+        |    FROM events
+        |    UNION ALL
+        |    SELECT event_type,
+        |      CAST(epoch_us(ts) AS BIGINT)
+        |        + CAST(floor(value) + 1 AS BIGINT) * 1000000 AS t,
+        |      CAST(-1 AS BIGINT) AS delta
+        |    FROM events)),
+        |cum AS (
+        |  SELECT event_type,
+        |    CAST(SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta) AS BIGINT) AS live
+        |  FROM marks)
+        |SELECT event_type,
+        |  CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+        |  CAST(MAX(live) AS BIGINT) AS max_concurrent
+        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
