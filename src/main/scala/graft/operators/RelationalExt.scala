@@ -1263,6 +1263,59 @@ object RelationalExt {
       perLag.reduce(_ unionByName _).orderBy(col("lag"))
     }),
 
+    // AR(2) FIT via the Yule-Walker equations (Yule 1927; Walker 1931)
+    // on the per-type daily count series — the parametric step after
+    // q_autocorr's diagnostic: closed-form φ₁ = r₁(1−r₂)/(1−r₁²),
+    // φ₂ = (r₂−r₁²)/(1−r₁²) from the lag-1/2 autocorrelations, plus
+    // the innovation variance σ² = c₀(1 − φ₁r₁ − φ₂r₂). The biased
+    // autocovariance uses the COMMON mean μ = S/n (the standard YW
+    // convention, not the per-lag Pearson of q_autocorr):
+    // cₖ = (Pₖ − μ(Hₖ+Tₖ) + nₖμ²)/n where Pₖ, Hₖ, Tₖ are the exact
+    // BIGINT lagged cross/head/tail sums. Every aggregate is integer;
+    // the closed form runs on the k-row final in IDENTICAL float AST
+    // under round(4) (the q_linear_fit recipe); degenerate series
+    // (c₀ = 0 or |r₁| = 1) null out via the shared nullif text.
+    //
+    // Scale posture: the corpus collapses to the (type, day) grain in
+    // one shuffle (calendar-bounded at any corpus size); the lag
+    // columns come from a PER-TYPE window (partition-parallel, never a
+    // global sort); the closed form runs on one row per type.
+    "q_ar_fit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val lagged = daily
+        .withColumn("c1", lead(col("c"), 1).over(w))
+        .withColumn("c2", lead(col("c"), 2).over(w))
+      val mom = lagged.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), sum(col("c")).as("sx"),
+        sum(expr("c * c")).as("p0"),
+        sum(expr("CASE WHEN c1 IS NOT NULL THEN c * c1 ELSE 0 END")).as("p1"),
+        sum(expr("CASE WHEN c1 IS NOT NULL THEN c ELSE 0 END")).as("h1"),
+        sum(expr("coalesce(c1, 0)")).as("t1"),
+        sum(expr("CASE WHEN c2 IS NOT NULL THEN c * c2 ELSE 0 END")).as("p2"),
+        sum(expr("CASE WHEN c2 IS NOT NULL THEN c ELSE 0 END")).as("h2"),
+        sum(expr("coalesce(c2, 0)")).as("t2"))
+      mom
+        .withColumn("mu", expr("CAST(sx AS DOUBLE) / n"))
+        .withColumn("c0", expr("(CAST(p0 AS DOUBLE) - mu * (sx + sx) + n * mu * mu) / n"))
+        .withColumn("cv1", expr("(CAST(p1 AS DOUBLE) - mu * (h1 + t1) + (n - 1) * mu * mu) / n"))
+        .withColumn("cv2", expr("(CAST(p2 AS DOUBLE) - mu * (h2 + t2) + (n - 2) * mu * mu) / n"))
+        .withColumn("r1", expr("cv1 / nullif(c0, 0.0)"))
+        .withColumn("r2", expr("cv2 / nullif(c0, 0.0)"))
+        .select(col("event_type"), col("n"), round(col("mu"), 4).as("mu"),
+          round(col("r1"), 4).as("r1"), round(col("r2"), 4).as("r2"),
+          round(expr("r1 * (1 - r2) / nullif(1 - r1 * r1, 0.0)"), 4).as("phi1"),
+          round(expr("(r2 - r1 * r1) / nullif(1 - r1 * r1, 0.0)"), 4).as("phi2"),
+          round(expr(
+            """c0 * (1 - (r1 * (1 - r2) / nullif(1 - r1 * r1, 0.0)) * r1
+              |        - ((r2 - r1 * r1) / nullif(1 - r1 * r1, 0.0)) * r2)""".stripMargin),
+            4).as("sigma2"))
+        .orderBy(col("event_type"))
+    }),
+
     // HOLT linear (double exponential) smoothing of the daily event
     // series per event type — the level+TREND leg of the smoothing
     // family (q_ewma tracks level only, q_seasonal the weekly shape):
@@ -2226,6 +2279,46 @@ object RelationalExt {
          |${(1 to 7).map(lagSel).mkString("\nUNION ALL\n")}
          |ORDER BY lag""".stripMargin
     },
+
+    // Same exact-BIGINT lagged sums; the Yule-Walker closed form in
+    // the identical float expression text, layered through CTEs to
+    // mirror the Spark withColumn chain.
+    "q_ar_fit" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, c,
+        |    lead(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS c1,
+        |    lead(c, 2) OVER (PARTITION BY event_type ORDER BY day) AS c2
+        |  FROM daily),
+        |mom AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS sx,
+        |    CAST(SUM(c * c) AS BIGINT) AS p0,
+        |    CAST(SUM(CASE WHEN c1 IS NOT NULL THEN c * c1 ELSE 0 END) AS BIGINT) AS p1,
+        |    CAST(SUM(CASE WHEN c1 IS NOT NULL THEN c ELSE 0 END) AS BIGINT) AS h1,
+        |    CAST(SUM(coalesce(c1, 0)) AS BIGINT) AS t1,
+        |    CAST(SUM(CASE WHEN c2 IS NOT NULL THEN c * c2 ELSE 0 END) AS BIGINT) AS p2,
+        |    CAST(SUM(CASE WHEN c2 IS NOT NULL THEN c ELSE 0 END) AS BIGINT) AS h2,
+        |    CAST(SUM(coalesce(c2, 0)) AS BIGINT) AS t2
+        |  FROM lagged GROUP BY 1),
+        |m1 AS (SELECT *, CAST(sx AS DOUBLE) / n AS mu FROM mom),
+        |m2 AS (SELECT *,
+        |    (CAST(p0 AS DOUBLE) - mu * (sx + sx) + n * mu * mu) / n AS c0,
+        |    (CAST(p1 AS DOUBLE) - mu * (h1 + t1) + (n - 1) * mu * mu) / n AS cv1,
+        |    (CAST(p2 AS DOUBLE) - mu * (h2 + t2) + (n - 2) * mu * mu) / n AS cv2
+        |  FROM m1),
+        |m3 AS (SELECT *, cv1 / nullif(c0, 0.0) AS r1, cv2 / nullif(c0, 0.0) AS r2
+        |  FROM m2)
+        |SELECT event_type, n, round(mu, 4) AS mu,
+        |  round(r1, 4) AS r1, round(r2, 4) AS r2,
+        |  round(r1 * (1 - r2) / nullif(1 - r1 * r1, 0.0), 4) AS phi1,
+        |  round((r2 - r1 * r1) / nullif(1 - r1 * r1, 0.0), 4) AS phi2,
+        |  round(c0 * (1 - (r1 * (1 - r2) / nullif(1 - r1 * r1, 0.0)) * r1
+        |              - ((r2 - r1 * r1) / nullif(1 - r1 * r1, 0.0)) * r2), 4) AS sigma2
+        |FROM m3 ORDER BY event_type""".stripMargin,
 
     // The Holt recursion replayed as a recursive CTE over the row
     // number within each type's day series — same milli integers,

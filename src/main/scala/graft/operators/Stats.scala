@@ -685,6 +685,61 @@ object Stats {
         }
         .toDF("ctx", "arm", "pulls", "rew_milli", "n_events", "n_matched")
         .orderBy(col("ctx"), col("arm"))
+    }),
+
+    // UPLIFT / QINI curve (Radcliffe 2007) — the targeting readout the
+    // causal bank was missing: rank users by a responsiveness score
+    // (here the per-user click count, a deterministic proxy for a
+    // model score), cut into deciles, and per decile report the
+    // treated-minus-control response difference plus the cumulative
+    // Qini statistic Q(k) = ΣR₁ − ΣR₀·(ΣN₁/ΣN₀) — the area under
+    // which is the standard uplift-model quality number. Treatment is
+    // the q_cuped/q_abtest arm convention (user_id % 2); outcome is
+    // purchase spend in exact cents.
+    //
+    // Scale posture: the global score rank is built WITHOUT a global
+    // sort — the q_spearman trick: a score-grain cumulative-count
+    // window (score cardinality is bounded — per-user click counts)
+    // plus a per-score row_number partitioned window gives every user
+    // an exact dense rank in parallel; deciles are exact rank cuts
+    // against the broadcast 1-row total. The decile rollup and its
+    // cumulative window run on 10 rows. All integer: truncating DIV
+    // only on non-negative numerators.
+    "q_uplift_curve" -> ((s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("score"),
+          sum(when(col("event_type") === "purchase",
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).otherwise(0L)).as("out_c"))
+        .withColumn("t", col("user_id") % 2)
+      val sc = users.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+      val cum = sc.withColumn("bef", coalesce(
+        sum(col("cnt")).over(Window.orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val tot = users.agg(count(lit(1)).as("nu"))
+      val ranked = users.join(cum.select(col("score"), col("bef")), "score")
+        .withColumn("rn", col("bef") +
+          row_number().over(Window.partitionBy(col("score")).orderBy(col("user_id"))))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile", expr("((rn - 1) * 10) DIV nu"))
+      val dec = ranked.groupBy(col("decile"))
+        .agg(sum(when(col("t") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("t") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("t") === 1, col("out_c")).otherwise(0L)).as("r1"),
+          sum(when(col("t") === 0, col("out_c")).otherwise(0L)).as("r0"))
+      val wd = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec
+        .withColumn("cn1", sum(col("n1")).over(wd))
+        .withColumn("cn0", sum(col("n0")).over(wd))
+        .withColumn("cr1", sum(col("r1")).over(wd))
+        .withColumn("cr0", sum(col("r0")).over(wd))
+        .select(col("decile"), col("n1"), col("n0"), col("r1"), col("r0"),
+          expr("""CASE WHEN n1 > 0 AND n0 > 0
+                 |  THEN (r1 * 1000) DIV n1 - (r0 * 1000) DIV n0 END""".stripMargin)
+            .as("uplift_milli"),
+          expr("CASE WHEN cn0 > 0 THEN cr1 - (cr0 * cn1) DIV cn0 END").as("qini_c"))
+        .orderBy(col("decile"))
     })
   )
 
@@ -1183,6 +1238,48 @@ object Stats {
          |SELECT * FROM (
          |  $unpiv)
          |ORDER BY ctx, arm""".stripMargin
-    }
+    },
+
+    // Same rank-without-global-sort construction: score-grain
+    // cumulative counts + per-score row_number, decile by exact rank
+    // cut, cumulative Qini over the 10-row frame.
+    "q_uplift_curve" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS score,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS out_c,
+        |    user_id % 2 AS t
+        |  FROM events GROUP BY user_id),
+        |sc AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt FROM users GROUP BY score),
+        |cum AS (
+        |  SELECT score, COALESCE(CAST(SUM(cnt) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS bef
+        |  FROM sc),
+        |nu_ AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM users),
+        |ranked AS (
+        |  SELECT u.t, u.out_c,
+        |    bef + row_number() OVER (PARTITION BY u.score ORDER BY u.user_id) AS rn, nu
+        |  FROM users u JOIN cum ON u.score = cum.score, nu_),
+        |dec AS (
+        |  SELECT ((rn - 1) * 10) // nu AS decile,
+        |    CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN t = 1 THEN out_c ELSE 0 END) AS BIGINT) AS r1,
+        |    CAST(SUM(CASE WHEN t = 0 THEN out_c ELSE 0 END) AS BIGINT) AS r0
+        |  FROM ranked GROUP BY 1),
+        |cumd AS (
+        |  SELECT *,
+        |    CAST(SUM(n1) OVER (ORDER BY decile) AS BIGINT) AS cn1,
+        |    CAST(SUM(n0) OVER (ORDER BY decile) AS BIGINT) AS cn0,
+        |    CAST(SUM(r1) OVER (ORDER BY decile) AS BIGINT) AS cr1,
+        |    CAST(SUM(r0) OVER (ORDER BY decile) AS BIGINT) AS cr0
+        |  FROM dec)
+        |SELECT decile, n1, n0, r1, r0,
+        |  CASE WHEN n1 > 0 AND n0 > 0
+        |       THEN (r1 * 1000) // n1 - (r0 * 1000) // n0 END AS uplift_milli,
+        |  CASE WHEN cn0 > 0 THEN cr1 - (cr0 * cn1) // cn0 END AS qini_c
+        |FROM cumd ORDER BY decile""".stripMargin
   )
 }
