@@ -651,6 +651,41 @@ object SimSearch {
             coalesce(expr("1000000000000 DIV (60 + rb)"), lit(0L))).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(20)
+    }),
+
+    // RANK-BIASED OVERLAP (Webber, Moffat & Zobel 2010) between the
+    // lexical and semantic top-20 rankings — the fifth leg of the
+    // retrieval-eval family: where q_prec_at_k reports overlap at ONE
+    // depth, RBO weights the overlap at EVERY depth by the
+    // top-weighted geometric p^(d−1) (p = 0.9), which is how ranking
+    // drift between two retrieval arms (or two index builds) is
+    // actually monitored. Truncated-at-depth-20 form (no tail
+    // extrapolation — RBO_min). A doc joint-present at ranks (ra, rb)
+    // first enters the overlap at depth max(ra, rb), so its total
+    // contribution Σ_{k=max..20} (1−p)p^(k−1)/k depends only on that
+    // max — the per-depth sum collapses to one weight lookup per
+    // common doc. Weights are computed ONCE in Scala as exact nano
+    // literals baked into BOTH engines' plans (the ndcgDisc recipe),
+    // so the whole query is integer-exact.
+    //
+    // Scale posture: two TakeOrdered heaps (never a global sort), rank
+    // windows over 20 rows, a 20×20 join, one 1-row aggregate.
+    "q_rbo" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val items = hybridItems(s, d).persist() // consumed by BOTH ranking arms
+      val wlit = rboWNano.mkString("array(", "L,", "L)")
+      val ra = items.orderBy(col("tfn").desc, col("doc_id")).limit(20)
+        .withColumn("ra", row_number().over(Window.orderBy(col("tfn").desc, col("doc_id"))))
+        .select(col("doc_id"), col("ra"))
+      val rb = items.orderBy(col("rel").desc, col("doc_id")).limit(20)
+        .withColumn("rb", row_number().over(Window.orderBy(col("rel").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rb"))
+      ra.join(rb, "doc_id")
+        .select(greatest(col("ra"), col("rb")).as("m"))
+        .agg(count(lit(1)).as("n_common"),
+          coalesce(sum(expr(s"element_at($wlit, CAST(m AS INT))")), lit(0L))
+            .as("rbo_nano"))
+        .select(lit(20L).as("k"), col("n_common"), col("rbo_nano"))
     })
   )
 
@@ -706,6 +741,14 @@ object SimSearch {
     * differ between implementations). */
   private val ndcgDisc: IndexedSeq[Long] =
     (1 to 10).map(i => math.floor(1e6 * math.log(2) / math.log(i + 1)).toLong)
+
+  /** RBO per-doc weights in nano-units: entry m−1 is
+    * round(10⁹ · Σ_{k=m..20} (1−p)·p^(k−1)/k) at p = 0.9 — the total
+    * contribution of a doc whose max(ra, rb) = m. Computed once here
+    * and baked into both engines' plans (the [[ndcgDisc]] recipe). */
+  private val rboWNano: IndexedSeq[Long] =
+    (1 to 20).map(m =>
+      math.round((m to 20).map(k => 0.1 * math.pow(0.9, k - 1) / k).sum * 1e9))
 
   /** One greedy MMR step: pick #n from the candidates not yet in
     * sel(n−1), maximizing 7·rel − 3·(max dot vs selected). */
@@ -1009,6 +1052,22 @@ object SimSearch {
          |  CAST(min(rank) AS BIGINT) AS best_rank,
          |  CAST(SUM(1000000 // rank) AS BIGINT) // CAST(count(*) AS BIGINT) AS mrr_micro
          |FROM full_""".stripMargin,
+
+    // Same two top-20 heaps; the per-doc weight is the shared
+    // [[rboWNano]] nano literal indexed at max(ra, rb).
+    "q_rbo" ->
+      s"""$hybridItemsSql,
+         |ra AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY tfn DESC, doc_id) AS ra
+         |  FROM items ORDER BY tfn DESC, doc_id LIMIT 20),
+         |rb AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY rel DESC, doc_id) AS rb
+         |  FROM items ORDER BY rel DESC, doc_id LIMIT 20),
+         |j AS (SELECT greatest(ra, rb) AS m FROM ra JOIN rb USING (doc_id))
+         |SELECT CAST(20 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_common,
+         |  COALESCE(CAST(SUM(${rboWNano.mkString("[", ", ", "]")}[CAST(m AS INT)]) AS BIGINT), 0)
+         |    AS rbo_nano
+         |FROM j""".stripMargin,
 
     "q_prec_at_k" ->
       s"""$hybridItemsSql,
