@@ -744,6 +744,64 @@ object Graph {
         .orderBy(col("dist"), col("node_id"))
     }),
 
+    // DOUBLE-SWEEP diameter lower bound (Magnien, Latapy & Habib
+    // 2009) — the standard cheap estimator for "how wide is this
+    // graph": BFS from an arbitrary node (the min-id node), take the
+    // farthest reached node (the graph's periphery pulls the sweep
+    // outward), BFS again from there; the second eccentricity is a
+    // provable diameter lower bound that is exact on trees and near-
+    // exact on most real graphs. Both sweeps are hop-BOUNDED to Iters
+    // rounds (the declared contract: ≤Iters-hop eccentricity — the
+    // fixture graph's dense bipartite core saturates well inside it).
+    // Farthest-node selection is an exact packed argmax
+    // (dist·2³² + (2³²−1−node): max dist, then MIN node id — all
+    // terms non-negative so truncating and flooring division agree;
+    // node ids are bounded < 2³¹ by the namespacing).
+    //
+    // Scale posture: the q_bfs loop shape twice — persisted adjacency
+    // with weight-0 self-loops, (node, BIGINT) shuffles per round;
+    // the inter-sweep handoff is a broadcast 1-ROW argmax join, never
+    // a collect; the final readout crossJoins three 1-row frames.
+    "q_diameter" -> ((s, d) => {
+      val directed = tradeBase(s, d)
+      val edges = directed
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val nodes = edges.select(col("src")).distinct().persist()
+      val adj = edges.select(col("src"), col("dst"), lit(1L).as("w"))
+        .unionByName(nodes.select(col("src"), col("src").as("dst"), lit(0L).as("w")))
+        .persist()
+      def sweep(seed: DataFrame): DataFrame = {
+        var dist = seed.select(col("node_id"), lit(0L).as("dist"))
+        for (_ <- 1 to Iters) {
+          dist = adj
+            .join(dist, adj("src") === dist("node_id"))
+            .select(col("dst").as("node_id"), (col("dist") + col("w")).as("dist"))
+            .groupBy(col("node_id"))
+            .agg(min(col("dist")).as("dist"))
+        }
+        dist
+      }
+      val start = nodes.agg(min(col("src")).as("node_id"))
+      val far1 = sweep(start)
+        .agg(max(expr("dist * 4294967296 + (4294967295 - node_id)")).as("pk"))
+        .select(expr("4294967295 - pk % 4294967296").as("node_id"),
+          expr("pk DIV 4294967296").as("ecc1"))
+      val far2 = sweep(far1.select(col("node_id")))
+        .agg(count(lit(1)).as("n_reached"),
+          max(expr("dist * 4294967296 + (4294967295 - node_id)")).as("pk"))
+        .select(col("n_reached"),
+          expr("4294967295 - pk % 4294967296").as("far2_node"),
+          expr("pk DIV 4294967296").as("diameter_lb"))
+      start.select(col("node_id").as("start_node"))
+        .crossJoin(broadcast(far1.select(col("node_id").as("far1_node"), col("ecc1"))))
+        .crossJoin(broadcast(far2))
+        .select(col("start_node"), col("far1_node"), col("ecc1"),
+          col("far2_node"), col("diameter_lb"), col("n_reached"))
+    }),
+
     // HITS hubs & authorities (Kleinberg 1999) over the BIPARTITE
     // trade graph — the natural centrality for two-role graphs where
     // PageRank's single score conflates the roles: customers are hubs
@@ -1537,6 +1595,47 @@ object Graph {
          |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  dist
          |FROM d3 ORDER BY dist, node_id""".stripMargin
+    },
+
+    // Two unrolled BFS chains; the handoff and readout mirror the
+    // Spark packed-argmax 1-row frames.
+    "q_diameter" -> {
+      def it(prev: String, next: String): String =
+        s"""$next AS (
+           |  SELECT node_id, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+           |    SELECT node_id, dist FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node_id, $prev.dist + 1 AS dist
+           |    FROM e JOIN $prev ON e.src = $prev.node_id)
+           |  GROUP BY node_id)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |st AS (SELECT CAST(MIN(src) AS BIGINT) AS start_node FROM e),
+         |d0 AS (SELECT start_node AS node_id, CAST(0 AS BIGINT) AS dist FROM st),
+         |${it("d0", "d1")},
+         |${it("d1", "d2")},
+         |${it("d2", "d3")},
+         |f1 AS (
+         |  SELECT CAST(MAX(dist * 4294967296 + (4294967295 - node_id)) AS BIGINT) AS pk
+         |  FROM d3),
+         |s1 AS (
+         |  SELECT CAST(4294967295 - pk % 4294967296 AS BIGINT) AS node_id,
+         |    CAST(pk // 4294967296 AS BIGINT) AS ecc1
+         |  FROM f1),
+         |g0 AS (SELECT node_id, CAST(0 AS BIGINT) AS dist FROM s1),
+         |${it("g0", "g1")},
+         |${it("g1", "g2")},
+         |${it("g2", "g3")},
+         |f2 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_reached,
+         |    CAST(MAX(dist * 4294967296 + (4294967295 - node_id)) AS BIGINT) AS pk
+         |  FROM g3)
+         |SELECT st.start_node, s1.node_id AS far1_node, s1.ecc1,
+         |  CAST(4294967295 - f2.pk % 4294967296 AS BIGINT) AS far2_node,
+         |  CAST(f2.pk // 4294967296 AS BIGINT) AS diameter_lb, f2.n_reached
+         |FROM st, s1, f2""".stripMargin
     },
 
     "q_hits" -> {
