@@ -972,4 +972,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Sort ["), "no in-partition sort for the group iterator:\n" + p.take(1500))
     assert(!p.contains("Exchange rangepartitioning [ts"), "global sort on ts appeared")
   }
+
+  test("q_spatial_join: grid blocking equi-joins (no cartesian); fanout is the 3×3 explode pair") {
+    val p = executedPlanOf(
+      graft.operators.RelationalExt.queries("q_spatial_join")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "spatial radius join must block to grid cells, not go all-pairs:\n" + p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "distance predicate must ride the cell equi-join, not a theta join:\n" + p.take(1500))
+    // the 9× neighbor expansion is exactly the two sequence-explodes on
+    // the probe side — any further Generate would mean the build side
+    // (the 100 TB side at scale) fans out too
+    val gens = p.linesIterator.count(_.contains("Generate explode"))
+    assert(gens == 2, s"expected exactly 2 explodes (probe-side 3×3), saw $gens:\n" + p.take(1500))
+  }
+
+  test("q_concurrency: sweep line is join-free (the quadratic overlap self-join never appears)") {
+    val p = executedPlanOf(
+      graft.operators.RelationalExt.queries("q_concurrency")(spark, sf))
+    assert(!p.contains("Join"),
+      "interval concurrency must be ±1 marks + one window, never an overlap join:\n" + p.take(1500))
+  }
+
+  test("q_uplift_curve: user ranks come from score-grain windows, never a global user sort") {
+    val p = executedPlanOf(graft.operators.Stats.queries("q_uplift_curve")(spark, sf))
+    // the rank construction promises: cumulative counts at SCORE grain
+    // + a score-partitioned row_number — the user table itself must
+    // never range-partition (the one-reducer corpus sort)
+    assert(!p.contains("Exchange rangepartitioning(user_id"),
+      "user table globally sorted:\n" + p.take(1500))
+    assert(!p.contains("Exchange rangepartitioning(score"),
+      "user table range-shuffled by score:\n" + p.take(1500))
+    assert(p.contains("hashpartitioning(score"),
+      "per-score row_number window missing its score partition:\n" + p.take(1500))
+  }
+
+  test("q_diameter: the inter-sweep handoff is a broadcast 1-row frame, never a collect/cartesian") {
+    val p = executedPlanOf(graft.operators.Graph.queries("q_diameter")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "argmax handoff is not broadcast:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
 }
