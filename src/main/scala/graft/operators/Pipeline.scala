@@ -1090,6 +1090,55 @@ object Pipeline {
         .select(col("t"), col("competence_micro"), col("n_eligible"),
           col("tokens_eligible"), col("frontier_tokens"), col("n_new"), col("tokens_new"))
         .orderBy(col("t"))
+    }),
+
+    // SUCCESSIVE-HALVING schedule replay (Jamieson & Talwalkar 2016;
+    // Hyperband's inner loop) — the hyperparameter-tuning scheduler a
+    // training pipeline runs ON the engine: 16 configs (the q_bandit
+    // arm convention, user_id % 16 cohorts) start at budget 1 day of
+    // data; each rung doubles the budget (1→2→4→8 days) and keeps the
+    // top half by mean milli-reward (tie-break: config asc), so rung r
+    // ranks 16/2^r survivors. The output is the full promotion table —
+    // which configs reached which rung at what metric — i.e. exactly
+    // what an experiment tracker renders. Integer-exact: milli rewards,
+    // truncating DIV on non-negative sums, rank windows over ≤16 rows.
+    //
+    // Scale posture: ONE corpus shuffle builds the (config, day) cell
+    // table; the 4 rung views are a 4-way explode over those cells
+    // (map-side, calendar-bounded); ranking and halving run on ≤16-row
+    // frames with broadcast survivor joins — the corpus is never
+    // rescanned per rung (localCheckpoint pins the cell table).
+    "q_sha_tuning" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lo = Tables.events(s, d)
+        .agg(min(expr("unix_micros(ts) DIV 86400000000")).as("lo"))
+      val rungCells = Tables.events(s, d)
+        .crossJoin(broadcast(lo))
+        .select((col("user_id") % 16).as("config"),
+          expr("unix_micros(ts) DIV 86400000000 - lo").as("di"),
+          expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+        .groupBy(col("config"), col("di"))
+        .agg(count(lit(1)).as("c"), sum(col("vm")).as("s"))
+        .withColumn("rung", explode(expr("sequence(0, 3)")))
+        .filter(col("di") <
+          expr("CASE rung WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END"))
+        .groupBy(col("rung"), col("config"))
+        .agg(sum(col("c")).as("n_ev"), sum(col("s")).as("sv"))
+        .withColumn("metric_milli", expr("(sv * 1000) DIV n_ev"))
+        .localCheckpoint() // consumed by all 4 rung selections
+      def ranked(df: DataFrame): DataFrame =
+        df.withColumn("rk", row_number().over(
+          Window.orderBy(col("metric_milli").desc, col("config"))).cast("bigint"))
+      var cur = ranked(rungCells.filter(col("rung") === 0))
+      var acc = cur
+      for (r <- 1 to 3) {
+        val keep = cur.filter(col("rk") <= (16 >> r)).select(col("config"))
+        cur = ranked(rungCells.filter(col("rung") === r)
+          .join(broadcast(keep), "config"))
+        acc = acc.unionByName(cur)
+      }
+      acc.select(col("rung"), col("config"), col("n_ev"), col("metric_milli"), col("rk"))
+        .orderBy(col("rung"), col("rk"))
     })
   )
 
@@ -1100,6 +1149,40 @@ object Pipeline {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Unrolled halving: rung r ranks the survivors of rung r−1 (top
+    // 16/2^r by mean milli-reward, config tiebreak).
+    "q_sha_tuning" -> {
+      def rung(r: Int, prevKeep: String): String =
+        s"""r$r AS (
+           |  SELECT m.rung, m.config, m.n_ev, m.metric_milli,
+           |    CAST(row_number() OVER (ORDER BY m.metric_milli DESC, m.config) AS BIGINT) AS rk
+           |  FROM m $prevKeep WHERE m.rung = $r)""".stripMargin
+      s"""WITH lo_ AS (SELECT MIN(epoch_us(ts) // 86400000000) AS lo FROM events),
+         |cells AS (
+         |  SELECT user_id % 16 AS config,
+         |    (epoch_us(ts) // 86400000000) - lo AS di,
+         |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+         |  FROM events, lo_),
+         |rc AS (
+         |  SELECT r.rung, config, CAST(count(*) AS BIGINT) AS n_ev,
+         |    CAST(SUM(vm) AS BIGINT) AS sv
+         |  FROM cells, (VALUES (0), (1), (2), (3)) r(rung)
+         |  WHERE di < CASE r.rung WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END
+         |  GROUP BY 1, 2),
+         |m AS (SELECT rung, config, n_ev, (sv * 1000) // n_ev AS metric_milli FROM rc),
+         |${rung(0, "")},
+         |k1 AS (SELECT config FROM r0 WHERE rk <= 8),
+         |${rung(1, "JOIN k1 ON m.config = k1.config")},
+         |k2 AS (SELECT config FROM r1 WHERE rk <= 4),
+         |${rung(2, "JOIN k2 ON m.config = k2.config")},
+         |k3 AS (SELECT config FROM r2 WHERE rk <= 2),
+         |${rung(3, "JOIN k3 ON m.config = k3.config")}
+         |SELECT rung, config, n_ev, metric_milli, rk FROM (
+         |  SELECT * FROM r0 UNION ALL SELECT * FROM r1
+         |  UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+         |ORDER BY rung, rk""".stripMargin
+    },
+
     "q_bootstrap" -> {
       val tList = poissonCdfMicro.mkString("[", ",", "]")
       val hu = h("(doc_id * 37 + b)", A3, B3)
