@@ -744,6 +744,52 @@ object Graph {
         .orderBy(col("dist"), col("node_id"))
     }),
 
+    // K-TRUSS peeling (Cohen 2008), k = 4, over the co-purchase graph
+    // — the cohesion filter a notch stronger than q_kcore: an edge
+    // survives only while it closes ≥ k−2 = 2 triangles among the
+    // SURVIVING edges, so bridges and spokes that k-core keeps are
+    // peeled away and what remains is the genuinely clique-ish core.
+    // Two unrolled peel rounds (the q_pagerank/q_hits bounded-rounds
+    // convention — full truss decomposition iterates to fixpoint);
+    // support is recomputed from scratch each round against the kept
+    // edge set. Top-50 surviving edges by (support, a, b).
+    //
+    // Scale posture: support is the q_triangle intersection form —
+    // adjacency arrays ship once per round through node-keyed
+    // equi-joins and triangles close MAP-SIDE in array_intersect
+    // (never the wedge join, which is quadratic in degree); the basket
+    // pair emission rides the same capped sorted_pairs generator; the
+    // kept edge set localCheckpoints between rounds so round 2 never
+    // re-derives round 1's lineage.
+    "q_ktruss" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val edges0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+        .select(explode(expr(
+          s"sorted_pairs(slice(parts, 1, ${Pipeline.BasketCap}))")).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .distinct()
+      def support(edges: DataFrame): DataFrame = {
+        val adj = edges
+          .select(explode(array(
+            struct(col("a").as("v"), col("b").as("w")),
+            struct(col("b").as("v"), col("a").as("w")))).as("p"))
+          .select(col("p.v").as("v"), col("p.w").as("w"))
+          .groupBy(col("v")).agg(collect_set(col("w")).as("nbrs"))
+        edges
+          .join(adj.select(col("v").as("a"), col("nbrs").as("na")), Seq("a"))
+          .join(adj.select(col("v").as("b"), col("nbrs").as("nb")), Seq("b"))
+          .select(col("a"), col("b"),
+            expr("CAST(size(array_intersect(na, nb)) AS BIGINT)").as("supp"))
+      }
+      val kept1 = support(edges0).filter(col("supp") >= 2)
+        .select(col("a"), col("b")).localCheckpoint()
+      support(kept1).filter(col("supp") >= 2)
+        .orderBy(col("supp").desc, col("a"), col("b"))
+        .limit(50)
+    }),
+
     // DOUBLE-SWEEP diameter lower bound (Magnien, Latapy & Habib
     // 2009) — the standard cheap estimator for "how wide is this
     // graph": BFS from an arbitrary node (the min-id node), take the
@@ -1595,6 +1641,36 @@ object Graph {
          |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  dist
          |FROM d3 ORDER BY dist, node_id""".stripMargin
+    },
+
+    // Wedge-join support form (orientation-invariant, fine at oracle
+    // scale); two peels, each LEFT-joining support back so
+    // zero-triangle edges peel too.
+    "q_ktruss" -> {
+      def peel(eIn: String, cn: String, sOut: String, eOut: String): String =
+        s"""$cn AS (
+           |  SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS supp
+           |  FROM $eIn e
+           |  JOIN und$cn u1 ON u1.v = e.a
+           |  JOIN und$cn u2 ON u2.v = e.b AND u2.w = u1.w
+           |  GROUP BY e.a, e.b),
+           |$sOut AS (
+           |  SELECT e.a, e.b, COALESCE($cn.supp, 0) AS supp
+           |  FROM $eIn e LEFT JOIN $cn ON e.a = $cn.a AND e.b = $cn.b),
+           |$eOut AS (SELECT a, b FROM $sOut WHERE supp >= 2)""".stripMargin
+      def und(eIn: String, cn: String): String =
+        s"""und$cn AS (SELECT a AS v, b AS w FROM $eIn
+           |  UNION ALL SELECT b AS v, a AS w FROM $eIn)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+         |  WHERE l1.l_partkey < l2.l_partkey),
+         |${und("e0", "c1")},
+         |${peel("e0", "c1", "s1", "e1")},
+         |${und("e1", "c2")},
+         |${peel("e1", "c2", "s2", "e2")}
+         |SELECT a, b, supp FROM s2 WHERE supp >= 2
+         |ORDER BY supp DESC, a, b LIMIT 50""".stripMargin
     },
 
     // Two unrolled BFS chains; the handoff and readout mirror the
