@@ -334,6 +334,57 @@ object EventStreams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // ---- streaming concurrency twin (q_concurrency online) ----
+
+  case class ConcState(endsUs: Vector[Long], maxLive: Long, nIntervals: Long)
+  case class LiveConc(event_type: String, n_intervals: Long, n_open: Long,
+                      max_concurrent: Long)
+
+  /** Streaming twin of the batch q_concurrency sweep line: per event
+    * type, how many intervals (duration = ⌊value⌋+1 s, the batch
+    * convention) are open RIGHT NOW and the max ever open at once.
+    * Instead of replaying ±1 marks, the state carries the open
+    * intervals' end-times; each arrival first retires every end ≤ its
+    * start (ends retire BEFORE starts at the same instant — exactly
+    * the batch sweep's delta sort order), then opens itself, and the
+    * live count after that step updates the running max. In-batch
+    * iteration sorts by (ts, event_id) (the TransitionProcessor
+    * contract); across batches the pruned end-list bridges, so
+    * batching is invariant for an in-order feed. Update mode: one live
+    * row per type per batch.
+    *
+    * State boundedness: the end-list self-prunes on every arrival, so
+    * it holds only CURRENTLY-open intervals — bounded by arrival rate
+    * × max duration (the live concurrency itself), never by stream
+    * length.
+    */
+  class ConcurrencyProcessor extends StatefulProcessor[String, Event, LiveConc] {
+    @transient private var st: ValueState[ConcState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ConcState]("conc",
+        org.apache.spark.sql.Encoders.kryo[ConcState], TTLConfig.NONE)
+    override def handleInputRows(et: String, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[LiveConc] = {
+      var s = if (st.exists()) st.get() else ConcState(Vector.empty, 0L, 0L)
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val startUs = e.ts.getTime * 1000L
+        val endUs = startUs + (math.floor(e.value).toLong + 1L) * 1000000L
+        val open = s.endsUs.filter(_ > startUs) // end == start retires first
+        s = ConcState(open :+ endUs,
+          math.max(s.maxLive, open.size + 1L), s.nIntervals + 1L)
+      }
+      st.update(s)
+      Iterator.single(LiveConc(et, s.nIntervals, s.endsUs.size.toLong, s.maxLive))
+    }
+  }
+
+  def concurrencyTws(events: Dataset[Event]): Dataset[LiveConc] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new ConcurrencyProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class SessState(startMs: Long, lastMs: Long, n: Long, totalMilli: Long)
   case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Long,

@@ -647,4 +647,58 @@ class StreamingSpec extends SparkSpec {
       case None    => conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("concurrencyTws: online max-concurrency matches the batch sweep line across batches") {
+    import graft.streaming.EventStreams.LiveConc
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // type "click": nested + chained intervals; value → dur = ⌊v⌋+1 min-scale
+      // events at minutes (start, value): overlap structure is known by hand
+      val evs = Seq(
+        Event(1L, ts(0), 1L, "click", 299.0),  // [0, 300s) = 5 min
+        Event(2L, ts(1), 1L, "click", 59.0),   // [60, 120s) nested
+        Event(3L, ts(2), 1L, "click", 59.0),   // [120, 180s) — starts AS ev2 ends
+        Event(4L, ts(10), 1L, "click", 59.0),  // disjoint tail
+        Event(5L, ts(0), 1L, "view", 59.0),
+        Event(6L, ts(3), 1L, "view", 59.0))    // disjoint — view never overlaps
+      // reference sweep (the batch q_concurrency recipe): ±1 marks,
+      // order by (t, delta), running sum per RANGE group, max
+      def sweepMax(es: Seq[Event]): Long = {
+        val marks = es.flatMap { e =>
+          val s = e.ts.getTime * 1000L
+          Seq((s, 1L), (s + (math.floor(e.value).toLong + 1) * 1000000L, -1L))
+        }
+        val grouped = marks.groupBy(identity).view.mapValues(_.size).toSeq
+          .map { case ((t, d), c) => (t, d, d * c) }.sortBy(m => (m._1, m._2))
+        grouped.scanLeft(0L)((acc, m) => acc + m._3).tail.max
+      }
+      val in = MemoryStream[Event](spark)
+      val q = EventStreams.concurrencyTws(in.toDS())
+        .writeStream.format("memory").queryName("conc_t").outputMode("update").start()
+      val got = try {
+        // split mid-overlap: ev1/ev2 land in batch 1, ev3 (which overlaps
+        // ev1 and touches ev2) in batch 2 — the end-list state must bridge
+        in.addData(evs.take(2) ++ evs.slice(4, 5): _*); q.processAllAvailable()
+        in.addData(evs.slice(2, 4) ++ evs.drop(5): _*); q.processAllAvailable()
+        spark.table("conc_t").as[LiveConc].collect().toSeq
+      } finally q.stop()
+      val finalByType = got.groupBy(_.event_type)
+        .map { case (t, rs) => t -> rs.maxBy(_.n_intervals) }
+      Seq("click", "view").foreach { t =>
+        val mine = evs.filter(_.event_type == t)
+        assert(finalByType(t).n_intervals === mine.size.toLong, s"$t interval count")
+        assert(finalByType(t).max_concurrent === sweepMax(mine),
+          s"$t max concurrency vs batch sweep")
+      }
+      // ev2 ends exactly when ev3 starts: ends retire first, so click
+      // peak is 2 (ev1+ev2 or ev1+ev3), never 3
+      assert(finalByType("click").max_concurrent === 2L)
+    } finally prev match {
+      case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
