@@ -140,6 +140,50 @@ object Learn {
         .orderBy(col("doc_id"))
     }),
 
+    // ONE PLSA EM STEP (Hofmann 1999; the aspect-model ancestor of
+    // LDA) over the document corpus, K = 4 topics — the topic-model
+    // primitive data-curation pipelines use for corpus composition
+    // audits and domain-mixture tagging. Init is CLOSED-FORM hash
+    // arithmetic (θ_dz from doc_id, φ_zw from word surface features —
+    // length + first/last codepoints), so the E-step needs NO
+    // parameter table at all: the posterior P(z|d,w) ∝ θ_dz·φ_zw is
+    // computed inline per (doc, word) cell, quantized to exact micro
+    // BEFORE the M-step sums it (the repo's fixed-point discipline —
+    // summing engine-ordered doubles would break oracle parity). The
+    // M-step's topic-word weights n_zw = Σ_d c_dw·p_micro(z|d,w) come
+    // out as exact BIGINTs; report the top-10 words per topic.
+    //
+    // Scale posture: the E-step is entirely MAP-SIDE (closed-form
+    // init → no θ/φ join, no window: the 4-term denominator is an
+    // inline expression and the K posteriors posexplode from an array
+    // literal); the only shuffles are the (doc, word) count and the
+    // (z, word) M-step aggregate — both partial+final; the top-10 rank
+    // is a WindowGroupLimit-prunable per-topic window over the
+    // vocab-grain result.
+    "q_plsa_step" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def theta(z: Int) = s"(1 + ((doc_id % 100000) * 73 + $z * 137) % 1009)"
+      def phi(z: Int) =
+        s"(1 + (length(w) * 131 + ascii(w) * 31 + ascii(substring(w, length(w), 1)) + $z * 977) % 997)"
+      val den = (0 to 3).map(z => s"${theta(z)} * ${phi(z)}").mkString(" + ")
+      val nums = (0 to 3).map(z => s"${theta(z)} * ${phi(z)}").mkString("array(", ", ", ")")
+      val nw = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("den", expr(den))
+        .select(col("w"), col("c"), col("den"),
+          posexplode(expr(nums)).as(Seq("z", "num")))
+        .withColumn("p_micro", expr("(CAST(num AS BIGINT) * 1000000) DIV den"))
+        .groupBy(col("z"), col("w"))
+        .agg(sum(expr("c * p_micro")).as("weight"))
+      nw.withColumn("rk", row_number().over(
+          Window.partitionBy(col("z")).orderBy(col("weight").desc, col("w"))).cast("bigint"))
+        .filter(col("rk") <= 10)
+        .select(col("z").cast("bigint").as("z"), col("w"), col("weight"), col("rk"))
+        .orderBy(col("z"), col("rk"))
+    }),
+
     // ROC AUC of the quality classifier as an English detector — the
     // on-engine model-evaluation primitive. EXACT arithmetic via the
     // Mann-Whitney rank-sum identity with PROPER midrank tie handling:
@@ -1904,6 +1948,35 @@ object Learn {
 
   val oracles: Map[String, String] = Map(
     "q_coreset" -> coresetOracle,
+
+    // Same closed-form init, same micro-quantized posterior; ascii()
+    // in DuckDB is the same first-codepoint function as Spark's.
+    "q_plsa_step" -> {
+      def theta(z: Int) = s"(1 + ((doc_id % 100000) * 73 + $z * 137) % 1009)"
+      def phi(z: Int) =
+        s"(1 + (length(w) * 131 + ascii(w) * 31 + ascii(substr(w, length(w), 1)) + $z * 977) % 997)"
+      val den = (0 to 3).map(z => s"${theta(z)} * ${phi(z)}").mkString(" + ")
+      val numSel = (0 to 3)
+        .map(z => s"SELECT doc_id, w, c, den, $z AS z, ${theta(z)} * ${phi(z)} AS num FROM dwd")
+        .mkString("\nUNION ALL\n")
+      s"""WITH dw AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0 GROUP BY 1, 2),
+         |dwd AS (SELECT doc_id, w, c, $den AS den FROM dw),
+         |zz AS (
+         |$numSel),
+         |nw AS (
+         |  SELECT z, w,
+         |    CAST(SUM(c * ((CAST(num AS BIGINT) * 1000000) // den)) AS BIGINT) AS weight
+         |  FROM zz GROUP BY 1, 2),
+         |rk_ AS (
+         |  SELECT CAST(z AS BIGINT) AS z, w, weight,
+         |    CAST(row_number() OVER (PARTITION BY z ORDER BY weight DESC, w) AS BIGINT) AS rk
+         |  FROM nw)
+         |SELECT z, w, weight, rk FROM rk_ WHERE rk <= 10
+         |ORDER BY z, rk""".stripMargin
+    },
 
     // INDEPENDENT algorithm: brute-force all-pairs 3rd-NN (no cells,
     // no bound, no probe — the compare also proves the two-pass bound
