@@ -195,6 +195,43 @@ object Relational {
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     }),
 
+    // LOCAL-SUPPLIER REVENUE (the TPC-H Q5 shape) — the canonical
+    // 6-table star-plus-fact-fact join: region filters nation, nation
+    // qualifies BOTH customer and supplier (the "local" predicate
+    // c_nationkey = s_nationkey), orders carries the selective date
+    // slice, lineitem carries the measure. The plan this exists to
+    // pin: the region→nation→customer/supplier dim chain BROADCASTS
+    // (catalog-scale), the only data-scale shuffle is orders⋈lineitem
+    // on the orderkey, and the date predicate pushes to the orders
+    // scan so the fact join starts from the 1/6th slice. Revenue is
+    // exact integer cent·percent units: price_c · (100 − disc_pct) —
+    // no float until never.
+    "q_local_revenue" -> ((s, d) => {
+      val dims = Tables.nation(s, d)
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("n_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, d)
+        .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'") &&
+          expr("o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("""CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 |* (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))""".stripMargin)
+            .as("rev_cp"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"), sum(col("rev_cp")).as("revenue_cp"))
+        .orderBy(col("revenue_cp").desc, col("n_name"))
+    }),
+
     // Statistical aggregate bundle.
     "q_agg_stats" -> ((s, d) => {
       Tables.events(s, d)
@@ -443,6 +480,24 @@ object Relational {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_local_revenue" ->
+      """SELECT n_name,
+        | CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |          * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_cp
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue_cp DESC, n_name""".stripMargin,
 
     "q_agg_group" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
