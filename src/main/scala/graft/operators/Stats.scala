@@ -740,6 +740,188 @@ object Stats {
             .as("uplift_milli"),
           expr("CASE WHEN cn0 > 0 THEN cr1 - (cr0 * cn1) DIV cn0 END").as("qini_c"))
         .orderBy(col("decile"))
+    }),
+
+    // BENJAMINI-HOCHBERG step-up FDR control (Benjamini & Hochberg
+    // 1995) over the per-arm mean-shift family — the multiple-testing
+    // layer every per-segment drift dashboard needs: m one-sample z²
+    // tests ("does this arm's mean value differ from the corpus
+    // mean"), ranked by evidence, compared against the χ²₁ critical
+    // ladder for α·k/m (α = 0.05, m = 5, inverse quantiles
+    // pre-evaluated as literals so no CDF is ever inverted on-engine),
+    // and the step-up rule rejects every rank ≤ the LARGEST passing
+    // rank — strictly more powerful than Bonferroni on the same
+    // family. z² comes from exact BIGINT moments (n, Σv, Σv²); the
+    // float finals run on the k-row arm frame in identical expression
+    // text both engines. The rank window and the max-passing-rank
+    // aggregate run at ARM grain (k rows, localCheckpoint'd) — corpus
+    // work is one map-side-combined groupBy.
+    "q_bh_fdr" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .select(col("event_type"), expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_g"), sum(col("vm")).as("s1"),
+          sum(expr("vm * vm")).as("s2"))
+      val tot = cells.agg(sum(col("n_g")).as("n"), sum(col("s1")).as("gs1"),
+        sum(col("s2")).as("gs2"))
+      val th = cells.crossJoin(broadcast(tot))
+        .withColumn("z2", expr(
+          """CAST(n_g AS DOUBLE) * (CAST(s1 AS DOUBLE) / n_g - CAST(gs1 AS DOUBLE) / n)
+            | * (CAST(s1 AS DOUBLE) / n_g - CAST(gs1 AS DOUBLE) / n)
+            | / ((CAST(gs2 AS DOUBLE) - CAST(gs1 AS DOUBLE) * gs1 / n) / (n - 1))""".stripMargin))
+        .withColumn("k",
+          row_number().over(Window.orderBy(col("z2").desc, col("event_type"))).cast("long"))
+        .withColumn("thr", expr(
+          "element_at(array(6.634897D, 5.411894D, 4.709292D, 4.217885D, 3.841459D), CAST(k AS INT))"))
+        .localCheckpoint() // arm-grain; rank table + step-up census share it
+      val km = th.agg(coalesce(max(when(col("z2") >= col("thr"), col("k"))), lit(0L)).as("k_pass"))
+      th.crossJoin(broadcast(km))
+        .select(col("event_type"), col("n_g"), col("k"), round(col("z2"), 6).as("z2"),
+          col("thr"), (col("k") <= col("k_pass")).as("bh_reject"))
+        .orderBy(col("k"))
+    }),
+
+    // WILCOXON SIGNED-RANK (Wilcoxon 1945) on the per-user
+    // click-minus-view paired spend difference — the paired complement
+    // of q_mann_whitney: no normality assumed, zeros dropped per the
+    // textbook procedure, |d| ranked with average ties in DOUBLED
+    // units (r2 = 2·below + t + 1, the q_spearman discipline) so no
+    // half ever appears; W⁺/W⁻ are reported in those doubled units
+    // (w2_pos + w2_neg ≡ n(n+1) — the identity is the self-check).
+    // The normal-approximation z² = 3A²/(2B−T) with A = 2·w2_pos −
+    // n(n+1), B = n(n+1)(2n+1), T = Σ(t³−t) is the only float, on the
+    // 1-row final in identical expression text. Rank construction is
+    // the distinct-|d|-grain prefix sum — two hash aggregates and a
+    // bounded window, never a corpus sort.
+    "q_wilcoxon_signed" -> ((s, d) => {
+      val diffs = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "click",
+            expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)")).otherwise(0L))
+          - sum(when(col("event_type") === "view",
+            expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)")).otherwise(0L))).as("dd"))
+        .filter(col("dd") =!= 0)
+        .select(expr("abs(dd)").as("ad"),
+          expr("CASE WHEN dd > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("pos"))
+      val cells = diffs.groupBy(col("ad"))
+        .agg(count(lit(1)).as("t"), sum(col("pos")).as("tp"))
+      val below = Window.orderBy(col("ad")).rowsBetween(Window.unboundedPreceding, -1)
+      cells
+        .withColumn("below", coalesce(sum(col("t")).over(below), lit(0L)))
+        .withColumn("r2", expr("2 * below + t + 1"))
+        .agg(sum(expr("tp * r2")).as("w2_pos"),
+          sum(expr("(t - tp) * r2")).as("w2_neg"),
+          sum(col("t")).as("n"),
+          sum(expr("t * t * t - t")).as("ties_t"))
+        .withColumn("a", expr("2 * w2_pos - n * (n + 1)"))
+        .select(col("n"), col("w2_pos"), col("w2_neg"), col("ties_t"), col("a"),
+          round(expr(
+            """CASE WHEN 2 * n * (n + 1) * (2 * n + 1) - ties_t > 0
+              | THEN 3.0 * CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+              |      / (2.0 * n * (n + 1) * (2 * n + 1) - ties_t) END""".stripMargin), 6).as("z2"))
+    }),
+
+    // BROWN-FORSYTHE / LEVENE variance-homogeneity test (Brown &
+    // Forsythe 1974, the median-centered robust form) across the
+    // event-type arms — the missing companion gate to q_anova /
+    // q_kruskal_wallis: those test location, this tests SPREAD, and a
+    // drift alarm on dispersion catches distribution widening that a
+    // mean test misses. Per-arm exact lower median at distinct-value
+    // grain (cum-count prefix window, ⌈n/2⌉ rank cut — never a sort),
+    // then one-way ANOVA F on the exact |x − med| deviations: all
+    // moments exact BIGINT at census grain, the F final on the k-row
+    // frame in DOUBLE with identical expression text; critical value
+    // F(4, ∞) = 2.3719 pre-evaluated as a literal.
+    "q_levene" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // median cut + deviation moments share the census
+      val below = Window.partitionBy(col("event_type")).orderBy(col("vm"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = cells.withColumn("below", coalesce(sum(col("c")).over(below), lit(0L)))
+      val ng = cells.groupBy(col("event_type")).agg(sum(col("c")).as("n_g"))
+      val med = cum.join(broadcast(ng), "event_type")
+        .filter(expr("below + c >= (n_g + 1) DIV 2"))
+        .groupBy(col("event_type")).agg(min(col("vm")).as("med"))
+      cells.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"))
+        .agg(sum(expr("c * abs(vm - med)")).as("s1"),
+          sum(expr("c * abs(vm - med) * abs(vm - med)")).as("s2"),
+          sum(col("c")).as("n_g"))
+        .agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+          sum(col("s1")).as("gs1"), sum(col("s2")).as("gs2"),
+          sum(expr("CAST(s1 AS DOUBLE) * s1 / n_g")).as("qa"))
+        .select(col("n"), col("k"),
+          round(expr(
+            """((qa - CAST(gs1 AS DOUBLE) * gs1 / n) / (k - 1))
+              | / ((CAST(gs2 AS DOUBLE) - qa) / (n - k))""".stripMargin), 6).as("f_bf"),
+          expr(
+            """((qa - CAST(gs1 AS DOUBLE) * gs1 / n) / (k - 1))
+              | / ((CAST(gs2 AS DOUBLE) - qa) / (n - k)) > 2.3719""".stripMargin).as("reject_05"))
+    }),
+
+    // Q-Q DECILE POINTS between the click and view value
+    // distributions — the distribution-drift READOUT behind q_ks_test's
+    // single number: nine exact type-1 decile pairs (q_click, q_view),
+    // whose departure from the diagonal localizes WHERE two
+    // distributions diverge. Exact quantiles by rank cut: per-arm
+    // distinct-value census + cumulative prefix window, target rank
+    // ⌈p·n/10⌉ = (p·n + 9) DIV 10, quantile = min value whose
+    // cumulative count reaches it — the q_quantile_exact discipline,
+    // never a corpus sort. The 18-row (arm × decile) target grid
+    // broadcasts; all arithmetic exact BIGINT on the milli grid.
+    "q_qq_points" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type").as("arm"),
+          expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+        .groupBy(col("arm"), col("vm"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // census feeds the arm totals and the rank cut
+      val below = Window.partitionBy(col("arm")).orderBy(col("vm"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = cells.withColumn("below", coalesce(sum(col("c")).over(below), lit(0L)))
+      val ng = cells.groupBy(col("arm")).agg(sum(col("c")).as("n_arm"))
+      val grid = s.range(1, 10).select(col("id").as("p"))
+      val tgt = ng.crossJoin(grid).withColumn("target", expr("(p * n_arm + 9) DIV 10"))
+      cum.join(broadcast(tgt), "arm")
+        .filter(expr("below + c >= target"))
+        .groupBy(col("p"), col("arm")).agg(min(col("vm")).as("q"))
+        .groupBy(col("p"))
+        .agg(max(when(col("arm") === "click", col("q"))).as("q_click_milli"),
+          max(when(col("arm") === "view", col("q"))).as("q_view_milli"))
+        .withColumn("gap_milli", expr("q_click_milli - q_view_milli"))
+        .orderBy(col("p"))
+    }),
+
+    // PARTIAL CORRELATION r_xy·z (Yule 1907) — does click volume
+    // correlate with view volume per user AFTER controlling for spend?
+    // The first-order recursion r_xy·z = (r_xy − r_xz·r_yz) /
+    // √((1−r_xz²)(1−r_yz²)) over three Pearson correlations on exact
+    // per-user BIGINT features. The corpus work is ONE map-side-
+    // combined groupBy + one corr aggregate pass (Spark's corr is a
+    // single-pass co-moment merge); the recursion runs on the 1-row
+    // final. round(4) absorbs the merge-order float noise (the
+    // q_spearman precedent — inputs are exact integers, noise is
+    // orders below the grain).
+    "q_partial_corr" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"),
+          sum(when(col("event_type") === "purchase",
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).otherwise(0L)).as("z"))
+        .agg(count(lit(1)).as("n"),
+          corr(col("x"), col("y")).as("rxy"),
+          corr(col("x"), col("z")).as("rxz"),
+          corr(col("y"), col("z")).as("ryz"))
+        .select(col("n"),
+          round(col("rxy"), 4).as("r_xy"),
+          round(col("rxz"), 4).as("r_xz"),
+          round(col("ryz"), 4).as("r_yz"),
+          round(expr("(rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz))"), 4)
+            .as("r_xy_z"))
     })
   )
 
@@ -1280,6 +1462,137 @@ object Stats {
         |  CASE WHEN n1 > 0 AND n0 > 0
         |       THEN (r1 * 1000) // n1 - (r0 * 1000) // n0 END AS uplift_milli,
         |  CASE WHEN cn0 > 0 THEN cr1 - (cr0 * cn1) // cn0 END AS qini_c
-        |FROM cumd ORDER BY decile""".stripMargin
+        |FROM cumd ORDER BY decile""".stripMargin,
+
+    "q_bh_fdr" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)
+        |             * CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s1) AS BIGINT) AS gs1,
+        |    CAST(SUM(s2) AS BIGINT) AS gs2 FROM cells),
+        |scored AS (
+        |  SELECT event_type, n_g,
+        |    CAST(n_g AS DOUBLE) * (CAST(s1 AS DOUBLE) / n_g - CAST(gs1 AS DOUBLE) / n)
+        |      * (CAST(s1 AS DOUBLE) / n_g - CAST(gs1 AS DOUBLE) / n)
+        |      / ((CAST(gs2 AS DOUBLE) - CAST(gs1 AS DOUBLE) * gs1 / n) / (n - 1)) AS z2
+        |  FROM cells, tot),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY z2 DESC, event_type) AS BIGINT) AS k
+        |  FROM scored),
+        |th AS (
+        |  SELECT *, CAST([6.634897, 5.411894, 4.709292, 4.217885, 3.841459][CAST(k AS INT)]
+        |    AS DOUBLE) AS thr FROM rk),
+        |km AS (
+        |  SELECT CAST(COALESCE(MAX(CASE WHEN z2 >= thr THEN k END), 0) AS BIGINT) AS k_pass
+        |  FROM th)
+        |SELECT event_type, n_g, k, round(z2, 6) AS z2, thr, k <= k_pass AS bh_reject
+        |FROM th, km ORDER BY k""".stripMargin,
+
+    "q_wilcoxon_signed" ->
+      """WITH diffs AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'click'
+        |                  THEN CAST(floor(value * 1000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    - CAST(SUM(CASE WHEN event_type = 'view'
+        |                    THEN CAST(floor(value * 1000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS dd
+        |  FROM events GROUP BY user_id),
+        |nz AS (
+        |  SELECT abs(dd) AS ad,
+        |    CASE WHEN dd > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pos
+        |  FROM diffs WHERE dd <> 0),
+        |cells AS (
+        |  SELECT ad, CAST(count(*) AS BIGINT) AS t, CAST(SUM(pos) AS BIGINT) AS tp
+        |  FROM nz GROUP BY ad),
+        |ranked AS (
+        |  SELECT *, 2 * COALESCE(CAST(SUM(t) OVER (ORDER BY ad
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + t + 1 AS r2
+        |  FROM cells),
+        |agg_ AS (
+        |  SELECT CAST(SUM(tp * r2) AS BIGINT) AS w2_pos,
+        |    CAST(SUM((t - tp) * r2) AS BIGINT) AS w2_neg,
+        |    CAST(SUM(t) AS BIGINT) AS n,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS ties_t
+        |  FROM ranked),
+        |fin AS (SELECT *, 2 * w2_pos - n * (n + 1) AS a FROM agg_)
+        |SELECT n, w2_pos, w2_neg, ties_t, a,
+        |  round(CASE WHEN 2 * n * (n + 1) * (2 * n + 1) - ties_t > 0
+        |    THEN 3.0 * CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+        |         / (2.0 * n * (n + 1) * (2 * n + 1) - ties_t) END, 6) AS z2
+        |FROM fin""".stripMargin,
+
+    "q_levene" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, COALESCE(CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY vm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS below
+        |  FROM cells),
+        |ng AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_g FROM cells GROUP BY 1),
+        |med AS (
+        |  SELECT event_type, CAST(MIN(vm) AS BIGINT) AS med
+        |  FROM cum JOIN ng USING (event_type)
+        |  WHERE below + c >= (n_g + 1) // 2 GROUP BY event_type),
+        |dev AS (
+        |  SELECT cells.event_type,
+        |    CAST(SUM(c * abs(vm - med)) AS BIGINT) AS s1,
+        |    CAST(SUM(c * abs(vm - med) * abs(vm - med)) AS BIGINT) AS s2,
+        |    CAST(SUM(c) AS BIGINT) AS n_g
+        |  FROM cells JOIN med USING (event_type) GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(SUM(s1) AS BIGINT) AS gs1, CAST(SUM(s2) AS BIGINT) AS gs2,
+        |    SUM(CAST(s1 AS DOUBLE) * s1 / n_g) AS qa
+        |  FROM dev)
+        |SELECT n, k,
+        |  round(((qa - CAST(gs1 AS DOUBLE) * gs1 / n) / (k - 1))
+        |    / ((CAST(gs2 AS DOUBLE) - qa) / (n - k)), 6) AS f_bf,
+        |  ((qa - CAST(gs1 AS DOUBLE) * gs1 / n) / (k - 1))
+        |    / ((CAST(gs2 AS DOUBLE) - qa) / (n - k)) > 2.3719 AS reject_05
+        |FROM tot""".stripMargin,
+
+    "q_qq_points" ->
+      """WITH cells AS (
+        |  SELECT event_type AS arm, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, COALESCE(CAST(SUM(c) OVER (PARTITION BY arm ORDER BY vm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS below
+        |  FROM cells),
+        |ng AS (SELECT arm, CAST(SUM(c) AS BIGINT) AS n_arm FROM cells GROUP BY arm),
+        |grid AS (SELECT CAST(range AS BIGINT) AS p FROM range(1, 10)),
+        |tgt AS (SELECT arm, p, (p * n_arm + 9) // 10 AS target FROM ng, grid),
+        |qs AS (
+        |  SELECT p, arm, CAST(MIN(vm) AS BIGINT) AS q
+        |  FROM cum JOIN tgt USING (arm) WHERE below + c >= target GROUP BY p, arm)
+        |SELECT p,
+        |  CAST(MAX(CASE WHEN arm = 'click' THEN q END) AS BIGINT) AS q_click_milli,
+        |  CAST(MAX(CASE WHEN arm = 'view' THEN q END) AS BIGINT) AS q_view_milli,
+        |  CAST(MAX(CASE WHEN arm = 'click' THEN q END)
+        |    - MAX(CASE WHEN arm = 'view' THEN q END) AS BIGINT) AS gap_milli
+        |FROM qs GROUP BY p ORDER BY p""".stripMargin,
+
+    "q_partial_corr" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS z
+        |  FROM events GROUP BY user_id),
+        |c_ AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    corr(x, y) AS rxy, corr(x, z) AS rxz, corr(y, z) AS ryz
+        |  FROM users)
+        |SELECT n, round(rxy, 4) AS r_xy, round(rxz, 4) AS r_xz, round(ryz, 4) AS r_yz,
+        |  round((rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 4) AS r_xy_z
+        |FROM c_""".stripMargin
   )
 }
