@@ -922,6 +922,145 @@ object Stats {
           round(col("ryz"), 4).as("r_yz"),
           round(expr("(rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz))"), 4)
             .as("r_xy_z"))
+    }),
+
+    // BOLLINGER BANDS (Bollinger 1983) over the daily click-volume
+    // series — the rolling volatility envelope behind every "is today
+    // anomalous vs its own recent regime" monitor: trailing-14-day
+    // mean ± 2σ, breakout = the day escaping its own band. The corpus
+    // collapses to DAY grain first (one map-side-combined groupBy);
+    // the rolling window runs over the bounded day table — never a
+    // corpus-sized frame. Counts stay exact BIGINT; the band floats
+    // round(4) and the breakout flags compare against the ROUNDED
+    // band so both engines test the identical number. Days without a
+    // full 14-day history are excluded (the textbook warm-up rule).
+    "q_bollinger" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"))
+      val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
+      days
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("mu", round(avg(col("x")).over(w), 4))
+        .withColumn("sd", round(stddev_samp(col("x")).over(w), 4))
+        .filter(col("n_win") === 14)
+        .select(col("day"), col("x"), col("mu"), col("sd"),
+          round(expr("mu + 2 * sd"), 4).as("hi"),
+          round(expr("mu - 2 * sd"), 4).as("lo"),
+          expr("CAST(x AS DOUBLE) > round(mu + 2 * sd, 4)").as("breakout_hi"),
+          expr("CAST(x AS DOUBLE) < round(mu - 2 * sd, 4)").as("breakout_lo"))
+        .orderBy(col("day"))
+    }),
+
+    // RSI-14 (Wilder 1978, the SMA form) over the daily purchase-spend
+    // series — the bounded momentum oscillator, and unlike the float
+    // textbook version this one is EXACT: RSI = 100·ΣG/(ΣG+ΣL) over
+    // the trailing 14 day-over-day deltas, all BIGINT cents, reported
+    // on the milli grid by truncating division (non-negative, so DIV
+    // and // agree). Day grain throughout: one corpus groupBy, then
+    // lag + two rolling sums over the bounded day table.
+    "q_rsi" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(sum(when(col("event_type") === "purchase",
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).otherwise(0L)).as("spend_c"))
+      val wl = Window.orderBy(col("day"))
+      val w14 = Window.orderBy(col("day")).rowsBetween(-13, 0)
+      days
+        .withColumn("delta", col("spend_c") - lag(col("spend_c"), 1).over(wl))
+        .filter(col("delta").isNotNull)
+        .withColumn("gain", expr("CASE WHEN delta > 0 THEN delta ELSE CAST(0 AS BIGINT) END"))
+        .withColumn("loss", expr("CASE WHEN delta < 0 THEN -delta ELSE CAST(0 AS BIGINT) END"))
+        .withColumn("n_win", count(lit(1)).over(w14))
+        .withColumn("sg", sum(col("gain")).over(w14))
+        .withColumn("sl", sum(col("loss")).over(w14))
+        .filter(col("n_win") === 14)
+        .select(col("day"), col("spend_c"), col("sg"), col("sl"),
+          expr("CASE WHEN sg + sl > 0 THEN (100000 * sg) DIV (sg + sl) END").as("rsi_milli"))
+        .orderBy(col("day"))
+    }),
+
+    // PACF to lag 3 via the Durbin-Levinson recursion (Durbin 1960) on
+    // the daily click series — the AR-order diagnostic q_ar_fit reads
+    // by eye: φ11, φ22, φ33 decide whether one, two, or three AR lags
+    // earn their place. The ACF inputs are EXACT integer ratios — the
+    // mean never divides: with w_t = n·x_t − Σx, ρ_k = Σ w_t·w_{t−k} /
+    // Σ w_t² cancels the 1/n² exactly, so both engines consume
+    // identical BIGINT numerators/denominators; the recursion itself
+    // runs on the 1-row final in DOUBLE with identical expression
+    // text. Day grain: one corpus groupBy, three lag columns over the
+    // bounded day table, one aggregate.
+    "q_pacf" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"))
+      val n1 = days.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val wl = Window.orderBy(col("day"))
+      val moments = days.crossJoin(broadcast(n1))
+        .withColumn("w", expr("n * x - sx"))
+        .withColumn("w1", lag(col("w"), 1).over(wl))
+        .withColumn("w2", lag(col("w"), 2).over(wl))
+        .withColumn("w3", lag(col("w"), 3).over(wl))
+        .agg(max(col("n")).as("n"),
+          sum(expr("w * w")).as("c0"),
+          sum(expr("CASE WHEN w1 IS NOT NULL THEN w * w1 ELSE CAST(0 AS BIGINT) END")).as("c1"),
+          sum(expr("CASE WHEN w2 IS NOT NULL THEN w * w2 ELSE CAST(0 AS BIGINT) END")).as("c2"),
+          sum(expr("CASE WHEN w3 IS NOT NULL THEN w * w3 ELSE CAST(0 AS BIGINT) END")).as("c3"))
+      moments.select(col("n"),
+          expr("CAST(c1 AS DOUBLE) / c0").as("rho1"),
+          expr("CAST(c2 AS DOUBLE) / c0").as("rho2"),
+          expr("CAST(c3 AS DOUBLE) / c0").as("rho3"))
+        .withColumn("p22", expr("(rho2 - rho1 * rho1) / (1 - rho1 * rho1)"))
+        .withColumn("p21", expr("rho1 * (1 - (rho2 - rho1 * rho1) / (1 - rho1 * rho1))"))
+        .select(col("n"),
+          round(col("rho1"), 6).as("rho1"), round(col("rho2"), 6).as("rho2"),
+          round(col("rho3"), 6).as("rho3"),
+          round(col("rho1"), 6).as("pacf1"),
+          round(col("p22"), 6).as("pacf2"),
+          round(expr("(rho3 - p21 * rho2 - p22 * rho1) / (1 - p21 * rho1 - p22 * rho2)"), 6)
+            .as("pacf3"))
+    }),
+
+    // GRANGER CAUSALITY (Granger 1969), 1 lag, day grain — "do
+    // yesterday's clicks help predict today's purchases beyond
+    // yesterday's purchases": the nested-OLS F test comparing RSS of
+    // y_t ~ y_{t−1} against y_t ~ y_{t−1} + x_{t−1}, both solved in
+    // closed form (Cramer 2×2) from exact BIGINT raw moments over the
+    // lag-complete day subset. The float algebra runs once, on the
+    // 1-row moment final, in identical expression text; critical value
+    // F(1, ∞) = 3.8415 pre-evaluated. Day grain: one corpus groupBy,
+    // two lag columns, one moment aggregate.
+    "q_granger" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("xs"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ys"))
+      val wl = Window.orderBy(col("day"))
+      val rows = days
+        .withColumn("y1", lag(col("ys"), 1).over(wl))
+        .withColumn("x1", lag(col("xs"), 1).over(wl))
+        .filter(col("y1").isNotNull && col("x1").isNotNull)
+      val m = rows.agg(count(lit(1)).as("n"),
+        sum(col("ys")).as("sy"), sum(col("y1")).as("sy1"), sum(col("x1")).as("sx1"),
+        sum(expr("ys * ys")).as("syy"), sum(expr("y1 * y1")).as("sy1y1"),
+        sum(expr("x1 * x1")).as("sx1x1"), sum(expr("ys * y1")).as("syy1"),
+        sum(expr("ys * x1")).as("syx1"), sum(expr("y1 * x1")).as("sy1x1"))
+      m.select(col("n"),
+          expr("CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n").as("cyy"),
+          expr("CAST(sy1y1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * sy1 / n").as("cy1y1"),
+          expr("CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n").as("cx1x1"),
+          expr("CAST(syy1 AS DOUBLE) - CAST(sy AS DOUBLE) * sy1 / n").as("cyy1"),
+          expr("CAST(syx1 AS DOUBLE) - CAST(sy AS DOUBLE) * sx1 / n").as("cyx1"),
+          expr("CAST(sy1x1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * sx1 / n").as("cy1x1"))
+        .withColumn("rss_r", expr("cyy - cyy1 * cyy1 / cy1y1"))
+        .withColumn("det", expr("cy1y1 * cx1x1 - cy1x1 * cy1x1"))
+        .withColumn("b", expr("(cyy1 * cx1x1 - cyx1 * cy1x1) / det"))
+        .withColumn("c", expr("(cyx1 * cy1y1 - cyy1 * cy1x1) / det"))
+        .withColumn("rss_u", expr("cyy - b * cyy1 - c * cyx1"))
+        .select(col("n"),
+          round(col("rss_r"), 4).as("rss_r"), round(col("rss_u"), 4).as("rss_u"),
+          round(expr("(rss_r - rss_u) * (n - 3) / rss_u"), 6).as("f_stat"),
+          expr("(rss_r - rss_u) * (n - 3) / rss_u > 3.8415").as("reject_05"))
     })
   )
 
@@ -1593,6 +1732,124 @@ object Stats {
         |  FROM users)
         |SELECT n, round(rxy, 4) AS r_xy, round(rxz, 4) AS r_xz, round(ryz, 4) AS r_yz,
         |  round((rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 4) AS r_xy_z
-        |FROM c_""".stripMargin
+        |FROM c_""".stripMargin,
+
+    "q_bollinger" ->
+      """WITH days AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |win AS (
+        |  SELECT day, x,
+        |    CAST(count(*) OVER w AS BIGINT) AS n_win,
+        |    round(avg(x) OVER w, 4) AS mu,
+        |    round(stddev_samp(x) OVER w, 4) AS sd
+        |  FROM days
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT day, x, mu, sd,
+        |  round(mu + 2 * sd, 4) AS hi, round(mu - 2 * sd, 4) AS lo,
+        |  CAST(x AS DOUBLE) > round(mu + 2 * sd, 4) AS breakout_hi,
+        |  CAST(x AS DOUBLE) < round(mu - 2 * sd, 4) AS breakout_lo
+        |FROM win WHERE n_win = 14 ORDER BY day""".stripMargin,
+
+    "q_rsi" ->
+      """WITH days AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS spend_c
+        |  FROM events GROUP BY 1),
+        |dl AS (
+        |  SELECT day, spend_c, spend_c - lag(spend_c, 1) OVER (ORDER BY day) AS delta
+        |  FROM days),
+        |gl AS (
+        |  SELECT day, spend_c,
+        |    CASE WHEN delta > 0 THEN delta ELSE CAST(0 AS BIGINT) END AS gain,
+        |    CASE WHEN delta < 0 THEN -delta ELSE CAST(0 AS BIGINT) END AS loss
+        |  FROM dl WHERE delta IS NOT NULL),
+        |win AS (
+        |  SELECT day, spend_c,
+        |    CAST(count(*) OVER w AS BIGINT) AS n_win,
+        |    CAST(SUM(gain) OVER w AS BIGINT) AS sg,
+        |    CAST(SUM(loss) OVER w AS BIGINT) AS sl
+        |  FROM gl
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT day, spend_c, sg, sl,
+        |  CASE WHEN sg + sl > 0 THEN (100000 * sg) // (sg + sl) END AS rsi_milli
+        |FROM win WHERE n_win = 14 ORDER BY day""".stripMargin,
+
+    "q_pacf" ->
+      """WITH days AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx FROM days),
+        |ws AS (
+        |  SELECT n, n * x - sx AS w,
+        |    lag(n * x - sx, 1) OVER (ORDER BY day) AS w1,
+        |    lag(n * x - sx, 2) OVER (ORDER BY day) AS w2,
+        |    lag(n * x - sx, 3) OVER (ORDER BY day) AS w3
+        |  FROM days, n1),
+        |mom AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n,
+        |    CAST(SUM(w * w) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN w1 IS NOT NULL THEN w * w1 ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN w2 IS NOT NULL THEN w * w2 ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN w3 IS NOT NULL THEN w * w3 ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS c3
+        |  FROM ws),
+        |rho AS (
+        |  SELECT n, CAST(c1 AS DOUBLE) / c0 AS rho1, CAST(c2 AS DOUBLE) / c0 AS rho2,
+        |    CAST(c3 AS DOUBLE) / c0 AS rho3
+        |  FROM mom),
+        |dl2 AS (
+        |  SELECT *, (rho2 - rho1 * rho1) / (1 - rho1 * rho1) AS p22,
+        |    rho1 * (1 - (rho2 - rho1 * rho1) / (1 - rho1 * rho1)) AS p21
+        |  FROM rho)
+        |SELECT n, round(rho1, 6) AS rho1, round(rho2, 6) AS rho2, round(rho3, 6) AS rho3,
+        |  round(rho1, 6) AS pacf1, round(p22, 6) AS pacf2,
+        |  round((rho3 - p21 * rho2 - p22 * rho1) / (1 - p21 * rho1 - p22 * rho2), 6) AS pacf3
+        |FROM dl2""".stripMargin,
+
+    "q_granger" ->
+      """WITH days AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS xs,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ys
+        |  FROM events GROUP BY 1),
+        |lagged AS (
+        |  SELECT ys, lag(ys, 1) OVER (ORDER BY day) AS y1,
+        |    lag(xs, 1) OVER (ORDER BY day) AS x1
+        |  FROM days),
+        |rows_ AS (SELECT * FROM lagged WHERE y1 IS NOT NULL AND x1 IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(ys) AS BIGINT) AS sy, CAST(SUM(y1) AS BIGINT) AS sy1,
+        |    CAST(SUM(x1) AS BIGINT) AS sx1,
+        |    CAST(SUM(ys * ys) AS BIGINT) AS syy, CAST(SUM(y1 * y1) AS BIGINT) AS sy1y1,
+        |    CAST(SUM(x1 * x1) AS BIGINT) AS sx1x1, CAST(SUM(ys * y1) AS BIGINT) AS syy1,
+        |    CAST(SUM(ys * x1) AS BIGINT) AS syx1, CAST(SUM(y1 * x1) AS BIGINT) AS sy1x1
+        |  FROM rows_),
+        |cen AS (
+        |  SELECT n,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy,
+        |    CAST(sy1y1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * sy1 / n AS cy1y1,
+        |    CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n AS cx1x1,
+        |    CAST(syy1 AS DOUBLE) - CAST(sy AS DOUBLE) * sy1 / n AS cyy1,
+        |    CAST(syx1 AS DOUBLE) - CAST(sy AS DOUBLE) * sx1 / n AS cyx1,
+        |    CAST(sy1x1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * sx1 / n AS cy1x1
+        |  FROM m),
+        |ols AS (
+        |  SELECT *, cyy - cyy1 * cyy1 / cy1y1 AS rss_r,
+        |    cy1y1 * cx1x1 - cy1x1 * cy1x1 AS det
+        |  FROM cen),
+        |fit AS (
+        |  SELECT *, (cyy1 * cx1x1 - cyx1 * cy1x1) / det AS b,
+        |    (cyx1 * cy1y1 - cyy1 * cy1x1) / det AS c
+        |  FROM ols),
+        |fin AS (SELECT *, cyy - b * cyy1 - c * cyx1 AS rss_u FROM fit)
+        |SELECT n, round(rss_r, 4) AS rss_r, round(rss_u, 4) AS rss_u,
+        |  round((rss_r - rss_u) * (n - 3) / rss_u, 6) AS f_stat,
+        |  (rss_r - rss_u) * (n - 3) / rss_u > 3.8415 AS reject_05
+        |FROM fin""".stripMargin
   )
 }
