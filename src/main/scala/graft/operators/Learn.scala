@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -82,6 +83,15 @@ object Learn {
   private val K = 4
   private[operators] val Dim = 64
   private val Iters = 2
+
+  /** Truncate-toward-zero division valid for signed numerators — see
+    * RelationalExt.sdiv (same contract, private there). */
+  private def sdiv(x: String, y: String): String =
+    s"(CASE WHEN ($x) >= 0 THEN ($x) DIV ($y) ELSE -((-($x)) DIV ($y)) END)"
+
+  /** [[sdiv]] in DuckDB spelling. */
+  private def sdivSql(x: String, y: String): String =
+    s"(CASE WHEN ($x) >= 0 THEN ($x) // ($y) ELSE -((-($x)) // ($y)) END)"
 
   /** Squared-distance expression between the (sliced) quantized vector
     * column `qs` and one centroid literal — exact BIGINT via
@@ -1717,6 +1727,158 @@ object Learn {
         .crossJoin(broadcast(mae))
         .select(col("sp"), col("v_milli"), col("n_pairs"), col("mae_milli"))
         .orderBy(col("v_milli").desc, col("sp"))
+    }),
+
+    // GREEDY K-CENTER / farthest-point traversal (Gonzalez 1985) over
+    // the embedding corpus — the DETERMINISTIC k-means++ replacement
+    // (no RNG: seed = lowest vec_id, each round adds the point
+    // farthest from the chosen set, ties to the lowest id) and the
+    // 2-approximation to the optimal covering radius. This is the
+    // coverage-sampling primitive a curation pipeline uses to pick
+    // maximally-diverse exemplars. Four unrolled rounds: each is one
+    // corpus scan computing d² to the newest center (exact BIGINT on
+    // the ×10⁴ integer grid — the q_kmeans_fit quantization) folded
+    // into the running min, plus a TakeOrdered(1) argmax — never a
+    // full sort, never a collect; the 1-row selection crossJoin-
+    // broadcasts back (the documented never-collect global pattern).
+    // Row 5 reports the coverage radius (the would-be 5th selection).
+    "q_kcenter" -> ((s, d) => {
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("qv"))
+        .localCheckpoint() // 4 greedy rounds + the radius share one quantized scan
+      val d2 = "aggregate(zip_with(qv, cqv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+      val c1 = base.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id").as("cid"), col("qv").as("cqv"), lit(0L).as("dsel"))
+        .localCheckpoint()
+      var st = base.crossJoin(broadcast(c1.select(col("cqv"))))
+        .select(col("vec_id"), col("qv"), expr(d2).as("dmin"))
+        .localCheckpoint()
+      var picks = Seq(c1.select(lit(1L).as("round"), col("cid").as("vec_id"),
+        col("dsel").as("d2_sel")))
+      for (r <- 2 to 4) {
+        val ck = st.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+          .select(col("vec_id").as("cid"), col("qv").as("cqv"), col("dmin").as("dsel"))
+          .localCheckpoint() // 1 row: read by the pick page and the fold
+        picks = picks :+ ck.select(lit(r.toLong).as("round"), col("cid").as("vec_id"),
+          col("dsel").as("d2_sel"))
+        st = st.crossJoin(broadcast(ck.select(col("cqv"))))
+          .select(col("vec_id"), col("qv"), least(col("dmin"), expr(d2)).as("dmin"))
+          .localCheckpoint()
+      }
+      val radius = st.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+        .select(lit(5L).as("round"), col("vec_id"), col("dmin").as("d2_sel"))
+      picks.reduce(_ union _).union(radius).orderBy(col("round"))
+    }),
+
+    // ONE EM STEP of a two-component 1-D Gaussian mixture (Dempster
+    // 1977) on the event-value distribution — the model-based
+    // complement of q_kmeans_fit's hard assignment: soft
+    // responsibilities, then closed-form weight/mean updates. The
+    // float boundary is crossed ONCE, at distinct-value census grain:
+    // r₁(v) = π₁N₁/(π₁N₁+π₂N₂) is evaluated per distinct milli value
+    // in identical expression text (the shared σ cancels the
+    // normalizing constant) and immediately quantized to integer
+    // micro (the q_lm_score recipe) — every downstream moment is an
+    // exact BIGINT census sum, so summation order is immaterial. Init
+    // μ = (5, 150), σ = 50, π = ½/½. The Σc·r·v moment bound is
+    // N·10⁶·|v|max — the documented BIGINT knob (recoarsen the
+    // responsibility grid past ~10⁹ rows).
+    "q_gmm_step" -> ((s, d) => {
+      val census = Tables.events(s, d)
+        .groupBy(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+        .agg(count(lit(1)).as("c"))
+      val z1 = "((CAST(vm AS DOUBLE) - 5000.0) / 50000.0)"
+      val z2 = "((CAST(vm AS DOUBLE) - 150000.0) / 50000.0)"
+      census
+        .withColumn("e1", expr(s"exp(-$z1 * $z1 / 2)"))
+        .withColumn("e2", expr(s"exp(-$z2 * $z2 / 2)"))
+        .withColumn("r1q", expr(
+          """CASE WHEN 0.5 * e1 + 0.5 * e2 = 0 THEN CAST(500000 AS BIGINT)
+            | ELSE CAST(floor(1000000.0 * (0.5 * e1) / (0.5 * e1 + 0.5 * e2) + 0.5) AS BIGINT)
+            | END""".stripMargin))
+        .agg(sum(col("c")).as("n"),
+          sum(expr("c * r1q")).as("m1"),
+          sum(expr("c * (1000000 - r1q)")).as("m2"),
+          sum(expr("c * r1q * vm")).as("s1"),
+          sum(expr("c * (1000000 - r1q) * vm")).as("s2"))
+        .select(col("n"),
+          expr("m1 DIV n").as("pi1_micro"),
+          expr("m2 DIV n").as("pi2_micro"),
+          expr(s"${sdiv("s1", "m1")}").as("mu1_milli"),
+          expr(s"${sdiv("s2", "m2")}").as("mu2_milli"))
+    }),
+
+    // TWO SUBGRADIENT STEPS of a linear hinge-loss SVM (soft-margin,
+    // λ = 0, η = 1/n — Shalev-Shwartz 2011's Pegasos shape with the
+    // step snapped to an exact rational, the q_logreg_gd discipline)
+    // on per-user (click, view) counts predicting purchase. w₀ = 0
+    // makes step 1 closed-form (every margin violates): w₁ = (Σyx)/n,
+    // carried as integer NUMERATORS over denominator n so step 2's
+    // margin test y·⟨w₁,x⟩ < 1 is the EXACT integer test y·(a·x) < n
+    // — no float ever enters the trajectory; the mean hinge loss is
+    // reported in exact milli by truncating division. Corpus work:
+    // one groupBy + two aggregate scans (the moment crossJoin-
+    // broadcasts back). Moment bound n·max|⟨a,x⟩| — documented knob.
+    "q_svm_step" -> ((s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x2"),
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) > 0, 1L)
+            .otherwise(-1L).as("y"))
+        .localCheckpoint() // the step-1 moment + the step-2 margin scan share it
+      val st1 = users.agg(count(lit(1)).as("n"),
+        sum(expr("y * x1")).as("a1"), sum(expr("y * x2")).as("a2"))
+      users.crossJoin(broadcast(st1))
+        .withColumn("m", expr("y * (a1 * x1 + a2 * x2)"))
+        .agg(max(col("n")).as("n"), max(col("a1")).as("a1"), max(col("a2")).as("a2"),
+          sum(expr("CASE WHEN m < n THEN 1 ELSE 0 END")).as("n_viol"),
+          sum(expr("CASE WHEN m < n THEN y * x1 ELSE CAST(0 AS BIGINT) END")).as("g1"),
+          sum(expr("CASE WHEN m < n THEN y * x2 ELSE CAST(0 AS BIGINT) END")).as("g2"),
+          sum(expr("CASE WHEN n - m > 0 THEN n - m ELSE CAST(0 AS BIGINT) END")).as("loss1_num"))
+        .select(col("n"), col("a1"), col("a2"), col("n_viol"),
+          expr("a1 + g1").as("b1"), expr("a2 + g2").as("b2"),
+          expr("(1000 * loss1_num) DIV (n * n)").as("loss1_milli"))
+    }),
+
+    // ONE ADABOOST ROUND (Freund & Schapire 1997) over the decision-
+    // stump family on per-user click count predicting purchase — with
+    // uniform initial weights the weighted error IS the count error,
+    // so the whole stump sweep is exact: both polarities of every
+    // threshold evaluated from one cumulative pos/neg prefix over the
+    // DISTINCT-feature census (the q_roc_points sweep), best stump by
+    // (err, θ, polarity) — deterministic ties. α = ½ln((1−ε)/ε) and
+    // the Z-factor 2√(ε(1−ε)) (the weight mass after re-normalization)
+    // are the only floats, on the 1-row winner in identical text.
+    "q_adaboost_step" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) > 0, 1L)
+            .otherwise(0L).as("pos"))
+        .groupBy(col("x"))
+        .agg(count(lit(1)).as("t"), sum(col("pos")).as("tp"))
+        .localCheckpoint() // totals + sweep share the census
+      val tot = cells.agg(sum(col("t")).as("nn"), sum(col("tp")).as("np"))
+      val wcum = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, 0)
+      val sweep = cells
+        .withColumn("cum_p", sum(col("tp")).over(wcum))
+        .withColumn("cum_n", sum(expr("t - tp")).over(wcum))
+        .crossJoin(broadcast(tot))
+        .withColumn("err_gt", expr("cum_p + (nn - np) - cum_n"))
+        .withColumn("err_le", expr("nn - (cum_p + (nn - np) - cum_n)"))
+      val cand = sweep.select(col("x").as("theta"), lit("gt").as("pol"),
+          col("err_gt").as("err"), col("nn"))
+        .union(sweep.select(col("x").as("theta"), lit("le").as("pol"),
+          col("err_le").as("err"), col("nn")))
+      cand.orderBy(col("err"), col("theta"), col("pol")).limit(1)
+        .select(col("theta"), col("pol"), col("err"), col("nn").as("n"),
+          round(expr(
+            """CASE WHEN err > 0 AND err < nn
+              | THEN ln((CAST(nn AS DOUBLE) - err) / err) / 2 END""".stripMargin), 6).as("alpha"),
+          round(expr(
+            "2 * sqrt(CAST(err AS DOUBLE) * (nn - err)) / nn"), 6).as("z_factor"))
     })
   )
 
@@ -2978,6 +3140,129 @@ object Learn {
          |  FROM err),
          |top AS (SELECT sp, v_milli FROM v1 ORDER BY v_milli DESC, sp LIMIT 20)
          |SELECT sp, v_milli, n_pairs, mae_milli FROM top, mae
-         |ORDER BY v_milli DESC, sp""".stripMargin
+         |ORDER BY v_milli DESC, sp""".stripMargin,
+
+    "q_kcenter" -> {
+      def dist(v: String, c: String) =
+        s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), " +
+          s"j -> ($v.qv[j] - $c.cqv[j]) * ($v.qv[j] - $c.cqv[j]))) AS BIGINT)"
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c1 AS (SELECT vec_id AS cid, qv AS cqv FROM q ORDER BY vec_id LIMIT 1),
+         |s1 AS (SELECT q.vec_id, q.qv, ${dist("q", "c")} AS dmin FROM q, c1 c),
+         |c2 AS (SELECT vec_id AS cid, qv AS cqv, dmin AS dsel FROM s1
+         |       ORDER BY dmin DESC, vec_id LIMIT 1),
+         |s2 AS (SELECT s.vec_id, s.qv, least(s.dmin, ${dist("s", "c")}) AS dmin
+         |       FROM s1 s, c2 c),
+         |c3 AS (SELECT vec_id AS cid, qv AS cqv, dmin AS dsel FROM s2
+         |       ORDER BY dmin DESC, vec_id LIMIT 1),
+         |s3 AS (SELECT s.vec_id, s.qv, least(s.dmin, ${dist("s", "c")}) AS dmin
+         |       FROM s2 s, c3 c),
+         |c4 AS (SELECT vec_id AS cid, qv AS cqv, dmin AS dsel FROM s3
+         |       ORDER BY dmin DESC, vec_id LIMIT 1),
+         |s4 AS (SELECT s.vec_id, s.qv, least(s.dmin, ${dist("s", "c")}) AS dmin
+         |       FROM s3 s, c4 c),
+         |c5 AS (SELECT vec_id, dmin AS dsel FROM s4 ORDER BY dmin DESC, vec_id LIMIT 1)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round, cid AS vec_id, CAST(0 AS BIGINT) AS d2_sel FROM c1
+         |  UNION ALL SELECT 2, cid, dsel FROM c2
+         |  UNION ALL SELECT 3, cid, dsel FROM c3
+         |  UNION ALL SELECT 4, cid, dsel FROM c4
+         |  UNION ALL SELECT 5, vec_id, dsel FROM c5)
+         |ORDER BY round""".stripMargin
+    },
+
+    "q_gmm_step" ->
+      s"""WITH census AS (
+         |  SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1),
+         |resp AS (
+         |  SELECT vm, c,
+         |    exp(-((CAST(vm AS DOUBLE) - 5000.0) / 50000.0)
+         |        * ((CAST(vm AS DOUBLE) - 5000.0) / 50000.0) / 2) AS e1,
+         |    exp(-((CAST(vm AS DOUBLE) - 150000.0) / 50000.0)
+         |        * ((CAST(vm AS DOUBLE) - 150000.0) / 50000.0) / 2) AS e2
+         |  FROM census),
+         |rq AS (
+         |  SELECT vm, c,
+         |    CASE WHEN 0.5 * e1 + 0.5 * e2 = 0 THEN CAST(500000 AS BIGINT)
+         |         ELSE CAST(floor(1000000.0 * (0.5 * e1) / (0.5 * e1 + 0.5 * e2) + 0.5) AS BIGINT)
+         |    END AS r1q
+         |  FROM resp),
+         |m AS (
+         |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(SUM(c * r1q) AS BIGINT) AS m1,
+         |    CAST(SUM(c * (1000000 - r1q)) AS BIGINT) AS m2,
+         |    CAST(SUM(c * r1q * vm) AS BIGINT) AS s1,
+         |    CAST(SUM(c * (1000000 - r1q) * vm) AS BIGINT) AS s2
+         |  FROM rq)
+         |SELECT n, m1 // n AS pi1_micro, m2 // n AS pi2_micro,
+         |  ${sdivSql("s1", "m1")} AS mu1_milli,
+         |  ${sdivSql("s2", "m2")} AS mu2_milli
+         |FROM m""".stripMargin,
+
+    "q_svm_step" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+        |  FROM events GROUP BY user_id),
+        |st1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(y * x1) AS BIGINT) AS a1,
+        |    CAST(SUM(y * x2) AS BIGINT) AS a2
+        |  FROM users),
+        |mg AS (
+        |  SELECT u.y, u.x1, u.x2, s.n, s.a1, s.a2,
+        |    y * (a1 * x1 + a2 * x2) AS m
+        |  FROM users u, st1 s),
+        |st2 AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(a1) AS BIGINT) AS a1,
+        |    CAST(max(a2) AS BIGINT) AS a2,
+        |    CAST(SUM(CASE WHEN m < n THEN 1 ELSE 0 END) AS BIGINT) AS n_viol,
+        |    CAST(SUM(CASE WHEN m < n THEN y * x1 ELSE 0 END) AS BIGINT) AS g1,
+        |    CAST(SUM(CASE WHEN m < n THEN y * x2 ELSE 0 END) AS BIGINT) AS g2,
+        |    CAST(SUM(CASE WHEN n - m > 0 THEN n - m ELSE 0 END) AS BIGINT) AS loss1_num
+        |  FROM mg)
+        |SELECT n, a1, a2, n_viol, a1 + g1 AS b1, a2 + g2 AS b2,
+        |  (1000 * loss1_num) // (n * n) AS loss1_milli
+        |FROM st2""".stripMargin,
+
+    "q_adaboost_step" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pos
+        |  FROM events GROUP BY user_id),
+        |cells AS (
+        |  SELECT x, CAST(count(*) AS BIGINT) AS t, CAST(SUM(pos) AS BIGINT) AS tp
+        |  FROM users GROUP BY x),
+        |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS nn, CAST(SUM(tp) AS BIGINT) AS np FROM cells),
+        |sweep AS (
+        |  SELECT x,
+        |    CAST(SUM(tp) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_p,
+        |    CAST(SUM(t - tp) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        |  FROM cells),
+        |errs AS (
+        |  SELECT x, cum_p + (nn - np) - cum_n AS err_gt,
+        |    nn - (cum_p + (nn - np) - cum_n) AS err_le, nn
+        |  FROM sweep, tot),
+        |cand AS (
+        |  SELECT x AS theta, 'gt' AS pol, err_gt AS err, nn FROM errs
+        |  UNION ALL
+        |  SELECT x AS theta, 'le' AS pol, err_le AS err, nn FROM errs),
+        |best AS (SELECT * FROM cand ORDER BY err, theta, pol LIMIT 1)
+        |SELECT theta, pol, err, nn AS n,
+        |  round(CASE WHEN err > 0 AND err < nn
+        |    THEN ln((CAST(nn AS DOUBLE) - err) / err) / 2 END, 6) AS alpha,
+        |  round(2 * sqrt(CAST(err AS DOUBLE) * (nn - err)) / nn, 6) AS z_factor
+        |FROM best""".stripMargin
   )
 }
