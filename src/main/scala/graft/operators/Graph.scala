@@ -1173,6 +1173,141 @@ object Graph {
       }
       out.select(col("round"), col("u"), col("v"), col("w"))
         .orderBy(col("round"), col("u"), col("v"))
+    }),
+
+    // MAXIMAL MATCHING by parallel local-minimum symmetry breaking
+    // (the deterministic Israeli-Itai/Luby shape): an edge joins the
+    // matching iff its id (src·2³² + dst — unique, collision-free
+    // under the node namespacing) is the minimum among ALL edges
+    // touching either endpoint; matched endpoints leave the graph and
+    // the rounds repeat. Every round is two hash aggregates (min-edge
+    // per endpoint) + two joins + two anti-joins — (node, BIGINT)
+    // shuffles only, no windows, no driver state; the classic result
+    // is O(log n) expected rounds, unrolled here to 3 (the declared
+    // contract, the q_bfs/Iters posture). Output: per-round matched
+    // count and surviving-edge count — the convergence trace.
+    "q_matching" -> ((s, d) => {
+      var e = tradeBase(s, d)
+        .select(col("src").as("a"), col("dst").as("b"),
+          expr("src * 4294967296 + dst").as("eid"))
+        .localCheckpoint() // rounds peel it in place
+      var out: DataFrame = null
+      for (r <- 1 to Iters) {
+        val byEnd = e.select(explode(array(
+            struct(col("a").as("v"), col("eid")),
+            struct(col("b").as("v"), col("eid")))).as("p"))
+          .select(col("p.v").as("v"), col("p.eid").as("eid"))
+          .groupBy(col("v")).agg(min(col("eid")).as("emin"))
+        val sel = e
+          .join(byEnd.select(col("v").as("a"), col("emin").as("ea")), Seq("a"))
+          .join(byEnd.select(col("v").as("b"), col("emin").as("eb")), Seq("b"))
+          .filter(col("eid") === col("ea") && col("eid") === col("eb"))
+          .select(col("a"), col("b"), col("eid"))
+          .localCheckpoint() // matched set: counted AND subtracted
+        val mv = sel.select(explode(array(col("a"), col("b"))).as("v")).distinct()
+        e = e.join(mv.select(col("v").as("a")), Seq("a"), "left_anti")
+          .join(mv.select(col("v").as("b")), Seq("b"), "left_anti")
+          .localCheckpoint()
+        val row = sel.agg(count(lit(1)).as("n_matched"))
+          .crossJoin(e.agg(count(lit(1)).as("n_left")))
+          .select(lit(r.toLong).as("round"), col("n_matched"), col("n_left"))
+        out = if (out == null) row else out.union(row)
+      }
+      out.orderBy(col("round"))
+    }),
+
+    // LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998) per node of
+    // the co-purchase graph — q_triangle's global census localized:
+    // cc(v) = 2·tri(v)/(deg(v)(deg(v)−1)), where Σ_{e∋v} supp(e)
+    // counts each triangle at v exactly twice, so tri2 = that sum
+    // needs no halving and cc lands on the exact micro grid by
+    // truncating division (all non-negative). The support pass is the
+    // q_ktruss wedge machinery on the shared basket-capped edge set;
+    // the per-node rollup is one explode + hash aggregate. Top-20
+    // page by (cc, node) — TakeOrdered, never a full sort.
+    "q_local_cc" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val edges = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+        .select(explode(expr(
+          s"sorted_pairs(slice(parts, 1, ${Pipeline.BasketCap}))")).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .distinct()
+        .localCheckpoint() // adjacency, degree, and support share it
+      val adj = edges.select(explode(array(
+          struct(col("a").as("v"), col("b").as("w")),
+          struct(col("b").as("v"), col("a").as("w")))).as("p"))
+        .select(col("p.v").as("v"), col("p.w").as("w"))
+      val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val nbrs = adj.groupBy(col("v")).agg(collect_set(col("w")).as("nbrs"))
+      val supp = edges
+        .join(nbrs.select(col("v").as("a"), col("nbrs").as("na")), Seq("a"))
+        .join(nbrs.select(col("v").as("b"), col("nbrs").as("nb")), Seq("b"))
+        .select(col("a"), col("b"),
+          expr("CAST(size(array_intersect(na, nb)) AS BIGINT)").as("supp"))
+      val tri = supp.select(explode(array(
+          struct(col("a").as("v"), col("supp")),
+          struct(col("b").as("v"), col("supp")))).as("p"))
+        .select(col("p.v").as("v"), col("p.supp").as("supp"))
+        .groupBy(col("v")).agg(sum(col("supp")).as("tri2"))
+      deg.join(tri, Seq("v"), "left")
+        .select(col("v"), col("deg"), coalesce(col("tri2"), lit(0L)).as("tri2"))
+        .filter(col("deg") >= 2)
+        .withColumn("cc_micro", expr("(tri2 * 1000000) DIV (deg * (deg - 1))"))
+        .orderBy(col("cc_micro").desc, col("v"))
+        .limit(20)
+        .select(col("v").as("node_id"), col("deg"), col("tri2"), col("cc_micro"))
+    }),
+
+    // SINGLE-SOURCE BETWEENNESS dependency (one Brandes 1977/2001
+    // accumulation from the min-id node, hop-bounded to 3 — the
+    // declared contract): forward BFS carries exact shortest-path
+    // COUNTS σ (σ(v) = Σ σ over predecessors, one join + aggregate
+    // per level, anti-join keeps levels disjoint), then the backward
+    // pass folds δ(v) = Σ_w σ(v)/σ(w)·(1+δ(w)) down the DAG. δ is
+    // carried in integer MICRO with per-edge truncating division —
+    // every term is non-negative and exact, so the sum is order-
+    // independent and both engines agree bit-for-bit (the house
+    // fixed-point discipline; a float δ would be shuffle-order
+    // dependent). Per level: (node, BIGINT) shuffles only. Top-20
+    // dependency page — the "which nodes sit on this hub's shortest
+    // paths" readout.
+    "q_betweenness" -> ((s, d) => {
+      val e = undirected(s, d).localCheckpoint()
+      val l0 = e.agg(min(col("src")).as("s0"))
+        .select(col("s0").as("node"), lit(1L).as("sigma"))
+        .localCheckpoint() // 1 row
+      def expand(front: DataFrame, visited: DataFrame): DataFrame =
+        e.join(front.select(col("node").as("src"), col("sigma")), "src")
+          .select(col("dst").as("node"), col("sigma"))
+          .join(visited, Seq("node"), "left_anti")
+          .groupBy(col("node")).agg(sum(col("sigma")).as("sigma"))
+      val l1 = expand(l0, l0.select(col("node"))).localCheckpoint()
+      val vis1 = l0.select(col("node")).union(l1.select(col("node"))).localCheckpoint()
+      val l2 = expand(l1, vis1).localCheckpoint()
+      val vis2 = vis1.union(l2.select(col("node"))).localCheckpoint()
+      val l3 = expand(l2, vis2).localCheckpoint()
+      def pull(lower: DataFrame, upper: DataFrame): DataFrame = {
+        val terms = e.select(col("src").as("node"), col("dst").as("wnode"))
+          .join(lower.select(col("node"), col("sigma")), "node")
+          .join(upper.select(col("node").as("wnode"), col("sigma").as("wsig"),
+            col("delta").as("wdelta")), "wnode")
+          .groupBy(col("node"))
+          .agg(sum(expr("(sigma * (1000000 + wdelta)) DIV wsig")).as("dsum"))
+        lower.join(terms, Seq("node"), "left")
+          .select(col("node"), col("sigma"), coalesce(col("dsum"), lit(0L)).as("delta"))
+      }
+      val d3 = l3.withColumn("delta", lit(0L))
+      val d2 = pull(l2, d3).localCheckpoint()
+      val d1 = pull(l1, d2)
+      d1.withColumn("dist", lit(1L))
+        .union(d2.withColumn("dist", lit(2L)))
+        .union(d3.select(col("node"), col("sigma"), col("delta")).withColumn("dist", lit(3L)))
+        .select(col("node").as("node_id"), col("dist"), col("sigma"),
+          col("delta").as("delta_micro"))
+        .orderBy(col("delta_micro").desc, col("node_id"))
+        .limit(20)
     })
   )
 
@@ -1950,6 +2085,109 @@ object Graph {
          |FROM (SELECT CAST(1 AS BIGINT) AS round, pk FROM (SELECT DISTINCT pk FROM sel1)
          |      UNION ALL
          |      SELECT CAST(2 AS BIGINT) AS round, pk FROM (SELECT DISTINCT pk FROM c2))
-         |ORDER BY round, u, v""".stripMargin
+         |ORDER BY round, u, v""".stripMargin,
+
+    "q_matching" -> {
+      def round(eIn: String, r: Int): String =
+        s"""mn$r AS (
+           |  SELECT v, CAST(MIN(eid) AS BIGINT) AS emin FROM (
+           |    SELECT a AS v, eid FROM $eIn UNION ALL SELECT b AS v, eid FROM $eIn)
+           |  GROUP BY v),
+           |sel$r AS (
+           |  SELECT e.a, e.b, e.eid
+           |  FROM $eIn e
+           |  JOIN mn$r ma ON ma.v = e.a AND ma.emin = e.eid
+           |  JOIN mn$r mb ON mb.v = e.b AND mb.emin = e.eid),
+           |mv$r AS (SELECT a AS v FROM sel$r UNION SELECT b AS v FROM sel$r),
+           |ed$r AS MATERIALIZED (
+           |  SELECT * FROM $eIn
+           |  WHERE a NOT IN (SELECT v FROM mv$r) AND b NOT IN (SELECT v FROM mv$r))""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |ed0 AS MATERIALIZED (SELECT a, b, a * 4294967296 + b AS eid FROM e0),
+         |${round("ed0", 1)},
+         |${round("ed1", 2)},
+         |${round("ed2", 3)}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM sel1) AS n_matched,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ed1) AS n_left
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM sel2),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ed2)
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM sel3),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ed3))
+         |ORDER BY round""".stripMargin
+    },
+
+    "q_local_cc" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |  WHERE l1.l_partkey < l2.l_partkey),
+        |und AS (SELECT a AS v, b AS w FROM e0 UNION ALL SELECT b AS v, a AS w FROM e0),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY v),
+        |supp AS (
+        |  SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS supp
+        |  FROM e0 e
+        |  JOIN und u1 ON u1.v = e.a
+        |  JOIN und u2 ON u2.v = e.b AND u2.w = u1.w
+        |  GROUP BY e.a, e.b),
+        |tri AS (
+        |  SELECT v, CAST(SUM(supp) AS BIGINT) AS tri2 FROM (
+        |    SELECT a AS v, supp FROM supp UNION ALL SELECT b AS v, supp FROM supp)
+        |  GROUP BY v)
+        |SELECT deg.v AS node_id, deg.deg, COALESCE(tri.tri2, 0) AS tri2,
+        |  (COALESCE(tri.tri2, 0) * 1000000) // (deg.deg * (deg.deg - 1)) AS cc_micro
+        |FROM deg LEFT JOIN tri ON deg.v = tri.v
+        |WHERE deg.deg >= 2
+        |ORDER BY cc_micro DESC, node_id LIMIT 20""".stripMargin,
+
+    "q_betweenness" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |l0 AS (SELECT CAST(MIN(src) AS BIGINT) AS node, CAST(1 AS BIGINT) AS sigma FROM e),
+        |l1 AS (
+        |  SELECT e.dst AS node, CAST(SUM(l0.sigma) AS BIGINT) AS sigma
+        |  FROM e JOIN l0 ON e.src = l0.node
+        |  WHERE e.dst NOT IN (SELECT node FROM l0)
+        |  GROUP BY e.dst),
+        |l2 AS (
+        |  SELECT e.dst AS node, CAST(SUM(l1.sigma) AS BIGINT) AS sigma
+        |  FROM e JOIN l1 ON e.src = l1.node
+        |  WHERE e.dst NOT IN (SELECT node FROM l0 UNION ALL SELECT node FROM l1)
+        |  GROUP BY e.dst),
+        |l3 AS (
+        |  SELECT e.dst AS node, CAST(SUM(l2.sigma) AS BIGINT) AS sigma
+        |  FROM e JOIN l2 ON e.src = l2.node
+        |  WHERE e.dst NOT IN (SELECT node FROM l0 UNION ALL SELECT node FROM l1
+        |                      UNION ALL SELECT node FROM l2)
+        |  GROUP BY e.dst),
+        |d3 AS (SELECT node, sigma, CAST(0 AS BIGINT) AS delta FROM l3),
+        |t2 AS (
+        |  SELECT v.node, CAST(SUM((v.sigma * (1000000 + w.delta)) // w.sigma) AS BIGINT) AS dsum
+        |  FROM e JOIN l2 v ON e.src = v.node JOIN d3 w ON e.dst = w.node
+        |  GROUP BY v.node),
+        |d2 AS (
+        |  SELECT l2.node, l2.sigma, CAST(COALESCE(t2.dsum, 0) AS BIGINT) AS delta
+        |  FROM l2 LEFT JOIN t2 ON l2.node = t2.node),
+        |t1 AS (
+        |  SELECT v.node, CAST(SUM((v.sigma * (1000000 + w.delta)) // w.sigma) AS BIGINT) AS dsum
+        |  FROM e JOIN l1 v ON e.src = v.node JOIN d2 w ON e.dst = w.node
+        |  GROUP BY v.node),
+        |d1 AS (
+        |  SELECT l1.node, l1.sigma, CAST(COALESCE(t1.dsum, 0) AS BIGINT) AS delta
+        |  FROM l1 LEFT JOIN t1 ON l1.node = t1.node)
+        |SELECT node AS node_id, dist, sigma, delta AS delta_micro FROM (
+        |  SELECT node, CAST(1 AS BIGINT) AS dist, sigma, delta FROM d1
+        |  UNION ALL SELECT node, CAST(2 AS BIGINT), sigma, delta FROM d2
+        |  UNION ALL SELECT node, CAST(3 AS BIGINT), sigma, delta FROM d3)
+        |ORDER BY delta_micro DESC, node_id LIMIT 20""".stripMargin
   )
 }
