@@ -406,6 +406,102 @@ object Audit {
           col("chosen_score"), col("rejected_score"),
           (col("chosen_score") - col("rejected_score")).as("margin"))
         .orderBy(col("lang"), col("lb"))
+    }),
+
+    // REFERENTIAL-INTEGRITY audit across the star schema — the first
+    // gate a warehouse health check runs: for every declared FK edge,
+    // how many child rows point at a parent that does not exist. Each
+    // edge is one LEFT ANTI join counted against the child total; the
+    // three dimension parents (customer / supplier / nation) broadcast
+    // (catalog-scale — the q_local_revenue posture), the fact-fact
+    // edge (lineitem → orders) shuffles on the key it would shuffle on
+    // anyway. Orphan rate in exact micro (non-negative truncating
+    // division). Output is one row per FK edge — bounded by the
+    // schema, never the data.
+    "q_ri_check" -> ((s, d) => {
+      def edge(name: String, child: DataFrame, key: String,
+               parent: DataFrame, pkey: String, bcast: Boolean): DataFrame = {
+        val c = child.select(col(key).as("k"))
+        val p0 = parent.select(col(pkey).as("k")).distinct()
+        val p = if (bcast) broadcast(p0) else p0
+        c.agg(count(lit(1)).as("n_child"))
+          .crossJoin(c.join(p, Seq("k"), "left_anti").agg(count(lit(1)).as("n_orphan")))
+          .select(lit(name).as("fk"), col("n_child"), col("n_orphan"),
+            expr("(n_orphan * 1000000) DIV n_child").as("orphan_micro"))
+      }
+      val li = Tables.lineitem(s, d)
+      Seq(
+        edge("lineitem.orderkey", li, "l_orderkey",
+          Tables.orders(s, d), "o_orderkey", bcast = false),
+        edge("lineitem.partkey", li, "l_partkey",
+          Tables.part(s, d), "p_partkey", bcast = true),
+        edge("lineitem.suppkey", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey", bcast = true),
+        edge("orders.custkey", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey", bcast = true),
+        edge("customer.nationkey", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey", bcast = true),
+        edge("supplier.nationkey", Tables.supplier(s, d), "s_nationkey",
+          Tables.nation(s, d), "n_nationkey", bcast = true)
+      ).reduce(_ union _).orderBy(col("fk"))
+    }),
+
+    // FRESHNESS audit — per event-type staleness against the
+    // warehouse watermark: max event time, lag behind the global max
+    // in exact seconds, and the count inside the trailing 24 h window
+    // before the watermark (is this stream still producing?). The
+    // global watermark is a broadcast 1-row aggregate; everything else
+    // is one map-side-combined groupBy. All integer microseconds.
+    "q_freshness" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), expr("unix_micros(ts)").as("us"))
+      val wm = ev.agg(max(col("us")).as("wm_us"))
+      ev.crossJoin(broadcast(wm))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("us")).as("max_us"),
+          max(col("wm_us")).as("wm_us"),
+          sum(expr("CASE WHEN us > wm_us - 86400000000 THEN 1 ELSE 0 END")).as("n_last_day"))
+        .select(col("event_type"), col("n"),
+          expr("(wm_us - max_us) DIV 1000000").as("lag_sec"),
+          col("n_last_day"))
+        .orderBy(col("event_type"))
+    }),
+
+    // MODE per group — the most frequent value-milli per event type
+    // (ties to the LOWEST value), by the house packed-argmax over the
+    // distinct-value census: max(cnt·2³² + (2³²−1−offset)) picks max
+    // count then min value in one aggregate, no window over data. The
+    // offset keeps the packed term non-negative for values on the
+    // signed milli grid (|vm| < 2³¹ asserted by the fixture grid).
+    "q_mode_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n"),
+          max(expr("c * 4294967296 + (4294967295 - (vm + 2147483648))")).as("pk"))
+        .select(col("event_type"), col("n"),
+          expr("pk DIV 4294967296").as("mode_n"),
+          expr("(4294967295 - pk % 4294967296) - 2147483648").as("mode_vm"))
+        .orderBy(col("event_type"))
+    }),
+
+    // 2-D HISTOGRAM heat grid — (hour-of-day × event-type) counts plus
+    // each cell's share of its hour (exact micro) — the layout every
+    // traffic dashboard draws, computed as ONE corpus aggregate at
+    // cell grain plus a broadcast join of the 24-row hour margins.
+    "q_histogram2d" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .groupBy(expr("CAST((unix_micros(ts) DIV 3600000000) % 24 AS BIGINT)").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val marg = cells.groupBy(col("hour")).agg(sum(col("n")).as("n_hour"))
+      cells.join(broadcast(marg), "hour")
+        .select(col("hour"), col("event_type"), col("n"),
+          expr("(n * 1000000) DIV n_hour").as("share_micro"))
+        .orderBy(col("hour"), col("event_type"))
     })
   )
 
@@ -693,6 +789,59 @@ object Audit {
         |  chosen_score - rejected_score AS margin
         |FROM best JOIN worst USING (lang, lb)
         |WHERE chosen_id <> rejected_id AND chosen_score > rejected_score
-        |ORDER BY lang, lb""".stripMargin
+        |ORDER BY lang, lb""".stripMargin,
+
+    "q_ri_check" -> {
+      def edge(name: String, child: String, key: String,
+               parent: String, pkey: String): String =
+        s"""SELECT '$name' AS fk,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_child,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child
+           |   WHERE $key NOT IN (SELECT $pkey FROM $parent)) AS n_orphan""".stripMargin
+      val edges = Seq(
+        edge("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edge("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .mkString("\nUNION ALL\n")
+      s"""SELECT fk, n_child, n_orphan,
+         |  (n_orphan * 1000000) // n_child AS orphan_micro
+         |FROM ($edges)
+         |ORDER BY fk""".stripMargin
+    },
+
+    "q_freshness" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |wm AS (SELECT CAST(MAX(us) AS BIGINT) AS wm_us FROM ev)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  (CAST(MAX(wm_us) AS BIGINT) - CAST(MAX(us) AS BIGINT)) // 1000000 AS lag_sec,
+        |  CAST(SUM(CASE WHEN us > wm_us - 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_last_day
+        |FROM ev, wm
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_mode_agg" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |pk_ AS (
+        |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(MAX(c * 4294967296 + (4294967295 - (vm + 2147483648))) AS BIGINT) AS pk
+        |  FROM cells GROUP BY event_type)
+        |SELECT event_type, n, pk // 4294967296 AS mode_n,
+        |  (4294967295 - pk % 4294967296) - 2147483648 AS mode_vm
+        |FROM pk_ ORDER BY event_type""".stripMargin,
+
+    "q_histogram2d" ->
+      """WITH cells AS (
+        |  SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |marg AS (SELECT hour, CAST(SUM(n) AS BIGINT) AS n_hour FROM cells GROUP BY hour)
+        |SELECT hour, event_type, n, (n * 1000000) // n_hour AS share_micro
+        |FROM cells JOIN marg USING (hour)
+        |ORDER BY hour, event_type""".stripMargin
   )
 }
