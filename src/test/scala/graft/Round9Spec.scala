@@ -1,0 +1,261 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Audit, Graph, Learn, Relational, Stats}
+
+/** Property and replay checks for the round-9 additions: multiple
+  * testing, paired/spread tests, rolling-window monitors, the learn
+  * bank's deterministic training steps, the new graph rounds, and the
+  * warehouse audits. Each test either replays the statistic naively
+  * from collected fixture rows (sf0.001 — small enough for O(n²)
+  * loops) or pins an invariant the oracle cannot see (step-up
+  * prefixes, matching validity, greedy selection order).
+  */
+class Round9Spec extends SparkSpec {
+
+  // ------------------------------ stats ------------------------------
+
+  test("q_bh_fdr: ranks are a permutation and rejections form a prefix") {
+    val rows = Stats.queries("q_bh_fdr")(spark, sf)
+      .orderBy(col("k")).collect()
+    val ks = rows.map(_.getAs[Long]("k")).toSeq
+    assert(ks === (1L to rows.length).toSeq, s"ranks not a permutation: $ks")
+    // z² must be non-increasing in rank, and the reject set a prefix
+    val z2 = rows.map(_.getAs[Double]("z2"))
+    assert(z2.zip(z2.tail).forall { case (a, b) => a >= b }, z2.toSeq.toString)
+    val rej = rows.map(_.getAs[Boolean]("bh_reject"))
+    val firstAccept = rej.indexOf(false)
+    if (firstAccept >= 0)
+      assert(rej.drop(firstAccept).forall(!_), s"step-up prefix broken: ${rej.toSeq}")
+  }
+
+  test("q_wilcoxon_signed: doubled rank sums satisfy W⁺ + W⁻ = n(n+1)") {
+    val r = Stats.queries("q_wilcoxon_signed")(spark, sf).collect().head
+    val n = r.getAs[Long]("n")
+    assert(r.getAs[Long]("w2_pos") + r.getAs[Long]("w2_neg") === n * (n + 1))
+  }
+
+  test("q_levene matches a naive Brown-Forsythe replay") {
+    val got = Stats.queries("q_levene")(spark, sf).collect().head
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = vals.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // lower median = element at ceil(n/2), 1-based
+    val devs = groups.map { case (g, xs) =>
+      val med = xs((xs.size + 1) / 2 - 1)
+      g -> xs.map(x => math.abs(x - med).toDouble)
+    }
+    val all = devs.values.flatten.toSeq
+    val n = all.size.toDouble; val k = devs.size.toDouble
+    val gm = all.sum / n
+    val between = devs.values.map(z => z.size * math.pow(z.sum / z.size - gm, 2)).sum
+    val within = devs.values.flatMap(z => { val m = z.sum / z.size; z.map(x => (x - m) * (x - m)) }).sum
+    val f = (between / (k - 1)) / (within / (n - k))
+    assert(math.abs(got.getAs[Double]("f_bf") - f) < 1e-3,
+      s"${got.getAs[Double]("f_bf")} vs naive $f")
+  }
+
+  test("q_qq_points: decile curves are monotone and attained") {
+    val rows = Stats.queries("q_qq_points")(spark, sf).orderBy(col("p")).collect()
+    assert(rows.length === 9)
+    val qc = rows.map(_.getAs[Long]("q_click_milli"))
+    val qv = rows.map(_.getAs[Long]("q_view_milli"))
+    assert(qc.zip(qc.tail).forall { case (a, b) => a <= b })
+    assert(qv.zip(qv.tail).forall { case (a, b) => a <= b })
+    val clicks = Tables.events(spark, sf).filter(col("event_type") === "click")
+      .select(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)"))
+      .collect().map(_.getLong(0)).sorted
+    // exact type-1 quantile: smallest value with cum count >= ceil(p·n/10)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("p").toInt
+      val target = (p * clicks.length + 9) / 10
+      assert(r.getAs[Long]("q_click_milli") === clicks(target - 1),
+        s"p=$p: ${r.getAs[Long]("q_click_milli")} vs ${clicks(target - 1)}")
+    }
+  }
+
+  test("q_rsi stays on [0, 100000] and q_bollinger bands bracket the mean") {
+    val rsi = Stats.queries("q_rsi")(spark, sf).collect()
+    assert(rsi.nonEmpty)
+    rsi.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("rsi_milli"))) {
+        val v = r.getAs[Long]("rsi_milli")
+        assert(v >= 0 && v <= 100000, s"rsi out of range: $v")
+      }
+    }
+    val bb = Stats.queries("q_bollinger")(spark, sf).collect()
+    assert(bb.nonEmpty)
+    bb.foreach { r =>
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("mu") &&
+        r.getAs[Double]("mu") <= r.getAs[Double]("hi"))
+    }
+  }
+
+  test("q_pacf: lag-1 PACF equals rho1 and all ACF values lie in [-1, 1]") {
+    val r = Stats.queries("q_pacf")(spark, sf).collect().head
+    assert(r.getAs[Double]("pacf1") === r.getAs[Double]("rho1"))
+    Seq("rho1", "rho2", "rho3").foreach { c =>
+      val v = r.getAs[Double](c)
+      assert(v >= -1.0 && v <= 1.0, s"$c out of range: $v")
+    }
+  }
+
+  test("q_granger: restricted RSS dominates unrestricted RSS") {
+    val r = Stats.queries("q_granger")(spark, sf).collect().head
+    val rssR = r.getAs[Double]("rss_r"); val rssU = r.getAs[Double]("rss_u")
+    assert(rssU >= 0.0 && rssR >= rssU, s"rss_r=$rssR rss_u=$rssU")
+  }
+
+  // ------------------------------ learn ------------------------------
+
+  test("q_kcenter replays the greedy farthest-point loop exactly") {
+    val got = Learn.queries("q_kcenter")(spark, sf).orderBy(col("round")).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("vec_id"), r.getAs[Long]("d2_sel")))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var centers = Seq(vecs.head)
+    var picks = Seq((1L, vecs.head._1, 0L))
+    var dmin = vecs.map { case (id, v) => (id, v, d2(v, vecs.head._2)) }
+    for (r <- 2 to 4) {
+      val best = dmin.minBy { case (id, _, dm) => (-dm, id) }
+      picks = picks :+ ((r.toLong, best._1, best._3))
+      centers = centers :+ ((best._1, best._2))
+      dmin = dmin.map { case (id, v, dm) => (id, v, math.min(dm, d2(v, best._2))) }
+    }
+    val radius = dmin.minBy { case (id, _, dm) => (-dm, id) }
+    picks = picks :+ ((5L, radius._1, radius._3))
+    assert(got.toSeq === picks, s"${got.toSeq} vs $picks")
+  }
+
+  test("q_gmm_step: mixing weights sum to one on the micro grid") {
+    val r = Learn.queries("q_gmm_step")(spark, sf).collect().head
+    val s = r.getAs[Long]("pi1_micro") + r.getAs[Long]("pi2_micro")
+    assert(s >= 999998 && s <= 1000000, s"pi sum: $s")
+  }
+
+  test("q_svm_step: step-2 margins replayed naively") {
+    val r = Learn.queries("q_svm_step")(spark, sf).collect().head
+    val users = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x2"),
+        when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) > 0, 1L)
+          .otherwise(-1L).as("y"))
+      .collect().map(q => (q.getLong(1), q.getLong(2), q.getLong(3)))
+    val n = users.length.toLong
+    val a1 = users.map { case (x1, _, y) => y * x1 }.sum
+    val a2 = users.map { case (_, x2, y) => y * x2 }.sum
+    val nviol = users.count { case (x1, x2, y) => y * (a1 * x1 + a2 * x2) < n }
+    assert(r.getAs[Long]("n") === n)
+    assert(r.getAs[Long]("a1") === a1 && r.getAs[Long]("a2") === a2)
+    assert(r.getAs[Long]("n_viol") === nviol.toLong)
+  }
+
+  test("q_adaboost_step: the winning stump beats coin flipping") {
+    val r = Learn.queries("q_adaboost_step")(spark, sf).collect().head
+    val err = r.getAs[Long]("err"); val n = r.getAs[Long]("n")
+    assert(2 * err <= n, s"best stump worse than random: $err / $n")
+    if (err > 0 && err < n) assert(r.getAs[Double]("alpha") >= 0.0)
+    assert(r.getAs[Double]("z_factor") <= 1.0)
+  }
+
+  // ------------------------------ graph ------------------------------
+
+  test("q_matching: rounds shrink the graph and matched counts are consistent") {
+    val rows = Graph.queries("q_matching")(spark, sf).orderBy(col("round")).collect()
+    assert(rows.length === 3)
+    val left = rows.map(_.getAs[Long]("n_left"))
+    assert(left.zip(left.tail).forall { case (a, b) => b <= a })
+    // each round matches at least one edge while edges remain
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val prevLeft = if (i == 0) Long.MaxValue else left(i - 1)
+      if (prevLeft > 0) assert(r.getAs[Long]("n_matched") > 0)
+    }
+  }
+
+  test("q_local_cc: coefficients live on [0, 1e6]") {
+    val rows = Graph.queries("q_local_cc")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cc = r.getAs[Long]("cc_micro")
+      assert(cc >= 0 && cc <= 1000000, s"cc out of range: $cc")
+      assert(r.getAs[Long]("deg") >= 2)
+    }
+  }
+
+  test("q_betweenness: BFS levels are disjoint with positive path counts") {
+    val rows = Graph.queries("q_betweenness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getAs[Long]("node_id"))
+    assert(ids.distinct.length === ids.length, "node repeated across levels")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sigma") >= 1)
+      assert(r.getAs[Long]("delta_micro") >= 0)
+    }
+  }
+
+  // ------------------------------ audit ------------------------------
+
+  test("q_ri_check: the synthetic star schema is referentially clean") {
+    val rows = Audit.queries("q_ri_check")(spark, sf).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orphan") === 0L,
+        s"${r.getAs[String]("fk")} has orphans")
+    }
+  }
+
+  test("q_freshness: some stream touches the watermark") {
+    val rows = Audit.queries("q_freshness")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("lag_sec")).min === 0L)
+    rows.foreach(r => assert(r.getAs[Long]("lag_sec") >= 0))
+  }
+
+  test("q_mode_agg matches a naive census argmax") {
+    val got = Audit.queries("q_mode_agg")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("mode_vm"), r.getAs[Long]("mode_n"))).toMap
+    val census = Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    census.groupBy(_._1._1).foreach { case (et, cells) =>
+      val best = cells.map { case ((_, vm), c) => (vm, c) }
+        .minBy { case (vm, c) => (-c, vm) }
+      assert(got(et) === best, s"$et: ${got(et)} vs $best")
+    }
+  }
+
+  test("q_histogram2d: hour shares sum to one up to truncation") {
+    val rows = Audit.queries("q_histogram2d")(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("hour")).foreach { case (h, cells) =>
+      val s = cells.map(_.getAs[Long]("share_micro")).sum
+      assert(s <= 1000000 && s > 1000000 - cells.length,
+        s"hour $h share sum $s over ${cells.length} cells")
+    }
+  }
+
+  // --------------------------- plan audits ---------------------------
+
+  test("q_local_revenue: dim chain broadcasts, one data-scale shuffle join") {
+    val df = Relational.queries("q_local_revenue")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj:\n${p.take(1500)}")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      p.linesIterator.filter(_.contains("PushedFilters")).take(8).mkString("\n"))
+  }
+
+  test("q_ri_check: dimension parents broadcast in the anti joins") {
+    val df = Audit.queries("q_ri_check")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("LeftAnti"), p.take(800))
+    assert(p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")) >= 5,
+      "expected 5 broadcast anti joins:\n" + p.take(2000))
+  }
+}
