@@ -502,6 +502,47 @@ object Audit {
         .select(col("hour"), col("event_type"), col("n"),
           expr("(n * 1000000) DIV n_hour").as("share_micro"))
         .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // MUTUAL INFORMATION + CRAMÉR'S V between hour-of-day and event
+    // type — the feature-selection readout ("is time-of-day
+    // informative about the label?") computed entirely at CONTINGENCY
+    // grain: one corpus aggregate to the (hour × type) table, margins
+    // and the total by broadcast rollups of it. MI = (1/n)·Σ nᵢⱼ·
+    // ln(nᵢⱼ·n/(nᵢ·nⱼ)) with each log quantized to exact micro at
+    // cell grain (the q_psi recipe — the sum is then exact integer,
+    // order-free; the final division is sign-safe because sparse
+    // cells carry negative terms). χ² and V = √(χ²/(n·(k−1))) run in
+    // DOUBLE over the ≤120-cell frame in identical expression text,
+    // round(6).
+    "q_mutual_info" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .groupBy(expr("CAST((unix_micros(ts) DIV 3600000000) % 24 AS BIGINT)").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("nij"))
+        .localCheckpoint() // margins, total, and the term scan share it
+      val rm = cells.groupBy(col("hour")).agg(sum(col("nij")).as("ni"))
+      val cm = cells.groupBy(col("event_type")).agg(sum(col("nij")).as("nj"))
+      val nt = cells.agg(sum(col("nij")).as("n"),
+        countDistinct(col("hour")).as("n_rows"),
+        countDistinct(col("event_type")).as("n_cols"))
+      cells.join(broadcast(rm), "hour").join(broadcast(cm), "event_type")
+        .crossJoin(broadcast(nt))
+        .select(col("nij"), col("ni"), col("nj"), col("n"), col("n_rows"), col("n_cols"),
+          expr("""nij * CAST(floor(ln(CAST(nij AS DOUBLE) * n
+                 | / (CAST(ni AS DOUBLE) * nj)) * 1000000 + 0.5) AS BIGINT)""".stripMargin)
+            .as("t"),
+          expr("CAST(nij AS DOUBLE) * nij / (CAST(ni AS DOUBLE) * nj)").as("q"))
+        .agg(max(col("n")).as("n"), count(lit(1)).as("n_cells"),
+          max(col("n_rows")).as("n_rows"), max(col("n_cols")).as("n_cols"),
+          sum(col("t")).as("tsum"), sum(col("q")).as("qsum"))
+        .select(col("n"), col("n_cells"),
+          expr(sdiv("tsum", "n")).as("mi_nat_micro"),
+          round(expr("n * (qsum - 1)"), 4).as("chi2"),
+          round(expr(
+            """sqrt(CASE WHEN n * (qsum - 1) > 0 THEN n * (qsum - 1) ELSE 0 END
+              | / (CAST(n AS DOUBLE) * (least(n_rows, n_cols) - 1)))""".stripMargin), 6)
+            .as("cramers_v"))
     })
   )
 
@@ -842,6 +883,35 @@ object Audit {
         |marg AS (SELECT hour, CAST(SUM(n) AS BIGINT) AS n_hour FROM cells GROUP BY hour)
         |SELECT hour, event_type, n, (n * 1000000) // n_hour AS share_micro
         |FROM cells JOIN marg USING (hour)
-        |ORDER BY hour, event_type""".stripMargin
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q_mutual_info" ->
+      s"""WITH cells AS (
+         |  SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour, event_type,
+         |    CAST(count(*) AS BIGINT) AS nij
+         |  FROM events GROUP BY 1, 2),
+         |rm AS (SELECT hour, CAST(SUM(nij) AS BIGINT) AS ni FROM cells GROUP BY hour),
+         |cm AS (SELECT event_type, CAST(SUM(nij) AS BIGINT) AS nj FROM cells GROUP BY event_type),
+         |nt AS (
+         |  SELECT CAST(SUM(nij) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT hour) AS BIGINT) AS n_rows,
+         |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_cols
+         |  FROM cells),
+         |terms AS (
+         |  SELECT nij, ni, nj, n, n_rows, n_cols,
+         |    nij * CAST(floor(ln(CAST(nij AS DOUBLE) * n
+         |      / (CAST(ni AS DOUBLE) * nj)) * 1000000 + 0.5) AS BIGINT) AS t,
+         |    CAST(nij AS DOUBLE) * nij / (CAST(ni AS DOUBLE) * nj) AS q
+         |  FROM cells JOIN rm USING (hour) JOIN cm USING (event_type), nt),
+         |agg_ AS (
+         |  SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+         |    CAST(MAX(n_rows) AS BIGINT) AS n_rows, CAST(MAX(n_cols) AS BIGINT) AS n_cols,
+         |    CAST(SUM(t) AS BIGINT) AS tsum, SUM(q) AS qsum
+         |  FROM terms)
+         |SELECT n, n_cells, ${sdivSql("tsum", "n")} AS mi_nat_micro,
+         |  round(n * (qsum - 1), 4) AS chi2,
+         |  round(sqrt(CASE WHEN n * (qsum - 1) > 0 THEN n * (qsum - 1) ELSE 0 END
+         |    / (CAST(n AS DOUBLE) * (least(n_rows, n_cols) - 1))), 6) AS cramers_v
+         |FROM agg_""".stripMargin
   )
 }

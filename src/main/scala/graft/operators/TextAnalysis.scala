@@ -1404,6 +1404,50 @@ object TextAnalysis {
         .select(col("pair_id"), col("n_tokens"), col("lcs_len"),
           col("p_micro"), col("r_micro"), col("f_micro"))
         .orderBy(col("pair_id"))
+    }),
+
+    // RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
+    // keyword layer a corpus card ships next to q_tfidf's per-doc
+    // terms: candidate phrases are maximal stopword-free runs (the
+    // shared [[stop]] list marks boundaries; runs longer than 4 tokens
+    // are discarded per the standard practice), each word scores
+    // deg/freq over the candidate corpus (deg counts co-occurring
+    // phrase slots INCLUDING self — one Σ plen aggregate), and a
+    // phrase scores the sum of its members' scores. Word scores land
+    // on the exact micro grid by truncating division (non-negative)
+    // so phrase sums are order-independent BIGINTs. Shuffles carry
+    // (doc, pos, word) and word-grain stats — the text column never
+    // moves; the only window is the per-doc boundary prefix sum at
+    // (doc, token) grain (the q_spec_accept posture). Top-20 page by
+    // (score, phrase) — TakeOrdered.
+    "q_keyphrase" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("st", expr(s"CASE WHEN w IN $stop THEN 1 ELSE 0 END"))
+      val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val members = toks
+        .withColumn("sid", sum(col("st")).over(win))
+        .filter(col("st") === 0)
+        .select(col("doc_id"), col("sid"), col("pos"), col("w"))
+        .localCheckpoint() // word stats + phrase assembly share it
+      val plen = members.groupBy(col("doc_id"), col("sid")).agg(count(lit(1)).as("plen"))
+      val mem2 = members.join(plen, Seq("doc_id", "sid")).filter(col("plen") <= 4)
+        .localCheckpoint() // consumed by the word census and the phrase rollup
+      val wscore = mem2.groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .select(col("w"), expr("(deg * 1000000) DIV freq").as("wscore"))
+      mem2.join(wscore, "w")
+        .groupBy(col("doc_id"), col("sid"))
+        .agg(sum(col("wscore")).as("score_micro"),
+          max(col("plen")).as("plen"),
+          concat_ws(" ",
+            expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)")).as("phrase"))
+        .groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occur"), max(col("plen")).as("len"),
+          max(col("score_micro")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("phrase"))
+        .limit(20)
     })
   )
 
@@ -2313,6 +2357,42 @@ object TextAnalysis {
         |       THEN (2 * ((lcs_len * 1000000) // n_tokens) * ((lcs_len * 1000000) // n_tokens))
         |            // (2 * ((lcs_len * 1000000) // n_tokens))
         |       ELSE 0 END AS f_micro
-        |FROM dp ORDER BY pair_id""".stripMargin
+        |FROM dp ORDER BY pair_id""".stripMargin,
+
+    "q_keyphrase" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, pos, w,
+         |    CASE WHEN w IN $stop THEN 1 ELSE 0 END AS st
+         |  FROM (SELECT doc_id,
+         |          generate_subscripts(string_split(text, ' '), 1) AS pos,
+         |          unnest(string_split(text, ' ')) AS w
+         |        FROM documents)),
+         |members AS (
+         |  SELECT doc_id, pos, w,
+         |    CAST(SUM(st) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS sid
+         |  FROM toks QUALIFY st = 0),
+         |plen AS (
+         |  SELECT doc_id, sid, CAST(count(*) AS BIGINT) AS plen
+         |  FROM members GROUP BY 1, 2),
+         |mem2 AS (
+         |  SELECT m.doc_id, m.sid, m.pos, m.w, p.plen
+         |  FROM members m JOIN plen p USING (doc_id, sid)
+         |  WHERE p.plen <= 4),
+         |ws AS (
+         |  SELECT w, (CAST(SUM(plen) AS BIGINT) * 1000000)
+         |    // CAST(count(*) AS BIGINT) AS wscore
+         |  FROM mem2 GROUP BY w),
+         |scored AS (
+         |  SELECT doc_id, sid,
+         |    CAST(SUM(wscore) AS BIGINT) AS score_micro,
+         |    CAST(MAX(plen) AS BIGINT) AS plen,
+         |    string_agg(w, ' ' ORDER BY pos) AS phrase
+         |  FROM mem2 JOIN ws USING (w)
+         |  GROUP BY doc_id, sid)
+         |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur,
+         |  CAST(MAX(plen) AS BIGINT) AS len,
+         |  CAST(MAX(score_micro) AS BIGINT) AS score_micro
+         |FROM scored GROUP BY phrase
+         |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin
   )
 }
