@@ -1061,6 +1061,38 @@ object Stats {
           round(col("rss_r"), 4).as("rss_r"), round(col("rss_u"), 4).as("rss_u"),
           round(expr("(rss_r - rss_u) * (n - 3) / rss_u"), 6).as("f_stat"),
           expr("(rss_r - rss_u) * (n - 3) / rss_u > 3.8415").as("reject_05"))
+    }),
+
+    // INTER-ARRIVAL gap distribution — the traffic-model readout
+    // behind every capacity plan and sessionization threshold (the
+    // 900 s cut q_session_stats hardcodes should be read off THIS
+    // table): per-user consecutive-event gaps in exact seconds, then
+    // p50/p90/p99 as exact type-1 quantiles by rank cut over the
+    // distinct-gap census (the q_qq_points discipline — cumulative
+    // prefix window over the bounded census, target ⌈p·n/100⌉, never
+    // a corpus sort), plus the exact integer mean. The only
+    // corpus-grain window is the per-user lag at (user, event) grain
+    // — the q_session_stats posture.
+    "q_interarrival" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(expr("(us - prev) DIV 1000000").as("gap_s"))
+      val census = gaps.groupBy(col("gap_s")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // totals + rank cut share it
+      val tot = census.agg(sum(col("c")).as("n"), sum(expr("gap_s * c")).as("sum_s"))
+      val below = Window.orderBy(col("gap_s")).rowsBetween(Window.unboundedPreceding, -1)
+      val cum = census.withColumn("below", coalesce(sum(col("c")).over(below), lit(0L)))
+      val grid = Seq(50L, 90L, 99L).map(p => s"($p)").mkString(", ")
+      val ps = s.sql(s"SELECT * FROM VALUES $grid AS t(p)")
+      cum.crossJoin(broadcast(tot)).crossJoin(broadcast(ps))
+        .filter(expr("below + c >= (p * n + 99) DIV 100"))
+        .groupBy(col("p"))
+        .agg(min(col("gap_s")).as("q_gap_sec"), max(col("n")).as("n"),
+          max(expr("sum_s DIV n")).as("mean_gap_sec"))
+        .orderBy(col("p"))
     })
   )
 
@@ -1850,6 +1882,28 @@ object Stats {
         |SELECT n, round(rss_r, 4) AS rss_r, round(rss_u, 4) AS rss_u,
         |  round((rss_r - rss_u) * (n - 3) / rss_u, 6) AS f_stat,
         |  (rss_r - rss_u) * (n - 3) / rss_u > 3.8415 AS reject_05
-        |FROM fin""".stripMargin
+        |FROM fin""".stripMargin,
+
+    "q_interarrival" ->
+      """WITH gaps AS (
+        |  SELECT (us - prev) // 1000000 AS gap_s FROM (
+        |    SELECT epoch_us(ts) AS us,
+        |      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |    FROM events)
+        |  WHERE prev IS NOT NULL),
+        |census AS (SELECT gap_s, CAST(count(*) AS BIGINT) AS c FROM gaps GROUP BY gap_s),
+        |tot AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(gap_s * c) AS BIGINT) AS sum_s
+        |  FROM census),
+        |cum AS (
+        |  SELECT *, COALESCE(CAST(SUM(c) OVER (ORDER BY gap_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS below
+        |  FROM census),
+        |ps AS (SELECT CAST(p AS BIGINT) AS p FROM (VALUES (50), (90), (99)) t(p))
+        |SELECT p, CAST(MIN(gap_s) AS BIGINT) AS q_gap_sec, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(sum_s // n) AS BIGINT) AS mean_gap_sec
+        |FROM cum, tot, ps
+        |WHERE below + c >= (p * n + 99) // 100
+        |GROUP BY p ORDER BY p""".stripMargin
   )
 }
