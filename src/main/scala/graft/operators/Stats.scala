@@ -1093,6 +1093,102 @@ object Stats {
         .agg(min(col("gap_s")).as("q_gap_sec"), max(col("n")).as("n"),
           max(expr("sum_s DIV n")).as("mean_gap_sec"))
         .orderBy(col("p"))
+    }),
+
+    // OLS RESIDUAL DIAGNOSTICS — R² and the Durbin-Watson serial-
+    // correlation statistic for the daily purchase trend (the checks
+    // q_linear_fit's slope ships without: is the fit explaining
+    // anything, and are the errors independent — a DW far from 2 says
+    // the trend model is missing structure). Closed-form slope from
+    // exact BIGINT day-grain moments; residuals are evaluated in
+    // identical expression text and IMMEDIATELY quantized to integer
+    // milli (the q_lm_score recipe; milli keeps the DW numerator's
+    // ×10⁶ rescale inside BIGINT), so RSS/TSS/DW are exact integer
+    // sums — order-free — and DW lands on the micro grid by truncating
+    // division (both numerator and denominator non-negative).
+    "q_resid_diag" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        .localCheckpoint() // moments + residual scan share it
+      val m = days.agg(count(lit(1)).as("n"), sum(col("day")).as("sx"),
+        sum(col("y")).as("sy"), sum(expr("day * day")).as("sxx"),
+        sum(expr("day * y")).as("sxy"), sum(expr("y * y")).as("syy"))
+      val eq = days.crossJoin(broadcast(m))
+        .withColumn("b", expr(
+          "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)"))
+        .withColumn("a", expr("CAST(sy AS DOUBLE) / n - b * (CAST(sx AS DOUBLE) / n)"))
+        .withColumn("eq", expr(
+          "CAST(floor((y - a - b * day) * 1000 + 0.5) AS BIGINT)"))
+        .withColumn("eprev", lag(col("eq"), 1).over(Window.orderBy(col("day"))))
+      eq.agg(max(col("n")).as("n"),
+          sum(expr("eq * eq")).as("rss_sq"),
+          sum(expr("CASE WHEN eprev IS NOT NULL THEN (eq - eprev) * (eq - eprev) ELSE CAST(0 AS BIGINT) END")).as("dnum"),
+          max(expr("CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n")).as("tss"))
+        .select(col("n"),
+          round(expr("1 - (CAST(rss_sq AS DOUBLE) / 1000000.0) / tss"), 6).as("r2"),
+          expr("CASE WHEN rss_sq > 0 THEN (dnum * 1000000) DIV rss_sq END").as("dw_micro"))
+    }),
+
+    // JARQUE-BERA normality test (Jarque & Bera 1980) on the daily
+    // click-volume series — the distributional-shape gate behind every
+    // "can I use the z-table here" decision: JB = n/6·(g₁² +
+    // (g₂−3)²/4) from skewness and kurtosis. The mean never divides:
+    // with w = n·x − Σx the central moments are exact BIGINT sums
+    // (Σw², Σw³, Σw⁴ — the w⁴ bound is the documented BIGINT knob at
+    // day grain) and g₁/g₂ are evaluated once, on the 1-row final, in
+    // identical expression text. χ²₂ critical value 5.9915 as a
+    // literal.
+    "q_jarque_bera" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"))
+      val n1 = days.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      days.crossJoin(broadcast(n1))
+        .select(col("n"), expr("n * x - sx").as("w"))
+        .agg(max(col("n")).as("n"), sum(expr("w * w")).as("w2"),
+          sum(expr("w * w * w")).as("w3"), sum(expr("w * w * w * w")).as("w4"))
+        .withColumn("g1", expr(
+          "CAST(w3 AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) / pow(CAST(w2 AS DOUBLE), 1.5)"))
+        .withColumn("g2", expr(
+          "CAST(w4 AS DOUBLE) * n / (CAST(w2 AS DOUBLE) * w2)"))
+        .select(col("n"), round(col("g1"), 6).as("skew"),
+          round(col("g2"), 6).as("kurtosis"),
+          round(expr("n / 6.0 * (g1 * g1 + (g2 - 3) * (g2 - 3) / 4)"), 6).as("jb"),
+          expr("n / 6.0 * (g1 * g1 + (g2 - 3) * (g2 - 3) / 4) > 5.9915").as("reject_05"))
+    }),
+
+    // RUNS TEST for randomness (the up/down form of Wald-Wolfowitz
+    // 1940) on the daily click series — "does the series wander or
+    // zigzag more than chance": count maximal runs of same-direction
+    // day-over-day moves (ties dropped per the textbook rule, the
+    // direction re-lagged AFTER the drop), compare against the
+    // two-type runs expectation E = 2n₁n₂/(n₁+n₂) + 1. All counts
+    // exact BIGINT; z² on the 1-row final in identical text. Day
+    // grain: one corpus groupBy, two bounded lag windows.
+    "q_runs_test" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"))
+      val wl = Window.orderBy(col("day"))
+      val signs = days
+        .withColumn("prev", lag(col("x"), 1).over(wl))
+        .filter(col("prev").isNotNull && col("x") =!= col("prev"))
+        .withColumn("s", expr("CASE WHEN x > prev THEN 1 ELSE 0 END"))
+        .withColumn("sprev", lag(col("s"), 1).over(Window.orderBy(col("day"))))
+      signs.agg(
+          sum(expr("CASE WHEN s = 1 THEN 1 ELSE 0 END")).as("n1"),
+          sum(expr("CASE WHEN s = 0 THEN 1 ELSE 0 END")).as("n2"),
+          sum(expr("CASE WHEN sprev IS NULL OR s <> sprev THEN 1 ELSE 0 END")).as("runs"))
+        .withColumn("e_runs", expr(
+          "2.0 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2) + 1"))
+        .withColumn("v_runs", expr(
+          """2.0 * CAST(n1 AS DOUBLE) * n2 * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)
+            | / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2) * (n1 + n2 - 1))""".stripMargin))
+        .select(col("n1"), col("n2"), col("runs"),
+          round(col("e_runs"), 6).as("e_runs"),
+          round(expr("(runs - e_runs) * (runs - e_runs) / v_runs"), 6).as("z2"),
+          expr("(runs - e_runs) * (runs - e_runs) / v_runs > 3.8415").as("reject_05"))
     })
   )
 
@@ -1904,6 +2000,87 @@ object Stats {
         |  CAST(MAX(sum_s // n) AS BIGINT) AS mean_gap_sec
         |FROM cum, tot, ps
         |WHERE below + c >= (p * n + 99) // 100
-        |GROUP BY p ORDER BY p""".stripMargin
+        |GROUP BY p ORDER BY p""".stripMargin,
+
+    "q_resid_diag" ->
+      """WITH days AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(day) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(day * day) AS BIGINT) AS sxx,
+        |    CAST(SUM(day * y) AS BIGINT) AS sxy, CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM days),
+        |fit AS (
+        |  SELECT *, (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+        |    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS b
+        |  FROM m),
+        |ab AS (SELECT *, CAST(sy AS DOUBLE) / n - b * (CAST(sx AS DOUBLE) / n) AS a FROM fit),
+        |eq AS (
+        |  SELECT n, syy, sy,
+        |    CAST(floor((y - a - b * day) * 1000 + 0.5) AS BIGINT) AS eq,
+        |    lag(CAST(floor((y - a - b * day) * 1000 + 0.5) AS BIGINT))
+        |      OVER (ORDER BY day) AS eprev
+        |  FROM days, ab),
+        |agg_ AS (
+        |  SELECT CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(SUM(eq * eq) AS BIGINT) AS rss_sq,
+        |    CAST(SUM(CASE WHEN eprev IS NOT NULL
+        |                  THEN (eq - eprev) * (eq - eprev) ELSE 0 END) AS BIGINT) AS dnum,
+        |    MAX(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) AS tss
+        |  FROM eq)
+        |SELECT n,
+        |  round(1 - (CAST(rss_sq AS DOUBLE) / 1000000.0) / tss, 6) AS r2,
+        |  CASE WHEN rss_sq > 0 THEN (dnum * 1000000) // rss_sq END AS dw_micro
+        |FROM agg_""".stripMargin,
+
+    "q_jarque_bera" ->
+      """WITH days AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx FROM days),
+        |ws AS (SELECT n, n * x - sx AS w FROM days, n1),
+        |mom AS (
+        |  SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(SUM(w * w) AS BIGINT) AS w2,
+        |    CAST(SUM(w * w * w) AS BIGINT) AS w3,
+        |    CAST(SUM(w * w * w * w) AS BIGINT) AS w4
+        |  FROM ws),
+        |g AS (
+        |  SELECT n,
+        |    CAST(w3 AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) / pow(CAST(w2 AS DOUBLE), 1.5) AS g1,
+        |    CAST(w4 AS DOUBLE) * n / (CAST(w2 AS DOUBLE) * w2) AS g2
+        |  FROM mom)
+        |SELECT n, round(g1, 6) AS skew, round(g2, 6) AS kurtosis,
+        |  round(n / 6.0 * (g1 * g1 + (g2 - 3) * (g2 - 3) / 4), 6) AS jb,
+        |  n / 6.0 * (g1 * g1 + (g2 - 3) * (g2 - 3) / 4) > 5.9915 AS reject_05
+        |FROM g""".stripMargin,
+
+    "q_runs_test" ->
+      """WITH days AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |mv AS (
+        |  SELECT day, x, lag(x, 1) OVER (ORDER BY day) AS prev FROM days),
+        |sg AS (
+        |  SELECT day, CASE WHEN x > prev THEN 1 ELSE 0 END AS s
+        |  FROM mv WHERE prev IS NOT NULL AND x <> prev),
+        |sq AS (SELECT s, lag(s, 1) OVER (ORDER BY day) AS sprev FROM sg),
+        |cnt AS (
+        |  SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN sprev IS NULL OR s <> sprev THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        |  FROM sq),
+        |ev AS (
+        |  SELECT *, 2.0 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2) + 1 AS e_runs,
+        |    2.0 * CAST(n1 AS DOUBLE) * n2 * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)
+        |      / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2) * (n1 + n2 - 1)) AS v_runs
+        |  FROM cnt)
+        |SELECT n1, n2, runs, round(e_runs, 6) AS e_runs,
+        |  round((runs - e_runs) * (runs - e_runs) / v_runs, 6) AS z2,
+        |  (runs - e_runs) * (runs - e_runs) / v_runs > 3.8415 AS reject_05
+        |FROM ev""".stripMargin
   )
 }
