@@ -1068,6 +1068,41 @@ object NearDup {
           "CASE WHEN sum_w_milli >= 0 THEN (sum_w_milli * 1000) DIV n_pairs ELSE -((-sum_w_milli * 1000) DIV n_pairs) END"))
         .select(col("decision"), col("n_pairs"), col("n_true"), col("mean_w_micro"))
         .orderBy(col("decision"))
+    }),
+
+    // DEDUP SAVINGS SWEEP — the "what does each similarity threshold
+    // buy" planning readout a dedup rollout runs BEFORE committing a
+    // threshold: for t ∈ {0.60, 0.70, 0.80, 0.90}, how many docs would
+    // the pair-grain drop rule (drop the higher id of every verified
+    // pair ≥ t) remove, and what character mass does that save. Rides
+    // the shared [[jaccardPairs]] pipeline ONCE — per-doc max-jaccard
+    // collapses the pair table to doc grain, the 4-row threshold grid
+    // broadcasts, totals broadcast 1-row. floor(max·100) is safe
+    // cross-engine: the jaccard is an exact small-integer rational,
+    // identical text → identical double → identical floor.
+    "q_dedup_savings" -> ((s, d) => {
+      val cor = corpus(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("nc"))
+        .localCheckpoint() // totals + drop-side char lookup share it
+      val jm = jaccardPairs(s, d)
+        .groupBy(col("b_id")).agg(max(col("jaccard")).as("jmax"))
+        .select(col("b_id"), expr("CAST(floor(jmax * 100) AS BIGINT)").as("jc"))
+      val dropped = jm.join(cor.select(col("doc_id").as("b_id"), col("nc")), "b_id")
+      val tot = cor.agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("chars_tot"))
+      val grid = s.sql(
+        "SELECT CAST(t AS BIGINT) AS t FROM VALUES (60), (70), (80), (90) AS g(t)")
+      val per = dropped.crossJoin(broadcast(grid))
+        .filter(col("jc") >= col("t"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("nd"), sum(col("nc")).as("cd"))
+      grid.join(per, Seq("t"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("t"),
+          coalesce(col("nd"), lit(0L)).as("n_dropped"),
+          coalesce(col("cd"), lit(0L)).as("chars_dropped"),
+          col("n_docs"), col("chars_tot"),
+          expr("(coalesce(cd, CAST(0 AS BIGINT)) * 1000000) DIV chars_tot").as("savings_micro"))
+        .orderBy(col("t"))
     })
   )
 
@@ -1545,6 +1580,36 @@ object NearDup {
         |SELECT decision, n_pairs, n_true,
         |  CASE WHEN sum_w_milli >= 0 THEN (sum_w_milli * 1000) // n_pairs
         |       ELSE -((-sum_w_milli * 1000) // n_pairs) END AS mean_w_micro
-        |FROM dec ORDER BY decision""".stripMargin
+        |FROM dec ORDER BY decision""".stripMargin,
+
+    "q_dedup_savings" ->
+      s"""WITH $corpusSql,
+         |$shinglesSql,
+         |$hshSql,
+         |pairs AS (
+         |  SELECT y.doc_id AS b_id,
+         |    len(list_intersect(x.hs, y.hs))
+         |      / len(list_distinct(list_concat(x.hs, y.hs))) AS j
+         |  FROM hsh x JOIN hsh y
+         |    ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+         |  WHERE len(list_intersect(x.hs, y.hs))
+         |        / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.6),
+         |cor AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nc FROM corpus),
+         |jm AS (
+         |  SELECT b_id, CAST(floor(MAX(j) * 100) AS BIGINT) AS jc
+         |  FROM pairs GROUP BY b_id),
+         |dropped AS (SELECT jm.b_id, jm.jc, cor.nc FROM jm JOIN cor ON jm.b_id = cor.doc_id),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(nc) AS BIGINT) AS chars_tot
+         |  FROM cor),
+         |grid AS (SELECT CAST(t AS BIGINT) AS t FROM (VALUES (60), (70), (80), (90)) g(t)),
+         |per AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS nd, CAST(SUM(nc) AS BIGINT) AS cd
+         |  FROM dropped, grid WHERE jc >= t GROUP BY t)
+         |SELECT t, COALESCE(nd, 0) AS n_dropped, COALESCE(cd, 0) AS chars_dropped,
+         |  n_docs, chars_tot,
+         |  (COALESCE(cd, CAST(0 AS BIGINT)) * 1000000) // chars_tot AS savings_micro
+         |FROM grid LEFT JOIN per USING (t), tot
+         |ORDER BY t""".stripMargin
   )
 }

@@ -1448,6 +1448,38 @@ object TextAnalysis {
           max(col("score_micro")).as("score_micro"))
         .orderBy(col("score_micro").desc, col("phrase"))
         .limit(20)
+    }),
+
+    // QUALITY-CUTOFF RETENTION SWEEP — the threshold-tuning curve
+    // behind q_text_quality's score and q_quality_ensemble's gate:
+    // for every centi-grid score cutoff, how many docs and tokens
+    // survive "keep score ≥ cutoff". The score is the q_text_quality
+    // blend evaluated in identical expression text and snapped to the
+    // centi grid (exact small-integer rationals → identical doubles →
+    // identical floor), so the whole sweep is one map-only projection
+    // + one ≤101-row census + prefix windows over it — the corpus is
+    // scanned ONCE for every cutoff the curve reports. Retention in
+    // exact micro.
+    "q_quality_sweep" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = Tables.documents(s, d).selectExpr(
+          s"size($toks) AS n_toks",
+          s"""CAST(floor((0.5 * (size(array_distinct($toks)) / size($toks))
+             |  + 0.5 * (1.0 - size(filter($toks, t -> t IN $stop)) / size($toks)))
+             |  * 100 + 0.5) AS BIGINT) AS qc""".stripMargin)
+        .groupBy(col("qc"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+        .localCheckpoint() // totals + cumulative sweep share the census
+      val tot = cells.agg(sum(col("n_toks")).as("toks_tot"))
+      val wfrom = Window.orderBy(col("qc").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      cells
+        .withColumn("cum_docs", sum(col("n_docs")).over(wfrom))
+        .withColumn("cum_toks", sum(col("n_toks")).over(wfrom))
+        .crossJoin(broadcast(tot))
+        .select(col("qc"), col("n_docs"), col("n_toks"), col("cum_docs"), col("cum_toks"),
+          expr("(cum_toks * 1000000) DIV toks_tot").as("tok_retention_micro"))
+        .orderBy(col("qc").desc)
     })
   )
 
@@ -2393,6 +2425,31 @@ object TextAnalysis {
          |  CAST(MAX(plen) AS BIGINT) AS len,
          |  CAST(MAX(score_micro) AS BIGINT) AS score_micro
          |FROM scored GROUP BY phrase
-         |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin
+         |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin,
+
+    "q_quality_sweep" ->
+      s"""WITH scored AS (
+         |  SELECT len(string_split(text, ' ')) AS n_toks,
+         |    CAST(floor((0.5 * (len(list_distinct(string_split(text, ' ')))
+         |        / len(string_split(text, ' ')))
+         |      + 0.5 * (1.0 - len(list_filter(string_split(text, ' '),
+         |          t -> t IN $stop)) / len(string_split(text, ' '))))
+         |      * 100 + 0.5) AS BIGINT) AS qc
+         |  FROM documents),
+         |cells AS (
+         |  SELECT qc, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_toks) AS BIGINT) AS n_toks
+         |  FROM scored GROUP BY qc),
+         |tot AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS toks_tot FROM cells),
+         |cum AS (
+         |  SELECT *,
+         |    CAST(SUM(n_docs) OVER (ORDER BY qc DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+         |    CAST(SUM(n_toks) OVER (ORDER BY qc DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+         |  FROM cells)
+         |SELECT qc, n_docs, n_toks, cum_docs, cum_toks,
+         |  (cum_toks * 1000000) // toks_tot AS tok_retention_micro
+         |FROM cum, tot ORDER BY qc DESC""".stripMargin
   )
 }
