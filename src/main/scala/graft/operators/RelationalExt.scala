@@ -1689,6 +1689,56 @@ object RelationalExt {
         .agg((count(lit(1)) / 2).cast("long").as("n_intervals"),
           max(col("live")).as("max_concurrent"))
         .orderBy(col("event_type"))
+    }),
+
+    // WEIGHTED exact quantiles — doc-length percentiles where each
+    // doc counts its TOKEN MASS, not itself (the question a packing
+    // planner actually asks: "below what length sits half the token
+    // volume" — the unweighted median is dominated by short docs).
+    // Same census rank-cut machinery as the exact-quantile family,
+    // with the cumulative counter summing WEIGHT: distinct-length
+    // census → weight prefix window → target ⌈p·W/100⌉ → min length
+    // reaching it. All exact BIGINT; 3-row percentile grid broadcast.
+    "q_weighted_quantile" -> ((s, d) => {
+      val census = Tables.documents(s, d)
+        .select(expr("size(split(text, ' '))").cast("long").as("len"))
+        .groupBy(col("len"))
+        .agg(count(lit(1)).as("c"), sum(col("len")).as("wsum"))
+        .localCheckpoint() // totals + rank cut share it
+      val tot = census.agg(sum(col("wsum")).as("w"), sum(col("c")).as("n"))
+      val below = Window.orderBy(col("len")).rowsBetween(Window.unboundedPreceding, -1)
+      val cum = census.withColumn("bw", coalesce(sum(col("wsum")).over(below), lit(0L)))
+      val ps = s.sql("SELECT CAST(p AS BIGINT) AS p FROM VALUES (50), (90), (99) AS t(p)")
+      cum.crossJoin(broadcast(tot)).crossJoin(broadcast(ps))
+        .filter(expr("bw + wsum >= (p * w + 99) DIV 100"))
+        .groupBy(col("p"))
+        .agg(min(col("len")).as("q_len_weighted"), max(col("n")).as("n_docs"),
+          max(col("w")).as("tokens_total"))
+        .orderBy(col("p"))
+    }),
+
+    // MONTH-OVER-MONTH growth per event type — the reporting staple:
+    // calendar-month rollup (epoch-day ÷ 30 is the fixture's month
+    // proxy — exact integers, no calendar library drift between
+    // engines), lag within type, growth in exact sign-safe milli
+    // (Δ·1000 ÷ previous). One corpus aggregate; the lag window runs
+    // over the (type × month) grain frame.
+    "q_mom_growth" -> ((s, d) => {
+      val months = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000 DIV 30").as("m30"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("val_c"))
+      val wl = Window.partitionBy(col("event_type")).orderBy(col("m30"))
+      months
+        .withColumn("n_prev", lag(col("n"), 1).over(wl))
+        .withColumn("v_prev", lag(col("val_c"), 1).over(wl))
+        .filter(col("n_prev").isNotNull)
+        .select(col("event_type"), col("m30"), col("n"), col("val_c"),
+          expr(sdiv("(n - n_prev) * 1000", "n_prev")).as("n_growth_milli"),
+          expr("CASE WHEN v_prev <> 0 THEN " +
+            sdiv("(val_c - v_prev) * 1000", "abs(v_prev)") + " END").as("v_growth_milli"))
+        .orderBy(col("event_type"), col("m30"))
     })
   )
 
@@ -2652,6 +2702,43 @@ object RelationalExt {
         |SELECT event_type,
         |  CAST(count(*) / 2 AS BIGINT) AS n_intervals,
         |  CAST(MAX(live) AS BIGINT) AS max_concurrent
-        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_weighted_quantile" ->
+      """WITH census AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+        |    CAST(count(*) AS BIGINT) AS c,
+        |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS wsum
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(wsum) AS BIGINT) AS w, CAST(SUM(c) AS BIGINT) AS n FROM census),
+        |cum AS (
+        |  SELECT *, COALESCE(CAST(SUM(wsum) OVER (ORDER BY len
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS bw
+        |  FROM census),
+        |ps AS (SELECT CAST(p AS BIGINT) AS p FROM (VALUES (50), (90), (99)) t(p))
+        |SELECT p, CAST(MIN(len) AS BIGINT) AS q_len_weighted,
+        |  CAST(MAX(n) AS BIGINT) AS n_docs, CAST(MAX(w) AS BIGINT) AS tokens_total
+        |FROM cum, tot, ps
+        |WHERE bw + wsum >= (p * w + 99) // 100
+        |GROUP BY p ORDER BY p""".stripMargin,
+
+    "q_mom_growth" -> {
+      val nG = sdivSql("(n - n_prev) * 1000", "n_prev")
+      val vG = sdivSql("(val_c - v_prev) * 1000", "abs(v_prev)")
+      s"""WITH months AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 // 30 AS m30,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS val_c
+         |  FROM events GROUP BY 1, 2),
+         |lagged AS (
+         |  SELECT *, lag(n, 1) OVER w AS n_prev, lag(val_c, 1) OVER w AS v_prev
+         |  FROM months WINDOW w AS (PARTITION BY event_type ORDER BY m30))
+         |SELECT event_type, m30, n, val_c,
+         |  $nG AS n_growth_milli,
+         |  CASE WHEN v_prev <> 0 THEN $vG END AS v_growth_milli
+         |FROM lagged WHERE n_prev IS NOT NULL
+         |ORDER BY event_type, m30""".stripMargin
+    }
   )
 }
