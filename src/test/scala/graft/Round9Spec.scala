@@ -238,6 +238,93 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("q_resid_diag: R² ≤ 1 and DW lives on [0, 4]") {
+    val r = Stats.queries("q_resid_diag")(spark, sf).collect().head
+    assert(r.getAs[Double]("r2") <= 1.0)
+    val dw = r.getAs[Long]("dw_micro")
+    assert(dw >= 0 && dw <= 4000000, s"DW out of range: $dw")
+  }
+
+  test("q_jarque_bera matches a naive moment replay") {
+    val r = Stats.queries("q_jarque_bera")(spark, sf).collect().head
+    val xs = Tables.events(spark, sf)
+      .groupBy(expr("unix_micros(ts) DIV 86400000000"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"))
+      .collect().map(_.getLong(1).toDouble)
+    val n = xs.length.toDouble; val m = xs.sum / n
+    val m2 = xs.map(x => math.pow(x - m, 2)).sum / n
+    val m3 = xs.map(x => math.pow(x - m, 3)).sum / n
+    val m4 = xs.map(x => math.pow(x - m, 4)).sum / n
+    val g1 = m3 / math.pow(m2, 1.5); val g2 = m4 / (m2 * m2)
+    assert(math.abs(r.getAs[Double]("skew") - g1) < 1e-3)
+    assert(math.abs(r.getAs[Double]("kurtosis") - g2) < 1e-3)
+  }
+
+  test("q_runs_test: runs bounded by move count") {
+    val r = Stats.queries("q_runs_test")(spark, sf).collect().head
+    val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+    val runs = r.getAs[Long]("runs")
+    assert(runs >= 1 && runs <= n1 + n2)
+    assert(runs <= 2 * math.min(n1, n2) + 1)
+  }
+
+  test("q_dedup_savings: retention monotone in the threshold") {
+    val rows = graft.operators.NearDup.queries("q_dedup_savings")(spark, sf)
+      .orderBy(col("t")).collect()
+    assert(rows.length === 4)
+    val nd = rows.map(_.getAs[Long]("n_dropped"))
+    assert(nd.zip(nd.tail).forall { case (a, b) => b <= a }, nd.toSeq.toString)
+    assert(nd.head > 0, "threshold 0.60 should catch the planted re-crawls")
+  }
+
+  test("q_quality_sweep: cumulative columns reconcile with the census") {
+    val rows = graft.operators.TextAnalysis.queries("q_quality_sweep")(spark, sf)
+      .orderBy(col("qc").desc).collect()
+    var docs = 0L; var toks = 0L
+    rows.foreach { r =>
+      docs += r.getAs[Long]("n_docs"); toks += r.getAs[Long]("n_toks")
+      assert(r.getAs[Long]("cum_docs") === docs)
+      assert(r.getAs[Long]("cum_toks") === toks)
+    }
+    assert(rows.last.getAs[Long]("tok_retention_micro") === 1000000L)
+  }
+
+  test("q_weighted_quantile: token-mass median dominates the doc median") {
+    val wq = graft.operators.RelationalExt.queries("q_weighted_quantile")(spark, sf)
+      .collect().map(r => r.getAs[Long]("p") -> r.getAs[Long]("q_len_weighted")).toMap
+    val lens = Tables.documents(spark, sf)
+      .select(expr("size(split(text, ' '))")).collect().map(_.getInt(0).toLong).sorted
+    val docMedian = lens((lens.length + 1) / 2 - 1)
+    assert(wq(50L) >= docMedian, s"weighted ${wq(50L)} < unweighted $docMedian")
+    assert(wq(50L) <= wq(90L) && wq(90L) <= wq(99L))
+  }
+
+  test("q_keyphrase: no stopword survives into a top phrase") {
+    val stops = Set("the", "a", "of", "and", "to", "in", "is")
+    val rows = graft.operators.TextAnalysis.queries("q_keyphrase")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val words = r.getAs[String]("phrase").split(" ")
+      assert(words.length <= 4 && words.forall(w => !stops.contains(w)),
+        s"bad phrase: ${r.getAs[String]("phrase")}")
+    }
+  }
+
+  test("q_mutual_info: MI non-negative (up to quantization) and V in [0, 1]") {
+    val r = Audit.queries("q_mutual_info")(spark, sf).collect().head
+    assert(r.getAs[Long]("mi_nat_micro") >= -5,
+      s"MI too negative: ${r.getAs[Long]("mi_nat_micro")}")
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0, s"V out of range: $v")
+  }
+
+  test("q_interarrival: quantiles monotone in p") {
+    val rows = Stats.queries("q_interarrival")(spark, sf).orderBy(col("p")).collect()
+    assert(rows.length === 3)
+    val qs = rows.map(_.getAs[Long]("q_gap_sec"))
+    assert(qs.zip(qs.tail).forall { case (a, b) => a <= b })
+  }
+
   // --------------------------- plan audits ---------------------------
 
   test("q_local_revenue: dim chain broadcasts, one data-scale shuffle join") {
