@@ -770,6 +770,7 @@ object Graph {
           s"sorted_pairs(slice(parts, 1, ${Pipeline.BasketCap}))")).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .distinct()
+        .localCheckpoint() // support() reads it twice (adjacency build + probe side)
       def support(edges: DataFrame): DataFrame = {
         val adj = edges
           .select(explode(array(
