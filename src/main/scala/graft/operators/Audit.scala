@@ -543,6 +543,46 @@ object Audit {
             """sqrt(CASE WHEN n * (qsum - 1) > 0 THEN n * (qsum - 1) ELSE 0 END
               | / (CAST(n AS DOUBLE) * (least(n_rows, n_cols) - 1)))""".stripMargin), 6)
             .as("cramers_v"))
+    }),
+
+    // BLOOM-FILTER FPR CALIBRATION — the measurement loop behind every
+    // Bloom sizing decision (q_dedup_sink_bloom picks m and k from the
+    // textbook formula; THIS query measures the formula against the
+    // data): an EXPLICIT m=8192, k=3 filter built from md5-prefix hash
+    // positions (the house md5-fold recipe — deterministic, so unlike
+    // Spark's built-in bloom_filter aggregate the whole filter is
+    // oracle-replayable bit for bit), probed with a key set provably
+    // disjoint from the inserts (+3·10⁶ id offset); measured FPR in
+    // exact micro next to the theoretical (1−e^{−kn/m})^k. The bit
+    // set is position-grain (≤ m rows); candidates check membership
+    // via one semi join at (probe, position) grain.
+    "q_bloom_fpr" -> ((s, d) => {
+      val m = 8192
+      def pos(i: Int): String =
+        s"CAST(conv(substring(md5(CONCAT('$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % $m"
+      val keys = Tables.orders(s, d).select(col("o_orderkey").as("k")).distinct()
+        .localCheckpoint() // insert count + bit build share it
+      val nIns = keys.agg(count(lit(1)).as("n_keys"))
+      val bits = keys
+        .select(explode(expr(s"array(${pos(0)}, ${pos(1)}, ${pos(2)})")).as("b"))
+        .distinct()
+        .localCheckpoint() // probed once per (candidate, hash)
+      val probes = Tables.lineitem(s, d)
+        .select((col("l_orderkey") + 3000000L).as("k")).distinct()
+        .localCheckpoint() // probe count + membership scan share it
+      val fp = probes
+        .select(col("k"), explode(expr(s"array(${pos(0)}, ${pos(1)}, ${pos(2)})")).as("b"))
+        .join(bits, Seq("b"), "left_semi")
+        .groupBy(col("k")).agg(count(lit(1)).as("nb"))
+        .filter(col("nb") === 3)
+        .agg(count(lit(1)).as("n_fp"))
+      probes.agg(count(lit(1)).as("n_probes"))
+        .crossJoin(broadcast(fp))
+        .crossJoin(broadcast(nIns))
+        .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+        .select(col("n_keys"), col("n_probes"), col("n_bits_set"), col("n_fp"),
+          expr("(n_fp * 1000000) DIV n_probes").as("fpr_micro"),
+          round(expr(s"pow(1.0 - exp(-3.0 * n_keys / $m), 3)"), 6).as("fpr_theory"))
     })
   )
 
@@ -912,6 +952,38 @@ object Audit {
          |  round(n * (qsum - 1), 4) AS chi2,
          |  round(sqrt(CASE WHEN n * (qsum - 1) > 0 THEN n * (qsum - 1) ELSE 0 END
          |    / (CAST(n AS DOUBLE) * (least(n_rows, n_cols) - 1))), 6) AS cramers_v
-         |FROM agg_""".stripMargin
+         |FROM agg_""".stripMargin,
+
+    "q_bloom_fpr" -> {
+      def pos(i: Int, x: String): String =
+        s"""list_reduce(list_transform(range(1, 9),
+           |      j -> CAST(strpos('0123456789abcdef',
+           |        substr(md5(CONCAT('$i:', CAST($x AS VARCHAR))), j, 1)) - 1 AS BIGINT)),
+           |      (a, b) -> a * 16 + b) % 8192""".stripMargin
+      s"""WITH keys AS MATERIALIZED (SELECT DISTINCT o_orderkey AS k FROM orders),
+         |nins AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM keys),
+         |bits AS MATERIALIZED (
+         |  SELECT DISTINCT b FROM (
+         |    SELECT unnest([${pos(0, "k")},
+         |      ${pos(1, "k")},
+         |      ${pos(2, "k")}]) AS b
+         |    FROM keys)),
+         |nbits AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits),
+         |probes AS MATERIALIZED (SELECT DISTINCT l_orderkey + 3000000 AS k FROM lineitem),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes),
+         |cand AS (
+         |  SELECT k, unnest([${pos(0, "k")},
+         |    ${pos(1, "k")},
+         |    ${pos(2, "k")}]) AS b
+         |  FROM probes),
+         |hits AS (
+         |  SELECT k, CAST(count(*) AS BIGINT) AS nb
+         |  FROM cand WHERE b IN (SELECT b FROM bits) GROUP BY k),
+         |fp AS (SELECT CAST(count(*) AS BIGINT) AS n_fp FROM hits WHERE nb = 3)
+         |SELECT n_keys, n_probes, n_bits_set, n_fp,
+         |  (n_fp * 1000000) // n_probes AS fpr_micro,
+         |  round(pow(1.0 - exp(-3.0 * n_keys / 8192), 3), 6) AS fpr_theory
+         |FROM nins, np, nbits, fp""".stripMargin
+    }
   )
 }

@@ -1739,6 +1739,42 @@ object RelationalExt {
           expr("CASE WHEN v_prev <> 0 THEN " +
             sdiv("(val_c - v_prev) * 1000", "abs(v_prev)") + " END").as("v_growth_milli"))
         .orderBy(col("event_type"), col("m30"))
+    }),
+
+    // MARKOV HITTING TIME — expected steps to reach 'purchase' from
+    // each state of q_markov's transition chain, by SIX unrolled
+    // value-iteration rounds of E(s) ← 1 + Σ_t P(s,t)·E(t) with the
+    // purchase state absorbing at 0 (the truncated-horizon answer to
+    // "how far is each behavior from converting"). The corpus work is
+    // q_markov's one transition aggregate; every round after that is a
+    // join + aggregate over the ≤k² transition matrix at STATE grain.
+    // E is exact integer micro: per round ONE truncating division
+    // after the integer Σ n·E (sum-then-divide — order-free), so the
+    // trajectory replays bit-for-bit as unrolled CTEs.
+    "q_markov_hitting" -> ((s, d) => {
+      val wl = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type").as("src"))
+        .withColumn("dst", lead(col("src"), 1).over(wl))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+        .localCheckpoint() // 6 value-iteration rounds read it
+      val outN = trans.groupBy(col("src")).agg(sum(col("n")).as("n_out"))
+        .localCheckpoint() // state-grain; every round joins it
+      var e = outN.select(col("src").as("st"), lit(0L).as("e_micro"))
+      for (_ <- 1 to 6) {
+        val step = trans.join(e.select(col("st").as("dst"), col("e_micro")), "dst")
+          .groupBy(col("src")).agg(sum(expr("n * e_micro")).as("se"))
+        e = outN.join(step, Seq("src"), "left")
+          .select(col("src").as("st"),
+            expr("""CASE WHEN src = 'purchase' THEN CAST(0 AS BIGINT)
+                   | ELSE 1000000 + (coalesce(se, CAST(0 AS BIGINT)) DIV n_out)
+                   | END""".stripMargin).as("e_micro"))
+          .localCheckpoint() // state-grain frame per round
+      }
+      outN.join(e.select(col("st").as("src"), col("e_micro").as("e_steps_micro")), "src")
+        .select(col("src"), col("n_out"), col("e_steps_micro"))
+        .orderBy(col("src"))
     })
   )
 
@@ -2739,6 +2775,37 @@ object RelationalExt {
          |  CASE WHEN v_prev <> 0 THEN $vG END AS v_growth_milli
          |FROM lagged WHERE n_prev IS NOT NULL
          |ORDER BY event_type, m30""".stripMargin
+    },
+
+    "q_markov_hitting" -> {
+      def round(prev: String, k: Int): String =
+        s"""s$k AS (
+           |  SELECT m.src, CAST(SUM(m.n * e.e_micro) AS BIGINT) AS se
+           |  FROM m JOIN $prev e ON m.dst = e.st GROUP BY m.src),
+           |e$k AS (
+           |  SELECT o.src AS st,
+           |    CASE WHEN o.src = 'purchase' THEN CAST(0 AS BIGINT)
+           |         ELSE 1000000 + (COALESCE(s$k.se, 0) // o.n_out)
+           |    END AS e_micro
+           |  FROM outn o LEFT JOIN s$k ON o.src = s$k.src)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT event_type AS src,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+         |  FROM events),
+         |m AS MATERIALIZED (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+         |  FROM t WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |outn AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_out FROM m GROUP BY src),
+         |e0 AS (SELECT src AS st, CAST(0 AS BIGINT) AS e_micro FROM outn),
+         |${round("e0", 1)},
+         |${round("e1", 2)},
+         |${round("e2", 3)},
+         |${round("e3", 4)},
+         |${round("e4", 5)},
+         |${round("e5", 6)}
+         |SELECT o.src, o.n_out, e6.e_micro AS e_steps_micro
+         |FROM outn o JOIN e6 ON o.src = e6.st
+         |ORDER BY o.src""".stripMargin
     }
   )
 }
