@@ -1775,6 +1775,41 @@ object RelationalExt {
       outN.join(e.select(col("st").as("src"), col("e_micro").as("e_steps_micro")), "src")
         .select(col("src"), col("n_out"), col("e_steps_micro"))
         .orderBy(col("src"))
+    }),
+
+    // INTERVAL SCHEDULING — the classic earliest-deadline greedy
+    // (provably the maximum non-overlapping set), per user over the
+    // q_concurrency duration convention: how many of this user's
+    // activity intervals could run back-to-back without overlap —
+    // a capacity/attention readout the raw event count overstates.
+    // The greedy is inherently ORDER-dependent (sorted by end time),
+    // so it runs as the q_bandit_replay typed fold:
+    // groupByKey(user).flatMapSortedGroups(end, event_id) — one user
+    // exchange with the sort INSIDE the shuffle (secondary sort, no
+    // per-group materialization), O(1) streamed state; the oracle
+    // replays the identical fold as a per-user recursive CTE. All
+    // integer microseconds.
+    "q_interval_sched" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select(
+          col("user_id"),
+          expr("unix_micros(ts)").as("st"),
+          expr("unix_micros(ts) + CAST(floor(value) + 1 AS BIGINT) * 1000000").as("en"),
+          col("event_id"))
+        .as[(Long, Long, Long, Long)]
+      ev.groupByKey(_._1)
+        .flatMapSortedGroups(col("en"), col("event_id")) { (uid, it) =>
+          var n = 0L
+          var cnt = 0L
+          var lastEnd = Long.MinValue
+          it.foreach { case (_, st, en, _) =>
+            n += 1
+            if (st >= lastEnd) { cnt += 1; lastEnd = en }
+          }
+          Iterator((uid, n, cnt))
+        }
+        .toDF("user_id", "n_events", "n_scheduled")
+        .orderBy(col("user_id"))
     })
   )
 
@@ -2806,6 +2841,28 @@ object RelationalExt {
          |SELECT o.src, o.n_out, e6.e_micro AS e_steps_micro
          |FROM outn o JOIN e6 ON o.src = e6.st
          |ORDER BY o.src""".stripMargin
-    }
+    },
+
+    "q_interval_sched" ->
+      """WITH RECURSIVE ev AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + CAST(floor(value) + 1 AS BIGINT) * 1000000 AS en,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) + CAST(floor(value) + 1 AS BIGINT) * 1000000,
+        |               event_id) AS BIGINT) AS seq
+        |  FROM events),
+        |nev AS (SELECT user_id, CAST(max(seq) AS BIGINT) AS n FROM ev GROUP BY user_id),
+        |fold(user_id, i, cnt, last_end) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(-9223372036854775807 AS BIGINT)
+        |  FROM nev
+        |  UNION ALL
+        |  SELECT f.user_id, f.i + 1,
+        |    f.cnt + CASE WHEN e.st >= f.last_end THEN 1 ELSE 0 END,
+        |    CASE WHEN e.st >= f.last_end THEN e.en ELSE f.last_end END
+        |  FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.seq = f.i + 1)
+        |SELECT f.user_id, nev.n AS n_events, f.cnt AS n_scheduled
+        |FROM fold f JOIN nev ON f.user_id = nev.user_id AND f.i = nev.n
+        |ORDER BY f.user_id""".stripMargin
   )
 }
