@@ -1309,6 +1309,65 @@ object Graph {
           col("delta").as("delta_micro"))
         .orderBy(col("delta_micro").desc, col("node_id"))
         .limit(20)
+    }),
+
+    // STABLE MATCHING (Gale & Shapley 1962, synchronous deferred
+    // acceptance) over the customer–supplier spend graph — the
+    // matching-MARKET member of the assignment family (q_matching
+    // maximizes cardinality blind to preference; this respects BOTH
+    // sides' preferences so no blocking pair survives among processed
+    // proposals): customers propose down their top-3 suppliers by
+    // exact pair spend, each supplier holds ONE best suitor by the
+    // packed (spend, −customer) order — max spend, then min id, one
+    // aggregate, no window — displacing incumbents back into the
+    // proposal pool. Three unrolled synchronous rounds (the declared
+    // contract, the q_bfs/Iters posture): per round one preference
+    // join at FREE-customer grain, one supplier-grain packed argmax,
+    // two broadcastable state joins; state is (customer, ptr,
+    // engagement) — node-scale, localCheckpoint'd per round. All
+    // exact BIGINT; id < 2²¹ packing radix is the documented knob.
+    "q_stable_match" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val spend = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .agg(sum(col("cents")).as("spend_c"))
+      val prefs = spend.withColumn("rank",
+          row_number().over(Window.partitionBy(col("c"))
+            .orderBy(col("spend_c").desc, col("sp"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .localCheckpoint() // every round's proposal join reads it
+      var st = prefs.select(col("c")).distinct()
+        .select(col("c"), lit(1L).as("ptr"),
+          lit(null).cast("long").as("eng_sp"), lit(null).cast("long").as("eng_spend"))
+        .localCheckpoint()
+      for (_ <- 1 to Iters) {
+        val props = st.filter(col("eng_sp").isNull && col("ptr") <= 3)
+          .select(col("c"), col("ptr"))
+          .join(prefs, Seq("c"))
+          .filter(col("ptr") === col("rank"))
+          .select(col("c"), col("sp"), col("spend_c"))
+          .localCheckpoint() // read by the argmax AND the ptr update
+        val cand = props
+          .unionByName(st.filter(col("eng_sp").isNotNull)
+            .select(col("c"), col("eng_sp").as("sp"), col("eng_spend").as("spend_c")))
+        val winners = cand.groupBy(col("sp"))
+          .agg(max(expr("spend_c * 2097152 + (2097151 - c)")).as("pk"))
+          .select(col("sp"), expr("2097151 - pk % 2097152").as("c"),
+            expr("pk DIV 2097152").as("w_spend"))
+        st = st
+          .join(props.select(col("c")).distinct().withColumn("pnow", lit(1L)), Seq("c"), "left")
+          .join(winners.select(col("c"), col("sp").as("w_sp"), col("w_spend")), Seq("c"), "left")
+          .select(col("c"),
+            expr("CASE WHEN pnow = 1 THEN ptr + 1 ELSE ptr END").as("ptr"),
+            col("w_sp").as("eng_sp"), col("w_spend").as("eng_spend"))
+          .localCheckpoint()
+      }
+      st.filter(col("eng_sp").isNotNull)
+        .select(col("c"), col("eng_sp").as("sp"), col("eng_spend").as("spend_c"))
+        .orderBy(col("c"))
     })
   )
 
@@ -2189,6 +2248,53 @@ object Graph {
         |  SELECT node, CAST(1 AS BIGINT) AS dist, sigma, delta FROM d1
         |  UNION ALL SELECT node, CAST(2 AS BIGINT), sigma, delta FROM d2
         |  UNION ALL SELECT node, CAST(3 AS BIGINT), sigma, delta FROM d3)
-        |ORDER BY delta_micro DESC, node_id LIMIT 20""".stripMargin
+        |ORDER BY delta_micro DESC, node_id LIMIT 20""".stripMargin,
+
+    "q_stable_match" -> {
+      def round(prev: String, k: Int): String =
+        s"""props$k AS MATERIALIZED (
+           |  SELECT s.c, p.sp, p.spend_c
+           |  FROM $prev s JOIN prefs p ON s.c = p.c AND s.ptr = p.rank
+           |  WHERE s.eng_sp IS NULL AND s.ptr <= 3),
+           |cand$k AS (
+           |  SELECT c, sp, spend_c FROM props$k
+           |  UNION ALL
+           |  SELECT c, eng_sp AS sp, eng_spend AS spend_c FROM $prev WHERE eng_sp IS NOT NULL),
+           |win$k AS (
+           |  SELECT sp, CAST(MAX(spend_c * 2097152 + (2097151 - c)) AS BIGINT) AS pk
+           |  FROM cand$k GROUP BY sp),
+           |wflat$k AS (
+           |  SELECT sp, CAST(2097151 - pk % 2097152 AS BIGINT) AS c,
+           |    CAST(pk // 2097152 AS BIGINT) AS w_spend
+           |  FROM win$k),
+           |st$k AS MATERIALIZED (
+           |  SELECT s.c,
+           |    CASE WHEN pn.c IS NOT NULL THEN s.ptr + 1 ELSE s.ptr END AS ptr,
+           |    w.sp AS eng_sp, w.w_spend AS eng_spend
+           |  FROM $prev s
+           |  LEFT JOIN (SELECT DISTINCT c FROM props$k) pn ON s.c = pn.c
+           |  LEFT JOIN wflat$k w ON s.c = w.c)""".stripMargin
+      s"""WITH spend AS MATERIALIZED (
+         |  SELECT o_custkey AS c, l_suppkey AS sp,
+         |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_c
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |prefs AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT c, sp, spend_c,
+         |      CAST(row_number() OVER (PARTITION BY c ORDER BY spend_c DESC, sp) AS BIGINT) AS rank
+         |    FROM spend)
+         |  WHERE rank <= 3),
+         |st0 AS (
+         |  SELECT DISTINCT c, CAST(1 AS BIGINT) AS ptr,
+         |    CAST(NULL AS BIGINT) AS eng_sp, CAST(NULL AS BIGINT) AS eng_spend
+         |  FROM prefs),
+         |${round("st0", 1)},
+         |${round("st1", 2)},
+         |${round("st2", 3)}
+         |SELECT c, eng_sp AS sp, eng_spend AS spend_c
+         |FROM st3 WHERE eng_sp IS NOT NULL
+         |ORDER BY c""".stripMargin
+    }
   )
 }
