@@ -325,6 +325,104 @@ class Round9Spec extends SparkSpec {
     assert(qs.zip(qs.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q_bloom_fpr: exact driver-side filter replay") {
+    val r = Audit.queries("q_bloom_fpr")(spark, sf).collect().head
+    def md5pos(i: Int, k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$i:$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 8192
+    }
+    val keys = Tables.orders(spark, sf).select(col("o_orderkey")).distinct()
+      .collect().map(_.getLong(0))
+    val bits = keys.flatMap(k => Seq(md5pos(0, k), md5pos(1, k), md5pos(2, k))).toSet
+    val probes = Tables.lineitem(spark, sf).select(col("l_orderkey") + 3000000L).distinct()
+      .collect().map(_.getLong(0))
+    val nFp = probes.count(k => (0 to 2).forall(i => bits.contains(md5pos(i, k))))
+    assert(r.getAs[Long]("n_keys") === keys.length.toLong)
+    assert(r.getAs[Long]("n_bits_set") === bits.size.toLong)
+    assert(r.getAs[Long]("n_fp") === nFp.toLong)
+  }
+
+  test("q_markov_hitting replays the 6-round value iteration exactly") {
+    val rows = graft.operators.RelationalExt.queries("q_markov_hitting")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n_out"), r.getAs[Long]("e_steps_micro"))).toMap
+    Tables.events(spark, sf).createOrReplaceTempView("ev_mh")
+    val m = spark.sql(
+      """SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+        |  FROM ev_mh) WHERE dst IS NOT NULL GROUP BY src, dst""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val outN = m.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var e = outN.keys.map(_ -> 0L).toMap
+    for (_ <- 1 to 6) {
+      val se = m.groupBy(_._1).view.mapValues(_.map { case (_, d2, n) => n * e(d2) }.sum).toMap
+      e = outN.keys.map { s0 =>
+        s0 -> (if (s0 == "purchase") 0L else 1000000L + se.getOrElse(s0, 0L) / outN(s0))
+      }.toMap
+    }
+    outN.keys.foreach { s0 =>
+      assert(rows(s0) === ((outN(s0), e(s0))), s"$s0: ${rows(s0)} vs ${(outN(s0), e(s0))}")
+    }
+  }
+
+  test("q_interval_sched replays the per-user greedy exactly") {
+    val got = graft.operators.RelationalExt.queries("q_interval_sched")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)"),
+        expr("unix_micros(ts) + CAST(floor(value) + 1 AS BIGINT) * 1000000"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._1).foreach { case (uid, rows0) =>
+      val sorted = rows0.sortBy(t => (t._3, t._4))
+      var cnt = 0L; var lastEnd = Long.MinValue
+      sorted.foreach { case (_, st, en, _) => if (st >= lastEnd) { cnt += 1; lastEnd = en } }
+      assert(got(uid) === ((rows0.length.toLong, cnt)), s"user $uid")
+    }
+  }
+
+  test("q_stable_match replays 3 synchronous deferred-acceptance rounds exactly") {
+    val got = Graph.queries("q_stable_match")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val spend = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey")).agg(sum(col("cents")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val prefs = spend.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, sp, sc) => (-sc, sp) }.take(3).toIndexedSeq).toMap
+    var ptr = prefs.keys.map(_ -> 0).toMap // 0-based next-proposal index
+    var eng = Map.empty[Long, (Long, Long)] // c -> (sp, spend)
+    for (_ <- 1 to 3) {
+      val props = prefs.keys.toSeq
+        .filter(c => !eng.contains(c) && ptr(c) < prefs(c).length && ptr(c) < 3)
+        .map { c => val (_, sp, sc) = prefs(c)(ptr(c)); (c, sp, sc) }
+      val cands = props ++ eng.toSeq.map { case (c, (sp, sc)) => (c, sp, sc) }
+      val winners = cands.groupBy(_._2).map { case (sp, cs) =>
+        sp -> cs.minBy { case (c, _, sc) => (-sc, c) }
+      }
+      val proposed = props.map(_._1).toSet
+      ptr = ptr.map { case (c, p) => c -> (if (proposed(c)) p + 1 else p) }
+      eng = winners.map { case (sp, (c, _, sc)) => c -> (sp, sc) }
+    }
+    assert(got === eng.map { case (c, v) => c -> v }, s"got ${got.size} vs replay ${eng.size}")
+  }
+
+  test("Observation API: inline metrics agree with a recount") {
+    import org.apache.spark.sql.Observation
+    val obs = Observation("li_audit")
+    val df = Tables.lineitem(spark, sf)
+      .observe(obs, count(lit(1)).as("n"), sum(expr("CAST(l_quantity AS BIGINT)")).as("q"))
+      .filter(col("l_quantity") > 0)
+    df.collect()
+    val row = obs.get
+    val n = Tables.lineitem(spark, sf).count()
+    val q = Tables.lineitem(spark, sf)
+      .agg(sum(expr("CAST(l_quantity AS BIGINT)"))).collect().head.getLong(0)
+    assert(row("n") === n && row("q") === q)
+  }
+
   // --------------------------- plan audits ---------------------------
 
   test("q_local_revenue: dim chain broadcasts, one data-scale shuffle join") {
