@@ -1879,6 +1879,70 @@ object Learn {
               | THEN ln((CAST(nn AS DOUBLE) - err) / err) / 2 END""".stripMargin), 6).as("alpha"),
           round(expr(
             "2 * sqrt(CAST(err AS DOUBLE) * (nn - err)) / nn"), 6).as("z_factor"))
+    }),
+
+    // McNEMAR'S TEST (McNemar 1947) — the PAIRED model comparison the
+    // eval bank was missing: two classifiers judged on the SAME users
+    // (q_adaboost_step's best stump vs q_svm_step's two-step linear
+    // SVM, both predicting purchase), scored not by their separate
+    // accuracies but by the DISAGREEMENT cells b (stump right, SVM
+    // wrong) and c (the reverse) — the only cells that carry evidence
+    // about which model is better. χ² = (|b−c|−1)²/(b+c) with the
+    // continuity correction, on the 1-row final. Both models replay
+    // their training exactly (the stump sweep and the snapped SVM
+    // steps are deterministic integer trajectories), so the whole
+    // comparison is oracle-replayable; corpus work = one user-grain
+    // aggregate + two 1-row broadcast model fits + one confusion
+    // aggregate.
+    "q_mcnemar" -> ((s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x2"),
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) > 0, 1L)
+            .otherwise(0L).as("pos"))
+        .localCheckpoint() // stump fit, SVM fit, and the confusion scan share it
+      // best stump on x1 (the q_adaboost_step sweep)
+      val cells = users.groupBy(col("x1"))
+        .agg(count(lit(1)).as("t"), sum(col("pos")).as("tp"))
+      val tot = cells.agg(sum(col("t")).as("nn"), sum(col("tp")).as("np"))
+      val wcum = Window.orderBy(col("x1")).rowsBetween(Window.unboundedPreceding, 0)
+      val sweep = cells
+        .withColumn("cum_p", sum(col("tp")).over(wcum))
+        .withColumn("cum_n", sum(expr("t - tp")).over(wcum))
+        .crossJoin(broadcast(tot))
+        .withColumn("err_gt", expr("cum_p + (nn - np) - cum_n"))
+        .withColumn("err_le", expr("nn - (cum_p + (nn - np) - cum_n)"))
+      val stump = sweep.select(col("x1").as("theta"), lit("gt").as("pol"), col("err_gt").as("err"))
+        .union(sweep.select(col("x1").as("theta"), lit("le").as("pol"), col("err_le").as("err")))
+        .orderBy(col("err"), col("theta"), col("pol")).limit(1)
+        .select(col("theta"), col("pol"))
+      // two-step SVM numerators (the q_svm_step trajectory)
+      val st1 = users.agg(count(lit(1)).as("n"),
+        sum(expr("(2 * pos - 1) * x1")).as("a1"), sum(expr("(2 * pos - 1) * x2")).as("a2"))
+      val svm = users.crossJoin(broadcast(st1))
+        .withColumn("m", expr("(2 * pos - 1) * (a1 * x1 + a2 * x2)"))
+        .agg(max(col("a1")).as("a1"), max(col("a2")).as("a2"), max(col("n")).as("n"),
+          sum(expr("CASE WHEN m < n THEN (2 * pos - 1) * x1 ELSE CAST(0 AS BIGINT) END")).as("g1"),
+          sum(expr("CASE WHEN m < n THEN (2 * pos - 1) * x2 ELSE CAST(0 AS BIGINT) END")).as("g2"))
+        .select(expr("a1 + g1").as("b1"), expr("a2 + g2").as("b2"))
+      users.crossJoin(broadcast(stump)).crossJoin(broadcast(svm))
+        .withColumn("p_stump", expr(
+          "CASE WHEN (pol = 'gt' AND x1 > theta) OR (pol = 'le' AND x1 <= theta) THEN 1 ELSE 0 END"))
+        .withColumn("p_svm", expr("CASE WHEN b1 * x1 + b2 * x2 > 0 THEN 1 ELSE 0 END"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CASE WHEN p_stump = pos AND p_svm <> pos THEN 1 ELSE 0 END")).as("b"),
+          sum(expr("CASE WHEN p_stump <> pos AND p_svm = pos THEN 1 ELSE 0 END")).as("c"),
+          sum(expr("CASE WHEN p_stump = pos AND p_svm = pos THEN 1 ELSE 0 END")).as("both_right"))
+        .select(col("n"), col("b"), col("c"), col("both_right"),
+          round(expr(
+            """CASE WHEN b + c > 0
+              | THEN (abs(b - c) - 1) * (abs(b - c) - 1) / (CAST(b AS DOUBLE) + c) END""".stripMargin), 6)
+            .as("chi2"),
+          expr(
+            """CASE WHEN b + c > 0
+              | THEN (abs(b - c) - 1) * (abs(b - c) - 1) / (CAST(b AS DOUBLE) + c) > 3.8415
+              | ELSE false END""".stripMargin).as("reject_05"))
     })
   )
 
@@ -3263,6 +3327,68 @@ object Learn {
         |  round(CASE WHEN err > 0 AND err < nn
         |    THEN ln((CAST(nn AS DOUBLE) - err) / err) / 2 END, 6) AS alpha,
         |  round(2 * sqrt(CAST(err AS DOUBLE) * (nn - err)) / nn, 6) AS z_factor
-        |FROM best""".stripMargin
+        |FROM best""".stripMargin,
+
+    "q_mcnemar" ->
+      """WITH users AS MATERIALIZED (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pos
+        |  FROM events GROUP BY user_id),
+        |cells AS (
+        |  SELECT x1, CAST(count(*) AS BIGINT) AS t, CAST(SUM(pos) AS BIGINT) AS tp
+        |  FROM users GROUP BY x1),
+        |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS nn, CAST(SUM(tp) AS BIGINT) AS np FROM cells),
+        |sweep AS (
+        |  SELECT x1,
+        |    CAST(SUM(tp) OVER (ORDER BY x1
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_p,
+        |    CAST(SUM(t - tp) OVER (ORDER BY x1
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        |  FROM cells),
+        |errs AS (
+        |  SELECT x1, cum_p + (nn - np) - cum_n AS err_gt,
+        |    nn - (cum_p + (nn - np) - cum_n) AS err_le
+        |  FROM sweep, tot),
+        |stump AS (
+        |  SELECT theta, pol FROM (
+        |    SELECT x1 AS theta, 'gt' AS pol, err_gt AS err FROM errs
+        |    UNION ALL
+        |    SELECT x1 AS theta, 'le' AS pol, err_le AS err FROM errs)
+        |  ORDER BY err, theta, pol LIMIT 1),
+        |st1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM((2 * pos - 1) * x1) AS BIGINT) AS a1,
+        |    CAST(SUM((2 * pos - 1) * x2) AS BIGINT) AS a2
+        |  FROM users),
+        |svm AS (
+        |  SELECT CAST(max(a1) AS BIGINT)
+        |      + CAST(SUM(CASE WHEN (2 * pos - 1) * (a1 * x1 + a2 * x2) < n
+        |                      THEN (2 * pos - 1) * x1 ELSE 0 END) AS BIGINT) AS b1,
+        |    CAST(max(a2) AS BIGINT)
+        |      + CAST(SUM(CASE WHEN (2 * pos - 1) * (a1 * x1 + a2 * x2) < n
+        |                      THEN (2 * pos - 1) * x2 ELSE 0 END) AS BIGINT) AS b2
+        |  FROM users, st1),
+        |preds AS (
+        |  SELECT pos,
+        |    CASE WHEN (pol = 'gt' AND x1 > theta) OR (pol = 'le' AND x1 <= theta)
+        |         THEN 1 ELSE 0 END AS p_stump,
+        |    CASE WHEN b1 * x1 + b2 * x2 > 0 THEN 1 ELSE 0 END AS p_svm
+        |  FROM users, stump, svm),
+        |conf AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN p_stump = pos AND p_svm <> pos THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN p_stump <> pos AND p_svm = pos THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN p_stump = pos AND p_svm = pos THEN 1 ELSE 0 END) AS BIGINT) AS both_right
+        |  FROM preds)
+        |SELECT n, b, c, both_right,
+        |  round(CASE WHEN b + c > 0
+        |    THEN (abs(b - c) - 1) * (abs(b - c) - 1) / (CAST(b AS DOUBLE) + c) END, 6) AS chi2,
+        |  CASE WHEN b + c > 0
+        |    THEN (abs(b - c) - 1) * (abs(b - c) - 1) / (CAST(b AS DOUBLE) + c) > 3.8415
+        |    ELSE false END AS reject_05
+        |FROM conf""".stripMargin
   )
 }

@@ -1189,6 +1189,41 @@ object Stats {
           round(col("e_runs"), 6).as("e_runs"),
           round(expr("(runs - e_runs) * (runs - e_runs) / v_runs"), 6).as("z2"),
           expr("(runs - e_runs) * (runs - e_runs) / v_runs > 3.8415").as("reject_05"))
+    }),
+
+    // TOST EQUIVALENCE test (Schuirmann 1987) between the click and
+    // view mean values — the inferential question q_t_test CANNOT
+    // answer: failing to reject "different" never demonstrates "the
+    // same"; equivalence needs two one-sided tests against an explicit
+    // margin (±2.0 here, on the milli grid). The mean difference is an
+    // EXACT integer rational (s1·n2 − s2·n1 over n1·n2, sign-safe
+    // division); the z statistics run once on the 1-row moment final
+    // in identical expression text, Welch SE from exact BIGINT
+    // moments, 1.6449 (one-sided 5%) as a literal. One corpus
+    // aggregate total.
+    "q_tost" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type").as("arm"),
+          expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+        .agg(
+          sum(when(col("arm") === "click", 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === "click", col("vm")).otherwise(0L)).as("s1"),
+          sum(when(col("arm") === "click", expr("vm * vm")).otherwise(0L)).as("q1"),
+          sum(when(col("arm") === "view", 1L).otherwise(0L)).as("n2"),
+          sum(when(col("arm") === "view", col("vm")).otherwise(0L)).as("s2"),
+          sum(when(col("arm") === "view", expr("vm * vm")).otherwise(0L)).as("q2"))
+        .withColumn("se", expr(
+          """sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1
+            |  + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)) / n2)""".stripMargin))
+        .withColumn("dm", expr("CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2"))
+        .select(col("n1"), col("n2"),
+          expr(sdiv("s1 * n2 - s2 * n1", "n1 * n2")).as("diff_milli"),
+          round(col("se"), 4).as("se_milli"),
+          round(expr("(dm + 2000.0) / se"), 4).as("z_lo"),
+          round(expr("(dm - 2000.0) / se"), 4).as("z_hi"),
+          expr("(dm + 2000.0) / se > 1.6449 AND (dm - 2000.0) / se < -1.6449")
+            .as("equivalent_05"))
     })
   )
 
@@ -2081,6 +2116,37 @@ object Stats {
         |SELECT n1, n2, runs, round(e_runs, 6) AS e_runs,
         |  round((runs - e_runs) * (runs - e_runs) / v_runs, 6) AS z2,
         |  (runs - e_runs) * (runs - e_runs) / v_runs > 3.8415 AS reject_05
-        |FROM ev""".stripMargin
+        |FROM ev""".stripMargin,
+
+    "q_tost" -> {
+      val dSql = sdivSql("s1 * n2 - s2 * n1", "n1 * n2")
+      s"""WITH m AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN event_type = 'click'
+         |                  THEN CAST(floor(value * 1000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(SUM(CASE WHEN event_type = 'click'
+         |                  THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+         |                       * CAST(floor(value * 1000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS q1,
+         |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(SUM(CASE WHEN event_type = 'view'
+         |                  THEN CAST(floor(value * 1000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS s2,
+         |    CAST(SUM(CASE WHEN event_type = 'view'
+         |                  THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+         |                       * CAST(floor(value * 1000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS q2
+         |  FROM events WHERE event_type IN ('click', 'view')),
+         |fin AS (
+         |  SELECT *,
+         |    sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1
+         |      + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)) / n2) AS se,
+         |    CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS dm
+         |  FROM m)
+         |SELECT n1, n2, $dSql AS diff_milli,
+         |  round(se, 4) AS se_milli,
+         |  round((dm + 2000.0) / se, 4) AS z_lo,
+         |  round((dm - 2000.0) / se, 4) AS z_hi,
+         |  (dm + 2000.0) / se > 1.6449 AND (dm - 2000.0) / se < -1.6449 AS equivalent_05
+         |FROM fin""".stripMargin
+    }
   )
 }
