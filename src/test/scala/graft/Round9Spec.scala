@@ -409,6 +409,59 @@ class Round9Spec extends SparkSpec {
     assert(got === eng.map { case (c, v) => c -> v }, s"got ${got.size} vs replay ${eng.size}")
   }
 
+  test("q_mcnemar: confusion cells reconcile and replay the two models") {
+    val r = graft.operators.Learn.queries("q_mcnemar")(spark, sf).collect().head
+    val n = r.getAs[Long]("n"); val b = r.getAs[Long]("b"); val c = r.getAs[Long]("c")
+    assert(b + c + r.getAs[Long]("both_right") <= n)
+    // replay both classifiers
+    val users = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x2"),
+        when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) > 0, 1L)
+          .otherwise(0L).as("pos"))
+      .collect().map(q => (q.getLong(1), q.getLong(2), q.getLong(3)))
+    // stump sweep
+    val cand = users.map(_._1).distinct.flatMap { th =>
+      Seq(("gt", th, users.count { case (x1, _, p) => (if (x1 > th) 1L else 0L) != p }),
+        ("le", th, users.count { case (x1, _, p) => (if (x1 <= th) 1L else 0L) != p }))
+    }
+    val (pol, theta, _) = cand.minBy { case (pl, th, e) => (e, th, pl) }
+    // svm two steps
+    val nn = users.length.toLong
+    val a1 = users.map { case (x1, _, p) => (2 * p - 1) * x1 }.sum
+    val a2 = users.map { case (_, x2, p) => (2 * p - 1) * x2 }.sum
+    val b1 = a1 + users.collect { case (x1, x2, p) if (2 * p - 1) * (a1 * x1 + a2 * x2) < nn => (2 * p - 1) * x1 }.sum
+    val b2 = a2 + users.collect { case (x1, x2, p) if (2 * p - 1) * (a1 * x1 + a2 * x2) < nn => (2 * p - 1) * x2 }.sum
+    var rb = 0L; var rc = 0L
+    users.foreach { case (x1, x2, p) =>
+      val ps = if ((pol == "gt" && x1 > theta) || (pol == "le" && x1 <= theta)) 1L else 0L
+      val pv = if (b1 * x1 + b2 * x2 > 0) 1L else 0L
+      if (ps == p && pv != p) rb += 1
+      if (ps != p && pv == p) rc += 1
+    }
+    assert((b, c) === ((rb, rc)), s"($b,$c) vs replay ($rb,$rc)")
+  }
+
+  test("q_tost: z bounds ordered and flag consistent with a moment recompute") {
+    val r = Stats.queries("q_tost")(spark, sf).collect().head
+    assert(r.getAs[Double]("z_hi") < r.getAs[Double]("z_lo"))
+    val vm = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)"))
+      .collect().map(q => (q.getString(0), q.getLong(1)))
+    def mom(arm: String) = {
+      val xs = vm.filter(_._1 == arm).map(_._2.toDouble)
+      val n = xs.length.toDouble; val m = xs.sum / n
+      (n, m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (n1, m1, v1) = mom("click"); val (n2, m2, v2) = mom("view")
+    val se = math.sqrt(v1 / n1 + v2 / n2); val dm = m1 - m2
+    assert(math.abs(r.getAs[Double]("z_lo") - (dm + 2000.0) / se) < 1e-2)
+    assert(math.abs(r.getAs[Double]("z_hi") - (dm - 2000.0) / se) < 1e-2)
+    assert(r.getAs[Boolean]("equivalent_05") ===
+      ((dm + 2000.0) / se > 1.6449 && (dm - 2000.0) / se < -1.6449))
+  }
+
   test("Observation API: inline metrics agree with a recount") {
     import org.apache.spark.sql.Observation
     val obs = Observation("li_audit")
