@@ -1943,6 +1943,68 @@ object Learn {
             """CASE WHEN b + c > 0
               | THEN (abs(b - c) - 1) * (abs(b - c) - 1) / (CAST(b AS DOUBLE) + c) > 3.8415
               | ELSE false END""".stripMargin).as("reject_05"))
+    }),
+
+    // EXACT SHAPLEY ATTRIBUTION over a two-binary-feature outcome
+    // model (Shapley 1953; the Lundberg-Lee SHAP value computed in
+    // CLOSED FORM — two features means two permutations, no sampling):
+    // features = above-median clicker / above-median viewer per user
+    // (exact lower-median rank cuts — the fixture's saturated "any
+    // click" flags would collapse the cells), outcome = above-median
+    // spender, value function v(S) = the observed outcome rate
+    // conditioned on the coalition's feature values, so
+    // φ_click(a,b) = ½[(v(a,·)−v(∅)) +
+    // (v(a,b)−v(·,b))] and symmetrically for view; additivity
+    // φ_c + φ_v = v(a,b) − v(∅) holds exactly in the rationals and to
+    // ±2 micro after truncation (the gap is REPORTED as its own audit
+    // column). Every rate is an exact micro integer from the 4-cell /
+    // 2-marginal / 1-global census of ONE user-grain aggregate; the
+    // Shapley algebra runs at CELL grain via broadcast joins.
+    "q_shapley_2feat" -> ((s, d) => {
+      val raw = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cx"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("vx"),
+          sum(when(col("event_type") === "purchase",
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).otherwise(0L)).as("sp"))
+        .localCheckpoint() // three median cuts + the cell census share it
+      // exact lower median of a per-user BIGINT column by census rank cut
+      def med(cn: String): DataFrame = {
+        val cen = raw.groupBy(col(cn)).agg(count(lit(1)).as("c"))
+        val below = Window.orderBy(col(cn)).rowsBetween(Window.unboundedPreceding, -1)
+        val tot = cen.agg(sum(col("c")).as("nt"))
+        cen.withColumn("bel", coalesce(sum(col("c")).over(below), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .filter(expr("bel + c >= (nt + 1) DIV 2"))
+          .agg(min(col(cn)).as(s"med_$cn"))
+      }
+      val users = raw
+        .crossJoin(broadcast(med("cx")))
+        .crossJoin(broadcast(med("vx")))
+        .crossJoin(broadcast(med("sp")))
+        .select(
+          expr("CASE WHEN cx > med_cx THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("a"),
+          expr("CASE WHEN vx > med_vx THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("b"),
+          expr("CASE WHEN sp > med_sp THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("y"))
+      val cells = users.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+        .localCheckpoint() // feeds the marginals, the global, and the cell page
+      val ma = cells.groupBy(col("a")).agg(
+        expr("(CAST(SUM(s) AS BIGINT) * 1000000) DIV SUM(n)").as("va"))
+      val mb = cells.groupBy(col("b")).agg(
+        expr("(CAST(SUM(s) AS BIGINT) * 1000000) DIV SUM(n)").as("vb"))
+      val g = cells.agg(expr("(SUM(s) * 1000000) DIV SUM(n)").as("v0"))
+      cells
+        .withColumn("vab", expr("(s * 1000000) DIV n"))
+        .join(broadcast(ma), "a")
+        .join(broadcast(mb), "b")
+        .crossJoin(broadcast(g))
+        .select(col("a"), col("b"), col("n"), col("vab").as("rate_micro"),
+          expr(sdiv("(va - v0) + (vab - vb)", "2")).as("phi_click_micro"),
+          expr(sdiv("(vb - v0) + (vab - va)", "2")).as("phi_view_micro"),
+          expr(s"${sdiv("(va - v0) + (vab - vb)", "2")} + ${sdiv("(vb - v0) + (vab - va)", "2")}"
+            + " - (vab - v0)").as("additivity_gap_micro"))
+        .orderBy(col("a"), col("b"))
     })
   )
 
@@ -3389,6 +3451,53 @@ object Learn {
         |  CASE WHEN b + c > 0
         |    THEN (abs(b - c) - 1) * (abs(b - c) - 1) / (CAST(b AS DOUBLE) + c) > 3.8415
         |    ELSE false END AS reject_05
-        |FROM conf""".stripMargin
+        |FROM conf""".stripMargin,
+
+    "q_shapley_2feat" -> {
+      val phiC = sdivSql("(va - v0) + (vab - vb)", "2")
+      val phiV = sdivSql("(vb - v0) + (vab - va)", "2")
+      def med(cn: String): String =
+        s"""med_$cn AS (
+           |  SELECT CAST(MIN($cn) AS BIGINT) AS med_$cn FROM (
+           |    SELECT $cn,
+           |      COALESCE(CAST(SUM(c) OVER (ORDER BY $cn
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS bel,
+           |      c, CAST(SUM(c) OVER () AS BIGINT) AS nt
+           |    FROM (SELECT $cn, CAST(count(*) AS BIGINT) AS c FROM raw GROUP BY $cn))
+           |  WHERE bel + c >= (nt + 1) // 2)""".stripMargin
+      s"""WITH raw AS MATERIALIZED (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cx,
+         |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS vx,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase'
+         |                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+         |                  ELSE 0 END) AS BIGINT) AS sp
+         |  FROM events GROUP BY user_id),
+         |${med("cx")},
+         |${med("vx")},
+         |${med("sp")},
+         |users AS (
+         |  SELECT CASE WHEN cx > med_cx THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN vx > med_vx THEN 1 ELSE 0 END AS b,
+         |    CASE WHEN sp > med_sp THEN 1 ELSE 0 END AS y
+         |  FROM raw, med_cx, med_vx, med_sp),
+         |cells AS MATERIALIZED (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+         |  FROM users GROUP BY a, b),
+         |ma AS (SELECT a, (CAST(SUM(s) AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT) AS va
+         |       FROM cells GROUP BY a),
+         |mb AS (SELECT b, (CAST(SUM(s) AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT) AS vb
+         |       FROM cells GROUP BY b),
+         |g AS (SELECT (CAST(SUM(s) AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT) AS v0
+         |      FROM cells),
+         |page AS (
+         |  SELECT cells.a, cells.b, cells.n, (s * 1000000) // n AS vab, va, vb, v0
+         |  FROM cells JOIN ma ON cells.a = ma.a JOIN mb ON cells.b = mb.b, g)
+         |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, n, vab AS rate_micro,
+         |  $phiC AS phi_click_micro,
+         |  $phiV AS phi_view_micro,
+         |  $phiC + $phiV - (vab - v0) AS additivity_gap_micro
+         |FROM page ORDER BY a, b""".stripMargin
+    }
   )
 }

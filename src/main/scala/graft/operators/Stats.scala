@@ -49,6 +49,15 @@ object Stats {
     * binary double (see q_gumbel_tail's scaladoc). */
   private[operators] val Gumbel30: Double = -math.log(-math.log(1.0 - 1.0 / 30.0))
 
+  /** q_sprt's per-event log-likelihood ratios on the micro grid,
+    * pre-evaluated (ln(p₁/p₀) and ln((1−p₁)/(1−p₀)) for p₀ = 0.2,
+    * p₁ = 0.25) so neither engine's libm is consulted in the loop. */
+  private[operators] val SprtL1: Long = math.floor(math.log(0.25 / 0.2) * 1e6 + 0.5).toLong
+  private[operators] val SprtL0: Long = {
+    val x = math.log(0.75 / 0.8) * 1e6
+    if (x >= 0) math.floor(x + 0.5).toLong else -math.floor(-x + 0.5).toLong
+  }
+
   val queries: Map[String, Q] = Map(
 
     // SPEARMAN rank correlation (Spearman 1904) between quantity and
@@ -1224,6 +1233,62 @@ object Stats {
           round(expr("(dm - 2000.0) / se"), 4).as("z_hi"),
           expr("(dm + 2000.0) / se > 1.6449 AND (dm - 2000.0) / se < -1.6449")
             .as("equivalent_05"))
+    }),
+
+    // CAPTURE-RECAPTURE population estimate (Lincoln-Petersen /
+    // Chapman 1951) — "how many users exist that we have NOT seen":
+    // treat the first two observed weeks as independent capture
+    // occasions; N̂ = n₁n₂/m from the overlap, with Chapman's
+    // bias-corrected form alongside and the ACTUAL distinct-user total
+    // as the audit column (the fixture observes everyone, so the
+    // estimator's bias is measurable). Three distinct-user aggregates
+    // + one semi-join overlap count, all exact integers. This is the
+    // coverage-estimation primitive behind "how much of the web does
+    // this crawl see".
+    "q_capture_recapture" -> ((s, d) => {
+      val uw = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) DIV 604800000000").as("wk"))
+        .distinct()
+        .localCheckpoint() // week pick + both occasions share it
+      val w0 = uw.agg(min(col("wk")).as("w0"))
+      val occ = uw.crossJoin(broadcast(w0))
+      val a = occ.filter(col("wk") === col("w0")).select(col("user_id"))
+      val b = occ.filter(col("wk") === col("w0") + 1).select(col("user_id"))
+      val n1 = a.agg(count(lit(1)).as("n1"))
+      val n2 = b.agg(count(lit(1)).as("n2"))
+      val m = a.join(b, Seq("user_id"), "left_semi").agg(count(lit(1)).as("m"))
+      val truth = Tables.events(s, d).agg(countDistinct(col("user_id")).as("n_true"))
+      n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m)).crossJoin(broadcast(truth))
+        .select(col("n1"), col("n2"), col("m"), col("n_true"),
+          expr("CASE WHEN m > 0 THEN (n1 * n2) DIV m END").as("lp_est"),
+          expr("((n1 + 1) * (n2 + 1)) DIV (m + 1) - 1").as("chapman_est"))
+    }),
+
+    // SPRT (Wald 1945) — the SEQUENTIAL test completing the monitoring
+    // family (q_group_sequential spends an alpha budget at fixed
+    // looks; SPRT decides after EVERY day with optimal expected sample
+    // size): daily click-share LLR under H₀ p=0.2 vs H₁ p=0.25,
+    // accumulated until it escapes the (ln β/(1−α), ln (1−β)/α) =
+    // ±ln 19 band. The per-event log-likelihood ratios are
+    // PRE-EVALUATED constants (the Gumbel30 pattern — no engine libm
+    // in the loop), so the daily LLR is exact integer micro and the
+    // cumulative trace replays bit-for-bit. Day grain: one corpus
+    // aggregate + one bounded prefix window.
+    "q_sprt" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("k"))
+      val wcum = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+      days
+        .withColumn("llr_micro", expr(s"k * $SprtL1 + (n - k) * ($SprtL0)"))
+        .withColumn("cum_llr_micro", sum(col("llr_micro")).over(wcum))
+        .select(col("day"), col("n"), col("k"), col("llr_micro"), col("cum_llr_micro"),
+          expr(
+            """CASE WHEN cum_llr_micro >= 2944439 THEN 'accept_h1'
+              |     WHEN cum_llr_micro <= -2944439 THEN 'accept_h0'
+              |     ELSE 'continue' END""".stripMargin).as("decision"))
+        .orderBy(col("day"))
     })
   )
 
@@ -2147,6 +2212,41 @@ object Stats {
          |  round((dm - 2000.0) / se, 4) AS z_hi,
          |  (dm + 2000.0) / se > 1.6449 AND (dm - 2000.0) / se < -1.6449 AS equivalent_05
          |FROM fin""".stripMargin
-    }
+    },
+
+    "q_capture_recapture" ->
+      """WITH uw AS MATERIALIZED (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |w0 AS (SELECT CAST(MIN(wk) AS BIGINT) AS w0 FROM uw),
+        |a AS (SELECT user_id FROM uw, w0 WHERE wk = w0),
+        |b AS (SELECT user_id FROM uw, w0 WHERE wk = w0 + 1),
+        |n1_ AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM a),
+        |n2_ AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM b),
+        |m_ AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m FROM a
+        |  WHERE user_id IN (SELECT user_id FROM b)),
+        |tr AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_true FROM events)
+        |SELECT n1, n2, m, n_true,
+        |  CASE WHEN m > 0 THEN (n1 * n2) // m END AS lp_est,
+        |  ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS chapman_est
+        |FROM n1_, n2_, m_, tr""".stripMargin,
+
+    "q_sprt" ->
+      s"""WITH days AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS k
+         |  FROM events GROUP BY 1),
+         |llr AS (
+         |  SELECT day, n, k, k * $SprtL1 + (n - k) * ($SprtL0) AS llr_micro FROM days),
+         |cum AS (
+         |  SELECT *, CAST(SUM(llr_micro) OVER (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_llr_micro
+         |  FROM llr)
+         |SELECT day, n, k, llr_micro, cum_llr_micro,
+         |  CASE WHEN cum_llr_micro >= 2944439 THEN 'accept_h1'
+         |       WHEN cum_llr_micro <= -2944439 THEN 'accept_h0'
+         |       ELSE 'continue' END AS decision
+         |FROM cum ORDER BY day""".stripMargin
   )
 }
