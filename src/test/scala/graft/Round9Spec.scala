@@ -462,6 +462,40 @@ class Round9Spec extends SparkSpec {
       ((dm + 2000.0) / se > 1.6449 && (dm - 2000.0) / se < -1.6449))
   }
 
+  test("q_capture_recapture: overlap bounds and estimator ordering hold") {
+    val r = Stats.queries("q_capture_recapture")(spark, sf).collect().head
+    val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2"); val m = r.getAs[Long]("m")
+    assert(m <= math.min(n1, n2))
+    if (m > 0) {
+      val lp = r.getAs[Long]("lp_est")
+      assert(lp >= math.max(n1, n2))
+      assert(r.getAs[Long]("chapman_est") <= lp, "Chapman must correct LP downward")
+    }
+  }
+
+  test("q_sprt: cumulative trace reconciles and decisions match the band") {
+    val rows = Stats.queries("q_sprt")(spark, sf).orderBy(col("day")).collect()
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getAs[Long]("llr_micro")
+      assert(r.getAs[Long]("cum_llr_micro") === cum)
+      val want = if (cum >= 2944439L) "accept_h1"
+        else if (cum <= -2944439L) "accept_h0" else "continue"
+      assert(r.getAs[String]("decision") === want)
+    }
+  }
+
+  test("q_shapley_2feat: additivity holds to truncation and cells partition the users") {
+    val rows = graft.operators.Learn.queries("q_shapley_2feat")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    rows.foreach { r =>
+      val gap = r.getAs[Long]("additivity_gap_micro")
+      assert(math.abs(gap) <= 2, s"additivity gap $gap")
+    }
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum === nUsers)
+  }
+
   test("Observation API: inline metrics agree with a recount") {
     import org.apache.spark.sql.Observation
     val obs = Observation("li_audit")
