@@ -583,6 +583,30 @@ object Audit {
         .select(col("n_keys"), col("n_probes"), col("n_bits_set"), col("n_fp"),
           expr("(n_fp * 1000000) DIV n_probes").as("fpr_micro"),
           round(expr(s"pow(1.0 - exp(-3.0 * n_keys / $m), 3)"), 6).as("fpr_theory"))
+    }),
+
+    // H-INDEX of the supplier and customer participation distributions
+    // — the single-number concentration readout (h entities each carry
+    // ≥ h fact rows) used everywhere a "how broad is the head" answer
+    // beats a full histogram. Computed WITHOUT a global sort: over the
+    // degree CENSUS, cum(d) = entities with degree ≥ d, and
+    // h = max over census rows of min(d, cum) — exactly the classic
+    // definition because cum is monotone down in d. Two tiny census
+    // windows; corpus work is one groupBy per entity side.
+    "q_h_index" -> ((s, d) => {
+      def h(df: DataFrame, key: String, tag: String): DataFrame = {
+        val deg = df.groupBy(col(key).as("e")).agg(count(lit(1)).as("deg"))
+        val cen = deg.groupBy(col("deg")).agg(count(lit(1)).as("c"))
+        val wge = Window.orderBy(col("deg").desc).rowsBetween(Window.unboundedPreceding, 0)
+        cen.withColumn("cum", sum(col("c")).over(wge))
+          .agg(max(expr("least(deg, cum)")).as("h_index"),
+            sum(col("c")).as("n_entities"), max(col("deg")).as("max_deg"))
+          .select(lit(tag).as("entity"), col("h_index"), col("n_entities"), col("max_deg"))
+      }
+      val li = Tables.lineitem(s, d)
+      h(li, "l_suppkey", "supplier")
+        .union(h(Tables.orders(s, d), "o_custkey", "customer"))
+        .orderBy(col("entity"))
     })
   )
 
@@ -984,6 +1008,26 @@ object Audit {
          |  (n_fp * 1000000) // n_probes AS fpr_micro,
          |  round(pow(1.0 - exp(-3.0 * n_keys / 8192), 3), 6) AS fpr_theory
          |FROM nins, np, nbits, fp""".stripMargin
+    },
+
+    "q_h_index" -> {
+      def h(rel: String, key: String, tag: String): String =
+        s"""SELECT '$tag' AS entity,
+           |  CAST(MAX(least(deg, cum)) AS BIGINT) AS h_index,
+           |  CAST(SUM(c) AS BIGINT) AS n_entities,
+           |  CAST(MAX(deg) AS BIGINT) AS max_deg
+           |FROM (
+           |  SELECT deg, c, CAST(SUM(c) OVER (ORDER BY deg DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |  FROM (
+           |    SELECT deg, CAST(count(*) AS BIGINT) AS c FROM (
+           |      SELECT $key, CAST(count(*) AS BIGINT) AS deg FROM $rel GROUP BY $key)
+           |    GROUP BY deg))""".stripMargin
+      s"""SELECT * FROM (
+         |${h("lineitem", "l_suppkey", "supplier")}
+         |UNION ALL
+         |${h("orders", "o_custkey", "customer")})
+         |ORDER BY entity""".stripMargin
     }
   )
 }

@@ -1289,6 +1289,55 @@ object Stats {
               |     WHEN cum_llr_micro <= -2944439 THEN 'accept_h0'
               |     ELSE 'continue' END""".stripMargin).as("decision"))
         .orderBy(col("day"))
+    }),
+
+    // FRIEDMAN repeated-measures rank test (Friedman 1937) — do the
+    // event types keep the same volume ORDER day after day, judged
+    // nonparametrically WITHIN each day (each day is its own block,
+    // so a global traffic trend cannot confound the comparison — the
+    // within-block complement of q_kruskal_wallis's pooled ranks).
+    // The (day × type) grid is gap-filled with explicit zeros (a
+    // missing treatment is a rank, not a missing row); within-day
+    // average-tie ranks in DOUBLED units (the q_spearman discipline)
+    // over ≤k-row partitions; the tie-corrected statistic
+    // (k−1)·Σ(R2_j − n(k+1))² / (A2 − nk(k+1)²) is exact integer
+    // until the final division. Day grain throughout.
+    "q_friedman" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // grid fill + rank windows share it
+      val days = counts.select(col("day")).distinct()
+      val types = counts.select(col("event_type")).distinct()
+      val grid = days.crossJoin(broadcast(types))
+        .join(counts, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val cells = grid.groupBy(col("day"), col("cnt"))
+        .agg(count(lit(1)).as("t"), collect_list(col("event_type")).as("ets"))
+      val below = Window.partitionBy(col("day")).orderBy(col("cnt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = cells
+        .withColumn("bel", coalesce(sum(col("t")).over(below), lit(0L)))
+        .withColumn("r2", expr("2 * bel + t + 1"))
+        .select(col("day"), col("r2"), explode(col("ets")).as("event_type"))
+      val perType = ranked.groupBy(col("event_type"))
+        .agg(sum(col("r2")).as("rj2"))
+      val a2 = ranked.agg(sum(expr("r2 * r2")).as("a2"),
+        countDistinct(col("event_type")).as("k"), countDistinct(col("day")).as("n"))
+      perType.crossJoin(broadcast(a2))
+        .select(col("event_type"), col("rj2"), col("n"), col("k"), col("a2"),
+          expr("(rj2 - n * (k + 1)) * (rj2 - n * (k + 1))").as("dev2"))
+        .agg(max(col("n")).as("n"), max(col("k")).as("k"), max(col("a2")).as("a2"),
+          sum(col("dev2")).as("sdev2"))
+        .select(col("n"), col("k"),
+          round(expr(
+            """CASE WHEN a2 - n * k * (k + 1) * (k + 1) > 0
+              | THEN (k - 1) * CAST(sdev2 AS DOUBLE) / (a2 - n * k * (k + 1) * (k + 1))
+              | END""".stripMargin), 6).as("chi2_f"),
+          expr(
+            """CASE WHEN a2 - n * k * (k + 1) * (k + 1) > 0
+              | THEN (k - 1) * CAST(sdev2 AS DOUBLE) / (a2 - n * k * (k + 1) * (k + 1)) > 9.4877
+              | ELSE false END""".stripMargin).as("reject_05"))
     })
   )
 
@@ -2247,6 +2296,48 @@ object Stats {
          |  CASE WHEN cum_llr_micro >= 2944439 THEN 'accept_h1'
          |       WHEN cum_llr_micro <= -2944439 THEN 'accept_h0'
          |       ELSE 'continue' END AS decision
-         |FROM cum ORDER BY day""".stripMargin
+         |FROM cum ORDER BY day""".stripMargin,
+
+    "q_friedman" ->
+      """WITH counts AS MATERIALIZED (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT dt.day, dt.event_type, COALESCE(c.cnt, 0) AS cnt
+        |  FROM (SELECT d.day, t.event_type
+        |        FROM (SELECT DISTINCT day FROM counts) d,
+        |             (SELECT DISTINCT event_type FROM counts) t) dt
+        |  LEFT JOIN counts c ON c.day = dt.day AND c.event_type = dt.event_type),
+        |cells AS (
+        |  SELECT day, cnt, CAST(count(*) AS BIGINT) AS t
+        |  FROM grid GROUP BY day, cnt),
+        |rk AS (
+        |  SELECT day, cnt,
+        |    2 * COALESCE(CAST(SUM(t) OVER (PARTITION BY day ORDER BY cnt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + t + 1 AS r2
+        |  FROM cells),
+        |ranked AS (
+        |  SELECT g.day, g.event_type, rk.r2
+        |  FROM grid g JOIN rk ON g.day = rk.day AND g.cnt = rk.cnt),
+        |pert AS (
+        |  SELECT event_type, CAST(SUM(r2) AS BIGINT) AS rj2 FROM ranked GROUP BY event_type),
+        |a2_ AS (
+        |  SELECT CAST(SUM(r2 * r2) AS BIGINT) AS a2,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS k,
+        |    CAST(count(DISTINCT day) AS BIGINT) AS n
+        |  FROM ranked),
+        |dev AS (
+        |  SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS k,
+        |    CAST(MAX(a2) AS BIGINT) AS a2,
+        |    CAST(SUM((rj2 - n * (k + 1)) * (rj2 - n * (k + 1))) AS BIGINT) AS sdev2
+        |  FROM pert, a2_)
+        |SELECT n, k,
+        |  round(CASE WHEN a2 - n * k * (k + 1) * (k + 1) > 0
+        |    THEN (k - 1) * CAST(sdev2 AS DOUBLE) / (a2 - n * k * (k + 1) * (k + 1)) END, 6) AS chi2_f,
+        |  CASE WHEN a2 - n * k * (k + 1) * (k + 1) > 0
+        |    THEN (k - 1) * CAST(sdev2 AS DOUBLE) / (a2 - n * k * (k + 1) * (k + 1)) > 9.4877
+        |    ELSE false END AS reject_05
+        |FROM dev""".stripMargin
   )
 }
