@@ -62,7 +62,14 @@ object Bench {
     // in the sweep (q_triangle measured 5.4 s solo vs 10 s late-sweep
     // before this). Each query now measures from a clean cache — its
     // own persists are part of its cost, and rebuilt per pass.
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Besides the time, record whether the timing window consumed a
+    // CachedRelation memo HIT (the producer ran earlier in the sweep):
+    // such a min measures a cache read, and bench_full.json carries the
+    // flag so the same-set ratchet can't silently absorb a regression
+    // in the producer behind a memoized consumer's 0.1 s min.
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      val h0 = graft.operators.CachedRelation.globalHits.get()
       val t0 = System.nanoTime()
       val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
         case e: Throwable =>
@@ -70,9 +77,10 @@ object Bench {
           -1.0
       }
       try spark.catalog.clearCache() catch { case _: Throwable => () }
-      t
+      (t, graft.operators.CachedRelation.globalHits.get() > h0)
     }
     val passTimes = Array.fill(names.size)(Array.fill(passes)(-1.0))
+    val memoHits = Array.fill(names.size)(false)
     val passLoads = Array.fill(passes + 1)(-1.0)
     // Loadavg GATE (not just recording): a pass that ends with the
     // 1-min loadavg above the threshold ran on a contended host — its
@@ -93,7 +101,11 @@ object Bench {
     for (p <- 0 until passes) {
       var done = false
       while (!done) {
-        for (((name, fn), i) <- names.zipWithIndex) passTimes(i)(p) = once(name, fn)
+        for (((name, fn), i) <- names.zipWithIndex) {
+          val (t, hit) = once(name, fn)
+          passTimes(i)(p) = t
+          if (hit) memoHits(i) = true
+        }
         val la = loadAvg()
         loadHistory += la
         if (la > gate && retriesLeft > 0) {
@@ -129,11 +141,15 @@ object Bench {
       val perQuery = names.zipWithIndex.map { case ((name, _), i) =>
         val ts = passTimes(i).mkString("[", ",", "]")
         val best = results(i)._2
-        s"\"" + name + s"\":{\"passes\":$ts,\"min\":$best}"
+        s"\"" + name + s"\":{\"passes\":$ts,\"min\":$best,\"memoized\":${memoHits(i)}}"
       }.mkString("{", ",", "}")
       s"""{"sf":"$sfDir","cpus":$cpus,"passes":$passes,"total_min":$total,"failed_count":${failed.size},"failed":$failedJson,"loadavg_per_pass":${passLoads.mkString("[", ",", "]")},"loadavg_gate":$gate,"discarded_passes":${maxRetries - retriesLeft},"loadavg_history":${loadHistory.mkString("[", ",", "]")},"queries":$perQuery}"""
     }
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // A SUBSET run (query names as args) must never clobber the
+    // full-sweep artifact the round comparison reads — it lands in
+    // bench_subset.json unless SPARK_GRAFT_BENCH_OUT overrides.
+    val defaultOut = if (args.nonEmpty) "bench_subset.json" else "bench_full.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))

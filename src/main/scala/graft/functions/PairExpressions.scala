@@ -232,3 +232,78 @@ object GramPairs {
     new GenericArrayData(out)
   }
 }
+
+/** Per-EDGE truss-support credits for one oriented edge (s, t) with
+  * common out-neighborhood `common` = N⁺(s) ∩ N⁺(t): emits the
+  * canonical (min, max) endpoint pair of every edge of every triangle
+  * discovered at (s, t) — (s∧t, s∨t, k) for the base edge, where
+  * k = |common|, plus (s∧c, s∨c, 1) and (t∧c, t∨c, 1) for each
+  * closing vertex c. Summing `n` by (a, b) yields exactly the number
+  * of triangles through each undirected edge — the k-truss support —
+  * because oriented enumeration discovers every triangle exactly once
+  * and credits all three of its edges here.
+  *
+  * This is the edge-grain sibling of [[TriangleCredits]] (node-grain):
+  * it lets k-truss peeling and local-clustering support ride the
+  * degree-ORIENTED adjacency (out-degree bounded O(√2m), Latapy's
+  * compact-forward) instead of intersecting full undirected neighbor
+  * sets, which is O(Σ deg²) with unbounded celebrity-node rows. Same
+  * fused-loop, static-helper-in-codegen design as [[SortedPairs]];
+  * every consumer aggregates by (a, b), so emission order is
+  * irrelevant to the oracle hash.
+  */
+case class EdgeCredits(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, LongType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (bigint, bigint, array<bigint>), got " +
+          Seq(first, second, third).map(_.dataType.simpleString).mkString(", "))
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("n", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = true
+  override def prettyName: String = "edge_credits"
+
+  override def nullSafeEval(s: Any, t: Any, common: Any): Any =
+    EdgeCredits.build(
+      s.asInstanceOf[Long], t.asInstanceOf[Long], common.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, t, c) => s"""
+      |${ev.value} = graft.functions.EdgeCredits$$.MODULE$$.build($s, $t, $c);
+      |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object EdgeCredits {
+  def build(s: Long, t: Long, common: ArrayData): ArrayData = {
+    val m = common.numElements()
+    val out = new Array[Any](1 + 2 * m)
+    out(0) = new GenericInternalRow(Array[Any](
+      math.min(s, t), math.max(s, t), m.toLong))
+    var i = 0
+    while (i < m) {
+      if (common.isNullAt(i)) return null
+      val c = common.getLong(i)
+      out(1 + 2 * i) = new GenericInternalRow(Array[Any](
+        math.min(s, c), math.max(s, c), 1L))
+      out(2 + 2 * i) = new GenericInternalRow(Array[Any](
+        math.min(t, c), math.max(t, c), 1L))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -609,7 +609,12 @@ object JaroWinklerSim {
     val sa = ua.getBytes; val sb = ub.getBytes
     val l1 = sa.length; val l2 = sb.length
     if (l1 == 0 || l2 == 0) return 0.0
-    val window = math.max(l1, l2) / 2 - 1
+    // Clamped at 0: max(l1,l2)/2 - 1 is -1 when both strings are a
+    // single byte, which would skip the match loop entirely and score
+    // jw('a','a') = 0.0 where the DuckDB contract returns 1.0. Only
+    // max-len-1 inputs take the clamp, so longer-string scores are
+    // unchanged.
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
     val ma = new Array[Boolean](l1); val mb = new Array[Boolean](l2)
     var m = 0
     var i = 0

@@ -409,6 +409,11 @@ object VectorFunctions {
   private val triCreditsBuilder: Seq[Expression] => Expression =
     exprs => TriangleCredits(exprs(0), exprs(1), exprs(2))
 
+  private val edgeCreditsInfo = new ExpressionInfo(
+    classOf[EdgeCredits].getName, "edge_credits")
+  private val edgeCreditsBuilder: Seq[Expression] => Expression =
+    exprs => EdgeCredits(exprs(0), exprs(1), exprs(2))
+
   private val windowHashesInfo = new ExpressionInfo(
     classOf[WordWindowHashes].getName, "word_window_hashes")
   private val windowHashesBuilder: Seq[Expression] => Expression =
@@ -472,6 +477,8 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "triangle_credits", triCreditsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "edge_credits", edgeCreditsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_window_hashes", windowHashesBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lcs_tokens", lcsBuilder, "built-in")
@@ -502,6 +509,7 @@ object VectorFunctions {
       e.injectFunction((FunctionIdentifier("sorted_pairs"), sortedPairsInfo, sortedPairsBuilder))
       e.injectFunction((FunctionIdentifier("gram_pairs"), gramPairsInfo, gramPairsBuilder))
       e.injectFunction((FunctionIdentifier("triangle_credits"), triCreditsInfo, triCreditsBuilder))
+      e.injectFunction((FunctionIdentifier("edge_credits"), edgeCreditsInfo, edgeCreditsBuilder))
       e.injectFunction((FunctionIdentifier("word_window_hashes"), windowHashesInfo, windowHashesBuilder))
       e.injectFunction((FunctionIdentifier("lcs_tokens"), lcsInfo, lcsBuilder))
       e.injectFunction((FunctionIdentifier("char_ngrams"), charNgramsInfo, charNgramsBuilder))

@@ -25,20 +25,13 @@ import graft.Tables
   *     fixed-point grid (floor(x·1e6 + 0.5)) so summation is exact
   *     integer arithmetic from there on (the q_psi precedent);
   *   - possibly-negative integer division routes through the
-  *     sign-safe CASE ([[Audit.sdiv]]) because Spark DIV truncates
+  *     sign-safe CASE ([[graft.functions.SqlBridge.sdiv]]) because Spark DIV truncates
   *     while DuckDB // floors.
   */
 object Audit {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Truncate-toward-zero division valid for signed numerators —
-    * same contract as RelationalExt.sdiv (private there). */
-  private def sdiv(x: String, y: String): String =
-    s"(CASE WHEN ($x) >= 0 THEN ($x) DIV ($y) ELSE -((-($x)) DIV ($y)) END)"
-
-  /** [[sdiv]] in DuckDB spelling. */
-  private def sdivSql(x: String, y: String): String =
-    s"(CASE WHEN ($x) >= 0 THEN ($x) // ($y) ELSE -((-($x)) // ($y)) END)"
+  import graft.functions.SqlBridge.{sdiv, sdivSql}
 
   val queries: Map[String, Q] = Map(
 

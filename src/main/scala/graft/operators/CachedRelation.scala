@@ -41,7 +41,10 @@ class CachedRelation(ttlMillis: Long, clock: () => Long = () => System.currentTi
   def resolve(key: String)(build: => DataFrame): DataFrame = synchronized {
     val now = clock()
     val e = cache.get(key)
-    if (e != null && now - e.builtAt < ttlMillis) e.df
+    if (e != null && now - e.builtAt < ttlMillis) {
+      CachedRelation.globalHits.incrementAndGet()
+      e.df
+    }
     else {
       if (e != null) e.df.unpersist(blocking = false)
       val df = build.persist()
@@ -59,4 +62,15 @@ class CachedRelation(ttlMillis: Long, clock: () => Long = () => System.currentTi
     cache.values().forEach(e => e.df.unpersist(blocking = false))
     cache.clear()
   }
+}
+
+object CachedRelation {
+  /** Process-wide memo-HIT counter across every [[CachedRelation]]
+    * instance — the bench-honesty probe: Bench snapshots it around
+    * each timed query, and any query whose timing window saw a hit is
+    * flagged `memoized` in bench_full.json, so a min-of-N number that
+    * measures a cache read (q_community's 0.1 s vs 8.4 s cold) cannot
+    * silently absorb a regression in the producer it depends on.
+    */
+  val globalHits = new AtomicLong()
 }

@@ -129,8 +129,8 @@ object Curation {
        |pass AS (
        |  SELECT doc_id, b AS pos,
        |    array_to_string(list_slice(tk, b * $B + 1, b * $B + $B), ' ') AS ptext
-       |  FROM tok, (SELECT unnest(range(0, 4096)) AS b)
-       |  WHERE b * $B < len(tk))""".stripMargin
+       |  FROM (SELECT doc_id, tk,
+       |          unnest(range(0, (len(tk) + $B - 1) // $B)) AS b FROM tok))""".stripMargin
 
   val queries: Map[String, Q] = Map(
     // RAG-style chunking: overlapping 32-token windows at stride 24
@@ -696,9 +696,8 @@ object Curation {
       """SELECT doc_id, b AS chunk_id,
         |  CAST(len(list_slice(tk, b * 24 + 1, b * 24 + 32)) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(list_slice(tk, b * 24 + 1, b * 24 + 32), ' ') AS chunk_text
-        |FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |     (SELECT unnest(range(0, 4096)) AS b)
-        |WHERE b * 24 < len(tk)
+        |FROM (SELECT doc_id, tk, unnest(range(0, (len(tk) + 23) // 24)) AS b
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_passage_dup_stats" ->
@@ -727,8 +726,7 @@ object Curation {
         |wtx AS (
         |  SELECT doc_id, i AS pos,
         |    md5(array_to_string(list_slice(tk, i, i + 15), ' ')) AS h
-        |  FROM base, (SELECT unnest(range(1, 4096)) AS i)
-        |  WHERE i + 15 <= len(tk)),
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 14)) AS i FROM base)),
         |win AS (
         |  SELECT doc_id, pos,
         |    list_reduce(list_transform(range(1, 16),
@@ -794,8 +792,8 @@ object Curation {
          |pass AS (
          |  SELECT doc_id, b AS pos,
          |    array_to_string(list_slice(tk, b * $B + 1, b * $B + $B), ' ') AS ptext
-         |  FROM tok, (SELECT unnest(range(0, 4096)) AS b)
-         |  WHERE b * $B < len(tk)),
+         |  FROM (SELECT doc_id, tk,
+         |          unnest(range(0, (len(tk) + $B - 1) // $B)) AS b FROM tok)),
          |freq AS (SELECT md5(ptext) AS fp, count(*) AS n_occ FROM pass GROUP BY 1)
          |SELECT doc_id, count(*) AS n_pass,
          |  CAST(sum(CASE WHEN n_occ >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,

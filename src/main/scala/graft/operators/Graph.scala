@@ -42,6 +42,103 @@ object Graph {
 
   private val Iters = 3
 
+  /** Runaway backstop for q_ktruss's peel-to-fixpoint loop — far above
+    * any real convergence (each round strictly shrinks the edge set or
+    * the loop exits); Round10Spec asserts the fixture converges well
+    * inside it, and inside the oracle's unrolled depth.
+    */
+  private val TrussMaxRounds = 64
+
+  /** q_closeness's landmark-panel size — CONSTANT by design, so the
+    * tagged multi-source BFS state is O(L·n) at any graph scale.
+    */
+  private val ClosenessPanelL = 32
+
+  /** Oriented per-edge triangle support of a distinct undirected edge
+    * set (a < b): degree from a COUNT on the exploded edge grain, the
+    * adjacency degree-ORIENTED (keep w with higher (deg, id) —
+    * out-degree bounded O(√2m), Latapy's compact-forward), each
+    * triangle discovered exactly once at its lowest-ordered corner
+    * pair, and [[graft.functions.EdgeCredits]] emitting its 3 edges'
+    * canonical (a, b, n) credits map-side into one hash aggregate.
+    * Edges in no triangle whose oriented head has no out-neighbors
+    * produce no row — callers filter supp ≥ k−2 anyway. Total work is
+    * O(Σ out-deg²) ≤ O(m^1.5), never the unoriented full-neighbor
+    * intersect (O(Σ deg²), unbounded celebrity-node arrays).
+    */
+  private[graft] def orientedSupport(edges: DataFrame): DataFrame = {
+    val undE = edges
+      .select(explode(array(
+        struct(col("a").as("v"), col("b").as("w")),
+        struct(col("b").as("v"), col("a").as("w")))).as("p"))
+      .select(col("p.v").as("v"), col("p.w").as("w"))
+    val deg = undE.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // node-catalog-sized; consumed by both orientation sides
+    val oadj = undE
+      .join(broadcast(deg.select(col("v"), col("deg").as("dv"))), Seq("v"))
+      .join(broadcast(deg.select(col("v").as("w"), col("deg").as("dw"))), Seq("w"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .groupBy(col("v")).agg(collect_set(col("w")).as("nbrs"))
+      .localCheckpoint() // consumed twice: explode side AND the t-keyed attach
+    oadj
+      .select(col("v").as("s"), col("nbrs").as("ns"), explode(col("nbrs")).as("t"))
+      .join(oadj.select(col("v").as("t"), col("nbrs").as("nt")), Seq("t"))
+      .select(explode(expr(
+        "edge_credits(s, t, array_intersect(ns, nt))")).as("cr"))
+      .groupBy(col("cr.a").as("a"), col("cr.b").as("b"))
+      .agg(sum(col("cr.n")).as("supp"))
+  }
+
+  /** Truss peel to the TRUE fixpoint: recompute [[orientedSupport]]
+    * against the surviving edge set and drop supp < minSupp until a
+    * round removes nothing. Returns the fixpoint (a, b, supp) frame
+    * and the number of support passes used. Each round materializes
+    * via localCheckpoint (truncating the iterated lineage — mandatory
+    * for any unbounded loop), so the per-round count() probe is
+    * metadata on an already-computed frame; geometric probe chunking
+    * would save nothing because peel rounds, unlike label-propagation
+    * rounds, cannot compose lazily without re-deriving support.
+    * [[TrussMaxRounds]] is a runaway backstop only — Round10Spec
+    * asserts the fixture converges well inside it (and inside the
+    * oracle's unrolled depth of 6).
+    */
+  private[graft] def trussSupportFixpoint(
+      edges0: DataFrame, minSupp: Long): (DataFrame, Int) = {
+    var kept = edges0
+    var cnt = kept.count()
+    var suppDf = orientedSupport(kept)
+      .filter(col("supp") >= minSupp).localCheckpoint()
+    var rounds = 1
+    var changed = true
+    while (changed && rounds < TrussMaxRounds) {
+      val n = suppDf.count()
+      changed = n != cnt
+      cnt = n
+      if (changed) {
+        kept = suppDf.select(col("a"), col("b"))
+        suppDf = orientedSupport(kept)
+          .filter(col("supp") >= minSupp).localCheckpoint()
+        rounds += 1
+      }
+    }
+    (suppDf, rounds)
+  }
+
+  /** The q_ktruss / q_local_cc co-purchase edge set — basket-capped
+    * sorted pairs of parts per order, distinct, a < b.
+    */
+  private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(expr(
+        s"sorted_pairs(slice(parts, 1, ${Pipeline.BasketCap}))")).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .distinct()
+  }
+
   /** The directed customer–supplier trade edge set (orders ⋈ lineitem,
     * distinct, node ids namespaced customer → 2k / supplier → 2k+1) —
     * built ONCE per (session, dir) and persisted via [[CachedRelation]]
@@ -749,44 +846,32 @@ object Graph {
     // survives only while it closes ≥ k−2 = 2 triangles among the
     // SURVIVING edges, so bridges and spokes that k-core keeps are
     // peeled away and what remains is the genuinely clique-ish core.
-    // Two unrolled peel rounds (the q_pagerank/q_hits bounded-rounds
-    // convention — full truss decomposition iterates to fixpoint);
-    // support is recomputed from scratch each round against the kept
-    // edge set. Top-50 surviving edges by (support, a, b).
+    // Peels to the TRUE fixpoint (a round that removes no edge ends
+    // the loop; TrussMaxRounds is a runaway backstop, asserted
+    // unreached by Round10Spec): the result is the exact 4-truss, not
+    // a bounded-round prefix. Top-50 surviving edges by (support, a,
+    // b).
     //
-    // Scale posture: support is the q_triangle intersection form —
-    // adjacency arrays ship once per round through node-keyed
-    // equi-joins and triangles close MAP-SIDE in array_intersect
-    // (never the wedge join, which is quadratic in degree); the basket
-    // pair emission rides the same capped sorted_pairs generator; the
-    // kept edge set localCheckpoints between rounds so round 2 never
-    // re-derives round 1's lineage.
+    // Scale posture: support is the ORIENTED q_triangle form — the
+    // adjacency is degree-oriented (keep w with higher (deg, id), so
+    // out-degree is bounded O(√2m), Latapy's compact-forward), each
+    // triangle is discovered exactly once at its lowest-ordered corner
+    // pair, and edge_credits emits its 3 edges' canonical (a, b, n)
+    // credits map-side; one hash aggregate by (a, b) yields supp.
+    // Work per round is O(Σ out-deg²) ≤ O(m^1.5) — never the
+    // unoriented full-neighbor intersect, whose O(Σ deg²) cost and
+    // unbounded celebrity-node arrays were round 9's worst standing
+    // scale defect. Edges whose oriented head has no out-neighbors
+    // and close no triangle produce no credit row — harmless, the
+    // peel filter drops supp<2 anyway, and the final page only shows
+    // survivors. Convergence probing: each round must materialize
+    // anyway (localCheckpoint truncates the iterated lineage), so the
+    // per-round count() is metadata on an already-checkpointed frame
+    // — geometric chunking (the clusterLabels pattern) would save no
+    // jobs here because peel rounds, unlike label-propagation rounds,
+    // cannot be composed lazily without re-deriving support.
     "q_ktruss" -> ((s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      val edges0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        .groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
-        .select(explode(expr(
-          s"sorted_pairs(slice(parts, 1, ${Pipeline.BasketCap}))")).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
-        .distinct()
-        .localCheckpoint() // support() reads it twice (adjacency build + probe side)
-      def support(edges: DataFrame): DataFrame = {
-        val adj = edges
-          .select(explode(array(
-            struct(col("a").as("v"), col("b").as("w")),
-            struct(col("b").as("v"), col("a").as("w")))).as("p"))
-          .select(col("p.v").as("v"), col("p.w").as("w"))
-          .groupBy(col("v")).agg(collect_set(col("w")).as("nbrs"))
-        edges
-          .join(adj.select(col("v").as("a"), col("nbrs").as("na")), Seq("a"))
-          .join(adj.select(col("v").as("b"), col("nbrs").as("nb")), Seq("b"))
-          .select(col("a"), col("b"),
-            expr("CAST(size(array_intersect(na, nb)) AS BIGINT)").as("supp"))
-      }
-      val kept1 = support(edges0).filter(col("supp") >= 2)
-        .select(col("a"), col("b")).localCheckpoint()
-      support(kept1).filter(col("supp") >= 2)
+      trussSupportFixpoint(copurchaseEdges(s, d).localCheckpoint(), minSupp = 2)._1
         .orderBy(col("supp").desc, col("a"), col("b"))
         .limit(50)
     }),
@@ -1076,13 +1161,20 @@ object Graph {
     // d(l, v) — truncating division on positive integers, exact in
     // both engines.
     //
-    // Scale posture: the landmark count is the state knob — the
-    // frontier table is ≤ |landmarks| · |reached|, shuffled as
-    // (BIGINT, BIGINT, BIGINT) triples on the same src-partitioned
-    // persisted adjacency as q_bfs/q_sssp (weight-0 self-loops, one
-    // state consumption per round). Exact all-pairs closeness is
-    // quadratic and stays out of reach by design; the landmark
-    // estimate is the standard web-graph practice.
+    // Scale posture: the landmark panel is FIXED-size — exactly
+    // ClosenessPanelL = 32 nodes, the top-32 by a deterministic
+    // hash-rank (src·2654435761 mod 1000003, ties by id; a Knuth-style
+    // multiplicative mix both engines compute identically in BIGINT) —
+    // so the tagged-frontier state is O(L·n) with L constant, the
+    // standard pivot-closeness design. (Round 9 seeded every node with
+    // src ≡ 0 mod 200: |landmarks| = n/200 made the state O(n²/200) —
+    // quadratic at 100×.) The panel selection is a TakeOrdered over the
+    // node catalog, never a full sort; the frontier shuffles (BIGINT,
+    // BIGINT, BIGINT) triples on the same src-partitioned persisted
+    // adjacency as q_bfs/q_sssp (weight-0 self-loops, one state
+    // consumption per round). Exact all-pairs closeness is quadratic
+    // and stays out of reach by design; the hash-rank panel is
+    // deterministic and oracle-replayable.
     "q_closeness" -> ((s, d) => {
       val edges = undirected(s, d)
       val nodes = edges.select(col("src")).distinct().persist()
@@ -1090,7 +1182,8 @@ object Graph {
         .unionByName(nodes.select(col("src"), col("src").as("dst"), lit(0L).as("w")))
         .persist()
       var dist = nodes
-        .filter(col("src") % 200 === 0)
+        .orderBy(expr("(src * 2654435761) % 1000003"), col("src"))
+        .limit(ClosenessPanelL)
         .select(col("src").as("lm"), col("src").as("node_id"), lit(0L).as("dist"))
       for (_ <- 1 to Iters) {
         dist = adj
@@ -1219,41 +1312,45 @@ object Graph {
 
     // LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998) per node of
     // the co-purchase graph — q_triangle's global census localized:
-    // cc(v) = 2·tri(v)/(deg(v)(deg(v)−1)), where Σ_{e∋v} supp(e)
-    // counts each triangle at v exactly twice, so tri2 = that sum
-    // needs no halving and cc lands on the exact micro grid by
-    // truncating division (all non-negative). The support pass is the
-    // q_ktruss wedge machinery on the shared basket-capped edge set;
-    // the per-node rollup is one explode + hash aggregate. Top-20
-    // page by (cc, node) — TakeOrdered, never a full sort.
+    // cc(v) = 2·tri(v)/(deg(v)(deg(v)−1)); tri2 = 2·tri(v) keeps the
+    // exact micro grid under truncating division (all non-negative).
+    // Top-20 page by (cc, node) — TakeOrdered, never a full sort.
+    //
+    // Scale posture: tri(v) comes from the ORIENTED q_triangle census
+    // directly — triangle_credits emits each discovered triangle's 3
+    // corners map-side off the degree-oriented adjacency (out-degree
+    // O(√2m)), one hash aggregate by node. Degree is a COUNT on the
+    // exploded distinct edge grain. No undirected collect_set and no
+    // full-neighbor array_intersect anywhere — the round-9 unoriented
+    // support pass shipped unbounded celebrity-node arrays on both
+    // join sides at O(Σ deg²) intersect cost; this plan's only arrays
+    // are the oriented ones.
     "q_local_cc" -> ((s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      val edges = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        .groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
-        .select(explode(expr(
-          s"sorted_pairs(slice(parts, 1, ${Pipeline.BasketCap}))")).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
-        .distinct()
-        .localCheckpoint() // adjacency, degree, and support share it
-      val adj = edges.select(explode(array(
+      val edges = copurchaseEdges(s, d)
+      val undE = edges
+        .select(explode(array(
           struct(col("a").as("v"), col("b").as("w")),
           struct(col("b").as("v"), col("a").as("w")))).as("p"))
         .select(col("p.v").as("v"), col("p.w").as("w"))
-      val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      val nbrs = adj.groupBy(col("v")).agg(collect_set(col("w")).as("nbrs"))
-      val supp = edges
-        .join(nbrs.select(col("v").as("a"), col("nbrs").as("na")), Seq("a"))
-        .join(nbrs.select(col("v").as("b"), col("nbrs").as("nb")), Seq("b"))
-        .select(col("a"), col("b"),
-          expr("CAST(size(array_intersect(na, nb)) AS BIGINT)").as("supp"))
-      val tri = supp.select(explode(array(
-          struct(col("a").as("v"), col("supp")),
-          struct(col("b").as("v"), col("supp")))).as("p"))
-        .select(col("p.v").as("v"), col("p.supp").as("supp"))
-        .groupBy(col("v")).agg(sum(col("supp")).as("tri2"))
+        .localCheckpoint() // degree AND both orientation sides share it
+      val deg = undE.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint() // node-catalog-sized; readout + 2 broadcast sides
+      val oadj = undE
+        .join(broadcast(deg.select(col("v"), col("deg").as("dv"))), Seq("v"))
+        .join(broadcast(deg.select(col("v").as("w"), col("deg").as("dw"))), Seq("w"))
+        .filter(col("dv") < col("dw") ||
+          (col("dv") === col("dw") && col("v") < col("w")))
+        .groupBy(col("v")).agg(collect_set(col("w")).as("nbrs"))
+        .localCheckpoint() // consumed twice: explode side AND the t-keyed attach
+      val tri = oadj
+        .select(col("v").as("s"), col("nbrs").as("ns"), explode(col("nbrs")).as("t"))
+        .join(oadj.select(col("v").as("t"), col("nbrs").as("nt")), Seq("t"))
+        .select(explode(expr(
+          "triangle_credits(s, t, array_intersect(ns, nt))")).as("cr"))
+        .groupBy(col("cr.part").as("v")).agg(sum(col("cr.n")).as("tri"))
       deg.join(tri, Seq("v"), "left")
-        .select(col("v"), col("deg"), coalesce(col("tri2"), lit(0L)).as("tri2"))
+        .select(col("v"), col("deg"),
+          coalesce(col("tri") * 2, lit(0L)).as("tri2"))
         .filter(col("deg") >= 2)
         .withColumn("cc_micro", expr("(tri2 * 1000000) DIV (deg * (deg - 1))"))
         .orderBy(col("cc_micro").desc, col("v"))
@@ -1841,30 +1938,35 @@ object Graph {
     // Wedge-join support form (orientation-invariant, fine at oracle
     // scale); two peels, each LEFT-joining support back so
     // zero-triangle edges peel too.
+    // Peel unrolled to depth 6 — strictly past the fixture's fixpoint
+    // (Round10Spec asserts Spark's peel-to-fixpoint loop converges in
+    // < 6 rounds at both SFs); peeling is idempotent after the
+    // fixpoint, so the extra unrolled rounds are no-ops and the final
+    // supports equal the true 4-truss supports. Kept-edge CTEs are
+    // MATERIALIZED — DuckDB re-inlines plain CTEs, which at depth 6
+    // would blow up exponentially.
     "q_ktruss" -> {
-      def peel(eIn: String, cn: String, sOut: String, eOut: String): String =
-        s"""$cn AS (
+      def peel(i: Int): String = {
+        val eIn = s"e${i - 1}"
+        s"""u$i AS (SELECT a AS v, b AS w FROM $eIn
+           |  UNION ALL SELECT b AS v, a AS w FROM $eIn),
+           |c$i AS (
            |  SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS supp
            |  FROM $eIn e
-           |  JOIN und$cn u1 ON u1.v = e.a
-           |  JOIN und$cn u2 ON u2.v = e.b AND u2.w = u1.w
+           |  JOIN u$i u1 ON u1.v = e.a
+           |  JOIN u$i u2 ON u2.v = e.b AND u2.w = u1.w
            |  GROUP BY e.a, e.b),
-           |$sOut AS (
-           |  SELECT e.a, e.b, COALESCE($cn.supp, 0) AS supp
-           |  FROM $eIn e LEFT JOIN $cn ON e.a = $cn.a AND e.b = $cn.b),
-           |$eOut AS (SELECT a, b FROM $sOut WHERE supp >= 2)""".stripMargin
-      def und(eIn: String, cn: String): String =
-        s"""und$cn AS (SELECT a AS v, b AS w FROM $eIn
-           |  UNION ALL SELECT b AS v, a AS w FROM $eIn)""".stripMargin
-      s"""WITH e0 AS (
+           |s$i AS MATERIALIZED (
+           |  SELECT e.a, e.b, COALESCE(c$i.supp, 0) AS supp
+           |  FROM $eIn e LEFT JOIN c$i ON e.a = c$i.a AND e.b = c$i.b),
+           |e$i AS MATERIALIZED (SELECT a, b FROM s$i WHERE supp >= 2)""".stripMargin
+      }
+      s"""WITH e0 AS MATERIALIZED (
          |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
          |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
          |  WHERE l1.l_partkey < l2.l_partkey),
-         |${und("e0", "c1")},
-         |${peel("e0", "c1", "s1", "e1")},
-         |${und("e1", "c2")},
-         |${peel("e1", "c2", "s2", "e2")}
-         |SELECT a, b, supp FROM s2 WHERE supp >= 2
+         |${(1 to 6).map(peel).mkString(",\n")}
+         |SELECT a, b, supp FROM s6 WHERE supp >= 2
          |ORDER BY supp DESC, a, b LIMIT 50""".stripMargin
     },
 
@@ -2087,8 +2189,10 @@ object Graph {
          |n AS (SELECT DISTINCT src FROM e),
          |adj AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM e
          |        UNION ALL SELECT src, src AS dst, CAST(0 AS BIGINT) AS w FROM n),
+         |lm AS (SELECT src FROM n
+         |       ORDER BY (src * 2654435761) % 1000003, src LIMIT 32),
          |d0 AS (SELECT src AS lm, src AS node_id, CAST(0 AS BIGINT) AS dist
-         |       FROM n WHERE src % 200 = 0),
+         |       FROM lm),
          |${relax("d0", "d1")},
          |${relax("d1", "d2")},
          |${relax("d2", "d3")}

@@ -84,14 +84,7 @@ object Learn {
   private[operators] val Dim = 64
   private val Iters = 2
 
-  /** Truncate-toward-zero division valid for signed numerators — see
-    * RelationalExt.sdiv (same contract, private there). */
-  private def sdiv(x: String, y: String): String =
-    s"(CASE WHEN ($x) >= 0 THEN ($x) DIV ($y) ELSE -((-($x)) DIV ($y)) END)"
-
-  /** [[sdiv]] in DuckDB spelling. */
-  private def sdivSql(x: String, y: String): String =
-    s"(CASE WHEN ($x) >= 0 THEN ($x) // ($y) ELSE -((-($x)) // ($y)) END)"
+  import graft.functions.SqlBridge.{sdiv, sdivSql}
 
   /** Squared-distance expression between the (sliced) quantized vector
     * column `qs` and one centroid literal — exact BIGINT via

@@ -36,18 +36,7 @@ object RelationalExt {
   private val ewmaWeights: Seq[Long] =
     (0 until 8).map(j => Math.floor(1e6 * 0.5 * math.pow(0.5, j)).toLong)
 
-  /** Sign-safe truncating division shared by both engines: Spark's
-    * `DIV` truncates toward zero while DuckDB's `//` floors, so they
-    * disagree exactly when the numerator is negative. Routing every
-    * possibly-negative division through this CASE form makes both
-    * engines truncate toward zero. (Spark `DIV` spelled here; the
-    * oracle swaps in `//` via [[sdivSql]].) */
-  private def sdiv(x: String, y: String): String =
-    s"(CASE WHEN ($x) >= 0 THEN ($x) DIV ($y) ELSE -((-($x)) DIV ($y)) END)"
-
-  /** [[sdiv]] in DuckDB spelling. */
-  private def sdivSql(x: String, y: String): String =
-    s"(CASE WHEN ($x) >= 0 THEN ($x) // ($y) ELSE -((-($x)) // ($y)) END)"
+  import graft.functions.SqlBridge.{sdiv, sdivSql}
 
   val queries: Map[String, Q] = Map(
     // CUBE: all 2^2 grouping combinations in one Expand + aggregate.

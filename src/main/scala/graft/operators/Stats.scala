@@ -29,20 +29,13 @@ import graft.Tables
   *     summation order of ≤ k group terms — orders of magnitude below
   *     the rounding grain;
   *   - every possibly-negative division routes through the sign-safe
-  *     CASE ([[Stats.sdiv]]) because Spark DIV truncates while DuckDB
+  *     CASE ([[graft.functions.SqlBridge.sdiv]]) because Spark DIV truncates while DuckDB
   *     // floors.
   */
 object Stats {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Truncate-toward-zero division valid for signed numerators — see
-    * RelationalExt.sdiv (same contract, private there). */
-  private def sdiv(x: String, y: String): String =
-    s"(CASE WHEN ($x) >= 0 THEN ($x) DIV ($y) ELSE -((-($x)) DIV ($y)) END)"
-
-  /** [[sdiv]] in DuckDB spelling. */
-  private def sdivSql(x: String, y: String): String =
-    s"(CASE WHEN ($x) >= 0 THEN ($x) // ($y) ELSE -((-($x)) // ($y)) END)"
+  import graft.functions.SqlBridge.{sdiv, sdivSql}
 
   /** −ln(−ln(1 − 1/30)), the standard-Gumbel 30-period return-level
     * quantile, pre-evaluated so both engines consume the identical
@@ -1167,14 +1160,18 @@ object Stats {
           expr("n / 6.0 * (g1 * g1 + (g2 - 3) * (g2 - 3) / 4) > 5.9915").as("reject_05"))
     }),
 
-    // RUNS TEST for randomness (the up/down form of Wald-Wolfowitz
-    // 1940) on the daily click series — "does the series wander or
-    // zigzag more than chance": count maximal runs of same-direction
-    // day-over-day moves (ties dropped per the textbook rule, the
-    // direction re-lagged AFTER the drop), compare against the
-    // two-type runs expectation E = 2n₁n₂/(n₁+n₂) + 1. All counts
-    // exact BIGINT; z² on the 1-row final in identical text. Day
-    // grain: one corpus groupBy, two bounded lag windows.
+    // RUNS-UP-AND-DOWN test for randomness (Wallis & Moore 1941) on
+    // the daily click series — "does the series wander or zigzag more
+    // than chance": count maximal runs of same-direction day-over-day
+    // moves (ties dropped per the textbook rule, the direction
+    // re-lagged AFTER the drop). Consecutive signs of first
+    // differences of an i.i.d. series are NOT exchangeable, so the
+    // two-type Wald-Wolfowitz moments do not apply; the null moments
+    // for m = n₁+n₂ observed moves are E = (2m+1)/3 and
+    // Var = (16m−13)/90 (the (2n−1)/3, (16n−29)/90 textbook form with
+    // n = m+1 series points after tie removal). All counts exact
+    // BIGINT; z² on the 1-row final in identical text. Day grain: one
+    // corpus groupBy, two bounded lag windows.
     "q_runs_test" -> ((s, d) => {
       val days = Tables.events(s, d)
         .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
@@ -1190,10 +1187,9 @@ object Stats {
           sum(expr("CASE WHEN s = 0 THEN 1 ELSE 0 END")).as("n2"),
           sum(expr("CASE WHEN sprev IS NULL OR s <> sprev THEN 1 ELSE 0 END")).as("runs"))
         .withColumn("e_runs", expr(
-          "2.0 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2) + 1"))
+          "(2.0 * CAST(n1 + n2 AS DOUBLE) + 1) / 3"))
         .withColumn("v_runs", expr(
-          """2.0 * CAST(n1 AS DOUBLE) * n2 * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)
-            | / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2) * (n1 + n2 - 1))""".stripMargin))
+          "(16.0 * CAST(n1 + n2 AS DOUBLE) - 13) / 90"))
         .select(col("n1"), col("n2"), col("runs"),
           round(col("e_runs"), 6).as("e_runs"),
           round(expr("(runs - e_runs) * (runs - e_runs) / v_runs"), 6).as("z2"),
@@ -2223,9 +2219,8 @@ object Stats {
         |    CAST(SUM(CASE WHEN sprev IS NULL OR s <> sprev THEN 1 ELSE 0 END) AS BIGINT) AS runs
         |  FROM sq),
         |ev AS (
-        |  SELECT *, 2.0 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2) + 1 AS e_runs,
-        |    2.0 * CAST(n1 AS DOUBLE) * n2 * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)
-        |      / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2) * (n1 + n2 - 1)) AS v_runs
+        |  SELECT *, (2.0 * CAST(n1 + n2 AS DOUBLE) + 1) / 3 AS e_runs,
+        |    (16.0 * CAST(n1 + n2 AS DOUBLE) - 13) / 90 AS v_runs
         |  FROM cnt)
         |SELECT n1, n2, runs, round(e_runs, 6) AS e_runs,
         |  round((runs - e_runs) * (runs - e_runs) / v_runs, 6) AS z2,

@@ -2076,8 +2076,7 @@ object TextAnalysis {
       """WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
         |pairs AS (
         |  SELECT tk[i] AS a, tk[i + 1] AS b, CAST(count(*) AS BIGINT) AS n_ab
-        |  FROM tk, (SELECT unnest(range(1, 4096)) AS i)
-        |  WHERE i < len(tk)
+        |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tk)
         |  GROUP BY 1, 2),
         |uni AS (
         |  SELECT t, CAST(count(*) AS BIGINT) AS n_t
@@ -2106,12 +2105,12 @@ object TextAnalysis {
         |  FROM tok GROUP BY pair_id),
         |cg AS (
         |  SELECT pair_id, substring(ctxt, i, 3) AS g, CAST(count(*) AS BIGINT) AS cc
-        |  FROM base, (SELECT unnest(range(1, 8192)) AS i)
-        |  WHERE i <= length(ctxt) - 2 GROUP BY 1, 2),
+        |  FROM (SELECT pair_id, ctxt, unnest(range(1, length(ctxt) - 1)) AS i FROM base)
+        |  GROUP BY 1, 2),
         |rg AS (
         |  SELECT pair_id, substring(rtxt, i, 3) AS g, CAST(count(*) AS BIGINT) AS cr
-        |  FROM base, (SELECT unnest(range(1, 8192)) AS i)
-        |  WHERE i <= length(rtxt) - 2 GROUP BY 1, 2),
+        |  FROM (SELECT pair_id, rtxt, unnest(range(1, length(rtxt) - 1)) AS i FROM base)
+        |  GROUP BY 1, 2),
         |clip AS (
         |  SELECT pair_id, CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS ov
         |  FROM cg JOIN rg USING (pair_id, g) GROUP BY 1),
@@ -2130,8 +2129,7 @@ object TextAnalysis {
       s"""WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
          |pairs AS (
          |  SELECT tk[i] AS a, tk[i + 1] AS b, CAST(count(*) AS BIGINT) AS n_ab
-         |  FROM tk, (SELECT unnest(range(1, 4096)) AS i)
-         |  WHERE i < len(tk)
+         |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tk)
          |  GROUP BY 1, 2),
          |am AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM pairs GROUP BY 1),
          |bm AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM pairs GROUP BY 1),

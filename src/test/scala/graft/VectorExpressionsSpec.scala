@@ -400,6 +400,7 @@ class VectorExpressionsSpec extends SparkSpec {
       ("abc", "abc", 1.0),
       ("ab", "ba", 0.0),                 // window 0 ⇒ no matches
       ("x", "y", 0.0),
+      ("x", "x", 1.0),                   // single-byte equal: window clamps to 0, not -1
       ("abcd", "abzz", 0.6666666666666666),  // jaro ≤ 0.7 ⇒ NO prefix boost
       ("üüüa", "üüüb", 0.9428571428571428),  // BYTE grain: ü = 2 bytes, prefix cap 4
       ("hello", "hallo", 0.88))
