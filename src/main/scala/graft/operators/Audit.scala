@@ -600,6 +600,29 @@ object Audit {
       h(li, "l_suppkey", "supplier")
         .union(h(Tables.orders(s, d), "o_custkey", "customer"))
         .orderBy(col("entity"))
+    }),
+
+    // ORDER-INVARIANT TABLE CHECKSUM over orders — the cross-system
+    // reconciliation primitive ("did the copy land bit-identical?")
+    // that a row count alone can't give: per-row 60-bit md5-fold of a
+    // canonical text rendering (integer cents, ISO date — every field
+    // formatted identically in both engines), combined with
+    // commutative aggregates (XOR + a modular sum) so partitioning
+    // and row order can't change the answer. Exactly the shape a
+    // 100 TB copy check wants: one map-side hash per row, one
+    // all-commutative aggregate, no sort, no shuffle beyond the final
+    // 1-row combine.
+    "q_row_checksum" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(expr(
+          """CAST(conv(substring(md5(concat_ws('|',
+            |  CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), o_orderstatus,
+            |  CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING),
+            |  CAST(CAST(o_orderdate AS DATE) AS STRING), o_orderpriority)),
+            |  1, 15), 16, 10) AS BIGINT)""".stripMargin).as("fp"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(fp)").as("xor_fp"),
+          sum(expr("fp % 1000000007")).as("sum_fp_mod"))
     })
   )
 
@@ -1021,6 +1044,25 @@ object Audit {
          |UNION ALL
          |${h("orders", "o_custkey", "customer")})
          |ORDER BY entity""".stripMargin
-    }
+    },
+
+    // The 15-hex md5 fold is the house hshSql idiom (q_substr_dedup);
+    // the canonical row text matches Spark's formatting field by field
+    // (BIGINT decimal, ISO date).
+    "q_row_checksum" ->
+      """WITH fps AS (
+        |  SELECT list_reduce(list_transform(range(1, 16),
+        |      j -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(concat_ws('|',
+        |          CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus,
+        |          CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+        |          CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)),
+        |          j, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS fp
+        |  FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
+        |  CAST(SUM(fp % 1000000007) AS BIGINT) AS sum_fp_mod
+        |FROM fps""".stripMargin
   )
 }

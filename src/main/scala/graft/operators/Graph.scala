@@ -684,6 +684,36 @@ object Graph {
         .limit(50)
     }),
 
+    // ADAMIC-ADAR link prediction (Adamic & Adar 2003) — q_linkpred's
+    // Jaccard reweighted by how DISCRIMINATIVE each shared neighbor
+    // is: a supplier half the market buys from says nothing about two
+    // customers sharing it, so each wedge center contributes
+    // 1/ln(deg(center)) instead of 1. Weights are exact micro units
+    // (floor(10⁶/ln(deg) + 0.5) — round-half-up of identical doubles,
+    // deg ≥ 2 so ln > 0), summed as BIGINTs so pair scores never
+    // touch float summation order. Top-50 by (score, ids).
+    //
+    // Scale posture: identical to q_linkpred — the SAME capped
+    // map-side wedge generator (cap mirrored in the oracle); the
+    // center weight attaches BEFORE the pair explode, so the pair
+    // aggregate shuffles (pair, weight) longs only.
+    "q_adamic_adar" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val cap = Pipeline.BasketCap
+      Graph.tradeBipartite(s, d)
+        .groupBy(col("sp")).agg(array_sort(collect_set(col("c"))).as("cs"))
+        .withColumn("deg", size(col("cs")))
+        .filter(col("deg") >= 2)
+        .withColumn("w_micro",
+          expr("CAST(floor(1000000 / ln(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT)"))
+        .select(col("w_micro"),
+          explode(expr(s"sorted_pairs(slice(cs, 1, $cap))")).as("p"))
+        .groupBy(col("p.a").as("c1"), col("p.b").as("c2"))
+        .agg(count(lit(1)).as("shared"), sum(col("w_micro")).as("aa_micro"))
+        .orderBy(col("aa_micro").desc, col("c1"), col("c2"))
+        .limit(50)
+    }),
+
     // DETERMINISTIC RANDOM WALKS (DeepWalk/node2vec corpus prep —
     // Perozzi 2014): γ 3-hop walks per node (the DeepWalk
     // walks-per-node parameter, session conf `graft.pipeline.walks`,
@@ -1802,6 +1832,30 @@ object Graph {
          |FROM pc JOIN deg d1 ON pc.c1 = d1.c JOIN deg d2 ON pc.c2 = d2.c
          |ORDER BY score_micro DESC, shared DESC, c1, c2 LIMIT 50""".stripMargin
     },
+
+    // Mirrors q_linkpred's capped wedge generator; the center weight
+    // joins by sp BEFORE the pair aggregate, and the center degree is
+    // the UNCAPPED per-sp count (the Spark size(cs)-before-slice).
+    "q_adamic_adar" ->
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |sd AS MATERIALIZED (
+         |  SELECT sp, CAST(count(*) AS BIGINT) AS deg FROM b GROUP BY sp),
+         |w AS MATERIALIZED (
+         |  SELECT sp, CAST(floor(1000000 / ln(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT) AS w_micro
+         |  FROM sd WHERE deg >= 2),
+         |bc AS MATERIALIZED (
+         |  SELECT c, sp FROM (
+         |    SELECT c, sp, row_number() OVER (PARTITION BY sp ORDER BY c) AS rn
+         |    FROM b) q
+         |  WHERE rn <= ${Pipeline.BasketCap})
+         |SELECT b1.c AS c1, b2.c AS c2, CAST(count(*) AS BIGINT) AS shared,
+         |  CAST(SUM(w.w_micro) AS BIGINT) AS aa_micro
+         |FROM bc b1 JOIN bc b2 ON b1.sp = b2.sp AND b1.c < b2.c
+         |JOIN w ON w.sp = b1.sp
+         |GROUP BY b1.c, b2.c
+         |ORDER BY aa_micro DESC, c1, c2 LIMIT 50""".stripMargin,
 
     "q_randwalk" -> {
       // Each hop: join frontier to adjacency, pick the (h, dst)-min

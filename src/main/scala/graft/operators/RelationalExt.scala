@@ -1799,6 +1799,352 @@ object RelationalExt {
         }
         .toDF("user_id", "n_events", "n_scheduled")
         .orderBy(col("user_id"))
+    }),
+
+    // CHEAPEST SUPPLIER per part (the TPC-H Q2 correlated-min shape,
+    // re-aimed at this schema: no partsupp table, so the offer price
+    // is the observed lineitem unit price). The point of writing it as
+    // a CORRELATED scalar subquery in Spark SQL — not a pre-joined
+    // groupBy — is to pin Catalyst's decorrelation: the per-part MIN
+    // subquery rewrites into one aggregate + join, which is exactly
+    // the plan a hand-decorrelated version would build. Unit price in
+    // exact cents: l_extendedprice·100 is an integer-valued double
+    // (< 2⁵³), the division by the integer quantity is the same IEEE
+    // op in both engines, and floor of identical doubles is identical.
+    //
+    // Scale posture: the subquery decorrelates to a partkey-grain
+    // aggregate joined back on partkey — both sides shuffle once on
+    // the join key; the p_size filter pushes to the part scan and
+    // prunes the probe side before the join.
+    "q_cheapest_supplier" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT DISTINCT p.p_partkey, l.l_suppkey,
+          |  CAST(floor(l.l_extendedprice * 100 / l.l_quantity) AS BIGINT) AS unit_cents
+          |FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+          |WHERE p.p_size >= 40
+          |  AND CAST(floor(l.l_extendedprice * 100 / l.l_quantity) AS BIGINT) =
+          |      (SELECT MIN(CAST(floor(l2.l_extendedprice * 100 / l2.l_quantity) AS BIGINT))
+          |       FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+          |ORDER BY p_partkey, l_suppkey
+          |LIMIT 100""".stripMargin)
+    }),
+
+    // SMALL-QUANTITY REVENUE (the TPC-H Q17 shape): revenue carried by
+    // lineitems whose quantity is below 20% of their part's average —
+    // the "would dropping sub-threshold orders matter" sizing readout.
+    // The correlated avg comparison is EXACT integer throughout:
+    // l_quantity < 0.2 · (Σq/n) ⟺ 5·q·n < Σq — no division, no float,
+    // no epsilon. Revenue in exact cents.
+    //
+    // Scale posture: the per-part (n, Σq) aggregate is partkey-grain
+    // (bounded by the part catalog); it joins back to lineitem on
+    // partkey — one fact shuffle — and the final is a 1-row total.
+    "q_small_qty_avg" -> ((s, d) => {
+      val pa = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_p"),
+          sum(expr("CAST(l_quantity AS BIGINT)")).as("s_p"))
+      Tables.lineitem(s, d)
+        .join(pa, Seq("l_partkey"))
+        .filter(expr("CAST(l_quantity AS BIGINT) * 5 * n_p < s_p"))
+        .agg(count(lit(1)).as("n_small"),
+          sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+            .as("revenue_cents"))
+    }),
+
+    // TOP SUPPLIER by quarterly revenue (the TPC-H Q15 shape): the
+    // supplier(s) whose Q1-1995 shipped revenue equals the global
+    // maximum — Q15's view + scalar-max, written as a Spark SQL scalar
+    // subquery over the revenue CTE so Catalyst plans the 1-row max
+    // as a subquery broadcast, and ties surface as multiple rows
+    // (the Q15 contract) instead of an arbitrary top-1. Revenue in
+    // exact cent·percent units (the q_local_revenue idiom).
+    //
+    // Scale posture: revenue aggregates at supplier grain off the
+    // date-pruned lineitem slice (predicate pushes to the scan); the
+    // max is a 1-row aggregate over that supplier-grain frame; the
+    // supplier dim joins broadcast.
+    "q_top_supplier" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """WITH rev AS (
+          |  SELECT l_suppkey,
+          |    SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+          |        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS rev_cp
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+          |  GROUP BY l_suppkey)
+          |SELECT s.s_suppkey, s.s_name, r.rev_cp
+          |FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+          |WHERE r.rev_cp = (SELECT MAX(rev_cp) FROM rev)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    // RICH IDLE CUSTOMERS (the TPC-H Q22 shape): customers whose
+    // balance beats the positive-balance average but who have gone
+    // DORMANT (no order since 1999; the fixture has no never-ordered
+    // customers), rolled up per nation — the dormant-capital readout.
+    // Written with NOT EXISTS + a scalar subquery in Spark SQL to pin
+    // both rewrites at once: the NOT EXISTS → left-anti join and the
+    // scalar avg → 1-row broadcast. The above-average comparison is
+    // exact: bal·n > S over positive-balance cents.
+    //
+    // Scale posture: the 1-row (S, n) aggregate broadcasts; the anti
+    // join is keyed on custkey (orders project to the key column
+    // only); the nation rollup is catalog-grain.
+    "q_cust_above_avg" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """WITH pos AS (
+          |  SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal, c_custkey, c_nationkey
+          |  FROM customer),
+          |thr AS (
+          |  SELECT SUM(bal) AS s_bal, COUNT(*) AS n_bal FROM pos WHERE bal > 0)
+          |SELECT p.c_nationkey AS nationkey,
+          |  CAST(COUNT(*) AS BIGINT) AS n_cust,
+          |  CAST(SUM(p.bal) AS BIGINT) AS bal_cents
+          |FROM pos p, thr
+          |WHERE p.bal * thr.n_bal > thr.s_bal
+          |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
+          |                  AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+          |GROUP BY p.c_nationkey
+          |ORDER BY nationkey""".stripMargin)
+    }),
+
+    // LJUNG-BOX portmanteau test (Ljung & Box 1978) on the daily
+    // event-count series — "is there ANY autocorrelation in the first
+    // K lags" as one statistic, the whiteness gate a per-lag ACF read
+    // can't give: Q = n(n+2)·Σ_{k≤7} r_k²/(n−k) against χ²₇. The r_k
+    // are the COMMON-mean autocorrelations (the q_ar_fit Yule-Walker
+    // convention): every lagged cross/head/tail sum is an exact BIGINT
+    // window aggregate, and the float closed form runs once on the
+    // 1-row moment final in identical expression text.
+    //
+    // Scale posture: one corpus shuffle to the bounded day grain, K
+    // lead columns from one window, one aggregate — day-table work.
+    "q_ljung_box" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 7
+      val daily = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("day"))
+      val lagged = daily.select((col("day") +: col("c") +:
+        (1 to K).map(k => lead(col("c"), k).over(w).as(s"c$k"))): _*)
+      val momCols = Seq(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+          sum(expr("c * c")).as("p0")) ++
+        (1 to K).flatMap(k => Seq(
+          sum(expr(s"CASE WHEN c$k IS NOT NULL THEN c * c$k ELSE 0 END")).as(s"p$k"),
+          sum(expr(s"CASE WHEN c$k IS NOT NULL THEN c ELSE 0 END")).as(s"h$k"),
+          sum(expr(s"coalesce(c$k, 0)")).as(s"t$k")))
+      val mom = lagged.agg(momCols.head, momCols.tail: _*)
+      val rTerms = (1 to K).map { k =>
+        s"""pow((CAST(p$k AS DOUBLE) - mu * (h$k + t$k) + (n - $k) * mu * mu) / n
+           |  / nullif(c0, 0.0), 2) / (n - $k)""".stripMargin
+      }.mkString(" + ")
+      mom
+        .withColumn("mu", expr("CAST(sx AS DOUBLE) / n"))
+        .withColumn("c0", expr("(CAST(p0 AS DOUBLE) - mu * (sx + sx) + n * mu * mu) / n"))
+        .withColumn("q_lb", expr(s"n * (n + 2.0) * ($rTerms)"))
+        .select(col("n"), round(col("q_lb"), 4).as("q_lb"),
+          expr("n * (n + 2.0) * (" + rTerms + ") > 14.0671").as("reject_05"))
+    }),
+
+    // AUGMENTED-free DICKEY-FULLER unit-root test (Dickey & Fuller
+    // 1979, lag-0 form) on the daily count series — "is this series a
+    // random walk or mean-reverting", the stationarity gate before any
+    // ARMA fit: Δy_t = α + β·y_{t−1} + ε, DF = β̂/se(β̂), reject unit
+    // root when DF < −2.89 (the 5% constant-only critical value at
+    // this n). All regression moments are exact BIGINT sums over the
+    // day table; the closed form (slope, intercept, SSE, se) runs on
+    // the 1-row final in identical float text.
+    //
+    // Scale posture: identical to q_ljung_box — day-grain everything.
+    "q_dickey_fuller" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("day"))
+      daily
+        .withColumn("yl", lag(col("c"), 1).over(w))
+        .filter(col("yl").isNotNull)
+        .select(col("yl").as("x"), (col("c") - col("yl")).as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+          sum(expr("y * y")).as("syy"))
+        .withColumn("den", expr("CAST(n * sxx - sx * sx AS DOUBLE)"))
+        .withColumn("beta", expr("CAST(n * sxy - sx * sy AS DOUBLE) / nullif(den, 0.0)"))
+        .withColumn("alpha", expr("(sy - beta * sx) / n"))
+        .withColumn("sse", expr(
+          "syy - 2 * alpha * sy - 2 * beta * sxy + n * alpha * alpha " +
+            "+ 2 * alpha * beta * sx + beta * beta * sxx"))
+        .withColumn("se", expr("sqrt(sse / (n - 2) * n / nullif(den, 0.0))"))
+        .select(col("n"), round(col("beta"), 6).as("beta"),
+          round(expr("beta / nullif(se, 0.0)"), 4).as("df_stat"),
+          expr("beta / nullif(se, 0.0) < -2.89").as("reject_unit_root_05"))
+    }),
+
+    // THEIL INDEX of customer revenue concentration (Theil 1967) — the
+    // DECOMPOSABLE inequality partner of q_gini (Theil splits exactly
+    // into within/between group terms; Gini does not): T = Σ x·ln(n·x/S)/S
+    // over positive customer revenues. ln runs on exact integer
+    // arguments (n·x and S are BIGINTs) in identical expression text —
+    // the q_js_drift integer-ratio recipe — and the x-weighted sum is
+    // taken at micro fixed point so double summation order can't leak.
+    //
+    // Scale posture: one orders shuffle to customer grain, a 1-row
+    // (n, S) broadcast, one map-side term computation + total.
+    "q_theil_index" -> ((s, d) => {
+      val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("x"))
+        .filter(col("x") > 0)
+      val tot = rev.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      rev.crossJoin(broadcast(tot))
+        .select(col("n"), col("sx"),
+          expr("CAST(floor(x * (ln(CAST(n AS DOUBLE) * x) - ln(CAST(sx AS DOUBLE))) " +
+            "* 1000000 + 0.5) AS BIGINT)").as("term_micro"))
+        .groupBy(col("n"), col("sx"))
+        .agg(sum(col("term_micro")).as("s_term"))
+        .select(col("n"), col("sx").as("total_cents"),
+          round(expr("CAST(s_term AS DOUBLE) / 1000000 / sx"), 6).as("theil"))
+    }),
+
+    // LORENZ CURVE decile points of customer revenue — the curve
+    // behind q_gini's single number: rank customers by (revenue, id),
+    // cut at each decile boundary, report the cumulative population
+    // and revenue share. Decile assignment is pure integer arithmetic
+    // (((r−1)·10) DIV n), boundary rows are the max-rank row per
+    // decile, and shares are exact micro units (cum·10⁶ DIV S).
+    //
+    // Scale posture: ranks run over the CUSTOMER-grain aggregate; at
+    // 100 TB the dense rank comes from the q_rowid bucket-offset
+    // technique rather than one reducer (the q_gini note).
+    "q_lorenz_points" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("x"))
+      val tot = rev.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      rev
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("x"), col("o_custkey"))).cast("bigint"))
+        .withColumn("cum", sum(col("x")).over(
+          Window.orderBy(col("x"), col("o_custkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile", expr("((r - 1) * 10) DIV n + 1"))
+        .groupBy(col("decile"))
+        .agg(max(col("r")).as("n_cum"), max(col("cum")).as("cum_cents"),
+          max(expr("(cum * 1000000) DIV sx")).as("share_micro"))
+        .orderBy(col("decile"))
+    }),
+
+    // HOLT-WINTERS additive triple smoothing (Winters 1960) per event
+    // type — q_holt's level+trend extended with the WEEKLY seasonal
+    // component that daily event series actually have: with m = 7 and
+    // α = β = γ = ½, l_t = ⌊(y − s_{t−7} + l + b)/2⌋,
+    // b_t = ⌊(l_t − l + b)/2⌋, s_t = ⌊(y − l_t + s_{t−7})/2⌋, seasonal
+    // state zero-initialized (the first week smooths the seasonals
+    // in). Same exact-integer discipline as q_holt: milli fixed point,
+    // floor(x/2.0) halving (identical to DuckDB's floor-div on
+    // negative trends where truncating DIV would not be), the
+    // sequential recursion as a per-type aggregate() fold over the
+    // sorted (day, count) array. The 7-day forecast adds the seasonal
+    // of the target weekday — (t+7) mod 7 = t mod 7, the last day's
+    // own slot. Oracle replays the identical fold as a per-type
+    // recursive CTE carrying (l, b, s0..s6).
+    //
+    // Scale posture: the corpus collapses to the bounded (type, day)
+    // grain in one shuffle; each type's series folds in one lambda —
+    // the q_ewma/q_holt sequential-DP recipe.
+    "q_holt_winters" -> ((s, d) => {
+      val sOld = "element_at(st.s, CAST(x.day % 7 AS INT) + 1)"
+      val lt = s"CAST(floor((x.c * 1000 - $sOld + st.l + st.b) / 2.0) AS BIGINT)"
+      val sNew = s"CAST(floor((x.c * 1000 - $lt + $sOld) / 2.0) AS BIGINT)"
+      Tables.events(s, d)
+        .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("sd"))
+        .selectExpr("event_type",
+          "CAST(size(sd) AS BIGINT) AS n_days",
+          "element_at(sd, size(sd)).day AS last_day",
+          s"""aggregate(
+             |  slice(sd, 2, size(sd) - 1),
+             |  named_struct('l', element_at(sd, 1).c * 1000L, 'b', 0L,
+             |    's', array_repeat(0L, 7)),
+             |  (st, x) -> named_struct(
+             |    'l', $lt,
+             |    'b', CAST(floor(($lt - st.l + st.b) / 2.0) AS BIGINT),
+             |    's', transform(st.s, (v, j) ->
+             |      CASE WHEN j = CAST(x.day % 7 AS INT) THEN $sNew ELSE v END)),
+             |  st -> st) AS h""".stripMargin)
+        .selectExpr("event_type", "n_days",
+          "h.l AS level_milli", "h.b AS trend_milli",
+          "element_at(h.s, CAST(last_day % 7 AS INT) + 1) AS s_last_milli",
+          "h.l + 7 * h.b + element_at(h.s, CAST(last_day % 7 AS INT) + 1) AS forecast7_milli")
+        .orderBy(col("event_type"))
+    }),
+
+    // HURST EXPONENT by rescaled-range analysis (Hurst 1951; Mandelbrot
+    // & Wallis 1969) on the daily count series — the long-memory
+    // readout (H ≈ ½ random walk increments, H > ½ trending, H < ½
+    // mean-reverting) behind burstiness and capacity models. For each
+    // window size w ∈ {4, 8, 16}: complete blocks of w days, per-block
+    // cumulative deviation multiplied through by w so it stays BIGINT
+    // (dev_t = w·cum_t − t·S), R/S = (max dev − min dev)/√(w·Σx² − S²)
+    // — numerator and the radicand both exact integers, so the only
+    // float is one sqrt-division per block in identical text,
+    // quantized to micro before the per-w integer mean. H is the OLS
+    // slope of ln(R/S) on ln(w) over the 3 points, computed on the
+    // 3-row final.
+    //
+    // Scale posture: day-grain everything (the q_ljung_box note); the
+    // per-block window partitions by block — no global sort.
+    "q_hurst" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("day"))))
+      val perW = Seq(4L, 8L, 16L).map { wsize =>
+        val blocks = daily
+          .withColumn("blk", expr(s"(rn - 1) DIV $wsize"))
+          .withColumn("t", expr(s"(rn - 1) % $wsize + 1"))
+        val full = blocks.groupBy(col("blk"))
+          .agg(count(lit(1)).as("nb"), sum(col("c")).as("sb"),
+            sum(expr("c * c")).as("sxx"))
+          .filter(col("nb") === wsize)
+        val wcum = Window.partitionBy(col("blk")).orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        blocks
+          .withColumn("cum", sum(col("c")).over(wcum))
+          .join(full, Seq("blk"))
+          .withColumn("dev", expr(s"$wsize * cum - t * sb"))
+          .groupBy(col("blk"), col("sb"), col("sxx"))
+          .agg(max(col("dev")).as("maxd"), min(col("dev")).as("mind"))
+          .select(expr(
+            s"""CAST(floor((maxd - mind) / sqrt(CAST($wsize * sxx - sb * sb AS DOUBLE))
+               |* 1000000 + 0.5) AS BIGINT)""".stripMargin).as("rs_micro"))
+          .agg(count(lit(1)).as("n_blocks"), sum(col("rs_micro")).as("s_rs"))
+          .select(lit(wsize).as("w"), col("n_blocks"),
+            expr("s_rs DIV n_blocks").as("rs_mean_micro"))
+      }
+      val pts = perW.reduce(_ unionByName _)
+      val fit = pts.agg(count(lit(1)).as("k"),
+        sum(expr("ln(CAST(w AS DOUBLE))")).as("su"),
+        sum(expr("ln(CAST(rs_mean_micro AS DOUBLE) / 1000000)")).as("sv"),
+        sum(expr("ln(CAST(w AS DOUBLE)) * ln(CAST(rs_mean_micro AS DOUBLE) / 1000000)")).as("suv"),
+        sum(expr("ln(CAST(w AS DOUBLE)) * ln(CAST(w AS DOUBLE))")).as("suu"))
+      pts.crossJoin(broadcast(fit))
+        .select(col("w"), col("n_blocks"), col("rs_mean_micro"),
+          round(expr("(k * suv - su * sv) / (k * suu - su * su)"), 4).as("hurst"))
+        .orderBy(col("w"))
     })
   )
 
@@ -2852,6 +3198,253 @@ object RelationalExt {
         |  FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.seq = f.i + 1)
         |SELECT f.user_id, nev.n AS n_events, f.cnt AS n_scheduled
         |FROM fold f JOIN nev ON f.user_id = nev.user_id AND f.i = nev.n
-        |ORDER BY f.user_id""".stripMargin
+        |ORDER BY f.user_id""".stripMargin,
+
+    "q_cheapest_supplier" ->
+      """SELECT DISTINCT p.p_partkey, l.l_suppkey,
+        |  CAST(floor(l.l_extendedprice * 100 / l.l_quantity) AS BIGINT) AS unit_cents
+        |FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size >= 40
+        |  AND CAST(floor(l.l_extendedprice * 100 / l.l_quantity) AS BIGINT) =
+        |      (SELECT MIN(CAST(floor(l2.l_extendedprice * 100 / l2.l_quantity) AS BIGINT))
+        |       FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        |ORDER BY p_partkey, l_suppkey
+        |LIMIT 100""".stripMargin,
+
+    "q_small_qty_avg" ->
+      """WITH pa AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_p,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_p
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * n_p < s_p""".stripMargin,
+
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS rev_cp
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.rev_cp
+        |FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+        |WHERE r.rev_cp = (SELECT MAX(rev_cp) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_cust_above_avg" ->
+      """WITH pos AS (
+        |  SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal, c_custkey, c_nationkey
+        |  FROM customer),
+        |thr AS (
+        |  SELECT CAST(SUM(bal) AS BIGINT) AS s_bal, CAST(COUNT(*) AS BIGINT) AS n_bal
+        |  FROM pos WHERE bal > 0)
+        |SELECT p.c_nationkey AS nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(p.bal) AS BIGINT) AS bal_cents
+        |FROM pos p, thr
+        |WHERE p.bal * thr.n_bal > thr.s_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY p.c_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_ljung_box" -> {
+      val rTerms = (1 to 7).map { k =>
+        s"""pow((CAST(p$k AS DOUBLE) - mu * (h$k + t$k) + (n - $k) * mu * mu) / n
+           |  / nullif(c0, 0.0), 2) / (n - $k)""".stripMargin
+      }.mkString(" + ")
+      val moms = (1 to 7).map { k =>
+        s"""CAST(SUM(CASE WHEN c$k IS NOT NULL THEN c * c$k ELSE 0 END) AS BIGINT) AS p$k,
+           |    CAST(SUM(CASE WHEN c$k IS NOT NULL THEN c ELSE 0 END) AS BIGINT) AS h$k,
+           |    CAST(SUM(coalesce(c$k, 0)) AS BIGINT) AS t$k""".stripMargin
+      }.mkString(",\n    ")
+      val leads = (1 to 7).map(k =>
+        s"lead(c, $k) OVER (ORDER BY day) AS c$k").mkString(",\n    ")
+      s"""WITH daily AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1),
+         |lagged AS (
+         |  SELECT day, c,
+         |    $leads
+         |  FROM daily),
+         |mom AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sx,
+         |    CAST(SUM(c * c) AS BIGINT) AS p0,
+         |    $moms
+         |  FROM lagged),
+         |ev AS (
+         |  SELECT *, CAST(sx AS DOUBLE) / n AS mu,
+         |    (CAST(p0 AS DOUBLE) - (CAST(sx AS DOUBLE) / n) * (sx + sx)
+         |      + n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) / n AS c0
+         |  FROM mom)
+         |SELECT n, round(n * (n + 2.0) * ($rTerms), 4) AS q_lb,
+         |  n * (n + 2.0) * ($rTerms) > 14.0671 AS reject_05
+         |FROM ev""".stripMargin
+    },
+
+    "q_dickey_fuller" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |pairs AS (
+        |  SELECT yl AS x, c - yl AS y FROM (
+        |    SELECT c, lag(c, 1) OVER (ORDER BY day) AS yl FROM daily)
+        |  WHERE yl IS NOT NULL),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM pairs),
+        |fit AS (
+        |  SELECT *,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) AS beta
+        |  FROM mom),
+        |fit2 AS (
+        |  SELECT *, (sy - beta * sx) / n AS alpha FROM fit),
+        |fit3 AS (
+        |  SELECT *,
+        |    syy - 2 * alpha * sy - 2 * beta * sxy + n * alpha * alpha
+        |      + 2 * alpha * beta * sx + beta * beta * sxx AS sse
+        |  FROM fit2),
+        |fin AS (
+        |  SELECT *, sqrt(sse / (n - 2) * n / nullif(den, 0.0)) AS se FROM fit3)
+        |SELECT n, round(beta, 6) AS beta,
+        |  round(beta / nullif(se, 0.0), 4) AS df_stat,
+        |  beta / nullif(se, 0.0) < -2.89 AS reject_unit_root_05
+        |FROM fin""".stripMargin,
+
+    "q_theil_index" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY o_custkey),
+        |pos AS (SELECT * FROM rev WHERE x > 0),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx FROM pos),
+        |terms AS (
+        |  SELECT n, sx,
+        |    CAST(floor(x * (ln(CAST(n AS DOUBLE) * x) - ln(CAST(sx AS DOUBLE)))
+        |      * 1000000 + 0.5) AS BIGINT) AS term_micro
+        |  FROM pos, tot)
+        |SELECT n, sx AS total_cents,
+        |  round(CAST(CAST(SUM(term_micro) AS BIGINT) AS DOUBLE) / 1000000 / sx, 6) AS theil
+        |FROM terms GROUP BY n, sx""".stripMargin,
+
+    "q_lorenz_points" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY o_custkey),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx FROM rev),
+        |ranked AS (
+        |  SELECT x,
+        |    CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS r,
+        |    CAST(SUM(x) OVER (ORDER BY x, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM rev)
+        |SELECT ((r - 1) * 10) // n + 1 AS decile,
+        |  CAST(MAX(r) AS BIGINT) AS n_cum,
+        |  CAST(MAX(cum) AS BIGINT) AS cum_cents,
+        |  CAST(MAX((cum * 1000000) // sx) AS BIGINT) AS share_micro
+        |FROM ranked, tot
+        |GROUP BY 1
+        |ORDER BY decile""".stripMargin,
+
+    // Replays the identical fold as a per-type recursive CTE carrying
+    // (l, b, s0..s6); the seasonal-slot CASE trees repeat the lt/snew
+    // text per column — mechanical, and bit-identical to the Spark
+    // lambda because every halving is floor(x/2.0) on BIGINTs.
+    "q_holt_winters" -> {
+      val sOld = "(CASE CAST(d.day % 7 AS BIGINT) " +
+        (0 to 6).map(i => s"WHEN $i THEN r.s$i").mkString(" ") + " END)"
+      val lt = s"CAST(floor((d.c * 1000 - $sOld + r.l + r.b) / 2.0) AS BIGINT)"
+      val sNew = s"CAST(floor((d.c * 1000 - $lt + $sOld) / 2.0) AS BIGINT)"
+      val sCols = (0 to 6).map(i =>
+        s"CASE WHEN CAST(d.day % 7 AS BIGINT) = $i THEN $sNew ELSE r.s$i END").mkString(",\n         |    ")
+      s"""WITH RECURSIVE daily AS MATERIALIZED (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |seq AS MATERIALIZED (
+         |  SELECT event_type, day, c,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS rn
+         |  FROM daily),
+         |nmax AS (SELECT event_type, CAST(max(rn) AS BIGINT) AS n,
+         |           CAST(max(day) AS BIGINT) AS last_day
+         |         FROM seq GROUP BY event_type),
+         |rec(event_type, rn, l, b, s0, s1, s2, s3, s4, s5, s6) AS (
+         |  SELECT event_type, CAST(1 AS BIGINT), CAST(c * 1000 AS BIGINT),
+         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.rn + 1,
+         |    $lt,
+         |    CAST(floor(($lt - r.l + r.b) / 2.0) AS BIGINT),
+         |    $sCols
+         |  FROM rec r JOIN seq d ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+         |SELECT f.event_type, m.n AS n_days, f.l AS level_milli, f.b AS trend_milli,
+         |  (CASE CAST(m.last_day % 7 AS BIGINT) ${(0 to 6).map(i => s"WHEN $i THEN f.s$i").mkString(" ")} END) AS s_last_milli,
+         |  f.l + 7 * f.b +
+         |  (CASE CAST(m.last_day % 7 AS BIGINT) ${(0 to 6).map(i => s"WHEN $i THEN f.s$i").mkString(" ")} END) AS forecast7_milli
+         |FROM rec f JOIN nmax m ON f.event_type = m.event_type AND f.rn = m.n
+         |ORDER BY f.event_type""".stripMargin
+    },
+
+    "q_hurst" -> {
+      def perW(w: Long, tag: String): String =
+        s"""blk$tag AS (
+           |  SELECT (rn - 1) // $w AS blk, (rn - 1) % $w + 1 AS t, c FROM seqd),
+           |full$tag AS (
+           |  SELECT blk, CAST(count(*) AS BIGINT) AS nb, CAST(SUM(c) AS BIGINT) AS sb,
+           |    CAST(SUM(c * c) AS BIGINT) AS sxx
+           |  FROM blk$tag GROUP BY blk HAVING count(*) = $w),
+           |dev$tag AS (
+           |  SELECT b.blk, f.sb, f.sxx,
+           |    CAST(MAX($w * cum - t * f.sb) AS BIGINT) AS maxd,
+           |    CAST(MIN($w * cum - t * f.sb) AS BIGINT) AS mind
+           |  FROM (SELECT blk, t,
+           |          CAST(SUM(c) OVER (PARTITION BY blk ORDER BY t
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |        FROM blk$tag) b
+           |  JOIN full$tag f ON b.blk = f.blk
+           |  GROUP BY b.blk, f.sb, f.sxx),
+           |rs$tag AS (
+           |  SELECT CAST($w AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS n_blocks,
+           |    CAST(SUM(CAST(floor((maxd - mind) / sqrt(CAST($w * sxx - sb * sb AS DOUBLE))
+           |      * 1000000 + 0.5) AS BIGINT)) AS BIGINT) // count(*) AS rs_mean_micro
+           |  FROM dev$tag)""".stripMargin
+      s"""WITH daily AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1),
+         |seqd AS MATERIALIZED (
+         |  SELECT c, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn FROM daily),
+         |${perW(4, "4")},
+         |${perW(8, "8")},
+         |${perW(16, "16")},
+         |pts AS MATERIALIZED (
+         |  SELECT * FROM rs4 UNION ALL SELECT * FROM rs8 UNION ALL SELECT * FROM rs16),
+         |fit AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k,
+         |    SUM(ln(CAST(w AS DOUBLE))) AS su,
+         |    SUM(ln(CAST(rs_mean_micro AS DOUBLE) / 1000000)) AS sv,
+         |    SUM(ln(CAST(w AS DOUBLE)) * ln(CAST(rs_mean_micro AS DOUBLE) / 1000000)) AS suv,
+         |    SUM(ln(CAST(w AS DOUBLE)) * ln(CAST(w AS DOUBLE))) AS suu
+         |  FROM pts)
+         |SELECT w, n_blocks, rs_mean_micro,
+         |  round((k * suv - su * sv) / (k * suu - su * su), 4) AS hurst
+         |FROM pts, fit
+         |ORDER BY w""".stripMargin
+    }
   )
 }

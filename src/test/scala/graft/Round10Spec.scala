@@ -120,4 +120,129 @@ class Round10Spec extends SparkSpec {
     val r = spark.sql("SELECT jaro_winkler('x', 'x')").collect()(0).getDouble(0)
     assert(r === 1.0)
   }
+
+  // ------------------------- round-10 queries -------------------------
+
+  test("q_cheapest_supplier rows attain the true per-part minimum") {
+    import graft.operators.RelationalExt
+    val li = Tables.lineitem(spark, sf)
+      .selectExpr("l_partkey", "l_suppkey",
+        "CAST(floor(l_extendedprice * 100 / l_quantity) AS BIGINT) AS uc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val minByPart = li.groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val rows = RelationalExt.queries("q_cheapest_supplier")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, uc) = (r.getAs[Long]("p_partkey"), r.getAs[Long]("unit_cents"))
+      assert(uc === minByPart(p), s"part $p")
+    }
+  }
+
+  test("q_theil_index matches a naive replay and is non-negative") {
+    import graft.operators.RelationalExt
+    val xs = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .collect().map(_.getAs[Long]("x")).filter(_ > 0)
+    val s0 = xs.map(BigInt(_)).sum.toDouble
+    val n = xs.length.toDouble
+    val naive = xs.map(x => x * math.log(n * x / s0)).sum / s0
+    val got = RelationalExt.queries("q_theil_index")(spark, sf)
+      .collect().head.getAs[Double]("theil")
+    assert(got >= 0.0)
+    assert(math.abs(got - naive) < 1e-3, s"$got vs naive $naive")
+  }
+
+  test("q_lorenz_points: shares monotone, decile 10 closes the curve") {
+    import graft.operators.RelationalExt
+    val rows = RelationalExt.queries("q_lorenz_points")(spark, sf)
+      .orderBy(col("decile")).collect()
+    assert(rows.length === 10)
+    val shares = rows.map(_.getAs[Long]("share_micro"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(shares.last === 1000000L)
+    val cums = rows.map(_.getAs[Long]("n_cum"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+  }
+
+  test("q_hurst: block inventory matches the day count; exponent sane") {
+    import graft.operators.RelationalExt
+    val nDays = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct().count()
+    val rows = RelationalExt.queries("q_hurst")(spark, sf)
+      .orderBy(col("w")).collect()
+    assert(rows.map(_.getAs[Long]("w")).toSeq === Seq(4L, 8L, 16L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_blocks") === nDays / r.getAs[Long]("w"))
+    }
+    val h = rows.head.getAs[Double]("hurst")
+    assert(h > -0.5 && h < 2.0, s"hurst $h")
+  }
+
+  test("q_holt_winters replays the fold exactly") {
+    import graft.operators.RelationalExt
+    val series = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val got = RelationalExt.queries("q_holt_winters")(spark, sf).collect()
+    got.foreach { r =>
+      val sd = series(r.getAs[String]("event_type"))
+      var l = sd.head._3 * 1000L
+      var b = 0L
+      val sv = Array.fill(7)(0L)
+      sd.tail.foreach { case (_, day, c) =>
+        val slot = (day % 7).toInt
+        val lt = math.floor((c * 1000L - sv(slot) + l + b) / 2.0).toLong
+        val bt = math.floor((lt - l + b) / 2.0).toLong
+        sv(slot) = math.floor((c * 1000L - lt + sv(slot)) / 2.0).toLong
+        l = lt; b = bt
+      }
+      val lastSlot = (sd.last._2 % 7).toInt
+      assert(r.getAs[Long]("level_milli") === l)
+      assert(r.getAs[Long]("trend_milli") === b)
+      assert(r.getAs[Long]("s_last_milli") === sv(lastSlot))
+      assert(r.getAs[Long]("forecast7_milli") === l + 7 * b + sv(lastSlot))
+    }
+  }
+
+  test("q_adamic_adar: top pair score replays from the wedge sets") {
+    import graft.operators.Graph
+    val bip = Graph.tradeBipartite(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySp = bip.groupBy(_._2).view
+      .mapValues(_.map(_._1).distinct.sorted).toMap
+    val top = Graph.queries("q_adamic_adar")(spark, sf).collect().head
+    val (c1, c2) = (top.getAs[Long]("c1"), top.getAs[Long]("c2"))
+    val cap = graft.operators.Pipeline.BasketCap
+    val expected = bySp.valuesIterator.collect {
+      case cs if cs.size >= 2 && {
+        val sl = cs.take(cap); sl.contains(c1) && sl.contains(c2)
+      } =>
+        math.floor(1000000.0 / math.log(cs.size.toDouble) + 0.5).toLong
+    }.sum
+    assert(top.getAs[Long]("aa_micro") === expected)
+  }
+
+  test("q_row_checksum is invariant to row order and counts every row") {
+    import graft.operators.Audit
+    val got = Audit.queries("q_row_checksum")(spark, sf).collect().head
+    assert(got.getAs[Long]("n_rows") === Tables.orders(spark, sf).count())
+    // re-run over a reshuffled scan: commutative aggregates must agree
+    val fpExpr =
+      """CAST(conv(substring(md5(concat_ws('|',
+        |  CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), o_orderstatus,
+        |  CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING),
+        |  CAST(CAST(o_orderdate AS DATE) AS STRING), o_orderpriority)),
+        |  1, 15), 16, 10) AS BIGINT)""".stripMargin
+    val re = Tables.orders(spark, sf)
+      .repartition(7, col("o_custkey"))
+      .select(expr(fpExpr).as("fp"))
+      .agg(expr("bit_xor(fp)").as("x"), sum(expr("fp % 1000000007")).as("sm"))
+      .collect().head
+    assert(re.getAs[Long]("x") === got.getAs[Long]("xor_fp"))
+    assert(re.getAs[Long]("sm") === got.getAs[Long]("sum_fp_mod"))
+  }
 }
