@@ -1334,6 +1334,104 @@ object Stats {
             """CASE WHEN a2 - n * k * (k + 1) * (k + 1) > 0
               | THEN (k - 1) * CAST(sdev2 AS DOUBLE) / (a2 - n * k * (k + 1) * (k + 1)) > 9.4877
               | ELSE false END""".stripMargin).as("reject_05"))
+    }),
+
+    // LABEL-RANDOMIZATION test of the click-vs-view mean difference —
+    // the DISTRIBUTION-FREE inference q_t_test's normal theory can't
+    // give on skewed values: re-assign every observation's group label
+    // B = 256 times and ask how often the randomized |mean difference|
+    // beats the observed one (Fisher 1935's randomization argument;
+    // binomial relabeling is the standard distributed Monte-Carlo
+    // surrogate for fixed-margin permutation, and the declared
+    // contract here). "Random" labels are the house hash-for-RNG
+    // substitution: md5-fold(event_id : b) mod n < n₁ — deterministic,
+    // engine-identical, stage-retry-safe. Per-replicate means compare
+    // in DOUBLE computed from exact BIGINT sums in identical text
+    // (exact cross-multiplication would overflow 2⁶³ at sf0.1);
+    // p = (1 + #beats)·1000 DIV (B+1) on the milli grid.
+    //
+    // Scale posture: the B-fold explode is map-side (no shuffle
+    // carries text, just (b, group, value) longs) and the replicate
+    // aggregate is one hash shuffle keyed by b — 256 groups, each a
+    // partial-aggregated pair of sums; the observed stat is a 1-row
+    // broadcast.
+    "q_permutation_test" -> ((s, d) => {
+      val B = 256
+      val base = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      val obs = base.agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === "click", col("vm")).otherwise(0L)).as("s1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("event_type") === "view", col("vm")).otherwise(0L)).as("s2"))
+      val reps = base.crossJoin(broadcast(obs))
+        .select(col("event_id"), col("vm"), col("n1"), col("n2"),
+          explode(expr(s"sequence(1, $B)")).as("b"))
+        .withColumn("h", expr(
+          "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("ga", expr("h % (n1 + n2) < n1"))
+        .groupBy(col("b"))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          sum(when(col("ga"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("ga"), col("vm")).otherwise(0L)).as("sa"),
+          sum(when(!col("ga"), 1L).otherwise(0L)).as("nb"),
+          sum(when(!col("ga"), col("vm")).otherwise(0L)).as("sb"))
+        .filter(col("na") > 0 && col("nb") > 0)
+      reps.crossJoin(broadcast(obs.select(col("s1"), col("s2"),
+          col("n1").as("m1"), col("n2").as("m2"))))
+        .withColumn("beat", expr(
+          """abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+            | >= abs(CAST(s1 AS DOUBLE) / m1 - CAST(s2 AS DOUBLE) / m2)""".stripMargin))
+        .agg(count(lit(1)).as("n_reps"),
+          sum(when(col("beat"), 1L).otherwise(0L)).as("n_beat"),
+          max(col("m1")).as("n1"), max(col("m2")).as("n2"),
+          max(expr(sdiv("s1 * m2 - s2 * m1", "m1 * m2"))).as("diff_milli"))
+        .select(col("n1"), col("n2"), col("diff_milli"), col("n_reps"), col("n_beat"),
+          expr("((1 + n_beat) * 1000) DIV (n_reps + 1)").as("p_milli"),
+          expr("((1 + n_beat) * 1000) DIV (n_reps + 1) < 50").as("reject_05"))
+    }),
+
+    // PEAKS-OVER-THRESHOLD tail fit (Pickands 1975; the
+    // Hosking & Wallis 1987 moment estimators) — the third leg of the
+    // extreme-value bank: q_gumbel_tail fits block maxima, q_hill_tail
+    // the power-law index; POT models ALL exceedances over a high
+    // threshold with the Generalized Pareto, the estimator capacity
+    // planning uses when block maxima waste too much data. The
+    // threshold is the exact empirical P90: the value at ascending
+    // rank (9n DIV 10) + 1 under the (value, event_id) total order —
+    // an integer at a deterministic rank, no interpolation to diverge
+    // on. Excess moments are exact BIGINTs; ξ̂ = ½(1 − m̄²/s²) and
+    // σ̂ = ½m̄(m̄²/s² + 1) run on the 1-row final in identical float
+    // text.
+    //
+    // Scale posture: the rank comes from one window over the
+    // event-grain frame (at 100 TB the q_rowid bucket-offset form);
+    // everything after the 1-row threshold broadcast is map-side.
+    "q_pot_gpd" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vals = Tables.events(s, d)
+        .select(col("event_id"),
+          expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      val n1 = vals.agg(count(lit(1)).as("n"))
+      val u = vals.crossJoin(broadcast(n1))
+        .withColumn("r", row_number().over(Window.orderBy(col("vm"), col("event_id"))))
+        .filter(col("r") === expr("(9 * n) DIV 10 + 1"))
+        .select(col("vm").as("u"))
+      vals.crossJoin(broadcast(u))
+        .filter(col("vm") > col("u"))
+        .select(col("u"), (col("vm") - col("u")).as("y"))
+        .groupBy(col("u"))
+        .agg(count(lit(1)).as("n_exceed"), sum(col("y")).as("sy"),
+          sum(expr("y * y")).as("syy"))
+        .withColumn("m", expr("CAST(sy AS DOUBLE) / n_exceed"))
+        .withColumn("s2", expr(
+          "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_exceed) / (n_exceed - 1)"))
+        .select(col("u").as("u_milli"), col("n_exceed"),
+          round(col("m"), 4).as("mean_excess_milli"),
+          round(expr("0.5 * (1 - m * m / s2)"), 6).as("xi"),
+          round(expr("0.5 * m * (m * m / s2 + 1)"), 4).as("sigma_milli"))
     })
   )
 
@@ -2333,6 +2431,78 @@ object Stats {
         |  CASE WHEN a2 - n * k * (k + 1) * (k + 1) > 0
         |    THEN (k - 1) * CAST(sdev2 AS DOUBLE) / (a2 - n * k * (k + 1) * (k + 1)) > 9.4877
         |    ELSE false END AS reject_05
-        |FROM dev""".stripMargin
+        |FROM dev""".stripMargin,
+
+    "q_permutation_test" -> {
+      val dSql = sdivSql("s1 * m2 - s2 * m1", "m1 * m2")
+      """WITH base AS MATERIALIZED (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |obs AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN vm ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN vm ELSE 0 END) AS BIGINT) AS s2
+        |  FROM base),
+        |reps AS (
+        |  SELECT b,
+        |    CAST(SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN ga THEN vm ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(SUM(CASE WHEN ga THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN ga THEN 0 ELSE vm END) AS BIGINT) AS sb
+        |  FROM (
+        |    SELECT e.vm, r.b,
+        |      list_reduce(list_transform(range(1, 9),
+        |        j -> CAST(strpos('0123456789abcdef',
+        |          substr(md5(concat(CAST(e.event_id AS VARCHAR), ':', CAST(r.b AS VARCHAR))), j, 1)) - 1 AS BIGINT)),
+        |        (a, b) -> a * 16 + b) % (o.n1 + o.n2) < o.n1 AS ga
+        |    FROM base e, (SELECT unnest(range(1, 257)) AS b) r, obs o)
+        |  GROUP BY b
+        |  HAVING SUM(CASE WHEN ga THEN 1 ELSE 0 END) > 0
+        |     AND SUM(CASE WHEN ga THEN 0 ELSE 1 END) > 0),
+        |fin AS (
+        |  SELECT o.n1 AS m1, o.n2 AS m2, o.s1, o.s2,
+        |    CAST(count(*) AS BIGINT) AS n_reps,
+        |    CAST(SUM(CASE WHEN
+        |      abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+        |      >= abs(CAST(o.s1 AS DOUBLE) / o.n1 - CAST(o.s2 AS DOUBLE) / o.n2)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_beat
+        |  FROM reps, obs o
+        |  GROUP BY o.n1, o.n2, o.s1, o.s2)
+        |SELECT m1 AS n1, m2 AS n2,
+        |""".stripMargin +
+        s"  $dSql AS diff_milli,\n" +
+        """  n_reps, n_beat,
+          |  ((1 + n_beat) * 1000) // (n_reps + 1) AS p_milli,
+          |  ((1 + n_beat) * 1000) // (n_reps + 1) < 50 AS reject_05
+          |FROM fin""".stripMargin
+    },
+
+    "q_pot_gpd" ->
+      """WITH vals AS (
+        |  SELECT event_id, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+        |  FROM events),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+        |ranked AS (
+        |  SELECT vm, CAST(row_number() OVER (ORDER BY vm, event_id) AS BIGINT) AS r
+        |  FROM vals),
+        |u AS (SELECT vm AS u FROM ranked, n1 WHERE r = (9 * n) // 10 + 1),
+        |exc AS (
+        |  SELECT u.u, vm - u.u AS y FROM vals, u WHERE vm > u.u),
+        |mom AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS n_exceed,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM exc GROUP BY u),
+        |fin AS (
+        |  SELECT *, CAST(sy AS DOUBLE) / n_exceed AS m,
+        |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_exceed) / (n_exceed - 1) AS s2
+        |  FROM mom)
+        |SELECT u AS u_milli, n_exceed,
+        |  round(m, 4) AS mean_excess_milli,
+        |  round(0.5 * (1 - m * m / s2), 6) AS xi,
+        |  round(0.5 * m * (m * m / s2 + 1), 4) AS sigma_milli
+        |FROM fin""".stripMargin
   )
 }

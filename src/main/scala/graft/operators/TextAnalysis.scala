@@ -1480,6 +1480,39 @@ object TextAnalysis {
         .select(col("qc"), col("n_docs"), col("n_toks"), col("cum_docs"), col("cum_toks"),
           expr("(cum_toks * 1000000) DIV toks_tot").as("tok_retention_micro"))
         .orderBy(col("qc").desc)
+    }),
+
+    // CODE-vs-PROSE detection — the curation signal every web-scale
+    // training mix needs (route code to the code pipeline, keep prose
+    // quality filters off it): a symbol-density census over the 10
+    // canonical code characters ;{}()=<>[] plus average token length,
+    // combined into a milli-grain score. The symbol count is a chained
+    // LITERAL replace (shared text with the oracle — no regex dialect
+    // to diverge on); every ratio is integer fixed-point. The fixture
+    // corpus is prose-only, so a deterministic code-ified variant of
+    // every 4th doc (tokens joined by ' = (x); ') exercises the
+    // positive class — the q_substr_dedup synthetic-corpus recipe.
+    //
+    // Scale posture: map-only over the scan; no shuffle at all beyond
+    // the output sort.
+    "q_code_detect" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(expr("doc_id % 4 = 0"))
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("replace(text, ' ', ' = (x); ')").as("text")))
+        .selectExpr("doc_id",
+          "CAST(length(text) AS BIGINT) AS n_chars",
+          s"CAST(length(text) - length(${stripSymbols("text")}) AS BIGINT) AS sym_cnt",
+          "CAST(length(replace(text, ' ', '')) AS BIGINT) AS nonspace",
+          "CAST(size(split(text, ' ')) AS BIGINT) AS ntok")
+        .selectExpr("doc_id", "n_chars",
+          "(sym_cnt * 1000) DIV n_chars AS sym_milli",
+          "(nonspace * 1000) DIV ntok AS avg_tok_len_milli")
+        .selectExpr("doc_id", "n_chars", "sym_milli", "avg_tok_len_milli",
+          "sym_milli * 3 + (greatest(avg_tok_len_milli - 8000, 0) DIV 10) AS code_score_milli")
+        .withColumn("is_code", expr("code_score_milli >= 100"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1594,6 +1627,14 @@ object TextAnalysis {
       |JOIN w5 w ON d.t = w.t
       |WHERE d.t <> ''
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
+
+  /** Chained literal replace() that strips the 10 code-symbol
+    * characters — shared text between the Spark plan and the oracle so
+    * the symbol census can never diverge on regex-dialect grounds.
+    */
+  private[operators] def stripSymbols(colName: String): String =
+    Seq(";", "{", "}", "(", ")", "=", "<", ">", "[", "]")
+      .foldLeft(colName)((acc, c) => s"replace($acc, '$c', '')")
 
   val oracles: Map[String, String] = Map(
 
@@ -2448,6 +2489,30 @@ object TextAnalysis {
          |  FROM cells)
          |SELECT qc, n_docs, n_toks, cum_docs, cum_toks,
          |  (cum_toks * 1000000) // toks_tot AS tok_retention_micro
-         |FROM cum, tot ORDER BY qc DESC""".stripMargin
+         |FROM cum, tot ORDER BY qc DESC""".stripMargin,
+
+    "q_code_detect" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, replace(text, ' ', ' = (x); ') AS text
+         |  FROM documents WHERE doc_id % 4 = 0),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(length(text) - length(${stripSymbols("text")}) AS BIGINT) AS sym_cnt,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS nonspace,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+         |  FROM corpus),
+         |r AS (
+         |  SELECT doc_id, n_chars,
+         |    (sym_cnt * 1000) // n_chars AS sym_milli,
+         |    (nonspace * 1000) // ntok AS avg_tok_len_milli
+         |  FROM m)
+         |SELECT doc_id, n_chars, sym_milli, avg_tok_len_milli,
+         |  sym_milli * 3 + (greatest(avg_tok_len_milli - 8000, 0) // 10) AS code_score_milli,
+         |  sym_milli * 3 + (greatest(avg_tok_len_milli - 8000, 0) // 10) >= 100 AS is_code
+         |FROM r
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -245,4 +245,32 @@ class Round10Spec extends SparkSpec {
     assert(re.getAs[Long]("x") === got.getAs[Long]("xor_fp"))
     assert(re.getAs[Long]("sm") === got.getAs[Long]("sum_fp_mod"))
   }
+
+  test("q_code_detect separates the code-ified variants from prose") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.queries("q_code_detect")(spark, sf).collect()
+    val (code, prose) = rows.partition(_.getAs[Long]("doc_id") >= 1000000L)
+    assert(code.nonEmpty && prose.nonEmpty)
+    assert(code.forall(_.getAs[Boolean]("is_code")), "variant not flagged")
+    assert(prose.forall(!_.getAs[Boolean]("is_code")), "prose misflagged")
+  }
+
+  test("q_permutation_test: replicate inventory and p-value bounds") {
+    import graft.operators.Stats
+    val r = Stats.queries("q_permutation_test")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_reps") === 256L)
+    val p = r.getAs[Long]("p_milli")
+    assert(p >= 1L && p <= 1000L)
+  }
+
+  test("q_pot_gpd: exceedance count matches the P90 rank contract") {
+    import graft.operators.Stats
+    val r = Stats.queries("q_pot_gpd")(spark, sf).collect().head
+    val vms = Tables.events(spark, sf)
+      .select(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .collect().map(_.getLong(0)).sorted
+    val u = vms((9 * vms.length) / 10) // rank (9n DIV 10)+1, 0-based
+    assert(r.getAs[Long]("u_milli") === u)
+    assert(r.getAs[Long]("n_exceed") === vms.count(_ > u))
+  }
 }
