@@ -1423,6 +1423,87 @@ object Learn {
         .limit(20)
     }),
 
+    // LOCAL OUTLIER FACTOR (Breunig et al. 2000), k = 3 — the
+    // density-RATIO outlier score that fixes q_ood_knn's remaining
+    // blind spot: a point at the edge of a sparse-but-real cluster has
+    // a large 3-NN distance yet is NOT anomalous relative to its
+    // neighbors; LOF divides the neighbors' local reachability density
+    // by the point's own, so "sparse region" cancels and only
+    // "sparser than its surroundings" scores high. Built on the SAME
+    // provably-exact two-pass kNN as q_ood_knn (home-cell bound, then
+    // a triangle-inequality probe set that must contain the true
+    // top-3), but keeping the full rn ≤ 3 lists. Everything after the
+    // kNN table is INTEGER fixed point: distances quantize to milli
+    // (round-half-up of identical IEEE sqrt), reachability
+    // reach(p,o) = max(kdist(o), d(p,o)) is a BIGINT max, lrd inverts
+    // the exact reach SUM at pico grain, and the final ratio lands on
+    // the milli grid — no float summation order anywhere.
+    //
+    // Scale posture: the kNN joins are cell-bucketed (never all-pairs
+    // — the q_ood_knn posture); the LOF chase is two self-joins of the
+    // (point, 3-neighbor) table, shuffling (id, BIGINT) pairs.
+    "q_lof" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorFunctions.register(s)
+      val Inf = 1000000000000L
+      val q = Tables.embeddings(s, d).select(col("vec_id"), expr(QuantTok).as("qv"))
+      val cents = coarseCentroids(s, d)
+      val darr = cents.map { case (_, cv) => distExpr(cv) }.mkString("array(", ", ", ")")
+      val pts = q
+        .withColumn("qs", col("qv"))
+        .withColumn("darr", expr(darr))
+        .withColumn("qdist", expr("array_min(darr)"))
+        .withColumn("home", expr("CAST(array_position(darr, qdist) AS INT) - 1"))
+        .withColumn("dv", expr("transform(qv, v -> CAST(v AS DOUBLE))"))
+        .withColumn("nrm", expr("dot_product(dv, dv)"))
+        .localCheckpoint() // consumed by pass-1 self-join, probe, index
+      val d2x = "nrm_a + nrm_b - 2.0D * dot_product(dva, dvb)"
+      val aSide = pts.select(col("vec_id").as("a_id"), col("dv").as("dva"),
+        col("nrm").as("nrm_a"), col("home").as("cell"))
+      val bSide = pts.select(col("vec_id").as("b_id"), col("dv").as("dvb"),
+        col("nrm").as("nrm_b"), col("home").as("cell"))
+      val w = Window.partitionBy(col("a_id")).orderBy(col("d2"), col("b_id"))
+      val bound = aSide.join(bSide, Seq("cell"))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("d2", expr(d2x))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 3)
+        .select(col("a_id").as("vec_id"), col("d2").cast("long").as("r3sq"))
+      val probe = pts.join(bound, Seq("vec_id"), "left")
+        .withColumn("r3sq", coalesce(col("r3sq"), lit(Inf)))
+        .select(col("vec_id").as("a_id"), col("dv").as("dva"), col("nrm").as("nrm_a"),
+          col("qdist"), col("r3sq"), posexplode(col("darr")).as(Seq("cell", "dc")))
+        .filter(expr("sqrt(CAST(dc AS DOUBLE)) <= " +
+          "sqrt(CAST(qdist AS DOUBLE)) + 2.0D * sqrt(CAST(r3sq AS DOUBLE)) + 0.5"))
+        .select(col("a_id"), col("dva"), col("nrm_a"), col("cell"))
+      val knn = probe.join(bSide, Seq("cell"))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("d2", expr(d2x))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("a_id"), col("b_id"), col("rn"),
+          expr("CAST(floor(sqrt(CAST(CAST(d2 AS BIGINT) AS DOUBLE)) * 1000 + 0.5) AS BIGINT)")
+            .as("d_milli"))
+        .localCheckpoint() // consumed by kdist, reach, and the lrd chase
+      val kdist = knn.filter(col("rn") === 3)
+        .select(col("a_id").as("b_id"), col("d_milli").as("kd_milli"))
+      val lrd = knn
+        .join(kdist, Seq("b_id"))
+        .select(col("a_id"), greatest(col("d_milli"), col("kd_milli")).as("reach_milli"))
+        .groupBy(col("a_id"))
+        .agg(sum(col("reach_milli")).as("sr"))
+        .select(col("a_id"), expr("3000000000000000 DIV sr").as("lrd_pico"))
+      knn.select(col("a_id"), col("b_id"))
+        .join(lrd.select(col("a_id").as("b_id"), col("lrd_pico").as("lrd_o")), Seq("b_id"))
+        .groupBy(col("a_id"))
+        .agg(sum(col("lrd_o")).as("slo"))
+        .join(lrd, Seq("a_id"))
+        .select(col("a_id").as("vec_id"),
+          expr("(slo * 1000) DIV (3 * lrd_pico)").as("lof_milli"))
+        .orderBy(col("lof_milli").desc, col("vec_id"))
+        .limit(20)
+    }),
+
     // CORESET selection by farthest-point traversal (Gonzalez 1985
     // greedy k-center, 2-approximation) — the geometric DATA-SELECTION
     // primitive (active-learning seed pools, k-center coresets for
@@ -2276,6 +2357,37 @@ object Learn {
          |SELECT ai AS vec_id, bi AS nn3_id, d2 AS knn3_d2
          |FROM rk WHERE rn = 3
          |ORDER BY knn3_d2 DESC, vec_id LIMIT 20""".stripMargin,
+
+    // Plain n² replay of the provably-exact two-pass kNN, then the
+    // identical integer LOF chase (milli distances, pico lrd).
+    "q_lof" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |pr AS (
+         |  SELECT a.vec_id AS ai, b.vec_id AS bi, ${ddSql("a.qv", "b.qv")} AS d2
+         |  FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+         |rk AS (
+         |  SELECT ai, bi, d2, row_number() OVER (PARTITION BY ai ORDER BY d2, bi) AS rn
+         |  FROM pr),
+         |knn AS MATERIALIZED (
+         |  SELECT ai, bi, rn,
+         |    CAST(floor(sqrt(CAST(d2 AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS d_milli
+         |  FROM rk WHERE rn <= 3),
+         |kd AS (SELECT ai AS o_id, d_milli AS kd_milli FROM knn WHERE rn = 3),
+         |lrd AS MATERIALIZED (
+         |  SELECT k.ai,
+         |    CAST(3000000000000000 // CAST(SUM(greatest(k.d_milli, kd.kd_milli)) AS BIGINT) AS BIGINT) AS lrd_pico
+         |  FROM knn k JOIN kd ON k.bi = kd.o_id
+         |  GROUP BY k.ai),
+         |agg AS (
+         |  SELECT k.ai, CAST(SUM(lo.lrd_pico) AS BIGINT) AS slo
+         |  FROM knn k JOIN lrd lo ON k.bi = lo.ai
+         |  GROUP BY k.ai)
+         |SELECT a.ai AS vec_id, (a.slo * 1000) // (3 * l.lrd_pico) AS lof_milli
+         |FROM agg a JOIN lrd l ON a.ai = l.ai
+         |ORDER BY lof_milli DESC, vec_id LIMIT 20""".stripMargin,
     "q_classifier_score" ->
       s"""SELECT doc_id, lang, score_milli, score_milli > 0 AS keep FROM (
          |  SELECT doc_id, lang,

@@ -273,4 +273,36 @@ class Round10Spec extends SparkSpec {
     assert(r.getAs[Long]("u_milli") === u)
     assert(r.getAs[Long]("n_exceed") === vms.count(_ > u))
   }
+
+  test("q_lof replays the naive n² LOF chase exactly") {
+    import graft.operators.Learn
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val knn = vecs.map { case (id, v) =>
+      id -> vecs.filter(_._1 != id)
+        .map { case (oid, ov) => (d2(v, ov), oid) }
+        .sortBy(identity).take(3)
+        .map { case (dd, oid) =>
+          (oid, math.floor(math.sqrt(dd.toDouble) * 1000 + 0.5).toLong)
+        }
+    }.toMap
+    val kd = knn.view.mapValues(_.last._2).toMap
+    val lrd = knn.map { case (id, ns) =>
+      id -> 3000000000000000L / ns.map { case (o, dm) => math.max(dm, kd(o)) }.sum
+    }
+    val lof = knn.map { case (id, ns) =>
+      id -> ns.map(n => lrd(n._1)).sum * 1000 / (3 * lrd(id))
+    }
+    val expected = lof.toSeq.sortBy { case (id, l) => (-l, id) }.take(20)
+    val got = Learn.queries("q_lof")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("lof_milli"))).toSeq
+    assert(got === expected)
+    // the scale invariant: an inlier's LOF hovers at 1.0 — the page is
+    // the HIGH tail, so every reported score is at least that
+    assert(got.forall(_._2 >= 1000L))
+  }
 }
