@@ -1423,6 +1423,41 @@ object Learn {
         .limit(20)
     }),
 
+    // SIMPLIFIED SILHOUETTE (the centroid form of Rousseeuw 1987,
+    // standard for k-means at scale because it needs K distances per
+    // point, not n) — the INTERNAL cluster-quality readout next to
+    // q_cluster_eval's label-based external indices: s(x) =
+    // (b−a)/max(a,b) with a = distance to the assigned centroid and
+    // b = distance to the nearest OTHER centroid, averaged per
+    // cluster. The trained codebook is the same memoized fitKMeans
+    // trajectory every oracle replays CTE-for-CTE; distances quantize
+    // to milli (round-half-up of identical IEEE sqrt on exact integer
+    // d²), the ratio lands on the micro grid, and per-cluster means
+    // are integer sums DIV counts — no float summation order.
+    //
+    // Scale posture: map-only against the K-centroid literal array
+    // (the q_ood_knn darr shape); one hash aggregate at cluster grain.
+    "q_silhouette" -> ((s, d) => {
+      val cents = fitKMeans(s, d, Iters)._1.sortBy(_._1)
+      val darr = cents.map { case (_, cv) => distExpr(cv) }.mkString("array(", ", ", ")")
+      Tables.embeddings(s, d).select(col("vec_id"), expr(QuantTok).as("qv"))
+        .withColumn("qs", col("qv"))
+        .withColumn("darr", expr(darr))
+        .withColumn("own", expr("array_min(darr)"))
+        .withColumn("cluster", expr("CAST(array_position(darr, own) AS BIGINT) - 1"))
+        .withColumn("srt", expr("array_sort(darr)"))
+        .withColumn("a_milli",
+          expr("CAST(floor(sqrt(CAST(srt[0] AS DOUBLE)) * 1000 + 0.5) AS BIGINT)"))
+        .withColumn("b_milli",
+          expr("CAST(floor(sqrt(CAST(srt[1] AS DOUBLE)) * 1000 + 0.5) AS BIGINT)"))
+        .withColumn("s_micro",
+          expr("((b_milli - a_milli) * 1000000) DIV greatest(b_milli, a_milli, 1)"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), sum(col("s_micro")).as("ssum"))
+        .select(col("cluster"), col("n"), expr("ssum DIV n").as("mean_sil_micro"))
+        .orderBy(col("cluster"))
+    }),
+
     // LOCAL OUTLIER FACTOR (Breunig et al. 2000), k = 3 — the
     // density-RATIO outlier score that fixes q_ood_knn's remaining
     // blind spot: a point at the edge of a sparse-but-real cluster has
@@ -2357,6 +2392,38 @@ object Learn {
          |SELECT ai AS vec_id, bi AS nn3_id, d2 AS knn3_d2
          |FROM rk WHERE rn = 3
          |ORDER BY knn3_d2 DESC, vec_id LIMIT 20""".stripMargin,
+
+    // Replays the fitKMeans trajectory CTE-for-CTE (the q_cluster_eval
+    // chain), then reads a and b straight off the final assignment's
+    // rn = 1 / rn = 2 rows.
+    "q_silhouette" ->
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |${initCte("c0", 1, Dim)},
+         |${assignCte("a1", "c0", 1, Dim)},
+         |${updateCte("c1", "a1", 1, Dim)},
+         |${assignCte("a2", "c1", 1, Dim)},
+         |${updateCte("c2", "a2", 1, Dim)},
+         |${assignCte("a3", "c2", 1, Dim)},
+         |p AS (
+         |  SELECT vec_id,
+         |    CAST(MAX(CASE WHEN rn = 1 THEN cid END) AS BIGINT) AS cluster,
+         |    CAST(MAX(CASE WHEN rn = 1 THEN dist END) AS BIGINT) AS da,
+         |    CAST(MAX(CASE WHEN rn = 2 THEN dist END) AS BIGINT) AS db
+         |  FROM a3 GROUP BY vec_id),
+         |m AS (
+         |  SELECT cluster,
+         |    CAST(floor(sqrt(CAST(da AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS am,
+         |    CAST(floor(sqrt(CAST(db AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS bm
+         |  FROM p),
+         |sv AS (
+         |  SELECT cluster,
+         |    ((bm - am) * 1000000) // greatest(bm, am, 1) AS s_micro FROM m)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(SUM(s_micro) AS BIGINT) // count(*) AS mean_sil_micro
+         |FROM sv GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     // Plain n² replay of the provably-exact two-pass kNN, then the
     // identical integer LOF chase (milli distances, pico lrd).

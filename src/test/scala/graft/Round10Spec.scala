@@ -305,4 +305,16 @@ class Round10Spec extends SparkSpec {
     // the HIGH tail, so every reported score is at least that
     assert(got.forall(_._2 >= 1000L))
   }
+
+  test("q_silhouette: one row per trained cluster, scores in [-1, 1]") {
+    import graft.operators.Learn
+    val rows = Learn.queries("q_silhouette")(spark, sf).collect()
+    assert(rows.length === 4) // K = 4 codebook
+    assert(rows.map(_.getAs[Long]("n")).sum ===
+      Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val sm = r.getAs[Long]("mean_sil_micro")
+      assert(sm >= -1000000L && sm <= 1000000L, s"silhouette $sm")
+    }
+  }
 }
