@@ -1344,17 +1344,23 @@ object Stats {
     // binomial relabeling is the standard distributed Monte-Carlo
     // surrogate for fixed-margin permutation, and the declared
     // contract here). "Random" labels are the house hash-for-RNG
-    // substitution: md5-fold(event_id : b) mod n < n₁ — deterministic,
-    // engine-identical, stage-retry-safe. Per-replicate means compare
-    // in DOUBLE computed from exact BIGINT sums in identical text
-    // (exact cross-multiplication would overflow 2⁶³ at sf0.1);
-    // p = (1 + #beats)·1000 DIV (B+1) on the milli grid.
+    // substitution, amortized: each observation draws its 256
+    // replicate bits from TWO md5 digests (64 hex digits = 256
+    // independent uniform bits — 2 hashes per row, not B), replicate
+    // b reading bit b−1; a set bit assigns group A (balanced p = ½
+    // relabeling, the standard randomization-test surrogate).
+    // Per-replicate means compare in DOUBLE computed from exact
+    // BIGINT sums in identical text (exact cross-multiplication
+    // would overflow 2⁶³ at sf0.1); p = (1 + #beats)·1000 DIV (B+1)
+    // on the milli grid.
     //
-    // Scale posture: the B-fold explode is map-side (no shuffle
-    // carries text, just (b, group, value) longs) and the replicate
-    // aggregate is one hash shuffle keyed by b — 256 groups, each a
-    // partial-aggregated pair of sums; the observed stat is a 1-row
-    // broadcast.
+    // Scale posture: the B-fold explode is map-side and each
+    // exploded row's work is one substring + hex lookup (the md5s
+    // hash ONCE per observation before the explode — the naive
+    // per-(row, b) hash costs B× the digest work and dominated the
+    // whole query, 8.3 s → this form); the replicate aggregate is
+    // one hash shuffle keyed by b — 256 groups of partial-aggregated
+    // sums; the observed stat is a 1-row broadcast.
     "q_permutation_test" -> ((s, d) => {
       val B = 256
       val base = Tables.events(s, d)
@@ -1366,14 +1372,17 @@ object Stats {
         sum(when(col("event_type") === "click", col("vm")).otherwise(0L)).as("s1"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n2"),
         sum(when(col("event_type") === "view", col("vm")).otherwise(0L)).as("s2"))
-      val reps = base.crossJoin(broadcast(obs))
-        .select(col("event_id"), col("vm"), col("n1"), col("n2"),
-          explode(expr(s"sequence(1, $B)")).as("b"))
-        .withColumn("h", expr(
-          "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
-        .withColumn("ga", expr("h % (n1 + n2) < n1"))
+      val reps = base
+        .withColumn("hh", expr(
+          "concat(md5(concat(CAST(event_id AS STRING), ':0')), " +
+            "md5(concat(CAST(event_id AS STRING), ':1')))"))
+        .select(col("vm"), col("hh"), explode(expr(s"sequence(1, $B)")).as("b"))
+        .withColumn("ga", expr(
+          """((instr('0123456789abcdef', substring(hh, (b - 1) DIV 4 + 1, 1)) - 1)
+            | DIV (CASE (b - 1) % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END))
+            | % 2 = 1""".stripMargin))
         .groupBy(col("b"))
-        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        .agg(
           sum(when(col("ga"), 1L).otherwise(0L)).as("na"),
           sum(when(col("ga"), col("vm")).otherwise(0L)).as("sa"),
           sum(when(!col("ga"), 1L).otherwise(0L)).as("nb"),
@@ -2446,6 +2455,11 @@ object Stats {
         |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
         |    CAST(SUM(CASE WHEN event_type = 'view' THEN vm ELSE 0 END) AS BIGINT) AS s2
         |  FROM base),
+        |hashed AS (
+        |  SELECT vm,
+        |    concat(md5(concat(CAST(event_id AS VARCHAR), ':0')),
+        |           md5(concat(CAST(event_id AS VARCHAR), ':1'))) AS hh
+        |  FROM base),
         |reps AS (
         |  SELECT b,
         |    CAST(SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS na,
@@ -2454,11 +2468,10 @@ object Stats {
         |    CAST(SUM(CASE WHEN ga THEN 0 ELSE vm END) AS BIGINT) AS sb
         |  FROM (
         |    SELECT e.vm, r.b,
-        |      list_reduce(list_transform(range(1, 9),
-        |        j -> CAST(strpos('0123456789abcdef',
-        |          substr(md5(concat(CAST(e.event_id AS VARCHAR), ':', CAST(r.b AS VARCHAR))), j, 1)) - 1 AS BIGINT)),
-        |        (a, b) -> a * 16 + b) % (o.n1 + o.n2) < o.n1 AS ga
-        |    FROM base e, (SELECT unnest(range(1, 257)) AS b) r, obs o)
+        |      ((strpos('0123456789abcdef', substr(e.hh, (r.b - 1) // 4 + 1, 1)) - 1)
+        |       // (CASE (r.b - 1) % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END))
+        |       % 2 = 1 AS ga
+        |    FROM hashed e, (SELECT unnest(range(1, 257)) AS b) r)
         |  GROUP BY b
         |  HAVING SUM(CASE WHEN ga THEN 1 ELSE 0 END) > 0
         |     AND SUM(CASE WHEN ga THEN 0 ELSE 1 END) > 0),

@@ -1255,7 +1255,9 @@ class GraphLearnSpec extends SparkSpec {
     val edges = weightedTradeEdges().map(e => (e._1, e._2))
     val both = edges ++ edges.map(_.swap)
     val adj = both.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
-    val landmarks = adj.keySet.filter(_ % 200 == 0)
+    // fixed 32-node hash-rank panel (round 10 — O(L·n) state)
+    val landmarks = adj.keySet.toSeq
+      .sortBy(v => ((v * 2654435761L) % 1000003L, v)).take(32).toSet
     var dist = landmarks.map(l => (l, l) -> 0L).toMap
     for (_ <- 1 to 3) {
       val relaxed = dist.toSeq.flatMap { case ((l, u), du) =>
