@@ -22,74 +22,17 @@ object Scratch {
 
     import org.apache.spark.sql.functions._
     import graft.operators.Graph
-    var t0 = System.nanoTime()
-    def lap(s: String): Unit = { println(f"$s (${(System.nanoTime()-t0)/1e9}%.2f s)"); t0 = System.nanoTime() }
-    val edges0 = Graph.copurchaseEdges(spark, d).localCheckpoint()
-    println(s"edges0: ${edges0.count()}"); lap("build")
-    val minSupp = 2L
-    val suppAll = Graph.orientedSupport(edges0).localCheckpoint()
-    lap(s"suppAll=${suppAll.count()}")
-    // state: touched edges only: (a, b, dectot, rmvd round or null)
-    var state = suppAll.filter(col("supp") < minSupp)
-      .select(col("a"), col("b"), lit(0L).as("dectot"), lit(1L).as("rmvd"))
-      .localCheckpoint()
-    var r = 1L
-    var nRemoved = state.filter(col("rmvd") === r).count()
-    lap(s"round1 removed=$nRemoved")
-    while (nRemoved > 0 && r < 64) {
-      val removedNew = state.filter(col("rmvd") === r).select(col("a"), col("b"))
-      val removedOld = state.filter(col("rmvd").isNotNull && col("rmvd") < r)
-        .select(col("a"), col("b"))
-      val ends = removedNew.select(explode(array(col("a"), col("b"))).as("x")).distinct()
-      val undBase = suppAll.select(col("a"), col("b"))
-        .join(broadcast(removedOld), Seq("a", "b"), "left_anti")
-        .select(explode(array(
-          struct(col("a").as("x"), col("b").as("c")),
-          struct(col("b").as("x"), col("a").as("c")))).as("p"))
-        .select(col("p.x").as("x"), col("p.c").as("c"))
-      val undF = (if (nRemoved > 10000) undBase
-        else undBase.join(broadcast(ends), Seq("x"), "left_semi"))
-        .localCheckpoint()
-      val tris = undF.select(col("x").as("a"), col("c"))
-        .join(broadcast(removedNew), Seq("a"))
-        .filter(col("c") =!= col("b"))
-        .join(undF.select(col("x").as("b"), col("c")), Seq("b", "c"), "left_semi")
-        .withColumn("x", least(col("a"), col("b"), col("c")))
-        .withColumn("z", greatest(col("a"), col("b"), col("c")))
-        .withColumn("y", col("a") + col("b") + col("c") - col("x") - col("z"))
-        .select(col("x"), col("y"), col("z"))
-        .distinct()
-      val dec = tris.select(explode(array(
-          struct(col("x").as("a"), col("y").as("b")),
-          struct(col("x").as("a"), col("z").as("b")),
-          struct(col("y").as("a"), col("z").as("b")))).as("e"))
-        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
-        .agg(count(lit(1)).as("dec"))
-      // one merged state update: outer-merge dec into state, fetch supp0 for new rows
-      val merged = state.join(dec, Seq("a", "b"), "full")
-        .select(col("a"), col("b"),
-          (coalesce(col("dectot"), lit(0L)) + coalesce(col("dec"), lit(0L))).as("dectot"),
-          col("rmvd"))
-      state = suppAll
-        .join(broadcast(merged), Seq("a", "b"))
-        .select(col("a"), col("b"), col("dectot"),
-          when(col("rmvd").isNotNull, col("rmvd"))
-            .when(col("supp") - col("dectot") < minSupp, lit(r + 1))
-            .otherwise(lit(null).cast("bigint")).as("rmvd"))
-        .localCheckpoint()
-      r += 1
-      nRemoved = state.filter(col("rmvd") === r).count()
-      lap(s"r$r removed=$nRemoved state=${state.count()}")
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val plan = Graph.orientedSupport(
+      Graph.copurchaseEdges(spark, "/root/testdata/sf0.001").localCheckpoint(),
+      checkpoint = false).queryExecution.optimizedPlan
+    val csAggs = plan.collect { case a: Aggregate
+      if a.aggregateExpressions.exists(_.toString.contains("collect_set")) => a }
+    println(s"nAggs=${csAggs.size}")
+    csAggs.foreach { a =>
+      println("---- agg: " + a.aggregateExpressions.map(_.toString).mkString("|").take(150))
+      a.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.foreach(j => println("  join: " + j.condition.map(_.toString).getOrElse("none").take(300)))
     }
-    val kept = suppAll.join(
-        state.filter(col("rmvd").isNotNull).select(col("a"), col("b")),
-        Seq("a", "b"), "left_anti")
-      .join(broadcast(state.filter(col("rmvd").isNull).select(col("a"), col("b"), col("dectot"))),
-        Seq("a", "b"), "left")
-      .select(col("a"), col("b"),
-        (col("supp") - coalesce(col("dectot"), lit(0L))).as("supp"))
-      .filter(col("supp") >= minSupp)
-    lap(s"final kept=${kept.count()}")
     spark.stop()
   }
 }

@@ -70,21 +70,27 @@ object Graph {
     * O(Σ out-deg²) ≤ O(m^1.5), never the unoriented full-neighbor
     * intersect (O(Σ deg²), unbounded celebrity-node arrays).
     */
-  private[graft] def orientedSupport(edges: DataFrame): DataFrame = {
+  private[graft] def orientedSupport(
+      edges: DataFrame, checkpoint: Boolean = true): DataFrame = {
+    // checkpoint = false keeps the full lineage in ONE logical plan so
+    // Round10Spec can shape-audit it (exactly one collect_set, above
+    // the orientation filter); execution always checkpoints — deg and
+    // oadj are each consumed twice.
+    def cp(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
     val undE = edges
       .select(explode(array(
         struct(col("a").as("v"), col("b").as("w")),
         struct(col("b").as("v"), col("a").as("w")))).as("p"))
       .select(col("p.v").as("v"), col("p.w").as("w"))
-    val deg = undE.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint() // node-catalog-sized; consumed by both orientation sides
-    val oadj = undE
+    val deg = cp(undE.groupBy(col("v")).agg(count(lit(1)).as("deg")))
+      // node-catalog-sized; consumed by both orientation sides
+    val oadj = cp(undE
       .join(broadcast(deg.select(col("v"), col("deg").as("dv"))), Seq("v"))
       .join(broadcast(deg.select(col("v").as("w"), col("deg").as("dw"))), Seq("w"))
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
-      .groupBy(col("v")).agg(collect_set(col("w")).as("nbrs"))
-      .localCheckpoint() // consumed twice: explode side AND the t-keyed attach
+      .groupBy(col("v")).agg(collect_set(col("w")).as("nbrs")))
+      // consumed twice: explode side AND the t-keyed attach
     oadj
       .select(col("v").as("s"), col("nbrs").as("ns"), explode(col("nbrs")).as("t"))
       .join(oadj.select(col("v").as("t"), col("nbrs").as("nt")), Seq("t"), "left")

@@ -29,6 +29,45 @@ class Round10Spec extends SparkSpec {
     assert(z.length === 1)
   }
 
+  test("oriented support plan shape: one collect_set, above the orientation filter") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    // checkpointed edge input keeps the basket-build collect_set out of
+    // the audited plan; checkpoint = false keeps the support lineage in
+    val plan = Graph.orientedSupport(
+        Graph.copurchaseEdges(spark, sf).localCheckpoint(),
+        checkpoint = false)
+      .queryExecution.optimizedPlan
+    // exactly ONE structural adjacency materialization on the support
+    // path — the ORIENTED one (it appears twice in the tree because
+    // both closing-edge sides consume it; without the audit flag it is
+    // checkpointed once). The round-9 shape built full undirected
+    // neighbor sets on both join sides (unbounded celebrity arrays).
+    val csAggs = plan.collect {
+      case a: Aggregate
+        if a.aggregateExpressions.exists(_.toString.contains("collect_set")) => a
+    }
+    assert(csAggs.nonEmpty)
+    // EVERY adjacency materialization sits ABOVE the degree-orientation
+    // filter, so the arrays built are out-neighborhoods bounded
+    // O(sqrt(2m)), never full degree — the actual safety property; the
+    // tree holds column-pruned copies of the one oriented aggregate,
+    // so a count-of-one assert over canonical shapes is too strict
+    // Catalyst pushes the orientation predicate into the broadcast-join
+    // condition (it references both sides), so the audit looks for the
+    // dv < dw comparison on a Join below each aggregate
+    csAggs.foreach { cs =>
+      val orientJoinBelow = cs.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(c => c.toString.contains("dv") &&
+            c.toString.contains("dw") && c.toString.contains("<")) => j
+      }.nonEmpty
+      assert(orientJoinBelow,
+        "a collect_set aggregate is not above the (deg, id) orientation join")
+    }
+    // credits are emitted by the native generator, not a lambda chain
+    assert(plan.toString.contains("edge_credits"))
+  }
+
   test("q_ktruss peel converges to a true fixpoint well inside the bounds") {
     val edges = Graph.copurchaseEdges(spark, sf).localCheckpoint()
     val (supp, rounds) = Graph.trussSupportFixpoint(edges, minSupp = 2)
