@@ -1458,6 +1458,79 @@ object Learn {
         .orderBy(col("cluster"))
     }),
 
+    // K-DIST KNEE (the Ester et al. 1996 sorted k-distance heuristic)
+    // — the ε-SELECTION tool q_dbscan's fixed ε pretends away: sort
+    // every point's exact 3-NN distance ascending and pick the curve's
+    // knee as the point of maximum deviation BELOW the chord from
+    // (1, d₁) to (n, dₙ); dev_i = (n−1)(d₁−d_i) + (i−1)(dₙ−d₁) is
+    // exact BIGINT on milli distances (no division — the chord test is
+    // multiplied through by n−1), endpoints have dev = 0, and the
+    // argmax is a TakeOrdered(1) by (dev DESC, rank). The reported
+    // knee distance IS the suggested ε.
+    //
+    // Scale posture: the 3-NN distances come from the same
+    // provably-exact two-pass kNN as q_ood_knn/q_lof (cell-bucketed,
+    // never all-pairs); the rank is a window over the point-grain
+    // d₃ table (the q_rowid bucket-offset form at 100 TB), and the
+    // chord endpoints are 1-row broadcasts.
+    "q_kdist_knee" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorFunctions.register(s)
+      val Inf = 1000000000000L
+      val q = Tables.embeddings(s, d).select(col("vec_id"), expr(QuantTok).as("qv"))
+      val cents = coarseCentroids(s, d)
+      val darr = cents.map { case (_, cv) => distExpr(cv) }.mkString("array(", ", ", ")")
+      val pts = q
+        .withColumn("qs", col("qv"))
+        .withColumn("darr", expr(darr))
+        .withColumn("qdist", expr("array_min(darr)"))
+        .withColumn("home", expr("CAST(array_position(darr, qdist) AS INT) - 1"))
+        .withColumn("dv", expr("transform(qv, v -> CAST(v AS DOUBLE))"))
+        .withColumn("nrm", expr("dot_product(dv, dv)"))
+        .localCheckpoint()
+      val d2x = "nrm_a + nrm_b - 2.0D * dot_product(dva, dvb)"
+      val aSide = pts.select(col("vec_id").as("a_id"), col("dv").as("dva"),
+        col("nrm").as("nrm_a"), col("home").as("cell"))
+      val bSide = pts.select(col("vec_id").as("b_id"), col("dv").as("dvb"),
+        col("nrm").as("nrm_b"), col("home").as("cell"))
+      val w = Window.partitionBy(col("a_id")).orderBy(col("d2"), col("b_id"))
+      val bound = aSide.join(bSide, Seq("cell"))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("d2", expr(d2x))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 3)
+        .select(col("a_id").as("vec_id"), col("d2").cast("long").as("r3sq"))
+      val probe = pts.join(bound, Seq("vec_id"), "left")
+        .withColumn("r3sq", coalesce(col("r3sq"), lit(Inf)))
+        .select(col("vec_id").as("a_id"), col("dv").as("dva"), col("nrm").as("nrm_a"),
+          col("qdist"), col("r3sq"), posexplode(col("darr")).as(Seq("cell", "dc")))
+        .filter(expr("sqrt(CAST(dc AS DOUBLE)) <= " +
+          "sqrt(CAST(qdist AS DOUBLE)) + 2.0D * sqrt(CAST(r3sq AS DOUBLE)) + 0.5"))
+        .select(col("a_id"), col("dva"), col("nrm_a"), col("cell"))
+      val d3 = probe.join(bSide, Seq("cell"))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("d2", expr(d2x))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 3)
+        .select(col("a_id").as("vec_id"),
+          expr("CAST(floor(sqrt(CAST(CAST(d2 AS BIGINT) AS DOUBLE)) * 1000 + 0.5) AS BIGINT)")
+            .as("d_milli"))
+      val curve = d3
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("d_milli"), col("vec_id"))).cast("bigint"))
+        .localCheckpoint() // consumed by the endpoint aggregate AND the dev scan
+      val ends = curve.agg(count(lit(1)).as("n"),
+        min(expr("CASE WHEN r = 1 THEN d_milli END")).as("d1"),
+        max(col("d_milli")).as("dn"))
+      curve.crossJoin(broadcast(ends))
+        .select(col("n"), col("r"), col("d_milli"),
+          expr("(n - 1) * (d1 - d_milli) + (r - 1) * (dn - d1)").as("dev"))
+        .orderBy(col("dev").desc, col("r"))
+        .limit(1)
+        .select(col("n"), col("r").as("knee_rank"),
+          col("d_milli").as("eps_milli"), col("dev"))
+    }),
+
     // LOCAL OUTLIER FACTOR (Breunig et al. 2000), k = 3 — the
     // density-RATIO outlier score that fixes q_ood_knn's remaining
     // blind spot: a point at the edge of a sparse-but-real cluster has
@@ -2424,6 +2497,35 @@ object Learn {
          |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
          |  CAST(SUM(s_micro) AS BIGINT) // count(*) AS mean_sil_micro
          |FROM sv GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "q_kdist_knee" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |pr AS (
+         |  SELECT a.vec_id AS ai, b.vec_id AS bi, ${ddSql("a.qv", "b.qv")} AS d2
+         |  FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+         |rk AS (
+         |  SELECT ai, d2, row_number() OVER (PARTITION BY ai ORDER BY d2, bi) AS rn
+         |  FROM pr),
+         |d3 AS (
+         |  SELECT ai AS vec_id,
+         |    CAST(floor(sqrt(CAST(d2 AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS d_milli
+         |  FROM rk WHERE rn = 3),
+         |curve AS MATERIALIZED (
+         |  SELECT vec_id, d_milli,
+         |    CAST(row_number() OVER (ORDER BY d_milli, vec_id) AS BIGINT) AS r
+         |  FROM d3),
+         |ends AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(MIN(CASE WHEN r = 1 THEN d_milli END) AS BIGINT) AS d1,
+         |    CAST(MAX(d_milli) AS BIGINT) AS dn
+         |  FROM curve)
+         |SELECT n, r AS knee_rank, d_milli AS eps_milli,
+         |  (n - 1) * (d1 - d_milli) + (r - 1) * (dn - d1) AS dev
+         |FROM curve, ends
+         |ORDER BY dev DESC, r LIMIT 1""".stripMargin,
 
     // Plain n² replay of the provably-exact two-pass kNN, then the
     // identical integer LOF chase (milli distances, pico lrd).

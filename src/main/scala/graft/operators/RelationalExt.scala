@@ -2145,6 +2145,111 @@ object RelationalExt {
         .select(col("w"), col("n_blocks"), col("rs_mean_micro"),
           round(expr("(k * suv - su * sv) / (k * suu - su * su)"), 4).as("hurst"))
         .orderBy(col("w"))
+    }),
+
+    // CLASSICAL ADDITIVE DECOMPOSITION (the moving-average
+    // decomposition behind every STL-style seasonal readout) of the
+    // daily count series: trend = centered MA-7 (defined only where
+    // the ±3 window is FULL), seasonal = per-weekday mean of the
+    // detrended series, remainder = y − trend − seasonal. All milli
+    // fixed point: the MA is an exact 7-day window sum DIV 7, the
+    // seasonal mean routes through the sign-safe division (detrended
+    // values go negative), so both engines land on identical integers
+    // — the anomaly-on-remainder downstream never sees float drift.
+    //
+    // Scale posture: day-grain everything (one corpus shuffle); the
+    // seasonal join is a broadcast 7-row table.
+    "q_classical_decomp" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val tr = daily
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("s7", sum(col("c")).over(w7))
+        .filter(col("n7") === 7)
+        .select(col("day"), col("c"),
+          expr("(s7 * 1000) DIV 7").as("trend_milli"))
+        .withColumn("det_milli", expr("c * 1000 - trend_milli"))
+      val seas = tr.groupBy(expr("day % 7").as("dow"))
+        .agg(count(lit(1)).as("nd"), sum(col("det_milli")).as("sd"))
+        .select(col("dow"), expr(sdiv("sd", "nd")).as("seasonal_milli"))
+      tr.join(broadcast(seas), expr("day % 7") === col("dow"))
+        .select(col("day"), col("c"), col("trend_milli"), col("seasonal_milli"),
+          expr("c * 1000 - trend_milli - seasonal_milli").as("remainder_milli"))
+        .orderBy(col("day"))
+    }),
+
+    // DEMAND ELASTICITY by pooled log-log OLS over lineitem (price
+    // varies per sale in this fixture; the slope of ln(qty) on
+    // ln(unit price) is the textbook elasticity read): both logs run
+    // on EXACT integer arguments (unit cents via the q_cheapest
+    // floor(·) recipe, integer quantities) and quantize to the 1e4
+    // grid BEFORE the moment sums, so Σx, Σxy, Σx² are exact BIGINTs
+    // (sums ≤ ~7e15 at sf0.1, exact in BIGINT far beyond; the slope
+    // uses CENTERED moments with division-before-product in DOUBLE —
+    // identical text both engines — so no n·Σ product ever forms; the
+    // 1e4 grid radix is the documented knob past ~10⁹ rows) and no float summation order exists. The
+    // slope/intercept/r² closed form runs on the 1-row final.
+    //
+    // Scale posture: map-only quantized logs + one aggregate.
+    "q_elasticity" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(
+          expr("CAST(floor(ln(CAST(floor(l_extendedprice * 100 / l_quantity) AS BIGINT)) " +
+            "* 10000 + 0.5) AS BIGINT)").as("x"),
+          expr("CAST(floor(ln(CAST(l_quantity AS BIGINT)) * 10000 + 0.5) AS BIGINT)").as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+          sum(expr("y * y")).as("syy"))
+        .withColumn("cxy", expr("CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n"))
+        .withColumn("cxx", expr("CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n"))
+        .withColumn("cyy", expr("CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n"))
+        .withColumn("beta", expr("cxy / nullif(cxx, 0.0)"))
+        .select(col("n"),
+          round(col("beta"), 6).as("elasticity"),
+          round(expr("(CAST(sy AS DOUBLE) - beta * sx) / n / 10000"), 6).as("intercept"),
+          round(expr("cxy * cxy / nullif(cxx * cyy, 0.0)"), 6).as("r2"))
+    }),
+
+    // RETENTION DECAY FIT: the exponential half-life behind
+    // q_retention's cohort matrix — pool cohorts to per-offset
+    // (active, base) totals, rate = active·10⁶ DIV base (exact), then
+    // OLS of the micro-quantized ln(rate) on the offset over the
+    // ≤31-row offset table; half-life = ln 2 / (−slope) on the 1-row
+    // final (null when the slope is non-negative — flat retention has
+    // no half-life, and both engines agree on the null).
+    //
+    // Scale posture: the user-grain cohort aggregate is the only
+    // corpus shuffle; everything after lives at offset grain.
+    "q_retention_fit" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val cohortSize = cohort.groupBy(col("cohort_day")).agg(count(lit(1)).as("cs"))
+      val perOffset = ev.distinct().join(cohort, "user_id")
+        .withColumn("offset_days", col("day") - col("cohort_day"))
+        .filter(col("offset_days") >= 1)
+        .groupBy(col("cohort_day"), col("offset_days"))
+        .agg(countDistinct(col("user_id")).as("active"))
+        .join(cohortSize, "cohort_day")
+        .groupBy(col("offset_days"))
+        .agg(sum(col("active")).as("act"), sum(col("cs")).as("base"))
+        .select(col("offset_days").as("t"),
+          expr("(act * 1000000) DIV base").as("rate_micro"))
+        .filter(col("rate_micro") > 0)
+      perOffset
+        .select(col("t"),
+          expr("CAST(floor(ln(CAST(rate_micro AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)").as("lr"))
+        .agg(count(lit(1)).as("n"), sum(col("t")).as("st"), sum(col("lr")).as("sl"),
+          sum(expr("t * lr")).as("stl"), sum(expr("t * t")).as("stt"))
+        .withColumn("slope", expr(
+          "CAST(n * stl - st * sl AS DOUBLE) / nullif(CAST(n * stt - st * st AS DOUBLE), 0.0) / 1000000"))
+        .select(col("n"),
+          round(col("slope"), 6).as("decay_slope"),
+          round(expr("CASE WHEN slope < 0 THEN ln(2.0) / (-slope) END"), 4)
+            .as("half_life_days"))
     })
   )
 
@@ -3445,6 +3550,92 @@ object RelationalExt {
          |  round((k * suv - su * sv) / (k * suu - su * su), 4) AS hurst
          |FROM pts, fit
          |ORDER BY w""".stripMargin
-    }
+    },
+
+    "q_classical_decomp" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |tr AS (
+        |  SELECT day, c, (s7 * 1000) // 7 AS trend_milli,
+        |    c * 1000 - (s7 * 1000) // 7 AS det_milli
+        |  FROM (
+        |    SELECT day, c,
+        |      CAST(count(*) OVER w AS BIGINT) AS n7,
+        |      CAST(SUM(c) OVER w AS BIGINT) AS s7
+        |    FROM daily
+        |    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        |  WHERE n7 = 7),
+        |seas AS (
+        |  SELECT day % 7 AS dow,
+        |    (CASE WHEN CAST(SUM(det_milli) AS BIGINT) >= 0
+        |       THEN CAST(SUM(det_milli) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |       ELSE -((-CAST(SUM(det_milli) AS BIGINT)) // CAST(count(*) AS BIGINT)) END)
+        |      AS seasonal_milli
+        |  FROM tr GROUP BY 1)
+        |SELECT day, c, trend_milli, seasonal_milli,
+        |  c * 1000 - trend_milli - seasonal_milli AS remainder_milli
+        |FROM tr JOIN seas ON tr.day % 7 = seas.dow
+        |ORDER BY day""".stripMargin,
+
+    "q_elasticity" ->
+      """WITH pts AS (
+        |  SELECT
+        |    CAST(floor(ln(CAST(floor(l_extendedprice * 100 / l_quantity) AS BIGINT))
+        |      * 10000 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(l_quantity AS BIGINT)) * 10000 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM pts),
+        |fit AS (
+        |  SELECT *,
+        |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS cxy,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS cxx,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy
+        |  FROM mom),
+        |fit2 AS (SELECT *, cxy / nullif(cxx, 0.0) AS beta FROM fit)
+        |SELECT n, round(beta, 6) AS elasticity,
+        |  round((CAST(sy AS DOUBLE) - beta * sx) / n / 10000, 6) AS intercept,
+        |  round(cxy * cxy / nullif(cxx * cyy, 0.0), 6) AS r2
+        |FROM fit2""".stripMargin,
+
+    "q_retention_fit" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |cohort AS (SELECT user_id, CAST(MIN(day) AS BIGINT) AS cohort_day
+        |           FROM ev GROUP BY user_id),
+        |cs AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS csz
+        |       FROM cohort GROUP BY cohort_day),
+        |po AS (
+        |  SELECT e.day - c.cohort_day AS offset_days,
+        |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS active, c.cohort_day
+        |  FROM (SELECT DISTINCT user_id, day FROM ev) e
+        |  JOIN cohort c ON e.user_id = c.user_id
+        |  WHERE e.day - c.cohort_day >= 1
+        |  GROUP BY 1, 3),
+        |rate AS (
+        |  SELECT offset_days AS t,
+        |    (CAST(SUM(active) AS BIGINT) * 1000000)
+        |      // CAST(SUM(cs.csz) AS BIGINT) AS rate_micro
+        |  FROM po JOIN cs ON po.cohort_day = cs.cohort_day
+        |  GROUP BY 1),
+        |lr AS (
+        |  SELECT t, CAST(floor(ln(CAST(rate_micro AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lr
+        |  FROM rate WHERE rate_micro > 0),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS st,
+        |    CAST(SUM(lr) AS BIGINT) AS sl, CAST(SUM(t * lr) AS BIGINT) AS stl,
+        |    CAST(SUM(t * t) AS BIGINT) AS stt
+        |  FROM lr),
+        |fit AS (
+        |  SELECT *, CAST(n * stl - st * sl AS DOUBLE)
+        |    / nullif(CAST(n * stt - st * st AS DOUBLE), 0.0) / 1000000 AS slope
+        |  FROM mom)
+        |SELECT n, round(slope, 6) AS decay_slope,
+        |  round(CASE WHEN slope < 0 THEN ln(2.0) / (-slope) END, 4) AS half_life_days
+        |FROM fit""".stripMargin
   )
 }

@@ -345,6 +345,70 @@ class Round10Spec extends SparkSpec {
     assert(got.forall(_._2 >= 1000L))
   }
 
+  test("q_classical_decomp: components re-add to the series exactly") {
+    import graft.operators.RelationalExt
+    val rows = RelationalExt.queries("q_classical_decomp")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c") * 1000L ===
+        r.getAs[Long]("trend_milli") + r.getAs[Long]("seasonal_milli") +
+          r.getAs[Long]("remainder_milli"))
+    }
+    // seasonal means over the full decomposition hover at zero: their
+    // absolute sum is bounded by 7 * (n_days) truncation units
+    val seasonalByDow = rows.groupBy(_.getAs[Long]("day") % 7)
+      .view.mapValues(_.head.getAs[Long]("seasonal_milli"))
+    assert(seasonalByDow.values.map(math.abs).max < 1000000L)
+  }
+
+  test("q_elasticity replays a naive pooled log-log OLS") {
+    import graft.operators.RelationalExt
+    val pts = Tables.lineitem(spark, sf)
+      .selectExpr("CAST(floor(l_extendedprice * 100 / l_quantity) AS BIGINT) AS uc",
+        "CAST(l_quantity AS BIGINT) AS q")
+      .collect().map(r => (math.log(r.getLong(0).toDouble), math.log(r.getLong(1).toDouble)))
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+    val naive = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    val got = RelationalExt.queries("q_elasticity")(spark, sf)
+      .collect().head.getAs[Double]("elasticity")
+    assert(math.abs(got - naive) < 1e-3, s"$got vs naive $naive")
+  }
+
+  test("q_retention_fit: decay slope is negative with a positive half-life") {
+    import graft.operators.RelationalExt
+    val r = RelationalExt.queries("q_retention_fit")(spark, sf).collect().head
+    assert(r.getAs[Long]("n") >= 3L)
+    assert(r.getAs[Double]("decay_slope") < 0.0)
+    assert(r.getAs[Double]("half_life_days") > 0.0)
+  }
+
+  test("q_kdist_knee replays the chord deviation over the naive curve") {
+    import graft.operators.Learn
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val d3 = vecs.map { case (id, v) =>
+      val third = vecs.filter(_._1 != id).map(o => d2(v, o._2)).sorted.apply(2)
+      (id, math.floor(math.sqrt(third.toDouble) * 1000 + 0.5).toLong)
+    }
+    val curve = d3.sortBy { case (id, dm) => (dm, id) }.zipWithIndex
+      .map { case ((id, dm), i) => (i + 1L, dm) }
+    val n = curve.length.toLong
+    val dOne = curve.head._2; val dN = curve.last._2
+    val want = curve.map { case (r, dm) =>
+      (r, dm, (n - 1) * (dOne - dm) + (r - 1) * (dN - dOne))
+    }.maxBy { case (r, _, dev) => (dev, -r) }
+    val got = Learn.queries("q_kdist_knee")(spark, sf).collect().head
+    assert(got.getAs[Long]("knee_rank") === want._1)
+    assert(got.getAs[Long]("eps_milli") === want._2)
+    assert(got.getAs[Long]("dev") === want._3)
+  }
+
   test("q_silhouette: one row per trained cluster, scores in [-1, 1]") {
     import graft.operators.Learn
     val rows = Learn.queries("q_silhouette")(spark, sf).collect()
