@@ -1363,65 +1363,15 @@ object Learn {
     // the distance to the k-th neighbor measures LOCAL isolation).
     // Top-20 vectors by exact distance to their 3rd nearest neighbor.
     //
-    // EXACT two-pass kNN in L2 (the q_knn_label recipe transplanted
-    // from cosine space):
-    //  pass 1 — home-cell candidates give a per-point UPPER BOUND
-    //    r3(x) on the true 3rd-NN distance (3rd-smallest within a
-    //    candidate SUBSET can only overestimate); a cell with < 4
-    //    points yields no bound and falls back to probe-everything
-    //    (the lossless degenerate case, INF sentinel).
-    //  pass 2 — probe cells c with d(x,c) ≤ d(x,home) + 2·r3(x): any
-    //    true top-3 neighbor y has d(x,y) ≤ r3, so its home cell
-    //    passes this filter (triangle inequality, the q_dbscan bound
-    //    with ε → r3(x) pointwise) — the probed candidate set provably
-    //    contains the true top-3, and the window rank over it is EXACT.
-    // Distances run as the native dot-product norm identity (integers
-    // below 2⁵³ in doubles — the q_dbscan argument); both rank windows
-    // are WindowGroupLimit-pruned map-side.
-    "q_ood_knn" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      graft.functions.VectorFunctions.register(s)
-      val Inf = 1000000000000L // > any real d² (≤ 64·(2·10⁴)² ≈ 2.6e10)
-      val q = Tables.embeddings(s, d).select(col("vec_id"), expr(QuantTok).as("qv"))
-      val cents = coarseCentroids(s, d)
-      val darr = cents.map { case (_, cv) => distExpr(cv) }.mkString("array(", ", ", ")")
-      val pts = q.withColumn("qs", col("qv"))
-        .withColumn("darr", expr(darr))
-        .withColumn("qdist", expr("array_min(darr)"))
-        .withColumn("home", expr("CAST(array_position(darr, qdist) AS INT) - 1"))
-        .withColumn("dv", expr("transform(qv, v -> CAST(v AS DOUBLE))"))
-        .withColumn("nrm", expr("dot_product(dv, dv)"))
-        .localCheckpoint() // consumed by pass-1 self-join, probe, index
-      val d2x = "nrm_a + nrm_b - 2.0D * dot_product(dva, dvb)"
-      val aSide = pts.select(col("vec_id").as("a_id"), col("dv").as("dva"),
-        col("nrm").as("nrm_a"), col("home").as("cell"))
-      val bSide = pts.select(col("vec_id").as("b_id"), col("dv").as("dvb"),
-        col("nrm").as("nrm_b"), col("home").as("cell"))
-      val w = Window.partitionBy(col("a_id")).orderBy(col("d2"), col("b_id"))
-      val bound = aSide.join(bSide, Seq("cell"))
-        .filter(col("a_id") =!= col("b_id"))
-        .withColumn("d2", expr(d2x))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 3)
-        .select(col("a_id").as("vec_id"), col("d2").cast("long").as("r3sq"))
-      val probeBase = pts.join(bound, Seq("vec_id"), "left")
-        .withColumn("r3sq", coalesce(col("r3sq"), lit(Inf)))
-      val probe = probeBase
-        .select(col("vec_id").as("a_id"), col("dv").as("dva"), col("nrm").as("nrm_a"),
-          col("qdist"), col("r3sq"), posexplode(col("darr")).as(Seq("cell", "dc")))
-        .filter(expr("sqrt(CAST(dc AS DOUBLE)) <= " +
-          "sqrt(CAST(qdist AS DOUBLE)) + 2.0D * sqrt(CAST(r3sq AS DOUBLE)) + 0.5"))
-        .select(col("a_id"), col("dva"), col("nrm_a"), col("cell"))
-      probe.join(bSide, Seq("cell"))
-        .filter(col("a_id") =!= col("b_id"))
-        .withColumn("d2", expr(d2x))
-        .withColumn("rn", row_number().over(w))
+    // EXACT two-pass kNN in L2 — [[exactKnnL2]], the one shared
+    // implementation (bound + probe-set proof in its scaladoc).
+    "q_ood_knn" -> ((s, d) =>
+      exactKnnL2(s, d, k = 3)
         .filter(col("rn") === 3)
         .select(col("a_id").as("vec_id"), col("b_id").as("nn3_id"),
-          col("d2").cast("long").as("knn3_d2"))
+          col("d2").as("knn3_d2"))
         .orderBy(col("knn3_d2").desc, col("vec_id"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     // SIMPLIFIED SILHOUETTE (the centroid form of Rousseeuw 1987,
     // standard for k-means at scale because it needs K distances per
@@ -1475,45 +1425,10 @@ object Learn {
     // chord endpoints are 1-row broadcasts.
     "q_kdist_knee" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      graft.functions.VectorFunctions.register(s)
-      val Inf = 1000000000000L
-      val q = Tables.embeddings(s, d).select(col("vec_id"), expr(QuantTok).as("qv"))
-      val cents = coarseCentroids(s, d)
-      val darr = cents.map { case (_, cv) => distExpr(cv) }.mkString("array(", ", ", ")")
-      val pts = q
-        .withColumn("qs", col("qv"))
-        .withColumn("darr", expr(darr))
-        .withColumn("qdist", expr("array_min(darr)"))
-        .withColumn("home", expr("CAST(array_position(darr, qdist) AS INT) - 1"))
-        .withColumn("dv", expr("transform(qv, v -> CAST(v AS DOUBLE))"))
-        .withColumn("nrm", expr("dot_product(dv, dv)"))
-        .localCheckpoint()
-      val d2x = "nrm_a + nrm_b - 2.0D * dot_product(dva, dvb)"
-      val aSide = pts.select(col("vec_id").as("a_id"), col("dv").as("dva"),
-        col("nrm").as("nrm_a"), col("home").as("cell"))
-      val bSide = pts.select(col("vec_id").as("b_id"), col("dv").as("dvb"),
-        col("nrm").as("nrm_b"), col("home").as("cell"))
-      val w = Window.partitionBy(col("a_id")).orderBy(col("d2"), col("b_id"))
-      val bound = aSide.join(bSide, Seq("cell"))
-        .filter(col("a_id") =!= col("b_id"))
-        .withColumn("d2", expr(d2x))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 3)
-        .select(col("a_id").as("vec_id"), col("d2").cast("long").as("r3sq"))
-      val probe = pts.join(bound, Seq("vec_id"), "left")
-        .withColumn("r3sq", coalesce(col("r3sq"), lit(Inf)))
-        .select(col("vec_id").as("a_id"), col("dv").as("dva"), col("nrm").as("nrm_a"),
-          col("qdist"), col("r3sq"), posexplode(col("darr")).as(Seq("cell", "dc")))
-        .filter(expr("sqrt(CAST(dc AS DOUBLE)) <= " +
-          "sqrt(CAST(qdist AS DOUBLE)) + 2.0D * sqrt(CAST(r3sq AS DOUBLE)) + 0.5"))
-        .select(col("a_id"), col("dva"), col("nrm_a"), col("cell"))
-      val d3 = probe.join(bSide, Seq("cell"))
-        .filter(col("a_id") =!= col("b_id"))
-        .withColumn("d2", expr(d2x))
-        .withColumn("rn", row_number().over(w))
+      val d3 = exactKnnL2(s, d, k = 3)
         .filter(col("rn") === 3)
         .select(col("a_id").as("vec_id"),
-          expr("CAST(floor(sqrt(CAST(CAST(d2 AS BIGINT) AS DOUBLE)) * 1000 + 0.5) AS BIGINT)")
+          expr("CAST(floor(sqrt(CAST(d2 AS DOUBLE)) * 1000 + 0.5) AS BIGINT)")
             .as("d_milli"))
       val curve = d3
         .withColumn("r",
@@ -1551,46 +1466,9 @@ object Learn {
     // — the q_ood_knn posture); the LOF chase is two self-joins of the
     // (point, 3-neighbor) table, shuffling (id, BIGINT) pairs.
     "q_lof" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      graft.functions.VectorFunctions.register(s)
-      val Inf = 1000000000000L
-      val q = Tables.embeddings(s, d).select(col("vec_id"), expr(QuantTok).as("qv"))
-      val cents = coarseCentroids(s, d)
-      val darr = cents.map { case (_, cv) => distExpr(cv) }.mkString("array(", ", ", ")")
-      val pts = q
-        .withColumn("qs", col("qv"))
-        .withColumn("darr", expr(darr))
-        .withColumn("qdist", expr("array_min(darr)"))
-        .withColumn("home", expr("CAST(array_position(darr, qdist) AS INT) - 1"))
-        .withColumn("dv", expr("transform(qv, v -> CAST(v AS DOUBLE))"))
-        .withColumn("nrm", expr("dot_product(dv, dv)"))
-        .localCheckpoint() // consumed by pass-1 self-join, probe, index
-      val d2x = "nrm_a + nrm_b - 2.0D * dot_product(dva, dvb)"
-      val aSide = pts.select(col("vec_id").as("a_id"), col("dv").as("dva"),
-        col("nrm").as("nrm_a"), col("home").as("cell"))
-      val bSide = pts.select(col("vec_id").as("b_id"), col("dv").as("dvb"),
-        col("nrm").as("nrm_b"), col("home").as("cell"))
-      val w = Window.partitionBy(col("a_id")).orderBy(col("d2"), col("b_id"))
-      val bound = aSide.join(bSide, Seq("cell"))
-        .filter(col("a_id") =!= col("b_id"))
-        .withColumn("d2", expr(d2x))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 3)
-        .select(col("a_id").as("vec_id"), col("d2").cast("long").as("r3sq"))
-      val probe = pts.join(bound, Seq("vec_id"), "left")
-        .withColumn("r3sq", coalesce(col("r3sq"), lit(Inf)))
-        .select(col("vec_id").as("a_id"), col("dv").as("dva"), col("nrm").as("nrm_a"),
-          col("qdist"), col("r3sq"), posexplode(col("darr")).as(Seq("cell", "dc")))
-        .filter(expr("sqrt(CAST(dc AS DOUBLE)) <= " +
-          "sqrt(CAST(qdist AS DOUBLE)) + 2.0D * sqrt(CAST(r3sq AS DOUBLE)) + 0.5"))
-        .select(col("a_id"), col("dva"), col("nrm_a"), col("cell"))
-      val knn = probe.join(bSide, Seq("cell"))
-        .filter(col("a_id") =!= col("b_id"))
-        .withColumn("d2", expr(d2x))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
+      val knn = exactKnnL2(s, d, k = 3)
         .select(col("a_id"), col("b_id"), col("rn"),
-          expr("CAST(floor(sqrt(CAST(CAST(d2 AS BIGINT) AS DOUBLE)) * 1000 + 0.5) AS BIGINT)")
+          expr("CAST(floor(sqrt(CAST(d2 AS DOUBLE)) * 1000 + 0.5) AS BIGINT)")
             .as("d_milli"))
         .localCheckpoint() // consumed by kdist, reach, and the lrd chase
       val kdist = knn.filter(col("rn") === 3)
@@ -2198,6 +2076,66 @@ object Learn {
   /** The quantize-once boundary: float → 1e-4-grid BIGINT per dim. */
   private[operators] val QuantTok =
     "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+
+  /** PROVABLY-EXACT two-pass k-NN in L2 over the quantized embeddings
+    * — the ONE implementation q_ood_knn, q_lof, and q_kdist_knee all
+    * consume (three drifting copies of this engine-critical bound
+    * would be the sdiv story again):
+    *  pass 1 — home-IVF-cell candidates give a per-point UPPER BOUND
+    *    r_k(x) on the true k-th-NN distance (k-th-smallest within a
+    *    candidate SUBSET can only overestimate); a cell with ≤ k
+    *    points yields no bound and falls back to probe-everything
+    *    (the lossless degenerate case, INF sentinel).
+    *  pass 2 — probe cells c with d(x,c) ≤ d(x,home) + 2·r_k(x): any
+    *    true top-k neighbor y has d(x,y) ≤ r_k, so its home cell
+    *    passes this filter (triangle inequality, the q_dbscan bound
+    *    with ε → r_k(x) pointwise) — the probed candidate set provably
+    *    contains the true top-k, and the window rank over it is EXACT.
+    * Distances run as the native dot-product norm identity (integers
+    * below 2⁵³ in doubles — the q_dbscan argument); both rank windows
+    * are WindowGroupLimit-pruned map-side. Returns (a_id, b_id, rn,
+    * d2) for rn ≤ k, d2 the exact squared distance as BIGINT.
+    */
+  private[graft] def exactKnnL2(s: SparkSession, d: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val Inf = 1000000000000L // > any real d² (≤ 64·(2·10⁴)² ≈ 2.6e10)
+    val q = Tables.embeddings(s, d).select(col("vec_id"), expr(QuantTok).as("qv"))
+    val cents = coarseCentroids(s, d)
+    val darr = cents.map { case (_, cv) => distExpr(cv) }.mkString("array(", ", ", ")")
+    val pts = q.withColumn("qs", col("qv"))
+      .withColumn("darr", expr(darr))
+      .withColumn("qdist", expr("array_min(darr)"))
+      .withColumn("home", expr("CAST(array_position(darr, qdist) AS INT) - 1"))
+      .withColumn("dv", expr("transform(qv, v -> CAST(v AS DOUBLE))"))
+      .withColumn("nrm", expr("dot_product(dv, dv)"))
+      .localCheckpoint() // consumed by pass-1 self-join, probe, index
+    val d2x = "nrm_a + nrm_b - 2.0D * dot_product(dva, dvb)"
+    val aSide = pts.select(col("vec_id").as("a_id"), col("dv").as("dva"),
+      col("nrm").as("nrm_a"), col("home").as("cell"))
+    val bSide = pts.select(col("vec_id").as("b_id"), col("dv").as("dvb"),
+      col("nrm").as("nrm_b"), col("home").as("cell"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("d2"), col("b_id"))
+    val bound = aSide.join(bSide, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("d2", expr(d2x))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === k)
+      .select(col("a_id").as("vec_id"), col("d2").cast("long").as("rksq"))
+    val probe = pts.join(bound, Seq("vec_id"), "left")
+      .withColumn("rksq", coalesce(col("rksq"), lit(Inf)))
+      .select(col("vec_id").as("a_id"), col("dv").as("dva"), col("nrm").as("nrm_a"),
+        col("qdist"), col("rksq"), posexplode(col("darr")).as(Seq("cell", "dc")))
+      .filter(expr("sqrt(CAST(dc AS DOUBLE)) <= " +
+        "sqrt(CAST(qdist AS DOUBLE)) + 2.0D * sqrt(CAST(rksq AS DOUBLE)) + 0.5"))
+      .select(col("a_id"), col("dva"), col("nrm_a"), col("cell"))
+    probe.join(bSide, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("d2", expr(d2x))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("a_id"), col("b_id"), col("rn"), col("d2").cast("long").as("d2"))
+  }
 
   /** TRAINED IVF coarse codebook — Lloyd's k-means over the quantized
     * embedding grid with k = [[CoarseK]] = 16 and ONE update round from
