@@ -690,6 +690,35 @@ object Graph {
         .limit(50)
     }),
 
+    // RICH-CLUB COEFFICIENT (Zhou & Mondragón 2004; the Colizza 2006
+    // normalization is the documented next step) over the undirected
+    // trade graph — "do the hubs preferentially trade with each
+    // other": φ(k) = 2·E_k / (n_k(n_k−1)) where n_k counts nodes of
+    // degree > k and E_k the edges between two such nodes; reported
+    // for k ∈ {8, 16, 32} in exact micro units. One degree aggregate,
+    // then per k a broadcast-semi edge filter + 1-row counts — the
+    // edge set never reshuffles.
+    "q_rich_club" -> ((s, d) => {
+      val edges = tradeBase(s, d) // src even / dst odd, each edge once
+      val deg = edges
+        .select(explode(array(col("src"), col("dst"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint() // node-catalog-sized; consumed per k
+      val perK = Seq(8L, 16L, 32L).map { k =>
+        val rich = deg.filter(col("deg") > k).select(col("v"))
+        val nk = rich.agg(count(lit(1)).as("n_k"))
+        val ek = edges
+          .join(broadcast(rich.select(col("v").as("src"))), Seq("src"), "left_semi")
+          .join(broadcast(rich.select(col("v").as("dst"))), Seq("dst"), "left_semi")
+          .agg(count(lit(1)).as("e_k"))
+        nk.crossJoin(broadcast(ek))
+          .select(lit(k).as("k"), col("n_k"), col("e_k"),
+            expr("CASE WHEN n_k >= 2 THEN (2 * e_k * 1000000) DIV (n_k * (n_k - 1)) END")
+              .as("phi_micro"))
+      }
+      perK.reduce(_ unionByName _).orderBy(col("k"))
+    }),
+
     // ADAMIC-ADAR link prediction (Adamic & Adar 2003) — q_linkpred's
     // Jaccard reweighted by how DISCRIMINATIVE each shared neighbor
     // is: a supplier half the market buys from says nothing about two
@@ -1837,6 +1866,26 @@ object Graph {
          |  (shared * 1000000) // (d1.deg + d2.deg - shared) AS score_micro
          |FROM pc JOIN deg d1 ON pc.c1 = d1.c JOIN deg d2 ON pc.c2 = d2.c
          |ORDER BY score_micro DESC, shared DESC, c1, c2 LIMIT 50""".stripMargin
+    },
+
+    "q_rich_club" -> {
+      def oneK(k: Long): String =
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE deg > $k) AS n_k,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM e0
+           |   WHERE src IN (SELECT v FROM deg WHERE deg > $k)
+           |     AND dst IN (SELECT v FROM deg WHERE deg > $k)) AS e_k""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |deg AS MATERIALIZED (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT src AS v FROM e0 UNION ALL SELECT dst AS v FROM e0)
+         |  GROUP BY v)
+         |SELECT k, n_k, e_k,
+         |  CASE WHEN n_k >= 2 THEN (2 * e_k * 1000000) // (n_k * (n_k - 1)) END AS phi_micro
+         |FROM ((${oneK(8)}) UNION ALL (${oneK(16)}) UNION ALL (${oneK(32)}))
+         |ORDER BY k""".stripMargin
     },
 
     // Mirrors q_linkpred's capped wedge generator; the center weight

@@ -409,6 +409,26 @@ class Round10Spec extends SparkSpec {
     assert(got.getAs[Long]("dev") === want._3)
   }
 
+  test("q_rich_club replays naively from the collected trade edges") {
+    val edges = Graph.tradeBase(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = Graph.queries("q_rich_club")(spark, sf)
+      .orderBy(col("k")).collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq === Seq(8L, 16L, 32L))
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val richNodes = deg.filter(_._2 > k).keySet
+      val ek = edges.count(e => richNodes(e._1) && richNodes(e._2)).toLong
+      assert(r.getAs[Long]("n_k") === richNodes.size.toLong)
+      assert(r.getAs[Long]("e_k") === ek)
+      if (richNodes.size >= 2)
+        assert(r.getAs[Long]("phi_micro") ===
+          2L * ek * 1000000L / (richNodes.size.toLong * (richNodes.size - 1)))
+    }
+  }
+
   test("q_silhouette: one row per trained cluster, scores in [-1, 1]") {
     import graft.operators.Learn
     val rows = Learn.queries("q_silhouette")(spark, sf).collect()
