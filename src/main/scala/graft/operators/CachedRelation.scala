@@ -57,6 +57,16 @@ class CachedRelation(ttlMillis: Long, clock: () => Long = () => System.currentTi
   /** Times the builder actually ran (cache misses), for specs. */
   def buildCount: Long = builds.get()
 
+  /** Drop one entry (unpersisting) — the lost-block recovery hook:
+    * a consumer whose cached frame has truncated lineage (e.g. a
+    * localCheckpointed index losing blocks to executor death) cannot
+    * recompute it lazily, so it invalidates the key and re-resolves —
+    * the builder runs again and the cache heals. */
+  def invalidate(key: String): Unit = synchronized {
+    val e = cache.remove(key)
+    if (e != null) e.df.unpersist(blocking = false)
+  }
+
   /** Drop every entry (unpersisting) — the manual invalidation hook. */
   def invalidateAll(): Unit = synchronized {
     cache.values().forEach(e => e.df.unpersist(blocking = false))

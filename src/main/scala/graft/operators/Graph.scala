@@ -49,6 +49,12 @@ object Graph {
     */
   private val TrussMaxRounds = 64
 
+  /** Materialized-peel depth of the q_ktruss DuckDB oracle — shared
+    * with the query-time depth check so the two can never drift:
+    * peeling is idempotent at the fixpoint, so any engine convergence
+    * in ≤ this many rounds makes the extra unrolled peels no-ops. */
+  private[graft] val KTrussOracleUnroll = 6
+
   /** q_closeness's landmark-panel size — CONSTANT by design, so the
     * tagged multi-source BFS state is O(L·n) at any graph scale.
     */
@@ -161,8 +167,17 @@ object Graph {
       // edge: (a,b) removed, (a,c) and (b,c) both previous edges;
       // sorting to (x < y < z) dedups a triangle losing 2 edges so its
       // survivor is decremented exactly once.
+      // Broadcast hints only while the removal batch is verifiably
+      // small (the same ≤10k condition as the semi-filter above):
+      // Spark honors an explicit hint REGARDLESS of size, so hinting a
+      // bulk first-round batch would hit the 8 GB broadcast ceiling /
+      // driver OOM instead of degrading; un-hinted, AQE picks
+      // broadcast when the batch fits and one shuffle equi-join when
+      // it doesn't — the mechanical degradation the design wants.
+      def smallSide(df: DataFrame): DataFrame =
+        if (nRemoved <= 10000) broadcast(df) else df
       val tris = undF.select(col("x").as("a"), col("c"))
-        .join(broadcast(removed), Seq("a"))
+        .join(smallSide(removed), Seq("a"))
         .filter(col("c") =!= col("b"))
         .join(undF.select(col("x").as("b"), col("c")), Seq("b", "c"), "left_semi")
         .withColumn("x", least(col("a"), col("b"), col("c")))
@@ -174,11 +189,11 @@ object Graph {
       // exactly 1 (removed edges are no longer in `kept`, so their
       // credits fall out in the join). x < y < z ⇒ the three pairs are
       // already canonical a < b. dec is bounded by 3·|lost triangles|
-      // — broadcast, so the support update is a map-side pass over the
-      // survivor frame, never a shuffle of it; at a scale where the
-      // removal batch outgrows broadcast, each hint degrades
-      // mechanically to one shuffle equi-join per round — the minimum
-      // any incremental maintenance pays.
+      // — hinted broadcast on small rounds (smallSide), so the support
+      // update is a map-side pass over the survivor frame, never a
+      // shuffle of it; on bulk rounds AQE chooses, degrading to one
+      // shuffle equi-join — the minimum any incremental maintenance
+      // pays.
       val dec = tris
         .select(explode(array(
           struct(col("x").as("a"), col("y").as("b")),
@@ -187,7 +202,7 @@ object Graph {
         .groupBy(col("e.a").as("a"), col("e.b").as("b"))
         .agg(count(lit(1)).as("dec"))
       val updated = kept
-        .join(broadcast(dec), Seq("a", "b"), "left")
+        .join(smallSide(dec), Seq("a", "b"), "left")
         .select(col("a"), col("b"),
           (col("supp") - coalesce(col("dec"), lit(0L))).as("supp"))
         .localCheckpoint()
@@ -197,6 +212,16 @@ object Graph {
       rounds += 1
       nRemoved = removed.count()
     }
+    // The backstop is a RUNAWAY guard, not an approximation knob: a
+    // frame returned with removals still pending is NOT the truss, and
+    // silently reporting it as exact would be a wrong answer with no
+    // symptom. Converging fixtures never hit this (Round10Spec pins
+    // convergence well inside the limit).
+    if (nRemoved > 0)
+      throw new IllegalStateException(
+        s"trussSupportFixpoint hit TrussMaxRounds=$TrussMaxRounds with " +
+          s"$nRemoved edges still below support — not a fixpoint; raise " +
+          "the backstop or check the input for a pathological cascade")
     (kept, rounds)
   }
 
@@ -597,16 +622,21 @@ object Graph {
     // cleaning op crawl pipelines run before centrality/sampling:
     // nodes that can't sustain k neighbors within the surviving
     // subgraph are spam tendrils / dead ends; the k-core is the
-    // mutually-supported part. 3 unrolled peel rounds toward the
-    // 8-core of the trade graph (bounded-round approximation, the
-    // q_pagerank stance; the exact core is the fixpoint — a synthetic
-    // cascade spec pins that the peel rule itself is exact).
+    // mutually-supported part. Peels to the TRUE fixpoint (the
+    // q_ktruss honesty precedent: a round that removes no edge ends
+    // the loop; the synthetic-cascade spec pins the peel rule, the
+    // driver's oracle compare pins the fixpoint) — rounds are cheap
+    // (two window counts on a monotonically shrinking frame), so
+    // bounded-round approximation bought nothing but a wrong answer
+    // on deep-cascade graphs.
     //
     // Scale posture: each round is TWO whole-partition window counts
     // over the SAME both-direction edge frame (partition by u, then by
     // v — the frame is symmetric so each gives a true degree) and a
     // map-side filter — no join, no aggregate, shuffles carry (BIGINT,
-    // BIGINT) edges. The surviving-edge frame shrinks monotonically.
+    // BIGINT) edges. Each round localCheckpoints (truncating the
+    // iterated lineage), so the convergence count() probe is metadata
+    // on an already-computed frame.
     "q_kcore" -> ((s, d) => {
       val base = tradeBase(s, d).select(col("src").as("u"), col("dst").as("dst0"))
       val edges = base
@@ -614,8 +644,13 @@ object Graph {
           struct(col("u"), col("dst0").as("v")),
           struct(col("dst0").as("u"), col("u").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
-      kcorePeel(edges, KCoreK, Iters)
-        .groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+      val (core, rounds) = kcorePeelFixpoint(edges, KCoreK)
+      if (rounds > KCoreOracleUnroll)
+        System.err.println(
+          s"WARNING: q_kcore converged in $rounds rounds but oracleSql " +
+            s"unrolls only $KCoreOracleUnroll peels - deepen the unroll " +
+            "before trusting an oracle compare on this dataset")
+      core.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
         .select(col("u").as("node_id"),
           when(col("u") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
           col("core_deg"))
@@ -1005,8 +1040,20 @@ object Graph {
     // jobs here because peel rounds, unlike label-propagation rounds,
     // cannot be composed lazily without re-deriving support.
     "q_ktruss" -> ((s, d) => {
-      trussSupportFixpoint(copurchaseEdges(s, d).localCheckpoint(), minSupp = 2)._1
-        .orderBy(col("supp").desc, col("a"), col("b"))
+      val (fix, rounds) =
+        trussSupportFixpoint(copurchaseEdges(s, d).localCheckpoint(), minSupp = 2)
+      // The oracle unrolls a FIXED number of materialized peels; the
+      // engine peels to the true fixpoint. If a dataset ever needs
+      // more rounds than the unroll, the two would silently diverge —
+      // so the depth check runs at query time, where the measured
+      // round count exists (Round10Spec pins the fixture margin; this
+      // guards datasets the spec never saw).
+      if (rounds > KTrussOracleUnroll)
+        System.err.println(
+          s"WARNING: q_ktruss converged in $rounds rounds but oracleSql " +
+            s"unrolls only $KTrussOracleUnroll peels - deepen the unroll " +
+            "before trusting an oracle compare on this dataset")
+      fix.orderBy(col("supp").desc, col("a"), col("b"))
         .limit(50)
     }),
 
@@ -1734,6 +1781,45 @@ object Graph {
     ed
   }
 
+  /** Runaway backstop for [[kcorePeelFixpoint]] — the worst case is
+    * one edge peeled per round (a path graph cascades its whole length
+    * against k = 2), so real inputs converge orders of magnitude
+    * earlier; hitting the backstop throws rather than reporting a
+    * non-fixpoint as the core (the trussSupportFixpoint stance). */
+  private val KCoreMaxRounds = 64
+
+  /** Materialized-peel depth of the q_kcore DuckDB oracle — shared
+    * with the query-time depth check so the two can never drift
+    * (peeling is idempotent at the fixpoint: extra unrolled peels are
+    * no-ops). The trade graph's 8-core settles in 2 rounds at the
+    * fixture SFs; the depth leaves headroom for deeper cascades. */
+  private[graft] val KCoreOracleUnroll = 6
+
+  /** [[kcorePeel]] run to the TRUE fixpoint: peel until a round
+    * removes no edge (count probe per round — metadata on the
+    * localCheckpointed frame each round must materialize anyway).
+    * Returns the fixpoint frame and the number of peel evaluations
+    * INCLUDING the final no-op round that proves convergence. */
+  private[graft] def kcorePeelFixpoint(edges: DataFrame, k: Int): (DataFrame, Int) = {
+    var ed = edges.localCheckpoint()
+    var n = ed.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < KCoreMaxRounds) {
+      val next = kcorePeel(ed, k, 1).localCheckpoint()
+      val nn = next.count()
+      rounds += 1
+      converged = nn == n
+      ed = next
+      n = nn
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kcorePeelFixpoint hit KCoreMaxRounds=$KCoreMaxRounds still " +
+          "removing edges - not a fixpoint; raise the backstop")
+    (ed, rounds)
+  }
+
   private def prIter(prev: String, next: String): String =
     s"""$next AS (
        |  SELECT e.dst AS node_id, 150000 + CAST(SUM(($prev.pr * 85) // (deg.deg * 100)) AS BIGINT) AS pr
@@ -1961,13 +2047,11 @@ object Graph {
          |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
          |e0 AS MATERIALIZED (SELECT u, v FROM b UNION ALL SELECT v AS u, u AS v FROM b),
-         |${peel("e0", 1)},
-         |${peel("e1", 2)},
-         |${peel("e2", 3)}
+         |${(1 to KCoreOracleUnroll).map(r => peel(s"e${r - 1}", r)).mkString(",\n")}
          |SELECT u AS node_id,
          |  CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  CAST(count(*) AS BIGINT) AS core_deg
-         |FROM e3 GROUP BY u ORDER BY node_id""".stripMargin
+         |FROM e$KCoreOracleUnroll GROUP BY u ORDER BY node_id""".stripMargin
     },
 
     "q_concomp" -> {
@@ -2143,8 +2227,8 @@ object Graph {
          |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
          |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
          |  WHERE l1.l_partkey < l2.l_partkey),
-         |${(1 to 6).map(peel).mkString(",\n")}
-         |SELECT a, b, supp FROM s6 WHERE supp >= 2
+         |${(1 to KTrussOracleUnroll).map(peel).mkString(",\n")}
+         |SELECT a, b, supp FROM s$KTrussOracleUnroll WHERE supp >= 2
          |ORDER BY supp DESC, a, b LIMIT 50""".stripMargin
     },
 

@@ -292,12 +292,12 @@ object Learn {
     // equal deciles, report per-decile and CUMULATIVE positive rates
     // and lift vs the base rate. "Top decile captures 2.3× its share
     // of positives" is the sentence that decides whether a quality
-    // classifier is worth gating on. Deciles come from one total-order
-    // ntile window with the unique (score desc, doc_id) tiebreak —
-    // the q_window_dist posture (exact baseline here; at 100 TB the
-    // cut points come from approx quantiles and the rest is map-only);
-    // the cumulative window runs over the 10-row decile table. All
-    // counts and rates in exact integer micro.
+    // classifier is worth gating on. Deciles come from a
+    // [[Ranks.globalOrderScan]] bucket-offset rank (score-width
+    // buckets, negated for the DESC order) + [[Ranks.ntileFromRank]]
+    // — the data-grain window partitions by bucket; the cumulative
+    // window runs over the 10-row decile table. All counts and rates
+    // in exact integer micro.
     "q_lift" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val warr = weights.mkString("array(", "L,", "L)")
@@ -307,13 +307,15 @@ object Learn {
             s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
         .select(col("doc_id"), col("sc"),
           when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
-      val dec = scored.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("sc").desc, col("doc_id"))).cast("long"))
+      val tot = scored.agg(count(lit(1)).as("tot_n"), sum(col("pos")).as("tot_pos"))
+      val dec = Ranks.globalOrderScan(scored, expr("-(sc DIV 2000)"),
+          Seq(col("sc").desc, col("doc_id")), "rk")
+        .crossJoin(broadcast(tot))
+        .withColumn("decile", Ranks.ntileFromRank("rk", "tot_n", 10))
       val per = dec.groupBy(col("decile"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
       val cum = Window.orderBy(col("decile"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = scored.agg(count(lit(1)).as("tot_n"), sum(col("pos")).as("tot_pos"))
       per.withColumn("cum_n", sum(col("n")).over(cum))
         .withColumn("cum_pos", sum(col("n_pos")).over(cum))
         .crossJoin(broadcast(tot))
@@ -1086,9 +1088,9 @@ object Learn {
 
     // End-to-end IVFPQ (Jégou et al. 2011 §IV — FAISS's IndexIVFPQ):
     // the composition the two ops above only rehearse separately.
-    //  1. COARSE: every vector assigns to its nearest of 16 TRAINED
-    //     coarse cells (coarseCentroids — one Lloyd round from the
-    //     16-lowest-vec_id init; integer L2 argmin vs plan-literal
+    //  1. COARSE: every vector assigns to its nearest of K = ⌈√n⌉
+    //     TRAINED coarse cells (coarseCentroids — one Lloyd round from
+    //     the K-lowest-vec_id init; integer L2 argmin vs plan-literal
     //     centroids, the q_kmeans_fit assignment, map-only). The
     //     oracle replays the coarse training round (cc0 → cca → cc)
     //     before everything downstream.
@@ -1096,7 +1098,7 @@ object Learn {
     //     r = qv − c_cell (pooled across cells, the paper's choice) —
     //     residuals carry far less energy than raw vectors, so the
     //     same 4×4 codebook budget quantizes much finer. Init skips
-    //     vec_id < 16 (the centroid source rows, whose residuals are
+    //     vec_id < K (the centroid source rows, whose residuals are
     //     identically zero and would collapse the codebook).
     //  3. ADC SEARCH: the query probes its nprobe=2 nearest coarse
     //     cells; PER PROBED CELL the query residual q − c_p yields 4
@@ -1108,11 +1110,11 @@ object Learn {
     // Scale posture: assignment, residual, encoding, and scoring are
     // ONE map-only lineage over a single corpus scan — no joins
     // anywhere in the search plan (plan-audited); the cell filter
-    // applies before any ADC arithmetic, so only the probed 2/16 of
+    // applies before any ADC arithmetic, so only the probed nprobe/K of
     // the corpus is ever scored — at 100 TB the cell id is the
     // partition key and the unprobed 14/16 is never read. Training
     // traffic to the driver is codebook-scale (m·k·sub rows per
-    // iteration + the 16 coarse centroids). Integer-exact end to end,
+    // iteration + the √n coarse centroids). Integer-exact end to end,
     // so DuckDB replays coarse assignment, residual training
     // trajectory, LUTs, and the same top-20.
     "q_ivfpq_search" -> ((s, d) => {
@@ -1125,19 +1127,21 @@ object Learn {
       // lazily-deleted cid (q_pq_search LUT rule: a dropped cid can
       // never be assigned, so its placeholder is unreferencable) —
       // element_at(cell + 1) stays correct under holes
-      val centsArr = (0 until CoarseK)
+      val kCoarse = coarseKOf(s, d)
+      val centsArr = (0 until kCoarse)
         .map(cid => coarseByCid.getOrElse(cid, Array.fill(Dim)(0L))
           .mkString("array(", "L,", "L)"))
         .mkString("array(", ", ", ")")
       val resid = assigned
         .withColumn("rv", expr(s"zip_with(qv, element_at($centsArr, cell + 1), (a, b) -> a - b)"))
         .select(col("vec_id"), col("cell"), col("rv").as("qv"))
-      // PQ init still skips vec_id < CoarseK: under the trained coarse
+      // PQ init still skips vec_id < coarseK: under the trained coarse
       // codebook their residuals are merely small rather than exactly
       // zero, but excluding the init-source rows keeps the residual
       // codebook init well-spread — and the oracle chains carry the
-      // same WHERE, so both engines train identically.
-      val (books, codes) = fitPqOn(resid, 1, resid.filter(col("vec_id") >= CoarseK))
+      // same WHERE (vec_id >= the kk-CTE K), so both engines train
+      // identically.
+      val (books, codes) = fitPqOn(resid, 1, resid.filter(col("vec_id") >= kCoarse))
       // probe: the query's nprobe nearest coarse cells — exact integer
       // arithmetic on the collected codebook (identical to the oracle's)
       val q0 = qdf.filter(col("vec_id") === 0).collect()(0).getSeq[Long](1).toArray
@@ -1420,26 +1424,33 @@ object Learn {
     //
     // Scale posture: the 3-NN distances come from the same
     // provably-exact two-pass kNN as q_ood_knn/q_lof (cell-bucketed,
-    // never all-pairs); the rank is a window over the point-grain
-    // d₃ table (the q_rowid bucket-offset form at 100 TB), and the
-    // chord endpoints are 1-row broadcasts.
+    // never all-pairs); the curve then collapses to the MILLI-DISTANCE
+    // CENSUS (bounded distinct values — the q_pot_gpd/q_ks_test
+    // recipe), so no window ever sees point-grain rows. The chord
+    // deviation dev(i) is linear in the rank with a NON-NEGATIVE slope
+    // (dn−d1), so within a tie group of equal d the (dev DESC, rank
+    // ASC) argmax sits at the group's max rank (= its cumulative
+    // count) — or its min rank when the curve is flat (dn = d1, dev
+    // constant) — and the global argmax over the census candidates is
+    // identical to the point-grain answer row for row.
     "q_kdist_knee" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val d3 = exactKnnL2(s, d, k = 3)
+      val census = exactKnnL2(s, d, k = 3)
         .filter(col("rn") === 3)
-        .select(col("a_id").as("vec_id"),
-          expr("CAST(floor(sqrt(CAST(d2 AS DOUBLE)) * 1000 + 0.5) AS BIGINT)")
-            .as("d_milli"))
-      val curve = d3
-        .withColumn("r",
-          row_number().over(Window.orderBy(col("d_milli"), col("vec_id"))).cast("bigint"))
+        .select(expr("CAST(floor(sqrt(CAST(d2 AS DOUBLE)) * 1000 + 0.5) AS BIGINT)")
+          .as("d_milli"))
+        .groupBy(col("d_milli")).agg(count(lit(1)).as("c"))
+      val curve = census
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("d_milli"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .localCheckpoint() // consumed by the endpoint aggregate AND the dev scan
-      val ends = curve.agg(count(lit(1)).as("n"),
-        min(expr("CASE WHEN r = 1 THEN d_milli END")).as("d1"),
-        max(col("d_milli")).as("dn"))
+      val ends = curve.agg(sum(col("c")).as("n"),
+        min(col("d_milli")).as("d1"), max(col("d_milli")).as("dn"))
       curve.crossJoin(broadcast(ends))
-        .select(col("n"), col("r"), col("d_milli"),
-          expr("(n - 1) * (d1 - d_milli) + (r - 1) * (dn - d1)").as("dev"))
+        .select(col("n"), col("d1"), col("dn"),
+          expr("CASE WHEN dn > d1 THEN cum ELSE cum - c + 1 END").as("r"),
+          col("d_milli"))
+        .withColumn("dev", expr("(n - 1) * (d1 - d_milli) + (r - 1) * (dn - d1)"))
         .orderBy(col("dev").desc, col("r"))
         .limit(1)
         .select(col("n"), col("r").as("knee_rank"),
@@ -2070,8 +2081,41 @@ object Learn {
 
   private val M = 4
   private val Sub = Dim / M
-  private[graft] val CoarseK = 16
+  private[graft] val CoarseKFloor = 16
   private[operators] val NProbe = 2
+
+  /** IVF coarse-codebook size for an n-vector corpus: ⌈√n⌉ with a
+    * floor of [[CoarseKFloor]] — the standard IVF sizing. The sizing
+    * is load-bearing, not cosmetic: [[exactKnnL2]]'s pass-1 home-cell
+    * self-join costs Θ(Σ|cell|²) = Θ(n²/K), so a CONSTANT K is
+    * quadratic in corpus size (at 100× the corpus each cell holds
+    * 100× the vectors and the bound-finding join explodes 10 000×);
+    * K ≈ √n keeps pass 1 at O(n^1.5) and each serving list at ~√n —
+    * and the codebook stays driver-scale (√n·dim longs: 316 k
+    * centroids at n = 10¹¹, the size real IVF deployments train).
+    * Deterministic pure function of the corpus COUNT, so every
+    * consumer's DuckDB oracle recomputes the same K from the same
+    * count (GREATEST(16, ceil(sqrt(count(*)))) — [[CoarseKkCte]]).
+    */
+  private[graft] def coarseK(n: Long): Int =
+    math.max(CoarseKFloor, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** The oracle-side twin of [[coarseK]]: a 1-row CTE every
+    * coarse-codebook oracle prepends, plus the scalar-subquery form
+    * that replaces the old compile-time constant in LIMIT/WHERE. */
+  private[operators] val CoarseKkCte: String =
+    s"kk AS (SELECT GREATEST($CoarseKFloor, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings)"
+  private[operators] val CoarseKSql: String = "(SELECT k FROM kk)"
+
+  private val coarseKMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** [[coarseK]] of the corpus at `d`, memoized per data dir (the
+    * count is one columnar scan; the codebook trainer and every IVF
+    * consumer share the same resolved K). */
+  private[graft] def coarseKOf(s: SparkSession, d: String): Int =
+    coarseKMemo.computeIfAbsent(d,
+      _ => Int.box(coarseK(Tables.embeddings(s, d).count()))).intValue()
 
   /** The quantize-once boundary: float → 1e-4-grid BIGINT per dim. */
   private[operators] val QuantTok =
@@ -2095,17 +2139,43 @@ object Learn {
     * below 2⁵³ in doubles — the q_dbscan argument); both rank windows
     * are WindowGroupLimit-pruned map-side. Returns (a_id, b_id, rn,
     * d2) for rn ≤ k, d2 the exact squared distance as BIGINT.
+    *
+    * COST BOUND: pass 1's home-cell self-join is Θ(Σ|cell|²) =
+    * Θ(n²/K); with the scale-aware K = [[coarseK]](n) ≈ √n it is
+    * O(n·√n) and each probed cell's candidate list is ~√n — the
+    * constant K = 16 this replaced made the same join quadratic in
+    * corpus size (Round11Spec pins the per-cell census bound on a
+    * skewed synthetic corpus).
     */
   private[graft] val knnCache = new CachedRelation(ttlMillis = 3600L * 1000)
 
-  private[graft] def exactKnnL2(s: SparkSession, d: String, k: Int): DataFrame =
+  private[graft] def exactKnnL2(s: SparkSession, d: String, k: Int): DataFrame = {
     // Memoized per (session, dir, k) — the production posture: an
     // exact-kNN table trains once and serves its consumer family
     // (q_ood_knn, q_lof, q_kdist_knee) the way coarseCentroids serves
     // the IVF family; Bench's memoized flag marks the cache-hit reads.
-    knnCache.resolve(s"${System.identityHashCode(s)}:$d:$k") {
-      exactKnnL2Build(s, d, k)
-    }
+    //
+    // Cache-HIT validation: the index is localCheckpointed, and local
+    // checkpoint blocks are non-reliable — an executor death between
+    // queries loses them, and the TRUNCATED lineage makes every later
+    // consumer action fail unrecoverably. So a hit is probed with one
+    // cheap count() over the checkpointed blocks (milliseconds at
+    // index scale) and a lost-block failure invalidates the key and
+    // rebuilds — the cache heals instead of poisoning its whole
+    // consumer family for the TTL (Round11Spec kills the blocks and
+    // pins the rebuild). A MISS returns the fresh build unprobed.
+    val key = s"${System.identityHashCode(s)}:$d:$k"
+    val before = knnCache.buildCount
+    val df = knnCache.resolve(key)(exactKnnL2Build(s, d, k))
+    if (knnCache.buildCount == before) {
+      try { df.count(); df }
+      catch {
+        case _: Throwable =>
+          knnCache.invalidate(key)
+          knnCache.resolve(key)(exactKnnL2Build(s, d, k))
+      }
+    } else df
+  }
 
   private def exactKnnL2Build(s: SparkSession, d: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2151,14 +2221,17 @@ object Learn {
   }
 
   /** TRAINED IVF coarse codebook — Lloyd's k-means over the quantized
-    * embedding grid with k = [[CoarseK]] = 16 and ONE update round from
-    * the 16-lowest-vec_id init, replacing the old "first 16 vectors"
-    * codebook whose cell balance depended on data ORDER (16 clumped
-    * early vectors → 16 near-identical centroids → one hot cell doing
+    * embedding grid with k = [[coarseK]](n) (⌈√n⌉, floor 16 — the
+    * scale-aware IVF sizing; a constant K made exactKnnL2's pass-1
+    * home-cell join quadratic) and ONE update round from the
+    * k-lowest-vec_id init, replacing the old "first k vectors"
+    * codebook whose cell balance depended on data ORDER (k clumped
+    * early vectors → k near-identical centroids → one hot cell doing
     * all the work; GraphLearnSpec pins the improvement on a skewed
     * synthetic corpus). Same exact-integer recipe as q_kmeans_fit, so
     * every consumer's oracle can replay the training trajectory
-    * CTE-for-CTE. Memoized per data dir: the codebook is a
+    * CTE-for-CTE (with K itself recomputed from count(*) via
+    * [[CoarseKkCte]]). Memoized per data dir: the codebook is a
     * deterministic pure function of the corpus (k·dim driver-side
     * longs — codebook-scale, never data-scale), and the IVF family
     * (q_simsearch_ivf, q_knn_label, q_dedup_embed, q_ivfpq_search)
@@ -2169,7 +2242,8 @@ object Learn {
 
   def coarseCentroids(s: SparkSession, d: String): Seq[(Int, Array[Long])] =
     coarseMemo.computeIfAbsent(d,
-      _ => fitKMeansSlice(s, d, iters = 1, start = 1, len = Dim, k = CoarseK)._1)
+      _ => fitKMeansSlice(s, d, iters = 1, start = 1, len = Dim,
+        k = coarseKOf(s, d))._1)
 
   /** Product-quantization trainer: ALL subspaces per iteration in ONE
     * pass — assignment is a single map-only select computing every
@@ -2249,7 +2323,7 @@ object Learn {
   /** Lloyd's loop over dims [start, start+len) of the quantized
     * vector — the full fit is the len = Dim special case; product
     * quantization trains one per subspace, the IVF coarse codebook
-    * ([[coarseCentroids]]) passes k = CoarseK. */
+    * ([[coarseCentroids]]) passes k = [[coarseK]](n). */
   def fitKMeansSlice(s: SparkSession, d: String, iters: Int,
                      start: Int, len: Int, k: Int = K): (Seq[(Int, Array[Long])], DataFrame) = {
     val qdf = Tables.embeddings(s, d).select(col("vec_id"), expr(
@@ -2281,7 +2355,8 @@ object Learn {
     * optionally restricted by `where` (residual PQ skips the zero
     * residuals of the coarse-centroid source rows). */
   private[operators] def initCte(c: String, start: Int, len: Int,
-                                 where: String = "", k: Int = K): String =
+                                 where: String = "",
+                                 k: String = K.toString): String =
     s"""$c AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
        |    qv[$start:${start + len - 1}] AS cv
@@ -3157,7 +3232,7 @@ object Learn {
       // subspace chains train over `q` = the RESIDUAL table; init skips
       // the coarse-centroid source rows (zero residuals)
       val chains = (0 until m)
-        .map(i => pqChain(i, i * sub + 1, sub, s"WHERE vec_id >= $CoarseK"))
+        .map(i => pqChain(i, i * sub + 1, sub, s"WHERE vec_id >= $CoarseKSql"))
         .mkString(",\n")
       val picks = (0 until m).map(i =>
         s"p$i AS (SELECT vec_id, cid AS c$i FROM a2_$i WHERE rn = 1)")
@@ -3170,13 +3245,14 @@ object Learn {
            |      j -> (qr.rq[$start + j - 1] - c.cv[j]) * (qr.rq[$start + j - 1] - c.cv[j]))) AS BIGINT) AS ld
            |  FROM qres qr, c1_$i c)""".stripMargin
       }.mkString(",\n")
-      s"""WITH raw AS (
+      s"""WITH $CoarseKkCte,
+         |raw AS (
          |  SELECT vec_id, list_transform(embedding,
          |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
          |  FROM embeddings),
          |cc0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
-         |  FROM (SELECT vec_id, qv FROM raw ORDER BY vec_id LIMIT $CoarseK)),
+         |  FROM (SELECT vec_id, qv FROM raw ORDER BY vec_id LIMIT $CoarseKSql)),
          |cca AS (
          |  SELECT vec_id, cid, dist,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn

@@ -1060,18 +1060,16 @@ object Pipeline {
     // tokens), the NEWLY admitted slice, and the difficulty frontier.
     // Admission is the EXACT integer predicate 4·rank ≤ t·n (rank/n ≤
     // t/4 cross-multiplied) — no division anywhere, so engines agree
-    // bit-for-bit. One total-order window with the unique (n_tokens,
-    // doc_id) tiebreak (the q_window_dist recipe) then a 4-phase
-    // explode + matrix-sized aggregate; at 100 TB the global sort is
-    // replaced by an approx-quantile difficulty threshold per phase
-    // (the q_mixture_approx pattern) — this exact form is the
-    // oracle-parity baseline.
+    // bit-for-bit. The total-order rank comes from
+    // [[Ranks.globalOrderScan]] (token-count-width buckets — the
+    // data-grain window partitions by bucket), then a 4-phase explode
+    // + matrix-sized aggregate.
     "q_curriculum" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val ranked = Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
         .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("nt"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("nt"), col("doc_id"))).cast("bigint"))
+      val ranked = Ranks.globalOrderScan(docs, expr("nt DIV 16"),
+        Seq(col("nt"), col("doc_id")), "rk")
       val n = ranked.agg(count(lit(1)).as("n"))
       val phases = ranked.crossJoin(broadcast(n))
         .select(col("doc_id"), col("nt"), col("rk"), col("n"),

@@ -1535,12 +1535,13 @@ object RelationalExt {
     // bucket on both engines. Report grain = segment code (≤ 125
     // rows) with population and spend share.
     //
-    // Scale posture: one aggregate at customer grain, three global
-    // ntile windows over that aggregate (customer-grain, not
-    // order-grain — at 100 TB this is the post-rollup table; the
-    // single-partition window would become a range-partitioned sort),
-    // then a tiny segment-grain aggregate. The 1-row max-date
-    // aggregate broadcasts.
+    // Scale posture: one aggregate at customer grain, then the three
+    // quintile assignments come from [[Ranks.globalOrderScan]]
+    // bucket-offset ranks + [[Ranks.ntileFromRank]] (the exact NTILE
+    // arithmetic — RanksSpec pins parity with the native window), so
+    // every data-grain window partitions by an order-aligned bucket;
+    // DESC orderings bucket on the negated key. The 1-row max-date and
+    // count aggregates broadcast.
     "q_rfm" -> ((s, d) => {
       val cust = Tables.orders(s, d)
         .groupBy(col("o_custkey"))
@@ -1548,11 +1549,19 @@ object RelationalExt {
           count(lit(1)).as("n_orders"),
           sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("spend_centi"))
       val maxD = cust.agg(max(col("last_d")).as("gmax"))
-      val scored = cust.crossJoin(broadcast(maxD))
+      val nTot = cust.agg(count(lit(1)).as("n_cust"))
+      val withDays = cust.crossJoin(broadcast(maxD))
         .withColumn("r_days", datediff(col("gmax"), col("last_d")).cast("long"))
-        .withColumn("r_q", ntile(5).over(Window.orderBy(col("r_days"), col("o_custkey"))))
-        .withColumn("f_q", ntile(5).over(Window.orderBy(col("n_orders").desc, col("o_custkey"))))
-        .withColumn("m_q", ntile(5).over(Window.orderBy(col("spend_centi").desc, col("o_custkey"))))
+      val rRanked = Ranks.globalOrderScan(withDays, expr("r_days DIV 8"),
+        Seq(col("r_days"), col("o_custkey")), "r_rk")
+      val fRanked = Ranks.globalOrderScan(rRanked, expr("-n_orders"),
+        Seq(col("n_orders").desc, col("o_custkey")), "f_rk")
+      val mRanked = Ranks.globalOrderScan(fRanked, expr("-(spend_centi DIV 1048576)"),
+        Seq(col("spend_centi").desc, col("o_custkey")), "m_rk")
+      val scored = mRanked.crossJoin(broadcast(nTot))
+        .withColumn("r_q", Ranks.ntileFromRank("r_rk", "n_cust", 5))
+        .withColumn("f_q", Ranks.ntileFromRank("f_rk", "n_cust", 5))
+        .withColumn("m_q", Ranks.ntileFromRank("m_rk", "n_cust", 5))
       scored
         .withColumn("rfm", expr("CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT)"))
         .groupBy(col("rfm"))
@@ -2022,20 +2031,17 @@ object RelationalExt {
     // (((r−1)·10) DIV n), boundary rows are the max-rank row per
     // decile, and shares are exact micro units (cum·10⁶ DIV S).
     //
-    // Scale posture: ranks run over the CUSTOMER-grain aggregate; at
-    // 100 TB the dense rank comes from the q_rowid bucket-offset
-    // technique rather than one reducer (the q_gini note).
+    // Scale posture: ranks AND the cumulative revenue both come from
+    // ONE [[Ranks.globalOrderScan]] bucket-offset pass (revenue-width
+    // buckets, x DIV 2²² cents ≈ $42k bands) — the data-grain window
+    // partitions by bucket; only the bucket-grain offset scan is
+    // partitionless.
     "q_lorenz_points" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
         .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("x"))
       val tot = rev.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
-      rev
-        .withColumn("r",
-          row_number().over(Window.orderBy(col("x"), col("o_custkey"))).cast("bigint"))
-        .withColumn("cum", sum(col("x")).over(
-          Window.orderBy(col("x"), col("o_custkey"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      Ranks.globalOrderScan(rev, expr("x DIV 4194304"),
+          Seq(col("x"), col("o_custkey")), "r", Seq((col("x"), "cum")))
         .crossJoin(broadcast(tot))
         .withColumn("decile", expr("((r - 1) * 10) DIV n + 1"))
         .groupBy(col("decile"))

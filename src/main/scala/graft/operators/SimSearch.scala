@@ -71,7 +71,7 @@ object SimSearch {
       .collect()
       .map(_.getSeq[Double](0).map(v => s"${v}D").mkString("array(", ",", ")"))
 
-  /** The TRAINED 16-cell codebook (Learn.coarseCentroids) as
+  /** The TRAINED ⌈√n⌉-cell codebook (Learn.coarseCentroids) as
     * double-array plan literals for the cosine-space cone-probe
     * generators (q_knn_label, q_dedup_embed). The 1e-4-grid integer
     * centroids are used UNSCALED — cosine is scale-invariant, so
@@ -197,11 +197,13 @@ object SimSearch {
         .limit(20)
     }),
 
-    // IVF-style ANN: a 16-cell inverted-file index with a TRAINED
+    // IVF-style ANN: a K-cell inverted-file index (K = ⌈√n⌉, floor 16
+    // — Learn.coarseK; a constant cell count leaves Θ(n/K)-deep
+    // serving lists that grow linearly with the corpus) with a TRAINED
     // codebook (Learn.coarseCentroids — one Lloyd round over the
-    // 1e-4-quantized grid from the 16-lowest-vec_id init; the old
-    // "first 16 vectors" codebook made cell BALANCE depend on data
-    // order — 16 clumped early vectors meant one hot cell did all the
+    // 1e-4-quantized grid from the K-lowest-vec_id init; the old
+    // "first K vectors" codebook made cell BALANCE depend on data
+    // order — K clumped early vectors meant one hot cell did all the
     // serving work). Cell assignment is one map-only pass per vector:
     // integer-L2 argmin against the k·dim centroid literals (the
     // q_kmeans_fit assignment — codebook-scale metadata folded into
@@ -210,7 +212,7 @@ object SimSearch {
     // driver-side on the identical collected codebook) and
     // brute-forces only those with the exact double cosine — at
     // 100 TB the cell id becomes the partition key, so a query
-    // touches ~2/16 of the data. Hash-checkable end to end: the
+    // touches ~nprobe/√n of the data. Hash-checkable end to end: the
     // oracle replays the TRAINING round (init → assign → update) plus
     // assignment, probe, and cosine CTE-for-CTE; Double.toString
     // round-trips exactly through the plan literal, and both engines
@@ -835,7 +837,8 @@ object SimSearch {
          |    list_transform(embedding,
          |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
          |  FROM embeddings),
-         |${Learn.initCte("c0", 1, Learn.Dim, "", Learn.CoarseK)},
+         |${Learn.CoarseKkCte},
+         |${Learn.initCte("c0", 1, Learn.Dim, "", Learn.CoarseKSql)},
          |${Learn.assignCte("a1", "c0", 1, Learn.Dim)},
          |${Learn.updateCte("c1", "a1", 1, Learn.Dim)},
          |${Learn.assignCte("a2", "c1", 1, Learn.Dim)},
@@ -894,7 +897,8 @@ object SimSearch {
          |    list_transform(embedding,
          |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
          |  FROM embeddings),
-         |${Learn.initCte("c0", 1, Learn.Dim, "", Learn.CoarseK)},
+         |${Learn.CoarseKkCte},
+         |${Learn.initCte("c0", 1, Learn.Dim, "", Learn.CoarseKSql)},
          |${Learn.assignCte("a1", "c0", 1, Learn.Dim)},
          |${Learn.updateCte("c1", "a1", 1, Learn.Dim)},
          |${Learn.assignCte("a2", "c1", 1, Learn.Dim)},

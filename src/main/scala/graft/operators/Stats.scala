@@ -1415,25 +1415,33 @@ object Stats {
     // σ̂ = ½m̄(m̄²/s² + 1) run on the 1-row final in identical float
     // text.
     //
-    // Scale posture: the rank comes from one window over the
-    // event-grain frame (at 100 TB the q_rowid bucket-offset form);
-    // everything after the 1-row threshold broadcast is map-side.
+    // Scale posture: the corpus collapses to the milli-value CENSUS
+    // (bounded distinct values — the q_ks_test/q_levene recipe) in one
+    // aggregate; the P90 is the rank CUT over that census's cumulative
+    // counts (the value whose [cum−c+1, cum] interval contains rank
+    // (9n DIV 10)+1 — identical to the event-grain row_number answer,
+    // ties collapse to the same vm by construction), so no window ever
+    // sees base rows; the excess moments aggregate the census too
+    // (count/sum/sum-of-squares weight by c).
     "q_pot_gpd" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val vals = Tables.events(s, d)
-        .select(col("event_id"),
-          expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
-      val n1 = vals.agg(count(lit(1)).as("n"))
-      val u = vals.crossJoin(broadcast(n1))
-        .withColumn("r", row_number().over(Window.orderBy(col("vm"), col("event_id"))))
-        .filter(col("r") === expr("(9 * n) DIV 10 + 1"))
+      val census = Tables.events(s, d)
+        .select(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+        .groupBy(col("vm")).agg(count(lit(1)).as("c"))
+      val n1 = census.agg(sum(col("c")).as("n"))
+      val u = census
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("vm"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(n1))
+        .filter(col("cum") >= expr("(9 * n) DIV 10 + 1") &&
+          col("cum") - col("c") < expr("(9 * n) DIV 10 + 1"))
         .select(col("vm").as("u"))
-      vals.crossJoin(broadcast(u))
+      census.crossJoin(broadcast(u))
         .filter(col("vm") > col("u"))
-        .select(col("u"), (col("vm") - col("u")).as("y"))
+        .select(col("u"), col("c"), (col("vm") - col("u")).as("y"))
         .groupBy(col("u"))
-        .agg(count(lit(1)).as("n_exceed"), sum(col("y")).as("sy"),
-          sum(expr("y * y")).as("syy"))
+        .agg(sum(col("c")).as("n_exceed"), sum(expr("y * c")).as("sy"),
+          sum(expr("y * y * c")).as("syy"))
         .withColumn("m", expr("CAST(sy AS DOUBLE) / n_exceed"))
         .withColumn("s2", expr(
           "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_exceed) / (n_exceed - 1)"))
