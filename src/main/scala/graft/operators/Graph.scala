@@ -49,6 +49,46 @@ object Graph {
     */
   private val TrussMaxRounds = 64
 
+  /** Double-edge-swap rounds for q_rich_club's degree-preserving null
+    * model — each round re-pairs EVERY edge under a fresh hash, so two
+    * rounds already decorrelate edge placement from the original
+    * wiring (each edge's final dst has passed through two uniform
+    * re-pairings); more rounds change ρ by noise, not signal, and the
+    * oracle replays each round CTE-for-CTE so the count is shared. */
+  private[graft] val RichClubSwapRounds = 2
+
+  /** The deterministic degree-preserving null graph: `rounds` rounds
+    * of hash-paired double-edge swaps over a DIRECTED/bipartite
+    * (src, dst) edge frame. Round r ranks edges by a 60-bit md5 fold
+    * of (src, dst, r) — the q_manifest fold, via the bucket-offset
+    * [[Ranks.globalOrderScan]], never a single-reducer sort — pairs
+    * rank 2i−1 with 2i, and each pair exchanges dst endpoints:
+    * (a,b),(c,d) → (a,d),(c,b). Every node's src-degree and dst-degree
+    * are preserved EXACTLY (GraphLearnSpec pins the multiset
+    * invariance); an odd leftover edge passes through; duplicate edges
+    * may arise — configuration-model semantics, counted as instances.
+    */
+  private[graft] def edgeSwapNull(edges: DataFrame, rounds: Int): DataFrame =
+    (1 to rounds).foldLeft(edges) { (e, r) =>
+      val hashed = e.select(col("src"), col("dst"), expr(
+        s"CAST(conv(substring(md5(concat_ws(':', src, dst, '$r')), 1, 15), 16, 10) AS BIGINT)")
+        .as("h"))
+      val ranked = Ranks.globalOrderScan(hashed,
+        expr(s"h DIV ${1L << 44}"),
+        Seq(col("h"), col("src"), col("dst")), "rk")
+      val odd = ranked.filter(col("rk") % 2 === 1)
+        .select(col("rk"), col("src").as("src_o"), col("dst").as("dst_o"))
+      val even = ranked.filter(col("rk") % 2 === 0)
+        .select((col("rk") - 1).as("rk"), col("src").as("src_e"),
+          col("dst").as("dst_e"))
+      val paired = odd.join(even, Seq("rk"), "left")
+      paired
+        .select(col("src_o").as("src"),
+          coalesce(col("dst_e"), col("dst_o")).as("dst"))
+        .unionByName(paired.filter(col("src_e").isNotNull)
+          .select(col("src_e").as("src"), col("dst_o").as("dst")))
+    }
+
   /** Materialized-peel depth of the q_ktruss DuckDB oracle — shared
     * with the query-time depth check so the two can never drift:
     * peeling is idempotent at the fixpoint, so any engine convergence
@@ -725,31 +765,55 @@ object Graph {
         .limit(50)
     }),
 
-    // RICH-CLUB COEFFICIENT (Zhou & Mondragón 2004; the Colizza 2006
-    // normalization is the documented next step) over the undirected
-    // trade graph — "do the hubs preferentially trade with each
-    // other": φ(k) = 2·E_k / (n_k(n_k−1)) where n_k counts nodes of
-    // degree > k and E_k the edges between two such nodes; reported
-    // for k ∈ {8, 16, 32} in exact micro units. One degree aggregate,
-    // then per k a broadcast-semi edge filter + 1-row counts — the
-    // edge set never reshuffles.
+    // RICH-CLUB COEFFICIENT with the Colizza 2006 NORMALIZATION (Zhou
+    // & Mondragón 2004 define φ; Colizza et al. divide by φ over a
+    // degree-preserving randomized graph, because raw φ(k) conflates
+    // hub-hub preference with what the degree sequence forces) over
+    // the undirected trade graph: φ(k) = 2·E_k / (n_k(n_k−1)) for
+    // nodes of degree > k, k ∈ {8, 16, 32}; ρ(k) = E_k / E_k_null.
+    //
+    // The null model is [[RichClubSwapRounds]] rounds of DETERMINISTIC
+    // double-edge swaps — the hash-for-RNG recipe (q_randwalk,
+    // q_sample_hash): round r ranks edges by a 60-bit md5 fold of
+    // (src, dst, r) via the bucket-offset [[Ranks.globalOrderScan]]
+    // (no single-reducer sort), pairs rank 2i−1 with 2i, and the pair
+    // exchanges dst endpoints — (a,b),(c,d) → (a,d),(c,b). Every
+    // node's degree is preserved EXACTLY (each src stays a src once,
+    // each dst a dst once; bipartite namespacing means self-loops are
+    // impossible), an odd leftover edge passes through, and duplicate
+    // edges may arise — the standard configuration-model semantics,
+    // counted as edge instances on both engines. Reproducible across
+    // re-runs, engines, and stage retries; the oracle replays hash,
+    // rank, pairing, and swap CTE-for-CTE (GraphLearnSpec pins the
+    // degree-multiset invariance).
+    //
+    // Scale posture: one degree aggregate; each swap round shuffles
+    // (src, dst, BIGINT-hash) triples keyed by bucket then by pair
+    // rank; per k a broadcast-semi edge filter + 1-row counts — edge
+    // text/payload never moves, and nothing is quadratic.
     "q_rich_club" -> ((s, d) => {
       val edges = tradeBase(s, d) // src even / dst odd, each edge once
       val deg = edges
         .select(explode(array(col("src"), col("dst"))).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
         .localCheckpoint() // node-catalog-sized; consumed per k
+      val nullEdges = edgeSwapNull(edges.select(col("src"), col("dst")),
+          RichClubSwapRounds)
+        .localCheckpoint() // consumed once per k
       val perK = Seq(8L, 16L, 32L).map { k =>
         val rich = deg.filter(col("deg") > k).select(col("v"))
         val nk = rich.agg(count(lit(1)).as("n_k"))
-        val ek = edges
+        def ekOf(e: DataFrame, name: String) = e
           .join(broadcast(rich.select(col("v").as("src"))), Seq("src"), "left_semi")
           .join(broadcast(rich.select(col("v").as("dst"))), Seq("dst"), "left_semi")
-          .agg(count(lit(1)).as("e_k"))
-        nk.crossJoin(broadcast(ek))
-          .select(lit(k).as("k"), col("n_k"), col("e_k"),
+          .agg(count(lit(1)).as(name))
+        nk.crossJoin(broadcast(ekOf(edges, "e_k")))
+          .crossJoin(broadcast(ekOf(nullEdges, "e_k_null")))
+          .select(lit(k).as("k"), col("n_k"), col("e_k"), col("e_k_null"),
             expr("CASE WHEN n_k >= 2 THEN (2 * e_k * 1000000) DIV (n_k * (n_k - 1)) END")
-              .as("phi_micro"))
+              .as("phi_micro"),
+            expr("CASE WHEN e_k_null > 0 THEN (e_k * 1000000) DIV e_k_null END")
+              .as("rho_micro"))
       }
       perK.reduce(_ unionByName _).orderBy(col("k"))
     }),
@@ -1955,21 +2019,50 @@ object Graph {
     },
 
     "q_rich_club" -> {
+      // The 60-bit md5 fold (the q_manifest idiom) — DuckDB twin of
+      // Spark's conv(substring(md5(x), 1, 15), 16, 10).
+      def fold(x: String): String =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range(1, 16), i -> CAST(strpos('0123456789abcdef', " +
+          s"substr(md5($x), i, 1)) - 1 AS BIGINT))), (a, b) -> a * 16 + b)"
+      // One deterministic swap round: hash-rank, pair 2i−1 with 2i,
+      // exchange dst endpoints; an odd leftover passes through.
+      def swap(prev: String, r: Int): String =
+        s"""h$r AS MATERIALIZED (
+           |  SELECT src, dst, ${fold(s"concat_ws(':', src, dst, '$r')")} AS h
+           |  FROM $prev),
+           |r$r AS MATERIALIZED (
+           |  SELECT src, dst, row_number() OVER (ORDER BY h, src, dst) AS rk
+           |  FROM h$r),
+           |s$r AS MATERIALIZED (
+           |  SELECT o.src, COALESCE(e.dst, o.dst) AS dst
+           |  FROM (SELECT * FROM r$r WHERE rk % 2 = 1) o
+           |  LEFT JOIN (SELECT * FROM r$r WHERE rk % 2 = 0) e ON e.rk = o.rk + 1
+           |  UNION ALL
+           |  SELECT e.src, o.dst
+           |  FROM (SELECT * FROM r$r WHERE rk % 2 = 0) e
+           |  JOIN (SELECT * FROM r$r WHERE rk % 2 = 1) o ON e.rk = o.rk + 1)""".stripMargin
       def oneK(k: Long): String =
         s"""SELECT CAST($k AS BIGINT) AS k,
            |  (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE deg > $k) AS n_k,
            |  (SELECT CAST(count(*) AS BIGINT) FROM e0
            |   WHERE src IN (SELECT v FROM deg WHERE deg > $k)
-           |     AND dst IN (SELECT v FROM deg WHERE deg > $k)) AS e_k""".stripMargin
+           |     AND dst IN (SELECT v FROM deg WHERE deg > $k)) AS e_k,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM s$RichClubSwapRounds
+           |   WHERE src IN (SELECT v FROM deg WHERE deg > $k)
+           |     AND dst IN (SELECT v FROM deg WHERE deg > $k)) AS e_k_null""".stripMargin
       s"""WITH e0 AS MATERIALIZED (
          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
          |deg AS MATERIALIZED (
          |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
          |    SELECT src AS v FROM e0 UNION ALL SELECT dst AS v FROM e0)
-         |  GROUP BY v)
-         |SELECT k, n_k, e_k,
-         |  CASE WHEN n_k >= 2 THEN (2 * e_k * 1000000) // (n_k * (n_k - 1)) END AS phi_micro
+         |  GROUP BY v),
+         |${(1 to RichClubSwapRounds)
+             .map(r => swap(if (r == 1) "e0" else s"s${r - 1}", r)).mkString(",\n")}
+         |SELECT k, n_k, e_k, e_k_null,
+         |  CASE WHEN n_k >= 2 THEN (2 * e_k * 1000000) // (n_k * (n_k - 1)) END AS phi_micro,
+         |  CASE WHEN e_k_null > 0 THEN (e_k * 1000000) // e_k_null END AS rho_micro
          |FROM ((${oneK(8)}) UNION ALL (${oneK(16)}) UNION ALL (${oneK(32)}))
          |ORDER BY k""".stripMargin
     },

@@ -2237,6 +2237,17 @@ object Learn {
     * (q_simsearch_ivf, q_knn_label, q_dedup_embed, q_ivfpq_search)
     * shares one training pass per session the way a production index
     * trains once and serves many queries. */
+  /** (vec_id, home) under the trained coarse codebook — exactKnnL2's
+    * pass-1 bucketing, exposed for Round11Spec's occupancy census (the
+    * per-cell candidate-mass bound on a skewed synthetic corpus). */
+  private[graft] def assignHomeCells(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(QuantTok).as("qv"))
+      .withColumn("qs", col("qv"))
+    assign(q, coarseCentroids(s, d))
+      .select(col("vec_id"), col("cluster").as("home"))
+  }
+
   private val coarseMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Long])]]()
 
