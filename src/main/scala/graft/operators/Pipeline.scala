@@ -363,6 +363,60 @@ object Pipeline {
         .orderBy(col("row_id"))
     }),
 
+    // BUDGET WATER-FILLING CAP — the step after q_token_budget's
+    // share table and before an actual training run: given
+    // a token budget B (here half the corpus), find the per-source cap
+    // C that spends it, i.e. the LARGEST integer C with
+    // Σ_s min(tokens_s, C) ≤ B — exactly how production data recipes
+    // cap over-represented sources (the "no source exceeds X tokens"
+    // rule) while taking small sources whole. Closed form at source
+    // grain: sort sources by tokens ascending with prefix sums; i* =
+    // the last rank where taking ranks ≤ i whole and capping the rest
+    // at t_i still fits (p_i + (n−i)·t_i ≤ B); then
+    // C = (B − p_{i*}) DIV (n − i*). All exact integer arithmetic —
+    // non-negative throughout, so DIV agrees across engines.
+    //
+    // Scale posture: one corpus shuffle to SOURCE grain (bounded
+    // catalog); the rank/prefix windows and the 1-row cap solve run on
+    // that bounded frame (the accepted aggregate-grain partitionless
+    // window); the per-source allocation is a broadcast join readout.
+    // The doc-level realization of the cap would be q_sample_hash's
+    // map-only hash filter at rate C/tokens_s — this query computes
+    // the recipe those rates come from.
+    "q_budget_cap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val srcTok = Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("bigint").as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"))
+      val tot = srcTok.agg(sum(col("tokens")).as("tt"), count(lit(1)).as("n_src"))
+        .withColumn("budget", expr("tt DIV 2"))
+      val wOrd = Window.orderBy(col("tokens"), col("source"))
+      val ranked = srcTok
+        .withColumn("rk", row_number().over(wOrd).cast("bigint"))
+        .withColumn("p", sum(col("tokens")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+      // alloc(t_i) = p_i + (n−i)·t_i is nondecreasing in i, so the
+      // feasibility condition holds on a rank PREFIX — i* and p_{i*}
+      // are plain filtered maxes.
+      val capRow = ranked
+        .groupBy(col("budget"), col("n_src"))
+        .agg(
+          coalesce(max(when(expr("p + (n_src - rk) * tokens <= budget"),
+            col("rk"))), lit(0L)).as("istar"),
+          coalesce(max(when(expr("p + (n_src - rk) * tokens <= budget"),
+            col("p"))), lit(0L)).as("pstar"))
+        .select(col("budget"), col("n_src"),
+          expr("CASE WHEN n_src > istar THEN (budget - pstar) DIV (n_src - istar) END")
+            .as("cap_tokens"))
+      srcTok.crossJoin(broadcast(capRow))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          least(col("tokens"), col("cap_tokens")).as("allocated"),
+          col("cap_tokens"), col("budget"))
+        .orderBy(col("source"))
+    }),
+
     // Market-basket co-occurrence (the support count of frequent-pair
     // mining, and the candidate generator for item-item collaborative
     // filtering): part pairs co-ordered in the same order, counted,
@@ -1294,6 +1348,35 @@ object Pipeline {
     "q_rowid" ->
       """SELECT doc_id, lang, row_number() OVER (ORDER BY doc_id) - 1 AS row_id
         |FROM documents ORDER BY row_id""".stripMargin,
+
+    "q_budget_cap" ->
+      """WITH src AS MATERIALIZED (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(SUM(tokens) AS BIGINT) AS tt,
+        |    CAST(count(*) AS BIGINT) AS n_src,
+        |    CAST(SUM(tokens) AS BIGINT) // 2 AS budget
+        |  FROM src),
+        |ranked AS (
+        |  SELECT source, tokens,
+        |    CAST(row_number() OVER (ORDER BY tokens, source) AS BIGINT) AS rk,
+        |    CAST(SUM(tokens) OVER (ORDER BY tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+        |  FROM src),
+        |cap AS (
+        |  SELECT budget, n_src,
+        |    COALESCE(MAX(CASE WHEN p + (n_src - rk) * tokens <= budget THEN rk END), 0) AS istar,
+        |    COALESCE(MAX(CASE WHEN p + (n_src - rk) * tokens <= budget THEN p END), 0) AS pstar
+        |  FROM ranked, tot GROUP BY budget, n_src),
+        |capv AS (
+        |  SELECT budget, n_src,
+        |    CASE WHEN n_src > istar THEN (budget - pstar) // (n_src - istar) END AS cap_tokens
+        |  FROM cap)
+        |SELECT source, n_docs, tokens,
+        |  LEAST(tokens, cap_tokens) AS allocated, cap_tokens, budget
+        |FROM src, capv ORDER BY source""".stripMargin,
 
     "q_assoc_rules" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -1925,6 +1925,101 @@ object RelationalExt {
           |ORDER BY nationkey""".stripMargin)
     }),
 
+    // NATION-PAIR TRADE VOLUME (the TPC-H Q7 shape): shipping revenue
+    // between distinct customer-nation / supplier-nation pairs by
+    // ship year — the international-flows readout. Revenue is the
+    // exact integer cents×percent product (the q_window_rank idiom:
+    // floor(price·100+0.5) · (100 − floor(disc·100+0.5))), summed as
+    // BIGINT, so the group totals hash-match bit-for-bit.
+    //
+    // Scale posture: the lineitem→orders join is the only fact-fact
+    // shuffle (keyed on orderkey); customer, supplier, and nation are
+    // catalog-grain and join hint-free (AQE broadcasts them); the
+    // group-by lands on the bounded (nation², year) grid.
+    "q_nation_volume" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, d).select(col("n_nationkey").as("c_nationkey"),
+          col("n_name").as("cust_nation")), "c_nationkey")
+        .join(Tables.nation(s, d).select(col("n_nationkey").as("s_nationkey"),
+          col("n_name").as("supp_nation")), "s_nationkey")
+        .filter(col("cust_nation") =!= col("supp_nation"))
+      rev
+        .select(col("cust_nation"), col("supp_nation"),
+          year(col("l_shipdate")).cast("bigint").as("l_year"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * " +
+            "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))").as("rev"))
+        .groupBy(col("cust_nation"), col("supp_nation"), col("l_year"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("rev")).as("revenue_cp"))
+        .orderBy(col("cust_nation"), col("supp_nation"), col("l_year"))
+    }),
+
+    // PRODUCT-LINE PROFIT by supplier nation and order year (the
+    // TPC-H Q9 shape, re-based on the fixture's columns: no partsupp
+    // table, so unit cost is 80% of p_retailprice — the substitution
+    // changes the constant, not the plan): profit = Σ revenue − cost,
+    // both exact integer cents×percent, groups on the bounded
+    // (nation, year) grid. Profit may be negative — it's a SUM only,
+    // no division, so Spark/DuckDB agree without the sdiv bridge.
+    //
+    // Scale posture: lineitem→orders keyed on orderkey is the one
+    // fact-fact shuffle; part and supplier/nation attach hint-free
+    // (catalog grain, AQE broadcast); the aggregate grain is tiny.
+    "q_product_profit" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("bigint").as("o_year"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * " +
+            "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) - " +
+            "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * 80 * " +
+            "CAST(l_quantity AS BIGINT)").as("amount"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("amount")).as("profit_cp"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // LONE LATE SUPPLIER (the TPC-H Q21 shape, re-based: the fixture
+    // carries no commit/receipt dates, so "late" = shipped more than
+    // 60 days after the order date): suppliers who were the ONLY late
+    // supplier on a multi-supplier order — the classic blame query,
+    // and the classic double-correlated-EXISTS decorrelation exercise.
+    // Expressed as one per-order aggregate (distinct suppliers,
+    // distinct LATE suppliers) joined back to the late lines: the
+    // EXISTS (another supplier on the order) becomes n_supp ≥ 2, the
+    // NOT EXISTS (another LATE supplier) becomes n_late_supp = 1 —
+    // the aggregate form Catalyst's decorrelation would produce, with
+    // the semantics in plain sight.
+    //
+    // Scale posture: lineitem→orders keyed on orderkey; the per-order
+    // aggregate reuses the same key (no extra shuffle partitioning);
+    // the final supplier rollup is catalog-grain; top-20 is a
+    // TakeOrdered heap.
+    "q_late_solo_supplier" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderdate")), "l_orderkey")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate").cast("date") >
+            date_add(col("o_orderdate").cast("date"), 60)).as("late"))
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      li.filter(col("late"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .join(perOrder.filter(col("n_supp") >= 2 && col("n_late_supp") === 1),
+          "l_orderkey")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("l_suppkey"))
+        .limit(20)
+    }),
+
     // LJUNG-BOX portmanteau test (Ljung & Box 1978) on the daily
     // event-count series — "is there ANY autocorrelation in the first
     // K lags" as one statistic, the whiteness gate a per-lag ACF read
@@ -3363,6 +3458,56 @@ object RelationalExt {
         |                  AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY p.c_nationkey
         |ORDER BY nationkey""".stripMargin,
+
+    "q_nation_volume" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+        |    AS revenue_cp
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE cn.n_name <> sn.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY cust_nation, supp_nation, l_year""".stripMargin,
+
+    "q_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |    - CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * 80
+        |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_cp
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_late_solo_supplier" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60 AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |per_order AS (
+        |  SELECT l_orderkey,
+        |    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |    CAST(count(DISTINCT CASE WHEN late THEN l_suppkey END) AS BIGINT)
+        |      AS n_late_supp
+        |  FROM li GROUP BY 1)
+        |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+        |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late) s
+        |JOIN per_order USING (l_orderkey)
+        |WHERE n_supp >= 2 AND n_late_supp = 1
+        |GROUP BY l_suppkey
+        |ORDER BY numwait DESC, l_suppkey LIMIT 20""".stripMargin,
 
     "q_ljung_box" -> {
       val rTerms = (1 to 7).map { k =>

@@ -172,6 +172,21 @@ class Round11Spec extends SparkSpec {
     assert(Graph.kcorePeel(core, 8, 1).count() === core.count())
   }
 
+  test("query names never collide across modules (a later module would silently shadow)") {
+    val perModule = SparkEntry.modules.map(_._1.keySet)
+    val union = perModule.reduce(_ ++ _)
+    assert(union.size === perModule.map(_.size).sum,
+      "duplicate query name(s) across modules: " +
+        perModule.flatten.groupBy(identity).collect {
+          case (k, vs) if vs.size > 1 => k
+        }.mkString(", "))
+    val perOracle = SparkEntry.modules.map(_._2.keySet)
+    assert(perOracle.reduce(_ ++ _).size === perOracle.map(_.size).sum,
+      "duplicate oracle name(s) across modules")
+    // every oracle names a registered query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("rich-club null model: degrees preserved exactly, edge count invariant") {
     import spark.implicits._
     val edges = Graph.tradeBase(spark, sf).select($"src", $"dst")
