@@ -697,6 +697,36 @@ object Graph {
         .orderBy(col("node_id"))
     }),
 
+    // CORE-NUMBER DECOMPOSITION via the h-index fixpoint (Lü, Chen,
+    // Ren, Zhang, Zhou & Stanley, PNAS 2016: iterating "h(v) ← H-index
+    // of neighbors' h values" from h = degree converges exactly to
+    // coreness) — q_kcore answers "who is in the 8-core"; this answers
+    // "what is EVERY node's core number" in one run, the whole
+    // decomposition a graph-curation pipeline thresholds later. The
+    // h-operator is embarrassingly node-parallel (no peel ordering),
+    // h is pointwise NON-INCREASING per round, so the Σh count probe
+    // detects the fixpoint exactly. Report at core-value census grain.
+    //
+    // Scale posture: per round ONE equi-join attaching neighbor h
+    // values (shuffles (node, BIGINT) pairs) and one node-partitioned
+    // rank window (H-index = max over desc-sorted neighbors of
+    // min(rank, value)); rounds localCheckpoint so the probe is
+    // metadata; the census is bounded by max-degree.
+    "q_core_number" -> ((s, d) => {
+      val (core, rounds) = coreNumbers(s, d)
+      if (rounds > CoreNumberOracleUnroll)
+        System.err.println(
+          s"WARNING: q_core_number converged in $rounds rounds but " +
+            s"oracleSql unrolls only $CoreNumberOracleUnroll - deepen it")
+      core.groupBy(col("h"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(expr("CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END")).as("n_customers"),
+          sum(expr("CASE WHEN u % 2 = 1 THEN 1 ELSE 0 END")).as("n_suppliers"))
+        .select(col("h").as("core"), col("n_nodes"), col("n_customers"),
+          col("n_suppliers"))
+        .orderBy(col("core"))
+    }),
+
     // BUTTERFLY COUNTING (Sanei-Mehri et al. 2018) — the bipartite
     // clustering primitive: a butterfly is a 2×2 biclique (two
     // customers sharing two suppliers), the smallest cohesion unit a
@@ -1894,6 +1924,51 @@ object Graph {
     * fixture SFs; the depth leaves headroom for deeper cascades. */
   private[graft] val KCoreOracleUnroll = 6
 
+  /** Oracle unroll depth for q_core_number — the trade graph's
+    * h-index iteration settles fast (dense bipartite core); shared
+    * with the query-time depth warning like [[KCoreOracleUnroll]]. */
+  private[graft] val CoreNumberOracleUnroll = 8
+  private val CoreNumberMaxRounds = 64
+
+  /** Every node's core number by h-index iteration (Lü et al. 2016):
+    * h₀ = degree; h_{t+1}(v) = H-index of {h_t(w) : w ~ v}; pointwise
+    * non-increasing and convergent to coreness, so the Σh probe
+    * detects the fixpoint. Returns ((u, h) frame, rounds including the
+    * final no-op round). */
+  private[graft] def coreNumbers(s: SparkSession, d: String): (DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val base = tradeBase(s, d)
+    val edges = base
+      .select(explode(array(
+        struct(col("src").as("u"), col("dst").as("v")),
+        struct(col("dst").as("u"), col("src").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint() // reused every round
+    var h = edges.groupBy(col("u")).agg(count(lit(1)).as("h")).localCheckpoint()
+    var sumH = h.agg(sum(col("h"))).head().getLong(0)
+    var rounds = 0
+    var converged = false
+    val wU = Window.partitionBy(col("u")).orderBy(col("hv").desc, col("v"))
+    while (!converged && rounds < CoreNumberMaxRounds) {
+      val next = edges
+        .join(h.select(col("u").as("v"), col("h").as("hv")), "v")
+        .withColumn("rn", row_number().over(wU).cast("bigint"))
+        .select(col("u"), least(col("rn"), col("hv")).as("cap"))
+        .groupBy(col("u")).agg(max(col("cap")).as("h"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum(col("h"))).head().getLong(0)
+      rounds += 1
+      converged = nextSum == sumH
+      h = next
+      sumH = nextSum
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"coreNumbers hit CoreNumberMaxRounds=$CoreNumberMaxRounds still " +
+          "decreasing - raise the backstop")
+    (h, rounds)
+  }
+
   /** [[kcorePeel]] run to the TRUE fixpoint: peel until a round
     * removes no edge (count probe per round — metadata on the
     * localCheckpointed frame each round must materialize anyway).
@@ -2100,6 +2175,30 @@ object Graph {
          |  CASE WHEN e_k_null > 0 THEN (e_k * 1000000) // e_k_null END AS rho_micro
          |FROM ((${oneK(8)}) UNION ALL (${oneK(16)}) UNION ALL (${oneK(32)}))
          |ORDER BY k""".stripMargin
+    },
+
+    "q_core_number" -> {
+      def hIdx(prev: String, r: Int): String =
+        s"""h$r AS MATERIALIZED (
+           |  SELECT u, CAST(MAX(LEAST(rn, hv)) AS BIGINT) AS h FROM (
+           |    SELECT e.u, p.h AS hv,
+           |      CAST(row_number() OVER (PARTITION BY e.u ORDER BY p.h DESC, e.v)
+           |        AS BIGINT) AS rn
+           |    FROM e JOIN $prev p ON e.v = p.u) q
+           |  GROUP BY u)""".stripMargin
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS MATERIALIZED (
+         |  SELECT src AS u, dst AS v FROM b
+         |  UNION ALL SELECT dst AS u, src AS v FROM b),
+         |h0 AS MATERIALIZED (
+         |  SELECT u, CAST(count(*) AS BIGINT) AS h FROM e GROUP BY u),
+         |${(1 to CoreNumberOracleUnroll).map(r => hIdx(s"h${r - 1}", r)).mkString(",\n")}
+         |SELECT h AS core, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(SUM(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+         |  CAST(SUM(CASE WHEN u % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
+         |FROM h$CoreNumberOracleUnroll GROUP BY h ORDER BY core""".stripMargin
     },
 
     "q_assortativity" ->

@@ -264,6 +264,60 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // TOKENIZER FERTILITY by language — the first number in every
+    // tokenizer-eval table (pieces per word, chars per piece): a
+    // tokenizer trained on English text splits other scripts into more
+    // pieces, inflating their effective sequence length and training
+    // cost; fertility per lang is how that bias is measured. Rides the
+    // SAME 5-round trained BPE as q_bpe_encode/q_bpe_tokens (one
+    // training loop, vocab-grain piece map broadcast into the exploded
+    // corpus); fertility and chars/piece in exact micro via DIV.
+    //
+    // Scale posture: the corpus shuffles once into the (lang) grain;
+    // merge training never sees the corpus (word-frequency table
+    // only); the piece map is vocab-grain broadcast.
+    "q_tokenizer_fertility" -> ((s, d) => {
+      val (_, words) = bpeLoop(s, d)
+      val pieces = words.select(col("t"),
+        size(col("syms")).cast("long").as("np"),
+        length(col("t")).cast("long").as("nc"))
+      Tables.documents(s, d)
+        .select(col("lang"), explode(expr(toks)).as("t"))
+        .filter(col("t") =!= "")
+        .join(broadcast(pieces), "t")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+          sum(col("nc")).as("n_chars"))
+        .withColumn("fertility_micro", expr("(n_pieces * 1000000) DIV n_words"))
+        .withColumn("chars_per_piece_micro", expr("(n_chars * 1000000) DIV n_pieces"))
+        .orderBy(col("lang"))
+    }),
+
+    // TRUNCATION-LOSS sweep — what a context-length decision costs in
+    // data: for candidate lengths L ∈ {64, 128, 256} whitespace
+    // tokens, the share of corpus tokens LOST to truncating every
+    // document at L, and how many documents get cut at all. The table
+    // a pretraining config review reads next to q_length_bucket's
+    // histogram and q_pack_sequences' bin stats before fixing seq_len.
+    // Exact integers end to end (min, sums, micro DIV).
+    //
+    // Scale posture: one doc-grain token count (map-only), a 3-way
+    // candidate explode (map-side), one bounded 3-row aggregate — the
+    // corpus is scanned once and nothing else moves.
+    "q_truncation_loss" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("bigint").as("nt"))
+        .select(col("nt"), explode(expr("array(64L, 128L, 256L)")).as("max_len"))
+        .groupBy(col("max_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("CASE WHEN nt > max_len THEN 1 ELSE 0 END")).as("n_truncated"),
+          sum(col("nt")).as("tokens_total"),
+          sum(least(col("nt"), col("max_len"))).as("tokens_kept"))
+        .withColumn("loss_micro",
+          expr("((tokens_total - tokens_kept) * 1000000) DIV tokens_total"))
+        .orderBy(col("max_len"))
+    }),
+
     // Vocabulary coverage curve — the tokenizer-sizing diagnostic:
     // what fraction of corpus token OCCURRENCES do the top-k vocab
     // entries cover? (Drives the vocab-size / OOV-rate tradeoff when
@@ -1755,6 +1809,34 @@ object TextAnalysis {
 
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
+
+    "q_tokenizer_fertility" -> bpeOracle(
+      """SELECT d.lang, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(len(w.syms)) AS BIGINT) AS n_pieces,
+        |  CAST(SUM(length(w.t)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(len(w.syms)) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+        |    AS fertility_micro,
+        |  CAST(SUM(length(w.t)) AS BIGINT) * 1000000 // CAST(SUM(len(w.syms)) AS BIGINT)
+        |    AS chars_per_piece_micro
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents) d
+        |JOIN w5 w ON d.t = w.t
+        |WHERE d.t <> ''
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+
+    "q_truncation_loss" ->
+      """WITH nt AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+        |sweep AS (
+        |  SELECT max_len, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN nt > max_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+        |    CAST(SUM(nt) AS BIGINT) AS tokens_total,
+        |    CAST(SUM(LEAST(nt, max_len)) AS BIGINT) AS tokens_kept
+        |  FROM nt, (SELECT unnest([CAST(64 AS BIGINT), CAST(128 AS BIGINT),
+        |    CAST(256 AS BIGINT)]) AS max_len)
+        |  GROUP BY max_len)
+        |SELECT max_len, n_docs, n_truncated, tokens_total, tokens_kept,
+        |  ((tokens_total - tokens_kept) * 1000000) // tokens_total AS loss_micro
+        |FROM sweep ORDER BY max_len""".stripMargin,
     "q_bpe_tokens" -> bpeTokensOracle,
 
     // Full replay: vocabulary + quantized surprisals recomputed in

@@ -113,10 +113,13 @@ class PlanAuditSpec extends SparkSpec {
     df.collect()
     val p = plan(df).split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct"))
-    // the ONLY join is orders⋈lineitem; every peel round is windows+filter
+    // the ONLY join is orders⋈lineitem (since the round-11 fixpoint
+    // rework it usually sits BEHIND the per-round localCheckpoint
+    // boundary, appearing as a Scan ExistingRDD → 0 visible joins);
+    // every peel round is windows+filter, never a join
     val joins = p.linesIterator.count(l =>
       l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin"))
-    assert(joins === 1, s"peel rounds must not join, got $joins joins:\n${p.take(1500)}")
+    assert(joins <= 1, s"peel rounds must not join, got $joins joins:\n${p.take(1500)}")
   }
 
   test("q_rowid: the data-scale window is bucket-partitioned (no global sort reducer)") {

@@ -187,6 +187,29 @@ class Round11Spec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("core numbers: h-index fixpoint agrees with the k-core peel exactly") {
+    import spark.implicits._
+    val (core, rounds) = Graph.coreNumbers(spark, sf)
+    assert(rounds <= Graph.CoreNumberOracleUnroll,
+      s"fixture needs $rounds h-index rounds but the oracle unrolls only " +
+        s"${Graph.CoreNumberOracleUnroll}")
+    val byNode = core.as[(Long, Long)].collect().toMap
+    // cross-validation against the INDEPENDENT peel implementation:
+    // core(v) >= 8 iff v survives the 8-core fixpoint
+    val base = Graph.tradeBase(spark, sf)
+    val edges = base
+      .select(explode(array(
+        struct(col("src").as("u"), col("dst").as("v")),
+        struct(col("dst").as("u"), col("src").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val survivors = Graph.kcorePeelFixpoint(edges, 8)._1
+      .select($"u").distinct().as[Long].collect().toSet
+    val high = byNode.filter(_._2 >= 8L).keySet
+    assert(high === survivors,
+      s"h-index coreness and peel disagree: ${(high diff survivors).take(5)} / " +
+        s"${(survivors diff high).take(5)}")
+  }
+
   test("rich-club null model: degrees preserved exactly, edge count invariant") {
     import spark.implicits._
     val edges = Graph.tradeBase(spark, sf).select($"src", $"dst")
