@@ -848,41 +848,6 @@ object Graph {
       perK.reduce(_ unionByName _).orderBy(col("k"))
     }),
 
-    // DEGREE ASSORTATIVITY (Newman 2002) — the one-number companion to
-    // q_rich_club's curve: the Pearson correlation of (deg(u), deg(v))
-    // over every edge END (both orientations, so the moment sums are
-    // symmetric and sy = sx, syy = sxx exactly). Negative r = hubs
-    // attach to leaves (typical bipartite trade/web graphs), positive
-    // = hubs attach to hubs. Moments are exact BIGInts (degree sums
-    // < 2⁵³, so the final double division is identical IEEE on both
-    // engines); r rounds to 1e-6.
-    //
-    // Scale posture: one degree aggregate (node grain), two hint-free
-    // equi-joins attaching endpoint degrees (AQE broadcasts the
-    // node-catalog side at fixture scale, degrades to shuffle joins),
-    // a map-side both-direction explode, ONE 1-row moment aggregate —
-    // nothing quadratic, nothing collected.
-    "q_assortativity" -> ((s, d) => {
-      val edges = tradeBase(s, d)
-      val deg = edges
-        .select(explode(array(col("src"), col("dst"))).as("v"))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      edges
-        .join(deg.select(col("v").as("src"), col("deg").as("du")), "src")
-        .join(deg.select(col("v").as("dst"), col("deg").as("dv")), "dst")
-        .select(explode(array(
-          struct(col("du").as("x"), col("dv").as("y")),
-          struct(col("dv").as("x"), col("du").as("y")))).as("p"))
-        .select(col("p.x").as("x"), col("p.y").as("y"))
-        .agg(count(lit(1)).as("n_ends"), sum(col("x")).as("sx"),
-          sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
-        .select(col("n_ends"), col("sx"), col("sxy"),
-          round(expr(
-            "(CAST(n_ends AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx) / " +
-              "(CAST(n_ends AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"), 6)
-            .as("assortativity"))
-    }),
-
     // ADAMIC-ADAR link prediction (Adamic & Adar 2003) — q_linkpred's
     // Jaccard reweighted by how DISCRIMINATIVE each shared neighbor
     // is: a supplier half the market buys from says nothing about two
@@ -2200,32 +2165,6 @@ object Graph {
          |  CAST(SUM(CASE WHEN u % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
          |FROM h$CoreNumberOracleUnroll GROUP BY h ORDER BY core""".stripMargin
     },
-
-    "q_assortativity" ->
-      """WITH e0 AS MATERIALIZED (
-        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |deg AS MATERIALIZED (
-        |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
-        |    SELECT src AS v FROM e0 UNION ALL SELECT dst AS v FROM e0)
-        |  GROUP BY v),
-        |ends AS (
-        |  SELECT du.deg AS x, dv.deg AS y
-        |  FROM e0 JOIN deg du ON e0.src = du.v JOIN deg dv ON e0.dst = dv.v
-        |  UNION ALL
-        |  SELECT dv.deg AS x, du.deg AS y
-        |  FROM e0 JOIN deg du ON e0.src = du.v JOIN deg dv ON e0.dst = dv.v),
-        |m AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_ends,
-        |    CAST(sum(x) AS BIGINT) AS sx,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx,
-        |    CAST(sum(x * y) AS BIGINT) AS sxy
-        |  FROM ends)
-        |SELECT n_ends, sx, sxy,
-        |  round((CAST(n_ends AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx) /
-        |    (CAST(n_ends AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
-        |    AS assortativity
-        |FROM m""".stripMargin,
 
     // Mirrors q_linkpred's capped wedge generator; the center weight
     // joins by sp BEFORE the pair aggregate, and the center degree is

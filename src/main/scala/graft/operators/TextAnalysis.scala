@@ -264,8 +264,9 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
-    // TOKENIZER FERTILITY by language — the first number in every
-    // tokenizer-eval table (pieces per word, chars per piece): a
+    // BPE FERTILITY by language — q_tokenizer_fertility's closed-form
+    // proxy table upgraded to the REAL trained subword counts
+    // (pieces per word, chars per piece under the 5-round BPE): a
     // tokenizer trained on English text splits other scripts into more
     // pieces, inflating their effective sequence length and training
     // cost; fertility per lang is how that bias is measured. Rides the
@@ -276,7 +277,7 @@ object TextAnalysis {
     // Scale posture: the corpus shuffles once into the (lang) grain;
     // merge training never sees the corpus (word-frequency table
     // only); the piece map is vocab-grain broadcast.
-    "q_tokenizer_fertility" -> ((s, d) => {
+    "q_bpe_fertility" -> ((s, d) => {
       val (_, words) = bpeLoop(s, d)
       val pieces = words.select(col("t"),
         size(col("syms")).cast("long").as("np"),
@@ -1810,7 +1811,7 @@ object TextAnalysis {
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
 
-    "q_tokenizer_fertility" -> bpeOracle(
+    "q_bpe_fertility" -> bpeOracle(
       """SELECT d.lang, CAST(count(*) AS BIGINT) AS n_words,
         |  CAST(SUM(len(w.syms)) AS BIGINT) AS n_pieces,
         |  CAST(SUM(length(w.t)) AS BIGINT) AS n_chars,

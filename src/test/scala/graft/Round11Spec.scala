@@ -187,6 +187,28 @@ class Round11Spec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("no query name is registered twice within one module source file") {
+    // A duplicate key inside ONE Map literal collapses silently at
+    // construction (Scala keeps the later entry), which the runtime
+    // cross-module guard can never see — so this scans the SOURCE: a
+    // `"q_…" ->` registration may appear at most twice per file (once
+    // in `queries`, once in `oracles`).
+    val reg = """"(q_\w+)"\s*->""".r
+    val dirs = Seq("src/main/scala/graft/operators",
+      "src/main/scala/graft/functions", "src/main/scala/graft/sources",
+      "src/main/scala/graft/plans")
+    val bad = for {
+      dir <- dirs
+      f <- Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      if f.getName.endsWith(".scala")
+      src = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      (name, n) <- reg.findAllMatchIn(src).map(_.group(1)).toSeq
+        .groupBy(identity).view.mapValues(_.size)
+      if n > 2
+    } yield s"${f.getName}: $name ×$n"
+    assert(bad.isEmpty, s"duplicate in-file registrations: ${bad.mkString(", ")}")
+  }
+
   test("core numbers: h-index fixpoint agrees with the k-core peel exactly") {
     import spark.implicits._
     val (core, rounds) = Graph.coreNumbers(spark, sf)
