@@ -22,17 +22,15 @@ object Scratch {
 
     import org.apache.spark.sql.functions._
     import graft.operators.Graph
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
-    val plan = Graph.orientedSupport(
-      Graph.copurchaseEdges(spark, "/root/testdata/sf0.001").localCheckpoint(),
-      checkpoint = false).queryExecution.optimizedPlan
-    val csAggs = plan.collect { case a: Aggregate
-      if a.aggregateExpressions.exists(_.toString.contains("collect_set")) => a }
-    println(s"nAggs=${csAggs.size}")
-    csAggs.foreach { a =>
-      println("---- agg: " + a.aggregateExpressions.map(_.toString).mkString("|").take(150))
-      a.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.foreach(j => println("  join: " + j.condition.map(_.toString).getOrElse("none").take(300)))
-    }
+    time("tradeBase") { Graph.tradeBase(spark, d).count() }
+    val edges = Graph.tradeBase(spark, d).select(col("src"), col("dst"))
+    time("tradeBase again (cached)") { edges.count() }
+    time("deg") { edges.select(explode(array(col("src"), col("dst"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg")).count() }
+    time("swap x1") { Graph.edgeSwapNull(edges, 1).count() }
+    time("swap x2") { Graph.edgeSwapNull(edges, 2).count() }
+    time("hash only") { edges.select(expr(
+      "CAST(conv(substring(md5(concat_ws(':', src, dst, '1')), 1, 15), 16, 10) AS BIGINT)").as("h")).agg(sum("h")).count() }
     spark.stop()
   }
 }

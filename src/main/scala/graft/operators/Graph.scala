@@ -76,24 +76,34 @@ object Graph {
       val ranked = Ranks.globalOrderScan(hashed,
         expr(s"h DIV ${1L << 44}"),
         Seq(col("h"), col("src"), col("dst")), "rk")
-      val odd = ranked.filter(col("rk") % 2 === 1)
-        .select(col("rk"), col("src").as("src_o"), col("dst").as("dst_o"))
-      val even = ranked.filter(col("rk") % 2 === 0)
-        .select((col("rk") - 1).as("rk"), col("src").as("src_e"),
-          col("dst").as("dst_e"))
-      val paired = odd.join(even, Seq("rk"), "left")
-      paired
-        .select(col("src_o").as("src"),
-          coalesce(col("dst_e"), col("dst_o")).as("dst"))
-        .unionByName(paired.filter(col("src_e").isNotNull)
-          .select(col("src_e").as("src"), col("dst_o").as("dst")))
+      // ONE pass over the ranked frame: pair id p = (rk+1) DIV 2 keys a
+      // 2-row group, and both swapped edges emit map-side from the
+      // sorted pair array (an odd/even split + self-join would compute
+      // the rank window twice and shuffle twice); an odd leftover is a
+      // 1-row group and passes through unchanged.
+      ranked
+        .select(expr("(rk + 1) DIV 2").as("p"),
+          struct(col("rk"), col("src"), col("dst")).as("e"))
+        .groupBy(col("p"))
+        .agg(sort_array(collect_list(col("e"))).as("es"))
+        .select(explode(expr(
+          """CASE WHEN size(es) = 2 THEN array(
+            |  named_struct('src', es[0].src, 'dst', es[1].dst),
+            |  named_struct('src', es[1].src, 'dst', es[0].dst))
+            |ELSE array(named_struct('src', es[0].src, 'dst', es[0].dst)) END"""
+            .stripMargin)).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
     }
 
   /** Materialized-peel depth of the q_ktruss DuckDB oracle — shared
     * with the query-time depth check so the two can never drift:
     * peeling is idempotent at the fixpoint, so any engine convergence
-    * in ≤ this many rounds makes the extra unrolled peels no-ops. */
-  private[graft] val KTrussOracleUnroll = 6
+    * in ≤ this many rounds makes the extra unrolled peels no-ops.
+    * Raised 6 → 10 in round 11: the depth-check warning (added this
+    * round) fired at sf0.1, where the cascade needs 8 rounds — the
+    * driver's oracle SFs converge well inside 6, but the guard exists
+    * precisely so the unroll covers every SF the bench exercises. */
+  private[graft] val KTrussOracleUnroll = 10
 
   /** q_closeness's landmark-panel size — CONSTANT by design, so the
     * tagged multi-source BFS state is O(L·n) at any graph scale.
@@ -829,23 +839,34 @@ object Graph {
         .localCheckpoint() // node-catalog-sized; consumed per k
       val nullEdges = edgeSwapNull(edges.select(col("src"), col("dst")),
           RichClubSwapRounds)
-        .localCheckpoint() // consumed once per k
-      val perK = Seq(8L, 16L, 32L).map { k =>
-        val rich = deg.filter(col("deg") > k).select(col("v"))
-        val nk = rich.agg(count(lit(1)).as("n_k"))
-        def ekOf(e: DataFrame, name: String) = e
-          .join(broadcast(rich.select(col("v").as("src"))), Seq("src"), "left_semi")
-          .join(broadcast(rich.select(col("v").as("dst"))), Seq("dst"), "left_semi")
-          .agg(count(lit(1)).as(name))
-        nk.crossJoin(broadcast(ekOf(edges, "e_k")))
-          .crossJoin(broadcast(ekOf(nullEdges, "e_k_null")))
-          .select(lit(k).as("k"), col("n_k"), col("e_k"), col("e_k_null"),
-            expr("CASE WHEN n_k >= 2 THEN (2 * e_k * 1000000) DIV (n_k * (n_k - 1)) END")
-              .as("phi_micro"),
-            expr("CASE WHEN e_k_null > 0 THEN (e_k * 1000000) DIV e_k_null END")
-              .as("rho_micro"))
+      // ALL three k thresholds in ONE decorated pass per edge frame:
+      // attach endpoint degrees once (node-catalog joins, AQE
+      // broadcast), then each k is a map-side predicate inside one
+      // aggregate — not a per-k semi-join rescan (6 scans → 2).
+      val ks = Seq(8L, 16L, 32L)
+      def ekCounts(e: DataFrame, pre: String) = {
+        val aggs = ks.map(k =>
+          sum(when(col("ds") > k && col("dd") > k, 1L).otherwise(0L)).as(s"$pre$k"))
+        e.join(deg.select(col("v").as("src"), col("deg").as("ds")), "src")
+          .join(deg.select(col("v").as("dst"), col("deg").as("dd")), "dst")
+          .agg(aggs.head, aggs.tail: _*)
       }
-      perK.reduce(_ unionByName _).orderBy(col("k"))
+      val nkAggs = ks.map(k =>
+        sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"nk$k"))
+      val structs = ks.map(k =>
+        s"named_struct('k', ${k}L, 'n_k', nk$k, 'e_k', ek$k, 'e_k_null', en$k)")
+        .mkString("array(", ", ", ")")
+      deg.agg(nkAggs.head, nkAggs.tail: _*)
+        .crossJoin(broadcast(ekCounts(edges, "ek")))
+        .crossJoin(broadcast(ekCounts(nullEdges, "en")))
+        .select(explode(expr(structs)).as("r"))
+        .select(col("r.k").as("k"), col("r.n_k").as("n_k"),
+          col("r.e_k").as("e_k"), col("r.e_k_null").as("e_k_null"))
+        .withColumn("phi_micro", expr(
+          "CASE WHEN n_k >= 2 THEN (2 * e_k * 1000000) DIV (n_k * (n_k - 1)) END"))
+        .withColumn("rho_micro", expr(
+          "CASE WHEN e_k_null > 0 THEN (e_k * 1000000) DIV e_k_null END"))
+        .orderBy(col("k"))
     }),
 
     // ADAMIC-ADAR link prediction (Adamic & Adar 2003) — q_linkpred's
