@@ -1457,6 +1457,38 @@ object Learn {
           col("d_milli").as("eps_milli"), col("dev"))
     }),
 
+    // k-NN REGRESSION eval over the shared exact index — the
+    // label-propagation baseline every embedding-quality report runs
+    // (if 3-NN labels don't predict a vector's own label, the space
+    // isn't organized): predict ŷ(x) = mean of the 3 exact nearest
+    // neighbors' labels, report per-true-label MAE and
+    // rounded-prediction accuracy, all exact integer micro (sum DIV 3,
+    // round-half-up via (p + 5·10⁵) DIV 10⁶ on non-negative preds).
+    //
+    // Scale posture: reads the MEMOIZED [[exactKnnL2]] index (built
+    // once per session for the whole consumer family); labels attach
+    // by a node-catalog join; aggregates land on the label grain.
+    "q_knn_regression" -> ((s, d) => {
+      val labels = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("y"))
+      val preds = exactKnnL2(s, d, k = 3)
+        .join(labels.select(col("vec_id").as("b_id"), col("y").as("yn")), "b_id")
+        .groupBy(col("a_id"))
+        .agg(sum(col("yn")).as("sy"), count(lit(1)).as("nn"))
+        .filter(col("nn") === 3)
+        .select(col("a_id").as("vec_id"),
+          expr("(sy * 1000000) DIV 3").as("pred_micro"))
+      preds.join(labels, "vec_id")
+        .groupBy(col("y").as("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("abs(pred_micro - y * 1000000)")).as("sae_micro"),
+          sum(expr("CASE WHEN (pred_micro + 500000) DIV 1000000 = y THEN 1 ELSE 0 END"))
+            .as("n_round_correct"))
+        .withColumn("mae_micro", expr("sae_micro DIV n"))
+        .select(col("label"), col("n"), col("mae_micro"), col("n_round_correct"))
+        .orderBy(col("label"))
+    }),
+
     // LOCAL OUTLIER FACTOR (Breunig et al. 2000), k = 3 — the
     // density-RATIO outlier score that fixes q_ood_knn's remaining
     // blind spot: a point at the edge of a sparse-but-real cluster has
@@ -2488,6 +2520,27 @@ object Learn {
     // INDEPENDENT algorithm: brute-force all-pairs 3rd-NN (no cells,
     // no bound, no probe — the compare also proves the two-pass bound
     // lossless on the fixture).
+    "q_knn_regression" ->
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS y,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |pr AS (
+         |  SELECT a.vec_id AS ai, b.y AS yn,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${ddSql("a.qv", "b.qv")}, b.vec_id) AS rn
+         |  FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+         |preds AS (
+         |  SELECT ai AS vec_id, (CAST(SUM(yn) AS BIGINT) * 1000000) // 3 AS pred_micro
+         |  FROM pr WHERE rn <= 3 GROUP BY ai HAVING count(*) = 3)
+         |SELECT q.y AS label, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(SUM(abs(pred_micro - q.y * 1000000)) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |    AS mae_micro,
+         |  CAST(SUM(CASE WHEN (pred_micro + 500000) // 1000000 = q.y THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_round_correct
+         |FROM preds JOIN q USING (vec_id)
+         |GROUP BY q.y ORDER BY label""".stripMargin,
+
     "q_ood_knn" ->
       s"""WITH q AS (
          |  SELECT vec_id,

@@ -2020,6 +2020,63 @@ object RelationalExt {
         .limit(20)
     }),
 
+    // IMPORTANT STOCK (the TPC-H Q11 shape, re-based: no partsupp, so
+    // "stock value" = shipped value through one nation's suppliers —
+    // the LOWEST supplier nationkey present, a deterministic anchor
+    // that exists at every SF): parts whose value through that
+    // nation's suppliers exceeds 0.1% of the nation's total — the
+    // correlated HAVING-against-a-global-scalar shape, decorrelated to
+    // a 1-row broadcast and an exact integer cross-multiplied
+    // threshold (value·1000 > total; all non-negative, shares in
+    // micro via DIV).
+    //
+    // Scale posture: the 1-row min-nation aggregate broadcasts into
+    // the catalog-grain supplier filter, which prunes the fact join;
+    // one partkey-grain aggregate; the 1-row total broadcasts; top-50
+    // is a TakeOrdered heap.
+    "q_important_stock" -> ((s, d) => {
+      val minNation = Tables.supplier(s, d)
+        .agg(min(col("s_nationkey")).as("mn"))
+      val nationSupp = Tables.supplier(s, d).crossJoin(broadcast(minNation))
+        .filter(col("s_nationkey") === col("mn"))
+      val perPart = Tables.lineitem(s, d)
+        .join(nationSupp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * " +
+            "CAST(l_quantity AS BIGINT)").as("v"))
+        .groupBy(col("l_partkey")).agg(sum(col("v")).as("value_cq"))
+      val tot = perPart.agg(sum(col("value_cq")).as("total_cq"))
+      perPart.crossJoin(broadcast(tot))
+        .filter(expr("value_cq * 1000 > total_cq"))
+        .select(col("l_partkey"), col("value_cq"),
+          expr("(value_cq * 1000000) DIV total_cq").as("share_micro"))
+        .orderBy(col("value_cq").desc, col("l_partkey"))
+        .limit(50)
+    }),
+
+    // ORDER-COUNT DISTRIBUTION (the TPC-H Q13 shape): how many
+    // customers placed exactly k non-urgent orders — the LEFT-join
+    // histogram that keeps zero-order customers (count(o_orderkey)
+    // counts non-NULL matches, so an unmatched customer lands in the
+    // k = 0 bucket; the fixture's every-customer-orders property makes
+    // that bucket empty today, but the plan shape is the contract).
+    //
+    // Scale posture: one custkey-keyed left join (orders project to
+    // key + the filter column only), a customer-grain count, a bounded
+    // histogram aggregate.
+    "q_order_count_dist" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_customers").desc, col("c_count").desc)
+    }),
+
     // LJUNG-BOX portmanteau test (Ljung & Box 1978) on the daily
     // event-count series — "is there ANY autocorrelation in the first
     // K lags" as one statistic, the whiteness gate a per-lag ACF read
@@ -3508,6 +3565,33 @@ object RelationalExt {
         |WHERE n_supp >= 2 AND n_late_supp = 1
         |GROUP BY l_suppkey
         |ORDER BY numwait DESC, l_suppkey LIMIT 20""".stripMargin,
+
+    "q_important_stock" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_cq
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
+        |  GROUP BY l_partkey),
+        |tot AS (SELECT CAST(SUM(value_cq) AS BIGINT) AS total_cq FROM per_part)
+        |SELECT l_partkey, value_cq,
+        |  (value_cq * 1000000) // total_cq AS share_micro
+        |FROM per_part, tot
+        |WHERE value_cq * 1000 > total_cq
+        |ORDER BY value_cq DESC, l_partkey LIMIT 50""".stripMargin,
+
+    "q_order_count_dist" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN (
+        |    SELECT o_custkey, o_orderkey FROM orders
+        |    WHERE o_orderpriority <> '1-URGENT') o
+        |  ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM per_cust GROUP BY c_count
+        |ORDER BY n_customers DESC, c_count DESC""".stripMargin,
 
     "q_ljung_box" -> {
       val rTerms = (1 to 7).map { k =>

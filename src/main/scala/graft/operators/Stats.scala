@@ -1449,6 +1449,55 @@ object Stats {
           round(col("m"), 4).as("mean_excess_milli"),
           round(expr("0.5 * (1 - m * m / s2)"), 6).as("xi"),
           round(expr("0.5 * m * (m * m / s2 + 1)"), 4).as("sigma_milli"))
+    }),
+
+    // MOOD'S MEDIAN TEST (Mood 1950) across event types — the
+    // median-shift partner of q_kruskal_wallis (ranks) and q_anova
+    // (means): cut every observation at the GLOBAL median and test the
+    // (type × above/≤) contingency table; robust to everything but a
+    // median shift, the right gate when tails are wild. The global
+    // median is the exact rank-(⌈n/2⌉) cut over the milli-value CENSUS
+    // cumulative counts (the q_pot_gpd P90 recipe at P50); per-type
+    // above/≤ counts come off the (type, value) census; each type's
+    // χ² contribution runs in DOUBLE over exact integers (identical
+    // IEEE), reported in milli.
+    //
+    // Scale posture: two census aggregates (global and per-type — one
+    // corpus shuffle each), 1-row median and totals broadcasts, and a
+    // bounded type-grain readout; no window ever sees base rows.
+    "q_mood_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vals = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      val census = vals.groupBy(col("vm")).agg(count(lit(1)).as("c"))
+      val n1 = census.agg(sum(col("c")).as("n"))
+      val med = census
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("vm"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(n1))
+        .filter(col("cum") >= expr("(n + 1) DIV 2") &&
+          col("cum") - col("c") < expr("(n + 1) DIV 2"))
+        .select(col("vm").as("med"))
+      val counts = vals.groupBy(col("event_type"), col("vm"))
+        .agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(med))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("vm") > col("med"), col("c")).otherwise(0L)).as("n_above"),
+          sum(when(col("vm") <= col("med"), col("c")).otherwise(0L)).as("n_le"),
+          max(col("med")).as("median_milli"))
+      val tot = counts.agg(sum(col("n_above")).as("ta"), sum(col("n_le")).as("tl"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("chi2_term_milli", expr(
+          """CAST(floor((
+            |  pow(n_above - CAST(n_above + n_le AS DOUBLE) * ta / (ta + tl), 2)
+            |    / (CAST(n_above + n_le AS DOUBLE) * ta / (ta + tl)) +
+            |  pow(n_le - CAST(n_above + n_le AS DOUBLE) * tl / (ta + tl), 2)
+            |    / (CAST(n_above + n_le AS DOUBLE) * tl / (ta + tl))
+            |) * 1000 + 0.5) AS BIGINT)""".stripMargin))
+        .select(col("event_type"), col("median_milli"), col("n_above"),
+          col("n_le"), col("chi2_term_milli"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2524,6 +2573,39 @@ object Stats {
         |  round(m, 4) AS mean_excess_milli,
         |  round(0.5 * (1 - m * m / s2), 6) AS xi,
         |  round(0.5 * m * (m * m / s2 + 1), 4) AS sigma_milli
-        |FROM fin""".stripMargin
+        |FROM fin""".stripMargin,
+
+    "q_mood_median" ->
+      """WITH vals AS MATERIALIZED (
+        |  SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+        |  FROM events),
+        |census AS (
+        |  SELECT vm, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY vm),
+        |n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM census),
+        |cum AS (
+        |  SELECT vm, c, CAST(SUM(c) OVER (ORDER BY vm
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM census),
+        |med AS (
+        |  SELECT vm AS med FROM cum, n1
+        |  WHERE cum >= (n + 1) // 2 AND cum - c < (n + 1) // 2),
+        |counts AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN vm > med THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |    CAST(SUM(CASE WHEN vm <= med THEN 1 ELSE 0 END) AS BIGINT) AS n_le,
+        |    CAST(MAX(med) AS BIGINT) AS median_milli
+        |  FROM vals, med GROUP BY event_type),
+        |tot AS (
+        |  SELECT CAST(SUM(n_above) AS BIGINT) AS ta,
+        |    CAST(SUM(n_le) AS BIGINT) AS tl
+        |  FROM counts)
+        |SELECT event_type, median_milli, n_above, n_le,
+        |  CAST(floor((
+        |    pow(n_above - CAST(n_above + n_le AS DOUBLE) * ta / (ta + tl), 2)
+        |      / (CAST(n_above + n_le AS DOUBLE) * ta / (ta + tl)) +
+        |    pow(n_le - CAST(n_above + n_le AS DOUBLE) * tl / (ta + tl), 2)
+        |      / (CAST(n_above + n_le AS DOUBLE) * tl / (ta + tl))
+        |  ) * 1000 + 0.5) AS BIGINT) AS chi2_term_milli
+        |FROM counts, tot ORDER BY event_type""".stripMargin
   )
 }
