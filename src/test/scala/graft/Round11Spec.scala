@@ -232,6 +232,58 @@ class Round11Spec extends SparkSpec {
         s"${(survivors diff high).take(5)}")
   }
 
+  test("q_budget_cap: allocation fits the budget and the cap is maximal") {
+    val rows = SparkEntry.queries("q_budget_cap")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val budget = rows.head.getAs[Long]("budget")
+    val cap = rows.head.getAs[Long]("cap_tokens")
+    val tokens = rows.map(_.getAs[Long]("tokens"))
+    val alloc = rows.map(_.getAs[Long]("allocated")).sum
+    assert(alloc <= budget, s"allocation $alloc exceeds budget $budget")
+    assert(rows.forall(r =>
+      r.getAs[Long]("allocated") == math.min(r.getAs[Long]("tokens"), cap)))
+    // maximality: one more token of cap would blow the budget
+    assert(tokens.map(t => math.min(t, cap + 1)).sum > budget,
+      "cap is not the largest feasible value")
+  }
+
+  test("q_mood_median: per-type counts partition, median splits the corpus") {
+    val rows = SparkEntry.queries("q_mood_median")(spark, sf).collect()
+    val perType = Tables.events(spark, sf).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_above") + r.getAs[Long]("n_le") ===
+        perType(r.getString(0)), s"counts don't partition for ${r.getString(0)}")
+    }
+    val ta = rows.map(_.getAs[Long]("n_above")).sum
+    val tl = rows.map(_.getAs[Long]("n_le")).sum
+    assert(ta <= tl, "more observations above the median than at-or-below it")
+    assert(ta * 2 >= tl - rows.length * 2 || ta > 0, "degenerate split")
+  }
+
+  test("q_truncation_loss: kept tokens monotone in the length cap, loss consistent") {
+    val rows = SparkEntry.queries("q_truncation_loss")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("max_len"))
+    assert(rows.map(_.getAs[Long]("max_len")).toSeq === Seq(64L, 128L, 256L))
+    val kept = rows.map(_.getAs[Long]("tokens_kept"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a <= b },
+      "kept tokens must be monotone in the cap")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("tokens_total"))
+      assert(r.getAs[Long]("n_truncated") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q_knn_regression: per-label rows cover the corpus, MAE bounded") {
+    val rows = SparkEntry.queries("q_knn_regression")(spark, sf).collect()
+    val nTotal = rows.map(_.getAs[Long]("n")).sum
+    assert(nTotal === Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mae_micro") >= 0 && r.getAs[Long]("mae_micro") <= 9000000L)
+      assert(r.getAs[Long]("n_round_correct") <= r.getAs[Long]("n"))
+    }
+  }
+
   test("rich-club null model: degrees preserved exactly, edge count invariant") {
     import spark.implicits._
     val edges = Graph.tradeBase(spark, sf).select($"src", $"dst")
