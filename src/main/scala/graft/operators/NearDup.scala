@@ -1009,6 +1009,36 @@ object NearDup {
         .orderBy(col("sz"))
     }),
 
+    // DUPLICATION × QUALITY cross-tab — the sanity check every
+    // curation pipeline runs before weighting dedup into its quality
+    // gate ("are duplicated docs actually worse?"): per dup class
+    // (unique vs member-of-a-duplicate-cluster), document mass and the
+    // mean/min distinct-token ratio (the q_quality_ensemble signal) in
+    // exact integer micro. On the synthetic fixture the duplicated
+    // class is the planted near-copy clusters, so the readout is
+    // deterministic.
+    //
+    // Scale posture: rides the memoized [[clusterLabels]] vector (one
+    // CC run serves the whole dedup family); the quality signal is
+    // map-only off one corpus scan; joins run at label grain and the
+    // report is 2 rows.
+    "q_dup_quality" -> ((s, d) => {
+      val q = corpus(s, d).selectExpr("doc_id",
+        "(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000) " +
+          "DIV size(split(text, ' ')) AS distinct_micro")
+      val labeled = q.join(clusterLabels(s, d), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val sizes = labeled.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      labeled.join(sizes, "cluster_id")
+        .withColumn("dup_class",
+          when(col("sz") === 1L, "unique").otherwise("duplicated"))
+        .groupBy(col("dup_class"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(distinct_micro) DIV count(1)").as("mean_distinct_micro"),
+          min(col("distinct_micro")).as("min_distinct_micro"))
+        .orderBy(col("dup_class"))
+    }),
+
     // FELLEGI-SUNTER probabilistic record linkage (Fellegi & Sunter
     // 1969; Winkler's Census deployments) — the ENTITY-resolution
     // sibling of the document dedup bank: same-entity detection across
@@ -1263,6 +1293,41 @@ object NearDup {
          |SELECT doc_id, cluster_id,
          |  (1203958717 * (cluster_id % 2147483647) + 776531401) % 2147483647 % 5 AS fold
          |FROM fulll ORDER BY doc_id""".stripMargin,
+
+    // Same closure as q_dedup_cluster, joined against the map-only
+    // distinct-token-ratio signal and rolled up per dup class.
+    "q_dup_quality" ->
+      s"""WITH RECURSIVE $corpusSql,
+         |$shinglesSql,
+         |$hshSql,
+         |pairs AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM hsh x JOIN hsh y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+         |  WHERE len(list_intersect(x.hs, y.hs))
+         |        / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.6),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |q AS (
+         |  SELECT doc_id,
+         |    (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000)
+         |      // len(string_split(text, ' ')) AS distinct_micro
+         |  FROM corpus),
+         |fulll AS (
+         |  SELECT q.doc_id, q.distinct_micro, COALESCE(l.cluster_id, q.doc_id) AS cluster_id
+         |  FROM q LEFT JOIN labels l ON q.doc_id = l.doc_id),
+         |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM fulll GROUP BY 1)
+         |SELECT CASE WHEN sz = 1 THEN 'unique' ELSE 'duplicated' END AS dup_class,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(distinct_micro) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_distinct_micro,
+         |  CAST(MIN(distinct_micro) AS BIGINT) AS min_distinct_micro
+         |FROM fulll JOIN sizes USING (cluster_id)
+         |GROUP BY 1 ORDER BY dup_class""".stripMargin,
 
     // Same closure as q_dedup_cluster, rolled up to the size histogram.
     "q_dup_stats" ->
