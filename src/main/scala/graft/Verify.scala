@@ -10,6 +10,12 @@ object Verify {
     // the driver always invokes with exactly two args = full run.
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Oracle-compare mode: the fixpoint queries' oracle-depth guards
+    // THROW here instead of warning (Graph.oracleDepthGuard) — an
+    // engine that converges deeper than its oracle's unroll must fail
+    // this run loudly, not hash-mismatch mysteriously (or worse, pass
+    // on data the unroll happens to cover while diverging elsewhere).
+    System.setProperty("graft.oracle.strict", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

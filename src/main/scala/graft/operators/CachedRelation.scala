@@ -38,21 +38,32 @@ class CachedRelation(ttlMillis: Long, clock: () => Long = () => System.currentTi
   private val builds = new AtomicLong()
 
   /** The memoized relation for `key`, rebuilding if absent or expired. */
-  def resolve(key: String)(build: => DataFrame): DataFrame = synchronized {
-    val now = clock()
-    val e = cache.get(key)
-    if (e != null && now - e.builtAt < ttlMillis) {
-      CachedRelation.globalHits.incrementAndGet()
-      e.df
+  def resolve(key: String)(build: => DataFrame): DataFrame =
+    resolveWithHit(key)(build)._1
+
+  /** [[resolve]] plus whether THIS call was a cache hit — the per-key
+    * signal a lost-block probe needs. Inferring hit/miss from the
+    * global [[buildCount]] delta is racy under concurrent callers: a
+    * concurrent build of ANOTHER key bumps the counter and
+    * misclassifies this key's hit as a miss, silently skipping the
+    * probe that keeps a truncated-lineage cache entry from poisoning
+    * its consumers. */
+  def resolveWithHit(key: String)(build: => DataFrame): (DataFrame, Boolean) =
+    synchronized {
+      val now = clock()
+      val e = cache.get(key)
+      if (e != null && now - e.builtAt < ttlMillis) {
+        CachedRelation.globalHits.incrementAndGet()
+        (e.df, true)
+      }
+      else {
+        if (e != null) e.df.unpersist(blocking = false)
+        val df = build.persist()
+        builds.incrementAndGet()
+        cache.put(key, Entry(df, now))
+        (df, false)
+      }
     }
-    else {
-      if (e != null) e.df.unpersist(blocking = false)
-      val df = build.persist()
-      builds.incrementAndGet()
-      cache.put(key, Entry(df, now))
-      df
-    }
-  }
 
   /** Times the builder actually ran (cache misses), for specs. */
   def buildCount: Long = builds.get()

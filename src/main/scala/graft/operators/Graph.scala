@@ -105,6 +105,29 @@ object Graph {
     * precisely so the unroll covers every SF the bench exercises. */
   private[graft] val KTrussOracleUnroll = 10
 
+  /** Oracle-depth guard for the fixpoint queries whose DuckDB oracles
+    * unroll a FIXED number of peel/h-index rounds: if the engine's
+    * measured convergence depth exceeds the unroll, the oracle is no
+    * longer replaying the same computation and any compare on that
+    * dataset is invalid. In oracle-compare mode (Verify sets
+    * `graft.oracle.strict`) this THROWS — a silent engine-vs-oracle
+    * divergence must never read as green just because stderr was
+    * missed (round 11: the then-new warning fired at sf0.1 and forced
+    * KTrussOracleUnroll 6 → 10; a throw would have been unmissable).
+    * Outside strict mode (the bench, ad-hoc runs — no oracle in play,
+    * the engine answer itself is exact) it stays a loud warning so a
+    * correct-but-deeper run is not a spurious hard failure.
+    */
+  private[graft] def oracleDepthGuard(query: String, rounds: Int, unroll: Int): Unit =
+    if (rounds > unroll) {
+      val msg = s"$query converged in $rounds rounds but its oracleSql " +
+        s"unrolls only $unroll - the oracle compare is INVALID on this " +
+        "dataset; deepen the unroll const before trusting it"
+      if (sys.props.get("graft.oracle.strict").contains("true"))
+        throw new IllegalStateException(msg)
+      System.err.println(s"WARNING: $msg")
+    }
+
   /** q_closeness's landmark-panel size — CONSTANT by design, so the
     * tagged multi-source BFS state is O(L·n) at any graph scale.
     */
@@ -238,12 +261,15 @@ object Graph {
       // Each lost triangle decrements each of its SURVIVING edges by
       // exactly 1 (removed edges are no longer in `kept`, so their
       // credits fall out in the join). x < y < z ⇒ the three pairs are
-      // already canonical a < b. dec is bounded by 3·|lost triangles|
-      // — hinted broadcast on small rounds (smallSide), so the support
-      // update is a map-side pass over the survivor frame, never a
-      // shuffle of it; on bulk rounds AQE chooses, degrading to one
-      // shuffle equi-join — the minimum any incremental maintenance
-      // pays.
+      // already canonical a < b. dec is bounded by 3·|lost triangles|,
+      // NOT by nRemoved — a peeled hub edge can lose far more
+      // triangles than the batch has edges, so the ≤10k gate that is
+      // sound for `removed` says nothing about dec's size and a forced
+      // hint could hit the broadcast ceiling the comment above warns
+      // about. dec is therefore left UN-hinted: AQE measures the
+      // actual maintenance frame and picks broadcast when it fits
+      // (every tail round) and one shuffle equi-join when it doesn't —
+      // the minimum any incremental maintenance pays.
       val dec = tris
         .select(explode(array(
           struct(col("x").as("a"), col("y").as("b")),
@@ -252,7 +278,7 @@ object Graph {
         .groupBy(col("e.a").as("a"), col("e.b").as("b"))
         .agg(count(lit(1)).as("dec"))
       val updated = kept
-        .join(smallSide(dec), Seq("a", "b"), "left")
+        .join(dec, Seq("a", "b"), "left")
         .select(col("a"), col("b"),
           (col("supp") - coalesce(col("dec"), lit(0L))).as("supp"))
         .localCheckpoint()
@@ -695,11 +721,7 @@ object Graph {
           struct(col("dst0").as("u"), col("u").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
       val (core, rounds) = kcorePeelFixpoint(edges, KCoreK)
-      if (rounds > KCoreOracleUnroll)
-        System.err.println(
-          s"WARNING: q_kcore converged in $rounds rounds but oracleSql " +
-            s"unrolls only $KCoreOracleUnroll peels - deepen the unroll " +
-            "before trusting an oracle compare on this dataset")
+      oracleDepthGuard("q_kcore", rounds, KCoreOracleUnroll)
       core.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
         .select(col("u").as("node_id"),
           when(col("u") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
@@ -724,10 +746,7 @@ object Graph {
     // metadata; the census is bounded by max-degree.
     "q_core_number" -> ((s, d) => {
       val (core, rounds) = coreNumbers(s, d)
-      if (rounds > CoreNumberOracleUnroll)
-        System.err.println(
-          s"WARNING: q_core_number converged in $rounds rounds but " +
-            s"oracleSql unrolls only $CoreNumberOracleUnroll - deepen it")
+      oracleDepthGuard("q_core_number", rounds, CoreNumberOracleUnroll)
       core.groupBy(col("h"))
         .agg(count(lit(1)).as("n_nodes"),
           sum(expr("CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END")).as("n_customers"),
@@ -1163,11 +1182,7 @@ object Graph {
       // so the depth check runs at query time, where the measured
       // round count exists (Round10Spec pins the fixture margin; this
       // guards datasets the spec never saw).
-      if (rounds > KTrussOracleUnroll)
-        System.err.println(
-          s"WARNING: q_ktruss converged in $rounds rounds but oracleSql " +
-            s"unrolls only $KTrussOracleUnroll peels - deepen the unroll " +
-            "before trusting an oracle compare on this dataset")
+      oracleDepthGuard("q_ktruss", rounds, KTrussOracleUnroll)
       fix.orderBy(col("supp").desc, col("a"), col("b"))
         .limit(50)
     }),

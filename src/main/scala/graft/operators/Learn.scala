@@ -774,11 +774,15 @@ object Learn {
     // permutation, so every P@k is an exact integer micro division.
     // PR-curve metrics weight the positive class only, which is why AP
     // is the headline under heavy imbalance where ROC-AUC saturates
-    // (Davis & Goadrich 2006). Eval-set grain: the ordered scan is the
-    // q_lift ntile posture (exact here; at 100 TB the same cumsum runs
-    // as a two-phase prefix sum over score-sorted partitions).
+    // (Davis & Goadrich 2006). Eval-set grain: the rank AND the
+    // running positive count both come from ONE [[Ranks.globalOrderScan]]
+    // bucket-offset pass (score-width buckets, negated for the DESC
+    // order; `sums` carries the inclusive cumpos prefix) —
+    // bit-identical to the naive partitionless rank+cumsum window but
+    // with per-bucket parallelism, so no single-reducer corpus sort
+    // ever materializes (q_lift rides the same helper over the same
+    // scored frame).
     "q_avg_precision" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val warr = weights.mkString("array(", "L,", "L)")
       val scored = Tables.documents(s, d)
         .withColumn("sc", expr(
@@ -786,11 +790,9 @@ object Learn {
             s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
         .select(col("doc_id"), col("sc"),
           when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
-      val w = Window.orderBy(col("sc").desc, col("doc_id"))
-      val ranked = scored
-        .withColumn("k", row_number().over(w).cast("long"))
-        .withColumn("cumpos", sum(col("pos")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ranked = Ranks.globalOrderScan(scored, expr("-(sc DIV 2000)"),
+          Seq(col("sc").desc, col("doc_id")), "k",
+          sums = Seq((col("pos"), "cumpos")))
         .localCheckpoint() // AP term sum + R-precision probe share it
       val tot = scored.agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
       val apn = ranked.filter(col("pos") === 1)
@@ -2196,15 +2198,26 @@ object Learn {
     // rebuilds — the cache heals instead of poisoning its whole
     // consumer family for the TTL (Round11Spec kills the blocks and
     // pins the rebuild). A MISS returns the fresh build unprobed.
+    // Hit detection is PER-KEY (resolveWithHit) — a global build-count
+    // delta misreads a concurrent build of another key as "this was a
+    // miss" and skips the probe. Only NonFatal probe failures trigger
+    // the heal (an interrupt or OOM must propagate, not silently spend
+    // itself on a rebuild); if the rebuild ALSO fails, the original
+    // probe failure rides along as a suppressed exception so neither
+    // cause is discarded.
     val key = s"${System.identityHashCode(s)}:$d:$k"
-    val before = knnCache.buildCount
-    val df = knnCache.resolve(key)(exactKnnL2Build(s, d, k))
-    if (knnCache.buildCount == before) {
+    val (df, wasHit) = knnCache.resolveWithHit(key)(exactKnnL2Build(s, d, k))
+    if (wasHit) {
       try { df.count(); df }
       catch {
-        case _: Throwable =>
+        case scala.util.control.NonFatal(probeFailure) =>
           knnCache.invalidate(key)
-          knnCache.resolve(key)(exactKnnL2Build(s, d, k))
+          try knnCache.resolve(key)(exactKnnL2Build(s, d, k))
+          catch {
+            case scala.util.control.NonFatal(rebuildFailure) =>
+              rebuildFailure.addSuppressed(probeFailure)
+              throw rebuildFailure
+          }
       }
     } else df
   }

@@ -654,19 +654,32 @@ object Pipeline {
     // CCNet-style quality terciles: rank each language's documents by
     // a cheap quality score (lexical diversity here; a broadcast-LM
     // perplexity in a production run) and cut head / middle / tail.
-    // ntile needs a per-lang total order — one shuffle on lang, with
-    // the usual skew caveat; at extreme scale the two cut-points come
-    // from a quantile sketch instead (the q_mixture_approx pattern)
-    // and the bucketing is map-only. This window form is the exact
-    // baseline; (score desc, doc_id) makes the order total so both
-    // engines tile identically.
+    // ntile needs a per-lang total order — but PARTITION BY lang alone
+    // bounds nothing on web text (English IS ~half the corpus, so the
+    // hot partition is a single-reducer sort of half the data). The
+    // per-lang tiles are reconstructed instead from a lang-scoped
+    // [[graft.operators.Ranks.globalOrderScan]] (data-grain window
+    // partitions by (lang, score-bucket) — every language fans out
+    // across its score buckets) + a broadcast per-lang total feeding
+    // [[graft.operators.Ranks.ntileFromRank]] — bit-identical to
+    // `ntile(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)`
+    // (the SQL-standard tile formula; RanksSpec pins the parity), so
+    // both engines tile identically.
     "q_quality_tercile" -> ((s, d) => {
-      val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))
-      Tables.documents(s, d)
+      val scored = Tables.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("score",
           size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
-        .withColumn("bucket", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"), col("score"))
+      val perLang = scored.groupBy(col("lang")).agg(count(lit(1)).as("__n_lang"))
+      // bucket = −⌊score·1000⌋: monotone non-decreasing along the
+      // (score desc) order within every lang — floor(x·1000) is
+      // monotone in IEEE doubles, so the globalOrderScan contract holds
+      Ranks.globalOrderScan(scored,
+          expr("-CAST(floor(score * 1000) AS BIGINT)"),
+          Seq(col("score").desc, col("doc_id")), "__rk", parts = Seq("lang"))
+        .join(broadcast(perLang), Seq("lang"))
+        .withColumn("bucket", Ranks.ntileFromRank("__rk", "__n_lang", 3))
         .select(col("doc_id"), col("lang"),
           expr("CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END")
             .as("tier"))

@@ -40,25 +40,37 @@ object Ranks {
     * tiebreak in `order`). One data-grain shuffle, partitioned by
     * bucket; the only partitionless window runs over the bucket-grain
     * aggregate.
+    *
+    * `parts` (column NAMES) scopes the scan: ranks and prefix sums
+    * restart per distinct parts-tuple — the scalable replacement for
+    * `row_number()/ntile OVER (PARTITION BY parts ORDER BY …)` when a
+    * partition key is corpus-proportional (per-lang over web text:
+    * English IS the corpus, so partitioning by lang alone still
+    * funnels ~half the rows through one reducer; here the data-grain
+    * window partitions by (parts, bucket) instead). The offset window
+    * then partitions by parts over the BUCKET-grain aggregate —
+    * bounded by the bucket census, never the data.
     */
   def globalOrderScan(df: DataFrame, bucket: Column, order: Seq[Column],
                       rankCol: String,
-                      sums: Seq[(Column, String)] = Nil): DataFrame = {
+                      sums: Seq[(Column, String)] = Nil,
+                      parts: Seq[String] = Nil): DataFrame = {
     val b = df.withColumn("__bkt", bucket)
+    val keyCols = parts :+ "__bkt"
     val perBucketAggs = (count(lit(1)).as("__n")) +:
       sums.zipWithIndex.map { case ((c, _), i) => sum(c).as(s"__s$i") }
-    val perBucket = b.groupBy(col("__bkt"))
+    val perBucket = b.groupBy(keyCols.map(col): _*)
       .agg(perBucketAggs.head, perBucketAggs.tail: _*)
-    val wOff = Window.orderBy(col("__bkt"))
+    val wOff = Window.partitionBy(parts.map(col): _*).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = perBucket.select(
-      col("__bkt") +:
-        coalesce(sum(col("__n")).over(wOff), lit(0L)).as("__off") +:
-        sums.indices.map(i =>
-          coalesce(sum(col(s"__s$i")).over(wOff), lit(0L)).as(s"__soff$i")): _*)
-    val wb = Window.partitionBy(col("__bkt")).orderBy(order: _*)
+      keyCols.map(col) ++
+        (coalesce(sum(col("__n")).over(wOff), lit(0L)).as("__off") +:
+          sums.indices.map(i =>
+            coalesce(sum(col(s"__s$i")).over(wOff), lit(0L)).as(s"__soff$i"))): _*)
+    val wb = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
     val wbRun = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = b.join(broadcast(offsets), "__bkt")
+    val ranked = b.join(broadcast(offsets), keyCols)
       .withColumn(rankCol, (col("__off") + row_number().over(wb)).cast("bigint"))
     val withSums = sums.zipWithIndex.foldLeft(ranked) {
       case (acc, ((c, name), i)) =>

@@ -1371,14 +1371,16 @@ object RelationalExt {
     // order (revenue, customer id) — swapping tied-revenue ranks
     // leaves Σr·x unchanged, so the tiebreak only fixes determinism,
     // not the value. EXACT BIGINT numerator (Σr·x ≲ 10¹⁷ at sf0.1);
-    // the rank window runs over the CUSTOMER-GRAIN aggregate (orders
-    // collapse first), and at 100 TB the dense rank would come from
-    // the q_rowid bucket-offset technique rather than one reducer.
+    // the rank runs over the CUSTOMER-GRAIN aggregate (orders collapse
+    // first) via the [[graft.operators.Ranks.globalOrderScan]]
+    // bucket-offset scan (revenue-width buckets) — the customer
+    // catalog is itself corpus-proportional, so even the aggregate
+    // grain never funnels through one reducer.
     "q_gini" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
         .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("x"))
-      rev.withColumn("r", row_number().over(Window.orderBy(col("x"), col("o_custkey"))))
+      Ranks.globalOrderScan(rev, expr("x DIV 1000000"),
+          Seq(col("x"), col("o_custkey")), "r")
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
           sum(expr("r * x")).as("srx"))
         .withColumn("gini_num", expr("2 * srx - (n + 1) * sx"))

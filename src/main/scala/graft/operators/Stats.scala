@@ -1487,14 +1487,22 @@ object Stats {
           sum(when(col("vm") <= col("med"), col("c")).otherwise(0L)).as("n_le"),
           max(col("med")).as("median_milli"))
       val tot = counts.agg(sum(col("n_above")).as("ta"), sum(col("n_le")).as("tl"))
+      // Degenerate-margin guard: if EVERY value is ≤ the median
+      // (ta = 0 — plausible when the milli-quantized median equals the
+      // max) or every value is above it, an expected count is zero;
+      // Spark would cast the NaN from 0/0 to 0L while DuckDB ERRORS
+      // casting NaN to BIGINT, so the guard must be explicit and
+      // IDENTICAL in both engines (the oracle carries the same CASE):
+      // a one-sided table carries no median-shift signal, so every
+      // type's term is defined as 0.
       counts.crossJoin(broadcast(tot))
         .withColumn("chi2_term_milli", expr(
-          """CAST(floor((
+          """CAST(CASE WHEN ta = 0 OR tl = 0 THEN 0 ELSE floor((
             |  pow(n_above - CAST(n_above + n_le AS DOUBLE) * ta / (ta + tl), 2)
             |    / (CAST(n_above + n_le AS DOUBLE) * ta / (ta + tl)) +
             |  pow(n_le - CAST(n_above + n_le AS DOUBLE) * tl / (ta + tl), 2)
             |    / (CAST(n_above + n_le AS DOUBLE) * tl / (ta + tl))
-            |) * 1000 + 0.5) AS BIGINT)""".stripMargin))
+            |) * 1000 + 0.5) END AS BIGINT)""".stripMargin))
         .select(col("event_type"), col("median_milli"), col("n_above"),
           col("n_le"), col("chi2_term_milli"))
         .orderBy(col("event_type"))
@@ -2600,12 +2608,12 @@ object Stats {
         |    CAST(SUM(n_le) AS BIGINT) AS tl
         |  FROM counts)
         |SELECT event_type, median_milli, n_above, n_le,
-        |  CAST(floor((
+        |  CAST(CASE WHEN ta = 0 OR tl = 0 THEN 0 ELSE floor((
         |    pow(n_above - CAST(n_above + n_le AS DOUBLE) * ta / (ta + tl), 2)
         |      / (CAST(n_above + n_le AS DOUBLE) * ta / (ta + tl)) +
         |    pow(n_le - CAST(n_above + n_le AS DOUBLE) * tl / (ta + tl), 2)
         |      / (CAST(n_above + n_le AS DOUBLE) * tl / (ta + tl))
-        |  ) * 1000 + 0.5) AS BIGINT) AS chi2_term_milli
+        |  ) * 1000 + 0.5) END AS BIGINT) AS chi2_term_milli
         |FROM counts, tot ORDER BY event_type""".stripMargin
   )
 }

@@ -324,18 +324,23 @@ object TextAnalysis {
     // entries cover? (Drives the vocab-size / OOV-rate tradeoff when
     // fitting a tokenizer; the fixture vocab is 31 words, so the knee
     // is sampled at k ∈ {5, 10, 20}.) One (token, count) aggregate
-    // with map-side partials, then a rank + running-sum window over
-    // the VOCAB-SIZED table (bounded — the corpus never enters the
-    // sequential part), and a broadcast 1-row total. Integer-exact:
-    // coverage reports in micro-units via truncating division.
+    // with map-side partials; only ranks ≤ 20 are ever read, so the
+    // sequential part is a TakeOrderedAndProject(20) PAGE — at
+    // web-scale vocab (10⁸ types) a rank window over the full census
+    // would still be one reducer sorting the vocabulary, while the
+    // top-k heap is map-side partial + a 20-row merge. The rank +
+    // running-sum window then runs over the 20-row page only, plus a
+    // broadcast 1-row total. Integer-exact: coverage reports in
+    // micro-units via truncating division.
     "q_vocab_coverage" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val tf = Tables.documents(s, d)
         .select(explode(expr(toks)).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("n"))
-      val ord = Window.orderBy(col("n").desc, col("t"))
       val tot = tf.agg(sum(col("n")).as("total"))
-      tf.withColumn("k", row_number().over(ord))
+      val page = tf.orderBy(col("n").desc, col("t")).limit(20)
+      val ord = Window.orderBy(col("n").desc, col("t"))
+      page.withColumn("k", row_number().over(ord))
         .withColumn("cum", sum(col("n"))
           .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .filter(col("k").isin(5, 10, 20))
