@@ -94,14 +94,144 @@ object Learn {
     s"aggregate(zip_with(qs, $arr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
   }
 
+  /** Exact BIGINT squared L2 between two array<bigint> Columns — the
+    * Column-API twin of [[distExpr]], used wherever the centroid rides
+    * a LITERAL ARRAY column instead of unrolled expression text: the
+    * codebook becomes ONE Literal object and the distance scan ONE
+    * higher-order loop, so plan text and generated code stay O(1) in
+    * the codebook size (K separate aggregate() expressions grow
+    * codegen O(K·dim), which at K = ⌈√n⌉ would blow Catalyst limits
+    * long before the posture scale the scaladocs claim). */
+  private[operators] def l2Col(qs: Column, cv: Column): Column =
+    aggregate(zip_with(qs, cv, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
   /** cluster/qdist columns for the given (cid, centroid) list: argmin
-    * over the per-centroid distance array, first-min = lowest cid. */
-  private[operators] def assign(df: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
-    val darr = cents.map { case (_, cv) => distExpr(cv) }.mkString("array(", ", ", ")")
-    val cids = cents.map(_._1).mkString("array(", ", ", ")")
-    df.withColumn("qdist", expr(s"array_min($darr)"))
-      .withColumn("cluster", expr(
-        s"element_at($cids, CAST(array_position($darr, qdist) AS INT))"))
+    * over the per-centroid distance array, first-min = lowest cid
+    * (cents is cid-ascending). The codebook rides as two array
+    * LITERALS + one transform loop — value-identical to the unrolled
+    * per-centroid expressions, with O(1) plan text (see [[l2Col]]). */
+  private[graft] def assign(df: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
+    val cvLit = typedLit(cents.map(_._2.toSeq))
+    val cidLit = typedLit(cents.map(_._1))
+    df.withColumn("__darr", transform(cvLit, cv => l2Col(col("qs"), cv)))
+      .withColumn("qdist", array_min(col("__darr")))
+      .withColumn("cluster", element_at(cidLit,
+        array_position(col("__darr"), col("qdist")).cast("int")))
+      .drop("__darr")
+  }
+
+  /** Two-level coarse ROUTING tables, trained over the cell centroids
+    * themselves — driver-side (codebook-scale: K cells → S = ⌈√K⌉
+    * super-cells, floor 2), the same deterministic integer recipe as
+    * the coarse training so every consumer's oracle replays it
+    * CTE-for-CTE ([[routedAssignCtes]]): init = the S lowest-cid cell
+    * centroids; ONE Lloyd round (assign cells to the nearest super by
+    * integer L2, ties to the lowest sid; update = per-dim floorDiv
+    * over member CELL CENTROIDS); members = the cells re-assigned
+    * under the trained supers. Returns (routing supers in sid order,
+    * member cell lists aligned positionally) — only supers that HAVE
+    * members route, so a vector can never land in an empty super.
+    */
+  private[graft] def superRouting(cents: Seq[(Int, Array[Long])])
+      : (Seq[(Int, Array[Long])], Seq[Seq[(Int, Array[Long])]]) = {
+    val sorted = cents.sortBy(_._1)
+    val byCid = sorted.toMap
+    val nSup = math.max(2, math.ceil(math.sqrt(sorted.size.toDouble)).toInt)
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.foldLeft(0L) { (acc, i) => val x = a(i) - b(i); acc + x * x }
+    def nearest(cv: Array[Long], sups: Seq[(Int, Array[Long])]): Int =
+      sups.map { case (sid, sv) => (l2(cv, sv), sid) }.min._2
+    val init = sorted.take(nSup).zipWithIndex.map { case ((_, cv), i) => (i, cv) }
+    val trained = sorted.map { case (cid, cv) => (nearest(cv, init), cid) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (sid, ms) =>
+        val cvs = ms.map(m => byCid(m._2))
+        (sid, Array.tabulate(Dim)(j =>
+          Math.floorDiv(cvs.map(_(j)).sum, cvs.size.toLong)))
+      }
+    val members = sorted.map { case (cid, cv) => (nearest(cv, trained), (cid, cv)) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (sid, ms) => (sid, ms.map(_._2).sortBy(_._1)) }
+    val trainedMap = trained.toMap
+    (members.map { case (sid, _) => (sid, trainedMap(sid)) }, members.map(_._2))
+  }
+
+  /** Two-level ROUTED cell assignment — [[assign]]'s scale path for
+    * the IVF SERVING family: the flat argmin is O(K·dim) work per
+    * vector, and with K = ⌈√n⌉ that per-vector O(√n·dim) becomes the
+    * family's dominant term as the corpus grows; routing through
+    * S = ⌈√K⌉ super-cells (nearest super, then argmin over ONLY its
+    * member cells) costs O(√K·dim) ≈ O(n^0.25·dim) per vector, the
+    * standard two-level coarse quantizer. The assigned cell is the
+    * exact argmin WITHIN the routed super's member list — standard
+    * IVF approximate routing, replayed CTE-for-CTE by every consumer
+    * oracle ([[routedAssignCtes]]); exactness-proof consumers
+    * (exactKnnL2, dbscan) keep the flat full-distance-array form their
+    * triangle-inequality bounds require. Tiebreaks are (dist, id)
+    * lexicographic at both levels, like [[assign]]. Adds the same
+    * cluster/qdist columns.
+    */
+  private[graft] def assignRouted(df: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
+    val (sups, members) = superRouting(cents)
+    val supLit = typedLit(sups.zipWithIndex.map { case ((_, sv), i) => (i + 1, sv.toSeq) })
+    val memLit = typedLit(members.map(_.map { case (cid, cv) => (cid, cv.toSeq) }))
+    val bestSup = array_min(transform(supLit, p =>
+      struct(l2Col(col("qs"), p.getField("_2")).as("d"), p.getField("_1").as("i"))))
+    df.withColumn("__cands", element_at(memLit, bestSup.getField("i")))
+      .withColumn("__best", array_min(transform(col("__cands"), c =>
+        struct(l2Col(col("qs"), c.getField("_2")).as("d"), c.getField("_1").as("cid")))))
+      .withColumn("qdist", col("__best").getField("d"))
+      .withColumn("cluster", col("__best").getField("cid"))
+      .drop("__cands", "__best")
+  }
+
+  /** The DuckDB twin of [[superRouting]] + [[assignRouted]]: a CTE
+    * chain training the super-cells over the cell-centroid CTE `cc`
+    * (cid, cv) and routing every vector of `q` (vec_id, $qv [, …])
+    * through them, ending in `$out` (vec_id, cell). Mirrors the Scala
+    * trainer step for step — same init, same one-round update with
+    * floor(sum/count), same (dist, id) tiebreaks — so the assignment
+    * hash-matches. */
+  private[operators] def routedAssignCtes(out: String, cc: String, q: String,
+                                          qv: String = "qv"): String = {
+    def l2(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), " +
+        s"j -> ($a[j] - $b[j]) * ($a[j] - $b[j]))) AS BIGINT)"
+    s"""ss0 AS (
+       |  SELECT row_number() OVER (ORDER BY cid) - 1 AS sid, cv AS sv
+       |  FROM (SELECT cid, cv FROM $cc ORDER BY cid
+       |        LIMIT (SELECT GREATEST(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM $cc))),
+       |ssa1 AS (
+       |  SELECT cid, sid, row_number() OVER (PARTITION BY cid ORDER BY dist, sid) AS rn
+       |  FROM (SELECT c.cid, s.sid, ${l2("c.cv", "s.sv")} AS dist FROM $cc c, ss0 s)),
+       |ss1 AS (
+       |  SELECT sid, list(ctr ORDER BY pos) AS sv FROM (
+       |    SELECT a.sid, t.pos,
+       |      CAST(floor(CAST(CAST(SUM(c.cv[t.pos]) AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ctr
+       |    FROM ssa1 a JOIN $cc c USING (cid), range(1, ${Dim + 1}) t(pos)
+       |    WHERE a.rn = 1
+       |    GROUP BY a.sid, t.pos)
+       |  GROUP BY sid),
+       |ssa2 AS (
+       |  SELECT cid, sid, row_number() OVER (PARTITION BY cid ORDER BY dist, sid) AS rn
+       |  FROM (SELECT c.cid, s.sid, ${l2("c.cv", "s.sv")} AS dist FROM $cc c, ss1 s)),
+       |smem AS (SELECT cid, sid FROM ssa2 WHERE rn = 1),
+       |vsup AS (
+       |  SELECT vec_id, sid FROM (
+       |    SELECT r.vec_id, s.sid,
+       |      row_number() OVER (PARTITION BY r.vec_id
+       |        ORDER BY ${l2(s"r.$qv", "s.sv")}, s.sid) AS rn
+       |    FROM $q r, (SELECT * FROM ss1 WHERE sid IN (SELECT sid FROM smem)) s)
+       |  WHERE rn = 1),
+       |$out AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT r.vec_id, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY r.vec_id
+       |        ORDER BY ${l2(s"r.$qv", "c.cv")}, c.cid) AS rn
+       |    FROM $q r JOIN vsup v USING (vec_id)
+       |      JOIN smem m ON m.sid = v.sid JOIN $cc c ON c.cid = m.cid)
+       |  WHERE rn = 1)""".stripMargin
   }
 
   /** q_dbscan's candidate-pair generator, factored for the hot-cell
@@ -1123,19 +1253,23 @@ object Learn {
       val qdf = Tables.embeddings(s, d).select(col("vec_id"), expr(QuantTok).as("qv"))
       val coarse: Seq[(Int, Array[Long])] = coarseCentroids(s, d)
       val coarseByCid = coarse.toMap
-      val assigned = assign(qdf.withColumn("qs", col("qv")), coarse)
+      // TWO-LEVEL routed assignment (assignRouted): per vector
+      // O(√K·dim) instead of the flat O(K·dim) that dominated the
+      // family once K went ⌈√n⌉ — the oracle replays the routing
+      // chain (routedAssignCtes) before everything downstream.
+      val assigned = assignRouted(qdf.withColumn("qs", col("qv")), coarse)
         .withColumnRenamed("cluster", "cell").drop("qdist", "qs")
-      // full-K positional array with a zero-vector placeholder at any
-      // lazily-deleted cid (q_pq_search LUT rule: a dropped cid can
-      // never be assigned, so its placeholder is unreferencable) —
-      // element_at(cell + 1) stays correct under holes
+      // full-K positional LITERAL array with a zero-vector placeholder
+      // at any lazily-deleted cid (q_pq_search LUT rule: a dropped cid
+      // can never be assigned, so its placeholder is unreferencable) —
+      // element_at(cell + 1) stays correct under holes; one Literal
+      // object, not K·dim unrolled plan text (the l2Col rationale)
       val kCoarse = coarseKOf(s, d)
-      val centsArr = (0 until kCoarse)
-        .map(cid => coarseByCid.getOrElse(cid, Array.fill(Dim)(0L))
-          .mkString("array(", "L,", "L)"))
-        .mkString("array(", ", ", ")")
+      val centsLit = typedLit((0 until kCoarse)
+        .map(cid => coarseByCid.getOrElse(cid, Array.fill(Dim)(0L)).toSeq))
       val resid = assigned
-        .withColumn("rv", expr(s"zip_with(qv, element_at($centsArr, cell + 1), (a, b) -> a - b)"))
+        .withColumn("rv", zip_with(col("qv"),
+          element_at(centsLit, col("cell") + 1), (a, b) => a - b))
         .select(col("vec_id"), col("cell"), col("rv").as("qv"))
       // PQ init still skips vec_id < coarseK: under the trained coarse
       // codebook their residuals are merely small rather than exactly
@@ -1261,15 +1395,19 @@ object Learn {
       // joins — materialized once (the q_dedup_winnow rule)
       val pts = qb.unionByName(copies).localCheckpoint()
       val cents = coarseCentroids(s, d)
-      val darr = cents.map { case (_, cv) => distExpr(cv) }.mkString("array(", ", ", ")")
       // dv/nrm: the pair verify runs as ‖a‖² + ‖b‖² − 2⟨a,b⟩ with the
       // NATIVE codegen'd dot product — every term is an integer below
       // 2⁵³ held in a double (|qv| ≤ 10⁴ + 160 ⇒ |⟨a,b⟩| ≤ 64·1.1e8),
       // so the float arithmetic is EXACT and the compare is the same
       // integer predicate; the interpreted 64-step zip_with lambda per
-      // candidate pair was 40× this plan's wall-clock at sf0.1
+      // candidate pair was 40× this plan's wall-clock at sf0.1.
+      // darr: the full distance array is REQUIRED (the ball probe
+      // walks every cell against the ε bound), but the ⌈√n⌉ codebook
+      // rides one array literal + a transform loop (the l2Col
+      // rationale), not K unrolled aggregates
       val assigned = pts.withColumn("qs", col("qv"))
-        .withColumn("darr", expr(darr))
+        .withColumn("darr", transform(typedLit(cents.map(_._2.toSeq)),
+          cv => l2Col(col("qs"), cv)))
         .withColumn("qdist", expr("array_min(darr)"))
         .withColumn("home", expr("CAST(array_position(darr, qdist) AS INT) - 1"))
         .withColumn("dv", expr("transform(qv, v -> CAST(v AS DOUBLE))"))
@@ -2152,7 +2290,7 @@ object Learn {
       _ => Int.box(coarseK(Tables.embeddings(s, d).count()))).intValue()
 
   /** The quantize-once boundary: float → 1e-4-grid BIGINT per dim. */
-  private[operators] val QuantTok =
+  private[graft] val QuantTok =
     "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
 
   /** PROVABLY-EXACT two-pass k-NN in L2 over the quantized embeddings
@@ -2228,9 +2366,14 @@ object Learn {
     val Inf = 1000000000000L // > any real d² (≤ 64·(2·10⁴)² ≈ 2.6e10)
     val q = Tables.embeddings(s, d).select(col("vec_id"), expr(QuantTok).as("qv"))
     val cents = coarseCentroids(s, d)
-    val darr = cents.map { case (_, cv) => distExpr(cv) }.mkString("array(", ", ", ")")
+    // the FULL distance array is required here (the probe filter walks
+    // every cell against the triangle bound — flat assignment is what
+    // makes the home cell the true argmin the exactness proof needs),
+    // but the codebook rides ONE array literal + one transform loop,
+    // not K unrolled aggregates (the l2Col rationale)
     val pts = q.withColumn("qs", col("qv"))
-      .withColumn("darr", expr(darr))
+      .withColumn("darr", transform(typedLit(cents.map(_._2.toSeq)),
+        cv => l2Col(col("qs"), cv)))
       .withColumn("qdist", expr("array_min(darr)"))
       .withColumn("home", expr("CAST(array_position(darr, qdist) AS INT) - 1"))
       .withColumn("dv", expr("transform(qv, v -> CAST(v AS DOUBLE))"))
@@ -3346,15 +3489,7 @@ object Learn {
          |    WHERE a.rn = 1
          |    GROUP BY a.cid, t.pos)
          |  GROUP BY cid),
-         |ca AS (
-         |  SELECT vec_id, cid, dist,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |  FROM (
-         |    SELECT r.vec_id, cc.cid,
-         |      CAST(list_sum(list_transform(range(1, ${Dim + 1}),
-         |        j -> (r.qv[j] - cc.cv[j]) * (r.qv[j] - cc.cv[j]))) AS BIGINT) AS dist
-         |    FROM raw r, cc)),
-         |vcell AS (SELECT vec_id, cid AS cell FROM ca WHERE rn = 1),
+         |${routedAssignCtes("vcell", "cc", "raw")},
          |q AS (
          |  SELECT r.vec_id,
          |    list_transform(range(1, ${Dim + 1}), j -> r.qv[j] - cc.cv[j]) AS qv

@@ -220,7 +220,10 @@ object SimSearch {
     "q_simsearch_ivf" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
       val cents = Learn.coarseCentroids(s, d)
-      val emb = Learn.assign(
+      // two-level ROUTED assignment (Learn.assignRouted): O(√K·dim)
+      // per vector vs the flat O(K·dim) that grew as √n — the oracle
+      // replays the routing chain (Learn.routedAssignCtes)
+      val emb = Learn.assignRouted(
         Tables.embeddings(s, d)
           .withColumn("edbl", col("embedding").cast("array<double>"))
           .withColumn("qs", expr(Learn.QuantTok)),
@@ -265,7 +268,9 @@ object SimSearch {
       import org.apache.spark.sql.expressions.Window
       graft.functions.VectorFunctions.register(s)
       val cents = Learn.coarseCentroids(s, d)
-      val emb = Learn.assign(
+      // corpus side: two-level ROUTED assignment (Learn.assignRouted,
+      // O(√K·dim)/vector); the oracle replays the routing chain
+      val emb = Learn.assignRouted(
         Tables.embeddings(s, d)
           .withColumn("edbl", col("embedding").cast("array<double>"))
           .withColumn("qs", expr(Learn.QuantTok)),
@@ -273,15 +278,18 @@ object SimSearch {
         .select(col("vec_id"), col("edbl"), col("qs"), col("cell"))
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("edbl").as("qe"), col("qs").as("qqs"))
-      // per-query top-2 probe cells: 16 (dist, cid) structs sorted
-      // lexicographically — same integer L2, no driver argmin
-      val dcArr = cents.map { case (cid, cv) =>
-        val arr = cv.mkString("array(", "L,", "L)")
-        s"named_struct('dist', aggregate(zip_with(qqs, $arr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x), 'cid', $cid)"
-      }.mkString("array(", ", ", ")")
+      // per-query top-nprobe probe cells: the QUERY side stays FLAT
+      // (10 rows — probing must see every cell to pick the nearest
+      // lists, exactly like the oracle's probe CTE); the codebook
+      // rides one struct-array literal + a transform loop (Learn.l2Col
+      // rationale), sorted lexicographically by (dist, cid)
+      val dcLit = typedLit(cents.map { case (cid, cv) => (cid, cv.toSeq) })
+      val dcSorted = array_sort(transform(dcLit, c =>
+        struct(Learn.l2Col(col("qqs"), c.getField("_2")).as("dist"),
+          c.getField("_1").as("cid"))))
       val probes = queries
-        .withColumn("cell", explode(expr(
-          s"transform(slice(array_sort($dcArr), 1, ${Learn.NProbe}), s -> s.cid)")))
+        .withColumn("cell", explode(transform(
+          slice(dcSorted, 1, Learn.NProbe), s => s.getField("cid"))))
         .select(col("q_id"), col("qe"), col("cell"))
       val rk = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -829,8 +837,10 @@ object SimSearch {
     // q_simsearch_lsh: no oracle (probabilistic bucketing).
 
     // Replays the coarse TRAINING round (init → assign → update via
-    // Learn's kmeans CTEs at k = 16), then the trained assignment, the
-    // integer-L2 probe, and the exact double cosine over probed cells.
+    // Learn's kmeans CTEs at k = ⌈√n⌉), then the TWO-LEVEL ROUTED
+    // assignment (super-cell training + routing — Learn's routed CTE
+    // chain), the integer-L2 probe, and the exact double cosine over
+    // probed cells.
     "q_simsearch_ivf" ->
       s"""WITH q AS (
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS a,
@@ -841,8 +851,7 @@ object SimSearch {
          |${Learn.initCte("c0", 1, Learn.Dim, "", Learn.CoarseKSql)},
          |${Learn.assignCte("a1", "c0", 1, Learn.Dim)},
          |${Learn.updateCte("c1", "a1", 1, Learn.Dim)},
-         |${Learn.assignCte("a2", "c1", 1, Learn.Dim)},
-         |vcell AS (SELECT vec_id, cid AS cell FROM a2 WHERE rn = 1),
+         |${Learn.routedAssignCtes("vcell", "c1", "q")},
          |q0 AS (SELECT a AS qa, qv AS q0v FROM q WHERE vec_id = 0),
          |qprobe AS (
          |  SELECT cid FROM (
@@ -901,8 +910,7 @@ object SimSearch {
          |${Learn.initCte("c0", 1, Learn.Dim, "", Learn.CoarseKSql)},
          |${Learn.assignCte("a1", "c0", 1, Learn.Dim)},
          |${Learn.updateCte("c1", "a1", 1, Learn.Dim)},
-         |${Learn.assignCte("a2", "c1", 1, Learn.Dim)},
-         |vcell AS (SELECT vec_id, cid AS cell FROM a2 WHERE rn = 1),
+         |${Learn.routedAssignCtes("vcell", "c1", "q")},
          |qs AS (SELECT vec_id AS q_id, a AS qe, qv AS qqv FROM q WHERE vec_id < 10),
          |probe AS (
          |  SELECT q_id, cid FROM (
