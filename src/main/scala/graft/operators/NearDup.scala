@@ -938,8 +938,13 @@ object NearDup {
         .selectExpr("vec_id + 1000000 AS vec_id", "label",
           "transform(embedding, x -> cast(x as double) + 0.01) AS e")
       val all = emb.unionByName(dup)
-      val cents = SimSearch.trainedCentroidLits(s, d)
-      val cosc = expr(s"cosine_all(e, array(${cents.mkString(",")}))")  // one call site; see CosineMulti scaladoc
+      // codebook as ONE typedLit literal (cosine is scale-invariant, so
+      // the 1e-4-grid integer centroids ride unscaled; value-identical
+      // to the old Double.toString plan-text round-trip) — the foldable
+      // arg CosineMulti decodes once; no O(K·dim) expr string to parse
+      val centsCol = typedLit(
+        Learn.coarseCentroids(s, d).map(_._2.map(_.toDouble).toSeq))
+      val cosc = call_function("cosine_all", col("e"), centsCol)
       val twoTheta = 2 * math.acos(0.95)
       val clamp = (x: String) => s"acos(greatest(-1.0D, least(1.0D, $x)))"
       val assigned = all

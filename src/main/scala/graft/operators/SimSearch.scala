@@ -71,19 +71,14 @@ object SimSearch {
       .collect()
       .map(_.getSeq[Double](0).map(v => s"${v}D").mkString("array(", ",", ")"))
 
-  /** The TRAINED ⌈√n⌉-cell codebook (Learn.coarseCentroids) as
-    * double-array plan literals for the cosine-space cone-probe
-    * generators (q_knn_label, q_dedup_embed). The 1e-4-grid integer
-    * centroids are used UNSCALED — cosine is scale-invariant, so
-    * dividing by 10⁴ would only add a float op per element. Safe swap
-    * by construction: the triangle-inequality exactness proofs hold
-    * for ANY centroid set (centroids only pick which cells are
-    * probed), so the all-pairs oracles are untouched — training
-    * changes cell BALANCE, not results.
-    */
-  private[operators] def trainedCentroidLits(s: SparkSession, d: String): Array[String] =
-    Learn.coarseCentroids(s, d)
-      .map(_._2.map(v => s"${v.toDouble}D").mkString("array(", ",", ")")).toArray
+  // The cone-probe generators (q_knn_label, q_dedup_embed) consume the
+  // TRAINED ⌈√n⌉-cell codebook (Learn.coarseCentroids) as ONE typedLit
+  // double-array literal. The 1e-4-grid integer centroids ride UNSCALED
+  // — cosine is scale-invariant, so dividing by 10⁴ would only add a
+  // float op per element. Safe by construction: the triangle-inequality
+  // exactness proofs hold for ANY centroid set (centroids only pick
+  // which cells are probed), so the all-pairs oracles are untouched —
+  // training changes cell BALANCE, not results.
 
   /** Clamped arccos — numeric safety at the ±1 boundary. */
   private[operators] def angleOf(cosExpr: String): String =
@@ -466,8 +461,11 @@ object SimSearch {
     "q_knn_label" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
       import org.apache.spark.sql.expressions.Window
-      val cents = trainedCentroidLits(s, d)
-      val cosc = expr(s"cosine_all(e, array(${cents.mkString(",")}))")  // one call site; see CosineMulti scaladoc
+      // codebook as ONE typedLit literal (foldable — CosineMulti
+      // decodes it once); no O(K·dim) expr string to parse
+      val centsCol = typedLit(
+        Learn.coarseCentroids(s, d).map(_._2.map(_.toDouble).toSeq))
+      val cosc = call_function("cosine_all", col("e"), centsCol)
       val assigned = Tables.embeddings(s, d)
         .withColumn("e", col("embedding").cast("array<double>"))
         .withColumn("cosc", cosc)
