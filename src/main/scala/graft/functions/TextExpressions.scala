@@ -648,3 +648,55 @@ object JaroWinklerSim {
     jaro + l * 0.1 * (1.0 - jaro)
   }
 }
+
+/** Length in CHARACTERS of the longest common prefix of two strings —
+  * the adjacent-suffix LCP kernel of the suffix-ordering exact-
+  * substring dedup family (Curation.q_suffix_dup et al., the
+  * character-grain complement of q_substr_dedup's token-window
+  * fingerprints). The composable form is O(L²) character compares
+  * (`max i where substr(a,1,i)=substr(b,1,i)` re-scans the prefix for
+  * every i — the shape the DuckDB oracle replays); this expression is
+  * ONE byte scan.
+  *
+  * Byte-LCP first (UTF8String binary compare, same ordering DuckDB's
+  * memcmp sort uses), then the common byte run is walked lead-byte by
+  * lead-byte so only COMPLETE code points count — bit-identical to
+  * DuckDB's character-counting substr() on any valid UTF-8, not just
+  * the ASCII fixture corpus. Stays a CodegenFallback: the work is the
+  * byte loop, not expression dispatch (the word_shingles precedent).
+  */
+case class PrefixLen(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "prefix_len"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[UTF8String].getBytes
+    val b = r.asInstanceOf[UTF8String].getBytes
+    val n = math.min(a.length, b.length)
+    var k = 0
+    while (k < n && a(k) == b(k)) k += 1
+    // count complete code points inside the common byte run [0, k)
+    var pos = 0
+    var chars = 0L
+    while (pos < k) {
+      val w = UTF8String.numBytesForFirstByte(a(pos))
+      if (pos + w > k) pos = k // partial trailing code point: not common
+      else { pos += w; chars += 1 }
+    }
+    chars
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

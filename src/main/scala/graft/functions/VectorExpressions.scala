@@ -438,6 +438,11 @@ object VectorFunctions {
   private val jaroWinklerBuilder: Seq[Expression] => Expression =
     exprs => JaroWinklerSim(exprs(0), exprs(1))
 
+  private val prefixLenInfo = new ExpressionInfo(
+    classOf[PrefixLen].getName, "prefix_len")
+  private val prefixLenBuilder: Seq[Expression] => Expression =
+    exprs => PrefixLen(exprs(0), exprs(1))
+
   /** Idempotent registration on an existing session — functions plus
     * the [[RewriteDotProducts]] optimizer rule — usable from any query
     * lambda without rebuilding the session.
@@ -488,6 +493,8 @@ object VectorFunctions {
       "token_count", tokenCountBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_winkler", jaroWinklerBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "prefix_len", prefixLenBuilder, "built-in")
   }
 
   /** Session-extension wiring: sessions built with
@@ -515,6 +522,7 @@ object VectorFunctions {
       e.injectFunction((FunctionIdentifier("char_ngrams"), charNgramsInfo, charNgramsBuilder))
       e.injectFunction((FunctionIdentifier("token_count"), tokenCountInfo, tokenCountBuilder))
       e.injectFunction((FunctionIdentifier("jaro_winkler"), jaroWinklerInfo, jaroWinklerBuilder))
+      e.injectFunction((FunctionIdentifier("prefix_len"), prefixLenInfo, prefixLenBuilder))
       e.injectOptimizerRule(_ => RewriteDotProducts)
       e.injectOptimizerRule(_ => RewriteBoundedLevenshtein)
       e.injectOptimizerRule(_ => RewriteTokenCount)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -132,6 +132,68 @@ object Curation {
        |  FROM (SELECT doc_id, tk,
        |          unnest(range(0, (len(tk) + $B - 1) // $B)) AS b FROM tok))""".stripMargin
 
+  /** Suffix-context length (chars): the bounded sort key of the
+    * suffix-ordering family. Classic suffix-array property: all
+    * occurrences of any shared prefix are CONTIGUOUS in suffix-sorted
+    * order provided the sort key covers that prefix — so ordering by
+    * the first [[SufCtx]] characters of each suffix detects every
+    * repeated substring of length ≤ SufCtx EXACTLY, and the adjacent-
+    * pair LCP (capped at SufCtx by construction) is exact below the
+    * cap. [[SufDupMin]] (the Lee et al. 2022 ExactSubstr threshold
+    * scaled to the ~300-char fixture docs) sits well under the cap.
+    */
+  private val SufCtx = 64
+  private val SufDupMin = 32
+
+  /** Adjacent suffix pairs of the quote-twin corpus in suffix-sorted
+    * order, with exact char-grain LCP — the shared frame of the
+    * CHARACTER-grain exact-substring family (q_suffix_dup /
+    * q_longest_repeat / q_copy_pairs), complementing q_substr_dedup's
+    * TOKEN-window fingerprints: arbitrary-alignment character repeats,
+    * the actual Lee et al. "Deduplicating Training Data Makes Language
+    * Models Better" suffix-array method re-expressed as Spark plans.
+    *
+    * Pipeline: explode every character position (map-only), key each
+    * suffix by its first [[SufCtx]] chars (bounded — the shuffle
+    * carries ≤ 64-byte keys, NEVER unbounded suffix text; a full-rank
+    * suffix array would prefix-double in O(log L) further rounds, but
+    * every consumer here reads LCPs ≤ the cap, where the bounded key
+    * is exact), total-order via [[Ranks.globalOrderScan]] (bucket =
+    * 3-char key prefix — monotone under the key order; the only
+    * partitionless window runs over the bucket census), then join
+    * rank r with r+1 and take `prefix_len` (one byte-scan per pair —
+    * the O(L²) composable form is the oracle's replay).
+    *
+    * Memoized per (session, dir) via [[CachedRelation]] (the
+    * clusterLabels pattern, 1 h TTL): three queries consume the same
+    * sorted-pair frame, and at 100 TB the position-grain sort is far
+    * too expensive to run thrice. Deterministic: ties in the suffix
+    * order break by (doc_id, pos) in both engines.
+    */
+  private[graft] val suffixPairCache = new CachedRelation(ttlMillis = 3600L * 1000)
+
+  private[graft] def suffixPairs(s: SparkSession, d: String): DataFrame =
+    suffixPairCache.resolve(s"${System.identityHashCode(s)}:$d") {
+      graft.functions.VectorFunctions.register(s)
+      val suf = spanCorpus(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("p", explode(expr("sequence(1, length(text))")))
+        .select(col("doc_id"), col("p").cast("bigint").as("p"),
+          expr(s"substring(text, p, $SufCtx)").as("sk"))
+        .localCheckpoint() // the scan reads it twice (bucket census + probe);
+                           // don't pay the position explode per read
+      val rk = Ranks.globalOrderScan(suf, substring(col("sk"), 1, 3),
+          Seq(col("sk"), col("doc_id"), col("p")), "r")
+        .localCheckpoint() // both sides of the adjacent-pair join share the scan
+      val b = rk.select((col("r") - 1).as("r"), col("doc_id").as("b_doc"),
+        col("p").as("b_pos"), col("sk").as("bsk"))
+      rk.select(col("r"), col("doc_id").as("a_doc"), col("p").as("a_pos"),
+          col("sk").as("ask"))
+        .join(b, "r")
+        .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"),
+          col("ask"), expr("prefix_len(ask, bsk)").as("lcp"))
+    }
+
   val queries: Map[String, Q] = Map(
     // RAG-style chunking: overlapping 32-token windows at stride 24
     // (8-token overlap). Map-only — the transform/posexplode sits
@@ -218,6 +280,158 @@ object Curation {
         .join(cov, Seq("doc_id"), "left")
         .na.fill(0L, Seq("n_dup_windows", "dup_tokens"))
         .withColumn("dup_frac", round(col("dup_tokens") / col("n_tokens"), 4))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CHARACTER-grain exact-substring dedup via suffix ordering (Lee
+    // et al. 2022's ExactSubstr, the suffix-array form) — what
+    // q_substr_dedup's token windows cannot see: repeats at arbitrary
+    // CHARACTER alignment (split points, punctuation drift). Every
+    // position whose suffix shares ≥ SufDupMin chars with a sorted
+    // neighbor starts a duplicated run [p, p+lcp); per-doc coverage is
+    // the interval union (running max-end over the per-doc position
+    // window — bounded by doc length, never corpus-proportional).
+    //
+    // Scale posture: one position-grain bucket sort (the memoized
+    // suffixPairs frame, 64-byte keys), then per-doc windows over
+    // ≤ doclen rows. Quote twins score dup_frac 1.0 — their whole
+    // text is their parent's prefix.
+    "q_suffix_dup" -> ((s, d) => {
+      val pr = suffixPairs(s, d)
+      val ends = pr.select(col("a_doc").as("doc_id"), col("a_pos").as("p"), col("lcp"))
+        .unionByName(pr.select(col("b_doc").as("doc_id"), col("b_pos").as("p"), col("lcp")))
+      val duppos = ends.filter(col("lcp") >= SufDupMin)
+        .groupBy(col("doc_id"), col("p")).agg(max(col("lcp")).as("len"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cov = duppos
+        .withColumn("pend", max(col("p") + col("len")).over(wDoc))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dup_positions"),
+          sum(greatest(lit(0L), col("p") + col("len") -
+            greatest(col("p"), coalesce(col("pend"), lit(0L))))).as("dup_chars"),
+          max(col("len")).as("max_lcp"))
+      spanCorpus(s, d)
+        .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
+        .join(cov, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("dup_positions", "dup_chars", "max_lcp"))
+        .withColumn("dup_frac", round(col("dup_chars") / col("n_chars"), 4))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Top-10 repeated substrings of the corpus — the adjacent-pair
+    // page of the same memoized suffix order (any repeated substring
+    // surfaces as an adjacent LCP; the cap is documented in SufCtx).
+    // TakeOrderedAndProject selects the page; the rank window runs
+    // over the 10-row page (above GlobalLimit — sweep-compliant).
+    "q_longest_repeat" -> ((s, d) => {
+      val page = suffixPairs(s, d)
+        .orderBy(col("lcp").desc, col("a_doc"), col("a_pos"))
+        .limit(10)
+      page
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("lcp").desc, col("a_doc"), col("a_pos"))).cast("bigint"))
+        .select(col("rk"), col("lcp"),
+          expr("substring(ask, 1, cast(least(lcp, 40) as int))").as("excerpt"),
+          col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"))
+        .orderBy(col("rk"))
+    }),
+
+    // Cross-document copy report: which doc PAIRS share long verbatim
+    // runs (contamination/boilerplate attribution at char grain — the
+    // suffix-order complement of q_crossdup's minhash view). Adjacent
+    // suffix pairs from different docs with lcp ≥ SufDupMin, grouped
+    // by unordered pair, top-20 by total shared chars. The aggregate
+    // is pair-grain (bounded by dup mass, not corpus); the page is
+    // TakeOrdered.
+    "q_copy_pairs" -> ((s, d) => {
+      suffixPairs(s, d)
+        .filter(col("lcp") >= SufDupMin && col("a_doc") =!= col("b_doc"))
+        .select(least(col("a_doc"), col("b_doc")).as("doc_lo"),
+          greatest(col("a_doc"), col("b_doc")).as("doc_hi"), col("lcp"))
+        .groupBy(col("doc_lo"), col("doc_hi"))
+        .agg(count(lit(1)).as("n_pairs"), max(col("lcp")).as("max_lcp"),
+          sum(col("lcp")).as("sum_lcp"))
+        .orderBy(col("sum_lcp").desc, col("doc_lo"), col("doc_hi"))
+        .limit(20)
+    }),
+
+    // FULL suffix ranks by PREFIX DOUBLING with DISCARDING (Manber &
+    // Myers 1990; the distributed form with the discarding
+    // optimization is Flick & Aluru 2015) — the UNBOUNDED-context
+    // complement of suffixPairs' 64-char keys. Base round: one
+    // bucket-offset min-rank scan over the 64-char context; then
+    // O(log L) doubling rounds, each touching ONLY the rows whose
+    // rank is still tied (work ∝ unresolved duplicate mass, not the
+    // corpus — after the base round that is the long-run dup
+    // positions only). Rank semantics are min-rank (ties share the
+    // rank — equal FULL suffixes across duplicate docs stay tied,
+    // which is the correct suffix-array answer and what DuckDB's
+    // rank() computes on the oracle side by sorting the unbounded
+    // suffix strings directly). Missing partner (p + h past doc end)
+    // ranks 0 — below every real rank, exactly how a proper prefix
+    // sorts before its extensions.
+    //
+    // The audit statistic runs over the deterministic 1/16 doc-id
+    // sample (the rank permutation itself is the operator; the query
+    // reports the per-doc checksum page that pins it). Rounds are
+    // bounded structurally by h doubling past maxlen, with an
+    // empty-active early exit.
+    "q_suffix_rank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 16 === 1)
+        .select(col("doc_id"), col("text"))
+      val suf = docs
+        .withColumn("p", explode(expr("sequence(1, length(text))")))
+        .select(col("doc_id"), col("p").cast("bigint").as("p"),
+          expr(s"substring(text, p, $SufCtx)").as("sk"))
+        .localCheckpoint() // the base scan reads it twice (census + probe)
+      val maxLen = docs.agg(max(length(col("text")))).head.getInt(0).toLong
+      // base: min-rank over the 64-char context (bucket-offset
+      // row_number, then min within the tie group — tie groups are
+      // bounded by duplicate mass, never corpus-proportional)
+      var full = Ranks.globalOrderScan(suf, substring(col("sk"), 1, 3),
+          Seq(col("sk"), col("doc_id"), col("p")), "__rn")
+        .withColumn("rk", min(col("__rn")).over(Window.partitionBy(col("sk"))))
+        .select(col("doc_id"), col("p"), col("rk"))
+        .localCheckpoint()
+      // DISCARDING doubling (Flick & Aluru 2015): a row whose rank is
+      // already unique is FINAL — later splits happen strictly inside
+      // other tie groups, so its strictly-smaller count never moves.
+      // Each round touches only the still-tied rows: fetch the
+      // (already 2h-char-accurate) partner rank at p+h from the full
+      // frame, split the group by it (nrk = group min − 1 + in-group
+      // min-rank — exactly the global min-rank after the split), and
+      // shrink the active set to subgroups still tied on (rk, rk2).
+      var active = full
+        .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("rk"))))
+        .filter(col("__c") > 1).drop("__c")
+        .localCheckpoint()
+      var h = SufCtx.toLong
+      while (h < maxLen && !active.isEmpty) {
+        val part = full.select(col("doc_id"), (col("p") - h).as("p"),
+          col("rk").as("rk2"))
+        val upd = active.join(part, Seq("doc_id", "p"), "left")
+          .na.fill(0L, Seq("rk2")) // no partner = proper prefix: sorts first
+          .withColumn("nrk", col("rk") - 1 + rank().over(
+            Window.partitionBy(col("rk")).orderBy(col("rk2"))))
+          .localCheckpoint() // read by the merge AND the next active cut
+        full = full.join(upd.select(col("doc_id"), col("p"), col("nrk")),
+            Seq("doc_id", "p"), "left")
+          .select(col("doc_id"), col("p"),
+            coalesce(col("nrk"), col("rk")).as("rk"))
+          .localCheckpoint()
+        active = upd
+          .withColumn("__c", count(lit(1)).over(
+            Window.partitionBy(col("rk"), col("rk2"))))
+          .filter(col("__c") > 1)
+          .select(col("doc_id"), col("p"), col("nrk").as("rk"))
+        h *= 2
+      }
+      full.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_suffixes"),
+          sum(expr("(rk * p) % 1000003")).as("rank_checksum"),
+          min(col("rk")).as("min_rank"))
         .orderBy(col("doc_id"))
     }),
 
@@ -610,7 +824,96 @@ object Curation {
     })
   )
 
+  /** DuckDB twin of [[suffixPairs]]: quote-twin corpus → per-char
+    * positions → 64-char suffix keys → row_number over (sk, doc_id, p)
+    * (the single-reducer form globalOrderScan equals bit-for-bit) →
+    * adjacent-rank join with the O(L²) composable LCP (max i where the
+    * i-prefixes match, i capped by both key lengths) — the replay of
+    * the one-byte-scan `prefix_len`.
+    */
+  private val sufCtes =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    array_to_string(list_slice(string_split(text, ' '), 1, 32), ' ') AS text
+       |  FROM documents WHERE doc_id % 4 = 0),
+       |sbase AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n_chars FROM corpus),
+       |spos AS (SELECT doc_id, text, unnest(range(1, n_chars + 1)) AS p FROM sbase),
+       |suf AS (SELECT doc_id, p, substr(text, CAST(p AS INTEGER), $SufCtx) AS sk FROM spos),
+       |srk AS (SELECT doc_id, p, sk,
+       |          row_number() OVER (ORDER BY sk, doc_id, p) AS r FROM suf),
+       |spr AS (
+       |  SELECT a.doc_id AS a_doc, a.p AS a_pos, b.doc_id AS b_doc, b.p AS b_pos,
+       |    a.sk AS ask,
+       |    CAST(list_max(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, ${SufCtx + 1}),
+       |      i -> CASE WHEN i <= least(strlen(a.sk), strlen(b.sk))
+       |                 AND substr(a.sk, 1, CAST(i AS INTEGER)) = substr(b.sk, 1, CAST(i AS INTEGER))
+       |            THEN CAST(i AS BIGINT) ELSE CAST(0 AS BIGINT) END))) AS BIGINT) AS lcp
+       |  FROM srk a JOIN srk b ON b.r = a.r + 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // The suffix-order pipeline CTE-for-CTE, then the same two-sided
+    // position projection, per-position max-LCP, and running-max-end
+    // interval union.
+    "q_suffix_dup" ->
+      s"""$sufCtes,
+         |ends AS (
+         |  SELECT a_doc AS doc_id, a_pos AS p, lcp FROM spr
+         |  UNION ALL SELECT b_doc, b_pos, lcp FROM spr),
+         |duppos AS (SELECT doc_id, p, max(lcp) AS len FROM ends
+         |           WHERE lcp >= $SufDupMin GROUP BY 1, 2),
+         |cov AS (
+         |  SELECT doc_id, p, len,
+         |    max(p + len) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pend
+         |  FROM duppos),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_positions,
+         |    CAST(sum(greatest(0, p + len - greatest(p, COALESCE(pend, 0)))) AS BIGINT) AS dup_chars,
+         |    max(len) AS max_lcp
+         |  FROM cov GROUP BY 1)
+         |SELECT b.doc_id, b.n_chars,
+         |  COALESCE(a.dup_positions, 0) AS dup_positions,
+         |  COALESCE(a.dup_chars, 0) AS dup_chars,
+         |  round(COALESCE(a.dup_chars, 0) / b.n_chars, 4) AS dup_frac,
+         |  COALESCE(a.max_lcp, 0) AS max_lcp
+         |FROM sbase b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // The oracle sorts the UNBOUNDED suffix strings directly — the
+    // single-node form whose rank() (min-rank tie semantics) the
+    // prefix-doubling fixpoint equals by the Manber-Myers invariant.
+    "q_suffix_rank" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 16 = 1),
+        |spos AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(1, CAST(strlen(text) AS BIGINT) + 1)) AS p
+        |  FROM docs),
+        |srk AS (
+        |  SELECT doc_id, p,
+        |    rank() OVER (ORDER BY substr(text, CAST(p AS INTEGER))) AS rk
+        |  FROM spos)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_suffixes,
+        |  CAST(sum((rk * p) % 1000003) AS BIGINT) AS rank_checksum,
+        |  min(rk) AS min_rank
+        |FROM srk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_longest_repeat" ->
+      s"""$sufCtes
+         |SELECT row_number() OVER (ORDER BY lcp DESC, a_doc, a_pos) AS rk,
+         |  lcp, substr(ask, 1, CAST(least(lcp, 40) AS INTEGER)) AS excerpt,
+         |  a_doc, a_pos, b_doc, b_pos
+         |FROM spr ORDER BY lcp DESC, a_doc, a_pos LIMIT 10""".stripMargin,
+
+    "q_copy_pairs" ->
+      s"""$sufCtes
+         |SELECT least(a_doc, b_doc) AS doc_lo, greatest(a_doc, b_doc) AS doc_hi,
+         |  CAST(count(*) AS BIGINT) AS n_pairs, max(lcp) AS max_lcp,
+         |  CAST(sum(lcp) AS BIGINT) AS sum_lcp
+         |FROM spr WHERE lcp >= $SufDupMin AND a_doc <> b_doc
+         |GROUP BY 1, 2 ORDER BY sum_lcp DESC, doc_lo, doc_hi LIMIT 20""".stripMargin,
+
     // Same (doc_id, pos) universal hashes; vocabulary as an ordered
     // list cross-joined in (the Spark side folds the identical sorted
     // vocab as a plan literal — the compare proves the fold).

@@ -116,6 +116,49 @@ object Pipeline {
   private val A3 = 797003437L; private val B3 = 321017101L
 
   val queries: Map[String, Q] = Map(
+    // GREEDY SUBMODULAR DATA SELECTION (max-coverage / facility
+    // location — the Nemhauser 1978 greedy with its (1-1/e) guarantee;
+    // the data-selection form of Coleman's selection-via-proxy /
+    // coreset line): pick 8 documents that together cover the most
+    // distinct word-3-gram shingles — the "small seed set that spans
+    // the corpus" primitive behind curriculum seeds, eval-set
+    // selection, and annotation budgeting.
+    //
+    // Distributed greedy, the q_kcenter pattern — NEVER a collect:
+    // each round is one anti-join (remaining universe vs the covered
+    // set), one doc-grain aggregate, and a 1-row TakeOrdered winner
+    // that broadcasts back; the covered set grows by the winner's
+    // shingles (≤ doc-length rows, broadcast). 8 rounds = 8 bounded
+    // shuffle stages over the (doc, shingle) frame; the frame itself
+    // is one map-only shingle explode, checkpointed and shared.
+    // Tie-break max gain → min doc_id, both engines. covered_cum is a
+    // window over the 8-row selection page (checkpoint-hidden
+    // aggregate — exempted in the Round12 sweep with the reason).
+    "q_select_coverage" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr("word_shingles(text, 3)")).as("tok"))
+        .localCheckpoint() // 8 rounds + the winner-shingle lookups share it
+      var avail = toks
+      var picks = Seq.empty[DataFrame]
+      for (r <- 1 to 8) {
+        val win = avail.groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id")).limit(1)
+          .localCheckpoint() // 1 row: the pick page AND the coverage update read it
+        picks = picks :+ win.select(lit(r.toLong).as("sel_round"),
+          col("doc_id"), col("gain"))
+        val winToks = toks.join(broadcast(win.select(col("doc_id"))), "doc_id")
+          .select(col("tok"))
+        avail = avail.join(broadcast(winToks), Seq("tok"), "left_anti")
+          .localCheckpoint() // cut the per-round lineage growth
+      }
+      picks.reduce(_ unionByName _)
+        .withColumn("covered_cum", sum(col("gain")).over(
+          Window.orderBy(col("sel_round"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("sel_round"))
+    }),
+
     // POISSON BOOTSTRAP confidence interval (Chamandy et al. 2012, the
     // Google large-scale-estimation paper) — THE distributed bootstrap:
     // a classical resample needs a global sample-with-replacement
@@ -1214,6 +1257,43 @@ object Pipeline {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The 8 greedy rounds unrolled: a_r = remaining (doc, shingle)
+    // universe, s_r = that round's argmax(gain, tiebreak doc_id);
+    // the next universe drops every shingle the winner covers.
+    // MATERIALIZED is load-bearing: s_r and a_{r+1} both reference
+    // a_r, so inlined CTEs re-evaluate a1's subtree 2^7 times — the
+    // unrolled chain must checkpoint each stage exactly like the
+    // Spark side's per-round localCheckpoint.
+    "q_select_coverage" -> {
+      val stages = (1 to 8).map { r =>
+        val src = if (r == 1) "toks" else s"a$r"
+        val drop = if (r == 1) ""
+        else
+          s"""a$r AS MATERIALIZED (
+             |  SELECT doc_id, tok FROM a${r - 1}
+             |  WHERE tok NOT IN (
+             |    SELECT t.tok FROM a${r - 1} t
+             |    JOIN s${r - 1} USING (doc_id))),
+             |""".stripMargin
+        s"""$drop
+           |s$r AS MATERIALIZED (
+           |  SELECT CAST($r AS BIGINT) AS sel_round, doc_id,
+           |    CAST(count(*) AS BIGINT) AS gain
+           |  FROM $src GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1)""".stripMargin
+      }
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |toks AS MATERIALIZED (SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(t) - 1),
+         |      i -> array_to_string(t[i:i+2], ' '))) AS tok
+         |  FROM tk),
+         |a1 AS (SELECT doc_id, tok FROM toks),
+         |${stages.mkString(",\n")}
+         |SELECT sel_round, doc_id, gain,
+         |  CAST(sum(gain) OVER (ORDER BY sel_round) AS BIGINT) AS covered_cum
+         |FROM (${(1 to 8).map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")})
+         |ORDER BY sel_round""".stripMargin
+    },
+
     // Unrolled halving: rung r ranks the survivors of rung r−1 (top
     // 16/2^r by mean milli-reward, config tiebreak).
     "q_sha_tuning" -> {

@@ -102,6 +102,39 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
 
+    // GREEN-LIST WATERMARK DETECTOR (Kirchenbauer et al. 2023, "A
+    // Watermark for Large Language Models") — the corpus-curation
+    // twin: flag documents whose token stream is improbably biased
+    // toward the hash-keyed "green" half of the vocabulary, the
+    // signature a soft-watermarked generator leaves. The green set for
+    // position i is keyed by the PRECEDING token (the paper's
+    // self-hash scheme): green iff the 60-bit bigram fingerprint
+    // (word_window_hashes(text, 2) — one JVM pass, the hshSql idiom)
+    // has even parity, γ = ½. Detection is the paper's one-proportion
+    // z-test carried EXACTLY in integers: z² = (2g−n)²/n as z2_milli,
+    // flagged = (g > n/2) ∧ (z² > 9) ⇔ (2g−n)² > 9n — exact BIGINT
+    // compares, no sqrt ever evaluated. Natural text sits |z| < 3;
+    // a γ=½ watermark at the paper's δ=2 lands z ≳ 6 for 300-token
+    // docs, so the threshold separates cleanly.
+    //
+    // Scale posture: MAP-ONLY — per-doc hash pass + arithmetic,
+    // nothing shuffles but the per-doc report row.
+    "q_watermark_detect" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      Tables.documents(s, d)
+        .selectExpr("doc_id", "word_window_hashes(text, 2) AS wh")
+        .selectExpr("doc_id", "cast(size(wh) as bigint) AS n_pairs",
+          "cast(size(filter(wh, h -> h % 2 = 0)) as bigint) AS n_green")
+        .withColumn("green_permille", expr("(n_green * 1000) DIV n_pairs"))
+        .withColumn("z2_milli", expr(
+          "((2 * n_green - n_pairs) * (2 * n_green - n_pairs) * 1000) DIV n_pairs"))
+        .withColumn("flagged", expr(
+          """CAST(CASE WHEN 2 * n_green > n_pairs
+            |  AND (2 * n_green - n_pairs) * (2 * n_green - n_pairs) > 9 * n_pairs
+            |  THEN 1 ELSE 0 END AS BIGINT)""".stripMargin))
+        .orderBy(col("doc_id"))
+    }),
+
     // FLESCH reading-ease profile per source (Flesch 1948; Kincaid's
     // military-manual recalibration made it THE readability gate) —
     // the classic pre-LLM quality prior, still a useful corpus-audit
@@ -1697,6 +1730,30 @@ object TextAnalysis {
       .foldLeft(colName)((acc, c) => s"replace($acc, '$c', '')")
 
   val oracles: Map[String, String] = Map(
+
+    // Bigram fingerprints via the positional md5-fold idiom (the
+    // q_winnowing wtx shape at window 2), then the same exact-integer
+    // parity count and z² arithmetic.
+    "q_watermark_detect" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |fp AS (
+        |  SELECT doc_id, CAST(len(tk) - 1 AS BIGINT) AS n_pairs,
+        |    list_transform(range(1, len(tk)),
+        |      i -> list_reduce(list_transform(range(1, 16),
+        |        j -> CAST(strpos('0123456789abcdef',
+        |               substr(md5(array_to_string(tk[i:i+1], ' ')), j, 1)) - 1 AS BIGINT)),
+        |        (a, b) -> a * 16 + b)) AS fps
+        |  FROM base),
+        |g AS (SELECT doc_id, n_pairs,
+        |        CAST(len(list_filter(fps, h -> h % 2 = 0)) AS BIGINT) AS n_green
+        |      FROM fp)
+        |SELECT doc_id, n_pairs, n_green,
+        |  (n_green * 1000) // n_pairs AS green_permille,
+        |  ((2 * n_green - n_pairs) * (2 * n_green - n_pairs) * 1000) // n_pairs AS z2_milli,
+        |  CAST(CASE WHEN 2 * n_green > n_pairs
+        |    AND (2 * n_green - n_pairs) * (2 * n_green - n_pairs) > 9 * n_pairs
+        |    THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_readability" ->
       """WITH per AS (

@@ -34,6 +34,7 @@ class Round12Spec extends SparkSpec {
     // checkpointed frame is a distinct-value/config census, bounded by
     // value cardinality, never corpus-proportional.
     val exempt: Map[String, String] = Map(
+      "q_select_coverage" -> "covered_cum over the checkpointed 8-row greedy selection page",
       "q_adaboost_step" -> "stump sweep over the checkpointed distinct-click-count census",
       "q_interarrival" -> "rank-cut prefix over the checkpointed distinct-gap census",
       "q_quality_sweep" -> "retention sweep over the checkpointed 0-100 quality-score census",
