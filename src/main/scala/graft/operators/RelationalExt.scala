@@ -39,6 +39,132 @@ object RelationalExt {
   import graft.functions.SqlBridge.{sdiv, sdivSql}
 
   val queries: Map[String, Q] = Map(
+    // SHIPPING PRIORITY (the TPC-H Q3 shape): unshipped revenue of
+    // BUILDING-segment orders placed before the cut that still have
+    // lines shipping after it, top-10 by revenue. The classic
+    // fact-fact orderkey shuffle with two dimension prunes; revenue
+    // in exact cents×percent (the q_nation_volume idiom). The page is
+    // TakeOrderedAndProject.
+    "q_ship_priority" -> ((s, d) => {
+      val cut = "1998-06-15 00:00:00"
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .join(Tables.orders(s, d).filter(col("o_orderdate") < to_timestamp(lit(cut))),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_shipdate") > to_timestamp(lit(cut))),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(expr(
+          """CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+            | * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))""".stripMargin))
+          .as("revenue_cp"))
+        .orderBy(col("revenue_cp").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ORDER-PRIORITY late-ship check (the TPC-H Q4 shape; the fixture
+    // lineitem carries no commit/receipt dates, so "late" is shipped
+    // > 90 days after the order date — the substitution changes the
+    // predicate, not the EXISTS-semi plan): per priority, how many
+    // Q1-1997 orders had at least one late line. LeftSemi on the
+    // orderkey — the decorrelated EXISTS.
+    "q_order_priority" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-04-01 00:00:00")))
+      val late = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(late,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // LATE-SHIPMENT priority mix (the TPC-H Q12 shape; no l_shipmode
+    // in the fixture, so the classifier groups by l_returnflag): among
+    // lines shipped > 60 days after their order date, how many belong
+    // to critical (1-URGENT/2-HIGH) vs other orders — one join + one
+    // conditional aggregate.
+    "q_late_priority_mix" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // PROMO revenue share (the TPC-H Q14 shape): of one month's
+    // revenue, what permille came from PROMO-type parts — exact
+    // integers end-to-end: both numerator and denominator are
+    // cents×percent BIGINT sums, the share is one truncating DIV
+    // after the aggregate (identical on both engines).
+    "q_promo_share" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-03-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-04-01 00:00:00")))
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .select(expr(
+          """CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+            | * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))""".stripMargin)
+          .as("rev"), col("p_type"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0L)).as("promo_cp"),
+          sum(col("rev")).as("total_cp"))
+        .select(col("promo_cp"), col("total_cp"),
+          expr("(promo_cp * 1000) DIV total_cp").as("promo_permille"))
+    }),
+
+    // LARGE-VOLUME customers (the TPC-H Q18 shape): orders whose total
+    // quantity exceeds 180, with their customer, top-20 by
+    // (o_totalprice desc, o_orderkey). The HAVING-subquery form
+    // becomes one aggregate + self-semi-join on the orderkey; quantity
+    // is integral-as-double, so the BIGINT cast is exact.
+    "q_big_orders" -> ((s, d) => {
+      val bigKeys = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("total_qty"))
+        .filter(col("total_qty") > 180L)
+      Tables.orders(s, d)
+        .join(bigKeys, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // DISCOUNTED bracket revenue (the TPC-H Q19 shape; the fixture
+    // part has no container, so the brackets pair brand with size and
+    // quantity ranges): three disjunctive (brand, size, qty) brackets
+    // evaluated in ONE scan-side OR predicate — the query exists to
+    // prove disjunctions stay a single pass, not three unions.
+    "q_bracket_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10, 25)) ||
+          (col("p_brand") === "Brand#20" && col("p_size").between(1, 30) &&
+            col("l_quantity").between(20, 35)))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(expr(
+            """CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+              | * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))""".stripMargin))
+            .as("revenue_cp"))
+    }),
+
     // CUBE: all 2^2 grouping combinations in one Expand + aggregate.
     "q_agg_cube" -> ((s, d) =>
       Tables.orders(s, d)
@@ -3517,6 +3643,78 @@ object RelationalExt {
         |                  AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY p.c_nationkey
         |ORDER BY nationkey""".stripMargin,
+
+    "q_ship_priority" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+        |    AS revenue_cp
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cp DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q_late_priority_mix" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_promo_share" ->
+      """WITH rev AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev,
+        |    p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00')
+        |SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS promo_cp,
+        |  CAST(SUM(rev) AS BIGINT) AS total_cp,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 1000 AS BIGINT)
+        |    // CAST(SUM(rev) AS BIGINT) AS promo_permille
+        |FROM rev""".stripMargin,
+
+    "q_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 180)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_bracket_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+        |    AS revenue_cp
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 20
+        |        AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 30
+        |        AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
 
     "q_nation_volume" ->
       """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
