@@ -182,6 +182,13 @@ object Curation {
           expr(s"substring(text, p, $SufCtx)").as("sk"))
         .localCheckpoint() // the scan reads it twice (bucket census + probe);
                            // don't pay the position explode per read
+        // pin the scan's window parallelism: the hash exchange this
+        // repartition emits satisfies the window's ClusteredDistribution
+        // (the alias propagates through the scan's projection), and a
+        // user repartition is exempt from AQE coalescing — without it
+        // the 64 MB advisory target folds the ~160 MB position frame
+        // into ~3 sort tasks
+        .repartition(col("sk").substr(1, 3))
       val rk = Ranks.globalOrderScan(suf, substring(col("sk"), 1, 3),
           Seq(col("sk"), col("doc_id"), col("p")), "r")
         .localCheckpoint() // both sides of the adjacent-pair join share the scan
