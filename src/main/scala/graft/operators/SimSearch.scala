@@ -37,7 +37,12 @@ object SimSearch {
   private def withQuery(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val emb = Tables.embeddings(s, d)
-    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    // limit(1) is a no-op on the unique-key filter but makes the
+    // 1-row bound PROVABLE in-plan (GlobalLimit) — the broadcast side
+    // of the scan crossJoin is page-bounded by construction, and the
+    // keyless-join sweep can see it without a name exemption.
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb")).limit(1)
     emb.crossJoin(broadcast(q))
   }
 
@@ -181,8 +186,9 @@ object SimSearch {
       val sigs = signatures(s, d)
       val emb = Tables.embeddings(s, d).join(sigs, "vec_id")
       val qBucket = sigs.filter(col("vec_id") === 0).select(col("bucket").as("q_bucket"))
+      // limit(1): provable 1-row bound for the sweep (the withQuery rationale)
       val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-        .select(col("embedding").as("q_emb"))
+        .select(col("embedding").as("q_emb")).limit(1)
       emb.join(broadcast(qBucket), col("bucket") === col("q_bucket"), "left_semi")
         .crossJoin(broadcast(q))
         .withColumn("cos_sim", expr(

@@ -67,6 +67,68 @@ class Round12Spec extends SparkSpec {
         failures.mkString("\n  "))
   }
 
+  test("plan sweep: no registered query joins two unbounded frames without equi keys") {
+    // The cross-join companion of the window sweep: an accidental
+    // CartesianProduct / nested-loop join between two data-grain
+    // frames is THE other way a plan goes quadratic (the r10 CoarseK
+    // class). A keyless join (no condition, or a condition with no
+    // equality the planner can hash on) is legitimate only when at
+    // least one side is already reduced — an Aggregate or a
+    // GlobalLimit page below it (the 1-row moment crossJoins, the
+    // banded range joins against a census). Flag every keyless join
+    // whose sides BOTH lack such a boundary.
+    //
+    // Same documented limitation as the window sweep: localCheckpoint
+    // truncates lineage to a LogicalRDD, which this sweep must treat
+    // as opaque-but-audited (the checkpointed producers carry their
+    // own targeted plan audits); the sweep still catches the common
+    // regression — a raw×raw keyless join inside one query's lineage.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LocalRelation, Range => LRange}
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+    import org.apache.spark.sql.execution.LogicalRDD
+    val exempt: Map[String, String] = Map(
+      "q_join_range" -> "the declared non-equi range join itself — band-bounded by the join predicate, the contract row's own semantics",
+      "q_dtw" -> "Sakoe-Chiba banded alignment: |i-j| <= W window predicate bounds the pair mass, series-grain frames",
+      "q_interval_sched" -> "interval overlap check against the TakeOrdered greedy page (page-bounded right side)",
+      "q_spatial_join" -> "grid-cell candidate join verifies with a non-equi distance predicate above the equi cell key"
+    )
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case _: LocalRelation => true
+      case _: LogicalRDD => true // checkpoint boundary: opaque, audited at the producer
+      case r: LRange => r.numElements <= 4096 // literal fan-out (bootstrap replicas, hyperplanes)
+      case _ => p.children.exists(bounded)
+    }
+    def keyless(j: Join): Boolean = j.condition match {
+      case None => true
+      case Some(c) => !c.exists {
+        case _: EqualTo => true
+        case _: EqualNullSafe => true
+        case _ => false
+      }
+    }
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !exempt.contains(name)) {
+      try {
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        val bad = plan.collect {
+          case j: Join if keyless(j) && !bounded(j.left) && !bounded(j.right) => j
+        }
+        if (bad.nonEmpty)
+          failures += s"$name: ${bad.size} keyless join(s) between unbounded frames"
+      } catch {
+        case e: Throwable =>
+          failures += s"$name: plan build threw ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(120)
+      }
+    }
+    assert(failures.isEmpty,
+      s"\n${failures.size} quer(ies) fail the keyless-join sweep " +
+        s"(fix the plan or add a REASONED exemption above):\n  " +
+        failures.mkString("\n  "))
+  }
+
   test("partitioned globalOrderScan: exact parity with the per-group window, skewed groups") {
     import spark.implicits._
     // One dominant group (the per-lang English case), one tiny group,
