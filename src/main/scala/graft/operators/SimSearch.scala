@@ -124,6 +124,72 @@ object SimSearch {
   }
 
   val queries: Map[String, Q] = Map(
+    // GRAPH-BASED ANN (the NSW/HNSW base layer, Malkov & Yashunin
+    // 2018): BEAM search over the k-NN graph — keep the ef=8 closest
+    // frontier, expand every frontier node's neighbors each hop, trim
+    // back to ef by exact distance. This is the missing serving
+    // family next to IVF/PQ/LSH/BQ: no codebook, no buckets —
+    // navigation over the (memoized, provably-exact) Learn.exactKnnL2
+    // 8-NN graph, HNSW's layer-0 with a deterministic entry instead
+    // of the layer hierarchy (pure greedy ef=1 parks in a local
+    // minimum one hop in on this corpus; ef=8 reaches the true NN by
+    // hop ~3 at every fixture SF — the measured reason HNSW carries a
+    // beam at all). The output is the per-hop TRACE (beam best, exact
+    // quantized d², did the best improve) against the brute-force
+    // true-NN distance — the serving path and its recall audit in
+    // one page.
+    //
+    // Scale posture: the distance table is ONE map-only pass (the
+    // limit(1) query vector broadcast), each hop is one equi-join of
+    // the ≤ ef·k candidate page — at 100 TB the graph is the big
+    // object and hops touch ef·k rows each; nothing else moves.
+    // 8 hops fixed; the oracle unrolls them CTE-for-CTE.
+    "q_graph_ann" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val H = 8; val Ef = 8
+      val d2 = "aggregate(zip_with(nv, qv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(expr(Learn.QuantTok).as("qv")).limit(1)
+      val dq = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), expr(Learn.QuantTok).as("nv"))
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), expr(d2).as("d2q"))
+        .localCheckpoint() // every hop's trim and the true-NN page read it
+      // 8-NN graph (node 0 excluded AFTER ranking — its neighbors keep
+      // their true rank order, just lose the query itself as a hop target)
+      val adj = Learn.exactKnnL2(s, d, Ef)
+        .filter(col("a_id") =!= 0 && col("b_id") =!= 0)
+        .select(col("a_id"), col("b_id"))
+      def best(beam: DataFrame): DataFrame =
+        beam.agg(min(struct(col("d2q"), col("vec_id"))).as("m"))
+          .select(col("m.vec_id").as("vec_id"), col("m.d2q").as("d2q"))
+      var beam = dq.orderBy(col("vec_id")).limit(1).localCheckpoint()
+      var trace = Seq(best(beam)
+        .select(lit(0L).as("hop"), col("vec_id"), col("d2q"), lit(0L).as("moved")))
+      for (h <- 1 to H) {
+        val nbrs = adj.join(broadcast(beam.select(col("vec_id").as("a_id"))), "a_id")
+          .select(col("b_id").as("vec_id")).distinct()
+          .unionByName(beam.select(col("vec_id"))).distinct()
+        val nxt = nbrs.join(dq, "vec_id")
+          .orderBy(col("d2q"), col("vec_id")).limit(Ef)
+          .localCheckpoint() // read by the trace page AND the next hop
+        trace = trace :+ best(nxt)
+          .crossJoin(broadcast(best(beam).select(col("vec_id").as("prev"))))
+          .select(lit(h.toLong).as("hop"), col("vec_id"), col("d2q"),
+            when(col("vec_id") === col("prev"), 0L).otherwise(1L).as("moved"))
+        beam = nxt
+      }
+      val trueNN = dq.agg(min(struct(col("d2q"), col("vec_id"))).as("m"))
+        .select(col("m.d2q").as("true_nn_d2"))
+      trace.reduce(_ unionByName _)
+        .crossJoin(broadcast(trueNN))
+        .select(col("hop"), col("vec_id").as("node_id"), col("d2q"), col("moved"),
+          col("true_nn_d2"),
+          when(col("d2q") === col("true_nn_d2"), 1L).otherwise(0L).as("reached"))
+        .orderBy(col("hop"))
+    }),
+
     // Exact brute-force cosine top-20 vs the vec_id=0 query vector.
     "q_simsearch" -> ((s, d) => {
       withQuery(s, d)
@@ -784,6 +850,59 @@ object SimSearch {
   }
 
   val oracles: Map[String, String] = Map(
+    // The beam search unrolled hop by hop: adj ranks ALL pairs
+    // (node 0 included, exactly like the Spark side's exactKnnL2) and
+    // drops 0 after the rank; each c_h is the (d2, id)-ordered top-8
+    // over the previous beam plus all its neighbors, MATERIALIZED so
+    // the chain doesn't re-expand (the q_concomp lesson); each t_h is
+    // the hop's trace row (beam best + did-it-improve vs the previous
+    // best).
+    "q_graph_ann" -> {
+      val dd = (a: String, b: String) =>
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), " +
+          s"(x, y) -> x + y)"
+      val hops = (1 to 8).map { h =>
+        s"""c$h AS MATERIALIZED (
+           |  SELECT vec_id, d2q FROM (
+           |    SELECT DISTINCT d.vec_id, d.d2q
+           |    FROM adj j JOIN c${h - 1} p ON j.ai = p.vec_id JOIN dq d ON d.vec_id = j.bi
+           |    UNION SELECT vec_id, d2q FROM c${h - 1})
+           |  ORDER BY d2q, vec_id LIMIT 8),
+           |t$h AS (
+           |  SELECT CAST($h AS BIGINT) AS hop, b.vec_id, b.d2q,
+           |    CASE WHEN b.vec_id = pb.vec_id THEN CAST(0 AS BIGINT)
+           |         ELSE CAST(1 AS BIGINT) END AS moved
+           |  FROM (SELECT vec_id, d2q FROM c$h ORDER BY d2q, vec_id LIMIT 1) b,
+           |       (SELECT vec_id FROM c${h - 1} ORDER BY d2q, vec_id LIMIT 1) pb)""".stripMargin
+      }
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |dq AS MATERIALIZED (
+         |  SELECT n.vec_id, ${dd("n.qv", "z.qv")} AS d2q
+         |  FROM q n, (SELECT qv FROM q WHERE vec_id = 0) z
+         |  WHERE n.vec_id <> 0),
+         |adj AS MATERIALIZED (
+         |  SELECT ai, bi FROM (
+         |    SELECT a.vec_id AS ai, b.vec_id AS bi,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${dd("a.qv", "b.qv")}, b.vec_id) AS rn
+         |    FROM q a JOIN q b ON a.vec_id <> b.vec_id)
+         |  WHERE rn <= 8 AND ai <> 0 AND bi <> 0),
+         |c0 AS MATERIALIZED (
+         |  SELECT vec_id, d2q FROM dq ORDER BY vec_id LIMIT 1),
+         |t0 AS (SELECT CAST(0 AS BIGINT) AS hop, vec_id, d2q, CAST(0 AS BIGINT) AS moved FROM c0),
+         |${hops.mkString(",\n")},
+         |tn AS (SELECT min(d2q) AS true_nn_d2 FROM dq)
+         |SELECT hop, vec_id AS node_id, d2q, moved, tn.true_nn_d2,
+         |  CASE WHEN d2q = tn.true_nn_d2 THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS reached
+         |FROM (${(0 to 8).map(h => s"SELECT * FROM t$h").mkString(" UNION ALL ")}) t, tn
+         |ORDER BY hop""".stripMargin
+    },
+
 
     "q_mrl_recall" ->
       """WITH qv AS (

@@ -208,4 +208,23 @@ class SimSearchSpec extends SparkSpec {
     val meanRatio = ratios.sum / ratios.length
     assert(meanRatio > 0.6 && meanRatio < 1.6, s"JL mean distortion $meanRatio off unity")
   }
+
+  test("q_graph_ann: beam invariants — best non-increasing, trace reaches the true NN") {
+    val rows = graft.SparkEntry.queries("q_graph_ann")(spark, sf)
+      .orderBy(org.apache.spark.sql.functions.col("hop")).collect()
+    assert(rows.length == 9)
+    val d2s = rows.map(_.getAs[Long]("d2q"))
+    assert(d2s.zip(d2s.tail).forall { case (a, b) => b <= a },
+      s"beam best must never regress: ${d2s.mkString(",")}")
+    // the (d2q, id)-argmin is deterministic: an unchanged best
+    // distance means the SAME node, never a tie-swap
+    rows.sliding(2).foreach { case Array(p, c) =>
+      if (c.getAs[Long]("d2q") == p.getAs[Long]("d2q"))
+        assert(c.getAs[Long]("node_id") == p.getAs[Long]("node_id"))
+    }
+    // ef=8 navigates this fixture to the exact NN (measured hop <= 4
+    // at every SF; pure greedy ef=1 parks in a local minimum)
+    assert(rows.last.getAs[Long]("reached") == 1L,
+      "beam search no longer reaches the true NN on the fixture")
+  }
 }
