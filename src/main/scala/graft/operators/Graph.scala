@@ -390,6 +390,79 @@ object Graph {
     // Fixed-point PageRank over the undirected customer–supplier
     // trade graph; node ids are namespaced into one integer space
     // (customer → 2k, supplier → 2k+1).
+    // SPECTRAL BIPARTITION (Fiedler 1973; the power-iteration form is
+    // the standard large-graph recipe behind Chaco/METIS coarse
+    // partitioning): the sign pattern of the Laplacian's second
+    // eigenvector splits the graph along its sparsest-ish cut. Power
+    // iteration runs on the shifted operator M = (Δ+1)·I − L (positive
+    // definite, same eigenvectors); the trivial all-ones component is
+    // deflated by exact mean-removal each round, and magnitude is
+    // renormalized with the q_pca_power integer recipe (floor-div by
+    // qd = max|x| DIV 10⁶) — every round is EXACT BIGINT arithmetic,
+    // so the full trajectory replays in DuckDB scalar-for-scalar. x₀
+    // is the deterministic (node_id % 1000) ramp, mean-removed.
+    //
+    // Scale posture: per round ONE equi-join of the rank vector
+    // against the persisted src-partitioned adjacency + one node
+    // aggregate (the q_pagerank shape); the normalization scalars are
+    // 1-row aggregates broadcast back — never a collect of the
+    // node-grain vector. Output is the partition report: side sizes,
+    // cut edges, balance.
+    "q_spectral_cut" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def fdiv(a: String, n: String) =
+        s"(($a) - ((($a) % ($n) + ($n)) % ($n))) DIV ($n)"
+      val edges = tradeBase(s, d)
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val adj = edges
+        .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+        .persist()
+      val nodes = adj.select(col("src").as("node_id"), col("deg")).distinct()
+        .localCheckpoint() // every round's diagonal term reads it
+      val dmax = nodes.agg(max(col("deg")).as("dmax"))
+      def renorm(df: DataFrame): DataFrame = {
+        val st = df.agg(sum(col("x")).as("sx"), count(lit(1)).as("nn"))
+        val centered = df.crossJoin(broadcast(st))
+          .select(col("node_id"), expr(s"x - ${fdiv("sx", "nn")}").as("x"))
+        val qd = centered.agg(
+          greatest(expr("max(abs(x)) DIV 1000000"), lit(1L)).as("qd"))
+        centered.crossJoin(broadcast(qd))
+          .select(col("node_id"), expr(fdiv("x", "qd")).as("x"))
+      }
+      var x = renorm(nodes.select(col("node_id"),
+          ((col("node_id") % 1000) * 1000L).as("x")))
+        .localCheckpoint()
+      for (_ <- 1 to Iters) {
+        val sums = adj.join(x, adj("src") === x("node_id"))
+          .select(col("dst"), col("x"))
+          .groupBy(col("dst")).agg(sum(col("x")).as("nsum"))
+          .withColumnRenamed("dst", "node_id")
+        val y = nodes.join(sums, Seq("node_id"), "left")
+          .na.fill(0L, Seq("nsum"))
+          .join(x.withColumnRenamed("x", "xv"), Seq("node_id"))
+          .crossJoin(broadcast(dmax))
+          .select(col("node_id"),
+            ((col("dmax") - col("deg") + 1L) * col("xv") + col("nsum")).as("x"))
+        x = renorm(y).localCheckpoint()
+      }
+      val signed = x.select(col("node_id"),
+          when(col("x") > 0, 1L).otherwise(0L).as("pos"))
+        .localCheckpoint() // read by the side census AND both cut joins
+      val sides = signed.agg(sum(col("pos")).as("n_pos"),
+        sum(expr("1 - pos")).as("n_neg"))
+      val cut = tradeBase(s, d)
+        .join(signed.select(col("node_id").as("src"), col("pos").as("ps")), "src")
+        .join(signed.select(col("node_id").as("dst"), col("pos").as("pd")), "dst")
+        .agg(sum(when(col("ps") =!= col("pd"), 1L).otherwise(0L)).as("cut_edges"),
+          count(lit(1)).as("n_edges"))
+      sides.crossJoin(cut)
+        .select(col("n_pos"), col("n_neg"), col("cut_edges"), col("n_edges"),
+          expr("(least(n_pos, n_neg) * 1000) DIV (n_pos + n_neg)").as("balance_permille"))
+    }),
+
     "q_pagerank" -> ((s, d) => {
       val directed = tradeBase(s, d)
       // Both directions emitted MAP-SIDE from one pass (a union of the
@@ -2033,6 +2106,53 @@ object Graph {
        |  WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The 3 power-iteration rounds unrolled, each with its
+    // mean-removal and qd-renormalization scalars as 1-row CTEs —
+    // the exact-integer trajectory replays scalar-for-scalar.
+    "q_spectral_cut" -> {
+      def fdiv(a: String, n: String) =
+        s"(($a) - ((($a) % ($n) + ($n)) % ($n))) // ($n)"
+      def renorm(r: Int, src: String): String =
+        s"""s$r AS (SELECT CAST(SUM(x) AS BIGINT) AS sx, CAST(count(*) AS BIGINT) AS nn FROM $src),
+           |c$r AS MATERIALIZED (
+           |  SELECT node_id, x - ${fdiv("sx", "nn")} AS x FROM $src, s$r),
+           |q$r AS (SELECT greatest(max(abs(x)) // 1000000, 1) AS qd FROM c$r),
+           |x$r AS MATERIALIZED (
+           |  SELECT node_id, ${fdiv("x", "qd")} AS x FROM c$r, q$r)""".stripMargin
+      val rounds = (1 to 3).map { r =>
+        s"""ns$r AS MATERIALIZED (
+           |  SELECT und.dst AS node_id, CAST(SUM(p.x) AS BIGINT) AS nsum
+           |  FROM und JOIN x${r - 1} p ON und.src = p.node_id GROUP BY 1),
+           |y$r AS MATERIALIZED (
+           |  SELECT d.node_id, (dm.dmax - d.deg + 1) * p.x + COALESCE(n.nsum, 0) AS x
+           |  FROM degs d JOIN x${r - 1} p USING (node_id)
+           |  LEFT JOIN ns$r n USING (node_id), dm),
+           |${renorm(r, s"y$r")}""".stripMargin
+      }
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |und AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+         |degs AS MATERIALIZED (
+         |  SELECT src AS node_id, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         |dm AS (SELECT max(deg) AS dmax FROM degs),
+         |x0r AS (SELECT node_id, (node_id % 1000) * 1000 AS x FROM degs),
+         |${renorm(0, "x0r")},
+         |${rounds.mkString(",\n")},
+         |signed AS MATERIALIZED (
+         |  SELECT node_id, CASE WHEN x > 0 THEN 1 ELSE 0 END AS pos FROM x3),
+         |sides AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |            CAST(SUM(1 - pos) AS BIGINT) AS n_neg FROM signed),
+         |cut AS (
+         |  SELECT CAST(SUM(CASE WHEN a.pos <> b.pos THEN 1 ELSE 0 END) AS BIGINT) AS cut_edges,
+         |    CAST(count(*) AS BIGINT) AS n_edges
+         |  FROM e0 JOIN signed a ON e0.u = a.node_id JOIN signed b ON e0.v = b.node_id)
+         |SELECT n_pos, n_neg, cut_edges, n_edges,
+         |  (least(n_pos, n_neg) * 1000) // (n_pos + n_neg) AS balance_permille
+         |FROM sides, cut""".stripMargin
+    },
+
     "q_pagerank" ->
       s"""WITH e0 AS (
          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
