@@ -109,6 +109,36 @@ class SuffixDupSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("plan audit: the suffix scan's data-grain window partitions by bucket") {
+    // The memoized suffixPairs producer localCheckpoints its scan, so
+    // the mechanical Round12 sweep cannot see inside it (the
+    // documented limitation) — this is its targeted audit: rebuild
+    // the same pipeline un-checkpointed and assert every Window over
+    // base-grain rows is bucket-partitioned; the only partitionless
+    // window sits above the bucket-census Aggregate.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    val suf = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .withColumn("p", explode(expr("sequence(1, length(text))")))
+      .select(col("doc_id"), col("p").cast("bigint").as("p"),
+        expr("substring(text, p, 64)").as("sk"))
+    val scan = operators.Ranks.globalOrderScan(suf, substring(col("sk"), 1, 3),
+      Seq(col("sk"), col("doc_id"), col("p")), "r")
+    def hasAgg(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _ => p.children.exists(hasAgg)
+    }
+    val windows = scan.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      if (w.partitionSpec.isEmpty)
+        assert(hasAgg(w.child),
+          "partitionless window in the suffix scan must rank the bucket census, not positions")
+      else
+        assert(w.partitionSpec.exists(_.references.nonEmpty))
+    }
+  }
+
   test("q_select_coverage: greedy invariants — distinct winners, non-increasing gains, exact cumsum") {
     val rows = graft.SparkEntry.queries("q_select_coverage")(spark, sf)
       .orderBy(col("sel_round")).collect()
