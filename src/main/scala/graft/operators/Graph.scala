@@ -423,14 +423,18 @@ object Graph {
       val nodes = adj.select(col("src").as("node_id"), col("deg")).distinct()
         .localCheckpoint() // every round's diagonal term reads it
       val dmax = nodes.agg(max(col("deg")).as("dmax"))
+      // ONE aggregate pass per renorm: max|x − m| = max(max(x) − m,
+      // m − min(x)), so the centering mean AND the quantization
+      // divisor come out of a single (sum, count, min, max) scan
+      // instead of an agg → center → agg chain.
       def renorm(df: DataFrame): DataFrame = {
-        val st = df.agg(sum(col("x")).as("sx"), count(lit(1)).as("nn"))
-        val centered = df.crossJoin(broadcast(st))
-          .select(col("node_id"), expr(s"x - ${fdiv("sx", "nn")}").as("x"))
-        val qd = centered.agg(
-          greatest(expr("max(abs(x)) DIV 1000000"), lit(1L)).as("qd"))
-        centered.crossJoin(broadcast(qd))
-          .select(col("node_id"), expr(fdiv("x", "qd")).as("x"))
+        val st = df.agg(sum(col("x")).as("sx"), count(lit(1)).as("nn"),
+            min(col("x")).as("mn"), max(col("x")).as("mx"))
+          .select(expr(fdiv("sx", "nn")).as("m"), col("mn"), col("mx"))
+          .select(col("m"),
+            greatest(expr("greatest(mx - m, m - mn) DIV 1000000"), lit(1L)).as("qd"))
+        df.crossJoin(broadcast(st))
+          .select(col("node_id"), expr(fdiv("x - m", "qd")).as("x"))
       }
       var x = renorm(nodes.select(col("node_id"),
           ((col("node_id") % 1000) * 1000L).as("x")))
@@ -2113,12 +2117,12 @@ object Graph {
       def fdiv(a: String, n: String) =
         s"(($a) - ((($a) % ($n) + ($n)) % ($n))) // ($n)"
       def renorm(r: Int, src: String): String =
-        s"""s$r AS (SELECT CAST(SUM(x) AS BIGINT) AS sx, CAST(count(*) AS BIGINT) AS nn FROM $src),
-           |c$r AS MATERIALIZED (
-           |  SELECT node_id, x - ${fdiv("sx", "nn")} AS x FROM $src, s$r),
-           |q$r AS (SELECT greatest(max(abs(x)) // 1000000, 1) AS qd FROM c$r),
+        s"""s$r AS (
+           |  SELECT m, greatest(greatest(mx - m, m - mn) // 1000000, 1) AS qd
+           |  FROM (SELECT ${fdiv("CAST(SUM(x) AS BIGINT)", "CAST(count(*) AS BIGINT)")} AS m,
+           |          min(x) AS mn, max(x) AS mx FROM $src)),
            |x$r AS MATERIALIZED (
-           |  SELECT node_id, ${fdiv("x", "qd")} AS x FROM c$r, q$r)""".stripMargin
+           |  SELECT node_id, ${fdiv("x - m", "qd")} AS x FROM $src, s$r)""".stripMargin
       val rounds = (1 to 3).map { r =>
         s"""ns$r AS MATERIALIZED (
            |  SELECT und.dst AS node_id, CAST(SUM(p.x) AS BIGINT) AS nsum
