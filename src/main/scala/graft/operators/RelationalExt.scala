@@ -39,6 +39,116 @@ object RelationalExt {
   import graft.functions.SqlBridge.{sdiv, sdivSql}
 
   val queries: Map[String, Q] = Map(
+    // BAND REVENUE (the TPC-H Q6 shape — the classic scan-only
+    // predicate-pushdown probe): 1997 revenue from the 5–7% discount
+    // band at small quantities, no join at all. The band predicate
+    // tests the QUANTIZED centi-discount (exact on both engines —
+    // never the raw double); revenue = price × discount in exact
+    // cents×centi integers.
+    "q_band_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")) === 1997 && col("l_quantity") < 24)
+        .select(expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").as("cd"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cp"))
+        .filter(col("cd").between(5, 7))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("cp") * col("cd")).as("revenue_cc"))
+    }),
+
+    // MARKET SHARE (the TPC-H Q8 shape): of all revenue flowing to
+    // ASIA-region customers, what permille is supplied from NATION_2,
+    // by order year — two nation attaches on opposite ends of the
+    // fact-fact join, share as one truncating DIV per year row.
+    "q_market_share" -> ((s, d) => {
+      val asiaCust = Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppNation = Tables.supplier(s, d)
+        .join(Tables.nation(s, d).select(col("n_nationkey").as("s_nationkey"),
+          col("n_name").as("supp_nation")), "s_nationkey")
+        .select(col("s_suppkey"), col("supp_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .select(year(col("o_orderdate")).cast("bigint").as("o_year"),
+          col("supp_nation"),
+          expr("""CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 | * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))""".stripMargin)
+            .as("rev"))
+        .groupBy(col("o_year"))
+        .agg(sum(col("rev")).as("total_cp"),
+          sum(when(col("supp_nation") === "NATION_2", col("rev")).otherwise(0L))
+            .as("nation_cp"))
+        .withColumn("share_permille", expr("(nation_cp * 1000) DIV total_cp"))
+        .orderBy(col("o_year"))
+    }),
+
+    // RETURNED-ITEM losses (the TPC-H Q10 shape): per-customer revenue
+    // tied up in 'R'-flagged lines for H1-1997 orders, nation attached,
+    // top-20 by lost revenue — the fact-fact orderkey shuffle with a
+    // selective fact-side predicate and a TakeOrdered page.
+    "q_returned_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-07-01 00:00:00"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(expr(
+          """CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+            | * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))""".stripMargin))
+          .as("revenue_cp"))
+        .orderBy(col("revenue_cp").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // PART/SUPPLIER census (the TPC-H Q16 shape; no partsupp table —
+    // the supplier-part relation comes from lineitem, and the
+    // "complaints" exclusion set is the deterministic s_suppkey % 7 = 0
+    // stand-in): distinct suppliers per (brand, size), excluded
+    // suppliers anti-joined out BEFORE the distinct count, top-20.
+    "q_part_supplier_count" -> ((s, d) => {
+      val excluded = Tables.supplier(s, d)
+        .filter(col("s_suppkey") % 7 === 0).select(col("s_suppkey"))
+      Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+        .limit(20)
+    }),
+
+    // EXCESS-SHIPMENT suppliers (the TPC-H Q20 shape; no partsupp
+    // availability — the threshold is each (supplier, part)'s own
+    // all-time shipped quantity): suppliers who pushed more than half
+    // of a part's all-time volume in 1997 alone, counted per supplier,
+    // top-20. The nested-subquery threshold becomes one aggregate with
+    // an exact integer 2·q97 > qtot compare — no doubles, no HAVING
+    // subquery.
+    "q_excess_suppliers" -> ((s, d) => {
+      val sp = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("qtot"),
+          sum(when(year(col("l_shipdate")) === 1997,
+            col("l_quantity").cast("bigint")).otherwise(0L)).as("q97"))
+        .filter(lit(2L) * col("q97") > col("qtot"))
+      sp.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_excess_parts"), sum(col("q97")).as("q97_total"))
+        .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_excess_parts"), col("q97_total"))
+        .orderBy(col("n_excess_parts").desc, col("s_suppkey"))
+        .limit(20)
+    }),
+
     // SHIPPING PRIORITY (the TPC-H Q3 shape): unshipped revenue of
     // BUILDING-segment orders placed before the cut that still have
     // lines shipping after it, top-10 by revenue. The classic
@@ -3643,6 +3753,74 @@ object RelationalExt {
         |                  AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY p.c_nationkey
         |ORDER BY nationkey""".stripMargin,
+
+    "q_band_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cc
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1997 AND l_quantity < 24
+        |  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7""".stripMargin,
+
+    "q_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(rev) AS BIGINT) AS total_cp,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev ELSE 0 END) AS BIGINT)
+        |    AS nation_cp,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev ELSE 0 END) * 1000 AS BIGINT)
+        |    // CAST(SUM(rev) AS BIGINT) AS share_permille
+        |FROM (
+        |  SELECT o_orderdate, sn.n_name AS supp_nation,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey)
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+        |    AS revenue_cp
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cp DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_part_supplier_count" ->
+      """SELECT p_brand, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (
+        |  SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 20""".stripMargin,
+
+    "q_excess_suppliers" ->
+      """WITH sp AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qtot,
+        |    CAST(SUM(CASE WHEN year(l_shipdate) = 1997
+        |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q97
+        |  FROM lineitem GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_excess_parts,
+        |    CAST(SUM(q97) AS BIGINT) AS q97_total
+        |  FROM sp WHERE 2 * q97 > qtot GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_excess_parts, q97_total
+        |FROM ex JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY n_excess_parts DESC, s_suppkey LIMIT 20""".stripMargin,
 
     "q_ship_priority" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
