@@ -65,6 +65,42 @@ class CachedRelation(ttlMillis: Long, clock: () => Long = () => System.currentTi
       }
     }
 
+  /** [[resolve]] with cache-HIT validation — the variant every
+    * localCheckpoint-backed producer must use. Local checkpoint blocks
+    * are non-reliable: an executor death between queries loses them,
+    * and the TRUNCATED lineage makes every later consumer action fail
+    * unrecoverably for the rest of the TTL. So a hit is probed with
+    * one cheap count() over the checkpointed blocks (milliseconds at
+    * build-side scale) and a lost-block failure invalidates the key
+    * and rebuilds — the cache heals instead of poisoning its whole
+    * consumer family. A MISS returns the fresh build unprobed.
+    *
+    * Hit detection is PER-KEY (resolveWithHit) — a global build-count
+    * delta misreads a concurrent build of another key as "this was a
+    * miss" and skips the probe. Only NonFatal probe failures trigger
+    * the heal (an interrupt or OOM must propagate, not silently spend
+    * itself on a rebuild); if the rebuild ALSO fails, the original
+    * probe failure rides along as a suppressed exception so neither
+    * cause is discarded. (Round11Spec kills the blocks of the kNN
+    * index and pins the rebuild through this path.)
+    */
+  def resolveProbed(key: String)(build: => DataFrame): DataFrame = {
+    val (df, wasHit) = resolveWithHit(key)(build)
+    if (wasHit) {
+      try { df.count(); df }
+      catch {
+        case scala.util.control.NonFatal(probeFailure) =>
+          invalidate(key)
+          try resolve(key)(build)
+          catch {
+            case scala.util.control.NonFatal(rebuildFailure) =>
+              rebuildFailure.addSuppressed(probeFailure)
+              throw rebuildFailure
+          }
+      }
+    } else df
+  }
+
   /** Times the builder actually ran (cache misses), for specs. */
   def buildCount: Long = builds.get()
 

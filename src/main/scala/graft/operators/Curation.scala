@@ -173,10 +173,19 @@ object Curation {
   private[graft] val suffixPairCache = new CachedRelation(ttlMillis = 3600L * 1000)
 
   private[graft] def suffixPairs(s: SparkSession, d: String): DataFrame =
-    suffixPairCache.resolve(s"${System.identityHashCode(s)}:$d") {
+    // resolveProbed, not resolve: the cached frame is backed by
+    // localCheckpoint blocks, so a hit must be probed and healed on
+    // executor loss (the exactKnnL2 pattern) or q_suffix_dup /
+    // q_longest_repeat / q_copy_pairs all fail for the rest of the TTL
+    suffixPairCache.resolveProbed(s"${System.identityHashCode(s)}:$d") {
       graft.functions.VectorFunctions.register(s)
       val suf = spanCorpus(s, d)
         .select(col("doc_id"), col("text"))
+        // sequence(1, length(text)) on an EMPTY text steps DOWNWARD to
+        // [1, 0] (Spark sequences are bidirectional) where the oracle's
+        // range(1, n+1) is empty — drop zero-length docs before the
+        // explode so both engines agree (latent: fixtures are non-empty)
+        .filter(length(col("text")) > 0)
         .withColumn("p", explode(expr("sequence(1, length(text))")))
         .select(col("doc_id"), col("p").cast("bigint").as("p"),
           expr(s"substring(text, p, $SufCtx)").as("sk"))
@@ -388,12 +397,19 @@ object Curation {
       val docs = Tables.documents(s, d)
         .filter(col("doc_id") % 16 === 1)
         .select(col("doc_id"), col("text"))
+        // empty-text guard: sequence(1, 0) steps DOWN to [1, 0] where
+        // the oracle's range(1, n+1) is empty (see suffixPairs)
+        .filter(length(col("text")) > 0)
       val suf = docs
         .withColumn("p", explode(expr("sequence(1, length(text))")))
         .select(col("doc_id"), col("p").cast("bigint").as("p"),
           expr(s"substring(text, p, $SufCtx)").as("sk"))
         .localCheckpoint() // the base scan reads it twice (census + probe)
-      val maxLen = docs.agg(max(length(col("text")))).head.getInt(0).toLong
+      // null-safe: an empty 1/16 sample makes max() a null row — read
+      // it as 0 so the doubling loop is skipped and the (empty) base
+      // frame flows straight to the final aggregate like the oracle
+      val maxRow = docs.agg(max(length(col("text")))).head
+      val maxLen = if (maxRow.isNullAt(0)) 0L else maxRow.getInt(0).toLong
       // base: min-rank over the 64-char context (bucket-offset
       // row_number, then min within the tie group — tie groups are
       // bounded by duplicate mass, never corpus-proportional)

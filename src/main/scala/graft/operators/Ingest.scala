@@ -289,7 +289,11 @@ object Ingest {
     "q_format_roundtrip" -> ((s, d) => {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      val tmp = s"/tmp/graft_roundtrip_${new java.io.File(d).getName}"
+      // keyed on the session (the sinkIdCache pattern) so two
+      // concurrent sessions on the same fixture dir never race on the
+      // overwrite — the dir name alone is a shared mutable path
+      val tmp = s"/tmp/graft_roundtrip_${System.identityHashCode(s)}_" +
+        new java.io.File(d).getName
       base.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
       base.write.mode("overwrite").json(s"$tmp/json")
       val sch = "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"

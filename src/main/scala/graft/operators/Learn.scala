@@ -2327,37 +2327,12 @@ object Learn {
     // (q_ood_knn, q_lof, q_kdist_knee) the way coarseCentroids serves
     // the IVF family; Bench's memoized flag marks the cache-hit reads.
     //
-    // Cache-HIT validation: the index is localCheckpointed, and local
-    // checkpoint blocks are non-reliable — an executor death between
-    // queries loses them, and the TRUNCATED lineage makes every later
-    // consumer action fail unrecoverably. So a hit is probed with one
-    // cheap count() over the checkpointed blocks (milliseconds at
-    // index scale) and a lost-block failure invalidates the key and
-    // rebuilds — the cache heals instead of poisoning its whole
-    // consumer family for the TTL (Round11Spec kills the blocks and
-    // pins the rebuild). A MISS returns the fresh build unprobed.
-    // Hit detection is PER-KEY (resolveWithHit) — a global build-count
-    // delta misreads a concurrent build of another key as "this was a
-    // miss" and skips the probe. Only NonFatal probe failures trigger
-    // the heal (an interrupt or OOM must propagate, not silently spend
-    // itself on a rebuild); if the rebuild ALSO fails, the original
-    // probe failure rides along as a suppressed exception so neither
-    // cause is discarded.
+    // Cache-HIT validation: the index is localCheckpointed, so a hit
+    // must be probed and healed on lost blocks — see
+    // CachedRelation.resolveProbed (Round11Spec kills the blocks and
+    // pins the rebuild through this path).
     val key = s"${System.identityHashCode(s)}:$d:$k"
-    val (df, wasHit) = knnCache.resolveWithHit(key)(exactKnnL2Build(s, d, k))
-    if (wasHit) {
-      try { df.count(); df }
-      catch {
-        case scala.util.control.NonFatal(probeFailure) =>
-          knnCache.invalidate(key)
-          try knnCache.resolve(key)(exactKnnL2Build(s, d, k))
-          catch {
-            case scala.util.control.NonFatal(rebuildFailure) =>
-              rebuildFailure.addSuppressed(probeFailure)
-              throw rebuildFailure
-          }
-      }
-    } else df
+    knnCache.resolveProbed(key)(exactKnnL2Build(s, d, k))
   }
 
   private def exactKnnL2Build(s: SparkSession, d: String, k: Int): DataFrame = {

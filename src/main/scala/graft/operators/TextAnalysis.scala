@@ -125,9 +125,15 @@ object TextAnalysis {
         .selectExpr("doc_id", "word_window_hashes(text, 2) AS wh")
         .selectExpr("doc_id", "cast(size(wh) as bigint) AS n_pairs",
           "cast(size(filter(wh, h -> h % 2 = 0)) as bigint) AS n_green")
-        .withColumn("green_permille", expr("(n_green * 1000) DIV n_pairs"))
+        // n_pairs = 0 guard (doc with < 2 tokens): Spark's DIV returns
+        // NULL on /0 but DuckDB's // RAISES, failing the whole oracle
+        // query — carry the identical CASE on both engines instead
+        .withColumn("green_permille", expr(
+          "CASE WHEN n_pairs > 0 THEN (n_green * 1000) DIV n_pairs END"))
         .withColumn("z2_milli", expr(
-          "((2 * n_green - n_pairs) * (2 * n_green - n_pairs) * 1000) DIV n_pairs"))
+          """CASE WHEN n_pairs > 0 THEN
+            |((2 * n_green - n_pairs) * (2 * n_green - n_pairs) * 1000) DIV n_pairs
+            |END""".stripMargin))
         .withColumn("flagged", expr(
           """CAST(CASE WHEN 2 * n_green > n_pairs
             |  AND (2 * n_green - n_pairs) * (2 * n_green - n_pairs) > 9 * n_pairs
@@ -1748,8 +1754,10 @@ object TextAnalysis {
         |        CAST(len(list_filter(fps, h -> h % 2 = 0)) AS BIGINT) AS n_green
         |      FROM fp)
         |SELECT doc_id, n_pairs, n_green,
-        |  (n_green * 1000) // n_pairs AS green_permille,
-        |  ((2 * n_green - n_pairs) * (2 * n_green - n_pairs) * 1000) // n_pairs AS z2_milli,
+        |  CASE WHEN n_pairs > 0 THEN (n_green * 1000) // n_pairs END AS green_permille,
+        |  CASE WHEN n_pairs > 0 THEN
+        |    ((2 * n_green - n_pairs) * (2 * n_green - n_pairs) * 1000) // n_pairs
+        |  END AS z2_milli,
         |  CAST(CASE WHEN 2 * n_green > n_pairs
         |    AND (2 * n_green - n_pairs) * (2 * n_green - n_pairs) > 9 * n_pairs
         |    THEN 1 ELSE 0 END AS BIGINT) AS flagged

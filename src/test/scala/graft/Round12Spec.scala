@@ -92,13 +92,28 @@ class Round12Spec extends SparkSpec {
       "q_interval_sched" -> "interval overlap check against the TakeOrdered greedy page (page-bounded right side)",
       "q_spatial_join" -> "grid-cell candidate join verifies with a non-equi distance predicate above the equi cell key"
     )
+    // "Bounded" must hold at the frame's own grain: recursing with a
+    // bare children.exists would treat a data-grain frame as bounded
+    // just because it equi-joins an Aggregate somewhere deep in its
+    // lineage — exactly the raw-by-raw false negative the sweep exists
+    // to catch. So recursion stops at grain-RESTORING operators: a
+    // Join is bounded only if BOTH inputs are (bounded × bounded stays
+    // bounded), a Union only if ALL branches are, and a Generate
+    // (explode fan-out over a reduced frame: content-bounded, e.g. a
+    // vocab array off an aggregate) only if its child is; everything
+    // else that could re-inflate the grain is unbounded on its own.
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Union, UnaryNode}
     def bounded(p: LogicalPlan): Boolean = p match {
       case _: Aggregate => true
       case _: GlobalLimit => true
       case _: LocalRelation => true
       case _: LogicalRDD => true // checkpoint boundary: opaque, audited at the producer
       case r: LRange => r.numElements <= 4096 // literal fan-out (bootstrap replicas, hyperplanes)
-      case _ => p.children.exists(bounded)
+      case j: Join => bounded(j.left) && bounded(j.right)
+      case u: Union => u.children.forall(bounded)
+      case g: Generate => bounded(g.child)
+      case u: UnaryNode => bounded(u.child)
+      case _ => false
     }
     def keyless(j: Join): Boolean = j.condition match {
       case None => true
