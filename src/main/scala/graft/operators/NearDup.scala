@@ -966,6 +966,66 @@ object NearDup {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // INCREMENTAL near-dup admission at EMBEDDING grain — the vector
+    // twin of q_dedup_incremental, lifting the reference's core ingest
+    // contract (only rows not already in the sink are written,
+    // etl_service/main.py:95-104 + :175) to the second near-dup grain
+    // a training-data pipeline dedups on. The incoming batch (the
+    // corpus's planted +0.01/dim re-crawl copies, vec_id ≥ 10⁶) is
+    // checked against the EXISTING corpus under the TRAINED IVF
+    // codebook, and only vectors with no verified near-duplicate
+    // (cos ≥ 0.95, same label block) are admitted.
+    //
+    // Losslessness is the q_dedup_embed cone-probe argument, one-sided:
+    // every EXISTING vector v is indexed once in home(v); an incoming u
+    // probes every cell within angle(u, home(u)) + 2·θmax, which covers
+    // home(v) for every v with angle(u,v) ≤ θmax (triangle inequality
+    // on angles) — so the (cell, label) equi-join sees every qualifying
+    // (new, old) pair EXACTLY once (old side unique per vector) and the
+    // exact-cosine verify reproduces the all-pairs oracle.
+    //
+    // Scale posture: the corpus-side index is assign-once under the
+    // codebook that trained at index-build time (coarseCentroids — the
+    // production posture: the 100 TB side is persisted cell-partitioned
+    // and NEVER re-shuffles per batch); the incoming batch explodes
+    // over its probe cone and BROADCASTS into the candidate join, so
+    // admission of a batch touches only cone-local corpus rows.
+    "q_dedup_embed_inc" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val oldV = Tables.embeddings(s, d)
+        .selectExpr("vec_id", "label", "transform(embedding, x -> cast(x as double)) AS e")
+      val newV = Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0)
+        .selectExpr("vec_id + 1000000 AS vec_id", "label",
+          "transform(embedding, x -> cast(x as double) + 0.01) AS e")
+      val centsCol = typedLit(
+        Learn.coarseCentroids(s, d).map(_._2.map(_.toDouble).toSeq))
+      val twoTheta = 2 * math.acos(0.95)
+      val clamp = (x: String) => s"acos(greatest(-1.0D, least(1.0D, $x)))"
+      val index = oldV
+        .withColumn("cosc", call_function("cosine_all", col("e"), centsCol))
+        .withColumn("cell", expr("cast(array_position(cosc, array_max(cosc)) as int) - 1"))
+        .select(col("cell"), col("vec_id").as("old_id"), col("label"), col("e").as("eo"))
+      val probe = broadcast(newV
+        .withColumn("cosc", call_function("cosine_all", col("e"), centsCol))
+        .withColumn("probe_limit", expr(s"${clamp("array_max(cosc)")} + $twoTheta + 1e-5"))
+        .select(col("vec_id").as("new_id"), col("label"), col("e").as("en"),
+          col("probe_limit"), posexplode(col("cosc")).as(Seq("cell", "cosk")))
+        .filter(expr(s"${clamp("cosk")} <= probe_limit"))
+        .drop("cosk", "probe_limit"))
+      val verified = probe.join(index, Seq("cell", "label"))
+        .withColumn("cos_sim", expr("cosine_sim(en, eo)"))
+        .filter(col("cos_sim") >= 0.95)
+      val dec = verified.groupBy(col("new_id"))
+        .agg(min(col("old_id")).as("dup_of"), count(lit(1)).as("n_matches"),
+          round(max(col("cos_sim")), 4).as("best_cos"))
+      newV.select(col("vec_id").as("new_id"))
+        .join(dec, Seq("new_id"), "left")
+        .select(col("new_id"), col("dup_of"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("best_cos"), col("dup_of").isNull.as("admit"))
+        .orderBy(col("new_id"))
+    }),
+
     // LEAKAGE-SAFE k-fold assignment — GROUP k-fold at NEAR-DUP-CLUSTER
     // grain (the evaluation-hygiene step the dedup literature motivates:
     // Lee et al. 2022 measure test-set contamination from duplicates
@@ -1617,6 +1677,35 @@ object NearDup {
         |    list_dot_product(x.e, y.e) / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS cos_sim
         |  FROM all_v x JOIN all_v y ON x.label = y.label AND x.vec_id < y.vec_id)
         |WHERE cos_sim >= 0.95 ORDER BY a_id, b_id""".stripMargin,
+
+    // All-pairs replay of the incremental admission: NEW × OLD within
+    // the label block, exact cosine, per-new decision — the lossless
+    // bound makes the IVF-probed Spark plan reproduce this exactly.
+    "q_dedup_embed_inc" ->
+      """WITH oldv AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |newv AS (
+        |  SELECT vec_id + 1000000 AS vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS e
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |ver AS (
+        |  SELECT new_id, old_id, cos_sim FROM (
+        |    SELECT n.vec_id AS new_id, o.vec_id AS old_id,
+        |      list_dot_product(n.e, o.e)
+        |        / (sqrt(list_dot_product(n.e, n.e)) * sqrt(list_dot_product(o.e, o.e))) AS cos_sim
+        |    FROM newv n JOIN oldv o ON n.label = o.label)
+        |  WHERE cos_sim >= 0.95),
+        |dec AS (
+        |  SELECT new_id, min(old_id) AS dup_of,
+        |    CAST(count(*) AS BIGINT) AS n_matches,
+        |    round(max(cos_sim), 4) AS best_cos
+        |  FROM ver GROUP BY new_id)
+        |SELECT n.vec_id AS new_id, dec.dup_of,
+        |  COALESCE(dec.n_matches, 0) AS n_matches,
+        |  dec.best_cos,
+        |  dec.dup_of IS NULL AS admit
+        |FROM newv n LEFT JOIN dec ON dec.new_id = n.vec_id
+        |ORDER BY new_id""".stripMargin,
 
     "q_record_linkage" ->
       """WITH clean AS (

@@ -1,0 +1,75 @@
+package graft
+
+/** Round-13 pins: the embedding-grain incremental admission's blocking
+  * contract, and the on-engine classifier training loop (loss falls,
+  * the trained ranking beats the untrained stand-in, trajectory is
+  * deterministic across sessions via the per-dir memo).
+  */
+class Round13Spec extends SparkSpec {
+
+  test("q_dedup_embed_inc: verdicts consistent, >= 90% of the planted batch blocked by its own original") {
+    val rows = graft.operators.NearDup.queries("q_dedup_embed_inc")(spark, sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // every new id is a planted +0.01/dim copy; every match points into
+    // the EXISTING corpus, never at another new vector
+    assert(rows.forall(_._1 >= 1000000L))
+    assert(rows.forall { case (_, dupOf, _, _) => dupOf.forall(_ < 1000000L) })
+    // admit ⇔ no verified match
+    assert(rows.forall { case (_, dupOf, n, admit) =>
+      admit == dupOf.isEmpty && (n == 0L) == dupOf.isEmpty })
+    // a +0.01/dim shift barely moves the angle, so ~every planted copy
+    // must be blocked, and its canonical match must be its own original
+    // for >= 90% of the blocked set (min old-id could in principle be a
+    // different in-cone original, so 90%, not 100%)
+    val blocked = rows.filter(!_._4)
+    assert(blocked.length * 10 >= rows.length * 9,
+      s"only ${blocked.length}/${rows.length} planted copies blocked")
+    val exact = blocked.count { case (id, dupOf, _, _) => dupOf.contains(id - 1000000L) }
+    assert(exact * 10 >= blocked.length * 9,
+      s"only $exact/${blocked.length} blocked vectors matched their own original")
+  }
+
+  test("q_dedup_embed_inc: the corpus side never re-shuffles for the batch (new side broadcasts)") {
+    // The production contract: admission of a batch must not shuffle
+    // the 100 TB index. In-plan form: the candidate join executes as a
+    // BroadcastHashJoin (batch side broadcast), never a SortMergeJoin
+    // that would exchange the corpus by (cell, label).
+    val df = graft.operators.NearDup.queries("q_dedup_embed_inc")(spark, sf)
+    df.collect() // finalize AQE so the join picks are real
+    // drop the "== Initial Plan ==" echo — only the final plan's picks count
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("SortMergeJoin"),
+      "a join in the admission plan sort-merges — the corpus side would " +
+        "re-shuffle per admitted batch:\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "no broadcast join in the admission plan at all:\n" + p.take(1500))
+  }
+
+  test("classifier training: loss falls every round, gradients shrink, weights move") {
+    val t = SparkEntry.queries("q_classifier_train")(spark, sf)
+      .orderBy("round").collect()
+    assert(t.length == graft.operators.Learn.ClsRounds)
+    val losses = t.map(_.getAs[Long]("loss_micro"))
+    assert(losses.sliding(2).forall(p => p.length < 2 || p(1) < p(0)),
+      s"loss not monotone falling: ${losses.mkString(", ")}")
+    // the weight table actually trains (nonzero L1 mass after round 1)
+    assert(t.head.getAs[Long]("w_l1_e12") > 0L)
+    // full-batch GD at a stable rate: round 2's |gradient| mass is
+    // below round 1's (the eta=1 divergence this spec exists to catch
+    // showed the opposite)
+    val gl1 = t.map(_.getAs[Long]("g_l1"))
+    assert(gl1(1) < gl1(0), s"gradient mass grew: ${gl1.mkString(" -> ")}")
+  }
+
+  test("trained classifier ranks en above non-en better than the untrained stand-in") {
+    def auc(name: String): Double =
+      SparkEntry.queries(name)(spark, sf).head.getAs[Double]("auc")
+    val trained = auc("q_classifier_auc")
+    val standIn = auc("q_auc")
+    assert(trained > standIn,
+      s"trained AUC $trained does not beat the stand-in's $standIn")
+    assert(trained > 0.5, s"trained AUC $trained is not better than chance")
+  }
+}
