@@ -2572,11 +2572,27 @@ object Learn {
     knnCache.resolveProbed(key)(exactKnnL2Build(s, d, k))
   }
 
-  private def exactKnnL2Build(s: SparkSession, d: String, k: Int): DataFrame = {
+  /** [[exactKnnL2]] restricted to the vectors satisfying `pred` — the
+    * kNN graph AMONG a subset (HNSW's upper layers need the kNN of the
+    * layer members, which is NOT the member-filtered slice of the full
+    * kNN graph: a sampled node's full-corpus neighbors are mostly
+    * non-members). Same cone-probe build, same lossless bound — the
+    * codebook stays corpus-trained (the probe's triangle argument is
+    * per-pair and never assumes the indexed set trained the cells).
+    * `tag` keys the memo alongside (dir, k). */
+  private[graft] def exactKnnL2Among(s: SparkSession, d: String, k: Int,
+      pred: Column, tag: String): DataFrame = {
+    val key = s"${System.identityHashCode(s)}:$d:$k:$tag"
+    knnCache.resolveProbed(key)(exactKnnL2Build(s, d, k, pred))
+  }
+
+  private def exactKnnL2Build(s: SparkSession, d: String, k: Int,
+      pred: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(s)
     val Inf = 1000000000000L // > any real d² (≤ 64·(2·10⁴)² ≈ 2.6e10)
-    val q = Tables.embeddings(s, d).select(col("vec_id"), expr(QuantTok).as("qv"))
+    val q = Tables.embeddings(s, d).filter(pred)
+      .select(col("vec_id"), expr(QuantTok).as("qv"))
     val cents = coarseCentroids(s, d)
     // the FULL distance array is required here (the probe filter walks
     // every cell against the triangle bound — flat assignment is what

@@ -123,6 +123,21 @@ object SimSearch {
       .select(col("vec_id"), expr(s"rp_signature(edbl, array($planes))").as("bucket"))
   }
 
+  /** Deterministic hash-geometric HNSW level: the first md5 byte of
+    * the vec_id string as a ratio-1/4 geometric draw — lvl ≥ 1 on
+    * byte ≡ 0 (mod 4), lvl ≥ 2 on byte ≡ 0 (mod 16), capped at 2. The
+    * hex-digit fold parses identically in both engines (the
+    * classifier-bucket recipe; the q_randwalk hash-for-RNG posture:
+    * no RNG, every replica of the plan draws the same hierarchy). */
+  private def hnswLevelOf(hx: Int => String): String = {
+    val byte0 = s"(${hx(1)} * 16 + ${hx(2)})"
+    s"(CASE WHEN $byte0 % 16 = 0 THEN 2 WHEN $byte0 % 4 = 0 THEN 1 ELSE 0 END)"
+  }
+  private[graft] val hnswLevelSpark = hnswLevelOf(p =>
+    s"(instr('0123456789abcdef', substring(md5(CAST(vec_id AS STRING)), $p, 1)) - 1)")
+  private val hnswLevelDuck = hnswLevelOf(p =>
+    s"(strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), $p, 1)) - 1)")
+
   val queries: Map[String, Q] = Map(
     // GRAPH-BASED ANN (the NSW/HNSW base layer, Malkov & Yashunin
     // 2018): BEAM search over the k-NN graph — keep the ef=8 closest
@@ -188,6 +203,113 @@ object SimSearch {
           col("true_nn_d2"),
           when(col("d2q") === col("true_nn_d2"), 1L).otherwise(0L).as("reached"))
         .orderBy(col("hop"))
+    }),
+
+    // MULTI-LAYER HNSW (Malkov & Yashunin 2018, the full hierarchy) —
+    // what makes graph-ANN hop counts LOGARITHMIC at 100 TB: q_graph_ann's
+    // layer-0 beam starts cold at a fixed entry and pays O(diameter)
+    // hops; HNSW assigns each node a geometric level (P[lvl ≥ ℓ] =
+    // 4^-ℓ — here a DETERMINISTIC md5-byte draw, the q_randwalk
+    // hash-for-RNG recipe, so both engines replay the same hierarchy),
+    // descends the upper layers GREEDILY (long edges over the sparse
+    // top), and hands the layer-0 beam a warm start next to the target.
+    //
+    // Upper-layer adjacency is the exact 4-NN AMONG the layer members
+    // (Learn.exactKnnL2Among — the member-filtered slice of the full
+    // kNN graph would be near-empty at 1/4 sampling; the subset kNN is
+    // the navigable graph the paper builds). Greedy steps carry the
+    // monotone "stay if no improvement" semantics — candidates always
+    // include the current node — so the fixed per-layer hop budget
+    // (2 per upper layer) is replayable: exhausted improvement = no-op
+    // rows, never divergence. Layer 0 runs the proven ef=8 beam for 4
+    // hops (HALF q_graph_ann's 8 — the warm start is the point; the
+    // Round13 spec pins that it still reaches the true NN no later).
+    //
+    // Output: the full descent+beam TRACE (step ordinal, layer, hop,
+    // node, exact quantized d², moved flag) against the brute-force
+    // true-NN distance. Scale posture: each greedy step is one
+    // equi-join of a 1-row broadcast frame against the layer graph;
+    // each beam hop touches ≤ ef·k candidate rows; the three kNN
+    // graphs are memoized builds (top layers geometrically cheaper).
+    "q_hnsw" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val H0 = 4; val Ef = 8; val Hu = 2; val M = 4
+      val d2 = "aggregate(zip_with(nv, qv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(expr(Learn.QuantTok).as("qv")).limit(1)
+      val dq = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), expr(Learn.QuantTok).as("nv"),
+          expr(hnswLevelSpark).as("lvl"))
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("lvl"), expr(d2).as("d2q"))
+        .localCheckpoint() // read by every step's candidate join + the true-NN page
+      // layer 0 = the full corpus 8-NN (shared memo with q_graph_ann);
+      // upper layers = exact 4-NN among the level-ℓ members, query node
+      // excluded from membership (it is the target, never a waypoint)
+      val adj0 = Learn.exactKnnL2(s, d, Ef)
+        .filter(col("a_id") =!= 0 && col("b_id") =!= 0)
+        .select(col("a_id"), col("b_id"))
+      def adjUp(l: Int) = Learn.exactKnnL2Among(s, d, M,
+          expr(hnswLevelSpark) >= l && col("vec_id") =!= 0, s"hnsw_lvl$l")
+        .select(col("a_id"), col("b_id"))
+      // entry: lowest id on the highest non-empty layer (deterministic;
+      // on a fixture whose top layer drew empty the descent's top-layer
+      // steps are provable no-ops, not failures)
+      val e2 = dq.filter(col("lvl") >= 2).agg(min(col("vec_id")).as("e2"))
+      val e1 = dq.filter(col("lvl") >= 1).agg(min(col("vec_id")).as("e1"))
+      val e0 = dq.agg(min(col("vec_id")).as("e0"))
+      val entry = e2.crossJoin(broadcast(e1)).crossJoin(broadcast(e0))
+        .select(coalesce(col("e2"), col("e1"), col("e0")).as("vec_id"))
+      var cur = entry.join(dq.select(col("vec_id"), col("d2q")), "vec_id")
+        .localCheckpoint()
+      var step = 0L
+      def traceRow(frame: DataFrame, layer: Int, hop: Int, prev: DataFrame) = {
+        val r = frame
+          .crossJoin(broadcast(prev.select(col("vec_id").as("prev"))))
+          .select(lit(step).as("step"), lit(layer.toLong).as("layer"),
+            lit(hop.toLong).as("hop"), col("vec_id"), col("d2q"),
+            when(col("vec_id") === col("prev"), 0L).otherwise(1L).as("moved"))
+        step += 1
+        r
+      }
+      var trace = Seq(traceRow(cur, 2, 0, cur))
+      for (l <- Seq(2, 1); h <- 1 to Hu) {
+        val adj = adjUp(l)
+        val cand = adj
+          .join(broadcast(cur.select(col("vec_id").as("a_id"))), "a_id")
+          .select(col("b_id").as("vec_id"))
+          .unionByName(cur.select(col("vec_id"))).distinct()
+          .join(dq.select(col("vec_id"), col("d2q")), "vec_id")
+        val nxt = cand.orderBy(col("d2q"), col("vec_id")).limit(1)
+          .localCheckpoint() // read by the trace row AND the next step
+        trace = trace :+ traceRow(nxt, l, h, cur)
+        cur = nxt
+      }
+      var beam = cur
+      for (h <- 1 to H0) {
+        val cand = adj0
+          .join(broadcast(beam.select(col("vec_id").as("a_id"))), "a_id")
+          .select(col("b_id").as("vec_id"))
+          .unionByName(beam.select(col("vec_id"))).distinct()
+          .join(dq.select(col("vec_id"), col("d2q")), "vec_id")
+        val nxt = cand.orderBy(col("d2q"), col("vec_id")).limit(Ef)
+          .localCheckpoint()
+        val best = nxt.agg(min(struct(col("d2q"), col("vec_id"))).as("m"))
+          .select(col("m.vec_id").as("vec_id"), col("m.d2q").as("d2q"))
+        val prevBest = beam.agg(min(struct(col("d2q"), col("vec_id"))).as("m"))
+          .select(col("m.vec_id").as("vec_id"))
+        trace = trace :+ traceRow(best, 0, h, prevBest)
+        beam = nxt
+      }
+      val trueNN = dq.agg(min(col("d2q")).as("true_nn_d2"))
+      trace.reduce(_ unionByName _)
+        .crossJoin(broadcast(trueNN))
+        .select(col("step"), col("layer"), col("hop"),
+          col("vec_id").as("node_id"), col("d2q"), col("moved"),
+          col("true_nn_d2"),
+          when(col("d2q") === col("true_nn_d2"), 1L).otherwise(0L).as("reached"))
+        .orderBy(col("step"))
     }),
 
     // Exact brute-force cosine top-20 vs the vec_id=0 query vector.
@@ -901,6 +1023,95 @@ object SimSearch {
          |       ELSE CAST(0 AS BIGINT) END AS reached
          |FROM (${(0 to 8).map(h => s"SELECT * FROM t$h").mkString(" UNION ALL ")}) t, tn
          |ORDER BY hop""".stripMargin
+    },
+
+    // The full hierarchy unrolled: level draw, per-layer 4-NN subset
+    // graphs (all-pairs rank — oracle scale), 4 greedy descent steps
+    // (2 per upper layer, monotone), then the ef=8 beam for 4 hops.
+    "q_hnsw" -> {
+      val dd = (a: String, b: String) =>
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), " +
+          s"(x, y) -> x + y)"
+      def subsetAdj(name: String, m: String) =
+        s"""$name AS MATERIALIZED (
+           |  SELECT ai, bi FROM (
+           |    SELECT a.vec_id AS ai, b.vec_id AS bi,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${dd("a.qv", "b.qv")}, b.vec_id) AS rn
+           |    FROM $m a JOIN $m b ON a.vec_id <> b.vec_id)
+           |  WHERE rn <= 4)""".stripMargin
+      // greedy step i over layer l (hop h): candidates = {cur} ∪ nbrs, min
+      def gStep(i: Int, l: Int, h: Int) =
+        s"""g$i AS MATERIALIZED (
+           |  SELECT vec_id, d2q FROM (
+           |    SELECT DISTINCT d.vec_id, d.d2q
+           |    FROM adj$l j JOIN g${i - 1} p ON j.ai = p.vec_id JOIN dq d ON d.vec_id = j.bi
+           |    UNION SELECT vec_id, d2q FROM g${i - 1})
+           |  ORDER BY d2q, vec_id LIMIT 1),
+           |t$i AS (
+           |  SELECT CAST($i AS BIGINT) AS step, CAST($l AS BIGINT) AS layer,
+           |    CAST($h AS BIGINT) AS hop, b.vec_id, b.d2q,
+           |    CASE WHEN b.vec_id = pb.vec_id THEN CAST(0 AS BIGINT)
+           |         ELSE CAST(1 AS BIGINT) END AS moved
+           |  FROM g$i b, g${i - 1} pb)""".stripMargin
+      // beam hop: step i = 4 + h, frame c(4+h) seeded from c4 = g4
+      def bStep(i: Int, h: Int) =
+        s"""c$i AS MATERIALIZED (
+           |  SELECT vec_id, d2q FROM (
+           |    SELECT DISTINCT d.vec_id, d.d2q
+           |    FROM adj0 j JOIN c${i - 1} p ON j.ai = p.vec_id JOIN dq d ON d.vec_id = j.bi
+           |    UNION SELECT vec_id, d2q FROM c${i - 1})
+           |  ORDER BY d2q, vec_id LIMIT 8),
+           |t$i AS (
+           |  SELECT CAST($i AS BIGINT) AS step, CAST(0 AS BIGINT) AS layer,
+           |    CAST($h AS BIGINT) AS hop, b.vec_id, b.d2q,
+           |    CASE WHEN b.vec_id = pb.vec_id THEN CAST(0 AS BIGINT)
+           |         ELSE CAST(1 AS BIGINT) END AS moved
+           |  FROM (SELECT vec_id, d2q FROM c$i ORDER BY d2q, vec_id LIMIT 1) b,
+           |       (SELECT vec_id FROM c${i - 1} ORDER BY d2q, vec_id LIMIT 1) pb)""".stripMargin
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |dq AS MATERIALIZED (
+         |  SELECT n.vec_id, $hnswLevelDuck AS lvl, ${dd("n.qv", "z.qv")} AS d2q
+         |  FROM q n, (SELECT qv FROM q WHERE vec_id = 0) z
+         |  WHERE n.vec_id <> 0),
+         |adj0 AS MATERIALIZED (
+         |  SELECT ai, bi FROM (
+         |    SELECT a.vec_id AS ai, b.vec_id AS bi,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${dd("a.qv", "b.qv")}, b.vec_id) AS rn
+         |    FROM q a JOIN q b ON a.vec_id <> b.vec_id)
+         |  WHERE rn <= 8 AND ai <> 0 AND bi <> 0),
+         |m1 AS (SELECT q.vec_id, q.qv FROM q JOIN dq ON dq.vec_id = q.vec_id WHERE dq.lvl >= 1),
+         |m2 AS (SELECT q.vec_id, q.qv FROM q JOIN dq ON dq.vec_id = q.vec_id WHERE dq.lvl >= 2),
+         |${subsetAdj("adj1", "m1")},
+         |${subsetAdj("adj2", "m2")},
+         |g0 AS MATERIALIZED (
+         |  SELECT vec_id, d2q FROM dq
+         |  WHERE vec_id = COALESCE(
+         |    (SELECT min(vec_id) FROM dq WHERE lvl >= 2),
+         |    (SELECT min(vec_id) FROM dq WHERE lvl >= 1),
+         |    (SELECT min(vec_id) FROM dq))),
+         |t0 AS (SELECT CAST(0 AS BIGINT) AS step, CAST(2 AS BIGINT) AS layer,
+         |  CAST(0 AS BIGINT) AS hop, vec_id, d2q, CAST(0 AS BIGINT) AS moved FROM g0),
+         |${gStep(1, 2, 1)},
+         |${gStep(2, 2, 2)},
+         |${gStep(3, 1, 1)},
+         |${gStep(4, 1, 2)},
+         |c4 AS (SELECT vec_id, d2q FROM g4),
+         |${bStep(5, 1)},
+         |${bStep(6, 2)},
+         |${bStep(7, 3)},
+         |${bStep(8, 4)},
+         |tn AS (SELECT min(d2q) AS true_nn_d2 FROM dq)
+         |SELECT step, layer, hop, vec_id AS node_id, d2q, moved, tn.true_nn_d2,
+         |  CASE WHEN d2q = tn.true_nn_d2 THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS reached
+         |FROM (${(0 to 8).map(i => s"SELECT * FROM t$i").mkString(" UNION ALL ")}) t, tn
+         |ORDER BY step""".stripMargin
     },
 
 

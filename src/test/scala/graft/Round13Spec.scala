@@ -63,6 +63,38 @@ class Round13Spec extends SparkSpec {
     assert(gl1(1) < gl1(0), s"gradient mass grew: ${gl1.mkString(" -> ")}")
   }
 
+  test("q_hnsw: the level draw shrinks layers geometrically") {
+    import org.apache.spark.sql.functions._
+    val lvl = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0)
+      .select(expr(graft.operators.SimSearch.hnswLevelSpark).as("lvl"))
+      .groupBy(col("lvl")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = lvl.values.sum
+    val n1 = lvl.getOrElse(1, 0L) + lvl.getOrElse(2, 0L)
+    val n2 = lvl.getOrElse(2, 0L)
+    assert(n1 > 0 && n2 > 0, s"upper layers empty on the fixture: $lvl")
+    // ratio-1/4 draw: each layer at most half (generous) of the one below
+    assert(n1 * 2 < n, s"layer 1 not sparse: $n1 of $n")
+    assert(n2 * 2 < n1, s"layer 2 not sparse: $n2 of $n1")
+  }
+
+  test("q_hnsw: the descent's warm start reaches the true NN in fewer layer-0 hops than the fixed entry") {
+    def reachHop(rows: Array[org.apache.spark.sql.Row], hopOf: org.apache.spark.sql.Row => Long,
+        reachedOf: org.apache.spark.sql.Row => Long): Long =
+      rows.filter(reachedOf(_) == 1L).map(hopOf).min
+    val h = SparkEntry.queries("q_hnsw")(spark, sf).collect()
+    val hLayer0 = h.filter(_.getAs[Long]("layer") == 0L)
+    assert(h.exists(_.getAs[Long]("reached") == 1L), "hnsw never reached the true NN")
+    val hnswHops = reachHop(hLayer0, _.getAs[Long]("hop"), _.getAs[Long]("reached"))
+    val g = SparkEntry.queries("q_graph_ann")(spark, sf).collect()
+    assert(g.exists(_.getAs[Long]("reached") == 1L), "flat beam never reached the true NN")
+    val flatHops = reachHop(g, _.getAs[Long]("hop"), _.getAs[Long]("reached"))
+    // the hierarchy's whole value: fewer base-layer hops than the cold
+    // fixed-entry beam (measured 2 vs 4 on the fixture)
+    assert(hnswHops < flatHops,
+      s"descent start did not beat the fixed entry: $hnswHops vs $flatHops layer-0 hops")
+  }
+
   test("trained classifier ranks en above non-en better than the untrained stand-in") {
     def auc(name: String): Double =
       SparkEntry.queries(name)(spark, sf).head.getAs[Double]("auc")
