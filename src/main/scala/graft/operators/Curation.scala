@@ -145,30 +145,45 @@ object Curation {
   private val SufCtx = 64
   private val SufDupMin = 32
 
-  /** Adjacent suffix pairs of the quote-twin corpus in suffix-sorted
-    * order, with exact char-grain LCP — the shared frame of the
-    * CHARACTER-grain exact-substring family (q_suffix_dup /
-    * q_longest_repeat / q_copy_pairs), complementing q_substr_dedup's
-    * TOKEN-window fingerprints: arbitrary-alignment character repeats,
-    * the actual Lee et al. "Deduplicating Training Data Makes Language
-    * Models Better" suffix-array method re-expressed as Spark plans.
+  /** Adjacent suffix pairs of the quote-twin corpus in TRUE (unbounded)
+    * suffix-sorted order, with exact UNBOUNDED char-grain LCP — the
+    * shared frame of the CHARACTER-grain exact-substring family
+    * (q_suffix_dup / q_longest_repeat / q_copy_pairs), complementing
+    * q_substr_dedup's TOKEN-window fingerprints: arbitrary-alignment
+    * character repeats, the actual Lee et al. "Deduplicating Training
+    * Data Makes Language Models Better" suffix-array method
+    * re-expressed as Spark plans.
     *
-    * Pipeline: explode every character position (map-only), key each
-    * suffix by its first [[SufCtx]] chars (bounded — the shuffle
-    * carries ≤ 64-byte keys, NEVER unbounded suffix text; a full-rank
-    * suffix array would prefix-double in O(log L) further rounds, but
-    * every consumer here reads LCPs ≤ the cap, where the bounded key
-    * is exact), total-order via [[Ranks.globalOrderScan]] (bucket =
-    * 3-char key prefix — monotone under the key order; the only
-    * partitionless window runs over the bucket census), then join
-    * rank r with r+1 and take `prefix_len` (one byte-scan per pair —
-    * the O(L²) composable form is the oracle's replay).
+    * Pipeline (the round-12 64-char cap LIFTED): explode every
+    * character position (map-only), key each suffix by its first
+    * [[SufCtx]] chars (the shuffle carries ≤ 64-byte keys, NEVER
+    * unbounded suffix text), resolve the ≥ 64-char ties to FULL
+    * suffix ranks by [[fullSuffixRanks]]' prefix doubling (work ∝
+    * still-tied duplicate mass per round, O(log L) rounds), total-order
+    * by (rk, doc_id, p) via [[Ranks.globalOrderScan]] (bucket = 3-char
+    * key prefix — monotone under the full-rank order because the rank
+    * order refines the bounded-key order), join rank r with r+1, take
+    * the bounded `prefix_len` of the 64-char keys, then EXTEND the
+    * saturated pairs (lcp = 64) by 64-char text-chunk probes until the
+    * first mismatching chunk — each round touches only the still-
+    * saturated pairs (∝ long-repeat mass, never corpus-proportional),
+    * and the chunk walk is exact: a partial chunk match ends the LCP
+    * at the mismatch, a short tail ends it at the text end.
+    *
+    * Why the full-rank order matters (and the capped order was wrong
+    * for repeats > 64 chars): with bounded keys, suffixes inside one
+    * 64-char tie group sat in (doc_id, p) order, so two suffixes
+    * sharing 200 chars could be NON-adjacent and the 200-char repeat
+    * surfaced as lcp = 64 — q_longest_repeat's "top-10 longest"
+    * saturated at the cap. Under the true order the classic
+    * suffix-array property holds unbounded: every repeat's length IS
+    * some adjacent pair's LCP.
     *
     * Memoized per (session, dir) via [[CachedRelation]] (the
     * clusterLabels pattern, 1 h TTL): three queries consume the same
     * sorted-pair frame, and at 100 TB the position-grain sort is far
-    * too expensive to run thrice. Deterministic: ties in the suffix
-    * order break by (doc_id, pos) in both engines.
+    * too expensive to run thrice. Deterministic: ties (IDENTICAL full
+    * suffixes) break by (doc_id, pos) in both engines.
     */
   private[graft] val suffixPairCache = new CachedRelation(ttlMillis = 3600L * 1000)
 
@@ -179,13 +194,15 @@ object Curation {
     // q_longest_repeat / q_copy_pairs all fail for the rest of the TTL
     suffixPairCache.resolveProbed(s"${System.identityHashCode(s)}:$d") {
       graft.functions.VectorFunctions.register(s)
-      val suf = spanCorpus(s, d)
+      val texts = spanCorpus(s, d)
         .select(col("doc_id"), col("text"))
         // sequence(1, length(text)) on an EMPTY text steps DOWNWARD to
         // [1, 0] (Spark sequences are bidirectional) where the oracle's
         // range(1, n+1) is empty — drop zero-length docs before the
         // explode so both engines agree (latent: fixtures are non-empty)
         .filter(length(col("text")) > 0)
+        .localCheckpoint() // read by the explode AND every probe round
+      val suf = texts
         .withColumn("p", explode(expr("sequence(1, length(text))")))
         .select(col("doc_id"), col("p").cast("bigint").as("p"),
           expr(s"substring(text, p, $SufCtx)").as("sk"))
@@ -198,17 +215,91 @@ object Curation {
         // the 64 MB advisory target folds the ~160 MB position frame
         // into ~3 sort tasks
         .repartition(col("sk").substr(1, 3))
-      val rk = Ranks.globalOrderScan(suf, substring(col("sk"), 1, 3),
-          Seq(col("sk"), col("doc_id"), col("p")), "r")
+      val maxRow = texts.agg(max(length(col("text")))).head
+      val maxLen = if (maxRow.isNullAt(0)) 0L else maxRow.getInt(0).toLong
+      val full = fullSuffixRanks(suf, maxLen)
+      val rk = Ranks.globalOrderScan(
+          suf.join(full, Seq("doc_id", "p")),
+          substring(col("sk"), 1, 3),
+          Seq(col("rk"), col("doc_id"), col("p")), "r")
         .localCheckpoint() // both sides of the adjacent-pair join share the scan
       val b = rk.select((col("r") - 1).as("r"), col("doc_id").as("b_doc"),
         col("p").as("b_pos"), col("sk").as("bsk"))
-      rk.select(col("r"), col("doc_id").as("a_doc"), col("p").as("a_pos"),
+      val base = rk.select(col("r"), col("doc_id").as("a_doc"), col("p").as("a_pos"),
           col("sk").as("ask"))
         .join(b, "r")
         .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"),
           col("ask"), expr("prefix_len(ask, bsk)").as("lcp"))
+        .localCheckpoint() // split into done/saturated, each read per round
+      // unbounded-LCP extension: walk 64-char text chunks past the key
+      // until the first non-full chunk match; only still-saturated
+      // pairs survive each round, and a chunk past the text end reads
+      // as "" (prefix_len 0), so termination is structural
+      val ta = texts.select(col("doc_id").as("a_doc"), col("text").as("__ta"))
+      val tb = texts.select(col("doc_id").as("b_doc"), col("text").as("__tb"))
+      var done = base.filter(col("lcp") < SufCtx)
+      var sat = base.filter(col("lcp") === SufCtx)
+      var off = SufCtx.toLong
+      while (!sat.isEmpty) {
+        val ext = sat.join(ta, "a_doc").join(tb, "b_doc")
+          .withColumn("__add", expr(
+            s"prefix_len(substring(__ta, cast(a_pos + $off as int), $SufCtx), " +
+              s"substring(__tb, cast(b_pos + $off as int), $SufCtx))"))
+          .withColumn("lcp", col("lcp") + col("__add"))
+          .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"),
+            col("ask"), col("lcp"), col("__add"))
+          .localCheckpoint() // read by the done-union AND the next round's cut
+        done = done.unionByName(ext.filter(col("__add") < SufCtx).drop("__add"))
+        sat = ext.filter(col("__add") === SufCtx).drop("__add")
+        off += SufCtx
+      }
+      done
     }
+
+  /** FULL (unbounded-context) suffix min-ranks by PREFIX DOUBLING with
+    * DISCARDING (Manber & Myers 1990; the distributed form with the
+    * discarding optimization is Flick & Aluru 2015) over an exploded
+    * (doc_id, p, sk) frame — see q_suffix_rank's scaladoc for the
+    * algorithm contract and tie semantics (min-rank: equal FULL
+    * suffixes stay tied; a missing partner ranks 0, sorting a proper
+    * prefix before its extensions). Base round is one bucket-offset
+    * min-rank scan over the 64-char context; each doubling round
+    * touches ONLY the rows whose rank is still tied (work ∝ unresolved
+    * duplicate mass), bounded structurally by h doubling past maxLen
+    * with an empty-active early exit. Returns (doc_id, p, rk). */
+  private def fullSuffixRanks(suf: DataFrame, maxLen: Long): DataFrame = {
+    var full = Ranks.globalOrderScan(suf, substring(col("sk"), 1, 3),
+        Seq(col("sk"), col("doc_id"), col("p")), "__rn")
+      .withColumn("rk", min(col("__rn")).over(Window.partitionBy(col("sk"))))
+      .select(col("doc_id"), col("p"), col("rk"))
+      .localCheckpoint()
+    var active = full
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("rk"))))
+      .filter(col("__c") > 1).drop("__c")
+      .localCheckpoint()
+    var h = SufCtx.toLong
+    while (h < maxLen && !active.isEmpty) {
+      val part = full.select(col("doc_id"), (col("p") - h).as("p"),
+        col("rk").as("rk2"))
+      val upd = active.join(part, Seq("doc_id", "p"), "left")
+        .na.fill(0L, Seq("rk2")) // no partner = proper prefix: sorts first
+        .withColumn("nrk", col("rk") - 1 + rank().over(
+          Window.partitionBy(col("rk")).orderBy(col("rk2"))))
+        .localCheckpoint() // read by the merge AND the next active cut
+      full = full.join(upd.select(col("doc_id"), col("p"), col("nrk")),
+          Seq("doc_id", "p"), "left")
+        .select(col("doc_id"), col("p"),
+          coalesce(col("nrk"), col("rk")).as("rk"))
+        .localCheckpoint()
+      active = upd
+        .withColumn("__c", count(lit(1)).over(
+          Window.partitionBy(col("rk"), col("rk2"))))
+        .filter(col("__c") > 1)
+        .select(col("doc_id"), col("p"), col("nrk").as("rk"))
+      h *= 2
+    }
+    full
+  }
 
   val queries: Map[String, Q] = Map(
     // RAG-style chunking: overlapping 32-token windows at stride 24
@@ -410,48 +501,10 @@ object Curation {
       // frame flows straight to the final aggregate like the oracle
       val maxRow = docs.agg(max(length(col("text")))).head
       val maxLen = if (maxRow.isNullAt(0)) 0L else maxRow.getInt(0).toLong
-      // base: min-rank over the 64-char context (bucket-offset
-      // row_number, then min within the tie group — tie groups are
-      // bounded by duplicate mass, never corpus-proportional)
-      var full = Ranks.globalOrderScan(suf, substring(col("sk"), 1, 3),
-          Seq(col("sk"), col("doc_id"), col("p")), "__rn")
-        .withColumn("rk", min(col("__rn")).over(Window.partitionBy(col("sk"))))
-        .select(col("doc_id"), col("p"), col("rk"))
-        .localCheckpoint()
-      // DISCARDING doubling (Flick & Aluru 2015): a row whose rank is
-      // already unique is FINAL — later splits happen strictly inside
-      // other tie groups, so its strictly-smaller count never moves.
-      // Each round touches only the still-tied rows: fetch the
-      // (already 2h-char-accurate) partner rank at p+h from the full
-      // frame, split the group by it (nrk = group min − 1 + in-group
-      // min-rank — exactly the global min-rank after the split), and
-      // shrink the active set to subgroups still tied on (rk, rk2).
-      var active = full
-        .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("rk"))))
-        .filter(col("__c") > 1).drop("__c")
-        .localCheckpoint()
-      var h = SufCtx.toLong
-      while (h < maxLen && !active.isEmpty) {
-        val part = full.select(col("doc_id"), (col("p") - h).as("p"),
-          col("rk").as("rk2"))
-        val upd = active.join(part, Seq("doc_id", "p"), "left")
-          .na.fill(0L, Seq("rk2")) // no partner = proper prefix: sorts first
-          .withColumn("nrk", col("rk") - 1 + rank().over(
-            Window.partitionBy(col("rk")).orderBy(col("rk2"))))
-          .localCheckpoint() // read by the merge AND the next active cut
-        full = full.join(upd.select(col("doc_id"), col("p"), col("nrk")),
-            Seq("doc_id", "p"), "left")
-          .select(col("doc_id"), col("p"),
-            coalesce(col("nrk"), col("rk")).as("rk"))
-          .localCheckpoint()
-        active = upd
-          .withColumn("__c", count(lit(1)).over(
-            Window.partitionBy(col("rk"), col("rk2"))))
-          .filter(col("__c") > 1)
-          .select(col("doc_id"), col("p"), col("nrk").as("rk"))
-        h *= 2
-      }
-      full.groupBy(col("doc_id"))
+      // base min-rank scan + DISCARDING doubling — the shared
+      // [[fullSuffixRanks]] machinery (suffixPairs' true-order pass
+      // rides the same helper)
+      fullSuffixRanks(suf, maxLen).groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_suffixes"),
           sum(expr("(rk * p) % 1000003")).as("rank_checksum"),
           min(col("rk")).as("min_rank"))
@@ -847,12 +900,14 @@ object Curation {
     })
   )
 
-  /** DuckDB twin of [[suffixPairs]]: quote-twin corpus → per-char
-    * positions → 64-char suffix keys → row_number over (sk, doc_id, p)
-    * (the single-reducer form globalOrderScan equals bit-for-bit) →
-    * adjacent-rank join with the O(L²) composable LCP (max i where the
-    * i-prefixes match, i capped by both key lengths) — the replay of
-    * the one-byte-scan `prefix_len`.
+  /** DuckDB twin of [[suffixPairs]] (unbounded form): quote-twin
+    * corpus → per-char positions → FULL suffix strings → row_number
+    * over (suffix, doc_id, p) — the single-node order the bucket scan
+    * + prefix-doubling ranks equal bit-for-bit — → adjacent-rank join
+    * with the UNBOUNDED per-char LCP: the first mismatching character
+    * position minus one (linear in the true LCP, the replay of the
+    * chunked `prefix_len` walk). `ask` stays the 64-char key (the
+    * excerpt column reads ≤ 40 chars of it).
     */
   private val sufCtes =
     s"""WITH corpus AS (
@@ -863,16 +918,20 @@ object Curation {
        |  FROM documents WHERE doc_id % 4 = 0),
        |sbase AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n_chars FROM corpus),
        |spos AS (SELECT doc_id, text, unnest(range(1, n_chars + 1)) AS p FROM sbase),
-       |suf AS (SELECT doc_id, p, substr(text, CAST(p AS INTEGER), $SufCtx) AS sk FROM spos),
-       |srk AS (SELECT doc_id, p, sk,
-       |          row_number() OVER (ORDER BY sk, doc_id, p) AS r FROM suf),
+       |suf AS MATERIALIZED (
+       |  SELECT doc_id, p, substr(text, CAST(p AS INTEGER)) AS sfx FROM spos),
+       |srk AS MATERIALIZED (
+       |  SELECT doc_id, p, sfx,
+       |    row_number() OVER (ORDER BY sfx, doc_id, p) AS r FROM suf),
        |spr AS (
        |  SELECT a.doc_id AS a_doc, a.p AS a_pos, b.doc_id AS b_doc, b.p AS b_pos,
-       |    a.sk AS ask,
-       |    CAST(list_max(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, ${SufCtx + 1}),
-       |      i -> CASE WHEN i <= least(strlen(a.sk), strlen(b.sk))
-       |                 AND substr(a.sk, 1, CAST(i AS INTEGER)) = substr(b.sk, 1, CAST(i AS INTEGER))
-       |            THEN CAST(i AS BIGINT) ELSE CAST(0 AS BIGINT) END))) AS BIGINT) AS lcp
+       |    substr(a.sfx, 1, $SufCtx) AS ask,
+       |    COALESCE(list_min(list_transform(
+       |        range(1, CAST(least(strlen(a.sfx), strlen(b.sfx)) AS BIGINT) + 1),
+       |        i -> CASE WHEN substr(a.sfx, CAST(i AS INTEGER), 1)
+       |                    <> substr(b.sfx, CAST(i AS INTEGER), 1)
+       |             THEN i END)),
+       |      CAST(least(strlen(a.sfx), strlen(b.sfx)) AS BIGINT) + 1) - 1 AS lcp
        |  FROM srk a JOIN srk b ON b.r = a.r + 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(

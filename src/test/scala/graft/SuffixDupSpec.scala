@@ -89,6 +89,28 @@ class SuffixDupSpec extends SparkSpec {
     assert(truth.nonEmpty && truth.forall(_._1 != 3L))
   }
 
+  test("lifted LCP cap: repeats longer than the 64-char sort key report their TRUE length") {
+    // the round-12 formulation capped adjacent LCPs at the 64-char
+    // key — a 200-char verbatim copy scored lcp = 64 and
+    // q_longest_repeat's top-10 saturated. The true-order +
+    // chunk-probe pipeline must report the full length; verified
+    // against a brute-force prefix compare of the actual fixture texts.
+    val top = graft.SparkEntry.queries("q_longest_repeat")(spark, sf)
+      .orderBy(col("rk")).collect()
+    val head = top.head
+    val lcp0 = head.getAs[Long]("lcp")
+    assert(lcp0 > 64L, s"top repeat still capped at the sort key: lcp=$lcp0")
+    // rebuild the quote-twin corpus driver-side and compare prefixes
+    val base = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val textOf = base ++ base.filter(_._1 % 4 == 0).map { case (id, t) =>
+      (id + 1000000L) -> t.split(" ").take(32).mkString(" ") }
+    val sa = textOf(head.getAs[Long]("a_doc")).substring(head.getAs[Long]("a_pos").toInt - 1)
+    val sb = textOf(head.getAs[Long]("b_doc")).substring(head.getAs[Long]("b_pos").toInt - 1)
+    val brute = sa.zip(sb).takeWhile { case (x, y) => x == y }.length.toLong
+    assert(lcp0 == brute, s"reported lcp $lcp0 != brute-force common prefix $brute")
+  }
+
   test("prefix doubling: exact parity with the naive unbounded-suffix rank") {
     import org.apache.spark.sql.expressions.Window
     // the single-reducer form (fine in a test) on the same 1/16 sample
