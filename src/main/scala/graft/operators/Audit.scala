@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.PlanStash.Ckpt
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -513,7 +514,7 @@ object Audit {
         .groupBy(expr("CAST((unix_micros(ts) DIV 3600000000) % 24 AS BIGINT)").as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("nij"))
-        .localCheckpoint() // margins, total, and the term scan share it
+        .ckpt() // margins, total, and the term scan share it
       val rm = cells.groupBy(col("hour")).agg(sum(col("nij")).as("ni"))
       val cm = cells.groupBy(col("event_type")).agg(sum(col("nij")).as("nj"))
       val nt = cells.agg(sum(col("nij")).as("n"),
@@ -554,15 +555,15 @@ object Audit {
       def pos(i: Int): String =
         s"CAST(conv(substring(md5(CONCAT('$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % $m"
       val keys = Tables.orders(s, d).select(col("o_orderkey").as("k")).distinct()
-        .localCheckpoint() // insert count + bit build share it
+        .ckpt() // insert count + bit build share it
       val nIns = keys.agg(count(lit(1)).as("n_keys"))
       val bits = keys
         .select(explode(expr(s"array(${pos(0)}, ${pos(1)}, ${pos(2)})")).as("b"))
         .distinct()
-        .localCheckpoint() // probed once per (candidate, hash)
+        .ckpt() // probed once per (candidate, hash)
       val probes = Tables.lineitem(s, d)
         .select((col("l_orderkey") + 3000000L).as("k")).distinct()
-        .localCheckpoint() // probe count + membership scan share it
+        .ckpt() // probe count + membership scan share it
       val fp = probes
         .select(col("k"), explode(expr(s"array(${pos(0)}, ${pos(1)}, ${pos(2)})")).as("b"))
         .join(bits, Seq("b"), "left_semi")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.PlanStash.Ckpt
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -201,12 +202,12 @@ object Curation {
         // range(1, n+1) is empty — drop zero-length docs before the
         // explode so both engines agree (latent: fixtures are non-empty)
         .filter(length(col("text")) > 0)
-        .localCheckpoint() // read by the explode AND every probe round
+        .ckpt() // read by the explode AND every probe round
       val suf = texts
         .withColumn("p", explode(expr("sequence(1, length(text))")))
         .select(col("doc_id"), col("p").cast("bigint").as("p"),
           expr(s"substring(text, p, $SufCtx)").as("sk"))
-        .localCheckpoint() // the scan reads it twice (bucket census + probe);
+        .ckpt() // the scan reads it twice (bucket census + probe);
                            // don't pay the position explode per read
         // pin the scan's window parallelism: the hash exchange this
         // repartition emits satisfies the window's ClusteredDistribution
@@ -222,7 +223,7 @@ object Curation {
           suf.join(full, Seq("doc_id", "p")),
           substring(col("sk"), 1, 3),
           Seq(col("rk"), col("doc_id"), col("p")), "r")
-        .localCheckpoint() // both sides of the adjacent-pair join share the scan
+        .ckpt() // both sides of the adjacent-pair join share the scan
       val b = rk.select((col("r") - 1).as("r"), col("doc_id").as("b_doc"),
         col("p").as("b_pos"), col("sk").as("bsk"))
       val base = rk.select(col("r"), col("doc_id").as("a_doc"), col("p").as("a_pos"),
@@ -230,7 +231,7 @@ object Curation {
         .join(b, "r")
         .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"),
           col("ask"), expr("prefix_len(ask, bsk)").as("lcp"))
-        .localCheckpoint() // split into done/saturated, each read per round
+        .ckpt() // split into done/saturated, each read per round
       // unbounded-LCP extension: walk 64-char text chunks past the key
       // until the first non-full chunk match; only still-saturated
       // pairs survive each round, and a chunk past the text end reads
@@ -248,7 +249,7 @@ object Curation {
           .withColumn("lcp", col("lcp") + col("__add"))
           .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"),
             col("ask"), col("lcp"), col("__add"))
-          .localCheckpoint() // read by the done-union AND the next round's cut
+          .ckpt() // read by the done-union AND the next round's cut
         done = done.unionByName(ext.filter(col("__add") < SufCtx).drop("__add"))
         sat = ext.filter(col("__add") === SufCtx).drop("__add")
         off += SufCtx
@@ -272,11 +273,11 @@ object Curation {
         Seq(col("sk"), col("doc_id"), col("p")), "__rn")
       .withColumn("rk", min(col("__rn")).over(Window.partitionBy(col("sk"))))
       .select(col("doc_id"), col("p"), col("rk"))
-      .localCheckpoint()
+      .ckpt()
     var active = full
       .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("rk"))))
       .filter(col("__c") > 1).drop("__c")
-      .localCheckpoint()
+      .ckpt()
     var h = SufCtx.toLong
     while (h < maxLen && !active.isEmpty) {
       val part = full.select(col("doc_id"), (col("p") - h).as("p"),
@@ -285,12 +286,12 @@ object Curation {
         .na.fill(0L, Seq("rk2")) // no partner = proper prefix: sorts first
         .withColumn("nrk", col("rk") - 1 + rank().over(
           Window.partitionBy(col("rk")).orderBy(col("rk2"))))
-        .localCheckpoint() // read by the merge AND the next active cut
+        .ckpt() // read by the merge AND the next active cut
       full = full.join(upd.select(col("doc_id"), col("p"), col("nrk")),
           Seq("doc_id", "p"), "left")
         .select(col("doc_id"), col("p"),
           coalesce(col("nrk"), col("rk")).as("rk"))
-        .localCheckpoint()
+        .ckpt()
       active = upd
         .withColumn("__c", count(lit(1)).over(
           Window.partitionBy(col("rk"), col("rk2"))))
@@ -495,7 +496,7 @@ object Curation {
         .withColumn("p", explode(expr("sequence(1, length(text))")))
         .select(col("doc_id"), col("p").cast("bigint").as("p"),
           expr(s"substring(text, p, $SufCtx)").as("sk"))
-        .localCheckpoint() // the base scan reads it twice (census + probe)
+        .ckpt() // the base scan reads it twice (census + probe)
       // null-safe: an empty 1/16 sample makes max() a null row — read
       // it as 0 so the doubling loop is skipped and the (empty) base
       // frame flows straight to the final aggregate like the oracle

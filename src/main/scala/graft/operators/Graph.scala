@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.PlanStash.Ckpt
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -155,7 +156,7 @@ object Graph {
     // Round10Spec can shape-audit it (exactly one collect_set, above
     // the orientation filter); execution always checkpoints — deg and
     // oadj are each consumed twice.
-    def cp(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
+    def cp(df: DataFrame): DataFrame = if (checkpoint) df.ckpt() else df
     val undE = edges
       .select(explode(array(
         struct(col("a").as("v"), col("b").as("w")),
@@ -208,7 +209,7 @@ object Graph {
     // Round 1: the ONE full-graph pass — orientedSupport emits every
     // edge, so this frame is the complete (a, b, supp₀) inventory and
     // the only full-inventory shuffle the peel ever pays.
-    val suppAll = orientedSupport(edges0).localCheckpoint()
+    val suppAll = orientedSupport(edges0).ckpt()
     var kept = suppAll.filter(col("supp") >= minSupp)
     var removed = suppAll.filter(col("supp") < minSupp)
       .select(col("a"), col("b"))
@@ -235,7 +236,7 @@ object Graph {
           val ends = removed
             .select(explode(array(col("a"), col("b"))).as("x")).distinct()
           undAll.join(broadcast(ends), Seq("x"), "left_semi")
-        }).localCheckpoint() // consumed by both closing-edge joins
+        }).ckpt() // consumed by both closing-edge joins
       // Distinct triangles of the previous graph containing ≥1 removed
       // edge: (a,b) removed, (a,c) and (b,c) both previous edges;
       // sorting to (x < y < z) dedups a triangle losing 2 edges so its
@@ -281,7 +282,7 @@ object Graph {
         .join(dec, Seq("a", "b"), "left")
         .select(col("a"), col("b"),
           (col("supp") - coalesce(col("dec"), lit(0L))).as("supp"))
-        .localCheckpoint()
+        .ckpt()
       kept = updated.filter(col("supp") >= minSupp)
       removed = updated.filter(col("supp") < minSupp)
         .select(col("a"), col("b"))
@@ -383,7 +384,7 @@ object Graph {
           .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("m"))
           .select(col("dst").as("node_id"), (-col("m.nl")).as("label"))
       }
-      labels.localCheckpoint()
+      labels.ckpt()
     }
 
   val queries: Map[String, Q] = Map(
@@ -421,7 +422,7 @@ object Graph {
         .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
         .persist()
       val nodes = adj.select(col("src").as("node_id"), col("deg")).distinct()
-        .localCheckpoint() // every round's diagonal term reads it
+        .ckpt() // every round's diagonal term reads it
       val dmax = nodes.agg(max(col("deg")).as("dmax"))
       // ONE aggregate pass per renorm: max|x − m| = max(max(x) − m,
       // m − min(x)), so the centering mean AND the quantization
@@ -438,7 +439,7 @@ object Graph {
       }
       var x = renorm(nodes.select(col("node_id"),
           ((col("node_id") % 1000) * 1000L).as("x")))
-        .localCheckpoint()
+        .ckpt()
       for (_ <- 1 to Iters) {
         val sums = adj.join(x, adj("src") === x("node_id"))
           .select(col("dst"), col("x"))
@@ -450,11 +451,11 @@ object Graph {
           .crossJoin(broadcast(dmax))
           .select(col("node_id"),
             ((col("dmax") - col("deg") + 1L) * col("xv") + col("nsum")).as("x"))
-        x = renorm(y).localCheckpoint()
+        x = renorm(y).ckpt()
       }
       val signed = x.select(col("node_id"),
           when(col("x") > 0, 1L).otherwise(0L).as("pos"))
-        .localCheckpoint() // read by the side census AND both cut joins
+        .ckpt() // read by the side census AND both cut joins
       val sides = signed.agg(sum(col("pos")).as("n_pos"),
         sum(expr("1 - pos")).as("n_neg"))
       val cut = tradeBase(s, d)
@@ -932,7 +933,7 @@ object Graph {
       val deg = edges
         .select(explode(array(col("src"), col("dst"))).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint() // node-catalog-sized; consumed per k
+        .ckpt() // node-catalog-sized; consumed per k
       val nullEdges = edgeSwapNull(edges.select(col("src"), col("dst")),
           RichClubSwapRounds)
       // ALL three k thresholds in ONE decorated pass per edge frame:
@@ -1252,7 +1253,7 @@ object Graph {
     // cannot be composed lazily without re-deriving support.
     "q_ktruss" -> ((s, d) => {
       val (fix, rounds) =
-        trussSupportFixpoint(copurchaseEdges(s, d).localCheckpoint(), minSupp = 2)
+        trussSupportFixpoint(copurchaseEdges(s, d).ckpt(), minSupp = 2)
       // The oracle unrolls a FIXED number of materialized peels; the
       // engine peels to the true fixpoint. If a dataset ever needs
       // more rounds than the unroll, the two would silently diverge —
@@ -1355,7 +1356,7 @@ object Graph {
       // chain. The frames are node-scale (score vectors), never data-
       // scale.
       def renorm(raw0: DataFrame, key: String, v: String): DataFrame = {
-        val raw = raw0.localCheckpoint()
+        val raw = raw0.ckpt()
         val m = raw.agg(max(col(v)).as("mx"))
         raw.crossJoin(broadcast(m))
           .select(col(key), expr(s"($v * 1000000) DIV mx").as(v))
@@ -1626,7 +1627,7 @@ object Graph {
           (lit(1L) + (col("src") * col("dst") + col("src") + col("dst")) % 9).as("w"))
         .persist()
       val nodes = ew.select(explode(array(col("u"), col("v"))).as("n")).distinct()
-      var comp = nodes.select(col("n"), col("n").as("c")).localCheckpoint()
+      var comp = nodes.select(col("n"), col("n").as("c")).ckpt()
       var out: DataFrame = null
       for (r <- 1 to 2) {
         val tagged = ew
@@ -1640,7 +1641,7 @@ object Graph {
             struct(col("pk"), col("cu"), col("cv")).as("st"))
           .groupBy(col("comp")).agg(min(col("st")).as("st"))
           .select(col("st.pk").as("pk"), col("st.cu").as("cu"), col("st.cv").as("cv"))
-          .localCheckpoint() // consumed by the chosen output AND the merge
+          .ckpt() // consumed by the chosen output AND the merge
         val chosen = sel.select(col("pk")).distinct()
           .select(lit(r.toLong).as("round"),
             expr(s"pk DIV ${p * p}").as("w"),
@@ -1651,7 +1652,7 @@ object Graph {
         comp = comp
           .join(merged.select(col("u").as("c"), col("v").as("newc")), Seq("c"), "left")
           .select(col("n"), coalesce(col("newc"), col("c")).as("c"))
-          .localCheckpoint()
+          .ckpt()
       }
       out.select(col("round"), col("u"), col("v"), col("w"))
         .orderBy(col("round"), col("u"), col("v"))
@@ -1672,7 +1673,7 @@ object Graph {
       var e = tradeBase(s, d)
         .select(col("src").as("a"), col("dst").as("b"),
           expr("src * 4294967296 + dst").as("eid"))
-        .localCheckpoint() // rounds peel it in place
+        .ckpt() // rounds peel it in place
       var out: DataFrame = null
       for (r <- 1 to Iters) {
         val byEnd = e.select(explode(array(
@@ -1685,11 +1686,11 @@ object Graph {
           .join(byEnd.select(col("v").as("b"), col("emin").as("eb")), Seq("b"))
           .filter(col("eid") === col("ea") && col("eid") === col("eb"))
           .select(col("a"), col("b"), col("eid"))
-          .localCheckpoint() // matched set: counted AND subtracted
+          .ckpt() // matched set: counted AND subtracted
         val mv = sel.select(explode(array(col("a"), col("b"))).as("v")).distinct()
         e = e.join(mv.select(col("v").as("a")), Seq("a"), "left_anti")
           .join(mv.select(col("v").as("b")), Seq("b"), "left_anti")
-          .localCheckpoint()
+          .ckpt()
         val row = sel.agg(count(lit(1)).as("n_matched"))
           .crossJoin(e.agg(count(lit(1)).as("n_left")))
           .select(lit(r.toLong).as("round"), col("n_matched"), col("n_left"))
@@ -1720,16 +1721,16 @@ object Graph {
           struct(col("a").as("v"), col("b").as("w")),
           struct(col("b").as("v"), col("a").as("w")))).as("p"))
         .select(col("p.v").as("v"), col("p.w").as("w"))
-        .localCheckpoint() // degree AND both orientation sides share it
+        .ckpt() // degree AND both orientation sides share it
       val deg = undE.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint() // node-catalog-sized; readout + 2 broadcast sides
+        .ckpt() // node-catalog-sized; readout + 2 broadcast sides
       val oadj = undE
         .join(broadcast(deg.select(col("v"), col("deg").as("dv"))), Seq("v"))
         .join(broadcast(deg.select(col("v").as("w"), col("deg").as("dw"))), Seq("w"))
         .filter(col("dv") < col("dw") ||
           (col("dv") === col("dw") && col("v") < col("w")))
         .groupBy(col("v")).agg(collect_set(col("w")).as("nbrs"))
-        .localCheckpoint() // consumed twice: explode side AND the t-keyed attach
+        .ckpt() // consumed twice: explode side AND the t-keyed attach
       val tri = oadj
         .select(col("v").as("s"), col("nbrs").as("ns"), explode(col("nbrs")).as("t"))
         .join(oadj.select(col("v").as("t"), col("nbrs").as("nt")), Seq("t"))
@@ -1760,20 +1761,20 @@ object Graph {
     // dependency page — the "which nodes sit on this hub's shortest
     // paths" readout.
     "q_betweenness" -> ((s, d) => {
-      val e = undirected(s, d).localCheckpoint()
+      val e = undirected(s, d).ckpt()
       val l0 = e.agg(min(col("src")).as("s0"))
         .select(col("s0").as("node"), lit(1L).as("sigma"))
-        .localCheckpoint() // 1 row
+        .ckpt() // 1 row
       def expand(front: DataFrame, visited: DataFrame): DataFrame =
         e.join(front.select(col("node").as("src"), col("sigma")), "src")
           .select(col("dst").as("node"), col("sigma"))
           .join(visited, Seq("node"), "left_anti")
           .groupBy(col("node")).agg(sum(col("sigma")).as("sigma"))
-      val l1 = expand(l0, l0.select(col("node"))).localCheckpoint()
-      val vis1 = l0.select(col("node")).union(l1.select(col("node"))).localCheckpoint()
-      val l2 = expand(l1, vis1).localCheckpoint()
-      val vis2 = vis1.union(l2.select(col("node"))).localCheckpoint()
-      val l3 = expand(l2, vis2).localCheckpoint()
+      val l1 = expand(l0, l0.select(col("node"))).ckpt()
+      val vis1 = l0.select(col("node")).union(l1.select(col("node"))).ckpt()
+      val l2 = expand(l1, vis1).ckpt()
+      val vis2 = vis1.union(l2.select(col("node"))).ckpt()
+      val l3 = expand(l2, vis2).ckpt()
       def pull(lower: DataFrame, upper: DataFrame): DataFrame = {
         val terms = e.select(col("src").as("node"), col("dst").as("wnode"))
           .join(lower.select(col("node"), col("sigma")), "node")
@@ -1785,7 +1786,7 @@ object Graph {
           .select(col("node"), col("sigma"), coalesce(col("dsum"), lit(0L)).as("delta"))
       }
       val d3 = l3.withColumn("delta", lit(0L))
-      val d2 = pull(l2, d3).localCheckpoint()
+      val d2 = pull(l2, d3).ckpt()
       val d1 = pull(l1, d2)
       d1.withColumn("dist", lit(1L))
         .union(d2.withColumn("dist", lit(2L)))
@@ -1823,18 +1824,18 @@ object Graph {
           row_number().over(Window.partitionBy(col("c"))
             .orderBy(col("spend_c").desc, col("sp"))).cast("long"))
         .filter(col("rank") <= 3)
-        .localCheckpoint() // every round's proposal join reads it
+        .ckpt() // every round's proposal join reads it
       var st = prefs.select(col("c")).distinct()
         .select(col("c"), lit(1L).as("ptr"),
           lit(null).cast("long").as("eng_sp"), lit(null).cast("long").as("eng_spend"))
-        .localCheckpoint()
+        .ckpt()
       for (_ <- 1 to Iters) {
         val props = st.filter(col("eng_sp").isNull && col("ptr") <= 3)
           .select(col("c"), col("ptr"))
           .join(prefs, Seq("c"))
           .filter(col("ptr") === col("rank"))
           .select(col("c"), col("sp"), col("spend_c"))
-          .localCheckpoint() // read by the argmax AND the ptr update
+          .ckpt() // read by the argmax AND the ptr update
         val cand = props
           .unionByName(st.filter(col("eng_sp").isNotNull)
             .select(col("c"), col("eng_sp").as("sp"), col("eng_spend").as("spend_c")))
@@ -1848,7 +1849,7 @@ object Graph {
           .select(col("c"),
             expr("CASE WHEN pnow = 1 THEN ptr + 1 ELSE ptr END").as("ptr"),
             col("w_sp").as("eng_sp"), col("w_spend").as("eng_spend"))
-          .localCheckpoint()
+          .ckpt()
       }
       st.filter(col("eng_sp").isNotNull)
         .select(col("c"), col("eng_sp").as("sp"), col("eng_spend").as("spend_c"))
@@ -1866,14 +1867,14 @@ object Graph {
     * left-join + coalesce.
     */
   private[graft] def ccRoots(e0: DataFrame): DataFrame = {
-    val e = e0.filter(col("u") =!= col("v")).localCheckpoint()
+    val e = e0.filter(col("u") =!= col("v")).ckpt()
     var chunk = 3
     var total = chunk
-    var star = alternatingStar(e, chunk).localCheckpoint()
+    var star = alternatingStar(e, chunk).ckpt()
     var converged = starConverged(star)
     while (!converged && total < 96) {
       chunk *= 2
-      star = alternatingStar(star, chunk).localCheckpoint()
+      star = alternatingStar(star, chunk).ckpt()
       total += chunk
       converged = starConverged(star)
     }
@@ -2021,8 +2022,8 @@ object Graph {
         struct(col("src").as("u"), col("dst").as("v")),
         struct(col("dst").as("u"), col("src").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .localCheckpoint() // reused every round
-    var h = edges.groupBy(col("u")).agg(count(lit(1)).as("h")).localCheckpoint()
+      .ckpt() // reused every round
+    var h = edges.groupBy(col("u")).agg(count(lit(1)).as("h")).ckpt()
     var sumH = h.agg(sum(col("h"))).head().getLong(0)
     var rounds = 0
     var converged = false
@@ -2033,7 +2034,7 @@ object Graph {
         .withColumn("rn", row_number().over(wU).cast("bigint"))
         .select(col("u"), least(col("rn"), col("hv")).as("cap"))
         .groupBy(col("u")).agg(max(col("cap")).as("h"))
-        .localCheckpoint()
+        .ckpt()
       val nextSum = next.agg(sum(col("h"))).head().getLong(0)
       rounds += 1
       converged = nextSum == sumH
@@ -2053,12 +2054,12 @@ object Graph {
     * Returns the fixpoint frame and the number of peel evaluations
     * INCLUDING the final no-op round that proves convergence. */
   private[graft] def kcorePeelFixpoint(edges: DataFrame, k: Int): (DataFrame, Int) = {
-    var ed = edges.localCheckpoint()
+    var ed = edges.ckpt()
     var n = ed.count()
     var rounds = 0
     var converged = false
     while (!converged && rounds < KCoreMaxRounds) {
-      val next = kcorePeel(ed, k, 1).localCheckpoint()
+      val next = kcorePeel(ed, k, 1).ckpt()
       val nn = next.count()
       rounds += 1
       converged = nn == n

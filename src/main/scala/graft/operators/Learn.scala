@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.PlanStash.Ckpt
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -608,7 +609,7 @@ object Learn {
             s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
         .select(col("source"), col("sc"),
           when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
-        .localCheckpoint() // subgroup arm + pooled arm share one scoring pass
+        .ckpt() // subgroup arm + pooled arm share one scoring pass
       def aucOf(df: DataFrame, grp: Column): DataFrame = {
         val g = df.withColumn("grp", grp)
         val per = g.groupBy(col("grp"), col("sc"))
@@ -1160,7 +1161,7 @@ object Learn {
       val ranked = Ranks.globalOrderScan(scored, expr("-(sc DIV 2000)"),
           Seq(col("sc").desc, col("doc_id")), "k",
           sums = Seq((col("pos"), "cumpos")))
-        .localCheckpoint() // AP term sum + R-precision probe share it
+        .ckpt() // AP term sum + R-precision probe share it
       val tot = scored.agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
       val apn = ranked.filter(col("pos") === 1)
         .agg(sum(expr("(cumpos * 1000000) DIV k")).as("ap_num"))
@@ -1192,7 +1193,7 @@ object Learn {
             s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
         .select(col("doc_id"),
           expr("CASE WHEN lang = 'en' THEN -sc ELSE sc END").as("nc"))
-        .localCheckpoint() // calibration + test arms share one scoring
+        .ckpt() // calibration + test arms share one scoring
       val cal = scored.filter(expr("doc_id % 2 = 0"))
       val calTot = cal.agg(count(lit(1)).as("n_cal"))
         .withColumn("r", expr("((n_cal + 1) * 9 + 9) DIV 10"))
@@ -1630,7 +1631,7 @@ object Learn {
           expr("transform(qv, v -> v + 40L * k)").as("qv"))
       // consumed by the probe side, index side, and the role/report
       // joins — materialized once (the q_dedup_winnow rule)
-      val pts = qb.unionByName(copies).localCheckpoint()
+      val pts = qb.unionByName(copies).ckpt()
       val cents = coarseCentroids(s, d)
       // dv/nrm: the pair verify runs as ‖a‖² + ‖b‖² − 2⟨a,b⟩ with the
       // NATIVE codegen'd dot product — every term is an integer below
@@ -1664,7 +1665,7 @@ object Learn {
       val pairs = dbscanCandidates(assigned, epsQ)
         .filter(expr(s"nrm_a + nrm_b - 2.0D * dot_product(dva, dvb) <= ${eps2}.0D"))
         .select(col("a_id"), col("b_id"))
-        .localCheckpoint() // consumed by degree count, core edges, border attach
+        .ckpt() // consumed by degree count, core edges, border attach
       val touch = pairs.select(explode(array(
           struct(col("a_id").as("id"), col("b_id").as("nb")),
           struct(col("b_id").as("id"), col("a_id").as("nb")))).as("e"))
@@ -1679,7 +1680,7 @@ object Learn {
         .join(coreIds.withColumnRenamed("vec_id", "a_id"), Seq("a_id"))
         .join(coreIds.withColumnRenamed("vec_id", "b_id"), Seq("b_id"))
         .select(col("a_id").as("u"), col("b_id").as("v"))
-      val star = Graph.alternatingStar(coreEdges, 2).localCheckpoint()
+      val star = Graph.alternatingStar(coreEdges, 2).ckpt()
       require(Graph.starConverged(star),
         "DBSCAN core components did not converge in 2 star round pairs")
       val coreLab = coreIds
@@ -1820,7 +1821,7 @@ object Learn {
       val curve = census
         .withColumn("cum", sum(col("c")).over(Window.orderBy(col("d_milli"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .localCheckpoint() // consumed by the endpoint aggregate AND the dev scan
+        .ckpt() // consumed by the endpoint aggregate AND the dev scan
       val ends = curve.agg(sum(col("c")).as("n"),
         min(col("d_milli")).as("d1"), max(col("d_milli")).as("dn"))
       curve.crossJoin(broadcast(ends))
@@ -1890,7 +1891,7 @@ object Learn {
         .select(col("a_id"), col("b_id"), col("rn"),
           expr("CAST(floor(sqrt(CAST(d2 AS DOUBLE)) * 1000 + 0.5) AS BIGINT)")
             .as("d_milli"))
-        .localCheckpoint() // consumed by kdist, reach, and the lrd chase
+        .ckpt() // consumed by kdist, reach, and the lrd chase
       val kdist = knn.filter(col("rn") === 3)
         .select(col("a_id").as("b_id"), col("d_milli").as("kd_milli"))
       val lrd = knn
@@ -2198,7 +2199,7 @@ object Learn {
         .groupBy(col("sp"))
         .agg(sum(expr("r * u3")).as("num"), sum(expr("u3 * u3")).as("den"))
         .select(col("sp"), expr("num * 1000000 DIV (100000 + den)").as("v_milli"))
-        .localCheckpoint() // consumed by the MAE scan and the top-20 page
+        .ckpt() // consumed by the MAE scan and the top-20 page
       val mae = rat.join(u1, "c").join(v1, "sp")
         .select(expr("abs(r * 1000 - (u3 * v_milli) DIV 1000)").as("e"))
         .agg(count(lit(1)).as("n_pairs"), sum(col("e")).as("se"))
@@ -2226,25 +2227,25 @@ object Learn {
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("qv"))
-        .localCheckpoint() // 4 greedy rounds + the radius share one quantized scan
+        .ckpt() // 4 greedy rounds + the radius share one quantized scan
       val d2 = "aggregate(zip_with(qv, cqv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
       val c1 = base.orderBy(col("vec_id")).limit(1)
         .select(col("vec_id").as("cid"), col("qv").as("cqv"), lit(0L).as("dsel"))
-        .localCheckpoint()
+        .ckpt()
       var st = base.crossJoin(broadcast(c1.select(col("cqv"))))
         .select(col("vec_id"), col("qv"), expr(d2).as("dmin"))
-        .localCheckpoint()
+        .ckpt()
       var picks = Seq(c1.select(lit(1L).as("round"), col("cid").as("vec_id"),
         col("dsel").as("d2_sel")))
       for (r <- 2 to 4) {
         val ck = st.orderBy(col("dmin").desc, col("vec_id")).limit(1)
           .select(col("vec_id").as("cid"), col("qv").as("cqv"), col("dmin").as("dsel"))
-          .localCheckpoint() // 1 row: read by the pick page and the fold
+          .ckpt() // 1 row: read by the pick page and the fold
         picks = picks :+ ck.select(lit(r.toLong).as("round"), col("cid").as("vec_id"),
           col("dsel").as("d2_sel"))
         st = st.crossJoin(broadcast(ck.select(col("cqv"))))
           .select(col("vec_id"), col("qv"), least(col("dmin"), expr(d2)).as("dmin"))
-          .localCheckpoint()
+          .ckpt()
       }
       val radius = st.orderBy(col("dmin").desc, col("vec_id")).limit(1)
         .select(lit(5L).as("round"), col("vec_id"), col("dmin").as("d2_sel"))
@@ -2307,7 +2308,7 @@ object Learn {
           sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x2"),
           when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) > 0, 1L)
             .otherwise(-1L).as("y"))
-        .localCheckpoint() // the step-1 moment + the step-2 margin scan share it
+        .ckpt() // the step-1 moment + the step-2 margin scan share it
       val st1 = users.agg(count(lit(1)).as("n"),
         sum(expr("y * x1")).as("a1"), sum(expr("y * x2")).as("a2"))
       users.crossJoin(broadcast(st1))
@@ -2339,7 +2340,7 @@ object Learn {
             .otherwise(0L).as("pos"))
         .groupBy(col("x"))
         .agg(count(lit(1)).as("t"), sum(col("pos")).as("tp"))
-        .localCheckpoint() // totals + sweep share the census
+        .ckpt() // totals + sweep share the census
       val tot = cells.agg(sum(col("t")).as("nn"), sum(col("tp")).as("np"))
       val wcum = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, 0)
       val sweep = cells
@@ -2381,7 +2382,7 @@ object Learn {
           sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x2"),
           when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) > 0, 1L)
             .otherwise(0L).as("pos"))
-        .localCheckpoint() // stump fit, SVM fit, and the confusion scan share it
+        .ckpt() // stump fit, SVM fit, and the confusion scan share it
       // best stump on x1 (the q_adaboost_step sweep)
       val cells = users.groupBy(col("x1"))
         .agg(count(lit(1)).as("t"), sum(col("pos")).as("tp"))
@@ -2447,7 +2448,7 @@ object Learn {
           sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("vx"),
           sum(when(col("event_type") === "purchase",
             expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).otherwise(0L)).as("sp"))
-        .localCheckpoint() // three median cuts + the cell census share it
+        .ckpt() // three median cuts + the cell census share it
       // exact lower median of a per-user BIGINT column by census rank cut
       def med(cn: String): DataFrame = {
         val cen = raw.groupBy(col(cn)).agg(count(lit(1)).as("c"))
@@ -2468,7 +2469,7 @@ object Learn {
           expr("CASE WHEN sp > med_sp THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("y"))
       val cells = users.groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
-        .localCheckpoint() // feeds the marginals, the global, and the cell page
+        .ckpt() // feeds the marginals, the global, and the cell page
       val ma = cells.groupBy(col("a")).agg(
         expr("(CAST(SUM(s) AS BIGINT) * 1000000) DIV SUM(n)").as("va"))
       val mb = cells.groupBy(col("b")).agg(
@@ -2606,7 +2607,7 @@ object Learn {
       .withColumn("home", expr("CAST(array_position(darr, qdist) AS INT) - 1"))
       .withColumn("dv", expr("transform(qv, v -> CAST(v AS DOUBLE))"))
       .withColumn("nrm", expr("dot_product(dv, dv)"))
-      .localCheckpoint() // consumed by pass-1 self-join, probe, index
+      .ckpt() // consumed by pass-1 self-join, probe, index
     val d2x = "nrm_a + nrm_b - 2.0D * dot_product(dva, dvb)"
     val aSide = pts.select(col("vec_id").as("a_id"), col("dv").as("dva"),
       col("nrm").as("nrm_a"), col("home").as("cell"))
@@ -2632,7 +2633,7 @@ object Learn {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("a_id"), col("b_id"), col("rn"), col("d2").cast("long").as("d2"))
-      .localCheckpoint() // the memoized index itself: consumers read blocks,
+      .ckpt() // the memoized index itself: consumers read blocks,
                          // not lineage, even after a catalog cache clear
   }
 

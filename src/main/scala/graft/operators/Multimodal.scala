@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.PlanStash.Ckpt
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -255,16 +256,16 @@ object Multimodal {
     "q_media_cluster" -> ((s, d) => {
       val e = phashPairs(s, d)
         .select(col("a_id").as("u"), col("b_id").as("v"))
-        .localCheckpoint()
+        .ckpt()
       // the NearDup.clusterLabels convergence schedule: geometric
       // round chunks, one driver-side fixpoint probe per chunk
       var chunk = 3; var total = 0
-      var star = Graph.alternatingStar(e, chunk).localCheckpoint()
+      var star = Graph.alternatingStar(e, chunk).ckpt()
       total += chunk
       var converged = Graph.starConverged(star)
       while (!converged && total < 96) {
         chunk *= 2
-        star = Graph.alternatingStar(star, chunk).localCheckpoint()
+        star = Graph.alternatingStar(star, chunk).ckpt()
         total += chunk
         converged = Graph.starConverged(star)
       }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.PlanStash.Ckpt
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -272,15 +273,15 @@ object NearDup {
     clusterLabelCache.resolve(s"${System.identityHashCode(s)}:$d") {
       val e = jaccardPairs(s, d)
         .select(col("a_id").as("u"), col("b_id").as("v"))
-        .localCheckpoint() // consumed by round 1 and the node catalog
+        .ckpt() // consumed by round 1 and the node catalog
       var chunk = 3
       var total = 0
-      var star = Graph.alternatingStar(e, chunk).localCheckpoint()
+      var star = Graph.alternatingStar(e, chunk).ckpt()
       total += chunk
       var converged = Graph.starConverged(star)
       while (!converged && total < 96) {
         chunk *= 2
-        star = Graph.alternatingStar(star, chunk).localCheckpoint()
+        star = Graph.alternatingStar(star, chunk).ckpt()
         total += chunk
         converged = Graph.starConverged(star)
       }
@@ -845,7 +846,7 @@ object NearDup {
             && col("x.bs") === col("y.bs") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.nb").as("nb"), col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-        .localCheckpoint() // consumed by the count, the verify, and the tp semi-join
+        .ckpt() // consumed by the count, the verify, and the tp semi-join
       val cn = cand.groupBy(col("nb")).agg(count(lit(1)).as("cand_n"))
       val vn = cand
         .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
@@ -1178,7 +1179,7 @@ object NearDup {
     "q_dedup_savings" -> ((s, d) => {
       val cor = corpus(s, d)
         .select(col("doc_id"), length(col("text")).cast("long").as("nc"))
-        .localCheckpoint() // totals + drop-side char lookup share it
+        .ckpt() // totals + drop-side char lookup share it
       val jm = jaccardPairs(s, d)
         .groupBy(col("b_id")).agg(max(col("jaccard")).as("jmax"))
         .select(col("b_id"), expr("CAST(floor(jmax * 100) AS BIGINT)").as("jc"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.PlanStash.Ckpt
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -138,19 +139,19 @@ object Pipeline {
       graft.functions.VectorFunctions.register(s)
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(expr("word_shingles(text, 3)")).as("tok"))
-        .localCheckpoint() // 8 rounds + the winner-shingle lookups share it
+        .ckpt() // 8 rounds + the winner-shingle lookups share it
       var avail = toks
       var picks = Seq.empty[DataFrame]
       for (r <- 1 to 8) {
         val win = avail.groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
           .orderBy(col("gain").desc, col("doc_id")).limit(1)
-          .localCheckpoint() // 1 row: the pick page AND the coverage update read it
+          .ckpt() // 1 row: the pick page AND the coverage update read it
         picks = picks :+ win.select(lit(r.toLong).as("sel_round"),
           col("doc_id"), col("gain"))
         val winToks = toks.join(broadcast(win.select(col("doc_id"))), "doc_id")
           .select(col("tok"))
         avail = avail.join(broadcast(winToks), Seq("tok"), "left_anti")
-          .localCheckpoint() // cut the per-round lineage growth
+          .ckpt() // cut the per-round lineage growth
       }
       picks.reduce(_ unionByName _)
         .withColumn("covered_cum", sum(col("gain")).over(
@@ -1233,7 +1234,7 @@ object Pipeline {
         .groupBy(col("rung"), col("config"))
         .agg(sum(col("c")).as("n_ev"), sum(col("s")).as("sv"))
         .withColumn("metric_milli", expr("(sv * 1000) DIV n_ev"))
-        .localCheckpoint() // consumed by all 4 rung selections
+        .ckpt() // consumed by all 4 rung selections
       def ranked(df: DataFrame): DataFrame =
         df.withColumn("rk", row_number().over(
           Window.orderBy(col("metric_milli").desc, col("config"))).cast("bigint"))

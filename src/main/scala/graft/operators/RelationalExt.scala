@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.PlanStash.Ckpt
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -637,7 +638,7 @@ object RelationalExt {
       val days = Tables.events(s, d)
         .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint() // pair join + tie census + n share one build
+        .ckpt() // pair join + tie census + n share one build
       val pairs = days.as("a").join(days.as("b"),
           expr("a.event_type = b.event_type AND a.day < b.day"))
         .groupBy(expr("a.event_type").as("event_type"))
@@ -706,7 +707,7 @@ object RelationalExt {
       val spans = Tables.events(s, d)
         .groupBy(col("user_id"), col("event_type"))
         .agg(min(expr("unix_micros(ts)")).as("lo"), max(expr("unix_micros(ts)")).as("hi"))
-        .localCheckpoint()
+        .ckpt()
       val users = spans.select(col("user_id")).distinct().agg(count(lit(1)).as("n_users"))
       val hasA = spans.groupBy(col("event_type")).agg(count(lit(1)).as("n_a"))
       val follows = spans.as("x").join(spans.as("y"),
@@ -1940,7 +1941,7 @@ object RelationalExt {
         .select(expr("size(split(text, ' '))").cast("long").as("len"))
         .groupBy(col("len"))
         .agg(count(lit(1)).as("c"), sum(col("len")).as("wsum"))
-        .localCheckpoint() // totals + rank cut share it
+        .ckpt() // totals + rank cut share it
       val tot = census.agg(sum(col("wsum")).as("w"), sum(col("c")).as("n"))
       val below = Window.orderBy(col("len")).rowsBetween(Window.unboundedPreceding, -1)
       val cum = census.withColumn("bw", coalesce(sum(col("wsum")).over(below), lit(0L)))
@@ -1994,9 +1995,9 @@ object RelationalExt {
         .withColumn("dst", lead(col("src"), 1).over(wl))
         .filter(col("dst").isNotNull)
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
-        .localCheckpoint() // 6 value-iteration rounds read it
+        .ckpt() // 6 value-iteration rounds read it
       val outN = trans.groupBy(col("src")).agg(sum(col("n")).as("n_out"))
-        .localCheckpoint() // state-grain; every round joins it
+        .ckpt() // state-grain; every round joins it
       var e = outN.select(col("src").as("st"), lit(0L).as("e_micro"))
       for (_ <- 1 to 6) {
         val step = trans.join(e.select(col("st").as("dst"), col("e_micro")), "dst")
@@ -2006,7 +2007,7 @@ object RelationalExt {
             expr("""CASE WHEN src = 'purchase' THEN CAST(0 AS BIGINT)
                    | ELSE 1000000 + (coalesce(se, CAST(0 AS BIGINT)) DIV n_out)
                    | END""".stripMargin).as("e_micro"))
-          .localCheckpoint() // state-grain frame per round
+          .ckpt() // state-grain frame per round
       }
       outN.join(e.select(col("st").as("src"), col("e_micro").as("e_steps_micro")), "src")
         .select(col("src"), col("n_out"), col("e_steps_micro"))

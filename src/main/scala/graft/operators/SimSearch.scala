@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.PlanStash.Ckpt
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -170,7 +171,7 @@ object SimSearch {
         .select(col("vec_id"), expr(Learn.QuantTok).as("nv"))
         .crossJoin(broadcast(qv))
         .select(col("vec_id"), expr(d2).as("d2q"))
-        .localCheckpoint() // every hop's trim and the true-NN page read it
+        .ckpt() // every hop's trim and the true-NN page read it
       // 8-NN graph (node 0 excluded AFTER ranking — its neighbors keep
       // their true rank order, just lose the query itself as a hop target)
       val adj = Learn.exactKnnL2(s, d, Ef)
@@ -179,7 +180,7 @@ object SimSearch {
       def best(beam: DataFrame): DataFrame =
         beam.agg(min(struct(col("d2q"), col("vec_id"))).as("m"))
           .select(col("m.vec_id").as("vec_id"), col("m.d2q").as("d2q"))
-      var beam = dq.orderBy(col("vec_id")).limit(1).localCheckpoint()
+      var beam = dq.orderBy(col("vec_id")).limit(1).ckpt()
       var trace = Seq(best(beam)
         .select(lit(0L).as("hop"), col("vec_id"), col("d2q"), lit(0L).as("moved")))
       for (h <- 1 to H) {
@@ -188,7 +189,7 @@ object SimSearch {
           .unionByName(beam.select(col("vec_id"))).distinct()
         val nxt = nbrs.join(dq, "vec_id")
           .orderBy(col("d2q"), col("vec_id")).limit(Ef)
-          .localCheckpoint() // read by the trace page AND the next hop
+          .ckpt() // read by the trace page AND the next hop
         trace = trace :+ best(nxt)
           .crossJoin(broadcast(best(beam).select(col("vec_id").as("prev"))))
           .select(lit(h.toLong).as("hop"), col("vec_id"), col("d2q"),
@@ -243,7 +244,7 @@ object SimSearch {
           expr(hnswLevelSpark).as("lvl"))
         .crossJoin(broadcast(qv))
         .select(col("vec_id"), col("lvl"), expr(d2).as("d2q"))
-        .localCheckpoint() // read by every step's candidate join + the true-NN page
+        .ckpt() // read by every step's candidate join + the true-NN page
       // layer 0 = the full corpus 8-NN (shared memo with q_graph_ann);
       // upper layers = exact 4-NN among the level-ℓ members, query node
       // excluded from membership (it is the target, never a waypoint)
@@ -262,7 +263,10 @@ object SimSearch {
       val entry = e2.crossJoin(broadcast(e1)).crossJoin(broadcast(e0))
         .select(coalesce(col("e2"), col("e1"), col("e0")).as("vec_id"))
       var cur = entry.join(dq.select(col("vec_id"), col("d2q")), "vec_id")
-        .localCheckpoint()
+        .limit(1) // semantically a no-op (vec_id unique) — makes the
+                  // 1-row bound PROVABLE in-plan for the keyless-join
+                  // sweep (the r12 broadcast-side recipe)
+        .ckpt()
       var step = 0L
       def traceRow(frame: DataFrame, layer: Int, hop: Int, prev: DataFrame) = {
         val r = frame
@@ -282,7 +286,7 @@ object SimSearch {
           .unionByName(cur.select(col("vec_id"))).distinct()
           .join(dq.select(col("vec_id"), col("d2q")), "vec_id")
         val nxt = cand.orderBy(col("d2q"), col("vec_id")).limit(1)
-          .localCheckpoint() // read by the trace row AND the next step
+          .ckpt() // read by the trace row AND the next step
         trace = trace :+ traceRow(nxt, l, h, cur)
         cur = nxt
       }
@@ -294,7 +298,7 @@ object SimSearch {
           .unionByName(beam.select(col("vec_id"))).distinct()
           .join(dq.select(col("vec_id"), col("d2q")), "vec_id")
         val nxt = cand.orderBy(col("d2q"), col("vec_id")).limit(Ef)
-          .localCheckpoint()
+          .ckpt()
         val best = nxt.agg(min(struct(col("d2q"), col("vec_id"))).as("m"))
           .select(col("m.vec_id").as("vec_id"), col("m.d2q").as("d2q"))
         val prevBest = beam.agg(min(struct(col("d2q"), col("vec_id"))).as("m"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.PlanStash.Ckpt
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -69,7 +70,7 @@ object Stats {
         .select(col("l_returnflag").as("flag"),
           expr("CAST(l_quantity AS BIGINT)").as("q"),
           expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("pc"))
-        .localCheckpoint() // rank builds + row joins share one scan
+        .ckpt() // rank builds + row joins share one scan
       def rankTab(c: String): DataFrame = {
         val per = rows.groupBy(col("flag"), col(c)).agg(count(lit(1)).as("cnt"))
         val below = Window.partitionBy(col("flag")).orderBy(col(c))
@@ -99,7 +100,7 @@ object Stats {
         .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
         .agg(sum(expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")).as("x"),
           sum(expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END")).as("y"))
-        .localCheckpoint() // pair join reads both sides + the n census
+        .ckpt() // pair join reads both sides + the n census
       val pairs = days.as("a").join(days.as("b"), expr("a.day < b.day"))
         .agg(
           sum(expr("CAST(sign(b.x - a.x) AS BIGINT) * CAST(sign(b.y - a.y) AS BIGINT)")).as("s"),
@@ -129,7 +130,7 @@ object Stats {
       val cells = Tables.events(s, d)
         .groupBy(col("event_type"), expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint() // value census + arm rank-sums share it
+        .ckpt() // value census + arm rank-sums share it
       val byv = cells.groupBy(col("vm")).agg(sum(col("c")).as("t"))
       val below = Window.orderBy(col("vm")).rowsBetween(Window.unboundedPreceding, -1)
       val ranked = byv
@@ -192,7 +193,7 @@ object Stats {
       val days = Tables.events(s, d)
         .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint() // value census + day walk share it
+        .ckpt() // value census + day walk share it
       val byv = days.groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("t"))
       val wv = Window.partitionBy(col("event_type")).orderBy(col("c"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -289,7 +290,7 @@ object Stats {
         .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
         .agg(sum(expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")).as("x"),
           sum(expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END")).as("y"))
-        .localCheckpoint() // both sides of every lag join share it
+        .ckpt() // both sides of every lag join share it
       val lagged = days
         .withColumn("lag", explode(expr("sequence(0L, 7L)")))
         .select(col("lag"), col("day"), col("x"))
@@ -385,7 +386,7 @@ object Stats {
           expr("unix_micros(ts) DIV 86400000000").as("day"),
           expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc"))
         .groupBy(col("event_type"), col("day")).agg(sum(col("vc")).as("s"))
-        .localCheckpoint()
+        .ckpt()
       def round1(df: DataFrame, idx: Int): (DataFrame, DataFrame) = {
         val st = df.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("s")).as("ss"), sum(expr("s * s")).as("ssq"))
@@ -612,7 +613,7 @@ object Stats {
         .filter(col("vm") >= 1)
         .orderBy(col("vm").desc)
         .limit(201)
-        .localCheckpoint() // threshold + log-sum share the heap result
+        .ckpt() // threshold + log-sum share the heap result
       val thr = top.agg(min(col("vm")).as("thr"))
       top.crossJoin(broadcast(thr))
         .select(col("thr"), expr(
@@ -775,7 +776,7 @@ object Stats {
           row_number().over(Window.orderBy(col("z2").desc, col("event_type"))).cast("long"))
         .withColumn("thr", expr(
           "element_at(array(6.634897D, 5.411894D, 4.709292D, 4.217885D, 3.841459D), CAST(k AS INT))"))
-        .localCheckpoint() // arm-grain; rank table + step-up census share it
+        .ckpt() // arm-grain; rank table + step-up census share it
       val km = th.agg(coalesce(max(when(col("z2") >= col("thr"), col("k"))), lit(0L)).as("k_pass"))
       th.crossJoin(broadcast(km))
         .select(col("event_type"), col("n_g"), col("k"), round(col("z2"), 6).as("z2"),
@@ -838,7 +839,7 @@ object Stats {
       val cells = Tables.events(s, d)
         .groupBy(col("event_type"), expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint() // median cut + deviation moments share the census
+        .ckpt() // median cut + deviation moments share the census
       val below = Window.partitionBy(col("event_type")).orderBy(col("vm"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val cum = cells.withColumn("below", coalesce(sum(col("c")).over(below), lit(0L)))
@@ -880,7 +881,7 @@ object Stats {
           expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
         .groupBy(col("arm"), col("vm"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint() // census feeds the arm totals and the rank cut
+        .ckpt() // census feeds the arm totals and the rank cut
       val below = Window.partitionBy(col("arm")).orderBy(col("vm"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val cum = cells.withColumn("below", coalesce(sum(col("c")).over(below), lit(0L)))
@@ -1083,7 +1084,7 @@ object Stats {
         .filter(col("prev").isNotNull)
         .select(expr("(us - prev) DIV 1000000").as("gap_s"))
       val census = gaps.groupBy(col("gap_s")).agg(count(lit(1)).as("c"))
-        .localCheckpoint() // totals + rank cut share it
+        .ckpt() // totals + rank cut share it
       val tot = census.agg(sum(col("c")).as("n"), sum(expr("gap_s * c")).as("sum_s"))
       val below = Window.orderBy(col("gap_s")).rowsBetween(Window.unboundedPreceding, -1)
       val cum = census.withColumn("below", coalesce(sum(col("c")).over(below), lit(0L)))
@@ -1112,7 +1113,7 @@ object Stats {
       val days = Tables.events(s, d)
         .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
         .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
-        .localCheckpoint() // moments + residual scan share it
+        .ckpt() // moments + residual scan share it
       val m = days.agg(count(lit(1)).as("n"), sum(col("day")).as("sx"),
         sum(col("y")).as("sy"), sum(expr("day * day")).as("sxx"),
         sum(expr("day * y")).as("sxy"), sum(expr("y * y")).as("syy"))
@@ -1245,7 +1246,7 @@ object Stats {
       val uw = Tables.events(s, d)
         .select(col("user_id"), expr("unix_micros(ts) DIV 604800000000").as("wk"))
         .distinct()
-        .localCheckpoint() // week pick + both occasions share it
+        .ckpt() // week pick + both occasions share it
       val w0 = uw.agg(min(col("wk")).as("w0"))
       val occ = uw.crossJoin(broadcast(w0))
       val a = occ.filter(col("wk") === col("w0")).select(col("user_id"))
@@ -1302,7 +1303,7 @@ object Stats {
       val counts = Tables.events(s, d)
         .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // grid fill + rank windows share it
+        .ckpt() // grid fill + rank windows share it
       val days = counts.select(col("day")).distinct()
       val types = counts.select(col("event_type")).distinct()
       val grid = days.crossJoin(broadcast(types))

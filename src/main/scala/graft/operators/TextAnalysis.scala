@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.PlanStash.Ckpt
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -91,7 +92,7 @@ object TextAnalysis {
         "flatten(transform(sequence(1, length(w)), i -> " +
           "transform(sequence(i, least(i + 3, length(w))), j -> substring(w, i, j - i + 1))))")).as("p"))
       .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
-      .localCheckpoint() // consumed by the total aggregate AND the cutoff scan
+      .ckpt() // consumed by the total aggregate AND the cutoff scan
     val total = pieceCntDf.agg(sum(col("cnt")).as("t")).collect()(0).getLong(0)
     val vocab = pieceCntDf
       .filter(expr(s"length(p) = 1 OR cnt * 2000 >= ${total}L"))
@@ -693,7 +694,7 @@ object TextAnalysis {
         // first-occurrence aggregate AND the join back, and the blocks
         // are GC-released with the RDD — a bare persist() leaked one
         // cached copy per invocation across the 251-query loop.
-        .localCheckpoint()
+        .ckpt()
       val first = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
       ex.join(first, "h")
         .groupBy(col("doc_id"))
@@ -720,7 +721,7 @@ object TextAnalysis {
       val ex = Tables.documents(s, d)
         .selectExpr("doc_id", "word_shingle_hashes(text, 3) AS hs")
         .select(col("doc_id"), explode(col("hs")).as("h"))
-        .localCheckpoint() // first-occurrence agg AND join back; GC-released (see q_ngram_novelty)
+        .ckpt() // first-occurrence agg AND join back; GC-released (see q_ngram_novelty)
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
       val first = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
       ex.join(first, "h")
@@ -1388,7 +1389,7 @@ object TextAnalysis {
         .select(col("pair_id"),
           expr("replace(array_join(rtk, ''), ' ', '')").as("rtxt"),
           expr("replace(array_join(ctk, ''), ' ', '')").as("ctxt"))
-        .localCheckpoint() // consumed by both gram arms
+        .ckpt() // consumed by both gram arms
       def grams(src: String, cnt: String): DataFrame =
         base.select(col("pair_id"), explode(expr(s"char_ngrams($src, 3)")).as("g"))
           .groupBy(col("pair_id"), col("g")).agg(count(lit(1)).as(cnt))
@@ -1529,10 +1530,10 @@ object TextAnalysis {
         .withColumn("sid", sum(col("st")).over(win))
         .filter(col("st") === 0)
         .select(col("doc_id"), col("sid"), col("pos"), col("w"))
-        .localCheckpoint() // word stats + phrase assembly share it
+        .ckpt() // word stats + phrase assembly share it
       val plen = members.groupBy(col("doc_id"), col("sid")).agg(count(lit(1)).as("plen"))
       val mem2 = members.join(plen, Seq("doc_id", "sid")).filter(col("plen") <= 4)
-        .localCheckpoint() // consumed by the word census and the phrase rollup
+        .ckpt() // consumed by the word census and the phrase rollup
       val wscore = mem2.groupBy(col("w"))
         .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
         .select(col("w"), expr("(deg * 1000000) DIV freq").as("wscore"))
@@ -1568,7 +1569,7 @@ object TextAnalysis {
              |  * 100 + 0.5) AS BIGINT) AS qc""".stripMargin)
         .groupBy(col("qc"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
-        .localCheckpoint() // totals + cumulative sweep share the census
+        .ckpt() // totals + cumulative sweep share the census
       val tot = cells.agg(sum(col("n_toks")).as("toks_tot"))
       val wfrom = Window.orderBy(col("qc").desc)
         .rowsBetween(Window.unboundedPreceding, 0)

@@ -20,34 +20,25 @@ class Round12Spec extends SparkSpec {
     // partitionless Window sits above an Aggregate or a GlobalLimit —
     // i.e. the sequential part of any total-order scan runs over an
     // aggregate-grain (census / bucket / decile) or page-bounded
-    // frame, never the corpus. Exemptions are listed HERE, with the
-    // reason, or nowhere.
+    // frame, never the corpus.
     //
-    // Limitation (documented): a localCheckpoint truncates lineage, so
-    // windows BELOW a checkpoint are invisible to this sweep — those
-    // producers (globalOrderScan consumers, exactKnnL2) carry their
-    // own targeted plan audits in Round11Spec/PlanAuditSpec.
-    // Every exemption is a CENSUS-grain window whose Aggregate
-    // producer sits BELOW a localCheckpoint (the checkpoint truncates
-    // lineage, so the sweep sees Window-over-LogicalRDD and cannot
-    // prove the grain). Verified by reading each producer: the
-    // checkpointed frame is a distinct-value/config census, bounded by
-    // value cardinality, never corpus-proportional.
-    val exempt: Map[String, String] = Map(
-      "q_select_coverage" -> "covered_cum over the checkpointed 8-row greedy selection page",
-      "q_adaboost_step" -> "stump sweep over the checkpointed distinct-click-count census",
-      "q_interarrival" -> "rank-cut prefix over the checkpointed distinct-gap census",
-      "q_quality_sweep" -> "retention sweep over the checkpointed 0-100 quality-score census",
-      "q_sha_tuning" -> "rung ranking over the checkpointed 16-config metric table",
-      "q_weighted_quantile" -> "rank-cut prefix over the checkpointed distinct-length census"
-    )
+    // The round-12 blind spot is CLOSED: every main-source checkpoint
+    // goes through PlanStash.ckpt(), so (a) a Window above a
+    // checkpointed LogicalRDD resolves its grain MECHANICALLY from the
+    // stashed pre-checkpoint producer plan (grainBounded — what used
+    // to be a 6-entry hand-verified exempt map), and (b) the stashed
+    // producer plans themselves are swept below (windows BELOW a
+    // checkpoint are no longer invisible).
+    import org.apache.spark.sql.execution.LogicalRDD
+    import graft.operators.PlanStash
     def boundary(p: LogicalPlan): Boolean = p match {
       case _: Aggregate => true
       case _: GlobalLimit => true
+      case l: LogicalRDD => PlanStash.grainBounded(l)
       case _ => p.children.exists(boundary)
     }
     val failures = scala.collection.mutable.ArrayBuffer[String]()
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !exempt.contains(name)) {
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {
         val plan = fn(spark, sf).queryExecution.optimizedPlan
         val bad = plan.collect {
@@ -63,8 +54,21 @@ class Round12Spec extends SparkSpec {
     }
     assert(failures.isEmpty,
       s"\n${failures.size} quer(ies) fail the partitionless-window sweep " +
-        s"(fix the plan or add a REASONED exemption above):\n  " +
+        s"(fix the plan — checkpointed census producers resolve " +
+        s"mechanically via PlanStash):\n  " +
         failures.mkString("\n  "))
+    // (b) the pre-checkpoint plans themselves: every producer that ran
+    // while the 440 plans above were built (checkpoints are eager) has
+    // stashed its optimized plan — sweep them for the same defect.
+    val hidden = PlanStash.all.flatMap { p =>
+      p.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !boundary(w.child) => w
+      }
+    }
+    assert(hidden.isEmpty,
+      s"${hidden.size} partitionless base-grain Window(s) hide below " +
+        s"checkpoints (stashed producer plans):\n" +
+        hidden.take(3).map(_.toString.take(400)).mkString("\n"))
   }
 
   test("plan sweep: no registered query joins two unbounded frames without equi keys") {
@@ -107,7 +111,11 @@ class Round12Spec extends SparkSpec {
       case _: Aggregate => true
       case _: GlobalLimit => true
       case _: LocalRelation => true
-      case _: LogicalRDD => true // checkpoint boundary: opaque, audited at the producer
+      case l: LogicalRDD => // checkpoint boundary: resolve the stashed
+        // producer's grain mechanically; a producer this process never
+        // executed stays opaque-permissive (the window sweep's stashed
+        // pass audits every executed producer)
+        graft.operators.PlanStash.producerOf(l).map(bounded).getOrElse(true)
       case r: LRange => r.numElements <= 4096 // literal fan-out (bootstrap replicas, hyperplanes)
       case j: Join => bounded(j.left) && bounded(j.right)
       case u: Union => u.children.forall(bounded)
