@@ -95,6 +95,20 @@ class Round13Spec extends SparkSpec {
       s"descent start did not beat the fixed entry: $hnswHops vs $flatHops layer-0 hops")
   }
 
+  test("q_hnsw_batch: verdicts are internally consistent and recall@1 >= 3/4") {
+    val rows = SparkEntry.queries("q_hnsw_batch")(spark, sf).collect()
+    assert(rows.nonEmpty, "empty query page")
+    rows.foreach { r =>
+      val found = r.getAs[Long]("found_d2"); val tru = r.getAs[Long]("true_nn_d2")
+      assert(found >= tru, s"found a closer-than-true NN?! $r")
+      assert((r.getAs[Long]("reached") == 1L) == (found == tru), s"flag drift: $r")
+    }
+    val recall = rows.count(_.getAs[Long]("reached") == 1L)
+    assert(recall * 4 >= rows.length * 3,
+      s"batch recall@1 $recall/${rows.length} below the 3/4 floor " +
+        "(measured 15/16 at the ef=16 symmetric-link operating point)")
+  }
+
   test("trained classifier ranks en above non-en better than the untrained stand-in") {
     def auc(name: String): Double =
       SparkEntry.queries(name)(spark, sf).head.getAs[Double]("auc")
