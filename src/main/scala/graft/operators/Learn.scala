@@ -578,6 +578,36 @@ object Learn {
       aucOf(scored)
     }),
 
+    // PRECISION-RECALL curve of the TRAINED classifier — the
+    // threshold-sweep page next to q_classifier_auc's scalar (PR is
+    // the view that matters under class imbalance, where ROC
+    // flatters): one point per DISTINCT score, descending — exactly
+    // the operating points a threshold choice can realize. Exact
+    // integers: the corpus collapses to the per-score census first,
+    // cumulative tp/fp are prefix sums over that bounded table (the
+    // q_auc posture — the only ordered window runs over distinct
+    // scores, never documents), precision/recall in truncating micro.
+    "q_classifier_pr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val fin = trainedClassifier(s, d).last
+      val scored = Tables.documents(s, d)
+        .withColumn("sc", expr(clsZExpr(fin.w, fin.b)))
+        .select(col("sc"), when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val per = scored.groupBy(col("sc"))
+        .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
+      val w = Window.orderBy(col("sc").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = scored.agg(sum(col("pos")).as("p_all"))
+      per
+        .withColumn("tp", sum(col("npos")).over(w))
+        .withColumn("fp", sum(expr("cnt - npos")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("sc"), col("tp"), col("fp"),
+          expr("(tp * 1000000) DIV (tp + fp)").as("precision_micro"),
+          expr("(tp * 1000000) DIV p_all").as("recall_micro"))
+        .orderBy(col("sc").desc)
+    }),
+
     // AUC of the TRAINED classifier — closes the train → apply →
     // evaluate loop entirely on-engine: the q_auc midrank machinery
     // over [[trainedClassifier]]'s scores; the oracle replays the full
@@ -3394,6 +3424,25 @@ object Learn {
       s"""WITH $clsTrainCtes,
          |scored AS (SELECT z AS sc, y AS pos FROM zf),
          |$aucTailSql""".stripMargin,
+
+    "q_classifier_pr" ->
+      s"""WITH $clsTrainCtes,
+         |scored AS (SELECT z AS sc, y AS pos FROM zf),
+         |per AS (
+         |  SELECT sc, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(pos) AS BIGINT) AS npos
+         |  FROM scored GROUP BY sc),
+         |cum AS (
+         |  SELECT sc,
+         |    CAST(SUM(npos) OVER (ORDER BY sc DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         |    CAST(SUM(cnt - npos) OVER (ORDER BY sc DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+         |  FROM per),
+         |tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p_all FROM scored)
+         |SELECT sc, tp, fp,
+         |  (tp * 1000000) // (tp + fp) AS precision_micro,
+         |  (tp * 1000000) // p_all AS recall_micro
+         |FROM cum, tot ORDER BY sc DESC""".stripMargin,
 
     "q_auc_subgroup" ->
       s"""WITH scored AS (
