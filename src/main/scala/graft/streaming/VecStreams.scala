@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming embedding-grain admission — q_dedup_embed_inc's online
+  * twin, completing the ingest-guard pair: [[DocStreams]] blocks
+  * near-duplicate TEXT at the MinHash grain, this blocks near-duplicate
+  * VECTORS at the cosine grain, so a live embedding feed (a crawl's
+  * encoder output, a re-upload stream) never lands a ≥0.95-cosine copy
+  * of something the corpus already holds.
+  *
+  * Same lossless cone-probe contract as the batch op: the EXISTING
+  * corpus is assigned once to its home cells under the trained
+  * codebook (the static index — at 100 TB it is persisted
+  * cell-partitioned and never rebuilt per trigger); each incoming
+  * vector probes every cell within angle(u, home(u)) + 2·θmax, which
+  * covers home(v) for every v with angle(u, v) ≤ θmax, so the
+  * stream-static equi-join sees every qualifying (new, old) pair.
+  *
+  * Streaming shape: the probe fan-out is a STATELESS projection
+  * (map-only — the codebook rides as a literal), the candidate match
+  * is a stream-static LEFT OUTER join (unmatched vectors must still
+  * get a verdict row), and the only stateful op is the per-(vec, ts)
+  * verdict aggregation, expired by the watermark — state is one row
+  * per in-flight vector, never corpus-proportional, and the corpus
+  * side of the join is the STATIC build side exactly like the
+  * reference's sink-id anti-join (main.py:95-104).
+  */
+object VecStreams {
+
+  /** Per-vector admission verdicts for a stream of (vec_id, ts, label,
+    * embedding) rows against a static corpus index, emitted once the
+    * watermark passes each vector's event time: (new_id, ts, dup_of,
+    * n_matches, best_cos, admit). `cents` is the trained IVF codebook
+    * (Learn.coarseCentroids — train once at index build, serve many
+    * triggers). */
+  def vectorAdmission(vecs: DataFrame, corpus: DataFrame,
+      cents: Seq[(Int, Array[Long])], watermark: String = "1 hour",
+      minCos: Double = 0.95): DataFrame = {
+    graft.functions.VectorFunctions.register(vecs.sparkSession)
+    val centsCol = typedLit(cents.map(_._2.map(_.toDouble).toSeq))
+    val twoTheta = 2 * math.acos(minCos)
+    val clamp = (x: String) => s"acos(greatest(-1.0D, least(1.0D, $x)))"
+    def assigned(df: DataFrame, emb: Column): DataFrame = df
+      .withColumn("__e", emb)
+      .withColumn("cosc", call_function("cosine_all", col("__e"), centsCol))
+    val index = assigned(
+        corpus.select(col("vec_id").as("old_id"), col("label")
+          .as("olabel"), col("embedding")),
+        expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("cell", expr("cast(array_position(cosc, array_max(cosc)) as int) - 1"))
+      .select(col("cell"), col("olabel"), col("old_id"), col("__e").as("eo"))
+    val probe = assigned(
+        vecs.select(col("vec_id").as("new_id"), col("ts"), col("label"),
+            col("embedding"))
+          .withWatermark("ts", watermark),
+        expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("probe_limit", expr(s"${clamp("array_max(cosc)")} + $twoTheta + 1e-5"))
+      .select(col("new_id"), col("ts"), col("label"), col("__e").as("en"),
+        col("probe_limit"), posexplode(col("cosc")).as(Seq("cell", "cosk")))
+      .filter(expr(s"${clamp("cosk")} <= probe_limit"))
+      .drop("cosk", "probe_limit")
+    // LEFT OUTER keeps unmatched probe rows (their verdict is "admit");
+    // the cosine threshold must sit INSIDE the join condition — as a
+    // post-filter it would also drop the null rows the verdict needs
+    val joined = probe.join(index,
+      probe("cell") === index("cell") && col("label") === col("olabel")
+        && expr(s"cosine_sim(en, eo) >= ${minCos}D"), "left_outer")
+      .withColumn("cos_sim", expr("round(cosine_sim(en, eo), 4)"))
+    joined
+      .groupBy(col("new_id"), col("ts"))
+      .agg(min(col("old_id")).as("dup_of"),
+        count(col("old_id")).as("n_matches"),
+        max(col("cos_sim")).as("best_cos"))
+      .select(col("new_id"), col("ts"), col("dup_of"), col("n_matches"),
+        col("best_cos"), col("dup_of").isNull.as("admit"))
+  }
+}

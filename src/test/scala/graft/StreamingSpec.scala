@@ -11,6 +11,9 @@ import graft.streaming.EventStreams.Event
   * driven through MemoryStream micro-batches like the reference's
   * page-loop replay.
   */
+case class VecRow(vec_id: Long, ts: Timestamp, label: Int,
+  embedding: Seq[Float])
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -49,6 +52,49 @@ class StreamingSpec extends SparkSpec {
       val rows = spark.table("hourly_out")
         .select($"ws".cast("string"), $"n").as[(String, Long)].collect().toMap
       assert(rows("2024-01-01 10:00:00") === 2L) // late row 4 NOT counted
+    } finally q.stop()
+  }
+
+  test("vector admission: the stream blocks planted cosine copies against the static corpus index") {
+    // q_dedup_embed_inc's online twin: planted +0.01/dim copies of
+    // corpus vectors must be BLOCKED (a verified >= 0.95-cosine match
+    // in the static index), a negated vector must be ADMITTED, and a
+    // verdict row exists for every in-flight vector once the watermark
+    // passes its event time.
+    val corpus = Tables.embeddings(spark, sf)
+    val cents = graft.operators.Learn.coarseCentroids(spark, sf)
+    val src = corpus.filter($"vec_id".isin(5L, 10L, 15L, 7L))
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getAs[scala.collection.Seq[Float]](2).toSeq)))
+      .toMap
+    def copyOf(id: Long, newId: Long): VecRow = {
+      val (lab, e) = src(id); VecRow(newId, ts(0), lab, e.map(_ + 0.01f))
+    }
+    val novel = { val (lab, e) = src(7L); VecRow(9001L, ts(0), lab, e.map(x => -x)) }
+    val input = MemoryStream[VecRow](spark)
+    val q = graft.streaming.VecStreams
+      .vectorAdmission(input.toDF(), corpus, cents, "1 hour")
+      .writeStream.format("memory").queryName("vecadm_out")
+      .outputMode("append").start()
+    try {
+      input.addData(copyOf(5L, 1005L), copyOf(10L, 1010L), copyOf(15L, 1015L), novel)
+      q.processAllAvailable()
+      // a far-future row advances the watermark past the batch, so its
+      // verdicts EMIT (append mode); the pusher itself stays in flight
+      input.addData(VecRow(9999L, ts(180), src(7L)._1, src(7L)._2))
+      q.processAllAvailable()
+      val got = spark.table("vecadm_out")
+        .select($"new_id", $"n_matches", $"admit").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(Set(1005L, 1010L, 1015L, 9001L).subsetOf(got.keySet),
+        s"missing verdicts: $got")
+      Seq(1005L, 1010L, 1015L).foreach { id =>
+        assert(!got(id)._2 && got(id)._1 >= 1L,
+          s"planted copy $id not blocked: ${got(id)}")
+      }
+      assert(got(9001L)._2 && got(9001L)._1 == 0L,
+        s"novel vector not admitted: ${got(9001L)}")
     } finally q.stop()
   }
 
