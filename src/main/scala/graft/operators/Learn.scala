@@ -403,6 +403,23 @@ object Learn {
       .filter(col("a_id") < col("b_id"))
   }
 
+  /** The STAND-IN-weight score frame (doc_id, lang, score_milli, …)
+    * that the score-machinery evaluation bank (q_auc, q_roc_points,
+    * q_lift, q_calibration, q_mcc, …) ranks — those operators evaluate
+    * ranking/calibration ARITHMETIC against a fixed deterministic
+    * scorer, independent of the trained classifier's trajectory.
+    * Exposed for the specs that brute-force replay those rankings
+    * driver-side (the trained scorer serves q_classifier_score/auc/pr,
+    * whose oracles replay training instead). */
+  private[graft] def standInScored(s: SparkSession, d: String): DataFrame = {
+    val warr = weights.mkString("array(", "L,", "L)")
+    Tables.documents(s, d)
+      .withColumn("score_milli", expr(
+        s"aggregate(split(text, ' '), 0L, (acc, t) -> " +
+          s"acc + element_at($warr, CAST($sparkBucket AS INT) + 1))"))
+      .select(col("doc_id"), col("lang"), col("score_milli"))
+  }
+
   /** Mann-Whitney AUC with exact midrank tie handling over a
     * (sc, pos) frame — the q_auc machinery, shared with the trained
     * classifier's self-evaluation (see q_auc's scaladoc above the

@@ -319,23 +319,24 @@ class GraphLearnSpec extends SparkSpec {
     assert(scores.values.max > median, "no doc beats the median — degenerate scores")
   }
 
-  test("q_classifier_score: scores match an independent driver-side computation") {
+  test("q_classifier_score: TRAINED scores match an independent driver-side fold") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(20).collect()
     val got = Learn.queries("q_classifier_score")(spark, sf)
-      .select(col("doc_id"), col("score_milli"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select(col("doc_id"), col("score_micro"), col("keep"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val fin = Learn.trainedClassifier(spark, sf).last
     val md = java.security.MessageDigest.getInstance("MD5")
     def bucket(t: String): Int = {
       val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
       Integer.parseInt(hex.substring(0, 2), 16)
     }
     docs.foreach { r =>
-      val expected = r.getString(1).split(" ", -1).map { t =>
-        val b = bucket(t).toLong
-        ((b * 2654435761L) % 1000003L) % 2001L - 1000L
-      }.sum
-      assert(got(r.getLong(0)) == expected, s"doc ${r.getLong(0)}")
+      val zE12 = fin.b + r.getString(1).split(" ", -1).map(t => fin.w(bucket(t))).sum
+      val scoreMicro = zE12 / 1000000L // Long / truncates toward zero = DIV
+      val (gotScore, gotKeep) = got(r.getLong(0))
+      assert(gotScore == scoreMicro, s"doc ${r.getLong(0)}: $gotScore vs $scoreMicro")
+      assert(gotKeep == (zE12 > 0L), s"doc ${r.getLong(0)} keep flag")
     }
   }
 
@@ -433,7 +434,7 @@ class GraphLearnSpec extends SparkSpec {
   test("q_auc: rank-sum AUC equals brute-force pair counting (ties at half weight)") {
     val row = Learn.queries("q_auc")(spark, sf).collect().head
     val (nPos, nNeg, aucNum) = (row.getLong(0), row.getLong(1), row.getLong(2))
-    val scored = Learn.queries("q_classifier_score")(spark, sf)
+    val scored = Learn.standInScored(spark, sf)
       .select(col("score_milli"), col("lang")).collect()
       .map(r => (r.getLong(0), r.getString(1) == "en"))
     val pos = scored.filter(_._2).map(_._1)
@@ -871,7 +872,7 @@ class GraphLearnSpec extends SparkSpec {
     val out = Learn.queries("q_auc_subgroup")(spark, sf).collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
-    val scored = Learn.queries("q_classifier_score")(spark, sf)
+    val scored = Learn.standInScored(spark, sf)
       .select(col("doc_id"), col("lang"), col("score_milli")).collect()
       .map(r => (r.getLong(0), r.getString(1) == "en", r.getLong(2)))
     val srcOf = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
@@ -977,8 +978,9 @@ class GraphLearnSpec extends SparkSpec {
     * classifier scoring pass — the shared fixture for the threshold
     * eval specs below. */
   private def predPos: Seq[(Boolean, Boolean)] =
-    Learn.queries("q_classifier_score")(spark, sf).collect()
-      .map(r => r.getAs[Boolean]("keep") -> (r.getAs[String]("lang") == "en")).toSeq
+    Learn.standInScored(spark, sf).collect()
+      .map(r => (r.getAs[Long]("score_milli") > 0L) ->
+        (r.getAs[String]("lang") == "en")).toSeq
 
   test("q_mcc: confusion, F1 and MCC replay from the scored rows") {
     val r = Learn.queries("q_mcc")(spark, sf).collect().head
@@ -998,7 +1000,7 @@ class GraphLearnSpec extends SparkSpec {
   test("q_log_loss: quantized softplus sums replay from scores") {
     val got = Learn.queries("q_log_loss")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val scored = Learn.queries("q_classifier_score")(spark, sf)
+    val scored = Learn.standInScored(spark, sf)
       .join(Tables.documents(spark, sf).select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("source"), col("score_milli"), (col("lang") === "en").as("pos"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
@@ -1015,7 +1017,7 @@ class GraphLearnSpec extends SparkSpec {
 
   test("q_conformal: order-statistic threshold and coverage replay") {
     val r = Learn.queries("q_conformal")(spark, sf).collect().head
-    val nc = Learn.queries("q_classifier_score")(spark, sf)
+    val nc = Learn.standInScored(spark, sf)
       .select(col("doc_id"), col("score_milli"), (col("lang") === "en").as("pos"))
       .collect().map(q => (q.getLong(0), if (q.getBoolean(2)) -q.getLong(1) else q.getLong(1)))
     val cal = nc.filter(_._1 % 2 == 0).map(_._2).sorted
@@ -1032,7 +1034,7 @@ class GraphLearnSpec extends SparkSpec {
 
   test("q_avg_precision: AP replays from the explicitly sorted ranking") {
     val r = Learn.queries("q_avg_precision")(spark, sf).collect().head
-    val ranked = Learn.queries("q_classifier_score")(spark, sf)
+    val ranked = Learn.standInScored(spark, sf)
       .select(col("doc_id"), col("score_milli"), (col("lang") === "en").as("pos"))
       .collect().map(q => (q.getLong(0), q.getLong(1), q.getBoolean(2)))
       .sortBy(t => (-t._2, t._1))
@@ -1102,7 +1104,7 @@ class GraphLearnSpec extends SparkSpec {
 
   test("q_logreg_gd matches an independent Scala replay of the snapped GD trajectory") {
     val r = Learn.queries("q_logreg_gd")(spark, sf).collect().head
-    val rows = Learn.queries("q_classifier_score")(spark, sf)
+    val rows = Learn.standInScored(spark, sf)
       .select(expr("greatest(least(score_milli, 127999L), -128000L)").as("x"),
         when(col("lang") === "en", 1L).otherwise(0L).as("y"))
       .collect().map(rr => (rr.getLong(0), rr.getLong(1)))
