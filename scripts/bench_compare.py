@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Mechanical same-set bench comparison — the ratchet ledger generator.
+
+The round-close rule (BASELINE.md): a new round's total over the SAME
+passing query set must stay <= 1.3x the pinned total, and every
+per-query regression > 1.5x needs a plan-audit note.  Round 12's
+VERDICT found the mover note hand-maintained and incomplete (two of
+four >1.5x movers missing), so this script computes the ledger
+mechanically: run it at every close and paste its output into the
+BASELINE.md row.
+
+Usage:
+  python3 scripts/bench_compare.py OLD_bench.json NEW_bench.json \
+      [--mover-ratio 1.5] [--min-abs 0.05]
+
+Prints: shared-set totals and ratio, every >mover-ratio regression and
+every <1/mover-ratio improvement (with absolute deltas), queries added
+and removed, and the memoized flags that make a per-query number a
+cache-hit minimum.  Movers below --min-abs seconds absolute change are
+listed but tagged "noise-scale".  Exit 1 if the shared-set ratio
+breaks the 1.3x rule.
+"""
+import json
+import sys
+
+
+def load(path):
+    """Accepts both bench shapes: the in-tree pin (queries ->
+    {passes, min, memoized}) and the Bench stdout line (queries ->
+    plain min-seconds floats)."""
+    with open(path) as f:
+        d = json.load(f)
+    raw = d.get("queries", {})
+    q, memo = {}, set()
+    for k, v in raw.items():
+        if isinstance(v, dict):
+            q[k] = v.get("min", -1.0)
+            if v.get("memoized"):
+                memo.add(k)
+        else:
+            q[k] = v
+    return q, memo, d
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(a.split("=", 1) if "=" in a else (a, "") for a in sys.argv[1:] if a.startswith("--"))
+    mover = float(opts.get("--mover-ratio", "1.5"))
+    min_abs = float(opts.get("--min-abs", "0.05"))
+    old_q, old_m, _ = load(args[0])
+    new_q, new_m, _ = load(args[1])
+    shared = sorted(k for k in old_q if k in new_q
+                    and old_q[k] >= 0 and new_q[k] >= 0)
+    t_old = sum(old_q[k] for k in shared)
+    t_new = sum(new_q[k] for k in shared)
+    ratio = t_new / t_old if t_old else float("nan")
+    print(f"shared set: {len(shared)} queries, {t_old:.1f}s -> {t_new:.1f}s = {ratio:.3f}x")
+    movers_up, movers_down = [], []
+    for k in shared:
+        o, n = old_q[k], new_q[k]
+        if o <= 0:
+            continue
+        r = n / o
+        flags = "".join(m for m, s in (("[memo-old]", k in old_m), ("[memo-new]", k in new_m)) if s)
+        if r > mover:
+            movers_up.append((r, k, o, n, flags))
+        elif r < 1.0 / mover:
+            movers_down.append((r, k, o, n, flags))
+    if movers_up:
+        print(f"\nregressions > {mover}x (EVERY one needs a plan-audit note in BASELINE.md):")
+        for r, k, o, n, fl in sorted(movers_up, reverse=True):
+            tag = " (noise-scale)" if abs(n - o) < min_abs else ""
+            print(f"  {k}: {o:.2f}s -> {n:.2f}s = {r:.2f}x (+{n - o:.2f}s){fl}{tag}")
+    if movers_down:
+        print(f"\nimprovements < {1 / mover:.2f}x (design wins to record):")
+        for r, k, o, n, fl in sorted(movers_down):
+            tag = " (noise-scale)" if abs(n - o) < min_abs else ""
+            print(f"  {k}: {o:.2f}s -> {n:.2f}s = {r:.2f}x ({n - o:.2f}s){fl}{tag}")
+    added = sorted(k for k in new_q if k not in old_q)
+    removed = sorted(k for k in old_q if k not in new_q)
+    if added:
+        t_add = sum(new_q[k] for k in added)
+        print(f"\nadded ({len(added)}, +{t_add:.1f}s): " + ", ".join(
+            f"{k} {new_q[k]:.2f}s" for k in sorted(added, key=lambda k: -new_q[k])))
+    if removed:
+        print(f"\nremoved ({len(removed)}): " + ", ".join(removed))
+    if ratio > 1.3:
+        print(f"\nFAIL: shared-set ratio {ratio:.3f}x breaks the 1.3x rule")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
