@@ -1027,6 +1027,70 @@ object NearDup {
         .orderBy(col("new_id"))
     }),
 
+    // EMBEDDING-dedup THRESHOLD SWEEP — the tuning leg of the
+    // embedding-grain triad (q_dedup_embed finds, q_dedup_embed_inc
+    // admits, this CALIBRATES): pair mass and affected-vector mass at
+    // each candidate cosine cutoff, the page a pipeline owner reads
+    // before committing to a threshold (too loose glues the corpus,
+    // too tight misses the paraphrase tier — the same decision
+    // q_lsh_tuning serves at the MinHash grain). ONE candidate pass at
+    // the LOOSEST cutoff (0.90) bounds every tighter row: the cone
+    // probe runs once with 2·acos(0.90), exact cosine verifies once,
+    // and the sweep is a cheap explode × thresholds over the verified
+    // pair page (pair-mass grain, never corpus).
+    "q_dedup_embed_sweep" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val thresholds = Seq(900, 920, 940, 950, 960, 980)
+      // THREE planted noise tiers (cos ~0.997 / ~0.96 / ~0.93 on this
+      // corpus) so the sweep page actually separates — one tier would
+      // make every threshold row identical and the calibration moot
+      val emb = Tables.embeddings(s, d)
+        .selectExpr("vec_id", "label", "transform(embedding, x -> cast(x as double)) AS e")
+      def tier(mod: Int, rem: Int, off: Long, shift: String) =
+        Tables.embeddings(s, d).filter(col("vec_id") % mod === rem)
+          .selectExpr(s"vec_id + $off AS vec_id", "label",
+            s"transform(embedding, x -> cast(x as double) + $shift) AS e")
+      val all = emb
+        .unionByName(tier(5, 0, 1000000L, "0.01"))
+        .unionByName(tier(7, 1, 2000000L, "0.03"))
+        .unionByName(tier(9, 2, 3000000L, "0.05"))
+      val centsCol = typedLit(
+        Learn.coarseCentroids(s, d).map(_._2.map(_.toDouble).toSeq))
+      val twoTheta = 2 * math.acos(0.90)
+      val clamp = (x: String) => s"acos(greatest(-1.0D, least(1.0D, $x)))"
+      val assigned = all
+        .withColumn("cosc", call_function("cosine_all", col("e"), centsCol))
+        .withColumn("home", expr("cast(array_position(cosc, array_max(cosc)) as int) - 1"))
+        .withColumn("probe_limit", expr(s"${clamp("array_max(cosc)")} + $twoTheta + 1e-5"))
+      val index = assigned.select(col("home").as("cell"), col("vec_id").as("b_id"),
+        col("label"), col("e").as("eb"))
+      val probe = assigned
+        .select(col("vec_id").as("a_id"), col("label"), col("e").as("ea"),
+          col("probe_limit"), posexplode(col("cosc")).as(Seq("cell", "cosk")))
+        .filter(expr(s"${clamp("cosk")} <= probe_limit"))
+        .drop("cosk", "probe_limit")
+      val pairs = probe.join(index, Seq("cell", "label"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("cos_sim", expr("cosine_sim(ea, eb)"))
+        .filter(col("cos_sim") >= 0.90)
+        .select(col("a_id"), col("b_id"), col("cos_sim"))
+        .ckpt() // the sweep reads the verified page per threshold
+      val thr = thresholds.map(t => lit(t.toLong)).toArray
+      val swept = pairs
+        .select(col("a_id"), col("b_id"), col("cos_sim"),
+          explode(array(thr: _*)).as("thr_milli"))
+        .filter(expr("cos_sim >= CAST(thr_milli AS DOUBLE) / 1000.0D"))
+      val pairMass = swept.groupBy(col("thr_milli"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val vecMass = swept
+        .select(col("thr_milli"),
+          explode(array(col("a_id"), col("b_id"))).as("vid"))
+        .groupBy(col("thr_milli"))
+        .agg(countDistinct(col("vid")).as("n_dup_vecs"))
+      pairMass.join(vecMass, Seq("thr_milli"))
+        .orderBy(col("thr_milli"))
+    }),
+
     // LEAKAGE-SAFE k-fold assignment — GROUP k-fold at NEAR-DUP-CLUSTER
     // grain (the evaluation-hygiene step the dedup literature motivates:
     // Lee et al. 2022 measure test-set contamination from duplicates
@@ -1707,6 +1771,43 @@ object NearDup {
         |  dec.dup_of IS NULL AS admit
         |FROM newv n LEFT JOIN dec ON dec.new_id = n.vec_id
         |ORDER BY new_id""".stripMargin,
+
+    // All-pairs replay of the threshold sweep at the loosest cutoff,
+    // then the same explode × thresholds over the verified page.
+    "q_dedup_embed_sweep" ->
+      """WITH all_v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS e
+        |  FROM embeddings WHERE vec_id % 5 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 AS vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.03) AS e
+        |  FROM embeddings WHERE vec_id % 7 = 1
+        |  UNION ALL
+        |  SELECT vec_id + 3000000 AS vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05) AS e
+        |  FROM embeddings WHERE vec_id % 9 = 2),
+        |pairs AS MATERIALIZED (
+        |  SELECT a_id, b_id, cos_sim FROM (
+        |    SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+        |      list_dot_product(x.e, y.e)
+        |        / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS cos_sim
+        |    FROM all_v x JOIN all_v y ON x.label = y.label AND x.vec_id < y.vec_id)
+        |  WHERE cos_sim >= 0.90),
+        |thr AS (SELECT CAST(unnest([900, 920, 940, 950, 960, 980]) AS BIGINT) AS thr_milli),
+        |swept AS (
+        |  SELECT thr.thr_milli, p.a_id, p.b_id
+        |  FROM pairs p, thr
+        |  WHERE p.cos_sim >= CAST(thr.thr_milli AS DOUBLE) / 1000.0),
+        |pm AS (SELECT thr_milli, CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM swept GROUP BY 1),
+        |vm AS (SELECT thr_milli, CAST(count(DISTINCT vid) AS BIGINT) AS n_dup_vecs
+        |       FROM (SELECT thr_milli, unnest([a_id, b_id]) AS vid FROM swept)
+        |       GROUP BY 1)
+        |SELECT pm.thr_milli, pm.n_pairs, vm.n_dup_vecs
+        |FROM pm JOIN vm USING (thr_milli) ORDER BY thr_milli""".stripMargin,
 
     "q_record_linkage" ->
       """WITH clean AS (
