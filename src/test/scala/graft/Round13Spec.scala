@@ -109,6 +109,41 @@ class Round13Spec extends SparkSpec {
         "(measured 15/16 at the ef=16 symmetric-link operating point)")
   }
 
+  test("q_hnsw_insert: link pages respect levels and the layer-0 beam finds near-optimal links") {
+    val rows = SparkEntry.queries("q_hnsw_insert")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_links")
+      assert(n >= 1L && n <= 4L, s"bad link count: $r")
+    }
+    // every inserted vector links at layer 0; its layer rows are the
+    // contiguous prefix 0..level (no gaps — rows exist iff qlvl >= l)
+    rows.groupBy(_.getAs[Long]("new_id")).foreach { case (id, rs) =>
+      val layers = rs.map(_.getAs[Long]("layer")).toSet
+      assert(layers.contains(0L), s"$id missing layer-0 links")
+      assert(layers == (0L to layers.max).toSet, s"$id has a layer gap: $layers")
+    }
+    // layer-0 best link = the TRUE nearest existing neighbor for
+    // >= 3/4 of the batch (the beam-quality bar the batch search set)
+    import org.apache.spark.sql.functions._
+    val base = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0)
+    val qt = graft.operators.Learn.QuantTok
+    val ex = base.filter(col("vec_id") % 23 =!= 11)
+      .select(col("vec_id"), expr(qt).as("nv"))
+    val nu = base.filter(col("vec_id") % 23 === 11)
+      .select(col("vec_id").as("qid"), expr(qt).as("qv"))
+    val truth = nu.crossJoin(ex)
+      .select(col("qid"), expr(
+        "aggregate(zip_with(nv, qv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+        .as("d2"))
+      .groupBy(col("qid")).agg(min(col("d2")).as("true_d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val l0 = rows.filter(_.getAs[Long]("layer") == 0L)
+    val hit = l0.count(r => r.getAs[Long]("best_link_d2") == truth(r.getAs[Long]("new_id")))
+    assert(hit * 4 >= l0.length * 3,
+      s"layer-0 link quality $hit/${l0.length} below the 3/4 floor")
+  }
+
   test("trained classifier ranks en above non-en better than the untrained stand-in") {
     def auc(name: String): Double =
       SparkEntry.queries(name)(spark, sf).head.getAs[Double]("auc")
