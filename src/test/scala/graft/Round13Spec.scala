@@ -144,6 +144,41 @@ class Round13Spec extends SparkSpec {
       s"layer-0 link quality $hit/${l0.length} below the 3/4 floor")
   }
 
+  test("PlanStash: producers resolve through exprId rewrites and nested checkpoints; grain verdicts are sound") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.LogicalRDD
+    import graft.operators.PlanStash
+    import graft.operators.PlanStash.Ckpt
+    def rddsOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case l: LogicalRDD => l }
+    // census-grain producer: the stashed plan bottoms out in an Aggregate
+    val census = Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().ckpt()
+    val l0 = rddsOf(census).head
+    assert(PlanStash.producerOf(l0).isDefined, "census producer not stashed")
+    assert(PlanStash.grainBounded(l0), "Aggregate producer must be grain-bounded")
+    // self-union: DeduplicateRelations mints FRESH exprIds for the
+    // second occurrence of the same relation — the RDD-id key must
+    // resolve BOTH (an exprId key silently missed exactly this case,
+    // measured on q_adaboost_step's stump sweep)
+    val u = census.union(census)
+    val rdds = rddsOf(u)
+    assert(rdds.length == 2, s"expected both union branches, got ${rdds.length}")
+    assert(rdds.forall(PlanStash.grainBounded),
+      "the exprId-rewritten branch lost its producer")
+    // nested checkpoint: a checkpointed projection of the checkpointed
+    // census resolves RECURSIVELY to the Aggregate
+    val nested = census.select(col("lang")).ckpt()
+    assert(PlanStash.grainBounded(rddsOf(nested).head),
+      "nested checkpoint must resolve through the registry")
+    // a DATA-grain checkpoint is stashed but NOT grain-bounded — the
+    // sweep must never bless corpus-grain frames
+    val raw = Tables.documents(spark, sf).select(col("doc_id")).ckpt()
+    val lr = rddsOf(raw).head
+    assert(PlanStash.producerOf(lr).isDefined, "raw producer not stashed")
+    assert(!PlanStash.grainBounded(lr), "a corpus-grain scan must NOT be grain-bounded")
+  }
+
   test("trained classifier ranks en above non-en better than the untrained stand-in") {
     def auc(name: String): Double =
       SparkEntry.queries(name)(spark, sf).head.getAs[Double]("auc")
