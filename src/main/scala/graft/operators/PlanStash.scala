@@ -3,7 +3,8 @@ package graft.operators
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan}
 import org.apache.spark.sql.execution.LogicalRDD
 
 /** Pre-checkpoint plan registry — closes the plan sweeps' one blind
@@ -14,22 +15,31 @@ import org.apache.spark.sql.execution.LogicalRDD
   *
   * Every checkpoint in main source now goes through [[Ckpt.ckpt]],
   * which stashes the producer's OPTIMIZED plan keyed by the
-  * checkpointed frame's output expression ids (a LogicalRDD keeps its
-  * child's output attributes verbatim, so a consumer plan's
-  * LogicalRDD node links back to its producer's stashed plan by id).
-  * The sweeps then (a) run their asserts over every stashed
-  * pre-checkpoint plan directly, and (b) resolve a LogicalRDD's grain
-  * MECHANICALLY — [[grainBounded]] — instead of via an exempt map:
-  * a partitionless window above a checkpoint is legal iff the stashed
-  * producer plan bottoms out in an Aggregate / GlobalLimit (census /
-  * page grain), recursively through further checkpoints.
+  * checkpointed RDD's id. The sweeps then (a) run their asserts over
+  * every stashed pre-checkpoint plan directly, and (b) resolve a
+  * LogicalRDD's grain MECHANICALLY — [[grainBounded]] — instead of via
+  * an exempt map: a partitionless window above a checkpoint is legal
+  * iff the stashed producer plan bottoms out in an Aggregate /
+  * GlobalLimit (census / page grain), recursively through further
+  * checkpoints.
   *
-  * Memory: one optimized-plan tree per executed checkpoint (plans are
-  * small object graphs; a full Verify run stashes a few hundred).
-  * Process-wide, like the CachedRelation memos, so producers that
-  * ran in an earlier suite still resolve.
+  * Memory discipline: stashed plans are SANITIZED — every LogicalRDD
+  * descendant is replaced by a [[CheckpointLeaf]] stub carrying only
+  * the RDD id and output schema. A raw optimized plan holds a
+  * reference to the checkpointed RDD object, and retaining those
+  * process-wide would pin every localCheckpoint's blocks against
+  * ContextCleaner GC for the JVM lifetime — across a 448-query bench
+  * that is gigabytes of dead block residency. The stub keeps the
+  * registry a pure metadata structure (node trees + attributes) while
+  * nested resolution still works: the stub's rddId looks the nested
+  * producer up in the same registry.
   */
 object PlanStash {
+
+  /** Stand-in leaf for a checkpointed child inside a STASHED plan —
+    * carries the registry key (rddId) and the schema, never the RDD. */
+  case class CheckpointLeaf(rddId: Int, output: Seq[Attribute]) extends LeafNode
+
   // keyed by the checkpointed RDD's id, NOT the output exprIds: a
   // self-union/self-join of a checkpointed frame makes Catalyst's
   // DeduplicateRelations mint fresh attribute ids for the second
@@ -37,12 +47,17 @@ object PlanStash {
   // silently fail to resolve exactly those plans
   private val byRdd = new ConcurrentHashMap[Int, LogicalPlan]()
 
-  /** Stash `ds`'s pre-checkpoint optimized plan, then checkpoint. */
+  private def sanitize(p: LogicalPlan): LogicalPlan = p.transform {
+    case l: LogicalRDD => CheckpointLeaf(l.rdd.id, l.output)
+  }
+
+  /** Stash `ds`'s pre-checkpoint optimized plan (sanitized), then
+    * checkpoint. */
   def checkpoint[T](ds: Dataset[T]): Dataset[T] = {
     val pre = ds.queryExecution.optimizedPlan
     val out = ds.localCheckpoint()
     out.queryExecution.analyzed match {
-      case l: LogicalRDD => byRdd.put(l.rdd.id, pre)
+      case l: LogicalRDD => byRdd.put(l.rdd.id, sanitize(pre))
       case _ => () // not a checkpoint shape — nothing to key against
     }
     out
@@ -55,12 +70,13 @@ object PlanStash {
     def ckpt(): Dataset[T] = checkpoint(ds)
   }
 
-  /** The producer plan behind a checkpointed LogicalRDD, if this
-    * process executed it through [[checkpoint]]. */
+  /** The (sanitized) producer plan behind a checkpointed LogicalRDD,
+    * if this process executed it through [[checkpoint]]. */
   def producerOf(l: LogicalRDD): Option[LogicalPlan] =
     Option(byRdd.get(l.rdd.id))
 
-  /** Every stashed pre-checkpoint plan (sweep input). */
+  /** Every stashed pre-checkpoint plan (sweep input; LogicalRDD
+    * children appear as [[CheckpointLeaf]] stubs). */
   def all: Seq[LogicalPlan] = {
     import scala.jdk.CollectionConverters._
     byRdd.values().asScala.toSeq
@@ -69,7 +85,7 @@ object PlanStash {
   /** Is a checkpointed frame PROVABLY reduced below data grain —
     * i.e. does its stashed producer plan bottom out in an Aggregate or
     * GlobalLimit through grain-preserving operators (recursing through
-    * nested checkpoints via the registry)? Unresolvable LogicalRDDs
+    * nested checkpoints via the registry)? Unresolvable checkpoints
     * (not stashed in this process) answer false — the sweep must see
     * the producer to trust it. */
   def grainBounded(l: LogicalRDD): Boolean =
@@ -82,6 +98,8 @@ object PlanStash {
       case _: GlobalLimit => true
       case _: LocalRelation => true
       case rdd: LogicalRDD => grainBounded(rdd)
+      case CheckpointLeaf(id, _) =>
+        Option(byRdd.get(id)).exists(grainBoundedPlan)
       // bounded × bounded stays bounded; a union of bounded pages is a
       // bounded page — the same grain algebra as the keyless-join sweep
       case j: Join => grainBoundedPlan(j.left) && grainBoundedPlan(j.right)

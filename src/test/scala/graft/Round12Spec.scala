@@ -35,6 +35,8 @@ class Round12Spec extends SparkSpec {
       case _: Aggregate => true
       case _: GlobalLimit => true
       case l: LogicalRDD => PlanStash.grainBounded(l)
+      // stashed plans carry sanitized checkpoint stubs (no RDD refs)
+      case cl: PlanStash.CheckpointLeaf => PlanStash.grainBoundedPlan(cl)
       case _ => p.children.exists(boundary)
     }
     val failures = scala.collection.mutable.ArrayBuffer[String]()
@@ -116,6 +118,8 @@ class Round12Spec extends SparkSpec {
         // executed stays opaque-permissive (the window sweep's stashed
         // pass audits every executed producer)
         graft.operators.PlanStash.producerOf(l).map(bounded).getOrElse(true)
+      case cl: graft.operators.PlanStash.CheckpointLeaf =>
+        graft.operators.PlanStash.grainBoundedPlan(cl)
       case r: LRange => r.numElements <= 4096 // literal fan-out (bootstrap replicas, hyperplanes)
       case j: Join => bounded(j.left) && bounded(j.right)
       case u: Union => u.children.forall(bounded)
