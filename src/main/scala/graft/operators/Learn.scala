@@ -100,8 +100,15 @@ object Learn {
   private[graft] final case class ClsRound(
     w: IndexedSeq[Long], b: Long, gsumU: Long, gAbs: Long, n: Long)
 
-  private val clsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[ClsRound]]()
+  // TTL'd + session-keyed (r13 VERDICT finding #3): the old plain map
+  // keyed by dir alone served stale trained weights if the fixture dir
+  // was regenerated in place within one JVM, while the oracle retrained
+  // on the new data — every cross-query memo now carries the
+  // CachedRelation staleness contract (key includes session identity,
+  // 1 h TTL, invalidate = retrain; Round14Spec pins the retrain).
+  private[graft] val clsMemo = new TtlMemo[Seq[ClsRound]](ttlMillis = 3600L * 1000)
+  private[graft] def clsKey(s: SparkSession, d: String): String =
+    s"${System.identityHashCode(s)}:$d"
 
   /** z_e12 as expression text for one weight state — the scoring pass
     * every round (and the final classifier) shares. */
@@ -127,7 +134,7 @@ object Learn {
     * function of the corpus, like [[coarseCentroids]]): ClsRounds
     * entries, last one = the serving weights. */
   private[graft] def trainedClassifier(s: SparkSession, d: String): Seq[ClsRound] =
-    clsMemo.computeIfAbsent(d, _ => {
+    clsMemo.resolve(clsKey(s, d)) {
       var w: IndexedSeq[Long] = IndexedSeq.fill(256)(0L)
       var b = 0L
       (1 to ClsRounds).map { _ =>
@@ -147,7 +154,7 @@ object Learn {
         b = b + gu * 1000000L / (n * ClsEtaDiv)
         ClsRound(w, b, gu, gAbs, n)
       }
-    })
+    }
 
   /** DuckDB replay of the 2-round training loop, as a WITH-body
     * fragment: CTEs through the post-round weight tables (w1/b1,
@@ -2616,8 +2623,21 @@ object Learn {
     // must be probed and healed on lost blocks — see
     // CachedRelation.resolveProbed (Round11Spec kills the blocks and
     // pins the rebuild through this path).
-    val key = s"${System.identityHashCode(s)}:$d:$k"
-    knnCache.resolveProbed(key)(exactKnnL2Build(s, d, k))
+    knnCache.resolveProbed(knnKey(s, d, k))(exactKnnL2Build(s, d, k))
+  }
+
+  /** Memo key for the kNN-index family. The subset form folds a
+    * CANONICAL RENDERING OF THE PREDICATE (`pred.toString` — the
+    * column-node rendering, identical for identical constructions)
+    * into the key alongside the human tag (r13 ADVICE): correctness
+    * used to depend silently on callers keeping tag↔pred one-to-one —
+    * a future call site reusing a tag with a different predicate would
+    * have been served the wrong subset graph from cache; with the
+    * rendering in the key it gets its own entry instead. */
+  private[graft] def knnKey(s: SparkSession, d: String, k: Int,
+      pred: Option[Column] = None, tag: String = ""): String = {
+    val p = pred.map(c => s":$c").getOrElse("")
+    s"${System.identityHashCode(s)}:$d:$k${if (tag.isEmpty) "" else s":$tag"}$p"
   }
 
   /** [[exactKnnL2]] restricted to the vectors satisfying `pred` — the
@@ -2629,10 +2649,9 @@ object Learn {
     * per-pair and never assumes the indexed set trained the cells).
     * `tag` keys the memo alongside (dir, k). */
   private[graft] def exactKnnL2Among(s: SparkSession, d: String, k: Int,
-      pred: Column, tag: String): DataFrame = {
-    val key = s"${System.identityHashCode(s)}:$d:$k:$tag"
-    knnCache.resolveProbed(key)(exactKnnL2Build(s, d, k, pred))
-  }
+      pred: Column, tag: String): DataFrame =
+    knnCache.resolveProbed(knnKey(s, d, k, Some(pred), tag))(
+      exactKnnL2Build(s, d, k, pred))
 
   private def exactKnnL2Build(s: SparkSession, d: String, k: Int,
       pred: Column = lit(true)): DataFrame = {
@@ -2712,13 +2731,17 @@ object Learn {
       .select(col("vec_id"), col("cluster").as("home"))
   }
 
-  private val coarseMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Long])]]()
+  // same TtlMemo posture as clsMemo (session-keyed, 1 h TTL) — the
+  // codebook is the other trained-value memo a regenerated fixture dir
+  // would otherwise serve stale
+  private[graft] val coarseMemo =
+    new TtlMemo[Seq[(Int, Array[Long])]](ttlMillis = 3600L * 1000)
 
   def coarseCentroids(s: SparkSession, d: String): Seq[(Int, Array[Long])] =
-    coarseMemo.computeIfAbsent(d,
-      _ => fitKMeansSlice(s, d, iters = 1, start = 1, len = Dim,
-        k = coarseKOf(s, d))._1)
+    coarseMemo.resolve(clsKey(s, d)) {
+      fitKMeansSlice(s, d, iters = 1, start = 1, len = Dim,
+        k = coarseKOf(s, d))._1
+    }
 
   /** Product-quantization trainer: ALL subspaces per iteration in ONE
     * pass — assignment is a single map-only select computing every

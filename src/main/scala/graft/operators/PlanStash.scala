@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan}
@@ -44,8 +42,25 @@ object PlanStash {
   // self-union/self-join of a checkpointed frame makes Catalyst's
   // DeduplicateRelations mint fresh attribute ids for the second
   // occurrence (same rdd, new exprIds), and an exprId key would
-  // silently fail to resolve exactly those plans
-  private val byRdd = new ConcurrentHashMap[Int, LogicalPlan]()
+  // silently fail to resolve exactly those plans.
+  //
+  // BOUNDED (r13 ADVICE): the registry used to grow for the JVM
+  // lifetime — every ckpt() (including per-round loop checkpoints in
+  // the LCP extension, prefix doubling, and graph peels) added a plan
+  // tree, unbounded metadata in a long-lived session. Now an
+  // access-ordered LRU capped at [[MaxEntries]]: lookups refresh
+  // recency, so everything a live sweep or a TTL'd memo can still
+  // reach stays resident (a full 448-query bench pass stashes a few
+  // thousand entries — an order of magnitude under the cap), and only
+  // plans whose checkpointed frames are long dead age out. Eviction is
+  // FAIL-SAFE for the sweeps: an evicted producer makes grainBounded
+  // answer false (strict), never blesses an unaudited plan.
+  private[graft] val MaxEntries = 16384
+  private val byRdd = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[Int, LogicalPlan](64, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Int, LogicalPlan]): Boolean = size() > MaxEntries
+    })
 
   private def sanitize(p: LogicalPlan): LogicalPlan = p.transform {
     case l: LogicalRDD => CheckpointLeaf(l.rdd.id, l.output)
@@ -77,7 +92,8 @@ object PlanStash {
 
   /** Every stashed pre-checkpoint plan (sweep input; LogicalRDD
     * children appear as [[CheckpointLeaf]] stubs). */
-  def all: Seq[LogicalPlan] = {
+  def all: Seq[LogicalPlan] = byRdd.synchronized {
+    // iteration over a synchronizedMap view must hold its monitor
     import scala.jdk.CollectionConverters._
     byRdd.values().asScala.toSeq
   }

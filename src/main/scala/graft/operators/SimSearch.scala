@@ -140,6 +140,29 @@ object SimSearch {
   private val hnswLevelDuck = hnswLevelOf(p =>
     s"(strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), $p, 1)) - 1)")
 
+  /** Shared HNSW layer-graph builders — ONE definition of each
+    * (k, pred, tag) triple so the lifecycle queries (q_hnsw,
+    * q_hnsw_batch, q_hnsw_insert), the streaming insert twin, and
+    * Bench's `producer:*` rows all resolve the SAME knnCache entries
+    * (the key folds pred.expr.sql in, so a drifting re-statement of
+    * the predicate would silently fork the memo). Upper layers are the
+    * exact 4-NN among the level-ℓ members; the insert family excludes
+    * the arrival batch (vec_id ≡ 11 mod 23) — the index must not
+    * contain what is being inserted. */
+  private[graft] def hnswUpperSpec(l: Int): (org.apache.spark.sql.Column, String) =
+    (expr(hnswLevelSpark) >= l && col("vec_id") =!= 0, s"hnsw_lvl$l")
+  private[graft] def hnswUpperAdj(s: SparkSession, d: String, l: Int): DataFrame = {
+    val (p, t) = hnswUpperSpec(l); Learn.exactKnnL2Among(s, d, 4, p, t)
+  }
+  private[graft] def hnswInsSpec(l: Int): (Int, org.apache.spark.sql.Column, String) = {
+    val existing = col("vec_id") =!= 0 && col("vec_id") % 23 =!= 11
+    if (l == 0) (8, existing, "hnswins_lvl0")
+    else (4, existing && expr(hnswLevelSpark) >= l, s"hnswins_lvl$l")
+  }
+  private[graft] def hnswInsAdj(s: SparkSession, d: String, l: Int): DataFrame = {
+    val (k, p, t) = hnswInsSpec(l); Learn.exactKnnL2Among(s, d, k, p, t)
+  }
+
   val queries: Map[String, Q] = Map(
     // GRAPH-BASED ANN (the NSW/HNSW base layer, Malkov & Yashunin
     // 2018): BEAM search over the k-NN graph — keep the ef=8 closest
@@ -235,7 +258,7 @@ object SimSearch {
     // graphs are memoized builds (top layers geometrically cheaper).
     "q_hnsw" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
-      val H0 = 4; val Ef = 8; val Hu = 2; val M = 4
+      val H0 = 4; val Ef = 8; val Hu = 2
       val d2 = "aggregate(zip_with(nv, qv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
       val emb = Tables.embeddings(s, d)
       val qv = emb.filter(col("vec_id") === 0)
@@ -252,8 +275,7 @@ object SimSearch {
       val adj0 = Learn.exactKnnL2(s, d, Ef)
         .filter(col("a_id") =!= 0 && col("b_id") =!= 0)
         .select(col("a_id"), col("b_id"))
-      def adjUp(l: Int) = Learn.exactKnnL2Among(s, d, M,
-          expr(hnswLevelSpark) >= l && col("vec_id") =!= 0, s"hnsw_lvl$l")
+      def adjUp(l: Int) = hnswUpperAdj(s, d, l)
         .select(col("a_id"), col("b_id"))
       // entry: lowest id on the highest non-empty layer (deterministic;
       // on a fixture whose top layer drew empty the descent's top-layer
@@ -335,7 +357,7 @@ object SimSearch {
     // convention; the layer graphs are shared memo builds with q_hnsw).
     "q_hnsw_batch" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
-      val H0 = 6; val Ef = 16; val Hu = 2; val M = 4
+      val H0 = 6; val Ef = 16; val Hu = 2
       val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
         .select(col("vec_id"), expr(Learn.QuantTok).as("nv"),
           expr(hnswLevelSpark).as("lvl"))
@@ -365,8 +387,7 @@ object SimSearch {
       val adj0 = sym(Learn.exactKnnL2(s, d, 8)
         .filter(col("a_id") =!= 0 && col("b_id") =!= 0)
         .select(col("a_id"), col("b_id")))
-      def adjUp(l: Int) = sym(Learn.exactKnnL2Among(s, d, M,
-          expr(hnswLevelSpark) >= l && col("vec_id") =!= 0, s"hnsw_lvl$l")
+      def adjUp(l: Int) = sym(hnswUpperAdj(s, d, l)
         .select(col("a_id"), col("b_id")))
       val e2 = emb.filter(col("lvl") >= 2).agg(min(col("vec_id")).as("e2"))
       val e1 = emb.filter(col("lvl") >= 1).agg(min(col("vec_id")).as("e1"))
@@ -452,11 +473,7 @@ object SimSearch {
         adj.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       // layer graphs over the EXISTING members only (kNN AMONG the
       // subset — the arrival batch is not in the index yet)
-      val existingPred = col("vec_id") =!= 0 && col("vec_id") % 23 =!= 11
-      def adjAt(l: Int): DataFrame = sym((
-        if (l == 0) Learn.exactKnnL2Among(s, d, Ef, existingPred, "hnswins_lvl0")
-        else Learn.exactKnnL2Among(s, d, M,
-          existingPred && expr(hnswLevelSpark) >= l, s"hnswins_lvl$l"))
+      def adjAt(l: Int): DataFrame = sym(hnswInsAdj(s, d, l)
         .select(col("a_id"), col("b_id")))
       val e2 = emb.filter(col("lvl") >= 2).agg(min(col("vec_id")).as("e2"))
       val e1 = emb.filter(col("lvl") >= 1).agg(min(col("vec_id")).as("e1"))

@@ -114,10 +114,14 @@ class Round12Spec extends SparkSpec {
       case _: GlobalLimit => true
       case _: LocalRelation => true
       case l: LogicalRDD => // checkpoint boundary: resolve the stashed
-        // producer's grain mechanically; a producer this process never
-        // executed stays opaque-permissive (the window sweep's stashed
-        // pass audits every executed producer)
-        graft.operators.PlanStash.producerOf(l).map(bounded).getOrElse(true)
+        // producer's grain mechanically. STRICT default (r14, VERDICT
+        // finding #4): every main-source checkpoint routes through
+        // PlanStash.ckpt(), so an unstashed LogicalRDD in a query's
+        // lineage is either a stash miss or a checkpoint created
+        // around the registry — both must be SEEN, not blessed; the
+        // window sweep's grainBounded already answers false for the
+        // same case, closing the last soft default in the sweeps
+        graft.operators.PlanStash.producerOf(l).exists(bounded)
       case cl: graft.operators.PlanStash.CheckpointLeaf =>
         graft.operators.PlanStash.grainBoundedPlan(cl)
       case r: LRange => r.numElements <= 4096 // literal fan-out (bootstrap replicas, hyperplanes)
