@@ -163,6 +163,142 @@ object SimSearch {
     val (k, p, t) = hnswInsSpec(l); Learn.exactKnnL2Among(s, d, k, p, t)
   }
 
+  /** The insert family's INDEX-SIDE vector frame (existing members
+    * with quantized vectors + levels), memoized like the layer graphs:
+    * the streaming insert twin resolves it every micro-batch and must
+    * read persisted blocks, never re-scan the corpus per trigger. */
+  private[graft] val hnswEmbCache = new CachedRelation(ttlMillis = 3600L * 1000)
+  private[graft] def hnswInsEmb(s: SparkSession, d: String): DataFrame =
+    hnswEmbCache.resolveProbed(s"${System.identityHashCode(s)}:$d") {
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") =!= 0 && col("vec_id") % 23 =!= 11)
+        .select(col("vec_id"), expr(Learn.QuantTok).as("nv"),
+          expr(hnswLevelSpark).as("lvl"))
+        .ckpt()
+    }
+
+  /** SELECT-NEIGHBORS-HEURISTIC (Malkov & Yashunin 2018, Algorithm 4)
+    * over a per-qid candidate page: scanning candidates by distance to
+    * the query, KEEP c only if it is strictly closer to the query than
+    * to every already-kept link — each kept link then covers a
+    * distinct direction around the new node, which is what preserves
+    * graph navigability at the same M (naive top-M links cluster on
+    * one side of the node when the beam landed in a tight region; the
+    * r13 measurement that motivated this: top-M link quality needed
+    * ef=16 to reach what the heuristic gives at ef=8 — Round14Spec
+    * pins the recall comparison).
+    *
+    * Declarative unroll, no collect (the q_logreg_gd posture): round 1
+    * takes the per-qid argmin; round r admits candidates whose
+    * d2-to-query beats their MIN d2 to the r−1 picks and takes the
+    * argmin of those. Provably the paper's sequential scan: the accept
+    * condition only HARDENS as picks accumulate, so the scan's next
+    * accepted candidate is exactly the round's minimal eligible one.
+    * Ties (d2-to-query = d2-to-pick) reject, in both engines.
+    *
+    * `beam` = (qid, vec_id, d2q); `vecs` = (vec_id, nv) covering every
+    * beam member. Pairwise cost is |Q|·ef² rows — query-page scale,
+    * never corpus scale. Returns (qid, vec_id, d2q) of ≤ m picks. */
+  private[graft] def diversifyLinks(beam: DataFrame, vecs: DataFrame, m: Int): DataFrame = {
+    val rankQ = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("d2q"), col("vec_id")))
+    val withV = beam
+      .join(vecs.select(col("vec_id"), col("nv")), "vec_id")
+      .ckpt() // both sides of the pairwise self-join read it
+    val pair = withV
+      .select(col("qid"), col("vec_id").as("c_id"), col("nv").as("cv"))
+      .join(withV.select(col("qid"), col("vec_id").as("s_id"), col("nv").as("sv")), "qid")
+      .filter(col("c_id") =!= col("s_id"))
+      .select(col("qid"), col("c_id"), col("s_id"),
+        expr("aggregate(zip_with(cv, sv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+          .as("d2cs"))
+      .ckpt() // read by every selection round
+    var sel = beam.withColumn("rn", rankQ).filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id"), col("d2q"))
+      .ckpt()
+    for (_ <- 2 to m) {
+      // min distance from each not-yet-picked candidate to the picks
+      val dmin = pair
+        .join(sel.select(col("qid"), col("vec_id").as("s_id")), Seq("qid", "s_id"))
+        .groupBy(col("qid"), col("c_id")).agg(min(col("d2cs")).as("dmin"))
+      val elig = beam
+        .join(sel.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_anti")
+        .join(dmin.select(col("qid"), col("c_id").as("vec_id"), col("dmin")),
+          Seq("qid", "vec_id"))
+        .filter(col("d2q") < col("dmin"))
+      val nxt = elig.withColumn("rn", rankQ).filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id"), col("d2q"))
+      sel = sel.unionByName(nxt)
+        .ckpt() // round r+1 reads sel TWICE (union + dmin): without the
+                // checkpoint the recompute doubles per round
+    }
+    sel
+  }
+
+  /** INCREMENTAL HNSW INSERT core — link pages for an ARRIVAL frame
+    * `nu0` = (qid, qv, qlvl) against the persisted existing-members
+    * layer graphs ([[hnswInsAdj]], memoized index builds — never
+    * rebuilt per batch or per trigger). Shared by the batch query
+    * q_hnsw_insert (arrivals = the vec_id ≡ 11 mod 23 holdout) and the
+    * streaming twin (graft.streaming.VecStreams.hnswInsertStream runs
+    * it per micro-batch; per-qid search state never crosses qids, so a
+    * split feed replays the batch page bit-for-bit — pinned by
+    * Round14Spec).
+    *
+    * Search: ef=8 beam per upper layer (2 hops), layer 0 at the batch
+    * operating point (ef=16 over 6 hops); links per layer ≤ the node's
+    * level via [[diversifyLinks]] (Algorithm 4), M = 4. */
+  private[graft] def hnswInsertLinks(s: SparkSession, d: String, nu0: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val M = 4; val Ef = 8
+    val emb = hnswInsEmb(s, d)
+    val nu = nu0.ckpt() // the arrival batch: broadcast into every hop
+    val d2 = "aggregate(zip_with(nv, qv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+    def scored(cand: DataFrame): DataFrame = cand
+      .join(emb.select(col("vec_id"), col("nv")), "vec_id")
+      .join(broadcast(nu.select(col("qid"), col("qv"))), "qid")
+      .select(col("qid"), col("vec_id"), expr(d2).as("d2q"))
+    def sym(adj: DataFrame): DataFrame = adj.unionByName(
+      adj.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    // layer graphs over the EXISTING members only (kNN AMONG the
+    // subset — the arrival batch is not in the index yet)
+    def adjAt(l: Int): DataFrame = sym(hnswInsAdj(s, d, l)
+      .select(col("a_id"), col("b_id")))
+    val e2 = emb.filter(col("lvl") >= 2).agg(min(col("vec_id")).as("e2"))
+    val e1 = emb.filter(col("lvl") >= 1).agg(min(col("vec_id")).as("e1"))
+    val e0 = emb.agg(min(col("vec_id")).as("e0"))
+    val entry = e2.crossJoin(broadcast(e1)).crossJoin(broadcast(e0))
+      .select(coalesce(col("e2"), col("e1"), col("e0")).as("vec_id"))
+    val rankQ = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("d2q"), col("vec_id")))
+    var beam = scored(nu.select(col("qid")).crossJoin(broadcast(entry))).ckpt()
+    var links = Seq.empty[DataFrame]
+    // layer 0 searches at the batch-search operating point (ef = 16
+    // over 6 hops — measured there: 0.94 recall@1 vs 0.50 at ef=8/4);
+    // the sparse upper layers need only the narrow beam
+    for ((l, hops, keep) <- Seq((2, 2, Ef), (1, 2, Ef), (0, 6, 16))) {
+      val adj = adjAt(l)
+      for (_ <- 1 to hops) {
+        val cand = adj
+          .join(beam.select(col("vec_id").as("a_id"), col("qid")), "a_id")
+          .select(col("qid"), col("b_id").as("vec_id"))
+          .unionByName(beam.select(col("qid"), col("vec_id"))).distinct()
+        beam = scored(cand)
+          .withColumn("rn", rankQ).filter(col("rn") <= keep).drop("rn")
+          .ckpt()
+      }
+      links = links :+ diversifyLinks(beam, emb, M)
+        .join(broadcast(nu.select(col("qid"), col("qlvl"))), "qid")
+        .filter(col("qlvl") >= l)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_links"), min(col("d2q")).as("best_link_d2"),
+          sum(col("vec_id")).as("links_sum"))
+        .select(col("qid").as("new_id"), lit(l.toLong).as("layer"),
+          col("n_links"), col("best_link_d2"), col("links_sum"))
+    }
+    links.reduce(_ unionByName _).orderBy(col("new_id"), col("layer"))
+  }
+
   val queries: Map[String, Q] = Map(
     // GRAPH-BASED ANN (the NSW/HNSW base layer, Malkov & Yashunin
     // 2018): BEAM search over the k-NN graph — keep the ef=8 closest
@@ -433,82 +569,110 @@ object SimSearch {
         .orderBy(col("qid"))
     }),
 
-    // INCREMENTAL HNSW INSERT (r13) — index MAINTENANCE, not rebuild:
-    // a held-out arrival batch (vec_id ≡ 11 mod 23) gets its levels
-    // from the same deterministic draw and its per-layer LINKS by the
-    // paper's actual insert algorithm — SEARCH the existing graph
-    // (ef=8 beam per layer, descending), then link to the top-M of
-    // each layer's final beam, at every layer ≤ the new node's level.
-    // This is what makes HNSW an online index: an insert costs one
-    // multi-layer search (the q_hnsw_batch machinery verbatim — the
-    // whole batch rides one plan), never a graph rebuild; at 100 TB
-    // the existing layer graphs are the persisted index and only the
-    // batch-side beams move.
+    // INCREMENTAL HNSW INSERT (r13; r14: heuristic link selection) —
+    // index MAINTENANCE, not rebuild: a held-out arrival batch
+    // (vec_id ≡ 11 mod 23) gets its levels from the same deterministic
+    // draw and its per-layer LINKS by the paper's insert algorithm —
+    // SEARCH the existing graph (beam per layer, descending), then
+    // link via SELECT-NEIGHBORS-HEURISTIC over each layer's final beam
+    // ([[diversifyLinks]], Algorithm 4 — keep a candidate only if it
+    // is closer to the new node than to every already-kept link), at
+    // every layer ≤ the new node's level. This is what makes HNSW an
+    // online index: an insert costs one multi-layer search (the
+    // q_hnsw_batch machinery — the whole batch rides one plan), never
+    // a graph rebuild; at 100 TB the existing layer graphs are the
+    // persisted index and only the batch-side beams move. Core shared
+    // with the streaming twin: [[hnswInsertLinks]].
     //
     // Output: the per-(new vector, layer) link page — link count
-    // (≤ M = 4), nearest-link distance, and the link-id sum (the
-    // deterministic set fingerprint the oracle replays). Layer rows
-    // exist only where the node's level reaches the layer. On a
-    // corpus whose top layer drew empty, the beam degenerates to the
-    // global entry — both engines replay the same construction.
+    // (≤ M = 4; can be < M where the heuristic prunes a crowded beam),
+    // nearest-link distance, and the link-id sum (the deterministic
+    // set fingerprint the oracle replays — the oracle unrolls the
+    // SAME greedy selection, so the diversity semantics are
+    // hash-checked, not just spec-asserted). Layer rows exist only
+    // where the node's level reaches the layer.
     "q_hnsw_insert" -> ((s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      val M = 4; val Ef = 8
-      val base = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
-      val isNew = col("vec_id") % 23 === 11
-      val emb = base.filter(!isNew)
-        .select(col("vec_id"), expr(Learn.QuantTok).as("nv"),
-          expr(hnswLevelSpark).as("lvl"))
-        .ckpt() // the persisted index side: every hop + entry read it
-      val nu = base.filter(isNew)
+      val nu = Tables.embeddings(s, d)
+        .filter(col("vec_id") =!= 0 && col("vec_id") % 23 === 11)
         .select(col("vec_id").as("qid"), expr(Learn.QuantTok).as("qv"),
           expr(hnswLevelSpark).as("qlvl"))
-        .ckpt() // the arrival batch: broadcast into every hop
+      hnswInsertLinks(s, d, nu)
+    }),
+
+    // FILTERED ANN (r14) — attribute-predicate vector search, the
+    // serving-tier production gap: "top-k among label = 3". Two
+    // strategies at EQUAL candidate budget (ef = 8 beam, 6 hops),
+    // verdict-paged against the exact member NN:
+    //  - PRE-filter: search a subset graph built AMONG the qualifying
+    //    members (Learn.exactKnnL2Among — at 100 TB this is the
+    //    label-partitioned per-partition index every filtered-ANN tier
+    //    ships; build cost amortizes over the query stream);
+    //  - POST-filter: search the FULL graph, then drop non-qualifying
+    //    candidates from the final beam — no extra index, but the beam
+    //    budget is spent mostly on non-members, and when none of the
+    //    surviving candidates qualify the query comes back EMPTY
+    //    (post_d2 null, post_kept 0 — the recall loss this page
+    //    measures; Round14Spec pins pre-recall ≥ post-recall).
+    // Self never wins either arm (sentinel-∞ self score + excluded at
+    // the verdict aggregation); both engines replay the same walks.
+    "q_ann_filtered" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val Ef = 8; val Hops = 6; val Lbl = 3
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"), expr(Learn.QuantTok).as("nv"))
+        .ckpt() // read by every hop's candidate join + entries + truth
+      val mem = emb.filter(col("label") === Lbl)
+      val queries = mem.filter(col("vec_id") % 7 === 2)
+        .select(col("vec_id").as("qid"), col("nv").as("qv"))
       val d2 = "aggregate(zip_with(nv, qv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
       def scored(cand: DataFrame): DataFrame = cand
-        .join(emb.select(col("vec_id"), col("nv")), "vec_id")
-        .join(broadcast(nu.select(col("qid"), col("qv"))), "qid")
-        .select(col("qid"), col("vec_id"), expr(d2).as("d2q"))
-      def sym(adj: DataFrame): DataFrame = adj.unionByName(
-        adj.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      // layer graphs over the EXISTING members only (kNN AMONG the
-      // subset — the arrival batch is not in the index yet)
-      def adjAt(l: Int): DataFrame = sym(hnswInsAdj(s, d, l)
-        .select(col("a_id"), col("b_id")))
-      val e2 = emb.filter(col("lvl") >= 2).agg(min(col("vec_id")).as("e2"))
-      val e1 = emb.filter(col("lvl") >= 1).agg(min(col("vec_id")).as("e1"))
-      val e0 = emb.agg(min(col("vec_id")).as("e0"))
-      val entry = e2.crossJoin(broadcast(e1)).crossJoin(broadcast(e0))
-        .select(coalesce(col("e2"), col("e1"), col("e0")).as("vec_id"))
+        .join(emb.select(col("vec_id"), col("label"), col("nv")), "vec_id")
+        .join(broadcast(queries), "qid")
+        .select(col("qid"), col("vec_id"), col("label"),
+          when(col("vec_id") === col("qid"), lit(1000000000000L))
+            .otherwise(expr(d2)).as("d2q"))
+      def sym(adj: DataFrame): DataFrame = adj.select(col("a_id"), col("b_id"))
+        .unionByName(adj.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       val rankQ = row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("d2q"), col("vec_id")))
-      var beam = scored(nu.select(col("qid")).crossJoin(broadcast(entry))).ckpt()
-      var links = Seq.empty[DataFrame]
-      // layer 0 searches at the batch-search operating point (ef = 16
-      // over 6 hops — measured there: 0.94 recall@1 vs 0.50 at ef=8/4);
-      // the sparse upper layers need only the narrow beam
-      for ((l, hops, keep) <- Seq((2, 2, Ef), (1, 2, Ef), (0, 6, 16))) {
-        val adj = adjAt(l)
-        for (_ <- 1 to hops) {
+      def beamSearch(adj: DataFrame, entry: DataFrame): DataFrame = {
+        var beam = scored(queries.select(col("qid")).crossJoin(broadcast(entry))).ckpt()
+        for (_ <- 1 to Hops) {
           val cand = adj
             .join(beam.select(col("vec_id").as("a_id"), col("qid")), "a_id")
             .select(col("qid"), col("b_id").as("vec_id"))
             .unionByName(beam.select(col("qid"), col("vec_id"))).distinct()
           beam = scored(cand)
-            .withColumn("rn", rankQ).filter(col("rn") <= keep).drop("rn")
+            .withColumn("rn", rankQ).filter(col("rn") <= Ef).drop("rn")
             .ckpt()
         }
-        links = links :+ beam
-          .withColumn("rn", rankQ).filter(col("rn") <= M)
-          .join(broadcast(nu.select(col("qid"), col("qlvl"))), "qid")
-          .filter(col("qlvl") >= l)
-          .groupBy(col("qid"))
-          .agg(count(lit(1)).as("n_links"), min(col("d2q")).as("best_link_d2"),
-            sum(col("vec_id")).as("links_sum"))
-          .select(col("qid").as("new_id"), lit(l.toLong).as("layer"),
-            col("n_links"), col("best_link_d2"), col("links_sum"))
+        beam.filter(col("vec_id") =!= col("qid"))
       }
-      links.reduce(_ unionByName _).orderBy(col("new_id"), col("layer"))
+      val memPred = col("label") === Lbl && col("vec_id") =!= 0
+      val adjPre = sym(Learn.exactKnnL2Among(s, d, Ef, memPred, "annfilt"))
+      val adjFull = sym(Learn.exactKnnL2(s, d, Ef)
+        .filter(col("a_id") =!= 0 && col("b_id") =!= 0))
+      val pre = beamSearch(adjPre, mem.agg(min(col("vec_id")).as("vec_id")))
+        .groupBy(col("qid")).agg(min(struct(col("d2q"), col("vec_id"))).as("m"))
+        .select(col("qid"), col("m.vec_id").as("pre_id"), col("m.d2q").as("pre_d2"))
+      val post = beamSearch(adjFull, emb.agg(min(col("vec_id")).as("vec_id")))
+        .filter(col("label") === Lbl)
+        .groupBy(col("qid")).agg(min(struct(col("d2q"), col("vec_id"))).as("m"),
+          count(lit(1)).as("post_kept"))
+        .select(col("qid"), col("m.vec_id").as("post_id"),
+          col("m.d2q").as("post_d2"), col("post_kept"))
+      // exact truth among members, read off the memoized subset index
+      val truth = Learn.exactKnnL2Among(s, d, Ef, memPred, "annfilt")
+        .join(broadcast(queries.select(col("qid").as("a_id"))), "a_id")
+        .filter(col("rn") === 1)
+        .select(col("a_id").as("qid"), col("d2").as("true_d2"))
+      pre.join(post, Seq("qid"), "left").join(truth, "qid")
+        .select(col("qid"), col("pre_id"), col("pre_d2"),
+          col("post_id"), col("post_d2"),
+          coalesce(col("post_kept"), lit(0L)).as("post_kept"), col("true_d2"),
+          when(col("pre_d2") === col("true_d2"), 1L).otherwise(0L).as("pre_reached"),
+          when(col("post_d2") === col("true_d2"), 1L).otherwise(0L).as("post_reached"))
+        .orderBy(col("qid"))
     }),
 
     // Exact brute-force cosine top-20 vs the vec_id=0 query vector.
@@ -1437,17 +1601,55 @@ object SimSearch {
            |      JOIN ex v ON v.vec_id = c.vec_id
            |      JOIN nu w ON w.qid = c.qid))
            |  WHERE rn <= $keep)""".stripMargin
+      // SELECT-NEIGHBORS-HEURISTIC unroll (Algorithm 4), mirroring
+      // diversifyLinks: round 1 = per-qid argmin of the beam; round r
+      // admits candidates whose d2-to-query strictly beats their min
+      // d2 to the r-1 picks, then takes the argmin of those. Ties
+      // reject in both engines (strict <).
+      def divSel(name: String, beam: String) = {
+        val pair =
+          s"""${name}_pair AS MATERIALIZED (
+             |  SELECT a.qid, a.vec_id AS c_id, b.vec_id AS s_id,
+             |    ${dd("va.qv", "vb.qv")} AS d2cs
+             |  FROM $beam a JOIN $beam b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+             |  JOIN ex va ON va.vec_id = a.vec_id
+             |  JOIN ex vb ON vb.vec_id = b.vec_id)""".stripMargin
+        val s1 =
+          s"""${name}_s1 AS (
+             |  SELECT qid, vec_id, d2q FROM (
+             |    SELECT qid, vec_id, d2q,
+             |      row_number() OVER (PARTITION BY qid ORDER BY d2q, vec_id) AS rn
+             |    FROM $beam) WHERE rn = 1)""".stripMargin
+        val rounds = (2 to 4).map { r =>
+          s"""${name}_e$r AS (
+             |  SELECT c.qid, c.vec_id, c.d2q
+             |  FROM $beam c
+             |  JOIN ${name}_pair p ON p.qid = c.qid AND p.c_id = c.vec_id
+             |  JOIN ${name}_s${r - 1} s ON s.qid = p.qid AND s.vec_id = p.s_id
+             |  WHERE NOT EXISTS (SELECT 1 FROM ${name}_s${r - 1} x
+             |                    WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+             |  GROUP BY c.qid, c.vec_id, c.d2q
+             |  HAVING c.d2q < min(p.d2cs)),
+             |${name}_s$r AS (
+             |  SELECT * FROM ${name}_s${r - 1}
+             |  UNION ALL
+             |  SELECT qid, vec_id, d2q FROM (
+             |    SELECT qid, vec_id, d2q,
+             |      row_number() OVER (PARTITION BY qid ORDER BY d2q, vec_id) AS rn
+             |    FROM ${name}_e$r) WHERE rn = 1)""".stripMargin
+        }
+        (Seq(pair, s1) ++ rounds).mkString(",\n")
+      }
       def linkPage(name: String, beam: String, layer: Int) =
-        s"""$name AS (
+        s"""${divSel(s"${name}_dv", beam)},
+           |$name AS (
            |  SELECT t.qid, CAST($layer AS BIGINT) AS layer,
            |    CAST(count(*) AS BIGINT) AS n_links,
            |    min(t.d2q) AS best_link_d2,
            |    CAST(SUM(t.vec_id) AS BIGINT) AS links_sum
-           |  FROM (SELECT qid, vec_id, d2q,
-           |          row_number() OVER (PARTITION BY qid ORDER BY d2q, vec_id) AS rn
-           |        FROM $beam) t
+           |  FROM ${name}_dv_s4 t
            |  JOIN nu ON nu.qid = t.qid
-           |  WHERE t.rn <= 4 AND nu.qlvl >= $layer
+           |  WHERE nu.qlvl >= $layer
            |  GROUP BY t.qid)""".stripMargin
       s"""WITH q AS MATERIALIZED (
          |  SELECT vec_id,
@@ -1488,6 +1690,100 @@ object SimSearch {
          |ORDER BY new_id, layer""".stripMargin
     },
 
+    // Both beam walks unrolled (6 hops each at ef = 8), verdicts and
+    // the member-NN truth read off the same frames the Spark plan uses.
+    "q_ann_filtered" -> {
+      val dd = (a: String, b: String) =>
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), " +
+          s"(x, y) -> x + y)"
+      def subsetAdj(name: String, m: String, k: Int) =
+        s"""${name}_d AS MATERIALIZED (
+           |  SELECT ai, bi FROM (
+           |    SELECT a.vec_id AS ai, b.vec_id AS bi,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${dd("a.qv", "b.qv")}, b.vec_id) AS rn
+           |    FROM $m a JOIN $m b ON a.vec_id <> b.vec_id)
+           |  WHERE rn <= $k),
+           |$name AS MATERIALIZED (
+           |  SELECT ai, bi FROM ${name}_d
+           |  UNION SELECT bi AS ai, ai AS bi FROM ${name}_d)""".stripMargin
+      def step(pfx: String, i: Int, adj: String) =
+        s"""$pfx$i AS MATERIALIZED (
+           |  SELECT qid, vec_id, d2q FROM (
+           |    SELECT qid, vec_id, d2q,
+           |      row_number() OVER (PARTITION BY qid ORDER BY d2q, vec_id) AS rn
+           |    FROM (
+           |      SELECT c.qid, c.vec_id,
+           |        CASE WHEN c.vec_id = c.qid THEN CAST(1000000000000 AS BIGINT)
+           |             ELSE ${dd("v.qv", "w.qv")} END AS d2q
+           |      FROM (
+           |        SELECT DISTINCT p.qid, j.bi AS vec_id
+           |        FROM $adj j JOIN $pfx${i - 1} p ON j.ai = p.vec_id
+           |        UNION SELECT qid, vec_id FROM $pfx${i - 1}) c
+           |      JOIN q v ON v.vec_id = c.vec_id
+           |      JOIN qs w ON w.qid = c.qid))
+           |  WHERE rn <= 8)""".stripMargin
+      def entryStep(pfx: String, ent: String) =
+        s"""${pfx}0 AS MATERIALIZED (
+           |  SELECT qs.qid, $ent.vec_id,
+           |    CASE WHEN $ent.vec_id = qs.qid THEN CAST(1000000000000 AS BIGINT)
+           |         ELSE ${dd("v.qv", "qs.qv")} END AS d2q
+           |  FROM qs CROSS JOIN $ent JOIN q v ON v.vec_id = $ent.vec_id)""".stripMargin
+      s"""WITH qa AS MATERIALIZED (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |q AS MATERIALIZED (SELECT vec_id, label, qv FROM qa WHERE vec_id <> 0),
+         |mem AS MATERIALIZED (SELECT vec_id, qv FROM q WHERE label = 3),
+         |qs AS MATERIALIZED (SELECT vec_id AS qid, qv FROM mem WHERE vec_id % 7 = 2),
+         |${subsetAdj("adjp", "mem", 8)},
+         |-- full-graph ranks are computed over the WHOLE corpus (incl.
+         |-- vec_id 0, matching exactKnnL2), THEN 0-edges drop
+         |adjf_d AS MATERIALIZED (
+         |  SELECT ai, bi FROM (
+         |    SELECT a.vec_id AS ai, b.vec_id AS bi,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${dd("a.qv", "b.qv")}, b.vec_id) AS rn
+         |    FROM qa a JOIN qa b ON a.vec_id <> b.vec_id)
+         |  WHERE rn <= 8 AND ai <> 0 AND bi <> 0),
+         |adjf AS MATERIALIZED (
+         |  SELECT ai, bi FROM adjf_d
+         |  UNION SELECT bi AS ai, ai AS bi FROM adjf_d),
+         |entp AS (SELECT min(vec_id) AS vec_id FROM mem),
+         |entf AS (SELECT min(vec_id) AS vec_id FROM q),
+         |${entryStep("p", "entp")},
+         |${(1 to 6).map(i => step("p", i, "adjp")).mkString(",\n")},
+         |${entryStep("f", "entf")},
+         |${(1 to 6).map(i => step("f", i, "adjf")).mkString(",\n")},
+         |pre AS (
+         |  SELECT qid, vec_id AS pre_id, d2q AS pre_d2 FROM (
+         |    SELECT qid, vec_id, d2q,
+         |      row_number() OVER (PARTITION BY qid ORDER BY d2q, vec_id) AS rn
+         |    FROM p6 WHERE vec_id <> qid) WHERE rn = 1),
+         |postc AS (
+         |  SELECT f.qid, f.vec_id, f.d2q
+         |  FROM f6 f JOIN q v ON v.vec_id = f.vec_id
+         |  WHERE v.label = 3 AND f.vec_id <> f.qid),
+         |post AS (
+         |  SELECT qid, vec_id AS post_id, d2q AS post_d2, post_kept FROM (
+         |    SELECT qid, vec_id, d2q,
+         |      row_number() OVER (PARTITION BY qid ORDER BY d2q, vec_id) AS rn,
+         |      CAST(count(*) OVER (PARTITION BY qid) AS BIGINT) AS post_kept
+         |    FROM postc) WHERE rn = 1),
+         |tr AS (
+         |  SELECT qid, d2 AS true_d2 FROM (
+         |    SELECT qs.qid, ${dd("v.qv", "qs.qv")} AS d2,
+         |      row_number() OVER (PARTITION BY qs.qid
+         |        ORDER BY ${dd("v.qv", "qs.qv")}, v.vec_id) AS rn
+         |    FROM qs, mem v WHERE v.vec_id <> qs.qid) WHERE rn = 1)
+         |SELECT pre.qid, pre_id, pre_d2, post_id, post_d2,
+         |  COALESCE(post_kept, CAST(0 AS BIGINT)) AS post_kept, true_d2,
+         |  CAST(CASE WHEN pre_d2 = true_d2 THEN 1 ELSE 0 END AS BIGINT) AS pre_reached,
+         |  CAST(CASE WHEN post_d2 = true_d2 THEN 1 ELSE 0 END AS BIGINT) AS post_reached
+         |FROM pre LEFT JOIN post USING (qid) JOIN tr USING (qid)
+         |ORDER BY qid""".stripMargin
+    },
 
     "q_mrl_recall" ->
       """WITH qv AS (

@@ -76,4 +76,43 @@ object VecStreams {
       .select(col("new_id"), col("ts"), col("dup_of"), col("n_matches"),
         col("best_cos"), col("dup_of").isNull.as("admit"))
   }
+
+  /** Streaming HNSW insert — q_hnsw_insert's ONLINE form, completing
+    * the vector-ingest pair: [[vectorAdmission]] decides whether an
+    * arriving vector enters the corpus, this wires the admitted ones
+    * into the ANN index. Each micro-batch of (vec_id, embedding) rows
+    * gets levels from the same deterministic md5 draw and per-layer
+    * links from ONE multi-layer search of the EXISTING graphs
+    * (SimSearch.hnswInsertLinks — Algorithm 4 heuristic selection),
+    * emitting the link page per trigger through `onPage`.
+    *
+    * Index posture (the vectorAdmission contract): the layer graphs
+    * and the index-side vector frame are memoized builds resolved
+    * against the DEFINING session — built once, read as persisted
+    * blocks by every trigger, never rebuilt per batch. Only the
+    * batch-side beams move, and per-arrival search state never crosses
+    * arrivals, so a feed split across triggers replays the one-batch
+    * link page bit-for-bit (pinned by Round14Spec over a two-batch
+    * MemoryStream feed).
+    *
+    * The iterative beam descent (fixed hop unroll + per-qid rank
+    * trims) is genuinely per-batch planning, which is exactly what
+    * Structured Streaming's foreachBatch exists for — the hop loop
+    * cannot ride a single incremental plan, and SHOULD not: the index
+    * side must not re-resolve per hop. */
+  def hnswInsertStream(vecs: DataFrame, d: String)(
+      onPage: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val s = vecs.sparkSession // memo keys carry the session identity:
+    // resolve against the DEFINING session, not the per-query
+    // micro-batch clone, or every trigger would rebuild the index
+    vecs.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val nu = batch
+          .select(col("vec_id").as("qid"),
+            expr(graft.operators.Learn.QuantTok).as("qv"),
+            expr(graft.operators.SimSearch.hnswLevelSpark).as("qlvl"))
+        onPage(graft.operators.SimSearch.hnswInsertLinks(s, d, nu))
+      }
+      .start()
+  }
 }
