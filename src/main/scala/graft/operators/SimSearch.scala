@@ -163,6 +163,55 @@ object SimSearch {
     val (k, p, t) = hnswInsSpec(l); Learn.exactKnnL2Among(s, d, k, p, t)
   }
 
+  /** DuckDB quantized-L2 over two BIGINT-list columns — shared by the
+    * HNSW-family oracles. */
+  private def duckD2(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), " +
+      s"(x, y) -> x + y)"
+
+  /** SELECT-NEIGHBORS-HEURISTIC unroll (Algorithm 4) as DuckDB CTEs,
+    * mirroring [[diversifyLinks]]: round 1 = per-qid argmin of `beam`
+    * (a (qid, vec_id, d2q) CTE); round r admits candidates whose
+    * d2-to-query strictly beats their min d2 to the r−1 picks, then
+    * takes the argmin of those. Ties reject in both engines (strict
+    * <). `vecs` is the (vec_id, qv) table covering every beam member;
+    * the final pick set is `${name}_s4`. */
+  private def duckDivSel(name: String, beam: String, vecs: String): String = {
+    val pair =
+      s"""${name}_pair AS MATERIALIZED (
+         |  SELECT a.qid, a.vec_id AS c_id, b.vec_id AS s_id,
+         |    ${duckD2("va.qv", "vb.qv")} AS d2cs
+         |  FROM $beam a JOIN $beam b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+         |  JOIN $vecs va ON va.vec_id = a.vec_id
+         |  JOIN $vecs vb ON vb.vec_id = b.vec_id)""".stripMargin
+    val s1 =
+      s"""${name}_s1 AS (
+         |  SELECT qid, vec_id, d2q FROM (
+         |    SELECT qid, vec_id, d2q,
+         |      row_number() OVER (PARTITION BY qid ORDER BY d2q, vec_id) AS rn
+         |    FROM $beam) WHERE rn = 1)""".stripMargin
+    val rounds = (2 to 4).map { r =>
+      s"""${name}_e$r AS (
+         |  SELECT c.qid, c.vec_id, c.d2q
+         |  FROM $beam c
+         |  JOIN ${name}_pair p ON p.qid = c.qid AND p.c_id = c.vec_id
+         |  JOIN ${name}_s${r - 1} s ON s.qid = p.qid AND s.vec_id = p.s_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM ${name}_s${r - 1} x
+         |                    WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+         |  GROUP BY c.qid, c.vec_id, c.d2q
+         |  HAVING c.d2q < min(p.d2cs)),
+         |${name}_s$r AS (
+         |  SELECT * FROM ${name}_s${r - 1}
+         |  UNION ALL
+         |  SELECT qid, vec_id, d2q FROM (
+         |    SELECT qid, vec_id, d2q,
+         |      row_number() OVER (PARTITION BY qid ORDER BY d2q, vec_id) AS rn
+         |    FROM ${name}_e$r) WHERE rn = 1)""".stripMargin
+    }
+    (Seq(pair, s1) ++ rounds).mkString(",\n")
+  }
+
   /** The insert family's INDEX-SIDE vector frame (existing members
     * with quantized vectors + levels), memoized like the layer graphs:
     * the streaming insert twin resolves it every micro-batch and must
@@ -673,6 +722,63 @@ object SimSearch {
           when(col("pre_d2") === col("true_d2"), 1L).otherwise(0L).as("pre_reached"),
           when(col("post_d2") === col("true_d2"), 1L).otherwise(0L).as("post_reached"))
         .orderBy(col("qid"))
+    }),
+
+    // HNSW DELETE with neighbor repair (r14) — the third lifecycle
+    // operation (search: q_hnsw/q_hnsw_batch, insert: q_hnsw_insert,
+    // delete: here), because a production vector index sheds vectors
+    // (GDPR erasure, retention windows, re-embeds) without a rebuild.
+    // Tombstone semantics: a delete batch (vec_id ≡ 3 mod 29) leaves
+    // the graph, and every SURVIVOR that linked to a deleted node
+    // repairs its link list locally —
+    //  candidates = its surviving links ∪ 2-HOP BRIDGES (the deleted
+    //  node's own surviving links — the classic repair that preserves
+    //  the path the deletion severed),
+    //  re-scored by exact d², re-selected with Algorithm 4
+    //  ([[diversifyLinks]] — same selection as insert, so repair
+    //  cannot degrade link diversity below build quality).
+    // Repair cost is |affected|·M(1+M) candidate rows — delete-batch
+    // scale, never corpus scale; the kNN index is the shared memoized
+    // build. Output per affected survivor: links lost, links after
+    // repair, nearest repaired distance, link-id sum (the set
+    // fingerprint — the oracle replays bridge collection AND the
+    // greedy re-selection).
+    "q_hnsw_delete" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val M = 4
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), expr(Learn.QuantTok).as("nv")).ckpt()
+      // the index's directed M-link lists (rank over the full corpus,
+      // 0-edges dropped — the exactKnnL2 convention)
+      val links = Learn.exactKnnL2(s, d, 8)
+        .filter(col("a_id") =!= 0 && col("b_id") =!= 0 && col("rn") <= M)
+        .select(col("a_id"), col("b_id"))
+        .ckpt() // read as lost-page, keep-side, and bridge hop
+      val lost = links.filter(col("a_id") % 29 =!= 3 && col("b_id") % 29 === 3)
+      val affected = lost.groupBy(col("a_id")).agg(count(lit(1)).as("n_lost")).ckpt()
+      val keep = links
+        .join(affected.select(col("a_id")), "a_id")
+        .filter(col("b_id") % 29 =!= 3)
+        .select(col("a_id"), col("b_id"))
+      val bridges = lost.select(col("a_id"), col("b_id").as("mid"))
+        .join(links.select(col("a_id").as("mid"), col("b_id").as("c_id")), "mid")
+        .filter(col("c_id") % 29 =!= 3 && col("c_id") =!= col("a_id"))
+        .select(col("a_id"), col("c_id").as("b_id"))
+      val cand = keep.unionByName(bridges).distinct()
+        .join(emb.select(col("vec_id").as("a_id"), col("nv").as("qv")), "a_id")
+        .join(emb.select(col("vec_id").as("b_id"), col("nv")), "b_id")
+        .select(col("a_id").as("qid"), col("b_id").as("vec_id"),
+          expr("aggregate(zip_with(nv, qv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+            .as("d2q"))
+      val repaired = diversifyLinks(cand, emb, M)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_links_after"), min(col("d2q")).as("best_link_d2"),
+          sum(col("vec_id")).as("links_sum"))
+      affected.join(repaired, col("a_id") === col("qid"), "left")
+        .select(col("a_id"), col("n_lost"),
+          coalesce(col("n_links_after"), lit(0L)).as("n_links_after"),
+          col("best_link_d2"), col("links_sum"))
+        .orderBy(col("a_id"))
     }),
 
     // Exact brute-force cosine top-20 vs the vec_id=0 query vector.
@@ -1601,47 +1707,10 @@ object SimSearch {
            |      JOIN ex v ON v.vec_id = c.vec_id
            |      JOIN nu w ON w.qid = c.qid))
            |  WHERE rn <= $keep)""".stripMargin
-      // SELECT-NEIGHBORS-HEURISTIC unroll (Algorithm 4), mirroring
-      // diversifyLinks: round 1 = per-qid argmin of the beam; round r
-      // admits candidates whose d2-to-query strictly beats their min
-      // d2 to the r-1 picks, then takes the argmin of those. Ties
-      // reject in both engines (strict <).
-      def divSel(name: String, beam: String) = {
-        val pair =
-          s"""${name}_pair AS MATERIALIZED (
-             |  SELECT a.qid, a.vec_id AS c_id, b.vec_id AS s_id,
-             |    ${dd("va.qv", "vb.qv")} AS d2cs
-             |  FROM $beam a JOIN $beam b ON a.qid = b.qid AND a.vec_id <> b.vec_id
-             |  JOIN ex va ON va.vec_id = a.vec_id
-             |  JOIN ex vb ON vb.vec_id = b.vec_id)""".stripMargin
-        val s1 =
-          s"""${name}_s1 AS (
-             |  SELECT qid, vec_id, d2q FROM (
-             |    SELECT qid, vec_id, d2q,
-             |      row_number() OVER (PARTITION BY qid ORDER BY d2q, vec_id) AS rn
-             |    FROM $beam) WHERE rn = 1)""".stripMargin
-        val rounds = (2 to 4).map { r =>
-          s"""${name}_e$r AS (
-             |  SELECT c.qid, c.vec_id, c.d2q
-             |  FROM $beam c
-             |  JOIN ${name}_pair p ON p.qid = c.qid AND p.c_id = c.vec_id
-             |  JOIN ${name}_s${r - 1} s ON s.qid = p.qid AND s.vec_id = p.s_id
-             |  WHERE NOT EXISTS (SELECT 1 FROM ${name}_s${r - 1} x
-             |                    WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
-             |  GROUP BY c.qid, c.vec_id, c.d2q
-             |  HAVING c.d2q < min(p.d2cs)),
-             |${name}_s$r AS (
-             |  SELECT * FROM ${name}_s${r - 1}
-             |  UNION ALL
-             |  SELECT qid, vec_id, d2q FROM (
-             |    SELECT qid, vec_id, d2q,
-             |      row_number() OVER (PARTITION BY qid ORDER BY d2q, vec_id) AS rn
-             |    FROM ${name}_e$r) WHERE rn = 1)""".stripMargin
-        }
-        (Seq(pair, s1) ++ rounds).mkString(",\n")
-      }
+      // Link selection replays [[diversifyLinks]] via the shared
+      // Algorithm-4 CTE unroll (duckDivSel).
       def linkPage(name: String, beam: String, layer: Int) =
-        s"""${divSel(s"${name}_dv", beam)},
+        s"""${duckDivSel(s"${name}_dv", beam, "ex")},
            |$name AS (
            |  SELECT t.qid, CAST($layer AS BIGINT) AS layer,
            |    CAST(count(*) AS BIGINT) AS n_links,
@@ -1783,6 +1852,55 @@ object SimSearch {
          |  CAST(CASE WHEN post_d2 = true_d2 THEN 1 ELSE 0 END AS BIGINT) AS post_reached
          |FROM pre LEFT JOIN post USING (qid) JOIN tr USING (qid)
          |ORDER BY qid""".stripMargin
+    },
+
+    // Bridge collection + Algorithm-4 re-selection replayed CTE-for-CTE
+    // (duckDivSel mirrors diversifyLinks).
+    "q_hnsw_delete" -> {
+      val dd = duckD2 _
+      s"""WITH qa AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |ex AS MATERIALIZED (SELECT vec_id, qv FROM qa WHERE vec_id <> 0),
+         |-- directed M=4 link lists: ranks over the WHOLE corpus (incl.
+         |-- vec_id 0, the exactKnnL2 convention), then 0-edges drop
+         |lnk AS MATERIALIZED (
+         |  SELECT ai, bi FROM (
+         |    SELECT a.vec_id AS ai, b.vec_id AS bi,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${dd("a.qv", "b.qv")}, b.vec_id) AS rn
+         |    FROM qa a JOIN qa b ON a.vec_id <> b.vec_id)
+         |  WHERE rn <= 4 AND ai <> 0 AND bi <> 0),
+         |lost AS MATERIALIZED (
+         |  SELECT ai, CAST(count(*) AS BIGINT) AS n_lost
+         |  FROM lnk WHERE ai % 29 <> 3 AND bi % 29 = 3 GROUP BY ai),
+         |keepc AS (
+         |  SELECT l.ai, l.bi FROM lnk l JOIN lost ON lost.ai = l.ai
+         |  WHERE l.bi % 29 <> 3),
+         |bridge AS (
+         |  SELECT l1.ai, l2.bi
+         |  FROM lnk l1 JOIN lost ON lost.ai = l1.ai
+         |  JOIN lnk l2 ON l2.ai = l1.bi
+         |  WHERE l1.bi % 29 = 3 AND l2.bi % 29 <> 3 AND l2.bi <> l1.ai),
+         |candi AS (
+         |  SELECT DISTINCT ai, bi FROM (
+         |    SELECT * FROM keepc UNION ALL SELECT * FROM bridge)),
+         |cand AS MATERIALIZED (
+         |  SELECT c.ai AS qid, c.bi AS vec_id, ${dd("vb.qv", "va.qv")} AS d2q
+         |  FROM candi c
+         |  JOIN ex va ON va.vec_id = c.ai
+         |  JOIN ex vb ON vb.vec_id = c.bi),
+         |${duckDivSel("dv", "cand", "ex")},
+         |rep AS (
+         |  SELECT qid, CAST(count(*) AS BIGINT) AS n_links_after,
+         |    min(d2q) AS best_link_d2, CAST(sum(vec_id) AS BIGINT) AS links_sum
+         |  FROM dv_s4 GROUP BY qid)
+         |SELECT lost.ai AS a_id, lost.n_lost,
+         |  COALESCE(rep.n_links_after, CAST(0 AS BIGINT)) AS n_links_after,
+         |  rep.best_link_d2, rep.links_sum
+         |FROM lost LEFT JOIN rep ON rep.qid = lost.ai
+         |ORDER BY a_id""".stripMargin
     },
 
     "q_mrl_recall" ->

@@ -172,6 +172,42 @@ class Round14Spec extends SparkSpec {
       s"pre-filter recall $pre/${rows.length} under the 3/4 floor")
   }
 
+  test("q_hnsw_delete: repair pages cover every affected survivor; repaired links beat the severed floor") {
+    val rows = SparkEntry.queries("q_hnsw_delete")(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture must produce affected survivors")
+    // exact nearest SURVIVING neighbor per affected node — the repair
+    // can never beat it (exactness floor), and a repair that found any
+    // link at all must report a real distance
+    graft.functions.VectorFunctions.register(spark)
+    val qt = graft.operators.Learn.QuantTok
+    val surv = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") =!= 0 && col("vec_id") % 29 =!= 3)
+      .select(col("vec_id"), expr(qt).as("nv"))
+    val truth = surv.select(col("vec_id").as("a"), col("nv").as("qv"))
+      .crossJoin(surv.select(col("vec_id").as("b"), col("nv")))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), expr(
+        "aggregate(zip_with(nv, qv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+        .as("d2"))
+      .groupBy(col("a")).agg(min(col("d2")).as("tru"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("a_id")
+      assert(id % 29 != 3, s"a deleted node appears as an affected survivor: $r")
+      assert(r.getAs[Long]("n_lost") >= 1L, s"affected without losses: $r")
+      val after = r.getAs[Long]("n_links_after")
+      assert(after >= 0L && after <= 4L, s"bad repaired link count: $r")
+      if (after > 0L)
+        assert(r.getAs[Long]("best_link_d2") >= truth(id),
+          s"repair 'found' a closer-than-exact survivor?! $r")
+      else
+        assert(r.isNullAt(r.fieldIndex("best_link_d2")), s"empty repair with a distance: $r")
+    }
+    val reattached = rows.count(_.getAs[Long]("n_links_after") > 0L)
+    assert(reattached == rows.length,
+      s"only $reattached/${rows.length} survivors re-linked — bridge repair left orphans")
+  }
+
   test("hnswInsertStream: a two-batch feed replays the batch link page bit-for-bit") {
     val arr = Tables.embeddings(spark, sf)
       .filter(col("vec_id") =!= 0 && col("vec_id") % 23 === 11)
