@@ -251,17 +251,25 @@ object SimSearch {
   private[graft] def diversifyLinks(beam: DataFrame, vecs: DataFrame, m: Int): DataFrame = {
     val rankQ = row_number().over(
       Window.partitionBy(col("qid")).orderBy(col("d2q"), col("vec_id")))
-    val withV = beam
-      .join(vecs.select(col("vec_id"), col("nv")), "vec_id")
-      .ckpt() // both sides of the pairwise self-join read it
-    val pair = withV
-      .select(col("qid"), col("vec_id").as("c_id"), col("nv").as("cv"))
-      .join(withV.select(col("qid"), col("vec_id").as("s_id"), col("nv").as("sv")), "qid")
-      .filter(col("c_id") =!= col("s_id"))
-      .select(col("qid"), col("c_id"), col("s_id"),
-        expr("aggregate(zip_with(cv, sv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
-          .as("d2cs"))
-      .ckpt() // read by every selection round
+    // ckpt, not lazy persist: measured BOTH ways at sf0.1 — the lazy
+    // variant folds 3 selection rounds into one tower of cached
+    // window+anti-join segments and ran up to 2× slower (cached
+    // segments forgo AQE and the planner re-optimizes the whole
+    // tree); the eager page-scale checkpoints keep every round a
+    // small flat job.
+    val pair = {
+      val withV = beam
+        .join(vecs.select(col("vec_id"), col("nv")), "vec_id")
+        .ckpt() // both sides of the pairwise self-join read it
+      withV
+        .select(col("qid"), col("vec_id").as("c_id"), col("nv").as("cv"))
+        .join(withV.select(col("qid"), col("vec_id").as("s_id"), col("nv").as("sv")), "qid")
+        .filter(col("c_id") =!= col("s_id"))
+        .select(col("qid"), col("c_id"), col("s_id"),
+          expr("aggregate(zip_with(cv, sv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+            .as("d2cs"))
+        .ckpt() // read by every selection round
+    }
     var sel = beam.withColumn("rn", rankQ).filter(col("rn") === 1)
       .select(col("qid"), col("vec_id"), col("d2q"))
       .ckpt()
@@ -278,8 +286,8 @@ object SimSearch {
       val nxt = elig.withColumn("rn", rankQ).filter(col("rn") === 1)
         .select(col("qid"), col("vec_id"), col("d2q"))
       sel = sel.unionByName(nxt)
-        .ckpt() // round r+1 reads sel TWICE (union + dmin): without the
-                // checkpoint the recompute doubles per round
+        .ckpt() // round r+1 reads sel TWICE (union + dmin): the eager
+                // checkpoint stops the per-round recompute doubling
     }
     sel
   }
@@ -685,6 +693,12 @@ object SimSearch {
       val rankQ = row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("d2q"), col("vec_id")))
       def beamSearch(adj: DataFrame, entry: DataFrame): DataFrame = {
+        // ckpt per hop, like every beam loop in the family: each beam
+        // feeds the next hop twice, and 6 nested window+distinct
+        // rounds as ONE lazy plan measured 2× SLOWER than the eager
+        // per-hop checkpoints (cached segments forgo AQE and the
+        // planner re-optimizes the whole tower) — measured both ways
+        // at sf0.1 before pinning this
         var beam = scored(queries.select(col("qid")).crossJoin(broadcast(entry))).ckpt()
         for (_ <- 1 to Hops) {
           val cand = adj
