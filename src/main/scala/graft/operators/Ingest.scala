@@ -296,11 +296,18 @@ object Ingest {
         new java.io.File(d).getName
       base.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
       base.write.mode("overwrite").json(s"$tmp/json")
+      // ORC (r14): the other columnar interchange format Spark ships a
+      // native reader/writer for — unlike the text formats it carries
+      // its own schema and stats, so the round trip also covers the
+      // binary-columnar handoff path (Hive-lineage warehouses)
+      base.write.mode("overwrite").orc(s"$tmp/orc")
       val sch = "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
       val back = s.read.schema(sch).option("header", "true").csv(s"$tmp/csv")
         .withColumn("fmt", lit("csv"))
         .unionByName(s.read.schema(sch).json(s"$tmp/json")
           .withColumn("fmt", lit("json")))
+        .unionByName(s.read.schema(sch).orc(s"$tmp/orc")
+          .withColumn("fmt", lit("orc")))
       back.groupBy(col("fmt"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("doc_id")).as("sum_id"),
@@ -384,6 +391,8 @@ object Ingest {
         |SELECT 'csv' AS fmt, n_rows, sum_id, sum_chars, n_langs, n_sources FROM a
         |UNION ALL
         |SELECT 'json' AS fmt, n_rows, sum_id, sum_chars, n_langs, n_sources FROM a
+        |UNION ALL
+        |SELECT 'orc' AS fmt, n_rows, sum_id, sum_chars, n_langs, n_sources FROM a
         |ORDER BY fmt""".stripMargin
   )
 }

@@ -656,6 +656,93 @@ object SimSearch {
       hnswInsertLinks(s, d, nu)
     }),
 
+    // HNSW EF-SWEEP (r14) — the serving-knob calibration page, the
+    // q_lsh_tuning / q_dedup_embed_sweep of the graph-ANN family:
+    // recall@1 and total distance regret of the SAME query page
+    // (vec_id ≡ 7 mod 31) through the SAME hierarchy at layer-0 beam
+    // widths ef ∈ {4, 8, 16} — the one knob an HNSW serving tier
+    // actually turns, measured on-engine so capacity planning reads a
+    // table instead of re-deriving it. The upper-layer greedy descent
+    // is ef-INDEPENDENT and computed once; each ef then pays only its
+    // own 6 layer-0 hops against the shared memoized graphs. Ground
+    // truth reads the memoized exact index (no extra brute-force
+    // pass). Regret = Σ(found d² − true d²): the miss MAGNITUDE, which
+    // recall alone hides (an ef=4 miss that lands at the 2nd NN is not
+    // an ef=4 miss that parks across the graph).
+    "q_hnsw_tuning" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val Hu = 2; val H0 = 6
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), expr(Learn.QuantTok).as("nv"),
+          expr(hnswLevelSpark).as("lvl"))
+        .ckpt() // read by every hop's candidate join + entry + queries
+      val queries = emb.filter(col("vec_id") % 31 === 7)
+        .select(col("vec_id").as("qid"), col("nv").as("qv"))
+      val d2 = "aggregate(zip_with(nv, qv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+      def scored(cand: DataFrame): DataFrame = cand
+        .join(emb.select(col("vec_id"), col("nv")), "vec_id")
+        .join(broadcast(queries), "qid")
+        .select(col("qid"), col("vec_id"),
+          when(col("vec_id") === col("qid"), lit(1000000000000L))
+            .otherwise(expr(d2)).as("d2q"))
+      def sym(adj: DataFrame): DataFrame = adj.unionByName(
+        adj.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      val adj0 = sym(Learn.exactKnnL2(s, d, 8)
+        .filter(col("a_id") =!= 0 && col("b_id") =!= 0)
+        .select(col("a_id"), col("b_id")))
+      def adjUp(l: Int) = sym(hnswUpperAdj(s, d, l)
+        .select(col("a_id"), col("b_id")))
+      val e2 = emb.filter(col("lvl") >= 2).agg(min(col("vec_id")).as("e2"))
+      val e1 = emb.filter(col("lvl") >= 1).agg(min(col("vec_id")).as("e1"))
+      val e0 = emb.agg(min(col("vec_id")).as("e0"))
+      val entry = e2.crossJoin(broadcast(e1)).crossJoin(broadcast(e0))
+        .select(coalesce(col("e2"), col("e1"), col("e0")).as("vec_id"))
+      def argminPerQ(sc: DataFrame): DataFrame =
+        sc.groupBy(col("qid")).agg(min(struct(col("d2q"), col("vec_id"))).as("m"))
+          .select(col("qid"), col("m.vec_id").as("vec_id"), col("m.d2q").as("d2q"))
+      val rankQ = row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2q"), col("vec_id")))
+      // shared ef-independent descent (the q_hnsw_batch upper walk)
+      var cur = argminPerQ(scored(
+          queries.select(col("qid")).crossJoin(broadcast(entry))))
+        .ckpt()
+      for (l <- Seq(2, 1); _ <- 1 to Hu) {
+        val cand = adjUp(l)
+          .join(cur.select(col("vec_id").as("a_id"), col("qid")), "a_id")
+          .select(col("qid"), col("b_id").as("vec_id"))
+          .unionByName(cur.select(col("qid"), col("vec_id"))).distinct()
+        cur = argminPerQ(scored(cand)).ckpt()
+      }
+      val truth = Learn.exactKnnL2(s, d, 8)
+        .join(broadcast(queries.select(col("qid").as("a_id"))), "a_id")
+        .filter(col("b_id") =!= 0)
+        .groupBy(col("a_id"))
+        .agg(min(struct(col("d2"), col("b_id"))).as("m"))
+        .select(col("a_id").as("qid"), col("m.d2").as("true_nn_d2"))
+        .ckpt() // joined by every ef branch's verdict
+      val pages = Seq(4, 8, 16).map { ef =>
+        var beam = cur
+        for (_ <- 1 to H0) {
+          val cand = adj0
+            .join(beam.select(col("vec_id").as("a_id"), col("qid")), "a_id")
+            .select(col("qid"), col("b_id").as("vec_id"))
+            .unionByName(beam.select(col("qid"), col("vec_id"))).distinct()
+          beam = scored(cand)
+            .withColumn("rn", rankQ).filter(col("rn") <= ef).drop("rn")
+            .ckpt()
+        }
+        argminPerQ(beam)
+          .join(truth, "qid")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when(col("d2q") === col("true_nn_d2"), 1L).otherwise(0L)).as("n_reached"),
+            sum(col("d2q") - col("true_nn_d2")).as("regret_d2_sum"))
+          .select(lit(ef.toLong).as("ef"), col("n_queries"), col("n_reached"),
+            expr("(n_reached * 1000) DIV n_queries").as("recall_milli"),
+            col("regret_d2_sum"))
+      }
+      pages.reduce(_ unionByName _).orderBy(col("ef"))
+    }),
+
     // FILTERED ANN (r14) — attribute-predicate vector search, the
     // serving-tier production gap: "top-k among label = 3". Two
     // strategies at EQUAL candidate budget (ef = 8 beam, 6 hops),
@@ -1866,6 +1953,107 @@ object SimSearch {
          |  CAST(CASE WHEN post_d2 = true_d2 THEN 1 ELSE 0 END AS BIGINT) AS post_reached
          |FROM pre LEFT JOIN post USING (qid) JOIN tr USING (qid)
          |ORDER BY qid""".stripMargin
+    },
+
+    // The shared descent + three per-ef layer-0 walks unrolled; each
+    // verdict aggregates its own branch against the same truth CTE.
+    "q_hnsw_tuning" -> {
+      val dd = duckD2 _
+      def subsetAdj(name: String, m: String) =
+        s"""${name}_d AS MATERIALIZED (
+           |  SELECT ai, bi FROM (
+           |    SELECT a.vec_id AS ai, b.vec_id AS bi,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${dd("a.qv", "b.qv")}, b.vec_id) AS rn
+           |    FROM $m a JOIN $m b ON a.vec_id <> b.vec_id)
+           |  WHERE rn <= 4),
+           |$name AS MATERIALIZED (
+           |  SELECT ai, bi FROM ${name}_d
+           |  UNION SELECT bi AS ai, ai AS bi FROM ${name}_d)""".stripMargin
+      def step(pfx: String, i: Int, adj: String, keep: Int) =
+        s"""$pfx$i AS MATERIALIZED (
+           |  SELECT qid, vec_id, d2q FROM (
+           |    SELECT qid, vec_id, d2q,
+           |      row_number() OVER (PARTITION BY qid ORDER BY d2q, vec_id) AS rn
+           |    FROM (
+           |      SELECT c.qid, c.vec_id,
+           |        CASE WHEN c.vec_id = c.qid THEN CAST(1000000000000 AS BIGINT)
+           |             ELSE ${dd("v.qv", "w.qv")} END AS d2q
+           |      FROM (
+           |        SELECT DISTINCT p.qid, j.bi AS vec_id
+           |        FROM $adj j JOIN $pfx${i - 1} p ON j.ai = p.vec_id
+           |        UNION SELECT qid, vec_id FROM $pfx${i - 1}) c
+           |      JOIN e1 v ON v.vec_id = c.vec_id
+           |      JOIN qs w ON w.qid = c.qid))
+           |  WHERE rn <= $keep)""".stripMargin
+      def branch(ef: Int): String = {
+        val pfx = s"x$ef"
+        val hops = (1 to 6).map { i =>
+          step(pfx, i, "adj0", ef)
+        }.mkString(",\n")
+        s"""${pfx}0 AS MATERIALIZED (SELECT qid, vec_id, d2q FROM g4),
+           |$hops,
+           |v$ef AS (
+           |  SELECT CAST($ef AS BIGINT) AS ef,
+           |    CAST(count(*) AS BIGINT) AS n_queries,
+           |    CAST(sum(CASE WHEN b.d2q = tr.true_nn_d2 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+           |    CAST(sum(b.d2q - tr.true_nn_d2) AS BIGINT) AS regret_d2_sum
+           |  FROM (
+           |    SELECT qid, vec_id, d2q FROM (
+           |      SELECT qid, vec_id, d2q,
+           |        row_number() OVER (PARTITION BY qid ORDER BY d2q, vec_id) AS rn
+           |      FROM ${pfx}6) WHERE rn = 1) b
+           |  JOIN tr USING (qid))""".stripMargin
+      }
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |e1 AS MATERIALIZED (SELECT vec_id, qv FROM q WHERE vec_id <> 0),
+         |lv AS (SELECT vec_id, $hnswLevelDuck AS lvl FROM e1),
+         |qs AS MATERIALIZED (
+         |  SELECT vec_id AS qid, qv FROM e1 WHERE vec_id % 31 = 7),
+         |adj0_d AS MATERIALIZED (
+         |  SELECT ai, bi FROM (
+         |    SELECT a.vec_id AS ai, b.vec_id AS bi,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${dd("a.qv", "b.qv")}, b.vec_id) AS rn
+         |    FROM q a JOIN q b ON a.vec_id <> b.vec_id)
+         |  WHERE rn <= 8 AND ai <> 0 AND bi <> 0),
+         |adj0 AS MATERIALIZED (
+         |  SELECT ai, bi FROM adj0_d
+         |  UNION SELECT bi AS ai, ai AS bi FROM adj0_d),
+         |m1 AS (SELECT e1.vec_id, e1.qv FROM e1 JOIN lv USING (vec_id) WHERE lv.lvl >= 1),
+         |m2 AS (SELECT e1.vec_id, e1.qv FROM e1 JOIN lv USING (vec_id) WHERE lv.lvl >= 2),
+         |${subsetAdj("adj1", "m1")},
+         |${subsetAdj("adj2", "m2")},
+         |ent AS (SELECT COALESCE(
+         |  (SELECT min(vec_id) FROM m2),
+         |  (SELECT min(vec_id) FROM m1),
+         |  (SELECT min(vec_id) FROM e1)) AS vec_id),
+         |g0 AS MATERIALIZED (
+         |  SELECT qs.qid, ent.vec_id,
+         |    CASE WHEN ent.vec_id = qs.qid THEN CAST(1000000000000 AS BIGINT)
+         |         ELSE ${dd("v.qv", "qs.qv")} END AS d2q
+         |  FROM qs CROSS JOIN ent JOIN e1 v ON v.vec_id = ent.vec_id),
+         |${step("g", 1, "adj2", 1)},
+         |${step("g", 2, "adj2", 1)},
+         |${step("g", 3, "adj1", 1)},
+         |${step("g", 4, "adj1", 1)},
+         |tr AS (
+         |  SELECT qid, d2 AS true_nn_d2 FROM (
+         |    SELECT qs.qid, ${dd("v.qv", "qs.qv")} AS d2,
+         |      row_number() OVER (PARTITION BY qs.qid
+         |        ORDER BY ${dd("v.qv", "qs.qv")}, v.vec_id) AS rn
+         |    FROM qs, e1 v WHERE v.vec_id <> qs.qid) WHERE rn = 1),
+         |${branch(4)},
+         |${branch(8)},
+         |${branch(16)}
+         |SELECT ef, n_queries, n_reached,
+         |  CAST(n_reached * 1000 // n_queries AS BIGINT) AS recall_milli,
+         |  regret_d2_sum
+         |FROM (SELECT * FROM v4 UNION ALL SELECT * FROM v8 UNION ALL SELECT * FROM v16)
+         |ORDER BY ef""".stripMargin
     },
 
     // Bridge collection + Algorithm-4 re-selection replayed CTE-for-CTE

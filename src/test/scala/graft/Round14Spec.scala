@@ -172,6 +172,25 @@ class Round14Spec extends SparkSpec {
       s"pre-filter recall $pre/${rows.length} under the 3/4 floor")
   }
 
+  test("q_hnsw_tuning: recall climbs and regret falls monotonically with ef; ef=16 meets the serving floor") {
+    val rows = SparkEntry.queries("q_hnsw_tuning")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("ef"))
+    assert(rows.map(_.getAs[Long]("ef")).toSeq == Seq(4L, 8L, 16L))
+    assert(rows.map(_.getAs[Long]("n_queries")).distinct.length == 1,
+      "every ef must verdict the same query page")
+    val rec = rows.map(_.getAs[Long]("n_reached"))
+    val reg = rows.map(_.getAs[Long]("regret_d2_sum"))
+    assert(rec.sliding(2).forall(p => p(0) <= p(1)),
+      s"recall must not fall as ef widens: ${rec.toSeq}")
+    assert(reg.sliding(2).forall(p => p(0) >= p(1)),
+      s"regret must not grow as ef widens: ${reg.toSeq}")
+    rows.foreach(r => assert(r.getAs[Long]("regret_d2_sum") >= 0L,
+      s"a beam found a closer-than-true NN?! $r"))
+    val n = rows.last.getAs[Long]("n_queries")
+    assert(rows.last.getAs[Long]("n_reached") * 4 >= n * 3,
+      s"ef=16 recall ${rows.last.getAs[Long]("n_reached")}/$n under the q_hnsw_batch 3/4 floor")
+  }
+
   test("q_hnsw_delete: repair pages cover every affected survivor; repaired links beat the severed floor") {
     val rows = SparkEntry.queries("q_hnsw_delete")(spark, sf).collect()
     assert(rows.nonEmpty, "fixture must produce affected survivors")
