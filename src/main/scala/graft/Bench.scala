@@ -113,12 +113,16 @@ object Bench {
     // pass-1 timings carried the contention even though the pass ENDED
     // quiet. Wait out residual load (bounded — a 1-min loadavg needs
     // minutes to decay) before the first timed query runs.
-    var waitBudgetMs = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_WAIT_MS", "300000").toLong
-    while (loadAvg() > gate && waitBudgetMs > 0) {
-      System.err.println(f"[bench] start loadavg ${loadAvg()}%.2f > gate $gate%.2f — waiting 15s for quiet")
-      Thread.sleep(15000)
-      waitBudgetMs -= 15000
+    def waitForQuiet(context: String): Unit = {
+      var budgetMs = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_WAIT_MS", "300000").toLong
+      while (loadAvg() > gate && budgetMs > 0) {
+        System.err.println(
+          f"[bench] $context loadavg ${loadAvg()}%.2f > gate $gate%.2f — waiting 15s for quiet")
+        Thread.sleep(15000)
+        budgetMs -= 15000
+      }
     }
+    waitForQuiet("start")
     passLoads(0) = loadAvg()
     for (p <- 0 until passes) {
       var done = false
@@ -134,6 +138,11 @@ object Bench {
           retriesLeft -= 1
           System.err.println(
             f"[bench] pass ${p + 1} ended with loadavg $la%.2f > gate $gate%.2f — discarding and re-running")
+          // a 1-min loadavg needs minutes to decay: re-running
+          // immediately would burn every retry inside the decay window
+          // and then COMMIT the still-contaminated pass — wait out the
+          // residual load first (same bounded budget as the start gate)
+          waitForQuiet(s"retry of pass ${p + 1}")
         } else {
           passLoads(p + 1) = la
           done = true

@@ -2571,15 +2571,19 @@ object Learn {
     s"kk AS (SELECT GREATEST($CoarseKFloor, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings)"
   private[operators] val CoarseKSql: String = "(SELECT k FROM kk)"
 
-  private val coarseKMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  // same TtlMemo posture as clsMemo/coarseMemo (r14 review finding:
+  // this was the one remaining dir-keyed session-less memo — a
+  // regenerated fixture dir would have served a STALE K to a fresh
+  // codebook retrain while the oracle derived K from the new count)
+  private[graft] val coarseKMemo = new TtlMemo[Int](ttlMillis = 3600L * 1000)
 
-  /** [[coarseK]] of the corpus at `d`, memoized per data dir (the
-    * count is one columnar scan; the codebook trainer and every IVF
-    * consumer share the same resolved K). */
+  /** [[coarseK]] of the corpus at `d`, memoized per (session, dir)
+    * with the shared TTL contract (the count is one columnar scan; the
+    * codebook trainer and every IVF consumer share the resolved K). */
   private[graft] def coarseKOf(s: SparkSession, d: String): Int =
-    coarseKMemo.computeIfAbsent(d,
-      _ => Int.box(coarseK(Tables.embeddings(s, d).count()))).intValue()
+    coarseKMemo.resolve(clsKey(s, d)) {
+      coarseK(Tables.embeddings(s, d).count())
+    }
 
   /** The quantize-once boundary: float → 1e-4-grid BIGINT per dim. */
   private[graft] val QuantTok =

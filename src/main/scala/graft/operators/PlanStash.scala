@@ -55,12 +55,28 @@ object PlanStash {
   // plans whose checkpointed frames are long dead age out. Eviction is
   // FAIL-SAFE for the sweeps: an evicted producer makes grainBounded
   // answer false (strict), never blesses an unaudited plan.
-  private[graft] val MaxEntries = 16384
+  // sized for the worst real consumer: a full `sbt test` JVM builds
+  // every registered query's plan ~8-12 times across the registry
+  // sweeps (each build re-executes its eager ckpts — ~1-3 per query,
+  // 451 queries), ≈ 17k stashes; 32k leaves 2× headroom while bounding
+  // worst-case residency at ~100 MB of sanitized metadata trees
+  private[graft] val MaxEntries = 32768
+  private val evicted = new java.util.concurrent.atomic.AtomicLong()
   private val byRdd = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[Int, LogicalPlan](64, 0.75f, /*accessOrder=*/ true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Int, LogicalPlan]): Boolean = size() > MaxEntries
+          e: java.util.Map.Entry[Int, LogicalPlan]): Boolean = {
+        val drop = size() > MaxEntries
+        if (drop) evicted.incrementAndGet()
+        drop
+      }
     })
+
+  /** Entries aged out by the LRU cap — the stashed-plan sweep reads
+    * this so lost audit coverage is VISIBLE (an evicted producer
+    * vanishes from [[all]] silently; resolution via [[grainBounded]]
+    * stays fail-safe strict either way). */
+  def evictionCount: Long = evicted.get()
 
   private def sanitize(p: LogicalPlan): LogicalPlan = p.transform {
     case l: LogicalRDD => CheckpointLeaf(l.rdd.id, l.output)

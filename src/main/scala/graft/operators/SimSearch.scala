@@ -176,8 +176,8 @@ object SimSearch {
     * d2-to-query strictly beats their min d2 to the r−1 picks, then
     * takes the argmin of those. Ties reject in both engines (strict
     * <). `vecs` is the (vec_id, qv) table covering every beam member;
-    * the final pick set is `${name}_s4`. */
-  private def duckDivSel(name: String, beam: String, vecs: String): String = {
+    * the final pick set is `${name}_s$m` (callers must pass the SAME m as the diversifyLinks call they mirror — the default matches the family's M = 4). */
+  private def duckDivSel(name: String, beam: String, vecs: String, m: Int = 4): String = {
     val pair =
       s"""${name}_pair AS MATERIALIZED (
          |  SELECT a.qid, a.vec_id AS c_id, b.vec_id AS s_id,
@@ -191,7 +191,7 @@ object SimSearch {
          |    SELECT qid, vec_id, d2q,
          |      row_number() OVER (PARTITION BY qid ORDER BY d2q, vec_id) AS rn
          |    FROM $beam) WHERE rn = 1)""".stripMargin
-    val rounds = (2 to 4).map { r =>
+    val rounds = (2 to m).map { r =>
       s"""${name}_e$r AS (
          |  SELECT c.qid, c.vec_id, c.d2q
          |  FROM $beam c
@@ -344,9 +344,15 @@ object SimSearch {
           .withColumn("rn", rankQ).filter(col("rn") <= keep).drop("rn")
           .ckpt()
       }
-      links = links :+ diversifyLinks(beam, emb, M)
-        .join(broadcast(nu.select(col("qid"), col("qlvl"))), "qid")
-        .filter(col("qlvl") >= l)
+      // select links ONLY for arrivals whose level reaches this layer
+      // (r14 review): the geometric draw leaves ~1/16 of the batch at
+      // layer 2 and ~1/4 at layer 1, and running the 3-round selection
+      // for everyone just to drop the rows afterwards paid the
+      // dominant per-layer cost for nothing — per-qid selection state
+      // is independent, so pre-filtering the beam is result-identical
+      val levelQids = nu.filter(col("qlvl") >= l).select(col("qid"))
+      links = links :+ diversifyLinks(
+          beam.join(broadcast(levelQids), "qid"), emb, M)
         .groupBy(col("qid"))
         .agg(count(lit(1)).as("n_links"), min(col("d2q")).as("best_link_d2"),
           sum(col("vec_id")).as("links_sum"))
@@ -1550,10 +1556,7 @@ object SimSearch {
     // the hop's trace row (beam best + did-it-improve vs the previous
     // best).
     "q_graph_ann" -> {
-      val dd = (a: String, b: String) =>
-        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-          s"list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), " +
-          s"(x, y) -> x + y)"
+      val dd = duckD2 _
       val hops = (1 to 8).map { h =>
         s"""c$h AS MATERIALIZED (
            |  SELECT vec_id, d2q FROM (
@@ -1599,10 +1602,7 @@ object SimSearch {
     // graphs (all-pairs rank — oracle scale), 4 greedy descent steps
     // (2 per upper layer, monotone), then the ef=8 beam for 4 hops.
     "q_hnsw" -> {
-      val dd = (a: String, b: String) =>
-        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-          s"list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), " +
-          s"(x, y) -> x + y)"
+      val dd = duckD2 _
       def subsetAdj(name: String, m: String) =
         s"""$name AS MATERIALIZED (
            |  SELECT ai, bi FROM (
@@ -1687,10 +1687,7 @@ object SimSearch {
     // The batched search unrolled: every step is ONE set-valued CTE
     // over the whole query page (per-qid rank), never per-query.
     "q_hnsw_batch" -> {
-      val dd = (a: String, b: String) =>
-        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-          s"list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), " +
-          s"(x, y) -> x + y)"
+      val dd = duckD2 _
       def subsetAdj(name: String, m: String) =
         s"""${name}_d AS MATERIALIZED (
            |  SELECT ai, bi FROM (
@@ -1779,10 +1776,7 @@ object SimSearch {
     // The insert search unrolled over the existing-member graphs;
     // link pages read off the per-layer final beams.
     "q_hnsw_insert" -> {
-      val dd = (a: String, b: String) =>
-        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-          s"list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), " +
-          s"(x, y) -> x + y)"
+      val dd = duckD2 _
       def subsetAdj(name: String, m: String, k: Int) =
         s"""${name}_d AS MATERIALIZED (
            |  SELECT ai, bi FROM (
@@ -1863,10 +1857,7 @@ object SimSearch {
     // Both beam walks unrolled (6 hops each at ef = 8), verdicts and
     // the member-NN truth read off the same frames the Spark plan uses.
     "q_ann_filtered" -> {
-      val dd = (a: String, b: String) =>
-        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-          s"list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), " +
-          s"(x, y) -> x + y)"
+      val dd = duckD2 _
       def subsetAdj(name: String, m: String, k: Int) =
         s"""${name}_d AS MATERIALIZED (
            |  SELECT ai, bi FROM (

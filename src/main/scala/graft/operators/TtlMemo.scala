@@ -24,18 +24,22 @@ class TtlMemo[V](ttlMillis: Long, clock: () => Long = () => System.currentTimeMi
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
   private val builds = new AtomicLong()
 
-  /** The memoized value for `key`, rebuilding if absent or expired. */
-  def resolve(key: String)(build: => V): V = synchronized {
-    val now = clock()
-    val e = cache.get(key)
-    if (e != null && now - e.builtAt < ttlMillis) e.v
-    else {
-      val v = build
-      builds.incrementAndGet()
-      cache.put(key, Entry(v, now))
-      v
-    }
-  }
+  /** The memoized value for `key`, rebuilding if absent or expired.
+    * PER-KEY atomicity (ConcurrentHashMap.compute), not an
+    * instance-wide lock: a build can be seconds of Spark jobs (the
+    * classifier retrain), and a streaming trigger resolving one dir
+    * must not serialize behind the driver training another — two
+    * resolves of the SAME key still see exactly one build. */
+  def resolve(key: String)(build: => V): V =
+    cache.compute(key, (_, e) => {
+      val now = clock()
+      if (e != null && now - e.builtAt < ttlMillis) e
+      else {
+        val v = build
+        builds.incrementAndGet()
+        Entry(v, now)
+      }
+    }).v
 
   /** Times the builder actually ran (cache misses), for specs. */
   def buildCount: Long = builds.get()

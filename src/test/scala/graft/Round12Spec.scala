@@ -71,6 +71,18 @@ class Round12Spec extends SparkSpec {
       s"${hidden.size} partitionless base-grain Window(s) hide below " +
         s"checkpoints (stashed producer plans):\n" +
         hidden.take(3).map(_.toString.take(400)).mkString("\n"))
+    // lost-coverage visibility (r14): an LRU-evicted producer simply
+    // VANISHES from PlanStash.all, so this sweep passing says nothing
+    // about it — surface the count instead of letting coverage erode
+    // silently (grainBounded resolution stays fail-safe strict either
+    // way). Non-zero here means the session stashed > MaxEntries plans
+    // and the earliest ones went unaudited.
+    info(s"PlanStash: ${PlanStash.all.size} stashed plans swept, " +
+      s"${PlanStash.evictionCount} evicted before this sweep")
+    assert(PlanStash.evictionCount == 0L,
+      s"${PlanStash.evictionCount} stashed producer plans were LRU-evicted " +
+        "before this sweep ran — raise PlanStash.MaxEntries or sweep earlier; " +
+        "those plans escaped the stashed-plan audit")
   }
 
   test("plan sweep: no registered query joins two unbounded frames without equi keys") {

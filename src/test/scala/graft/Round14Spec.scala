@@ -227,6 +227,35 @@ class Round14Spec extends SparkSpec {
       s"only $reattached/${rows.length} survivors re-linked — bridge repair left orphans")
   }
 
+  test("producer rows really invalidate their own memo keys (key-drift guard)") {
+    // Producers hand-renders some cache keys (skey) — if an owning
+    // module ever changes its key format, invalidate() becomes a
+    // silent no-op and the "cold build" bench row would time a memo
+    // HIT, quietly turning build-cost rows back into serve-cost rows.
+    // Running each producer twice must therefore rebuild twice.
+    val checks: Seq[(String, () => Long)] = Seq(
+      "producer:sink_ids" -> (() => graft.operators.Ingest.sinkIdCache.buildCount),
+      "producer:trade_edges" -> (() => graft.operators.Graph.tradeEdgeCache.buildCount),
+      "producer:lp_labels" -> (() => graft.operators.Graph.lpLabelCache.buildCount),
+      "producer:cluster_labels" -> (() => graft.operators.NearDup.clusterLabelCache.buildCount),
+      "producer:coarse_centroids" -> (() => graft.operators.Learn.coarseMemo.buildCount),
+      "producer:classifier_train" -> (() => graft.operators.Learn.clsMemo.buildCount),
+      "producer:knn_exact3" -> (() => graft.operators.Learn.knnCache.buildCount),
+      // the pred-rendered keys — the drift-prone class the knnKey
+      // change introduced
+      "producer:hnsw_layers" -> (() => graft.operators.Learn.knnCache.buildCount)
+    )
+    for ((name, count) <- checks) {
+      val fn = Producers.all(name)
+      fn(spark, sf).count()
+      val c1 = count()
+      fn(spark, sf).count()
+      assert(count() > c1,
+        s"$name did not rebuild on a second run — its invalidate key no " +
+          "longer matches the owning cache's key format (silent no-op)")
+    }
+  }
+
   test("hnswInsertStream: a two-batch feed replays the batch link page bit-for-bit") {
     val arr = Tables.embeddings(spark, sf)
       .filter(col("vec_id") =!= 0 && col("vec_id") % 23 === 11)
