@@ -101,6 +101,25 @@ def main():
     section(f"producer-row regressions > {mover}x (build-cost movers)", prod_up, True)
     section(f"consumer regressions > {mover}x (EVERY one needs a plan-audit note in BASELINE.md)", cons_up, True)
     section(f"improvements < {1 / mover:.2f}x (design wins to record)", movers_down, False)
+    # Producer-coverage check (r14 VERDICT #8): a `memoized: true`
+    # consumer's min is a cache-hit read, so its build cost must be
+    # timed SOMEWHERE — either a producer:* row exists in the same run,
+    # or the build is a documented single-consumer memo (the annfilt
+    # posture: its build serves exactly one query, so that query's
+    # first-pass time already carries it and a producer row would be
+    # redundant). Newly-memoized queries are named so the round close
+    # decides consciously instead of silently inheriting a ghost.
+    new_producers = sorted(k for k in new_q if k.startswith("producer:"))
+    newly_memoized = sorted(k for k in new_m
+                            if k not in old_m and not k.startswith("producer:"))
+    if new_m and not new_producers:
+        print("\nWARN: run has memoized consumers but NO producer:* rows — "
+              "build cost is hiding in consumer minima (pre-r14 bench format?)")
+    if newly_memoized:
+        print(f"\nnewly-memoized consumers ({len(newly_memoized)}) — verify each "
+              "has a producer:* row or a documented single-consumer memo:")
+        for k in newly_memoized:
+            print(f"  {k}")
     added = sorted(k for k in new_q if k not in old_q)
     removed = sorted(k for k in old_q if k not in new_q)
     if added:

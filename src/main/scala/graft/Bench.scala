@@ -113,14 +113,30 @@ object Bench {
     // pass-1 timings carried the contention even though the pass ENDED
     // quiet. Wait out residual load (bounded — a 1-min loadavg needs
     // minutes to decay) before the first timed query runs.
-    def waitForQuiet(context: String): Unit = {
+    // Returns whether quiet was actually reached: a budget that expires
+    // above the gate must be VISIBLE in the artifact (r14 ADVICE — the
+    // old form silently proceeded on a still-loaded host, so sustained
+    // ambient load could defeat the gate with only loadavg_history as
+    // evidence). loadAvg() is read ONCE per loop iteration so the
+    // gated value and the logged value are the same number.
+    var gateViolations = 0
+    def waitForQuiet(context: String): Boolean = {
       var budgetMs = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_WAIT_MS", "300000").toLong
-      while (loadAvg() > gate && budgetMs > 0) {
+      var la = loadAvg()
+      while (la > gate && budgetMs > 0) {
         System.err.println(
-          f"[bench] $context loadavg ${loadAvg()}%.2f > gate $gate%.2f — waiting 15s for quiet")
+          f"[bench] $context loadavg $la%.2f > gate $gate%.2f — waiting 15s for quiet")
         Thread.sleep(15000)
         budgetMs -= 15000
+        la = loadAvg()
       }
+      val quiet = la <= gate
+      if (!quiet) {
+        gateViolations += 1
+        System.err.println(
+          f"[bench] GATE VIOLATED: $context still at loadavg $la%.2f > gate $gate%.2f after wait budget — proceeding, marked in artifact")
+      }
+      quiet
     }
     waitForQuiet("start")
     passLoads(0) = loadAvg()
@@ -144,6 +160,14 @@ object Bench {
           // residual load first (same bounded budget as the start gate)
           waitForQuiet(s"retry of pass ${p + 1}")
         } else {
+          if (la > gate) {
+            // retries exhausted above the gate: the contaminated pass IS
+            // being committed — mark it explicitly, don't rely on the
+            // reader cross-checking loadavg_history (r14 ADVICE)
+            gateViolations += 1
+            System.err.println(
+              f"[bench] GATE VIOLATED: pass ${p + 1} committed at loadavg $la%.2f > gate $gate%.2f (retries exhausted)")
+          }
           passLoads(p + 1) = la
           done = true
         }
@@ -163,7 +187,7 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed_count":${failed.size},"failed":$failedJson,"loadavg_before":${passLoads(0)},"loadavg_after":${passLoads(passes)}}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed_count":${failed.size},"failed":$failedJson,"loadavg_before":${passLoads(0)},"loadavg_after":${passLoads(passes)},"gate_violations":$gateViolations}"""
     println(summary)
     // The driver keeps only the tail of bench stdout, so the full
     // artifact (every per-pass time, not just the min) is also written
@@ -174,7 +198,7 @@ object Bench {
         val best = results(i)._2
         s"\"" + name + s"\":{\"passes\":$ts,\"min\":$best,\"memoized\":${memoHits(i)}}"
       }.mkString("{", ",", "}")
-      s"""{"sf":"$sfDir","cpus":$cpus,"passes":$passes,"total_min":$total,"failed_count":${failed.size},"failed":$failedJson,"loadavg_per_pass":${passLoads.mkString("[", ",", "]")},"loadavg_gate":$gate,"discarded_passes":${maxRetries - retriesLeft},"loadavg_history":${loadHistory.mkString("[", ",", "]")},"queries":$perQuery}"""
+      s"""{"sf":"$sfDir","cpus":$cpus,"passes":$passes,"total_min":$total,"failed_count":${failed.size},"failed":$failedJson,"loadavg_per_pass":${passLoads.mkString("[", ",", "]")},"loadavg_gate":$gate,"discarded_passes":${maxRetries - retriesLeft},"gate_violations":$gateViolations,"loadavg_history":${loadHistory.mkString("[", ",", "]")},"queries":$perQuery}"""
     }
     // A SUBSET run (query names as args) must never clobber the
     // full-sweep artifact the round comparison reads — it lands in

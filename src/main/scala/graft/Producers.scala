@@ -39,10 +39,15 @@ object Producers {
 
   /** Wrap a driver-side value build as a 1-row frame so Bench's
     * `.count()` forcing works uniformly; the value build runs eagerly
-    * HERE (inside the timing window), not at count time. */
+    * HERE (inside the timing window), not at count time. The frame is
+    * ALWAYS one row carrying a `built_n` column (r14 VERDICT #4: the
+    * old `range(n max 1)` form reported an empty Seq as 1 row built —
+    * the ledger row now states the built size instead of encoding it
+    * in a row count). */
   private def forced(s: SparkSession, v: => Any): DataFrame = {
     val n = v match { case t: Seq[_] => t.size.toLong; case _ => 1L }
-    s.range(n max 1L).toDF("built")
+    import org.apache.spark.sql.functions.lit
+    s.range(1L).select(lit(n).as("built_n"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -59,7 +59,18 @@ object PlanStash {
   // every registered query's plan ~8-12 times across the registry
   // sweeps (each build re-executes its eager ckpts — ~1-3 per query,
   // 451 queries), ≈ 17k stashes; 32k leaves 2× headroom while bounding
-  // worst-case residency at ~100 MB of sanitized metadata trees
+  // worst-case residency at ~100 MB of sanitized metadata trees.
+  //
+  // ACCEPTED RISK (r14 ADVICE): in a session long enough to stash 32k+
+  // plans between a memoized checkpoint's build and its sweep, the LRU
+  // could evict a STILL-LIVE producer and grainBounded would answer a
+  // spurious false (fail-safe direction: a false "unbounded" verdict,
+  // never a blessed unaudited plan). Pinning entries to live
+  // CachedRelation frames would need a reverse RDD-id→memo index for a
+  // failure mode no real consumer reaches (the sweep asserts
+  // evictionCount == 0, so the first session that ever ages an entry
+  // out fails LOUDLY and the cap gets raised — visibility, not
+  // heuristics, is the guard).
   private[graft] val MaxEntries = 32768
   private val evicted = new java.util.concurrent.atomic.AtomicLong()
   private val byRdd = java.util.Collections.synchronizedMap(

@@ -245,12 +245,24 @@ object SimSearch {
     * accepted candidate is exactly the round's minimal eligible one.
     * Ties (d2-to-query = d2-to-pick) reject, in both engines.
     *
-    * `beam` = (qid, vec_id, d2q); `vecs` = (vec_id, nv) covering every
-    * beam member. Pairwise cost is |Q|·ef² rows — query-page scale,
-    * never corpus scale. Returns (qid, vec_id, d2q) of ≤ m picks. */
-  private[graft] def diversifyLinks(beam: DataFrame, vecs: DataFrame, m: Int): DataFrame = {
+    * `beam` = (keyCols..., vec_id, d2q); `vecs` = (vec_id, nv) covering
+    * every beam member. Pairwise cost is |Q|·ef² rows — query-page
+    * scale, never corpus scale. Returns (keyCols..., vec_id, d2q) of
+    * ≤ m picks per key.
+    *
+    * `keyCols` generalizes the per-query key to a COMPOSITE (r14
+    * VERDICT #2): selection state is independent per key, so callers
+    * with several independent selection pages (q_hnsw_insert's three
+    * per-layer link selections) union them under a (qid, layer) key
+    * and pay ONE set of m+1 checkpoint jobs instead of one per page —
+    * result-identical by construction (every join, window, and
+    * aggregate here is keyed), measured ~3× fewer jobs on the insert
+    * path whose cost was job-count overhead, not data. */
+  private[graft] def diversifyLinks(beam: DataFrame, vecs: DataFrame, m: Int,
+      keyCols: Seq[String] = Seq("qid")): DataFrame = {
+    val key = keyCols.map(col)
     val rankQ = row_number().over(
-      Window.partitionBy(col("qid")).orderBy(col("d2q"), col("vec_id")))
+      Window.partitionBy(key: _*).orderBy(col("d2q"), col("vec_id")))
     // ckpt, not lazy persist: measured BOTH ways at sf0.1 — the lazy
     // variant folds 3 selection rounds into one tower of cached
     // window+anti-join segments and ran up to 2× slower (cached
@@ -262,29 +274,29 @@ object SimSearch {
         .join(vecs.select(col("vec_id"), col("nv")), "vec_id")
         .ckpt() // both sides of the pairwise self-join read it
       withV
-        .select(col("qid"), col("vec_id").as("c_id"), col("nv").as("cv"))
-        .join(withV.select(col("qid"), col("vec_id").as("s_id"), col("nv").as("sv")), "qid")
+        .select(key :+ col("vec_id").as("c_id") :+ col("nv").as("cv"): _*)
+        .join(withV.select(key :+ col("vec_id").as("s_id") :+ col("nv").as("sv"): _*), keyCols)
         .filter(col("c_id") =!= col("s_id"))
-        .select(col("qid"), col("c_id"), col("s_id"),
+        .select(key :+ col("c_id") :+ col("s_id") :+
           expr("aggregate(zip_with(cv, sv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
-            .as("d2cs"))
+            .as("d2cs"): _*)
         .ckpt() // read by every selection round
     }
     var sel = beam.withColumn("rn", rankQ).filter(col("rn") === 1)
-      .select(col("qid"), col("vec_id"), col("d2q"))
+      .select(key :+ col("vec_id") :+ col("d2q"): _*)
       .ckpt()
     for (_ <- 2 to m) {
       // min distance from each not-yet-picked candidate to the picks
       val dmin = pair
-        .join(sel.select(col("qid"), col("vec_id").as("s_id")), Seq("qid", "s_id"))
-        .groupBy(col("qid"), col("c_id")).agg(min(col("d2cs")).as("dmin"))
+        .join(sel.select(key :+ col("vec_id").as("s_id"): _*), keyCols :+ "s_id")
+        .groupBy(key :+ col("c_id"): _*).agg(min(col("d2cs")).as("dmin"))
       val elig = beam
-        .join(sel.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_anti")
-        .join(dmin.select(col("qid"), col("c_id").as("vec_id"), col("dmin")),
-          Seq("qid", "vec_id"))
+        .join(sel.select(key :+ col("vec_id"): _*), keyCols :+ "vec_id", "left_anti")
+        .join(dmin.select(key :+ col("c_id").as("vec_id") :+ col("dmin"): _*),
+          keyCols :+ "vec_id")
         .filter(col("d2q") < col("dmin"))
       val nxt = elig.withColumn("rn", rankQ).filter(col("rn") === 1)
-        .select(col("qid"), col("vec_id"), col("d2q"))
+        .select(key :+ col("vec_id") :+ col("d2q"): _*)
       sel = sel.unionByName(nxt)
         .ckpt() // round r+1 reads sel TWICE (union + dmin): the eager
                 // checkpoint stops the per-round recompute doubling
@@ -329,7 +341,7 @@ object SimSearch {
     val rankQ = row_number().over(
       Window.partitionBy(col("qid")).orderBy(col("d2q"), col("vec_id")))
     var beam = scored(nu.select(col("qid")).crossJoin(broadcast(entry))).ckpt()
-    var links = Seq.empty[DataFrame]
+    var selPages = Seq.empty[DataFrame]
     // layer 0 searches at the batch-search operating point (ef = 16
     // over 6 hops — measured there: 0.94 recall@1 vs 0.50 at ef=8/4);
     // the sparse upper layers need only the narrow beam
@@ -351,15 +363,24 @@ object SimSearch {
       // dominant per-layer cost for nothing — per-qid selection state
       // is independent, so pre-filtering the beam is result-identical
       val levelQids = nu.filter(col("qlvl") >= l).select(col("qid"))
-      links = links :+ diversifyLinks(
-          beam.join(broadcast(levelQids), "qid"), emb, M)
-        .groupBy(col("qid"))
-        .agg(count(lit(1)).as("n_links"), min(col("d2q")).as("best_link_d2"),
-          sum(col("vec_id")).as("links_sum"))
-        .select(col("qid").as("new_id"), lit(l.toLong).as("layer"),
-          col("n_links"), col("best_link_d2"), col("links_sum"))
+      selPages = selPages :+ beam.join(broadcast(levelQids), "qid")
+        .select(col("qid"), lit(l.toLong).as("layer"), col("vec_id"), col("d2q"))
     }
-    links.reduce(_ unionByName _).orderBy(col("new_id"), col("layer"))
+    // ONE Algorithm-4 selection over the union of the level-filtered
+    // final beams, keyed by the composite (qid, layer) — per-key
+    // selection state is independent, so this is result-identical to
+    // the old one-call-per-layer form while paying the m+1 checkpoint
+    // jobs ONCE instead of three times (r14 VERDICT #2: the insert
+    // path's 5.7–11.5 s spread was job-count overhead at page scale,
+    // not data; scheduling ~15 small jobs dominated the query).
+    diversifyLinks(selPages.reduce(_ unionByName _), emb, M,
+        keyCols = Seq("qid", "layer"))
+      .groupBy(col("qid"), col("layer"))
+      .agg(count(lit(1)).as("n_links"), min(col("d2q")).as("best_link_d2"),
+        sum(col("vec_id")).as("links_sum"))
+      .select(col("qid").as("new_id"), col("layer"),
+        col("n_links"), col("best_link_d2"), col("links_sum"))
+      .orderBy(col("new_id"), col("layer"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -1,5 +1,6 @@
 package graft.operators
 
+import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 /** TTL memo for driver-side VALUES (trained weights, codebooks) — the
@@ -18,28 +19,52 @@ import java.util.concurrent.atomic.AtomicLong
   * No unpersist lifecycle is needed (values are plain objects, GC
   * collects them), so expiry is a simple timestamp check; the clock is
   * injectable for the fake-clock expiry specs.
+  *
+  * Concurrency (r14 ADVICE): the map holds LAZY CELLS, not values, and
+  * cells are installed with lock-free putIfAbsent/replace — the
+  * multi-second Spark build runs under the CELL's own monitor (the
+  * Scala lazy-val lock), never under a ConcurrentHashMap bin lock. The
+  * previous compute()-based form held the bin for the build's
+  * duration, so two UNRELATED keys hashing to one bin serialized a
+  * retrain behind another (and a re-entrant build would have thrown
+  * CHM's recursive-update IllegalStateException). Per-key atomicity is
+  * unchanged: two resolves of the SAME key still see exactly one build
+  * (both get the same cell; the second blocks on its lazy init).
+  * Round15Spec pins that a slow build of one key does not block
+  * another key's resolve.
   */
 class TtlMemo[V](ttlMillis: Long, clock: () => Long = () => System.currentTimeMillis()) {
-  private case class Entry(v: V, builtAt: Long)
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+  private final class Cell(builder: () => V, val builtAt: Long) {
+    lazy val value: V = builder()
+  }
+  private val cache = new ConcurrentHashMap[String, Cell]()
   private val builds = new AtomicLong()
 
-  /** The memoized value for `key`, rebuilding if absent or expired.
-    * PER-KEY atomicity (ConcurrentHashMap.compute), not an
-    * instance-wide lock: a build can be seconds of Spark jobs (the
-    * classifier retrain), and a streaming trigger resolving one dir
-    * must not serialize behind the driver training another — two
-    * resolves of the SAME key still see exactly one build. */
-  def resolve(key: String)(build: => V): V =
-    cache.compute(key, (_, e) => {
-      val now = clock()
-      if (e != null && now - e.builtAt < ttlMillis) e
-      else {
-        val v = build
-        builds.incrementAndGet()
-        Entry(v, now)
-      }
-    }).v
+  /** The memoized value for `key`, rebuilding if absent or expired. */
+  @annotation.tailrec
+  final def resolve(key: String)(build: => V): V = {
+    val now = clock()
+    val cur = cache.get(key)
+    if (cur != null && now - cur.builtAt < ttlMillis) cur.value
+    else {
+      val fresh = new Cell(() => { builds.incrementAndGet(); build }, now)
+      val installed =
+        if (cur == null) {
+          val prev = cache.putIfAbsent(key, fresh)
+          if (prev == null) fresh else prev
+        } else if (cache.replace(key, cur, fresh)) fresh
+        else null // lost the replace race (concurrent refresh/invalidate)
+      if (installed == null) resolve(key)(build)
+      else if (now - installed.builtAt < ttlMillis) installed.value
+      else resolve(key)(build) // a racing thread installed an already-stale cell
+    }
+  }
+
+  /** Pre-populate `key` with an externally produced value (the
+    * index-store LOAD path: the value was deserialized, not trained —
+    * it must not count as a builder run). Subject to the same TTL. */
+  def put(key: String, v: V): Unit =
+    cache.put(key, new Cell(() => v, clock()))
 
   /** Times the builder actually ran (cache misses), for specs. */
   def buildCount: Long = builds.get()

@@ -233,24 +233,31 @@ class Round14Spec extends SparkSpec {
     // silent no-op and the "cold build" bench row would time a memo
     // HIT, quietly turning build-cost rows back into serve-cost rows.
     // Running each producer twice must therefore rebuild twice.
-    val checks: Seq[(String, () => Long)] = Seq(
-      "producer:sink_ids" -> (() => graft.operators.Ingest.sinkIdCache.buildCount),
-      "producer:trade_edges" -> (() => graft.operators.Graph.tradeEdgeCache.buildCount),
-      "producer:lp_labels" -> (() => graft.operators.Graph.lpLabelCache.buildCount),
-      "producer:cluster_labels" -> (() => graft.operators.NearDup.clusterLabelCache.buildCount),
-      "producer:coarse_centroids" -> (() => graft.operators.Learn.coarseMemo.buildCount),
-      "producer:classifier_train" -> (() => graft.operators.Learn.clsMemo.buildCount),
-      "producer:knn_exact3" -> (() => graft.operators.Learn.knnCache.buildCount),
-      // the pred-rendered keys — the drift-prone class the knnKey
-      // change introduced
-      "producer:hnsw_layers" -> (() => graft.operators.Learn.knnCache.buildCount)
+    //
+    // EVERY producer is checked (r14 ADVICE: the old hand-picked
+    // subset let a key-format drift in an unlisted module slip the
+    // guard) against the SUM of every memo build counter in main
+    // source — a producer whose second run bumps no counter anywhere
+    // either rebuilt nothing (drifted key) or builds through a cache
+    // missing from this list; both must fail here.
+    val counters: Seq[() => Long] = Seq(
+      () => graft.operators.Ingest.sinkIdCache.buildCount,
+      () => graft.operators.Curation.suffixPairCache.buildCount,
+      () => graft.operators.Graph.tradeEdgeCache.buildCount,
+      () => graft.operators.Graph.lpLabelCache.buildCount,
+      () => graft.operators.NearDup.clusterLabelCache.buildCount,
+      () => graft.operators.Learn.coarseMemo.buildCount,
+      () => graft.operators.Learn.coarseKMemo.buildCount,
+      () => graft.operators.Learn.clsMemo.buildCount,
+      () => graft.operators.Learn.knnCache.buildCount,
+      () => graft.operators.SimSearch.hnswEmbCache.buildCount
     )
-    for ((name, count) <- checks) {
-      val fn = Producers.all(name)
+    def builds() = counters.map(_()).sum
+    for ((name, fn) <- Producers.all.toSeq.sortBy(_._1)) {
       fn(spark, sf).count()
-      val c1 = count()
+      val c1 = builds()
       fn(spark, sf).count()
-      assert(count() > c1,
+      assert(builds() > c1,
         s"$name did not rebuild on a second run — its invalidate key no " +
           "longer matches the owning cache's key format (silent no-op)")
     }

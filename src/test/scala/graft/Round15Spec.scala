@@ -1,0 +1,63 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 pins: TtlMemo builds must not serialize across keys
+  * (lazy-cell installs instead of compute-under-bin-lock), plus the
+  * round's lifecycle additions as they land.
+  */
+class Round15Spec extends SparkSpec {
+
+  test("TtlMemo: a slow build of one key never blocks another key's resolve") {
+    // r14 ADVICE: the compute()-based resolve held a ConcurrentHashMap
+    // bin lock for the build's duration, so two UNRELATED keys hashing
+    // into one bin serialized a seconds-long retrain behind another.
+    // The lazy-cell form runs builds under per-key monitors only; this
+    // pins it by holding key A's build open on a latch while key B
+    // resolves to completion on another thread.
+    val memo = new graft.operators.TtlMemo[Int](ttlMillis = 60000)
+    val aEntered = new CountDownLatch(1)
+    val aRelease = new CountDownLatch(1)
+    val slow = new Thread(() =>
+      memo.resolve("keyA") { aEntered.countDown(); aRelease.await(); 1 })
+    slow.setDaemon(true)
+    slow.start()
+    assert(aEntered.await(10, TimeUnit.SECONDS), "build A never started")
+    // with A's build still in flight, B must resolve promptly
+    val bDone = new CountDownLatch(1)
+    @volatile var bResult = -1
+    val other = new Thread(() => { bResult = memo.resolve("keyB")(2); bDone.countDown() })
+    other.setDaemon(true)
+    other.start()
+    assert(bDone.await(10, TimeUnit.SECONDS),
+      "resolve of keyB blocked behind keyA's in-flight build")
+    assert(bResult == 2)
+    aRelease.countDown()
+    slow.join(10000)
+    assert(memo.resolve("keyA")(99) == 1, "A's build result must be memoized")
+    assert(memo.buildCount == 2)
+  }
+
+  test("TtlMemo: same-key concurrency still sees exactly one build; put() pre-populates without a builder run") {
+    val memo = new graft.operators.TtlMemo[Int](ttlMillis = 60000)
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    @volatile var r1 = -1
+    @volatile var r2 = -1
+    val t1 = new Thread(() => r1 = memo.resolve("k") { entered.countDown(); release.await(); 7 })
+    t1.setDaemon(true); t1.start()
+    assert(entered.await(10, TimeUnit.SECONDS))
+    val t2 = new Thread(() => r2 = memo.resolve("k")(8))
+    t2.setDaemon(true); t2.start()
+    Thread.sleep(200) // t2 must be parked on the same cell, not building
+    assert(memo.buildCount == 1, "second resolve of the same key started a second build")
+    release.countDown()
+    t1.join(10000); t2.join(10000)
+    assert(r1 == 7 && r2 == 7, s"both resolvers must see the one build: $r1, $r2")
+    memo.put("pre", 42)
+    assert(memo.resolve("pre")(0) == 42, "put() value must serve")
+    assert(memo.buildCount == 1, "put() must not count as a builder run")
+  }
+}
