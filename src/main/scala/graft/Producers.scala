@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Graph, Ingest, Learn, NearDup, SimSearch}
+import graft.operators.{Curation, Graph, IndexStore, Ingest, Learn, NearDup, SimSearch}
 
 /** First-class bench rows for the SHARED MEMOIZED PRODUCERS — the
   * structural fix for the memo-order ghost class (r13 VERDICT #1).
@@ -100,5 +100,26 @@ object Producers {
       Seq(0, 1, 2).map(l => SimSearch.hnswInsAdj(s, d, l).select("a_id", "b_id"))
         .reduce(_ unionByName _)
     }),
+    // the loaded-vs-built ledger row (r14 VERDICT #1): serialize the
+    // memoized index to parquet and install it back through the LOAD
+    // path — next to producer:hnsw_layers / producer:knn_exact8 this
+    // row prices what a serving-tier RESTART pays (deserialize) vs
+    // what a cold build pays (the rows above). Consumers after this
+    // row serve the disk-loaded frames — identical by construction
+    // (Round15Spec pins bit-for-bit), so the sweep itself exercises
+    // the restart path end-to-end every bench run.
+    "producer:index_store" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_index_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      IndexStore.save(s, d, dir)
+      IndexStore.load(s, d, dir)
+    }),
   )
+
+  /** Rows that deliberately do NOT invalidate any memo key —
+    * producer:index_store times the serialize/deserialize path of
+    * ALREADY-BUILT artifacts (invalidating first would re-time the
+    * cold builds the other producer rows already price). The key-drift
+    * guard iterates `all` minus this set. */
+  val nonInvalidating: Set[String] = Set("producer:index_store")
 }

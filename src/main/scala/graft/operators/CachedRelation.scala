@@ -101,6 +101,17 @@ class CachedRelation(ttlMillis: Long, clock: () => Long = () => System.currentTi
     } else df
   }
 
+  /** Pre-populate `key` with an externally produced frame (the
+    * index-store LOAD path: the frame was deserialized from parquet,
+    * not built — it must not count as a builder run). Persisted and
+    * TTL'd exactly like a resolve() build; any prior entry is
+    * unpersisted first. */
+  def put(key: String, df: DataFrame): Unit = synchronized {
+    val e = cache.remove(key)
+    if (e != null) e.df.unpersist(blocking = false)
+    cache.put(key, Entry(df.persist(), clock()))
+  }
+
   /** Times the builder actually ran (cache misses), for specs. */
   def buildCount: Long = builds.get()
 

@@ -217,8 +217,10 @@ object SimSearch {
     * the streaming insert twin resolves it every micro-batch and must
     * read persisted blocks, never re-scan the corpus per trigger. */
   private[graft] val hnswEmbCache = new CachedRelation(ttlMillis = 3600L * 1000)
+  private[graft] def hnswEmbKey(s: SparkSession, d: String): String =
+    s"${System.identityHashCode(s)}:$d"
   private[graft] def hnswInsEmb(s: SparkSession, d: String): DataFrame =
-    hnswEmbCache.resolveProbed(s"${System.identityHashCode(s)}:$d") {
+    hnswEmbCache.resolveProbed(hnswEmbKey(s, d)) {
       Tables.embeddings(s, d)
         .filter(col("vec_id") =!= 0 && col("vec_id") % 23 =!= 11)
         .select(col("vec_id"), expr(Learn.QuantTok).as("nv"),

@@ -60,4 +60,59 @@ class Round15Spec extends SparkSpec {
     assert(memo.resolve("pre")(0) == 42, "put() value must serve")
     assert(memo.buildCount == 1, "put() must not count as a builder run")
   }
+
+  test("IndexStore: a fresh session serves the HNSW lifecycle bit-for-bit from the loaded index, zero rebuilds") {
+    val L = graft.operators.Learn
+    val S = graft.operators.SimSearch
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    def page(s: org.apache.spark.sql.SparkSession, q: String): Seq[String] =
+      SparkEntry.queries(q)(s, sf).collect().map(_.toString).sorted.toSeq
+    val builtBatch = page(spark, "q_hnsw_batch")
+    val builtInsert = page(spark, "q_hnsw_insert")
+    val manifest = graft.operators.IndexStore.save(spark, sf, dir).collect()
+    assert(manifest.length == 9, s"manifest must cover all 9 components: ${manifest.length}")
+    // a FRESH session (new memo-key identity — the restart stand-in):
+    // load must install every component under its keys so the
+    // lifecycle queries serve with ZERO index rebuilds
+    val s2 = spark.newSession()
+    graft.operators.IndexStore.load(s2, sf, dir)
+    val knn0 = L.knnCache.buildCount
+    val emb0 = S.hnswEmbCache.buildCount
+    val cb0 = L.coarseMemo.buildCount
+    val loadedBatch = page(s2, "q_hnsw_batch")
+    val loadedInsert = page(s2, "q_hnsw_insert")
+    assert(loadedBatch == builtBatch, "q_hnsw_batch drifted between built and loaded index")
+    assert(loadedInsert == builtInsert, "q_hnsw_insert drifted between built and loaded index")
+    assert(L.knnCache.buildCount == knn0,
+      "fresh session rebuilt a kNN/layer-graph component despite the loaded store")
+    assert(S.hnswEmbCache.buildCount == emb0,
+      "fresh session rebuilt the insert-side vector frame despite the loaded store")
+    val cents2 = L.coarseCentroids(s2, sf)
+    assert(L.coarseMemo.buildCount == cb0, "fresh session retrained the loaded codebook")
+    assert(cents2.map { case (c, v) => (c, v.toSeq) } ==
+      L.coarseCentroids(spark, sf).map { case (c, v) => (c, v.toSeq) },
+      "loaded codebook drifted from the trained one")
+  }
+
+  test("IndexStore: load fails fast on a foreign format version and on a torn manifest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_v").toString
+    graft.operators.IndexStore.save(spark, sf, dir)
+    val rows = spark.read.parquet(s"$dir/manifest").collect()
+      .map(r => (r.getAs[String]("component"), r.getAs[Long]("n_rows"), r.getAs[Long]("version")))
+    // foreign version → refuse
+    rows.map { case (c, n, v) => (c, n, v + 1) }.toSeq
+      .toDF("component", "n_rows", "version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    intercept[IllegalStateException] {
+      graft.operators.IndexStore.load(spark.newSession(), sf, dir)
+    }
+    // torn store (manifest missing a component) → refuse
+    rows.filterNot(_._1 == "knn8").map { case (c, n, _) => (c, n, graft.operators.IndexStore.FormatVersion) }
+      .toSeq.toDF("component", "n_rows", "version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    intercept[IllegalStateException] {
+      graft.operators.IndexStore.load(spark.newSession(), sf, dir)
+    }
+  }
 }
