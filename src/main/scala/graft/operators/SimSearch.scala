@@ -228,6 +228,64 @@ object SimSearch {
         .ckpt()
     }
 
+  /** HNSW DELETE core — repair pages for the survivors affected by a
+    * tombstone frame `tomb0` = (vec_id rows to erase), against the
+    * memoized directed M-link lists (the exactKnnL2 index):
+    * candidates = surviving links ∪ 2-hop bridges through each deleted
+    * neighbor, re-selected with Algorithm 4 ([[diversifyLinks]]).
+    * Repairs always derive from the PRISTINE index + the full
+    * tombstone set (never iteratively from a prior repair), so a
+    * bridge target deleted by a LATER tombstone batch simply drops out
+    * of the recomputed candidates — which is what lets the streaming
+    * twin (graft.streaming.VecStreams.hnswDeleteStream) emit the exact
+    * batch page per trigger from cumulative tombstone state.
+    *
+    * Shared by q_hnsw_delete (tombstones = the vec_id ≡ 3 mod 29
+    * batch) and the streaming twin. Cost: \|affected\|·M(1+M)
+    * candidate rows — tombstone scale, never corpus scale; the
+    * tombstone side broadcasts into every join. */
+  private[graft] def hnswDeleteRepair(s: SparkSession, d: String, tomb0: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val M = 4
+    val tomb = tomb0.select(col("vec_id")).distinct().ckpt()
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), expr(Learn.QuantTok).as("nv")).ckpt()
+    // the index's directed M-link lists (rank over the full corpus,
+    // 0-edges dropped — the exactKnnL2 convention)
+    val links = Learn.exactKnnL2(s, d, 8)
+      .filter(col("a_id") =!= 0 && col("b_id") =!= 0 && col("rn") <= M)
+      .select(col("a_id"), col("b_id"))
+      .ckpt() // read as lost-page, keep-side, and bridge hop
+    val lost = links
+      .join(broadcast(tomb.select(col("vec_id").as("b_id"))), Seq("b_id"), "left_semi")
+      .join(broadcast(tomb.select(col("vec_id").as("a_id"))), Seq("a_id"), "left_anti")
+    val affected = lost.groupBy(col("a_id")).agg(count(lit(1)).as("n_lost")).ckpt()
+    val keep = links
+      .join(affected.select(col("a_id")), "a_id")
+      .join(broadcast(tomb.select(col("vec_id").as("b_id"))), Seq("b_id"), "left_anti")
+      .select(col("a_id"), col("b_id"))
+    val bridges = lost.select(col("a_id"), col("b_id").as("mid"))
+      .join(links.select(col("a_id").as("mid"), col("b_id").as("c_id")), "mid")
+      .join(broadcast(tomb.select(col("vec_id").as("c_id"))), Seq("c_id"), "left_anti")
+      .filter(col("c_id") =!= col("a_id"))
+      .select(col("a_id"), col("c_id").as("b_id"))
+    val cand = keep.unionByName(bridges).distinct()
+      .join(emb.select(col("vec_id").as("a_id"), col("nv").as("qv")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("nv")), "b_id")
+      .select(col("a_id").as("qid"), col("b_id").as("vec_id"),
+        expr("aggregate(zip_with(nv, qv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+          .as("d2q"))
+    val repaired = diversifyLinks(cand, emb, M)
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_links_after"), min(col("d2q")).as("best_link_d2"),
+        sum(col("vec_id")).as("links_sum"))
+    affected.join(repaired, col("a_id") === col("qid"), "left")
+      .select(col("a_id"), col("n_lost"),
+        coalesce(col("n_links_after"), lit(0L)).as("n_links_after"),
+        col("best_link_d2"), col("links_sum"))
+      .orderBy(col("a_id"))
+  }
+
   /** SELECT-NEIGHBORS-HEURISTIC (Malkov & Yashunin 2018, Algorithm 4)
     * over a per-qid candidate page: scanning candidates by distance to
     * the query, KEEP c only if it is strictly closer to the query than
@@ -873,43 +931,13 @@ object SimSearch {
     // repair, nearest repaired distance, link-id sum (the set
     // fingerprint — the oracle replays bridge collection AND the
     // greedy re-selection).
-    "q_hnsw_delete" -> ((s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      val M = 4
-      val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), expr(Learn.QuantTok).as("nv")).ckpt()
-      // the index's directed M-link lists (rank over the full corpus,
-      // 0-edges dropped — the exactKnnL2 convention)
-      val links = Learn.exactKnnL2(s, d, 8)
-        .filter(col("a_id") =!= 0 && col("b_id") =!= 0 && col("rn") <= M)
-        .select(col("a_id"), col("b_id"))
-        .ckpt() // read as lost-page, keep-side, and bridge hop
-      val lost = links.filter(col("a_id") % 29 =!= 3 && col("b_id") % 29 === 3)
-      val affected = lost.groupBy(col("a_id")).agg(count(lit(1)).as("n_lost")).ckpt()
-      val keep = links
-        .join(affected.select(col("a_id")), "a_id")
-        .filter(col("b_id") % 29 =!= 3)
-        .select(col("a_id"), col("b_id"))
-      val bridges = lost.select(col("a_id"), col("b_id").as("mid"))
-        .join(links.select(col("a_id").as("mid"), col("b_id").as("c_id")), "mid")
-        .filter(col("c_id") % 29 =!= 3 && col("c_id") =!= col("a_id"))
-        .select(col("a_id"), col("c_id").as("b_id"))
-      val cand = keep.unionByName(bridges).distinct()
-        .join(emb.select(col("vec_id").as("a_id"), col("nv").as("qv")), "a_id")
-        .join(emb.select(col("vec_id").as("b_id"), col("nv")), "b_id")
-        .select(col("a_id").as("qid"), col("b_id").as("vec_id"),
-          expr("aggregate(zip_with(nv, qv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
-            .as("d2q"))
-      val repaired = diversifyLinks(cand, emb, M)
-        .groupBy(col("qid"))
-        .agg(count(lit(1)).as("n_links_after"), min(col("d2q")).as("best_link_d2"),
-          sum(col("vec_id")).as("links_sum"))
-      affected.join(repaired, col("a_id") === col("qid"), "left")
-        .select(col("a_id"), col("n_lost"),
-          coalesce(col("n_links_after"), lit(0L)).as("n_links_after"),
-          col("best_link_d2"), col("links_sum"))
-        .orderBy(col("a_id"))
-    }),
+    "q_hnsw_delete" -> ((s, d) =>
+      // core shared with the streaming twin ([[hnswDeleteRepair]]);
+      // the tombstone batch is the vec_id ≡ 3 mod 29 holdout
+      hnswDeleteRepair(s, d,
+        Tables.embeddings(s, d)
+          .filter(col("vec_id") =!= 0 && col("vec_id") % 29 === 3)
+          .select(col("vec_id")))),
 
     // Exact brute-force cosine top-20 vs the vec_id=0 query vector.
     "q_simsearch" -> ((s, d) => {

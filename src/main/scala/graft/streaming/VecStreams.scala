@@ -115,4 +115,43 @@ object VecStreams {
       }
       .start()
   }
+
+  /** Streaming HNSW delete — q_hnsw_delete's ONLINE form, completing
+    * the index-maintenance pair: [[hnswInsertStream]] wires admitted
+    * vectors in, this erases a tombstone feed of (vec_id) rows and
+    * repairs the severed survivors per micro-batch
+    * (SimSearch.hnswDeleteRepair — keep ∪ 2-hop bridges, Algorithm-4
+    * re-selection).
+    *
+    * State: the CUMULATIVE tombstone id set, checkpointed per trigger
+    * — tombstone-scale, never corpus-scale. Repair must see the FULL
+    * set, not just this trigger's ids: a survivor hit by tombstones in
+    * two triggers re-selects against everything it lost, and a bridge
+    * target deleted by a LATER trigger must drop out of an EARLIER
+    * survivor's repaired candidates. Because repairs always derive
+    * from the pristine index + cumulative tombstones (the
+    * hnswDeleteRepair contract), each trigger's page IS the exact
+    * batch page for the tombstones seen so far — REPLACE semantics
+    * (the complete-mode posture): downstream overwrites survivors'
+    * link lists, and after the last trigger the page equals the
+    * one-shot batch output bit-for-bit (pinned by Round15Spec over a
+    * two-batch feed). The index side stays the memoized build — never
+    * rebuilt per trigger; only tombstone-scale state moves. */
+  def hnswDeleteStream(tombs: DataFrame, d: String)(
+      onPage: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.PlanStash.Ckpt
+    val s = tombs.sparkSession // defining session: see hnswInsertStream
+    var tombSoFar: Option[DataFrame] = None
+    tombs.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = batch.select(col("vec_id"))
+        val cum = tombSoFar match {
+          case Some(t) => t.unionByName(ids).distinct().ckpt()
+          case None => ids.distinct().ckpt()
+        }
+        tombSoFar = Some(cum)
+        onPage(graft.operators.SimSearch.hnswDeleteRepair(s, d, cum))
+      }
+      .start()
+  }
 }

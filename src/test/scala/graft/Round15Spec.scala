@@ -2,13 +2,18 @@ package graft
 
 import java.util.concurrent.{CountDownLatch, TimeUnit}
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+
+/** One tombstone id for the streaming HNSW-delete feed. */
+case class TombId(vec_id: Long)
 
 /** Round-15 pins: TtlMemo builds must not serialize across keys
   * (lazy-cell installs instead of compute-under-bin-lock), plus the
   * round's lifecycle additions as they land.
   */
 class Round15Spec extends SparkSpec {
+  import spark.implicits._
 
   test("TtlMemo: a slow build of one key never blocks another key's resolve") {
     // r14 ADVICE: the compute()-based resolve held a ConcurrentHashMap
@@ -107,12 +112,47 @@ class Round15Spec extends SparkSpec {
     intercept[IllegalStateException] {
       graft.operators.IndexStore.load(spark.newSession(), sf, dir)
     }
-    // torn store (manifest missing a component) → refuse
+    // torn store (manifest missing a component) -> refuse
     rows.filterNot(_._1 == "knn8").map { case (c, n, _) => (c, n, graft.operators.IndexStore.FormatVersion) }
       .toSeq.toDF("component", "n_rows", "version")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
     intercept[IllegalStateException] {
       graft.operators.IndexStore.load(spark.newSession(), sf, dir)
     }
+  }
+
+  test("hnswDeleteStream: a two-batch tombstone feed converges to the batch repair page bit-for-bit") {
+    val tombs = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") =!= 0 && col("vec_id") % 29 === 3)
+      .select(col("vec_id")).collect().map(r => TombId(r.getLong(0)))
+    assert(tombs.length >= 2, "fixture must hold at least two tombstones")
+    val (b1, b2) = tombs.splitAt(tombs.length / 2)
+    val input = MemoryStream[TombId](spark)
+    val pages = scala.collection.mutable.ArrayBuffer[Array[org.apache.spark.sql.Row]]()
+    val q = graft.streaming.VecStreams.hnswDeleteStream(input.toDF(), sf) { page =>
+      pages += page.collect()
+    }
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(pages.length >= 2, s"expected one page per trigger, got ${pages.length}")
+    assert(pages.head.nonEmpty,
+      "the first trigger's tombstones must already affect some survivor")
+    // REPLACE semantics: the final page (cumulative tombstones) must
+    // equal the one-shot batch output for the same total set
+    def key(r: org.apache.spark.sql.Row) = r.toString
+    val streamed = pages.last.map(key).sorted.toSeq
+    val batch = SparkEntry.queries("q_hnsw_delete")(spark, sf).collect().map(key).sorted.toSeq
+    assert(streamed == batch,
+      s"final streamed page drifted from the batch page (${streamed.size} vs ${batch.size} rows)")
+    // and an intermediate page never names a later tombstone as a
+    // survivor (a_id repaired in trigger 1, deleted in trigger 2, must
+    // vanish from the final page — the tombstone-wins contract)
+    val t2 = b2.map(_.vec_id).toSet
+    val finalIds = pages.last.map(_.getAs[Long]("a_id")).toSet
+    assert(finalIds.intersect(t2).isEmpty, "a deleted node survived in the final repair page")
   }
 }
