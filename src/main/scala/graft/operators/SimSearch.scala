@@ -939,6 +939,132 @@ object SimSearch {
           .filter(col("vec_id") =!= 0 && col("vec_id") % 29 === 3)
           .select(col("vec_id")))),
 
+    // TOMBSTONE-FRACTION CALIBRATION (r15) — the q_hnsw_tuning of the
+    // DELETE path: how much search quality survives local repair as
+    // delete mass grows, the measured rebuild-vs-repair crossover a
+    // production index needs for its compaction policy. Three delete
+    // fractions (vec_id ≡ 3 mod 29 ≈ 3%, mod 7 ≈ 14%, mod 3 ≈ 33%)
+    // each erase their batch from the flat M=4-link graph; every
+    // affected survivor repairs locally (keep ∪ 2-hop bridges,
+    // Algorithm-4 re-selection — the q_hnsw_delete machinery); a fixed
+    // 48-query survivor panel then beam-searches each repaired graph
+    // (ef = 8, 6 hops) and reports recall@1 + distance regret against
+    // the exact survivor-NN truth.
+    //
+    // Shared-work shape (the q_hnsw_tuning discipline): ONE |panel|×n
+    // distance table feeds every hop's scoring and every fraction's
+    // exact truth (the panel is GlobalLimit-bounded — the q_ivf_recall
+    // sampled-panel posture: a ground-truth pass inherently touches
+    // every vector, so it runs once, broadcast-side bounded); the
+    // three fractions' repair selections run as ONE composite-key
+    // diversifyLinks call; the three beam walks ride ONE
+    // fraction-tagged frame, so a hop is one join for all fractions.
+    // Repair cost stays |affected|·M(1+M) per fraction; only the
+    // tagged beams and the candidate pages move.
+    "q_hnsw_compact" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val M = 4; val Ef = 8; val Hops = 6; val NQ = 48
+      val fracs = Seq(29L, 7L, 3L)
+      def tombP(c: org.apache.spark.sql.Column, f: Long) = c % f === (3L % f)
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), expr(Learn.QuantTok).as("nv")).ckpt()
+      // the panel: survivors under EVERY fraction, so one panel rides
+      // all three branches; LIMIT makes the truth crossJoin provably
+      // panel-bounded in-plan
+      val queries = emb.filter(col("vec_id") % 31 === 7 &&
+          fracs.map(f => !tombP(col("vec_id"), f)).reduce(_ && _))
+        .orderBy(col("vec_id")).limit(NQ)
+        .select(col("vec_id").as("qid"), col("nv").as("qv"))
+      val d2q = emb.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"),
+          when(col("vec_id") === col("qid"), lit(1000000000000L))
+            .otherwise(expr(
+              "aggregate(zip_with(nv, qv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+            .as("d2q"))
+        .ckpt() // read by every hop's scoring + every fraction's truth
+      val links = Learn.exactKnnL2(s, d, 8)
+        .filter(col("a_id") =!= 0 && col("b_id") =!= 0 && col("rn") <= M)
+        .select(col("a_id"), col("b_id")).ckpt()
+      def lostF(f: Long) =
+        links.filter(!tombP(col("a_id"), f) && tombP(col("b_id"), f))
+      val affected = fracs.map(f =>
+          lostF(f).select(col("a_id")).distinct().withColumn("f", lit(f)))
+        .reduce(_ unionByName _)
+        .ckpt() // read by keep-side, edge anti-join, and the page counts
+      // repair candidates for ALL fractions → ONE composite-key
+      // Algorithm-4 selection (the r15 diversifyLinks form)
+      val candAll = fracs.map { f =>
+        val aff = affected.filter(col("f") === f).select(col("a_id"))
+        val keep = links.join(aff, "a_id").filter(!tombP(col("b_id"), f))
+          .select(col("a_id"), col("b_id"))
+        val bridges = lostF(f).select(col("a_id"), col("b_id").as("mid"))
+          .join(links.select(col("a_id").as("mid"), col("b_id").as("c_id")), "mid")
+          .filter(!tombP(col("c_id"), f) && col("c_id") =!= col("a_id"))
+          .select(col("a_id"), col("c_id").as("b_id"))
+        keep.unionByName(bridges).distinct().withColumn("f", lit(f))
+      }.reduce(_ unionByName _)
+        .join(emb.select(col("vec_id").as("a_id"), col("nv").as("av")), "a_id")
+        .join(emb.select(col("vec_id").as("b_id"), col("nv").as("bv")), "b_id")
+        .select(col("f"), col("a_id").as("qid"), col("b_id").as("vec_id"),
+          expr("aggregate(zip_with(bv, av, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+            .as("d2q"))
+      val picks = diversifyLinks(candAll, emb, M, keyCols = Seq("f", "qid"))
+      // repaired graph per fraction: unaffected survivors keep their
+      // original links (none tombstoned, by definition); affected ones
+      // carry exactly their re-selected pages. Symmetrized for search.
+      val edges = fracs.map { f =>
+        links.filter(!tombP(col("a_id"), f))
+          .join(affected.filter(col("f") === f).select(col("a_id")),
+            Seq("a_id"), "left_anti")
+          .select(col("a_id"), col("b_id")).withColumn("f", lit(f))
+      }.reduce(_ unionByName _)
+        .unionByName(picks.select(col("f"), col("qid").as("a_id"),
+          col("vec_id").as("b_id")))
+      val adj = edges.unionByName(
+          edges.select(col("f"), col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .ckpt() // read by every hop
+      val entries = fracs.map(f =>
+          emb.filter(!tombP(col("vec_id"), f)).agg(min(col("vec_id")).as("vec_id"))
+            .withColumn("f", lit(f)))
+        .reduce(_ unionByName _)
+      val rankQ = row_number().over(
+        Window.partitionBy(col("f"), col("qid")).orderBy(col("d2q"), col("vec_id")))
+      var beam = queries.select(col("qid")).crossJoin(broadcast(entries))
+        .join(d2q, Seq("qid", "vec_id"))
+        .select(col("f"), col("qid"), col("vec_id"), col("d2q"))
+        .ckpt()
+      for (_ <- 1 to Hops) {
+        val cand = adj
+          .join(beam.select(col("f"), col("vec_id").as("a_id"), col("qid")), Seq("f", "a_id"))
+          .select(col("f"), col("qid"), col("b_id").as("vec_id"))
+          .unionByName(beam.select(col("f"), col("qid"), col("vec_id"))).distinct()
+        beam = cand.join(d2q, Seq("qid", "vec_id"))
+          .select(col("f"), col("qid"), col("vec_id"), col("d2q"))
+          .withColumn("rn", rankQ).filter(col("rn") <= Ef).drop("rn")
+          .ckpt()
+      }
+      val pages = fracs.map { f =>
+        val truth = d2q
+          .filter(!tombP(col("vec_id"), f) && col("vec_id") =!= col("qid"))
+          .groupBy(col("qid")).agg(min(col("d2q")).as("true_d2"))
+        val found = beam.filter(col("f") === f)
+          .groupBy(col("qid")).agg(min(struct(col("d2q"), col("vec_id"))).as("m"))
+          .select(col("qid"), col("m.d2q").as("found_d2"))
+        val verdict = found.join(truth, "qid")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when(col("found_d2") === col("true_d2"), 1L).otherwise(0L)).as("n_reached"),
+            sum(col("found_d2") - col("true_d2")).as("regret_d2_sum"))
+        val nTomb = emb.filter(tombP(col("vec_id"), f)).agg(count(lit(1)).as("n_tomb"))
+        val nAff = affected.filter(col("f") === f).agg(count(lit(1)).as("n_affected"))
+        verdict.crossJoin(broadcast(nTomb)).crossJoin(broadcast(nAff))
+          .select(lit(f).as("tomb_mod"), col("n_tomb"), col("n_affected"),
+            col("n_queries"), col("n_reached"),
+            expr("(n_reached * 1000) DIV n_queries").as("recall_milli"),
+            col("regret_d2_sum"))
+      }
+      pages.reduce(_ unionByName _).orderBy(col("n_tomb"))
+    }),
+
     // Exact brute-force cosine top-20 vs the vec_id=0 query vector.
     "q_simsearch" -> ((s, d) => {
       withQuery(s, d)
@@ -2145,6 +2271,108 @@ object SimSearch {
          |  rep.best_link_d2, rep.links_sum
          |FROM lost LEFT JOIN rep ON rep.qid = lost.ai
          |ORDER BY a_id""".stripMargin
+    },
+
+    // Per fraction: repair replay (lost → keep ∪ bridges → duckDivSel)
+    // + the 6-hop beam walk over the repaired graph + exact survivor
+    // truth, all off ONE shared panel distance CTE (mirrors the Spark
+    // plan's shared d2q table).
+    "q_hnsw_compact" -> {
+      val dd = duckD2 _
+      def frac(f: Int): String = {
+        val r = 3 % f
+        def surv(c: String) = s"$c % $f <> $r"
+        def tomb(c: String) = s"$c % $f = $r"
+        val hops = (1 to 6).map { i =>
+          s"""b$f$i AS MATERIALIZED (
+             |  SELECT qid, vec_id, d2q FROM (
+             |    SELECT qid, vec_id, d2q,
+             |      row_number() OVER (PARTITION BY qid ORDER BY d2q, vec_id) AS rn
+             |    FROM (
+             |      SELECT c.qid, c.vec_id, dq.d2q
+             |      FROM (
+             |        SELECT DISTINCT p.qid, j.bi AS vec_id
+             |        FROM adj$f j JOIN b$f${i - 1} p ON j.ai = p.vec_id
+             |        UNION SELECT qid, vec_id FROM b$f${i - 1}) c
+             |      JOIN d2t dq ON dq.qid = c.qid AND dq.vec_id = c.vec_id))
+             |  WHERE rn <= 8)""".stripMargin
+        }.mkString(",\n")
+        s"""lost$f AS MATERIALIZED (
+           |  SELECT ai, bi FROM lnk WHERE ${surv("ai")} AND ${tomb("bi")}),
+           |aff$f AS MATERIALIZED (SELECT DISTINCT ai FROM lost$f),
+           |cand$f AS MATERIALIZED (
+           |  SELECT c.ai AS qid, c.bi AS vec_id, ${dd("vb.qv", "va.qv")} AS d2q
+           |  FROM (SELECT DISTINCT ai, bi FROM (
+           |          SELECT l.ai, l.bi FROM lnk l JOIN aff$f a ON a.ai = l.ai
+           |          WHERE ${surv("l.bi")}
+           |          UNION ALL
+           |          SELECT l1.ai, l2.bi
+           |          FROM lost$f l1 JOIN lnk l2 ON l2.ai = l1.bi
+           |          WHERE ${surv("l2.bi")} AND l2.bi <> l1.ai)) c
+           |  JOIN e1 va ON va.vec_id = c.ai
+           |  JOIN e1 vb ON vb.vec_id = c.bi),
+           |${duckDivSel(s"dv$f", s"cand$f", "e1")},
+           |edges$f AS (
+           |  SELECT l.ai, l.bi FROM lnk l
+           |  WHERE ${surv("l.ai")} AND l.ai NOT IN (SELECT ai FROM aff$f)
+           |  UNION ALL SELECT qid AS ai, vec_id AS bi FROM dv${f}_s4),
+           |adj$f AS MATERIALIZED (
+           |  SELECT DISTINCT ai, bi FROM (
+           |    SELECT ai, bi FROM edges$f UNION ALL SELECT bi, ai FROM edges$f)),
+           |ent$f AS (SELECT min(vec_id) AS vec_id FROM e1 WHERE ${surv("vec_id")}),
+           |b${f}0 AS MATERIALIZED (
+           |  SELECT qs.qid, ent$f.vec_id, dq.d2q
+           |  FROM qs CROSS JOIN ent$f
+           |  JOIN d2t dq ON dq.qid = qs.qid AND dq.vec_id = ent$f.vec_id),
+           |$hops,
+           |tr$f AS (
+           |  SELECT qid, min(d2q) AS true_d2 FROM d2t
+           |  WHERE ${surv("vec_id")} AND vec_id <> qid GROUP BY qid),
+           |page$f AS (
+           |  SELECT CAST($f AS BIGINT) AS tomb_mod,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM e1 WHERE ${tomb("vec_id")}) AS n_tomb,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM aff$f) AS n_affected,
+           |    CAST(count(*) AS BIGINT) AS n_queries,
+           |    CAST(sum(CASE WHEN fd.found_d2 = t.true_d2 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+           |    CAST(sum(fd.found_d2 - t.true_d2) AS BIGINT) AS regret_d2_sum
+           |  FROM (
+           |    SELECT qid, d2q AS found_d2 FROM (
+           |      SELECT qid, vec_id, d2q,
+           |        row_number() OVER (PARTITION BY qid ORDER BY d2q, vec_id) AS rn
+           |      FROM b${f}6) WHERE rn = 1) fd
+           |  JOIN tr$f t USING (qid))""".stripMargin
+      }
+      s"""WITH qa AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |e1 AS MATERIALIZED (SELECT vec_id, qv FROM qa WHERE vec_id <> 0),
+         |qs AS MATERIALIZED (
+         |  SELECT vec_id AS qid, qv FROM e1
+         |  WHERE vec_id % 31 = 7 AND vec_id % 29 <> 3 AND vec_id % 7 <> 3
+         |    AND vec_id % 3 <> 0
+         |  ORDER BY vec_id LIMIT 48),
+         |d2t AS MATERIALIZED (
+         |  SELECT qs.qid, v.vec_id,
+         |    CASE WHEN v.vec_id = qs.qid THEN CAST(1000000000000 AS BIGINT)
+         |         ELSE ${dd("v.qv", "qs.qv")} END AS d2q
+         |  FROM qs, e1 v),
+         |lnk AS MATERIALIZED (
+         |  SELECT ai, bi FROM (
+         |    SELECT a.vec_id AS ai, b.vec_id AS bi,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${dd("a.qv", "b.qv")}, b.vec_id) AS rn
+         |    FROM qa a JOIN qa b ON a.vec_id <> b.vec_id)
+         |  WHERE rn <= 4 AND ai <> 0 AND bi <> 0),
+         |${frac(29)},
+         |${frac(7)},
+         |${frac(3)}
+         |SELECT tomb_mod, n_tomb, n_affected, n_queries, n_reached,
+         |  CAST(n_reached * 1000 // n_queries AS BIGINT) AS recall_milli,
+         |  regret_d2_sum
+         |FROM (SELECT * FROM page29 UNION ALL SELECT * FROM page7
+         |      UNION ALL SELECT * FROM page3)
+         |ORDER BY n_tomb""".stripMargin
     },
 
     "q_mrl_recall" ->

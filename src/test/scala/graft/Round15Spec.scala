@@ -121,6 +121,30 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("q_hnsw_compact: shared panel, exactness floor, and repair quality non-improving with delete mass") {
+    val rows = SparkEntry.queries("q_hnsw_compact")(spark, sf).collect()
+    assert(rows.length == 3, s"one row per fraction: ${rows.length}")
+    assert(rows.map(_.getAs[Long]("tomb_mod")).toSet == Set(29L, 7L, 3L))
+    val nq = rows.map(_.getAs[Long]("n_queries")).distinct
+    assert(nq.length == 1 && nq.head >= 1, "the SAME survivor panel must ride every fraction")
+    rows.foreach { r =>
+      val reached = r.getAs[Long]("n_reached")
+      assert(reached >= 0 && reached <= r.getAs[Long]("n_queries"), s"bad reach count: $r")
+      // exactness floor: the beam returns a survivor, and truth is the
+      // exact survivor-NN — found can never beat it
+      assert(r.getAs[Long]("regret_d2_sum") >= 0, s"negative regret: $r")
+      assert(r.getAs[Long]("recall_milli") == reached * 1000 / r.getAs[Long]("n_queries"), s"recall arithmetic drifted: $r")
+      assert(r.getAs[Long]("n_affected") >= 1, s"fraction with no affected survivors: $r")
+    }
+    // rows are ordered by delete mass; local repair can only lose
+    // ground as the graph sheds more of itself (regret is NOT
+    // cross-fraction comparable — the truth itself moves with the
+    // survivor set — so recall is the monotone axis)
+    assert(rows.head.getAs[Long]("n_tomb") < rows.last.getAs[Long]("n_tomb"))
+    assert(rows.head.getAs[Long]("recall_milli") >= rows.last.getAs[Long]("recall_milli"),
+      "recall under the smallest delete fraction fell below the largest")
+  }
+
   test("hnswDeleteStream: a two-batch tombstone feed converges to the batch repair page bit-for-bit") {
     val tombs = Tables.embeddings(spark, sf)
       .filter(col("vec_id") =!= 0 && col("vec_id") % 29 === 3)
