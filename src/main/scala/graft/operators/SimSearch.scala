@@ -377,7 +377,21 @@ object SimSearch {
     * Search: ef=8 beam per upper layer (2 hops), layer 0 at the batch
     * operating point (ef=16 over 6 hops); links per layer ≤ the node's
     * level via [[diversifyLinks]] (Algorithm 4), M = 4. */
-  private[graft] def hnswInsertLinks(s: SparkSession, d: String, nu0: DataFrame): DataFrame = {
+  private[graft] def hnswInsertLinks(s: SparkSession, d: String, nu0: DataFrame): DataFrame =
+    hnswInsertPicks(s, d, nu0)
+      .groupBy(col("qid"), col("layer"))
+      .agg(count(lit(1)).as("n_links"), min(col("d2q")).as("best_link_d2"),
+        sum(col("vec_id")).as("links_sum"))
+      .select(col("qid").as("new_id"), col("layer"),
+        col("n_links"), col("best_link_d2"), col("links_sum"))
+      .orderBy(col("new_id"), col("layer"))
+
+  /** The RAW per-(arrival, layer) link picks behind [[hnswInsertLinks]]
+    * — (qid, layer, vec_id, d2q) rows, ≤ M per key. Exposed so the
+    * lifecycle capstone (q_hnsw_lifecycle) can wire the selected links
+    * into a composed graph instead of only reading the aggregate
+    * fingerprint page. */
+  private[graft] def hnswInsertPicks(s: SparkSession, d: String, nu0: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val M = 4; val Ef = 8
     val emb = hnswInsEmb(s, d)
@@ -434,13 +448,7 @@ object SimSearch {
     // path's 5.7–11.5 s spread was job-count overhead at page scale,
     // not data; scheduling ~15 small jobs dominated the query).
     diversifyLinks(selPages.reduce(_ unionByName _), emb, M,
-        keyCols = Seq("qid", "layer"))
-      .groupBy(col("qid"), col("layer"))
-      .agg(count(lit(1)).as("n_links"), min(col("d2q")).as("best_link_d2"),
-        sum(col("vec_id")).as("links_sum"))
-      .select(col("qid").as("new_id"), col("layer"),
-        col("n_links"), col("best_link_d2"), col("links_sum"))
-      .orderBy(col("new_id"), col("layer"))
+      keyCols = Seq("qid", "layer"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -1063,6 +1071,111 @@ object SimSearch {
             col("regret_d2_sum"))
       }
       pages.reduce(_ unionByName _).orderBy(col("n_tomb"))
+    }),
+
+    // MIXED-CRUD LIFECYCLE CAPSTONE (r15) — insert, delete, and search
+    // COMPOSED in one graph, because a production index never sees the
+    // operations in isolation: the arrival batch (vec_id ≡ 11 mod 23)
+    // wires in with its Algorithm-4 layer-0 links ([[hnswInsertPicks]]
+    // — the same selection q_hnsw_insert fingerprints), THEN the
+    // tombstone batch (vec_id ≡ 3 mod 29) erases nodes from the
+    // post-insert graph with local repair (keep ∪ 2-hop bridges,
+    // re-selected) — and because bridges walk the POST-INSERT link
+    // lists, an insert link can bridge a repaired region (the
+    // composition property this query exists to prove; a tombstoned
+    // ARRIVAL is likewise erased and a survivor that linked to it
+    // repairs through the arrival's own picks). Finally the
+    // q_hnsw_batch-shaped panel (vec_id ≡ 7 mod 31, surviving members
+    // only — arrivals included) beam-searches the composed graph at
+    // the batch operating point (ef = 16, 6 hops) against the exact
+    // final-member NN truth.
+    //
+    // Scale posture: base links and the insert search read the SAME
+    // memoized layer graphs as q_hnsw_insert (no new index builds);
+    // repair candidates are |affected|·M(1+M); the serve walk touches
+    // |panel|·ef·k rows per hop; the panel distance table is
+    // GlobalLimit-bounded (the q_hnsw_compact recipe).
+    "q_hnsw_lifecycle" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val M = 4; val Ef = 16; val Hops = 6; val NQ = 48
+      def tombP(c: org.apache.spark.sql.Column) = c % 29 === 3
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), expr(Learn.QuantTok).as("nv")).ckpt()
+      // INSERT: arrivals' layer-0 selected links against the existing
+      // members (the q_hnsw_insert machinery, raw picks)
+      val nu = Tables.embeddings(s, d)
+        .filter(col("vec_id") =!= 0 && col("vec_id") % 23 === 11)
+        .select(col("vec_id").as("qid"), expr(Learn.QuantTok).as("qv"),
+          expr(hnswLevelSpark).as("qlvl"))
+      val arrivalEdges = hnswInsertPicks(s, d, nu).filter(col("layer") === 0)
+        .select(col("qid").as("a_id"), col("vec_id").as("b_id"))
+      // base: directed M-link lists AMONG the existing members (the
+      // memoized insert-side layer-0 graph, top-M prefix)
+      val baseEdges = hnswInsAdj(s, d, 0).filter(col("rn") <= M)
+        .select(col("a_id"), col("b_id"))
+      val g1 = baseEdges.unionByName(arrivalEdges).ckpt() // post-insert
+      // DELETE with repair over the POST-INSERT lists (bridges may
+      // pass through arrival links — the composition property)
+      val lost = g1.filter(!tombP(col("a_id")) && tombP(col("b_id")))
+      val affected = lost.select(col("a_id")).distinct().ckpt()
+      val keep = g1.join(affected, "a_id").filter(!tombP(col("b_id")))
+        .select(col("a_id"), col("b_id"))
+      val bridges = lost.select(col("a_id"), col("b_id").as("mid"))
+        .join(g1.select(col("a_id").as("mid"), col("b_id").as("c_id")), "mid")
+        .filter(!tombP(col("c_id")) && col("c_id") =!= col("a_id"))
+        .select(col("a_id"), col("c_id").as("b_id"))
+      val cand = keep.unionByName(bridges).distinct()
+        .join(emb.select(col("vec_id").as("a_id"), col("nv").as("av")), "a_id")
+        .join(emb.select(col("vec_id").as("b_id"), col("nv").as("bv")), "b_id")
+        .select(col("a_id").as("qid"), col("b_id").as("vec_id"),
+          expr("aggregate(zip_with(bv, av, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+            .as("d2q"))
+      val repaired = diversifyLinks(cand, emb, M)
+        .select(col("qid").as("a_id"), col("vec_id").as("b_id"))
+      val g2 = g1.filter(!tombP(col("a_id")))
+        .join(affected, Seq("a_id"), "left_anti")
+        .unionByName(repaired)
+      val adj = g2.unionByName(
+          g2.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .ckpt() // read by every serve hop
+      // SERVE: the batch page through the composed graph
+      val queries = emb.filter(col("vec_id") % 31 === 7 && !tombP(col("vec_id")))
+        .orderBy(col("vec_id")).limit(NQ)
+        .select(col("vec_id").as("qid"), col("nv").as("qv"))
+      val d2t = emb.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"),
+          when(col("vec_id") === col("qid"), lit(1000000000000L))
+            .otherwise(expr(
+              "aggregate(zip_with(nv, qv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+            .as("d2q"))
+        .ckpt() // read by every hop's scoring + the truth page
+      val entry = emb.filter(!tombP(col("vec_id")))
+        .agg(min(col("vec_id")).as("vec_id"))
+      val rankQ = row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2q"), col("vec_id")))
+      var beam = queries.select(col("qid")).crossJoin(broadcast(entry))
+        .join(d2t, Seq("qid", "vec_id"))
+        .select(col("qid"), col("vec_id"), col("d2q"))
+        .ckpt()
+      for (_ <- 1 to Hops) {
+        val cnd = adj
+          .join(beam.select(col("vec_id").as("a_id"), col("qid")), "a_id")
+          .select(col("qid"), col("b_id").as("vec_id"))
+          .unionByName(beam.select(col("qid"), col("vec_id"))).distinct()
+        beam = cnd.join(d2t, Seq("qid", "vec_id"))
+          .select(col("qid"), col("vec_id"), col("d2q"))
+          .withColumn("rn", rankQ).filter(col("rn") <= Ef).drop("rn")
+          .ckpt()
+      }
+      val found = beam.groupBy(col("qid"))
+        .agg(min(struct(col("d2q"), col("vec_id"))).as("m"))
+        .select(col("qid"), col("m.vec_id").as("found_id"), col("m.d2q").as("found_d2"))
+      val truth = d2t.filter(!tombP(col("vec_id")) && col("vec_id") =!= col("qid"))
+        .groupBy(col("qid")).agg(min(col("d2q")).as("true_nn_d2"))
+      found.join(truth, "qid")
+        .select(col("qid"), col("found_id"), col("found_d2"), col("true_nn_d2"),
+          when(col("found_d2") === col("true_nn_d2"), 1L).otherwise(0L).as("reached"))
+        .orderBy(col("qid"))
     }),
 
     // Exact brute-force cosine top-20 vs the vec_id=0 query vector.
@@ -2373,6 +2486,145 @@ object SimSearch {
          |FROM (SELECT * FROM page29 UNION ALL SELECT * FROM page7
          |      UNION ALL SELECT * FROM page3)
          |ORDER BY n_tomb""".stripMargin
+    },
+
+    // Insert-then-delete-then-search replayed end-to-end: the
+    // q_hnsw_insert search unroll feeds arrival links (duckDivSel over
+    // the layer-0 beam), repair runs over the POST-INSERT lists so
+    // bridges may pass through arrival links, and the serve walk +
+    // truth read one shared panel distance CTE.
+    "q_hnsw_lifecycle" -> {
+      val dd = duckD2 _
+      def subsetAdj(name: String, m: String, k: Int) =
+        s"""${name}_d AS MATERIALIZED (
+           |  SELECT ai, bi FROM (
+           |    SELECT a.vec_id AS ai, b.vec_id AS bi,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${dd("a.qv", "b.qv")}, b.vec_id) AS rn
+           |    FROM $m a JOIN $m b ON a.vec_id <> b.vec_id)
+           |  WHERE rn <= $k),
+           |$name AS MATERIALIZED (
+           |  SELECT ai, bi FROM ${name}_d
+           |  UNION SELECT bi AS ai, ai AS bi FROM ${name}_d)""".stripMargin
+      def insStep(i: Int, adj: String, keep: Int) =
+        s"""g$i AS MATERIALIZED (
+           |  SELECT qid, vec_id, d2q FROM (
+           |    SELECT qid, vec_id, d2q,
+           |      row_number() OVER (PARTITION BY qid ORDER BY d2q, vec_id) AS rn
+           |    FROM (
+           |      SELECT c.qid, c.vec_id, ${dd("v.qv", "w.qv")} AS d2q
+           |      FROM (
+           |        SELECT DISTINCT p.qid, j.bi AS vec_id
+           |        FROM $adj j JOIN g${i - 1} p ON j.ai = p.vec_id
+           |        UNION SELECT qid, vec_id FROM g${i - 1}) c
+           |      JOIN ex v ON v.vec_id = c.vec_id
+           |      JOIN nu w ON w.qid = c.qid))
+           |  WHERE rn <= $keep)""".stripMargin
+      def serveStep(i: Int) =
+        s"""s$i AS MATERIALIZED (
+           |  SELECT qid, vec_id, d2q FROM (
+           |    SELECT qid, vec_id, d2q,
+           |      row_number() OVER (PARTITION BY qid ORDER BY d2q, vec_id) AS rn
+           |    FROM (
+           |      SELECT c.qid, c.vec_id, dq.d2q
+           |      FROM (
+           |        SELECT DISTINCT p.qid, j.bi AS vec_id
+           |        FROM adjs j JOIN s${i - 1} p ON j.ai = p.vec_id
+           |        UNION SELECT qid, vec_id FROM s${i - 1}) c
+           |      JOIN d2t dq ON dq.qid = c.qid AND dq.vec_id = c.vec_id))
+           |  WHERE rn <= 16)""".stripMargin
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |e1 AS MATERIALIZED (SELECT vec_id, qv FROM q WHERE vec_id <> 0),
+         |lv AS (SELECT vec_id, $hnswLevelDuck AS lvl FROM e1),
+         |ex AS MATERIALIZED (SELECT vec_id, qv FROM e1 WHERE vec_id % 23 <> 11),
+         |nu AS MATERIALIZED (SELECT vec_id AS qid, qv FROM e1 WHERE vec_id % 23 = 11),
+         |m1 AS (SELECT ex.vec_id, ex.qv FROM ex JOIN lv USING (vec_id) WHERE lv.lvl >= 1),
+         |m2 AS (SELECT ex.vec_id, ex.qv FROM ex JOIN lv USING (vec_id) WHERE lv.lvl >= 2),
+         |exrank AS MATERIALIZED (
+         |  SELECT ai, bi, rn FROM (
+         |    SELECT a.vec_id AS ai, b.vec_id AS bi,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${dd("a.qv", "b.qv")}, b.vec_id) AS rn
+         |    FROM ex a JOIN ex b ON a.vec_id <> b.vec_id)
+         |  WHERE rn <= 8),
+         |adj0 AS MATERIALIZED (
+         |  SELECT ai, bi FROM exrank
+         |  UNION SELECT bi AS ai, ai AS bi FROM exrank),
+         |based AS (SELECT ai, bi FROM exrank WHERE rn <= 4),
+         |${subsetAdj("adj1", "m1", 4)},
+         |${subsetAdj("adj2", "m2", 4)},
+         |ent AS (SELECT COALESCE(
+         |  (SELECT min(vec_id) FROM m2),
+         |  (SELECT min(vec_id) FROM m1),
+         |  (SELECT min(vec_id) FROM ex)) AS vec_id),
+         |g0 AS MATERIALIZED (
+         |  SELECT nu.qid, ent.vec_id, ${dd("v.qv", "nu.qv")} AS d2q
+         |  FROM nu CROSS JOIN ent JOIN ex v ON v.vec_id = ent.vec_id),
+         |${insStep(1, "adj2", 8)},
+         |${insStep(2, "adj2", 8)},
+         |${insStep(3, "adj1", 8)},
+         |${insStep(4, "adj1", 8)},
+         |${insStep(5, "adj0", 16)},
+         |${insStep(6, "adj0", 16)},
+         |${insStep(7, "adj0", 16)},
+         |${insStep(8, "adj0", 16)},
+         |${insStep(9, "adj0", 16)},
+         |${insStep(10, "adj0", 16)},
+         |${duckDivSel("ins", "g10", "ex")},
+         |g1e AS MATERIALIZED (
+         |  SELECT ai, bi FROM based
+         |  UNION ALL SELECT qid AS ai, vec_id AS bi FROM ins_s4),
+         |lostl AS MATERIALIZED (
+         |  SELECT ai, bi FROM g1e WHERE ai % 29 <> 3 AND bi % 29 = 3),
+         |affl AS MATERIALIZED (SELECT DISTINCT ai FROM lostl),
+         |candl AS MATERIALIZED (
+         |  SELECT c.ai AS qid, c.bi AS vec_id, ${dd("vb.qv", "va.qv")} AS d2q
+         |  FROM (SELECT DISTINCT ai, bi FROM (
+         |          SELECT l.ai, l.bi FROM g1e l JOIN affl a ON a.ai = l.ai
+         |          WHERE l.bi % 29 <> 3
+         |          UNION ALL
+         |          SELECT l1.ai, l2.bi
+         |          FROM lostl l1 JOIN g1e l2 ON l2.ai = l1.bi
+         |          WHERE l2.bi % 29 <> 3 AND l2.bi <> l1.ai)) c
+         |  JOIN e1 va ON va.vec_id = c.ai
+         |  JOIN e1 vb ON vb.vec_id = c.bi),
+         |${duckDivSel("rep", "candl", "e1")},
+         |g2e AS (
+         |  SELECT l.ai, l.bi FROM g1e l
+         |  WHERE l.ai % 29 <> 3 AND l.ai NOT IN (SELECT ai FROM affl)
+         |  UNION ALL SELECT qid AS ai, vec_id AS bi FROM rep_s4),
+         |adjs AS MATERIALIZED (
+         |  SELECT DISTINCT ai, bi FROM (
+         |    SELECT ai, bi FROM g2e UNION ALL SELECT bi, ai FROM g2e)),
+         |qs AS MATERIALIZED (
+         |  SELECT vec_id AS qid, qv FROM e1
+         |  WHERE vec_id % 31 = 7 AND vec_id % 29 <> 3
+         |  ORDER BY vec_id LIMIT 48),
+         |d2t AS MATERIALIZED (
+         |  SELECT qs.qid, v.vec_id,
+         |    CASE WHEN v.vec_id = qs.qid THEN CAST(1000000000000 AS BIGINT)
+         |         ELSE ${dd("v.qv", "qs.qv")} END AS d2q
+         |  FROM qs, e1 v),
+         |ents AS (SELECT min(vec_id) AS vec_id FROM e1 WHERE vec_id % 29 <> 3),
+         |s0 AS MATERIALIZED (
+         |  SELECT qs.qid, ents.vec_id, dq.d2q
+         |  FROM qs CROSS JOIN ents
+         |  JOIN d2t dq ON dq.qid = qs.qid AND dq.vec_id = ents.vec_id),
+         |${(1 to 6).map(serveStep).mkString(",\n")},
+         |tr AS (
+         |  SELECT qid, min(d2q) AS true_nn_d2 FROM d2t
+         |  WHERE vec_id % 29 <> 3 AND vec_id <> qid GROUP BY qid)
+         |SELECT fd.qid, fd.found_id, fd.found_d2, tr.true_nn_d2,
+         |  CAST(CASE WHEN fd.found_d2 = tr.true_nn_d2 THEN 1 ELSE 0 END AS BIGINT) AS reached
+         |FROM (
+         |  SELECT qid, vec_id AS found_id, d2q AS found_d2 FROM (
+         |    SELECT qid, vec_id, d2q,
+         |      row_number() OVER (PARTITION BY qid ORDER BY d2q, vec_id) AS rn
+         |    FROM s6) WHERE rn = 1) fd
+         |JOIN tr USING (qid) ORDER BY fd.qid""".stripMargin
     },
 
     "q_mrl_recall" ->

@@ -179,4 +179,31 @@ class Round15Spec extends SparkSpec {
     val finalIds = pages.last.map(_.getAs[Long]("a_id")).toSet
     assert(finalIds.intersect(t2).isEmpty, "a deleted node survived in the final repair page")
   }
+
+  test("q_hnsw_lifecycle: composed insert+delete+search page is exact-bounded and meets the delete-only floor") {
+    val rows = SparkEntry.queries("q_hnsw_lifecycle")(spark, sf).collect()
+    assert(rows.nonEmpty, "empty lifecycle page")
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("qid"); val fid = r.getAs[Long]("found_id")
+      val fd2 = r.getAs[Long]("found_d2"); val td2 = r.getAs[Long]("true_nn_d2")
+      // panel members and served neighbors are SURVIVORS of the
+      // composed graph: never a tombstone (mod-29), never self
+      assert(qid % 31 == 7 && qid % 29 != 3, s"non-panel qid: $r")
+      assert(fid % 29 != 3 && fid != qid, s"served neighbor not a surviving non-self member: $r")
+      // the beam walks real members, so it can never beat the exact NN
+      assert(fd2 >= td2, s"found beat the exact survivor-NN: $r")
+      assert((r.getAs[Long]("reached") == 1L) == (fd2 == td2), s"reached flag drifted: $r")
+    }
+    // the composition property, measured: the post-insert post-delete
+    // graph at the batch operating point (ef=16, arrival links wired
+    // in) must serve AT LEAST as well as q_hnsw_compact's mod-29
+    // branch — the delete-only repaired flat graph at ef=8 over the
+    // same tombstone set. (Floor, not parity: the panels differ by the
+    // compact query's all-fraction survivor constraint.)
+    val recallMilli = rows.map(_.getAs[Long]("reached")).sum * 1000 / rows.length
+    val floor = SparkEntry.queries("q_hnsw_compact")(spark, sf).collect()
+      .find(_.getAs[Long]("tomb_mod") == 29L).get.getAs[Long]("recall_milli")
+    assert(recallMilli >= floor,
+      s"lifecycle page recall ${recallMilli}m fell below the delete-only floor ${floor}m")
+  }
 }
