@@ -758,8 +758,9 @@ object SimSearch {
     // widths ef ∈ {4, 8, 16} — the one knob an HNSW serving tier
     // actually turns, measured on-engine so capacity planning reads a
     // table instead of re-deriving it. The upper-layer greedy descent
-    // is ef-INDEPENDENT and computed once; each ef then pays only its
-    // own 6 layer-0 hops against the shared memoized graphs. Ground
+    // is ef-INDEPENDENT and computed once; the three ef branches then
+    // ride ONE ef-tagged layer-0 beam frame (r15 — 6 hop jobs total,
+    // not 6 per branch) against the shared memoized graphs. Ground
     // truth reads the memoized exact index (no extra brute-force
     // pass). Regret = Σ(found d² − true d²): the miss MAGNITUDE, which
     // recall alone hides (an ef=4 miss that lands at the 2nd NN is not
@@ -795,8 +796,6 @@ object SimSearch {
       def argminPerQ(sc: DataFrame): DataFrame =
         sc.groupBy(col("qid")).agg(min(struct(col("d2q"), col("vec_id"))).as("m"))
           .select(col("qid"), col("m.vec_id").as("vec_id"), col("m.d2q").as("d2q"))
-      val rankQ = row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("d2q"), col("vec_id")))
       // shared ef-independent descent (the q_hnsw_batch upper walk)
       var cur = argminPerQ(scored(
           queries.select(col("qid")).crossJoin(broadcast(entry))))
@@ -814,28 +813,44 @@ object SimSearch {
         .groupBy(col("a_id"))
         .agg(min(struct(col("d2"), col("b_id"))).as("m"))
         .select(col("a_id").as("qid"), col("m.d2").as("true_nn_d2"))
-        .ckpt() // joined by every ef branch's verdict
-      val pages = Seq(4, 8, 16).map { ef =>
-        var beam = cur
-        for (_ <- 1 to H0) {
-          val cand = adj0
-            .join(beam.select(col("vec_id").as("a_id"), col("qid")), "a_id")
-            .select(col("qid"), col("b_id").as("vec_id"))
-            .unionByName(beam.select(col("qid"), col("vec_id"))).distinct()
-          beam = scored(cand)
-            .withColumn("rn", rankQ).filter(col("rn") <= ef).drop("rn")
-            .ckpt()
-        }
-        argminPerQ(beam)
-          .join(truth, "qid")
-          .agg(count(lit(1)).as("n_queries"),
-            sum(when(col("d2q") === col("true_nn_d2"), 1L).otherwise(0L)).as("n_reached"),
-            sum(col("d2q") - col("true_nn_d2")).as("regret_d2_sum"))
-          .select(lit(ef.toLong).as("ef"), col("n_queries"), col("n_reached"),
-            expr("(n_reached * 1000) DIV n_queries").as("recall_milli"),
-            col("regret_d2_sum"))
+      // ALL THREE ef branches ride ONE ef-tagged beam frame (the
+      // q_hnsw_compact composite recipe, r15): beams evolve
+      // independently under a (ef, qid) rank partition with a per-row
+      // cutoff, so each hop is ONE checkpoint job instead of one per
+      // branch — 6 jobs total where the branch-per-ef form paid 18.
+      // Result-identical: candidates of an (ef, qid) group derive only
+      // from that group's own beam.
+      def scoredE(cand: DataFrame): DataFrame = cand
+        .join(emb.select(col("vec_id"), col("nv")), "vec_id")
+        .join(broadcast(queries), "qid")
+        .select(col("ef"), col("qid"), col("vec_id"),
+          when(col("vec_id") === col("qid"), lit(1000000000000L))
+            .otherwise(expr(d2)).as("d2q"))
+      val rankEQ = row_number().over(
+        Window.partitionBy(col("ef"), col("qid")).orderBy(col("d2q"), col("vec_id")))
+      var beam = Seq(4L, 8L, 16L).map(e => cur.withColumn("ef", lit(e)))
+        .reduce(_ unionByName _).ckpt()
+      for (_ <- 1 to H0) {
+        val cand = adj0
+          .join(beam.select(col("ef"), col("vec_id").as("a_id"), col("qid")), "a_id")
+          .select(col("ef"), col("qid"), col("b_id").as("vec_id"))
+          .unionByName(beam.select(col("ef"), col("qid"), col("vec_id"))).distinct()
+        beam = scoredE(cand)
+          .withColumn("rn", rankEQ).filter(col("rn") <= col("ef")).drop("rn")
+          .ckpt()
       }
-      pages.reduce(_ unionByName _).orderBy(col("ef"))
+      beam.groupBy(col("ef"), col("qid"))
+        .agg(min(struct(col("d2q"), col("vec_id"))).as("m"))
+        .select(col("ef"), col("qid"), col("m.d2q").as("d2q"))
+        .join(truth, "qid")
+        .groupBy(col("ef"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("d2q") === col("true_nn_d2"), 1L).otherwise(0L)).as("n_reached"),
+          sum(col("d2q") - col("true_nn_d2")).as("regret_d2_sum"))
+        .select(col("ef"), col("n_queries"), col("n_reached"),
+          expr("(n_reached * 1000) DIV n_queries").as("recall_milli"),
+          col("regret_d2_sum"))
+        .orderBy(col("ef"))
     }),
 
     // FILTERED ANN (r14) — attribute-predicate vector search, the
