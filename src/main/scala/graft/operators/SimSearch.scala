@@ -78,6 +78,39 @@ object SimSearch {
       .collect()
       .map(_.getSeq[Double](0).map(v => s"${v}D").mkString("array(", ",", ")"))
 
+  /** STALE coarse codebook for the IVF maintenance page
+    * (q_ivf_maintain): Learn.coarseCentroids' exact recipe — K =
+    * coarseK(n), k-lowest-vec_id init, ONE Lloyd round with
+    * floorDiv updates — but trained over the PRE-ARRIVAL members
+    * only (vec_id ≢ 11 mod 23), so arrivals route into an index that
+    * has never seen them, the state every production IVF tier is in
+    * between retrains. Memoized per (session, dir) like the trained
+    * codebook; deliberately NOT a producer row (single consumer —
+    * the q_ann_filtered "annfilt" posture). */
+  private val staleCoarseMemo =
+    new TtlMemo[Seq[(Int, Array[Long])]](ttlMillis = 3600L * 1000)
+  private[graft] def staleCoarseCentroids(s: SparkSession, d: String): Seq[(Int, Array[Long])] =
+    staleCoarseMemo.resolve(Learn.clsKey(s, d)) {
+      val qdf = Tables.embeddings(s, d).filter(col("vec_id") % 23 =!= 11)
+        .select(col("vec_id"), expr(Learn.QuantTok).as("qv"))
+        .withColumn("qs", col("qv"))
+      val k = Learn.coarseK(qdf.count())
+      val init: Seq[(Int, Array[Long])] =
+        qdf.orderBy(col("vec_id")).limit(k).collect().zipWithIndex.map { case (r, i) =>
+          (i, r.getSeq[Long](r.fieldIndex("qs")).toArray)
+        }.toSeq
+      val sums = Learn.assign(qdf, init)
+        .select(col("cluster"), posexplode(col("qs")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect() // k·dim rows — codebook-scale, never data-scale
+      sums.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
+        val cv = new Array[Long](Learn.Dim)
+        rows.foreach(r => cv(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)))
+        (cid, cv)
+      }
+    }
+
   // The cone-probe generators (q_knn_label, q_dedup_embed) consume the
   // TRAINED ⌈√n⌉-cell codebook (Learn.coarseCentroids) as ONE typedLit
   // double-array literal. The 1e-4-grid integer centroids ride UNSCALED
@@ -1385,6 +1418,66 @@ object SimSearch {
         .selectExpr("q_id", "coalesce(n_cand, 0) AS n_cand",
           "coalesce(tp, 0) AS tp", "coalesce(tp, 0) * 100000 AS recall_micro")
         .orderBy(col("q_id"))
+    }),
+
+    // IVF INDEX MAINTENANCE (r15) — the q_hnsw_insert/q_hnsw_compact
+    // story for the INVERTED-FILE family: the codebook was trained
+    // BEFORE the arrival batch landed ([[staleCoarseCentroids]] —
+    // pre-arrival members only, the state every production IVF tier
+    // is in between retrains), arrivals (vec_id ≡ 11 mod 23) route
+    // into that stale index, and the page reports per cell what a
+    // serving tier's compaction policy actually reads:
+    //  - n_before / n_added — list-depth growth (a hot cell whose
+    //    arrival share spikes is the re-split trigger);
+    //  - dist_before / dist_after — the cell's distortion mass split
+    //    by cohort (arrivals landing FAR from their centroid =
+    //    distribution drift the recall ladder will feel);
+    //  - drift_d2 — how far ONE Lloyd re-estimation round over the
+    //    post-arrival membership would move the centroid (the
+    //    retrain-vs-serve crossover, the q_hnsw_compact analog).
+    // Scale posture: assignment is the routed O(√K·dim)/vector map
+    // pass; everything after shuffles at (cell) or (cell, dim) grain
+    // — ≤ K·dim rows, codebook-scale. The oracle replays training,
+    // routing, and the update round CTE-for-CTE.
+    "q_ivf_maintain" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val cents = staleCoarseCentroids(s, d)
+      val asg = Learn.assignRouted(
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), expr(Learn.QuantTok).as("qs")),
+          cents)
+        .select(col("vec_id"), col("qs"), col("cluster").as("cell"),
+          col("qdist"),
+          (col("vec_id") % 23 === 11).cast("long").as("is_new"))
+        .ckpt() // read by the mass page AND the re-estimation round
+      val mass = asg.groupBy(col("cell")).agg(
+        sum(lit(1L) - col("is_new")).as("n_before"),
+        sum(col("is_new")).as("n_added"),
+        sum(when(col("is_new") === 0L, col("qdist")).otherwise(0L)).as("dist_before"),
+        sum(col("qdist")).as("dist_after"))
+      // ONE Lloyd update over the post-arrival membership (the
+      // trainer's floorDiv recipe), then displacement vs the stale
+      // centroid — the codebook frame is K driver-side rows
+      val newC = asg
+        .select(col("cell"), posexplode(col("qs")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          floor(col("sv").cast("double") / col("n")).cast("long").as("ctr"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("ctr")))).as("ps"))
+        .select(col("cell"), transform(col("ps"), p => p.getField("ctr")).as("cv_new"))
+      val oldC = {
+        import s.implicits._
+        cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cell", "cv_old")
+      }
+      val drift = newC.join(broadcast(oldC), "cell")
+        .select(col("cell"), Learn.l2Col(col("cv_new"), col("cv_old")).as("drift_d2"))
+      mass.join(drift, Seq("cell"))
+        .select(col("cell").cast("long").as("cell"), col("n_before"), col("n_added"),
+          expr("(n_added * 1000) DIV (n_before + n_added)").as("added_milli"),
+          col("dist_before"), col("dist_after"), col("drift_d2"))
+        .orderBy(col("cell"))
     }),
 
     // EMBEDDING HEALTH AUDIT — the model-output QA gate a pipeline
@@ -2813,6 +2906,50 @@ object SimSearch {
          |FROM qs LEFT JOIN ncand ON ncand.q_id = qs.q_id
          |  LEFT JOIN tp ON tp.q_id = qs.q_id
          |ORDER BY qs.q_id""".stripMargin,
+
+    // Replays the STALE training (pre-arrival members only: init →
+    // assign → update), routes the FULL corpus through the trained
+    // cells, then mirrors the mass page and the one-round
+    // re-estimation drift CTE-for-CTE.
+    "q_ivf_maintain" -> {
+      def l2(a: String, b: String): String =
+        s"CAST(list_sum(list_transform(range(1, ${Learn.Dim + 1}), " +
+          s"j -> ($a[j] - $b[j]) * ($a[j] - $b[j]))) AS BIGINT)"
+      s"""WITH qa AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |q AS (SELECT vec_id, qv FROM qa WHERE vec_id % 23 <> 11),
+         |kk AS (SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM q),
+         |${Learn.initCte("c0", 1, Learn.Dim, "", Learn.CoarseKSql)},
+         |${Learn.assignCte("a1", "c0", 1, Learn.Dim)},
+         |${Learn.updateCte("c1", "a1", 1, Learn.Dim)},
+         |${Learn.routedAssignCtes("vcell", "c1", "qa")},
+         |vd AS MATERIALIZED (
+         |  SELECT v.vec_id, v.cell, ${l2("r.qv", "c.cv")} AS qdist,
+         |    CASE WHEN v.vec_id % 23 = 11 THEN 1 ELSE 0 END AS is_new
+         |  FROM vcell v JOIN qa r USING (vec_id) JOIN c1 c ON c.cid = v.cell),
+         |mass AS (
+         |  SELECT cell, CAST(SUM(1 - is_new) AS BIGINT) AS n_before,
+         |    CAST(SUM(is_new) AS BIGINT) AS n_added,
+         |    CAST(SUM(CASE WHEN is_new = 0 THEN qdist ELSE 0 END) AS BIGINT) AS dist_before,
+         |    CAST(SUM(qdist) AS BIGINT) AS dist_after
+         |  FROM vd GROUP BY cell),
+         |upd AS (
+         |  SELECT cell, list(ctr ORDER BY pos) AS cv_new FROM (
+         |    SELECT v.cell, t.pos,
+         |      CAST(floor(CAST(CAST(SUM(r.qv[t.pos]) AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ctr
+         |    FROM vcell v JOIN qa r USING (vec_id), range(1, ${Learn.Dim + 1}) t(pos)
+         |    GROUP BY v.cell, t.pos)
+         |  GROUP BY cell),
+         |drift AS (
+         |  SELECT u.cell, ${l2("u.cv_new", "c.cv")} AS drift_d2
+         |  FROM upd u JOIN c1 c ON c.cid = u.cell)
+         |SELECT CAST(m.cell AS BIGINT) AS cell, n_before, n_added,
+         |  CAST((n_added * 1000) // (n_before + n_added) AS BIGINT) AS added_milli,
+         |  dist_before, dist_after, d.drift_d2
+         |FROM mass m JOIN drift d USING (cell) ORDER BY cell""".stripMargin
+    },
 
     "q_simsearch_bq" ->
       """WITH v AS (

@@ -206,4 +206,32 @@ class Round15Spec extends SparkSpec {
     assert(recallMilli >= floor,
       s"lifecycle page recall ${recallMilli}m fell below the delete-only floor ${floor}m")
   }
+
+  test("q_ivf_maintain: mass conservation, cohort-split distortion, and arrival-driven drift") {
+    val rows = SparkEntry.queries("q_ivf_maintain")(spark, sf).collect()
+    assert(rows.nonEmpty, "empty maintenance page")
+    val corpus = Tables.embeddings(spark, sf).count()
+    val arrivals = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 23 === 11).count()
+    // every vector routes to exactly one cell — the page partitions
+    // the corpus (existing members AND arrivals)
+    assert(rows.map(r => r.getAs[Long]("n_before") + r.getAs[Long]("n_added")).sum == corpus,
+      "cells must partition the full corpus")
+    assert(rows.map(_.getAs[Long]("n_added")).sum == arrivals,
+      "arrival mass must land somewhere")
+    rows.foreach { r =>
+      val nb = r.getAs[Long]("n_before"); val na = r.getAs[Long]("n_added")
+      val db = r.getAs[Long]("dist_before"); val da = r.getAs[Long]("dist_after")
+      // dist_after folds the arrival cohort in: it can only grow, and
+      // a cell no arrival touched must be byte-stable
+      assert(da >= db, s"distortion shrank with extra members: $r")
+      assert(na > 0 || da == db, s"untouched cell's distortion moved: $r")
+      assert(r.getAs[Long]("added_milli") == na * 1000 / (nb + na), s"share arithmetic drifted: $r")
+      assert(r.getAs[Long]("drift_d2") >= 0, s"negative drift: $r")
+    }
+    // the stale codebook is ONE Lloyd round from init — a
+    // re-estimation round must still be moving some centroid
+    // (convergence after one round would make the page vacuous)
+    assert(rows.exists(_.getAs[Long]("drift_d2") > 0), "no centroid drift anywhere")
+  }
 }
