@@ -111,6 +111,57 @@ object SimSearch {
       }
     }
 
+  /** The IVF maintenance page behind q_ivf_maintain, parameterized by
+    * the ARRIVALS frame (vec_id, qs — quantized) so the streaming twin
+    * ([[graft.streaming.VecStreams.ivfMaintainStream]]) can feed the
+    * cumulative arrival set per trigger: existing members and arrivals
+    * route through the STALE codebook ([[staleCoarseCentroids]]), and
+    * the page reports per cell the arrival mass, the cohort-split
+    * distortion, and one Lloyd re-estimation round's centroid drift.
+    * Everything after the routed map pass shuffles at (cell) or
+    * (cell, dim) grain — codebook-scale. */
+  private[graft] def ivfMaintainPage(s: SparkSession, d: String,
+      arrivals: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val cents = staleCoarseCentroids(s, d)
+    val members = Tables.embeddings(s, d).filter(col("vec_id") % 23 =!= 11)
+      .select(col("vec_id"), expr(Learn.QuantTok).as("qs"), lit(0L).as("is_new"))
+      .unionByName(arrivals
+        .select(col("vec_id"), col("qs"), lit(1L).as("is_new")))
+    val asg = Learn.assignRouted(members, cents)
+      .select(col("vec_id"), col("qs"), col("cluster").as("cell"),
+        col("qdist"), col("is_new"))
+      .ckpt() // read by the mass page AND the re-estimation round
+    val mass = asg.groupBy(col("cell")).agg(
+      sum(lit(1L) - col("is_new")).as("n_before"),
+      sum(col("is_new")).as("n_added"),
+      sum(when(col("is_new") === 0L, col("qdist")).otherwise(0L)).as("dist_before"),
+      sum(col("qdist")).as("dist_after"))
+    // ONE Lloyd update over the post-arrival membership (the
+    // trainer's floorDiv recipe), then displacement vs the stale
+    // centroid — the codebook frame is K driver-side rows
+    val newC = asg
+      .select(col("cell"), posexplode(col("qs")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .select(col("cell"), col("pos"),
+        floor(col("sv").cast("double") / col("n")).cast("long").as("ctr"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("ctr")))).as("ps"))
+      .select(col("cell"), transform(col("ps"), p => p.getField("ctr")).as("cv_new"))
+    val oldC = {
+      import s.implicits._
+      cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cell", "cv_old")
+    }
+    val drift = newC.join(broadcast(oldC), "cell")
+      .select(col("cell"), Learn.l2Col(col("cv_new"), col("cv_old")).as("drift_d2"))
+    mass.join(drift, Seq("cell"))
+      .select(col("cell").cast("long").as("cell"), col("n_before"), col("n_added"),
+        expr("(n_added * 1000) DIV (n_before + n_added)").as("added_milli"),
+        col("dist_before"), col("dist_after"), col("drift_d2"))
+      .orderBy(col("cell"))
+  }
+
   // The cone-probe generators (q_knn_label, q_dedup_embed) consume the
   // TRAINED ⌈√n⌉-cell codebook (Learn.coarseCentroids) as ONE typedLit
   // double-array literal. The 1e-4-grid integer centroids ride UNSCALED
@@ -1439,46 +1490,10 @@ object SimSearch {
     // pass; everything after shuffles at (cell) or (cell, dim) grain
     // — ≤ K·dim rows, codebook-scale. The oracle replays training,
     // routing, and the update round CTE-for-CTE.
-    "q_ivf_maintain" -> ((s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      val cents = staleCoarseCentroids(s, d)
-      val asg = Learn.assignRouted(
-          Tables.embeddings(s, d)
-            .select(col("vec_id"), expr(Learn.QuantTok).as("qs")),
-          cents)
-        .select(col("vec_id"), col("qs"), col("cluster").as("cell"),
-          col("qdist"),
-          (col("vec_id") % 23 === 11).cast("long").as("is_new"))
-        .ckpt() // read by the mass page AND the re-estimation round
-      val mass = asg.groupBy(col("cell")).agg(
-        sum(lit(1L) - col("is_new")).as("n_before"),
-        sum(col("is_new")).as("n_added"),
-        sum(when(col("is_new") === 0L, col("qdist")).otherwise(0L)).as("dist_before"),
-        sum(col("qdist")).as("dist_after"))
-      // ONE Lloyd update over the post-arrival membership (the
-      // trainer's floorDiv recipe), then displacement vs the stale
-      // centroid — the codebook frame is K driver-side rows
-      val newC = asg
-        .select(col("cell"), posexplode(col("qs")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-        .select(col("cell"), col("pos"),
-          floor(col("sv").cast("double") / col("n")).cast("long").as("ctr"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("ctr")))).as("ps"))
-        .select(col("cell"), transform(col("ps"), p => p.getField("ctr")).as("cv_new"))
-      val oldC = {
-        import s.implicits._
-        cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cell", "cv_old")
-      }
-      val drift = newC.join(broadcast(oldC), "cell")
-        .select(col("cell"), Learn.l2Col(col("cv_new"), col("cv_old")).as("drift_d2"))
-      mass.join(drift, Seq("cell"))
-        .select(col("cell").cast("long").as("cell"), col("n_before"), col("n_added"),
-          expr("(n_added * 1000) DIV (n_before + n_added)").as("added_milli"),
-          col("dist_before"), col("dist_after"), col("drift_d2"))
-        .orderBy(col("cell"))
-    }),
+    "q_ivf_maintain" -> ((s, d) =>
+      ivfMaintainPage(s, d,
+        Tables.embeddings(s, d).filter(col("vec_id") % 23 === 11)
+          .select(col("vec_id"), expr(Learn.QuantTok).as("qs")))),
 
     // EMBEDDING HEALTH AUDIT — the model-output QA gate a pipeline
     // runs before indexing a new embedding drop: zero vectors (failed

@@ -154,4 +154,43 @@ object VecStreams {
       }
       .start()
   }
+
+  /** Streaming IVF maintenance — q_ivf_maintain's ONLINE form,
+    * completing the index-maintenance symmetry across both ANN
+    * families ([[hnswInsertStream]]/[[hnswDeleteStream]] keep the
+    * graph index current; this keeps the inverted-file index's
+    * HEALTH PAGE current): each micro-batch of (vec_id, embedding)
+    * arrivals routes into the STALE codebook
+    * (SimSearch.staleCoarseCentroids — trained once on the
+    * pre-arrival members, memoized against the defining session,
+    * never retrained per trigger) and the trigger emits the full
+    * per-cell maintenance page for everything that has arrived SO
+    * FAR.
+    *
+    * State: the CUMULATIVE arrival frame, checkpointed per trigger —
+    * arrival-scale, never corpus-scale. The page must fold ALL
+    * arrivals, not just this trigger's (a cell's drift and added
+    * share are properties of the post-arrival membership), so each
+    * trigger's page IS the exact batch page for the arrivals seen so
+    * far — REPLACE semantics, the hnswDeleteStream posture: after the
+    * last trigger the page equals the one-shot q_ivf_maintain output
+    * bit-for-bit (pinned by Round15Spec over a two-batch feed). */
+  def ivfMaintainStream(vecs: DataFrame, d: String)(
+      onPage: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.PlanStash.Ckpt
+    val s = vecs.sparkSession // defining session: see hnswInsertStream
+    var soFar: Option[DataFrame] = None
+    vecs.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val q = batch.select(col("vec_id"),
+          expr(graft.operators.Learn.QuantTok).as("qs"))
+        val cum = soFar match {
+          case Some(t) => t.unionByName(q).ckpt()
+          case None => q.ckpt()
+        }
+        soFar = Some(cum)
+        onPage(graft.operators.SimSearch.ivfMaintainPage(s, d, cum))
+      }
+      .start()
+  }
 }

@@ -5,7 +5,8 @@ import java.util.concurrent.{CountDownLatch, TimeUnit}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-/** One tombstone id for the streaming HNSW-delete feed. */
+/** One tombstone id for the streaming HNSW-delete feed. The
+  * streaming IVF-maintenance feed reuses Round14Spec's ArrVec. */
 case class TombId(vec_id: Long)
 
 /** Round-15 pins: TtlMemo builds must not serialize across keys
@@ -233,5 +234,41 @@ class Round15Spec extends SparkSpec {
     // re-estimation round must still be moving some centroid
     // (convergence after one round would make the page vacuous)
     assert(rows.exists(_.getAs[Long]("drift_d2") > 0), "no centroid drift anywhere")
+  }
+
+  test("ivfMaintainStream: a two-batch arrival feed converges to the batch maintenance page bit-for-bit") {
+    val arrivals = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 23 === 11)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => ArrVec(r.getLong(0), r.getSeq[Float](1)))
+    assert(arrivals.length >= 2, "fixture must hold at least two arrivals")
+    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
+    val input = MemoryStream[ArrVec](spark)
+    val pages = scala.collection.mutable.ArrayBuffer[Array[org.apache.spark.sql.Row]]()
+    val q = graft.streaming.VecStreams.ivfMaintainStream(input.toDF(), sf) { page =>
+      pages += page.collect()
+    }
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(pages.length >= 2, s"expected one page per trigger, got ${pages.length}")
+    // REPLACE semantics: every trigger's page is the exact batch page
+    // for the arrivals seen so far — the intermediate page must
+    // already conserve (existing + first-half) mass...
+    val corpusOld = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 23 =!= 11).count()
+    val mid = pages.head
+    assert(mid.map(r => r.getAs[Long]("n_before") + r.getAs[Long]("n_added")).sum
+        == corpusOld + b1.length,
+      "intermediate page must partition existing members + first-half arrivals")
+    // ...and the final page equals the one-shot q_ivf_maintain output
+    def key(r: org.apache.spark.sql.Row) = r.toString
+    val streamed = pages.last.map(key).sorted.toSeq
+    val batch = SparkEntry.queries("q_ivf_maintain")(spark, sf).collect().map(key).sorted.toSeq
+    assert(streamed == batch,
+      s"final streamed page drifted from the batch page (${streamed.size} vs ${batch.size} rows)")
   }
 }
