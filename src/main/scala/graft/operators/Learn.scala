@@ -343,43 +343,47 @@ object Learn {
     * floor(sum/count), same (dist, id) tiebreaks — so the assignment
     * hash-matches. */
   private[operators] def routedAssignCtes(out: String, cc: String, q: String,
-                                          qv: String = "qv"): String = {
+                                          qv: String = "qv",
+                                          pfx: String = ""): String = {
     def l2(a: String, b: String): String =
       s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), " +
         s"j -> ($a[j] - $b[j]) * ($a[j] - $b[j]))) AS BIGINT)"
-    s"""ss0 AS (
+    // pfx namespaces the internal CTEs so TWO routing chains (e.g.
+    // stale vs refit codebook, q_ivf_stale_recall) can coexist in one
+    // WITH block; "" keeps every single-chain oracle byte-identical
+    s"""${pfx}ss0 AS (
        |  SELECT row_number() OVER (ORDER BY cid) - 1 AS sid, cv AS sv
        |  FROM (SELECT cid, cv FROM $cc ORDER BY cid
        |        LIMIT (SELECT GREATEST(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM $cc))),
-       |ssa1 AS (
+       |${pfx}ssa1 AS (
        |  SELECT cid, sid, row_number() OVER (PARTITION BY cid ORDER BY dist, sid) AS rn
-       |  FROM (SELECT c.cid, s.sid, ${l2("c.cv", "s.sv")} AS dist FROM $cc c, ss0 s)),
-       |ss1 AS (
+       |  FROM (SELECT c.cid, s.sid, ${l2("c.cv", "s.sv")} AS dist FROM $cc c, ${pfx}ss0 s)),
+       |${pfx}ss1 AS (
        |  SELECT sid, list(ctr ORDER BY pos) AS sv FROM (
        |    SELECT a.sid, t.pos,
        |      CAST(floor(CAST(CAST(SUM(c.cv[t.pos]) AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ctr
-       |    FROM ssa1 a JOIN $cc c USING (cid), range(1, ${Dim + 1}) t(pos)
+       |    FROM ${pfx}ssa1 a JOIN $cc c USING (cid), range(1, ${Dim + 1}) t(pos)
        |    WHERE a.rn = 1
        |    GROUP BY a.sid, t.pos)
        |  GROUP BY sid),
-       |ssa2 AS (
+       |${pfx}ssa2 AS (
        |  SELECT cid, sid, row_number() OVER (PARTITION BY cid ORDER BY dist, sid) AS rn
-       |  FROM (SELECT c.cid, s.sid, ${l2("c.cv", "s.sv")} AS dist FROM $cc c, ss1 s)),
-       |smem AS (SELECT cid, sid FROM ssa2 WHERE rn = 1),
-       |vsup AS (
+       |  FROM (SELECT c.cid, s.sid, ${l2("c.cv", "s.sv")} AS dist FROM $cc c, ${pfx}ss1 s)),
+       |${pfx}smem AS (SELECT cid, sid FROM ${pfx}ssa2 WHERE rn = 1),
+       |${pfx}vsup AS (
        |  SELECT vec_id, sid FROM (
        |    SELECT r.vec_id, s.sid,
        |      row_number() OVER (PARTITION BY r.vec_id
        |        ORDER BY ${l2(s"r.$qv", "s.sv")}, s.sid) AS rn
-       |    FROM $q r, (SELECT * FROM ss1 WHERE sid IN (SELECT sid FROM smem)) s)
+       |    FROM $q r, (SELECT * FROM ${pfx}ss1 WHERE sid IN (SELECT sid FROM ${pfx}smem)) s)
        |  WHERE rn = 1),
        |$out AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT r.vec_id, c.cid AS cell,
        |      row_number() OVER (PARTITION BY r.vec_id
        |        ORDER BY ${l2(s"r.$qv", "c.cv")}, c.cid) AS rn
-       |    FROM $q r JOIN vsup v USING (vec_id)
-       |      JOIN smem m ON m.sid = v.sid JOIN $cc c ON c.cid = m.cid)
+       |    FROM $q r JOIN ${pfx}vsup v USING (vec_id)
+       |      JOIN ${pfx}smem m ON m.sid = v.sid JOIN $cc c ON c.cid = m.cid)
        |  WHERE rn = 1)""".stripMargin
   }
 

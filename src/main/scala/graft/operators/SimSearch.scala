@@ -111,6 +111,32 @@ object SimSearch {
       }
     }
 
+  /** RE-ESTIMATED codebook: one Lloyd round of [[staleCoarseCentroids]]
+    * over the FULL post-arrival membership under the ROUTED assignment
+    * — exactly the update whose displacement q_ivf_maintain prices as
+    * drift_d2, materialized as a servable codebook so
+    * q_ivf_stale_recall can measure what that drift MEANS for recall.
+    * Same memo posture as the stale book (single-consumer family). */
+  private val refitCoarseMemo =
+    new TtlMemo[Seq[(Int, Array[Long])]](ttlMillis = 3600L * 1000)
+  private[graft] def refitCoarseCentroids(s: SparkSession, d: String): Seq[(Int, Array[Long])] =
+    refitCoarseMemo.resolve(Learn.clsKey(s, d)) {
+      val stale = staleCoarseCentroids(s, d)
+      val sums = Learn.assignRouted(
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), expr(Learn.QuantTok).as("qs")),
+          stale)
+        .select(col("cluster"), posexplode(col("qs")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect() // k·dim rows — codebook-scale, never data-scale
+      sums.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
+        val cv = new Array[Long](Learn.Dim)
+        rows.foreach(r => cv(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)))
+        (cid, cv)
+      }
+    }
+
   /** The IVF maintenance page behind q_ivf_maintain, parameterized by
     * the ARRIVALS frame (vec_id, qs — quantized) so the streaming twin
     * ([[graft.streaming.VecStreams.ivfMaintainStream]]) can feed the
@@ -1494,6 +1520,66 @@ object SimSearch {
       ivfMaintainPage(s, d,
         Tables.embeddings(s, d).filter(col("vec_id") % 23 === 11)
           .select(col("vec_id"), expr(Learn.QuantTok).as("qs")))),
+
+    // STALENESS-COST PAGE (r15) — what q_ivf_maintain's drift_d2
+    // MEANS for serving quality: the ARRIVAL panel (the cohort the
+    // stale index has never seen) searches the corpus twice at
+    // nprobe = 2, once through the STALE codebook and once through
+    // the RE-ESTIMATED one ([[refitCoarseCentroids]] — the exact
+    // update round the maintenance page prices), reporting recall@1
+    // vs the exact corpus-NN and the candidate mass per arm. This is
+    // the refit-vs-serve decision a production IVF tier makes from
+    // the maintenance page: drift is only worth a re-index when the
+    // recall delta at equal probe budget says so.
+    // Scale posture: both corpus assignments are the routed
+    // O(√K·dim)/vector map pass; the panel broadcasts into the
+    // cell-keyed candidate joins; ONLY the ground-truth pass touches
+    // every vector (inherent to measuring true recall — the
+    // q_ivf_recall caveat: run it on a sampled panel, which the
+    // arrival batch is).
+    "q_ivf_stale_recall" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(Learn.QuantTok).as("qs")).ckpt()
+      val queries = emb.filter(col("vec_id") % 23 === 11)
+        .select(col("vec_id").as("qid"), col("qs").as("qv"))
+      val truth = emb.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), Learn.l2Col(col("qs"), col("qv")).as("d2"))
+        .groupBy(col("qid")).agg(min(col("d2")).as("true_d2"))
+        .ckpt() // joined by both arms' verdicts
+      def arm(tag: String, cents: Seq[(Int, Array[Long])]): DataFrame = {
+        val asg = Learn.assignRouted(emb, cents)
+          .select(col("vec_id"), col("qs"), col("cluster").as("cell"))
+        // panel-side probe stays FLAT over the cells (probing must see
+        // every centroid to pick the nearest lists — the q_ivf_recall
+        // shape); the codebook rides one struct-array literal
+        val dcLit = typedLit(cents.map { case (cid, cv) => (cid, cv.toSeq) })
+        val dcSorted = array_sort(transform(dcLit, c =>
+          struct(Learn.l2Col(col("qv"), c.getField("_2")).as("dist"),
+            c.getField("_1").as("cid"))))
+        val probes = queries
+          .withColumn("cell", explode(transform(
+            slice(dcSorted, 1, Learn.NProbe), x => x.getField("cid"))))
+          .select(col("qid"), col("qv"), col("cell"))
+        val cand = asg.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), Learn.l2Col(col("qs"), col("qv")).as("d2"))
+        val found = cand.groupBy(col("qid"))
+          .agg(min(col("d2")).as("found_d2"), count(lit(1)).as("n_cand"))
+        queries.select(col("qid")).join(found, Seq("qid"), "left")
+          .join(truth, "qid")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when(col("found_d2") === col("true_d2"), 1L).otherwise(0L)).as("n_reached"),
+            sum(coalesce(col("n_cand"), lit(0L))).as("cand_rows"))
+          .select(lit(tag).as("codebook"), col("n_queries"), col("n_reached"),
+            expr("(n_reached * 1000) DIV n_queries").as("recall_milli"),
+            col("cand_rows"))
+      }
+      arm("refit", refitCoarseCentroids(s, d))
+        .unionByName(arm("stale", staleCoarseCentroids(s, d)))
+        .orderBy(col("codebook"))
+    }),
 
     // EMBEDDING HEALTH AUDIT — the model-output QA gate a pipeline
     // runs before indexing a new embedding drop: zero vectors (failed
@@ -2964,6 +3050,68 @@ object SimSearch {
          |  CAST((n_added * 1000) // (n_before + n_added) AS BIGINT) AS added_milli,
          |  dist_before, dist_after, d.drift_d2
          |FROM mass m JOIN drift d USING (cell) ORDER BY cell""".stripMargin
+    },
+
+    // Replays the stale training, BOTH routed corpus assignments
+    // (stale chain + the refit chain under the re-estimated book —
+    // the r2-prefixed CTE namespace), both flat panel probes, and
+    // both verdict pages against one exact-NN truth CTE.
+    "q_ivf_stale_recall" -> {
+      def l2(a: String, b: String): String =
+        s"CAST(list_sum(list_transform(range(1, ${Learn.Dim + 1}), " +
+          s"j -> ($a[j] - $b[j]) * ($a[j] - $b[j]))) AS BIGINT)"
+      def armCtes(tag: String, cc: String, vcell: String) =
+        s"""probe_$tag AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT qs.qid, c.cid,
+           |      row_number() OVER (PARTITION BY qs.qid
+           |        ORDER BY ${l2("qs.qv", "c.cv")}, c.cid) AS prn
+           |    FROM qs, $cc c)
+           |  WHERE prn <= ${Learn.NProbe}),
+           |found_$tag AS (
+           |  SELECT qid, MIN(d2) AS found_d2, CAST(COUNT(*) AS BIGINT) AS n_cand
+           |  FROM (
+           |    SELECT qs.qid, ${l2("r.qv", "qs.qv")} AS d2
+           |    FROM qs JOIN probe_$tag p ON p.qid = qs.qid
+           |      JOIN $vcell v ON v.cell = p.cid
+           |      JOIN qa r ON r.vec_id = v.vec_id
+           |    WHERE r.vec_id <> qs.qid)
+           |  GROUP BY qid),
+           |page_$tag AS (
+           |  SELECT '$tag' AS codebook,
+           |    CAST(COUNT(*) AS BIGINT) AS n_queries,
+           |    CAST(SUM(CASE WHEN f.found_d2 = tr.true_d2 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+           |    CAST(SUM(COALESCE(f.n_cand, 0)) AS BIGINT) AS cand_rows
+           |  FROM qs LEFT JOIN found_$tag f USING (qid) JOIN tr USING (qid))""".stripMargin
+      s"""WITH qa AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |q AS (SELECT vec_id, qv FROM qa WHERE vec_id % 23 <> 11),
+         |kk AS (SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM q),
+         |${Learn.initCte("c0", 1, Learn.Dim, "", Learn.CoarseKSql)},
+         |${Learn.assignCte("a1", "c0", 1, Learn.Dim)},
+         |${Learn.updateCte("c1", "a1", 1, Learn.Dim)},
+         |${Learn.routedAssignCtes("vcell1", "c1", "qa")},
+         |c2 AS MATERIALIZED (
+         |  SELECT cell AS cid, list(ctr ORDER BY pos) AS cv FROM (
+         |    SELECT v.cell, t.pos,
+         |      CAST(floor(CAST(CAST(SUM(r.qv[t.pos]) AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ctr
+         |    FROM vcell1 v JOIN qa r USING (vec_id), range(1, ${Learn.Dim + 1}) t(pos)
+         |    GROUP BY v.cell, t.pos)
+         |  GROUP BY cell),
+         |${Learn.routedAssignCtes("vcell2", "c2", "qa", "qv", "r2")},
+         |qs AS MATERIALIZED (
+         |  SELECT vec_id AS qid, qv FROM qa WHERE vec_id % 23 = 11),
+         |tr AS MATERIALIZED (
+         |  SELECT qs.qid, MIN(${l2("r.qv", "qs.qv")}) AS true_d2
+         |  FROM qs, qa r WHERE r.vec_id <> qs.qid GROUP BY qs.qid),
+         |${armCtes("stale", "c1", "vcell1")},
+         |${armCtes("refit", "c2", "vcell2")}
+         |SELECT codebook, n_queries, n_reached,
+         |  CAST((n_reached * 1000) // n_queries AS BIGINT) AS recall_milli, cand_rows
+         |FROM (SELECT * FROM page_refit UNION ALL SELECT * FROM page_stale)
+         |ORDER BY codebook""".stripMargin
     },
 
     "q_simsearch_bq" ->
