@@ -74,6 +74,14 @@ object Producers {
       Learn.clsMemo.invalidate(Learn.clsKey(s, d))
       forced(s, Learn.trainedClassifier(s, d))
     }),
+    // the stale + re-estimated IVF codebooks (r15) — shared by
+    // q_ivf_maintain, q_ivf_stale_recall, and the streaming
+    // maintenance twin; refit forces stale, so one row prices both
+    "producer:ivf_stale_books" -> ((s, d) => {
+      SimSearch.staleCoarseMemo.invalidate(Learn.clsKey(s, d))
+      SimSearch.refitCoarseMemo.invalidate(Learn.clsKey(s, d))
+      forced(s, SimSearch.refitCoarseCentroids(s, d))
+    }),
     "producer:knn_exact3" -> ((s, d) => {
       Learn.knnCache.invalidate(Learn.knnKey(s, d, 3)); Learn.exactKnnL2(s, d, 3)
     }),

@@ -87,7 +87,7 @@ object SimSearch {
     * between retrains. Memoized per (session, dir) like the trained
     * codebook; deliberately NOT a producer row (single consumer —
     * the q_ann_filtered "annfilt" posture). */
-  private val staleCoarseMemo =
+  private[graft] val staleCoarseMemo =
     new TtlMemo[Seq[(Int, Array[Long])]](ttlMillis = 3600L * 1000)
   private[graft] def staleCoarseCentroids(s: SparkSession, d: String): Seq[(Int, Array[Long])] =
     staleCoarseMemo.resolve(Learn.clsKey(s, d)) {
@@ -117,7 +117,7 @@ object SimSearch {
     * drift_d2, materialized as a servable codebook so
     * q_ivf_stale_recall can measure what that drift MEANS for recall.
     * Same memo posture as the stale book (single-consumer family). */
-  private val refitCoarseMemo =
+  private[graft] val refitCoarseMemo =
     new TtlMemo[Seq[(Int, Array[Long])]](ttlMillis = 3600L * 1000)
   private[graft] def refitCoarseCentroids(s: SparkSession, d: String): Seq[(Int, Array[Long])] =
     refitCoarseMemo.resolve(Learn.clsKey(s, d)) {

@@ -250,7 +250,9 @@ class Round14Spec extends SparkSpec {
       () => graft.operators.Learn.coarseKMemo.buildCount,
       () => graft.operators.Learn.clsMemo.buildCount,
       () => graft.operators.Learn.knnCache.buildCount,
-      () => graft.operators.SimSearch.hnswEmbCache.buildCount
+      () => graft.operators.SimSearch.hnswEmbCache.buildCount,
+      () => graft.operators.SimSearch.staleCoarseMemo.buildCount,
+      () => graft.operators.SimSearch.refitCoarseMemo.buildCount
     )
     def builds() = counters.map(_()).sum
     for ((name, fn) <- Producers.all.toSeq.sortBy(_._1)
