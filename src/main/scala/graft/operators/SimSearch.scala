@@ -431,18 +431,30 @@ object SimSearch {
   private[graft] def diversifyLinks(beam: DataFrame, vecs: DataFrame, m: Int,
       keyCols: Seq[String] = Seq("qid")): DataFrame = {
     val key = keyCols.map(col)
-    val rankQ = row_number().over(
-      Window.partitionBy(key: _*).orderBy(col("d2q"), col("vec_id")))
-    // ckpt, not lazy persist: measured BOTH ways at sf0.1 — the lazy
-    // variant folds 3 selection rounds into one tower of cached
-    // window+anti-join segments and ran up to 2× slower (cached
-    // segments forgo AQE and the planner re-optimizes the whole
-    // tree); the eager page-scale checkpoints keep every round a
-    // small flat job.
+    // r15 OPTIMIZATION: the selection rounds are now a WINDOWED STATE
+    // CHAIN instead of per-round checkpointed sel-frames. The old form
+    // read `sel` twice per round (union + dmin join), which forced an
+    // eager checkpoint every round — m+2 actions of job-count overhead
+    // on a page-scale frame (the r14 bench's q_hnsw_insert spread was
+    // exactly this). The state form carries, per beam row, a picked
+    // flag and the running min d² to the picks so far (`__dminp`), so
+    // each round reads the state ONCE (one window argmin + one
+    // broadcast join against the pairwise table) and the whole
+    // selection is one linear plan with two checkpoints total (the
+    // beam and the pairwise table), not m+2.
+    //
+    // Equivalence to Algorithm 4 (the paper's sequential scan — see
+    // the scaladoc above): round r's eligible set is {unpicked c :
+    // d2q(c) < min over picks p of d²(c,p)}; the old form recomputed
+    // that min from pair⋈sel each round, the state form accumulates it
+    // incrementally via least() over each round's single new pick —
+    // identical sets, identical (d2q, vec_id) argmin, identical strict
+    // tie-reject. A round with no eligible candidate picks nothing and
+    // every later round is provably also empty (the accept condition
+    // only hardens), matching the old empty-nxt union.
+    val b = beam.ckpt() // read by the pair build AND as the state base
     val pair = {
-      val withV = beam
-        .join(vecs.select(col("vec_id"), col("nv")), "vec_id")
-        .ckpt() // both sides of the pairwise self-join read it
+      val withV = b.join(vecs.select(col("vec_id"), col("nv")), "vec_id")
       withV
         .select(key :+ col("vec_id").as("c_id") :+ col("nv").as("cv"): _*)
         .join(withV.select(key :+ col("vec_id").as("s_id") :+ col("nv").as("sv"): _*), keyCols)
@@ -450,29 +462,75 @@ object SimSearch {
         .select(key :+ col("c_id") :+ col("s_id") :+
           expr("aggregate(zip_with(cv, sv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
             .as("d2cs"): _*)
-        .ckpt() // read by every selection round
+        .ckpt() // read by every selection round (page-scale — |Q|·ef²
+                // rows at ANY corpus size, hence broadcast below)
     }
-    var sel = beam.withColumn("rn", rankQ).filter(col("rn") === 1)
-      .select(key :+ col("vec_id") :+ col("d2q"): _*)
-      .ckpt()
-    for (_ <- 2 to m) {
-      // min distance from each not-yet-picked candidate to the picks
-      val dmin = pair
-        .join(sel.select(key :+ col("vec_id").as("s_id"): _*), keyCols :+ "s_id")
-        .groupBy(key :+ col("c_id"): _*).agg(min(col("d2cs")).as("dmin"))
-      val elig = beam
-        .join(sel.select(key :+ col("vec_id"): _*), keyCols :+ "vec_id", "left_anti")
-        .join(dmin.select(key :+ col("c_id").as("vec_id") :+ col("dmin"): _*),
-          keyCols :+ "vec_id")
-        .filter(col("d2q") < col("dmin"))
-      val nxt = elig.withColumn("rn", rankQ).filter(col("rn") === 1)
-        .select(key :+ col("vec_id") :+ col("d2q"): _*)
-      sel = sel.unionByName(nxt)
-        .ckpt() // round r+1 reads sel TWICE (union + dmin): the eager
-                // checkpoint stops the per-round recompute doubling
+    val wKey = Window.partitionBy(key: _*)
+    // round 1: per-key argmin of the beam (min over a struct is the
+    // lexicographic (d2q, vec_id) argmin — the rankQ === 1 row)
+    var state = b
+      .withColumn("__m", min(struct(col("d2q"), col("vec_id"))).over(wKey))
+      .select(key ++ Seq(col("vec_id"), col("d2q"),
+        (col("vec_id") === col("__m.vec_id")).as("__picked"),
+        col("__m.vec_id").as("__new")): _*)
+    for (r <- 2 to m) {
+      // d² from every row to the round's new pick (null when the round
+      // picked nothing — least() then keeps the running min unchanged)
+      val p = pair.select(key ++ Seq(col("c_id").as("vec_id"),
+        col("s_id").as("__new"), col("d2cs").as("__dnew")): _*)
+      val upd = state
+        .join(broadcast(p), keyCols ++ Seq("vec_id", "__new"), "left")
+        .withColumn("__dminp",
+          if (r == 2) col("__dnew") else least(col("__dminp"), col("__dnew")))
+        .drop("__new", "__dnew")
+      val elig = when(!col("__picked") && col("d2q") < col("__dminp"),
+        struct(col("d2q"), col("vec_id")))
+      state = upd
+        .withColumn("__m", min(elig).over(wKey))
+        .select(key ++ Seq(col("vec_id"), col("d2q"),
+          (col("__picked") ||
+            (col("__m").isNotNull && col("vec_id") === col("__m.vec_id"))).as("__picked"),
+          col("__m.vec_id").as("__new"), col("__dminp")): _*)
     }
-    sel
+    state.filter(col("__picked")).select(key :+ col("vec_id") :+ col("d2q"): _*)
   }
+
+  /** Symmetrized adjacency WITH SELF-LOOPS — the fused-walk form of
+    * the family's `sym` helper (r15 OPTIMIZATION). A beam-search hop
+    * needs candidates = neighbors(beam) ∪ beam; expressing the union
+    * explicitly reads the beam twice per hop, which forces an eager
+    * checkpoint every hop (without it the recompute doubles per hop) —
+    * the per-hop job-count overhead that dominated the whole HNSW
+    * family at page scale. With a self-loop row per node, ONE inner
+    * equi-join against this frame emits neighbors AND the node itself,
+    * the beam is read exactly once per hop, and a multi-hop walk runs
+    * as one linear plan with no per-hop checkpoint (measured at sf0.1:
+    * q_hnsw_batch 110 jobs → 33, ~2× wall). The inner join also keeps
+    * the 100 TB shape: the page-scale beam side of an inner join is
+    * broadcastable (a left-outer's preserved side is not).
+    *
+    * Every walk's beam vec_ids are drawn from the graph's own node set
+    * (entries and neighbors), so the self-loop rows cover every beam
+    * member and candidate sets are IDENTICAL to the explicit union. */
+  private[graft] def symSelf(adj: DataFrame): DataFrame = {
+    val s = adj.select(col("a_id"), col("b_id")).unionByName(
+      adj.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    s.unionByName(s.select(col("a_id")).distinct()
+      .select(col("a_id"), col("a_id").as("b_id")))
+  }
+
+  /** One fused expansion step over a self-loop adjacency: candidates =
+    * beam ∪ neighbors(beam), beam read ONCE (see [[symSelf]]). `tag`
+    * columns (ef / fraction keys) ride the beam; pass adjacency-side
+    * join keys beyond a_id via `adjKeys` (q_hnsw_compact's per-fraction
+    * graphs join on (f, a_id)). */
+  private[graft] def expandOnce(beam: DataFrame, adjSelf: DataFrame,
+      keyCols: Seq[String], adjKeys: Seq[String] = Nil): DataFrame =
+    adjSelf
+      .join(beam.select(keyCols.map(col) :+ col("vec_id").as("a_id"): _*),
+        adjKeys :+ "a_id")
+      .select((keyCols.map(col) :+ col("b_id").as("vec_id")): _*)
+      .distinct()
 
   /** INCREMENTAL HNSW INSERT core — link pages for an ARRIVAL frame
     * `nu0` = (qid, qv, qlvl) against the persisted existing-members
@@ -511,12 +569,11 @@ object SimSearch {
       .join(emb.select(col("vec_id"), col("nv")), "vec_id")
       .join(broadcast(nu.select(col("qid"), col("qv"))), "qid")
       .select(col("qid"), col("vec_id"), expr(d2).as("d2q"))
-    def sym(adj: DataFrame): DataFrame = adj.unionByName(
-      adj.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     // layer graphs over the EXISTING members only (kNN AMONG the
-    // subset — the arrival batch is not in the index yet)
-    def adjAt(l: Int): DataFrame = sym(hnswInsAdj(s, d, l)
-      .select(col("a_id"), col("b_id")))
+    // subset — the arrival batch is not in the index yet), self-loop
+    // augmented so each hop reads the beam once ([[symSelf]], r15)
+    def adjAt(l: Int): DataFrame = symSelf(hnswInsAdj(s, d, l)
+      .select(col("a_id"), col("b_id"))).ckpt()
     val e2 = emb.filter(col("lvl") >= 2).agg(min(col("vec_id")).as("e2"))
     val e1 = emb.filter(col("lvl") >= 1).agg(min(col("vec_id")).as("e1"))
     val e0 = emb.agg(min(col("vec_id")).as("e0"))
@@ -524,22 +581,23 @@ object SimSearch {
       .select(coalesce(col("e2"), col("e1"), col("e0")).as("vec_id"))
     val rankQ = row_number().over(
       Window.partitionBy(col("qid")).orderBy(col("d2q"), col("vec_id")))
-    var beam = scored(nu.select(col("qid")).crossJoin(broadcast(entry))).ckpt()
+    var beam = scored(nu.select(col("qid")).crossJoin(broadcast(entry)))
     var selPages = Seq.empty[DataFrame]
     // layer 0 searches at the batch-search operating point (ef = 16
     // over 6 hops — measured there: 0.94 recall@1 vs 0.50 at ef=8/4);
-    // the sparse upper layers need only the narrow beam
+    // the sparse upper layers need only the narrow beam.
+    // FUSED hops (r15): each hop reads the previous beam exactly once
+    // (expandOnce over the self-loop adjacency), so a layer's whole
+    // walk is one linear plan; only the LAYER-BOUNDARY beam is
+    // checkpointed (it is read twice — by the level-filtered selection
+    // page and by the next layer's first hop).
     for ((l, hops, keep) <- Seq((2, 2, Ef), (1, 2, Ef), (0, 6, 16))) {
       val adj = adjAt(l)
       for (_ <- 1 to hops) {
-        val cand = adj
-          .join(beam.select(col("vec_id").as("a_id"), col("qid")), "a_id")
-          .select(col("qid"), col("b_id").as("vec_id"))
-          .unionByName(beam.select(col("qid"), col("vec_id"))).distinct()
-        beam = scored(cand)
+        beam = scored(expandOnce(beam, adj, Seq("qid")))
           .withColumn("rn", rankQ).filter(col("rn") <= keep).drop("rn")
-          .ckpt()
       }
+      beam = beam.ckpt()
       // select links ONLY for arrivals whose level reaches this layer
       // (r14 review): the geometric draw leaves ~1/16 of the batch at
       // layer 2 and ~1/4 at layer 1, and running the 3-round selection
@@ -780,13 +838,15 @@ object SimSearch {
       // 0.94 with symmetric links + ef=16 over 6 hops — the knob
       // ladder every HNSW deployment climbs, here with each rung
       // oracle-replayable
-      def sym(adj: DataFrame): DataFrame = adj.unionByName(
-        adj.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      val adj0 = sym(Learn.exactKnnL2(s, d, 8)
+      // self-loop symmetric layer graphs: each hop reads the beam once
+      // (expandOnce), so the WHOLE descent+beam walk is one linear plan
+      // with no per-hop checkpoint ([[symSelf]], r15 — 110 jobs → ~33
+      // measured at sf0.1, identical rows)
+      val adj0 = symSelf(Learn.exactKnnL2(s, d, 8)
         .filter(col("a_id") =!= 0 && col("b_id") =!= 0)
-        .select(col("a_id"), col("b_id")))
-      def adjUp(l: Int) = sym(hnswUpperAdj(s, d, l)
-        .select(col("a_id"), col("b_id")))
+        .select(col("a_id"), col("b_id"))).ckpt()
+      def adjUp(l: Int) = symSelf(hnswUpperAdj(s, d, l)
+        .select(col("a_id"), col("b_id"))).ckpt()
       val e2 = emb.filter(col("lvl") >= 2).agg(min(col("vec_id")).as("e2"))
       val e1 = emb.filter(col("lvl") >= 1).agg(min(col("vec_id")).as("e1"))
       val e0 = emb.agg(min(col("vec_id")).as("e0"))
@@ -797,25 +857,17 @@ object SimSearch {
           .select(col("qid"), col("m.vec_id").as("vec_id"), col("m.d2q").as("d2q"))
       var cur = argminPerQ(scored(
           queries.select(col("qid")).crossJoin(broadcast(entry))))
-        .ckpt()
-      for (l <- Seq(2, 1); _ <- 1 to Hu) {
-        val cand = adjUp(l)
-          .join(cur.select(col("vec_id").as("a_id"), col("qid")), "a_id")
-          .select(col("qid"), col("b_id").as("vec_id"))
-          .unionByName(cur.select(col("qid"), col("vec_id"))).distinct()
-        cur = argminPerQ(scored(cand)).ckpt()
+      for (l <- Seq(2, 1)) {
+        val adj = adjUp(l)
+        for (_ <- 1 to Hu)
+          cur = argminPerQ(scored(expandOnce(cur, adj, Seq("qid"))))
       }
       var beam = cur
       for (_ <- 1 to H0) {
-        val cand = adj0
-          .join(beam.select(col("vec_id").as("a_id"), col("qid")), "a_id")
-          .select(col("qid"), col("b_id").as("vec_id"))
-          .unionByName(beam.select(col("qid"), col("vec_id"))).distinct()
-        beam = scored(cand)
+        beam = scored(expandOnce(beam, adj0, Seq("qid")))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("qid")).orderBy(col("d2q"), col("vec_id"))))
           .filter(col("rn") <= Ef).drop("rn")
-          .ckpt()
       }
       val best = argminPerQ(beam)
         .select(col("qid"), col("vec_id").as("found_id"), col("d2q").as("found_d2"))
@@ -891,13 +943,12 @@ object SimSearch {
         .select(col("qid"), col("vec_id"),
           when(col("vec_id") === col("qid"), lit(1000000000000L))
             .otherwise(expr(d2)).as("d2q"))
-      def sym(adj: DataFrame): DataFrame = adj.unionByName(
-        adj.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      val adj0 = sym(Learn.exactKnnL2(s, d, 8)
+      // self-loop symmetric graphs + fused hops (r15 — see [[symSelf]])
+      val adj0 = symSelf(Learn.exactKnnL2(s, d, 8)
         .filter(col("a_id") =!= 0 && col("b_id") =!= 0)
-        .select(col("a_id"), col("b_id")))
-      def adjUp(l: Int) = sym(hnswUpperAdj(s, d, l)
-        .select(col("a_id"), col("b_id")))
+        .select(col("a_id"), col("b_id"))).ckpt()
+      def adjUp(l: Int) = symSelf(hnswUpperAdj(s, d, l)
+        .select(col("a_id"), col("b_id"))).ckpt()
       val e2 = emb.filter(col("lvl") >= 2).agg(min(col("vec_id")).as("e2"))
       val e1 = emb.filter(col("lvl") >= 1).agg(min(col("vec_id")).as("e1"))
       val e0 = emb.agg(min(col("vec_id")).as("e0"))
@@ -906,17 +957,17 @@ object SimSearch {
       def argminPerQ(sc: DataFrame): DataFrame =
         sc.groupBy(col("qid")).agg(min(struct(col("d2q"), col("vec_id"))).as("m"))
           .select(col("qid"), col("m.vec_id").as("vec_id"), col("m.d2q").as("d2q"))
-      // shared ef-independent descent (the q_hnsw_batch upper walk)
+      // shared ef-independent descent (the q_hnsw_batch upper walk),
+      // fused; checkpointed ONCE at the handoff — the three ef branches
+      // each read it
       var cur = argminPerQ(scored(
           queries.select(col("qid")).crossJoin(broadcast(entry))))
-        .ckpt()
-      for (l <- Seq(2, 1); _ <- 1 to Hu) {
-        val cand = adjUp(l)
-          .join(cur.select(col("vec_id").as("a_id"), col("qid")), "a_id")
-          .select(col("qid"), col("b_id").as("vec_id"))
-          .unionByName(cur.select(col("qid"), col("vec_id"))).distinct()
-        cur = argminPerQ(scored(cand)).ckpt()
+      for (l <- Seq(2, 1)) {
+        val adj = adjUp(l)
+        for (_ <- 1 to Hu)
+          cur = argminPerQ(scored(expandOnce(cur, adj, Seq("qid"))))
       }
+      cur = cur.ckpt()
       val truth = Learn.exactKnnL2(s, d, 8)
         .join(broadcast(queries.select(col("qid").as("a_id"))), "a_id")
         .filter(col("b_id") =!= 0)
@@ -926,10 +977,10 @@ object SimSearch {
       // ALL THREE ef branches ride ONE ef-tagged beam frame (the
       // q_hnsw_compact composite recipe, r15): beams evolve
       // independently under a (ef, qid) rank partition with a per-row
-      // cutoff, so each hop is ONE checkpoint job instead of one per
-      // branch — 6 jobs total where the branch-per-ef form paid 18.
-      // Result-identical: candidates of an (ef, qid) group derive only
-      // from that group's own beam.
+      // cutoff, so each hop serves every branch at once — and with the
+      // fused expandOnce hops the whole 6-hop sweep is ONE linear plan
+      // (no per-hop checkpoint at all). Result-identical: candidates
+      // of an (ef, qid) group derive only from that group's own beam.
       def scoredE(cand: DataFrame): DataFrame = cand
         .join(emb.select(col("vec_id"), col("nv")), "vec_id")
         .join(broadcast(queries), "qid")
@@ -939,15 +990,10 @@ object SimSearch {
       val rankEQ = row_number().over(
         Window.partitionBy(col("ef"), col("qid")).orderBy(col("d2q"), col("vec_id")))
       var beam = Seq(4L, 8L, 16L).map(e => cur.withColumn("ef", lit(e)))
-        .reduce(_ unionByName _).ckpt()
+        .reduce(_ unionByName _)
       for (_ <- 1 to H0) {
-        val cand = adj0
-          .join(beam.select(col("ef"), col("vec_id").as("a_id"), col("qid")), "a_id")
-          .select(col("ef"), col("qid"), col("b_id").as("vec_id"))
-          .unionByName(beam.select(col("ef"), col("qid"), col("vec_id"))).distinct()
-        beam = scoredE(cand)
+        beam = scoredE(expandOnce(beam, adj0, Seq("ef", "qid")))
           .withColumn("rn", rankEQ).filter(col("rn") <= col("ef")).drop("rn")
-          .ckpt()
       }
       beam.groupBy(col("ef"), col("qid"))
         .agg(min(struct(col("d2q"), col("vec_id"))).as("m"))
@@ -995,33 +1041,26 @@ object SimSearch {
         .select(col("qid"), col("vec_id"), col("label"),
           when(col("vec_id") === col("qid"), lit(1000000000000L))
             .otherwise(expr(d2)).as("d2q"))
-      def sym(adj: DataFrame): DataFrame = adj.select(col("a_id"), col("b_id"))
-        .unionByName(adj.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       val rankQ = row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("d2q"), col("vec_id")))
+      // fused hops over self-loop graphs (r15, [[symSelf]]): the beam
+      // is read once per hop, so each arm's 6-hop walk is one linear
+      // plan with no per-hop checkpoint. (The old per-hop-ckpt comment
+      // measured the UNION-expansion lazy tower, which reads the beam
+      // twice per hop and recompute-doubles — the single-read form
+      // does not.)
       def beamSearch(adj: DataFrame, entry: DataFrame): DataFrame = {
-        // ckpt per hop, like every beam loop in the family: each beam
-        // feeds the next hop twice, and 6 nested window+distinct
-        // rounds as ONE lazy plan measured 2× SLOWER than the eager
-        // per-hop checkpoints (cached segments forgo AQE and the
-        // planner re-optimizes the whole tower) — measured both ways
-        // at sf0.1 before pinning this
-        var beam = scored(queries.select(col("qid")).crossJoin(broadcast(entry))).ckpt()
+        var beam = scored(queries.select(col("qid")).crossJoin(broadcast(entry)))
         for (_ <- 1 to Hops) {
-          val cand = adj
-            .join(beam.select(col("vec_id").as("a_id"), col("qid")), "a_id")
-            .select(col("qid"), col("b_id").as("vec_id"))
-            .unionByName(beam.select(col("qid"), col("vec_id"))).distinct()
-          beam = scored(cand)
+          beam = scored(expandOnce(beam, adj, Seq("qid")))
             .withColumn("rn", rankQ).filter(col("rn") <= Ef).drop("rn")
-            .ckpt()
         }
         beam.filter(col("vec_id") =!= col("qid"))
       }
       val memPred = col("label") === Lbl && col("vec_id") =!= 0
-      val adjPre = sym(Learn.exactKnnL2Among(s, d, Ef, memPred, "annfilt"))
-      val adjFull = sym(Learn.exactKnnL2(s, d, Ef)
-        .filter(col("a_id") =!= 0 && col("b_id") =!= 0))
+      val adjPre = symSelf(Learn.exactKnnL2Among(s, d, Ef, memPred, "annfilt")).ckpt()
+      val adjFull = symSelf(Learn.exactKnnL2(s, d, Ef)
+        .filter(col("a_id") =!= 0 && col("b_id") =!= 0)).ckpt()
       val pre = beamSearch(adjPre, mem.agg(min(col("vec_id")).as("vec_id")))
         .groupBy(col("qid")).agg(min(struct(col("d2q"), col("vec_id"))).as("m"))
         .select(col("qid"), col("m.vec_id").as("pre_id"), col("m.d2q").as("pre_d2"))
@@ -1153,8 +1192,18 @@ object SimSearch {
       }.reduce(_ unionByName _)
         .unionByName(picks.select(col("f"), col("qid").as("a_id"),
           col("vec_id").as("b_id")))
+      // symmetrized + per-fraction SURVIVOR self-loops (the fused-hop
+      // form, r15 — see [[symSelf]]; self-loops come from the survivor
+      // set, not edge endpoints, so a survivor left isolated by repair
+      // still carries its own beam row exactly like the old explicit
+      // union did)
       val adj = edges.unionByName(
           edges.select(col("f"), col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .unionByName(fracs.map(f =>
+            emb.filter(!tombP(col("vec_id"), f))
+              .select(lit(f).as("f"), col("vec_id").as("a_id"),
+                col("vec_id").as("b_id")))
+          .reduce(_ unionByName _))
         .ckpt() // read by every hop
       val entries = fracs.map(f =>
           emb.filter(!tombP(col("vec_id"), f)).agg(min(col("vec_id")).as("vec_id"))
@@ -1165,17 +1214,15 @@ object SimSearch {
       var beam = queries.select(col("qid")).crossJoin(broadcast(entries))
         .join(d2q, Seq("qid", "vec_id"))
         .select(col("f"), col("qid"), col("vec_id"), col("d2q"))
-        .ckpt()
       for (_ <- 1 to Hops) {
-        val cand = adj
-          .join(beam.select(col("f"), col("vec_id").as("a_id"), col("qid")), Seq("f", "a_id"))
-          .select(col("f"), col("qid"), col("b_id").as("vec_id"))
-          .unionByName(beam.select(col("f"), col("qid"), col("vec_id"))).distinct()
-        beam = cand.join(d2q, Seq("qid", "vec_id"))
+        beam = expandOnce(beam, adj, Seq("f", "qid"), adjKeys = Seq("f"))
+          .join(d2q, Seq("qid", "vec_id"))
           .select(col("f"), col("qid"), col("vec_id"), col("d2q"))
           .withColumn("rn", rankQ).filter(col("rn") <= Ef).drop("rn")
-          .ckpt()
       }
+      // the per-fraction verdict pages each read the final beam — ckpt
+      // ONCE here instead of once per hop (r15)
+      beam = beam.ckpt()
       val pages = fracs.map { f =>
         val truth = d2q
           .filter(!tombP(col("vec_id"), f) && col("vec_id") =!= col("qid"))
@@ -1262,6 +1309,10 @@ object SimSearch {
         .unionByName(repaired)
       val adj = g2.unionByName(
           g2.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        // survivor self-loops (fused-hop form, r15 — see [[symSelf]]):
+        // candidates = beam ∪ neighbors from ONE join, beam read once
+        .unionByName(emb.filter(!tombP(col("vec_id")))
+          .select(col("vec_id").as("a_id"), col("vec_id").as("b_id")))
         .ckpt() // read by every serve hop
       // SERVE: the batch page through the composed graph
       val queries = emb.filter(col("vec_id") % 31 === 7 && !tombP(col("vec_id")))
@@ -1281,16 +1332,11 @@ object SimSearch {
       var beam = queries.select(col("qid")).crossJoin(broadcast(entry))
         .join(d2t, Seq("qid", "vec_id"))
         .select(col("qid"), col("vec_id"), col("d2q"))
-        .ckpt()
       for (_ <- 1 to Hops) {
-        val cnd = adj
-          .join(beam.select(col("vec_id").as("a_id"), col("qid")), "a_id")
-          .select(col("qid"), col("b_id").as("vec_id"))
-          .unionByName(beam.select(col("qid"), col("vec_id"))).distinct()
-        beam = cnd.join(d2t, Seq("qid", "vec_id"))
+        beam = expandOnce(beam, adj, Seq("qid"))
+          .join(d2t, Seq("qid", "vec_id"))
           .select(col("qid"), col("vec_id"), col("d2q"))
           .withColumn("rn", rankQ).filter(col("rn") <= Ef).drop("rn")
-          .ckpt()
       }
       val found = beam.groupBy(col("qid"))
         .agg(min(struct(col("d2q"), col("vec_id"))).as("m"))
