@@ -219,18 +219,46 @@ object Curation {
       val maxRow = texts.agg(max(length(col("text")))).head
       val maxLen = if (maxRow.isNullAt(0)) 0L else maxRow.getInt(0).toLong
       val full = fullSuffixRanks(suf, maxLen)
-      val rk = Ranks.globalOrderScan(
-          suf.join(full, Seq("doc_id", "p")),
-          substring(col("sk"), 1, 3),
-          Seq(col("rk"), col("doc_id"), col("p")), "r")
-        .ckpt() // both sides of the adjacent-pair join share the scan
-      val b = rk.select((col("r") - 1).as("r"), col("doc_id").as("b_doc"),
-        col("p").as("b_pos"), col("sk").as("bsk"))
-      val base = rk.select(col("r"), col("doc_id").as("a_doc"), col("p").as("a_pos"),
-          col("sk").as("ask"))
-        .join(b, "r")
-        .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"),
-          col("ask"), expr("prefix_len(ask, bsk)").as("lcp"))
+      // FINAL TOTAL ORDER from the carried base rank (r15 — replaces a
+      // second globalOrderScan pass): the doubling rounds only permute
+      // ranks WITHIN a 64-char tie block ([rk0, rk0 + |block|), blocks
+      // never interleave — see fullSuffixRanks), so the global position
+      // of a row is its block offset (rk0 − 1) plus its row_number
+      // within the block under the refined (rk, doc_id, p) order. One
+      // window over the sk groups, riding the same bucket exchange as
+      // the adjacent-pair lead windows below.
+      val bkt = substring(col("sk"), 1, 3)
+      val rk = suf.join(full, Seq("doc_id", "p"))
+        .withColumn("r", col("rk0") - 1 + row_number().over(
+          Window.partitionBy(bkt, col("sk")).orderBy(col("rk"), col("doc_id"), col("p"))))
+        .select(col("r"), col("doc_id"), col("p"), col("sk"))
+        .ckpt() // read by the in-bucket lead pass AND the boundary stitch
+      // ADJACENT PAIRS via lead() within the 3-char-prefix buckets
+      // (r15 — replaces the rank self-join, which shuffled the whole
+      // position frame twice): ranks are globally contiguous and the
+      // bucket is monotone along the order, so rank r+1 is either the
+      // next row of the same bucket (the lead) or the FIRST row of the
+      // next non-empty bucket — stitched back with a broadcast of the
+      // per-bucket last rows (bucket-census grain, like the
+      // globalOrderScan offset table).
+      val wB = Window.partitionBy(bkt).orderBy(col("r"))
+      val withLead = rk
+        .withColumn("b_doc", lead(col("doc_id"), 1).over(wB))
+        .withColumn("b_pos", lead(col("p"), 1).over(wB))
+        .withColumn("bsk", lead(col("sk"), 1).over(wB))
+      val inBucket = withLead.filter(col("bsk").isNotNull)
+        .select(col("doc_id").as("a_doc"), col("p").as("a_pos"),
+          col("b_doc"), col("b_pos"), col("sk").as("ask"),
+          expr("prefix_len(sk, bsk)").as("lcp"))
+      val lasts = withLead.filter(col("bsk").isNull)
+        .select((col("r") + 1).as("r"), col("doc_id").as("a_doc"),
+          col("p").as("a_pos"), col("sk").as("ask"))
+      val boundary = rk
+        .join(broadcast(lasts), Seq("r"))
+        .select(col("a_doc"), col("a_pos"), col("doc_id").as("b_doc"),
+          col("p").as("b_pos"), col("ask"),
+          expr("prefix_len(ask, sk)").as("lcp"))
+      val base = inBucket.unionByName(boundary)
         .ckpt() // split into done/saturated, each read per round
       // unbounded-LCP extension: walk 64-char text chunks past the key
       // until the first non-full chunk match; only still-saturated
@@ -241,18 +269,26 @@ object Curation {
       var done = base.filter(col("lcp") < SufCtx)
       var sat = base.filter(col("lcp") === SufCtx)
       var off = SufCtx.toLong
+      // the probe CHUNK is an internal knob, independent of the 64-char
+      // sort key: prefix_len counts matching chars up to the first
+      // mismatch either way, a chunk past the text end reads as ""
+      // (adds 0), and the done/sat cut compares against the chunk
+      // width — so a 4× wider probe yields the same lcp in a quarter
+      // of the rounds (r15: the fixture's ~200-char quote overlaps
+      // resolved in 1 extension round instead of 3)
+      val ExtCtx = 4 * SufCtx
       while (!sat.isEmpty) {
         val ext = sat.join(ta, "a_doc").join(tb, "b_doc")
           .withColumn("__add", expr(
-            s"prefix_len(substring(__ta, cast(a_pos + $off as int), $SufCtx), " +
-              s"substring(__tb, cast(b_pos + $off as int), $SufCtx))"))
+            s"prefix_len(substring(__ta, cast(a_pos + $off as int), $ExtCtx), " +
+              s"substring(__tb, cast(b_pos + $off as int), $ExtCtx))"))
           .withColumn("lcp", col("lcp") + col("__add"))
           .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"),
             col("ask"), col("lcp"), col("__add"))
           .ckpt() // read by the done-union AND the next round's cut
-        done = done.unionByName(ext.filter(col("__add") < SufCtx).drop("__add"))
-        sat = ext.filter(col("__add") === SufCtx).drop("__add")
-        off += SufCtx
+        done = done.unionByName(ext.filter(col("__add") < ExtCtx).drop("__add"))
+        sat = ext.filter(col("__add") === ExtCtx).drop("__add")
+        off += ExtCtx
       }
       done
     }
@@ -269,10 +305,17 @@ object Curation {
     * duplicate mass), bounded structurally by h doubling past maxLen
     * with an empty-active early exit. Returns (doc_id, p, rk). */
   private def fullSuffixRanks(suf: DataFrame, maxLen: Long): DataFrame = {
+    // rk0 (the base bounded-key min-rank) is carried through the
+    // doubling rounds unchanged (r15): it is the global offset of each
+    // 64-char tie block — doubling only permutes ranks WITHIN a block
+    // (nrk ∈ [rk, rk + |group|), blocks never interleave), which is
+    // what lets suffixPairs derive the final total order with one
+    // window over the sk groups instead of a second full
+    // globalOrderScan pass.
     var full = Ranks.globalOrderScan(suf, substring(col("sk"), 1, 3),
         Seq(col("sk"), col("doc_id"), col("p")), "__rn")
       .withColumn("rk", min(col("__rn")).over(Window.partitionBy(col("sk"))))
-      .select(col("doc_id"), col("p"), col("rk"))
+      .select(col("doc_id"), col("p"), col("rk"), col("rk").as("rk0"))
       .ckpt()
     var active = full
       .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("rk"))))
@@ -290,12 +333,24 @@ object Curation {
       full = full.join(upd.select(col("doc_id"), col("p"), col("nrk")),
           Seq("doc_id", "p"), "left")
         .select(col("doc_id"), col("p"),
-          coalesce(col("nrk"), col("rk")).as("rk"))
+          coalesce(col("nrk"), col("rk")).as("rk"), col("rk0"))
         .ckpt()
       active = upd
         .withColumn("__c", count(lit(1)).over(
           Window.partitionBy(col("rk"), col("rk2"))))
         .filter(col("__c") > 1)
+        // DISCARD permanently-tied groups (r15 optimization): rk2 = 0
+        // means the suffix has no partner at p + h, i.e. its remaining
+        // length is < h; two such suffixes tied on rank share their
+        // h-prefix AND both end inside it, so their FULL suffixes are
+        // identical — the group can never split at any larger h (a
+        // missing partner stays missing as h grows) and min-rank keeps
+        // identical suffixes tied by contract. On the fixture this
+        // removes the short-tail tie mass (~400k of the 450k active
+        // rows) from every doubling round after the first — the
+        // "work ∝ unresolved duplicate mass" bound this loop documents,
+        // now enforced for the never-resolvable part too.
+        .filter(col("rk2") > 0)
         .select(col("doc_id"), col("p"), col("nrk").as("rk"))
       h *= 2
     }
