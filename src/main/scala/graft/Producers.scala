@@ -60,6 +60,12 @@ object Producers {
     "producer:trade_edges" -> ((s, d) => {
       Graph.tradeEdgeCache.invalidate(skey(s, d)); Graph.tradeBase(s, d)
     }),
+    // the co-purchase edge set (r15) — shared by q_ktruss and
+    // q_local_cc; memoized like trade_edges so neither consumer
+    // re-pays the basket join + pair explode + distinct
+    "producer:copurchase_edges" -> ((s, d) => {
+      Graph.copurchaseEdgeCache.invalidate(skey(s, d)); Graph.copurchaseEdges(s, d)
+    }),
     "producer:lp_labels" -> ((s, d) => {
       Graph.lpLabelCache.invalidate(skey(s, d)); Graph.lpLabels(s, d)
     }),

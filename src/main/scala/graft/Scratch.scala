@@ -7,10 +7,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Scratch {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -29,225 +28,96 @@ object Scratch {
     spark.read.parquet(s"$d/region.parquet").count()
 
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
-    import graft.operators.Learn
-    import graft.operators.PlanStash.Ckpt
+    import graft.operators.{Graph, PlanStash}
+    import PlanStash.Ckpt
 
-    // ---------- shared pieces (q_hnsw_batch shape) ----------
-    val hnswLevelSpark = {
-      val hx = (p: Int) =>
-        s"(instr('0123456789abcdef', substring(md5(CAST(vec_id AS STRING)), $p, 1)) - 1)"
-      val byte0 = s"(${hx(1)} * 16 + ${hx(2)})"
-      s"(CASE WHEN $byte0 % 16 = 0 THEN 2 WHEN $byte0 % 4 = 0 THEN 1 ELSE 0 END)"
+    var edges: DataFrame = null
+    time("copurchaseEdges build+ckpt") {
+      edges = Graph.copurchaseEdges(spark, d).ckpt(); edges.count()
     }
-    def emb0 = Tables.embeddings(spark, d).filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), expr(Learn.QuantTok).as("nv"),
-        expr(hnswLevelSpark).as("lvl"))
-    val d2 = "aggregate(zip_with(nv, qv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
-    def sym(adj: DataFrame): DataFrame = adj.unionByName(
-      adj.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    var suppAll: DataFrame = null
+    time("orientedSupport full pass") {
+      suppAll = Graph.orientedSupport(edges).ckpt(); suppAll.count()
+    }
 
-    def variantA(): DataFrame = { // current shape: per-hop ckpt, union expand
-      val H0 = 6; val Ef = 16; val Hu = 2
-      val emb = emb0.ckpt()
-      val queries = emb.filter(col("vec_id") % 31 === 7)
-        .select(col("vec_id").as("qid"), col("nv").as("qv"))
-      def scored(cand: DataFrame): DataFrame = cand
-        .join(emb.select(col("vec_id"), col("nv")), "vec_id")
-        .join(broadcast(queries), "qid")
-        .select(col("qid"), col("vec_id"),
-          when(col("vec_id") === col("qid"), lit(1000000000000L))
-            .otherwise(expr(d2)).as("d2q"))
-      val adj0 = sym(Learn.exactKnnL2(spark, d, 8)
-        .filter(col("a_id") =!= 0 && col("b_id") =!= 0)
-        .select(col("a_id"), col("b_id")))
-      def adjUp(l: Int) = sym(graft.operators.SimSearch.hnswUpperAdj(spark, d, l)
-        .select(col("a_id"), col("b_id")))
-      val e2 = emb.filter(col("lvl") >= 2).agg(min(col("vec_id")).as("e2"))
-      val e1 = emb.filter(col("lvl") >= 1).agg(min(col("vec_id")).as("e1"))
-      val e0 = emb.agg(min(col("vec_id")).as("e0"))
-      val entry = e2.crossJoin(broadcast(e1)).crossJoin(broadcast(e0))
-        .select(coalesce(col("e2"), col("e1"), col("e0")).as("vec_id"))
-      def argminPerQ(sc: DataFrame): DataFrame =
-        sc.groupBy(col("qid")).agg(min(struct(col("d2q"), col("vec_id"))).as("m"))
-          .select(col("qid"), col("m.vec_id").as("vec_id"), col("m.d2q").as("d2q"))
-      var cur = argminPerQ(scored(
-          queries.select(col("qid")).crossJoin(broadcast(entry))))
+    time("peel rounds (delta form)") {
+      import graft.operators.PlanStash.Ckpt
+      val minSupp = 2L
+      val undAll0 = edges
+        .select(explode(array(
+          struct(col("a").as("x"), col("b").as("c")),
+          struct(col("b").as("x"), col("a").as("c")))).as("p"))
+        .select(col("p.x").as("x"), col("p.c").as("c"))
         .ckpt()
-      for (l <- Seq(2, 1); _ <- 1 to Hu) {
-        val cand = adjUp(l)
-          .join(cur.select(col("vec_id").as("a_id"), col("qid")), "a_id")
-          .select(col("qid"), col("b_id").as("vec_id"))
-          .unionByName(cur.select(col("qid"), col("vec_id"))).distinct()
-        cur = argminPerQ(scored(cand)).ckpt()
-      }
-      var beam = cur
-      for (_ <- 1 to H0) {
-        val cand = adj0
-          .join(beam.select(col("vec_id").as("a_id"), col("qid")), "a_id")
-          .select(col("qid"), col("b_id").as("vec_id"))
-          .unionByName(beam.select(col("qid"), col("vec_id"))).distinct()
-        beam = scored(cand)
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("qid")).orderBy(col("d2q"), col("vec_id"))))
-          .filter(col("rn") <= Ef).drop("rn")
+      var removed = suppAll.filter(col("supp") < minSupp)
+        .select(col("a"), col("b"))
+        .ckpt()
+      var remPrior: DataFrame = null
+      var decTot: DataFrame = null
+      var rounds = 1
+      var nRemoved = removed.count()
+      while (nRemoved > 0 && rounds < 64) {
+        val t0 = System.nanoTime(); val j0 = jobs.get
+        val undPrev =
+          if (remPrior == null) undAll0
+          else undAll0.join(
+            broadcast(remPrior.select(col("a").as("x"), col("b").as("c"))
+              .unionByName(remPrior.select(col("b").as("x"), col("a").as("c")))),
+            Seq("x", "c"), "left_anti")
+        val undF =
+          if (nRemoved > 10000) undPrev.ckpt()
+          else {
+            val ends = removed
+              .select(explode(array(col("a"), col("b"))).as("x")).distinct()
+            undPrev.join(broadcast(ends), Seq("x"), "left_semi")
+          }
+        def smallSide(df: DataFrame): DataFrame =
+          if (nRemoved <= 10000) broadcast(df) else df
+        val tris = undF.select(col("x").as("a"), col("c"))
+          .join(smallSide(removed), Seq("a"))
+          .filter(col("c") =!= col("b"))
+          .join(undF.select(col("x").as("b"), col("c")), Seq("b", "c"), "left_semi")
+          .withColumn("x", least(col("a"), col("b"), col("c")))
+          .withColumn("z", greatest(col("a"), col("b"), col("c")))
+          .withColumn("y", col("a") + col("b") + col("c") - col("x") - col("z"))
+          .select(col("x"), col("y"), col("z"))
+          .distinct()
+        val remNow =
+          if (remPrior == null) removed else remPrior.unionByName(removed)
+        val dec = tris
+          .select(explode(array(
+            struct(col("x").as("a"), col("y").as("b")),
+            struct(col("x").as("a"), col("z").as("b")),
+            struct(col("y").as("a"), col("z").as("b")))).as("e"))
+          .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+          .agg(count(lit(1)).as("dec"))
+          .join(broadcast(remNow), Seq("a", "b"), "left_anti")
           .ckpt()
+        decTot = if (decTot == null) dec else decTot.unionByName(dec)
+        val freshTot = decTot
+          .join(dec.select(col("a"), col("b")), Seq("a", "b"), "left_semi")
+          .groupBy(col("a"), col("b")).agg(sum(col("dec")).as("dec"))
+        removed = suppAll
+          .join(broadcast(freshTot), Seq("a", "b"))
+          .filter(col("supp") - col("dec") < minSupp)
+          .select(col("a"), col("b"))
+          .ckpt()
+        remPrior = remNow
+        rounds += 1
+        nRemoved = removed.count()
+        println(f"  round $rounds: removed=$nRemoved  ${(System.nanoTime() - t0) / 1e9}%6.2f s ${jobs.get - j0}%4d jobs")
       }
-      val best = argminPerQ(beam)
-        .select(col("qid"), col("vec_id").as("found_id"), col("d2q").as("found_d2"))
-      val truth = Learn.exactKnnL2(spark, d, 8)
-        .join(broadcast(queries.select(col("qid").as("a_id"))), "a_id")
-        .filter(col("b_id") =!= 0)
-        .groupBy(col("a_id"))
-        .agg(min(struct(col("d2"), col("b_id"))).as("m"))
-        .select(col("a_id").as("qid"), col("m.d2").as("true_nn_d2"))
-      best.join(truth, "qid")
-        .select(col("qid"), col("found_id"), col("found_d2"), col("true_nn_d2"),
-          when(col("found_d2") === col("true_nn_d2"), 1L).otherwise(0L).as("reached"))
-        .orderBy(col("qid"))
+      val remFinal = if (remPrior == null) removed else remPrior
+      val kept0 = suppAll.join(remFinal, Seq("a", "b"), "left_anti")
+      val kept =
+        if (decTot == null) kept0
+        else kept0.join(decTot.groupBy(col("a"), col("b"))
+            .agg(sum(col("dec")).as("dec")), Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            (col("supp") - coalesce(col("dec"), lit(0L))).as("supp"))
+      kept.count()
     }
 
-    def variantB(finalCkpt: Boolean): DataFrame = { // fused: single-read hops, no per-hop ckpt
-      val H0 = 6; val Ef = 16; val Hu = 2
-      val emb = emb0.ckpt()
-      val queries = emb.filter(col("vec_id") % 31 === 7)
-        .select(col("vec_id").as("qid"), col("nv").as("qv"))
-      def scored(cand: DataFrame): DataFrame = cand
-        .join(emb.select(col("vec_id"), col("nv")), "vec_id")
-        .join(broadcast(queries), "qid")
-        .select(col("qid"), col("vec_id"),
-          when(col("vec_id") === col("qid"), lit(1000000000000L))
-            .otherwise(expr(d2)).as("d2q"))
-      val adj0 = sym(Learn.exactKnnL2(spark, d, 8)
-        .filter(col("a_id") =!= 0 && col("b_id") =!= 0)
-        .select(col("a_id"), col("b_id"))).ckpt()
-      def adjUp(l: Int) = sym(graft.operators.SimSearch.hnswUpperAdj(spark, d, l)
-        .select(col("a_id"), col("b_id")))
-      val e2 = emb.filter(col("lvl") >= 2).agg(min(col("vec_id")).as("e2"))
-      val e1 = emb.filter(col("lvl") >= 1).agg(min(col("vec_id")).as("e1"))
-      val e0 = emb.agg(min(col("vec_id")).as("e0"))
-      val entry = e2.crossJoin(broadcast(e1)).crossJoin(broadcast(e0))
-        .select(coalesce(col("e2"), col("e1"), col("e0")).as("vec_id"))
-      def argminPerQ(sc: DataFrame): DataFrame =
-        sc.groupBy(col("qid")).agg(min(struct(col("d2q"), col("vec_id"))).as("m"))
-          .select(col("qid"), col("m.vec_id").as("vec_id"), col("m.d2q").as("d2q"))
-      // single-read expansion: left-join the beam against the layer
-      // graph and explode (self, neighbor) — the beam is read ONCE per
-      // hop, so the whole walk stays one linear plan with no per-hop
-      // checkpoint and no recompute doubling.
-      def expand(beam: DataFrame, adj: DataFrame): DataFrame = beam
-        .join(adj.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left")
-        .select(col("qid"), explode(array(col("vec_id"), col("b_id"))).as("vec_id"))
-        .filter(col("vec_id").isNotNull)
-        .distinct()
-      var cur = argminPerQ(scored(
-          queries.select(col("qid")).crossJoin(broadcast(entry))))
-      for (l <- Seq(2, 1); _ <- 1 to Hu) {
-        cur = argminPerQ(scored(expand(cur, adjUp(l))))
-      }
-      var beam = cur
-      for (_ <- 1 to H0) {
-        beam = scored(expand(beam, adj0))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("qid")).orderBy(col("d2q"), col("vec_id"))))
-          .filter(col("rn") <= Ef).drop("rn")
-      }
-      if (finalCkpt) beam = beam.ckpt()
-      val best = argminPerQ(beam)
-        .select(col("qid"), col("vec_id").as("found_id"), col("d2q").as("found_d2"))
-      val truth = Learn.exactKnnL2(spark, d, 8)
-        .join(broadcast(queries.select(col("qid").as("a_id"))), "a_id")
-        .filter(col("b_id") =!= 0)
-        .groupBy(col("a_id"))
-        .agg(min(struct(col("d2"), col("b_id"))).as("m"))
-        .select(col("a_id").as("qid"), col("m.d2").as("true_nn_d2"))
-      best.join(truth, "qid")
-        .select(col("qid"), col("found_id"), col("found_d2"), col("true_nn_d2"),
-          when(col("found_d2") === col("true_nn_d2"), 1L).otherwise(0L).as("reached"))
-        .orderBy(col("qid"))
-    }
-
-    def variantC(): DataFrame = { // fused + self-loop adj + broadcast beam + 1 exchange/hop
-      val H0 = 6; val Ef = 16; val Hu = 2
-      val emb = emb0.ckpt()
-      val queries = emb.filter(col("vec_id") % 31 === 7)
-        .select(col("vec_id").as("qid"), col("nv").as("qv"))
-      def scored(cand: DataFrame): DataFrame = cand
-        .join(emb.select(col("vec_id"), col("nv")), "vec_id")
-        .join(broadcast(queries), "qid")
-        .select(col("qid"), col("vec_id"),
-          when(col("vec_id") === col("qid"), lit(1000000000000L))
-            .otherwise(expr(d2)).as("d2q"))
-      // self-loop-augmented symmetric adjacency: one INNER broadcast
-      // join per hop emits neighbors AND the node itself, so the beam
-      // is read once and the join's build side is the page-scale beam
-      def withSelf(adj: DataFrame): DataFrame = adj
-        .unionByName(adj.select(col("a_id")).distinct()
-          .select(col("a_id"), col("a_id").as("b_id")))
-      val adj0 = withSelf(sym(Learn.exactKnnL2(spark, d, 8)
-        .filter(col("a_id") =!= 0 && col("b_id") =!= 0)
-        .select(col("a_id"), col("b_id")))).ckpt()
-      val adjUpM = Seq(1, 2).map(l => l -> withSelf(
-        sym(graft.operators.SimSearch.hnswUpperAdj(spark, d, l)
-          .select(col("a_id"), col("b_id")))).ckpt()).toMap
-      def adjUp(l: Int) = adjUpM(l)
-      val e2 = emb.filter(col("lvl") >= 2).agg(min(col("vec_id")).as("e2"))
-      val e1 = emb.filter(col("lvl") >= 1).agg(min(col("vec_id")).as("e1"))
-      val e0 = emb.agg(min(col("vec_id")).as("e0"))
-      val entry = e2.crossJoin(broadcast(e1)).crossJoin(broadcast(e0))
-        .select(coalesce(col("e2"), col("e1"), col("e0")).as("vec_id"))
-      def argminPerQ(sc: DataFrame): DataFrame =
-        sc.groupBy(col("qid")).agg(min(struct(col("d2q"), col("vec_id"))).as("m"))
-          .select(col("qid"), col("m.vec_id").as("vec_id"), col("m.d2q").as("d2q"))
-      def expand(beam: DataFrame, adj: DataFrame): DataFrame = adj
-        .join(beam.select(col("vec_id").as("a_id"), col("qid")), "a_id")
-        .select(col("qid"), col("b_id").as("vec_id"))
-        .distinct()
-      var cur = argminPerQ(scored(
-          queries.select(col("qid")).crossJoin(broadcast(entry))))
-      for (l <- Seq(2, 1); _ <- 1 to Hu) {
-        cur = argminPerQ(scored(expand(cur, adjUp(l))))
-      }
-      var beam = cur
-      for (_ <- 1 to H0) {
-        beam = scored(expand(beam, adj0))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("qid")).orderBy(col("d2q"), col("vec_id"))))
-          .filter(col("rn") <= Ef).drop("rn")
-      }
-      val best = argminPerQ(beam)
-        .select(col("qid"), col("vec_id").as("found_id"), col("d2q").as("found_d2"))
-      val truth = Learn.exactKnnL2(spark, d, 8)
-        .join(broadcast(queries.select(col("qid").as("a_id"))), "a_id")
-        .filter(col("b_id") =!= 0)
-        .groupBy(col("a_id"))
-        .agg(min(struct(col("d2"), col("b_id"))).as("m"))
-        .select(col("a_id").as("qid"), col("m.d2").as("true_nn_d2"))
-      best.join(truth, "qid")
-        .select(col("qid"), col("found_id"), col("found_d2"), col("true_nn_d2"),
-          when(col("found_d2") === col("true_nn_d2"), 1L).otherwise(0L).as("reached"))
-        .orderBy(col("qid"))
-    }
-
-    // warm the memoized indexes once so variants compare serve cost only
-    time("warm: knn8 + upper layers") {
-      Learn.exactKnnL2(spark, d, 8).count() +
-        graft.operators.SimSearch.hnswUpperAdj(spark, d, 1).count() +
-        graft.operators.SimSearch.hnswUpperAdj(spark, d, 2).count()
-    }
-    time("A current (per-hop ckpt)") { variantA().count() }
-    time("A again") { variantA().count() }
-    time("B fused (no ckpt)") { variantB(false).count() }
-    time("B again") { variantB(false).count() }
-    time("B fused + final ckpt") { variantB(true).count() }
-    time("C selfloop+bcast") { variantC().count() }
-    time("C again") { variantC().count() }
-    time("C 3rd") { variantC().count() }
-    // result identity check
-    val a = variantA().collect().map(_.toString).sorted
-    val b = variantB(false).collect().map(_.toString).sorted
-    val c = variantC().collect().map(_.toString).sorted
-    println(s"identical B: ${a.sameElements(b)}  C: ${a.sameElements(c)}  (${a.length} rows)")
     spark.stop()
   }
 }
