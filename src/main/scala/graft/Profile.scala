@@ -46,11 +46,19 @@ object Profile {
     val taskNanos = new java.util.concurrent.atomic.AtomicLong()
     val shufRead = new java.util.concurrent.atomic.AtomicLong()
     val shufWrite = new java.util.concurrent.atomic.AtomicLong()
+    val stageLog = sys.env.get("SPARK_GRAFT_PROFILE_STAGES").isDefined
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        if (stageLog) {
+          val i = s.stageInfo
+          val rt = Option(i.taskMetrics).map(_.executorRunTime).getOrElse(0L)
+          if (rt > 200)
+            println(f"    stage ${i.stageId}%5d ${i.numTasks}%4dt ${rt / 1e3}%7.2fs  ${i.name.take(80)}")
+        }
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         val m = t.taskMetrics

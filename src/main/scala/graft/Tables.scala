@@ -11,8 +11,26 @@ import org.apache.spark.sql.functions._
   * Catalyst pushes both into `FileSourceScanExec`.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema memo per (dir, table): `spark.read.parquet(path)` runs
+    * footer-based schema INFERENCE on every call (~58 ms even warm —
+    * a driver-side footer read and merge), and a full bench pass
+    * issues ~2,000 loads, so inference alone cost ~2 minutes per run
+    * (r15 measurement: 200 loads = 12.9 s inferred vs 1.2 s with an
+    * explicit schema). The fixture tables are immutable per dir, so
+    * the first inference's result is passed explicitly to every later
+    * read — pure metadata, no data or results are cached. Keyed by
+    * (session, dir, name): a new session or data drop re-infers.
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val key = s"${System.identityHashCode(spark)}:$path"
+    val schema = schemaMemo.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
