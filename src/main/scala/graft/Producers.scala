@@ -114,6 +114,15 @@ object Producers {
       Seq(0, 1, 2).map(l => SimSearch.hnswInsAdj(s, d, l).select("a_id", "b_id"))
         .reduce(_ unionByName _)
     }),
+    // the holdout arrival batch's search + Algorithm-4 link selection
+    // (r15) — shared by q_hnsw_insert (the fingerprint page) and
+    // q_hnsw_lifecycle (wires the same picks into its composed graph);
+    // sorts after producer:hnswins_layers, so this row prices the walk
+    // and selection alone, not the layer-graph builds
+    "producer:hnswins_picks" -> ((s, d) => {
+      SimSearch.insertPicksCache.invalidate(SimSearch.hnswEmbKey(s, d))
+      SimSearch.holdoutInsertPicks(s, d)
+    }),
     // the loaded-vs-built ledger row (r14 VERDICT #1): serialize the
     // memoized index to parquet and install it back through the LOAD
     // path — next to producer:hnsw_layers / producer:knn_exact8 this

@@ -546,13 +546,42 @@ object SimSearch {
     * operating point (ef=16 over 6 hops); links per layer ≤ the node's
     * level via [[diversifyLinks]] (Algorithm 4), M = 4. */
   private[graft] def hnswInsertLinks(s: SparkSession, d: String, nu0: DataFrame): DataFrame =
-    hnswInsertPicks(s, d, nu0)
+    insertLinksPage(hnswInsertPicks(s, d, nu0))
+
+  /** The per-(arrival, layer) link-page aggregate over a picks frame. */
+  private def insertLinksPage(picks: DataFrame): DataFrame =
+    picks
       .groupBy(col("qid"), col("layer"))
       .agg(count(lit(1)).as("n_links"), min(col("d2q")).as("best_link_d2"),
         sum(col("vec_id")).as("links_sum"))
       .select(col("qid").as("new_id"), col("layer"),
         col("n_links"), col("best_link_d2"), col("links_sum"))
       .orderBy(col("new_id"), col("layer"))
+
+  /** The canonical HOLDOUT arrival frame (vec_id ≡ 11 mod 23) — the
+    * batch q_hnsw_insert and the lifecycle capstone both insert exactly
+    * this set. */
+  private[graft] def holdoutArrivals(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") =!= 0 && col("vec_id") % 23 === 11)
+      .select(col("vec_id").as("qid"), expr(Learn.QuantTok).as("qv"),
+        expr(hnswLevelSpark).as("qlvl"))
+
+  /** [[hnswInsertPicks]] for the canonical holdout batch, MEMOIZED per
+    * (session, dir) — r15: q_hnsw_insert and q_hnsw_lifecycle each ran
+    * the identical multi-layer search + Algorithm-4 selection for the
+    * same arrival set (the lifecycle wires the same picks into its
+    * composed graph that the insert page fingerprints), which is the
+    * producer pattern: build once, serve both. Priced by the
+    * producer:hnswins_picks bench row; the streaming twin keeps calling
+    * the RAW hnswInsertPicks per micro-batch (its arrival frames
+    * differ per trigger and must never share this entry). */
+  private[graft] val insertPicksCache = new CachedRelation(ttlMillis = 3600L * 1000)
+
+  private[graft] def holdoutInsertPicks(s: SparkSession, d: String): DataFrame =
+    insertPicksCache.resolveProbed(hnswEmbKey(s, d)) {
+      hnswInsertPicks(s, d, holdoutArrivals(s, d)).ckpt()
+    }
 
   /** The RAW per-(arrival, layer) link picks behind [[hnswInsertLinks]]
     * — (qid, layer, vec_id, d2q) rows, ≤ M per key. Exposed so the
@@ -905,13 +934,11 @@ object SimSearch {
     // SAME greedy selection, so the diversity semantics are
     // hash-checked, not just spec-asserted). Layer rows exist only
     // where the node's level reaches the layer.
-    "q_hnsw_insert" -> ((s, d) => {
-      val nu = Tables.embeddings(s, d)
-        .filter(col("vec_id") =!= 0 && col("vec_id") % 23 === 11)
-        .select(col("vec_id").as("qid"), expr(Learn.QuantTok).as("qv"),
-          expr(hnswLevelSpark).as("qlvl"))
-      hnswInsertLinks(s, d, nu)
-    }),
+    "q_hnsw_insert" -> ((s, d) =>
+      // the holdout picks are the memoized shared build (r15) — the
+      // lifecycle capstone wires the same selection into its composed
+      // graph, so the search+selection runs once per session
+      insertLinksPage(holdoutInsertPicks(s, d))),
 
     // HNSW EF-SWEEP (r14) — the serving-knob calibration page, the
     // q_lsh_tuning / q_dedup_embed_sweep of the graph-ANN family:
@@ -1274,12 +1301,9 @@ object SimSearch {
       val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
         .select(col("vec_id"), expr(Learn.QuantTok).as("nv")).ckpt()
       // INSERT: arrivals' layer-0 selected links against the existing
-      // members (the q_hnsw_insert machinery, raw picks)
-      val nu = Tables.embeddings(s, d)
-        .filter(col("vec_id") =!= 0 && col("vec_id") % 23 === 11)
-        .select(col("vec_id").as("qid"), expr(Learn.QuantTok).as("qv"),
-          expr(hnswLevelSpark).as("qlvl"))
-      val arrivalEdges = hnswInsertPicks(s, d, nu).filter(col("layer") === 0)
+      // members — the MEMOIZED holdout picks (r15): exactly the
+      // selection q_hnsw_insert fingerprints, built once per session
+      val arrivalEdges = holdoutInsertPicks(s, d).filter(col("layer") === 0)
         .select(col("qid").as("a_id"), col("vec_id").as("b_id"))
       // base: directed M-link lists AMONG the existing members (the
       // memoized insert-side layer-0 graph, top-M prefix)

@@ -244,6 +244,7 @@ class Round14Spec extends SparkSpec {
       () => graft.operators.Ingest.sinkIdCache.buildCount,
       () => graft.operators.Curation.suffixPairCache.buildCount,
       () => graft.operators.Graph.tradeEdgeCache.buildCount,
+      () => graft.operators.Graph.copurchaseEdgeCache.buildCount,
       () => graft.operators.Graph.lpLabelCache.buildCount,
       () => graft.operators.NearDup.clusterLabelCache.buildCount,
       () => graft.operators.Learn.coarseMemo.buildCount,
@@ -251,6 +252,7 @@ class Round14Spec extends SparkSpec {
       () => graft.operators.Learn.clsMemo.buildCount,
       () => graft.operators.Learn.knnCache.buildCount,
       () => graft.operators.SimSearch.hnswEmbCache.buildCount,
+      () => graft.operators.SimSearch.insertPicksCache.buildCount,
       () => graft.operators.SimSearch.staleCoarseMemo.buildCount,
       () => graft.operators.SimSearch.refitCoarseMemo.buildCount
     )
